@@ -1,0 +1,105 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Zone/IO layer (SURVEY.md §2.1, §2.2, §7.2-1).
+  *
+  * The reference moves whole CSV files between object-store "zones"
+  * (landing → processing → curated → serving; ref `dags/s3-etl-wallet-csv.py:24-27`)
+  * and reads them with an explicit 23-field schema
+  * (ref `spark/jobs/pr-wallet-data-tf.py:60-64`). Here a zone is just a path
+  * prefix over any Hadoop-compatible FS; every reader takes an explicit schema
+  * (never inferred — schema inference is a full extra scan at 100 TB).
+  */
+object Tables {
+
+  /** Star-schema + extension tables the driver generates (TESTDATA.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet table from a scale-factor directory. Parquet gives the
+    * vectorized reader, column pruning and filter pushdown for free —
+    * the scan layer we want under every query at 100 TB. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
+    * to a microsecond timestamp with integer division — `ts div 1000`, NOT
+    * `/1000` + cast: epoch-nanos ≈ 1.7e18 exceeds a double's 2^53 exact
+    * range, so float division would corrupt low-order digits. The testdata
+    * has no sub-microsecond components, and DuckDB reads the same file at
+    * microsecond resolution, so the conversion is lossless and oracle-equal. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // cast to NTZ: the other tables' timestamps load as TIMESTAMP_NTZ
+    // (parquet isAdjustedToUTC=false), so derived timestamps match.
+    load(s, d, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table of a scale-factor dir as a temp view, so
+    * `spark.sql` queries (scalar subqueries, CTEs) can reference them by the
+    * same names the DuckDB oracle uses. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val p = new java.io.File(s"$dir/$n.parquet")
+      // events goes through its nanos-normalizing loader, not a raw scan
+      if (p.exists()) (if (n == "events") events(spark, dir) else load(spark, dir, n))
+        .createOrReplaceTempView(n)
+    }
+
+  /** CSV scan with header + explicit schema — operator S1
+    * (ref `spark/jobs/pr-wallet-data-tf.py:60-64`). UTF-8 forced: the wallet
+    * data contains `São Paulo` (ref `data/wallet-data.csv:2`). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .options(Map("header" -> "true", "encoding" -> "UTF-8"))
+      .schema(schema)
+      .csv(path)
+
+  /** CSV sink, overwrite, with header — operator K1
+    * (ref `spark/jobs/pr-wallet-data-tf.py:127-131`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Parquet sink with optional hive-style partitioning — the scale-path
+    * sink the reference lacked (its Delta jar was shipped but unused,
+    * ref `spark/jars/delta-core_2.12-0.7.0.jar`). Partition columns enable
+    * partition pruning on downstream scans. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** JDBC append — operator K3 (ref `dags/s3-etl-wallet-csv.py:120-135`).
+    * The reference used pandas `to_sql(chunksize=10)` ≈ 200k round-trips for
+    * its stated 2M-row target; Spark's writer batches 10k rows per statement
+    * and parallelizes across partitions. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties, batchSize: Int = 10000): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
+  /** DDL bootstrap — operator K4 (ref `dags/s3-etl-wallet-csv.py:204-236`).
+    * Spark's JDBC writer can't emit `SERIAL PRIMARY KEY`, so DDL goes through
+    * a plain JDBC statement, exactly once, before the append. */
+  def ddl(url: String, props: java.util.Properties, sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+}
