@@ -1,9 +1,191 @@
 package graft.dedup
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q => RQ}
+import graft.io.Tables
+import graft.text.TextFunctions._
+import graft.sim.Similarity
 
-/** Deduplication surface (filled in next commit): exact, MinHash+LSH,
-  * SimHash, n-gram Jaccard, embedding-cosine near-dup. */
+/** Deduplication surface for a training-data pipeline, over documents and
+  * embeddings:
+  *
+  *   d33 exact fingerprint groups   — hash-groupBy, one shuffle on md5 key
+  *   d34 exact dedup keep-first     — same + per-group rank filter
+  *   d35 n-gram Jaccard             — pairwise similarity (adjacent pairs)
+  *   d36 MinHash signatures + bands — the LSH prep: O(n) per doc
+  *   d37 MinHash candidate pairs    — band-key self-join: only colliding
+  *                                    docs are compared — the 100 TB path
+  *                                    (vs O(n²) all-pairs)
+  *   d39 embedding near-dup pairs   — cosine > τ within a capped id range
+  *
+  * At scale: fingerprint/minhash dedup shuffles each doc once by hash key;
+  * band joins co-partition candidates so the quadratic blow-up is bounded
+  * per bucket. */
 object DedupOps {
-  val all: Seq[RQ] = Seq.empty
+
+  // ---------------------------------------------------------------- d33
+  private def d33(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    val wc = Window.partitionBy($"fp")
+    Tables.documents(spark, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .withColumn("dup_rank", row_number().over(w).cast("bigint"))
+      .withColumn("n_copies", count(lit(1)).over(wc).cast("bigint"))
+      .orderBy($"doc_id")
+  }
+  private val d33Sql =
+    """SELECT doc_id, fp,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS BIGINT) AS dup_rank,
+      | CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+      |FROM (SELECT doc_id, md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d34
+  /** Exact dedup, keep lowest doc_id per fingerprint group. */
+  private def d34(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id")
+  }
+  private val d34Sql =
+    """SELECT doc_id, fp FROM (
+      |  SELECT doc_id, md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))
+      |                       ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d35
+  /** Token-bigram Jaccard similarity between consecutive documents
+    * (the pairwise kernel; candidate generation at scale is d37). */
+  private def d35(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", tokenNgrams("toks", 2).as("bg"))
+    val a = docs.select($"doc_id".as("doc_a"), $"bg".as("bg_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"bg".as("bg_b"))
+    a.join(b, $"doc_b" === $"doc_a" + 1)
+      .select($"doc_a", $"doc_b", jaccard($"bg_a", $"bg_b").as("jac"))
+      .orderBy($"doc_a")
+  }
+  private val d35Sql =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |     for i in range(1, len(string_split(text,' ')))] AS grams
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |   / NULLIF(LEN(list_distinct(list_concat(a.grams, b.grams))), 0) AS jac
+      |FROM bg a JOIN bg b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  // ---------------------------------------------------------------- d36
+  /** MinHash signatures (8 hashes over token 3-shingles) + 4 LSH band
+    * keys per document. */
+  private def d36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withSig = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("sh", tokenNgrams("toks", 3))
+      .withColumns((1 to 8).map(i => s"h$i" -> minhash("sh", i)).toMap)
+    withSig.select(
+      $"doc_id",
+      band($"h1", $"h2").as("band1"),
+      band($"h3", $"h4").as("band2"),
+      band($"h5", $"h6").as("band3"),
+      band($"h7", $"h8").as("band4"))
+      .orderBy($"doc_id")
+  }
+  private val d36Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM documents)
+       |SELECT doc_id,
+       | md5(${mh(1)} || ${mh(2)}) AS band1,
+       | md5(${mh(3)} || ${mh(4)}) AS band2,
+       | md5(${mh(5)} || ${mh(6)}) AS band3,
+       | md5(${mh(7)} || ${mh(8)}) AS band4
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d37
+  /** MinHash-LSH near-dup candidate pairs: docs sharing any band key.
+    * Each band is a self-equi-join on the band hash — at scale this
+    * shuffles by band key and never compares non-colliding docs. */
+  private def d37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = d36(spark, dir).cache()
+    val pairs = (1 to 4).map { k =>
+      val a = sig.select($"doc_id".as("doc_a"), col(s"band$k").as("bk"))
+      val b = sig.select($"doc_id".as("doc_b"), col(s"band$k").as("bk"))
+      a.join(b, "bk").filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
+    }.reduce(_ union _)
+    pairs.distinct().orderBy($"doc_a", $"doc_b")
+  }
+  private val d37Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sig a JOIN sig b
+       |  ON a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3 OR a.band4 = b.band4
+       |WHERE a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d39
+  /** Embedding-cosine near-duplicates: pairs with cosine > 0.3 among the
+    * first 200 vectors (capped all-pairs kernel; LSH candidates replace
+    * the cap at scale). */
+  private def d39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).filter($"vec_id" < 200)
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.join(broadcast(b), $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", Similarity.cosine("ea", "eb").as("cos_sim"))
+      .filter($"cos_sim" > 0.3)
+      .orderBy($"vec_a", $"vec_b")
+  }
+  private val d39Sql =
+    s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       | ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cos_sim
+       |FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} > 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val all: Seq[RQ] = Seq(
+    RQ("d33_fingerprint_groups", d33, Some(d33Sql)),
+    RQ("d34_dedup_exact", d34, Some(d34Sql), bench = true),
+    RQ("d35_ngram_jaccard", d35, Some(d35Sql)),
+    RQ("d36_minhash_bands", d36, Some(d36Sql), bench = true),
+    RQ("d37_minhash_pairs", d37, Some(d37Sql)),
+    RQ("d39_embedding_neardup", d39, Some(d39Sql)))
 }

@@ -1,0 +1,47 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity primitives over `ArrayType(FloatType)` embedding
+  * columns — pure Catalyst higher-order functions (zip_with/aggregate),
+  * fully codegen'd, no UDFs.
+  *
+  * Bit-stability: element products are computed in DOUBLE (exact float
+  * widening) and accumulated left-to-right — a per-row fold with a single
+  * defined evaluation order, mirrored in DuckDB by `list_reduce`, so
+  * cosine values are bit-identical across engines.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns as a strict LEFT-TO-RIGHT
+    * double fold. Bit-stability rationale: a per-row fold has ONE defined
+    * evaluation order, so unlike a partitioned sum it is deterministic;
+    * the DuckDB oracle mirrors it with `list_reduce(..., (acc,v)->acc+v)`,
+    * the same fold over the same element doubles. (Decimal accumulation
+    * was tried first but DuckDB's double→DECIMAL(38,20) cast rounds
+    * differently than Spark's BigDecimal at the 20th digit.) */
+  def dot(a: String, b: String): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |  CAST(0 AS DOUBLE),
+         |  (acc, v) -> acc + v)""".stripMargin)
+
+  /** Squared L2 norm (same accumulation scheme). */
+  def norm2(a: String): Column = dot(a, a)
+
+  /** Cosine similarity between two embedding columns. */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Oracle-side spelling of dot(a, b) for DuckDB: the same left-to-right
+    * fold over the same element doubles. */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       | list_transform(list_zip($a, $b), s -> s[1]::DOUBLE * s[2]::DOUBLE)),
+       | (acc, v) -> acc + v)""".stripMargin
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)}))"
+}

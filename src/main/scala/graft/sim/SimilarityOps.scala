@@ -1,9 +1,101 @@
 package graft.sim
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.{Q => RQ}
+import graft.io.Tables
+import Similarity._
 
-/** Similarity-search surface over the embeddings table (filled in next
-  * commit): brute-force cosine top-k, LSH-bucketed ANN. */
+/** Similarity-search queries over the embeddings table.
+  *
+  * e40 is the brute-force baseline (scan → cosine → TakeOrdered top-k):
+  * correct at any scale, one pass, no shuffle beyond the final top-k
+  * merge. e41 is the k-NN-join shape (small probe set broadcast against
+  * the corpus — the 100 TB plan is probes ⋈ bucketed corpus; the LSH
+  * bucketing path is in graft.dedup). */
 object SimilarityOps {
-  val all: Seq[RQ] = Seq.empty
+
+  // ---------------------------------------------------------------- e40
+  /** Top-10 nearest neighbors (cosine) of probe vector vec_id=0. */
+  private def e40(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id", $"label".cast("bigint").as("label"),
+        cosine("embedding", "p").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+  private val e40Sql =
+    s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, CAST(label AS BIGINT) AS label,
+       | ${cosineSql("embedding", "p")} AS cos_sim
+       |FROM embeddings, probe
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- e41
+  /** k-NN join: top-3 neighbors for each of the first 5 vectors. The
+    * probe side is broadcast; ranking is a per-probe window (no global
+    * sort). */
+  private def e41(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos_sim".desc, $"vec_id")
+    emb.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", cosine("embedding", "p").as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter($"rank" <= 3)
+      .orderBy($"probe_id", $"rank")
+  }
+  private val e41Sql =
+    s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 5),
+       |sims AS (
+       |  SELECT probe_id, vec_id, ${cosineSql("embedding", "p")} AS cos_sim
+       |  FROM embeddings, probes WHERE vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT probe_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- e42
+  /** Corpus embedding statistics: norm distribution + per-label counts
+    * (one aggregation pass; norms are bit-stable decimal sums). */
+  private def e42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Num.{davg, dsum}
+    Tables.embeddings(spark, dir)
+      .select($"label", sqrt(norm2("embedding")).as("nrm"))
+      .groupBy($"label".cast("bigint").as("label"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        dsum($"nrm").as("sum_norm"),
+        davg($"nrm").as("avg_norm"),
+        min($"nrm").as("min_norm"),
+        max($"nrm").as("max_norm"))
+      .orderBy($"label")
+  }
+  private val e42Sql =
+    s"""WITH norms AS (
+       |  SELECT label, SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT CAST(label AS BIGINT) AS label,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) AS sum_norm,
+       | CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(nrm) AS avg_norm,
+       | MIN(nrm) AS min_norm,
+       | MAX(nrm) AS max_norm
+       |FROM norms GROUP BY label ORDER BY label""".stripMargin
+
+  val all: Seq[RQ] = Seq(
+    RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
+    RQ("e41_knn_join", e41, Some(e41Sql)),
+    RQ("e42_embedding_stats", e42, Some(e42Sql)))
 }
