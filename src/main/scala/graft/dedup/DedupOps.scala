@@ -159,6 +159,26 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d38
+  /** Native-expression SimHash64 (graft.functions.SimHash64, registered
+    * through GraftExtensions so it is SQL-callable) + Hamming distance to
+    * the previous doc. No SQL oracle — the function is engine-native; the
+    * driver applies the rows-only check and SimHash64Spec pins semantics.
+    * (Global-order window is fine here: one lag over doc_id; at scale
+    * pair Hamming checks ride on d37's band-join candidates instead.) */
+  private def d38(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftExtensions.install(spark)
+    val w = Window.orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("simhash", expr("simhash64(toks)"))
+      .withColumn("hamming_prev",
+        expr("bit_count(simhash ^ lag(simhash, 1) OVER (ORDER BY doc_id))").cast("bigint"))
+      .select($"doc_id", $"simhash", $"hamming_prev")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- d39
   /** Embedding-cosine near-duplicates: pairs with cosine > 0.3 among the
     * first 200 vectors (capped all-pairs kernel; LSH candidates replace
@@ -187,5 +207,6 @@ object DedupOps {
     RQ("d35_ngram_jaccard", d35, Some(d35Sql)),
     RQ("d36_minhash_bands", d36, Some(d36Sql), bench = true),
     RQ("d37_minhash_pairs", d37, Some(d37Sql)),
+    RQ("d38_simhash64", d38, None),
     RQ("d39_embedding_neardup", d39, Some(d39Sql)))
 }

@@ -1,10 +1,97 @@
 package graft.multimodal
 
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.{Q => RQ}
+import graft.io.Tables
 
-/** Multimodal binary-column plumbing (filled in a later commit): opaque
-  * binary payloads + typed metadata, decode/feature-extract stubs with
-  * real Spark-side schema/partitioning. */
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata (BASELINE.json north_star).
+  *
+  * The container has no image/audio codecs, so DecodeStub below is a
+  * clearly-marked DETERMINISTIC FAKE of the decode step; everything
+  * Spark-side — binary column handling, metadata schema, the
+  * mapPartitions batch shape (the Scala analog of `mapInPandas`:
+  * partition-at-a-time iterator, decoder initialized once per partition,
+  * not per row) — is real and oracle-/test-covered. Swapping DecodeStub
+  * for a real codec changes no plumbing.
+  */
 object MultimodalOps {
-  val all: Seq[RQ] = Seq.empty
+
+  /** One media row after "decode": typed metadata next to the payload. */
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      format: String,   // sniffed from fake magic bytes
+      width: Int,
+      height: Int,
+      channels: Int)
+
+  /** The decode seam. Real pipelines put JNI/codec init in `open()`,
+    * called once per PARTITION (see m61), never per row. */
+  object DecodeStub {
+    /** Deterministic fake decode: dimensions derived from the payload's
+      * MD5 so results are stable across runs/partitionings. */
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def nib(i: Int): Int = (md(i / 2) >> (if (i % 2 == 0) 4 else 0)) & 0xf
+      MediaMeta(
+        doc_id = docId,
+        n_bytes = payload.length.toLong,
+        format = if (nib(0) < 8) "png" else "jpeg",
+        width = 64 + nib(1) * 8,
+        height = 64 + nib(2) * 8,
+        channels = if (nib(3) < 12) 3 else 4)
+    }
+  }
+
+  // ---------------------------------------------------------------- m60
+  /** Pure-SQL binary metadata: UTF-8 payload bytes, byte length vs char
+    * length (differs on multi-byte text), content hash, hex magic
+    * prefix — the scan-side columns a multimodal table carries. */
+  private def m60(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        octet_length($"text").cast("bigint").as("n_bytes"),
+        length($"text").cast("bigint").as("n_chars"),
+        md5($"text").as("content_md5"),
+        substring(hex($"text".cast("binary")), 1, 8).as("magic_hex"))
+      .orderBy($"doc_id")
+  }
+  private val m60Sql =
+    """SELECT doc_id,
+      | CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+      | CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      | MD5(text) AS content_md5,
+      | SUBSTRING(HEX(ENCODE(text)), 1, 8) AS magic_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The mapPartitions decode pipeline, exposed for reuse + tests. */
+  def decoded(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // partition-scoped "decoder" init happens here, once
+        it.map { case (id, payload) => DecodeStub.decode(id, payload) }
+      }
+  }
+
+  // ---------------------------------------------------------------- m61
+  /** Decode + feature-extract over binary payloads via mapPartitions.
+    * No SQL oracle (the decode is engine-side Scala): driver applies the
+    * rows-only check; ScalaTest pins determinism + partition behavior. */
+  private def m61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decoded(spark, dir).toDF()
+      .select($"doc_id", $"n_bytes", $"format", $"width", $"height", $"channels")
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[RQ] = Seq(
+    RQ("m60_binary_meta", m60, Some(m60Sql)),
+    RQ("m61_decode_stub", m61, None))
 }

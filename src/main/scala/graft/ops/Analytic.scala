@@ -1,9 +1,203 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.{Q => RQ}
+import graft.io.Tables
 
-/** Placeholder for the second relational batch (grouping sets variants,
-  * sampling, sketches, as-of style joins). Filled in later rounds/commits. */
+/** Analytic batch 2 (SURVEY.md §2.5-§2.7 breadth + §2.10): correlated
+  * subqueries, multiset set-ops, CUBE / GROUPING SETS, numerically-stable
+  * moment statistics, deterministic sampling, explode/UNNEST, JSON
+  * extraction, as-of windows, range joins, global row numbering.
+  *
+  * Queries built from `spark.sql` use ANSI text that doubles as its own
+  * DuckDB oracle (one string, two engines). */
 object Analytic {
-  val all: Seq[RQ] = Seq.empty
+
+  private def viewsThen(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(sql) }
+
+  private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- a23
+  /** Correlated scalar subquery: orders costing more than 2× their own
+    * customer's average order (decorrelates to an aggregate + join). */
+  private val a23Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+      |                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- a24
+  /** Multiset set operations: EXCEPT ALL / INTERSECT ALL keep
+    * duplicates (bag semantics), unlike q12's set versions. */
+  private def a24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val p = o.filter($"o_orderstatus" === "P").select($"o_custkey")
+    f.exceptAll(p).withColumn("op", lit("except_all"))
+      .union(f.intersectAll(p).withColumn("op", lit("intersect_all")))
+      .select($"op", $"o_custkey")
+      .orderBy($"op", $"o_custkey")
+  }
+  private val a24Sql =
+    """SELECT 'except_all' AS op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY op, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- a25
+  /** Full CUBE over two dimensions with GROUPING() markers. */
+  private val a25Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- a26
+  /** Explicit GROUPING SETS (disjoint one-dimension rollups). */
+  private val a26Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- a27
+  /** Sample variance / stddev via explicit moment formulas over exact
+    * decimal sums — order-independent, unlike built-in stddev whose
+    * partial-merge order perturbs low bits. l_quantity is integral so
+    * squares are exact. */
+  private val a27Sql =
+    s"""SELECT l_returnflag,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | ${dsumSql("l_quantity")} / COUNT(*) AS mean_qty,
+       | (${dsumSql("l_quantity * l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")} / COUNT(*))
+       |   / (COUNT(*) - 1) AS var_qty,
+       | SQRT((${dsumSql("l_quantity * l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")} / COUNT(*))
+       |   / (COUNT(*) - 1)) AS stddev_qty
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- a28
+  /** Pearson correlation from exact decimal co-moments (same rationale
+    * as a27). */
+  private val a28Sql =
+    s"""SELECT
+       | (COUNT(*) * ${dsumSql("l_quantity * l_extendedprice")} - ${dsumSql("l_quantity")} * ${dsumSql("l_extendedprice")})
+       | / (SQRT(COUNT(*) * ${dsumSql("l_quantity * l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")})
+       |  * SQRT(COUNT(*) * ${dsumSql("l_extendedprice * l_extendedprice")} - ${dsumSql("l_extendedprice")} * ${dsumSql("l_extendedprice")}))
+       | AS corr_qty_price
+       |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- a29
+  /** Deterministic ~12.5% sample: hash-mod on a stable key (md5 first
+    * nibble ∈ {0,1}) — reproducible across engines, partitionings and
+    * runs, unlike RNG-based TABLESAMPLE. */
+  private def a29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter(substring(md5($"o_orderkey".cast("string")), 1, 1).isin("0", "1"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+  private val a29Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- a30
+  /** Generator/UNNEST: positional token explode (1-based positions to
+    * match SQL's ordinality convention). */
+  private def a30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 3)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1).cast("bigint").as("pos"), $"tok")
+      .orderBy($"doc_id", $"pos")
+  }
+  private val a30Sql =
+    """SELECT doc_id, CAST(i AS BIGINT) AS pos, string_split(text, ' ')[i] AS tok
+      |FROM documents, LATERAL (SELECT UNNEST(RANGE(1, LEN(string_split(text, ' ')) + 1)) AS i) t
+      |WHERE doc_id < 3
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------- a31
+  /** JSON extraction from the events.props column: schema'd from_json on
+    * the Spark side; the oracle states the equivalent field extraction. */
+  private def a31(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        $"event_id",
+        expr("from_json(props, 'k INT').k").cast("bigint").as("k_json"),
+        regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("bigint").as("k_regex"))
+      .orderBy($"event_id")
+  }
+  private val a31Sql =
+    """SELECT event_id,
+      | CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_json,
+      | CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_regex
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- a32
+  /** As-of lookup as a running window: for every event, the most recent
+    * prior 'purchase' timestamp of the same user (point-in-time join
+    * collapsed onto one ordered pass — no self-join). */
+  private val a32Sql =
+    """SELECT event_id, user_id, ts,
+      | MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+      |FROM events
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- a33
+  /** Range (interval) join: purchases within 5 minutes after a signup by
+    * the same user. Bounded-interval non-equi join — the band condition
+    * keeps the blow-up local. */
+  private val a33Sql =
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id,
+      | s.ts AS signup_ts, p.ts AS purchase_ts
+      |FROM events s JOIN events p
+      |  ON s.user_id = p.user_id
+      | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE
+      |ORDER BY signup_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- a34
+  /** Global dense row numbering over a total order — the engine-side
+    * equivalent of the reference's Postgres SERIAL id
+    * (ref `dags/s3-etl-wallet-csv.py:210`; SURVEY.md §2.7). */
+  private val a34Sql =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS row_id,
+      | event_id, user_id
+      |FROM events ORDER BY row_id""".stripMargin
+
+  val all: Seq[RQ] = Seq(
+    RQ("a23_correlated_subquery", viewsThen(a23Sql), Some(a23Sql)),
+    RQ("a24_setops_all", a24, Some(a24Sql)),
+    RQ("a25_cube", viewsThen(a25Sql), Some(a25Sql)),
+    RQ("a26_grouping_sets", viewsThen(a26Sql), Some(a26Sql)),
+    RQ("a27_variance_stable", viewsThen(a27Sql), Some(a27Sql)),
+    RQ("a28_corr_stable", viewsThen(a28Sql), Some(a28Sql)),
+    RQ("a29_hash_sample", a29, Some(a29Sql)),
+    RQ("a30_posexplode", a30, Some(a30Sql)),
+    RQ("a31_json_extract", a31, Some(a31Sql)),
+    RQ("a32_asof_window", viewsThen(a32Sql), Some(a32Sql)),
+    RQ("a33_range_join", viewsThen(a33Sql), Some(a33Sql)),
+    RQ("a34_global_rownum", viewsThen(a34Sql), Some(a34Sql)))
 }

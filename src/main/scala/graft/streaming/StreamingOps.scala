@@ -1,11 +1,132 @@
 package graft.streaming
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
 import graft.{Q => RQ}
+import graft.ops.Num.dsum
 
-/** Structured Streaming surface over the events table (filled in a later
-  * commit): windowed aggregation with watermarks, sessionization,
-  * mapGroupsWithState — run with Trigger.AvailableNow so Verify treats
-  * them as batch. */
+/** Structured Streaming surface over the events table (SURVEY.md §2.9).
+  *
+  * The reference's only "streaming" is an S3 file-arrival sensor polling
+  * every 120 s (ref `dags/s3-etl-wallet-csv.py:141-149`); its Spark-native
+  * replacement is exactly this: a file-source stream drained with
+  * `Trigger.AvailableNow` — one discovery pass per scheduled run, no
+  * polling task, checkpointable. Each query here runs a REAL streaming
+  * query (readStream → stateful transform → memory sink) and returns the
+  * sink table, so the driver's batch Verify can oracle-check it: results
+  * are batch-equivalent by Structured Streaming's incremental-execution
+  * contract, and the oracle SQL states that batch equivalent.
+  */
 object StreamingOps {
-  val all: Seq[RQ] = Seq.empty
+
+  /** Parquet schema for readStream (file sources need an explicit schema;
+    * `ts` arrives as INT64 nanos — see graft.io.Tables.events). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-source streams want a DIRECTORY; select just events.parquet
+    // from the sf dir with a glob (this is the O1 sensor replacement:
+    // new files matching the pattern are discovered per trigger)
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming frame into a memory sink with AvailableNow and
+    * return the materialized table. */
+  private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // ---------------------------------------------------------------- s50
+  /** Tumbling-window aggregation (1 h) per event type, with a watermark,
+    * complete mode: every window emitted once the stream drains. */
+  private def s50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    drain(agg, "s50_out", "complete")
+      .select(
+        $"window.start".cast("timestamp_ntz").as("window_start"),
+        $"event_type", $"n".cast("bigint").as("n"), $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  private val s50Sql =
+    """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- s51
+  /** Session windows (30-minute inactivity gap) per user — batch
+    * session_window, oracle'd by the classic gaps-and-islands rewrite.
+    * (session_window is the same operator Structured Streaming uses for
+    * streaming sessionization.) */
+  private def s51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.io.Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select(
+        $"user_id",
+        $"sw.start".cast("timestamp_ntz").as("session_start"),
+        $"sw.end".cast("timestamp_ntz").as("session_end"),
+        $"n_events".cast("bigint").as("n_events"), $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+  private val s51Sql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |numbered AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      | MIN(ts) AS session_start,
+      | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- s52
+  /** Stateful streaming deduplication: dropDuplicates over the stream
+    * keeps cross-batch state; result = first occurrence of each
+    * (user_id, event_type) pair regardless of batching. */
+  private def s52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dedup = eventsStream(spark, dir)
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+    drain(dedup, "s52_out", "append")
+      .orderBy($"user_id", $"event_type")
+  }
+  private val s52Sql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val all: Seq[RQ] = Seq(
+    RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
+    RQ("s51_session_windows", s51, Some(s51Sql)),
+    RQ("s52_stream_dedup", s52, Some(s52Sql)))
 }
