@@ -95,16 +95,22 @@ object DedupOps {
     * keys per document. */
   private def d36(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val withSig = Tables.documents(spark, dir)
+    // native one-pass signature (graft.functions.MinHashSig): the HOF
+    // spelling of this — 8 interpreted lambda traversals materializing
+    // k×|sh| hex strings — measured 10 s on 500 docs; the native
+    // expression keeps 8 running minima in one tight loop.
+    graft.functions.GraftExtensions.install(spark)
+    val sig = expr("minhash_sig(sh, 8)")
+    graft.ops.Par.spread(Tables.documents(spark, dir))
       .withColumn("toks", tokens($"text"))
       .withColumn("sh", tokenNgrams("toks", 3))
-      .withColumns((1 to 8).map(i => s"h$i" -> minhash("sh", i)).toMap)
-    withSig.select(
-      $"doc_id",
-      band($"h1", $"h2").as("band1"),
-      band($"h3", $"h4").as("band2"),
-      band($"h5", $"h6").as("band3"),
-      band($"h7", $"h8").as("band4"))
+      .withColumn("sig", sig)
+      .select(
+        $"doc_id",
+        md5(concat(element_at($"sig", 1), element_at($"sig", 2))).as("band1"),
+        md5(concat(element_at($"sig", 3), element_at($"sig", 4))).as("band2"),
+        md5(concat(element_at($"sig", 5), element_at($"sig", 6))).as("band3"),
+        md5(concat(element_at($"sig", 7), element_at($"sig", 8))).as("band4"))
       .orderBy($"doc_id")
   }
   private val d36Sql = {

@@ -27,7 +27,14 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "usage: minhash_sig(array<string>, k literal)")
+        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
 
   /** Idempotent registration on an existing session. */
   def install(spark: SparkSession): Unit =

@@ -45,12 +45,17 @@ object StreamingOps {
 
   /** Drain a streaming frame into a memory sink with AvailableNow and
     * return the materialized table. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+    // unique sink name per invocation: Bench executes each query twice in
+    // one session (warmup + timed) and memory sinks don't overwrite
+    val unique = s"${name}_${runSeq.incrementAndGet()}"
     val q = df.writeStream
-      .format("memory").queryName(name).outputMode(mode)
+      .format("memory").queryName(unique).outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    df.sparkSession.table(unique)
   }
 
   // ---------------------------------------------------------------- s50

@@ -19,7 +19,7 @@ object TextOps {
     * token chars = length - (n_tokens - 1). */
   private def t30(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    graft.ops.Par.spread(Tables.documents(spark, dir))
       .withColumn("toks", tokens($"text"))
       .select(
         $"doc_id",
