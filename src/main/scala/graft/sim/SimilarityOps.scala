@@ -94,8 +94,53 @@ object SimilarityOps {
        | MAX(nrm) AS max_norm
        |FROM norms GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- e44
+  /** LSH bucket assignment (8 sign-projection bits → 256 buckets) plus
+    * bucket occupancy. The bucket is the ANN partition key at scale. */
+  private def e44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.ops.Par.spread(Tables.embeddings(spark, dir))
+      .select($"vec_id", expr(Lsh.bucketSpark("embedding")).as("bucket"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy($"bucket")).cast("bigint"))
+      .orderBy($"vec_id")
+  }
+  private val e44Sql =
+    s"""WITH b AS (SELECT vec_id, ${Lsh.bucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT vec_id, bucket,
+       | CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+       |FROM b ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- e45
+  /** Approximate top-5 neighbors of probe vec_id=0, searching ONLY the
+    * probe's LSH bucket — the scale path: candidate generation is an
+    * equi-join on the bucket key (~n/256 of the corpus per probe) instead
+    * of e40's full scan. */
+  private def e45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // 4 planes (16 buckets): right recall/selectivity for 500-5000 vecs
+    val withBucket = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", expr(Lsh.bucketSpark("embedding", 4)).as("bucket"))
+    val probe = withBucket.filter($"vec_id" === 0)
+      .select($"embedding".as("p"), $"bucket".as("pb"))
+    withBucket.join(broadcast(probe), $"bucket" === $"pb" && $"vec_id" =!= 0)
+      .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(5)
+  }
+  private val e45Sql =
+    s"""WITH b AS (SELECT vec_id, embedding, ${Lsh.bucketSql("embedding", 4)} AS bucket FROM embeddings),
+       |probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
+       |SELECT vec_id, ${cosineSql("embedding", "p")} AS cos_sim
+       |FROM b, probe
+       |WHERE bucket = pb AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
-    RQ("e42_embedding_stats", e42, Some(e42Sql)))
+    RQ("e42_embedding_stats", e42, Some(e42Sql)),
+    RQ("e44_lsh_buckets", e44, Some(e44Sql)),
+    RQ("e45_lsh_ann_topk", e45, Some(e45Sql)))
 }

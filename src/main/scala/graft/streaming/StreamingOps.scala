@@ -130,8 +130,44 @@ object StreamingOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- s53
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * (event count, last-seen timestamp). Each micro-batch emits the
+    * updated state per touched user (update mode); because both state
+    * fields are monotonic, the per-user MAX over all emitted updates is
+    * the final state REGARDLESS of how AvailableNow batched the input —
+    * which is what makes the query oracle-checkable against plain batch
+    * GROUP BY. */
+  private def s53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val perUser = eventsStream(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
+          var n = n0
+          var last = last0
+          rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+          state.update((n, last))
+          (uid, n, last)
+      }
+      .toDF("user_id", "n_events", "last_ts_us")
+    drain(perUser, "s53_out", "update")
+      .groupBy($"user_id")
+      .agg(max($"n_events").cast("bigint").as("n_events"),
+        timestamp_micros(max($"last_ts_us")).cast("timestamp_ntz").as("last_ts"))
+      .orderBy($"user_id")
+  }
+  private val s53Sql =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
-    RQ("s52_stream_dedup", s52, Some(s52Sql)))
+    RQ("s52_stream_dedup", s52, Some(s52Sql)),
+    RQ("s53_stateful_counts", s53, Some(s53Sql)))
 }

@@ -53,7 +53,9 @@ def main(outdir, sfdir):
         if errs:
             print(f"FAIL {name}: " + "; ".join(errs[:4])); n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            # 0-row passes are vacuous (empty == empty) — flag loudly
+            tag = " *** EMPTY RESULT: vacuous pass ***" if len(got) == 0 else ""
+            print(f"PASS {name} ({len(got)} rows){tag}"); n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
