@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.io.{Bucketing, Tables}
+import graft.ops.Skew
+
+/** Demonstrates the scale tooling through the public API: bucketed
+  * exchange-free joins and salted skew joins. Prints the physical plans
+  * and row-count equivalence so the behavior is observable from the CLI.
+  * Usage: runMain graft.ScaleDemo [sfDir] */
+object ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-scale-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to show bucketing
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey")
+
+    println("== bucketed join ==")
+    Bucketing.writeBucketed(o, "orders_b", "o_custkey", 4)
+    Bucketing.writeBucketed(c, "cust_b", "o_custkey", 4)
+    val bucketed = Bucketing.bucketedJoin(spark, "orders_b", "cust_b", "o_custkey")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    println(s"exchange-free: ${!plan.contains("Exchange")}, bucketed scan: ${plan.contains("Bucketed: true")}")
+    println(s"unbucketed join shuffles: ${o.join(c, "o_custkey").queryExecution.executedPlan.toString.contains("Exchange")}")
+
+    println("== salted join ==")
+    val plain = o.join(c, "o_custkey").count()
+    val salted = Skew.saltedJoin(o, c, "o_custkey", 8).count()
+    println(s"plain=$plain salted=$salted equal=${plain == salted}")
+    spark.stop()
+  }
+}

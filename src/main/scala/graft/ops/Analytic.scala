@@ -187,6 +187,39 @@ object Analytic {
       | event_id, user_id
       |FROM events ORDER BY row_id""".stripMargin
 
+  // ---------------------------------------------------------------- a35
+  /** Sketch-based distinct counting (HLL++): approximate vs exact side by
+    * side. No oracle — HLL implementations differ across engines; the
+    * driver applies the rows-only check and the exact column is oracle'd
+    * separately in q03. */
+  private def a35(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct($"l_orderkey").cast("bigint").as("approx_orders"),
+      countDistinct($"l_orderkey").cast("bigint").as("exact_orders"),
+      approx_count_distinct($"l_partkey", 0.01).cast("bigint").as("approx_parts_1pct"))
+  }
+
+  // ---------------------------------------------------------------- a36
+  /** Custom typed Aggregator (quantity-weighted mean price): BigDecimal
+    * buffers make the merge order-independent, so even a user-defined
+    * aggregation is oracle-exact. */
+  private def a36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TypedAggs.weightedMean.toColumn.name("wavg_price"))
+      .toDF("l_returnflag", "wavg_price")
+      .orderBy($"l_returnflag")
+  }
+  private val a36Sql =
+    s"""SELECT l_returnflag,
+       | ${dsumSql("l_extendedprice * l_quantity")} / ${dsumSql("l_quantity")} AS wavg_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a23_correlated_subquery", viewsThen(a23Sql), Some(a23Sql)),
     RQ("a24_setops_all", a24, Some(a24Sql)),
@@ -199,5 +232,7 @@ object Analytic {
     RQ("a31_json_extract", a31, Some(a31Sql)),
     RQ("a32_asof_window", viewsThen(a32Sql), Some(a32Sql)),
     RQ("a33_range_join", viewsThen(a33Sql), Some(a33Sql)),
-    RQ("a34_global_rownum", viewsThen(a34Sql), Some(a34Sql)))
+    RQ("a34_global_rownum", viewsThen(a34Sql), Some(a34Sql)),
+    RQ("a35_approx_distinct", a35, None),
+    RQ("a36_typed_weighted_mean", a36, Some(a36Sql)))
 }
