@@ -93,7 +93,10 @@ object DedupOps {
   // ---------------------------------------------------------------- d36
   /** MinHash signatures (8 hashes over token 3-shingles) + 4 LSH band
     * keys per document. */
-  private def d36(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash band keys per doc, UNordered — shared by d36 (adds the
+    * oracle ORDER BY) and d37 (caches it; sorting before a cache that
+    * feeds band self-joins would be wasted work). */
+  private def sigFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // native one-pass signature (graft.functions.MinHashSig): the HOF
     // spelling of this — 8 interpreted lambda traversals materializing
@@ -111,7 +114,11 @@ object DedupOps {
         md5(concat(element_at($"sig", 3), element_at($"sig", 4))).as("band2"),
         md5(concat(element_at($"sig", 5), element_at($"sig", 6))).as("band3"),
         md5(concat(element_at($"sig", 7), element_at($"sig", 8))).as("band4"))
-      .orderBy($"doc_id")
+  }
+
+  private def d36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sigFrame(spark, dir).orderBy($"doc_id")
   }
   private val d36Sql = {
     def mh(i: Int) =
@@ -135,7 +142,7 @@ object DedupOps {
     * shuffles by band key and never compares non-colliding docs. */
   private def d37(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = d36(spark, dir).cache()
+    val sig = sigFrame(spark, dir).cache()
     val pairs = (1 to 4).map { k =>
       val a = sig.select($"doc_id".as("doc_a"), col(s"band$k").as("bk"))
       val b = sig.select($"doc_id".as("doc_b"), col(s"band$k").as("bk"))

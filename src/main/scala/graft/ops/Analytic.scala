@@ -187,6 +187,30 @@ object Analytic {
       | event_id, user_id
       |FROM events ORDER BY row_id""".stripMargin
 
+  // ---------------------------------------------------------------- a37
+  /** Deterministic 75/25 train/test split (SURVEY.md §2.11's randomSplit,
+    * made reproducible): assignment by md5-nibble of the stable key, so
+    * the same row lands in the same split on every engine, run, and
+    * partitioning — the property a training pipeline actually needs. */
+  private def a37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = when(
+      instr(lit("0123456789abcdef"),
+        substring(md5($"doc_id".cast("string")), 1, 1)) <= 12, "train")
+      .otherwise("test")
+    Tables.documents(spark, dir)
+      .select($"doc_id", split.as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy($"split")
+  }
+  private val a37Sql =
+    """SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT CASE WHEN STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 12
+      |              THEN 'train' ELSE 'test' END AS split
+      |  FROM documents) t
+      |GROUP BY split ORDER BY split""".stripMargin
+
   // ---------------------------------------------------------------- a35
   /** Sketch-based distinct counting (HLL++): approximate vs exact side by
     * side. No oracle — HLL implementations differ across engines; the
@@ -234,5 +258,6 @@ object Analytic {
     RQ("a33_range_join", viewsThen(a33Sql), Some(a33Sql)),
     RQ("a34_global_rownum", viewsThen(a34Sql), Some(a34Sql)),
     RQ("a35_approx_distinct", a35, None),
+    RQ("a37_hash_split", a37, Some(a37Sql)),
     RQ("a36_typed_weighted_mean", a36, Some(a36Sql)))
 }

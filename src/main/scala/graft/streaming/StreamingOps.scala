@@ -165,9 +165,42 @@ object StreamingOps {
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- s54
+  /** Sliding windows (2 h window, 30 min slide) in APPEND mode with a
+    * 10-minute watermark: only windows the watermark has closed are
+    * emitted — the real streaming-semantics query (s50's complete mode
+    * emits everything). AvailableNow runs a final no-data micro-batch
+    * (spark.sql.streaming.noDataMicroBatches.enabled default) that
+    * advances the watermark to max(ts) - 10 min and flushes closed
+    * windows, so the emitted set is deterministic: exactly the windows
+    * with end <= max(ts) - 10 min — which is what the oracle states. */
+  private def s54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "2 hours", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    drain(agg, "s54_out", "append")
+      .select($"window.start".cast("timestamp_ntz").as("window_start"),
+        $"n".cast("bigint").as("n"))
+      .orderBy($"window_start")
+  }
+  private val s54Sql =
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+      |assigned AS (
+      |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+      |           + (epoch_us(ts) // 1800000000 - k) * INTERVAL 30 MINUTE AS window_start
+      |  FROM events, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS k) t)
+      |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM assigned, wm
+      |WHERE window_start + INTERVAL 2 HOUR <= w
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
     RQ("s52_stream_dedup", s52, Some(s52Sql)),
-    RQ("s53_stateful_counts", s53, Some(s53Sql)))
+    RQ("s53_stateful_counts", s53, Some(s53Sql)),
+    RQ("s54_watermark_append", s54, Some(s54Sql)))
 }
