@@ -21,7 +21,8 @@ object Registry {
       graft.dedup.DedupOps.all ++
       graft.sim.SimilarityOps.all ++
       graft.streaming.StreamingOps.all ++
-      graft.multimodal.MultimodalOps.all
+      graft.multimodal.MultimodalOps.all ++
+      graft.wallet.WalletOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -211,6 +211,32 @@ object Analytic {
       |  FROM documents) t
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- a38
+  /** Exact median by rank selection (not interpolation): pick the middle
+    * row(s) by a total order and average them. Unlike percentile_cont,
+    * whose interpolation arithmetic differs across engines, this is pure
+    * row selection + one (a+b)/2 of identical doubles — oracle-exact. */
+  private def a38(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    val ranked = Tables.orders(spark, dir)
+      .select($"o_totalprice", $"o_orderkey")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+      .agg(avg($"o_totalprice").as("median_totalprice"))
+  }
+  private val a38Sql =
+    """WITH ranked AS (
+      |  SELECT o_totalprice,
+      |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM orders)
+      |SELECT AVG(o_totalprice) AS median_totalprice
+      |FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2""".stripMargin
+
   // ---------------------------------------------------------------- a35
   /** Sketch-based distinct counting (HLL++): approximate vs exact side by
     * side. No oracle — HLL implementations differ across engines; the
@@ -259,5 +285,6 @@ object Analytic {
     RQ("a34_global_rownum", viewsThen(a34Sql), Some(a34Sql)),
     RQ("a35_approx_distinct", a35, None),
     RQ("a37_hash_split", a37, Some(a37Sql)),
+    RQ("a38_exact_median", a38, Some(a38Sql)),
     RQ("a36_typed_weighted_mean", a36, Some(a36Sql)))
 }

@@ -50,13 +50,16 @@ object WalletJob {
     Tables.writeCsv(feats, s"$outDir/wallet-features-csv")
     Tables.writeParquet(feats, s"$outDir/wallet-features-parquet")
 
-    // warehouse load (K3/K4), only when a DW is configured
+    // warehouse load (K3/K4), only when a DW is configured. DDL is
+    // caller-supplied (--jdbc-ddl), mirroring the reference's explicit
+    // Postgres DDL task (ref `dags/s3-etl-wallet-csv.py:204-236`) — SQL
+    // dialects disagree on IF NOT EXISTS/type names, so the engine never
+    // guesses; without it, Spark's JDBC writer creates the table using
+    // the target dialect's own type mapping.
     flagValue("--jdbc-url").foreach { url =>
       val table = flagValue("--jdbc-table").getOrElse("wallet_features")
       val props = new java.util.Properties()
-      Tables.ddl(url, props,
-        s"CREATE TABLE IF NOT EXISTS $table (${feats.schema.fields
-          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")})")
+      flagValue("--jdbc-ddl").foreach(Tables.ddl(url, props, _))
       Tables.writeJdbc(feats, url, table, props)
     }
 
