@@ -22,7 +22,8 @@ object Registry {
       graft.sim.SimilarityOps.all ++
       graft.streaming.StreamingOps.all ++
       graft.multimodal.MultimodalOps.all ++
-      graft.wallet.WalletOps.all
+      graft.wallet.WalletOps.all ++
+      graft.plans.PlanOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

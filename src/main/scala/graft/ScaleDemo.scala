@@ -34,6 +34,21 @@ object ScaleDemo {
     println(s"exchange-free: ${!plan.contains("Exchange")}, bucketed scan: ${plan.contains("Bucketed: true")}")
     println(s"unbucketed join shuffles: ${o.join(c, "o_custkey").queryExecution.executedPlan.toString.contains("Exchange")}")
 
+    println("== custom TopKPerKey operator ==")
+    val topkPlan = graft.plans.TopK.perKey(
+      o.select("o_custkey", "o_orderkey", "o_totalprice"), Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      .queryExecution.executedPlan.toString
+    println(s"plans TopKPerKey: ${topkPlan.contains("TopKPerKey")}, exchanges: ${topkPlan.sliding(8).count(_ == "Exchange")}")
+    val prePart = o.select("o_custkey", "o_orderkey", "o_totalprice")
+      .repartition(org.apache.spark.sql.functions.col("o_custkey"))
+    val prePlan = graft.plans.TopK.perKey(prePart, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      .queryExecution.executedPlan.toString
+    println(s"pre-partitioned input adds no extra exchange: ${prePlan.sliding(8).count(_ == "Exchange") == 1}")
+    try graft.plans.TopK.perKey(o, Seq("no_such_col"), Seq("o_orderkey" -> true), 3)
+    catch { case e: IllegalArgumentException => println(s"bad column -> ${e.getMessage.take(60)}") }
+
     println("== salted join ==")
     val plain = o.join(c, "o_custkey").count()
     val salted = Skew.saltedJoin(o, c, "o_custkey", 8).count()
