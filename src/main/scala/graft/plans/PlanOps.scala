@@ -31,6 +31,35 @@ object PlanOps {
       |WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- c61
+  /** Point-in-time lookup through the native AsOfJoin operator: every
+    * click joined to the user's latest purchase at-or-before it. The
+    * oracle states the same semantics as a per-row LATERAL top-1 — which
+    * is exactly the O(n·m) rescan shape the one-pass merge replaces. */
+  private def c61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id".as("p_user_id"), $"ts".as("p_ts"))
+    AsOf.join(clicks, purchases, "user_id", "p_user_id", "ts", "p_ts",
+        rightTieBreak = Seq("p_event_id"))
+      .select($"event_id", $"user_id", $"ts", $"p_event_id", $"p_ts")
+      .orderBy($"event_id")
+  }
+  private val c61Sql =
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purchases AS (SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
+      |              FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_ts
+      |FROM clicks c LEFT JOIN LATERAL (
+      |  SELECT p_event_id, p_ts FROM purchases p
+      |  WHERE p.p_user_id = c.user_id AND p.p_ts <= c.ts
+      |  ORDER BY p_ts DESC, p_event_id DESC LIMIT 1) p ON TRUE
+      |ORDER BY c.event_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
-    RQ("c60_topk_custom_operator", c60, Some(c60Sql), bench = true))
+    RQ("c60_topk_custom_operator", c60, Some(c60Sql), bench = true),
+    RQ("c61_asof_join_operator", c61, Some(c61Sql), bench = true))
 }

@@ -137,10 +137,51 @@ object SimilarityOps {
        |WHERE bucket = pb AND vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- e46
+  /** Int8 scalar quantization of embeddings: per-vector symmetric scale
+    * (127 / max|x|), quantized codes + reconstruction MSE. Both engines
+    * round half-away-from-zero and the fold arithmetic is order-defined,
+    * so codes and error are bit-exact. The 4× (fp32→int8) shrink is the
+    * standard first move for trillion-row ANN corpora. */
+  private def e46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxAbs = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    def qAt(i: Int) =
+      s"CAST(round(CAST(element_at(embedding, $i) AS DOUBLE) * 127.0D / $maxAbs) AS BIGINT)"
+    val mse =
+      s"""aggregate(
+         | transform(embedding, x -> CAST(x AS DOUBLE)
+         |   - CAST(round(CAST(x AS DOUBLE) * 127.0D / $maxAbs) AS DOUBLE) * ($maxAbs / 127.0D)),
+         | CAST(0 AS DOUBLE), (acc, d) -> acc + d * d)""".stripMargin
+    Tables.embeddings(spark, dir)
+      .select(
+        $"vec_id",
+        expr(maxAbs).as("max_abs"),
+        expr(qAt(1)).as("q1"), expr(qAt(2)).as("q2"),
+        expr(qAt(3)).as("q3"), expr(qAt(4)).as("q4"),
+        (expr(mse) / size($"embedding")).as("mse"))
+      .orderBy($"vec_id")
+  }
+  private val e46Sql = {
+    val maxAbs = "list_max(list_transform(embedding, x -> abs(x::DOUBLE)))"
+    def qAt(i: Int) = s"CAST(round(embedding[$i]::DOUBLE * 127.0 / $maxAbs) AS BIGINT)"
+    val mse =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(embedding, x -> x::DOUBLE
+         |   - CAST(round(x::DOUBLE * 127.0 / $maxAbs) AS DOUBLE) * ($maxAbs / 127.0))),
+         | (acc, d) -> acc + d * d)""".stripMargin
+    s"""SELECT vec_id,
+       | $maxAbs AS max_abs,
+       | ${qAt(1)} AS q1, ${qAt(2)} AS q2, ${qAt(3)} AS q3, ${qAt(4)} AS q4,
+       | $mse / LEN(embedding) AS mse
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
     RQ("e42_embedding_stats", e42, Some(e42Sql)),
     RQ("e44_lsh_buckets", e44, Some(e44Sql)),
-    RQ("e45_lsh_ann_topk", e45, Some(e45Sql)))
+    RQ("e45_lsh_ann_topk", e45, Some(e45Sql)),
+    RQ("e46_int8_quantize", e46, Some(e46Sql)))
 }

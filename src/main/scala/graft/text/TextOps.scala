@@ -141,9 +141,59 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t39
+  /** BPE-ish regex tokenization: letter runs / digit runs / single
+    * punctuation, the pre-tokenizer shape BPE vocabularies train on —
+    * vs plain whitespace tokens (t30). Same RE2-safe pattern in both
+    * engines. */
+  private def t39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    graft.ops.Par.spread(Tables.documents(spark, dir))
+      .select(
+        $"doc_id",
+        size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("bigint").as("n_bpe_tokens"),
+        size(array_distinct(expr(s"regexp_extract_all(text, '$pat', 0)"))).cast("bigint").as("n_bpe_unique"),
+        size(split($"text", " ")).cast("bigint").as("n_ws_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val t39Sql =
+    """SELECT doc_id,
+      | CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(LEN(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_bpe_unique,
+      | CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t40
+  /** Polynomial rolling-hash fingerprint over the first 64 characters
+    * (h ← (h·257 + codepoint) mod 1e9+7): pure BIGINT arithmetic, so the
+    * fingerprint is identical on every engine — the cheap streaming
+    * alternative to MD5 for content-defined chunking. */
+  private def t40(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Par.spread(Tables.documents(spark, dir))
+      .select(
+        $"doc_id",
+        expr(
+          """aggregate(
+            | transform(split(substring(text, 1, 64), ''), ch -> ascii(ch)),
+            | CAST(0 AS BIGINT),
+            | (h, c) -> (h * 257 + c) % 1000000007)""".stripMargin)
+          .as("rolling_hash64c"))
+      .orderBy($"doc_id")
+  }
+  private val t40Sql =
+    """SELECT doc_id,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   [CAST(unicode(x) AS BIGINT) for x in string_split(substring(text, 1, 64), '')]),
+      |   (h, c) -> (h * 257 + c) % 1000000007) AS rolling_hash64c
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t30_text_stats", t30, Some(t30Sql), bench = true),
     RQ("t31_lang_id", t31, Some(t31Sql)),
     RQ("t32_quality_score", t32, Some(t32Sql)),
-    RQ("t38_simhash16", t38, Some(t38Sql)))
+    RQ("t38_simhash16", t38, Some(t38Sql)),
+    RQ("t39_bpe_tokens", t39, Some(t39Sql)),
+    RQ("t40_rolling_hash", t40, Some(t40Sql)))
 }
