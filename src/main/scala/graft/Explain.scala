@@ -22,9 +22,14 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Registry.all.filter(_.bench).map(_.name)
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      Registry.queries(n)(spark, sfDir).explain("formatted")
+    names.foreach {
+      case "entry" => // driver-contract smoke: flagship on sf0.001
+        val df = SparkEntry.entry(spark)
+        println(s"\n========== entry ==========\nrows=${df.count()}")
+        df.explain("formatted")
+      case n =>
+        println(s"\n========== $n ==========")
+        Registry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
