@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOf, TopK}
+
+/** Adversarial edge cases for the custom physical operators — the code
+  * most likely to harbor subtle bugs (hand-written merge/heap logic). */
+class CustomOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  test("TopKPerKey: k >= group size returns whole group; k=1 returns max") {
+    val df = Seq((1L, 10.0), (1L, 30.0), (1L, 20.0), (2L, 5.0))
+      .toDF("k", "v").withColumn("id", monotonically_increasing_id())
+    val all = TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 10)
+      .select("k", "v").orderBy("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq == Seq((1L, 10.0), (1L, 20.0), (1L, 30.0), (2L, 5.0)))
+    val top1 = TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 1)
+      .select("k", "v").orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top1.toSeq == Seq((1L, 30.0), (2L, 5.0)))
+  }
+
+  test("TopKPerKey: exact ties kept deterministically by tie-break column") {
+    val df = Seq((1L, 7.0, 101L), (1L, 7.0, 100L), (1L, 7.0, 102L))
+      .toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(100L, 101L)) // lowest ids win the tie
+  }
+
+  test("TopKPerKey: multi-column keys") {
+    val df = Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0), ("b", 1L, 4.0))
+      .toDF("k1", "k2", "v").withColumn("id", monotonically_increasing_id())
+    val got = TopK.perKey(df, Seq("k1", "k2"), Seq("v" -> false, "id" -> true), 1)
+      .select("k1", "k2", "v").orderBy("k1", "k2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 1L, 2.0), ("a", 2L, 3.0), ("b", 1L, 4.0)))
+  }
+
+  test("TopKPerKey: empty input yields empty output") {
+    val df = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(TopK.perKey(df, Seq("k"), Seq("v" -> true), 3).count() == 0)
+  }
+
+  test("AsOfJoin: no-match rows are null; equal time matches; ties pick last") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L), (3L, 50L, 13L))
+      .toDF("uid", "t", "lid")
+    val right = Seq(
+      (1L, 100L, 20L), // equal to left t=100 → must match (<=)
+      (1L, 180L, 21L), (1L, 180L, 22L), // tie at 180 → id 22 wins
+      (2L, 149L, 23L))
+      .toDF("r_uid", "r_t", "rid")
+    val got = AsOf.join(left, right, "uid", "r_uid", "t", "r_t", Seq("rid"))
+      .select("lid", "rid").orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (10L, 20L),  // t=100 matches r_t=100 exactly
+      (11L, 22L),  // t=200: latest is the 180 pair, tie-break → rid 22
+      (12L, 23L),  // t=150 >= 149
+      (13L, -1L))) // uid 3 has no right rows → null
+  }
+
+  test("AsOfJoin: right rows strictly after every left row never match") {
+    val left = Seq((1L, 10L, 1L)).toDF("uid", "t", "lid")
+    val right = Seq((1L, 11L, 9L)).toDF("r_uid", "r_t", "rid")
+    val got = AsOf.join(left, right, "uid", "r_uid", "t", "r_t", Seq("rid"))
+      .select("rid").collect()
+    assert(got.length == 1 && got(0).isNullAt(0))
+  }
+}
