@@ -177,11 +177,83 @@ object SimilarityOps {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e47
+  /** IVF cell assignment (the coarse-quantizer half of IVF-flat): each
+    * vector joins its nearest of 16 fixed centroids (here: the first 16
+    * corpus vectors, standing in for k-means centroids — the assignment
+    * machinery is identical and deterministic). At scale the cell id is
+    * the partition key, exactly like the LSH bucket in e44. */
+  private def e47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cent_id")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id", cosine("embedding", "c").as("cos_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cent_id".as("cell"))
+    assigned
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy($"cell")).cast("bigint"))
+      .orderBy($"vec_id")
+  }
+  private val e47Sql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e)
+       |SELECT vec_id, cell,
+       | CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+       |FROM assigned ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- e48
+  /** IVF-flat ANN: probe vec_id=0 searches ONLY its own cell — the
+    * nprobe=1 inverted-list scan (candidates ≈ n/16 here; real deployments
+    * use thousands of cells + multi-probe, same join shape). */
+  private def e48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("c"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cent_id")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cent_id", cosine("embedding", "c").as("cos_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+    val probe = assigned.filter($"vec_id" === 0)
+      .select($"embedding".as("p"), $"cell".as("pcell"))
+    assigned.join(broadcast(probe), $"cell" === $"pcell" && $"vec_id" =!= 0)
+      .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(5)
+  }
+  private val e48Sql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p, cell AS pcell FROM assigned WHERE vec_id = 0)
+       |SELECT vec_id, ${cosineSql("embedding", "p")} AS cos_sim
+       |FROM assigned, probe
+       |WHERE cell = pcell AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
     RQ("e42_embedding_stats", e42, Some(e42Sql)),
     RQ("e44_lsh_buckets", e44, Some(e44Sql)),
     RQ("e45_lsh_ann_topk", e45, Some(e45Sql)),
-    RQ("e46_int8_quantize", e46, Some(e46Sql)))
+    RQ("e46_int8_quantize", e46, Some(e46Sql)),
+    RQ("e47_ivf_cells", e47, Some(e47Sql)),
+    RQ("e48_ivf_ann_topk", e48, Some(e48Sql)))
 }
