@@ -40,10 +40,10 @@ object Bench {
     }
 
     headline.foreach(runOnce) // warmup: JIT, codegen cache, FS listing
-    // best-of-3: single runs vary up to 8x on a shared box (observed);
+    // best-of-5: single runs vary up to 8x on a shared box (observed);
     // the min is the least-noise estimate of the query's true cost
     val results = headline.map { q =>
-      val ts = (1 to 3).map(_ => runOnce(q)).filter(_ >= 0)
+      val ts = (1 to 5).map(_ => runOnce(q)).filter(_ >= 0)
       q.name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
 

@@ -237,6 +237,46 @@ object Analytic {
       |SELECT AVG(o_totalprice) AS median_totalprice
       |FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2""".stripMargin
 
+  // ---------------------------------------------------------------- a39
+  /** Typed cogroup (KeyValueGroupedDataset.cogroup): per-order merge of
+    * the orders and lineitem streams with arbitrary Scala logic — the
+    * typed escape hatch when relational operators can't express the
+    * per-key computation. Sums accumulate in BigDecimal inside the group
+    * function so the result is iteration-order independent and
+    * oracle-exact (same contract as Num.dsum). */
+  private def a39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)]
+    val l = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity").as[(Long, Double)]
+    o.groupByKey(_._1).cogroup(l.groupByKey(_._1)) { (key, os, ls) =>
+      val orders = os.toSeq
+      if (orders.isEmpty) Iterator.empty // lineitems without an order: none
+      else {
+        var n = 0L
+        var sum = java.math.BigDecimal.ZERO
+        ls.foreach { case (_, q) =>
+          n += 1
+          sum = sum.add(java.math.BigDecimal.valueOf(q)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        }
+        Iterator((key, orders.head._2, n,
+          if (n == 0) null else java.lang.Double.valueOf(sum.doubleValue())))
+      }
+    }.toDF("o_orderkey", "o_totalprice", "n_items", "sum_qty")
+      .select($"o_orderkey", $"o_totalprice",
+        $"n_items".cast("bigint").as("n_items"), $"sum_qty".cast("double").as("sum_qty"))
+      .orderBy($"o_orderkey")
+  }
+  private val a39Sql =
+    s"""SELECT o_orderkey, o_totalprice,
+       | CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+       | ${dsumSql("l_quantity")} AS sum_qty
+       |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderkey, o_totalprice
+       |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- a35
   /** Sketch-based distinct counting (HLL++): approximate vs exact side by
     * side. No oracle — HLL implementations differ across engines; the
@@ -286,5 +326,6 @@ object Analytic {
     RQ("a35_approx_distinct", a35, None),
     RQ("a37_hash_split", a37, Some(a37Sql)),
     RQ("a38_exact_median", a38, Some(a38Sql)),
+    RQ("a39_typed_cogroup", a39, Some(a39Sql)),
     RQ("a36_typed_weighted_mean", a36, Some(a36Sql)))
 }
