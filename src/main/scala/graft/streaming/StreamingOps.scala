@@ -197,10 +197,44 @@ object StreamingOps {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // ---------------------------------------------------------------- s55
+  /** Stream-stream interval join: clicks joined to purchases of the same
+    * user within [click, click + 10 min]. Both sides carry watermarks so
+    * the join state is bounded (rows age out 1 h + 10 min past the
+    * watermark); inner-join matches emit as soon as both sides are seen,
+    * so the drained result equals the batch interval join the oracle
+    * states — regardless of micro-batching. */
+  private def s55(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clicks = eventsStream(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_uid"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_uid"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTES"))
+    drain(joined, "s55_out", "append")
+      .select($"c_id", $"p_id", $"c_uid".as("user_id"),
+        $"c_ts".cast("timestamp_ntz").as("c_ts"),
+        $"p_ts".cast("timestamp_ntz").as("p_ts"))
+      .orderBy($"c_id", $"p_id")
+  }
+  private val s55Sql =
+    """SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY c_id, p_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
     RQ("s52_stream_dedup", s52, Some(s52Sql)),
     RQ("s53_stateful_counts", s53, Some(s53Sql)),
-    RQ("s54_watermark_append", s54, Some(s54Sql)))
+    RQ("s54_watermark_append", s54, Some(s54Sql)),
+    RQ("s55_stream_stream_join", s55, Some(s55Sql)))
 }
