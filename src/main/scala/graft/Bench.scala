@@ -28,6 +28,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic engine setup: native functions, strategies, rewrites
+    graft.functions.GraftExtensions.install(spark)
 
     val headline = Registry.all.filter(_.bench).sortBy(_.name)
 

@@ -19,6 +19,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic engine setup: native functions, strategies, rewrites
+    graft.functions.GraftExtensions.install(spark)
     val names =
       if (args.nonEmpty) args.toSeq
       else Registry.all.filter(_.bench).map(_.name)

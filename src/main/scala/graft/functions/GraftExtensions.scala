@@ -36,9 +36,20 @@ object GraftExtensions {
         MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
       }))
 
-  /** Idempotent registration on an existing session. */
-  def install(spark: SparkSession): Unit =
+  /** Idempotent registration on an existing session: native functions,
+    * planner strategies for the custom operators, and the window→TopK
+    * optimizer rewrite. */
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    import graft.plans.{AsOfJoinStrategy, RewriteTopKWindow, TopKPerKeyStrategy}
+    Seq(TopKPerKeyStrategy, AsOfJoinStrategy).foreach { s =>
+      if (!spark.experimental.extraStrategies.contains(s))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteTopKWindow))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteTopKWindow
+  }
 }

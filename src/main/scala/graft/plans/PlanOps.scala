@@ -59,7 +59,28 @@ object PlanOps {
       |  ORDER BY p_ts DESC, p_event_id DESC LIMIT 1) p ON TRUE
       |ORDER BY c.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- c62
+  /** The idiomatic ROW_NUMBER window top-k, written exactly as a user
+    * would — but with GraftExtensions installed, the RewriteTopKWindow
+    * optimizer rule replaces the window+filter with the native TopKPerKey
+    * operator (PlanRewriteSpec asserts the exec actually appears).
+    * Same oracle as c60: identical semantics, better plan, zero user
+    * code change. */
+  private def c62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.install(spark)
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .drop("rn")
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("c60_topk_custom_operator", c60, Some(c60Sql), bench = true),
-    RQ("c61_asof_join_operator", c61, Some(c61Sql), bench = true))
+    RQ("c61_asof_join_operator", c61, Some(c61Sql), bench = true),
+    RQ("c62_topk_window_rewrite", c62, Some(c60Sql)))
 }
