@@ -277,6 +277,36 @@ object Analytic {
        |GROUP BY o_orderkey, o_totalprice
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- a41
+  /** Column profiling (the data-quality pass every ingest runs first):
+    * one aggregation emitting per-column null counts, distinct counts,
+    * and numeric ranges for orders — the Dataset.describe shape made
+    * deterministic and oracle-exact. */
+  private def a41(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).cast("bigint").as("n_rows"),
+      sum(when($"o_custkey".isNull, 1).otherwise(0)).cast("bigint").as("nulls_custkey"),
+      sum(when($"o_orderstatus".isNull, 1).otherwise(0)).cast("bigint").as("nulls_status"),
+      countDistinct($"o_orderstatus").cast("bigint").as("distinct_status"),
+      countDistinct($"o_orderpriority").cast("bigint").as("distinct_priority"),
+      min($"o_totalprice").as("min_price"),
+      max($"o_totalprice").as("max_price"),
+      min($"o_orderdate").as("min_date"),
+      max($"o_orderdate").as("max_date"))
+  }
+  private val a41Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_custkey,
+      | CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status,
+      | CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS distinct_status,
+      | CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS distinct_priority,
+      | MIN(o_totalprice) AS min_price,
+      | MAX(o_totalprice) AS max_price,
+      | MIN(o_orderdate) AS min_date,
+      | MAX(o_orderdate) AS max_date
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------- a35
   /** Sketch-based distinct counting (HLL++): approximate vs exact side by
     * side. No oracle — HLL implementations differ across engines; the
@@ -327,5 +357,6 @@ object Analytic {
     RQ("a37_hash_split", a37, Some(a37Sql)),
     RQ("a38_exact_median", a38, Some(a38Sql)),
     RQ("a39_typed_cogroup", a39, Some(a39Sql)),
+    RQ("a41_column_profile", a41, Some(a41Sql)),
     RQ("a36_typed_weighted_mean", a36, Some(a36Sql)))
 }

@@ -1,6 +1,10 @@
 package graft.sim
 
-/** Sign-random-projection LSH for embedding vectors.
+/** Sign-random-projection LSH for embedding vectors (the bucketed
+  * candidate-generation strategy behind distributed top-k similarity
+  * search; cf. "REPOSE: Distributed Top-k Trajectory Similarity Search",
+  * ICDE 2021, and "Continuously Adaptive Similarity Search", SIGMOD 2020,
+  * for the partition-pruning framing — PAPERS.md).
   *
   * The hyperplanes are DETERMINISTIC ±1 vectors derived from MD5 parity
   * (`plane p, dim d → +1 iff md5("p:d") starts with 0..7`), computed once

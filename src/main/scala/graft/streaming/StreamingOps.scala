@@ -197,6 +197,27 @@ object StreamingOps {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // ---------------------------------------------------------------- s56
+  /** Event-time streaming dedup with bounded state:
+    * dropDuplicatesWithinWatermark keeps each key only as long as the
+    * watermark can still admit a duplicate, then evicts — the
+    * infinite-stream-safe version of s52 (whose key state grows forever).
+    * With the whole fixture inside one watermark horizon the result
+    * equals exact DISTINCT, which the oracle states. */
+  private def s56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dedup = eventsStream(spark, dir)
+      .withWatermark("ts", "31 days") // horizon covers the fixture's span
+      .select($"user_id", $"event_type", $"ts")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+    drain(dedup, "s56_out", "append")
+      .orderBy($"user_id", $"event_type")
+  }
+  private val s56Sql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ---------------------------------------------------------------- s55
   /** Stream-stream interval join: clicks joined to purchases of the same
     * user within [click, click + 10 min]. Both sides carry watermarks so
@@ -236,5 +257,6 @@ object StreamingOps {
     RQ("s52_stream_dedup", s52, Some(s52Sql)),
     RQ("s53_stateful_counts", s53, Some(s53Sql)),
     RQ("s54_watermark_append", s54, Some(s54Sql)),
-    RQ("s55_stream_stream_join", s55, Some(s55Sql)))
+    RQ("s55_stream_stream_join", s55, Some(s55Sql)),
+    RQ("s56_dedup_within_watermark", s56, Some(s56Sql)))
 }
