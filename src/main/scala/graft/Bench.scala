@@ -51,7 +51,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "sf" as the numeric scale factor when the dir encodes one
+    val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
+      .map(_.group(1)).getOrElse(s""""$sfDir"""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }
