@@ -38,6 +38,12 @@ object WalletJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // reference task policy: 1 retry after a delay (see Retry); delay is
+    // configurable so tests/demos don't wait 5 minutes
+    val retries = flagValue("--retries").map(_.toInt).getOrElse(0)
+    val retryDelayMs = flagValue("--retry-delay-ms").map(_.toLong).getOrElse(300000L)
+
+    Retry.withRetry(retries, retryDelayMs) {
     val raw = Wallet.readRaw(spark, landing)
     val cleansed0 = Wallet.cleanse(raw)
     val cleansed =
@@ -64,6 +70,7 @@ object WalletJob {
     }
 
     println(s"""{"rows":${feats.count()},"out":"$outDir"}""")
+    }
     spark.stop()
   }
 }
