@@ -307,6 +307,39 @@ object Analytic {
       | MAX(o_orderdate) AS max_date
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- a42
+  /** MERGE/upsert semantics (anti-join + union): apply a change batch to
+    * a base table — matched keys take the new row, unmatched keep the
+    * old. This is the engine-side version of the reference's non-atomic
+    * copy-then-delete zone move (SURVEY.md §4.2-5): one deterministic
+    * plan, output written once with overwrite semantics. The change
+    * batch here is hash-selected rows with a 10% price bump. */
+  private def a42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val updates = base
+      .filter(substring(md5($"o_orderkey".cast("string")), 1, 1) === "0")
+      .withColumn("o_totalprice", $"o_totalprice" * lit(1.1))
+    base.join(updates.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .union(updates)
+      .withColumn("was_updated",
+        substring(md5($"o_orderkey".cast("string")), 1, 1) === "0")
+      .orderBy($"o_orderkey")
+  }
+  private val a42Sql =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0')
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      | SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0' AS was_updated
+      |FROM (
+      |  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+      |  UNION ALL
+      |  SELECT * FROM updates) m
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- a35
   /** Sketch-based distinct counting (HLL++): approximate vs exact side by
     * side. No oracle — HLL implementations differ across engines; the
@@ -358,5 +391,6 @@ object Analytic {
     RQ("a38_exact_median", a38, Some(a38Sql)),
     RQ("a39_typed_cogroup", a39, Some(a39Sql)),
     RQ("a41_column_profile", a41, Some(a41Sql)),
+    RQ("a42_merge_upsert", a42, Some(a42Sql)),
     RQ("a36_typed_weighted_mean", a36, Some(a36Sql)))
 }
