@@ -17,12 +17,15 @@ object Registry {
   def all: Seq[Q] =
     graft.ops.Relational.all ++
       graft.ops.Analytic.all ++
+      graft.ops.Analytic2.all ++
       graft.text.TextOps.all ++
+      graft.text.Text2Ops.all ++
       graft.dedup.DedupOps.all ++
       graft.sim.SimilarityOps.all ++
       graft.streaming.StreamingOps.all ++
       graft.multimodal.MultimodalOps.all ++
       graft.wallet.WalletOps.all ++
+      graft.io.FormatOps.all ++
       graft.plans.PlanOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -140,7 +140,9 @@ object DedupOps {
   /** MinHash-LSH near-dup candidate pairs: docs sharing any band key.
     * Each band is a self-equi-join on the band hash — at scale this
     * shuffles by band key and never compares non-colliding docs. */
-  private def d37(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct candidate pairs (doc_a < doc_b) from the band self-joins —
+    * shared by d37 (adds the oracle ORDER BY) and d40 (clusters them). */
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = sigFrame(spark, dir).cache()
     val pairs = (1 to 4).map { k =>
@@ -148,7 +150,12 @@ object DedupOps {
       val b = sig.select($"doc_id".as("doc_b"), col(s"band$k").as("bk"))
       a.join(b, "bk").filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
     }.reduce(_ union _)
-    pairs.distinct().orderBy($"doc_a", $"doc_b")
+    pairs.distinct()
+  }
+
+  private def d37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    candidatePairs(spark, dir).orderBy($"doc_a", $"doc_b")
   }
   private val d37Sql = {
     def mh(i: Int) =
@@ -214,6 +221,127 @@ object DedupOps {
        |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} > 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- d40
+  /** Near-duplicate CLUSTERS: connected components over the MinHash
+    * candidate pairs (the step after d37 in a fineweb-style dedup: pairs →
+    * components → keep one doc per component). Spark side is iterative
+    * min-label propagation — each round every node takes the min label in
+    * its neighborhood; converged when the label sum stops changing (labels
+    * only ever decrease). Rounds ≈ component diameter, and each round is
+    * one keyed join + aggregation, so the shape distributes at any scale
+    * (the large-graph refinement — large-star/small-star — keeps the same
+    * per-round plan). The oracle states reachability directly as a
+    * recursive CTE. */
+  /** Connected components by iterative MIN-LABEL PROPAGATION: every node
+    * starts labeled with its own id; each round every node takes the
+    * minimum label in its closed neighborhood; the fixpoint labels each
+    * component with its smallest member id.
+    *
+    * Convergence detection: labels only ever decrease, so the label SUM is
+    * strictly decreasing until the fixpoint — one cheap scalar action per
+    * round, no row-level diff join. Rounds ≈ component diameter (bounded
+    * here at 50); each round is one keyed equi-join + min-aggregation, so
+    * the per-round plan is the same partition-parallel shape at any data
+    * size (the large-star/small-star refinement changes the round count,
+    * not the plan shape).
+    *
+    * @param pairs two numeric columns (a, b), one undirected edge per row.
+    * @return (id, label) — one row per node appearing in any edge. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .cache()
+    // localCheckpoint (eager) per round: iterative plans otherwise NEST —
+    // round k's plan contains rounds 1..k-1 — and analysis/planning cost
+    // grows without bound. Checkpointing truncates lineage to the
+    // materialized partitions, keeping every round's plan constant-size
+    // (same reason GraphX/ALS checkpoint their iterations).
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
+    var prev = -1L
+    var cur = labelSum(labels)
+    var rounds = 0
+    while (cur != prev && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy($"dst").agg(min($"label").as("nbr_label"))
+      labels = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id").as("id"),
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .localCheckpoint()
+      prev = cur
+      cur = labelSum(labels)
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  private def d40(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    connectedComponents(candidatePairs(spark, dir))
+      .select($"id".cast("bigint").as("doc_id"), $"label".cast("bigint").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+  private val d40Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3 OR a.band4 = b.band4
+       |  WHERE a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d41
+  /** Dedup KEEP-BEST: within each exact-fingerprint group keep the
+    * richest copy (longest raw text, then lowest id) — the canonical-pick
+    * policy real pipelines use instead of d34's keep-first. */
+  private def d41(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"fp").orderBy(length($"text").desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", fingerprint($"text").as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"fp", length($"text").cast("bigint").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+  private val d41Sql =
+    """SELECT doc_id, fp, n_chars FROM (
+      |  SELECT doc_id, md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp,
+      |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))
+      |                       ORDER BY LENGTH(text) DESC, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("d33_fingerprint_groups", d33, Some(d33Sql)),
     RQ("d34_dedup_exact", d34, Some(d34Sql), bench = true),
@@ -221,5 +349,7 @@ object DedupOps {
     RQ("d36_minhash_bands", d36, Some(d36Sql), bench = true),
     RQ("d37_minhash_pairs", d37, Some(d37Sql)),
     RQ("d38_simhash64", d38, None),
-    RQ("d39_embedding_neardup", d39, Some(d39Sql)))
+    RQ("d39_embedding_neardup", d39, Some(d39Sql)),
+    RQ("d40_dedup_clusters", d40, Some(d40Sql)),
+    RQ("d41_dedup_keep_best", d41, Some(d41Sql)))
 }

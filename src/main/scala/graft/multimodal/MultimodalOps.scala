@@ -91,7 +91,42 @@ object MultimodalOps {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- m62
+  /** Video FRAME SAMPLING plumbing: each payload gets a deterministic fake
+    * duration, frame offsets are a bounded per-row sequence explode
+    * (every 500 ms, at most 4 frames), and each frame gets a stable
+    * signature in place of decoded pixels. The schema/explode/batch shape
+    * is exactly the real frame-sampler's; only the codec is the
+    * deterministic stand-in (same seam as DecodeStub). Exploding bounded
+    * sequences keeps the blow-up per-row — no shuffle, scales linearly. */
+  private def m62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        (octet_length($"text") * 7 % 10000 + 1000).as("dur_ms"))
+      .select($"doc_id", $"text", $"dur_ms",
+        explode(expr("sequence(0, least(dur_ms - 1, 1500), 500)")).as("frame_ms"))
+      .select(
+        $"doc_id",
+        $"dur_ms".cast("bigint").as("dur_ms"),
+        $"frame_ms".cast("bigint").as("frame_ms"),
+        md5(concat(md5($"text"), lit(":"), $"frame_ms".cast("string"))).as("frame_sig"))
+      .orderBy($"doc_id", $"frame_ms")
+  }
+  private val m62Sql =
+    """WITH v AS (
+      |  SELECT doc_id, text,
+      |    OCTET_LENGTH(ENCODE(text)) * 7 % 10000 + 1000 AS dur_ms
+      |  FROM documents)
+      |SELECT doc_id,
+      | CAST(dur_ms AS BIGINT) AS dur_ms,
+      | CAST(frame_ms AS BIGINT) AS frame_ms,
+      | MD5(MD5(text) || ':' || CAST(frame_ms AS VARCHAR)) AS frame_sig
+      |FROM v, LATERAL (SELECT UNNEST(range(0, LEAST(dur_ms - 1, 1500) + 1, 500)) AS frame_ms) t
+      |ORDER BY doc_id, frame_ms""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
-    RQ("m61_decode_stub", m61, None))
+    RQ("m61_decode_stub", m61, None),
+    RQ("m62_frame_sample", m62, Some(m62Sql)))
 }

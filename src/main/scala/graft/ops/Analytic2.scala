@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q => RQ}
+import graft.io.Tables
+
+/** Analytic batch 3 (round 2): the window-function family, exact
+  * percentiles by rank selection, fixed-width histograms, batch
+  * sessionization (gaps-and-islands), UNPIVOT/melt, ordered string
+  * aggregation, and date-spine gap filling.
+  *
+  * The reference itself has no window/percentile surface (SURVEY.md §2.7:
+  * "None in the reference") — this is the §2.7 built-in breadth plus the
+  * time-series shapes a telemetry/training pipeline runs daily.
+  *
+  * Scale notes: every window here is keyed (PARTITION BY user/customer) —
+  * no global-order windows; sessionization is one hash shuffle + one
+  * per-key sort, identical at 100 TB; the date spine explodes bounded
+  * per-user ranges (days), never a cross join.
+  */
+object Analytic2 {
+
+  private def viewsThen(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(sql) }
+
+  // ---------------------------------------------------------------- a43
+  /** The ranking/navigation window family over one keyed window: LAG /
+    * LEAD / DENSE_RANK / NTILE / FIRST_VALUE / PERCENT_RANK / CUME_DIST.
+    * percent_rank and cume_dist are ratios of identical integers, so the
+    * doubles are bit-equal across engines. */
+  private val a43Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      | CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+      | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      | LAG(o_totalprice, 1) OVER w AS prev_price,
+      | LEAD(o_totalprice, 1) OVER w AS next_price,
+      | FIRST_VALUE(o_totalprice) OVER w AS top_price,
+      | PERCENT_RANK() OVER w AS pct_rank,
+      | CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- a44
+  /** Exact per-group quartiles by RANK SELECTION (percentile_disc
+    * semantics: the value at row ceil(p·n) of the group's total order).
+    * Interpolating percentile_cont differs across engines in its float
+    * arithmetic; row selection is pure comparison — oracle-exact
+    * (same rationale as a38's exact median). */
+  private val a44Sql =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      | CAST(MAX(n) AS BIGINT) AS n,
+      | MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_quantity END) AS p25,
+      | MIN(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN l_quantity END) AS p50,
+      | MIN(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN l_quantity END) AS p75
+      |FROM ranked
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- a45
+  /** Fixed-width histogram: bucket index by FLOOR division, count + range
+    * per bucket — the one-pass distribution profile (vs a41's min/max). */
+  private val a45Sql =
+    """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | MIN(o_totalprice) AS lo,
+      | MAX(o_totalprice) AS hi
+      |FROM orders
+      |GROUP BY CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT)
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- a46
+  /** Batch sessionization (gaps-and-islands): a new session starts when a
+    * user is idle > 30 minutes; session id = running count of breaks.
+    * One keyed window pass — the batch twin of s51's streaming
+    * session_window (which breaks at gap >= threshold; this breaks at >,
+    * both pinned by their own oracles). */
+  private val a46Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '30' MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM marked)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | MIN(ts) AS session_start,
+      | MAX(ts) AS session_end
+      |FROM sess
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  // ---------------------------------------------------------------- a47
+  /** UNPIVOT / melt: wide numeric columns to long (metric, value) rows —
+    * Dataset.unpivot on the Spark side, stated as UNION ALL in the oracle
+    * (the ANSI-portable spelling). */
+  private def a47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        $"p_size".cast("double").as("p_size"),
+        $"p_retailprice".cast("double").as("p_retailprice"))
+      .unpivot(Array($"p_partkey"), Array($"p_size", $"p_retailprice"),
+        "metric", "value")
+      .orderBy($"p_partkey", $"metric")
+  }
+  private val a47Sql =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  // ---------------------------------------------------------------- a48
+  /** Ordered string aggregation (LISTAGG): suppliers per nation as one
+    * sorted CSV string. Spark's collect_list is unordered by contract, so
+    * the deterministic spelling is array_sort AFTER collection — which is
+    * exactly what makes it partition-order independent (and therefore
+    * stable from local[32] to a 1000-executor cluster). */
+  private def a48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_suppliers"),
+        array_join(array_sort(collect_list($"s_name")), ",").as("names"))
+      .orderBy($"s_nationkey")
+  }
+  private val a48Sql =
+    """SELECT s_nationkey,
+      | CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      | STRING_AGG(s_name, ',' ORDER BY s_name) AS names
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- a49
+  /** Date-spine gap filling: one row per user per calendar day between
+    * the user's first and last event, zero-filled on idle days — the
+    * resample/asfreq shape every time-series feature pipeline needs.
+    * The spine is sequence()/generate_series per user (bounded by the
+    * user's own span), not a global calendar cross join. */
+  private def a49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts".cast("date").as("d"))
+    val bounds = ev.groupBy($"user_id").agg(min($"d").as("d0"), max($"d").as("d1"))
+    val spine = bounds.select($"user_id",
+      explode(sequence($"d0", $"d1", expr("INTERVAL '1' DAY"))).as("d"))
+    val daily = ev.groupBy($"user_id", $"d").agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("user_id", "d"), "left")
+      // DATE surfaces differently in the two engines' clients; a midnight
+      // NTZ timestamp is the portable spelling (same as the raw tables).
+      .select($"user_id", $"d".cast("timestamp_ntz").as("d"),
+        coalesce($"n", lit(0)).cast("bigint").as("n_events"))
+      .orderBy($"user_id", $"d")
+  }
+  private val a49Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM ev GROUP BY user_id),
+      |spine AS (
+      |  SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL '1' DAY)) AS DATE) AS d
+      |  FROM bounds),
+      |daily AS (SELECT user_id, d, COUNT(*) AS n FROM ev GROUP BY user_id, d)
+      |SELECT s.user_id, CAST(s.d AS TIMESTAMP) AS d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+      |FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+      |ORDER BY s.user_id, s.d""".stripMargin
+
+  val all: Seq[RQ] = Seq(
+    RQ("a43_window_family", viewsThen(a43Sql), Some(a43Sql)),
+    RQ("a44_exact_quartiles", viewsThen(a44Sql), Some(a44Sql)),
+    RQ("a45_histogram", viewsThen(a45Sql), Some(a45Sql)),
+    RQ("a46_sessionize_batch", viewsThen(a46Sql), Some(a46Sql), bench = true),
+    RQ("a47_unpivot", a47, Some(a47Sql)),
+    RQ("a48_string_agg", a48, Some(a48Sql)),
+    RQ("a49_date_spine", a49, Some(a49Sql)))
+}

@@ -247,6 +247,62 @@ object SimilarityOps {
        |WHERE cell = pcell AND vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- e49
+  /** ANN quality measurement: recall@5 of the LSH bucket search (e45's
+    * shape) against the brute-force ground truth (e40's shape), per probe
+    * — "measure, don't guess" for the approximate path. At scale this is
+    * the nightly sampled-recall job every ANN deployment runs: ground
+    * truth on a probe SAMPLE (here vec_id < 5), approximate search on the
+    * full corpus, hit counting is one semi-joinable intersect. */
+  private def e49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val withBucket = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", expr(Lsh.bucketSpark("embedding", 4)).as("bucket"))
+    val probes = withBucket.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p"), $"bucket".as("pb"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos_sim".desc, $"vec_id")
+    def top5(cands: DataFrame): DataFrame = cands
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"probe_id", $"vec_id")
+    val brute = top5(withBucket
+      .crossJoin(broadcast(probes.select($"probe_id", $"p")))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", cosine("embedding", "p").as("cos_sim")))
+    val lsh = top5(withBucket
+      .join(broadcast(probes), $"bucket" === $"pb" && $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", cosine("embedding", "p").as("cos_sim")))
+    val hits = brute.intersect(lsh)
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_hits"))
+    probes.select($"probe_id")
+      .join(hits, Seq("probe_id"), "left")
+      .select($"probe_id",
+        coalesce($"n_hits", lit(0L)).cast("bigint").as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / 5.0).as("recall"))
+      .orderBy($"probe_id")
+  }
+  private val e49Sql =
+    s"""WITH b AS (SELECT vec_id, embedding, ${Lsh.bucketSql("embedding", 4)} AS bucket FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS p, bucket AS pb FROM b WHERE vec_id < 5),
+       |brute AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ${cosineSql("embedding", "p")} DESC, vec_id) AS rn
+       |  FROM embeddings, probes WHERE vec_id <> probe_id) t WHERE rn <= 5),
+       |lsh AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, b.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ${cosineSql("b.embedding", "p")} DESC, b.vec_id) AS rn
+       |  FROM b, probes WHERE b.bucket = pb AND b.vec_id <> probe_id) t WHERE rn <= 5),
+       |hits AS (
+       |  SELECT probe_id, COUNT(*) AS n_hits
+       |  FROM (SELECT probe_id, vec_id FROM brute INTERSECT SELECT probe_id, vec_id FROM lsh) h
+       |  GROUP BY probe_id)
+       |SELECT p.probe_id,
+       | CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       | CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM probes p LEFT JOIN hits ON p.probe_id = hits.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -255,5 +311,6 @@ object SimilarityOps {
     RQ("e45_lsh_ann_topk", e45, Some(e45Sql)),
     RQ("e46_int8_quantize", e46, Some(e46Sql)),
     RQ("e47_ivf_cells", e47, Some(e47Sql)),
-    RQ("e48_ivf_ann_topk", e48, Some(e48Sql)))
+    RQ("e48_ivf_ann_topk", e48, Some(e48Sql)),
+    RQ("e49_ann_recall", e49, Some(e49Sql)))
 }

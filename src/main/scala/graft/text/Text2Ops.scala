@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q => RQ}
+import graft.io.Tables
+
+/** Text batch 2 (round 2): document chunking with overlap, PII redaction,
+  * and TF-IDF term ranking — the remaining text stages of an LLM
+  * training-data pipeline (after t30-t40's stats/lang-ID/quality/tokens).
+  *
+  * All three are per-row expressions or standard keyed aggregations:
+  * chunking explodes bounded windows (no shuffle), redaction is a scalar
+  * regexp pass, TF-IDF is two hash aggregations + one broadcastable join —
+  * each shape survives 100 TB unchanged.
+  */
+object Text2Ops {
+
+  // ---------------------------------------------------------------- t41
+  /** Sliding-window chunking: 200-char chunks, stride 160 (40-char
+    * overlap) — the context-window prep step before embedding/tokenizing.
+    * Chunk starts are a bounded per-row sequence explode; empty docs
+    * produce one empty chunk (start 0) so no document is silently
+    * dropped. */
+  private def t41(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), greatest(length($"text") - 1, lit(0)), lit(160)))
+          .as("start"))
+      .select(
+        $"doc_id",
+        $"start".cast("bigint").as("start"),
+        expr("substring(text, start + 1, 200)").as("chunk"))
+      .select(
+        $"doc_id", $"start",
+        length($"chunk").cast("bigint").as("n_chunk_chars"),
+        md5($"chunk").as("chunk_md5"))
+      .orderBy($"doc_id", $"start")
+  }
+  private val t41Sql =
+    """SELECT doc_id, CAST(start AS BIGINT) AS start,
+      | CAST(LENGTH(substr(text, start + 1, 200)) AS BIGINT) AS n_chunk_chars,
+      | MD5(substr(text, start + 1, 200)) AS chunk_md5
+      |FROM documents,
+      | LATERAL (SELECT UNNEST(range(0, GREATEST(LENGTH(text), 1), 160)) AS start) t
+      |ORDER BY doc_id, start""".stripMargin
+
+  // ---------------------------------------------------------------- t42
+  /** PII redaction: emails and long digit runs replaced by placeholder
+    * tags, with per-row match counts. The input synthesizes one email and
+    * one numeric id per document (the corpus itself is digit-free), so the
+    * redaction path is provably non-vacuous; the md5 of the redacted text
+    * proves byte-identical rewriting across engines. Regexes use only
+    * character classes — the portable subset of Java regex and RE2. */
+  private def t42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[.][a-zA-Z][a-zA-Z]+"
+    val numRe = "[0-9][0-9][0-9][0-9]+"
+    Tables.documents(spark, dir)
+      .withColumn("raw",
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com ref "), ($"doc_id" * 7919).cast("string")))
+      .select(
+        $"doc_id",
+        size(expr(s"regexp_extract_all(raw, '$emailRe', 0)")).cast("bigint").as("n_emails"),
+        size(expr(s"regexp_extract_all(regexp_replace(raw, '$emailRe', '<EMAIL>'), '$numRe', 0)"))
+          .cast("bigint").as("n_longnums"),
+        md5(regexp_replace(
+          regexp_replace($"raw", emailRe, "<EMAIL>"), numRe, "<NUM>")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+  private val t42Sql = {
+    val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[.][a-zA-Z][a-zA-Z]+"
+    val numRe = "[0-9][0-9][0-9][0-9]+"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |         || '@mail.example.com ref ' || CAST(doc_id * 7919 AS VARCHAR) AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       | CAST(LEN(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+       | CAST(LEN(regexp_extract_all(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'), '$numRe')) AS BIGINT) AS n_longnums,
+       | MD5(regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'), '$numRe', '<NUM>', 'g')) AS redacted_md5
+       |FROM raw ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t43
+  /** TF-IDF term ranking: top-3 terms per document (docs 0-49) scored by
+    * tf · (N/df). The idf is the RATIONAL form (no logarithm): Spark's
+    * Math.log and DuckDB's libm log can differ in the last ulp, while
+    * int/int division and one multiply are IEEE-identical — same ordering,
+    * oracle-exact scores. df is computed over the FULL corpus (the part
+    * that matters at scale: one distinct-aggregation shuffle), tf only
+    * over the probed docs. */
+  private def t43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = toks.filter($"doc_id" < 50)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf".cast("double") * ($"n".cast("double") / $"df".cast("double"))).as("score"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter($"rn" <= 3)
+      .orderBy($"doc_id", $"rn")
+  }
+  private val t43Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS term FROM documents),
+      |tok AS (SELECT doc_id, term FROM toks WHERE LENGTH(term) > 0),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE doc_id < 50 GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term,
+      |    CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
+  val all: Seq[RQ] = Seq(
+    RQ("t41_chunk_overlap", t41, Some(t41Sql)),
+    RQ("t42_pii_redact", t42, Some(t42Sql)),
+    RQ("t43_tfidf_topterms", t43, Some(t43Sql), bench = true))
+}

