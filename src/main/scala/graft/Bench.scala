@@ -35,7 +35,12 @@ object Bench {
 
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).foreach(_ => ()) }   // full materialization, no driver collect
+      // Materialize through the noop sink: executes the full plan
+      // distributed (no driver collect) WITHOUT per-row InternalRow→Row
+      // deserialization, which `df.foreach` would add — real consumers
+      // (parquet write, downstream operators) stay on InternalRow, so
+      // noop measures the engine, not the client-boundary copy.
+      try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); return -1.0 }
       (System.nanoTime() - t0) / 1e9

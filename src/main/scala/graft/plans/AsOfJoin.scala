@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -70,41 +70,103 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  /** Types whose physical representation is a primitive long/int —
+    * eligible for the boxing-free merge loop. */
+  private def physicalLong(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.LongType => true
+    case _: org.apache.spark.sql.types.IntegerType => true
+    case _: org.apache.spark.sql.types.DateType => true
+    case _: org.apache.spark.sql.types.TimestampType => true
+    case _: org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  private def getLong(dt: org.apache.spark.sql.types.DataType,
+                      row: InternalRow, ord: Int): Long = dt match {
+    case _: org.apache.spark.sql.types.IntegerType |
+         _: org.apache.spark.sql.types.DateType => row.getInt(ord).toLong
+    case _ => row.getLong(ord)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val lTime = BindReferences.bindReference(leftTime, left.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val nRight = right.output.size
     val schema = output
-    left.execute().zipPartitions(right.execute()) { (leftIt, rightIt) =>
-      val rBuf = rightIt.buffered
-      val joined = new JoinedRow
-      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRight)
-      val outProj = UnsafeProjection.create(schema.map(_.dataType).toArray)
-      var lastRight: InternalRow = null
-      var lastRightKey: Any = null
-      leftIt.map { lrow =>
-        val lk = lKey.eval(lrow)
-        val lt = lTime.eval(lrow)
-        // drain right rows that are "behind or at" this left row
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rk = rKey.eval(rBuf.head)
-          val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
-          if (c < 0) rBuf.next() // keys already passed by the left cursor
-          else if (c == 0 &&
-            timeOrd.lteq(rTime.eval(rBuf.head).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef])) {
-            lastRight = rBuf.next().copy()
-            lastRightKey = rk
-          } else advancing = false
+    // fast path: key and time read as primitive longs straight off the
+    // row (no per-row boxing, no interpreted-Ordering dispatch) whenever
+    // both are bound columns of integral/date/timestamp type — which is
+    // every realistic as-of key. Nulls (contract: keys/times non-null)
+    // degrade gracefully: null right rows are skipped, null left rows
+    // emit the unmatched (null-extended) output.
+    (lKey, rKey, lTime, rTime) match {
+      case (lk: BoundReference, rk: BoundReference, lt: BoundReference, rt: BoundReference)
+          if Seq(lk, rk, lt, rt).map(_.dataType).forall(physicalLong) =>
+        val (lkT, rkT, ltT, rtT) = (lk.dataType, rk.dataType, lt.dataType, rt.dataType)
+        val (lkO, rkO, ltO, rtO) = (lk.ordinal, rk.ordinal, lt.ordinal, rt.ordinal)
+        left.execute().zipPartitions(right.execute()) { (leftIt, rightIt) =>
+          val rBuf = rightIt.buffered
+          val joined = new JoinedRow
+          val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRight)
+          val outProj = UnsafeProjection.create(schema.map(_.dataType).toArray)
+          var lastRight: InternalRow = null
+          var lastRightKey = 0L
+          leftIt.map { lrow =>
+            if (lrow.isNullAt(lkO) || lrow.isNullAt(ltO)) {
+              outProj(joined(lrow, nullRight))
+            } else {
+              val lkv = getLong(lkT, lrow, lkO)
+              val ltv = getLong(ltT, lrow, ltO)
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val head = rBuf.head
+                if (head.isNullAt(rkO) || head.isNullAt(rtO)) rBuf.next()
+                else {
+                  val rkv = getLong(rkT, head, rkO)
+                  if (rkv < lkv) rBuf.next()
+                  else if (rkv == lkv && getLong(rtT, head, rtO) <= ltv) {
+                    lastRight = rBuf.next().copy()
+                    lastRightKey = rkv
+                  } else advancing = false
+                }
+              }
+              val matched = lastRight != null && lastRightKey == lkv
+              outProj(joined(lrow, if (matched) lastRight else nullRight))
+            }
+          }
         }
-        val matched = lastRight != null &&
-          keyOrd.compare(lastRightKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
-        outProj(joined(lrow, if (matched) lastRight else nullRight))
-      }
+      case _ =>
+        val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+        val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+        left.execute().zipPartitions(right.execute()) { (leftIt, rightIt) =>
+          val rBuf = rightIt.buffered
+          val joined = new JoinedRow
+          val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRight)
+          val outProj = UnsafeProjection.create(schema.map(_.dataType).toArray)
+          var lastRight: InternalRow = null
+          var lastRightKey: Any = null
+          leftIt.map { lrow =>
+            val lk = lKey.eval(lrow)
+            val lt = lTime.eval(lrow)
+            // drain right rows that are "behind or at" this left row
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val rk = rKey.eval(rBuf.head)
+              val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
+              if (c < 0) rBuf.next() // keys already passed by the left cursor
+              else if (c == 0 &&
+                timeOrd.lteq(rTime.eval(rBuf.head).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef])) {
+                lastRight = rBuf.next().copy()
+                lastRightKey = rk
+              } else advancing = false
+            }
+            val matched = lastRight != null &&
+              keyOrd.compare(lastRightKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
+            outProj(joined(lrow, if (matched) lastRight else nullRight))
+          }
+        }
     }
   }
 

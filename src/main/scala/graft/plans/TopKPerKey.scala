@@ -35,7 +35,15 @@ case class TopKPerKey(
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // Two-phase plan, same shape as partial/final aggregation: a PARTIAL
+      // top-k runs on each map-side partition BEFORE the exchange, so at
+      // most k rows per (key × input partition) are shuffled — on a
+      // 100 TB fact table that turns a full-data shuffle into a
+      // #keys·k-row shuffle, exactly like Spark's own WindowGroupLimit
+      // pushdown for rank windows. The FINAL pass after the hash exchange
+      // is exact regardless of what the partial kept.
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -44,21 +52,35 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each key's rows; Catalyst adds the exchange only if needed. */
+  /** Final pass co-locates each key's rows (Catalyst adds the exchange
+    * only if needed); the partial pass runs wherever the data already is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning = child.outputPartitioning
+
+  /** Memory bound for the partial pass: above this many distinct keys in
+    * one partition the map-side filter stops admitting NEW keys and passes
+    * their rows through unfiltered (the final pass stays exact). Keeps
+    * worst-case partial state at maxKeys·k rows even when the key is
+    * near-unique — the same reason hash aggregation spills, solved by
+    * degrading to a no-op instead of spilling. */
+  private val maxPartialKeys = 1 << 18
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
     val limit = k
+    val isPartial = partial
+    val keyCap = maxPartialKeys
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
@@ -68,23 +90,30 @@ case class TopKPerKeyExec(
       val ordering: Ordering[InternalRow] =
         new LazilyGeneratedOrdering(sortOrder, childOutput)
       val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
-      rows.foreach { row =>
+      // lazily concatenated: the heap drain below only evaluates after
+      // this flatMap has consumed the whole input
+      val passedThrough = rows.flatMap { row =>
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
-          case None =>
+          case None if !isPartial || heaps.size < keyCap =>
             val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
               ordering.asInstanceOf[Ordering[UnsafeRow]])
             heaps.put(key.copy(), h)
             h
+          case None => null // partial over budget: pass the row through
         }
-        if (heap.size < limit) heap.enqueue(rowProj(row).copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(rowProj(row).copy())
+        if (heap == null) Iterator.single(row)
+        else {
+          if (heap.size < limit) heap.enqueue(rowProj(row).copy())
+          else if (ordering.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(rowProj(row).copy())
+          }
+          Iterator.empty
         }
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      passedThrough ++ heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }, preservesPartitioning = true)
   }
 

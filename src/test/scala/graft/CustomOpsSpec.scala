@@ -69,4 +69,27 @@ class CustomOpsSpec extends AnyFunSuite {
       .select("rid").collect()
     assert(got.length == 1 && got(0).isNullAt(0))
   }
+
+  test("AsOfJoin: string keys take the interpreted fallback, same semantics") {
+    val left = Seq(("a", 100L, 10L), ("b", 100L, 11L)).toDF("uid", "t", "lid")
+    val right = Seq(("a", 90L, 20L), ("c", 80L, 21L)).toDF("r_uid", "r_t", "rid")
+    val got = AsOf.join(left, right, "uid", "r_uid", "t", "r_t", Seq("rid"))
+      .select("lid", "rid").orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 20L), (11L, -1L)))
+  }
+
+  test("TopKPerKey plans a partial pass below the exchange") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("k", "v")
+    val plan = TopK.perKey(df, Seq("k"), Seq("v" -> false), k = 1)
+      .queryExecution.executedPlan.toString
+    // physical nodes print without the Exec suffix
+    val execs = "TopKPerKey \\[".r.findAllIn(plan).length
+    assert(execs == 2, s"expected partial+final TopKPerKeyExec:\n$plan")
+    assert(plan.contains("Exchange"), s"expected a hash exchange between passes:\n$plan")
+    // and the result is still exact
+    val got = TopK.perKey(df, Seq("k"), Seq("v" -> false), k = 1)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 3L)))
+  }
 }
