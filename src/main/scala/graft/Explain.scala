@@ -29,9 +29,14 @@ object Explain {
         val df = SparkEntry.entry(spark)
         println(s"\n========== entry ==========\nrows=${df.count()}")
         df.explain("formatted")
-      case n =>
-        println(s"\n========== $n ==========")
-        Registry.queries(n)(spark, sfDir).explain("formatted")
+      case n => Registry.queries.get(n) match {
+        case Some(fn) =>
+          println(s"\n========== $n ==========")
+          fn(spark, sfDir).explain("formatted")
+        case None =>
+          System.err.println(
+            s"unknown query '$n'. Registered: ${Registry.queries.keys.toSeq.sorted.mkString(", ")}")
+      }
     }
     spark.stop()
   }

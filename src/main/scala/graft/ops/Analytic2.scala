@@ -177,6 +177,68 @@ object Analytic2 {
       |FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
       |ORDER BY s.user_id, s.d""".stripMargin
 
+  // ---------------------------------------------------------------- a50
+  /** BUCKETED join under the oracle gate: both sides are first written as
+    * bucketed+sorted tables on the join key (graft.io.Bucketing), then
+    * joined — Spark plans SortMergeJoin with NO Exchange on either side
+    * (BucketingSpec asserts the plan; this query proves the VALUES).
+    * This is the 100 TB pattern for a recurring fact⋈fact join: pay the
+    * partitioning once at write time, never at query time. */
+  private val bucketSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def a50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.{Bucketing, Tables}
+    val run = s"${System.nanoTime()}_${bucketSeq.incrementAndGet()}"
+    val zone = java.nio.file.Files.createTempDirectory("graft_a50").toFile.getAbsolutePath
+    def save(df: DataFrame, name: String, key: String): String = {
+      val table = s"graft_a50_${name}_$run"
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet")
+        .option("path", s"$zone/$name")
+        .bucketBy(8, key).sortBy(key)
+        .saveAsTable(table)
+      table
+    }
+    val o = save(Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice"), "orders", "o_custkey")
+    val c = save(Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment"), "customer", "c_custkey")
+    spark.table(o).join(spark.table(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_orders"),
+        graft.ops.Num.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+  private val a50Sql =
+    """SELECT c_mktsegment,
+      | CAST(COUNT(*) AS BIGINT) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- a51
+  /** SALTED skew join under the oracle gate: the fact side's hot keys are
+    * split into 8 sub-keys and the dimension replicated across them
+    * (graft.ops.Skew.saltedJoin), so one pathological key spreads over 8
+    * tasks instead of stalling one. The oracle is the PLAIN join — a hash
+    * match proves salting is row-identical to the unsalted semantics. */
+  private def a51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.Tables
+    val fact = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val dim = Tables.customer(spark, dir)
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    graft.ops.Skew.saltedJoin(fact, dim, "o_custkey", salts = 8)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_orders"),
+        graft.ops.Num.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", viewsThen(a43Sql), Some(a43Sql)),
     RQ("a44_exact_quartiles", viewsThen(a44Sql), Some(a44Sql)),
@@ -184,5 +246,7 @@ object Analytic2 {
     RQ("a46_sessionize_batch", viewsThen(a46Sql), Some(a46Sql), bench = true),
     RQ("a47_unpivot", a47, Some(a47Sql)),
     RQ("a48_string_agg", a48, Some(a48Sql)),
-    RQ("a49_date_spine", a49, Some(a49Sql)))
+    RQ("a49_date_spine", a49, Some(a49Sql)),
+    RQ("a50_bucketed_join", a50, Some(a50Sql)),
+    RQ("a51_salted_skew_join", a51, Some(a50Sql)))
 }

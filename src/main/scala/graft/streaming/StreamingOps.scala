@@ -251,6 +251,40 @@ object StreamingOps {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
       |ORDER BY c_id, p_id""".stripMargin
 
+  // ---------------------------------------------------------------- s57
+  /** foreachBatch sink: the stream drains through a caller-controlled
+    * batch writer (here: parquet appends into a temp zone, partitioned by
+    * microbatch id via the write path) — the pattern for sinks Spark
+    * doesn't ship (JDBC upserts, multi-table fan-out) with batch-level
+    * idempotence (re-run of a batch id overwrites its own output only).
+    * The verified result re-reads the sink zone and aggregates; the
+    * oracle states the batch equivalent over the source table. */
+  private def s57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("graft_s57").toFile.getAbsolutePath
+    val q = eventsStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // per-batch-id subdir = idempotent re-runs (overwrite own output)
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$zone/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$zone/batch_id=*")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  private val s57Sql =
+    """SELECT event_type,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -258,5 +292,6 @@ object StreamingOps {
     RQ("s53_stateful_counts", s53, Some(s53Sql)),
     RQ("s54_watermark_append", s54, Some(s54Sql)),
     RQ("s55_stream_stream_join", s55, Some(s55Sql)),
-    RQ("s56_dedup_within_watermark", s56, Some(s56Sql)))
+    RQ("s56_dedup_within_watermark", s56, Some(s56Sql)),
+    RQ("s57_foreachbatch_sink", s57, Some(s57Sql)))
 }

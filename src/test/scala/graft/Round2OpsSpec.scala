@@ -98,6 +98,33 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(k81 == graft.io.Tables.supplier(spark, Spec.sf0001).count())
   }
 
+  test("connectedComponents matches an in-memory union-find on random graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-label convention: root chains always point to the min via the
+      // ordered union above
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val got = graft.dedup.DedupOps.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial, edges=$edges")
+    }
+  }
+
   test("sessionize: session bounds ordered, counts sum to event count") {
     val out = Registry.queries("a46_sessionize_batch")(spark, Spec.sf0001)
     val total = out.agg(sum($"n_events")).as[Long].head()
