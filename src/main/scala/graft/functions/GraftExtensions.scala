@@ -38,7 +38,13 @@ object GraftExtensions {
         require(exprs.length == 2 && exprs(1).foldable,
           "usage: minhash_sig(array<string>, k literal)")
         MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
-      }))
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => GraftDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[GraftCosine].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => GraftCosine(exprs(0), exprs(1))))
 
   /** Idempotent registration on an existing session: native functions,
     * planner strategies for the custom operators, and the window→TopK

@@ -33,9 +33,28 @@ object Lsh {
       }
     }
 
-  /** Spark SQL expression string for the bucket of `col` (array<float>).
+  /** Spark Column for the bucket of an embedding column: each bit is the
+    * sign of a plane·embedding dot product, computed by the NATIVE
+    * one-pass kernel (graft.functions.GraftDot — codegen'd; the previous
+    * HOF spelling evaluated 64 interpreted lambda calls per plane per
+    * row). Plane vectors are inlined as literal arrays, identical to the
+    * literals in the DuckDB oracle, so the signs are engine-exact.
     * `n` ≤ nPlanes bits: fewer planes → coarser buckets → higher recall;
     * small corpora want 4 bits (16 buckets), big ones 8+. */
+  def bucketCol(embedding: org.apache.spark.sql.Column, n: Int = nPlanes): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftBridge
+    val bits = planes.take(n).map { pl =>
+      val arr = array(pl.map(v => lit(v.toDouble)): _*)
+      val dot = GraftBridge.column(graft.functions.GraftDot(
+        GraftBridge.expression(embedding), GraftBridge.expression(arr)))
+      when(dot >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** SQL-string spelling of bucketCol (the pre-native HOF form), kept for
+    * SQL-text callers and as the reference semantics in LshSpec. */
   def bucketSpark(col: String, n: Int = nPlanes): String = {
     val bits = planes.take(n).map { pl =>
       val arr = pl.map(v => s"$v.0D").mkString("array(", ", ", ")")

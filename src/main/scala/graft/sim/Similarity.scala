@@ -14,26 +14,42 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import org.apache.spark.sql.GraftBridge
+
   /** Dot product of two float-array columns as a strict LEFT-TO-RIGHT
-    * double fold. Bit-stability rationale: a per-row fold has ONE defined
-    * evaluation order, so unlike a partitioned sum it is deterministic;
-    * the DuckDB oracle mirrors it with `list_reduce(..., (acc,v)->acc+v)`,
-    * the same fold over the same element doubles. (Decimal accumulation
-    * was tried first but DuckDB's double→DECIMAL(38,20) cast rounds
-    * differently than Spark's BigDecimal at the 20th digit.) */
+    * double fold — the native one-pass expression
+    * (graft.functions.GraftDot, codegen'd; no per-row product array, no
+    * interpreted lambdas). Bit-stability rationale: a per-row fold has ONE
+    * defined evaluation order, so unlike a partitioned sum it is
+    * deterministic; the DuckDB oracle mirrors it with
+    * `list_reduce(..., (acc,v)->acc+v)`, the same fold over the same
+    * element doubles — and GraftVecSpec pins the native kernel against the
+    * HOF spelling bit-for-bit. (Decimal accumulation was tried first but
+    * DuckDB's double→DECIMAL(38,20) cast rounds differently than Spark's
+    * BigDecimal at the 20th digit.) */
   def dot(a: String, b: String): Column =
+    GraftBridge.column(graft.functions.GraftDot(
+      GraftBridge.expression(col(a)), GraftBridge.expression(col(b))))
+
+  /** Squared L2 norm (same accumulation scheme). */
+  def norm2(a: String): Column = dot(a, a)
+
+  /** Cosine similarity between two embedding columns: the three folds
+    * (a·b, a·a, b·b) fused into one native loop (graft.functions
+    * .GraftCosine) — per-accumulator addition order is unchanged, so the
+    * value is bit-identical to the three-fold spelling the oracle uses. */
+  def cosine(a: String, b: String): Column =
+    GraftBridge.column(graft.functions.GraftCosine(
+      GraftBridge.expression(col(a)), GraftBridge.expression(col(b))))
+
+  /** The HOF spelling of dot (what `dot` compiled to before the native
+    * expression existed) — kept as the reference semantics for tests. */
+  def dotHof(a: String, b: String): Column =
     expr(
       s"""aggregate(
          |  zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
          |  CAST(0 AS DOUBLE),
          |  (acc, v) -> acc + v)""".stripMargin)
-
-  /** Squared L2 norm (same accumulation scheme). */
-  def norm2(a: String): Column = dot(a, a)
-
-  /** Cosine similarity between two embedding columns. */
-  def cosine(a: String, b: String): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Oracle-side spelling of dot(a, b) for DuckDB: the same left-to-right
     * fold over the same element doubles. */

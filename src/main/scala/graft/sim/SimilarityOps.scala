@@ -101,7 +101,7 @@ object SimilarityOps {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.ops.Par.spread(Tables.embeddings(spark, dir))
-      .select($"vec_id", expr(Lsh.bucketSpark("embedding")).as("bucket"))
+      .select($"vec_id", Lsh.bucketCol($"embedding").as("bucket"))
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy($"bucket")).cast("bigint"))
       .orderBy($"vec_id")
@@ -121,7 +121,7 @@ object SimilarityOps {
     import spark.implicits._
     // 4 planes (16 buckets): right recall/selectivity for 500-5000 vecs
     val withBucket = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", expr(Lsh.bucketSpark("embedding", 4)).as("bucket"))
+      .select($"vec_id", $"embedding", Lsh.bucketCol($"embedding", 4).as("bucket"))
     val probe = withBucket.filter($"vec_id" === 0)
       .select($"embedding".as("p"), $"bucket".as("pb"))
     withBucket.join(broadcast(probe), $"bucket" === $"pb" && $"vec_id" =!= 0)
@@ -258,7 +258,7 @@ object SimilarityOps {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val withBucket = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", expr(Lsh.bucketSpark("embedding", 4)).as("bucket"))
+      .select($"vec_id", $"embedding", Lsh.bucketCol($"embedding", 4).as("bucket"))
     val probes = withBucket.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"embedding".as("p"), $"bucket".as("pb"))
     val w = Window.partitionBy($"probe_id").orderBy($"cos_sim".desc, $"vec_id")

@@ -16,4 +16,10 @@ object GraftBridge {
     * the ColumnNode API). */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Catalyst Expression → Column (the inverse bridge: lets graft's
+    * native expressions be used from the DataFrame API without SQL
+    * function registration). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
