@@ -181,22 +181,70 @@ object DedupOps {
 
   // ---------------------------------------------------------------- d38
   /** Native-expression SimHash64 (graft.functions.SimHash64, registered
-    * through GraftExtensions so it is SQL-callable) + Hamming distance to
-    * the previous doc. No SQL oracle — the function is engine-native; the
-    * driver applies the rows-only check and SimHash64Spec pins semantics.
-    * (Global-order window is fine here: one lag over doc_id; at scale
-    * pair Hamming checks ride on d37's band-join candidates instead.) */
+    * through GraftExtensions so it is SQL-callable) + Hamming distance
+    * over d37's LSH band candidate pairs — the fineweb verify step:
+    * candidates come from the bucketed band join (no all-pairs, no global
+    * window), the 64-bit sketch confirms or rejects each.
+    *
+    * All joins are doc_id equi-joins; at 100 TB this shuffles by doc id
+    * once per side and never touches non-colliding docs. The oracle
+    * restates the sketch bit-for-bit in DuckDB: per-token MD5 bit votes,
+    * sign-packed into a signed 64-bit value (HUGEINT sum with the b=0
+    * sign-bit term stated as -2^63, since DuckDB's BIGINT shift overflows
+    * at 1<<63), then xor + bit_count per candidate pair. */
   private def d38(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.GraftExtensions.install(spark)
-    val w = Window.orderBy($"doc_id")
-    Tables.documents(spark, dir)
+    val sigs = Tables.documents(spark, dir)
       .withColumn("toks", tokens($"text"))
-      .withColumn("simhash", expr("simhash64(toks)"))
-      .withColumn("hamming_prev",
-        expr("bit_count(simhash ^ lag(simhash, 1) OVER (ORDER BY doc_id))").cast("bigint"))
-      .select($"doc_id", $"simhash", $"hamming_prev")
-      .orderBy($"doc_id")
+      .select($"doc_id", expr("simhash64(toks)").as("simhash"))
+    candidatePairs(spark, dir)
+      .join(sigs.select($"doc_id".as("doc_a"), $"simhash".as("sim_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"simhash".as("sim_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b",
+        expr("bit_count(sim_a ^ sim_b)").cast("bigint").as("hamming"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val d38Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3 OR a.band4 = b.band4
+       |  WHERE a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |votes AS (
+       |  SELECT doc_id, r.range AS b,
+       |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), CAST(r.range // 4 AS INT) + 1, 1)) - 1)
+       |               >> CAST(3 - r.range % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM toks, range(64) r GROUP BY doc_id, r.range),
+       |simhash AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v >= 0 THEN
+       |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+       |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+       |      ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT p.doc_a, p.doc_b, sa.simhash AS sim_a, sb.simhash AS sim_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN simhash sa ON sa.doc_id = p.doc_a
+       |JOIN simhash sb ON sb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- d39
@@ -348,7 +396,7 @@ object DedupOps {
     RQ("d35_ngram_jaccard", d35, Some(d35Sql)),
     RQ("d36_minhash_bands", d36, Some(d36Sql), bench = true),
     RQ("d37_minhash_pairs", d37, Some(d37Sql)),
-    RQ("d38_simhash64", d38, None),
+    RQ("d38_simhash64", d38, Some(d38Sql)),
     RQ("d39_embedding_neardup", d39, Some(d39Sql)),
     RQ("d40_dedup_clusters", d40, Some(d40Sql)),
     RQ("d41_dedup_keep_best", d41, Some(d41Sql)))

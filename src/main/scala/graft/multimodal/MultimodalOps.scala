@@ -82,14 +82,35 @@ object MultimodalOps {
 
   // ---------------------------------------------------------------- m61
   /** Decode + feature-extract over binary payloads via mapPartitions.
-    * No SQL oracle (the decode is engine-side Scala): driver applies the
-    * rows-only check; ScalaTest pins determinism + partition behavior. */
+    * The fake decode is pure MD5-nibble arithmetic, so the ORACLE can
+    * restate it: DuckDB derives the same nibbles from md5(text) hex chars
+    * (`strpos('0123456789abcdef', …) - 1`) — every "decoded" value is
+    * hash-verified, while the Spark side still runs the real
+    * partition-at-a-time decoder seam. */
   private def m61(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decoded(spark, dir).toDF()
       .select($"doc_id", $"n_bytes", $"format", $"width", $"height", $"channels")
       .orderBy($"doc_id")
   }
+  private val m61Sql =
+    """WITH m AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, n_bytes,
+      |    strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS n0,
+      |    strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS n1,
+      |    strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS n2,
+      |    strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS n3
+      |  FROM m)
+      |SELECT doc_id, n_bytes,
+      | CASE WHEN n0 < 8 THEN 'png' ELSE 'jpeg' END AS format,
+      | CAST(64 + n1 * 8 AS INTEGER) AS width,
+      | CAST(64 + n2 * 8 AS INTEGER) AS height,
+      | CAST(CASE WHEN n3 < 12 THEN 3 ELSE 4 END AS INTEGER) AS channels
+      |FROM n ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m62
   /** Video FRAME SAMPLING plumbing: each payload gets a deterministic fake
@@ -127,6 +148,6 @@ object MultimodalOps {
 
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
-    RQ("m61_decode_stub", m61, None),
+    RQ("m61_decode_stub", m61, Some(m61Sql)),
     RQ("m62_frame_sample", m62, Some(m62Sql)))
 }

@@ -342,16 +342,36 @@ object Analytic {
 
   // ---------------------------------------------------------------- a35
   /** Sketch-based distinct counting (HLL++): approximate vs exact side by
-    * side. No oracle — HLL implementations differ across engines; the
-    * driver applies the rows-only check and the exact column is oracle'd
-    * separately in q03. */
+    * side. HLL register layouts differ across engines, so the raw sketch
+    * values can't hash-match — instead the query emits the EXACT counts
+    * plus error-bound booleans (|approx − exact| within the configured
+    * rsd's tolerance). The oracle computes the same exact counts and
+    * states the bounds as `true`: a drifting sketch flips the boolean and
+    * fails the hash compare, so the approximation quality itself is under
+    * the oracle gate. HLL++ is deterministic for fixed data, so the
+    * booleans are stable across runs/partitionings. */
   private def a35(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir).agg(
-      approx_count_distinct($"l_orderkey").cast("bigint").as("approx_orders"),
       countDistinct($"l_orderkey").cast("bigint").as("exact_orders"),
-      approx_count_distinct($"l_partkey", 0.01).cast("bigint").as("approx_parts_1pct"))
+      countDistinct($"l_partkey").cast("bigint").as("exact_parts"),
+      approx_count_distinct($"l_orderkey").cast("bigint").as("ao"),
+      approx_count_distinct($"l_partkey", 0.01).cast("bigint").as("ap"))
+      .select(
+        $"exact_orders", $"exact_parts",
+        // default rsd = 0.05; 2× headroom on the observed sf0.01 error
+        (abs($"ao" - $"exact_orders") <= $"exact_orders" * 0.10)
+          .as("approx_orders_within_10pct"),
+        // rsd = 0.01; 3% bound
+        (abs($"ap" - $"exact_parts") <= $"exact_parts" * 0.03)
+          .as("approx_parts_within_3pct"))
   }
+  private val a35Sql =
+    """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      | true AS approx_orders_within_10pct,
+      | true AS approx_parts_within_3pct
+      |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- a36
   /** Custom typed Aggregator (quantity-weighted mean price): BigDecimal
@@ -386,7 +406,7 @@ object Analytic {
     RQ("a32_asof_window", viewsThen(a32Sql), Some(a32Sql)),
     RQ("a33_range_join", viewsThen(a33Sql), Some(a33Sql)),
     RQ("a34_global_rownum", viewsThen(a34Sql), Some(a34Sql)),
-    RQ("a35_approx_distinct", a35, None),
+    RQ("a35_approx_distinct", a35, Some(a35Sql)),
     RQ("a37_hash_split", a37, Some(a37Sql)),
     RQ("a38_exact_median", a38, Some(a38Sql)),
     RQ("a39_typed_cogroup", a39, Some(a39Sql)),
