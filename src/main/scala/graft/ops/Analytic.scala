@@ -181,7 +181,19 @@ object Analytic {
   // ---------------------------------------------------------------- a34
   /** Global dense row numbering over a total order — the engine-side
     * equivalent of the reference's Postgres SERIAL id
-    * (ref `dags/s3-etl-wallet-csv.py:210`; SURVEY.md §2.7). */
+    * (ref `dags/s3-etl-wallet-csv.py:210`; SURVEY.md §2.7).
+    * Implemented by GlobalOrder.globalRowNumber (range repartition +
+    * partition-offset numbering), NOT `ROW_NUMBER() OVER (ORDER BY …)`:
+    * the window spelling forces every row through one partition, this
+    * distributes. GlobalOrderSpec asserts the plan has no
+    * single-partition exchange; the oracle states the window spelling —
+    * same answer, scale-safe plan. */
+  private def a34(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GlobalOrder.globalRowNumber(
+      Tables.events(spark, dir).select($"event_id", $"user_id"),
+      Seq($"event_id"), "row_id")
+  }
   private val a34Sql =
     """SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS row_id,
       | event_id, user_id
@@ -218,14 +230,16 @@ object Analytic {
     * row selection + one (a+b)/2 of identical doubles — oracle-exact. */
   private def a38(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-    val ranked = Tables.orders(spark, dir)
-      .select($"o_totalprice", $"o_orderkey")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // Range-partitioned rank selection (GlobalOrder), not
+    // `ROW_NUMBER()/COUNT(*) OVER ()` global windows: the total count
+    // comes from the partition-offsets metadata pass, the two middle rows
+    // by rank filter — no single-partition exchange anywhere
+    // (GlobalOrderSpec asserts it).
+    val (ranked, n) = GlobalOrder.withGlobalRank(
+      Tables.orders(spark, dir).select($"o_totalprice", $"o_orderkey"),
+      Seq($"o_totalprice", $"o_orderkey"))
     ranked
-      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+      .filter($"rn" === (n + 1) / 2 || $"rn" === (n + 2) / 2)
       .agg(avg($"o_totalprice").as("median_totalprice"))
   }
   private val a38Sql =
@@ -405,7 +419,7 @@ object Analytic {
     RQ("a31_json_extract", a31, Some(a31Sql)),
     RQ("a32_asof_window", viewsThen(a32Sql), Some(a32Sql)),
     RQ("a33_range_join", viewsThen(a33Sql), Some(a33Sql)),
-    RQ("a34_global_rownum", viewsThen(a34Sql), Some(a34Sql)),
+    RQ("a34_global_rownum", a34, Some(a34Sql)),
     RQ("a35_approx_distinct", a35, Some(a35Sql)),
     RQ("a37_hash_split", a37, Some(a37Sql)),
     RQ("a38_exact_median", a38, Some(a38Sql)),

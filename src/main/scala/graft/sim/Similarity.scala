@@ -42,6 +42,15 @@ object Similarity {
     GraftBridge.column(graft.functions.GraftCosine(
       GraftBridge.expression(col(a)), GraftBridge.expression(col(b))))
 
+  /** Indexes of the `nprobe` nearest centroids for each row — the native
+    * IVF coarse quantizer (graft.functions.GraftNearestCells): centroids
+    * ride inside the expression as a plan constant, so cell assignment is
+    * a pure codegen'd projection — no crossJoin row amplification, no
+    * argmax window shuffle. */
+  def nearestCells(a: String, cents: Array[Array[Double]], nprobe: Int): Column =
+    GraftBridge.column(graft.functions.GraftNearestCells(
+      GraftBridge.expression(col(a)), cents, nprobe))
+
   /** The HOF spelling of dot (what `dot` compiled to before the native
     * expression existed) — kept as the reference semantics for tests. */
   def dotHof(a: String, b: String): Column =

@@ -183,18 +183,30 @@ object SimilarityOps {
     * corpus vectors, standing in for k-means centroids — the assignment
     * machinery is identical and deterministic). At scale the cell id is
     * the partition key, exactly like the LSH bucket in e44. */
+  /** The 16 fixed centroids as driver-side doubles (bounded: k vectors,
+    * not data) — inlined into GraftNearestCells as a plan constant, the
+    * same way a broadcast literal ships. Ordered by vec_id so the array
+    * index IS the cent_id. */
+  private def centroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir).filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+  }
+
   private def e47(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("cent_id"), $"embedding".as("c"))
-    val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cent_id")
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"cent_id", cosine("embedding", "c").as("cos_c"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"cent_id".as("cell"))
+    // cell assignment = per-row argmax over the inlined centroid array:
+    // a single codegen'd projection — compare the previous formulation,
+    // crossJoin(broadcast(cents)) + row_number() window, which amplified
+    // the corpus ×16 and slammed a full-table shuffle keyed by vec_id
+    // just to pick a max. The only shuffle left is the cell_size window,
+    // keyed by cell — the IVF partition key, which is the point.
+    val assigned = Tables.embeddings(spark, dir).select(
+      $"vec_id",
+      element_at(Similarity.nearestCells("embedding", centroids(spark, dir), 1), 1)
+        .cast("bigint").as("cell"))
     assigned
       .withColumn("cell_size",
         count(lit(1)).over(Window.partitionBy($"cell")).cast("bigint"))
@@ -212,24 +224,27 @@ object SimilarityOps {
        |FROM assigned ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- e48
-  /** IVF-flat ANN: probe vec_id=0 searches ONLY its own cell — the
-    * nprobe=1 inverted-list scan (candidates ≈ n/16 here; real deployments
-    * use thousands of cells + multi-probe, same join shape). */
+  /** IVF-flat ANN with MULTI-PROBE: the probe (vec_id=0) searches its
+    * nprobe=2 nearest cells' inverted lists (candidates ≈ 2n/16 here;
+    * real deployments use thousands of cells, same join shape — the cell
+    * id is the shuffle key, candidates come from an equi-join, and the
+    * corpus is never amplified: assignment is the same per-row projection
+    * as e47, multi-probe is an explode of the probe's 2-element cell
+    * array). */
   private def e48(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("cent_id"), $"embedding".as("c"))
-    val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cent_id")
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding", $"cent_id", cosine("embedding", "c").as("cos_c"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
-    val probe = assigned.filter($"vec_id" === 0)
-      .select($"embedding".as("p"), $"cell".as("pcell"))
-    assigned.join(broadcast(probe), $"cell" === $"pcell" && $"vec_id" =!= 0)
+    val assigned = emb.select(
+      $"vec_id", $"embedding",
+      element_at(Similarity.nearestCells("embedding", cents, 1), 1)
+        .cast("bigint").as("cell"))
+    val probeCells = emb.filter($"vec_id" === 0)
+      .select(
+        $"embedding".as("p"),
+        explode(Similarity.nearestCells("embedding", cents, 2)).as("pc"))
+      .select($"p", $"pc".cast("bigint").as("pcell"))
+    assigned.join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= 0)
       .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(5)
@@ -241,10 +256,13 @@ object SimilarityOps {
        |    SELECT cent_id FROM cents
        |    ORDER BY ${cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
        |  FROM embeddings e),
-       |probe AS (SELECT embedding AS p, cell AS pcell FROM assigned WHERE vec_id = 0)
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2)
        |SELECT vec_id, ${cosineSql("embedding", "p")} AS cos_sim
        |FROM assigned, probe
-       |WHERE cell = pcell AND vec_id <> 0
+       |WHERE cell IN (SELECT cent_id FROM pcells) AND vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
   // ---------------------------------------------------------------- e49
