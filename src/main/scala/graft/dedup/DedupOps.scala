@@ -314,7 +314,8 @@ object DedupOps {
     var prev = -1L
     var cur = labelSum(labels)
     var rounds = 0
-    while (cur != prev && rounds < 50) {
+    val maxRounds = 50
+    while (cur != prev && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy($"dst").agg(min($"label").as("nbr_label"))
       labels = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
@@ -326,6 +327,15 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    // a non-converged result is WRONG cluster labels, not slow clustering:
+    // fail loudly instead of returning it (min-label rounds ≈ component
+    // diameter; a >50-diameter dedup graph means pathological candidate
+    // generation upstream, or needs the large-star/small-star variant
+    // whose round count is logarithmic).
+    if (cur != prev) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the cap); refusing to return " +
+        "partially-propagated cluster labels")
     labels
   }
 
@@ -398,6 +408,6 @@ object DedupOps {
     RQ("d37_minhash_pairs", d37, Some(d37Sql)),
     RQ("d38_simhash64", d38, Some(d38Sql)),
     RQ("d39_embedding_neardup", d39, Some(d39Sql)),
-    RQ("d40_dedup_clusters", d40, Some(d40Sql)),
+    RQ("d40_dedup_clusters", d40, Some(d40Sql), bench = true),
     RQ("d41_dedup_keep_best", d41, Some(d41Sql)))
 }

@@ -31,7 +31,10 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "usage: simhash64(array<string>)")
+        SimHash64(exprs.head)
+      }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => {
@@ -41,10 +44,16 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => GraftDot(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "usage: graft_dot(array, array)")
+        GraftDot(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[GraftCosine].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => GraftCosine(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "usage: graft_cosine(array, array)")
+        GraftCosine(exprs(0), exprs(1))
+      }))
 
   /** Idempotent registration on an existing session: native functions,
     * planner strategies for the custom operators, and the window→TopK

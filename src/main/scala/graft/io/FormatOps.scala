@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.{Q => RQ}
 
 /** Source/sink format coverage as VERIFIED queries (SURVEY.md §2.1 S1 /
@@ -20,6 +21,23 @@ object FormatOps {
   private def tmpZone(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
+  /** Materialize a 1-row aggregate eagerly and delete its temp zone — the
+    * round-trip queries stage through disk, and a lazily-returned frame
+    * would pin the zone forever (repeated verify/bench runs used to
+    * accumulate temp dirs). */
+  private def collected(df: DataFrame, zone: String): DataFrame =
+    try {
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        java.util.List.of(df.head()), df.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+
   // ---------------------------------------------------------------- k80
   /** CSV sink → CSV scan round-trip on part (strings with spaces, ints,
     * doubles), aggregated for comparison against the parquet original. */
@@ -28,13 +46,14 @@ object FormatOps {
     val orig = Tables.part(spark, dir)
     val zone = tmpZone("graft_k80_csv")
     Tables.writeCsv(orig, zone)
-    Tables.csv(spark, zone, orig.schema)
+    collected(Tables.csv(spark, zone, orig.schema)
       .agg(
         count(lit(1)).cast("bigint").as("n"),
         sum($"p_size").cast("bigint").as("sum_size"),
         graft.ops.Num.dsum($"p_retailprice").as("sum_price"),
         md5(array_join(array_sort(collect_list($"p_name")), "|")).as("names_md5"),
-        md5(array_join(array_sort(collect_list($"p_type")), "|")).as("types_md5"))
+        md5(array_join(array_sort(collect_list($"p_type")), "|")).as("types_md5")),
+      zone)
   }
   private val k80Sql =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -52,12 +71,13 @@ object FormatOps {
     val orig = Tables.supplier(spark, dir)
     val zone = tmpZone("graft_k81_json")
     orig.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(zone)
-    spark.read.schema(orig.schema).json(zone)
+    collected(spark.read.schema(orig.schema).json(zone)
       .agg(
         count(lit(1)).cast("bigint").as("n"),
         sum($"s_suppkey").cast("bigint").as("sum_key"),
         graft.ops.Num.dsum($"s_acctbal").as("sum_bal"),
-        md5(array_join(array_sort(collect_list($"s_name")), "|")).as("names_md5"))
+        md5(array_join(array_sort(collect_list($"s_name")), "|")).as("names_md5")),
+      zone)
   }
   private val k81Sql =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -66,7 +86,69 @@ object FormatOps {
       | MD5(STRING_AGG(s_name, '|' ORDER BY s_name)) AS names_md5
       |FROM supplier""".stripMargin
 
+  // ---------------------------------------------------------------- k82
+  /** Per-file LINEAGE over a multi-file landing zone — operator O2, the
+    * reference's `S3ListOperator` + XCom hop (ref
+    * `dags/s3-etl-wallet-csv.py:152-158`, consumed at `:60-74`): list the
+    * zone's objects AND carry each row's source file as a column.
+    * Spark-native spelling: `FileSystem.globStatus` for the listing (the
+    * operator half) and `input_file_name()` for the per-row provenance
+    * column (the XCom half — no side channel, lineage rides the rows).
+    * The two views must agree: the query cross-checks the glob listing
+    * against the lineage groups and fails loudly on drift. The oracle
+    * restates each file's expected content from the split predicate. */
+  private def k82(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k82_zone")
+    try {
+      val docs = Tables.documents(spark, dir).select($"doc_id")
+      (0 until 3).foreach { i =>
+        Tables.writeSingleFile(
+          docs.filter($"doc_id" % 3 === i), s"$zone/f$i.parquet")
+      }
+      // O2a: the zone listing (what S3ListOperator returned)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val listed = fs
+        .globStatus(new org.apache.hadoop.fs.Path(s"$zone/*.parquet"))
+        .map(_.getPath.getName).sorted
+      // O2b: per-row provenance via input_file_name(), grouped per file
+      val perFile = spark.read.parquet(zone)
+        .withColumn("file", regexp_extract(input_file_name(), "[^/]+$", 0))
+        .groupBy($"file")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          min($"doc_id").cast("bigint").as("min_doc"),
+          max($"doc_id").cast("bigint").as("max_doc"))
+        .orderBy($"file")
+        .collect()
+      require(perFile.map(_.getString(0)).sameElements(listed),
+        s"lineage groups ${perFile.map(_.getString(0)).toSeq} != listing ${listed.toSeq}")
+      spark.createDataFrame(
+        java.util.Arrays.asList(perFile: _*),
+        StructType(Seq(
+          StructField("file", StringType),
+          StructField("n_rows", LongType),
+          StructField("min_doc", LongType),
+          StructField("max_doc", LongType))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private def k82Part(i: Int): String =
+    s"""SELECT 'f$i.parquet' AS file, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       | CAST(MAX(doc_id) AS BIGINT) AS max_doc
+       |FROM documents WHERE doc_id % 3 = $i""".stripMargin
+  private val k82Sql =
+    s"${k82Part(0)}\nUNION ALL\n${k82Part(1)}\nUNION ALL\n${k82Part(2)}\nORDER BY file"
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
-    RQ("k81_json_roundtrip", k81, Some(k81Sql)))
+    RQ("k81_json_roundtrip", k81, Some(k81Sql)),
+    RQ("k82_file_lineage", k82, Some(k82Sql)))
 }

@@ -84,6 +84,31 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Write `df` as ONE parquet file at exactly `destFile` — the shape of a
+    * single-object landing-zone drop (the reference's sensor watches for
+    * whole files arriving, ref `dags/s3-etl-wallet-csv.py:144-145`).
+    * Stages through a temp dir because Spark writers emit part files;
+    * only for bounded frames (coalesce(1) serializes the write). */
+  def writeSingleFile(df: DataFrame, destFile: String): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage").toFile
+    try {
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(destFile)
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(stage)
+    }
+  }
+
   /** JDBC append — operator K3 (ref `dags/s3-etl-wallet-csv.py:120-135`).
     * The reference used pandas `to_sql(chunksize=10)` ≈ 200k round-trips for
     * its stated 2M-row target; Spark's writer batches 10k rows per statement

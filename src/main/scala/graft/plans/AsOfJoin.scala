@@ -89,6 +89,16 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // both merge paths compare key-to-key and time-to-time across sides,
+    // so the sides must agree on the logical type: a DateType (days) vs
+    // TimestampType (micros) pair would otherwise compare raw physical
+    // values and silently produce wrong matches. Callers cast explicitly.
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of join key types differ: ${leftKey.dataType.simpleString} vs " +
+        s"${rightKey.dataType.simpleString} — cast one side explicitly")
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of join time types differ: ${leftTime.dataType.simpleString} vs " +
+        s"${rightTime.dataType.simpleString} — cast one side explicitly")
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val lTime = BindReferences.bindReference(leftTime, left.output)
@@ -103,7 +113,12 @@ case class AsOfJoinExec(
     // emit the unmatched (null-extended) output.
     (lKey, rKey, lTime, rTime) match {
       case (lk: BoundReference, rk: BoundReference, lt: BoundReference, rt: BoundReference)
-          if Seq(lk, rk, lt, rt).map(_.dataType).forall(physicalLong) =>
+          if Seq(lk, rk, lt, rt).map(_.dataType).forall(physicalLong) &&
+            // same logical type on both sides: raw-long comparison across
+            // types with different physical units (DateType days vs
+            // TimestampType micros) would silently mis-match; mixed pairs
+            // take the interpreted path, which compares through Orderings
+            lk.dataType == rk.dataType && lt.dataType == rt.dataType =>
         val (lkT, rkT, ltT, rtT) = (lk.dataType, rk.dataType, lt.dataType, rt.dataType)
         val (lkO, rkO, ltO, rtO) = (lk.ordinal, rk.ordinal, lt.ordinal, rt.ordinal)
         left.execute().zipPartitions(right.execute()) { (leftIt, rightIt) =>

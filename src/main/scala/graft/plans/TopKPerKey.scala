@@ -66,13 +66,16 @@ case class TopKPerKeyExec(
 
   override def outputPartitioning = child.outputPartitioning
 
-  /** Memory bound for the partial pass: above this many distinct keys in
-    * one partition the map-side filter stops admitting NEW keys and passes
-    * their rows through unfiltered (the final pass stays exact). Keeps
-    * worst-case partial state at maxKeys·k rows even when the key is
-    * near-unique — the same reason hash aggregation spills, solved by
-    * degrading to a no-op instead of spilling. */
-  private val maxPartialKeys = 1 << 18
+  /** Memory bound for the partial pass, in RETAINED ROWS (not keys): the
+    * map-side filter stops admitting NEW keys once admitted keys × k
+    * reaches this budget and passes later keys' rows through unfiltered
+    * (the final pass stays exact). Bounding rows rather than keys makes
+    * partial-state memory independent of k — a key-count cap of 2^18 with
+    * k=1000 would have let one map task hold 256M rows. Same reason hash
+    * aggregation spills, solved by degrading to a no-op instead of
+    * spilling. */
+  private val maxPartialRows = 1 << 21
+  private def maxPartialKeys: Int = math.max(1, maxPartialRows / math.max(1, k))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys

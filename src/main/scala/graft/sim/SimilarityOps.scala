@@ -326,9 +326,9 @@ object SimilarityOps {
     RQ("e41_knn_join", e41, Some(e41Sql)),
     RQ("e42_embedding_stats", e42, Some(e42Sql)),
     RQ("e44_lsh_buckets", e44, Some(e44Sql)),
-    RQ("e45_lsh_ann_topk", e45, Some(e45Sql)),
+    RQ("e45_lsh_ann_topk", e45, Some(e45Sql), bench = true),
     RQ("e46_int8_quantize", e46, Some(e46Sql)),
     RQ("e47_ivf_cells", e47, Some(e47Sql)),
-    RQ("e48_ivf_ann_topk", e48, Some(e48Sql)),
+    RQ("e48_ivf_ann_topk", e48, Some(e48Sql), bench = true),
     RQ("e49_ann_recall", e49, Some(e49Sql)))
 }

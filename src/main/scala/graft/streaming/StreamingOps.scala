@@ -262,28 +262,128 @@ object StreamingOps {
   private def s57(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val zone = java.nio.file.Files.createTempDirectory("graft_s57").toFile.getAbsolutePath
-    val q = eventsStream(spark, dir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // per-batch-id subdir = idempotent re-runs (overwrite own output)
-        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$zone/batch_id=$batchId")
+    try {
+      val q = eventsStream(spark, dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // per-batch-id subdir = idempotent re-runs (overwrite own output)
+          batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$zone/batch_id=$batchId")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = spark.read.parquet(s"$zone/batch_id=*")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
+      // eager per-type rows so the sink zone can be deleted on return
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(s"$zone/batch_id=*")
-      .groupBy($"event_type")
-      .agg(
-        count(lit(1)).cast("bigint").as("n"),
-        dsum($"value").as("sum_value"))
-      .orderBy($"event_type")
+      rm(new java.io.File(zone))
+    }
   }
   private val s57Sql =
     """SELECT event_type,
       | CAST(COUNT(*) AS BIGINT) AS n,
       | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- s58
+  /** CHECKPOINTED INCREMENTAL RESUME — the reference sensor's real
+    * semantics (ref `dags/s3-etl-wallet-csv.py:141-149`: each daily run
+    * processes files that arrived since the last run):
+    *
+    *   drain 1  file1 lands; AvailableNow drain with a PERSISTENT
+    *            checkpoint processes it
+    *   drain 2  file2 lands; a NEW query on the SAME checkpoint processes
+    *            ONLY file2 (the source's file log knows file1)
+    *   drain 3  nothing new lands; re-run processes ZERO rows —
+    *            idempotent re-submission, the property the reference's
+    *            copy-then-delete zone hops lack (SURVEY.md §4.2-5)
+    *
+    * Each drain's rows are tagged by drain id through a foreachBatch
+    * parquet sink; the verified result is the per-drain (n, sum) table,
+    * whose batch equivalent the oracle states over `events` (file1 = even
+    * event_id, file2 = odd, drain 3 = empty). Counts are collected
+    * eagerly so the temp zone can be deleted before returning. */
+  private def s58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s58").toFile
+    try {
+      val landing = s"${root.getAbsolutePath}/landing"
+      val sink = s"${root.getAbsolutePath}/sink"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+
+      def land(cond: org.apache.spark.sql.Column, name: String): Unit =
+        graft.io.Tables.writeSingleFile(ev.filter(cond), s"$landing/$name.parquet")
+
+      def drainOnce(drainId: Int): Unit = {
+        val q = spark.readStream
+          .schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .parquet(landing)
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$sink/drain=$drainId/batch=$batchId")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+
+      land($"event_id" % 2 === 0, "file1")
+      drainOnce(1)
+      land($"event_id" % 2 === 1, "file2") // arrives AFTER the first drain
+      drainOnce(2)
+      drainOnce(3) // no new files: must process nothing
+
+      def stats(drainId: Int): (Long, Double) =
+        try {
+          val r = spark.read.parquet(s"$sink/drain=$drainId")
+            .agg(count(lit(1)), coalesce(dsum($"value"), lit(0.0d)))
+            .head()
+          (r.getLong(0), r.getDouble(1))
+        } catch { case _: org.apache.spark.sql.AnalysisException => (0L, 0.0d) }
+
+      val rows = (1 to 3).map { d =>
+        val (n, s) = stats(d); (s"drain$d", n, s)
+      }
+      rows.toDF("drain", "n", "sum_value").orderBy($"drain")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s58Sql =
+    """SELECT 'drain1' AS drain, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT 'drain2', CAST(COUNT(*) AS BIGINT),
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |FROM events WHERE event_id % 2 = 1
+      |UNION ALL
+      |SELECT 'drain3', 0, CAST(0 AS DOUBLE)
+      |ORDER BY drain""".stripMargin
 
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
@@ -293,5 +393,6 @@ object StreamingOps {
     RQ("s54_watermark_append", s54, Some(s54Sql)),
     RQ("s55_stream_stream_join", s55, Some(s55Sql)),
     RQ("s56_dedup_within_watermark", s56, Some(s56Sql)),
-    RQ("s57_foreachbatch_sink", s57, Some(s57Sql)))
+    RQ("s57_foreachbatch_sink", s57, Some(s57Sql)),
+    RQ("s58_incremental_resume", s58, Some(s58Sql)))
 }
