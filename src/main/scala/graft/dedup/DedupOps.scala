@@ -307,8 +307,11 @@ object DedupOps {
     // grows without bound. Checkpointing truncates lineage to the
     // materialized partitions, keeping every round's plan constant-size
     // (same reason GraphX/ALS checkpoint their iterations).
+    // lazy localCheckpoint: the convergence-sum action below materializes
+    // the checkpoint AND computes the sum in ONE job per round (an eager
+    // checkpoint would pay a separate materialization job first)
     var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).localCheckpoint()
+      .select($"id", $"id".as("label")).localCheckpoint(eager = false)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
     var prev = -1L
@@ -321,7 +324,7 @@ object DedupOps {
       labels = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id").as("id"),
           least($"label", coalesce($"nbr_label", $"label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       prev = cur
       cur = labelSum(labels)
       rounds += 1

@@ -147,8 +147,55 @@ object FormatOps {
   private val k82Sql =
     s"${k82Part(0)}\nUNION ALL\n${k82Part(1)}\nUNION ALL\n${k82Part(2)}\nORDER BY file"
 
+  // ---------------------------------------------------------------- k83
+  /** TRANSACTIONAL sink (graft.io.TxnTable) under the oracle gate: commit
+    * snapshot v1 (even customer keys), commit v2 (all customers), then
+    * verify BOTH reads — `latest` resolves the current pointer, `v1` time
+    * travels to the superseded snapshot. A hash match proves the commit
+    * flip is clean (latest sees exactly v2) and superseded data stays
+    * intact (v1 unchanged after v2's commit). TxnSinkSpec covers the
+    * atomicity story (dying writer leaves readers on the old version). */
+  private def k83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k83_txn")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust.filter($"c_custkey" % 2 === 0), table)
+      TxnTable.commitOverwrite(cust, table)
+      def snap(name: String, df: DataFrame): DataFrame =
+        df.agg(
+          lit(name).as("snapshot"),
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+          .select($"snapshot", $"n", $"sum_bal")
+      val result = snap("latest", TxnTable.read(spark, table))
+        .unionAll(snap("v1", TxnTable.readVersion(spark, table, 1)))
+        .orderBy($"snapshot")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k83Sql =
+    """SELECT 'latest' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |UNION ALL
+      |SELECT 'v1', CAST(COUNT(*) AS BIGINT),
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |FROM customer WHERE c_custkey % 2 = 0
+      |ORDER BY snapshot""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
-    RQ("k82_file_lineage", k82, Some(k82Sql)))
+    RQ("k82_file_lineage", k82, Some(k82Sql)),
+    RQ("k83_txn_sink", k83, Some(k83Sql)))
 }
