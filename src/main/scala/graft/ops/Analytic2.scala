@@ -253,6 +253,34 @@ object Analytic2 {
       .orderBy($"c_mktsegment")
   }
 
+  // ---------------------------------------------------------------- a52
+  /** STRATIFIED train/test split report: a37's deterministic md5-nibble
+    * assignment, grouped per class label — the check a training pipeline
+    * runs to confirm every class keeps ≈ the global 75/25 ratio (hash
+    * splits stratify in expectation; this measures the realized counts).
+    * Same engine-portable determinism contract as a37: the same row lands
+    * in the same split on every engine, run, and partitioning. */
+  private def a52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = when(
+      instr(lit("0123456789abcdef"),
+        substring(md5($"vec_id".cast("string")), 1, 1)) <= 12, "train")
+      .otherwise("test")
+    Tables.embeddings(spark, dir)
+      .select($"label".cast("bigint").as("label"), split.as("split"))
+      .groupBy($"label", $"split")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy($"label", $"split")
+  }
+  private val a52Sql =
+    """SELECT CAST(label AS BIGINT) AS label,
+      | CASE WHEN STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1)) <= 12
+      |      THEN 'train' ELSE 'test' END AS split,
+      | CAST(COUNT(*) AS BIGINT) AS n
+      |FROM embeddings
+      |GROUP BY 1, 2
+      |ORDER BY label, split""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", viewsThen(a43Sql), Some(a43Sql)),
     RQ("a44_exact_quartiles", viewsThen(a44Sql), Some(a44Sql)),
@@ -262,5 +290,6 @@ object Analytic2 {
     RQ("a48_string_agg", a48, Some(a48Sql)),
     RQ("a49_date_spine", a49, Some(a49Sql)),
     RQ("a50_bucketed_join", a50, Some(a50Sql), bench = true),
-    RQ("a51_salted_skew_join", a51, Some(a50Sql), bench = true))
+    RQ("a51_salted_skew_join", a51, Some(a50Sql), bench = true),
+    RQ("a52_stratified_split", a52, Some(a52Sql)))
 }
