@@ -193,9 +193,47 @@ object FormatOps {
       |FROM customer WHERE c_custkey % 2 = 0
       |ORDER BY snapshot""".stripMargin
 
+  // ---------------------------------------------------------------- k84
+  /** SCHEMA EVOLUTION on read: a zone holding files written before and
+    * after a column was added (the routine lakehouse migration), read as
+    * one frame with `mergeSchema` — old files' missing column surfaces as
+    * NULL, new files' values survive. The oracle restates the union
+    * arithmetic: every supplier appears twice, the evolved column is
+    * non-null exactly once per supplier, and its sum is unchanged. */
+  private def k84(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k84_evo")
+    try {
+      val s = Tables.supplier(spark, dir)
+      Tables.writeSingleFile(
+        s.select($"s_suppkey", $"s_name"), s"$zone/epoch1.parquet")
+      Tables.writeSingleFile(
+        s.select($"s_suppkey", $"s_name", $"s_acctbal"), s"$zone/epoch2.parquet")
+      val merged = spark.read.option("mergeSchema", "true").parquet(zone)
+      val result = merged.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        count($"s_acctbal").cast("bigint").as("n_bal"),
+        graft.ops.Num.dsum($"s_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k84Sql =
+    """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(*) AS BIGINT) AS n_bal,
+      | CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM supplier""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
     RQ("k82_file_lineage", k82, Some(k82Sql)),
-    RQ("k83_txn_sink", k83, Some(k83Sql)))
+    RQ("k83_txn_sink", k83, Some(k83Sql)),
+    RQ("k84_schema_evolution", k84, Some(k84Sql)))
 }

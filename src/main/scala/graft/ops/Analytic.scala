@@ -80,6 +80,21 @@ object Analytic {
     * decimal sums — order-independent, unlike built-in stddev whose
     * partial-merge order perturbs low bits. l_quantity is integral so
     * squares are exact. */
+  private def a27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Num.dsum
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        dsum($"l_quantity").as("s1"),
+        dsum($"l_quantity" * $"l_quantity").as("s2"))
+      .select($"l_returnflag", $"n",
+        ($"s1" / $"n").as("mean_qty"),
+        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("var_qty"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("stddev_qty"))
+      .orderBy($"l_returnflag")
+  }
   private val a27Sql =
     s"""SELECT l_returnflag,
        | CAST(COUNT(*) AS BIGINT) AS n,
@@ -94,6 +109,22 @@ object Analytic {
   // ---------------------------------------------------------------- a28
   /** Pearson correlation from exact decimal co-moments (same rationale
     * as a27). */
+  private def a28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Num.dsum
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"l_quantity" * $"l_extendedprice").as("sqp"),
+        dsum($"l_quantity").as("sq"),
+        dsum($"l_extendedprice").as("sp"),
+        dsum($"l_quantity" * $"l_quantity").as("sqq"),
+        dsum($"l_extendedprice" * $"l_extendedprice").as("spp"))
+      .select(
+        (($"n" * $"sqp" - $"sq" * $"sp") /
+          (sqrt($"n" * $"sqq" - $"sq" * $"sq") *
+            sqrt($"n" * $"spp" - $"sp" * $"sp"))).as("corr_qty_price"))
+  }
   private val a28Sql =
     s"""SELECT
        | (COUNT(*) * ${dsumSql("l_quantity * l_extendedprice")} - ${dsumSql("l_quantity")} * ${dsumSql("l_extendedprice")})
@@ -412,8 +443,8 @@ object Analytic {
     RQ("a24_setops_all", a24, Some(a24Sql)),
     RQ("a25_cube", viewsThen(a25Sql), Some(a25Sql)),
     RQ("a26_grouping_sets", viewsThen(a26Sql), Some(a26Sql)),
-    RQ("a27_variance_stable", viewsThen(a27Sql), Some(a27Sql)),
-    RQ("a28_corr_stable", viewsThen(a28Sql), Some(a28Sql)),
+    RQ("a27_variance_stable", a27, Some(a27Sql)),
+    RQ("a28_corr_stable", a28, Some(a28Sql)),
     RQ("a29_hash_sample", a29, Some(a29Sql)),
     RQ("a30_posexplode", a30, Some(a30Sql)),
     RQ("a31_json_extract", a31, Some(a31Sql)),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q => RQ}
 import graft.io.Tables
@@ -28,7 +28,24 @@ object Analytic2 {
   /** The ranking/navigation window family over one keyed window: LAG /
     * LEAD / DENSE_RANK / NTILE / FIRST_VALUE / PERCENT_RANK / CUME_DIST.
     * percent_rank and cume_dist are ratios of identical integers, so the
-    * doubles are bit-equal across engines. */
+    * doubles are bit-equal across engines. Composable DataFrame operator
+    * (one keyed Window spec, one pass); the oracle states the SQL twin. */
+  private def a43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .withColumn("drank", dense_rank().over(w).cast("bigint"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .withColumn("top_price", first($"o_totalprice").over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+  }
   private val a43Sql =
     """SELECT o_orderkey, o_custkey, o_totalprice,
       | CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
@@ -48,6 +65,24 @@ object Analytic2 {
     * Interpolating percentile_cont differs across engines in its float
     * arithmetic; row selection is pure comparison — oracle-exact
     * (same rationale as a38's exact median). */
+  private def a44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+    val wc = Window.partitionBy($"l_returnflag")
+    def pick(p: Double): Column =
+      min(when($"rn" === ceil(lit(p) * $"n"), $"l_quantity"))
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy($"l_returnflag")
+      .agg(
+        max($"n").cast("bigint").as("n"),
+        pick(0.25).as("p25"), pick(0.50).as("p50"), pick(0.75).as("p75"))
+      .orderBy($"l_returnflag")
+  }
   private val a44Sql =
     """WITH ranked AS (
       |  SELECT l_returnflag, l_quantity,
@@ -67,6 +102,16 @@ object Analytic2 {
   // ---------------------------------------------------------------- a45
   /** Fixed-width histogram: bucket index by FLOOR division, count + range
     * per bucket — the one-pass distribution profile (vs a41's min/max). */
+  private def a45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(floor($"o_totalprice" / 50000.0).cast("bigint").as("bucket"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+      .orderBy($"bucket")
+  }
   private val a45Sql =
     """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
       | CAST(COUNT(*) AS BIGINT) AS n,
@@ -82,6 +127,27 @@ object Analytic2 {
     * One keyed window pass — the batch twin of s51's streaming
     * session_window (which breaks at gap >= threshold; this breaks at >,
     * both pinned by their own oracles). */
+  private def a46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val lagTs = lag($"ts", 1).over(w)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("brk",
+        when(lagTs.isNull ||
+          ($"ts" - lagTs) > expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+      .withColumn("session_no", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_no")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"))
+      .select($"user_id", $"session_no".cast("bigint").as("session_no"),
+        $"n_events", $"session_start", $"session_end")
+      .orderBy($"user_id", $"session_no")
+  }
   private val a46Sql =
     """WITH marked AS (
       |  SELECT user_id, event_id, ts,
@@ -282,10 +348,10 @@ object Analytic2 {
       |ORDER BY label, split""".stripMargin
 
   val all: Seq[RQ] = Seq(
-    RQ("a43_window_family", viewsThen(a43Sql), Some(a43Sql)),
-    RQ("a44_exact_quartiles", viewsThen(a44Sql), Some(a44Sql)),
-    RQ("a45_histogram", viewsThen(a45Sql), Some(a45Sql)),
-    RQ("a46_sessionize_batch", viewsThen(a46Sql), Some(a46Sql), bench = true),
+    RQ("a43_window_family", a43, Some(a43Sql)),
+    RQ("a44_exact_quartiles", a44, Some(a44Sql)),
+    RQ("a45_histogram", a45, Some(a45Sql)),
+    RQ("a46_sessionize_batch", a46, Some(a46Sql), bench = true),
     RQ("a47_unpivot", a47, Some(a47Sql)),
     RQ("a48_string_agg", a48, Some(a48Sql)),
     RQ("a49_date_spine", a49, Some(a49Sql)),

@@ -296,6 +296,37 @@ object StreamingOps {
       | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- s59
+  /** SLIDING-window aggregation (1 h windows every 30 min): each event
+    * lands in exactly two overlapping windows. The oracle states the
+    * overlap arithmetic directly — an event in 30-minute bucket b belongs
+    * to the windows starting at b and b − 30 min (DuckDB `time_bucket`,
+    * epoch-aligned exactly like Spark's window origin). */
+  private def s59(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    drain(agg, "s59_out", "complete")
+      .select(
+        $"window.start".cast("timestamp_ntz").as("window_start"),
+        $"event_type", $"n".cast("bigint").as("n"), $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+  private val s59Sql =
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30, event_type, value
+      |  FROM events),
+      |w AS (
+      |  SELECT b30 AS window_start, event_type, value FROM b
+      |  UNION ALL
+      |  SELECT b30 - INTERVAL 30 MINUTE, event_type, value FROM b)
+      |SELECT window_start, event_type,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   // ---------------------------------------------------------------- s58
   /** CHECKPOINTED INCREMENTAL RESUME — the reference sensor's real
     * semantics (ref `dags/s3-etl-wallet-csv.py:141-149`: each daily run
@@ -394,5 +425,6 @@ object StreamingOps {
     RQ("s55_stream_stream_join", s55, Some(s55Sql)),
     RQ("s56_dedup_within_watermark", s56, Some(s56Sql)),
     RQ("s57_foreachbatch_sink", s57, Some(s57Sql)),
-    RQ("s58_incremental_resume", s58, Some(s58Sql)))
+    RQ("s58_incremental_resume", s58, Some(s58Sql)),
+    RQ("s59_sliding_window_agg", s59, Some(s59Sql)))
 }
