@@ -54,7 +54,22 @@ object Analytic {
       |ORDER BY op, o_custkey""".stripMargin
 
   // ---------------------------------------------------------------- a25
-  /** Full CUBE over two dimensions with GROUPING() markers. */
+  /** Full CUBE over two dimensions with GROUPING() markers —
+    * Dataset.cube + grouping() (the DataFrame spelling; SQL stays as the
+    * oracle). */
+  private def a25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Num.dsum
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast("bigint").as("g_flag"),
+        grouping($"l_linestatus").cast("bigint").as("g_status"),
+        count(lit(1)).cast("bigint").as("n"),
+        dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"g_flag", $"g_status",
+        $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
   private val a25Sql =
     s"""SELECT l_returnflag, l_linestatus,
        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
@@ -66,7 +81,20 @@ object Analytic {
        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- a26
-  /** Explicit GROUPING SETS (disjoint one-dimension rollups). */
+  /** Explicit GROUPING SETS (disjoint one-dimension rollups) —
+    * Dataset.groupingSets (Spark 4's DataFrame spelling). */
+  private def a26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Num.dsum
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
   private val a26Sql =
     s"""SELECT l_returnflag, l_linestatus,
        | CAST(COUNT(*) AS BIGINT) AS n,
@@ -200,6 +228,22 @@ object Analytic {
   /** Range (interval) join: purchases within 5 minutes after a signup by
     * the same user. Bounded-interval non-equi join — the band condition
     * keeps the blow-up local. */
+  private def a33(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val s = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id", $"ts".as("signup_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_uid"),
+        $"ts".as("purchase_ts"))
+    s.join(p,
+      $"user_id" === $"p_uid" &&
+        $"purchase_ts" >= $"signup_ts" &&
+        $"purchase_ts" <= $"signup_ts" + expr("INTERVAL '5' MINUTE"))
+      .select($"signup_id", $"purchase_id", $"user_id",
+        $"signup_ts", $"purchase_ts")
+      .orderBy($"signup_id", $"purchase_id")
+  }
   private val a33Sql =
     """SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id,
       | s.ts AS signup_ts, p.ts AS purchase_ts
@@ -441,15 +485,15 @@ object Analytic {
   val all: Seq[RQ] = Seq(
     RQ("a23_correlated_subquery", viewsThen(a23Sql), Some(a23Sql)),
     RQ("a24_setops_all", a24, Some(a24Sql)),
-    RQ("a25_cube", viewsThen(a25Sql), Some(a25Sql)),
-    RQ("a26_grouping_sets", viewsThen(a26Sql), Some(a26Sql)),
+    RQ("a25_cube", a25, Some(a25Sql)),
+    RQ("a26_grouping_sets", a26, Some(a26Sql)),
     RQ("a27_variance_stable", a27, Some(a27Sql)),
     RQ("a28_corr_stable", a28, Some(a28Sql)),
     RQ("a29_hash_sample", a29, Some(a29Sql)),
     RQ("a30_posexplode", a30, Some(a30Sql)),
     RQ("a31_json_extract", a31, Some(a31Sql)),
     RQ("a32_asof_window", viewsThen(a32Sql), Some(a32Sql)),
-    RQ("a33_range_join", viewsThen(a33Sql), Some(a33Sql)),
+    RQ("a33_range_join", a33, Some(a33Sql)),
     RQ("a34_global_rownum", a34, Some(a34Sql)),
     RQ("a35_approx_distinct", a35, Some(a35Sql)),
     RQ("a37_hash_split", a37, Some(a37Sql)),
