@@ -73,8 +73,9 @@ case class TopKPerKeyExec(
     * partial-state memory independent of k — a key-count cap of 2^18 with
     * k=1000 would have let one map task hold 256M rows. Same reason hash
     * aggregation spills, solved by degrading to a no-op instead of
-    * spilling. */
-  private val maxPartialRows = 1 << 21
+    * spilling. Tunable for tests/deployments via the session conf key. */
+  private def maxPartialRows: Int =
+    conf.getConfString("graft.topk.partialBudgetRows", (1 << 21).toString).toInt
   private def maxPartialKeys: Int = math.max(1, maxPartialRows / math.max(1, k))
 
   override protected def doExecute(): RDD[InternalRow] = {

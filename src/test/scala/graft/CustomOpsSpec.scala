@@ -92,4 +92,24 @@ class CustomOpsSpec extends AnyFunSuite {
       .orderBy("k").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L), (2L, 3L)))
   }
+
+  test("TopKPerKey: partial pass over row budget degrades to pass-through, final stays exact") {
+    // budget of 4 rows with k=3 caps the partial pass at ONE admitted key
+    // per map task — every other key's rows are shuffled unfiltered and
+    // the final pass must still produce the exact per-key top-k
+    val df = spark.range(0, 1000)
+      .selectExpr("id % 50 AS k", "id AS v")
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"k").orderBy($"v".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"k", $"v").orderBy($"k", $"v").collect()
+    }
+    spark.conf.set("graft.topk.partialBudgetRows", "4")
+    try {
+      val got = TopK.perKey(df, Seq("k"), Seq("v" -> false), k = 3)
+        .select($"k", $"v").orderBy($"k", $"v").collect()
+      assert(got.length == expected.length && got.sameElements(expected))
+    } finally spark.conf.unset("graft.topk.partialBudgetRows")
+  }
 }
