@@ -347,6 +347,51 @@ object Analytic2 {
       |GROUP BY 1, 2
       |ORDER BY label, split""".stripMargin
 
+  // ---------------------------------------------------------------- a53
+  /** TARGET-MIX RESAMPLING (training-data mixing): downsample every class
+    * to the smallest class's size with a deterministic per-row keep rule —
+    * the op that turns a skewed corpus into a target distribution without
+    * RNG (same row kept on every engine/run/partitioning). Keep rule:
+    * the row's first two md5 nibbles (uniform 0..255) must fall below
+    * floor(rate·256), rate = min_class_n / class_n. Shape: one tiny
+    * class-count aggregate broadcast back onto the corpus + a scalar
+    * filter — one shuffle of COUNTS, zero shuffles of data. */
+  private def a53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("bigint").as("label"))
+    val counts = emb.groupBy($"label").agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min($"n").as("mn"))))
+      .select($"label", $"n", ($"mn".cast("double") / $"n").as("rate"))
+    def nib(i: Int): Column =
+      instr(lit("0123456789abcdef"),
+        substring(md5($"vec_id".cast("string")), i, 1)) - 1
+    val kept = emb.join(broadcast(rates), "label")
+      .filter(nib(1) * 16 + nib(2) < floor($"rate" * 256))
+      .groupBy($"label").agg(count(lit(1)).as("n_after"))
+    rates.join(kept, Seq("label"), "left")
+      .select($"label", $"n".cast("bigint").as("n_before"), $"rate",
+        coalesce($"n_after", lit(0L)).cast("bigint").as("n_after"))
+      .orderBy($"label")
+  }
+  private val a53Sql =
+    """WITH c AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+      |           FROM embeddings GROUP BY 1),
+      |m AS (SELECT MIN(n) AS mn FROM c),
+      |r AS (SELECT label, n, CAST(mn AS DOUBLE) / n AS rate FROM c, m),
+      |k AS (
+      |  SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_after
+      |  FROM embeddings e JOIN r ON CAST(e.label AS BIGINT) = r.label
+      |  WHERE (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(e.vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(e.vec_id AS VARCHAR)), 2, 1)) - 1)
+      |      < FLOOR(r.rate * 256)
+      |  GROUP BY 1)
+      |SELECT r.label, CAST(r.n AS BIGINT) AS n_before, r.rate,
+      | CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
+      |FROM r LEFT JOIN k USING (label)
+      |ORDER BY label""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", a43, Some(a43Sql)),
     RQ("a44_exact_quartiles", a44, Some(a44Sql)),
@@ -357,5 +402,6 @@ object Analytic2 {
     RQ("a49_date_spine", a49, Some(a49Sql)),
     RQ("a50_bucketed_join", a50, Some(a50Sql), bench = true),
     RQ("a51_salted_skew_join", a51, Some(a50Sql), bench = true),
-    RQ("a52_stratified_split", a52, Some(a52Sql)))
+    RQ("a52_stratified_split", a52, Some(a52Sql)),
+    RQ("a53_target_mix_resample", a53, Some(a53Sql)))
 }

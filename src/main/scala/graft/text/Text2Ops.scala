@@ -131,8 +131,47 @@ object Text2Ops {
       |SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- t44
+  /** Repetition quality signal (the Gopher/fineweb-style filter): per
+    * document, the share of bigram occurrences taken by the single most
+    * repeated bigram, and the distinct-bigram ratio — high top-bigram
+    * share / low distinct ratio flags boilerplate and degenerate text.
+    * Shape: bounded per-row explode → two keyed aggregations (doc_id ×
+    * gram, then doc_id) — no joins, scales linearly. Ratios are single
+    * divisions of exact integers, so they are bit-equal cross-engine. */
+  private def t44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.TextFunctions.{tokens, tokenNgrams}
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", explode(tokenNgrams("toks", 2)).as("g"))
+      .groupBy($"doc_id", $"g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").cast("bigint").as("n_bigrams"),
+        (max($"c").cast("double") / sum($"c").cast("double"))
+          .as("top_bigram_frac"),
+        (count(lit(1)).cast("double") / sum($"c").cast("double"))
+          .as("distinct_bigram_ratio"))
+      .orderBy($"doc_id")
+  }
+  private val t44Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |            for i in range(1, len(string_split(text,' ')))]) AS g
+      |  FROM documents),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      | CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac,
+      | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_bigram_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
-    RQ("t43_tfidf_topterms", t43, Some(t43Sql), bench = true))
+    RQ("t43_tfidf_topterms", t43, Some(t43Sql), bench = true),
+    RQ("t44_repetition_signal", t44, Some(t44Sql)))
 }
