@@ -144,7 +144,12 @@ object DedupOps {
     * shared by d37 (adds the oracle ORDER BY) and d40 (clusters them). */
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = sigFrame(spark, dir).cache()
+    // localCheckpoint, not cache(): the 4 band self-joins each rescan the
+    // signatures, so materializing once is the point — but CacheManager
+    // pins .cache()d frames until explicit unpersist (they accumulated
+    // across verify/bench runs), while checkpoint blocks are freed by the
+    // ContextCleaner as soon as the frame is unreferenced.
+    val sig = sigFrame(spark, dir).localCheckpoint()
     val pairs = (1 to 4).map { k =>
       val a = sig.select($"doc_id".as("doc_a"), col(s"band$k").as("bk"))
       val b = sig.select($"doc_id".as("doc_b"), col(s"band$k").as("bk"))
@@ -302,14 +307,13 @@ object DedupOps {
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
       .cache()
-    // localCheckpoint (eager) per round: iterative plans otherwise NEST —
-    // round k's plan contains rounds 1..k-1 — and analysis/planning cost
-    // grows without bound. Checkpointing truncates lineage to the
-    // materialized partitions, keeping every round's plan constant-size
-    // (same reason GraphX/ALS checkpoint their iterations).
-    // lazy localCheckpoint: the convergence-sum action below materializes
-    // the checkpoint AND computes the sum in ONE job per round (an eager
-    // checkpoint would pay a separate materialization job first)
+    // localCheckpoint per round: iterative plans otherwise NEST — round
+    // k's plan contains rounds 1..k-1 — and analysis/planning cost grows
+    // without bound. Checkpointing truncates lineage to the materialized
+    // partitions, keeping every round's plan constant-size (same reason
+    // GraphX/ALS checkpoint their iterations). LAZY (eager=false) so the
+    // convergence-sum action materializes the checkpoint AND computes the
+    // sum in ONE job per round.
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("label")).localCheckpoint(eager = false)
     def labelSum(df: DataFrame): Long =
