@@ -20,6 +20,7 @@ object Registry {
       graft.ops.Analytic2.all ++
       graft.text.TextOps.all ++
       graft.text.Text2Ops.all ++
+      graft.text.PipelineOps.all ++
       graft.dedup.DedupOps.all ++
       graft.sim.SimilarityOps.all ++
       graft.streaming.StreamingOps.all ++

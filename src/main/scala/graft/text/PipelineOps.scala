@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q => RQ}
+import graft.io.Tables
+import graft.text.TextFunctions._
+
+/** The COMPOSED training-data pipeline — the operators proven one-by-one
+  * elsewhere (exact dedup d34, quality scoring t32, chunking t41) chained
+  * into the single pass a real corpus build runs:
+  *
+  *   documents → fingerprint dedup keep-first → quality score →
+  *   drop low-quality (threshold 0.32, ≈ the corpus P90) → sliding-window chunk → per-doc chunk stats
+  *
+  * The point of registering the composite: a library whose operators only
+  * work in isolation isn't a pipeline engine. The oracle replays the same
+  * chain as one CTE stack, so the hash gate covers the COMPOSITION
+  * (filter-after-dedup ordering, quality threshold on bit-identical
+  * doubles, chunk-count arithmetic), not just the stages.
+  *
+  * Shape at 100 TB: one shuffle (the fingerprint window), then pure
+  * per-row projections/explodes and one keyed count — the same plan the
+  * stages have individually; composition adds no new exchanges. */
+object PipelineOps {
+
+  private def inSql(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  private def p90(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    val deduped = Tables.documents(spark, dir)
+      .withColumn("fp", fingerprint($"text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"text")
+    val scored = deduped
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("ttr",
+        size(array_distinct($"toks")).cast("double") / $"n_tokens")
+      .withColumn("stop_ratio",
+        wordSetCount("toks", stopwords("en")).cast("double") / $"n_tokens")
+      .withColumn("quality",
+        lit(0.35) * least(lit(1.0), $"n_tokens" / lit(200.0)) +
+          lit(0.35) * $"ttr" + lit(0.30) * $"stop_ratio")
+      .filter($"quality" >= 0.32)
+    scored
+      .select($"doc_id", $"n_tokens", $"quality",
+        explode(sequence(lit(0), greatest(length($"text") - 1, lit(0)),
+          lit(160))).as("start"))
+      .groupBy($"doc_id")
+      .agg(
+        max($"n_tokens").cast("bigint").as("n_tokens"),
+        max($"quality").as("quality"),
+        count(lit(1)).cast("bigint").as("n_chunks"))
+      .orderBy($"doc_id")
+  }
+  private val p90Sql =
+    s"""WITH dd AS (
+       |  SELECT doc_id, text,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+       |      ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, text,
+       |    LEN(string_split(text, ' ')) AS n_tokens,
+       |    CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / LEN(string_split(text, ' ')) AS ttr,
+       |    CAST(LEN(list_filter(string_split(text, ' '), t -> t IN (${inSql(stopwords("en"))}))) AS DOUBLE)
+       |      / LEN(string_split(text, ' ')) AS stop_ratio
+       |  FROM dd WHERE rn = 1),
+       |scored AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    CAST(0.35 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(200.0 AS DOUBLE))
+       |      + CAST(0.35 AS DOUBLE) * ttr + CAST(0.30 AS DOUBLE) * stop_ratio AS quality
+       |  FROM base)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       | CAST(FLOOR(GREATEST(LEN(text) - 1, 0) / 160.0) + 1 AS BIGINT) AS n_chunks
+       |FROM scored WHERE quality >= 0.32
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[RQ] = Seq(
+    RQ("p90_training_pipeline", p90, Some(p90Sql), bench = true))
+}
