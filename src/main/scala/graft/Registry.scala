@@ -29,8 +29,13 @@ object Registry {
       graft.io.FormatOps.all ++
       graft.plans.PlanOps.all
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // toMap would silently drop a name collision — and with it a query's
+    // entire correctness coverage; fail loudly instead
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     all.map(q => q.name -> q.fn).toMap
+  }
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

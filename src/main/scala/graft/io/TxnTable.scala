@@ -103,6 +103,14 @@ object TxnTable {
     }
   }
 
+  /** Compaction: rewrite the committed snapshot into `targetFiles` files
+    * as a NEW version (readers on the old version are never disturbed —
+    * same commit path as any write). The small-files answer for a table
+    * fed by incremental appends/streaming batches; pair with `vacuum` to
+    * reclaim the superseded fragments. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long =
+    commitOverwrite(read(spark, table).coalesce(targetFiles), table)
+
   /** Delete snapshots older than the committed one (minus `keep` extra
     * retained versions) — bounded storage for a daily-overwrite table. */
   def vacuum(spark: SparkSession, table: String, keep: Int = 0): Unit = {

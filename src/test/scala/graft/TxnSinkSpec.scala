@@ -60,6 +60,26 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites the snapshot into fewer files without changing rows") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+      TxnTable.commitOverwrite(cust.repartition(8), table)
+      val before = new java.io.File(s"$table/v=1")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(before > 1)
+      val v = TxnTable.compact(spark, table)
+      assert(v == 2L && TxnTable.latestVersion(spark, table).contains(2L))
+      val after = new java.io.File(s"$table/v=2")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(after == 1)
+      assert(TxnTable.read(spark, table).count() == cust.count())
+      // old fragments reclaimed on demand
+      TxnTable.vacuum(spark, table)
+      assert(TxnTable.versions(spark, table) == Seq(2L))
+    }
+  }
+
   test("vacuum drops superseded snapshots and keeps the committed one") {
     import spark.implicits._
     withZone { table =>
