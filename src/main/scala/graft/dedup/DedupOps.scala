@@ -333,6 +333,9 @@ object DedupOps {
       cur = labelSum(labels)
       rounds += 1
     }
+    // (measured: batching two propagation steps per checkpoint halves the
+    // action count but doubles the join work of the confirming rounds —
+    // net neutral at small diameters, so one step per round stays.)
     edges.unpersist(blocking = false)
     // a non-converged result is WRONG cluster labels, not slow clustering:
     // fail loudly instead of returning it (min-label rounds ≈ component
