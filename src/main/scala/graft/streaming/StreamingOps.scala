@@ -327,6 +327,64 @@ object StreamingOps {
       | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- s60
+  /** Streaming into the TRANSACTIONAL table (graft.io.TxnTable): each
+    * microbatch lands as one atomic append commit — a reader polling the
+    * table mid-stream sees whole batches or nothing, never a partial
+    * write (the foreachBatch-to-parquet-dir sink of s57 can't promise
+    * that). Two landing files + maxFilesPerTrigger=1 force exactly two
+    * microbatches → two commits; the verified result checks the final
+    * content AND that the commit count equals the batch count. */
+  private def s60(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s60").toFile
+    try {
+      val landing = s"${root.getAbsolutePath}/landing"
+      val table = s"${root.getAbsolutePath}/table"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 2 === 0), s"$landing/file1.parquet")
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 2 === 1), s"$landing/file2.parquet")
+      val q = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"${root.getAbsolutePath}/checkpoint")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.io.TxnTable.commitAppend(batch, table); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = graft.io.TxnTable.read(spark, table)
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          dsum($"value").as("sum_value"),
+          lit(graft.io.TxnTable.latestVersion(spark, table).getOrElse(0L))
+            .as("n_commits"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s60Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+      | CAST(2 AS BIGINT) AS n_commits
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- s58
   /** CHECKPOINTED INCREMENTAL RESUME — the reference sensor's real
     * semantics (ref `dags/s3-etl-wallet-csv.py:141-149`: each daily run
@@ -426,5 +484,6 @@ object StreamingOps {
     RQ("s56_dedup_within_watermark", s56, Some(s56Sql)),
     RQ("s57_foreachbatch_sink", s57, Some(s57Sql)),
     RQ("s58_incremental_resume", s58, Some(s58Sql)),
-    RQ("s59_sliding_window_agg", s59, Some(s59Sql)))
+    RQ("s59_sliding_window_agg", s59, Some(s59Sql)),
+    RQ("s60_txn_stream_sink", s60, Some(s60Sql)))
 }

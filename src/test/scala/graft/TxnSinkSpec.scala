@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.io.{Tables, TxnTable}
 
-/** TxnTable commit-protocol contracts: atomic visibility, time travel,
-  * orphan tolerance, vacuum retention. */
+/** TxnTable commit-protocol contracts: atomic visibility, append commits,
+  * time travel, orphan tolerance, reference-counted vacuum, compaction. */
 class TxnSinkSpec extends AnyFunSuite {
 
   lazy val spark = Spec.spark
@@ -41,22 +41,62 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("append commits accumulate without rewriting prior data") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      val n = cust.count()
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 0), table)
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table)
+      assert(TxnTable.read(spark, table).count() == n)
+      // v1 time travel shows only the first batch
+      assert(TxnTable.readVersion(spark, table, 1).count() ==
+        cust.filter($"c_custkey" % 2 === 0).count())
+      // v2's manifest references v1's files — appends rewrote nothing
+      val v1Files = new java.io.File(s"$table/v=1")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(v1Files > 0)
+    }
+  }
+
   test("a writer dying before the pointer flip leaves readers untouched") {
     import spark.implicits._
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
       TxnTable.commitOverwrite(cust.filter($"c_custkey" <= 10), table)
-      // simulate the crash: snapshot dir v=2 fully written, no commit
+      // simulate the crash: data for v=2 fully written, no manifest/commit
       cust.write.parquet(s"$table/v=2")
       assert(TxnTable.latestVersion(spark, table).contains(1L))
       assert(TxnTable.read(spark, table).count() ==
         cust.filter($"c_custkey" <= 10).count())
-      // the orphan is visible to maintenance, not to readers
-      assert(TxnTable.versions(spark, table) == Seq(1L, 2L))
-      // a later writer's commit simply takes the next slot after the
-      // orphan is overwritten by its own full write
-      TxnTable.commitPointer(spark, table, 2L)
+      // the orphan is invisible even to the version listing …
+      assert(TxnTable.versions(spark, table) == Seq(1L))
+      // … and the next committer takes the slot, clobbering the orphan
+      val v = TxnTable.commitOverwrite(cust, table)
+      assert(v == 2L)
       assert(TxnTable.read(spark, table).count() == cust.count())
+    }
+  }
+
+  test("vacuum is reference-counted: append-shared files survive") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 0), table)
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table)
+      // v2 (latest) references v1's files, so vacuum must NOT delete them
+      TxnTable.vacuum(spark, table)
+      assert(TxnTable.versions(spark, table) == Seq(2L))
+      assert(TxnTable.read(spark, table).count() == cust.count())
+      // overwrite commit orphans all earlier files; vacuum reclaims them
+      TxnTable.commitOverwrite(cust.filter($"c_custkey" <= 5), table)
+      TxnTable.vacuum(spark, table)
+      assert(TxnTable.versions(spark, table) == Seq(3L))
+      assert(!new java.io.File(s"$table/v=1").exists())
+      assert(TxnTable.read(spark, table).count() ==
+        cust.filter($"c_custkey" <= 5).count())
     }
   }
 
@@ -74,27 +114,8 @@ class TxnSinkSpec extends AnyFunSuite {
         .listFiles().count(_.getName.endsWith(".parquet"))
       assert(after == 1)
       assert(TxnTable.read(spark, table).count() == cust.count())
-      // old fragments reclaimed on demand
       TxnTable.vacuum(spark, table)
       assert(TxnTable.versions(spark, table) == Seq(2L))
-    }
-  }
-
-  test("vacuum drops superseded snapshots and keeps the committed one") {
-    import spark.implicits._
-    withZone { table =>
-      val cust = Tables.customer(spark, Spec.sf0001)
-      (1 to 3).foreach(i =>
-        TxnTable.commitOverwrite(cust.filter($"c_custkey" <= i * 10), table))
-      assert(TxnTable.versions(spark, table) == Seq(1L, 2L, 3L))
-      TxnTable.vacuum(spark, table)
-      assert(TxnTable.versions(spark, table) == Seq(3L))
-      assert(TxnTable.read(spark, table).count() ==
-        cust.filter($"c_custkey" <= 30).count())
-      // keep=1 retains one extra superseded version
-      TxnTable.commitOverwrite(cust, table)
-      TxnTable.vacuum(spark, table, keep = 1)
-      assert(TxnTable.versions(spark, table) == Seq(3L, 4L))
     }
   }
 }
