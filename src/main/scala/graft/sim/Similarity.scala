@@ -51,6 +51,16 @@ object Similarity {
     GraftBridge.column(graft.functions.GraftNearestCells(
       GraftBridge.expression(col(a)), cents, nprobe))
 
+  /** Product-quantization sub-codebook assignment: index of the L2-nearest
+    * sub-centroid for the row's subvector starting at `sliceStart`
+    * (centroid arrays arrive pre-sliced). Same zero-amplification
+    * projection kernel as nearestCells, minimizing Σ(x−y)². */
+  def nearestSubCells(a: String, subCents: Array[Array[Double]], nprobe: Int,
+      sliceStart: Int): Column =
+    GraftBridge.column(graft.functions.GraftNearestCells(
+      GraftBridge.expression(col(a)), subCents, nprobe,
+      metric = "l2", sliceStart = sliceStart))
+
   /** The HOF spelling of dot (what `dot` compiled to before the native
     * expression existed) — kept as the reference semantics for tests. */
   def dotHof(a: String, b: String): Column =

@@ -321,6 +321,45 @@ object SimilarityOps {
        |FROM probes p LEFT JOIN hits ON p.probe_id = hits.probe_id
        |ORDER BY p.probe_id""".stripMargin
 
+  // ---------------------------------------------------------------- e50
+  /** PRODUCT QUANTIZATION codes (the PQ half of IVF-PQ): the 64-d vector
+    * splits into 4 subvectors of 16 dims; each subvector is assigned the
+    * L2-nearest entry of its sub-codebook (here: the first 16 corpus
+    * vectors' subvectors, standing in for k-means codewords — the
+    * assignment machinery is identical and deterministic). 4 codes × 4
+    * bits replace 256 float bytes — the 64× compression that makes
+    * trillion-row ANN serving fit in memory. Assignment is the same
+    * zero-amplification native projection as e47 (GraftNearestCells, L2
+    * metric over slices) — no crossJoin, no window, no shuffle. */
+  private def e50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(spark, dir)
+    val sub = cents(0).length / 4
+    val codes = (0 until 4).map { j =>
+      val cj = cents.map(_.slice(j * sub, (j + 1) * sub))
+      element_at(Similarity.nearestSubCells("embedding", cj, 1, j * sub), 1)
+        .cast("bigint").as(s"code$j")
+    }
+    Tables.embeddings(spark, dir)
+      .select(($"vec_id" +: codes): _*)
+      .orderBy($"vec_id")
+  }
+  private val e50Sql = {
+    def l2(j: Int): String = {
+      val lo = j * 16 + 1
+      val hi = (j + 1) * 16
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(list_zip(e.embedding[$lo:$hi], cents.c[$lo:$hi]),
+         |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
+         | (acc, v) -> acc + v)""".stripMargin
+    }
+    def code(j: Int): String =
+      s"(SELECT cent_id FROM cents ORDER BY ${l2(j)} ASC, cent_id LIMIT 1) AS code$j"
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16)
+       |SELECT e.vec_id, ${code(0)}, ${code(1)}, ${code(2)}, ${code(3)}
+       |FROM embeddings e ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -330,5 +369,6 @@ object SimilarityOps {
     RQ("e46_int8_quantize", e46, Some(e46Sql)),
     RQ("e47_ivf_cells", e47, Some(e47Sql)),
     RQ("e48_ivf_ann_topk", e48, Some(e48Sql), bench = true),
-    RQ("e49_ann_recall", e49, Some(e49Sql)))
+    RQ("e49_ann_recall", e49, Some(e49Sql)),
+    RQ("e50_pq_codes", e50, Some(e50Sql)))
 }
