@@ -47,19 +47,39 @@ object Bench {
     }
 
     headline.foreach(runOnce) // warmup: JIT, codegen cache, FS listing
-    // best-of-5: single runs vary up to 8x on a shared box (observed);
-    // the min is the least-noise estimate of the query's true cost
+    // best-of-5 with the 5 repetitions interleaved ROUND-ROBIN across the
+    // query set (rep 1 of every query, then rep 2 of every query, ...):
+    // a transient contention window on a shared box then degrades one rep
+    // of many queries — recoverable by min() — instead of all 5 reps of
+    // whichever queries it straddled, which best-of-5-consecutive cannot
+    // recover from (that failure produced round 3's phantom 2x regression).
+    val reps = 5
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; q <- headline) {
+      val t = runOnce(q)
+      if (t >= 0) samples(q.name) = samples(q.name) :+ t
+    }
+    def j(v: Double) = f"$v%.4f"
     val results = headline.map { q =>
-      val ts = (1 to 5).map(_ => runOnce(q)).filter(_ >= 0)
-      q.name -> (if (ts.isEmpty) -1.0 else ts.min)
+      val ts = samples(q.name)
+      q.name -> (if (ts.isEmpty) (-1.0, -1.0) else (ts.min, ts.max))
     }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, (mn, _)) => s""""$k":${j(mn)}""" }
+      .mkString("{", ",", "}")
+    // per-query {min,max}: a contaminated run self-identifies by a large
+    // max/min spread instead of silently inflating the headline numbers
+    val spread = results
+      .map { case (k, (mn, mx)) => s""""$k":{"min":${j(mn)},"max":${j(mx)}}""" }
+      .mkString("{", ",", "}")
+    val ratios = results.collect { case (_, (mn, mx)) if mn > 0 => mx / mn }.sorted
+    val noise = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2) // median max/min
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // "sf" as the numeric scale factor when the dir encodes one
     val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
       .map(_.group(1)).getOrElse(s""""$sfDir"""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"spread":$spread,"noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf}""")
     spark.stop()
   }
 }

@@ -106,9 +106,12 @@ object FormatOps {
         Tables.writeSingleFile(
           docs.filter($"doc_id" % 3 === i), s"$zone/f$i.parquet")
       }
-      // O2a: the zone listing (what S3ListOperator returned)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      // O2a: the zone listing (what S3ListOperator returned). Resolve the
+      // filesystem FROM the zone path — FileSystem.get(conf) returns the
+      // default FS, which silently lists nothing when fs.defaultFS is not
+      // the scheme that owns the zone (e.g. hdfs default, file:// zone).
+      val zonePath = new org.apache.hadoop.fs.Path(zone)
+      val fs = zonePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val listed = fs
         .globStatus(new org.apache.hadoop.fs.Path(s"$zone/*.parquet"))
         .map(_.getPath.getName).sorted
@@ -230,10 +233,130 @@ object FormatOps {
       | CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM supplier""".stripMargin
 
+  // ---------------------------------------------------------------- k85
+  /** CONCURRENT COMMITTERS + IDEMPOTENT REPLAY under the oracle gate —
+    * the multi-job deployment scenario the reference's copy-then-delete
+    * zone hops break on (ref `dags/s3-etl-wallet-csv.py:161-176`):
+    *
+    *   1. two writers append DISJOINT halves of customer SIMULTANEOUSLY —
+    *      the manifest CAS serializes them; the loser retries against the
+    *      winner's snapshot, so both appends survive (no lost update);
+    *   2. a third append carries an (appId, batchId) txn marker and is
+    *      then REPLAYED — the replay must be a no-op (no third copy of
+    *      the rows, no extra version).
+    *
+    * The verified row folds all invariants into hashable values: total
+    * row count (= full customer + the replayed slice ONCE), balance sum,
+    * and the commit count (2 racing appends + 1 marked append = 3 —
+    * a lost update would drop it to 2 + missing rows, a replayed
+    * double-append would raise it to 4 + doubled slice). */
+  private def k85(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val zone = tmpZone("graft_k85_txn")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      val racers = Seq(0, 1).map { parity =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await(10, TimeUnit.SECONDS)
+            TxnTable.commitAppend(
+              cust.filter($"c_custkey" % 2 === parity), table)
+          }
+        })
+      }
+      gate.countDown()
+      val won = racers.map(_.get(300, TimeUnit.SECONDS)).sorted
+      pool.shutdown()
+      require(won == Seq(1L, 2L), s"concurrent appends landed $won, want [1,2]")
+      val slice = cust.filter($"c_custkey" <= 100)
+      TxnTable.commitAppendIdempotent(slice, table, "k85-sink", 0L)
+      // the foreachBatch-restart replay: same app, same batch → no-op
+      TxnTable.commitAppendIdempotent(slice, table, "k85-sink", 0L)
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"),
+        lit(TxnTable.latestVersion(spark, table).getOrElse(0L))
+          .cast("bigint").as("n_commits"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k85Sql =
+    """SELECT
+      | CAST((SELECT COUNT(*) FROM customer)
+      |     + (SELECT COUNT(*) FROM customer WHERE c_custkey <= 100)
+      |   AS BIGINT) AS n,
+      | CAST((SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) FROM customer)
+      |     + (SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+      |        FROM customer WHERE c_custkey <= 100)
+      |   AS DOUBLE) AS sum_bal,
+      | CAST(3 AS BIGINT) AS n_commits""".stripMargin
+
+  // ---------------------------------------------------------------- k86
+  /** PARTITION-PRUNED SCAN under the oracle gate — the single most common
+    * 100 TB scan optimization: write orders hive-partitioned by
+    * o_orderpriority (`Tables.writeParquet(partitionBy)`), read back with
+    * a partition predicate, and REQUIRE inside the query that the scan
+    * selected exactly the two matching partition directories
+    * (`FileSourceScanExec.selectedPartitions` — the planning-time pruned
+    * listing; `df.inputFiles` can't show this, it lists the pre-pruning
+    * index. At cluster scale this is the difference between scanning 2/5
+    * of the table and all of it). The verified rows are the
+    * per-partition aggregates of the pruned read. */
+  private def k86(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k86_prune")
+    try {
+      val orders = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      Tables.writeParquet(orders, s"$zone/orders_part",
+        partitionBy = Seq("o_orderpriority"))
+      val wanted = Seq("1-URGENT", "3-MEDIUM")
+      val pruned = spark.read.parquet(s"$zone/orders_part")
+        .filter($"o_orderpriority".isin(wanted: _*))
+      val selected = org.apache.spark.sql.GraftBridge.prunedPartitionCount(pruned)
+      require(selected.contains(wanted.size),
+        s"partition pruning failed: scan selected $selected partitions, " +
+          s"want ${wanted.size} of 5")
+      val result = pruned
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k86Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
     RQ("k82_file_lineage", k82, Some(k82Sql)),
     RQ("k83_txn_sink", k83, Some(k83Sql)),
-    RQ("k84_schema_evolution", k84, Some(k84Sql)))
+    RQ("k84_schema_evolution", k84, Some(k84Sql)),
+    RQ("k85_txn_concurrent", k85, Some(k85Sql)),
+    RQ("k86_partition_pruning", k86, Some(k86Sql)))
 }

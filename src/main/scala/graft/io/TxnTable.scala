@@ -1,47 +1,59 @@
 package graft.io
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS plus an
-  * atomically-flipped pointer — the commit-protocol core of the table
+/** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS whose
+  * atomic creation IS the commit — the commit-protocol core of the table
   * formats (Delta/Iceberg) whose jar the reference shipped but never used
   * (ref `spark/jars/delta-core_2.12-0.7.0.jar`, SURVEY.md §1.3).
   *
   * Layout:
-  *   table/v=1/part-*.parquet      immutable data-file dirs, one per commit
-  *   table/v=2/part-*.parquet
-  *   table/_v00001.manifest        the file list of snapshot 1
-  *   table/_v00002.manifest        the file list of snapshot 2
-  *   table/_latest                 pointer: the committed version number
+  *   table/w=ab12cd34/part-*.parquet   immutable data dirs, one per commit
+  *   table/w=9f00e1c2/part-*.parquet   attempt, name unique per WRITER
+  *   table/_v00001.manifest            commit log entry for snapshot 1
+  *   table/_v00002.manifest            commit log entry for snapshot 2
   *
-  * Protocol: a writer materializes its new data files under `v=n+1/`,
-  * writes the version's manifest (OVERWRITE commit: just the new files;
-  * APPEND commit: the previous manifest's files plus the new ones), then
-  * commits by atomically replacing `_latest`. Readers resolve `_latest` →
-  * manifest → file list, so they see a complete old snapshot or a
-  * complete new one — never a partial write; a writer that dies before
-  * the flip leaves orphan files and an untouched pointer (invisible to
-  * readers AND to `versions`; the next committer overwrites the slot).
-  * This is the non-atomicity fix for the reference's copy-then-delete
-  * zone hops (ref `dags/s3-etl-wallet-csv.py:161-176`; SURVEY.md §4.2-5).
+  * Protocol: a writer materializes its data files under a fresh unique
+  * `w=<token>/` dir (two racing writers can never clobber each other's
+  * data), computes the file list of the snapshot it intends to publish
+  * (OVERWRITE commit: just its new files; APPEND commit: the current
+  * latest manifest's files plus its new ones), then commits by creating
+  * `_v<next>.manifest` via write-temp + rename-WITHOUT-overwrite. The
+  * no-overwrite rename is the FS-level compare-and-swap: exactly one of
+  * N racing writers creates the next version's manifest; every loser
+  * gets FileAlreadyExistsException, re-reads the NEW latest snapshot,
+  * recomputes its file list against it, and retries at `next+1` — so
+  * concurrent appends serialize and both survive (lost-update-free).
+  * A writer that dies before its manifest rename leaves only an orphan
+  * `w=` dir: invisible to readers AND to `versions` (manifest existence
+  * is committedness — there is no window where a crashed writer's
+  * output is half-visible). This is the concurrency+atomicity fix for
+  * the reference's copy-then-delete zone hops
+  * (ref `dags/s3-etl-wallet-csv.py:161-176`; SURVEY.md §4.2-5).
   *
-  * Scale/portability: the atomicity seam is ONE small-object replace —
-  * atomic on HDFS/local via FileContext rename OVERWRITE, mapping to the
-  * single-key atomic PUT on object stores; data volume never moves
-  * through the commit path, and an append commit rewrites NO existing
-  * data (manifest concatenation only). Superseded snapshots stay
-  * readable (time travel via their manifests) until `vacuum` reclaims
-  * unreferenced files. Single-writer protocol: concurrent committers
-  * need a CAS on the pointer, which plain FS rename can't give — the
-  * documented line between this and a full Delta. Streaming foreachBatch
-  * replay after a sink failure can re-append a batch; full idempotence
-  * needs the (appId, batchId) txn markers real Delta stores. */
+  * Idempotent replay: a commit may carry a (txnAppId, batchId) marker,
+  * persisted as `#txn=` header lines in the manifest and carried
+  * forward by every later commit. `commitAppendIdempotent` is a no-op
+  * when the table has already applied a batchId >= the offered one for
+  * that appId — exactly Delta's txn-marker scheme — which makes
+  * Structured Streaming foreachBatch replay after a sink failure safe
+  * (the same microbatch re-offered on restart does not double-append).
+  *
+  * Scale/portability: the atomicity seam is ONE small-object
+  * no-overwrite rename — atomic on HDFS/local via FileContext, mapping
+  * to the conditional PUT (If-None-Match) on object stores; data volume
+  * never moves through the commit path, and an append commit rewrites
+  * NO existing data (manifest concatenation only). Superseded snapshots
+  * stay readable (time travel via their manifests) until `vacuum`
+  * reclaims unreferenced files; give `vacuum` a `retainMs` covering the
+  * longest in-flight commit so it cannot reap a concurrent writer's
+  * not-yet-committed data dir. */
 object TxnTable {
 
-  private val Latest = "_latest"
   private def manifestName(v: Long) = f"_v$v%05d.manifest"
+  private val TxnPrefix = "#txn="
 
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
@@ -51,27 +63,30 @@ object TxnTable {
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
 
-  private def writeSmallAtomic(ctx: FileContext, dest: Path, content: String): Unit = {
+  /** Write `content` to a temp file, then rename WITHOUT overwrite onto
+    * `dest`. Returns false (leaving `dest` untouched) if `dest` already
+    * exists — the lost-the-race signal. */
+  private def tryCreateAtomic(ctx: FileContext, dest: Path, content: String): Boolean = {
     val tmp = new Path(dest.getParent,
-      s"${dest.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      s".${dest.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
     try out.write(content.getBytes(UTF_8)) finally out.close()
-    ctx.rename(tmp, dest, Options.Rename.OVERWRITE)
+    try { ctx.rename(tmp, dest, Options.Rename.NONE); true }
+    catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+        ctx.delete(tmp, false); false
+    }
   }
 
-  /** Highest committed version, if any. */
-  def latestVersion(spark: SparkSession, table: String): Option[Long] = {
-    val ctx = fc(spark)
-    val p = new Path(table, Latest)
-    if (!ctx.util.exists(p)) None
-    else Some(readSmall(ctx, p).trim.toLong)
-  }
+  /** Highest committed version, if any (manifest existence = committed). */
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    versions(spark, table).lastOption
 
-  /** Committed snapshot versions (those with a manifest), ascending.
-    * Orphan `v=` dirs from dead writers are NOT listed. */
+  /** Committed snapshot versions, ascending. Orphan `w=` dirs from dead
+    * writers have no manifest and are never listed. */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val ctx = fc(spark)
     val dir = new Path(table)
@@ -88,8 +103,7 @@ object TxnTable {
     }
   }
 
-  /** Table-relative data files of snapshot `version`. */
-  private def manifestFiles(spark: SparkSession, table: String, version: Long): Seq[String] = {
+  private def manifestLines(spark: SparkSession, table: String, version: Long): Seq[String] = {
     val ctx = fc(spark)
     val p = new Path(table, manifestName(version))
     require(ctx.util.exists(p),
@@ -97,48 +111,93 @@ object TxnTable {
     readSmall(ctx, p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def listParquet(spark: SparkSession, table: String, v: Long): Seq[String] = {
+  /** Table-relative data files of snapshot `version` (public: the
+    * file-level lineage view, and what specs assert against). */
+  def snapshotFiles(spark: SparkSession, table: String, version: Long): Seq[String] =
+    manifestLines(spark, table, version).filterNot(_.startsWith("#"))
+
+  /** Streaming-txn markers of snapshot `version`: appId -> highest
+    * applied batchId. Carried forward by every commit. */
+  def txnMarkers(spark: SparkSession, table: String, version: Long): Map[String, Long] =
+    manifestLines(spark, table, version)
+      .filter(_.startsWith(TxnPrefix))
+      .map { l =>
+        val body = l.stripPrefix(TxnPrefix)
+        val i = body.lastIndexOf(':')
+        body.take(i) -> body.drop(i + 1).toLong
+      }.toMap
+
+  /** Highest batchId the table has applied for `appId`, if any. */
+  def lastCommittedBatch(spark: SparkSession, table: String, appId: String): Option[Long] =
+    latestVersion(spark, table).flatMap(v => txnMarkers(spark, table, v).get(appId))
+
+  private def listParquet(spark: SparkSession, table: String, dirName: String): Seq[String] = {
     val ctx = fc(spark)
-    val it = ctx.listStatus(new Path(s"$table/v=$v"))
+    val it = ctx.listStatus(new Path(s"$table/$dirName"))
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val n = it.next().getPath.getName
-      if (n.endsWith(".parquet")) buf += s"v=$v/$n"
+      if (n.endsWith(".parquet")) buf += s"$dirName/$n"
     }
     buf.sorted.toSeq
   }
 
-  private def commit(df: DataFrame, table: String, append: Boolean): Long = {
+  private def commit(df: DataFrame, table: String, append: Boolean,
+                     txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
-    val prior = latestVersion(spark, table)
-    val next = prior.getOrElse(0L) + 1L
-    // Overwrite clobbers any orphan dir a dead writer left in this slot
-    df.write.mode(SaveMode.Overwrite).parquet(s"$table/v=$next")
-    val newFiles = listParquet(spark, table, next)
-    val files =
-      if (append) prior.map(manifestFiles(spark, table, _)).getOrElse(Nil) ++ newFiles
-      else newFiles
     val ctx = fc(spark)
-    writeSmallAtomic(ctx, new Path(table, manifestName(next)), files.mkString("\n"))
-    commitPointer(spark, table, next)
-    next
+    def alreadyApplied: Option[Long] = txn.flatMap { case (appId, batchId) =>
+      latestVersion(spark, table)
+        .filter(v => txnMarkers(spark, table, v).get(appId).exists(_ >= batchId))
+    }
+    // replay fast-path: skip the data write entirely
+    alreadyApplied.foreach(v => return v)
+    val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
+    val newFiles = listParquet(spark, table, dataDir)
+    var attempt = 0
+    while (attempt < 64) {
+      alreadyApplied.foreach { v => // raced with a replica of the same batch
+        ctx.delete(new Path(s"$table/$dataDir"), true); return v
+      }
+      val prior = latestVersion(spark, table)
+      val next = prior.getOrElse(0L) + 1L
+      val priorTxns = prior.map(txnMarkers(spark, table, _)).getOrElse(Map.empty)
+      val txns = priorTxns ++ txn.map { case (a, b) =>
+        a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) }
+      val files =
+        if (append) prior.map(snapshotFiles(spark, table, _)).getOrElse(Nil) ++ newFiles
+        else newFiles
+      val content =
+        (txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++ files)
+          .mkString("\n")
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content))
+        return next
+      attempt += 1 // lost the CAS: recompute against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"commit to $table lost the manifest race 64 times — pathological contention")
   }
 
   /** Write `df` as a full replacement snapshot and commit it atomically. */
   def commitOverwrite(df: DataFrame, table: String): Long =
-    commit(df, table, append = false)
+    commit(df, table, append = false, txn = None)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
-    * plus the atomic pointer flip. The streaming-sink shape: each
-    * microbatch appends atomically, readers always see whole batches. */
+    * plus one atomic no-overwrite rename. Safe under concurrent
+    * committers: the loser of the manifest CAS retries against the
+    * winner's snapshot, so both appends survive. */
   def commitAppend(df: DataFrame, table: String): Long =
-    commit(df, table, append = true)
+    commit(df, table, append = true, txn = None)
 
-  /** Flip the pointer to `version` (exposed separately so tests can
-    * simulate a writer dying between data write and commit). */
-  def commitPointer(spark: SparkSession, table: String, version: Long): Unit =
-    writeSmallAtomic(fc(spark), new Path(table, Latest), version.toString)
+  /** Append exactly-once per (appId, batchId): a replay of an
+    * already-applied batch is a no-op returning the current version.
+    * The streaming-sink shape — foreachBatch restarts re-offer the last
+    * batch, and this makes the re-offer safe (Delta's txn markers). */
+  def commitAppendIdempotent(df: DataFrame, table: String,
+                             appId: String, batchId: Long): Long =
+    commit(df, table, append = true, txn = Some((appId, batchId)))
 
   /** Read the committed snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =
@@ -148,7 +207,7 @@ object TxnTable {
 
   /** Time travel: read snapshot `version` (must not be vacuumed). */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val files = manifestFiles(spark, table, version).map(f => s"$table/$f")
+    val files = snapshotFiles(spark, table, version).map(f => s"$table/$f")
     spark.read.parquet(files: _*)
   }
 
@@ -161,27 +220,35 @@ object TxnTable {
 
   /** Drop snapshot manifests older than `latest - keep` and delete data
     * files no RETAINED manifest references (append commits share files
-    * across versions, so reclamation is reference-counted, not per-dir). */
-  def vacuum(spark: SparkSession, table: String, keep: Int = 0): Unit = {
+    * across versions, so reclamation is reference-counted, not per-dir).
+    * `retainMs`: never touch files/dirs modified within the last
+    * `retainMs` ms — set it above the longest in-flight commit so vacuum
+    * cannot reap a concurrent writer's not-yet-committed `w=` dir
+    * (Delta's retention-window rule; 0 only when no writer is live). */
+  def vacuum(spark: SparkSession, table: String, keep: Int = 0,
+             retainMs: Long = 0L): Unit = {
     val ctx = fc(spark)
+    val cutoff = System.currentTimeMillis() - retainMs
     latestVersion(spark, table).foreach { latest =>
       val (dropped, retained) = versions(spark, table).partition(_ < latest - keep)
       dropped.foreach(v => ctx.delete(new Path(table, manifestName(v)), false))
       // reclamation is FILE-driven, not version-driven: append lineage
-      // lets retained manifests reference files in ANY older version dir
-      // (and an already-dropped manifest's shared files only become
-      // unreferenced when the last retainer drops), so sweep every v=*
-      // dir on disk and delete what no surviving manifest references —
-      // then whole-dir delete emptied dirs (clears _SUCCESS/checksums).
-      val referenced = retained.flatMap(manifestFiles(spark, table, _)).toSet
+      // lets retained manifests reference files in ANY data dir (and an
+      // already-dropped manifest's shared files only become unreferenced
+      // when the last retainer drops), so sweep every data dir on disk
+      // and delete what no surviving manifest references — then
+      // whole-dir delete emptied NON-EMPTY dirs (clears _SUCCESS /
+      // checksums); dirs with zero parquet files are left alone rather
+      // than vacuously matching `forall(unreferenced)`.
+      val referenced = retained.flatMap(snapshotFiles(spark, table, _)).toSet
       val dirIt = ctx.listStatus(new Path(table))
       while (dirIt.hasNext) {
         val st = dirIt.next()
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("v=")) {
-          val v = n.drop(2).toLong
-          val files = listParquet(spark, table, v)
-          if (files.forall(f => !referenced.contains(f)))
+        if (st.isDirectory && n.startsWith("w=") &&
+            (retainMs <= 0L || st.getModificationTime < cutoff)) {
+          val files = listParquet(spark, table, n)
+          if (files.nonEmpty && files.forall(f => !referenced.contains(f)))
             ctx.delete(st.getPath, true)
           else files.filterNot(referenced.contains)
             .foreach(f => ctx.delete(new Path(s"$table/$f"), false))

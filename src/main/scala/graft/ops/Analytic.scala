@@ -448,18 +448,21 @@ object Analytic {
       approx_count_distinct($"l_partkey", 0.01).cast("bigint").as("ap"))
       .select(
         $"exact_orders", $"exact_parts",
-        // default rsd = 0.05; 2× headroom on the observed sf0.01 error
-        (abs($"ao" - $"exact_orders") <= $"exact_orders" * 0.10)
-          .as("approx_orders_within_10pct"),
-        // rsd = 0.01; 3% bound
-        (abs($"ap" - $"exact_parts") <= $"exact_parts" * 0.03)
-          .as("approx_parts_within_3pct"))
+        // tolerance = 5 × the CONFIGURED rsd (not tuned to one dataset's
+        // observed error): a sketch within its contract passes at any
+        // scale factor; only a genuinely broken sketch (>5σ) flips the
+        // boolean. Default rsd = 0.05 → 25% bound.
+        (abs($"ao" - $"exact_orders") <= $"exact_orders" * (5 * 0.05))
+          .as("approx_orders_within_5rsd"),
+        // rsd = 0.01 → 5% bound
+        (abs($"ap" - $"exact_parts") <= $"exact_parts" * (5 * 0.01))
+          .as("approx_parts_within_5rsd"))
   }
   private val a35Sql =
     """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
       | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-      | true AS approx_orders_within_10pct,
-      | true AS approx_parts_within_3pct
+      | true AS approx_orders_within_5rsd,
+      | true AS approx_parts_within_5rsd
       |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- a36

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-safe replacements for global-order windows.
@@ -23,6 +25,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * and paid the shuffle twice. This is the genuinely-imperative
   * per-partition case where the RDD hop is the right tool; `RDD.zipWithIndex`
   * is built the same way.
+  *
+  * The hop stays at the INTERNALROW level (`queryExecution.toRdd` in,
+  * `internalCreateDataFrame` out): rows are never decoded to external
+  * `Row`s and back — the counting pass touches no fields at all, and the
+  * numbering pass prepends the id via a `JoinedRow` over a buffer copy
+  * of the (reused) UnsafeRow. The old `.rdd`/`createDataFrame` spelling
+  * paid a full per-field deserialize + re-encode of the entire table —
+  * at 100 TB that is the numbering pass costing more than the sort.
   *
   * Contract with the reference's SERIAL-id semantics
   * (ref `dags/s3-etl-wallet-csv.py:210`): ids are contiguous from 1 in the
@@ -55,9 +65,10 @@ object GlobalOrder {
     val sortedRdd = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .rdd // single RDD instance shared by both jobs below
+      .queryExecution.toRdd // InternalRow; shared by both jobs below
 
-    // pass 2: one long per partition to the driver — O(parts), not O(rows)
+    // pass 2: one long per partition to the driver — O(parts), not
+    // O(rows), and no field is ever decoded
     val counts = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }
@@ -71,13 +82,20 @@ object GlobalOrder {
     while (p < parts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L); p += 1 }
 
     // pass 3: partition-local numbering from the broadcast offsets; the
-    // range-exchange map stage is skipped here (already materialized)
+    // range-exchange map stage is skipped here (already materialized).
+    // copy() the source row (scan iterators reuse one UnsafeRow buffer;
+    // downstream operators may hold references) and prepend the id with
+    // a JoinedRow — no per-field extraction.
     val numbered = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var i = offsets(pid)
-      it.map { row => i += 1; Row.fromSeq(i +: row.toSeq) }
+      it.map { row =>
+        i += 1
+        new JoinedRow(
+          new GenericInternalRow(Array[Any](i)), row.copy()): InternalRow
+      }
     }
     val outSchema = StructType(
       StructField(idCol, LongType, nullable = false) +: df.schema.fields)
-    (spark.createDataFrame(numbered, outSchema), acc)
+    (GraftBridge.internalCreateDataFrame(spark, numbered, outSchema), acc)
   }
 }

@@ -360,6 +360,101 @@ object SimilarityOps {
        |FROM embeddings e ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e51
+  /** K-MEANS-TRAINED IVF centroids (replacing e47/e48's first-16-vectors
+    * stand-in): Lloyd's algorithm as DataFrame operations —
+    *
+    *   init    the first k corpus vectors (the deterministic seed)
+    *   assign  nearest centroid by L2 (k-means' objective) — the native
+    *           zero-amplification GraftNearestCells projection
+    *   update  new centroid = per-(cell, dim) mean via posexplode +
+    *           decimal-sum davg (order-independent, so the trained
+    *           centroids are bit-identical at any partition count)
+    *
+    * Each iteration syncs k×d small values to the driver (the bounded
+    * per-round action every distributed Lloyd implementation has — same
+    * pattern as d40's convergence check); data-sized work stays
+    * distributed: one projection + one keyed agg per round, no crossJoin,
+    * no window. The oracle replays the SAME two iterations as a DuckDB
+    * CTE chain — a hash match proves init, both assignment rounds, and
+    * both mean updates are bit-exact across engines. SimilaritySpec
+    * additionally measures recall@5 of the trained index vs the stand-in
+    * (training must not hurt recall at equal nprobe). */
+  private[graft] val e51Iters = 2
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String,
+      iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    var cents = centroids(spark, dir)
+    for (_ <- 1 to iters) {
+      val means = emb.select(
+          element_at(Similarity.nearestSubCells("embedding", cents, 1, 0), 1)
+            .as("cell"),
+          posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim")
+        .agg(graft.ops.Num.davg($"x".cast("double")).as("m"))
+        .collect() // k×d rows — the bounded per-iteration sync point
+      val byCell = means.groupBy(_.getAs[Int]("cell")).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m"))
+      }
+      // a cell that captured no vectors keeps its previous centroid
+      cents = Array.tabulate(cents.length)(i => byCell.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  private def e51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainedCentroids(spark, dir, e51Iters)
+    Tables.embeddings(spark, dir).select(
+        $"vec_id",
+        element_at(Similarity.nearestSubCells("embedding", cents, 1, 0), 1)
+          .cast("bigint").as("cell"))
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy($"cell")).cast("bigint"))
+      .orderBy($"vec_id")
+  }
+  private val e51Sql: String = {
+    def l2(v: String, c: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(list_zip($v, $c),
+         |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
+         | (acc, u) -> acc + u)""".stripMargin
+    // one Lloyd iteration as three CTEs: assign aI against c(I-1),
+    // per-(cell,dim) decimal-sum means mI, rebuilt centroid table cI
+    // (LEFT JOIN + COALESCE keeps an empty cell's previous centroid)
+    def iter(i: Int): String =
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.embedding, (
+         |    SELECT cent_id FROM c${i - 1}
+         |    ORDER BY ${l2("e.embedding", s"c${i - 1}.c")} ASC, cent_id LIMIT 1) AS cell
+         |  FROM embeddings e),
+         |m$i AS (
+         |  SELECT cell, d.dim,
+         |    CAST(SUM(CAST(e.embedding[d.dim]::DOUBLE AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(e.embedding[d.dim]) AS m
+         |  FROM a$i e, generate_series(1, 64) AS d(dim)
+         |  GROUP BY cell, d.dim),
+         |c$i AS (
+         |  SELECT p.cent_id, COALESCE(n.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cell AS cent_id, list(m ORDER BY dim) AS c
+         |    FROM m$i GROUP BY cell) n USING (cent_id))""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM embeddings WHERE vec_id < 16),
+       |${(1 to e51Iters).map(iter).mkString(",\n")},
+       |af AS (
+       |  SELECT e.vec_id, (
+       |    SELECT cent_id FROM c$e51Iters
+       |    ORDER BY ${l2("e.embedding", s"c$e51Iters.c")} ASC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       | CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+       |FROM af ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -370,5 +465,6 @@ object SimilarityOps {
     RQ("e47_ivf_cells", e47, Some(e47Sql)),
     RQ("e48_ivf_ann_topk", e48, Some(e48Sql), bench = true),
     RQ("e49_ann_recall", e49, Some(e49Sql)),
-    RQ("e50_pq_codes", e50, Some(e50Sql)))
+    RQ("e50_pq_codes", e50, Some(e50Sql)),
+    RQ("e51_ivf_trained", e51, Some(e51Sql), bench = true))
 }

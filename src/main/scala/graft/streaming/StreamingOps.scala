@@ -55,7 +55,17 @@ object StreamingOps {
       .format("memory").queryName(unique).outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(unique)
+    val spark = df.sparkSession
+    val sink = spark.table(unique)
+    // materialize the result locally (bounded: the memory sink already
+    // holds every row on the driver — this adds one copy, not a scale
+    // change), then DROP the sink's temp view so long-lived sessions
+    // (driver verify/bench loops) keep a constant catalog instead of
+    // accumulating one pinned `name_N` sink per drain
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    spark.catalog.dropTempView(unique)
+    out
   }
 
   // ---------------------------------------------------------------- s50
@@ -333,8 +343,12 @@ object StreamingOps {
     * table mid-stream sees whole batches or nothing, never a partial
     * write (the foreachBatch-to-parquet-dir sink of s57 can't promise
     * that). Two landing files + maxFilesPerTrigger=1 force exactly two
-    * microbatches → two commits; the verified result checks the final
-    * content AND that the commit count equals the batch count. */
+    * microbatches → two commits, each carrying an (appId, batchId) txn
+    * marker; after the stream drains, batch 0 is RE-OFFERED — the
+    * foreachBatch-replay-after-failure scenario — and the idempotent
+    * commit makes it a no-op. The verified result checks the final
+    * content AND that the commit count still equals the true batch
+    * count (a double-append would show n_commits=3 and 1.5x the sum). */
   private def s60(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_s60").toFile
@@ -357,12 +371,17 @@ object StreamingOps {
         .writeStream
         .option("checkpointLocation", s"${root.getAbsolutePath}/checkpoint")
         .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            graft.io.TxnTable.commitAppend(batch, table); ()
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            graft.io.TxnTable.commitAppendIdempotent(
+              batch, table, "s60-sink", batchId); ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // simulate a sink-failure replay: the stream restarts and re-offers
+      // the last batch. The txn marker makes the re-append a no-op.
+      graft.io.TxnTable.commitAppendIdempotent(
+        spark.read.parquet(s"$landing/file2.parquet"), table, "s60-sink", 1L)
       val result = graft.io.TxnTable.read(spark, table)
         .agg(
           count(lit(1)).cast("bigint").as("n"),

@@ -22,4 +22,24 @@ object GraftBridge {
     * function registration). */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Partitions actually selected by the frame's parquet scan after
+    * partition pruning (planning-time directory pruning — note
+    * `df.inputFiles` can NOT show this: it lists the pre-pruning file
+    * index). None when the plan has no file scan. */
+  def prunedPartitionCount(df: DataFrame): Option[Int] =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+
+  /** RDD[InternalRow] → DataFrame without the Row encode/decode round
+    * trip (the private[sql] twin of createDataFrame). The rows must
+    * already be in catalyst format and safe to buffer (copied). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -54,4 +54,19 @@ class GlobalOrderSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(windowPlan.contains("SinglePartition"), windowPlan)
   }
+
+  test("the numbering pass stays on InternalRow — no Row round-trip") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Spec.sf0001).select($"event_id")
+    val (ranked, _) =
+      GlobalOrder.withGlobalRank(ev, Seq($"event_id"), numPartitions = 5)
+    // the old `.rdd`/`createDataFrame` spelling decoded every row to an
+    // external Row and re-encoded it, which plans DeserializeToObject /
+    // SerializeFromObject around the hop; the InternalRow path plans
+    // neither — the numbered RDD scans directly
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("SerializeFromObject"), plan)
+    assert(!plan.contains("createexternalrow"), plan)
+  }
 }

@@ -31,6 +31,33 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(graft.dedup.DedupOps.connectedComponents(empty).count() == 0)
   }
 
+  test("a 200-link chain exceeds the label-propagation cap and converges via star contraction") {
+    // diameter 200 > the 50-round propagation cap: the old code threw
+    // here; connectedComponents now falls back to large-star/small-star
+    // (logarithmic rounds) and must return the exact labels
+    val chain = (0L to 200L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val got = graft.dedup.DedupOps.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+  }
+
+  test("starContraction agrees with label propagation on mixed graphs") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L), (5L, 5L)).toDF("a", "b")
+    val star = graft.dedup.DedupOps.starContraction(pairs)
+      .as[(Long, Long)].collect().toMap
+    // 5 is self-paired only: isolated node labels itself
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L))
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val viaStar = graft.dedup.DedupOps.starContraction(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val viaLabels = graft.dedup.DedupOps.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaLabels)
+  }
+
   test("d40 clusters are consistent with d37 pairs: endpoints share a label") {
     val clusters = Registry.queries("d40_dedup_clusters")(spark, Spec.sf0001)
       .as[(Long, Long)].collect().toMap
@@ -123,6 +150,15 @@ class Round2OpsSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial, edges=$edges")
     }
+  }
+
+  test("drained memory-sink tables are dropped: repeated runs keep the catalog constant") {
+    Registry.queries("s50_stream_window_agg")(spark, Spec.sf0001).collect()
+    val before = spark.catalog.listTables().count()
+    Registry.queries("s50_stream_window_agg")(spark, Spec.sf0001).collect()
+    Registry.queries("s50_stream_window_agg")(spark, Spec.sf0001).collect()
+    val after = spark.catalog.listTables().count()
+    assert(after == before, s"catalog grew $before -> $after across drains")
   }
 
   test("sessionize: session bounds ordered, counts sum to event count") {

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.io.{Tables, TxnTable}
 
 /** TxnTable commit-protocol contracts: atomic visibility, append commits,
-  * time travel, orphan tolerance, reference-counted vacuum, compaction. */
+  * time travel, orphan tolerance, concurrent-writer CAS, idempotent
+  * replay markers, reference-counted vacuum, compaction. */
 class TxnSinkSpec extends AnyFunSuite {
 
   lazy val spark = Spec.spark
@@ -22,6 +23,11 @@ class TxnSinkSpec extends AnyFunSuite {
       rm(zone)
     }
   }
+
+  /** Parquet-file count of snapshot `v`, resolved through its manifest
+    * (the layout names data dirs per WRITER, not per version). */
+  private def nFiles(table: String, v: Long): Int =
+    TxnTable.snapshotFiles(spark, table, v).size
 
   test("commit flips the visible snapshot; superseded versions stay intact") {
     import spark.implicits._
@@ -53,29 +59,92 @@ class TxnSinkSpec extends AnyFunSuite {
       // v1 time travel shows only the first batch
       assert(TxnTable.readVersion(spark, table, 1).count() ==
         cust.filter($"c_custkey" % 2 === 0).count())
-      // v2's manifest references v1's files — appends rewrote nothing
-      val v1Files = new java.io.File(s"$table/v=1")
-        .listFiles().count(_.getName.endsWith(".parquet"))
-      assert(v1Files > 0)
+      // v2's manifest is a strict superset of v1's — appends rewrote
+      // nothing, and v1's physical files are still on disk
+      val v1Files = TxnTable.snapshotFiles(spark, table, 1)
+      val v2Files = TxnTable.snapshotFiles(spark, table, 2)
+      assert(v1Files.nonEmpty && v1Files.toSet.subsetOf(v2Files.toSet))
+      assert(v1Files.forall(f => new java.io.File(s"$table/$f").exists()))
     }
   }
 
-  test("a writer dying before the pointer flip leaves readers untouched") {
+  test("a writer dying before its manifest commit is fully invisible") {
     import spark.implicits._
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
       TxnTable.commitOverwrite(cust.filter($"c_custkey" <= 10), table)
-      // simulate the crash: data for v=2 fully written, no manifest/commit
-      cust.write.parquet(s"$table/v=2")
+      // simulate the crash: data dir fully written, no manifest created
+      cust.write.parquet(s"$table/w=deadwriter01")
       assert(TxnTable.latestVersion(spark, table).contains(1L))
       assert(TxnTable.read(spark, table).count() ==
         cust.filter($"c_custkey" <= 10).count())
       // the orphan is invisible even to the version listing …
       assert(TxnTable.versions(spark, table) == Seq(1L))
-      // … and the next committer takes the slot, clobbering the orphan
+      // … and the next commit proceeds normally alongside it
       val v = TxnTable.commitOverwrite(cust, table)
       assert(v == 2L)
       assert(TxnTable.read(spark, table).count() == cust.count())
+      // vacuum reclaims the orphan (its files are in no manifest)
+      TxnTable.vacuum(spark, table)
+      assert(!new java.io.File(s"$table/w=deadwriter01").exists())
+    }
+  }
+
+  test("concurrent committers: the manifest CAS serializes, both appends survive") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      val n = cust.count()
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      val fs = Seq(0, 1).map { parity =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await(10, TimeUnit.SECONDS)
+            TxnTable.commitAppend(
+              cust.filter($"c_custkey" % 2 === parity), table)
+          }
+        })
+      }
+      gate.countDown() // release both writers at once
+      val versions = fs.map(_.get(120, TimeUnit.SECONDS)).sorted
+      pool.shutdown()
+      // exactly one writer won v1; the loser retried and landed v2 with
+      // the winner's files carried forward — no lost update
+      assert(versions == Seq(1L, 2L))
+      assert(TxnTable.read(spark, table).count() == n)
+      assert(TxnTable.versions(spark, table) == Seq(1L, 2L))
+    }
+  }
+
+  test("idempotent replay: an already-applied (appId, batchId) is a no-op") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      val b0 = cust.filter($"c_custkey" % 2 === 0)
+      val b1 = cust.filter($"c_custkey" % 2 === 1)
+      val v1 = TxnTable.commitAppendIdempotent(b0, table, "sinkA", 0L)
+      assert(v1 == 1L)
+      // replay of batch 0 (foreachBatch restart): no new version, no rows
+      val vReplay = TxnTable.commitAppendIdempotent(b0, table, "sinkA", 0L)
+      assert(vReplay == 1L)
+      assert(TxnTable.latestVersion(spark, table).contains(1L))
+      assert(TxnTable.read(spark, table).count() == b0.count())
+      // the next batch commits normally
+      val v2 = TxnTable.commitAppendIdempotent(b1, table, "sinkA", 1L)
+      assert(v2 == 2L)
+      assert(TxnTable.read(spark, table).count() == cust.count())
+      // a DIFFERENT app's batch 0 is independent state
+      val v3 = TxnTable.commitAppendIdempotent(b0.limit(3), table, "sinkB", 0L)
+      assert(v3 == 3L)
+      assert(TxnTable.lastCommittedBatch(spark, table, "sinkA").contains(1L))
+      assert(TxnTable.lastCommittedBatch(spark, table, "sinkB").contains(0L))
+      // markers carry forward across an overwrite commit too
+      TxnTable.commitOverwrite(b0.limit(1), table)
+      assert(TxnTable.lastCommittedBatch(spark, table, "sinkA").contains(1L))
     }
   }
 
@@ -86,6 +155,7 @@ class TxnSinkSpec extends AnyFunSuite {
         .select($"c_custkey", $"c_acctbal")
       TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 0), table)
       TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table)
+      val v1Files = TxnTable.snapshotFiles(spark, table, 1)
       // v2 (latest) references v1's files, so vacuum must NOT delete them
       TxnTable.vacuum(spark, table)
       assert(TxnTable.versions(spark, table) == Seq(2L))
@@ -94,9 +164,13 @@ class TxnSinkSpec extends AnyFunSuite {
       TxnTable.commitOverwrite(cust.filter($"c_custkey" <= 5), table)
       TxnTable.vacuum(spark, table)
       assert(TxnTable.versions(spark, table) == Seq(3L))
-      assert(!new java.io.File(s"$table/v=1").exists())
+      assert(v1Files.forall(f => !new java.io.File(s"$table/$f").exists()))
       assert(TxnTable.read(spark, table).count() ==
         cust.filter($"c_custkey" <= 5).count())
+      // a retention window protects recent (possibly in-flight) dirs
+      cust.limit(1).write.parquet(s"$table/w=inflight00001")
+      TxnTable.vacuum(spark, table, retainMs = 3600L * 1000)
+      assert(new java.io.File(s"$table/w=inflight00001").exists())
     }
   }
 
@@ -105,14 +179,10 @@ class TxnSinkSpec extends AnyFunSuite {
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
       TxnTable.commitOverwrite(cust.repartition(8), table)
-      val before = new java.io.File(s"$table/v=1")
-        .listFiles().count(_.getName.endsWith(".parquet"))
-      assert(before > 1)
+      assert(nFiles(table, 1) > 1)
       val v = TxnTable.compact(spark, table)
       assert(v == 2L && TxnTable.latestVersion(spark, table).contains(2L))
-      val after = new java.io.File(s"$table/v=2")
-        .listFiles().count(_.getName.endsWith(".parquet"))
-      assert(after == 1)
+      assert(nFiles(table, 2) == 1)
       assert(TxnTable.read(spark, table).count() == cust.count())
       TxnTable.vacuum(spark, table)
       assert(TxnTable.versions(spark, table) == Seq(2L))
