@@ -187,7 +187,7 @@ object SimilarityOps {
     * not data) — inlined into GraftNearestCells as a plan constant, the
     * same way a broadcast literal ships. Ordered by vec_id so the array
     * index IS the cent_id. */
-  private def centroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+  private[graft] def centroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
     import spark.implicits._
     Tables.embeddings(spark, dir).filter($"vec_id" < 16).orderBy($"vec_id")
       .select($"embedding").as[Array[Float]].collect()
@@ -381,19 +381,26 @@ object SimilarityOps {
     * additionally measures recall@5 of the trained index vs the stand-in
     * (training must not hurt recall at equal nprobe). */
   private[graft] val e51Iters = 2
-  private[graft] def trainedCentroids(spark: SparkSession, dir: String,
-      iters: Int): Array[Array[Double]] = {
+
+  /** Lloyd iterations over the subvector [off, off+len) — `off=0,
+    * len=dim` trains the IVF coarse quantizer (e51), per-subspace slices
+    * train the PQ sub-codebooks (e52). Init = the first k corpus
+    * vectors' slices (the deterministic seed shared with the e47/e50
+    * stand-ins, which ARE iters=0 of this trainer). */
+  private[graft] def trainedSubCentroids(spark: SparkSession, dir: String,
+      iters: Int, off: Int, len: Int): Array[Array[Double]] = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    var cents = centroids(spark, dir)
+    var cents = centroids(spark, dir).map(_.slice(off, off + len))
     for (_ <- 1 to iters) {
       val means = emb.select(
-          element_at(Similarity.nearestSubCells("embedding", cents, 1, 0), 1)
+          element_at(Similarity.nearestSubCells("embedding", cents, 1, off), 1)
             .as("cell"),
-          posexplode($"embedding").as(Seq("dim", "x")))
+          // posexplode of the slice: relative dim 0..len-1
+          posexplode(slice($"embedding", off + 1, len)).as(Seq("dim", "x")))
         .groupBy($"cell", $"dim")
         .agg(graft.ops.Num.davg($"x".cast("double")).as("m"))
-        .collect() // k×d rows — the bounded per-iteration sync point
+        .collect() // k×len rows — the bounded per-iteration sync point
       val byCell = means.groupBy(_.getAs[Int]("cell")).map { case (cell, rows) =>
         cell -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m"))
       }
@@ -402,6 +409,12 @@ object SimilarityOps {
     }
     cents
   }
+
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String,
+      iters: Int): Array[Array[Double]] =
+    trainedSubCentroids(spark, dir, iters, 0, Dim)
+
+  private[graft] val Dim = 64
 
   private def e51(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -455,6 +468,111 @@ object SimilarityOps {
        |FROM af ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e52
+  /** K-MEANS-TRAINED PQ sub-codebooks (replacing e50's first-16-vectors
+    * stand-in): per-subspace Lloyd, all four subspaces trained in ONE
+    * pass per iteration — the assignment projection computes every
+    * subspace's cell, one posexplode derives (subspace, relative-dim)
+    * from the absolute dim, and a single keyed agg updates all four
+    * codebooks' means together (4 sub-codebooks × 16 codes × 16 dims =
+    * 1024 small values per sync). Lloyd is monotone in the quantization
+    * objective, so trained codebooks can only shrink reconstruction
+    * error vs the iters=0 stand-in — TrainedIndexSpec measures exactly
+    * that. At 100 TB, PQ training standardly runs on a corpus SAMPLE
+    * (the codebook converges on ~10⁵ vectors); the full-corpus pass here
+    * is the same plan with the sample filter dropped. */
+  private[graft] def trainedCodebooks(spark: SparkSession, dir: String,
+      iters: Int): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val sub = Dim / 4
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(4)(j => centroids(spark, dir).map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val cellCols = (0 until 4).map { j =>
+        element_at(Similarity.nearestSubCells("embedding", books(j), 1, j * sub), 1)
+          .as(s"cell$j")
+      }
+      val means = emb
+        .select(cellCols :+ posexplode($"embedding").as(Seq("dim", "x")): _*)
+        .select(
+          ($"dim" / sub).cast("int").as("j"),
+          ($"dim" % sub).as("rdim"),
+          element_at(
+            array($"cell0", $"cell1", $"cell2", $"cell3"),
+            ($"dim" / sub).cast("int") + 1).as("cell"),
+          $"x")
+        .groupBy($"j", $"cell", $"rdim")
+        .agg(graft.ops.Num.davg($"x".cast("double")).as("m"))
+        .collect() // 4×16×16 values — the bounded per-iteration sync
+      val byBook = means.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("cell")))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getAs[Int]("rdim")).map(_.getAs[Double]("m"))
+        }
+      books = Array.tabulate(4)(j => Array.tabulate(books(j).length)(c =>
+        byBook.getOrElse((j, c), books(j)(c))))
+    }
+    books
+  }
+
+  private def e52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val books = trainedCodebooks(spark, dir, e51Iters)
+    val sub = Dim / 4
+    val codes = (0 until 4).map { j =>
+      element_at(Similarity.nearestSubCells("embedding", books(j), 1, j * sub), 1)
+        .cast("bigint").as(s"code$j")
+    }
+    Tables.embeddings(spark, dir)
+      .select(($"vec_id" +: codes): _*)
+      .orderBy($"vec_id")
+  }
+  private val e52Sql: String = {
+    val sub = 16
+    def l2(j: Int, c: String): String = {
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(list_zip(e.embedding[$lo:$hi], $c.c),
+         |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
+         | (acc, u) -> acc + u)""".stripMargin
+    }
+    // per-subspace CTE chain, the same Lloyd replay as e51's oracle but
+    // over the slice [j*16+1, (j+1)*16]
+    def chain(j: Int): String = {
+      val c0 =
+        s"""s${j}c0 AS (
+           |  SELECT vec_id AS cent_id,
+           |    list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}], x -> x::DOUBLE) AS c
+           |  FROM embeddings WHERE vec_id < 16)""".stripMargin
+      val its = (1 to e51Iters).map { i =>
+        s"""s${j}a$i AS (
+           |  SELECT e.vec_id, e.embedding, (
+           |    SELECT cent_id FROM s${j}c${i - 1}
+           |    ORDER BY ${l2(j, s"s${j}c${i - 1}")} ASC, cent_id LIMIT 1) AS cell
+           |  FROM embeddings e),
+           |s${j}m$i AS (
+           |  SELECT cell, d.dim,
+           |    CAST(SUM(CAST(e.embedding[${j * sub} + d.dim]::DOUBLE AS DECIMAL(38,6))) AS DOUBLE)
+           |      / COUNT(e.embedding[${j * sub} + d.dim]) AS m
+           |  FROM s${j}a$i e, generate_series(1, $sub) AS d(dim)
+           |  GROUP BY cell, d.dim),
+           |s${j}c$i AS (
+           |  SELECT p.cent_id, COALESCE(n.c, p.c) AS c
+           |  FROM s${j}c${i - 1} p LEFT JOIN (
+           |    SELECT cell AS cent_id, list(m ORDER BY dim) AS c
+           |    FROM s${j}m$i GROUP BY cell) n USING (cent_id))""".stripMargin
+      }
+      (c0 +: its).mkString(",\n")
+    }
+    def code(j: Int): String =
+      s"""(SELECT cent_id FROM s${j}c$e51Iters
+         | ORDER BY ${l2(j, s"s${j}c$e51Iters")} ASC, cent_id LIMIT 1) AS code$j""".stripMargin
+    s"""WITH ${(0 until 4).map(chain).mkString(",\n")}
+       |SELECT e.vec_id, ${code(0)}, ${code(1)}, ${code(2)}, ${code(3)}
+       |FROM embeddings e ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -466,5 +584,6 @@ object SimilarityOps {
     RQ("e48_ivf_ann_topk", e48, Some(e48Sql), bench = true),
     RQ("e49_ann_recall", e49, Some(e49Sql)),
     RQ("e50_pq_codes", e50, Some(e50Sql)),
-    RQ("e51_ivf_trained", e51, Some(e51Sql), bench = true))
+    RQ("e51_ivf_trained", e51, Some(e51Sql), bench = true),
+    RQ("e52_pq_trained", e52, Some(e52Sql)))
 }
