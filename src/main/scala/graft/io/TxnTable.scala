@@ -142,38 +142,54 @@ object TxnTable {
     buf.sorted.toSeq
   }
 
+  /** One read of the latest snapshot's state: (version, txn markers,
+    * file list) — the commit loop touches the manifest object ONCE per
+    * attempt (each read is a GET at object-store latency). */
+  private def latestState(spark: SparkSession, table: String)
+      : Option[(Long, Map[String, Long], Seq[String])] =
+    latestVersion(spark, table).map { v =>
+      val lines = manifestLines(spark, table, v)
+      val (markers, files) = lines.partition(_.startsWith("#"))
+      val txns = markers.filter(_.startsWith(TxnPrefix)).map { l =>
+        val body = l.stripPrefix(TxnPrefix)
+        val i = body.lastIndexOf(':')
+        body.take(i) -> body.drop(i + 1).toLong
+      }.toMap
+      (v, txns, files)
+    }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
     val ctx = fc(spark)
-    def alreadyApplied: Option[Long] = txn.flatMap { case (appId, batchId) =>
-      latestVersion(spark, table)
-        .filter(v => txnMarkers(spark, table, v).get(appId).exists(_ >= batchId))
-    }
+    def applied(state: Option[(Long, Map[String, Long], Seq[String])]): Boolean =
+      txn.exists { case (appId, batchId) =>
+        state.exists(_._2.get(appId).exists(_ >= batchId)) }
     // replay fast-path: skip the data write entirely
-    alreadyApplied.foreach(v => return v)
+    var state = latestState(spark, table)
+    if (applied(state)) return state.get._1
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
     val newFiles = listParquet(spark, table, dataDir)
     var attempt = 0
     while (attempt < 64) {
-      alreadyApplied.foreach { v => // raced with a replica of the same batch
-        ctx.delete(new Path(s"$table/$dataDir"), true); return v
+      if (applied(state)) { // raced with a replica of the same batch
+        ctx.delete(new Path(s"$table/$dataDir"), true)
+        return state.get._1
       }
-      val prior = latestVersion(spark, table)
-      val next = prior.getOrElse(0L) + 1L
-      val priorTxns = prior.map(txnMarkers(spark, table, _)).getOrElse(Map.empty)
+      val (next, priorTxns, priorFiles) = state
+        .map { case (v, t, f) => (v + 1L, t, f) }
+        .getOrElse((1L, Map.empty[String, Long], Nil))
       val txns = priorTxns ++ txn.map { case (a, b) =>
         a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) }
-      val files =
-        if (append) prior.map(snapshotFiles(spark, table, _)).getOrElse(Nil) ++ newFiles
-        else newFiles
+      val files = if (append) priorFiles ++ newFiles else newFiles
       val content =
         (txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++ files)
           .mkString("\n")
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content))
         return next
       attempt += 1 // lost the CAS: recompute against the new snapshot
+      state = latestState(spark, table)
     }
     throw new IllegalStateException(
       s"commit to $table lost the manifest race 64 times — pathological contention")

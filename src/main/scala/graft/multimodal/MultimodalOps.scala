@@ -8,13 +8,15 @@ import graft.io.Tables
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (BASELINE.json north_star).
   *
-  * The container has no image/audio codecs, so DecodeStub below is a
-  * clearly-marked DETERMINISTIC FAKE of the decode step; everything
+  * The container has no audio/video codecs, so DecodeStub below is a
+  * clearly-marked DETERMINISTIC FAKE of that decode step; everything
   * Spark-side — binary column handling, metadata schema, the
   * mapPartitions batch shape (the Scala analog of `mapInPandas`:
   * partition-at-a-time iterator, decoder initialized once per partition,
   * not per row) — is real and oracle-/test-covered. Swapping DecodeStub
-  * for a real codec changes no plumbing.
+  * for a real codec changes no plumbing — and m63 PROVES it, running a
+  * genuine PNG encode→decode round trip through the same seam with the
+  * JDK's built-in javax.imageio codec.
   */
 object MultimodalOps {
 
@@ -146,8 +148,84 @@ object MultimodalOps {
       |FROM v, LATERAL (SELECT UNNEST(range(0, LEAST(dur_ms - 1, 1500) + 1, 500)) AS frame_ms) t
       |ORDER BY doc_id, frame_ms""".stripMargin
 
+  // ---------------------------------------------------------------- m63
+  /** REAL codec round trip — no stub: the JDK's built-in javax.imageio
+    * PNG codec (present in every Java 17 runtime, no external libs).
+    * Stage 1 synthesizes an 8×8 RGB image whose pixels are a closed-form
+    * function of (doc_id, x, y) and ENCODES it to genuine PNG bytes;
+    * the bytes ship between stages as a binary column; stage 2 DECODES
+    * them with ImageIO inside mapPartitions (codec init per PARTITION —
+    * the same seam m61 stubs) and extracts features: dimensions,
+    * PNG-signature check, per-channel pixel sums. PNG is lossless, so
+    * the decoded sums equal the closed-form arithmetic the DuckDB
+    * oracle states over a generate_series grid — the oracle never
+    * parses PNG, it gates the encode→ship→decode round trip. */
+  private def m63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Side = 8
+    val encoded: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            Side, Side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < Side) {
+            var x = 0
+            while (x < Side) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+              val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+    encoded
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // the 8-byte PNG signature is fixed by the spec
+          val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          val isPng = bytes.length > 8 &&
+            sig.indices.forall(i => (bytes(i) & 0xff) == (sig(i) & 0xff))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, isPng, img.getWidth, img.getHeight, rs, gs, bs)
+        }
+      }
+      .toDF("doc_id", "is_png", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy($"doc_id")
+  }
+  private val m63Sql =
+    """WITH grid AS (
+      |  SELECT x.g AS x, y.g AS y
+      |  FROM generate_series(0, 7) x(g), generate_series(0, 7) y(g))
+      |SELECT doc_id, true AS is_png,
+      | CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      | CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS r_sum,
+      | CAST(SUM((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS g_sum,
+      | CAST(SUM((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS b_sum
+      |FROM documents, grid GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
     RQ("m61_decode_stub", m61, Some(m61Sql)),
-    RQ("m62_frame_sample", m62, Some(m62Sql)))
+    RQ("m62_frame_sample", m62, Some(m62Sql)),
+    RQ("m63_png_roundtrip", m63, Some(m63Sql)))
 }

@@ -119,6 +119,38 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("4 writers x 3 appends each: all 12 commits serialize and survive") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      val n = cust.count()
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(4)
+      val fs = (0 until 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] = {
+            gate.await(10, TimeUnit.SECONDS)
+            // writer w appends its 3 disjoint slices (keys ≡ w, w+4, w+8 mod 12)
+            (0 until 3).map { s =>
+              TxnTable.commitAppend(
+                cust.filter($"c_custkey" % 12 === (w + 4 * s)), table)
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val versions = fs.flatMap(_.get(300, TimeUnit.SECONDS)).sorted
+      pool.shutdown()
+      // every commit claimed a distinct version 1..12 — no lost update
+      assert(versions == (1L to 12L))
+      assert(TxnTable.versions(spark, table) == (1L to 12L))
+      assert(TxnTable.read(spark, table).count() == n)
+      assert(TxnTable.read(spark, table).select($"c_custkey").distinct().count() == n)
+    }
+  }
+
   test("idempotent replay: an already-applied (appId, batchId) is a no-op") {
     import spark.implicits._
     withZone { table =>
