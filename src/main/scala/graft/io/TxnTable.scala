@@ -15,6 +15,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   table/_v00001.manifest            commit log entry for snapshot 1
   *   table/_v00002.manifest            commit log entry for snapshot 2
   *
+  * Manifest format: `#schema=<json>` (the snapshot's schema — reads plan
+  * from the log, never from parquet footers; appends MERGE the incoming
+  * frame's schema, so evolution is validated at commit time), `#txn=`
+  * marker lines, then one table-relative data-file path per line.
+  *
   * Protocol: a writer materializes its data files under a fresh unique
   * `w=<token>/` dir (two racing writers can never clobber each other's
   * data), computes the file list of the snapshot it intends to publish
@@ -54,6 +59,7 @@ object TxnTable {
 
   private def manifestName(v: Long) = f"_v$v%05d.manifest"
   private val TxnPrefix = "#txn="
+  private val SchemaPrefix = "#schema="
 
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
@@ -127,6 +133,17 @@ object TxnTable {
         body.take(i) -> body.drop(i + 1).toLong
       }.toMap
 
+  /** The snapshot's schema as recorded AT COMMIT TIME in its manifest —
+    * reads never touch parquet footers, and time travel returns each
+    * version's own schema even after later evolution. */
+  def snapshotSchema(spark: SparkSession, table: String,
+                     version: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(spark, table, version)
+      .find(_.startsWith(SchemaPrefix))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Highest batchId the table has applied for `appId`, if any. */
   def lastCommittedBatch(spark: SparkSession, table: String, appId: String): Option[Long] =
     latestVersion(spark, table).flatMap(v => txnMarkers(spark, table, v).get(appId))
@@ -142,32 +159,46 @@ object TxnTable {
     buf.sorted.toSeq
   }
 
-  /** One read of the latest snapshot's state: (version, txn markers,
-    * file list) — the commit loop touches the manifest object ONCE per
-    * attempt (each read is a GET at object-store latency). */
-  private def latestState(spark: SparkSession, table: String)
-      : Option[(Long, Map[String, Long], Seq[String])] =
+  private final case class State(
+      version: Long,
+      txns: Map[String, Long],
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  /** One read of the latest snapshot's state: version, txn markers,
+    * file list, schema — the commit loop touches the manifest object
+    * ONCE per attempt (each read is a GET at object-store latency). */
+  private def latestState(spark: SparkSession, table: String): Option[State] =
     latestVersion(spark, table).map { v =>
       val lines = manifestLines(spark, table, v)
-      val (markers, files) = lines.partition(_.startsWith("#"))
-      val txns = markers.filter(_.startsWith(TxnPrefix)).map { l =>
+      val (headers, files) = lines.partition(_.startsWith("#"))
+      val txns = headers.filter(_.startsWith(TxnPrefix)).map { l =>
         val body = l.stripPrefix(TxnPrefix)
         val i = body.lastIndexOf(':')
         body.take(i) -> body.drop(i + 1).toLong
       }.toMap
-      (v, txns, files)
+      val schema = headers.find(_.startsWith(SchemaPrefix))
+        .map(l => org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix(SchemaPrefix))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      State(v, txns, files, schema)
     }
 
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
     val ctx = fc(spark)
-    def applied(state: Option[(Long, Map[String, Long], Seq[String])]): Boolean =
+    def applied(state: Option[State]): Boolean =
       txn.exists { case (appId, batchId) =>
-        state.exists(_._2.get(appId).exists(_ >= batchId)) }
+        state.exists(_.txns.get(appId).exists(_ >= batchId)) }
     // replay fast-path: skip the data write entirely
     var state = latestState(spark, table)
-    if (applied(state)) return state.get._1
+    if (applied(state)) return state.get.version
+    // fail-fast schema validation: an incompatible append should throw
+    // BEFORE materializing data files, leaving no orphan dir (a
+    // concurrent evolution can still surface it inside the loop)
+    if (append) state.flatMap(_.schema)
+      .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
     val newFiles = listParquet(spark, table, dataDir)
@@ -175,16 +206,28 @@ object TxnTable {
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch
         ctx.delete(new Path(s"$table/$dataDir"), true)
-        return state.get._1
+        return state.get.version
       }
-      val (next, priorTxns, priorFiles) = state
-        .map { case (v, t, f) => (v + 1L, t, f) }
-        .getOrElse((1L, Map.empty[String, Long], Nil))
+      val next = state.map(_.version + 1L).getOrElse(1L)
+      val priorTxns = state.map(_.txns).getOrElse(Map.empty[String, Long])
       val txns = priorTxns ++ txn.map { case (a, b) =>
         a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) }
-      val files = if (append) priorFiles ++ newFiles else newFiles
+      val files =
+        if (append) state.map(_.files).getOrElse(Nil) ++ newFiles else newFiles
+      // snapshot schema recorded in the log (Delta-style): an APPEND
+      // merges the evolved frame's schema into the prior snapshot's —
+      // pre-evolution files surface the new column as NULL; incompatible
+      // evolution fails HERE, at commit, not at some later read
+      val schema =
+        if (append)
+          state.flatMap(_.schema)
+            .map(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
+            .getOrElse(org.apache.spark.sql.GraftBridge.nullableSchema(df.schema))
+        else org.apache.spark.sql.GraftBridge.nullableSchema(df.schema)
       val content =
-        (txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++ files)
+        (Seq(s"$SchemaPrefix${schema.json}") ++
+          txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
+          files)
           .mkString("\n")
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content))
         return next
@@ -221,10 +264,16 @@ object TxnTable {
       latestVersion(spark, table).getOrElse(
         throw new IllegalStateException(s"no committed version in $table")))
 
-  /** Time travel: read snapshot `version` (must not be vacuumed). */
+  /** Time travel: read snapshot `version` (must not be vacuumed). The
+    * read schema comes from the MANIFEST, not parquet footers — zero
+    * footer round-trips at planning, and files written before a column
+    * was added surface it as NULL (log-driven schema evolution). */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val files = snapshotFiles(spark, table, version).map(f => s"$table/$f")
-    spark.read.parquet(files: _*)
+    snapshotSchema(spark, table, version) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*) // pre-schema-log manifest
+    }
   }
 
   /** Compaction: rewrite the committed snapshot into `targetFiles` files

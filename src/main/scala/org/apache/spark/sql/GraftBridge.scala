@@ -23,6 +23,19 @@ object GraftBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Schema-evolution merge (the private[sql] StructType.merge):
+    * union of fields, numeric-compatible type promotion, error on
+    * incompatible types. All fields forced nullable — an evolved
+    * column is absent (null) in pre-evolution files. */
+  def mergeSchemas(
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    a.merge(b).asNullable
+
+  def nullableSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    s.asNullable
+
   /** Partitions actually selected by the frame's parquet scan after
     * partition pruning (planning-time directory pruning — note
     * `df.inputFiles` can NOT show this: it lists the pre-pruning file

@@ -180,6 +180,31 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution on append: log-recorded schema, old files read NULL") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+      TxnTable.commitAppend(cust.select($"c_custkey"), table)
+      // the table evolves: a second append carries a new column
+      TxnTable.commitAppend(
+        cust.select($"c_custkey", $"c_acctbal"), table)
+      val latest = TxnTable.read(spark, table)
+      assert(latest.columns.toSeq == Seq("c_custkey", "c_acctbal"))
+      val n = cust.count()
+      assert(latest.count() == 2 * n)
+      // pre-evolution rows surface the evolved column as NULL
+      assert(latest.filter($"c_acctbal".isNull).count() == n)
+      // time travel returns v1's OWN schema, not the evolved one
+      assert(TxnTable.readVersion(spark, table, 1).columns.toSeq == Seq("c_custkey"))
+      // incompatible evolution fails at COMMIT, not at a later read
+      intercept[Exception] {
+        TxnTable.commitAppend(
+          cust.select($"c_name".as("c_custkey")), table)
+      }
+      assert(TxnTable.latestVersion(spark, table).contains(2L))
+    }
+  }
+
   test("vacuum is reference-counted: append-shared files survive") {
     import spark.implicits._
     withZone { table =>
