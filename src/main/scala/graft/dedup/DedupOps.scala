@@ -142,7 +142,7 @@ object DedupOps {
     * shuffles by band key and never compares non-colliding docs. */
   /** Distinct candidate pairs (doc_a < doc_b) from the band self-joins —
     * shared by d37 (adds the oracle ORDER BY) and d40 (clusters them). */
-  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // localCheckpoint, not cache(): the 4 band self-joins each rescan the
     // signatures, so materializing once is the point — but CacheManager
@@ -314,8 +314,14 @@ object DedupOps {
     // GraphX/ALS checkpoint their iterations). LAZY (eager=false) so the
     // convergence-sum action materializes the checkpoint AND computes the
     // sum in ONE job per round.
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).localCheckpoint(eager = false)
+    // init FUSED with round 1: the node list needs a shuffle on src
+    // anyway (the old distinct()), so take min(id, min(neighbor)) in the
+    // same aggregation — one full propagation round for free, no extra
+    // convergence action
+    var labels = edges.groupBy($"src")
+      .agg(min($"dst").as("m"))
+      .select($"src".as("id"), least($"src", $"m").as("label"))
+      .localCheckpoint(eager = false)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
     var prev = -1L
