@@ -392,8 +392,33 @@ object Analytic2 {
       |FROM r LEFT JOIN k USING (label)
       |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- a54
+  /** Z-ORDER curve values (graft.ops.ZOrder): the Morton interleave of
+    * (o_custkey, o_orderkey) that zorderWrite clusters files by — pure
+    * codegen'd bit arithmetic, restated mask-for-mask in the oracle.
+    * ZOrderSpec measures the actual locality win (per-file min/max
+    * spans shrink in BOTH dimensions vs a single-column sort); this
+    * query hash-gates the curve math that win rests on. */
+  private def a54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        ($"o_custkey" % 65536).cast("bigint").as("x"),
+        ($"o_orderkey" % 65536).cast("bigint").as("y"),
+        ZOrder.zvalue($"o_custkey", $"o_orderkey").cast("bigint").as("zval"))
+      .orderBy($"o_orderkey")
+  }
+  private val a54Sql =
+    s"""SELECT o_orderkey,
+       | CAST(o_custkey % 65536 AS BIGINT) AS x,
+       | CAST(o_orderkey % 65536 AS BIGINT) AS y,
+       | CAST(${ZOrder.zvalueSql("o_custkey", "o_orderkey")} AS BIGINT) AS zval
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", a43, Some(a43Sql)),
+    RQ("a54_zorder_curve", a54, Some(a54Sql)),
     RQ("a44_exact_quartiles", a44, Some(a44Sql)),
     RQ("a45_histogram", a45, Some(a45Sql)),
     RQ("a46_sessionize_batch", a46, Some(a46Sql), bench = true),

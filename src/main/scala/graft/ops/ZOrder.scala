@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton-curve) layout: multi-dimensional data clustering for
+  * file skipping — the optimization a 100 TB table reaches for when
+  * queries filter on TWO columns and hive-partitioning can only serve
+  * one. Interleaving the bits of both keys gives a 1-D sort order in
+  * which ranges of EITHER column map to bounded curve segments, so
+  * range-partitioned files carry narrow min/max footer stats on both
+  * columns at once and a predicate on either prunes most files
+  * (Delta/Iceberg `OPTIMIZE ZORDER BY`; the locality win is measured,
+  * not assumed, in ZOrderSpec).
+  *
+  * The z-value is pure bit arithmetic (mask → spread → interleave), so
+  * it is a codegen'd projection here and restated verbatim in the
+  * DuckDB oracle — cross-engine bit-identical by construction. */
+object ZOrder {
+
+  /** Low 16 bits of `v` spread to the even bit positions of a 32-bit
+    * lane (the classic Morton magic-mask cascade). */
+  private def spreadBits(v: Column): Column = {
+    val s1 = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton z-value of two non-negative keys (low 16 bits each → one
+    * 32-bit curve position, as BIGINT). */
+  def zvalue(x: Column, y: Column): Column =
+    spreadBits(x.cast("long") % 65536)
+      .bitwiseOR(shiftleft(spreadBits(y.cast("long") % 65536), 1))
+
+  /** The oracle-side spelling: same masks, same shifts, same order. */
+  def spreadSql(e: String): String = {
+    val s1 = s"((($e) | (($e) << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+  def zvalueSql(x: String, y: String): String =
+    s"(${spreadSql(s"($x) % 65536")} | (${spreadSql(s"($y) % 65536")} << 1))"
+
+  /** Write `df` into `numFiles` parquet files clustered along the
+    * z-curve of (x, y): range-partition on the z-value, sort within
+    * partitions — every file owns a contiguous curve segment, so its
+    * min/max stats are narrow in BOTH dimensions. One shuffle, exactly
+    * like a single-column sort layout; only the sort key changes.
+    *
+    * Both dimensions are min/max-NORMALIZED to the full 16-bit lane
+    * first — interleaving raw values whose magnitudes differ lets the
+    * wider column's high bits own the curve's top bits and the layout
+    * degenerates to a single-column sort (measured: custkey span went
+    * 0.96 → ~0.3 of range once normalized). Equal-width scaling needs
+    * one 4-value aggregate broadcast; heavily skewed columns would use
+    * rank instead (GlobalOrder at scale), same interleave after. */
+  def zorderWrite(df: DataFrame, path: String, x: String, y: String,
+                  numFiles: Int): Unit = {
+    val mm = df.agg(
+      min(col(x)).cast("double").as("__xmin"),
+      max(col(x)).cast("double").as("__xmax"),
+      min(col(y)).cast("double").as("__ymin"),
+      max(col(y)).cast("double").as("__ymax"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      floor((c.cast("double") - lo) * 65535.0 /
+        Num.nullIfZero(hi - lo)).cast("long")
+    df.crossJoin(broadcast(mm))
+      .withColumn("__z", coalesce(
+        zvalue(
+          norm(col(x), col("__xmin"), col("__xmax")),
+          norm(col(y), col("__ymin"), col("__ymax"))),
+        lit(0L)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+}
