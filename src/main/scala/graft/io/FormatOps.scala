@@ -351,6 +351,45 @@ object FormatOps {
       |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- k87
+  /** INCREMENTAL READ off the transactional table (TxnTable.readChanges —
+    * change-data-feed for append-only history): three appends land
+    * customer thirds as v1..v3; a consumer that already processed v1
+    * reads changes since v1 and must see EXACTLY the rows of v2+v3 —
+    * no re-read of v1's data (the reference's daily DAG re-reads whole
+    * zones every run; this is the cursor-based replacement). The
+    * returned cursor and the version count land in the verified row. */
+  private def k87(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k87_cdf")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      (0 until 3).foreach { third =>
+        TxnTable.commitAppend(cust.filter($"c_custkey" % 3 === third), table)
+      }
+      val (changes, cursor) = TxnTable.readChanges(spark, table, sinceVersion = 1L)
+      val result = changes.agg(
+        count(lit(1)).cast("bigint").as("n_changes"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_changes"),
+        lit(cursor).cast("bigint").as("cursor"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k87Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_changes,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_changes,
+      | CAST(3 AS BIGINT) AS cursor
+      |FROM customer WHERE c_custkey % 3 IN (1, 2)""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -358,5 +397,6 @@ object FormatOps {
     RQ("k83_txn_sink", k83, Some(k83Sql)),
     RQ("k84_schema_evolution", k84, Some(k84Sql)),
     RQ("k85_txn_concurrent", k85, Some(k85Sql)),
-    RQ("k86_partition_pruning", k86, Some(k86Sql)))
+    RQ("k86_partition_pruning", k86, Some(k86Sql)),
+    RQ("k87_txn_incremental", k87, Some(k87Sql)))
 }

@@ -276,6 +276,61 @@ object TxnTable {
     }
   }
 
+  /** Incremental consumption for append-only history (change-data-feed
+    * lite): the rows added AFTER `sinceVersion`, up to the returned
+    * version — exactly the latest snapshot's files minus `sinceVersion`'s
+    * (append commits only ever add files, so file-set difference IS the
+    * row delta; no per-row diff). The scheduled-job pattern the
+    * reference's daily DAG embodies (ref `dags/s3-etl-wallet-csv.py:43-48`
+    * re-reads whole zones instead): persist the returned cursor, pass it
+    * back next run, each run processes only new data. Throws if the
+    * history between the versions is not append-only (an overwrite
+    * REMOVED files — a file-set diff would silently misreport that as
+    * pure addition). `sinceVersion = 0` reads everything. */
+  def readChanges(spark: SparkSession, table: String,
+                  sinceVersion: Long): (DataFrame, Long) = {
+    val latest = latestVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    require(sinceVersion >= 0 && sinceVersion <= latest,
+      s"sinceVersion $sinceVersion outside committed range [0, $latest]")
+    val schema = snapshotSchema(spark, table, latest).getOrElse(
+      throw new IllegalStateException(
+        s"$table's latest manifest predates the schema log"))
+    if (sinceVersion == latest)
+      return (spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
+    val sinceFiles =
+      if (sinceVersion == 0) Set.empty[String]
+      else snapshotFiles(spark, table, sinceVersion).toSet
+    val latestFiles = snapshotFiles(spark, table, latest)
+    require(sinceFiles.subsetOf(latestFiles.toSet),
+      s"history $sinceVersion -> $latest is not append-only (files were " +
+        "removed by an overwrite/compact); incremental read would be wrong")
+    val newFiles = latestFiles.filterNot(sinceFiles).map(f => s"$table/$f")
+    (spark.read.schema(schema).parquet(newFiles: _*), latest)
+  }
+
+  /** Table history: one row per retained snapshot — version, file count,
+    * column count, txn-marker count. Driver-built (bounded: versions,
+    * not rows). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = versions(spark, table).map { v =>
+      org.apache.spark.sql.Row(
+        v,
+        snapshotFiles(spark, table, v).size.toLong,
+        snapshotSchema(spark, table, v).map(_.size.toLong).getOrElse(-1L),
+        txnMarkers(spark, table, v).size.toLong)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_columns", LongType, nullable = false),
+        StructField("n_txn_markers", LongType, nullable = false))))
+  }
+
   /** Compaction: rewrite the committed snapshot into `targetFiles` files
     * as a NEW version (readers on the old version are never disturbed —
     * same commit path as any write). The small-files answer for a table

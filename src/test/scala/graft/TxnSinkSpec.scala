@@ -231,6 +231,37 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("readChanges: cursor-based incremental consumption of appends") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 0), table)
+      // a consumer at cursor 0 sees everything
+      val (all0, c0) = TxnTable.readChanges(spark, table, 0L)
+      assert(c0 == 1L && all0.count() == cust.filter($"c_custkey" % 2 === 0).count())
+      // caught up: empty delta, cursor unchanged
+      val (none, c1) = TxnTable.readChanges(spark, table, c0)
+      assert(c1 == c0 && none.isEmpty)
+      // next append: only ITS rows appear
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table)
+      val (delta, c2) = TxnTable.readChanges(spark, table, c1)
+      assert(c2 == 2L)
+      assert(delta.count() == cust.filter($"c_custkey" % 2 === 1).count())
+      // an overwrite breaks append lineage: incremental read REFUSES
+      // rather than misreporting the rewrite as pure addition
+      TxnTable.commitOverwrite(cust.limit(5), table)
+      intercept[IllegalArgumentException] {
+        TxnTable.readChanges(spark, table, c2)
+      }
+      // history reflects every retained snapshot
+      val h = TxnTable.history(spark, table)
+        .orderBy($"version").collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(h.forall(_.getLong(2) == 2L)) // n_columns
+    }
+  }
+
   test("compact rewrites the snapshot into fewer files without changing rows") {
     import spark.implicits._
     withZone { table =>
