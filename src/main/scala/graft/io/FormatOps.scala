@@ -390,6 +390,53 @@ object FormatOps {
       | CAST(3 AS BIGINT) AS cursor
       |FROM customer WHERE c_custkey % 3 IN (1, 2)""".stripMargin
 
+  // ---------------------------------------------------------------- k88
+  /** INCREMENTAL MATERIALIZED VIEW (graft.io.IncrementalView): an
+    * aggregate maintained by cursor-based delta refreshes off an
+    * append-only TxnTable — refresh cost ∝ new rows, not table size.
+    * Two refreshes at different cadences (one third, then two thirds)
+    * must land state BIT-IDENTICAL to one full recompute: the view
+    * stores DECIMAL(38,6) sums, whose merge is exact and associative,
+    * and the oracle IS the full recompute — a hash match proves the
+    * incremental path introduces zero drift. */
+  private def k88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k88_mv")
+    try {
+      val src = s"$zone/src"
+      val view = s"$zone/view"
+      def appendThird(t: Int): Unit = {
+        TxnTable.commitAppend(
+          Tables.customer(spark, dir)
+            .filter($"c_custkey" % 3 === t)
+            .select(($"c_custkey" % 10).as("seg"), $"c_acctbal"),
+          src); ()
+      }
+      var cursor = 0L
+      appendThird(0)
+      cursor = IncrementalView.refresh(spark, src, view, "seg", "c_acctbal", cursor)
+      appendThird(1); appendThird(2)
+      cursor = IncrementalView.refresh(spark, src, view, "seg", "c_acctbal", cursor)
+      require(cursor == 3L, s"cursor $cursor after consuming 3 appends")
+      val result = IncrementalView.read(spark, view)
+        .select($"k".cast("bigint").as("k"), $"n", $"sum_val")
+        .orderBy($"k")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k88Sql =
+    """SELECT CAST(c_custkey % 10 AS BIGINT) AS k,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+      |FROM customer GROUP BY 1 ORDER BY k""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -398,5 +445,6 @@ object FormatOps {
     RQ("k84_schema_evolution", k84, Some(k84Sql)),
     RQ("k85_txn_concurrent", k85, Some(k85Sql)),
     RQ("k86_partition_pruning", k86, Some(k86Sql)),
-    RQ("k87_txn_incremental", k87, Some(k87Sql)))
+    RQ("k87_txn_incremental", k87, Some(k87Sql)),
+    RQ("k88_incremental_matview", k88, Some(k88Sql)))
 }

@@ -262,6 +262,40 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental view: caught-up refresh commits nothing; merge matches recompute") {
+    import spark.implicits._
+    import graft.io.IncrementalView
+    withZone { table =>
+      val src = s"$table-src"
+      val view = s"$table-view"
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select(($"c_custkey" % 4).as("seg"), $"c_acctbal")
+      TxnTable.commitAppend(cust.filter($"c_acctbal" > 0), src)
+      var cursor = IncrementalView.refresh(spark, src, view, "seg", "c_acctbal", 0L)
+      val viewV = TxnTable.latestVersion(spark, view)
+      // caught up: no delta, no new view commit, cursor unchanged
+      assert(IncrementalView.refresh(spark, src, view, "seg", "c_acctbal", cursor) == cursor)
+      assert(TxnTable.latestVersion(spark, view) == viewV)
+      // second append; merged state equals a one-shot recompute
+      TxnTable.commitAppend(cust.filter($"c_acctbal" <= 0), src)
+      cursor = IncrementalView.refresh(spark, src, view, "seg", "c_acctbal", cursor)
+      val got = IncrementalView.read(spark, view)
+        .orderBy($"k").as[(Long, Long, Double)].collect().toSeq
+      val want = cust.groupBy($"seg".as("k"))
+        .agg(count(lit(1)).as("n"), graft.ops.Num.dsum($"c_acctbal").as("s"))
+        .orderBy($"k").as[(Long, Long, Double)].collect().toSeq
+      assert(got == want)
+      def rmr(p: String): Unit = {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }
+      rmr(src); rmr(view)
+    }
+  }
+
   test("compact rewrites the snapshot into fewer files without changing rows") {
     import spark.implicits._
     withZone { table =>
