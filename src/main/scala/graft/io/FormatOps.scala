@@ -437,6 +437,104 @@ object FormatOps {
       | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
       |FROM customer GROUP BY 1 ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- k89
+  /** DATA-SKIPPING off manifest file stats (TxnTable.readRange): commit
+    * customer range-clustered on c_custkey into 8 files with per-file
+    * min/max recorded in the manifest, then read a key range — the plan
+    * must touch a strict subset of files (REQUIREd in-query: the
+    * manifest-stats analog of k86's hive-partition pruning, and the
+    * mechanism k90's surgical merge stands on). The verified row is the
+    * range aggregate. */
+  private def k89(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k89_skip")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCol = Some("c_custkey"))
+      val (rows, scanned, total) =
+        TxnTable.readRange(spark, table, lo = 100, hi = 400)
+      require(scanned < total && scanned > 0,
+        s"data skipping failed: scanned $scanned of $total files for a " +
+          "narrow key range over a range-clustered table")
+      val result = rows.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k89Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey BETWEEN 100 AND 400""".stripMargin
+
+  // ---------------------------------------------------------------- k90
+  /** FILE-SURGICAL MERGE (upsert) on the transactional table: update a
+    * narrow key slice (bal + 1000 for keys 100-300) plus insert brand-new
+    * keys; only stats-overlapping files are rewritten — the untouched
+    * files carry forward BY REFERENCE (REQUIREd in-query by path
+    * identity). The oracle restates the upsert over raw customer. */
+  private def k90(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k90_merge")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCol = Some("c_custkey"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      val updates = cust
+        .filter($"c_custkey".between(100, 300))
+        .select($"c_custkey", ($"c_acctbal" + 1000.0).as("c_acctbal"))
+        .unionByName(Seq((900001L, 11.5), (900002L, -3.25))
+          .toDF("c_custkey", "c_acctbal"))
+      val v = TxnTable.merge(updates, table, "c_custkey")
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      val carried = before.intersect(after)
+      require(carried.nonEmpty && !before.subsetOf(after),
+        s"surgical merge failed: carried ${carried.size} of ${before.size} " +
+          "files; expected most files untouched and a few rewritten")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"),
+        max($"c_custkey").cast("bigint").as("max_key"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k90Sql =
+    """WITH merged AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey BETWEEN 100 AND 300
+      |      THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer
+      |  UNION ALL SELECT 900001, 11.5
+      |  UNION ALL SELECT 900002, -3.25)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+      | CAST(MAX(c_custkey) AS BIGINT) AS max_key
+      |FROM merged""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -446,5 +544,7 @@ object FormatOps {
     RQ("k85_txn_concurrent", k85, Some(k85Sql)),
     RQ("k86_partition_pruning", k86, Some(k86Sql)),
     RQ("k87_txn_incremental", k87, Some(k87Sql)),
-    RQ("k88_incremental_matview", k88, Some(k88Sql)))
+    RQ("k88_incremental_matview", k88, Some(k88Sql)),
+    RQ("k89_txn_data_skipping", k89, Some(k89Sql)),
+    RQ("k90_txn_merge", k90, Some(k90Sql)))
 }

@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS whose
@@ -60,6 +61,8 @@ object TxnTable {
   private def manifestName(v: Long) = f"_v$v%05d.manifest"
   private val TxnPrefix = "#txn="
   private val SchemaPrefix = "#schema="
+  private val StatPrefix = "#stat="   // #stat=<file>|<col>|<min>|<max>
+  private val StatSep = "|"
 
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
@@ -159,33 +162,95 @@ object TxnTable {
     buf.sorted.toSeq
   }
 
+  /** Per-file min/max of one designated stats column — the
+    * data-skipping metadata (Delta/Iceberg file stats): collected once
+    * at commit over the NEW files only, carried forward with the file. */
+  final case class FileStat(col: String, min: Double, max: Double)
+
   private final case class State(
       version: Long,
       txns: Map[String, Long],
       files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stats: Map[String, FileStat])
 
   /** One read of the latest snapshot's state: version, txn markers,
-    * file list, schema — the commit loop touches the manifest object
-    * ONCE per attempt (each read is a GET at object-store latency). */
+    * file list, schema, file stats — the commit loop touches the
+    * manifest object ONCE per attempt (each read is a GET at
+    * object-store latency). */
+  private def stateOf(spark: SparkSession, table: String, v: Long): State = {
+    val lines = manifestLines(spark, table, v)
+    val (headers, files) = lines.partition(_.startsWith("#"))
+    val txns = headers.filter(_.startsWith(TxnPrefix)).map { l =>
+      val body = l.stripPrefix(TxnPrefix)
+      val i = body.lastIndexOf(':')
+      body.take(i) -> body.drop(i + 1).toLong
+    }.toMap
+    val schema = headers.find(_.startsWith(SchemaPrefix))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val stats = headers.filter(_.startsWith(StatPrefix)).map { l =>
+      val Array(f, c, mn, mx) =
+        l.stripPrefix(StatPrefix).split(java.util.regex.Pattern.quote(StatSep))
+      f -> FileStat(c, mn.toDouble, mx.toDouble)
+    }.toMap
+    State(v, txns, files, schema, stats)
+  }
+
   private def latestState(spark: SparkSession, table: String): Option[State] =
-    latestVersion(spark, table).map { v =>
-      val lines = manifestLines(spark, table, v)
-      val (headers, files) = lines.partition(_.startsWith("#"))
-      val txns = headers.filter(_.startsWith(TxnPrefix)).map { l =>
-        val body = l.stripPrefix(TxnPrefix)
-        val i = body.lastIndexOf(':')
-        body.take(i) -> body.drop(i + 1).toLong
-      }.toMap
-      val schema = headers.find(_.startsWith(SchemaPrefix))
-        .map(l => org.apache.spark.sql.types.DataType
-          .fromJson(l.stripPrefix(SchemaPrefix))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      State(v, txns, files, schema)
+    latestVersion(spark, table).map(stateOf(spark, table, _))
+
+  /** Data-skipping metadata of snapshot `version`: table-relative file →
+    * min/max of the commit's designated stats column. */
+  def fileStats(spark: SparkSession, table: String, version: Long): Map[String, FileStat] =
+    stateOf(spark, table, version).stats
+
+  /** Write `df` under a fresh unique data dir; return (dir, its files,
+    * per-file min/max of `statsCol` if designated — one extra pass over
+    * the NEW data only, never the table). */
+  private def writeData(df: DataFrame, table: String,
+                        statsCol: Option[String]): (String, Seq[String], Map[String, FileStat]) = {
+    val spark = df.sparkSession
+    val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
+    val newFiles = listParquet(spark, table, dataDir)
+    val stats = statsCol match {
+      case None => Map.empty[String, FileStat]
+      case Some(c) =>
+        spark.read.parquet(s"$table/$dataDir")
+          .groupBy(input_file_name().as("f"))
+          .agg(
+            min(col(c).cast("double")).as("mn"),
+            max(col(c).cast("double")).as("mx"))
+          .collect()
+          .flatMap { r =>
+            val uri = r.getString(0)
+            val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
+            if (r.isNullAt(1)) None
+            else Some(key -> FileStat(c, r.getDouble(1), r.getDouble(2)))
+          }.toMap
     }
+    (dataDir, newFiles, stats)
+  }
+
+  private def manifestContent(
+      schema: org.apache.spark.sql.types.StructType,
+      txns: Map[String, Long],
+      stats: Map[String, FileStat],
+      files: Seq[String]): String = {
+    val filesSet = files.toSet
+    (Seq(s"$SchemaPrefix${schema.json}") ++
+      txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
+      stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).map { case (f, s) =>
+        s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}$StatSep${s.max}" } ++
+      files)
+      .mkString("\n")
+  }
 
   private def commit(df: DataFrame, table: String, append: Boolean,
-                     txn: Option[(String, Long)]): Long = {
+                     txn: Option[(String, Long)],
+                     statsCol: Option[String]): Long = {
     val spark = df.sparkSession
     val ctx = fc(spark)
     def applied(state: Option[State]): Boolean =
@@ -199,9 +264,7 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
-    val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
-    val newFiles = listParquet(spark, table, dataDir)
+    val (dataDir, newFiles, newStats) = writeData(df, table, statsCol)
     var attempt = 0
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch
@@ -214,6 +277,9 @@ object TxnTable {
         a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) }
       val files =
         if (append) state.map(_.files).getOrElse(Nil) ++ newFiles else newFiles
+      val stats: Map[String, FileStat] =
+        (if (append) state.map(_.stats).getOrElse(Map.empty[String, FileStat])
+         else Map.empty[String, FileStat]) ++ newStats
       // snapshot schema recorded in the log (Delta-style): an APPEND
       // merges the evolved frame's schema into the prior snapshot's —
       // pre-evolution files surface the new column as NULL; incompatible
@@ -224,11 +290,7 @@ object TxnTable {
             .map(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
             .getOrElse(org.apache.spark.sql.GraftBridge.nullableSchema(df.schema))
         else org.apache.spark.sql.GraftBridge.nullableSchema(df.schema)
-      val content =
-        (Seq(s"$SchemaPrefix${schema.json}") ++
-          txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
-          files)
-          .mkString("\n")
+      val content = manifestContent(schema, txns, stats, files)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content))
         return next
       attempt += 1 // lost the CAS: recompute against the new snapshot
@@ -238,25 +300,128 @@ object TxnTable {
       s"commit to $table lost the manifest race 64 times — pathological contention")
   }
 
-  /** Write `df` as a full replacement snapshot and commit it atomically. */
-  def commitOverwrite(df: DataFrame, table: String): Long =
-    commit(df, table, append = false, txn = None)
+  /** Write `df` as a full replacement snapshot and commit it atomically.
+    * `statsCol` designates a column whose per-file min/max land in the
+    * manifest (data-skipping metadata for readRange/merge). */
+  def commitOverwrite(df: DataFrame, table: String,
+                      statsCol: Option[String] = None): Long =
+    commit(df, table, append = false, txn = None, statsCol = statsCol)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
     * plus one atomic no-overwrite rename. Safe under concurrent
     * committers: the loser of the manifest CAS retries against the
     * winner's snapshot, so both appends survive. */
-  def commitAppend(df: DataFrame, table: String): Long =
-    commit(df, table, append = true, txn = None)
+  def commitAppend(df: DataFrame, table: String,
+                   statsCol: Option[String] = None): Long =
+    commit(df, table, append = true, txn = None, statsCol = statsCol)
 
   /** Append exactly-once per (appId, batchId): a replay of an
     * already-applied batch is a no-op returning the current version.
     * The streaming-sink shape — foreachBatch restarts re-offer the last
     * batch, and this makes the re-offer safe (Delta's txn markers). */
   def commitAppendIdempotent(df: DataFrame, table: String,
-                             appId: String, batchId: Long): Long =
-    commit(df, table, append = true, txn = Some((appId, batchId)))
+                             appId: String, batchId: Long,
+                             statsCol: Option[String] = None): Long =
+    commit(df, table, append = true, txn = Some((appId, batchId)), statsCol = statsCol)
+
+  /** DATA-SKIPPING read: the latest snapshot's rows whose stats column
+    * falls in [lo, hi] — planned over ONLY the files whose manifest
+    * min/max overlaps the range (files without stats are scanned
+    * conservatively). Returns (rows, filesScanned, filesTotal): at
+    * 100 TB the skip ratio IS the query time. */
+  def readRange(spark: SparkSession, table: String,
+                lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"$table predates the schema log"))
+    val statCol = st.stats.values.headOption.map(_.col).getOrElse(
+      throw new IllegalStateException(
+        s"$table has no file stats — commit with statsCol to enable skipping"))
+    val chosen = st.files.filter(f =>
+      st.stats.get(f).forall(s => s.max >= lo && s.min <= hi))
+    val rows =
+      if (chosen.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(chosen.map(f => s"$table/$f"): _*)
+        .filter(col(statCol).cast("double").between(lit(lo), lit(hi)))
+    (rows, chosen.size, st.files.size)
+  }
+
+  /** FILE-SURGICAL UPSERT (MERGE INTO): rows of `updates` replace
+    * same-key rows; unmatched keys insert. Delta's two-phase shape:
+    *
+    *   phase 1  find the files that actually CONTAIN an update key —
+    *            stats pre-prune the candidate files (min/max vs the
+    *            update key set's bounds, which bound MATCHES; inserts
+    *            outside every file's range can't match anything), then
+    *            a key-column-only scan of the candidates joined with
+    *            the update keys yields the exact touched-file set
+    *   phase 2  rewrite ONLY those files (anti-join + union); every
+    *            other file carries forward BY REFERENCE
+    *
+    * At 100 TB a merge touching 0.1% of the key space rewrites ~0.1%
+    * of the files and phase 1 reads one column of a pruned candidate
+    * subset. Optimistic commit: the CAS is pinned to the snapshot the
+    * merge was computed against; losing it recomputes against the new
+    * snapshot (merge correctness, unlike append, depends on the base). */
+  def merge(updates: DataFrame, table: String, keyCol: String): Long = {
+    val spark = updates.sparkSession
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        return commitAppend(updates, table, statsCol = Some(keyCol)))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val keys = updates.select(col(keyCol)).distinct()
+      val bounds = keys.agg(
+        min(col(keyCol).cast("double")), max(col(keyCol).cast("double"))).head()
+      if (bounds.isNullAt(0)) return st.version // empty updates: no-op
+      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+      // stats pre-prune: only files whose range intersects the update
+      // keys' range can contain a match (statless files always qualify)
+      val candidates = st.files.filter(f =>
+        st.stats.get(f).forall(s => s.max >= lo && s.min <= hi))
+      // phase 1: exact touched set — one key column over the candidates
+      val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+      val touched: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else spark.read.schema(schema)
+          .parquet(candidates.map(f => s"$table/$f"): _*)
+          .select(col(keyCol), input_file_name().as("__f"))
+          // no broadcast hint: AQE picks broadcast when the key set is
+          // small and falls back to shuffle when a bulk merge isn't
+          .join(keys, Seq(keyCol))
+          .select(col("__f")).distinct().collect()
+          .map(r => { val u = r.getString(0)
+            byBase(u.substring(u.lastIndexOf('/') + 1)) }).toSet
+      val untouched = st.files.filterNot(touched)
+      val merged =
+        if (touched.isEmpty) updates
+        else spark.read.schema(schema)
+          .parquet(touched.toSeq.map(f => s"$table/$f"): _*)
+          .join(updates, Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      val (dataDir, newFiles, newStats) = writeData(merged, table, Some(keyCol))
+      val files = untouched ++ newFiles
+      val stats = st.stats ++ newStats
+      val content = manifestContent(
+        org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema),
+        st.txns, stats, files)
+      if (tryCreateAtomic(ctx,
+          new Path(table, manifestName(st.version + 1L)), content))
+        return st.version + 1L
+      // lost the race: this merge was computed against a stale base —
+      // discard its output and redo the whole read-merge-write
+      ctx.delete(new Path(s"$table/$dataDir"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"merge into $table lost the snapshot race 16 times — pathological contention")
+  }
 
   /** Read the committed snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =

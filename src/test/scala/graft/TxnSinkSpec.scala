@@ -296,6 +296,41 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("file stats: range reads skip files; merges rewrite only containing files") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(6, $"c_custkey").sortWithinPartitions($"c_custkey"),
+        table, statsCol = Some("c_custkey"))
+      assert(TxnTable.fileStats(spark, table, 1L).size == 6)
+      // a range outside every file's stats scans nothing
+      val (empty, s0, t0) = TxnTable.readRange(spark, table, 1e9, 2e9)
+      assert(s0 == 0 && t0 == 6 && empty.isEmpty)
+      // a narrow range scans a strict subset and returns exact rows
+      val (rows, s1, _) = TxnTable.readRange(spark, table, 10, 20)
+      assert(s1 < 6 && rows.count() ==
+        cust.filter($"c_custkey".between(10, 20)).count())
+      // pure-insert merge: no existing file contains the keys — ALL
+      // files carry forward, one new file lands
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      val v2 = TxnTable.merge(
+        Seq((800001L, 1.0)).toDF("c_custkey", "c_acctbal"), table, "c_custkey")
+      val after = TxnTable.snapshotFiles(spark, table, v2).toSet
+      assert(before.subsetOf(after) && (after -- before).size == 1)
+      // targeted update: only the file containing key 1 is rewritten
+      val v3 = TxnTable.merge(
+        Seq((1L, 999.0)).toDF("c_custkey", "c_acctbal"), table, "c_custkey")
+      val after3 = TxnTable.snapshotFiles(spark, table, v3).toSet
+      assert((after -- after3).size == 1, "exactly one file replaced")
+      val got = TxnTable.read(spark, table)
+        .filter($"c_custkey" === 1L).select($"c_acctbal").as[Double].head()
+      assert(got == 999.0)
+      assert(TxnTable.read(spark, table).count() == cust.count() + 1)
+    }
+  }
+
   test("compact rewrites the snapshot into fewer files without changing rows") {
     import spark.implicits._
     withZone { table =>
