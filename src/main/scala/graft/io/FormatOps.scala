@@ -535,6 +535,50 @@ object FormatOps {
       | CAST(MAX(c_custkey) AS BIGINT) AS max_key
       |FROM merged""".stripMargin
 
+  // ---------------------------------------------------------------- k91
+  /** RANGE DELETE on the transactional table (TxnTable.deleteRange —
+    * GDPR/retention): keys 100-400 vanish from a range-clustered
+    * 8-file table. Files fully inside the range are dropped as PURE
+    * METADATA (never read); disjoint files carry forward by reference;
+    * only boundary files are rewritten. Both properties REQUIREd
+    * in-query via manifest diffing; the oracle is the complement
+    * aggregate over raw customer. */
+  private def k91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k91_del")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCol = Some("c_custkey"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      val v = TxnTable.deleteRange(spark, table, lo = 100, hi = 400)
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      val carried = before.intersect(after)
+      val gone = before -- after
+      require(carried.nonEmpty && gone.nonEmpty,
+        s"surgical delete failed: carried ${carried.size}, removed ${gone.size} of ${before.size}")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k91Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey NOT BETWEEN 100 AND 400""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -546,5 +590,6 @@ object FormatOps {
     RQ("k87_txn_incremental", k87, Some(k87Sql)),
     RQ("k88_incremental_matview", k88, Some(k88Sql)),
     RQ("k89_txn_data_skipping", k89, Some(k89Sql)),
-    RQ("k90_txn_merge", k90, Some(k90Sql)))
+    RQ("k90_txn_merge", k90, Some(k90Sql)),
+    RQ("k91_txn_delete", k91, Some(k91Sql)))
 }

@@ -423,6 +423,58 @@ object TxnTable {
       s"merge into $table lost the snapshot race 16 times — pathological contention")
   }
 
+  /** RANGE DELETE: remove every row with the stats column in [lo, hi] —
+    * the GDPR / retention primitive. Three file classes, decided from
+    * manifest stats alone:
+    *
+    *   fully covered   min >= lo && max <= hi → DROPPED from the new
+    *                   manifest without ever being read (metadata-only
+    *                   delete — at 100 TB, retention usually deletes
+    *                   whole time-ranges and this is zero data I/O)
+    *   disjoint        carried forward by reference
+    *   boundary        rewritten with the complement filter
+    *
+    * Same optimistic pinned-CAS commit as merge. Physical bytes of
+    * dropped/rewritten files are reclaimed by `vacuum`, as for any
+    * superseded snapshot. */
+  def deleteRange(spark: SparkSession, table: String,
+                  lo: Double, hi: Double): Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val statCol = st.stats.values.headOption.map(_.col).getOrElse(
+        throw new IllegalStateException(
+          s"$table has no file stats — commit with statsCol to enable deleteRange"))
+      val covered = st.files.filter(f =>
+        st.stats.get(f).exists(s => s.min >= lo && s.max <= hi))
+      val disjoint = st.files.filter(f =>
+        st.stats.get(f).exists(s => s.max < lo || s.min > hi))
+      val boundary = st.files.filterNot((covered ++ disjoint).toSet)
+      val (newFiles, newStats, dataDir) =
+        if (boundary.isEmpty) (Nil, Map.empty[String, FileStat], None)
+        else {
+          val complement = spark.read.schema(schema)
+            .parquet(boundary.map(f => s"$table/$f"): _*)
+            .filter(!col(statCol).cast("double").between(lit(lo), lit(hi)))
+          val (d, nf, ns) = writeData(complement, table, Some(statCol))
+          (nf, ns, Some(d))
+        }
+      val files = disjoint ++ newFiles
+      val content = manifestContent(schema, st.txns, st.stats ++ newStats, files)
+      if (tryCreateAtomic(ctx,
+          new Path(table, manifestName(st.version + 1L)), content))
+        return st.version + 1L
+      dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
+      attempt += 1 // computed against a stale snapshot: redo
+    }
+    throw new IllegalStateException(
+      s"deleteRange on $table lost the snapshot race 16 times")
+  }
+
   /** Read the committed snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table,

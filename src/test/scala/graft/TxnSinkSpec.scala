@@ -331,6 +331,36 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange: a fully-covered file drops as pure metadata — no new files") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(6, $"c_custkey").sortWithinPartitions($"c_custkey"),
+        table, statsCol = Some("c_custkey"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L)
+      // delete exactly one file's recorded range: keys are unique, so
+      // no other file overlaps it — the delete must be a manifest edit
+      val (f, st) = TxnTable.fileStats(spark, table, 1L).head
+      val v = TxnTable.deleteRange(spark, table, st.min, st.max)
+      val after = TxnTable.snapshotFiles(spark, table, v)
+      assert(after.toSet == before.toSet - f,
+        "expected exactly the covered file dropped, nothing rewritten")
+      assert(TxnTable.read(spark, table).count() ==
+        cust.filter(!$"c_custkey".between(st.min, st.max)).count())
+      // boundary delete: a range straddling two files rewrites only them
+      val remaining = TxnTable.fileStats(spark, table, v).toSeq.sortBy(_._2.min)
+      val (loF, hiF) = (remaining.head, remaining(1))
+      val v2 = TxnTable.deleteRange(spark, table,
+        (loF._2.min + loF._2.max) / 2, (hiF._2.min + hiF._2.max) / 2)
+      val after2 = TxnTable.snapshotFiles(spark, table, v2).toSet
+      // the two straddled files are gone (rewritten), the others carried
+      assert(!after2.contains(loF._1) && !after2.contains(hiF._1))
+      assert(remaining.drop(2).forall(kv => after2.contains(kv._1)))
+    }
+  }
+
   test("compact rewrites the snapshot into fewer files without changing rows") {
     import spark.implicits._
     withZone { table =>
