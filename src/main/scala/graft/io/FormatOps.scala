@@ -455,9 +455,9 @@ object FormatOps {
       TxnTable.commitOverwrite(
         cust.repartitionByRange(8, $"c_custkey")
           .sortWithinPartitions($"c_custkey"),
-        table, statsCol = Some("c_custkey"))
+        table, statsCols = Seq("c_custkey"))
       val (rows, scanned, total) =
-        TxnTable.readRange(spark, table, lo = 100, hi = 400)
+        TxnTable.readRange(spark, table, "c_custkey", lo = 100, hi = 400)
       require(scanned < total && scanned > 0,
         s"data skipping failed: scanned $scanned of $total files for a " +
           "narrow key range over a range-clustered table")
@@ -495,7 +495,7 @@ object FormatOps {
       TxnTable.commitOverwrite(
         cust.repartitionByRange(8, $"c_custkey")
           .sortWithinPartitions($"c_custkey"),
-        table, statsCol = Some("c_custkey"))
+        table, statsCols = Seq("c_custkey"))
       val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
       val updates = cust
         .filter($"c_custkey".between(100, 300))
@@ -553,9 +553,9 @@ object FormatOps {
       TxnTable.commitOverwrite(
         cust.repartitionByRange(8, $"c_custkey")
           .sortWithinPartitions($"c_custkey"),
-        table, statsCol = Some("c_custkey"))
+        table, statsCols = Seq("c_custkey"))
       val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
-      val v = TxnTable.deleteRange(spark, table, lo = 100, hi = 400)
+      val v = TxnTable.deleteRange(spark, table, "c_custkey", lo = 100, hi = 400)
       val after = TxnTable.snapshotFiles(spark, table, v).toSet
       val carried = before.intersect(after)
       val gone = before -- after
@@ -579,6 +579,58 @@ object FormatOps {
       | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM customer WHERE c_custkey NOT BETWEEN 100 AND 400""".stripMargin
 
+  // ---------------------------------------------------------------- k92
+  /** Z-ORDER × TXN-STATS synergy: commit customer CLUSTERED ALONG THE
+    * MORTON CURVE of (c_custkey, c_acctbal) with manifest stats on BOTH
+    * dimensions — a range read on EITHER column must then skip files
+    * (REQUIREd in-query for both), which no single-column sort layout
+    * can do (k89 skips only on its sort key). This is the 100 TB
+    * two-predicate table: layout from graft.ops.ZOrder, skipping from
+    * the TxnTable manifest, and the verified rows are the two pruned
+    * range aggregates stacked. */
+  private def k92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k92_ztxn")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        graft.ops.ZOrder.cluster(cust, "c_custkey", "c_acctbal", 16),
+        table, statsCols = Seq("c_custkey", "c_acctbal"))
+      def pruned(colName: String, lo: Double, hi: Double, label: String): DataFrame = {
+        val (rows, scanned, total) = TxnTable.readRange(spark, table, colName, lo, hi)
+        require(scanned < total && scanned > 0,
+          s"z-order skipping failed on $colName: $scanned of $total files")
+        rows.agg(
+          lit(label).as("dim"),
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+          .select($"dim", $"n", $"sum_bal")
+      }
+      val result = pruned("c_custkey", 100, 400, "custkey_100_400")
+        .unionAll(pruned("c_acctbal", 0, 2000, "acctbal_0_2000"))
+        .orderBy($"dim")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k92Sql =
+    """SELECT 'acctbal_0_2000' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_acctbal BETWEEN 0 AND 2000
+      |UNION ALL
+      |SELECT 'custkey_100_400', CAST(COUNT(*) AS BIGINT),
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |FROM customer WHERE c_custkey BETWEEN 100 AND 400
+      |ORDER BY dim""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -591,5 +643,6 @@ object FormatOps {
     RQ("k88_incremental_matview", k88, Some(k88Sql)),
     RQ("k89_txn_data_skipping", k89, Some(k89Sql)),
     RQ("k90_txn_merge", k90, Some(k90Sql)),
-    RQ("k91_txn_delete", k91, Some(k91Sql)))
+    RQ("k91_txn_delete", k91, Some(k91Sql)),
+    RQ("k92_zorder_skipping", k92, Some(k92Sql)))
 }

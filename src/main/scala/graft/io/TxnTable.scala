@@ -164,7 +164,9 @@ object TxnTable {
 
   /** Per-file min/max of one designated stats column — the
     * data-skipping metadata (Delta/Iceberg file stats): collected once
-    * at commit over the NEW files only, carried forward with the file. */
+    * at commit over the NEW files only, carried forward with the file.
+    * A file may carry stats for several columns (z-ordered layouts
+    * record both curve dimensions, so reads skip on either). */
   final case class FileStat(col: String, min: Double, max: Double)
 
   private final case class State(
@@ -172,7 +174,14 @@ object TxnTable {
       txns: Map[String, Long],
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Map[String, FileStat])
+      stats: Map[String, Seq[FileStat]]) {
+    def stat(f: String, c: String): Option[FileStat] =
+      stats.getOrElse(f, Nil).find(_.col == c)
+    /** Overlap test for pruning: false only when stats PROVE the file
+      * cannot contain a row with `c` in [lo, hi]. */
+    def mayOverlap(f: String, c: String, lo: Double, hi: Double): Boolean =
+      stat(f, c).forall(s => s.max >= lo && s.min <= hi)
+  }
 
   /** One read of the latest snapshot's state: version, txn markers,
     * file list, schema, file stats — the commit loop touches the
@@ -194,7 +203,7 @@ object TxnTable {
       val Array(f, c, mn, mx) =
         l.stripPrefix(StatPrefix).split(java.util.regex.Pattern.quote(StatSep))
       f -> FileStat(c, mn.toDouble, mx.toDouble)
-    }.toMap
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     State(v, txns, files, schema, stats)
   }
 
@@ -202,55 +211,62 @@ object TxnTable {
     latestVersion(spark, table).map(stateOf(spark, table, _))
 
   /** Data-skipping metadata of snapshot `version`: table-relative file →
-    * min/max of the commit's designated stats column. */
-  def fileStats(spark: SparkSession, table: String, version: Long): Map[String, FileStat] =
+    * min/max per designated stats column. */
+  def fileStats(spark: SparkSession, table: String,
+                version: Long): Map[String, Seq[FileStat]] =
     stateOf(spark, table, version).stats
 
   /** Write `df` under a fresh unique data dir; return (dir, its files,
-    * per-file min/max of `statsCol` if designated — one extra pass over
-    * the NEW data only, never the table). */
+    * per-file min/max of each designated stats column — one extra pass
+    * over the NEW data only, never the table). */
   private def writeData(df: DataFrame, table: String,
-                        statsCol: Option[String]): (String, Seq[String], Map[String, FileStat]) = {
+                        statsCols: Seq[String]): (String, Seq[String], Map[String, Seq[FileStat]]) = {
     val spark = df.sparkSession
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
     val newFiles = listParquet(spark, table, dataDir)
-    val stats = statsCol match {
-      case None => Map.empty[String, FileStat]
-      case Some(c) =>
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, Seq[FileStat]]
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__mn_$c"),
+          max(col(c).cast("double")).as(s"__mx_$c")))
         spark.read.parquet(s"$table/$dataDir")
           .groupBy(input_file_name().as("f"))
-          .agg(
-            min(col(c).cast("double")).as("mn"),
-            max(col(c).cast("double")).as("mx"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .flatMap { r =>
+          .map { r =>
             val uri = r.getString(0)
             val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
-            if (r.isNullAt(1)) None
-            else Some(key -> FileStat(c, r.getDouble(1), r.getDouble(2)))
+            key -> statsCols.flatMap { c =>
+              val (mn, mx) =
+                (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+              if (mn == null) None
+              else Some(FileStat(c,
+                mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+            }
           }.toMap
-    }
+      }
     (dataDir, newFiles, stats)
   }
 
   private def manifestContent(
       schema: org.apache.spark.sql.types.StructType,
       txns: Map[String, Long],
-      stats: Map[String, FileStat],
+      stats: Map[String, Seq[FileStat]],
       files: Seq[String]): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
-      stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).map { case (f, s) =>
-        s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}$StatSep${s.max}" } ++
+      stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, ss) =>
+        ss.map(s => s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}$StatSep${s.max}") } ++
       files)
       .mkString("\n")
   }
 
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
-                     statsCol: Option[String]): Long = {
+                     statsCols: Seq[String]): Long = {
     val spark = df.sparkSession
     val ctx = fc(spark)
     def applied(state: Option[State]): Boolean =
@@ -264,7 +280,7 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
-    val (dataDir, newFiles, newStats) = writeData(df, table, statsCol)
+    val (dataDir, newFiles, newStats) = writeData(df, table, statsCols)
     var attempt = 0
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch
@@ -277,9 +293,9 @@ object TxnTable {
         a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) }
       val files =
         if (append) state.map(_.files).getOrElse(Nil) ++ newFiles else newFiles
-      val stats: Map[String, FileStat] =
-        (if (append) state.map(_.stats).getOrElse(Map.empty[String, FileStat])
-         else Map.empty[String, FileStat]) ++ newStats
+      val stats: Map[String, Seq[FileStat]] =
+        (if (append) state.map(_.stats).getOrElse(Map.empty[String, Seq[FileStat]])
+         else Map.empty[String, Seq[FileStat]]) ++ newStats
       // snapshot schema recorded in the log (Delta-style): an APPEND
       // merges the evolved frame's schema into the prior snapshot's —
       // pre-evolution files surface the new column as NULL; incompatible
@@ -301,11 +317,11 @@ object TxnTable {
   }
 
   /** Write `df` as a full replacement snapshot and commit it atomically.
-    * `statsCol` designates a column whose per-file min/max land in the
-    * manifest (data-skipping metadata for readRange/merge). */
+    * `statsCols` designate columns whose per-file min/max land in the
+    * manifest (data-skipping metadata for readRange/merge/deleteRange). */
   def commitOverwrite(df: DataFrame, table: String,
-                      statsCol: Option[String] = None): Long =
-    commit(df, table, append = false, txn = None, statsCol = statsCol)
+                      statsCols: Seq[String] = Nil): Long =
+    commit(df, table, append = false, txn = None, statsCols = statsCols)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
@@ -313,8 +329,8 @@ object TxnTable {
     * committers: the loser of the manifest CAS retries against the
     * winner's snapshot, so both appends survive. */
   def commitAppend(df: DataFrame, table: String,
-                   statsCol: Option[String] = None): Long =
-    commit(df, table, append = true, txn = None, statsCol = statsCol)
+                   statsCols: Seq[String] = Nil): Long =
+    commit(df, table, append = true, txn = None, statsCols = statsCols)
 
   /** Append exactly-once per (appId, batchId): a replay of an
     * already-applied batch is a no-op returning the current version.
@@ -322,31 +338,29 @@ object TxnTable {
     * batch, and this makes the re-offer safe (Delta's txn markers). */
   def commitAppendIdempotent(df: DataFrame, table: String,
                              appId: String, batchId: Long,
-                             statsCol: Option[String] = None): Long =
-    commit(df, table, append = true, txn = Some((appId, batchId)), statsCol = statsCol)
+                             statsCols: Seq[String] = Nil): Long =
+    commit(df, table, append = true, txn = Some((appId, batchId)), statsCols = statsCols)
 
-  /** DATA-SKIPPING read: the latest snapshot's rows whose stats column
-    * falls in [lo, hi] — planned over ONLY the files whose manifest
-    * min/max overlaps the range (files without stats are scanned
-    * conservatively). Returns (rows, filesScanned, filesTotal): at
-    * 100 TB the skip ratio IS the query time. */
-  def readRange(spark: SparkSession, table: String,
+  /** DATA-SKIPPING read: the latest snapshot's rows with `column` in
+    * [lo, hi] — planned over ONLY the files whose manifest min/max for
+    * that column overlaps the range (files without that column's stats
+    * are scanned conservatively). Returns (rows, filesScanned,
+    * filesTotal): at 100 TB the skip ratio IS the query time. A
+    * z-order-clustered commit with stats on both curve dimensions
+    * skips on EITHER column (k92). */
+  def readRange(spark: SparkSession, table: String, column: String,
                 lo: Double, hi: Double): (DataFrame, Int, Int) = {
     val st = latestState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"$table predates the schema log"))
-    val statCol = st.stats.values.headOption.map(_.col).getOrElse(
-      throw new IllegalStateException(
-        s"$table has no file stats — commit with statsCol to enable skipping"))
-    val chosen = st.files.filter(f =>
-      st.stats.get(f).forall(s => s.max >= lo && s.min <= hi))
+    val chosen = st.files.filter(f => st.mayOverlap(f, column, lo, hi))
     val rows =
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(chosen.map(f => s"$table/$f"): _*)
-        .filter(col(statCol).cast("double").between(lit(lo), lit(hi)))
+        .filter(col(column).cast("double").between(lit(lo), lit(hi)))
     (rows, chosen.size, st.files.size)
   }
 
@@ -373,7 +387,7 @@ object TxnTable {
     var attempt = 0
     while (attempt < 16) {
       val st = latestState(spark, table).getOrElse(
-        return commitAppend(updates, table, statsCol = Some(keyCol)))
+        return commitAppend(updates, table, statsCols = Seq(keyCol)))
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
       val keys = updates.select(col(keyCol)).distinct()
@@ -383,8 +397,7 @@ object TxnTable {
       val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
       // stats pre-prune: only files whose range intersects the update
       // keys' range can contain a match (statless files always qualify)
-      val candidates = st.files.filter(f =>
-        st.stats.get(f).forall(s => s.max >= lo && s.min <= hi))
+      val candidates = st.files.filter(f => st.mayOverlap(f, keyCol, lo, hi))
       // phase 1: exact touched set — one key column over the candidates
       val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
       val touched: Set[String] =
@@ -405,7 +418,11 @@ object TxnTable {
           .parquet(touched.toSeq.map(f => s"$table/$f"): _*)
           .join(updates, Seq(keyCol), "left_anti")
           .unionByName(updates)
-      val (dataDir, newFiles, newStats) = writeData(merged, table, Some(keyCol))
+      // rewritten files keep stats for EVERY column the table tracks —
+      // a merge must not degrade later skipping on other dimensions
+      val trackedCols =
+        (st.stats.values.flatten.map(_.col).toSet + keyCol).toSeq.sorted
+      val (dataDir, newFiles, newStats) = writeData(merged, table, trackedCols)
       val files = untouched ++ newFiles
       val stats = st.stats ++ newStats
       val content = manifestContent(
@@ -437,7 +454,7 @@ object TxnTable {
     * Same optimistic pinned-CAS commit as merge. Physical bytes of
     * dropped/rewritten files are reclaimed by `vacuum`, as for any
     * superseded snapshot. */
-  def deleteRange(spark: SparkSession, table: String,
+  def deleteRange(spark: SparkSession, table: String, column: String,
                   lo: Double, hi: Double): Long = {
     val ctx = fc(spark)
     var attempt = 0
@@ -446,21 +463,20 @@ object TxnTable {
         throw new IllegalStateException(s"no committed version in $table"))
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
-      val statCol = st.stats.values.headOption.map(_.col).getOrElse(
-        throw new IllegalStateException(
-          s"$table has no file stats — commit with statsCol to enable deleteRange"))
       val covered = st.files.filter(f =>
-        st.stats.get(f).exists(s => s.min >= lo && s.max <= hi))
+        st.stat(f, column).exists(s => s.min >= lo && s.max <= hi))
       val disjoint = st.files.filter(f =>
-        st.stats.get(f).exists(s => s.max < lo || s.min > hi))
+        st.stat(f, column).exists(s => s.max < lo || s.min > hi))
       val boundary = st.files.filterNot((covered ++ disjoint).toSet)
+      val trackedCols =
+        (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val (newFiles, newStats, dataDir) =
-        if (boundary.isEmpty) (Nil, Map.empty[String, FileStat], None)
+        if (boundary.isEmpty) (Nil, Map.empty[String, Seq[FileStat]], None)
         else {
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
-            .filter(!col(statCol).cast("double").between(lit(lo), lit(hi)))
-          val (d, nf, ns) = writeData(complement, table, Some(statCol))
+            .filter(!col(column).cast("double").between(lit(lo), lit(hi)))
+          val (d, nf, ns) = writeData(complement, table, trackedCols)
           (nf, ns, Some(d))
         }
       val files = disjoint ++ newFiles

@@ -56,8 +56,12 @@ object ZOrder {
     * 0.96 → ~0.3 of range once normalized). Equal-width scaling needs
     * one 4-value aggregate broadcast; heavily skewed columns would use
     * rank instead (GlobalOrder at scale), same interleave after. */
-  def zorderWrite(df: DataFrame, path: String, x: String, y: String,
-                  numFiles: Int): Unit = {
+  /** `df` re-clustered along the z-curve: range-partitioned into
+    * `numFiles` partitions of the normalized z-value, sorted within.
+    * Feed to any sink — zorderWrite for a plain dir, or a TxnTable
+    * commit with stats on BOTH columns (k92) so range reads skip files
+    * on either dimension. */
+  def cluster(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame = {
     val mm = df.agg(
       min(col(x)).cast("double").as("__xmin"),
       max(col(x)).cast("double").as("__xmax"),
@@ -75,6 +79,10 @@ object ZOrder {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
+
+  def zorderWrite(df: DataFrame, path: String, x: String, y: String,
+                  numFiles: Int): Unit =
+    cluster(df, x, y, numFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 }

@@ -303,13 +303,13 @@ class TxnSinkSpec extends AnyFunSuite {
         .select($"c_custkey", $"c_acctbal")
       TxnTable.commitOverwrite(
         cust.repartitionByRange(6, $"c_custkey").sortWithinPartitions($"c_custkey"),
-        table, statsCol = Some("c_custkey"))
+        table, statsCols = Seq("c_custkey"))
       assert(TxnTable.fileStats(spark, table, 1L).size == 6)
       // a range outside every file's stats scans nothing
-      val (empty, s0, t0) = TxnTable.readRange(spark, table, 1e9, 2e9)
+      val (empty, s0, t0) = TxnTable.readRange(spark, table, "c_custkey", 1e9, 2e9)
       assert(s0 == 0 && t0 == 6 && empty.isEmpty)
       // a narrow range scans a strict subset and returns exact rows
-      val (rows, s1, _) = TxnTable.readRange(spark, table, 10, 20)
+      val (rows, s1, _) = TxnTable.readRange(spark, table, "c_custkey", 10, 20)
       assert(s1 < 6 && rows.count() ==
         cust.filter($"c_custkey".between(10, 20)).count())
       // pure-insert merge: no existing file contains the keys — ALL
@@ -338,21 +338,24 @@ class TxnSinkSpec extends AnyFunSuite {
         .select($"c_custkey", $"c_acctbal")
       TxnTable.commitOverwrite(
         cust.repartitionByRange(6, $"c_custkey").sortWithinPartitions($"c_custkey"),
-        table, statsCol = Some("c_custkey"))
+        table, statsCols = Seq("c_custkey"))
       val before = TxnTable.snapshotFiles(spark, table, 1L)
       // delete exactly one file's recorded range: keys are unique, so
       // no other file overlaps it — the delete must be a manifest edit
-      val (f, st) = TxnTable.fileStats(spark, table, 1L).head
-      val v = TxnTable.deleteRange(spark, table, st.min, st.max)
+      val (f, fStats) = TxnTable.fileStats(spark, table, 1L).head
+      val st = fStats.head
+      val v = TxnTable.deleteRange(spark, table, "c_custkey", st.min, st.max)
       val after = TxnTable.snapshotFiles(spark, table, v)
       assert(after.toSet == before.toSet - f,
         "expected exactly the covered file dropped, nothing rewritten")
       assert(TxnTable.read(spark, table).count() ==
         cust.filter(!$"c_custkey".between(st.min, st.max)).count())
       // boundary delete: a range straddling two files rewrites only them
-      val remaining = TxnTable.fileStats(spark, table, v).toSeq.sortBy(_._2.min)
+      val remaining = TxnTable.fileStats(spark, table, v).toSeq
+        .map { case (file, ss) => file -> ss.head }
+        .sortBy(_._2.min)
       val (loF, hiF) = (remaining.head, remaining(1))
-      val v2 = TxnTable.deleteRange(spark, table,
+      val v2 = TxnTable.deleteRange(spark, table, "c_custkey",
         (loF._2.min + loF._2.max) / 2, (hiF._2.min + hiF._2.max) / 2)
       val after2 = TxnTable.snapshotFiles(spark, table, v2).toSet
       // the two straddled files are gone (rewritten), the others carried
