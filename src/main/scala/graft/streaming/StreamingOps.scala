@@ -493,6 +493,106 @@ object StreamingOps {
       |SELECT 'drain3', 0, CAST(0 AS DOUBLE)
       |ORDER BY drain""".stripMargin
 
+  // ---------------------------------------------------------------- s61
+  /** STREAM-STATIC enrichment join: the event stream joins a bounded
+    * dimension (customer → nation) that is read fresh per microbatch
+    * and BROADCAST — no state store, no watermark bookkeeping (the
+    * static side is not a stream), the standard shape for enriching a
+    * 100 TB/day event feed with a small dimension. Aggregated per
+    * nation so the drained result is oracle-checkable against the
+    * batch join. */
+  private def s61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = graft.io.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey")
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    drain(enriched, "s61_out", "complete")
+      .select(
+        $"c_nationkey".cast("bigint").as("nation"),
+        $"n".cast("bigint").as("n"), $"sum_value")
+      .orderBy($"nation")
+  }
+  private val s61Sql =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
+  // ---------------------------------------------------------------- s62
+  /** STREAMING MATVIEW MAINTENANCE — the whole storage story composed:
+    * each microbatch (1) lands in a TxnTable via the IDEMPOTENT append
+    * (replays are no-ops), then (2) advances an IncrementalView by the
+    * cursor delta. Refresh work per batch ∝ batch size; the view's
+    * decimal merge state makes the result bit-identical to one batch
+    * aggregation over everything — which is exactly what the oracle
+    * computes. A replay of the last batch after the stream drains
+    * proves end-to-end exactly-once (append no-ops ⇒ cursor unchanged
+    * ⇒ view untouched). */
+  private def s62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s62").toFile
+    try {
+      val landing = s"${root.getAbsolutePath}/landing"
+      val src = s"${root.getAbsolutePath}/src"
+      val view = s"${root.getAbsolutePath}/view"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 2 === 0), s"$landing/file1.parquet")
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 2 === 1), s"$landing/file2.parquet")
+      val cursor = new java.util.concurrent.atomic.AtomicLong(0L)
+      def ingest(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                 batchId: Long): Unit = {
+        graft.io.TxnTable.commitAppendIdempotent(batch, src, "s62-sink", batchId)
+        cursor.set(graft.io.IncrementalView.refresh(
+          spark, src, view, "event_type", "value", cursor.get()))
+      }
+      val q = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"${root.getAbsolutePath}/checkpoint")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            ingest(b, id)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // sink-failure replay of the last batch: append no-ops, the view
+      // cursor stays, the state below must be unaffected
+      ingest(spark.read.parquet(s"$landing/file2.parquet"), 1L)
+      val viewVersion = graft.io.TxnTable.latestVersion(spark, view).getOrElse(0L)
+      val result = graft.io.IncrementalView.read(spark, view)
+        .select(
+          $"k".as("event_type"), $"n", $"sum_val",
+          lit(viewVersion).cast("bigint").as("n_refreshes"))
+        .orderBy($"event_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s62Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val,
+      | CAST(2 AS BIGINT) AS n_refreshes
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -504,5 +604,7 @@ object StreamingOps {
     RQ("s57_foreachbatch_sink", s57, Some(s57Sql)),
     RQ("s58_incremental_resume", s58, Some(s58Sql)),
     RQ("s59_sliding_window_agg", s59, Some(s59Sql)),
-    RQ("s60_txn_stream_sink", s60, Some(s60Sql)))
+    RQ("s60_txn_stream_sink", s60, Some(s60Sql)),
+    RQ("s61_stream_static_join", s61, Some(s61Sql)),
+    RQ("s62_stream_matview", s62, Some(s62Sql)))
 }
