@@ -364,6 +364,42 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent merges on disjoint keys: pinned CAS retries, both land") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(6, $"c_custkey").sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      val fs = Seq(5L, 25L).map { key =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await(10, TimeUnit.SECONDS)
+            TxnTable.merge(
+              Seq((key, key * 100.0)).toDF("c_custkey", "c_acctbal"),
+              table, "c_custkey")
+          }
+        })
+      }
+      gate.countDown()
+      val versions = fs.map(_.get(300, TimeUnit.SECONDS)).sorted
+      pool.shutdown()
+      // the loser recomputed against the winner's snapshot — both
+      // updates survive, row count unchanged (pure updates, no inserts)
+      assert(versions == Seq(2L, 3L))
+      val t = TxnTable.read(spark, table)
+      assert(t.count() == cust.count())
+      assert(t.filter($"c_custkey" === 5L).select($"c_acctbal")
+        .as[Double].head() == 500.0)
+      assert(t.filter($"c_custkey" === 25L).select($"c_acctbal")
+        .as[Double].head() == 2500.0)
+    }
+  }
+
   test("compact rewrites the snapshot into fewer files without changing rows") {
     import spark.implicits._
     withZone { table =>
