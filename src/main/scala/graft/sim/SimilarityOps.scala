@@ -428,12 +428,16 @@ object SimilarityOps {
         count(lit(1)).over(Window.partitionBy($"cell")).cast("bigint"))
       .orderBy($"vec_id")
   }
-  private val e51Sql: String = {
-    def l2(v: String, c: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         | list_transform(list_zip($v, $c),
-         |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
-         | (acc, u) -> acc + u)""".stripMargin
+  private def l2Sql(v: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       | list_transform(list_zip($v, $c),
+       |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
+       | (acc, u) -> acc + u)""".stripMargin
+
+  /** The Lloyd-replay CTE chain shared by e51's and e53's oracles:
+    * defines c0 (seed) through c{e51Iters} (trained centroids). */
+  private def lloydChainSql: String = {
+    def l2(v: String, c: String) = l2Sql(v, c)
     // one Lloyd iteration as three CTEs: assign aI against c(I-1),
     // per-(cell,dim) decimal-sum means mI, rebuilt centroid table cI
     // (LEFT JOIN + COALESCE keeps an empty cell's previous centroid)
@@ -454,19 +458,65 @@ object SimilarityOps {
          |  FROM c${i - 1} p LEFT JOIN (
          |    SELECT cell AS cent_id, list(m ORDER BY dim) AS c
          |    FROM m$i GROUP BY cell) n USING (cent_id))""".stripMargin
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT vec_id AS cent_id, list_transform(embedding, x -> x::DOUBLE) AS c
        |  FROM embeddings WHERE vec_id < 16),
-       |${(1 to e51Iters).map(iter).mkString(",\n")},
+       |${(1 to e51Iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val e51Sql: String =
+    s"""WITH $lloydChainSql,
        |af AS (
        |  SELECT e.vec_id, (
        |    SELECT cent_id FROM c$e51Iters
-       |    ORDER BY ${l2("e.embedding", s"c$e51Iters.c")} ASC, cent_id LIMIT 1) AS cell
+       |    ORDER BY ${l2Sql("e.embedding", s"c$e51Iters.c")} ASC, cent_id LIMIT 1) AS cell
        |  FROM embeddings e)
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
        | CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
        |FROM af ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- e53
+  /** ANN SEARCH over the TRAINED index (e48's multi-probe join shape ×
+    * e51's centroids): probe vec_id=0 searches its nprobe=2 nearest
+    * TRAINED cells' inverted lists; assignment and probe selection both
+    * use the L2 coarse quantizer the training optimized. The oracle
+    * replays the full pipeline — two Lloyd iterations AND the search —
+    * so training and serving are hash-gated TOGETHER (an assignment
+    * drift invisible to e51's cell counts would surface here as a
+    * different candidate set). */
+  private def e53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = trainedCentroids(spark, dir, e51Iters)
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = emb.select(
+      $"vec_id", $"embedding",
+      element_at(Similarity.nearestSubCells("embedding", cents, 1, 0), 1)
+        .cast("bigint").as("cell"))
+    val probeCells = emb.filter($"vec_id" === 0)
+      .select(
+        $"embedding".as("p"),
+        explode(Similarity.nearestSubCells("embedding", cents, 2, 0)).as("pc"))
+      .select($"p", $"pc".cast("bigint").as("pcell"))
+    assigned.join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= 0)
+      .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(5)
   }
+  private val e53Sql =
+    s"""WITH $lloydChainSql,
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM c$e51Iters
+       |    ORDER BY ${l2Sql("e.embedding", s"c$e51Iters.c")} ASC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM c$e51Iters, probe
+       |  ORDER BY ${l2Sql("probe.p", s"c$e51Iters.c")} ASC, cent_id LIMIT 2)
+       |SELECT vec_id, ${cosineSql("embedding", "p")} AS cos_sim
+       |FROM assigned, probe
+       |WHERE cell IN (SELECT cent_id FROM pcells) AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
   // ---------------------------------------------------------------- e52
   /** K-MEANS-TRAINED PQ sub-codebooks (replacing e50's first-16-vectors
@@ -585,5 +635,6 @@ object SimilarityOps {
     RQ("e49_ann_recall", e49, Some(e49Sql)),
     RQ("e50_pq_codes", e50, Some(e50Sql)),
     RQ("e51_ivf_trained", e51, Some(e51Sql), bench = true),
-    RQ("e52_pq_trained", e52, Some(e52Sql)))
+    RQ("e52_pq_trained", e52, Some(e52Sql)),
+    RQ("e53_ivf_trained_search", e53, Some(e53Sql)))
 }
