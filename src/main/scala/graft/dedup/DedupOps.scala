@@ -485,6 +485,62 @@ object DedupOps {
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d42
+  /** CANDIDATE-PRECISION harness — dedup's measure-don't-guess eval
+    * (e49's analog for the LSH pipeline): for every d37 band-collision
+    * pair, compute the TRUE token-3-shingle Jaccard (the similarity the
+    * MinHash sketch estimates) and report how many candidates clear the
+    * dedup threshold. At scale this is the nightly LSH-quality job that
+    * tunes bands-vs-rows: low precision wastes verification compute,
+    * and the number is a measurement, not a hope. One summary row —
+    * candidate count, true-positive count at τ=0.5, precision. */
+  private def d42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", tokenNgrams("toks", 3).as("sh"))
+    val judged = candidatePairs(spark, dir)
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select(jaccard($"sh_a", $"sh_b").as("jac"))
+    judged.agg(
+      count(lit(1)).cast("bigint").as("n_candidates"),
+      sum(when($"jac" >= 0.5, 1L).otherwise(0L)).cast("bigint").as("n_true"),
+      (sum(when($"jac" >= 0.5, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("precision"))
+  }
+  private val d42Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3 OR a.band4 = b.band4
+       |  WHERE a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT CAST(LEN(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |    / NULLIF(LEN(list_distinct(list_concat(x.sh, y.sh))), 0) AS jac
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       | CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       | CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS precision
+       |FROM j""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("d33_fingerprint_groups", d33, Some(d33Sql)),
     RQ("d34_dedup_exact", d34, Some(d34Sql), bench = true),
@@ -494,5 +550,6 @@ object DedupOps {
     RQ("d38_simhash64", d38, Some(d38Sql)),
     RQ("d39_embedding_neardup", d39, Some(d39Sql)),
     RQ("d40_dedup_clusters", d40, Some(d40Sql), bench = true),
-    RQ("d41_dedup_keep_best", d41, Some(d41Sql)))
+    RQ("d41_dedup_keep_best", d41, Some(d41Sql)),
+    RQ("d42_candidate_precision", d42, Some(d42Sql)))
 }
