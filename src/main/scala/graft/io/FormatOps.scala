@@ -631,6 +631,80 @@ object FormatOps {
       |FROM customer WHERE c_custkey BETWEEN 100 AND 400
       |ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- k93
+  /** RANGE DELETE with NULLs in the predicate column — the NON-VACUOUS
+    * variant of k91. SQL DELETE semantics: `DELETE WHERE k BETWEEN lo
+    * AND hi` retains NULL-keyed rows (the predicate is NULL, not true).
+    * Two traps this fixture springs, both former wrong-answer paths:
+    *
+    *   1. boundary rewrite — NULLs are spread through every base file
+    *      (clustered by acctbal, deleted on k), so the complement
+    *      filter runs over NULL keys; a bare `!between` is NULL under
+    *      three-valued logic and silently DROPS them
+    *   2. metadata-only drop — the appended file's min/max (200..300)
+    *      sit fully inside the delete range, but min/max ignore NULLs;
+    *      dropping it unread would delete its NULL-keyed rows too. The
+    *      manifest's per-file null count forces it down the rewrite
+    *      path instead.
+    *
+    * The oracle reproduces the fixture in SQL, so a single lost NULL
+    * row breaks the hash. */
+  private def k93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k93_delnull")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+      // base: non-multiple-of-10 keys, clustered by ACCTBAL so every
+      // file's k-range is wide (all boundary) and NULL-free
+      val base = cust.filter($"c_custkey" % 10 =!= 0)
+        .select($"c_custkey".cast("long").as("k"), $"c_acctbal")
+        .repartitionByRange(6, $"c_acctbal")
+      // extra: multiples of 10 — keys 200..300 keep their key, the rest
+      // go NULL; one file whose stats scream "fully covered"
+      val extra = cust.filter($"c_custkey" % 10 === 0)
+        .select(
+          when($"c_custkey".between(200, 300), $"c_custkey")
+            .otherwise(lit(null)).cast("long").as("k"),
+          $"c_acctbal")
+        .coalesce(1)
+      TxnTable.commitOverwrite(base, table, statsCols = Seq("k"))
+      TxnTable.commitAppend(extra, table, statsCols = Seq("k"))
+      val nullsBefore = TxnTable.read(spark, table)
+        .filter($"k".isNull).count()
+      val v = TxnTable.deleteRange(spark, table, "k", lo = 100, hi = 400)
+      val nullsAfter = TxnTable.read(spark, table)
+        .filter($"k".isNull).count()
+      require(nullsBefore > 0 && nullsAfter == nullsBefore,
+        s"DELETE must retain NULL-keyed rows: $nullsBefore before, $nullsAfter after")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        count($"k").cast("bigint").as("n_keyed"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k93Sql =
+    """WITH fixture AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 0
+      |           THEN CASE WHEN c_custkey BETWEEN 200 AND 300
+      |                  THEN c_custkey END
+      |           ELSE c_custkey END AS k,
+      |         c_acctbal
+      |  FROM customer)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(k) AS BIGINT) AS n_keyed,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM fixture
+      |WHERE k IS NULL OR k NOT BETWEEN 100 AND 400""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -644,5 +718,6 @@ object FormatOps {
     RQ("k89_txn_data_skipping", k89, Some(k89Sql)),
     RQ("k90_txn_merge", k90, Some(k90Sql)),
     RQ("k91_txn_delete", k91, Some(k91Sql)),
-    RQ("k92_zorder_skipping", k92, Some(k92Sql)))
+    RQ("k92_zorder_skipping", k92, Some(k92Sql)),
+    RQ("k93_txn_delete_nulls", k93, Some(k93Sql)))
 }

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS whose
@@ -61,7 +61,7 @@ object TxnTable {
   private def manifestName(v: Long) = f"_v$v%05d.manifest"
   private val TxnPrefix = "#txn="
   private val SchemaPrefix = "#schema="
-  private val StatPrefix = "#stat="   // #stat=<file>|<col>|<min>|<max>
+  private val StatPrefix = "#stat="   // #stat=<file>|<col>|<min>|<max>[|<nulls>]
   private val StatSep = "|"
 
   private def fc(spark: SparkSession): FileContext =
@@ -166,8 +166,17 @@ object TxnTable {
     * data-skipping metadata (Delta/Iceberg file stats): collected once
     * at commit over the NEW files only, carried forward with the file.
     * A file may carry stats for several columns (z-ordered layouts
-    * record both curve dimensions, so reads skip on either). */
-  final case class FileStat(col: String, min: Double, max: Double)
+    * record both curve dimensions, so reads skip on either).
+    *
+    * `nulls` counts rows whose value is NULL *or* not castable to
+    * double — the rows min/max say NOTHING about (aggregates skip
+    * them). It gates metadata-only decisions: a file whose min/max sit
+    * inside a delete range may still hide NULL-keyed rows that SQL
+    * DELETE semantics must retain, so it is only droppable without
+    * being read when `nulls == 0`. `-1` = unknown (pre-nulls manifest):
+    * never trust it for a destructive metadata-only action. */
+  final case class FileStat(col: String, min: Double, max: Double,
+                            nulls: Long = -1L)
 
   private final case class State(
       version: Long,
@@ -200,9 +209,10 @@ object TxnTable {
         .fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val stats = headers.filter(_.startsWith(StatPrefix)).map { l =>
-      val Array(f, c, mn, mx) =
+      val parts =
         l.stripPrefix(StatPrefix).split(java.util.regex.Pattern.quote(StatSep))
-      f -> FileStat(c, mn.toDouble, mx.toDouble)
+      val nulls = if (parts.length >= 5) parts(4).toLong else -1L
+      parts(0) -> FileStat(parts(1), parts(2).toDouble, parts(3).toDouble, nulls)
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     State(v, txns, files, schema, stats)
   }
@@ -230,7 +240,10 @@ object TxnTable {
       else {
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"__mn_$c"),
-          max(col(c).cast("double")).as(s"__mx_$c")))
+          max(col(c).cast("double")).as(s"__mx_$c"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              col(c).cast("double").isNull, 1L).otherwise(0L)).as(s"__nn_$c")))
         spark.read.parquet(s"$table/$dataDir")
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -243,7 +256,8 @@ object TxnTable {
                 (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
               if (mn == null) None
               else Some(FileStat(c,
-                mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+                mn.asInstanceOf[Double], mx.asInstanceOf[Double],
+                r.getAs[Long](s"__nn_$c")))
             }
           }.toMap
       }
@@ -259,7 +273,8 @@ object TxnTable {
     (Seq(s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, ss) =>
-        ss.map(s => s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}$StatSep${s.max}") } ++
+        ss.map(s => s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}" +
+          s"$StatSep${s.max}$StatSep${s.nulls}") } ++
       files)
       .mkString("\n")
   }
@@ -463,8 +478,13 @@ object TxnTable {
         throw new IllegalStateException(s"no committed version in $table"))
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
+      // metadata-only drop requires PROOF every row is in-range: min/max
+      // bound only the castable non-null rows, so a file is droppable
+      // without being read only when its recorded null/uncastable count
+      // is known-zero (nulls == -1 means a pre-nulls manifest — rewrite)
       val covered = st.files.filter(f =>
-        st.stat(f, column).exists(s => s.min >= lo && s.max <= hi))
+        st.stat(f, column).exists(s =>
+          s.min >= lo && s.max <= hi && s.nulls == 0L))
       val disjoint = st.files.filter(f =>
         st.stat(f, column).exists(s => s.max < lo || s.min > hi))
       val boundary = st.files.filterNot((covered ++ disjoint).toSet)
@@ -473,9 +493,16 @@ object TxnTable {
       val (newFiles, newStats, dataDir) =
         if (boundary.isEmpty) (Nil, Map.empty[String, Seq[FileStat]], None)
         else {
+          // three-valued logic trap: for a NULL (or uncastable) key the
+          // bare `!between` predicate is NULL, which filter treats as
+          // drop — rows OUTSIDE the delete range would silently vanish.
+          // SQL DELETE retains NULL-keyed rows, so default the match to
+          // false before negating.
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
-            .filter(!col(column).cast("double").between(lit(lo), lit(hi)))
+            .filter(not(coalesce(
+              col(column).cast("double").between(lit(lo), lit(hi)),
+              lit(false))))
           val (d, nf, ns) = writeData(complement, table, trackedCols)
           (nf, ns, Some(d))
         }

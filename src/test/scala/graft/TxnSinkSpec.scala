@@ -364,6 +364,42 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange retains NULL-keyed rows: covered-drop guard + complement filter") {
+    import spark.implicits._
+    withZone { table =>
+      // file A: keys 10..50 PLUS two NULL keys — min/max sit fully
+      // inside the delete range, but min/max ignore NULLs, so a
+      // metadata-only drop would delete the NULL rows; the manifest's
+      // null count must force a rewrite instead
+      val fileA = Seq[(Option[Long], Double)](
+        (Some(10L), 1.0), (Some(50L), 2.0), (None, 3.0), (None, 4.0))
+        .toDF("k", "v").coalesce(1)
+      // file B: null-free and fully covered — the legitimate
+      // metadata-only drop
+      val fileB = Seq[(Option[Long], Double)]((Some(60L), 5.0), (Some(90L), 6.0))
+        .toDF("k", "v").coalesce(1)
+      // file C: disjoint, carried by reference
+      val fileC = Seq[(Option[Long], Double)]((Some(1000L), 7.0), (Some(2000L), 8.0))
+        .toDF("k", "v").coalesce(1)
+      TxnTable.commitOverwrite(fileA, table, statsCols = Seq("k"))
+      TxnTable.commitAppend(fileB, table, statsCols = Seq("k"))
+      TxnTable.commitAppend(fileC, table, statsCols = Seq("k"))
+      val before = TxnTable.snapshotFiles(spark, table, 3L)
+      assert(before.size == 3)
+      val Seq(fA, fB, fC) = before
+      val v = TxnTable.deleteRange(spark, table, "k", lo = 0, hi = 500)
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      assert(after.contains(fC), "disjoint file must carry forward by reference")
+      assert(!after.contains(fB), "null-free covered file must drop as metadata")
+      assert(!after.contains(fA), "covered-but-nulled file must be rewritten, not dropped")
+      assert((after - fC).nonEmpty, "rewrite of file A must produce output")
+      val rows = TxnTable.read(spark, table).orderBy($"v").collect()
+      // survivors: A's two NULL-keyed rows + C's two disjoint rows
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(3.0, 4.0, 7.0, 8.0))
+      assert(rows.take(2).forall(_.isNullAt(0)), "NULL keys must survive DELETE")
+    }
+  }
+
   test("concurrent merges on disjoint keys: pinned CAS retries, both land") {
     import spark.implicits._
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
