@@ -705,6 +705,59 @@ object FormatOps {
       |FROM fixture
       |WHERE k IS NULL OR k NOT BETWEEN 100 AND 400""".stripMargin
 
+  // ---------------------------------------------------------------- k94
+  /** MERGE WITH SCHEMA EVOLUTION: the updates frame carries a column the
+    * table has never seen (`c_tier`). The merge must (a) land the new
+    * column in the committed snapshot's log schema, (b) surface it as
+    * NULL on every row the merge didn't touch — including rows in files
+    * carried forward by reference — and (c) still be file-surgical
+    * (untouched files carried by path identity, REQUIREd in-query).
+    * Previously the manifest advertised the merged schema but the data
+    * path's strict unionByName threw on the extra column, so the
+    * evolution could never actually happen. */
+  private def k94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k94_evolve")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      val updates = cust
+        .filter($"c_custkey".between(100, 300))
+        .select($"c_custkey", ($"c_acctbal" + 1000.0).as("c_acctbal"),
+          lit("gold").as("c_tier"))
+      val v = TxnTable.merge(updates, table, "c_custkey")
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      require(before.intersect(after).nonEmpty && !before.subsetOf(after),
+        "evolving merge must stay file-surgical")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        count($"c_tier").cast("bigint").as("n_tier"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k94Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CASE WHEN c_custkey BETWEEN 100 AND 300
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_tier,
+      | CAST(SUM(CAST(CASE WHEN c_custkey BETWEEN 100 AND 300
+      |                    THEN c_acctbal + 1000.0 ELSE c_acctbal END
+      |               AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -719,5 +772,6 @@ object FormatOps {
     RQ("k90_txn_merge", k90, Some(k90Sql)),
     RQ("k91_txn_delete", k91, Some(k91Sql)),
     RQ("k92_zorder_skipping", k92, Some(k92Sql)),
-    RQ("k93_txn_delete_nulls", k93, Some(k93Sql)))
+    RQ("k93_txn_delete_nulls", k93, Some(k93Sql)),
+    RQ("k94_txn_merge_evolve", k94, Some(k94Sql)))
 }

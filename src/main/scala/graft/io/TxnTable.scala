@@ -427,16 +427,25 @@ object TxnTable {
           .map(r => { val u = r.getString(0)
             byBase(u.substring(u.lastIndexOf('/') + 1)) }).toSet
       val untouched = st.files.filterNot(touched)
+      // schema evolution happens HERE, not just in the manifest header:
+      // allowMissingColumns lets an updates frame add a column (old rows
+      // surface it as NULL) or omit one (update rows get NULL) — the
+      // same merged schema the commit records, so the advertised
+      // evolution actually goes through the data path
       val merged =
         if (touched.isEmpty) updates
         else spark.read.schema(schema)
           .parquet(touched.toSeq.map(f => s"$table/$f"): _*)
           .join(updates, Seq(keyCol), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
       // rewritten files keep stats for EVERY column the table tracks —
-      // a merge must not degrade later skipping on other dimensions
+      // a merge must not degrade later skipping on other dimensions.
+      // (A column the merged frame doesn't carry — pure-insert updates
+      // omitting it under evolution — just gets no stat: conservative
+      // scans, never an unresolved-column failure.)
       val trackedCols =
-        (st.stats.values.flatten.map(_.col).toSet + keyCol).toSeq.sorted
+        (st.stats.values.flatten.map(_.col).toSet + keyCol)
+          .intersect(merged.columns.toSet).toSeq.sorted
       val (dataDir, newFiles, newStats) = writeData(merged, table, trackedCols)
       val files = untouched ++ newFiles
       val stats = st.stats ++ newStats
