@@ -21,6 +21,18 @@ import java.nio.charset.StandardCharsets.UTF_8
   * frame's schema, so evolution is validated at commit time), `#txn=`
   * marker lines, then one table-relative data-file path per line.
   *
+  * Log checkpointing: most append/merge/delete commits write an
+  * O(changed files) DELTA manifest (`#delta=` header, `+`/`-` file
+  * lines); every `graft.txn.checkpointInterval`-th version — and every
+  * overwrite — is a FULL manifest that rolls the chain up, so state
+  * resolution reads at most `interval` small objects however long the
+  * table's history. A best-effort `_latest` pointer (overwritten after
+  * each commit, never part of the CAS) lets discovery probe forward a
+  * few versions instead of listing the table directory. Net: commit
+  * cost and snapshot-read planning cost are both independent of the
+  * number of commits ever made — the property a per-microbatch
+  * streaming sink (s60/s62) needs to run for months.
+  *
   * Protocol: a writer materializes its data files under a fresh unique
   * `w=<token>/` dir (two racing writers can never clobber each other's
   * data), computes the file list of the snapshot it intends to publish
@@ -63,6 +75,25 @@ object TxnTable {
   private val SchemaPrefix = "#schema="
   private val StatPrefix = "#stat="   // #stat=<file>|<col>|<min>|<max>[|<nulls>]
   private val StatSep = "|"
+  // Log checkpointing (Delta-style, SNIPPETS.md §checkpointing): a
+  // manifest WITHOUT the #delta header is a FULL snapshot (file list =
+  // plain lines) — the checkpoint. A manifest WITH it records only the
+  // commit's changes: `+<file>` added, `-<file>` removed, plus the full
+  // (small) schema/txn headers and #stat lines for the NEW files only.
+  // Every `graft.txn.checkpointInterval`-th version (and every
+  // overwrite) is full, so state resolution walks back at most
+  // interval-1 deltas: commit cost is O(changed files), not O(table).
+  private val DeltaPrefix = "#delta="
+  private val AddPrefix = "+"
+  private val RemovePrefix = "-"
+  // Best-effort discovery hint: `_latest` holds a recently committed
+  // version number, overwritten after each commit. latestVersion probes
+  // FORWARD from it with exists() calls instead of listing the table
+  // directory — O(commits since the hint), not O(history). Losing a
+  // pointer write (it is not part of the CAS) only costs extra probes.
+  private val PointerName = "_latest"
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.get("graft.txn.checkpointInterval", "10").toInt
 
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
@@ -90,9 +121,36 @@ object TxnTable {
     }
   }
 
-  /** Highest committed version, if any (manifest existence = committed). */
-  def latestVersion(spark: SparkSession, table: String): Option[Long] =
-    versions(spark, table).lastOption
+  private def writePointer(ctx: FileContext, table: String, v: Long): Unit =
+    try {
+      val out = ctx.create(new Path(table, PointerName),
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // hint only
+
+  /** Highest committed version, if any (manifest existence = committed).
+    * With a `_latest` hint: one small GET + a handful of forward
+    * exists() probes. Without one (pre-pointer table, lost write):
+    * falls back to the directory listing. */
+  def latestVersion(spark: SparkSession, table: String): Option[Long] = {
+    val ctx = fc(spark)
+    val hint: Option[Long] =
+      try {
+        val p = new Path(table, PointerName)
+        if (!ctx.util.exists(p)) None
+        else Some(readSmall(ctx, p).trim.toLong)
+          .filter(v => ctx.util.exists(new Path(table, manifestName(v))))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hint match {
+      case Some(k) =>
+        var v = k
+        while (ctx.util.exists(new Path(table, manifestName(v + 1)))) v += 1
+        Some(v)
+      case None => versions(spark, table).lastOption
+    }
+  }
 
   /** Committed snapshot versions, ascending. Orphan `w=` dirs from dead
     * writers have no manifest and are never listed. */
@@ -123,29 +181,19 @@ object TxnTable {
   /** Table-relative data files of snapshot `version` (public: the
     * file-level lineage view, and what specs assert against). */
   def snapshotFiles(spark: SparkSession, table: String, version: Long): Seq[String] =
-    manifestLines(spark, table, version).filterNot(_.startsWith("#"))
+    stateOf(spark, table, version).files
 
   /** Streaming-txn markers of snapshot `version`: appId -> highest
     * applied batchId. Carried forward by every commit. */
   def txnMarkers(spark: SparkSession, table: String, version: Long): Map[String, Long] =
-    manifestLines(spark, table, version)
-      .filter(_.startsWith(TxnPrefix))
-      .map { l =>
-        val body = l.stripPrefix(TxnPrefix)
-        val i = body.lastIndexOf(':')
-        body.take(i) -> body.drop(i + 1).toLong
-      }.toMap
+    stateOf(spark, table, version).txns
 
   /** The snapshot's schema as recorded AT COMMIT TIME in its manifest —
     * reads never touch parquet footers, and time travel returns each
     * version's own schema even after later evolution. */
   def snapshotSchema(spark: SparkSession, table: String,
                      version: Long): Option[org.apache.spark.sql.types.StructType] =
-    manifestLines(spark, table, version)
-      .find(_.startsWith(SchemaPrefix))
-      .map(l => org.apache.spark.sql.types.DataType
-        .fromJson(l.stripPrefix(SchemaPrefix))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    stateOf(spark, table, version).schema
 
   /** Highest batchId the table has applied for `appId`, if any. */
   def lastCommittedBatch(spark: SparkSession, table: String, appId: String): Option[Long] =
@@ -192,29 +240,60 @@ object TxnTable {
       stat(f, c).forall(s => s.max >= lo && s.min <= hi)
   }
 
-  /** One read of the latest snapshot's state: version, txn markers,
-    * file list, schema, file stats — the commit loop touches the
-    * manifest object ONCE per attempt (each read is a GET at
-    * object-store latency). */
-  private def stateOf(spark: SparkSession, table: String, v: Long): State = {
-    val lines = manifestLines(spark, table, v)
-    val (headers, files) = lines.partition(_.startsWith("#"))
-    val txns = headers.filter(_.startsWith(TxnPrefix)).map { l =>
-      val body = l.stripPrefix(TxnPrefix)
-      val i = body.lastIndexOf(':')
-      body.take(i) -> body.drop(i + 1).toLong
-    }.toMap
-    val schema = headers.find(_.startsWith(SchemaPrefix))
-      .map(l => org.apache.spark.sql.types.DataType
-        .fromJson(l.stripPrefix(SchemaPrefix))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val stats = headers.filter(_.startsWith(StatPrefix)).map { l =>
+  private def parseStats(headers: Seq[String]): Map[String, Seq[FileStat]] =
+    headers.filter(_.startsWith(StatPrefix)).map { l =>
       val parts =
         l.stripPrefix(StatPrefix).split(java.util.regex.Pattern.quote(StatSep))
       val nulls = if (parts.length >= 5) parts(4).toLong else -1L
       parts(0) -> FileStat(parts(1), parts(2).toDouble, parts(3).toDouble, nulls)
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    State(v, txns, files, schema, stats)
+
+  private def parseTxns(headers: Seq[String]): Map[String, Long] =
+    headers.filter(_.startsWith(TxnPrefix)).map { l =>
+      val body = l.stripPrefix(TxnPrefix)
+      val i = body.lastIndexOf(':')
+      body.take(i) -> body.drop(i + 1).toLong
+    }.toMap
+
+  private def parseSchema(
+      headers: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    headers.find(_.startsWith(SchemaPrefix))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Snapshot state at `v`: walk BACK from v to the nearest full
+    * (checkpoint) manifest — at most checkpointInterval-1 hops, each a
+    * small GET — then replay the delta chain forward: removals drop
+    * files (and their stats), additions append; schema/txn headers come
+    * from v's own manifest (every manifest carries them in full). The
+    * commit loop therefore reads O(interval) small objects per attempt
+    * regardless of table history length. */
+  private def stateOf(spark: SparkSession, table: String, v: Long): State = {
+    var chain = List.empty[Seq[String]] // deltas, oldest first
+    var cur = v
+    var lines = manifestLines(spark, table, cur)
+    while (lines.exists(_.startsWith(DeltaPrefix))) {
+      chain ::= lines
+      cur -= 1
+      require(cur >= 1, s"delta chain under version $v of $table has no " +
+        "full base manifest (vacuumed too aggressively?)")
+      lines = manifestLines(spark, table, cur)
+    }
+    val (baseHeaders, baseFiles) = lines.partition(_.startsWith("#"))
+    var files = baseFiles
+    var stats = parseStats(baseHeaders)
+    var headOf = baseHeaders
+    for (delta <- chain) {
+      val (dh, df) = delta.partition(_.startsWith("#"))
+      val removed = df.filter(_.startsWith(RemovePrefix))
+        .map(_.stripPrefix(RemovePrefix)).toSet
+      val added = df.filter(_.startsWith(AddPrefix)).map(_.stripPrefix(AddPrefix))
+      files = files.filterNot(removed) ++ added
+      stats = (stats -- removed) ++ parseStats(dh)
+      headOf = dh
+    }
+    State(v, parseTxns(headOf), files, parseSchema(headOf), stats)
   }
 
   private def latestState(spark: SparkSession, table: String): Option[State] =
@@ -279,6 +358,42 @@ object TxnTable {
       .mkString("\n")
   }
 
+  /** O(change) commit record: full schema/txn headers (small), stats for
+    * the new files only, then removal/addition lines. */
+  private def deltaContent(
+      schema: org.apache.spark.sql.types.StructType,
+      txns: Map[String, Long],
+      newStats: Map[String, Seq[FileStat]],
+      removed: Seq[String],
+      added: Seq[String],
+      base: Long): String =
+    (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}") ++
+      txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
+      newStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
+        ss.map(s => s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}" +
+          s"$StatSep${s.max}$StatSep${s.nulls}") } ++
+      removed.map(RemovePrefix + _) ++
+      added.map(AddPrefix + _))
+      .mkString("\n")
+
+  /** Diagnostic for specs/ops: (manifests read, log bytes read) to
+    * resolve snapshot `v` — proves state resolution is bounded by the
+    * checkpoint interval, not the table's commit history. */
+  def logReadCost(spark: SparkSession, table: String, v: Long): (Int, Long) = {
+    val ctx = fc(spark)
+    var reads = 0
+    var bytes = 0L
+    var cur = v
+    var isDelta = true
+    while (isDelta) {
+      val content = readSmall(ctx, new Path(table, manifestName(cur)))
+      reads += 1; bytes += content.length.toLong
+      isDelta = content.split("\n").exists(_.startsWith(DeltaPrefix))
+      cur -= 1
+    }
+    (reads, bytes)
+  }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
                      statsCols: Seq[String]): Long = {
@@ -321,9 +436,19 @@ object TxnTable {
             .map(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
             .getOrElse(org.apache.spark.sql.GraftBridge.nullableSchema(df.schema))
         else org.apache.spark.sql.GraftBridge.nullableSchema(df.schema)
-      val content = manifestContent(schema, txns, stats, files)
-      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content))
+      // checkpoint cadence: overwrites and first commits are naturally
+      // full; appends write an O(new files) delta except every
+      // interval-th version, which rolls the chain up into a checkpoint
+      val writeFull = !append || state.isEmpty ||
+        next % checkpointInterval(spark) == 0
+      val content =
+        if (writeFull) manifestContent(schema, txns, stats, files)
+        else deltaContent(schema, txns, newStats, removed = Nil,
+          added = newFiles, base = state.get.version)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
         return next
+      }
       attempt += 1 // lost the CAS: recompute against the new snapshot
       state = latestState(spark, table)
     }
@@ -448,13 +573,19 @@ object TxnTable {
           .intersect(merged.columns.toSet).toSeq.sorted
       val (dataDir, newFiles, newStats) = writeData(merged, table, trackedCols)
       val files = untouched ++ newFiles
-      val stats = st.stats ++ newStats
-      val content = manifestContent(
-        org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema),
-        st.txns, stats, files)
-      if (tryCreateAtomic(ctx,
-          new Path(table, manifestName(st.version + 1L)), content))
-        return st.version + 1L
+      val stats = (st.stats -- touched) ++ newStats
+      val mergedSchema =
+        org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema)
+      val next = st.version + 1L
+      val content =
+        if (next % checkpointInterval(spark) == 0)
+          manifestContent(mergedSchema, st.txns, stats, files)
+        else deltaContent(mergedSchema, st.txns, newStats,
+          removed = touched.toSeq.sorted, added = newFiles, base = st.version)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
       // lost the race: this merge was computed against a stale base —
       // discard its output and redo the whole read-merge-write
       ctx.delete(new Path(s"$table/$dataDir"), true)
@@ -516,10 +647,18 @@ object TxnTable {
           (nf, ns, Some(d))
         }
       val files = disjoint ++ newFiles
-      val content = manifestContent(schema, st.txns, st.stats ++ newStats, files)
-      if (tryCreateAtomic(ctx,
-          new Path(table, manifestName(st.version + 1L)), content))
-        return st.version + 1L
+      val removedFiles = (covered ++ boundary).sorted
+      val next = st.version + 1L
+      val content =
+        if (next % checkpointInterval(spark) == 0)
+          manifestContent(schema, st.txns,
+            (st.stats -- removedFiles) ++ newStats, files)
+        else deltaContent(schema, st.txns, newStats,
+          removed = removedFiles, added = newFiles, base = st.version)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
       dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
       attempt += 1 // computed against a stale snapshot: redo
     }
@@ -619,7 +758,17 @@ object TxnTable {
     val ctx = fc(spark)
     val cutoff = System.currentTimeMillis() - retainMs
     latestVersion(spark, table).foreach { latest =>
-      val (dropped, retained) = versions(spark, table).partition(_ < latest - keep)
+      val all = versions(spark, table)
+      // retention extends DOWN from the oldest explicitly-kept version
+      // to its full-manifest chain base: a retained delta manifest is
+      // unreadable without the checkpoint it hangs off
+      var floor = all.filter(_ >= latest - keep).min
+      while (manifestLines(spark, table, floor)
+               .exists(_.startsWith(DeltaPrefix))) floor -= 1
+      val (dropped, retained) = all.partition(_ < floor)
+      // resolve references BEFORE deleting any manifest — chain reads
+      // must never race the drop
+      val referencedEarly = retained.flatMap(snapshotFiles(spark, table, _)).toSet
       dropped.foreach(v => ctx.delete(new Path(table, manifestName(v)), false))
       // reclamation is FILE-driven, not version-driven: append lineage
       // lets retained manifests reference files in ANY data dir (and an
@@ -629,7 +778,7 @@ object TxnTable {
       // whole-dir delete emptied NON-EMPTY dirs (clears _SUCCESS /
       // checksums); dirs with zero parquet files are left alone rather
       // than vacuously matching `forall(unreferenced)`.
-      val referenced = retained.flatMap(snapshotFiles(spark, table, _)).toSet
+      val referenced = referencedEarly
       val dirIt = ctx.listStatus(new Path(table))
       while (dirIt.hasNext) {
         val st = dirIt.next()
@@ -643,6 +792,7 @@ object TxnTable {
             .foreach(f => ctx.delete(new Path(s"$table/$f"), false))
         }
       }
+      writePointer(ctx, table, latest) // keep the discovery hint fresh
     }
   }
 }

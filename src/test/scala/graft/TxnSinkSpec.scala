@@ -213,9 +213,11 @@ class TxnSinkSpec extends AnyFunSuite {
       TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 0), table)
       TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table)
       val v1Files = TxnTable.snapshotFiles(spark, table, 1)
-      // v2 (latest) references v1's files, so vacuum must NOT delete them
+      // v2 (latest) references v1's files, so vacuum must NOT delete
+      // them; v2 is also a DELTA hanging off v1's full manifest, so the
+      // chain base v1 survives the manifest sweep too
       TxnTable.vacuum(spark, table)
-      assert(TxnTable.versions(spark, table) == Seq(2L))
+      assert(TxnTable.versions(spark, table) == Seq(1L, 2L))
       assert(TxnTable.read(spark, table).count() == cust.count())
       // overwrite commit orphans all earlier files; vacuum reclaims them
       TxnTable.commitOverwrite(cust.filter($"c_custkey" <= 5), table)
@@ -361,6 +363,41 @@ class TxnSinkSpec extends AnyFunSuite {
       // the two straddled files are gone (rewritten), the others carried
       assert(!after2.contains(loF._1) && !after2.contains(hiF._1))
       assert(remaining.drop(2).forall(kv => after2.contains(kv._1)))
+    }
+  }
+
+  test("log checkpointing: commit and read costs stay bounded over 500 appends") {
+    import spark.implicits._
+    withZone { table =>
+      val row = Seq((1L, 1.0)).toDF("k", "v").coalesce(1)
+      TxnTable.commitOverwrite(row, table)
+      (2 to 500).foreach(_ => TxnTable.commitAppend(row, table))
+      assert(TxnTable.latestVersion(spark, table).contains(500L))
+      assert(TxnTable.read(spark, table).count() == 500L)
+      // state resolution reads at most interval manifests (10 by
+      // default), however deep the history
+      val (reads, bytes) = TxnTable.logReadCost(spark, table, 500L)
+      assert(reads <= 11, s"resolution read $reads manifests — O(history)?")
+      assert(bytes < 64 * 1024, s"resolution read $bytes log bytes")
+      // off-checkpoint commits write O(change) deltas: their manifests
+      // must stay tiny while the full file list is 500 entries
+      val sizes = new java.io.File(table).listFiles()
+        .filter(_.getName.matches("_v\\d+\\.manifest"))
+        .map(f => f.getName.stripPrefix("_v").stripSuffix(".manifest").toInt
+          -> f.length()).toMap
+      val deltaMax = sizes.collect { case (v, len) if v % 10 != 0 && v > 1 => len }.max
+      assert(deltaMax < 2048,
+        s"a delta manifest is $deltaMax bytes — rewriting cumulative state?")
+      // checkpoints DO carry the full list (sanity that deltas are not
+      // just empty): the last one dwarfs any delta
+      assert(sizes(500) > 10 * deltaMax)
+      // time travel resolves mid-chain versions exactly
+      assert(TxnTable.readVersion(spark, table, 123L).count() == 123L)
+      // vacuum keeps the chain base of the oldest retained version:
+      // every surviving snapshot stays readable
+      TxnTable.vacuum(spark, table, keep = 5)
+      assert(TxnTable.read(spark, table).count() == 500L)
+      assert(TxnTable.readVersion(spark, table, 496L).count() == 496L)
     }
   }
 
