@@ -758,6 +758,54 @@ object FormatOps {
       |               AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------- k95
+  /** DSv2 read path: `spark.read.format("graft")` over the TxnTable —
+    * file skipping comes from the PLANNER now, not a blessed API. The
+    * filter is a plain DataFrame `.between`; the scan builder extracts
+    * its bounds via pushdown, prunes the file list against manifest
+    * stats (REQUIREd in-query via the executed plan's DSv2 scan), and
+    * Spark's own ParquetScan reads the survivors. Also proves snapshot
+    * pinning + time travel: `versionAsOf 1` ignores a later append. */
+  private def k95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k95_dsv2")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      // later noise the pinned version must not see
+      TxnTable.commitAppend(
+        Seq((990001L, 123.45)).toDF("c_custkey", "c_acctbal"), table,
+        statsCols = Seq("c_custkey"))
+      val pruned = spark.read.format("graft")
+        .option("versionAsOf", "1").load(table)
+        .filter($"c_custkey".between(100, 400))
+      val scanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(pruned)
+        .getOrElse(sys.error("no DSv2 scan in plan — format(\"graft\") fell through"))
+      require(scanned > 0 && scanned < 8,
+        s"DSv2 stats skipping failed: scanned $scanned of 8 files")
+      val result = pruned.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k95Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey BETWEEN 100 AND 400""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -773,5 +821,6 @@ object FormatOps {
     RQ("k91_txn_delete", k91, Some(k91Sql)),
     RQ("k92_zorder_skipping", k92, Some(k92Sql)),
     RQ("k93_txn_delete_nulls", k93, Some(k93Sql)),
-    RQ("k94_txn_merge_evolve", k94, Some(k94Sql)))
+    RQ("k94_txn_merge_evolve", k94, Some(k94Sql)),
+    RQ("k95_dsv2_skipping", k95, Some(k95Sql)))
 }

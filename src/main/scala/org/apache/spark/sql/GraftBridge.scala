@@ -46,6 +46,56 @@ object GraftBridge {
         f.selectedPartitions.partitionCount
     }
 
+  /** Spark's own vectorized parquet Scan over an EXPLICIT file list —
+    * the execution half of the graft DSv2 source: graft planning picks
+    * the files (manifest-stats skipping), Spark's ParquetScan executes
+    * them (whole-stage codegen, row-group skipping, nested pruning).
+    * Bridged here because InMemoryFileIndex/ParquetScan live behind
+    * private[sql]. */
+  def parquetScan(
+      spark: SparkSession,
+      paths: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      readSchema: org.apache.spark.sql.types.StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.Scan = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      cs,
+      paths.map(new org.apache.hadoop.fs.Path(_)),
+      Map.empty[String, String],
+      Some(dataSchema),
+      org.apache.spark.sql.execution.datasources.NoopCache,
+      None, None)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      cs, cs.sessionState.newHadoopConf(), index,
+      dataSchema, readSchema,
+      org.apache.spark.sql.types.StructType(Nil), filters, options)
+  }
+
+  /** Files the frame's DSv2 scan will actually read (AFTER graft's
+    * manifest-stats pruning) — the skip ratio a spec asserts. None when
+    * the plan has no DSv2 file scan. */
+  def dsv2ScannedFiles(df: DataFrame): Option[Int] = {
+    // AdaptiveSparkPlanExec is a LEAF node: descend into its current
+    // plan or a shuffling query hides the scan entirely
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+      p.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      } match {
+        case Some(fs: org.apache.spark.sql.execution.datasources.v2.FileScan) =>
+          Some(fs.fileIndex.inputFiles.length)
+        case Some(_) => None
+        case None =>
+          p.collectFirst {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+          }.flatMap(a => find(a.executedPlan))
+      }
+    find(df.queryExecution.executedPlan)
+  }
+
   /** RDD[InternalRow] → DataFrame without the Row encode/decode round
     * trip (the private[sql] twin of createDataFrame). The rows must
     * already be in catalyst format and safe to buffer (copied). */
