@@ -23,14 +23,33 @@ object IncrementalView {
 
   private val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
 
+  private def appId(sourceTable: String) = s"graft-incrview:$sourceTable"
+
+  /** The view's DURABLE cursor: the source version whose delta the
+    * committed state already includes, recorded as a txn marker in the
+    * SAME commit as the state. The startup call after a crash. */
+  def committedCursor(spark: SparkSession, sourceTable: String,
+                      viewTable: String): Long =
+    TxnTable.lastCommittedBatch(spark, viewTable, appId(sourceTable))
+      .getOrElse(0L)
+
   /** Refresh the view at `viewTable` from `sourceTable`'s appends since
     * `cursor`: group the delta by `keyCol`, count rows and decimal-sum
     * `valCol`, merge into existing state, commit. Returns the new
-    * cursor (persist it; pass it to the next refresh). */
+    * cursor.
+    *
+    * Crash-safe: the cursor is committed WITH the view state as a
+    * `(appId, sourceVersion)` txn marker, and the marker — not the
+    * caller's argument — is authoritative. A caller that crashes
+    * between refresh and persisting the returned cursor re-offers a
+    * stale one on restart; the durable marker advances the effective
+    * cursor past the already-applied delta, so nothing double-counts
+    * (the in-memory cursor is an optimization, never the truth). */
   def refresh(spark: SparkSession, sourceTable: String, viewTable: String,
               keyCol: String, valCol: String, cursor: Long): Long = {
-    val (delta, newCursor) = TxnTable.readChanges(spark, sourceTable, cursor)
-    if (newCursor == cursor) return cursor // nothing new
+    val effective = math.max(cursor, committedCursor(spark, sourceTable, viewTable))
+    val (delta, newCursor) = TxnTable.readChanges(spark, sourceTable, effective)
+    if (newCursor == effective) return effective // nothing new
     val deltaAgg = delta
       .groupBy(col(keyCol).as("k"))
       .agg(
@@ -44,12 +63,12 @@ object IncrementalView {
         .agg(
           sum(col("n")).as("n"),
           sum(col("dec_sum")).as("dec_sum"))
-    TxnTable.commitOverwrite(
+    TxnTable.commitOverwriteIdempotent(
       merged.select(
         col("k"),
         col("n").cast("long").as("n"),
         col("dec_sum").cast(Dec).as("dec_sum")),
-      viewTable)
+      viewTable, appId(sourceTable), newCursor)
     newCursor
   }
 

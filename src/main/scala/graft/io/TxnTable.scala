@@ -38,9 +38,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * data), computes the file list of the snapshot it intends to publish
   * (OVERWRITE commit: just its new files; APPEND commit: the current
   * latest manifest's files plus its new ones), then commits by creating
-  * `_v<next>.manifest` via write-temp + rename-WITHOUT-overwrite. The
-  * no-overwrite rename is the FS-level compare-and-swap: exactly one of
-  * N racing writers creates the next version's manifest; every loser
+  * `_v<next>.manifest` EXCLUSIVELY (atomic hard-link publish on local
+  * FS, exclusive create on HDFS — see tryCreateAtomic for the per-FS
+  * contract). That exclusive create is the FS-level compare-and-swap:
+  * exactly one of N racing writers creates the next version's manifest;
+  * every loser
   * gets FileAlreadyExistsException, re-reads the NEW latest snapshot,
   * recomputes its file list against it, and retries at `next+1` — so
   * concurrent appends serialize and both survive (lost-update-free).
@@ -103,23 +105,60 @@ object TxnTable {
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
 
-  /** Write `content` to a temp file, then rename WITHOUT overwrite onto
-    * `dest`. Returns false (leaving `dest` untouched) if `dest` already
-    * exists — the lost-the-race signal. */
+  /** Publish `content` at `dest` iff `dest` does not exist. Returns
+    * false (leaving `dest` untouched) on the lost-the-race signal.
+    *
+    * The CAS seam, per filesystem:
+    *   - local/raw FS: write a temp file, then `link(2)` it to `dest` —
+    *     hard-link creation is KERNEL-atomic and fails with EEXIST, so
+    *     exactly one racer wins AND readers only ever see the full
+    *     content. (The previous rename-without-overwrite was NOT a CAS
+    *     here: FileContext emulates the no-overwrite check as
+    *     exists-then-rename, and two racers inside that window could
+    *     both "commit", silently losing one update.)
+    *   - HDFS: exclusive create (CreateFlag.CREATE alone) — atomic in
+    *     the namenode.
+    *   - object stores: the connector must map exclusive create to a
+    *     conditional PUT (If-None-Match). A store whose connector
+    *     emulates it with exists-then-put does NOT give this table
+    *     serializable commits — that is the documented contract. */
   private def tryCreateAtomic(ctx: FileContext, dest: Path, content: String): Boolean = {
-    val tmp = new Path(dest.getParent,
-      s".${dest.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = ctx.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try out.write(content.getBytes(UTF_8)) finally out.close()
-    try { ctx.rename(tmp, dest, Options.Rename.NONE); true }
-    catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        ctx.delete(tmp, false); false
+    val scheme = dest.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException => NioExists}
+      val d = Paths.get(dest.toUri.getPath)
+      Files.createDirectories(d.getParent)
+      val tmp = d.resolveSibling(
+        s".${d.getFileName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, content.getBytes(UTF_8))
+      try { Files.createLink(d, tmp); true }
+      catch { case _: NioExists => false }
+      finally { Files.deleteIfExists(tmp); () }
+    } else {
+      try {
+        val out = ctx.create(dest,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          Options.CreateOpts.createParent())
+        try out.write(content.getBytes(UTF_8)) finally out.close()
+        true
+      } catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          false
+      }
     }
   }
+
+  /** Jittered exponential backoff between CAS attempts: under N-writer
+    * contention the retries de-synchronize instead of stampeding the
+    * next version's manifest (each loser otherwise re-reads state and
+    * re-CASes in lockstep, and one writer can starve). Caps at ~128 ms
+    * — commit latency stays interactive. */
+  private def backoff(attempt: Int): Unit =
+    if (attempt > 0) {
+      val cap = math.min(128L, 2L << math.min(attempt, 6))
+      Thread.sleep(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(cap / 2, cap + 1))
+    }
 
   private def writePointer(ctx: FileContext, table: String, v: Long): Unit =
     try {
@@ -450,6 +489,7 @@ object TxnTable {
         return next
       }
       attempt += 1 // lost the CAS: recompute against the new snapshot
+      backoff(attempt)
       state = latestState(spark, table)
     }
     throw new IllegalStateException(
@@ -471,6 +511,16 @@ object TxnTable {
   def commitAppend(df: DataFrame, table: String,
                    statsCols: Seq[String] = Nil): Long =
     commit(df, table, append = true, txn = None, statsCols = statsCols)
+
+  /** Overwrite exactly-once per (appId, batchId): the marker commits
+    * ATOMICALLY with the replacement snapshot, so a consumer that
+    * derives its progress cursor from `lastCommittedBatch` can never
+    * observe state without the cursor that produced it — the
+    * crash-consistency primitive IncrementalView's refresh rides on. */
+  def commitOverwriteIdempotent(df: DataFrame, table: String,
+                                appId: String, batchId: Long,
+                                statsCols: Seq[String] = Nil): Long =
+    commit(df, table, append = false, txn = Some((appId, batchId)), statsCols = statsCols)
 
   /** Append exactly-once per (appId, batchId): a replay of an
     * already-applied batch is a no-op returning the current version.
@@ -590,6 +640,7 @@ object TxnTable {
       // discard its output and redo the whole read-merge-write
       ctx.delete(new Path(s"$table/$dataDir"), true)
       attempt += 1
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"merge into $table lost the snapshot race 16 times — pathological contention")
@@ -661,6 +712,7 @@ object TxnTable {
       }
       dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
       attempt += 1 // computed against a stale snapshot: redo
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"deleteRange on $table lost the snapshot race 16 times")

@@ -287,6 +287,15 @@ class TxnSinkSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), graft.ops.Num.dsum($"c_acctbal").as("s"))
         .orderBy($"k").as[(Long, Long, Double)].collect().toSeq
       assert(got == want)
+      // crash replay: the caller loses the returned cursor and restarts
+      // with a stale one — the marker committed WITH the view state is
+      // authoritative, so the already-applied delta must not re-apply
+      assert(IncrementalView.committedCursor(spark, src, view) == cursor)
+      val replayed = IncrementalView.refresh(spark, src, view, "seg", "c_acctbal", 0L)
+      assert(replayed == cursor, "stale-cursor refresh must fast-forward")
+      val afterReplay = IncrementalView.read(spark, view)
+        .orderBy($"k").as[(Long, Long, Double)].collect().toSeq
+      assert(afterReplay == want, "replay double-counted the delta")
       def rmr(p: String): Unit = {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
