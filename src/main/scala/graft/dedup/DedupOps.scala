@@ -327,7 +327,12 @@ object DedupOps {
     var prev = -1L
     var cur = labelSum(labels)
     var rounds = 0
-    val maxRounds = 50
+    // early hybrid switch: min-label needs ~diameter rounds, star
+    // contraction ~log(component size). A graph still moving after 10
+    // rounds is overwhelmingly a high-diameter one — burning the old
+    // 50-round cap first paid 40 extra shuffle rounds for nothing
+    // before starting contraction from scratch.
+    val maxRounds = 10
     while (cur != prev && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy($"dst").agg(min($"label").as("nbr_label"))

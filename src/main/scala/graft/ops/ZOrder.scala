@@ -27,11 +27,16 @@ object ZOrder {
     (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
   }
 
-  /** Morton z-value of two non-negative keys (low 16 bits each → one
-    * 32-bit curve position, as BIGINT). */
+  /** Morton z-value of two keys (low 16 bits each → one 32-bit curve
+    * position, as BIGINT). pmod, not %: a sign-preserving remainder on
+    * a negative key would feed a negative value into the bit-spread
+    * masks and return a garbage curve position — pmod folds negatives
+    * into [0, 65536) so every input lands on the curve (negative keys
+    * wrap, which preserves locality within each 65536-wide window; for
+    * full-range keys normalize first, as `cluster` does). */
   def zvalue(x: Column, y: Column): Column =
-    spreadBits(x.cast("long") % 65536)
-      .bitwiseOR(shiftleft(spreadBits(y.cast("long") % 65536), 1))
+    spreadBits(pmod(x.cast("long"), lit(65536L)))
+      .bitwiseOR(shiftleft(spreadBits(pmod(y.cast("long"), lit(65536L))), 1))
 
   /** The oracle-side spelling: same masks, same shifts, same order. */
   def spreadSql(e: String): String = {
@@ -41,7 +46,8 @@ object ZOrder {
     s"(($s3 | ($s3 << 1)) & 1431655765)"
   }
   def zvalueSql(x: String, y: String): String =
-    s"(${spreadSql(s"($x) % 65536")} | (${spreadSql(s"($y) % 65536")} << 1))"
+    s"(${spreadSql(s"((($x) % 65536) + 65536) % 65536")} | " +
+      s"(${spreadSql(s"((($y) % 65536) + 65536) % 65536")} << 1))"
 
   /** Write `df` into `numFiles` parquet files clustered along the
     * z-curve of (x, y): range-partition on the z-value, sort within

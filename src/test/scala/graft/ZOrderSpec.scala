@@ -64,4 +64,22 @@ class ZOrderSpec extends AnyFunSuite {
       rm(new java.io.File(base))
     }
   }
+
+  test("zvalue folds negative keys like pmod — never a garbage curve position") {
+    // a sign-preserving % would feed negative values into the spread
+    // masks; every z-value must land in [0, 2^32) and equal the
+    // explicitly pmod-folded spelling
+    val keys = Seq(
+      (-1L, -65536L), (-123L, 456L), (-65537L, -2L),
+      (Long.MinValue + 10, Long.MaxValue - 10), (0L, 0L), (65535L, 65535L))
+    val rows = keys.toDF("x", "y")
+      .select(
+        ZOrder.zvalue($"x", $"y").as("z"),
+        ZOrder.zvalue(pmod($"x", lit(65536L)), pmod($"y", lit(65536L))).as("zp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 32), s"out of range: $r")
+      assert(r.getLong(0) == r.getLong(1), s"negative fold mismatch: $r")
+    }
+  }
 }
