@@ -806,6 +806,70 @@ object FormatOps {
       | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM customer WHERE c_custkey BETWEEN 100 AND 400""".stripMargin
 
+  // ---------------------------------------------------------------- k96
+  /** TYPED file stats: data skipping expressed directly on a TIMESTAMP
+    * column (epoch-normalized min/max — the retention predicate k91
+    * could not serve when stats were numeric-only) and on a STRING
+    * column (lexicographic min/max; Spark's UTF8 binary order equals
+    * DuckDB's default collation, so the oracle agrees). Two tables,
+    * each clustered along its stats column; both reads REQUIRE a
+    * strict file-subset scan in-query. */
+  private def k96(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k96_typed")
+    try {
+      val orders = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority", $"o_totalprice")
+      val byDate = s"$zone/orders_by_date"
+      TxnTable.commitOverwrite(
+        orders.repartitionByRange(12, $"o_orderdate")
+          .sortWithinPartitions($"o_orderdate"),
+        byDate, statsCols = Seq("o_orderdate"))
+      val (dRows, dScan, dTotal) = TxnTable.readRangeOn(spark, byDate,
+        "o_orderdate", "1995-01-01", "1996-12-31 23:59:59")
+      require(dScan > 0 && dScan < dTotal,
+        s"timestamp skipping failed: $dScan of $dTotal files")
+      val byPrio = s"$zone/orders_by_prio"
+      TxnTable.commitOverwrite(
+        orders.repartitionByRange(4, $"o_orderpriority")
+          .sortWithinPartitions($"o_orderpriority"),
+        byPrio, statsCols = Seq("o_orderpriority"))
+      val (pRows, pScan, pTotal) = TxnTable.readRangeOn(spark, byPrio,
+        "o_orderpriority", "1-URGENT", "2-HIGH")
+      require(pScan > 0 && pScan < pTotal,
+        s"string skipping failed: $pScan of $pTotal files")
+      def summarize(df: DataFrame, label: String): DataFrame =
+        df.agg(
+          lit(label).as("dim"),
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"o_totalprice").as("sum_price"))
+          .select($"dim", $"n", $"sum_price")
+      val result = summarize(dRows, "date_1995_1996")
+        .unionAll(summarize(pRows, "prio_urgent_high"))
+        .orderBy($"dim")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k96Sql =
+    """SELECT 'date_1995_1996' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                      AND TIMESTAMP '1996-12-31 23:59:59'
+      |UNION ALL
+      |SELECT 'prio_urgent_high', CAST(COUNT(*) AS BIGINT),
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |FROM orders
+      |WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'
+      |ORDER BY dim""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -822,5 +886,6 @@ object FormatOps {
     RQ("k92_zorder_skipping", k92, Some(k92Sql)),
     RQ("k93_txn_delete_nulls", k93, Some(k93Sql)),
     RQ("k94_txn_merge_evolve", k94, Some(k94Sql)),
-    RQ("k95_dsv2_skipping", k95, Some(k95Sql)))
+    RQ("k95_dsv2_skipping", k95, Some(k95Sql)),
+    RQ("k96_typed_skipping", k96, Some(k96Sql)))
 }

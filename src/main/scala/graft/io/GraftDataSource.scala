@@ -87,38 +87,81 @@ private[io] class GraftScanBuilder(
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
 
+  import TxnTable.Bound
+
+  /** One filter value normalized against the column's declared type —
+    * numbers and temporals to Right(epoch/double), strings on string
+    * columns to Left(lexicographic). None = unprunable value. */
+  private def value(c: String, v: Any): Option[Either[String, Double]] =
+    dataSchema.find(_.name == c).flatMap { f =>
+      try Some(TxnTable.boundValue(v, f.dataType))
+      catch { case _: IllegalArgumentException => None }
+    }
+
+  private def point(e: Either[String, Double]): Bound = e match {
+    case Right(d) => Bound("num", lo = d, hi = d)
+    case Left(s) => Bound("str", loS = s, hiS = s)
+  }
+  private def lower(e: Either[String, Double]): Bound = e match {
+    case Right(d) => Bound("num", lo = d)
+    case Left(s) => Bound("str", loS = s)
+  }
+  private def upper(e: Either[String, Double]): Bound = e match {
+    case Right(d) => Bound("num", hi = d)
+    case Left(s) => Bound("str", hiS = s)
+  }
+  /** Intersection of two bounds on the same column (ANDed filters); a
+    * kind conflict yields an unprunable marker, never a wrong prune. */
+  private def inter(a: Bound, b: Bound): Bound =
+    if (a.kind == "num" && b.kind == "num")
+      Bound("num", lo = math.max(a.lo, b.lo), hi = math.min(a.hi, b.hi))
+    else if (a.kind == "str" && b.kind == "str")
+      Bound("str",
+        loS = (Option(a.loS) ++ Option(b.loS))
+          .reduceOption((x: String, y: String) => if (x >= y) x else y).orNull,
+        hiS = (Option(a.hiS) ++ Option(b.hiS))
+          .reduceOption((x: String, y: String) => if (x <= y) x else y).orNull)
+    else Bound("conflict")
+
   /** Conservative per-column bounds a filter implies: only shapes whose
-    * satisfying rows PROVABLY fall in [lo, hi] on a single column are
-    * extracted (equality, one-sided and two-sided ranges, conjunctions
-    * — intersect). Anything else contributes no bound — never wrong,
-    * just unpruned. */
-  private def bounds(f: Filter): Map[String, (Double, Double)] = {
-    def num(v: Any): Option[Double] = v match {
-      case n: Number => Some(n.doubleValue())
-      case _ => None // strings/timestamps: no numeric-stats pruning (yet)
-    }
-    f match {
-      case EqualTo(c, v) => num(v).map(d => Map(c -> (d, d))).getOrElse(Map.empty)
-      case GreaterThan(c, v) =>
-        num(v).map(d => Map(c -> (d, Double.PositiveInfinity))).getOrElse(Map.empty)
-      case GreaterThanOrEqual(c, v) =>
-        num(v).map(d => Map(c -> (d, Double.PositiveInfinity))).getOrElse(Map.empty)
-      case LessThan(c, v) =>
-        num(v).map(d => Map(c -> (Double.NegativeInfinity, d))).getOrElse(Map.empty)
-      case LessThanOrEqual(c, v) =>
-        num(v).map(d => Map(c -> (Double.NegativeInfinity, d))).getOrElse(Map.empty)
-      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
-        val ds = vs.map(_.asInstanceOf[Number].doubleValue())
-        Map(c -> (ds.min, ds.max))
-      case And(a, b) =>
-        val (ba, bb) = (bounds(a), bounds(b))
-        (ba.keySet ++ bb.keySet).map { c =>
-          val (lo1, hi1) = ba.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
-          val (lo2, hi2) = bb.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
-          c -> (math.max(lo1, lo2), math.min(hi1, hi2))
-        }.toMap
-      case _ => Map.empty
-    }
+    * satisfying rows PROVABLY fall in a single column's range are
+    * extracted (equality, one-sided and two-sided ranges, In,
+    * conjunctions). Anything else contributes no bound — never wrong,
+    * just unpruned. Typed: numeric, string, and temporal columns all
+    * prune against their manifest stats. */
+  private def bounds(f: Filter): Map[String, Bound] = f match {
+    case EqualTo(c, v) => value(c, v).map(e => Map(c -> point(e))).getOrElse(Map.empty)
+    case GreaterThan(c, v) => value(c, v).map(e => Map(c -> lower(e))).getOrElse(Map.empty)
+    case GreaterThanOrEqual(c, v) => value(c, v).map(e => Map(c -> lower(e))).getOrElse(Map.empty)
+    case LessThan(c, v) => value(c, v).map(e => Map(c -> upper(e))).getOrElse(Map.empty)
+    case LessThanOrEqual(c, v) => value(c, v).map(e => Map(c -> upper(e))).getOrElse(Map.empty)
+    case In(c, vs) if vs.nonEmpty =>
+      val es = vs.toSeq.map(v => value(c, v))
+      if (es.exists(_.isEmpty)) Map.empty
+      else es.flatten.foldLeft(Option.empty[Bound]) {
+        // In = UNION of points: the enclosing [min, max] envelope
+        case (None, e) => Some(point(e))
+        case (Some(b), e) => point(e) match {
+          case p if p.kind == b.kind && p.kind == "num" =>
+            Some(Bound("num", lo = math.min(b.lo, p.lo), hi = math.max(b.hi, p.hi)))
+          case p if p.kind == b.kind =>
+            Some(Bound("str",
+              loS = Ordering[String].min(b.loS, p.loS),
+              hiS = Ordering[String].max(b.hiS, p.hiS)))
+          case _ => Some(Bound("conflict"))
+        }
+      }.map(b => Map(c -> b)).getOrElse(Map.empty)
+    case And(a, b) =>
+      val (ba, bb) = (bounds(a), bounds(b))
+      (ba.keySet ++ bb.keySet).map { c =>
+        (ba.get(c), bb.get(c)) match {
+          case (Some(x), Some(y)) => c -> inter(x, y)
+          case (Some(x), None) => c -> x
+          case (None, Some(y)) => c -> y
+          case _ => c -> Bound("conflict") // unreachable
+        }
+      }.toMap
+    case _ => Map.empty
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -133,18 +176,20 @@ private[io] class GraftScanBuilder(
     val files = TxnTable.snapshotFiles(spark, table, version)
     val stats = TxnTable.fileStats(spark, table, version)
     // intersect bounds across every pushed filter (they are ANDed)
-    val merged = pushed.map(bounds).foldLeft(
-      Map.empty[String, (Double, Double)]) { (acc, m) =>
-      (acc.keySet ++ m.keySet).map { c =>
-        val (lo1, hi1) = acc.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
-        val (lo2, hi2) = m.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
-        c -> (math.max(lo1, lo2), math.min(hi1, hi2))
-      }.toMap
+    val merged = pushed.map(bounds).foldLeft(Map.empty[String, Bound]) {
+      (acc, m) =>
+        (acc.keySet ++ m.keySet).map { c =>
+          (acc.get(c), m.get(c)) match {
+            case (Some(x), Some(y)) => c -> inter(x, y)
+            case (Some(x), None) => c -> x
+            case (None, Some(y)) => c -> y
+            case _ => c -> Bound("conflict") // unreachable
+          }
+        }.toMap
     }
     val chosen = files.filter { f =>
-      merged.forall { case (c, (lo, hi)) =>
-        stats.getOrElse(f, Nil).find(_.col == c)
-          .forall(s => s.max >= lo && s.min <= hi)
+      merged.forall { case (c, b) =>
+        stats.getOrElse(f, Nil).find(_.col == c).forall(_.mayOverlap(b))
       }
     }
     org.apache.spark.sql.GraftBridge.parquetScan(

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, not}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS whose
@@ -255,15 +255,116 @@ object TxnTable {
     * A file may carry stats for several columns (z-ordered layouts
     * record both curve dimensions, so reads skip on either).
     *
-    * `nulls` counts rows whose value is NULL *or* not castable to
-    * double — the rows min/max say NOTHING about (aggregates skip
-    * them). It gates metadata-only decisions: a file whose min/max sit
-    * inside a delete range may still hide NULL-keyed rows that SQL
-    * DELETE semantics must retain, so it is only droppable without
-    * being read when `nulls == 0`. `-1` = unknown (pre-nulls manifest):
-    * never trust it for a destructive metadata-only action. */
-  final case class FileStat(col: String, min: Double, max: Double,
-                            nulls: Long = -1L)
+    * TYPED: `kind` is "num" (numbers, booleans; dates/timestamps
+    * normalized to epoch seconds — UTC sessions assumed, as Verify
+    * pins) with `minV`/`maxV` holding doubles, or "str" with raw
+    * strings compared lexicographically (Spark's UTF8 binary order ==
+    * DuckDB's default collation, so skipping agrees with the oracle).
+    * A bound whose kind mismatches the stat's can never prune.
+    *
+    * `nulls` counts rows whose NORMALIZED value is NULL (genuine NULLs
+    * or values the normalization can't represent) — the rows min/max
+    * say NOTHING about (aggregates skip them). It gates metadata-only
+    * decisions: a file whose min/max sit inside a delete range may
+    * still hide NULL-keyed rows that SQL DELETE semantics must retain,
+    * so it is only droppable without being read when `nulls == 0`.
+    * `-1` = unknown (pre-nulls manifest): never trust it for a
+    * destructive metadata-only action. */
+  final case class FileStat(col: String, kind: String,
+                            minV: String, maxV: String, nulls: Long = -1L) {
+    /** Numeric accessors (valid when kind == "num"). */
+    def min: Double = minV.toDouble
+    def max: Double = maxV.toDouble
+    def disjointFrom(b: Bound): Boolean = (kind, b.kind) match {
+      case ("num", "num") => max < b.lo || min > b.hi
+      case ("str", "str") =>
+        (b.loS != null && maxV < b.loS) || (b.hiS != null && minV > b.hiS)
+      case _ => false // kind mismatch: cannot prove anything
+    }
+    def mayOverlap(b: Bound): Boolean = !disjointFrom(b)
+    /** Every non-null row PROVABLY inside the bound. */
+    def containedIn(b: Bound): Boolean = (kind, b.kind) match {
+      case ("num", "num") => min >= b.lo && max <= b.hi
+      case ("str", "str") =>
+        (b.loS == null || minV >= b.loS) && (b.hiS == null || maxV <= b.hiS)
+      case _ => false
+    }
+  }
+
+  /** A normalized query range: numeric [lo, hi] or lexicographic
+    * [loS, hiS] (null string endpoint = unbounded). Any other `kind`
+    * (e.g. "conflict") prunes nothing — always safe. */
+  final case class Bound(kind: String,
+                         lo: Double = Double.NegativeInfinity,
+                         hi: Double = Double.PositiveInfinity,
+                         loS: String = null, hiS: String = null)
+
+  import org.apache.spark.sql.types._
+
+  /** Stats representation a column type gets, if any: unsupported types
+    * simply collect no stats (conservative scans, never an error). */
+  private[io] def statKind(dt: DataType): Option[String] = dt match {
+    case StringType => Some("str")
+    case DateType | TimestampType | TimestampNTZType => Some("num")
+    case _: NumericType | BooleanType => Some("num")
+    case _ => None
+  }
+
+  /** The normalization every stats/bounds/filter comparison goes
+    * through: strings stay strings, temporals become epoch seconds,
+    * everything else casts to double. ONE definition, used by stat
+    * collection AND query filtering, so they can never disagree. */
+  private[io] def normExpr(c: String, dt: DataType): org.apache.spark.sql.Column =
+    dt match {
+      case StringType => col(c)
+      case DateType | TimestampType | TimestampNTZType =>
+        col(c).cast("timestamp").cast("double")
+      case _ => col(c).cast("double")
+    }
+
+  private def parseEpoch(s: String): Double = {
+    val t = s.trim
+    if (t.length <= 10) java.time.LocalDate.parse(t).toEpochDay * 86400.0
+    else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+  }
+
+  /** One query-bound value, normalized against the column's type:
+    * Left(lexicographic) or Right(numeric/epoch-seconds). Strings
+    * against temporal columns parse as dates ("2020-01-31") or
+    * timestamps ("2020-01-31 12:00:00", UTC). */
+  private[io] def boundValue(v: Any, dt: DataType): Either[String, Double] =
+    (v, dt) match {
+      case (s: String, StringType) => Left(s)
+      case (s: String, DateType | TimestampType | TimestampNTZType) =>
+        Right(parseEpoch(s))
+      case (n: Number, _) => Right(n.doubleValue())
+      case (t: java.sql.Timestamp, _) => Right(t.getTime / 1000.0)
+      case (d: java.sql.Date, _) => Right(d.toLocalDate.toEpochDay * 86400.0)
+      case (i: java.time.Instant, _) => Right(i.toEpochMilli / 1000.0)
+      case (ld: java.time.LocalDate, _) => Right(ld.toEpochDay * 86400.0)
+      case (ldt: java.time.LocalDateTime, _) =>
+        Right(ldt.toEpochSecond(java.time.ZoneOffset.UTC).toDouble)
+      case _ => throw new IllegalArgumentException(
+        s"cannot interpret bound $v (${v.getClass.getSimpleName}) against $dt")
+    }
+
+  private[io] def boundRange(lo: Any, hi: Any, dt: DataType): Bound =
+    (boundValue(lo, dt), boundValue(hi, dt)) match {
+      case (Right(l), Right(h)) => Bound("num", lo = l, hi = h)
+      case (Left(l), Left(h)) => Bound("str", loS = l, hiS = h)
+      case _ => throw new IllegalArgumentException(
+        s"mixed bound kinds for [$lo, $hi] against $dt")
+    }
+
+  /** Row-level range predicate matching `boundRange`'s semantics. */
+  private def rangeFilter(c: String, dt: DataType, lo: Any, hi: Any)
+      : org.apache.spark.sql.Column =
+    (boundValue(lo, dt), boundValue(hi, dt)) match {
+      case (Left(l), Left(h)) => col(c).between(lit(l), lit(h))
+      case (Right(l), Right(h)) => normExpr(c, dt).between(lit(l), lit(h))
+      case _ => throw new IllegalArgumentException("mixed bound kinds")
+    }
 
   private final case class State(
       version: Long,
@@ -274,9 +375,19 @@ object TxnTable {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
-      * cannot contain a row with `c` in [lo, hi]. */
-    def mayOverlap(f: String, c: String, lo: Double, hi: Double): Boolean =
-      stat(f, c).forall(s => s.max >= lo && s.min <= hi)
+      * cannot contain a row with `c` inside `b`. */
+    def mayOverlap(f: String, c: String, b: Bound): Boolean =
+      stat(f, c).forall(_.mayOverlap(b))
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8) // "|"/newlines can occur in string mins
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, UTF_8)
+
+  private def statLine(f: String, s: FileStat): String = {
+    val (mn, mx) =
+      if (s.kind == "str") (enc(s.minV), enc(s.maxV)) else (s.minV, s.maxV)
+    s"$StatPrefix$f$StatSep${s.col}$StatSep$mn$StatSep$mx$StatSep${s.nulls}$StatSep${s.kind}"
   }
 
   private def parseStats(headers: Seq[String]): Map[String, Seq[FileStat]] =
@@ -284,7 +395,10 @@ object TxnTable {
       val parts =
         l.stripPrefix(StatPrefix).split(java.util.regex.Pattern.quote(StatSep))
       val nulls = if (parts.length >= 5) parts(4).toLong else -1L
-      parts(0) -> FileStat(parts(1), parts(2).toDouble, parts(3).toDouble, nulls)
+      val kind = if (parts.length >= 6) parts(5) else "num"
+      val (mn, mx) =
+        if (kind == "str") (dec(parts(2)), dec(parts(3))) else (parts(2), parts(3))
+      parts(0) -> FileStat(parts(1), kind, mn, mx, nulls)
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
 
   private def parseTxns(headers: Seq[String]): Map[String, Long] =
@@ -356,28 +470,36 @@ object TxnTable {
     val stats =
       if (statsCols.isEmpty) Map.empty[String, Seq[FileStat]]
       else {
-        val aggs = statsCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"__mn_$c"),
-          max(col(c).cast("double")).as(s"__mx_$c"),
-          org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.when(
-              col(c).cast("double").isNull, 1L).otherwise(0L)).as(s"__nn_$c")))
-        spark.read.parquet(s"$table/$dataDir")
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val uri = r.getString(0)
-            val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
-            key -> statsCols.flatMap { c =>
-              val (mn, mx) =
-                (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
-              if (mn == null) None
-              else Some(FileStat(c,
-                mn.asInstanceOf[Double], mx.asInstanceOf[Double],
-                r.getAs[Long](s"__nn_$c")))
-            }
-          }.toMap
+        val back = spark.read.parquet(s"$table/$dataDir")
+        // one (col, dtype, kind) per stats column the data carries AND
+        // the kind system supports — others get no stats, not errors
+        val tracked = statsCols.flatMap(c =>
+          back.schema.find(_.name == c).flatMap(f =>
+            statKind(f.dataType).map(k => (c, f.dataType, k))))
+        if (tracked.isEmpty) Map.empty[String, Seq[FileStat]]
+        else {
+          val aggs = tracked.flatMap { case (c, dt, _) => Seq(
+            min(normExpr(c, dt)).as(s"__mn_$c"),
+            max(normExpr(c, dt)).as(s"__mx_$c"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                normExpr(c, dt).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+          }
+          back.groupBy(input_file_name().as("f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              val uri = r.getString(0)
+              val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
+              key -> tracked.flatMap { case (c, _, kind) =>
+                (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
+                  case (null, _) => None
+                  case (mn, mx) => Some(FileStat(c, kind,
+                    mn.toString, mx.toString, r.getAs[Long](s"__nn_$c")))
+                }
+              }
+            }.toMap
+        }
       }
     (dataDir, newFiles, stats)
   }
@@ -391,8 +513,7 @@ object TxnTable {
     (Seq(s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, ss) =>
-        ss.map(s => s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}" +
-          s"$StatSep${s.max}$StatSep${s.nulls}") } ++
+        ss.map(s => statLine(f, s)) } ++
       files)
       .mkString("\n")
   }
@@ -409,8 +530,7 @@ object TxnTable {
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       newStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
-        ss.map(s => s"$StatPrefix$f$StatSep${s.col}$StatSep${s.min}" +
-          s"$StatSep${s.max}$StatSep${s.nulls}") } ++
+        ss.map(s => statLine(f, s)) } ++
       removed.map(RemovePrefix + _) ++
       added.map(AddPrefix + _))
       .mkString("\n")
@@ -539,18 +659,28 @@ object TxnTable {
     * z-order-clustered commit with stats on both curve dimensions
     * skips on EITHER column (k92). */
   def readRange(spark: SparkSession, table: String, column: String,
-                lo: Double, hi: Double): (DataFrame, Int, Int) = {
+                lo: Double, hi: Double): (DataFrame, Int, Int) =
+    readRangeOn(spark, table, column, lo, hi)
+
+  /** Typed `readRange`: bounds may be numbers, strings (lexicographic
+    * on string columns), or dates/timestamps (values or their string
+    * forms) — the retention scan on a date column that numeric-only
+    * stats could not serve. */
+  def readRangeOn(spark: SparkSession, table: String, column: String,
+                  lo: Any, hi: Any): (DataFrame, Int, Int) = {
     val st = latestState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"$table predates the schema log"))
-    val chosen = st.files.filter(f => st.mayOverlap(f, column, lo, hi))
+    val dt = schema(column).dataType
+    val b = boundRange(lo, hi, dt)
+    val chosen = st.files.filter(f => st.mayOverlap(f, column, b))
     val rows =
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(chosen.map(f => s"$table/$f"): _*)
-        .filter(col(column).cast("double").between(lit(lo), lit(hi)))
+        .filter(rangeFilter(column, dt, lo, hi))
     (rows, chosen.size, st.files.size)
   }
 
@@ -581,13 +711,27 @@ object TxnTable {
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
       val keys = updates.select(col(keyCol)).distinct()
+      // typed key bounds: strings min/max lexicographically (a numeric
+      // cast would NULL out and silently no-op the whole merge),
+      // temporals as epoch — one normalization shared with the stats
+      val keyDt = updates.schema(keyCol).dataType
       val bounds = keys.agg(
-        min(col(keyCol).cast("double")), max(col(keyCol).cast("double"))).head()
-      if (bounds.isNullAt(0)) return st.version // empty updates: no-op
-      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+        count(col(keyCol)),
+        min(normExpr(keyCol, keyDt)), max(normExpr(keyCol, keyDt))).head()
+      if (bounds.getLong(0) == 0L) return st.version // no non-null keys: no-op
+      val keyBound: Option[Bound] =
+        (bounds.get(1), bounds.get(2)) match {
+          case (l: String, h: String) => Some(Bound("str", loS = l, hiS = h))
+          case (l: Number, h: Number) =>
+            Some(Bound("num", lo = l.doubleValue(), hi = h.doubleValue()))
+          case _ => None // keys resist normalization: no pre-prune
+        }
       // stats pre-prune: only files whose range intersects the update
       // keys' range can contain a match (statless files always qualify)
-      val candidates = st.files.filter(f => st.mayOverlap(f, keyCol, lo, hi))
+      val candidates = keyBound match {
+        case Some(b) => st.files.filter(f => st.mayOverlap(f, keyCol, b))
+        case None => st.files
+      }
       // phase 1: exact touched set — one key column over the candidates
       val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
       val touched: Set[String] =
@@ -661,7 +805,14 @@ object TxnTable {
     * dropped/rewritten files are reclaimed by `vacuum`, as for any
     * superseded snapshot. */
   def deleteRange(spark: SparkSession, table: String, column: String,
-                  lo: Double, hi: Double): Long = {
+                  lo: Double, hi: Double): Long =
+    deleteRangeOn(spark, table, column, lo, hi)
+
+  /** Typed `deleteRange`: the GDPR/retention sweep expressed directly
+    * on a date/timestamp or string column — bounds take the same typed
+    * values as `readRangeOn`. */
+  def deleteRangeOn(spark: SparkSession, table: String, column: String,
+                    lo: Any, hi: Any): Long = {
     val ctx = fc(spark)
     var attempt = 0
     while (attempt < 16) {
@@ -669,15 +820,16 @@ object TxnTable {
         throw new IllegalStateException(s"no committed version in $table"))
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
+      val dt = schema(column).dataType
+      val b = boundRange(lo, hi, dt)
       // metadata-only drop requires PROOF every row is in-range: min/max
-      // bound only the castable non-null rows, so a file is droppable
-      // without being read only when its recorded null/uncastable count
+      // bound only the normalizable non-null rows, so a file is
+      // droppable without being read only when its recorded null count
       // is known-zero (nulls == -1 means a pre-nulls manifest — rewrite)
       val covered = st.files.filter(f =>
-        st.stat(f, column).exists(s =>
-          s.min >= lo && s.max <= hi && s.nulls == 0L))
+        st.stat(f, column).exists(s => s.containedIn(b) && s.nulls == 0L))
       val disjoint = st.files.filter(f =>
-        st.stat(f, column).exists(s => s.max < lo || s.min > hi))
+        st.stat(f, column).exists(_.disjointFrom(b)))
       val boundary = st.files.filterNot((covered ++ disjoint).toSet)
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
@@ -691,9 +843,7 @@ object TxnTable {
           // false before negating.
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
-            .filter(not(coalesce(
-              col(column).cast("double").between(lit(lo), lit(hi)),
-              lit(false))))
+            .filter(not(coalesce(rangeFilter(column, dt, lo, hi), lit(false))))
           val (d, nf, ns) = writeData(complement, table, trackedCols)
           (nf, ns, Some(d))
         }

@@ -71,6 +71,32 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("typed pushdown: string and timestamp filters prune via DSv2 too") {
+    withZone { table =>
+      val orders = Tables.orders(spark, Spec.sf0001)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority", $"o_totalprice")
+      TxnTable.commitOverwrite(
+        orders.repartitionByRange(6, $"o_orderpriority", $"o_orderdate")
+          .sortWithinPartitions($"o_orderpriority", $"o_orderdate"),
+        table, statsCols = Seq("o_orderpriority", "o_orderdate"))
+      val ds = spark.read.format("graft").load(table)
+      // string equality: lexicographic stats prune
+      val urgent = ds.filter($"o_orderpriority" === "1-URGENT")
+      val sScan = GraftBridge.dsv2ScannedFiles(urgent).get
+      assert(sScan > 0 && sScan < 6, s"string pruning: $sScan of 6")
+      assert(urgent.count() ==
+        orders.filter($"o_orderpriority" === "1-URGENT").count())
+      // timestamp range: epoch-normalized stats prune (typed literal so
+      // the filter translates without a cast on the column)
+      val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val late = ds.filter($"o_orderpriority" === "5-LOW" &&
+        $"o_orderdate" >= cutoff)
+      assert(GraftBridge.dsv2ScannedFiles(late).exists(n => n < 6))
+      assert(late.count() == orders.filter($"o_orderpriority" === "5-LOW" &&
+        $"o_orderdate" >= cutoff).count())
+    }
+  }
+
   test("skipping stays sound with NULLs and statless files; versionAsOf pins") {
     withZone { table =>
       // file 1: keys 1..5 + NULLs (has stats); file 2: no stats at all
