@@ -414,6 +414,66 @@ object SimilarityOps {
       iters: Int): Array[Array[Double]] =
     trainedSubCentroids(spark, dir, iters, 0, Dim)
 
+  /** PRODUCTION-SHAPE IVF training — the 100 TB path the fixed-shape
+    * trainer above deliberately is not (e51/e53's DuckDB oracles replay
+    * exactly k=16 × iters=2, so that trainer stays pinned):
+    *
+    *   - `k` is a parameter (size it ~√N; at 10⁹ vectors that is ~32k
+    *     cells, not 16)
+    *   - training runs over a DETERMINISTIC md5-hash sample of the
+    *     corpus (first 4 md5 nibbles as a 16-bit uniform — the same
+    *     keep-rule family as a53's resampler). A coarse quantizer
+    *     converges on ~10⁵ vectors; only ASSIGNMENT ever needs the full
+    *     corpus, so the per-iteration scan cost is decoupled from
+    *     corpus size
+    *   - iteration stops on CONVERGENCE (max centroid L2 movement < eps)
+    *     rather than a caller-guessed round count
+    *
+    * Per-iteration driver sync stays k×d doubles (the centroid means) —
+    * bounded by the index size, never the data.
+    *
+    * @return (centroids, iterations actually run) */
+  private[graft] def trainCentroidsSampled(
+      spark: SparkSession, dir: String, k: Int,
+      sampleFraction: Double = 1.0, maxIters: Int = 20,
+      eps: Double = 1e-3): (Array[Array[Double]], Int) = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val sample = (if (sampleFraction >= 1.0) emb
+      else emb.filter(
+        conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") < math.round(sampleFraction * 65536)))
+      .localCheckpoint(eager = false) // rescanned every iteration
+    // deterministic seed: the k lowest-id sampled vectors
+    var cents: Array[Array[Double]] = sample.orderBy($"vec_id").limit(k)
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    require(cents.length == k,
+      s"sample holds fewer than $k vectors — raise sampleFraction")
+    var iters = 0
+    var moved = Double.MaxValue
+    while (iters < maxIters && moved > eps) {
+      val means = sample.select(
+          element_at(Similarity.nearestSubCells("embedding", cents, 1, 0), 1)
+            .as("cell"),
+          posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim")
+        .agg(graft.ops.Num.davg($"x".cast("double")).as("m"))
+        .collect() // k×d — bounded by the index, not the data
+      val byCell = means.groupBy(_.getAs[Int]("cell")).map { case (c, rows) =>
+        c -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m"))
+      }
+      val next = Array.tabulate(k)(i => byCell.getOrElse(i, cents(i)))
+      moved = (0 until k).map { i =>
+        math.sqrt(cents(i).zip(next(i))
+          .map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.max
+      cents = next
+      iters += 1
+    }
+    (cents, iters)
+  }
+
   private[graft] val Dim = 64
 
   private def e51(spark: SparkSession, dir: String): DataFrame = {
