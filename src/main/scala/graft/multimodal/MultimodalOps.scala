@@ -88,7 +88,10 @@ object MultimodalOps {
     * restate it: DuckDB derives the same nibbles from md5(text) hex chars
     * (`strpos('0123456789abcdef', …) - 1`) — every "decoded" value is
     * hash-verified, while the Spark side still runs the real
-    * partition-at-a-time decoder seam. */
+    * partition-at-a-time decoder seam. The seam itself is proven LIVE
+    * with two real JDK codecs — PNG (m63, javax.imageio) and WAV (m64,
+    * javax.sound.sampled); this stub stands in only for codecs absent
+    * from the JDK (video), with identical plumbing. */
   private def m61(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decoded(spark, dir).toDF()
@@ -223,9 +226,83 @@ object MultimodalOps {
       | CAST(SUM((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS b_sum
       |FROM documents, grid GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m64
+  /** REAL audio codec round trip — the second live codec after m63's
+    * PNG, via the JDK's built-in javax.sound.sampled WAV support (no
+    * external libs). Stage 1 synthesizes 64 PCM16 mono samples per doc
+    * as a closed-form function of (doc_id, i) and ENCODES them to a
+    * genuine RIFF/WAVE container; stage 2 DECODES with AudioSystem
+    * inside mapPartitions (decoder init per PARTITION — m61's seam) and
+    * extracts: RIFF signature check, format fields, frame count, and
+    * the exact integer sample sum. PCM is lossless, so the decoded sum
+    * equals the closed-form arithmetic the oracle states — the oracle
+    * never parses WAV, it gates the encode→ship→decode round trip. */
+  private def m64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val N = 64
+    val Rate = 8000f
+    val encoded: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          Rate, 16, 1, true, false) // PCM16 mono signed little-endian
+        it.map { id =>
+          val raw = new Array[Byte](N * 2)
+          var i = 0
+          while (i < N) {
+            val s = ((id * 31 + i * 7) % 4096 - 2048).toInt
+            raw(2 * i) = (s & 0xff).toByte
+            raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, N.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+    encoded
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val isRiff = bytes.length > 12 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+            bytes(10) == 'V' && bytes(11) == 'E'
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          val data = ais.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            sum += ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort.toLong
+            i += 2
+          }
+          (id, isRiff, f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, frames, sum)
+        }
+      }
+      .toDF("doc_id", "is_riff", "sample_rate", "channels", "bits",
+        "n_frames", "sum_samples")
+      .orderBy($"doc_id")
+  }
+  private val m64Sql =
+    """WITH idx AS (SELECT g AS i FROM generate_series(0, 63) t(g))
+      |SELECT doc_id, true AS is_riff,
+      | CAST(8000 AS INTEGER) AS sample_rate,
+      | CAST(1 AS INTEGER) AS channels,
+      | CAST(16 AS INTEGER) AS bits,
+      | CAST(64 AS BIGINT) AS n_frames,
+      | CAST(SUM((doc_id * 31 + i * 7) % 4096 - 2048) AS BIGINT) AS sum_samples
+      |FROM documents, idx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
     RQ("m61_decode_stub", m61, Some(m61Sql)),
     RQ("m62_frame_sample", m62, Some(m62Sql)),
-    RQ("m63_png_roundtrip", m63, Some(m63Sql)))
+    RQ("m63_png_roundtrip", m63, Some(m63Sql)),
+    RQ("m64_wav_roundtrip", m64, Some(m64Sql)))
 }
