@@ -870,6 +870,116 @@ object FormatOps {
       |WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'
       |ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- k97
+  /** BLOOM POINT LOOKUP: `doc_id` is hash-partitioned, so every file
+    * spans ~the whole key range and min/max stats prune NOTHING — the
+    * per-file bloom sidecar is what turns the point query into a
+    * one-file read (REQUIREd in-query, on both the blessed readEquals
+    * path and the DSv2 `===` pushdown path, which must also agree with
+    * each other). The probed key is the midpoint of the key range so
+    * the fixture works at every scale factor; the oracle recomputes it
+    * as a scalar subquery. */
+  private def k97(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k97_bloom")
+    try {
+      val table = s"$zone/docs_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+      TxnTable.commitOverwrite(docs.repartition(8, $"doc_id"), table,
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      val target = math.floorDiv(
+        docs.agg(max($"doc_id")).head().getLong(0), 2L)
+      val (rows, scanned, total) = TxnTable.readEquals(spark, table, "doc_id", target)
+      require(scanned < total,
+        s"bloom point lookup pruned nothing: $scanned of $total files")
+      val dsv2 = spark.read.format("graft").load(table)
+        .filter($"doc_id" === target)
+      val dsScanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(dsv2)
+        .getOrElse(sys.error("no DSv2 scan in plan"))
+      require(dsScanned < total,
+        s"DSv2 bloom skipping failed: scanned $dsScanned of $total files")
+      require(dsv2.count() == rows.count(),
+        "DSv2 and readEquals disagree on the point lookup")
+      val result = rows.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum($"n_chars").cast("bigint").as("sum_chars"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k97Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id = (SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT)
+      |                FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- k98
+  /** BLOOM POINT DELETE — GDPR erasure by key: delete one user's rows
+    * from a table whose key column is NOT clustered (stats can't prune)
+    * and contains NULLs (SQL DELETE must retain them). The bloom
+    * sidecars confine the rewrite to the files that might hold the key;
+    * everything else carries by reference (REQUIREd in-query). The
+    * oracle reproduces the NULL-laced fixture in SQL, so one lost NULL
+    * row or one over-deleted file breaks the hash. */
+  private def k98(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k98_gdpr")
+    try {
+      val table = s"$zone/docs_txn"
+      val docs = Tables.documents(spark, dir)
+        .select(
+          when($"doc_id" % 10 === 0, lit(null)).otherwise($"doc_id")
+            .cast("long").as("k"),
+          $"n_chars")
+      TxnTable.commitOverwrite(docs.repartition(6, $"n_chars"), table,
+        statsCols = Seq("k"), bloomCols = Seq("k"))
+      // largest key ≡ 1 (mod 10): never NULLed, present at every SF
+      val target = Tables.documents(spark, dir)
+        .filter($"doc_id" % 10 === 1)
+        .agg(max($"doc_id")).head().getLong(0)
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      val nullsBefore = TxnTable.read(spark, table).filter($"k".isNull).count()
+      val v = TxnTable.deleteEquals(spark, table, "k", target)
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      require(nullsBefore > 0 &&
+        TxnTable.read(spark, table).filter($"k".isNull).count() == nullsBefore,
+        "GDPR delete must retain NULL-keyed rows")
+      require(before.intersect(after).size >= before.size - 2,
+        s"point delete rewrote ${before.size - before.intersect(after).size} " +
+          s"of ${before.size} files — bloom confinement failed")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        count($"k").cast("bigint").as("n_keyed"),
+        sum($"n_chars").cast("bigint").as("sum_chars"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k98Sql =
+    """WITH fixture AS (
+      |  SELECT CASE WHEN doc_id % 10 = 0 THEN NULL ELSE doc_id END AS k,
+      |         n_chars
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(k) AS BIGINT) AS n_keyed,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM fixture
+      |WHERE k IS NULL
+      |   OR k <> (SELECT MAX(doc_id) FROM documents WHERE doc_id % 10 = 1)""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -887,5 +997,7 @@ object FormatOps {
     RQ("k93_txn_delete_nulls", k93, Some(k93Sql)),
     RQ("k94_txn_merge_evolve", k94, Some(k94Sql)),
     RQ("k95_dsv2_skipping", k95, Some(k95Sql)),
-    RQ("k96_typed_skipping", k96, Some(k96Sql)))
+    RQ("k96_typed_skipping", k96, Some(k96Sql)),
+    RQ("k97_bloom_point_lookup", k97, Some(k97Sql)),
+    RQ("k98_bloom_point_delete", k98, Some(k98Sql)))
 }

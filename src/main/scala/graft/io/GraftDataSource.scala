@@ -164,6 +164,17 @@ private[io] class GraftScanBuilder(
     case _ => Map.empty
   }
 
+  /** Equality constraints a filter implies, one entry per conjunct:
+    * `k === x` yields (k, [x]); `k IN (…)` yields (k, values) — a file
+    * survives if ANY value might be present. Applied AFTER min/max
+    * pruning as an independent bloom probe per constraint. */
+  private def eqConstraints(f: Filter): Seq[(String, Seq[Any])] = f match {
+    case EqualTo(c, v) if v != null => Seq(c -> Seq(v))
+    case In(c, vs) if vs.nonEmpty => Seq(c -> vs.toSeq)
+    case And(a, b) => eqConstraints(a) ++ eqConstraints(b)
+    case _ => Nil
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => bounds(f).nonEmpty)
     filters // ALL filters stay residual: skipping prunes files, Spark prunes rows
@@ -187,11 +198,17 @@ private[io] class GraftScanBuilder(
           }
         }.toMap
     }
-    val chosen = files.filter { f =>
+    val statsChosen = files.filter { f =>
       merged.forall { case (c, b) =>
         stats.getOrElse(f, Nil).find(_.col == c).forall(_.mayOverlap(b))
       }
     }
+    // equality constraints additionally probe bloom sidecars — the
+    // pruning min/max can't do on a hash-partitioned point lookup
+    val chosen = pushed.flatMap(eqConstraints).distinct
+      .foldLeft(statsChosen) { case (fs, (c, vs)) =>
+        TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
+      }
     org.apache.spark.sql.GraftBridge.parquetScan(
       spark, chosen.map(f => s"$table/$f"), dataSchema, required, pushed, options)
   }

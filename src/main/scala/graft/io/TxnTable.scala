@@ -96,6 +96,18 @@ object TxnTable {
   private val PointerName = "_latest"
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.get("graft.txn.checkpointInterval", "10").toInt
+  // Bloom sidecars: `#bloom=<file>|<col>|<bits>|<hashes>` manifest lines
+  // record WHICH files carry an equality-skipping bloom for which
+  // column; the bitset itself lives in an immutable sidecar object next
+  // to the data file (`<file>.bloom.<col>`) — manifests stay O(files)
+  // small text lines however large the filters are (Delta keeps its
+  // bloom index out of the log for the same reason), and a sidecar is
+  // only fetched when an equality query actually probes that file.
+  private val BloomPrefix = "#bloom="
+  private def bloomBits(spark: SparkSession): Int =
+    spark.conf.get("graft.txn.bloomBits", Bloom.DefaultBits.toString).toInt
+  private def bloomHashes(spark: SparkSession): Int =
+    spark.conf.get("graft.txn.bloomHashes", Bloom.DefaultHashes.toString).toInt
 
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
@@ -366,18 +378,52 @@ object TxnTable {
       case _ => throw new IllegalArgumentException("mixed bound kinds")
     }
 
+  /** Manifest record of one file's bloom sidecar: the column it covers
+    * and its (bits, hashes) geometry — pinned per file, so a later
+    * `graft.txn.bloomBits` change never misreads an old sidecar. */
+  final case class BloomMeta(col: String, bits: Int, hashes: Int)
+
+  /** Column types a bloom can cover: exact-equality types whose query
+    * constants coerce unambiguously to the column's declared type (the
+    * hash is type-sensitive — an Int and a Long with the same value
+    * hash differently). Floating point is excluded on purpose:
+    * equality on it is a modeling error, not a lookup. */
+  private[io] def bloomSupported(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Query constant → the 64-bit hash `xxhash64(col)` gives that value
+    * in a column of type `dt`; None when the constant cannot be coerced
+    * (conservative: the caller must not prune). */
+  private[io] def hashForColumn(v: Any, dt: DataType): Option[Long] = {
+    val coerced: Option[Any] = (v, dt) match {
+      case (s: String, StringType) => Some(s)
+      case (n: Number, LongType) => Some(n.longValue())
+      case (n: Number, IntegerType) => Some(n.intValue())
+      case (n: Number, ShortType) => Some(n.shortValue())
+      case (n: Number, ByteType) => Some(n.byteValue())
+      case _ => None
+    }
+    coerced.map(c => org.apache.spark.sql.GraftBridge.xxhash64Value(c, dt))
+  }
+
   private final case class State(
       version: Long,
       txns: Map[String, Long],
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Map[String, Seq[FileStat]]) {
+      stats: Map[String, Seq[FileStat]],
+      blooms: Map[String, Seq[BloomMeta]] = Map.empty) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
       * cannot contain a row with `c` inside `b`. */
     def mayOverlap(f: String, c: String, b: Bound): Boolean =
       stat(f, c).forall(_.mayOverlap(b))
+    def bloom(f: String, c: String): Option[BloomMeta] =
+      blooms.getOrElse(f, Nil).find(_.col == c)
+    def bloomCols: Set[String] = blooms.values.flatten.map(_.col).toSet
   }
 
   private def enc(s: String): String =
@@ -400,6 +446,22 @@ object TxnTable {
         if (kind == "str") (dec(parts(2)), dec(parts(3))) else (parts(2), parts(3))
       parts(0) -> FileStat(parts(1), kind, mn, mx, nulls)
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  private def bloomLine(f: String, b: BloomMeta): String =
+    s"$BloomPrefix$f$StatSep${b.col}$StatSep${b.bits}$StatSep${b.hashes}"
+
+  private def parseBlooms(headers: Seq[String]): Map[String, Seq[BloomMeta]] =
+    headers.filter(_.startsWith(BloomPrefix)).map { l =>
+      val parts =
+        l.stripPrefix(BloomPrefix).split(java.util.regex.Pattern.quote(StatSep))
+      parts(0) -> BloomMeta(parts(1), parts(2).toInt, parts(3).toInt)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  /** Sidecar object holding the bitset of `f`'s bloom for `col` — next
+    * to the data file, so it shares the file's lifecycle (carried by
+    * reference with it, reclaimed by vacuum with it). */
+  private def bloomSidecar(table: String, f: String, col: String): Path =
+    new Path(s"$table/$f.bloom.${enc(col)}")
 
   private def parseTxns(headers: Seq[String]): Map[String, Long] =
     headers.filter(_.startsWith(TxnPrefix)).map { l =>
@@ -436,6 +498,7 @@ object TxnTable {
     val (baseHeaders, baseFiles) = lines.partition(_.startsWith("#"))
     var files = baseFiles
     var stats = parseStats(baseHeaders)
+    var blooms = parseBlooms(baseHeaders)
     var headOf = baseHeaders
     for (delta <- chain) {
       val (dh, df) = delta.partition(_.startsWith("#"))
@@ -444,9 +507,10 @@ object TxnTable {
       val added = df.filter(_.startsWith(AddPrefix)).map(_.stripPrefix(AddPrefix))
       files = files.filterNot(removed) ++ added
       stats = (stats -- removed) ++ parseStats(dh)
+      blooms = (blooms -- removed) ++ parseBlooms(dh)
       headOf = dh
     }
-    State(v, parseTxns(headOf), files, parseSchema(headOf), stats)
+    State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms)
   }
 
   private def latestState(spark: SparkSession, table: String): Option[State] =
@@ -459,10 +523,16 @@ object TxnTable {
     stateOf(spark, table, version).stats
 
   /** Write `df` under a fresh unique data dir; return (dir, its files,
-    * per-file min/max of each designated stats column — one extra pass
-    * over the NEW data only, never the table). */
+    * per-file min/max of each designated stats column, per-file bloom
+    * metas of each designated bloom column — extra passes over the NEW
+    * data only, never the table). Bloom bitsets are built distributed
+    * (one Aggregator per file group over `xxhash64(col)`), collected as
+    * bounded per-file metadata (bits/8 bytes per file per column), and
+    * written as sidecar objects next to their data files. */
   private def writeData(df: DataFrame, table: String,
-                        statsCols: Seq[String]): (String, Seq[String], Map[String, Seq[FileStat]]) = {
+                        statsCols: Seq[String],
+                        bloomCols: Seq[String] = Nil)
+      : (String, Seq[String], Map[String, Seq[FileStat]], Map[String, Seq[BloomMeta]]) = {
     val spark = df.sparkSession
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
@@ -501,36 +571,73 @@ object TxnTable {
             }.toMap
         }
       }
-    (dataDir, newFiles, stats)
+    val blooms: Map[String, Seq[BloomMeta]] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        val ctx = fc(spark)
+        val back = spark.read.parquet(s"$table/$dataDir")
+        val bits = bloomBits(spark)
+        val hashes = bloomHashes(spark)
+        val buildAgg = org.apache.spark.sql.functions.udaf(new Bloom.BuildAgg(bits, hashes))
+        val tracked = bloomCols.distinct.filter(c =>
+          back.schema.find(_.name == c).exists(f => bloomSupported(f.dataType)))
+        tracked.flatMap { c =>
+          // one keyed pass per bloom column over the fresh data: group
+          // by source file, OR together the per-partition bitsets
+          back.filter(col(c).isNotNull)
+            .select(input_file_name().as("__f"),
+              org.apache.spark.sql.functions.xxhash64(col(c)).as("__h"))
+            .groupBy(col("__f"))
+            .agg(buildAgg(col("__h")).as("__bloom"))
+            .collect()
+            .map { r =>
+              val uri = r.getString(0)
+              val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
+              val out = ctx.create(bloomSidecar(table, key, c),
+                java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+                  org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+                Options.CreateOpts.createParent())
+              try out.write(r.getAs[Array[Byte]]("__bloom")) finally out.close()
+              key -> BloomMeta(c, bits, hashes)
+            }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      }
+    (dataDir, newFiles, stats, blooms)
   }
 
   private def manifestContent(
       schema: org.apache.spark.sql.types.StructType,
       txns: Map[String, Long],
       stats: Map[String, Seq[FileStat]],
-      files: Seq[String]): String = {
+      files: Seq[String],
+      blooms: Map[String, Seq[BloomMeta]] = Map.empty): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => statLine(f, s)) } ++
+      blooms.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, bs) =>
+        bs.map(b => bloomLine(f, b)) } ++
       files)
       .mkString("\n")
   }
 
-  /** O(change) commit record: full schema/txn headers (small), stats for
-    * the new files only, then removal/addition lines. */
+  /** O(change) commit record: full schema/txn headers (small), stats and
+    * bloom metas for the new files only, then removal/addition lines. */
   private def deltaContent(
       schema: org.apache.spark.sql.types.StructType,
       txns: Map[String, Long],
       newStats: Map[String, Seq[FileStat]],
       removed: Seq[String],
       added: Seq[String],
-      base: Long): String =
+      base: Long,
+      newBlooms: Map[String, Seq[BloomMeta]] = Map.empty): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       newStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => statLine(f, s)) } ++
+      newBlooms.toSeq.sortBy(_._1).flatMap { case (f, bs) =>
+        bs.map(b => bloomLine(f, b)) } ++
       removed.map(RemovePrefix + _) ++
       added.map(AddPrefix + _))
       .mkString("\n")
@@ -555,7 +662,8 @@ object TxnTable {
 
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
-                     statsCols: Seq[String]): Long = {
+                     statsCols: Seq[String],
+                     bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val ctx = fc(spark)
     def applied(state: Option[State]): Boolean =
@@ -569,7 +677,8 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
-    val (dataDir, newFiles, newStats) = writeData(df, table, statsCols)
+    val (dataDir, newFiles, newStats, newBlooms) =
+      writeData(df, table, statsCols, bloomCols)
     var attempt = 0
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch
@@ -585,6 +694,9 @@ object TxnTable {
       val stats: Map[String, Seq[FileStat]] =
         (if (append) state.map(_.stats).getOrElse(Map.empty[String, Seq[FileStat]])
          else Map.empty[String, Seq[FileStat]]) ++ newStats
+      val blooms: Map[String, Seq[BloomMeta]] =
+        (if (append) state.map(_.blooms).getOrElse(Map.empty[String, Seq[BloomMeta]])
+         else Map.empty[String, Seq[BloomMeta]]) ++ newBlooms
       // snapshot schema recorded in the log (Delta-style): an APPEND
       // merges the evolved frame's schema into the prior snapshot's —
       // pre-evolution files surface the new column as NULL; incompatible
@@ -601,9 +713,9 @@ object TxnTable {
       val writeFull = !append || state.isEmpty ||
         next % checkpointInterval(spark) == 0
       val content =
-        if (writeFull) manifestContent(schema, txns, stats, files)
+        if (writeFull) manifestContent(schema, txns, stats, files, blooms)
         else deltaContent(schema, txns, newStats, removed = Nil,
-          added = newFiles, base = state.get.version)
+          added = newFiles, base = state.get.version, newBlooms = newBlooms)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -618,10 +730,14 @@ object TxnTable {
 
   /** Write `df` as a full replacement snapshot and commit it atomically.
     * `statsCols` designate columns whose per-file min/max land in the
-    * manifest (data-skipping metadata for readRange/merge/deleteRange). */
+    * manifest (data-skipping metadata for readRange/merge/deleteRange);
+    * `bloomCols` columns additionally get per-file bloom sidecars
+    * (equality skipping for readEquals/deleteEquals and DSv2 `===`). */
   def commitOverwrite(df: DataFrame, table: String,
-                      statsCols: Seq[String] = Nil): Long =
-    commit(df, table, append = false, txn = None, statsCols = statsCols)
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): Long =
+    commit(df, table, append = false, txn = None, statsCols = statsCols,
+      bloomCols = bloomCols)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
@@ -629,8 +745,10 @@ object TxnTable {
     * committers: the loser of the manifest CAS retries against the
     * winner's snapshot, so both appends survive. */
   def commitAppend(df: DataFrame, table: String,
-                   statsCols: Seq[String] = Nil): Long =
-    commit(df, table, append = true, txn = None, statsCols = statsCols)
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long =
+    commit(df, table, append = true, txn = None, statsCols = statsCols,
+      bloomCols = bloomCols)
 
   /** Overwrite exactly-once per (appId, batchId): the marker commits
     * ATOMICALLY with the replacement snapshot, so a consumer that
@@ -682,6 +800,145 @@ object TxnTable {
       else spark.read.schema(schema).parquet(chosen.map(f => s"$table/$f"): _*)
         .filter(rangeFilter(column, dt, lo, hi))
     (rows, chosen.size, st.files.size)
+  }
+
+  private def pointBound(v: Any, dt: DataType): Bound = boundValue(v, dt) match {
+    case Left(s) => Bound("str", loS = s, hiS = s)
+    case Right(d) => Bound("num", lo = d, hi = d)
+  }
+
+  /** Does `f` possibly contain a row whose `column` hashes to one of
+    * `hashes`? True unless the file HAS a bloom for the column and
+    * every hash probes negative — missing/lost sidecars degrade to a
+    * conservative scan, never a wrong prune. One small sidecar GET per
+    * probed file, and only for files that survived stats pruning. */
+  private def bloomKeep(ctx: FileContext, table: String, st: State,
+                        column: String, hashes: Seq[Long])(f: String): Boolean =
+    st.bloom(f, column) match {
+      case None => true
+      case Some(meta) =>
+        val p = bloomSidecar(table, f, column)
+        try {
+          if (!ctx.util.exists(p)) true
+          else {
+            val in = ctx.open(p)
+            val bytes = try in.readAllBytes() finally in.close()
+            hashes.exists(h => Bloom.mightContain(bytes, meta.bits, meta.hashes, h))
+          }
+        } catch { case scala.util.control.NonFatal(_) => true }
+    }
+
+  /** POINT-LOOKUP read: rows with `column = value`, planned over only
+    * the files that stats AND bloom sidecars cannot rule out. On a
+    * hash-partitioned high-cardinality key, min/max stats prune
+    * nothing (every file spans the key range) — the bloom is what
+    * turns a 100 TB point lookup into a handful of file reads.
+    * Returns (rows, filesScanned, filesTotal). */
+  def readEquals(spark: SparkSession, table: String, column: String,
+                 value: Any): (DataFrame, Int, Int) = {
+    require(value != null, "readEquals probes a value; use isNull filters for NULLs")
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"$table predates the schema log"))
+    val dt = schema(column).dataType
+    val b = pointBound(value, dt)
+    val statsPass = st.files.filter(f => st.mayOverlap(f, column, b))
+    val chosen = hashForColumn(value, dt) match {
+      case Some(h) => statsPass.filter(bloomKeep(fc(spark), table, st, column, Seq(h)))
+      case None => statsPass
+    }
+    val rows =
+      if (chosen.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(chosen.map(f => s"$table/$f"): _*)
+        .filter(col(column) === lit(value))
+    (rows, chosen.size, st.files.size)
+  }
+
+  /** POINT DELETE — the GDPR erasure-by-key primitive: remove every row
+    * with `column = value`, rewriting ONLY the files whose stats and
+    * bloom cannot prove the key absent; every other file carries
+    * forward by reference. NULL-keyed rows are retained (SQL DELETE
+    * semantics — the predicate is NULL, not true — same coalesce guard
+    * as deleteRange). A file provably all-equal to the key with no
+    * NULLs is dropped without being read. Same optimistic pinned-CAS
+    * commit as merge/deleteRange. */
+  def deleteEquals(spark: SparkSession, table: String, column: String,
+                   value: Any): Long = {
+    require(value != null, "deleteEquals removes a key; NULLs are retained by design")
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val dt = schema(column).dataType
+      val b = pointBound(value, dt)
+      val statsPass = st.files.filter(f => st.mayOverlap(f, column, b))
+      val candidates = hashForColumn(value, dt) match {
+        case Some(h) => statsPass.filter(bloomKeep(ctx, table, st, column, Seq(h)))
+        case None => statsPass
+      }
+      // metadata-only drop: min == max == value and known-zero NULLs
+      val covered = candidates.filter(f =>
+        st.stat(f, column).exists(s => s.containedIn(b) && s.nulls == 0L))
+      val boundary = candidates.filterNot(covered.toSet)
+      val carried = st.files.filterNot(candidates.toSet)
+      val trackedCols =
+        (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
+      val trackedBlooms = st.bloomCols.toSeq.sorted
+      val (newFiles, newStats, newBlooms, dataDir) =
+        if (boundary.isEmpty)
+          (Nil, Map.empty[String, Seq[FileStat]],
+            Map.empty[String, Seq[BloomMeta]], None)
+        else {
+          val complement = spark.read.schema(schema)
+            .parquet(boundary.map(f => s"$table/$f"): _*)
+            .filter(not(coalesce(col(column) === lit(value), lit(false))))
+          val (d, nf, ns, nb) = writeData(complement, table, trackedCols, trackedBlooms)
+          (nf, ns, nb, Some(d))
+        }
+      val files = carried ++ newFiles
+      val removedFiles = (covered ++ boundary).sorted
+      val next = st.version + 1L
+      val content =
+        if (next % checkpointInterval(spark) == 0)
+          manifestContent(schema, st.txns,
+            (st.stats -- removedFiles) ++ newStats, files,
+            (st.blooms -- removedFiles) ++ newBlooms)
+        else deltaContent(schema, st.txns, newStats,
+          removed = removedFiles, added = newFiles, base = st.version,
+          newBlooms = newBlooms)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
+      dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
+      attempt += 1 // computed against a stale snapshot: redo
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"deleteEquals on $table lost the snapshot race 16 times")
+  }
+
+  /** Bloom-prune `files` for an equality/IN constraint: keep a file iff
+    * ANY of `values` might be present (or the file has no bloom for the
+    * column). The DSv2 scan builder calls this after stats pruning so
+    * `spark.read.format("graft").load(t).filter($"k" === x)` gets point
+    * skipping with no blessed API. */
+  def pruneByBloom(spark: SparkSession, table: String, version: Long,
+                   column: String, values: Seq[Any],
+                   files: Seq[String]): Seq[String] = {
+    val st = stateOf(spark, table, version)
+    val dt = st.schema.flatMap(_.find(_.name == column)).map(_.dataType)
+      .getOrElse(return files)
+    val hashes = values.filter(_ != null).flatMap(v => hashForColumn(v, dt))
+    // a NULL or uncoercible constant defeats the prune (conservative)
+    if (hashes.size != values.size) files
+    else files.filter(bloomKeep(fc(spark), table, st, column, hashes))
   }
 
   /** FILE-SURGICAL UPSERT (MERGE INTO): rows of `updates` replace
@@ -765,17 +1022,24 @@ object TxnTable {
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + keyCol)
           .intersect(merged.columns.toSet).toSeq.sorted
-      val (dataDir, newFiles, newStats) = writeData(merged, table, trackedCols)
+      // rewritten files also keep bloom coverage for every column the
+      // table blooms — a merge must not degrade later point skipping
+      val trackedBlooms =
+        st.bloomCols.intersect(merged.columns.toSet).toSeq.sorted
+      val (dataDir, newFiles, newStats, newBlooms) =
+        writeData(merged, table, trackedCols, trackedBlooms)
       val files = untouched ++ newFiles
       val stats = (st.stats -- touched) ++ newStats
+      val blooms = (st.blooms -- touched) ++ newBlooms
       val mergedSchema =
         org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema)
       val next = st.version + 1L
       val content =
         if (next % checkpointInterval(spark) == 0)
-          manifestContent(mergedSchema, st.txns, stats, files)
+          manifestContent(mergedSchema, st.txns, stats, files, blooms)
         else deltaContent(mergedSchema, st.txns, newStats,
-          removed = touched.toSeq.sorted, added = newFiles, base = st.version)
+          removed = touched.toSeq.sorted, added = newFiles, base = st.version,
+          newBlooms = newBlooms)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -833,8 +1097,11 @@ object TxnTable {
       val boundary = st.files.filterNot((covered ++ disjoint).toSet)
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
-      val (newFiles, newStats, dataDir) =
-        if (boundary.isEmpty) (Nil, Map.empty[String, Seq[FileStat]], None)
+      val trackedBlooms = st.bloomCols.toSeq.sorted
+      val (newFiles, newStats, newBlooms, dataDir) =
+        if (boundary.isEmpty)
+          (Nil, Map.empty[String, Seq[FileStat]],
+            Map.empty[String, Seq[BloomMeta]], None)
         else {
           // three-valued logic trap: for a NULL (or uncastable) key the
           // bare `!between` predicate is NULL, which filter treats as
@@ -844,8 +1111,8 @@ object TxnTable {
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
             .filter(not(coalesce(rangeFilter(column, dt, lo, hi), lit(false))))
-          val (d, nf, ns) = writeData(complement, table, trackedCols)
-          (nf, ns, Some(d))
+          val (d, nf, ns, nb) = writeData(complement, table, trackedCols, trackedBlooms)
+          (nf, ns, nb, Some(d))
         }
       val files = disjoint ++ newFiles
       val removedFiles = (covered ++ boundary).sorted
@@ -853,9 +1120,11 @@ object TxnTable {
       val content =
         if (next % checkpointInterval(spark) == 0)
           manifestContent(schema, st.txns,
-            (st.stats -- removedFiles) ++ newStats, files)
+            (st.stats -- removedFiles) ++ newStats, files,
+            (st.blooms -- removedFiles) ++ newBlooms)
         else deltaContent(schema, st.txns, newStats,
-          removed = removedFiles, added = newFiles, base = st.version)
+          removed = removedFiles, added = newFiles, base = st.version,
+          newBlooms = newBlooms)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -990,8 +1259,22 @@ object TxnTable {
           val files = listParquet(spark, table, n)
           if (files.nonEmpty && files.forall(f => !referenced.contains(f)))
             ctx.delete(st.getPath, true)
-          else files.filterNot(referenced.contains)
-            .foreach(f => ctx.delete(new Path(s"$table/$f"), false))
+          else {
+            val doomed = files.filterNot(referenced.contains)
+            doomed.foreach(f => ctx.delete(new Path(s"$table/$f"), false))
+            if (doomed.nonEmpty) {
+              // reap the deleted files' bloom sidecars too (named
+              // `<file>.bloom.<col>` — they share the file's lifecycle)
+              val bases = doomed.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+              val entries = ctx.listStatus(st.getPath)
+              while (entries.hasNext) {
+                val e = entries.next().getPath
+                val i = e.getName.indexOf(".bloom.")
+                if (i > 0 && bases.contains(e.getName.take(i)))
+                  ctx.delete(e, false)
+              }
+            }
+          }
         }
       }
       writePointer(ctx, table, latest) // keep the discovery hint fresh

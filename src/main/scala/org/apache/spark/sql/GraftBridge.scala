@@ -96,6 +96,18 @@ object GraftBridge {
     find(df.queryExecution.executedPlan)
   }
 
+  /** Driver-side twin of the `xxhash64(col)` SQL function (seed 42):
+    * hashes one CONSTANT through the same Catalyst hash Spark applies
+    * to column values, so a bloom filter built distributed from
+    * `xxhash64(col)` and probed driver-side with a query constant can
+    * never disagree. The value must already match the column's
+    * declared type (Int vs Long hash differently). */
+  def xxhash64Value(v: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+    val internal =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)(v)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(internal, dt, 42L)
+  }
+
   /** RDD[InternalRow] → DataFrame without the Row encode/decode round
     * trip (the private[sql] twin of createDataFrame). The rows must
     * already be in catalyst format and safe to buffer (copied). */
