@@ -980,6 +980,50 @@ object FormatOps {
       |WHERE k IS NULL
       |   OR k <> (SELECT MAX(doc_id) FROM documents WHERE doc_id % 10 = 1)""".stripMargin
 
+  // ---------------------------------------------------------------- k99
+  /** RESTORE — metadata-only rollback: a bad load appends garbage, the
+    * operator restores the table to the pre-load snapshot. The restore
+    * commit re-references the old files (REQUIREd in-query: file list
+    * identical to v1's, so zero data bytes moved at any table size),
+    * history stays linear (the bad version remains time-travelable),
+    * and the verified rows prove the visible content is exactly the
+    * pre-load data — the oracle never sees the garbage. */
+  private def k99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k99_restore")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(4, $"c_custkey"), table,
+        statsCols = Seq("c_custkey"))
+      TxnTable.commitAppend( // the bad load: impossible keys
+        Seq((-1L, 1e9), (-2L, -1e9)).toDF("c_custkey", "c_acctbal"), table)
+      val v = TxnTable.restore(spark, table, 1L)
+      require(TxnTable.snapshotFiles(spark, table, v) ==
+        TxnTable.snapshotFiles(spark, table, 1L),
+        "restore must re-reference the old snapshot's files verbatim")
+      require(TxnTable.readVersion(spark, table, 2L).count() == cust.count() + 2,
+        "the rolled-back version must stay time-travelable")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k99Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -999,5 +1043,6 @@ object FormatOps {
     RQ("k95_dsv2_skipping", k95, Some(k95Sql)),
     RQ("k96_typed_skipping", k96, Some(k96Sql)),
     RQ("k97_bloom_point_lookup", k97, Some(k97Sql)),
-    RQ("k98_bloom_point_delete", k98, Some(k98Sql)))
+    RQ("k98_bloom_point_delete", k98, Some(k98Sql)),
+    RQ("k99_txn_restore", k99, Some(k99Sql)))
 }

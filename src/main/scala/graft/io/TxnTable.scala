@@ -1210,6 +1210,47 @@ object TxnTable {
         StructField("n_txn_markers", LongType, nullable = false))))
   }
 
+  /** RESTORE — roll the table BACK to `toVersion` as a NEW commit (the
+    * Delta RESTORE shape): the new manifest re-references the old
+    * snapshot's files, stats, blooms, and schema verbatim, so the
+    * rollback moves ZERO data bytes however large the table — it is
+    * one manifest write. History stays linear and auditable: the bad
+    * versions remain readable (time travel) until vacuumed, and the
+    * restore itself can be restored over.
+    *
+    * Streaming txn markers are carried from the CURRENT latest, not the
+    * restored snapshot — rolling THEM back would make an idempotent
+    * sink re-apply batches it already applied (double-count), which is
+    * never what a data rollback means.
+    *
+    * The restored snapshot's files must still exist: restore refuses a
+    * vacuumed target (stateOf throws on the missing manifest). Written
+    * as a FULL manifest — a restore is a natural checkpoint. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val ctx = fc(spark)
+    val target = stateOf(spark, table, toVersion)
+    val schema = target.schema.getOrElse(
+      throw new IllegalStateException(
+        s"$table@v$toVersion predates the schema log — cannot restore"))
+    var attempt = 0
+    while (attempt < 64) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      if (st.version == toVersion) return st.version // already there
+      val next = st.version + 1L
+      val content =
+        manifestContent(schema, st.txns, target.stats, target.files, target.blooms)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"restore of $table lost the manifest race 64 times")
+  }
+
   /** Compaction: rewrite the committed snapshot into `targetFiles` files
     * as a NEW version (readers on the old version are never disturbed —
     * same commit path as any write). The small-files answer for a table

@@ -496,4 +496,36 @@ class TxnSinkSpec extends AnyFunSuite {
       assert(TxnTable.versions(spark, table) == Seq(2L))
     }
   }
+
+
+  test("restore rolls back by reference: no data writes, markers kept, vacuum-safe") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust, table, statsCols = Seq("c_custkey"))
+      // a bad load lands, and an idempotent sink applies batch 5
+      TxnTable.commitAppend(
+        Seq((-1L, 0.0)).toDF("c_custkey", "c_acctbal"), table)
+      TxnTable.commitAppendIdempotent(
+        Seq((-2L, 0.0)).toDF("c_custkey", "c_acctbal"), table, "app", 5L)
+      val v = TxnTable.restore(spark, table, 1L)
+      assert(v == 4L)
+      // rollback re-references v1's files verbatim — zero data movement
+      assert(TxnTable.snapshotFiles(spark, table, v) ==
+        TxnTable.snapshotFiles(spark, table, 1L))
+      assert(TxnTable.read(spark, table).count() == cust.count())
+      // the bad versions stay time-travelable until vacuumed
+      assert(TxnTable.readVersion(spark, table, 3L).count() == cust.count() + 2)
+      // txn markers come from the LATEST state, not the restored one:
+      // the sink must not re-apply batch 5 after the data rollback
+      assert(TxnTable.lastCommittedBatch(spark, table, "app").contains(5L))
+      // a second restore is just another commit over identical content
+      val v2 = TxnTable.restore(spark, table, 1L)
+      assert(v2 == 5L && TxnTable.read(spark, table).count() == cust.count())
+      // vacuum keeps the restored snapshot's files (they ARE referenced)
+      TxnTable.vacuum(spark, table)
+      assert(TxnTable.read(spark, table).count() == cust.count())
+    }
+  }
 }
