@@ -73,10 +73,15 @@ private[io] class GraftTable(table: String, version: Long, tableSchema: StructTy
   override def name(): String = s"graft.`$table`@v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, table, version, tableSchema, options)
 }
+
+/** Marker the spec bridge (GraftBridge.dsv2ScannedFiles) reads the
+  * post-pruning file count through, now that the planner sees the graft
+  * wrapper Scan instead of Spark's FileScan directly. */
+trait GraftScanFiles { def scannedFileCount: Int }
 
 private[io] class GraftScanBuilder(
     spark: SparkSession, table: String, version: Long,
@@ -209,7 +214,90 @@ private[io] class GraftScanBuilder(
       .foldLeft(statsChosen) { case (fs, (c, vs)) =>
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
-    org.apache.spark.sql.GraftBridge.parquetScan(
-      spark, chosen.map(f => s"$table/$f"), dataSchema, required, pushed, options)
+    new GraftScan(spark, table, version, dataSchema, required, pushed,
+      chosen, options)
   }
+}
+
+/** The Scan the graft planner hands Spark: batch execution delegates to
+  * Spark's own vectorized ParquetScan over the pruned file list (as
+  * before — the wrapper adds no execution code), and streaming execution
+  * exposes the commit log as a MicroBatchStream. */
+private[io] class GraftScan(
+    spark: SparkSession, table: String, version: Long,
+    dataSchema: StructType, required: StructType,
+    pushed: Array[Filter], chosenFiles: Seq[String],
+    options: CaseInsensitiveStringMap)
+    extends Scan with GraftScanFiles {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftScan graft.`$table`@v$version [${chosenFiles.size} files]"
+  override def scannedFileCount: Int = chosenFiles.size
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    org.apache.spark.sql.GraftBridge.parquetScan(
+      spark, chosenFiles.map(f => s"$table/$f"), dataSchema, required,
+      pushed, options).toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, table, dataSchema, required, pushed, options)
+}
+
+/** Offset = committed table VERSION: the log's linear history is the
+  * stream's order, so offsets are exact, replayable, and comparable —
+  * the property Spark's checkpointing needs for exactly-once. */
+private[io] class GraftOffset(val v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** STREAMING SOURCE over the TxnTable commit log: each microbatch reads
+  * the files ADDED between two committed versions (append-only history
+  * enforced — an overwrite/delete in range fails loudly rather than
+  * misreport as pure addition; compact between streamed batches is a
+  * stop-the-stream operation, as for Delta's source). Planning is pure
+  * manifest arithmetic — no directory listing, no per-file mtime
+  * tracking, cost independent of table history (checkpointed log) —
+  * and execution reuses Spark's vectorized parquet readers batch-style.
+  * With Trigger.AvailableNow, Spark's own wrapper drains up to the
+  * stream-start version and stops — the scheduled-ingest shape. */
+private[io] class GraftMicroBatchStream(
+    spark: SparkSession, table: String,
+    dataSchema: StructType, required: StructType,
+    pushed: Array[Filter], options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def ver(o: Offset): Long = o.asInstanceOf[GraftOffset].v
+
+  /** `startingVersion` option: first microbatch starts AFTER this
+    * version (default 0 = consume the whole table). */
+  override def initialOffset(): Offset = new GraftOffset(
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+  override def latestOffset(): Offset = new GraftOffset(
+    TxnTable.latestVersion(spark, table).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    new GraftOffset(json.toLong)
+
+  // the scan planned for the current batch's file delta; the reader
+  // factory is requested right after planning, on the same driver thread
+  private var planned: Option[org.apache.spark.sql.connector.read.Scan] = None
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (ver(start), ver(end))
+    if (e <= s) return Array.empty
+    val delta = TxnTable.changedFiles(spark, table, s, e)
+    val scan = org.apache.spark.sql.GraftBridge.parquetScan(
+      spark, delta.map(f => s"$table/$f"), dataSchema, required, pushed, options)
+    planned = Some(scan)
+    scan.toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    planned.getOrElse(org.apache.spark.sql.GraftBridge.parquetScan(
+      spark, Nil, dataSchema, required, pushed, options))
+      .toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = () // progress lives in Spark's checkpoint
+  override def stop(): Unit = ()
 }

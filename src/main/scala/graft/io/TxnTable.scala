@@ -1178,15 +1178,26 @@ object TxnTable {
     if (sinceVersion == latest)
       return (spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
-    val sinceFiles =
-      if (sinceVersion == 0) Set.empty[String]
-      else snapshotFiles(spark, table, sinceVersion).toSet
-    val latestFiles = snapshotFiles(spark, table, latest)
-    require(sinceFiles.subsetOf(latestFiles.toSet),
-      s"history $sinceVersion -> $latest is not append-only (files were " +
-        "removed by an overwrite/compact); incremental read would be wrong")
-    val newFiles = latestFiles.filterNot(sinceFiles).map(f => s"$table/$f")
+    val newFiles = changedFiles(spark, table, sinceVersion, latest)
+      .map(f => s"$table/$f")
     (spark.read.schema(schema).parquet(newFiles: _*), latest)
+  }
+
+  /** Files added between two snapshots of append-only history — the
+    * file-set delta `readChanges` and the DSv2 streaming source both
+    * plan from. Throws if files were REMOVED in between (overwrite/
+    * compact/delete): a file-set diff would silently misreport that as
+    * pure addition. */
+  private[io] def changedFiles(spark: SparkSession, table: String,
+                               since: Long, until: Long): Seq[String] = {
+    val sinceFiles =
+      if (since == 0) Set.empty[String]
+      else snapshotFiles(spark, table, since).toSet
+    val untilFiles = snapshotFiles(spark, table, until)
+    require(sinceFiles.subsetOf(untilFiles.toSet),
+      s"history $since -> $until is not append-only (files were " +
+        "removed by an overwrite/compact); incremental read would be wrong")
+    untilFiles.filterNot(sinceFiles)
   }
 
   /** Table history: one row per retained snapshot — version, file count,

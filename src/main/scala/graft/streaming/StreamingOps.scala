@@ -593,6 +593,81 @@ object StreamingOps {
       | CAST(2 AS BIGINT) AS n_refreshes
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- s63
+  /** STREAMING SOURCE over the TxnTable commit log — `readStream
+    * .format("graft")`: table versions are the stream's offsets, each
+    * microbatch reads only the files appended since the checkpointed
+    * version (pure manifest arithmetic — no directory listing, no
+    * per-file mtime log). Three drains prove the incremental contract
+    * end-to-end: drain 1 consumes the initial snapshot, drain 2 on the
+    * SAME checkpoint consumes zero rows (nothing new), an append lands,
+    * drain 3 consumes EXACTLY the delta. The drained rows flow through
+    * an idempotent TxnTable sink, so the whole path is the
+    * lakehouse-to-lakehouse incremental pipeline. REQUIREs pin the
+    * per-drain row counts; the oracle restates the two halves. */
+  private def s63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s63").toFile
+    try {
+      val src = s"${root.getAbsolutePath}/src"
+      val out = s"${root.getAbsolutePath}/out"
+      val cp = s"${root.getAbsolutePath}/cp"
+      val docs = graft.io.Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars")
+      val half1 = docs.filter($"doc_id" % 2 === 0)
+      val half2 = docs.filter($"doc_id" % 2 === 1)
+      graft.io.TxnTable.commitOverwrite(half1, src)
+      def drain(id: Int): Long = {
+        val before = graft.io.TxnTable.latestVersion(spark, out)
+          .map(_ => graft.io.TxnTable.read(spark, out).count()).getOrElse(0L)
+        val q = spark.readStream.format("graft").load(src)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              graft.io.TxnTable.commitAppendIdempotent(
+                b.withColumn("drain", lit(id)), out, "s63-sink", batchId); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.io.TxnTable.latestVersion(spark, out)
+          .map(_ => graft.io.TxnTable.read(spark, out).count()).getOrElse(0L) - before
+      }
+      val d1 = drain(1)
+      val d2 = drain(2) // no new versions: must read nothing
+      graft.io.TxnTable.commitAppend(half2, src)
+      val d3 = drain(3)
+      require(d1 == half1.count() && d2 == 0L && d3 == half2.count(),
+        s"incremental drains read d1=$d1 d2=$d2 d3=$d3; expected " +
+          s"${half1.count()}/0/${half2.count()}")
+      val result = graft.io.TxnTable.read(spark, out)
+        .groupBy($"drain")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum($"n_chars").cast("bigint").as("sum_chars"))
+        .orderBy($"drain")
+        .select($"drain".cast("int").as("drain"), $"n", $"sum_chars")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s63Sql =
+    """SELECT CAST(1 AS INT) AS drain, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(3 AS INT), CAST(COUNT(*) AS BIGINT),
+      | CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY drain""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -606,5 +681,6 @@ object StreamingOps {
     RQ("s59_sliding_window_agg", s59, Some(s59Sql)),
     RQ("s60_txn_stream_sink", s60, Some(s60Sql)),
     RQ("s61_stream_static_join", s61, Some(s61Sql)),
-    RQ("s62_stream_matview", s62, Some(s62Sql)))
+    RQ("s62_stream_matview", s62, Some(s62Sql)),
+    RQ("s63_txn_stream_source", s63, Some(s63Sql)))
 }

@@ -85,6 +85,7 @@ object GraftBridge {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.scan
       } match {
+        case Some(g: graft.io.GraftScanFiles) => Some(g.scannedFileCount)
         case Some(fs: org.apache.spark.sql.execution.datasources.v2.FileScan) =>
           Some(fs.fileIndex.inputFiles.length)
         case Some(_) => None

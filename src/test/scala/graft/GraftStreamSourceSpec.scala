@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.{Tables, TxnTable}
+
+/** DSv2 streaming source over the TxnTable commit log: versions are
+  * offsets, microbatches read file deltas, checkpoints make restarts
+  * exactly-once, and non-append history fails loudly. */
+class GraftStreamSourceSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def withZone(f: String => Unit): Unit = {
+    val zone = java.nio.file.Files.createTempDirectory("graft_streamsrc").toFile
+    try f(zone.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(zone)
+    }
+  }
+
+  /** Drain the graft stream into an output TxnTable via foreachBatch +
+    * idempotent commit, tagging rows with `drain`. Returns row count
+    * committed by THIS drain. */
+  private def drain(src: String, out: String, cp: String, id: Int): Long = {
+    val before = TxnTable.latestVersion(spark, out)
+      .map(v => TxnTable.read(spark, out).count()).getOrElse(0L)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          TxnTable.commitAppendIdempotent(
+            batch.withColumn("drain", lit(id)), out, "stream-src-spec", batchId); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TxnTable.latestVersion(spark, out)
+      .map(v => TxnTable.read(spark, out).count()).getOrElse(0L) - before
+  }
+
+  test("incremental drains: each run reads only the versions committed since") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      val out = s"$zone/out"
+      val cp = s"$zone/cp"
+      val docs = Tables.documents(spark, Spec.sf001).select($"doc_id", $"n_chars")
+      val half1 = docs.filter($"doc_id" % 2 === 0)
+      val half2 = docs.filter($"doc_id" % 2 === 1)
+      TxnTable.commitOverwrite(half1, src)
+      assert(drain(src, out, cp, 1) == half1.count())
+      // nothing new: the checkpointed offset stops a re-run at zero rows
+      assert(drain(src, out, cp, 2) == 0L)
+      // append lands; the next run reads ONLY the delta
+      TxnTable.commitAppend(half2, src)
+      assert(drain(src, out, cp, 3) == half2.count())
+      val byDrain = TxnTable.read(spark, out)
+        .groupBy($"drain").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byDrain == Map(1 -> half1.count(), 3 -> half2.count()))
+    }
+  }
+
+  test("column pruning and filters flow into the streamed batches") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      val docs = Tables.documents(spark, Spec.sf001).select($"doc_id", $"n_chars")
+      TxnTable.commitOverwrite(docs, src)
+      val unique = s"streamsrc_${System.nanoTime()}"
+      val q = spark.readStream.format("graft").load(src)
+        .filter($"doc_id" < 100).select($"doc_id")
+        .writeStream.format("memory").queryName(unique)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(unique)
+      assert(got.columns.toSeq == Seq("doc_id"))
+      assert(got.count() == docs.filter($"doc_id" < 100).count())
+    }
+  }
+
+  test("non-append history between offsets fails loudly, not wrongly") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      val out = s"$zone/out"
+      val cp = s"$zone/cp"
+      val docs = Tables.documents(spark, Spec.sf001).select($"doc_id", $"n_chars")
+      TxnTable.commitOverwrite(docs.filter($"doc_id" < 100), src)
+      assert(drain(src, out, cp, 1) > 0L)
+      // an overwrite rewrites history: the file-set delta is no longer
+      // pure addition and the stream must refuse to misread it
+      TxnTable.commitOverwrite(docs, src)
+      val ex = intercept[Exception] {
+        drain(src, out, cp, 2)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).map(t => Option(t.getMessage).getOrElse(""))
+          .exists(_.contains("not append-only")))
+    }
+  }
+}
