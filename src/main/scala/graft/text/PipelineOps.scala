@@ -82,6 +82,87 @@ object PipelineOps {
        |FROM scored WHERE quality >= 0.32
        |ORDER BY doc_id""".stripMargin
 
+  /** Data-quality EXPECTATIONS gate (the Delta-Live-Tables `EXPECT`
+    * shape): evaluate named boolean rules over every row in ONE
+    * distributed projection — no per-rule pass, no shuffle. Each row is
+    * annotated with the array of rule names it VIOLATES (`__violations`)
+    * and an overall `__pass`; violating rows are retained with their
+    * reasons, never silently dropped — the caller chooses quarantine
+    * (`filter(!$"__pass")`) vs flow-on. NULL rule results count as
+    * violations (a rule that cannot be evaluated has not been met).
+    * At 100 TB this is the ingest gate in front of every pipeline:
+    * pure codegen'd row work, metrics from one aggregate. */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val viol = array_compact(array(rules.map { case (name, cond) =>
+      when(!coalesce(cond, lit(false)), lit(name))
+        .otherwise(lit(null).cast("string"))
+    }: _*))
+    df.withColumn("__violations", viol)
+      .withColumn("__pass", size(col("__violations")) === 0)
+  }
+
+  // ---------------------------------------------------------------- p91
+  /** The expectations gate over documents, metrics under the oracle:
+    * one row per rule (violation count + rate) plus the pass-all
+    * summary. Rules mix always-true invariants (consistency checks
+    * whose zero counts verify the arithmetic isn't vacuous by
+    * construction) with a length gate that actually fires. */
+  private val p91Rules: Seq[(String, String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.{col, length}
+    Seq(
+      ("chars_consistent", "n_chars = LENGTH(text)",
+        col("n_chars") === length(col("text"))),
+      ("lang_known", "lang IN ('de','en','es','fr','zh')",
+        col("lang").isin("de", "en", "es", "fr", "zh")),
+      ("min_length_100", "n_chars >= 100", col("n_chars") >= 100),
+      ("text_present", "text IS NOT NULL AND LENGTH(text) > 0",
+        col("text").isNotNull && length(col("text")) > 0))
+  }
+
+  private def p91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val annotated = expectations(
+      Tables.documents(spark, dir), p91Rules.map(r => (r._1, r._3)))
+    val aggs =
+      p91Rules.map { case (n, _, _) =>
+        sum(when(array_contains($"__violations", n), 1L).otherwise(0L)).as(s"v_$n") } ++
+        Seq(sum(when($"__pass", 1L).otherwise(0L)).as("clean"),
+          count(lit(1)).as("total"))
+    val r = annotated.agg(aggs.head, aggs.tail: _*).head()
+    val total = r.getAs[Long]("total")
+    val rows =
+      (("_passed_all", r.getAs[Long]("clean")) +:
+        p91Rules.map { case (n, _, _) => (n, r.getAs[Long](s"v_$n")) })
+        .map { case (n, v) =>
+          org.apache.spark.sql.Row(n, v, v.toDouble / total) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rule",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rate",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+  private val p91Sql = {
+    val perRule = p91Rules.map { case (n, sql, _) =>
+      s"""SELECT '$n' AS rule,
+         | CAST(COUNT(*) FILTER (WHERE NOT COALESCE($sql, FALSE)) AS BIGINT) AS n,
+         | CAST(COUNT(*) FILTER (WHERE NOT COALESCE($sql, FALSE)) AS DOUBLE)
+         |   / COUNT(*) AS rate
+         |FROM documents""".stripMargin }
+    val passAll = {
+      val conj = p91Rules.map(r => s"COALESCE(${r._2}, FALSE)").mkString(" AND ")
+      s"""SELECT '_passed_all' AS rule,
+         | CAST(COUNT(*) FILTER (WHERE $conj) AS BIGINT) AS n,
+         | CAST(COUNT(*) FILTER (WHERE $conj) AS DOUBLE) / COUNT(*) AS rate
+         |FROM documents""".stripMargin }
+    (passAll +: perRule).mkString("\nUNION ALL\n") + "\nORDER BY rule"
+  }
+
   val all: Seq[RQ] = Seq(
-    RQ("p90_training_pipeline", p90, Some(p90Sql), bench = true))
+    RQ("p90_training_pipeline", p90, Some(p90Sql), bench = true),
+    RQ("p91_dq_expectations", p91, Some(p91Sql)))
 }
