@@ -1024,6 +1024,134 @@ object FormatOps {
       | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM customer""".stripMargin
 
+  // --------------------------------------------------------------- k100
+  /** DSv2 WRITE path: the table is created, appended, and replay-guarded
+    * entirely through `df.write.format("graft")` — no blessed API. The
+    * append carries (txnAppId, txnVersion) and is REPLAYED verbatim; the
+    * idempotent-commit machinery must make the second save a no-op
+    * (REQUIREd on both version and row count — a double-append would
+    * also break the oracle hash). Stats still land in the manifest:
+    * the final read REQUIREs file skipping on a range filter. */
+  private def k100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k100_dsv2w")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      cust.repartitionByRange(6, $"c_custkey")
+        .sortWithinPartitions($"c_custkey")
+        .write.format("graft").mode("overwrite")
+        .option("statsCols", "c_custkey").save(table)
+      val extra = cust.filter($"c_custkey".between(1, 200))
+        .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal"))
+      def appendOnce(): Unit =
+        extra.write.format("graft").mode("append")
+          .option("statsCols", "c_custkey")
+          .option("txnAppId", "k100").option("txnVersion", "1")
+          .save(table)
+      appendOnce()
+      val vAfter = TxnTable.latestVersion(spark, table).get
+      val nAfter = TxnTable.read(spark, table).count()
+      appendOnce() // replay: must be a no-op
+      require(TxnTable.latestVersion(spark, table).contains(vAfter) &&
+        TxnTable.read(spark, table).count() == nAfter,
+        "replayed txn-marked DSv2 append must not re-apply")
+      val back = spark.read.format("graft").load(table)
+      val narrow = back.filter($"c_custkey".between(100, 150))
+      val scanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(narrow)
+        .getOrElse(sys.error("no DSv2 scan in plan"))
+      require(scanned > 0 && scanned < TxnTable.snapshotFiles(
+        spark, table, vAfter).size,
+        s"DSv2-written stats must skip files: scanned $scanned")
+      val result = back.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k100Sql =
+    """WITH t AS (
+      |  SELECT c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT c_acctbal + 100.0 FROM customer WHERE c_custkey BETWEEN 1 AND 200)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM t""".stripMargin
+
+  // --------------------------------------------------------------- k101
+  /** METADATA-ONLY AGGREGATES: COUNT(*)/COUNT(col)/MIN/MAX over the
+    * whole table are answered from the manifest (per-file row counts +
+    * typed min/max stats) through DSv2 aggregate pushdown — the plan is
+    * REQUIREd in-query to contain graft's zero-file agg scan and NO
+    * parquet scan. At 100 TB this query costs one manifest read. The
+    * oracle computes the same aggregates from the raw parquet, so a
+    * hash match proves the metadata path returns EXACTLY what a full
+    * scan would: long keys, lexicographic string min/max, and
+    * microsecond-exact timestamp reconstruction from the normalized
+    * stats all round-trip. */
+  private def k101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k101_aggpush")
+    try {
+      val table = s"$zone/orders_txn"
+      val orders = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      TxnTable.commitOverwrite(
+        orders.repartitionByRange(8, $"o_orderkey")
+          .sortWithinPartitions($"o_orderkey"),
+        table,
+        statsCols = Seq("o_orderkey", "o_orderdate", "o_orderpriority"))
+      val agg = spark.read.format("graft").load(table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        count($"o_orderdate").cast("bigint").as("n_dated"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        min($"o_orderpriority").as("min_pri"),
+        max($"o_orderpriority").as("max_pri"),
+        min($"o_orderdate").as("min_date"),
+        max($"o_orderdate").as("max_date"))
+      val scan = agg.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      require(scan.exists {
+        case g: GraftScanFiles => g.scannedFileCount == 0
+        case _ => false
+      }, s"aggregate must plan metadata-only (zero files); got $scan")
+      require(agg.queryExecution.executedPlan.collectLeaves().forall {
+        case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => false
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => false
+        case _ => true
+      }, "metadata-only aggregate must not read any data file")
+      spark.createDataFrame(
+        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k101Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(o_orderdate) AS BIGINT) AS n_dated,
+      | MIN(o_orderkey) AS min_key,
+      | MAX(o_orderkey) AS max_key,
+      | MIN(o_orderpriority) AS min_pri,
+      | MAX(o_orderpriority) AS max_pri,
+      | MIN(o_orderdate) AS min_date,
+      | MAX(o_orderdate) AS max_date
+      |FROM orders""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1044,5 +1172,7 @@ object FormatOps {
     RQ("k96_typed_skipping", k96, Some(k96Sql)),
     RQ("k97_bloom_point_lookup", k97, Some(k97Sql)),
     RQ("k98_bloom_point_delete", k98, Some(k98Sql)),
-    RQ("k99_txn_restore", k99, Some(k99Sql)))
+    RQ("k99_txn_restore", k99, Some(k99Sql)),
+    RQ("k100_dsv2_write", k100, Some(k100Sql)),
+    RQ("k101_agg_pushdown", k101, Some(k101Sql)))
 }

@@ -2,10 +2,12 @@ package graft.io
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,36 +48,100 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   private def pinnedVersion(spark: SparkSession, table: String,
-                            options: util.Map[String, String]): Long =
-    Option(options.get("versionAsOf")).map(_.toLong).getOrElse(
-      TxnTable.latestVersion(spark, table).getOrElse(
-        throw new IllegalStateException(s"no committed version in $table")))
+                            options: util.Map[String, String]): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(TxnTable.latestVersion(spark, table))
 
+  /** A table with no committed version yet infers an EMPTY schema (not
+    * an error): a WRITE to a fresh path must be able to get a Table
+    * handle — the first commit records the real schema. A read of the
+    * empty schema fails at scan build with the no-manifest message. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val table = tablePath(options)
-    val v = pinnedVersion(spark, table, options)
-    TxnTable.snapshotSchema(spark, table, v).getOrElse(
-      throw new IllegalStateException(
-        s"$table@v$v predates the schema log — unreadable through format(\"graft\")"))
+    pinnedVersion(spark, table, options) match {
+      case None => new StructType()
+      case Some(v) =>
+        TxnTable.snapshotSchema(spark, table, v).getOrElse(
+          throw new IllegalStateException(
+            s"$table@v$v predates the schema log — unreadable through format(\"graft\")"))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val spark = SparkSession.active
     val table = tablePath(properties)
-    new GraftTable(table, pinnedVersion(spark, table, properties), schema)
+    new GraftTable(table,
+      pinnedVersion(spark, table, properties).getOrElse(0L), schema)
   }
 }
 
 private[io] class GraftTable(table: String, version: Long, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`$table`@v$version"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA hands write-schema validation to TxnTable.commit's
+  // mergeSchemas fail-fast: a COMPATIBLE evolved frame (added column)
+  // appends and evolves the schema log — graft-native semantics that
+  // Spark's by-name output resolution would reject — while an
+  // incompatible one still fails before any data lands.
+  // BATCH_WRITE is what DataFrameWriter.save's DSv2 gate checks;
+  // V1_BATCH_WRITE is what lets the planner accept the V1Write the
+  // builder actually produces — both are required for the save() path.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, table, version, tableSchema, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table, info)
+}
+
+/** DSv2 WRITE path: `df.write.format("graft").mode("append"|"overwrite")
+  * .save(path)` commits through the same CAS manifest protocol as the
+  * Scala API — V1Write is the bridge (the same fallback Delta rides):
+  * planning stays DSv2, the data path hands the fully-analyzed frame to
+  * TxnTable, which keeps parquet writing distributed and the commit one
+  * atomic manifest publish. Options: `statsCols`/`bloomCols` (comma-
+  * separated) designate skipping metadata; `txnAppId`+`txnVersion` make
+  * the write idempotent per (appId, batchId) — a replayed save() is a
+  * no-op, the foreachBatch restart contract. */
+private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit = {
+        def cols(key: String): Seq[String] =
+          Option(info.options.get(key)).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val statsCols = cols("statsCols")
+        val bloomCols = cols("bloomCols")
+        val txn = (Option(info.options.get("txnAppId")),
+          Option(info.options.get("txnVersion"))) match {
+          case (Some(a), Some(v)) => Some((a, v.toLong))
+          case (None, None) => None
+          case _ => throw new IllegalArgumentException(
+            "txnAppId and txnVersion must be set together")
+        }
+        (overwrite, txn) match {
+          case (false, None) =>
+            TxnTable.commitAppend(data, table, statsCols, bloomCols)
+          case (true, None) =>
+            TxnTable.commitOverwrite(data, table, statsCols, bloomCols)
+          case (false, Some((a, v))) =>
+            TxnTable.commitAppendIdempotent(data, table, a, v, statsCols, bloomCols)
+          case (true, Some((a, v))) =>
+            TxnTable.commitOverwriteIdempotent(data, table, a, v, statsCols, bloomCols)
+        }
+        ()
+      }
+    }
+  }
 }
 
 /** Marker the spec bridge (GraftBridge.dsv2ScannedFiles) reads the
@@ -87,7 +153,7 @@ private[io] class GraftScanBuilder(
     spark: SparkSession, table: String, version: Long,
     dataSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
@@ -188,7 +254,151 @@ private[io] class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- METADATA-ONLY AGGREGATES ----------------------------------------
+  // COUNT(*)/COUNT(col)/MIN(col)/MAX(col) with no GROUP BY and no WHERE
+  // are answered from the manifest alone: per-file row counts give
+  // COUNT(*), counts minus per-file null counts give COUNT(col), and the
+  // per-file min/max stats fold into the global extremes. ZERO data files
+  // are opened — on a 100 TB table the query costs one manifest read.
+  // Everything is proof-gated: any file whose metadata can't prove the
+  // answer (pre-rows manifest, missing stat, a type whose normalized
+  // stat doesn't reconstruct exactly) rejects the pushdown and the query
+  // falls back to the ordinary scan. Spark only offers the pushdown when
+  // no post-scan filters remain, and graft keeps every filter residual,
+  // so a filtered aggregate can never take this path.
+
+  private lazy val aggState = {
+    val files = TxnTable.snapshotFiles(spark, table, version)
+    (files, TxnTable.fileStats(spark, table, version),
+      TxnTable.fileRows(spark, table, version))
+  }
+
+  private var plannedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  import org.apache.spark.sql.types._
+
+  /** 2^52: the integral range where a Double is provably exact. */
+  private val ExactD = 4503599627370496.0
+
+  private def exactLong(d: Double): Option[Long] =
+    if (math.abs(d) <= ExactD && d == math.rint(d)) Some(d.toLong) else None
+
+  /** Internal (catalyst) value of a num-kind stat bound for column type
+    * `dt` — None unless the normalized double provably reconstructs the
+    * exact original value. Decimals and anything unexpected refuse. */
+  private def fromNum(dt: DataType, d: Double): Option[Any] = dt match {
+    case ByteType => exactLong(d).map(_.toByte)
+    case ShortType => exactLong(d).map(_.toShort)
+    case IntegerType => exactLong(d).map(_.toInt)
+    case LongType => exactLong(d)
+    case FloatType => Some(d.toFloat) // stat was the float cast to double: exact
+    case DoubleType => Some(d)
+    case BooleanType => Some(d != 0.0)
+    case DateType => // stat = epochDay * 86400.0, exact in double
+      val days = d / 86400.0
+      if (days == math.rint(days) && math.abs(days) <= Int.MaxValue.toDouble)
+        Some(math.rint(days).toInt)
+      else None
+    case TimestampType | TimestampNTZType =>
+      // stat = micros / 1e6 rounded to double; for |µs| < 2^51 the
+      // representation error is under half a microsecond, so rint
+      // recovers the original micros exactly
+      val us = d * 1e6
+      if (math.abs(us) < ExactD / 2) Some(math.rint(us).toLong) else None
+    case _ => None
+  }
+
+  private def columnField(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        dataSchema.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Global MIN/MAX of `field` folded from per-file stats, as a catalyst
+    * value (Some(null) = provably empty column). None = not provable. */
+  private def foldMinMax(field: StructField, wantMin: Boolean): Option[Any] = {
+    val (files, stats, rows) = aggState
+    def statOf(f: String) = stats.getOrElse(f, Nil).find(_.col == field.name)
+    // a file may lack the stat ONLY if it provably holds no rows; a
+    // stat-less file with rows (or unknown rows) could be an all-null
+    // column OR untracked stats — indistinguishable, so refuse
+    if (!files.forall(f => statOf(f).isDefined || rows.get(f).contains(0L)))
+      return None
+    val ss = files.flatMap(statOf)
+    if (ss.isEmpty) return Some(null) // empty table: MIN/MAX is NULL
+    val kind = ss.head.kind
+    if (!ss.forall(_.kind == kind)) return None
+    (kind, field.dataType) match {
+      case ("str", StringType) =>
+        val v = if (wantMin) ss.map(_.minV).min else ss.map(_.maxV).max
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      case ("num", dt) =>
+        val v = if (wantMin) ss.map(_.min).min else ss.map(_.max).max
+        fromNum(dt, v)
+      case _ => None
+    }
+  }
+
+  /** The aggregation's output schema + the single metadata-computed row,
+    * or None when any part is not provable from the manifest. */
+  private def planAgg(agg: Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    val (files, stats, rows) = aggState
+    lazy val total: Option[Long] =
+      if (files.forall(rows.contains)) Some(files.map(rows).sum) else None
+    val cells: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          total.map(t => StructField("count(*)", LongType, nullable = false) -> t)
+        case c: Count if !c.isDistinct =>
+          for {
+            f <- columnField(c.column)
+            t <- total
+            // every file with rows must carry the stat with a KNOWN null
+            // count; rows-free files contribute nothing
+            if files.forall(fl =>
+              stats.getOrElse(fl, Nil).find(_.col == f.name).exists(_.nulls >= 0L)
+                || rows.get(fl).contains(0L))
+          } yield StructField(s"count(${f.name})", LongType, nullable = false) ->
+            (t - files.flatMap(fl =>
+              stats.getOrElse(fl, Nil).find(_.col == f.name)).map(_.nulls).sum)
+        case m: Min =>
+          for {
+            f <- columnField(m.column)
+            v <- foldMinMax(f, wantMin = true)
+          } yield StructField(s"min(${f.name})", f.dataType) -> v
+        case m: Max =>
+          for {
+            f <- columnField(m.column)
+            v <- foldMinMax(f, wantMin = false)
+          } yield StructField(s"max(${f.name})", f.dataType) -> v
+        case _ => None
+      }
+    if (cells.exists(_.isEmpty)) None
+    else {
+      val resolved = cells.flatten
+      Some((StructType(resolved.map(_._1)),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          resolved.map(_._2).toArray)))
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    plannedAgg = planAgg(agg)
+    plannedAgg.isDefined
+  }
+
   override def build(): Scan = {
+    plannedAgg match {
+      case Some((schema, row)) => return new GraftAggScan(table, version, schema, row)
+      case None => ()
+    }
     val files = TxnTable.snapshotFiles(spark, table, version)
     val stats = TxnTable.fileStats(spark, table, version)
     // intersect bounds across every pushed filter (they are ANDed)
@@ -240,6 +450,22 @@ private[io] class GraftScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(spark, table, dataSchema, required, pushed, options)
+}
+
+/** The Scan a fully-pushed aggregate plans to: ONE driver-built row
+  * computed from manifest metadata, surfaced through Spark's LocalScan
+  * (→ LocalTableScanExec). No file is opened; `scannedFileCount = 0` is
+  * the property specs assert. */
+private[io] class GraftAggScan(
+    table: String, version: Long, outputSchema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow)
+    extends LocalScan with GraftScanFiles {
+  override def readSchema(): StructType = outputSchema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def description(): String =
+    s"GraftAggScan graft.`$table`@v$version metadata-only " +
+      s"[${outputSchema.fieldNames.mkString(", ")}]"
+  override def scannedFileCount: Int = 0
 }
 
 /** Offset = committed table VERSION: the log's linear history is the

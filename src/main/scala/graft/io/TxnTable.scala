@@ -77,6 +77,16 @@ object TxnTable {
   private val SchemaPrefix = "#schema="
   private val StatPrefix = "#stat="   // #stat=<file>|<col>|<min>|<max>[|<nulls>]
   private val StatSep = "|"
+  // Per-file ROW COUNTS ride ON the file entry itself — a manifest file
+  // line is `<file>` or `<file>|<rows>` (a delta add line `+<file>|<rows>`)
+  // — collected in the same read-back pass as column stats at write time
+  // and carried forward with the file. They make COUNT(*) (and, with
+  // stats, COUNT/MIN/MAX of a column) a pure manifest computation — the
+  // metadata-only aggregate a 100 TB table answers without touching a
+  // data file. The suffix encoding (vs a separate `#rows=` line) avoids
+  // repeating every file path twice in every checkpoint manifest. Files
+  // committed before counts existed are bare lines: a missing count is
+  // unknown, never zero.
   // Log checkpointing (Delta-style, SNIPPETS.md §checkpointing): a
   // manifest WITHOUT the #delta header is a FULL snapshot (file list =
   // plain lines) — the checkpoint. A manifest WITH it records only the
@@ -414,7 +424,8 @@ object TxnTable {
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Map[String, Seq[FileStat]],
-      blooms: Map[String, Seq[BloomMeta]] = Map.empty) {
+      blooms: Map[String, Seq[BloomMeta]] = Map.empty,
+      rows: Map[String, Long] = Map.empty) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
@@ -446,6 +457,20 @@ object TxnTable {
         if (kind == "str") (dec(parts(2)), dec(parts(3))) else (parts(2), parts(3))
       parts(0) -> FileStat(parts(1), kind, mn, mx, nulls)
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  private def fileLine(f: String, rows: Map[String, Long]): String =
+    rows.get(f).map(n => s"$f$StatSep$n").getOrElse(f)
+
+  /** `<file>` or `<file>|<rows>` → (file, known count). A trailing
+    * segment that is not a number is part of the name (conservative). */
+  private def parseFileLine(l: String): (String, Option[Long]) = {
+    val i = l.lastIndexOf(StatSep)
+    if (i < 0) (l, None)
+    else l.drop(i + 1).toLongOption match {
+      case Some(n) => (l.take(i), Some(n))
+      case None => (l, None)
+    }
+  }
 
   private def bloomLine(f: String, b: BloomMeta): String =
     s"$BloomPrefix$f$StatSep${b.col}$StatSep${b.bits}$StatSep${b.hashes}"
@@ -495,22 +520,26 @@ object TxnTable {
         "full base manifest (vacuumed too aggressively?)")
       lines = manifestLines(spark, table, cur)
     }
-    val (baseHeaders, baseFiles) = lines.partition(_.startsWith("#"))
-    var files = baseFiles
+    val (baseHeaders, baseFileLines) = lines.partition(_.startsWith("#"))
+    val baseParsed = baseFileLines.map(parseFileLine)
+    var files = baseParsed.map(_._1)
     var stats = parseStats(baseHeaders)
     var blooms = parseBlooms(baseHeaders)
+    var rows = baseParsed.collect { case (f, Some(n)) => f -> n }.toMap
     var headOf = baseHeaders
     for (delta <- chain) {
       val (dh, df) = delta.partition(_.startsWith("#"))
       val removed = df.filter(_.startsWith(RemovePrefix))
         .map(_.stripPrefix(RemovePrefix)).toSet
-      val added = df.filter(_.startsWith(AddPrefix)).map(_.stripPrefix(AddPrefix))
-      files = files.filterNot(removed) ++ added
+      val added = df.filter(_.startsWith(AddPrefix))
+        .map(l => parseFileLine(l.stripPrefix(AddPrefix)))
+      files = files.filterNot(removed) ++ added.map(_._1)
       stats = (stats -- removed) ++ parseStats(dh)
       blooms = (blooms -- removed) ++ parseBlooms(dh)
+      rows = (rows -- removed) ++ added.collect { case (f, Some(n)) => f -> n }
       headOf = dh
     }
-    State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms)
+    State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows)
   }
 
   private def latestState(spark: SparkSession, table: String): Option[State] =
@@ -522,6 +551,12 @@ object TxnTable {
                 version: Long): Map[String, Seq[FileStat]] =
     stateOf(spark, table, version).stats
 
+  /** Per-file row counts of snapshot `version`. A file committed before
+    * row tracking existed has no entry — unknown, not zero. */
+  def fileRows(spark: SparkSession, table: String,
+               version: Long): Map[String, Long] =
+    stateOf(spark, table, version).rows
+
   /** Write `df` under a fresh unique data dir; return (dir, its files,
     * per-file min/max of each designated stats column, per-file bloom
     * metas of each designated bloom column — extra passes over the NEW
@@ -532,45 +567,54 @@ object TxnTable {
   private def writeData(df: DataFrame, table: String,
                         statsCols: Seq[String],
                         bloomCols: Seq[String] = Nil)
-      : (String, Seq[String], Map[String, Seq[FileStat]], Map[String, Seq[BloomMeta]]) = {
+      : (String, Seq[String], Map[String, Seq[FileStat]],
+         Map[String, Seq[BloomMeta]], Map[String, Long]) = {
     val spark = df.sparkSession
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
     val newFiles = listParquet(spark, table, dataDir)
-    val stats =
-      if (statsCols.isEmpty) Map.empty[String, Seq[FileStat]]
-      else {
-        val back = spark.read.parquet(s"$table/$dataDir")
-        // one (col, dtype, kind) per stats column the data carries AND
-        // the kind system supports — others get no stats, not errors
-        val tracked = statsCols.flatMap(c =>
-          back.schema.find(_.name == c).flatMap(f =>
-            statKind(f.dataType).map(k => (c, f.dataType, k))))
-        if (tracked.isEmpty) Map.empty[String, Seq[FileStat]]
-        else {
-          val aggs = tracked.flatMap { case (c, dt, _) => Seq(
-            min(normExpr(c, dt)).as(s"__mn_$c"),
-            max(normExpr(c, dt)).as(s"__mx_$c"),
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.when(
-                normExpr(c, dt).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+    // ONE read-back pass over the NEW files: per-file row counts
+    // (always — they're what makes COUNT(*) metadata-only) plus min/
+    // max/nulls for each designated stats column. With no stats columns
+    // the pass references zero data columns, so the vectorized reader
+    // drives it from row-group metadata.
+    val (stats, rowCounts) = {
+      val back = spark.read.parquet(s"$table/$dataDir")
+      // one (col, dtype, kind) per stats column the data carries AND
+      // the kind system supports — others get no stats, not errors
+      val tracked = statsCols.flatMap(c =>
+        back.schema.find(_.name == c).flatMap(f =>
+          statKind(f.dataType).map(k => (c, f.dataType, k))))
+      val aggs = (count(lit(1)).as("__rows") +:
+        tracked.flatMap { case (c, dt, _) => Seq(
+          min(normExpr(c, dt)).as(s"__mn_$c"),
+          max(normExpr(c, dt)).as(s"__mx_$c"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              normExpr(c, dt).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+        })
+      val perFile = back.groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val uri = r.getString(0)
+          val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
+          val ss = tracked.flatMap { case (c, _, kind) =>
+            (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
+              case (null, _) => None
+              case (mn, mx) => Some(FileStat(c, kind,
+                mn.toString, mx.toString, r.getAs[Long](s"__nn_$c")))
+            }
           }
-          back.groupBy(input_file_name().as("f"))
-            .agg(aggs.head, aggs.tail: _*)
-            .collect()
-            .map { r =>
-              val uri = r.getString(0)
-              val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
-              key -> tracked.flatMap { case (c, _, kind) =>
-                (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
-                  case (null, _) => None
-                  case (mn, mx) => Some(FileStat(c, kind,
-                    mn.toString, mx.toString, r.getAs[Long](s"__nn_$c")))
-                }
-              }
-            }.toMap
+          (key, ss, r.getAs[Long]("__rows"))
         }
-      }
+      // a new file the groupBy never surfaced has zero rows (an empty
+      // task's parquet output) — a KNOWN count, distinct from the
+      // missing-line "unknown" of pre-rows manifests
+      val counts = perFile.map(t => t._1 -> t._3).toMap
+      (perFile.filter(_._2.nonEmpty).map(t => t._1 -> t._2).toMap,
+        newFiles.map(f => f -> counts.getOrElse(f, 0L)).toMap)
+    }
     val blooms: Map[String, Seq[BloomMeta]] =
       if (bloomCols.isEmpty) Map.empty
       else {
@@ -602,7 +646,7 @@ object TxnTable {
             }
         }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       }
-    (dataDir, newFiles, stats, blooms)
+    (dataDir, newFiles, stats, blooms, rowCounts)
   }
 
   private def manifestContent(
@@ -610,7 +654,8 @@ object TxnTable {
       txns: Map[String, Long],
       stats: Map[String, Seq[FileStat]],
       files: Seq[String],
-      blooms: Map[String, Seq[BloomMeta]] = Map.empty): String = {
+      blooms: Map[String, Seq[BloomMeta]] = Map.empty,
+      rows: Map[String, Long] = Map.empty): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
@@ -618,12 +663,13 @@ object TxnTable {
         ss.map(s => statLine(f, s)) } ++
       blooms.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, bs) =>
         bs.map(b => bloomLine(f, b)) } ++
-      files)
+      files.map(f => fileLine(f, rows)))
       .mkString("\n")
   }
 
-  /** O(change) commit record: full schema/txn headers (small), stats and
-    * bloom metas for the new files only, then removal/addition lines. */
+  /** O(change) commit record: full schema/txn headers (small), stats,
+    * bloom metas, and row counts for the new files only, then
+    * removal/addition lines. */
   private def deltaContent(
       schema: org.apache.spark.sql.types.StructType,
       txns: Map[String, Long],
@@ -631,7 +677,8 @@ object TxnTable {
       removed: Seq[String],
       added: Seq[String],
       base: Long,
-      newBlooms: Map[String, Seq[BloomMeta]] = Map.empty): String =
+      newBlooms: Map[String, Seq[BloomMeta]] = Map.empty,
+      newRows: Map[String, Long] = Map.empty): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       newStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
@@ -639,7 +686,7 @@ object TxnTable {
       newBlooms.toSeq.sortBy(_._1).flatMap { case (f, bs) =>
         bs.map(b => bloomLine(f, b)) } ++
       removed.map(RemovePrefix + _) ++
-      added.map(AddPrefix + _))
+      added.map(f => AddPrefix + fileLine(f, newRows)))
       .mkString("\n")
 
   /** Diagnostic for specs/ops: (manifests read, log bytes read) to
@@ -677,7 +724,7 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
-    val (dataDir, newFiles, newStats, newBlooms) =
+    val (dataDir, newFiles, newStats, newBlooms, newRows) =
       writeData(df, table, statsCols, bloomCols)
     var attempt = 0
     while (attempt < 64) {
@@ -697,6 +744,9 @@ object TxnTable {
       val blooms: Map[String, Seq[BloomMeta]] =
         (if (append) state.map(_.blooms).getOrElse(Map.empty[String, Seq[BloomMeta]])
          else Map.empty[String, Seq[BloomMeta]]) ++ newBlooms
+      val rows: Map[String, Long] =
+        (if (append) state.map(_.rows).getOrElse(Map.empty[String, Long])
+         else Map.empty[String, Long]) ++ newRows
       // snapshot schema recorded in the log (Delta-style): an APPEND
       // merges the evolved frame's schema into the prior snapshot's —
       // pre-evolution files surface the new column as NULL; incompatible
@@ -713,9 +763,10 @@ object TxnTable {
       val writeFull = !append || state.isEmpty ||
         next % checkpointInterval(spark) == 0
       val content =
-        if (writeFull) manifestContent(schema, txns, stats, files, blooms)
+        if (writeFull) manifestContent(schema, txns, stats, files, blooms, rows)
         else deltaContent(schema, txns, newStats, removed = Nil,
-          added = newFiles, base = state.get.version, newBlooms = newBlooms)
+          added = newFiles, base = state.get.version, newBlooms = newBlooms,
+          newRows = newRows)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -757,8 +808,10 @@ object TxnTable {
     * crash-consistency primitive IncrementalView's refresh rides on. */
   def commitOverwriteIdempotent(df: DataFrame, table: String,
                                 appId: String, batchId: Long,
-                                statsCols: Seq[String] = Nil): Long =
-    commit(df, table, append = false, txn = Some((appId, batchId)), statsCols = statsCols)
+                                statsCols: Seq[String] = Nil,
+                                bloomCols: Seq[String] = Nil): Long =
+    commit(df, table, append = false, txn = Some((appId, batchId)),
+      statsCols = statsCols, bloomCols = bloomCols)
 
   /** Append exactly-once per (appId, batchId): a replay of an
     * already-applied batch is a no-op returning the current version.
@@ -766,8 +819,10 @@ object TxnTable {
     * batch, and this makes the re-offer safe (Delta's txn markers). */
   def commitAppendIdempotent(df: DataFrame, table: String,
                              appId: String, batchId: Long,
-                             statsCols: Seq[String] = Nil): Long =
-    commit(df, table, append = true, txn = Some((appId, batchId)), statsCols = statsCols)
+                             statsCols: Seq[String] = Nil,
+                             bloomCols: Seq[String] = Nil): Long =
+    commit(df, table, append = true, txn = Some((appId, batchId)),
+      statsCols = statsCols, bloomCols = bloomCols)
 
   /** DATA-SKIPPING read: the latest snapshot's rows with `column` in
     * [lo, hi] — planned over ONLY the files whose manifest min/max for
@@ -890,16 +945,16 @@ object TxnTable {
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
-      val (newFiles, newStats, newBlooms, dataDir) =
+      val (newFiles, newStats, newBlooms, newRows, dataDir) =
         if (boundary.isEmpty)
           (Nil, Map.empty[String, Seq[FileStat]],
-            Map.empty[String, Seq[BloomMeta]], None)
+            Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long], None)
         else {
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
             .filter(not(coalesce(col(column) === lit(value), lit(false))))
-          val (d, nf, ns, nb) = writeData(complement, table, trackedCols, trackedBlooms)
-          (nf, ns, nb, Some(d))
+          val (d, nf, ns, nb, nr) = writeData(complement, table, trackedCols, trackedBlooms)
+          (nf, ns, nb, nr, Some(d))
         }
       val files = carried ++ newFiles
       val removedFiles = (covered ++ boundary).sorted
@@ -908,10 +963,11 @@ object TxnTable {
         if (next % checkpointInterval(spark) == 0)
           manifestContent(schema, st.txns,
             (st.stats -- removedFiles) ++ newStats, files,
-            (st.blooms -- removedFiles) ++ newBlooms)
+            (st.blooms -- removedFiles) ++ newBlooms,
+            (st.rows -- removedFiles) ++ newRows)
         else deltaContent(schema, st.txns, newStats,
           removed = removedFiles, added = newFiles, base = st.version,
-          newBlooms = newBlooms)
+          newBlooms = newBlooms, newRows = newRows)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1026,20 +1082,21 @@ object TxnTable {
       // table blooms — a merge must not degrade later point skipping
       val trackedBlooms =
         st.bloomCols.intersect(merged.columns.toSet).toSeq.sorted
-      val (dataDir, newFiles, newStats, newBlooms) =
+      val (dataDir, newFiles, newStats, newBlooms, newRows) =
         writeData(merged, table, trackedCols, trackedBlooms)
       val files = untouched ++ newFiles
       val stats = (st.stats -- touched) ++ newStats
       val blooms = (st.blooms -- touched) ++ newBlooms
+      val rows = (st.rows -- touched) ++ newRows
       val mergedSchema =
         org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema)
       val next = st.version + 1L
       val content =
         if (next % checkpointInterval(spark) == 0)
-          manifestContent(mergedSchema, st.txns, stats, files, blooms)
+          manifestContent(mergedSchema, st.txns, stats, files, blooms, rows)
         else deltaContent(mergedSchema, st.txns, newStats,
           removed = touched.toSeq.sorted, added = newFiles, base = st.version,
-          newBlooms = newBlooms)
+          newBlooms = newBlooms, newRows = newRows)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1098,10 +1155,10 @@ object TxnTable {
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
-      val (newFiles, newStats, newBlooms, dataDir) =
+      val (newFiles, newStats, newBlooms, newRows, dataDir) =
         if (boundary.isEmpty)
           (Nil, Map.empty[String, Seq[FileStat]],
-            Map.empty[String, Seq[BloomMeta]], None)
+            Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long], None)
         else {
           // three-valued logic trap: for a NULL (or uncastable) key the
           // bare `!between` predicate is NULL, which filter treats as
@@ -1111,8 +1168,8 @@ object TxnTable {
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
             .filter(not(coalesce(rangeFilter(column, dt, lo, hi), lit(false))))
-          val (d, nf, ns, nb) = writeData(complement, table, trackedCols, trackedBlooms)
-          (nf, ns, nb, Some(d))
+          val (d, nf, ns, nb, nr) = writeData(complement, table, trackedCols, trackedBlooms)
+          (nf, ns, nb, nr, Some(d))
         }
       val files = disjoint ++ newFiles
       val removedFiles = (covered ++ boundary).sorted
@@ -1121,10 +1178,11 @@ object TxnTable {
         if (next % checkpointInterval(spark) == 0)
           manifestContent(schema, st.txns,
             (st.stats -- removedFiles) ++ newStats, files,
-            (st.blooms -- removedFiles) ++ newBlooms)
+            (st.blooms -- removedFiles) ++ newBlooms,
+            (st.rows -- removedFiles) ++ newRows)
         else deltaContent(schema, st.txns, newStats,
           removed = removedFiles, added = newFiles, base = st.version,
-          newBlooms = newBlooms)
+          newBlooms = newBlooms, newRows = newRows)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1250,7 +1308,8 @@ object TxnTable {
       if (st.version == toVersion) return st.version // already there
       val next = st.version + 1L
       val content =
-        manifestContent(schema, st.txns, target.stats, target.files, target.blooms)
+        manifestContent(schema, st.txns, target.stats, target.files,
+          target.blooms, target.rows)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next

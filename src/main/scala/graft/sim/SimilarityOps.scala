@@ -683,6 +683,86 @@ object SimilarityOps {
        |FROM embeddings e ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e54
+  /** PQ ADC SEARCH — the asymmetric-distance serving path that makes PQ
+    * codes queryable: at query time each probe builds a tiny lookup
+    * table (4 subspaces × 16 codewords = 64 doubles — the probe-to-
+    * codeword L2 distances), and a corpus row's approximate distance is
+    * FOUR table lookups summed, never touching the original floats.
+    * This is how a trillion-row index serves from the 64×-compressed
+    * codes alone (Jégou et al.'s ADC). Spark shape: the LUT inlines
+    * into the plan as an array literal per probe (what a broadcast
+    * ships at scale), code assignment is the zero-amplification native
+    * projection (e50), the scan stays one codegen'd pass, and the only
+    * shuffle is the per-probe top-k window — keyed by probe, the
+    * natural serving partition. The oracle recomputes codes, LUTs, and
+    * the ranked ADC distances in DuckDB; a hash match proves the whole
+    * compressed-domain pipeline (assignment, fold order of every L2
+    * accumulation, tie-breaks) is bit-exact. */
+  private def e54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(spark, dir)
+    val sub = Dim / 4
+    def sliceOf(v: Array[Double], j: Int): Array[Double] =
+      v.slice(j * sub, (j + 1) * sub)
+    // left-to-right fold over ascending dims — the same accumulation
+    // order as the oracle's list_reduce, so the doubles match bit-exact
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var d = 0
+      while (d < a.length) { val t = a(d) - b(d); acc += t * t; d += 1 }
+      acc
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" < 5).orderBy($"vec_id")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val perProbe = probes.map { case (pid, p) =>
+      val adc = (0 until 4).map { j =>
+        val lutJ = cents.map(c => l2(sliceOf(p, j), sliceOf(c, j)))
+        val codeJ = element_at(
+          Similarity.nearestSubCells("embedding",
+            cents.map(sliceOf(_, j)), 1, j * sub), 1)
+        element_at(lit(lutJ), codeJ + lit(1))
+      }.reduce(_ + _)
+      emb.filter($"vec_id" =!= pid)
+        .select(lit(pid).as("probe_id"), $"vec_id", adc.as("adc_dist"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy($"probe_id").orderBy($"adc_dist".asc, $"vec_id")
+    perProbe
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter($"rank" <= 5)
+      .orderBy($"probe_id", $"rank")
+  }
+  private val e54Sql = {
+    def l2s(aExpr: String, bExpr: String, j: Int): String = {
+      val lo = j * 16 + 1
+      val hi = (j + 1) * 16
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(list_zip($aExpr[$lo:$hi], $bExpr[$lo:$hi]),
+         |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
+         | (acc, v) -> acc + v)""".stripMargin
+    }
+    def code(j: Int): String =
+      s"""(SELECT cent_id FROM cents
+         | ORDER BY ${l2s("e.embedding", "cents.c", j)} ASC, cent_id LIMIT 1) AS code$j""".stripMargin
+    def lut(j: Int): String =
+      s"(SELECT ${l2s("p.p", "cents.c", j)} FROM cents WHERE cent_id = c.code$j)"
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |codes AS (SELECT e.vec_id, ${code(0)}, ${code(1)}, ${code(2)}, ${code(3)}
+       |  FROM embeddings e),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 5),
+       |adc AS (SELECT p.probe_id, c.vec_id,
+       |  ${lut(0)} + ${lut(1)} + ${lut(2)} + ${lut(3)} AS adc_dist
+       |  FROM codes c, probes p WHERE c.vec_id <> p.probe_id),
+       |ranked AS (SELECT probe_id, vec_id, adc_dist,
+       |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_dist ASC, vec_id) AS rank
+       |  FROM adc)
+       |SELECT probe_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -696,5 +776,6 @@ object SimilarityOps {
     RQ("e50_pq_codes", e50, Some(e50Sql)),
     RQ("e51_ivf_trained", e51, Some(e51Sql), bench = true),
     RQ("e52_pq_trained", e52, Some(e52Sql)),
-    RQ("e53_ivf_trained_search", e53, Some(e53Sql)))
+    RQ("e53_ivf_trained_search", e53, Some(e53Sql)),
+    RQ("e54_pq_adc_search", e54, Some(e54Sql)))
 }

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{GraftScanFiles, Tables, TxnTable}
+
+/** DSv2 WRITE path (`df.write.format("graft")`) and METADATA-ONLY
+  * aggregate pushdown (COUNT/MIN/MAX answered from the manifest with
+  * zero data files read). */
+class GraftWriteAggSpec extends AnyFunSuite {
+
+  private lazy val spark = Spec.spark
+  import spark.implicits._
+
+  private def withZone(f: String => Unit): Unit = {
+    val zone = java.nio.file.Files.createTempDirectory("graft_wagg").toFile
+    try f(s"${zone.getAbsolutePath}/t")
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(zone)
+    }
+  }
+
+  /** The DSv2 scan the aggregate planned, if any — a zero-file
+    * GraftScanFiles proves the metadata-only path. */
+  private def aggScanFiles(df: DataFrame): Option[Int] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect { case g: GraftScanFiles => g.scannedFileCount }
+
+  test("DSv2 write: overwrite creates, append adds, txn replay is a no-op") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      cust.write.format("graft").mode("overwrite").save(table)
+      assert(TxnTable.latestVersion(spark, table).contains(1L))
+      assert(TxnTable.read(spark, table).count() == cust.count())
+
+      val extra = Seq((9000001L, 1.5), (9000002L, 2.5)).toDF("c_custkey", "c_acctbal")
+      extra.write.format("graft").mode("append")
+        .option("txnAppId", "spec").option("txnVersion", "7").save(table)
+      val v = TxnTable.latestVersion(spark, table).get
+      assert(TxnTable.read(spark, table).count() == cust.count() + 2)
+      // replay of the same (appId, version): no new commit, no new rows
+      extra.write.format("graft").mode("append")
+        .option("txnAppId", "spec").option("txnVersion", "7").save(table)
+      assert(TxnTable.latestVersion(spark, table).contains(v))
+      assert(TxnTable.read(spark, table).count() == cust.count() + 2)
+      // overwrite replaces everything
+      extra.write.format("graft").mode("overwrite").save(table)
+      assert(TxnTable.read(spark, table).count() == 2)
+    }
+  }
+
+  test("DSv2 write: statsCols option lands skipping metadata; evolved append widens the log schema") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      cust.repartitionByRange(6, $"c_custkey").sortWithinPartitions($"c_custkey")
+        .write.format("graft").mode("overwrite")
+        .option("statsCols", "c_custkey").save(table)
+      val narrow = spark.read.format("graft").load(table)
+        .filter($"c_custkey".between(10, 20))
+      val scanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(narrow).get
+      assert(scanned > 0 && scanned < 6, s"scanned $scanned of 6")
+      // a frame with an extra column appends and evolves the schema
+      Seq((9000001L, 9.9, "gold")).toDF("c_custkey", "c_acctbal", "c_tier")
+        .write.format("graft").mode("append").save(table)
+      val back = TxnTable.read(spark, table)
+      assert(back.columns.toSeq == Seq("c_custkey", "c_acctbal", "c_tier"))
+      assert(back.filter($"c_tier".isNull).count() == cust.count())
+      assert(back.filter($"c_tier" === "gold").count() == 1)
+    }
+  }
+
+  test("metadata-only aggregate: count/min/max match a full scan and read zero files") {
+    withZone { table =>
+      val orders = Tables.orders(spark, Spec.sf0001)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      TxnTable.commitOverwrite(
+        orders.repartitionByRange(8, $"o_orderkey").sortWithinPartitions($"o_orderkey"),
+        table, statsCols = Seq("o_orderkey", "o_orderdate", "o_orderpriority"))
+      val ds = spark.read.format("graft").load(table)
+      val agg = ds.agg(
+        count(lit(1)).as("n"), count($"o_orderdate").as("nd"),
+        min($"o_orderkey").as("mnk"), max($"o_orderkey").as("mxk"),
+        min($"o_orderpriority").as("mnp"), max($"o_orderpriority").as("mxp"),
+        min($"o_orderdate").as("mnd"), max($"o_orderdate").as("mxd"))
+      assert(aggScanFiles(agg).contains(0),
+        s"expected metadata-only scan, plan:\n${agg.queryExecution.optimizedPlan}")
+      val expected = orders.agg(
+        count(lit(1)), count($"o_orderdate"),
+        min($"o_orderkey"), max($"o_orderkey"),
+        min($"o_orderpriority"), max($"o_orderpriority"),
+        min($"o_orderdate"), max($"o_orderdate")).head()
+      assert(agg.head() == Row(expected.toSeq: _*))
+    }
+  }
+
+  test("aggregate pushdown refuses when not provable; filtered aggregates scan normally") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      // c_mktsegment has NO stats -> min/max over it must fall back
+      TxnTable.commitOverwrite(cust, table, statsCols = Seq("c_custkey"))
+      val ds = spark.read.format("graft").load(table)
+      val statless = ds.agg(min($"c_mktsegment").as("m"))
+      assert(!aggScanFiles(statless).contains(0))
+      assert(statless.head().getString(0) ==
+        cust.agg(min($"c_mktsegment")).head().getString(0))
+      // a WHERE keeps the ordinary skipping scan (filters stay residual)
+      val filtered = ds.filter($"c_custkey" > 100).agg(count(lit(1)).as("n"))
+      assert(!aggScanFiles(filtered).contains(0))
+      assert(filtered.head().getLong(0) ==
+        cust.filter($"c_custkey" > 100).count())
+      // count(col) over a column with NULLs spread across files is exact
+      val withNulls = cust.select(
+        $"c_custkey",
+        when($"c_custkey" % 7 === 0, lit(null)).otherwise($"c_acctbal")
+          .as("bal"))
+      val t2 = s"$table-nulls"
+      TxnTable.commitOverwrite(
+        withNulls.repartitionByRange(4, $"c_custkey"), t2,
+        statsCols = Seq("c_custkey", "bal"))
+      val agg2 = spark.read.format("graft").load(t2)
+        .agg(count($"bal").as("nb"), count(lit(1)).as("n"))
+      assert(aggScanFiles(agg2).contains(0))
+      assert(agg2.head() == Row(
+        withNulls.agg(count($"bal")).head().getLong(0),
+        withNulls.count()))
+    }
+  }
+
+  test("per-file row counts survive append, delete, merge, and restore") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey".as("k"), $"c_acctbal".as("bal"))
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(4, $"k"), table, statsCols = Seq("k"))
+      def rowsAgree(): Unit = {
+        val v = TxnTable.latestVersion(spark, table).get
+        val byMeta = TxnTable.fileRows(spark, table, v)
+        val files = TxnTable.snapshotFiles(spark, table, v)
+        assert(files.forall(byMeta.contains), "every live file has a count")
+        assert(byMeta.filterKeys(files.toSet).values.sum ==
+          TxnTable.read(spark, table).count())
+      }
+      rowsAgree()
+      TxnTable.commitAppend(
+        Seq((9000001L, 5.0)).toDF("k", "bal"), table, statsCols = Seq("k"))
+      rowsAgree()
+      TxnTable.deleteRange(spark, table, "k", lo = 100, hi = 300)
+      rowsAgree()
+      TxnTable.merge(
+        Seq((42L, 0.0), (9000002L, 7.0)).toDF("k", "bal"), table, "k")
+      rowsAgree()
+      val before = TxnTable.latestVersion(spark, table).get
+      TxnTable.restore(spark, table, 2L)
+      rowsAgree()
+    }
+  }
+}
