@@ -546,6 +546,62 @@ object DedupOps {
        |FROM j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d43
+  /** PASSAGE-LEVEL exact dedup (the sub-document primitive document
+    * dedup misses): split every document into consecutive 10-word
+    * passages, drop each passage's repeats corpus-wide keeping the
+    * first occurrence (ordered by doc_id, position — deterministic),
+    * and rebuild the cleaned documents. This is the repeated-
+    * boilerplate removal step of C4/CCNet-style pipelines: a license
+    * header shared by 10⁶ documents survives exactly once.
+    *
+    * Scale shape: TWO keyed shuffles and nothing else — one on the
+    * passage hash (the dedup key: first-occurrence is a window over
+    * it), one on doc_id (the rebuild groupBy). No crossJoin, no
+    * driver-side text. The rebuild keeps passage order via an
+    * array_sort over (position, passage) structs — order-insensitive
+    * aggregation, so the result is partition-count-independent. */
+  private def d43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val passages = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(expr(
+        """transform(
+          |  sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1),
+          |  i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"""
+          .stripMargin)).as(Seq("pos", "passage")))
+    val w = Window.partitionBy($"passage").orderBy($"doc_id", $"pos")
+    passages
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_passages"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when($"rn" === 1, struct($"pos", $"passage")))),
+            s => s.getField("passage")),
+          " ").as("cleaned"))
+      .orderBy($"doc_id")
+  }
+  private val d43Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |passages AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS passage
+      |  FROM toks, range(0, 1000) r(i)
+      |  WHERE i * 10 < len(w)),
+      |ranked AS (
+      |  SELECT doc_id, pos, passage,
+      |    ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+      |  FROM passages)
+      |SELECT doc_id,
+      | CAST(COUNT(*) AS BIGINT) AS n_passages,
+      | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos), '') AS cleaned
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("d33_fingerprint_groups", d33, Some(d33Sql)),
     RQ("d34_dedup_exact", d34, Some(d34Sql), bench = true),
@@ -556,5 +612,6 @@ object DedupOps {
     RQ("d39_embedding_neardup", d39, Some(d39Sql)),
     RQ("d40_dedup_clusters", d40, Some(d40Sql), bench = true),
     RQ("d41_dedup_keep_best", d41, Some(d41Sql)),
-    RQ("d42_candidate_precision", d42, Some(d42Sql)))
+    RQ("d42_candidate_precision", d42, Some(d42Sql)),
+    RQ("d43_passage_dedup", d43, Some(d43Sql)))
 }
