@@ -53,6 +53,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "usage: graft_cosine(array, array)")
         GraftCosine(exprs(0), exprs(1))
+      }),
+    (FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "usage: nfc(string)")
+        NfcNormalize(exprs.head)
       }))
 
   /** Idempotent registration on an existing session: native functions,

@@ -169,9 +169,56 @@ object Text2Ops {
       | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_bigram_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t45
+  /** UNICODE CANONICALIZATION — the normalize-before-fingerprint step a
+    * multilingual corpus needs: NFC composition (decomposed `e`+COMBINING
+    * ACUTE and precomposed `é` are byte-different, dedup-identical),
+    * zero-width character stripping (ZWSP/ZWNJ/ZWJ/BOM — invisible
+    * dedup-defeating bytes common in scraped text), and whitespace
+    * collapse. The corpus is ASCII, so the fixture first INJECTS the
+    * pathologies deterministically (a→a+U+0301, e→e+ZWSP) and the
+    * pipeline must undo them; the oracle (DuckDB `nfc_normalize`) agrees
+    * or the hash breaks. NFC runs as graft's native codegen'd `nfc`
+    * expression whose ASCII fast path returns the input by reference —
+    * at 100 TB the normalizer walk is paid only by the non-ASCII
+    * minority. */
+  private def t45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    def nfc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      GraftBridge.column(graft.functions.NfcNormalize(GraftBridge.expression(c)))
+    val dirty = Tables.documents(spark, dir).select($"doc_id",
+      regexp_replace(regexp_replace($"text", "a", "á"), "e", "e​")
+        .as("raw"))
+    dirty.select(
+      $"doc_id",
+      length($"raw").cast("bigint").as("n_raw"),
+      nfc(regexp_replace(
+        regexp_replace($"raw", "[​‌‍﻿]", ""),
+        "\\s+", " "))
+        .as("clean"))
+      .withColumn("n_clean", length($"clean").cast("bigint"))
+      .orderBy($"doc_id")
+  }
+  private val t45Sql =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(8203)) AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      | CAST(LEN(raw) AS BIGINT) AS n_raw,
+      | nfc_normalize(regexp_replace(
+      |   regexp_replace(raw, '[​‌‍﻿]', '', 'g'),
+      |   '\s+', ' ', 'g')) AS clean,
+      | CAST(LEN(nfc_normalize(regexp_replace(
+      |   regexp_replace(raw, '[​‌‍﻿]', '', 'g'),
+      |   '\s+', ' ', 'g'))) AS BIGINT) AS n_clean
+      |FROM dirty ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
     RQ("t43_tfidf_topterms", t43, Some(t43Sql), bench = true),
-    RQ("t44_repetition_signal", t44, Some(t44Sql)))
+    RQ("t44_repetition_signal", t44, Some(t44Sql)),
+    RQ("t45_unicode_clean", t45, Some(t45Sql)))
 }

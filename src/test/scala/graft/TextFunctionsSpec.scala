@@ -54,6 +54,25 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq((0, 0), (0, 0), (0, 1), (1, 2)))
   }
 
+  test("nfc: composes decomposed sequences, ASCII passes through, SQL-callable, codegen") {
+    GraftExtensions.install(spark)
+    val decomposed = "a\u0301" // a + combining acute
+    val composed = "\u00e1"    // precomposed LATIN SMALL LETTER A WITH ACUTE
+    val r = spark.sql(
+      s"SELECT nfc('$decomposed') AS c, nfc('plain ascii') AS a, " +
+        "nfc(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) == composed && r.getString(0).length == 1)
+    assert(r.getString(1) == "plain ascii")
+    assert(r.isNullAt(2))
+    // already-NFC non-ASCII is returned unchanged
+    assert(spark.sql("SELECT nfc('caf\u00e9')").head().getString(0) == "caf\u00e9")
+    // stays inside whole-stage codegen over a real source
+    val plan = graft.io.Tables.documents(spark, Spec.sf0001)
+      .selectExpr("nfc(text) AS t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [nfc"), plan)
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0, both-empty null") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),
