@@ -1152,6 +1152,62 @@ object FormatOps {
       | MAX(o_orderdate) AS max_date
       |FROM orders""".stripMargin
 
+  // --------------------------------------------------------------- k102
+  /** GROUP-BY METADATA AGGREGATES over a partitioned ingest: each order
+    * priority lands as its own append commit (the per-partition load
+    * pattern), so every file is single-valued on the group column —
+    * and `GROUP BY o_orderpriority` with COUNT/MIN/MAX folds per-group
+    * from manifest stats alone through DSv2 aggregate pushdown. The
+    * plan is REQUIREd in-query to be graft's zero-file agg scan; the
+    * oracle recomputes the same grouped aggregates from raw parquet.
+    * This is `SELECT dt, count(*) FROM logs GROUP BY dt` on a
+    * date-partitioned 100 TB table costing one manifest read. */
+  private def k102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k102_groupagg")
+    try {
+      val table = s"$zone/orders_by_pri"
+      val orders = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      val priorities = orders.select($"o_orderpriority").distinct()
+        .as[String].collect().sorted
+      priorities.foreach { p =>
+        orders.filter($"o_orderpriority" === p)
+          .write.format("graft").mode("append")
+          .option("statsCols", "o_orderkey,o_orderpriority").save(table)
+      }
+      val agg = spark.read.format("graft").load(table)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          min($"o_orderkey").as("min_key"),
+          max($"o_orderkey").as("max_key"))
+        .orderBy($"o_orderpriority")
+      val scan = agg.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      require(scan.exists {
+        case g: GraftScanFiles => g.scannedFileCount == 0
+        case _ => false
+      }, s"grouped aggregate must plan metadata-only (zero files); got $scan")
+      spark.createDataFrame(
+        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k102Sql =
+    """SELECT o_orderpriority,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | MIN(o_orderkey) AS min_key,
+      | MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1174,5 +1230,6 @@ object FormatOps {
     RQ("k98_bloom_point_delete", k98, Some(k98Sql)),
     RQ("k99_txn_restore", k99, Some(k99Sql)),
     RQ("k100_dsv2_write", k100, Some(k100Sql)),
-    RQ("k101_agg_pushdown", k101, Some(k101Sql)))
+    RQ("k101_agg_pushdown", k101, Some(k101Sql)),
+    RQ("k102_group_agg_pushdown", k102, Some(k102Sql)))
 }

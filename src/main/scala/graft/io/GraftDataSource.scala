@@ -37,8 +37,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * default pins the latest version once at planning (a long query never
   * sees a torn snapshot).
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** NATIVE STREAMING SINK: `writeStream.format("graft").start(path)` —
+    * every microbatch lands as ONE atomic, idempotent append commit
+    * (appId defaults to the query's checkpointLocation, so a restarted
+    * stream re-offering a batch is a no-op: exactly-once without
+    * foreachBatch). DataStreamWriter reaches this V1 seam because the
+    * graft Table does not advertise STREAMING_WRITE — the same fallback
+    * Delta's sink rides. Append mode only: a transactional log of
+    * immutable files has no in-place update to express. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink supports Append output mode, got $outputMode")
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming sink requires a table path"))
+    new GraftStreamSink(table, parameters)
+  }
 
   private def tablePath(options: util.Map[String, String]): String = {
     val p = options.get("path")
@@ -75,6 +96,34 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     new GraftTable(table,
       pinnedVersion(spark, table, properties).getOrElse(0L), schema)
   }
+}
+
+/** The microbatch half of the streaming sink: each addBatch is one
+  * idempotent CAS commit keyed by (appId, batchId). The incoming frame
+  * is the microbatch's incremental execution — it is materialized
+  * through toRdd + internalCreateDataFrame (the standard streaming-sink
+  * pattern) so the commit path can run fresh batch queries (stats
+  * collection, read-back) over it. */
+private[io] class GraftStreamSink(table: String, parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private def cols(k: String): Seq[String] =
+    parameters.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  // stable across restarts: explicit option first, else the query's
+  // checkpoint location (the identity Spark itself resumes by)
+  private val appId = parameters.get("txnAppId")
+    .orElse(parameters.get("checkpointLocation"))
+    .getOrElse(s"graft-sink:$table")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val rows = data.queryExecution.toRdd.map(_.copy())
+    val batchDf = org.apache.spark.sql.GraftBridge
+      .internalCreateDataFrame(spark, rows, data.schema)
+    TxnTable.commitAppendIdempotent(batchDf, table, appId, batchId,
+      statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+    ()
+  }
+  override def toString: String = s"GraftSink[$table]"
 }
 
 private[io] class GraftTable(table: String, version: Long, tableSchema: StructType)
@@ -255,17 +304,21 @@ private[io] class GraftScanBuilder(
     required = requiredSchema
 
   // ---- METADATA-ONLY AGGREGATES ----------------------------------------
-  // COUNT(*)/COUNT(col)/MIN(col)/MAX(col) with no GROUP BY and no WHERE
-  // are answered from the manifest alone: per-file row counts give
-  // COUNT(*), counts minus per-file null counts give COUNT(col), and the
-  // per-file min/max stats fold into the global extremes. ZERO data files
-  // are opened — on a 100 TB table the query costs one manifest read.
-  // Everything is proof-gated: any file whose metadata can't prove the
-  // answer (pre-rows manifest, missing stat, a type whose normalized
-  // stat doesn't reconstruct exactly) rejects the pushdown and the query
-  // falls back to the ordinary scan. Spark only offers the pushdown when
-  // no post-scan filters remain, and graft keeps every filter residual,
-  // so a filtered aggregate can never take this path.
+  // COUNT(*)/COUNT(col)/MIN(col)/MAX(col) with no WHERE are answered
+  // from the manifest alone: per-file row counts give COUNT(*), counts
+  // minus per-file null counts give COUNT(col), and the per-file min/max
+  // stats fold into the extremes. GROUP BY pushes down too when every
+  // file is SINGLE-VALUED on every group column (stat min == max, zero
+  // nulls) — the partitioned-ingest layout, where each file belongs to
+  // exactly one group and per-group aggregates fold over its file
+  // subset. ZERO data files are opened — on a 100 TB table the query
+  // costs one manifest read. Everything is proof-gated: any file whose
+  // metadata can't prove the answer (pre-rows manifest, missing stat, a
+  // multi-valued group column, a type whose normalized stat doesn't
+  // reconstruct exactly) rejects the pushdown and the query falls back
+  // to the ordinary scan. Spark only offers the pushdown when no
+  // post-scan filters remain, and graft keeps every filter residual, so
+  // a filtered aggregate can never take this path.
 
   private lazy val aggState = {
     val files = TxnTable.snapshotFiles(spark, table, version)
@@ -273,7 +326,7 @@ private[io] class GraftScanBuilder(
       TxnTable.fileRows(spark, table, version))
   }
 
-  private var plannedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var plannedAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   import org.apache.spark.sql.types._
 
@@ -316,10 +369,11 @@ private[io] class GraftScanBuilder(
       case _ => None
     }
 
-  /** Global MIN/MAX of `field` folded from per-file stats, as a catalyst
-    * value (Some(null) = provably empty column). None = not provable. */
-  private def foldMinMax(field: StructField, wantMin: Boolean): Option[Any] = {
-    val (files, stats, rows) = aggState
+  /** MIN/MAX of `field` folded from the per-file stats of `files`, as a
+    * catalyst value (Some(null) = provably empty). None = not provable. */
+  private def foldMinMax(files: Seq[String], field: StructField,
+                         wantMin: Boolean): Option[Any] = {
+    val (_, stats, rows) = aggState
     def statOf(f: String) = stats.getOrElse(f, Nil).find(_.col == field.name)
     // a file may lack the stat ONLY if it provably holds no rows; a
     // stat-less file with rows (or unknown rows) could be an all-null
@@ -327,7 +381,7 @@ private[io] class GraftScanBuilder(
     if (!files.forall(f => statOf(f).isDefined || rows.get(f).contains(0L)))
       return None
     val ss = files.flatMap(statOf)
-    if (ss.isEmpty) return Some(null) // empty table: MIN/MAX is NULL
+    if (ss.isEmpty) return Some(null) // no rows: MIN/MAX is NULL
     val kind = ss.head.kind
     if (!ss.forall(_.kind == kind)) return None
     (kind, field.dataType) match {
@@ -341,12 +395,11 @@ private[io] class GraftScanBuilder(
     }
   }
 
-  /** The aggregation's output schema + the single metadata-computed row,
-    * or None when any part is not provable from the manifest. */
-  private def planAgg(agg: Aggregation)
-      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
-    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
-    val (files, stats, rows) = aggState
+  /** The aggregate cells (schema fields + values) over a file subset —
+    * one group's worth. None when any cell is not provable. */
+  private def aggCells(files: Seq[String], agg: Aggregation)
+      : Option[Seq[(StructField, Any)]] = {
+    val (_, stats, rows) = aggState
     lazy val total: Option[Long] =
       if (files.forall(rows.contains)) Some(files.map(rows).sum) else None
     val cells: Seq[Option[(StructField, Any)]] =
@@ -368,21 +421,73 @@ private[io] class GraftScanBuilder(
         case m: Min =>
           for {
             f <- columnField(m.column)
-            v <- foldMinMax(f, wantMin = true)
+            v <- foldMinMax(files, f, wantMin = true)
           } yield StructField(s"min(${f.name})", f.dataType) -> v
         case m: Max =>
           for {
             f <- columnField(m.column)
-            v <- foldMinMax(f, wantMin = false)
+            v <- foldMinMax(files, f, wantMin = false)
           } yield StructField(s"max(${f.name})", f.dataType) -> v
         case _ => None
       }
-    if (cells.exists(_.isEmpty)) None
-    else {
-      val resolved = cells.flatten
-      Some((StructType(resolved.map(_._1)),
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          resolved.map(_._2).toArray)))
+    if (cells.exists(_.isEmpty)) None else Some(cells.flatten)
+  }
+
+  /** The aggregation's output schema + metadata-computed rows (one per
+    * group; one total row when ungrouped), or None when any part is not
+    * provable from the manifest. */
+  private def planAgg(agg: Aggregation)
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    if (pushed.nonEmpty) return None
+    val (files, stats, _) = aggState
+    // group columns: single-column references whose stat proves every
+    // file single-valued (min == max, zero nulls) — the partitioned-
+    // ingest layout where a file belongs to exactly one group
+    val groupFields: Seq[Option[StructField]] =
+      agg.groupByExpressions().toSeq.map(columnField)
+    if (groupFields.exists(_.isEmpty)) return None
+    val gFields = groupFields.flatten
+    val grouped: Option[Seq[(Seq[(String, String)], Seq[String])]] =
+      if (gFields.isEmpty) Some(Seq((Nil, files)))
+      else {
+        val keyed = files.map { f =>
+          val key = gFields.map { gf =>
+            stats.getOrElse(f, Nil).find(_.col == gf.name) match {
+              case Some(s) if s.minV == s.maxV && s.nulls == 0L =>
+                (s.kind, s.minV)
+              case _ => return None // multi-valued / nullable / statless
+            }
+          }
+          key -> f
+        }
+        Some(keyed.groupBy(_._1).toSeq
+          .map { case (k, fs) => k -> fs.map(_._2) }
+          .sortBy(_._1.map(_._2).mkString(" ")))
+      }
+    grouped.flatMap { gs =>
+      val rowsOut = gs.map { case (key, fs) =>
+        val gVals: Seq[Option[Any]] = key.zip(gFields).map {
+          case (("str", v), gf) if gf.dataType == StringType =>
+            Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          case (("num", v), gf) => fromNum(gf.dataType, v.toDouble)
+          case _ => None
+        }
+        if (gVals.exists(_.isEmpty)) return None
+        aggCells(fs, agg).map(cells => (cells.map(_._1), gVals.flatten ++ cells.map(_._2)))
+      }
+      if (rowsOut.exists(_.isEmpty) || rowsOut.isEmpty && gFields.isEmpty) None
+      else {
+        val resolved = rowsOut.flatten
+        val aggFields = resolved.headOption.map(_._1).getOrElse(
+          // grouped aggregation over an empty table: zero rows, but the
+          // schema must still line up — derive it from a probe over no files
+          aggCells(Nil, agg).map(_.map(_._1)).getOrElse(return None))
+        Some((
+          StructType(gFields ++ aggFields),
+          resolved.map(r =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              r._2.toArray))))
+      }
     }
   }
 
@@ -396,7 +501,7 @@ private[io] class GraftScanBuilder(
 
   override def build(): Scan = {
     plannedAgg match {
-      case Some((schema, row)) => return new GraftAggScan(table, version, schema, row)
+      case Some((schema, rows)) => return new GraftAggScan(table, version, schema, rows)
       case None => ()
     }
     val files = TxnTable.snapshotFiles(spark, table, version)
@@ -452,16 +557,17 @@ private[io] class GraftScan(
     new GraftMicroBatchStream(spark, table, dataSchema, required, pushed, options)
 }
 
-/** The Scan a fully-pushed aggregate plans to: ONE driver-built row
-  * computed from manifest metadata, surfaced through Spark's LocalScan
-  * (→ LocalTableScanExec). No file is opened; `scannedFileCount = 0` is
-  * the property specs assert. */
+/** The Scan a fully-pushed aggregate plans to: driver-built rows (one
+  * per group; one total row ungrouped) computed from manifest metadata,
+  * surfaced through Spark's LocalScan (→ LocalTableScanExec). No file
+  * is opened; `scannedFileCount = 0` is the property specs assert. */
 private[io] class GraftAggScan(
     table: String, version: Long, outputSchema: StructType,
-    row: org.apache.spark.sql.catalyst.InternalRow)
+    aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow])
     extends LocalScan with GraftScanFiles {
   override def readSchema(): StructType = outputSchema
-  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    aggRows.toArray
   override def description(): String =
     s"GraftAggScan graft.`$table`@v$version metadata-only " +
       s"[${outputSchema.fieldNames.mkString(", ")}]"

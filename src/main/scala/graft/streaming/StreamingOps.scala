@@ -668,6 +668,79 @@ object StreamingOps {
       |FROM documents WHERE doc_id % 2 = 1
       |ORDER BY drain""".stripMargin
 
+  // ---------------------------------------------------------------- s64
+  /** NATIVE STREAMING SINK — `writeStream.format("graft")`, no
+    * foreachBatch: every microbatch is one atomic idempotent append
+    * commit, with the sink's replay identity defaulting to the query's
+    * checkpointLocation. Three runs against one checkpoint prove the
+    * exactly-once contract end-to-end:
+    *   run 1  two landing files, maxFilesPerTrigger=1 → two commits
+    *   run 2  nothing new → ZERO new commits (a sink that re-offered
+    *          batches would double-append here)
+    *   run 3  a third file lands → exactly ONE more commit
+    * REQUIREd in-query via the table version after each run; the
+    * final content is oracle-checked, and n_commits rides in the
+    * result so a replay bug breaks the hash too. */
+  private def s64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s64").toFile
+    try {
+      val landing = s"${root.getAbsolutePath}/landing"
+      val table = s"${root.getAbsolutePath}/table"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      def run(): Unit = {
+        val q = spark.readStream
+          .schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing)
+          .writeStream
+          .format("graft")
+          .option("checkpointLocation", checkpoint)
+          .option("statsCols", "event_id")
+          .trigger(Trigger.AvailableNow())
+          .start(table)
+        q.awaitTermination()
+      }
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 3 === 0), s"$landing/file1.parquet")
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 3 === 1), s"$landing/file2.parquet")
+      run()
+      val v1 = graft.io.TxnTable.latestVersion(spark, table).getOrElse(0L)
+      run() // restart with nothing new: no commits
+      val v2 = graft.io.TxnTable.latestVersion(spark, table).getOrElse(0L)
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 3 === 2), s"$landing/file3.parquet")
+      run() // resume: exactly one more commit
+      val v3 = graft.io.TxnTable.latestVersion(spark, table).getOrElse(0L)
+      require(v1 == 2L && v2 == v1 && v3 == v1 + 1,
+        s"native sink commit counts wrong: $v1 / $v2 / $v3 (want 2 / 2 / 3)")
+      val result = graft.io.TxnTable.read(spark, table)
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          dsum($"value").as("sum_value"),
+          lit(v3).as("n_commits"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s64Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+      | CAST(3 AS BIGINT) AS n_commits
+      |FROM events""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -682,5 +755,6 @@ object StreamingOps {
     RQ("s60_txn_stream_sink", s60, Some(s60Sql)),
     RQ("s61_stream_static_join", s61, Some(s61Sql)),
     RQ("s62_stream_matview", s62, Some(s62Sql)),
-    RQ("s63_txn_stream_source", s63, Some(s63Sql)))
+    RQ("s63_txn_stream_source", s63, Some(s63Sql)),
+    RQ("s64_native_stream_sink", s64, Some(s64Sql)))
 }

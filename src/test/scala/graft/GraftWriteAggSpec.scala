@@ -137,6 +137,77 @@ class GraftWriteAggSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped metadata aggregate: partitioned ingest answers GROUP BY from the manifest") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      val segs = cust.select($"c_mktsegment").distinct().as[String].collect().sorted
+      segs.foreach { s =>
+        cust.filter($"c_mktsegment" === s)
+          .write.format("graft").mode("append")
+          .option("statsCols", "c_custkey,c_mktsegment").save(table)
+      }
+      val agg = spark.read.format("graft").load(table)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), min($"c_custkey").as("mn"),
+          max($"c_custkey").as("mx"))
+        .orderBy($"c_mktsegment")
+      assert(aggScanFiles(agg).contains(0),
+        s"expected metadata-only plan:\n${agg.queryExecution.optimizedPlan}")
+      val expected = cust.groupBy($"c_mktsegment")
+        .agg(count(lit(1)), min($"c_custkey"), max($"c_custkey"))
+        .orderBy($"c_mktsegment").collect().toSeq
+      assert(agg.collect().toSeq == expected)
+      // a layout where files span several groups must fall back to a scan
+      val t2 = s"$table-mixed"
+      TxnTable.commitOverwrite(cust, t2,
+        statsCols = Seq("c_custkey", "c_mktsegment"))
+      val agg2 = spark.read.format("graft").load(t2)
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment")
+      assert(!aggScanFiles(agg2).contains(0))
+      assert(agg2.collect().toSeq ==
+        cust.groupBy($"c_mktsegment").agg(count(lit(1)))
+          .orderBy($"c_mktsegment").collect().toSeq)
+    }
+  }
+
+  test("native streaming sink: writeStream.format(\"graft\") commits per batch, replay-safe") {
+    withZone { table =>
+      val root = new java.io.File(table).getParentFile
+      val landing = s"${root.getAbsolutePath}/landing"
+      val checkpoint = s"${root.getAbsolutePath}/ckpt"
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      cust.coalesce(1).write.parquet(landing)
+      def run(): Unit = {
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("c_custkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("c_acctbal",
+              org.apache.spark.sql.types.DoubleType))))
+          .parquet(landing)
+          .writeStream.format("graft")
+          .option("checkpointLocation", checkpoint)
+          .option("statsCols", "c_custkey")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(table)
+        q.awaitTermination()
+      }
+      run()
+      assert(TxnTable.latestVersion(spark, table).contains(1L))
+      assert(TxnTable.read(spark, table).count() == cust.count())
+      run() // restart with no new data: zero new commits
+      assert(TxnTable.latestVersion(spark, table).contains(1L))
+      assert(TxnTable.read(spark, table).count() == cust.count())
+      // stats landed through the streaming path too
+      val narrow = spark.read.format("graft").load(table)
+        .filter($"c_custkey" === 1L)
+      assert(narrow.count() == cust.filter($"c_custkey" === 1L).count())
+    }
+  }
+
   test("per-file row counts survive append, delete, merge, and restore") {
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
