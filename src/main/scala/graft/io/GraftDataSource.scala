@@ -68,10 +68,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     p
   }
 
+  /** Snapshot pinning: `versionAsOf` (a version number) or
+    * `timestampAsOf` (epoch millis, or "yyyy-MM-dd[ HH:mm:ss]" UTC) —
+    * mutually exclusive; default latest. */
   private def pinnedVersion(spark: SparkSession, table: String,
-                            options: util.Map[String, String]): Option[Long] =
-    Option(options.get("versionAsOf")).map(_.toLong)
+                            options: util.Map[String, String]): Option[Long] = {
+    val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
+    val byTime = Option(options.get("timestampAsOf"))
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    byVersion
+      .orElse(byTime.map { raw =>
+        val ts = raw.trim.toLongOption.getOrElse {
+          val t = raw.trim
+          val ldt =
+            if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+            else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        TxnTable.versionAt(spark, table, ts).getOrElse(
+          throw new IllegalStateException(
+            s"$table has no version committed at or before $raw"))
+      })
       .orElse(TxnTable.latestVersion(spark, table))
+  }
 
   /** A table with no committed version yet infers an EMPTY schema (not
     * an error): a WRITE to a fresh path must be able to get a Table
@@ -170,6 +190,25 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo)
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val statsCols = cols("statsCols")
         val bloomCols = cols("bloomCols")
+        // ACCEPT_ANY_SCHEMA suppresses Spark's output resolution, so
+        // positional writes (SQL `INSERT INTO t VALUES ...` — synthetic
+        // col1/col2 names) must be aligned here: zero name overlap with
+        // the committed schema + matching arity = positional intent →
+        // rename and cast to the table's columns. Any name overlap =
+        // by-name intent → pass through (an extra column is schema
+        // evolution; the commit's mergeSchemas validates it).
+        val spark = data.sparkSession
+        val committed = TxnTable.latestVersion(spark, table)
+          .flatMap(v => TxnTable.snapshotSchema(spark, table, v))
+        val aligned = committed match {
+          case Some(ts)
+              if !data.columns.exists(ts.fieldNames.contains) &&
+                data.columns.length == ts.length =>
+            data.toDF(ts.fieldNames.toIndexedSeq: _*)
+              .select(ts.fields.toIndexedSeq.map(f =>
+                org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+          case _ => data
+        }
         val txn = (Option(info.options.get("txnAppId")),
           Option(info.options.get("txnVersion"))) match {
           case (Some(a), Some(v)) => Some((a, v.toLong))
@@ -179,13 +218,13 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo)
         }
         (overwrite, txn) match {
           case (false, None) =>
-            TxnTable.commitAppend(data, table, statsCols, bloomCols)
+            TxnTable.commitAppend(aligned, table, statsCols, bloomCols)
           case (true, None) =>
-            TxnTable.commitOverwrite(data, table, statsCols, bloomCols)
+            TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols)
           case (false, Some((a, v))) =>
-            TxnTable.commitAppendIdempotent(data, table, a, v, statsCols, bloomCols)
+            TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols, bloomCols)
           case (true, Some((a, v))) =>
-            TxnTable.commitOverwriteIdempotent(data, table, a, v, statsCols, bloomCols)
+            TxnTable.commitOverwriteIdempotent(aligned, table, a, v, statsCols, bloomCols)
         }
         ()
       }

@@ -231,6 +231,29 @@ object TxnTable {
     }
   }
 
+  /** Time travel by WALL CLOCK: the latest version committed at or
+    * before `tsMillis`, from manifest modification times (commits are
+    * serialized by the CAS, so mtimes are nondecreasing up to filesystem
+    * clock skew — the same contract Delta's timestampAsOf carries).
+    * None when the table's first commit is later than `tsMillis`. */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Option[Long] = {
+    val ctx = fc(spark)
+    val dir = new Path(table)
+    if (!ctx.util.exists(dir)) return None
+    val it = ctx.listStatus(dir)
+    var best = Option.empty[Long]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.startsWith("_v") && n.endsWith(".manifest") &&
+          st.getModificationTime <= tsMillis) {
+        val v = n.stripPrefix("_v").stripSuffix(".manifest").toLong
+        if (best.forall(_ < v)) best = Some(v)
+      }
+    }
+    best
+  }
+
   private def manifestLines(spark: SparkSession, table: String, version: Long): Seq[String] = {
     val ctx = fc(spark)
     val p = new Path(table, manifestName(version))

@@ -208,6 +208,53 @@ class GraftWriteAggSpec extends AnyFunSuite {
     }
   }
 
+  test("timestampAsOf pins the snapshot committed at or before the wall clock") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust, table)
+      Thread.sleep(60)
+      val between = System.currentTimeMillis()
+      Thread.sleep(60)
+      TxnTable.commitAppend(
+        Seq((9000001L, 1.0)).toDF("c_custkey", "c_acctbal"), table)
+      val pinned = spark.read.format("graft")
+        .option("timestampAsOf", between.toString).load(table)
+      assert(pinned.count() == cust.count()) // v1, not the appended v2
+      assert(spark.read.format("graft").load(table).count() == cust.count() + 1)
+      // a timestamp before the first commit is an error
+      val err = intercept[Exception] {
+        spark.read.format("graft").option("timestampAsOf", "1000").load(table)
+      }
+      assert(err.getMessage.contains("no version committed"))
+      // versionAsOf + timestampAsOf together are rejected
+      val both = intercept[Exception] {
+        spark.read.format("graft").option("versionAsOf", "1")
+          .option("timestampAsOf", between.toString).load(table)
+      }
+      assert(both.getMessage.contains("mutually exclusive"))
+    }
+  }
+
+  test("SQL DDL surface: CREATE TABLE USING graft, INSERT INTO, SELECT") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      cust.write.format("graft").mode("overwrite").save(table)
+      spark.sql(
+        s"CREATE TABLE graft_ddl_t USING graft OPTIONS (path '$table')")
+      try {
+        assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head().getLong(0)
+          == cust.count())
+        spark.sql("INSERT INTO graft_ddl_t VALUES (9000001, 42.0)")
+        assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head().getLong(0)
+          == cust.count() + 1)
+        assert(TxnTable.read(spark, table)
+          .filter($"c_custkey" === 9000001L).count() == 1)
+      } finally spark.sql("DROP TABLE graft_ddl_t")
+    }
+  }
+
   test("per-file row counts survive append, delete, merge, and restore") {
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
