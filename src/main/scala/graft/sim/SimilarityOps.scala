@@ -763,6 +763,87 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e55
+  /** IVF-PQ SEARCH — the trillion-row serving architecture end-to-end:
+    * the coarse quantizer prunes the corpus to the probe's nprobe=2
+    * nearest cells' inverted lists (e48's join shape — cell id is the
+    * shuffle key, no corpus amplification), and ranking inside the
+    * candidate set runs in the COMPRESSED domain via the per-probe ADC
+    * lookup tables (e54 — four table lookups per candidate, the
+    * original floats never read). At 100 TB this is exactly how the
+    * serving path scales: cells bound the candidates, PQ bounds the
+    * bytes per candidate, and both prunings compose. One oracle
+    * replays cell assignment, probing, PQ codes, LUTs, and the final
+    * ranking — bit-exact or the hash breaks. */
+  private def e55(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(spark, dir)
+    val sub = Dim / 4
+    def sliceOf(v: Array[Double], j: Int): Array[Double] =
+      v.slice(j * sub, (j + 1) * sub)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var d = 0
+      while (d < a.length) { val t = a(d) - b(d); acc += t * t; d += 1 }
+      acc
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val p = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head().map(_.toDouble)
+    // ADC distance from literal LUTs over inline PQ code assignment —
+    // a single codegen'd projection per candidate
+    val adc = (0 until 4).map { j =>
+      val lutJ = cents.map(c => l2(sliceOf(p, j), sliceOf(c, j)))
+      val codeJ = element_at(
+        Similarity.nearestSubCells("embedding",
+          cents.map(sliceOf(_, j)), 1, j * sub), 1)
+      element_at(lit(lutJ), codeJ + lit(1))
+    }.reduce(_ + _)
+    val assigned = emb.select(
+      $"vec_id", $"embedding",
+      element_at(Similarity.nearestCells("embedding", cents, 1), 1)
+        .cast("bigint").as("cell"))
+    val probeCells = emb.filter($"vec_id" === 0)
+      .select(explode(Similarity.nearestCells("embedding", cents, 2)).as("pc"))
+      .select($"pc".cast("bigint").as("pcell"))
+    assigned.join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= 0)
+      .select($"vec_id", $"cell", adc.as("adc_dist"))
+      .orderBy($"adc_dist".asc, $"vec_id")
+      .limit(5)
+  }
+  private val e55Sql = {
+    def l2s(aExpr: String, bExpr: String, j: Int): String = {
+      val lo = j * 16 + 1
+      val hi = (j + 1) * 16
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(list_zip($aExpr[$lo:$hi], $bExpr[$lo:$hi]),
+         |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
+         | (acc, v) -> acc + v)""".stripMargin
+    }
+    def code(j: Int): String =
+      s"""(SELECT cent_id FROM cents
+         | ORDER BY ${l2s("e.embedding", "cents.c", j)} ASC, cent_id LIMIT 1) AS code$j""".stripMargin
+    def lut(j: Int): String =
+      s"(SELECT ${l2s("probe.p", "cents.c", j)} FROM cents WHERE cent_id = k.code$j)"
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |codes AS (SELECT e.vec_id, ${code(0)}, ${code(1)}, ${code(2)}, ${code(3)}
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2)
+       |SELECT a.vec_id, a.cell,
+       | ${lut(0)} + ${lut(1)} + ${lut(2)} + ${lut(3)} AS adc_dist
+       |FROM assigned a JOIN codes k ON a.vec_id = k.vec_id, probe
+       |WHERE a.cell IN (SELECT cent_id FROM pcells) AND a.vec_id <> 0
+       |ORDER BY adc_dist ASC, a.vec_id LIMIT 5""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -777,5 +858,6 @@ object SimilarityOps {
     RQ("e51_ivf_trained", e51, Some(e51Sql), bench = true),
     RQ("e52_pq_trained", e52, Some(e52Sql)),
     RQ("e53_ivf_trained_search", e53, Some(e53Sql)),
-    RQ("e54_pq_adc_search", e54, Some(e54Sql)))
+    RQ("e54_pq_adc_search", e54, Some(e54Sql)),
+    RQ("e55_ivfpq_search", e55, Some(e55Sql)))
 }
