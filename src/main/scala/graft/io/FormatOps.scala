@@ -1208,6 +1208,67 @@ object FormatOps {
       | MAX(o_orderkey) AS max_key
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- k103
+  /** TABLE HISTORY under the oracle gate: a scripted commit sequence
+    * (overwrite → append → idempotent append) and the audit view a
+    * user reads back — version, file count, txn-marker count, and the
+    * per-version ROW TOTAL summed from the manifest's per-file counts
+    * (metadata only — no version's data is re-scanned). The oracle
+    * derives the same rows from the source data, so the history is
+    * checked against ground truth, not against itself: a wrong file
+    * count, a lost txn marker, or a drifted row count all break the
+    * hash. Time travel feeds the row totals per version. */
+  private def k103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k103_history")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust.coalesce(1), table,
+        statsCols = Seq("c_custkey"))
+      TxnTable.commitAppend(
+        cust.filter($"c_custkey" < 100).coalesce(1), table,
+        statsCols = Seq("c_custkey"))
+      TxnTable.commitAppendIdempotent(
+        Seq((9000001L, 1.0)).toDF("c_custkey", "c_acctbal").coalesce(1),
+        table, appId = "k103", batchId = 7L)
+      val hist = TxnTable.history(spark, table)
+        .select($"version", $"n_files", $"n_txn_markers")
+      val totals = TxnTable.versions(spark, table).map { v =>
+        val rows = TxnTable.fileRows(spark, table, v)
+        val files = TxnTable.snapshotFiles(spark, table, v)
+        require(files.forall(rows.contains), s"v$v missing row counts")
+        (v, files.map(rows).sum)
+      }.toDF("version", "rows_total")
+      val result = hist.join(totals, "version")
+        .select($"version", $"n_files", $"n_txn_markers", $"rows_total")
+        .orderBy($"version")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k103Sql =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+      |  CAST(0 AS BIGINT) AS n_txn_markers,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_total
+      |UNION ALL
+      |SELECT 2, 2, 0,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+      |   + (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey < 100)
+      |UNION ALL
+      |SELECT 3, 3, 1,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+      |   + (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey < 100)
+      |   + 1
+      |ORDER BY version""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1231,5 +1292,6 @@ object FormatOps {
     RQ("k99_txn_restore", k99, Some(k99Sql)),
     RQ("k100_dsv2_write", k100, Some(k100Sql)),
     RQ("k101_agg_pushdown", k101, Some(k101Sql)),
-    RQ("k102_group_agg_pushdown", k102, Some(k102Sql)))
+    RQ("k102_group_agg_pushdown", k102, Some(k102Sql)),
+    RQ("k103_txn_history", k103, Some(k103Sql)))
 }

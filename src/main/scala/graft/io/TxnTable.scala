@@ -1347,9 +1347,18 @@ object TxnTable {
   /** Compaction: rewrite the committed snapshot into `targetFiles` files
     * as a NEW version (readers on the old version are never disturbed —
     * same commit path as any write). The small-files answer for a table
-    * fed by streaming appends; pair with `vacuum` to reclaim fragments. */
-  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long =
-    commitOverwrite(read(spark, table).coalesce(targetFiles), table)
+    * fed by streaming appends; pair with `vacuum` to reclaim fragments.
+    * Skipping metadata SURVIVES: the rewrite re-collects stats and bloom
+    * sidecars for every column the table tracked — compaction must never
+    * trade small-files for lost pruning. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val trackedCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
+    val trackedBlooms = st.bloomCols.toSeq.sorted
+    commitOverwrite(read(spark, table).coalesce(targetFiles), table,
+      statsCols = trackedCols, bloomCols = trackedBlooms)
+  }
 
   /** Drop snapshot manifests older than `latest - keep` and delete data
     * files no RETAINED manifest references (append commits share files

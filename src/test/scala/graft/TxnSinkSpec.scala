@@ -497,6 +497,28 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("compact preserves skipping metadata: stats, blooms, and row counts survive") {
+    import spark.implicits._
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust.repartition(8), table,
+        statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+      val v = TxnTable.compact(spark, table, targetFiles = 2)
+      val stats = TxnTable.fileStats(spark, table, v)
+      val files = TxnTable.snapshotFiles(spark, table, v)
+      assert(files.size == 2)
+      assert(files.forall(f =>
+        stats.getOrElse(f, Nil).exists(_.col == "c_custkey")),
+        "compacted files must keep the tracked column's stats")
+      assert(files.forall(TxnTable.fileRows(spark, table, v).contains))
+      // bloom still prunes a point lookup after compaction
+      val (_, scanned, total) = TxnTable.readEquals(spark, table, "c_custkey", -12345L)
+      assert(total == 2 && scanned == 0,
+        s"bloom must survive compact: scanned $scanned of $total for an absent key")
+    }
+  }
+
 
   test("restore rolls back by reference: no data writes, markers kept, vacuum-safe") {
     import spark.implicits._
