@@ -359,11 +359,11 @@ private[io] class GraftScanBuilder(
   // post-scan filters remain, and graft keeps every filter residual, so
   // a filtered aggregate can never take this path.
 
-  private lazy val aggState = {
-    val files = TxnTable.snapshotFiles(spark, table, version)
-    (files, TxnTable.fileStats(spark, table, version),
-      TxnTable.fileRows(spark, table, version))
-  }
+  // ONE manifest-chain read shared by aggregate planning AND file
+  // pruning in build() — planning cost must not scale with the number
+  // of metadata consumers
+  private lazy val meta = TxnTable.snapshotMeta(spark, table, version)
+  private def aggState = (meta.files, meta.stats, meta.rows)
 
   private var plannedAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
@@ -543,8 +543,8 @@ private[io] class GraftScanBuilder(
       case Some((schema, rows)) => return new GraftAggScan(table, version, schema, rows)
       case None => ()
     }
-    val files = TxnTable.snapshotFiles(spark, table, version)
-    val stats = TxnTable.fileStats(spark, table, version)
+    val files = meta.files
+    val stats = meta.stats
     // intersect bounds across every pushed filter (they are ANDed)
     val merged = pushed.map(bounds).foldLeft(Map.empty[String, Bound]) {
       (acc, m) =>

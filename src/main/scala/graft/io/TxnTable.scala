@@ -580,6 +580,20 @@ object TxnTable {
                version: Long): Map[String, Long] =
     stateOf(spark, table, version).rows
 
+  /** One snapshot's planner-facing metadata in a SINGLE manifest-chain
+    * read — what the DSv2 scan builder consumes. The per-accessor
+    * spellings above each re-walk the chain; a planner that needs
+    * files + stats + rows must not pay that three times. */
+  final case class SnapshotMeta(
+      files: Seq[String],
+      stats: Map[String, Seq[FileStat]],
+      rows: Map[String, Long])
+  private[io] def snapshotMeta(spark: SparkSession, table: String,
+                               version: Long): SnapshotMeta = {
+    val st = stateOf(spark, table, version)
+    SnapshotMeta(st.files, st.stats, st.rows)
+  }
+
   /** Write `df` under a fresh unique data dir; return (dir, its files,
     * per-file min/max of each designated stats column, per-file bloom
     * metas of each designated bloom column — extra passes over the NEW

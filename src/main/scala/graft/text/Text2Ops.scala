@@ -215,10 +215,40 @@ object Text2Ops {
       |   '\s+', ' ', 'g'))) AS BIGINT) AS n_clean
       |FROM dirty ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t46
+  /** EDIT-DISTANCE near-dup kernel: Levenshtein between consecutive
+    * documents' 80-char prefixes (bounded cost — the O(n²) DP runs on
+    * fixed-size prefixes, the right discipline at corpus scale), with a
+    * near-dup verdict at a relative threshold. The pairwise kernel
+    * composes with LSH candidates (d37) exactly like the Jaccard kernel
+    * (d35); integer distances make the oracle exact. Uses Spark's
+    * built-in codegen'd `levenshtein` — both engines implement the
+    * same DP, so the hash must agree. */
+  private def t46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 80).as("pfx"))
+    val a = docs.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"pfx".as("pfx_b"))
+    a.join(b, $"doc_b" === $"doc_a" + 1)
+      .select($"doc_a", $"doc_b",
+        levenshtein($"pfx_a", $"pfx_b").cast("bigint").as("dist"),
+        (levenshtein($"pfx_a", $"pfx_b") <= 24).as("near_dup"))
+      .orderBy($"doc_a")
+  }
+  private val t46Sql =
+    """WITH p AS (SELECT doc_id, substr(text, 1, 80) AS pfx FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist,
+      | levenshtein(a.pfx, b.pfx) <= 24 AS near_dup
+      |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
     RQ("t43_tfidf_topterms", t43, Some(t43Sql), bench = true),
     RQ("t44_repetition_signal", t44, Some(t44Sql)),
-    RQ("t45_unicode_clean", t45, Some(t45Sql)))
+    RQ("t45_unicode_clean", t45, Some(t45Sql)),
+    RQ("t46_edit_distance", t46, Some(t46Sql)))
 }
