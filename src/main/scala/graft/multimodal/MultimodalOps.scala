@@ -226,6 +226,104 @@ object MultimodalOps {
       | CAST(SUM((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS b_sum
       |FROM documents, grid GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m65
+  /** REAL MULTI-FRAME codec round trip — the video-frames seam (m62
+    * samples frame indices; m61 stubs the decode) driven by a genuine
+    * animated-GIF codec from the JDK's javax.imageio (no external
+    * libs). Stage 1 synthesizes 1 + doc_id % 3 indexed-color 8×8 frames
+    * per document (identity gray palette — GIF is palette-exact, so the
+    * round trip is lossless) and ENCODES them into ONE animated GIF via
+    * the writer's writeToSequence; stage 2 DECODES with an ImageReader
+    * inside mapPartitions, counts frames with getNumImages, and sums
+    * every frame's gray levels. The oracle states the closed-form
+    * arithmetic over a (frame, x, y) grid — it never parses GIF; frame
+    * count and pixel sums must both survive the container. */
+  private def m65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Side = 8
+    val encoded: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        // identity 256-gray palette: stored index == gray level, so the
+        // decoder's RGB red channel recovers the index exactly
+        val ramp = Array.tabulate(256)(_.toByte)
+        val palette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        it.map { id =>
+          val nFrames = (1 + id % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(Side, Side,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < Side) {
+              var x = 0
+              while (x < Side) {
+                raster.setSample(x, y, 0,
+                  ((id * 7 + f * 29 + x * 3 + y * 11) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          (id, bos.toByteArray)
+        }
+      }
+    encoded
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val isGif = bytes.length > 6 &&
+            new String(bytes, 0, 3, "US-ASCII") == "GIF"
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var s = 0L
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          reader.dispose()
+          iis.close()
+          (id, isGif, n, s)
+        }
+      }
+      .toDF("doc_id", "is_gif", "n_frames", "gray_sum")
+      .orderBy($"doc_id")
+  }
+  private val m65Sql =
+    """SELECT d.doc_id,
+      | true AS is_gif,
+      | CAST(1 + d.doc_id % 3 AS INT) AS n_frames,
+      | (SELECT CAST(SUM((d.doc_id * 7 + f.range * 29 + x.range * 3 + y.range * 11) % 256) AS BIGINT)
+      |  FROM range(0, 3) f, range(0, 8) x, range(0, 8) y
+      |  WHERE f.range < 1 + d.doc_id % 3) AS gray_sum
+      |FROM documents d ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- m64
   /** REAL audio codec round trip — the second live codec after m63's
     * PNG, via the JDK's built-in javax.sound.sampled WAV support (no
@@ -304,5 +402,6 @@ object MultimodalOps {
     RQ("m61_decode_stub", m61, Some(m61Sql)),
     RQ("m62_frame_sample", m62, Some(m62Sql)),
     RQ("m63_png_roundtrip", m63, Some(m63Sql)),
-    RQ("m64_wav_roundtrip", m64, Some(m64Sql)))
+    RQ("m64_wav_roundtrip", m64, Some(m64Sql)),
+    RQ("m65_gif_frames", m65, Some(m65Sql)))
 }
