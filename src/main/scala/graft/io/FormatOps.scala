@@ -1269,6 +1269,67 @@ object FormatOps {
       |   + 1
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- k104
+  /** PARTIAL COMPACTION (OPTIMIZE for streaming tables): a settled base
+    * file plus a trickle of single-row streaming commits — compactSmall
+    * bin-packs ONLY the small files and must carry the base file
+    * forward BY PATH IDENTITY (REQUIREd in-query: rewriting settled
+    * data at 100 TB is the failure mode this op exists to avoid). Row
+    * counts, content, and data skipping all survive; the oracle checks
+    * the final content against the source data. */
+  private def k104(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k104_optimize")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust.coalesce(1), table,
+        statsCols = Seq("c_custkey"))
+      val base = TxnTable.snapshotFiles(spark, table, 1L)
+      (1 to 5).foreach { i =>
+        TxnTable.commitAppend(
+          Seq((9000000L + i, i.toDouble)).toDF("c_custkey", "c_acctbal")
+            .coalesce(1),
+          table, statsCols = Seq("c_custkey"))
+      }
+      require(TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get).size == 6)
+      // threshold = the settled file's own size: strictly-smaller files
+      // (the single-row commits) pack, the base never does — scale-
+      // factor-independent
+      val baseSize = new java.io.File(s"$table/${base.head}").length()
+      val v = TxnTable.compactSmall(spark, table, smallBytes = baseSize)
+      val after = TxnTable.snapshotFiles(spark, table, v)
+      require(after.size == 2,
+        s"expected base + one packed file, got ${after.size}")
+      require(base.forall(after.contains),
+        "settled base file must carry forward by reference, not rewrite")
+      require(after.forall(
+        TxnTable.fileRows(spark, table, v).contains),
+        "packed replacements must keep row counts")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k104Sql =
+    """WITH t AS (
+      |  SELECT c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT CAST(v AS DOUBLE) FROM range(1, 6) r(v))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM t""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1293,5 +1354,6 @@ object FormatOps {
     RQ("k100_dsv2_write", k100, Some(k100Sql)),
     RQ("k101_agg_pushdown", k101, Some(k101Sql)),
     RQ("k102_group_agg_pushdown", k102, Some(k102Sql)),
-    RQ("k103_txn_history", k103, Some(k103Sql)))
+    RQ("k103_txn_history", k103, Some(k103Sql)),
+    RQ("k104_compact_small", k104, Some(k104Sql)))
 }

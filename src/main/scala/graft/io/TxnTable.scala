@@ -1374,6 +1374,59 @@ object TxnTable {
       statsCols = trackedCols, bloomCols = trackedBlooms)
   }
 
+  /** PARTIAL compaction — the scale-correct OPTIMIZE: bin-pack only the
+    * files smaller than `smallBytes` into `targetFiles` replacements;
+    * every file already at healthy size carries forward BY REFERENCE.
+    * `compact` above rewrites the whole table — fine for small tables,
+    * untenable at 100 TB where the small-file problem is a trickle of
+    * streaming commits on top of petabytes of settled data. Cost here
+    * is O(small files) data I/O + O(files) size lookups, independent of
+    * table bulk. Skipping metadata survives on the packed replacements;
+    * same optimistic pinned-CAS commit as merge/deleteRange. */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
+                   targetFiles: Int = 1): Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val small = st.files.filter(f =>
+        ctx.getFileStatus(new Path(s"$table/$f")).getLen < smallBytes)
+      if (small.size <= 1) return st.version // nothing worth packing
+      val carried = st.files.filterNot(small.toSet)
+      val trackedCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
+      val trackedBlooms = st.bloomCols.toSeq.sorted
+      val packed = spark.read.schema(schema)
+        .parquet(small.map(f => s"$table/$f"): _*)
+        .coalesce(targetFiles)
+      val (dataDir, newFiles, newStats, newBlooms, newRows) =
+        writeData(packed, table, trackedCols, trackedBlooms)
+      val files = carried ++ newFiles
+      val removed = small.sorted
+      val next = st.version + 1L
+      val content =
+        if (next % checkpointInterval(spark) == 0)
+          manifestContent(schema, st.txns,
+            (st.stats -- removed) ++ newStats, files,
+            (st.blooms -- removed) ++ newBlooms,
+            (st.rows -- removed) ++ newRows)
+        else deltaContent(schema, st.txns, newStats,
+          removed = removed, added = newFiles, base = st.version,
+          newBlooms = newBlooms, newRows = newRows)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
+      ctx.delete(new Path(s"$table/$dataDir"), true)
+      attempt += 1 // lost the race: re-pick against the new snapshot
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"compactSmall on $table lost the snapshot race 16 times")
+  }
+
   /** Drop snapshot manifests older than `latest - keep` and delete data
     * files no RETAINED manifest references (append commits share files
     * across versions, so reclamation is reference-counted, not per-dir).
