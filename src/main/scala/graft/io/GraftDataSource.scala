@@ -334,8 +334,22 @@ private[io] class GraftScanBuilder(
     case _ => Nil
   }
 
+  /** NULL-constraints a filter implies, per conjunct. The per-file null
+    * counts make both directions provable: a file whose stat records
+    * ZERO nulls cannot satisfy `c IS NULL` (the recorded count includes
+    * every normalization-null, a superset of genuine NULLs); a file
+    * whose null count equals its row count is all-NULL and cannot
+    * satisfy `c IS NOT NULL`. Stat-less or pre-rows files never prune. */
+  private def nullConstraints(f: Filter): Seq[(String, Boolean)] = f match {
+    case IsNull(c) => Seq(c -> true)
+    case IsNotNull(c) => Seq(c -> false)
+    case And(a, b) => nullConstraints(a) ++ nullConstraints(b)
+    case _ => Nil
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => bounds(f).nonEmpty)
+    pushed = filters.filter(f =>
+      bounds(f).nonEmpty || nullConstraints(f).nonEmpty)
     filters // ALL filters stay residual: skipping prunes files, Spark prunes rows
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -419,8 +433,9 @@ private[io] class GraftScanBuilder(
     // column OR untracked stats — indistinguishable, so refuse
     if (!files.forall(f => statOf(f).isDefined || rows.get(f).contains(0L)))
       return None
-    val ss = files.flatMap(statOf)
-    if (ss.isEmpty) return Some(null) // no rows: MIN/MAX is NULL
+    // kind "null" = proven all-null file: contributes nothing to MIN/MAX
+    val ss = files.flatMap(statOf).filterNot(_.kind == "null")
+    if (ss.isEmpty) return Some(null) // no non-null rows: MIN/MAX is NULL
     val kind = ss.head.kind
     if (!ss.forall(_.kind == kind)) return None
     (kind, field.dataType) match {
@@ -562,10 +577,23 @@ private[io] class GraftScanBuilder(
         stats.getOrElse(f, Nil).find(_.col == c).forall(_.mayOverlap(b))
       }
     }
+    // null-awareness: prove per file from recorded null counts
+    val nulled = pushed.flatMap(nullConstraints).distinct
+      .foldLeft(statsChosen) { case (fs, (c, wantNull)) =>
+        fs.filter { f =>
+          stats.getOrElse(f, Nil).find(_.col == c) match {
+            case Some(s) if wantNull => s.nulls != 0L // 0 proven nulls: skip
+            case Some(s) if !wantNull =>
+              // all-null file: provable only with a known row count
+              !meta.rows.get(f).exists(r => s.nulls == r && r > 0L)
+            case _ => true // no stat: conservative
+          }
+        }
+      }
     // equality constraints additionally probe bloom sidecars — the
     // pruning min/max can't do on a hash-partitioned point lookup
     val chosen = pushed.flatMap(eqConstraints).distinct
-      .foldLeft(statsChosen) { case (fs, (c, vs)) =>
+      .foldLeft(nulled) { case (fs, (c, vs)) =>
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
     new GraftScan(spark, table, version, dataSchema, required, pushed,

@@ -324,6 +324,9 @@ object TxnTable {
       case ("num", "num") => max < b.lo || min > b.hi
       case ("str", "str") =>
         (b.loS != null && maxV < b.loS) || (b.hiS != null && minV > b.hiS)
+      // an ALL-NULL column (kind "null": every row normalization-null)
+      // has no row any value-range predicate can select
+      case ("null", _) => true
       case _ => false // kind mismatch: cannot prove anything
     }
     def mayOverlap(b: Bound): Boolean = !disjointFrom(b)
@@ -637,10 +640,14 @@ object TxnTable {
           val uri = r.getString(0)
           val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
           val ss = tracked.flatMap { case (c, _, kind) =>
+            val nn = r.getAs[Long](s"__nn_$c")
             (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
+              // all rows null: record that PROOF (kind "null") — it
+              // prunes every value range, IS NOT NULL, and spares the
+              // delete paths a pointless boundary rewrite
+              case (null, _) if nn > 0L => Some(FileStat(c, "null", "", "", nn))
               case (null, _) => None
-              case (mn, mx) => Some(FileStat(c, kind,
-                mn.toString, mx.toString, r.getAs[Long](s"__nn_$c")))
+              case (mn, mx) => Some(FileStat(c, kind, mn.toString, mx.toString, nn))
             }
           }
           (key, ss, r.getAs[Long]("__rows"))

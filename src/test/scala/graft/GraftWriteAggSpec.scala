@@ -208,6 +208,40 @@ class GraftWriteAggSpec extends AnyFunSuite {
     }
   }
 
+  test("null-aware skipping: IS NULL / IS NOT NULL / ranges prune from null counts") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      // file 1: no nulls; file 2: the same keys offset, ALL-NULL balances
+      TxnTable.commitOverwrite(cust.coalesce(1), table,
+        statsCols = Seq("c_acctbal"))
+      TxnTable.commitAppend(
+        cust.select(($"c_custkey" + 1000000L).as("c_custkey"),
+          lit(null).cast("double").as("c_acctbal")).coalesce(1),
+        table, statsCols = Seq("c_acctbal"))
+      val ds = spark.read.format("graft").load(table)
+      val n = cust.count()
+      val isNull = ds.filter($"c_acctbal".isNull)
+      assert(org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(isNull).contains(1),
+        "IS NULL must skip the zero-null file")
+      assert(isNull.count() == n)
+      val notNull = ds.filter($"c_acctbal".isNotNull)
+      assert(org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(notNull).contains(1),
+        "IS NOT NULL must skip the proven all-null file")
+      assert(notNull.count() == n)
+      // a value range can never match an all-null file either
+      val ranged = ds.filter($"c_acctbal" > 0.0)
+      assert(org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(ranged).contains(1),
+        "a range must skip the all-null file")
+      assert(ranged.count() == cust.filter($"c_acctbal" > 0.0).count())
+      // metadata-only COUNT over the mix stays exact
+      val agg = ds.agg(count($"c_acctbal").as("nb"), count(lit(1)).as("nn"))
+      assert(aggScanFiles(agg).contains(0))
+      assert(agg.head() == Row(
+        cust.filter($"c_acctbal".isNotNull).count(), 2 * n))
+    }
+  }
+
   test("timestampAsOf pins the snapshot committed at or before the wall clock") {
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
