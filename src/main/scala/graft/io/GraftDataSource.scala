@@ -663,9 +663,10 @@ private[io] class GraftMicroBatchStream(
     spark: SparkSession, table: String,
     dataSchema: StructType, required: StructType,
     pushed: Array[Filter], options: CaseInsensitiveStringMap)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def ver(o: Offset): Long = o.asInstanceOf[GraftOffset].v
 
@@ -677,6 +678,37 @@ private[io] class GraftMicroBatchStream(
     TxnTable.latestVersion(spark, table).getOrElse(0L))
   override def deserializeOffset(json: String): Offset =
     new GraftOffset(json.toLong)
+
+  // ---- BACKLOG ADMISSION CONTROL ---------------------------------------
+  // `maxVersionsPerTrigger`: cap each microbatch at N commits' worth of
+  // files. Without it the first batch against a long-lived table is the
+  // ENTIRE backlog — one microbatch reading a 100 TB history. Commit
+  // granularity is the natural unit here (each version = one atomic
+  // ingest); Spark's AvailableNow wrapper then drains the backlog as a
+  // SEQUENCE of bounded batches through the same checkpointed offsets.
+  private val maxVersions: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
+  // Trigger.AvailableNow pins its end-of-stream target HERE (the commit
+  // log's tip at preparation time); each capped microbatch then advances
+  // toward it, so a pre-existing backlog drains as a SEQUENCE of bounded
+  // batches instead of one unbounded one.
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TxnTable.latestVersion(spark, table).getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val tip = TxnTable.latestVersion(spark, table).getOrElse(0L)
+    val target = availableNowTarget.fold(tip)(math.min(_, tip))
+    val capped = maxVersions match {
+      case Some(n) => math.min(ver(start) + math.max(1L, n), target)
+      case None => target
+    }
+    new GraftOffset(capped)
+  }
+  override def reportLatestOffset(): Offset = latestOffset()
 
   // the scan planned for the current batch's file delta; the reader
   // factory is requested right after planning, on the same driver thread

@@ -86,6 +86,33 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("maxVersionsPerTrigger bounds each microbatch to N commits of backlog") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      // 3-commit backlog before the stream ever starts
+      (1 to 3).foreach { i =>
+        TxnTable.commitAppend(
+          Seq.tabulate(10)(j => (i * 100L + j, i)).toDF("id", "commit_no"), src)
+      }
+      var batches = List.empty[Long]
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", s"$zone/cp")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batches = batches :+ batch.count(); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the backlog drains as THREE bounded batches, not one big one
+      assert(batches == List(10L, 10L, 10L),
+        s"expected 3 batches of 10, got $batches")
+    }
+  }
+
   test("non-append history between offsets fails loudly, not wrongly") {
     import spark.implicits._
     withZone { zone =>
