@@ -1330,6 +1330,59 @@ object FormatOps {
       | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- k105
+  /** METADATA-ONLY COLUMN PROFILE (ANALYZE without the scan): commit
+    * customers with stats on a numeric column carrying injected NULLs
+    * and a string column, then read the profile — min/max per kind,
+    * null counts, row totals — purely from the manifest. The oracle
+    * computes the same numbers from the RAW DATA, so the metadata
+    * profile is checked against ground truth: a drifted stat, a lost
+    * null count, or a wrong row total all break the hash. */
+  private def k105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k105_profile")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey",
+          when($"c_custkey" % 7 === 0, lit(null).cast("double"))
+            .otherwise($"c_acctbal").as("bal"),
+          $"c_mktsegment")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(4, $"c_custkey"), table,
+        statsCols = Seq("bal", "c_mktsegment"))
+      // profile reads the manifest eagerly and returns driver-built rows
+      // (a LocalRelation) — safe to delete the zone right after
+      TxnTable.profile(spark, table).orderBy($"col")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k105Sql =
+    """WITH fixture AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+      |    c_mktsegment
+      |  FROM customer)
+      |SELECT 'bal' AS col,
+      | CAST(MIN(bal) AS DOUBLE) AS min_num, CAST(MAX(bal) AS DOUBLE) AS max_num,
+      | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+      | CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      | CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM fixture
+      |UNION ALL
+      |SELECT 'c_mktsegment',
+      | NULL, NULL,
+      | MIN(c_mktsegment), MAX(c_mktsegment),
+      | CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      | CAST(COUNT(*) AS BIGINT)
+      |FROM fixture
+      |ORDER BY col""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1355,5 +1408,6 @@ object FormatOps {
     RQ("k101_agg_pushdown", k101, Some(k101Sql)),
     RQ("k102_group_agg_pushdown", k102, Some(k102Sql)),
     RQ("k103_txn_history", k103, Some(k103Sql)),
-    RQ("k104_compact_small", k104, Some(k104Sql)))
+    RQ("k104_compact_small", k104, Some(k104Sql)),
+    RQ("k105_metadata_profile", k105, Some(k105Sql)))
 }

@@ -1302,6 +1302,59 @@ object TxnTable {
     untilFiles.filterNot(sinceFiles)
   }
 
+  /** METADATA-ONLY column profile (ANALYZE without the scan): one row
+    * per stats-tracked column — global min/max folded from per-file
+    * stats (numeric and string kinds in their own typed columns),
+    * total null count, total row count — all from ONE manifest read.
+    * On a 100 TB table this is the profile a query planner or a data
+    * catalog wants, at the cost of a directory point-read. Columns
+    * whose metadata cannot prove a value surface NULL (never a guess):
+    * a pre-nulls file poisons n_nulls to NULL, a statless file poisons
+    * that column's min/max. */
+  def profile(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val totalRows: Option[Long] =
+      if (st.files.forall(st.rows.contains)) Some(st.files.map(st.rows).sum)
+      else None
+    val cols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
+    val out = cols.map { c =>
+      val perFile = st.files.map(f => f -> st.stat(f, c))
+      // complete coverage = every file has the stat or provably no rows
+      val covered = perFile.forall { case (f, s) =>
+        s.isDefined || st.rows.get(f).contains(0L) }
+      val ss = perFile.flatMap(_._2)
+      val valued = ss.filterNot(_.kind == "null")
+      val kinds = valued.map(_.kind).distinct
+      val (minN, maxN) =
+        if (covered && kinds == Seq("num"))
+          (Some(valued.map(_.min).min), Some(valued.map(_.max).max))
+        else (None, None)
+      val (minS, maxS) =
+        if (covered && kinds == Seq("str"))
+          (Some(valued.map(_.minV).min), Some(valued.map(_.maxV).max))
+        else (None, None)
+      val nulls =
+        if (covered && ss.forall(_.nulls >= 0L)) Some(ss.map(_.nulls).sum)
+        else None
+      org.apache.spark.sql.Row(c,
+        minN.map(Double.box).orNull, maxN.map(Double.box).orNull,
+        minS.orNull, maxS.orNull,
+        nulls.map(Long.box).orNull, totalRows.map(Long.box).orNull)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("col", StringType, nullable = false),
+        StructField("min_num", DoubleType),
+        StructField("max_num", DoubleType),
+        StructField("min_str", StringType),
+        StructField("max_str", StringType),
+        StructField("n_nulls", LongType),
+        StructField("n_rows", LongType))))
+  }
+
   /** Table history: one row per retained snapshot — version, file count,
     * column count, txn-marker count. Driver-built (bounded: versions,
     * not rows). */
