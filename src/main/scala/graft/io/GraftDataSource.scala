@@ -147,7 +147,41 @@ private[io] class GraftStreamSink(table: String, parameters: Map[String, String]
 }
 
 private[io] class GraftTable(table: String, version: Long, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM` mapped onto the metadata-gated delete
+    * primitives — a point delete (`WHERE k = v`: stats + bloom prune
+    * the rewrite set) or a closed-range delete (`WHERE k BETWEEN lo
+    * AND hi`: fully-covered files drop as pure metadata). Only shapes
+    * those primitives implement EXACTLY are accepted — strict bounds,
+    * IS NULL, multi-column predicates make canDeleteWhere false and
+    * the statement fails analysis rather than deleting wrong rows.
+    * (SQL DELETE semantics on NULL keys — retained — are the
+    * primitives' own contract, k91/k93.) */
+  private def deletePlan(filters: Array[Filter]): Option[() => Unit] = {
+    val spark = SparkSession.active
+    filters.toSeq match {
+      case Seq(EqualTo(c, v)) if v != null =>
+        Some(() => { TxnTable.deleteEquals(spark, table, c, v); () })
+      case Seq(GreaterThanOrEqual(c1, lo), LessThanOrEqual(c2, hi))
+          if c1 == c2 && lo != null && hi != null =>
+        Some(() => { TxnTable.deleteRangeOn(spark, table, c1, lo, hi); () })
+      case Seq(LessThanOrEqual(c2, hi), GreaterThanOrEqual(c1, lo))
+          if c1 == c2 && lo != null && hi != null =>
+        Some(() => { TxnTable.deleteRangeOn(spark, table, c1, lo, hi); () })
+      case Seq(And(GreaterThanOrEqual(c1, lo), LessThanOrEqual(c2, hi)))
+          if c1 == c2 && lo != null && hi != null =>
+        Some(() => { TxnTable.deleteRangeOn(spark, table, c1, lo, hi); () })
+      case _ => None
+    }
+  }
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletePlan(filters).isDefined
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE shape not expressible as a point or closed-range delete: " +
+        filters.mkString(", "))).apply()
   override def name(): String = s"graft.`$table`@v$version"
   override def schema(): StructType = tableSchema
   // ACCEPT_ANY_SCHEMA hands write-schema validation to TxnTable.commit's

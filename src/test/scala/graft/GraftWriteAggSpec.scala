@@ -285,6 +285,15 @@ class GraftWriteAggSpec extends AnyFunSuite {
           == cust.count() + 1)
         assert(TxnTable.read(spark, table)
           .filter($"c_custkey" === 9000001L).count() == 1)
+        // SQL point delete routes through the bloom/stats-gated primitive
+        spark.sql("DELETE FROM graft_ddl_t WHERE c_custkey = 9000001")
+        assert(TxnTable.read(spark, table)
+          .filter($"c_custkey" === 9000001L).count() == 0)
+        // SQL closed-range delete routes through the metadata-gated range
+        val inRange = cust.filter($"c_custkey".between(1, 50)).count()
+        spark.sql("DELETE FROM graft_ddl_t WHERE c_custkey BETWEEN 1 AND 50")
+        assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head().getLong(0)
+          == cust.count() - inRange)
       } finally spark.sql("DROP TABLE graft_ddl_t")
     }
   }
