@@ -182,6 +182,21 @@ private[io] class GraftTable(table: String, version: Long, tableSchema: StructTy
     deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
       s"DELETE shape not expressible as a point or closed-range delete: " +
         filters.mkString(", "))).apply()
+
+  /** SQL `TRUNCATE TABLE`: one empty overwrite commit — the schema and
+    * history survive (time travel to the pre-truncate version still
+    * works until vacuum), zero data bytes move. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val schema = TxnTable.latestVersion(spark, table)
+      .flatMap(v => TxnTable.snapshotSchema(spark, table, v))
+      .getOrElse(tableSchema)
+    TxnTable.commitOverwrite(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      table)
+    true
+  }
   override def name(): String = s"graft.`$table`@v$version"
   override def schema(): StructType = tableSchema
   // ACCEPT_ANY_SCHEMA hands write-schema validation to TxnTable.commit's

@@ -294,6 +294,12 @@ class GraftWriteAggSpec extends AnyFunSuite {
         spark.sql("DELETE FROM graft_ddl_t WHERE c_custkey BETWEEN 1 AND 50")
         assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head().getLong(0)
           == cust.count() - inRange)
+        // TRUNCATE is one empty overwrite commit; history stays readable
+        val preTruncate = TxnTable.latestVersion(spark, table).get
+        spark.sql("TRUNCATE TABLE graft_ddl_t")
+        assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head().getLong(0) == 0)
+        assert(TxnTable.readVersion(spark, table, preTruncate).count() ==
+          cust.count() - inRange)
       } finally spark.sql("DROP TABLE graft_ddl_t")
     }
   }
