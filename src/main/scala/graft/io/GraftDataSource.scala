@@ -383,22 +383,54 @@ private[io] class GraftScanBuilder(
     case _ => Nil
   }
 
-  /** NULL-constraints a filter implies, per conjunct. The per-file null
-    * counts make both directions provable: a file whose stat records
-    * ZERO nulls cannot satisfy `c IS NULL` (the recorded count includes
-    * every normalization-null, a superset of genuine NULLs); a file
-    * whose null count equals its row count is all-NULL and cannot
-    * satisfy `c IS NOT NULL`. Stat-less or pre-rows files never prune. */
-  private def nullConstraints(f: Filter): Seq[(String, Boolean)] = f match {
-    case IsNull(c) => Seq(c -> true)
-    case IsNotNull(c) => Seq(c -> false)
-    case And(a, b) => nullConstraints(a) ++ nullConstraints(b)
-    case _ => Nil
+  /** Can this filter tree contribute ANY file pruning? Mirrors the
+    * leaves mayMatch understands. */
+  private def prunable(f: Filter): Boolean = f match {
+    case And(a, b) => prunable(a) || prunable(b)
+    case Or(a, b) => prunable(a) && prunable(b) // Or prunes only if BOTH sides can
+    case IsNull(_) | IsNotNull(_) => true
+    case StringStartsWith(_, p) => p.nonEmpty
+    case leaf => bounds(leaf).nonEmpty
+  }
+
+  /** MAY file `f` contain a row matching `filter`? False only on PROOF
+    * from the manifest. The recursion makes the pruning compositional:
+    * And prunes if either side proves absence, Or only if both sides
+    * do (`k < 10 OR k > 100` skips the middle files), IS NULL uses the
+    * per-file null counts (zero recorded nulls — a superset of genuine
+    * NULLs — proves no NULL row), IS NOT NULL uses the proven all-null
+    * stat kind, and LIKE-prefix prunes lexicographically on string
+    * stats. Unknown leaves are conservatively true. */
+  private def mayMatch(f: String, filter: Filter): Boolean = {
+    def statOf(c: String) = meta.stats.getOrElse(f, Nil).find(_.col == c)
+    filter match {
+      case And(a, b) => mayMatch(f, a) && mayMatch(f, b)
+      case Or(a, b) => mayMatch(f, a) || mayMatch(f, b)
+      case Not(_) => true // min/max cannot refute a negation usefully
+      case IsNull(c) => statOf(c).forall(_.nulls != 0L)
+      case IsNotNull(c) => !statOf(c).exists(_.kind == "null")
+      case StringStartsWith(c, p) if p.nonEmpty =>
+        statOf(c) match {
+          case Some(s) if s.kind == "str" =>
+            // disjoint iff every value is below the prefix, or at/above
+            // the next prefix (increment of p's last char)
+            val below = s.maxV < p
+            val above = p.last != Char.MaxValue && {
+              val next = p.init + (p.last + 1).toChar
+              s.minV >= next
+            }
+            !(below || above)
+          case Some(s) if s.kind == "null" => false
+          case _ => true
+        }
+      case leaf =>
+        val bs = bounds(leaf)
+        bs.isEmpty || bs.forall { case (c, b) => statOf(c).forall(_.mayOverlap(b)) }
+    }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f =>
-      bounds(f).nonEmpty || nullConstraints(f).nonEmpty)
+    pushed = filters.filter(prunable)
     filters // ALL filters stay residual: skipping prunes files, Spark prunes rows
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -607,42 +639,14 @@ private[io] class GraftScanBuilder(
       case Some((schema, rows)) => return new GraftAggScan(table, version, schema, rows)
       case None => ()
     }
-    val files = meta.files
-    val stats = meta.stats
-    // intersect bounds across every pushed filter (they are ANDed)
-    val merged = pushed.map(bounds).foldLeft(Map.empty[String, Bound]) {
-      (acc, m) =>
-        (acc.keySet ++ m.keySet).map { c =>
-          (acc.get(c), m.get(c)) match {
-            case (Some(x), Some(y)) => c -> inter(x, y)
-            case (Some(x), None) => c -> x
-            case (None, Some(y)) => c -> y
-            case _ => c -> Bound("conflict") // unreachable
-          }
-        }.toMap
-    }
-    val statsChosen = files.filter { f =>
-      merged.forall { case (c, b) =>
-        stats.getOrElse(f, Nil).find(_.col == c).forall(_.mayOverlap(b))
-      }
-    }
-    // null-awareness: prove per file from recorded null counts
-    val nulled = pushed.flatMap(nullConstraints).distinct
-      .foldLeft(statsChosen) { case (fs, (c, wantNull)) =>
-        fs.filter { f =>
-          stats.getOrElse(f, Nil).find(_.col == c) match {
-            case Some(s) if wantNull => s.nulls != 0L // 0 proven nulls: skip
-            case Some(s) if !wantNull =>
-              // all-null file: provable only with a known row count
-              !meta.rows.get(f).exists(r => s.nulls == r && r > 0L)
-            case _ => true // no stat: conservative
-          }
-        }
-      }
+    // compositional pruning: a file survives iff EVERY pushed filter
+    // (top-level conjuncts) may match it — the recursion inside
+    // mayMatch handles And/Or/null/prefix/range leaves uniformly
+    val statsChosen = meta.files.filter(f => pushed.forall(mayMatch(f, _)))
     // equality constraints additionally probe bloom sidecars — the
     // pruning min/max can't do on a hash-partitioned point lookup
     val chosen = pushed.flatMap(eqConstraints).distinct
-      .foldLeft(nulled) { case (fs, (c, vs)) =>
+      .foldLeft(statsChosen) { case (fs, (c, vs)) =>
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
     new GraftScan(spark, table, version, dataSchema, required, pushed,

@@ -242,6 +242,40 @@ class GraftWriteAggSpec extends AnyFunSuite {
     }
   }
 
+  test("compositional pruning: OR of ranges and LIKE prefixes skip files") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(6, $"c_custkey").sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      val ds = spark.read.format("graft").load(table)
+      // OR of two edge ranges skips the middle of the key space
+      val orQ = ds.filter($"c_custkey" < 10L || $"c_custkey" > 280L)
+      val orScanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(orQ).get
+      assert(orScanned > 0 && orScanned < 6, s"OR pruning scanned $orScanned of 6")
+      assert(orQ.count() ==
+        cust.filter($"c_custkey" < 10 || $"c_custkey" > 280).count())
+      // per-segment ingest: LIKE 'prefix%' prunes on string stats
+      val t2 = s"$table-seg"
+      val segs = cust.select($"c_mktsegment").distinct().as[String].collect().sorted
+      segs.foreach { s =>
+        cust.filter($"c_mktsegment" === s)
+          .write.format("graft").mode("append")
+          .option("statsCols", "c_mktsegment").save(t2)
+      }
+      val ds2 = spark.read.format("graft").load(t2)
+      val pfx = segs.head.take(3)
+      val like = ds2.filter($"c_mktsegment".startsWith(pfx))
+      assert(org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(like).contains(1),
+        s"prefix '$pfx' must prune to the one matching segment file")
+      assert(like.count() == cust.filter($"c_mktsegment".startsWith(pfx)).count())
+      val none = ds2.filter($"c_mktsegment".startsWith("ZZZZ"))
+      assert(org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(none).contains(0))
+      assert(none.count() == 0)
+    }
+  }
+
   test("timestampAsOf pins the snapshot committed at or before the wall clock") {
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
