@@ -122,8 +122,55 @@ object WalletOps {
        |ORDER BY $order""".stripMargin
   }
 
+  /** The reference DAG's MEDALLION SHAPE on the transactional substrate:
+    * landing CSV → processing zone (cleansed) → curated zone (features),
+    * each hop ONE atomic idempotent TxnTable commit replacing the
+    * reference's non-atomic copy-then-delete zone moves (ref
+    * `dags/s3-etl-wallet-csv.py:161-176`). The WHOLE DAG is then
+    * re-run against the same batch id — the daily-retry scenario — and
+    * both zones must show zero new versions (REQUIREd in-query).
+    * The final curated content is gated by the SAME oracle as w70: the
+    * medallion staging must be a pure re-plumbing, bit-identical
+    * through two parquet round trips. */
+  private def medallion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_w71_medallion").toFile
+    try {
+      val processing = s"${zone.getAbsolutePath}/processing"
+      val curated = s"${zone.getAbsolutePath}/curated"
+      def runDag(batchId: Long): Unit = {
+        TxnTable.commitOverwriteIdempotent(
+          Wallet.cleanse(Wallet.dropFirstDataRow(Wallet.readRaw(spark, refCsv))),
+          processing, appId = "wallet-dag-processing", batchId = batchId)
+        TxnTable.commitOverwriteIdempotent(
+          Wallet.features(TxnTable.read(spark, processing)),
+          curated, appId = "wallet-dag-curated", batchId = batchId)
+      }
+      runDag(1L)
+      val (vP, vC) = (TxnTable.latestVersion(spark, processing).get,
+        TxnTable.latestVersion(spark, curated).get)
+      runDag(1L) // the daily retry re-offers the same batch: no-ops
+      require(TxnTable.latestVersion(spark, processing).contains(vP) &&
+        TxnTable.latestVersion(spark, curated).contains(vC),
+        "replayed DAG run must not re-commit either zone")
+      val result = TxnTable.read(spark, curated)
+        .orderBy(orderKeys.map(col): _*)
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(zone)
+    }
+  }
+
   val all: Seq[RQ] =
     if (new java.io.File(refCsv).exists())
-      Seq(RQ("w70_wallet_flagship", flagship, Some(oracle)))
+      Seq(
+        RQ("w70_wallet_flagship", flagship, Some(oracle)),
+        RQ("w71_wallet_medallion", medallion, Some(oracle)))
     else Seq.empty
 }
