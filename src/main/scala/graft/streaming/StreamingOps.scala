@@ -741,6 +741,76 @@ object StreamingOps {
       | CAST(3 AS BIGINT) AS n_commits
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- s65
+  /** TABLE-TO-TABLE STREAMING — the full log-to-log pipeline with NO
+    * user-level glue: `readStream.format("graft")` consumes the source
+    * table's commit log (bounded to one commit per microbatch), a
+    * stateless transform runs per batch, and `writeStream.format
+    * ("graft")` lands each batch as one atomic idempotent commit in the
+    * downstream table. Exactly-once end to end: source offsets are
+    * versions in Spark's checkpoint, sink commits are (appId, batchId)-
+    * keyed. The declarative-pipeline shape (source table → transform →
+    * materialized table) that schedulers hand-wire with copy jobs.
+    * REQUIREd in-query: batch boundaries land as distinct downstream
+    * commits (backlog of 2 → 2 commits), an incremental source commit
+    * adds exactly one more, and a full re-run with nothing new adds
+    * zero. Oracle: the transformed content of the whole source. */
+  private def s65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s65").toFile
+    try {
+      val src = s"${root.getAbsolutePath}/events_src"
+      val dst = s"${root.getAbsolutePath}/events_by_type"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      def pump(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .filter($"value" > 0.0)
+          .select($"event_id", upper($"event_type").as("event_type"),
+            ($"value" * 100.0).as("cents"))
+          .writeStream.format("graft")
+          .option("checkpointLocation", checkpoint)
+          .option("statsCols", "event_id")
+          .trigger(Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 3 === 0), src)
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 3 === 1), src)
+      pump()
+      val afterBacklog = graft.io.TxnTable.latestVersion(spark, dst)
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 3 === 2), src)
+      pump()
+      val afterIncrement = graft.io.TxnTable.latestVersion(spark, dst)
+      pump() // nothing new
+      val afterIdle = graft.io.TxnTable.latestVersion(spark, dst)
+      require(afterBacklog.contains(2L) && afterIncrement.contains(3L) &&
+        afterIdle.contains(3L),
+        s"log-to-log commits wrong: $afterBacklog/$afterIncrement/$afterIdle " +
+          "(want 2/3/3)")
+      val result = graft.io.TxnTable.read(spark, dst)
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          countDistinct($"event_type").cast("bigint").as("n_types"),
+          dsum($"cents").as("sum_cents"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s65Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(DISTINCT UPPER(event_type)) AS BIGINT) AS n_types,
+      | CAST(SUM(CAST(value * 100.0 AS DECIMAL(38,6))) AS DOUBLE) AS sum_cents
+      |FROM events WHERE value > 0.0""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -756,5 +826,6 @@ object StreamingOps {
     RQ("s61_stream_static_join", s61, Some(s61Sql)),
     RQ("s62_stream_matview", s62, Some(s62Sql)),
     RQ("s63_txn_stream_source", s63, Some(s63Sql)),
-    RQ("s64_native_stream_sink", s64, Some(s64Sql)))
+    RQ("s64_native_stream_sink", s64, Some(s64Sql)),
+    RQ("s65_table_to_table_stream", s65, Some(s65Sql)))
 }
