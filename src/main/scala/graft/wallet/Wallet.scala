@@ -100,7 +100,7 @@ object Wallet {
     * inputs where file order is row order; kept out of the default path
     * and used by the golden-file test. */
   def dropFirstDataRow(df: DataFrame): DataFrame = {
-    val withIdx = df.rdd.zipWithIndex.filter(_._2 > 0).map(_._1)
+    val withIdx = df.rdd.zipWithIndex().filter(_._2 > 0).map(_._1)
     df.sparkSession.createDataFrame(withIdx, df.schema)
   }
 
