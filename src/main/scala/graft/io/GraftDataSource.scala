@@ -318,25 +318,13 @@ private[io] class GraftScanBuilder(
     case Right(d) => Bound("num", hi = d)
     case Left(s) => Bound("str", hiS = s)
   }
-  /** Intersection of two bounds on the same column (ANDed filters); a
-    * kind conflict yields an unprunable marker, never a wrong prune. */
-  private def inter(a: Bound, b: Bound): Bound =
-    if (a.kind == "num" && b.kind == "num")
-      Bound("num", lo = math.max(a.lo, b.lo), hi = math.min(a.hi, b.hi))
-    else if (a.kind == "str" && b.kind == "str")
-      Bound("str",
-        loS = (Option(a.loS) ++ Option(b.loS))
-          .reduceOption((x: String, y: String) => if (x >= y) x else y).orNull,
-        hiS = (Option(a.hiS) ++ Option(b.hiS))
-          .reduceOption((x: String, y: String) => if (x <= y) x else y).orNull)
-    else Bound("conflict")
-
-  /** Conservative per-column bounds a filter implies: only shapes whose
-    * satisfying rows PROVABLY fall in a single column's range are
-    * extracted (equality, one-sided and two-sided ranges, In,
-    * conjunctions). Anything else contributes no bound — never wrong,
-    * just unpruned. Typed: numeric, string, and temporal columns all
-    * prune against their manifest stats. */
+  /** Conservative per-column bounds a LEAF filter implies: only shapes
+    * whose satisfying rows PROVABLY fall in a single column's range are
+    * extracted (equality, one-sided and two-sided ranges, In). Anything
+    * else contributes no bound — never wrong, just unpruned. And/Or
+    * composition happens in `mayMatch`, not here. Typed: numeric,
+    * string, and temporal columns all prune against their manifest
+    * stats. */
   private def bounds(f: Filter): Map[String, Bound] = f match {
     case EqualTo(c, v) => value(c, v).map(e => Map(c -> point(e))).getOrElse(Map.empty)
     case GreaterThan(c, v) => value(c, v).map(e => Map(c -> lower(e))).getOrElse(Map.empty)
@@ -359,27 +347,26 @@ private[io] class GraftScanBuilder(
           case _ => Some(Bound("conflict"))
         }
       }.map(b => Map(c -> b)).getOrElse(Map.empty)
-    case And(a, b) =>
-      val (ba, bb) = (bounds(a), bounds(b))
-      (ba.keySet ++ bb.keySet).map { c =>
-        (ba.get(c), bb.get(c)) match {
-          case (Some(x), Some(y)) => c -> inter(x, y)
-          case (Some(x), None) => c -> x
-          case (None, Some(y)) => c -> y
-          case _ => c -> Bound("conflict") // unreachable
-        }
-      }.toMap
     case _ => Map.empty
   }
 
   /** Equality constraints a filter implies, one entry per conjunct:
-    * `k === x` yields (k, [x]); `k IN (…)` yields (k, values) — a file
-    * survives if ANY value might be present. Applied AFTER min/max
-    * pruning as an independent bloom probe per constraint. */
+    * `k === x` yields (k, [x]); `k IN (…)` yields (k, values); an OR of
+    * equalities on the SAME column folds into one value set (`k = a OR
+    * k = b` ≡ `k IN (a, b)`) — a file survives if ANY value might be
+    * present. A disjunction across different columns yields nothing (a
+    * bloom probe on one side could wrongly veto the other). Applied
+    * AFTER min/max pruning as an independent bloom probe per
+    * constraint. */
   private def eqConstraints(f: Filter): Seq[(String, Seq[Any])] = f match {
     case EqualTo(c, v) if v != null => Seq(c -> Seq(v))
     case In(c, vs) if vs.nonEmpty => Seq(c -> vs.toSeq)
     case And(a, b) => eqConstraints(a) ++ eqConstraints(b)
+    case Or(a, b) =>
+      (eqConstraints(a), eqConstraints(b)) match {
+        case (Seq((c1, v1)), Seq((c2, v2))) if c1 == c2 => Seq(c1 -> (v1 ++ v2))
+        case _ => Nil
+      }
     case _ => Nil
   }
 
