@@ -416,8 +416,39 @@ object Analytic2 {
        | CAST(${ZOrder.zvalueSql("o_custkey", "o_orderkey")} AS BIGINT) AS zval
        |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- a55
+  /** RANGE window frames: per-customer moving aggregate over a VALUE
+    * range of the ordering key, not a row count — `RANGE BETWEEN 100
+    * PRECEDING AND CURRENT ROW`, the time-windowed running metric
+    * (rows at equal/near keys share a frame regardless of row order,
+    * which a ROWS frame cannot express). Keyed window: one hash
+    * shuffle + per-key sort, same at 100 TB. Integer aggregates only —
+    * a RANGE frame's internal accumulation strategy differs across
+    * engines (segment trees vs frame rescans), so order-free bigint
+    * sums are what hash-compares exactly. */
+  private def a55(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.registerViews(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rangeBetween(-100L, Window.currentRow)
+    spark.table("orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      count(lit(1)).over(w).cast("bigint").as("n_in_range"),
+      sum(col("o_orderkey")).over(w).cast("bigint").as("sum_keys_in_range"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+  private val a55Sql =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(COUNT(*) OVER w AS BIGINT) AS n_in_range,
+      | CAST(SUM(o_orderkey) OVER w AS BIGINT) AS sum_keys_in_range
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", a43, Some(a43Sql)),
+    RQ("a55_range_frame", a55, Some(a55Sql)),
     RQ("a54_zorder_curve", a54, Some(a54Sql)),
     RQ("a44_exact_quartiles", a44, Some(a44Sql)),
     RQ("a45_histogram", a45, Some(a45Sql)),
