@@ -48,7 +48,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     * foreachBatch). DataStreamWriter reaches this V1 seam because the
     * graft Table does not advertise STREAMING_WRITE — the same fallback
     * Delta's sink rides. Append mode only: a transactional log of
-    * immutable files has no in-place update to express. */
+    * immutable files has no in-place update to express.
+    *
+    * The replay identity MUST be explicit: without a `txnAppId` or a
+    * per-query `checkpointLocation` OPTION, two distinct queries writing
+    * the same table (each checkpointing via the session-conf default
+    * location) would share one appId, both start batchId at 0, and the
+    * second query's early batches would be silently swallowed as
+    * replays. Fail at sink construction, not with data loss later. */
   override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -58,6 +65,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       s"graft streaming sink supports Append output mode, got $outputMode")
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft streaming sink requires a table path"))
+    require(parameters.contains("txnAppId") || parameters.contains("checkpointLocation"),
+      "graft streaming sink needs a stable replay identity: set " +
+        ".option(\"txnAppId\", ...) or .option(\"checkpointLocation\", ...) on the " +
+        "writer (a session-conf default checkpoint dir is NOT per-query and would " +
+        "make two queries writing this table drop each other's batches as replays)")
     new GraftStreamSink(table, parameters)
   }
 
@@ -129,10 +141,12 @@ private[io] class GraftStreamSink(table: String, parameters: Map[String, String]
   private def cols(k: String): Seq[String] =
     parameters.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   // stable across restarts: explicit option first, else the query's
-  // checkpoint location (the identity Spark itself resumes by)
+  // checkpoint location (the identity Spark itself resumes by);
+  // createSink guarantees one of the two is present
   private val appId = parameters.get("txnAppId")
     .orElse(parameters.get("checkpointLocation"))
-    .getOrElse(s"graft-sink:$table")
+    .getOrElse(throw new IllegalArgumentException(
+      "graft streaming sink requires txnAppId or checkpointLocation"))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
@@ -240,19 +254,29 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo)
         val statsCols = cols("statsCols")
         val bloomCols = cols("bloomCols")
         // ACCEPT_ANY_SCHEMA suppresses Spark's output resolution, so
-        // positional writes (SQL `INSERT INTO t VALUES ...` — synthetic
-        // col1/col2 names) must be aligned here: zero name overlap with
-        // the committed schema + matching arity = positional intent →
-        // rename and cast to the table's columns. Any name overlap =
-        // by-name intent → pass through (an extra column is schema
-        // evolution; the commit's mergeSchemas validates it).
+        // positional writes (SQL `INSERT INTO t VALUES ...`) must be
+        // aligned here. Positional intent is accepted ONLY for Spark's
+        // own synthetic inline-table names (col1, col2, ...) — a frame
+        // with real-but-renamed columns is ambiguous (rename+cast could
+        // silently mis-map a reordered frame), so it FAILS analysis
+        // with a by-name instruction instead of guessing. Any name
+        // overlap = by-name intent → pass through (an extra column is
+        // schema evolution; the commit's mergeSchemas validates it).
         val spark = data.sparkSession
         val committed = TxnTable.latestVersion(spark, table)
           .flatMap(v => TxnTable.snapshotSchema(spark, table, v))
+        val synthetic = data.columns.zipWithIndex.forall {
+          case (n, i) => n == s"col${i + 1}" }
         val aligned = committed match {
           case Some(ts)
               if !data.columns.exists(ts.fieldNames.contains) &&
                 data.columns.length == ts.length =>
+            if (!synthetic) throw new IllegalArgumentException(
+              s"cannot align write to $table: incoming columns " +
+                s"[${data.columns.mkString(", ")}] share no name with the " +
+                s"committed schema [${ts.fieldNames.mkString(", ")}]; rename " +
+                "the frame's columns to the table's (positional mapping is " +
+                "only inferred for synthetic col1/col2/... INSERT names)")
             data.toDF(ts.fieldNames.toIndexedSeq: _*)
               .select(ts.fields.toIndexedSeq.map(f =>
                 org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
@@ -342,8 +366,8 @@ private[io] class GraftScanBuilder(
             Some(Bound("num", lo = math.min(b.lo, p.lo), hi = math.max(b.hi, p.hi)))
           case p if p.kind == b.kind =>
             Some(Bound("str",
-              loS = Ordering[String].min(b.loS, p.loS),
-              hiS = Ordering[String].max(b.hiS, p.hiS)))
+              loS = TxnTable.Utf8Ordering.min(b.loS, p.loS),
+              hiS = TxnTable.Utf8Ordering.max(b.hiS, p.hiS)))
           case _ => Some(Bound("conflict"))
         }
       }.map(b => Map(c -> b)).getOrElse(Map.empty)
@@ -400,11 +424,15 @@ private[io] class GraftScanBuilder(
         statOf(c) match {
           case Some(s) if s.kind == "str" =>
             // disjoint iff every value is below the prefix, or at/above
-            // the next prefix (increment of p's last char)
-            val below = s.maxV < p
-            val above = p.last != Char.MaxValue && {
+            // the next prefix (increment of p's last char) — compared in
+            // UTF8 binary order, the order the stats were computed in.
+            // The char increment is only an exact successor below the
+            // surrogate range; past it, skip the upper test (still
+            // sound, just unpruned).
+            val below = TxnTable.strLt(s.maxV, p)
+            val above = p.last < '\ud7ff' && {
               val next = p.init + (p.last + 1).toChar
-              s.minV >= next
+              !TxnTable.strLt(s.minV, next)
             }
             !(below || above)
           case Some(s) if s.kind == "null" => false
@@ -508,7 +536,13 @@ private[io] class GraftScanBuilder(
     if (!ss.forall(_.kind == kind)) return None
     (kind, field.dataType) match {
       case ("str", StringType) =>
-        val v = if (wantMin) ss.map(_.minV).min else ss.map(_.maxV).max
+        // fold in UTF8 binary order — the order the per-file stats were
+        // computed in; JVM String order disagrees on supplementary-plane
+        // text and would make the "metadata-only" answer differ from the
+        // scan it replaces
+        val v =
+          if (wantMin) ss.map(_.minV).min(TxnTable.Utf8Ordering)
+          else ss.map(_.maxV).max(TxnTable.Utf8Ordering)
         Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
       case ("num", dt) =>
         val v = if (wantMin) ss.map(_.min).min else ss.map(_.max).max
@@ -584,7 +618,7 @@ private[io] class GraftScanBuilder(
         }
         Some(keyed.groupBy(_._1).toSeq
           .map { case (k, fs) => k -> fs.map(_._2) }
-          .sortBy(_._1.map(_._2).mkString(" ")))
+          .sortBy(_._1.map(_._2).mkString("\u0000")))
       }
     grouped.flatMap { gs =>
       val rowsOut = gs.map { case (key, fs) =>
@@ -754,10 +788,19 @@ private[io] class GraftMicroBatchStream(
   // factory is requested right after planning, on the same driver thread
   private var planned: Option[org.apache.spark.sql.connector.read.Scan] = None
 
+  // `skipChangeCommits` (Delta-parity): opt-in escape hatch so a
+  // compaction/overwrite commit inside the stream's range is SKIPPED
+  // (its files are rewrites of already-delivered rows) instead of
+  // permanently wedging the stream. Default stays the loud failure —
+  // silently skipping rewrites is only correct when the user asserts
+  // the table's changes are append + maintenance, so it must be chosen.
+  private val skipChangeCommits: Boolean =
+    Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (ver(start), ver(end))
     if (e <= s) return Array.empty
-    val delta = TxnTable.changedFiles(spark, table, s, e)
+    val delta = TxnTable.changedFiles(spark, table, s, e, skipChangeCommits)
     val scan = org.apache.spark.sql.GraftBridge.parquetScan(
       spark, delta.map(f => s"$table/$f"), dataSchema, required, pushed, options)
     planned = Some(scan)

@@ -75,6 +75,13 @@ object TxnTable {
   private def manifestName(v: Long) = f"_v$v%05d.manifest"
   private val TxnPrefix = "#txn="
   private val SchemaPrefix = "#schema="
+  // Commit wall-clock, recorded IN the manifest at commit time:
+  // `versionAt` (timestampAsOf) binary-searches these instead of
+  // listing the directory and trusting filesystem mtimes — O(log
+  // versions) small reads, and the timestamp survives a copy/restore
+  // of the table directory where mtimes would not. Pre-#ts manifests
+  // fall back to their mtime.
+  private val TsPrefix = "#ts="
   private val StatPrefix = "#stat="   // #stat=<file>|<col>|<min>|<max>[|<nulls>]
   private val StatSep = "|"
   // Per-file ROW COUNTS ride ON the file entry itself — a manifest file
@@ -122,7 +129,14 @@ object TxnTable {
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
+  /** Diagnostic: small-object GETs issued by log/metadata reads —
+    * specs assert point lookups (versionAt, latestVersion) stay
+    * O(log history), not O(history). Monotonic, never reset by the
+    * library. */
+  val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readSmall(ctx: FileContext, p: Path): String = {
+    metaReads.incrementAndGet()
     val in = ctx.open(p)
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
@@ -209,13 +223,14 @@ object TxnTable {
         var v = k
         while (ctx.util.exists(new Path(table, manifestName(v + 1)))) v += 1
         Some(v)
-      case None => versions(spark, table).lastOption
+      case None => listVersions(spark, table).lastOption
     }
   }
 
-  /** Committed snapshot versions, ascending. Orphan `w=` dirs from dead
-    * writers have no manifest and are never listed. */
-  def versions(spark: SparkSession, table: String): Seq[Long] = {
+  /** Directory-listing fallback for pre-pointer tables (or a lost
+    * pointer write): O(directory entries). Every steady-state caller
+    * goes through the pointer-bounded `versions`/`latestVersion`. */
+  private def listVersions(spark: SparkSession, table: String): Seq[Long] = {
     val ctx = fc(spark)
     val dir = new Path(table)
     if (!ctx.util.exists(dir)) Seq.empty
@@ -231,27 +246,59 @@ object TxnTable {
     }
   }
 
+  /** Committed snapshot versions, ascending. Versions are CONTIGUOUS by
+    * construction (each commit CASes `latest + 1`; vacuum drops a
+    * prefix), so the set is `[floor, latest]`: latest comes from the
+    * pointer probe, floor from a binary search for the oldest retained
+    * manifest — O(log history) existence probes, no directory listing.
+    * Orphan `w=` dirs from dead writers have no manifest and are never
+    * reported. */
+  def versions(spark: SparkSession, table: String): Seq[Long] =
+    latestVersion(spark, table) match {
+      case None => Seq.empty
+      case Some(latest) =>
+        val ctx = fc(spark)
+        var lo = 1L
+        var hi = latest
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (ctx.util.exists(new Path(table, manifestName(mid)))) hi = mid
+          else lo = mid + 1
+        }
+        (lo to latest).toSeq
+    }
+
+  /** The recorded commit wall-clock of one manifest (its `#ts=` header),
+    * falling back to the file's mtime for pre-#ts manifests. */
+  private def commitTs(ctx: FileContext, table: String, v: Long): Long = {
+    val p = new Path(table, manifestName(v))
+    readSmall(ctx, p).split("\n").find(_.startsWith(TsPrefix))
+      .flatMap(_.stripPrefix(TsPrefix).trim.toLongOption)
+      .getOrElse(ctx.getFileStatus(p).getModificationTime)
+  }
+
   /** Time travel by WALL CLOCK: the latest version committed at or
-    * before `tsMillis`, from manifest modification times (commits are
-    * serialized by the CAS, so mtimes are nondecreasing up to filesystem
-    * clock skew — the same contract Delta's timestampAsOf carries).
-    * None when the table's first commit is later than `tsMillis`. */
+    * before `tsMillis`. Commit times are recorded in the manifests
+    * (`#ts=` header; commits are serialized by the CAS, so they are
+    * nondecreasing up to writer clock skew — the same contract Delta's
+    * timestampAsOf carries) and binary-searched: O(log history) small
+    * reads, never a directory listing, no mtime dependence for any
+    * post-#ts table. None when the oldest RETAINED version is later
+    * than `tsMillis` (a vacuumed-away prefix is not readable anyway). */
   def versionAt(spark: SparkSession, table: String, tsMillis: Long): Option[Long] = {
     val ctx = fc(spark)
-    val dir = new Path(table)
-    if (!ctx.util.exists(dir)) return None
-    val it = ctx.listStatus(dir)
-    var best = Option.empty[Long]
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (n.startsWith("_v") && n.endsWith(".manifest") &&
-          st.getModificationTime <= tsMillis) {
-        val v = n.stripPrefix("_v").stripSuffix(".manifest").toLong
-        if (best.forall(_ < v)) best = Some(v)
+    latestVersion(spark, table).flatMap { latest =>
+      var lo = 1L
+      var hi = latest
+      var best = Option.empty[Long]
+      while (lo <= hi) {
+        val mid = (lo + hi) / 2
+        if (!ctx.util.exists(new Path(table, manifestName(mid)))) lo = mid + 1
+        else if (commitTs(ctx, table, mid) <= tsMillis) { best = Some(mid); lo = mid + 1 }
+        else hi = mid - 1
       }
+      best
     }
-    best
   }
 
   private def manifestLines(spark: SparkSession, table: String, version: Long): Seq[String] = {
@@ -315,6 +362,20 @@ object TxnTable {
     * so it is only droppable without being read when `nulls == 0`.
     * `-1` = unknown (pre-nulls manifest): never trust it for a
     * destructive metadata-only action. */
+  /** Binary (UTF-8 byte) string ordering — the order Spark's min/max
+    * compute string stats in (UTF8String.compareTo). JVM String
+    * comparison orders by UTF-16 code units, which DISAGREES for
+    * supplementary-plane text vs U+E000..U+FFFF (surrogates sort low in
+    * UTF-16, high in UTF-8) — a stat comparison in the wrong order
+    * could prune a file that holds matching rows, or fold a MIN/MAX
+    * that differs from the scan it claims to equal. Every string
+    * stat/bound comparison goes through THIS ordering. */
+  private[io] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  private[io] def strLt(a: String, b: String): Boolean = Utf8Ordering.lt(a, b)
+
   final case class FileStat(col: String, kind: String,
                             minV: String, maxV: String, nulls: Long = -1L) {
     /** Numeric accessors (valid when kind == "num"). */
@@ -323,7 +384,8 @@ object TxnTable {
     def disjointFrom(b: Bound): Boolean = (kind, b.kind) match {
       case ("num", "num") => max < b.lo || min > b.hi
       case ("str", "str") =>
-        (b.loS != null && maxV < b.loS) || (b.hiS != null && minV > b.hiS)
+        (b.loS != null && strLt(maxV, b.loS)) ||
+          (b.hiS != null && strLt(b.hiS, minV))
       // an ALL-NULL column (kind "null": every row normalization-null)
       // has no row any value-range predicate can select
       case ("null", _) => true
@@ -334,7 +396,8 @@ object TxnTable {
     def containedIn(b: Bound): Boolean = (kind, b.kind) match {
       case ("num", "num") => min >= b.lo && max <= b.hi
       case ("str", "str") =>
-        (b.loS == null || minV >= b.loS) && (b.hiS == null || maxV <= b.hiS)
+        (b.loS == null || !strLt(minV, b.loS)) &&
+          (b.hiS == null || !strLt(b.hiS, maxV))
       case _ => false
     }
   }
@@ -487,14 +550,17 @@ object TxnTable {
   private def fileLine(f: String, rows: Map[String, Long]): String =
     rows.get(f).map(n => s"$f$StatSep$n").getOrElse(f)
 
-  /** `<file>` or `<file>|<rows>` → (file, known count). A trailing
-    * segment that is not a number is part of the name (conservative). */
+  /** `<file>` or `<file>|<rows>` → (file, known count). The pipe suffix
+    * is only stripped when the remainder still looks like a data-file
+    * path (ends in .parquet) — a future file name that happened to
+    * contain `|<digits>` must parse as a bare name, not be silently
+    * truncated into a wrong path plus a bogus count. */
   private def parseFileLine(l: String): (String, Option[Long]) = {
     val i = l.lastIndexOf(StatSep)
     if (i < 0) (l, None)
-    else l.drop(i + 1).toLongOption match {
-      case Some(n) => (l.take(i), Some(n))
-      case None => (l, None)
+    else (l.take(i), l.drop(i + 1).toLongOption) match {
+      case (f, Some(n)) if f.endsWith(".parquet") => (f, Some(n))
+      case _ => (l, None)
     }
   }
 
@@ -701,7 +767,8 @@ object TxnTable {
       blooms: Map[String, Seq[BloomMeta]] = Map.empty,
       rows: Map[String, Long] = Map.empty): String = {
     val filesSet = files.toSet
-    (Seq(s"$SchemaPrefix${schema.json}") ++
+    (Seq(s"$SchemaPrefix${schema.json}",
+      s"$TsPrefix${System.currentTimeMillis()}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => statLine(f, s)) } ++
@@ -723,7 +790,8 @@ object TxnTable {
       base: Long,
       newBlooms: Map[String, Seq[BloomMeta]] = Map.empty,
       newRows: Map[String, Long] = Map.empty): String =
-    (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}") ++
+    (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}",
+      s"$TsPrefix${System.currentTimeMillis()}") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       newStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => statLine(f, s)) } ++
@@ -1289,17 +1357,59 @@ object TxnTable {
     * file-set delta `readChanges` and the DSv2 streaming source both
     * plan from. Throws if files were REMOVED in between (overwrite/
     * compact/delete): a file-set diff would silently misreport that as
-    * pure addition. */
+    * pure addition.
+    *
+    * `skipChangeCommits` (Delta-parity escape hatch): instead of
+    * throwing, walk the range COMMIT BY COMMIT and stream only the
+    * pure-append commits' additions; any commit that also removed
+    * files (compaction, overwrite, merge, delete) is skipped ENTIRELY —
+    * its added files are rewrites of rows the stream already delivered
+    * from their original files, so re-reading them would double-count.
+    * This is what lets routine `compactSmall` maintenance run under a
+    * live `readStream` consumer without permanently wedging it. Cost:
+    * delta manifests expose their +/- lines in one small read per
+    * version; a full (checkpoint/overwrite) manifest in the range
+    * resolves two snapshots to diff — O(interval) reads, and at most
+    * once per checkpointInterval versions. */
   private[io] def changedFiles(spark: SparkSession, table: String,
-                               since: Long, until: Long): Seq[String] = {
-    val sinceFiles =
-      if (since == 0) Set.empty[String]
-      else snapshotFiles(spark, table, since).toSet
-    val untilFiles = snapshotFiles(spark, table, until)
-    require(sinceFiles.subsetOf(untilFiles.toSet),
-      s"history $since -> $until is not append-only (files were " +
-        "removed by an overwrite/compact); incremental read would be wrong")
-    untilFiles.filterNot(sinceFiles)
+                               since: Long, until: Long,
+                               skipChangeCommits: Boolean = false): Seq[String] = {
+    if (!skipChangeCommits) {
+      val sinceFiles =
+        if (since == 0) Set.empty[String]
+        else snapshotFiles(spark, table, since).toSet
+      val untilFiles = snapshotFiles(spark, table, until)
+      require(sinceFiles.subsetOf(untilFiles.toSet),
+        s"history $since -> $until is not append-only (files were " +
+          "removed by an overwrite/compact); incremental read would be " +
+          "wrong. Set skipChangeCommits=true on the stream reader to " +
+          "skip rewrite commits instead of failing")
+      untilFiles.filterNot(sinceFiles)
+    } else {
+      val included = Vector.newBuilder[String]
+      var v = math.max(since, 0L) + 1L
+      while (v <= until) {
+        val lines = manifestLines(spark, table, v)
+        if (lines.exists(_.startsWith(DeltaPrefix))) {
+          val removed = lines.exists(l =>
+            !l.startsWith("#") && l.startsWith(RemovePrefix))
+          if (!removed)
+            included ++= lines.filter(l => !l.startsWith("#") &&
+              l.startsWith(AddPrefix))
+              .map(l => parseFileLine(l.stripPrefix(AddPrefix))._1)
+        } else {
+          // full manifest: checkpoint of an append, or an overwrite —
+          // diff against the prior snapshot to classify
+          val cur = stateOf(spark, table, v).files
+          val prev =
+            if (v <= 1) Set.empty[String]
+            else stateOf(spark, table, v - 1).files.toSet
+          if (prev.subsetOf(cur.toSet)) included ++= cur.filterNot(prev)
+        }
+        v += 1
+      }
+      included.result()
+    }
   }
 
   /** METADATA-ONLY column profile (ANALYZE without the scan): one row
@@ -1333,7 +1443,8 @@ object TxnTable {
         else (None, None)
       val (minS, maxS) =
         if (covered && kinds == Seq("str"))
-          (Some(valued.map(_.minV).min), Some(valued.map(_.maxV).max))
+          (Some(valued.map(_.minV).min(Utf8Ordering)),
+            Some(valued.map(_.maxV).max(Utf8Ordering)))
         else (None, None)
       val nulls =
         if (covered && ss.forall(_.nulls >= 0L)) Some(ss.map(_.nulls).sum)

@@ -811,6 +811,106 @@ object StreamingOps {
       | CAST(SUM(CAST(value * 100.0 AS DECIMAL(38,6))) AS DOUBLE) AS sum_cents
       |FROM events WHERE value > 0.0""".stripMargin
 
+  // ---------------------------------------------------------------- s66
+  /** STREAMING PAST COMPACTION — the `skipChangeCommits` escape hatch:
+    * routine `compactSmall` maintenance on a table with a live
+    * `readStream` consumer must not permanently wedge the stream. The
+    * compaction commit's files are REWRITES of rows the stream already
+    * delivered from their original files, so the skip-aware source
+    * ignores that commit entirely and the post-compaction append flows
+    * through normally — every source row lands in the sink EXACTLY
+    * once (REQUIREd via distinct-id count). A second consumer WITHOUT
+    * the option, whose checkpoint straddles the compaction, must still
+    * fail LOUDLY (silently skipping rewrites is only sound when the
+    * user asserts the table's history is append + maintenance).
+    * Sequence: append, append, drain both consumers, compact, append,
+    * drain again — skip-aware consumer gets exactly the new rows, the
+    * default consumer throws. */
+  private def s66(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s66").toFile
+    try {
+      val src = s"${root.getAbsolutePath}/src"
+      val dst = s"${root.getAbsolutePath}/dst"
+      val cpSkip = s"${root.getAbsolutePath}/cp_skip"
+      val cpFail = s"${root.getAbsolutePath}/cp_fail"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      def pumpSkip(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("skipChangeCommits", "true").load(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", cpSkip)
+          .option("statsCols", "event_id")
+          .trigger(Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      def pumpDefault(): Unit = {
+        val q = spark.readStream.format("graft").load(src)
+          .writeStream
+          .option("checkpointLocation", cpFail)
+          .foreachBatch {
+            (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 3 === 0), src)
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 3 === 1), src)
+      pumpSkip()    // drains both appends
+      pumpDefault() // same, through its own checkpoint
+      val afterBacklog = graft.io.TxnTable.read(spark, dst).count()
+      // routine maintenance: both small files packed into one rewrite
+      graft.io.TxnTable.compactSmall(spark, src, smallBytes = 1L << 40)
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 3 === 2), src)
+      pumpSkip()    // skips the compaction commit, drains ONLY the append
+      val total = graft.io.TxnTable.read(spark, dst).count()
+      val distinctIds = graft.io.TxnTable.read(spark, dst)
+        .select($"event_id").distinct().count()
+      // the default consumer's checkpoint straddles the compaction:
+      // it must refuse loudly, not misread the rewrite as new rows
+      val failedLoudly =
+        try { pumpDefault(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            val msg = Option(e.getMessage).getOrElse("") +
+              Option(e.getCause).map(_.getMessage).getOrElse("")
+            msg.contains("not append-only")
+        }
+      val n0 = ev.filter($"event_id" % 3 === 0).count()
+      val n1 = ev.filter($"event_id" % 3 === 1).count()
+      require(afterBacklog == n0 + n1,
+        s"backlog drain read $afterBacklog rows, want ${n0 + n1}")
+      require(total == ev.count() && distinctIds == total,
+        s"post-compaction drain broke exactly-once: $total rows, " +
+          s"$distinctIds distinct ids, want ${ev.count()} of each")
+      require(failedLoudly,
+        "default (no skipChangeCommits) consumer must fail loudly on a " +
+          "checkpoint straddling a compaction")
+      val result = graft.io.TxnTable.read(spark, dst)
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          countDistinct($"event_id").cast("bigint").as("n_ids"),
+          dsum($"value").as("sum_value"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s66Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -827,5 +927,6 @@ object StreamingOps {
     RQ("s62_stream_matview", s62, Some(s62Sql)),
     RQ("s63_txn_stream_source", s63, Some(s63Sql)),
     RQ("s64_native_stream_sink", s64, Some(s64Sql)),
-    RQ("s65_table_to_table_stream", s65, Some(s65Sql)))
+    RQ("s65_table_to_table_stream", s65, Some(s65Sql)),
+    RQ("s66_stream_past_compaction", s66, Some(s66Sql)))
 }

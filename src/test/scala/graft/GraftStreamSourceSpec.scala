@@ -113,6 +113,70 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  /** Same drain but with the skipChangeCommits escape hatch set. */
+  private def drainSkip(src: String, out: String, cp: String, id: Int): Long = {
+    val before = TxnTable.latestVersion(spark, out)
+      .map(v => TxnTable.read(spark, out).count()).getOrElse(0L)
+    val q = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(src)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          TxnTable.commitAppendIdempotent(
+            batch.withColumn("drain", lit(id)), out, "stream-skip-spec", batchId); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TxnTable.latestVersion(spark, out)
+      .map(v => TxnTable.read(spark, out).count()).getOrElse(0L) - before
+  }
+
+  test("skipChangeCommits streams past a compaction: rewrites skipped, appends flow") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      val out = s"$zone/out"
+      val cp = s"$zone/cp"
+      val docs = Tables.documents(spark, Spec.sf001).select($"doc_id", $"n_chars")
+      val a = docs.filter($"doc_id" % 3 === 0)
+      val b = docs.filter($"doc_id" % 3 === 1)
+      val c = docs.filter($"doc_id" % 3 === 2)
+      TxnTable.commitAppend(a, src)
+      TxnTable.commitAppend(b, src)
+      assert(drainSkip(src, out, cp, 1) == a.count() + b.count())
+      // routine maintenance: pack both small files into one rewrite
+      TxnTable.compactSmall(spark, src, smallBytes = 1L << 40)
+      TxnTable.commitAppend(c, src)
+      // the compaction commit is skipped ENTIRELY; only the append streams
+      assert(drainSkip(src, out, cp, 2) == c.count())
+      // exactly-once end to end: no row delivered twice
+      val outDf = TxnTable.read(spark, out)
+      assert(outDf.count() == docs.count())
+      assert(outDf.select($"doc_id").distinct().count() == docs.count())
+    }
+  }
+
+  test("skipChangeCommits classifies a full-manifest overwrite as a change commit") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      val out = s"$zone/out"
+      val cp = s"$zone/cp"
+      val docs = Tables.documents(spark, Spec.sf001).select($"doc_id", $"n_chars")
+      TxnTable.commitAppend(docs.filter($"doc_id" < 100), src)
+      assert(drainSkip(src, out, cp, 1) > 0L)
+      // an overwrite writes a FULL manifest (no +/- lines): the skip
+      // walk must still detect the removal by diffing snapshots and
+      // skip it, then deliver the later pure append
+      TxnTable.commitOverwrite(docs.filter($"doc_id" < 50), src)
+      val late = docs.filter($"doc_id" >= 200 && $"doc_id" < 230)
+      TxnTable.commitAppend(late, src)
+      assert(drainSkip(src, out, cp, 2) == late.count())
+    }
+  }
+
   test("non-append history between offsets fails loudly, not wrongly") {
     import spark.implicits._
     withZone { zone =>
