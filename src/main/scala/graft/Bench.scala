@@ -25,6 +25,9 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", (256 << 10).toString)
       .config("spark.sql.files.openCostInBytes", (64 << 10).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // analyzer-level extensions (SQL UPDATE/MERGE INTO lowering) only
+      // exist on the config path; install() below covers the rest
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

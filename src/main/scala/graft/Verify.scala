@@ -20,6 +20,9 @@ object Verify {
       // µs parquet timestamps (not INT96) so dumped results carry the same
       // logical type DuckDB produces for the oracle side.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // analyzer-level extensions (SQL UPDATE/MERGE INTO lowering) only
+      // exist on the config path; install() below covers the rest
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,7 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GraftDmlStrategy)
     e.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
+    // SQL UPDATE / MERGE INTO on graft tables: lowered during analysis
+    // (Spark's own row-level rewrites skip non-RLO tables). Analyzer
+    // rules only exist on the config path — `install` on a live session
+    // cannot add them, so DML needs spark.sql.extensions at build time.
+    e.injectResolutionRule(_ => graft.plans.GraftDmlRewrite)
   }
 }
 
@@ -63,13 +69,16 @@ object GraftExtensions {
 
   /** Idempotent registration on an existing session: native functions,
     * planner strategies for the custom operators, and the window→TopK
-    * optimizer rewrite. */
+    * optimizer rewrite. NOTE: the SQL DML analyzer rule (UPDATE/MERGE
+    * INTO on graft tables) can NOT be added here — live sessions have
+    * no extension point for resolution rules; build the session with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` to get it. */
   def install(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
-    import graft.plans.{AsOfJoinStrategy, RewriteTopKWindow, TopKPerKeyStrategy}
-    Seq(TopKPerKeyStrategy, AsOfJoinStrategy).foreach { s =>
+    import graft.plans.{AsOfJoinStrategy, GraftDmlStrategy, RewriteTopKWindow, TopKPerKeyStrategy}
+    Seq(TopKPerKeyStrategy, AsOfJoinStrategy, GraftDmlStrategy).foreach { s =>
       if (!spark.experimental.extraStrategies.contains(s))
         spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
     }

@@ -1383,6 +1383,192 @@ object FormatOps {
       |FROM fixture
       |ORDER BY col""".stripMargin
 
+  // --------------------------------------------------------------- k106
+  /** SQL `UPDATE ... WHERE` on a graft catalog table — the warehouse DML
+    * spelling (ref `dags/s3-etl-wallet-csv.py:204-236` makes Postgres
+    * SQL the user's idiom), lowered by GraftDmlRewrite onto TxnTable's
+    * copy-on-write commit. Scale shape REQUIREd in-query: the WHERE
+    * prunes through manifest stats, so only the key-overlapping files
+    * of the 8-file range-clustered table are rewritten — the rest carry
+    * forward BY REFERENCE. Oracle restates the update as a CASE
+    * projection over raw customer. */
+  private def k106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k106_update")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      spark.sql(s"CREATE TABLE graft_k106_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """UPDATE graft_k106_t SET c_acctbal = c_acctbal + 1000.0
+            |WHERE c_custkey BETWEEN 100 AND 300""".stripMargin)
+      } finally spark.sql("DROP TABLE graft_k106_t")
+      val v = TxnTable.latestVersion(spark, table).get
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      val carried = before.intersect(after)
+      require(carried.nonEmpty && carried != before,
+        s"SQL UPDATE must be file-surgical: carried ${carried.size} of " +
+          s"${before.size} files; expected most untouched, a few rewritten")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k106Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(CASE WHEN c_custkey BETWEEN 100 AND 300
+      |   THEN c_acctbal + 1000.0 ELSE c_acctbal END AS DECIMAL(38,6)))
+      |   AS DOUBLE) AS sum_bal
+      |FROM customer""".stripMargin
+
+  // --------------------------------------------------------------- k107
+  /** SQL `MERGE INTO` on a graft catalog table: conditional matched
+    * UPDATE, matched DELETE, and NOT MATCHED INSERT in one statement,
+    * lowered onto the same copy-on-write commit as k106. The oracle
+    * restates all three action classes over raw customer. */
+  private def k107(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k107_merge")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      // source: negate bal for keys 100-300, kill keys 301-350, add two
+      cust.filter($"c_custkey".between(100, 350))
+        .select($"c_custkey", (-$"c_acctbal").as("new_bal"))
+        .unionByName(Seq((900001L, 11.5), (900002L, -3.25))
+          .toDF("c_custkey", "new_bal"))
+        .createOrReplaceTempView("graft_k107_src")
+      spark.sql(s"CREATE TABLE graft_k107_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO graft_k107_t t USING graft_k107_src s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED AND t.c_custkey > 300 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET c_acctbal = s.new_bal
+            |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+            |  VALUES (s.c_custkey, s.new_bal)""".stripMargin)
+      } finally spark.sql("DROP TABLE graft_k107_t")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"),
+        max($"c_custkey").cast("bigint").as("max_key"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k107Sql =
+    """WITH merged AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey BETWEEN 100 AND 300 THEN -c_acctbal
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey NOT BETWEEN 301 AND 350
+      |  UNION ALL SELECT 900001, 11.5
+      |  UNION ALL SELECT 900002, -3.25)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+      | CAST(MAX(c_custkey) AS BIGINT) AS max_key
+      |FROM merged""".stripMargin
+
+  // --------------------------------------------------------------- k108
+  /** PARTITIONED GRAFT WRITES — `partitionBy("o_orderpriority")` on
+    * `format("graft")`: the commit lands hive-style partition-value
+    * file groups (each file single-valued on the partition column,
+    * which the manifest records as stats with min == max), so
+    * partition pruning IS the existing stats pruning and partitions
+    * double as metadata GROUP BY groups. REQUIREd in-query: a
+    * partition-filtered DSv2 read scans ONLY that partition's files
+    * (zero non-matching files — the k102 GraftScanFiles pattern), a
+    * GROUP BY over the partition column is answered from the manifest
+    * with ZERO files scanned, and an append without partitionBy
+    * conforms to the recorded partitioning (sticky). Oracle: the
+    * group counts over raw orders. */
+  private def k108(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k108_part")
+    try {
+      val table = s"$zone/orders_part"
+      val ord = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      ord.filter($"o_orderkey" % 2 === 0)
+        .write.format("graft").mode("overwrite")
+        .partitionBy("o_orderpriority").save(table)
+      // sticky: the second half appends WITHOUT partitionBy and must
+      // still land in partition-value file groups
+      ord.filter($"o_orderkey" % 2 === 1)
+        .write.format("graft").mode("append").save(table)
+      require(TxnTable.partitionColumns(spark, table) == Seq("o_orderpriority"),
+        "partitionBy must be recorded in the manifest")
+      val v = TxnTable.latestVersion(spark, table).get
+      val stats = TxnTable.fileStats(spark, table, v)
+      val files = TxnTable.snapshotFiles(spark, table, v)
+      require(files.nonEmpty && files.forall(f =>
+        stats.getOrElse(f, Nil).exists(s =>
+          s.col == "o_orderpriority" && s.minV == s.maxV && s.nulls == 0L)),
+        "every partitioned file must be single-valued on the partition column")
+      // partition-filtered read scans ONLY the matching partition
+      val urgent = files.filter(f => stats(f)
+        .exists(s => s.col == "o_orderpriority" && s.minV == "1-URGENT"))
+      val pruned = spark.read.format("graft").load(table)
+        .filter($"o_orderpriority" === "1-URGENT")
+      val scanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(pruned).get
+      require(scanned == urgent.size && scanned < files.size,
+        s"partition pruning read $scanned files, want exactly ${urgent.size} " +
+          s"of ${files.size}")
+      // GROUP BY the partition column: answered from the manifest alone
+      val grouped = spark.read.format("graft").load(table)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val groupedScan = grouped.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      require(groupedScan.exists {
+        case g: GraftScanFiles => g.scannedFileCount == 0
+        case _ => false
+      }, s"partition GROUP BY must be metadata-only; got $groupedScan")
+      val result = grouped
+        .select($"o_orderpriority", $"n".cast("bigint").as("n"))
+        .orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k108Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1409,5 +1595,8 @@ object FormatOps {
     RQ("k102_group_agg_pushdown", k102, Some(k102Sql)),
     RQ("k103_txn_history", k103, Some(k103Sql)),
     RQ("k104_compact_small", k104, Some(k104Sql)),
-    RQ("k105_metadata_profile", k105, Some(k105Sql)))
+    RQ("k105_metadata_profile", k105, Some(k105Sql)),
+    RQ("k106_sql_update", k106, Some(k106Sql)),
+    RQ("k107_sql_merge_into", k107, Some(k107Sql)),
+    RQ("k108_partitioned_write", k108, Some(k108Sql)))
 }

@@ -121,12 +121,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     }
   }
 
+  // TRUE so DataFrameWriter hands `partitionBy(...)` through as identity
+  // Transforms in getTable (the provider otherwise never sees them) —
+  // and so reads may supply an explicit schema.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val spark = SparkSession.active
     val table = tablePath(properties)
+    val partCols = partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }
     new GraftTable(table,
-      pinnedVersion(spark, table, properties).getOrElse(0L), schema)
+      pinnedVersion(spark, table, properties).getOrElse(0L), schema, partCols)
   }
 }
 
@@ -160,9 +172,24 @@ private[io] class GraftStreamSink(table: String, parameters: Map[String, String]
   override def toString: String = s"GraftSink[$table]"
 }
 
-private[io] class GraftTable(table: String, version: Long, tableSchema: StructType)
+private[graft] class GraftTable(table: String, version: Long,
+    tableSchema: StructType, writePartCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** The filesystem table path — what the SQL DML rewrite (graft.plans
+    * .GraftDmlRewrite) hands to the TxnTable copy-on-write commit. */
+  def tablePath: String = table
+
+  /** Declared partitioning: the writer-supplied transforms if any, else
+    * the snapshot's recorded partition columns (sticky). */
+  override def partitioning(): Array[Transform] = {
+    val cols =
+      if (writePartCols.nonEmpty) writePartCols
+      else TxnTable.partitionColumns(SparkSession.active, table)
+    cols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  }
 
   /** SQL `DELETE FROM` mapped onto the metadata-gated delete
     * primitives — a point delete (`WHERE k = v`: stats + bloom prune
@@ -228,7 +255,7 @@ private[io] class GraftTable(table: String, version: Long, tableSchema: StructTy
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, table, version, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table, info)
+    new GraftWriteBuilder(table, info, writePartCols)
 }
 
 /** DSv2 WRITE path: `df.write.format("graft").mode("append"|"overwrite")
@@ -240,7 +267,8 @@ private[io] class GraftTable(table: String, version: Long, tableSchema: StructTy
   * separated) designate skipping metadata; `txnAppId`+`txnVersion` make
   * the write idempotent per (appId, batchId) — a replayed save() is a
   * no-op, the foreachBatch restart contract. */
-private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo)
+private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
+    tablePartCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -253,6 +281,13 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo)
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val statsCols = cols("statsCols")
         val bloomCols = cols("bloomCols")
+        // `.partitionBy(...)` arrives as identity transforms on the
+        // Table; `.option("partitionBy", "a,b")` is the spelling for
+        // APIs that cannot thread transforms. Either re-partitions on
+        // overwrite; absent, the commit keeps the table's recorded
+        // partitioning (sticky).
+        val partitionCols =
+          if (tablePartCols.nonEmpty) tablePartCols else cols("partitionBy")
         // ACCEPT_ANY_SCHEMA suppresses Spark's output resolution, so
         // positional writes (SQL `INSERT INTO t VALUES ...`) must be
         // aligned here. Positional intent is accepted ONLY for Spark's
@@ -291,13 +326,17 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo)
         }
         (overwrite, txn) match {
           case (false, None) =>
-            TxnTable.commitAppend(aligned, table, statsCols, bloomCols)
+            TxnTable.commitAppend(aligned, table, statsCols, bloomCols,
+              partitionCols)
           case (true, None) =>
-            TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols)
+            TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols,
+              partitionCols)
           case (false, Some((a, v))) =>
-            TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols, bloomCols)
+            TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols,
+              bloomCols, partitionCols)
           case (true, Some((a, v))) =>
-            TxnTable.commitOverwriteIdempotent(aligned, table, a, v, statsCols, bloomCols)
+            TxnTable.commitOverwriteIdempotent(aligned, table, a, v, statsCols,
+              bloomCols, partitionCols)
         }
         ()
       }

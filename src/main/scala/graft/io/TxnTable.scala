@@ -75,6 +75,13 @@ object TxnTable {
   private def manifestName(v: Long) = f"_v$v%05d.manifest"
   private val TxnPrefix = "#txn="
   private val SchemaPrefix = "#schema="
+  // Declared partition columns (`#partcols=` header, URL-encoded,
+  // comma-joined): identity-transform partitioning recorded with the
+  // snapshot and carried forward — appends conform to it automatically
+  // (sticky, Delta-style), partition-value file grouping happens in
+  // writeData, and pruning rides the ordinary stats machinery (each
+  // partitioned file is single-valued on the partition column).
+  private val PartPrefix = "#partcols="
   // Commit wall-clock, recorded IN the manifest at commit time:
   // `versionAt` (timestampAsOf) binary-searches these instead of
   // listing the directory and trusting filesystem mtimes — O(log
@@ -330,14 +337,23 @@ object TxnTable {
   def lastCommittedBatch(spark: SparkSession, table: String, appId: String): Option[Long] =
     latestVersion(spark, table).flatMap(v => txnMarkers(spark, table, v).get(appId))
 
+  /** Table-relative parquet files under `dirName`, RECURSIVE: a
+    * partitioned commit nests hive-style value dirs inside its `w=` dir
+    * (`w=ab/__gp_k=v/part-*.parquet`); flat commits are the depth-0
+    * case. */
   private def listParquet(spark: SparkSession, table: String, dirName: String): Seq[String] = {
     val ctx = fc(spark)
-    val it = ctx.listStatus(new Path(s"$table/$dirName"))
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (n.endsWith(".parquet")) buf += s"$dirName/$n"
+    def walk(rel: String): Unit = {
+      val it = ctx.listStatus(new Path(s"$table/$rel"))
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isDirectory) walk(s"$rel/$n")
+        else if (n.endsWith(".parquet")) buf += s"$rel/$n"
+      }
     }
+    walk(dirName)
     buf.sorted.toSeq
   }
 
@@ -514,7 +530,8 @@ object TxnTable {
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Map[String, Seq[FileStat]],
       blooms: Map[String, Seq[BloomMeta]] = Map.empty,
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      partCols: Seq[String] = Nil) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
@@ -631,11 +648,22 @@ object TxnTable {
       rows = (rows -- removed) ++ added.collect { case (f, Some(n)) => f -> n }
       headOf = dh
     }
-    State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows)
+    State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows,
+      parsePartCols(headOf))
   }
+
+  private def parsePartCols(headers: Seq[String]): Seq[String] =
+    headers.find(_.startsWith(PartPrefix)).toSeq
+      .flatMap(_.stripPrefix(PartPrefix).split(",").toSeq)
+      .map(_.trim).filter(_.nonEmpty).map(dec)
 
   private def latestState(spark: SparkSession, table: String): Option[State] =
     latestVersion(spark, table).map(stateOf(spark, table, _))
+
+  /** Declared partition columns of the latest snapshot (empty for an
+    * unpartitioned or uncommitted table). */
+  def partitionColumns(spark: SparkSession, table: String): Seq[String] =
+    latestState(spark, table).map(_.partCols).getOrElse(Nil)
 
   /** Data-skipping metadata of snapshot `version`: table-relative file →
     * min/max per designated stats column. */
@@ -672,13 +700,39 @@ object TxnTable {
     * written as sidecar objects next to their data files. */
   private def writeData(df: DataFrame, table: String,
                         statsCols: Seq[String],
-                        bloomCols: Seq[String] = Nil)
+                        bloomCols: Seq[String] = Nil,
+                        partitionCols: Seq[String] = Nil)
       : (String, Seq[String], Map[String, Seq[FileStat]],
          Map[String, Seq[BloomMeta]], Map[String, Long]) = {
     val spark = df.sparkSession
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
+    // PARTITIONED WRITE: hive-style value dirs inside this commit's data
+    // dir, so each file holds exactly ONE partition value. The partition
+    // column is DUPLICATED into a `__gp_<col>` directory column (hive
+    // layout strips the partitioning column from file contents; graft
+    // reads plan from explicit file lists, so the real column must stay
+    // IN the files). Partition columns are forced into `statsCols` by
+    // the callers: a single-valued file has min == max, which makes the
+    // existing stats machinery do exact partition pruning AND lets the
+    // metadata-only GROUP BY pushdown treat partitions as groups — no
+    // separate partition-pruning code path to keep correct.
+    val partCols = partitionCols.filter(df.columns.contains)
+    if (partCols.isEmpty)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
+    else
+      partCols.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(partCols.map(c => s"__gp_$c"): _*)
+        .parquet(s"$table/$dataDir")
     val newFiles = listParquet(spark, table, dataDir)
+    // URI → table-relative key, matching listParquet's raw names (the
+    // URI form may percent-encode; decode through the path)
+    def relKey(uri: String): String = {
+      val path = new Path(new java.net.URI(uri)).toUri.getPath
+      val i = path.indexOf(s"/$dataDir/")
+      require(i >= 0, s"read-back file $uri outside $dataDir")
+      path.substring(i + 1)
+    }
     // ONE read-back pass over the NEW files: per-file row counts
     // (always — they're what makes COUNT(*) metadata-only) plus min/
     // max/nulls for each designated stats column. With no stats columns
@@ -703,8 +757,7 @@ object TxnTable {
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val uri = r.getString(0)
-          val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
+          val key = relKey(r.getString(0))
           val ss = tracked.flatMap { case (c, _, kind) =>
             val nn = r.getAs[Long](s"__nn_$c")
             (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
@@ -745,8 +798,7 @@ object TxnTable {
             .agg(buildAgg(col("__h")).as("__bloom"))
             .collect()
             .map { r =>
-              val uri = r.getString(0)
-              val key = s"$dataDir/${uri.substring(uri.lastIndexOf('/') + 1)}"
+              val key = relKey(r.getString(0))
               val out = ctx.create(bloomSidecar(table, key, c),
                 java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
                   org.apache.hadoop.fs.CreateFlag.OVERWRITE),
@@ -759,16 +811,22 @@ object TxnTable {
     (dataDir, newFiles, stats, blooms, rowCounts)
   }
 
+  private def partColsLine(partCols: Seq[String]): Seq[String] =
+    if (partCols.isEmpty) Nil
+    else Seq(s"$PartPrefix${partCols.map(enc).mkString(",")}")
+
   private def manifestContent(
       schema: org.apache.spark.sql.types.StructType,
       txns: Map[String, Long],
       stats: Map[String, Seq[FileStat]],
       files: Seq[String],
       blooms: Map[String, Seq[BloomMeta]] = Map.empty,
-      rows: Map[String, Long] = Map.empty): String = {
+      rows: Map[String, Long] = Map.empty,
+      partCols: Seq[String] = Nil): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}") ++
+      partColsLine(partCols) ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => statLine(f, s)) } ++
@@ -789,9 +847,11 @@ object TxnTable {
       added: Seq[String],
       base: Long,
       newBlooms: Map[String, Seq[BloomMeta]] = Map.empty,
-      newRows: Map[String, Long] = Map.empty): String =
+      newRows: Map[String, Long] = Map.empty,
+      partCols: Seq[String] = Nil): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}") ++
+      partColsLine(partCols) ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       newStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => statLine(f, s)) } ++
@@ -822,7 +882,8 @@ object TxnTable {
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
                      statsCols: Seq[String],
-                     bloomCols: Seq[String] = Nil): Long = {
+                     bloomCols: Seq[String] = Nil,
+                     partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val ctx = fc(spark)
     def applied(state: Option[State]): Boolean =
@@ -836,8 +897,16 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
+    // partitioning is STICKY: an explicit spec wins (and re-partitions
+    // the table on overwrite); otherwise appends conform to the prior
+    // snapshot's recorded partition columns automatically. Partition
+    // columns always join the stats set — single-valued files make the
+    // stats machinery do exact partition pruning.
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else state.map(_.partCols).getOrElse(Nil)
     val (dataDir, newFiles, newStats, newBlooms, newRows) =
-      writeData(df, table, statsCols, bloomCols)
+      writeData(df, table, (statsCols ++ partCols).distinct, bloomCols, partCols)
     var attempt = 0
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch
@@ -875,10 +944,11 @@ object TxnTable {
       val writeFull = !append || state.isEmpty ||
         next % checkpointInterval(spark) == 0
       val content =
-        if (writeFull) manifestContent(schema, txns, stats, files, blooms, rows)
+        if (writeFull)
+          manifestContent(schema, txns, stats, files, blooms, rows, partCols)
         else deltaContent(schema, txns, newStats, removed = Nil,
           added = newFiles, base = state.get.version, newBlooms = newBlooms,
-          newRows = newRows)
+          newRows = newRows, partCols = partCols)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -898,9 +968,10 @@ object TxnTable {
     * (equality skipping for readEquals/deleteEquals and DSv2 `===`). */
   def commitOverwrite(df: DataFrame, table: String,
                       statsCols: Seq[String] = Nil,
-                      bloomCols: Seq[String] = Nil): Long =
+                      bloomCols: Seq[String] = Nil,
+                      partitionCols: Seq[String] = Nil): Long =
     commit(df, table, append = false, txn = None, statsCols = statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, partitionCols = partitionCols)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
@@ -909,9 +980,10 @@ object TxnTable {
     * winner's snapshot, so both appends survive. */
   def commitAppend(df: DataFrame, table: String,
                    statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil): Long =
+                   bloomCols: Seq[String] = Nil,
+                   partitionCols: Seq[String] = Nil): Long =
     commit(df, table, append = true, txn = None, statsCols = statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, partitionCols = partitionCols)
 
   /** Overwrite exactly-once per (appId, batchId): the marker commits
     * ATOMICALLY with the replacement snapshot, so a consumer that
@@ -921,9 +993,11 @@ object TxnTable {
   def commitOverwriteIdempotent(df: DataFrame, table: String,
                                 appId: String, batchId: Long,
                                 statsCols: Seq[String] = Nil,
-                                bloomCols: Seq[String] = Nil): Long =
+                                bloomCols: Seq[String] = Nil,
+                                partitionCols: Seq[String] = Nil): Long =
     commit(df, table, append = false, txn = Some((appId, batchId)),
-      statsCols = statsCols, bloomCols = bloomCols)
+      statsCols = statsCols, bloomCols = bloomCols,
+      partitionCols = partitionCols)
 
   /** Append exactly-once per (appId, batchId): a replay of an
     * already-applied batch is a no-op returning the current version.
@@ -932,9 +1006,11 @@ object TxnTable {
   def commitAppendIdempotent(df: DataFrame, table: String,
                              appId: String, batchId: Long,
                              statsCols: Seq[String] = Nil,
-                             bloomCols: Seq[String] = Nil): Long =
+                             bloomCols: Seq[String] = Nil,
+                             partitionCols: Seq[String] = Nil): Long =
     commit(df, table, append = true, txn = Some((appId, batchId)),
-      statsCols = statsCols, bloomCols = bloomCols)
+      statsCols = statsCols, bloomCols = bloomCols,
+      partitionCols = partitionCols)
 
   /** DATA-SKIPPING read: the latest snapshot's rows with `column` in
     * [lo, hi] — planned over ONLY the files whose manifest min/max for
@@ -1065,7 +1141,8 @@ object TxnTable {
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
             .filter(not(coalesce(col(column) === lit(value), lit(false))))
-          val (d, nf, ns, nb, nr) = writeData(complement, table, trackedCols, trackedBlooms)
+          val (d, nf, ns, nb, nr) =
+            writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
           (nf, ns, nb, nr, Some(d))
         }
       val files = carried ++ newFiles
@@ -1076,10 +1153,10 @@ object TxnTable {
           manifestContent(schema, st.txns,
             (st.stats -- removedFiles) ++ newStats, files,
             (st.blooms -- removedFiles) ++ newBlooms,
-            (st.rows -- removedFiles) ++ newRows)
+            (st.rows -- removedFiles) ++ newRows, st.partCols)
         else deltaContent(schema, st.txns, newStats,
           removed = removedFiles, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows)
+          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1195,7 +1272,7 @@ object TxnTable {
       val trackedBlooms =
         st.bloomCols.intersect(merged.columns.toSet).toSeq.sorted
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
-        writeData(merged, table, trackedCols, trackedBlooms)
+        writeData(merged, table, trackedCols, trackedBlooms, st.partCols)
       val files = untouched ++ newFiles
       val stats = (st.stats -- touched) ++ newStats
       val blooms = (st.blooms -- touched) ++ newBlooms
@@ -1205,10 +1282,11 @@ object TxnTable {
       val next = st.version + 1L
       val content =
         if (next % checkpointInterval(spark) == 0)
-          manifestContent(mergedSchema, st.txns, stats, files, blooms, rows)
+          manifestContent(mergedSchema, st.txns, stats, files, blooms, rows,
+            st.partCols)
         else deltaContent(mergedSchema, st.txns, newStats,
           removed = touched.toSeq.sorted, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows)
+          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1221,6 +1299,70 @@ object TxnTable {
     }
     throw new IllegalStateException(
       s"merge into $table lost the snapshot race 16 times — pathological contention")
+  }
+
+  /** COPY-ON-WRITE COMMIT — the generic file-surgical primitive SQL
+    * UPDATE and MERGE INTO rewrite onto. Each attempt hands `compute`
+    * the pinned snapshot (as a DSv2 frame, so its own filters get
+    * manifest-stats + bloom file skipping) and the pinned version;
+    * `compute` returns the files to REPLACE (absolute or table-relative
+    * — matched back to the snapshot's file list) and the replacement
+    * rows (which may include pure inserts; `removed = Nil` makes the
+    * commit append-only), or None for a provable no-op. Untouched files
+    * carry forward BY REFERENCE with their stats/blooms/row counts; the
+    * replacement re-collects skipping metadata for every column the
+    * table tracks. Optimistic pinned CAS, same as merge/deleteRange:
+    * losing the race discards the written data dir and recomputes
+    * against the new snapshot — a row-level rewrite's correctness
+    * depends on its base. */
+  def rewriteCommit(spark: SparkSession, table: String,
+                    compute: (DataFrame, Long) => Option[(Seq[String], DataFrame)]): Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val snap = spark.read.format("graft")
+        .option("versionAsOf", st.version.toString).load(table)
+      compute(snap, st.version) match {
+        case None => return st.version
+        case Some((removedRaw, replacement)) =>
+          val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+          val removed = removedRaw.map { r =>
+            val base = r.substring(r.lastIndexOf('/') + 1)
+            byBase.getOrElse(base, throw new IllegalStateException(
+              s"rewrite names a file not in snapshot v${st.version}: $r"))
+          }.distinct.sorted
+          val trackedCols = st.stats.values.flatten.map(_.col).toSet
+            .intersect(replacement.columns.toSet).toSeq.sorted
+          val trackedBlooms =
+            st.bloomCols.intersect(replacement.columns.toSet).toSeq.sorted
+          val (dataDir, newFiles, newStats, newBlooms, newRows) =
+            writeData(replacement, table, trackedCols, trackedBlooms, st.partCols)
+          val files = st.files.filterNot(removed.toSet) ++ newFiles
+          val next = st.version + 1L
+          val content =
+            if (next % checkpointInterval(spark) == 0)
+              manifestContent(schema, st.txns,
+                (st.stats -- removed) ++ newStats, files,
+                (st.blooms -- removed) ++ newBlooms,
+                (st.rows -- removed) ++ newRows, st.partCols)
+            else deltaContent(schema, st.txns, newStats, removed = removed,
+              added = newFiles, base = st.version, newBlooms = newBlooms,
+              newRows = newRows, partCols = st.partCols)
+          if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+            writePointer(ctx, table, next)
+            return next
+          }
+          ctx.delete(new Path(s"$table/$dataDir"), true)
+          attempt += 1 // computed against a stale snapshot: redo
+          backoff(attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"rewrite of $table lost the snapshot race 16 times")
   }
 
   /** RANGE DELETE: remove every row with the stats column in [lo, hi] —
@@ -1280,7 +1422,8 @@ object TxnTable {
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
             .filter(not(coalesce(rangeFilter(column, dt, lo, hi), lit(false))))
-          val (d, nf, ns, nb, nr) = writeData(complement, table, trackedCols, trackedBlooms)
+          val (d, nf, ns, nb, nr) =
+            writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
           (nf, ns, nb, nr, Some(d))
         }
       val files = disjoint ++ newFiles
@@ -1291,10 +1434,10 @@ object TxnTable {
           manifestContent(schema, st.txns,
             (st.stats -- removedFiles) ++ newStats, files,
             (st.blooms -- removedFiles) ++ newBlooms,
-            (st.rows -- removedFiles) ++ newRows)
+            (st.rows -- removedFiles) ++ newRows, st.partCols)
         else deltaContent(schema, st.txns, newStats,
           removed = removedFiles, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows)
+          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1517,7 +1660,7 @@ object TxnTable {
       val next = st.version + 1L
       val content =
         manifestContent(schema, st.txns, target.stats, target.files,
-          target.blooms, target.rows)
+          target.blooms, target.rows, target.partCols)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1573,7 +1716,7 @@ object TxnTable {
         .parquet(small.map(f => s"$table/$f"): _*)
         .coalesce(targetFiles)
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
-        writeData(packed, table, trackedCols, trackedBlooms)
+        writeData(packed, table, trackedCols, trackedBlooms, st.partCols)
       val files = carried ++ newFiles
       val removed = small.sorted
       val next = st.version + 1L
@@ -1582,10 +1725,10 @@ object TxnTable {
           manifestContent(schema, st.txns,
             (st.stats -- removed) ++ newStats, files,
             (st.blooms -- removed) ++ newBlooms,
-            (st.rows -- removed) ++ newRows)
+            (st.rows -- removed) ++ newRows, st.partCols)
         else deltaContent(schema, st.txns, newStats,
           removed = removed, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows)
+          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next

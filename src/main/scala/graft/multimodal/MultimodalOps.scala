@@ -8,43 +8,37 @@ import graft.io.Tables
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (BASELINE.json north_star).
   *
-  * The container has no audio/video codecs, so DecodeStub below is a
-  * clearly-marked DETERMINISTIC FAKE of that decode step; everything
-  * Spark-side — binary column handling, metadata schema, the
+  * Every query here runs REAL codecs from the Java 17 runtime — PNG and
+  * GIF via javax.imageio, WAV via javax.sound.sampled — through the
   * mapPartitions batch shape (the Scala analog of `mapInPandas`:
-  * partition-at-a-time iterator, decoder initialized once per partition,
-  * not per row) — is real and oracle-/test-covered. Swapping DecodeStub
-  * for a real codec changes no plumbing — and m63 PROVES it, running a
-  * genuine PNG encode→decode round trip through the same seam with the
-  * JDK's built-in javax.imageio codec.
-  */
+  * partition-at-a-time iterator, decoder initialized once per
+  * partition, never per row). m61 sniffs MIXED payloads by magic bytes
+  * and routes to the right decoder; m62 drives frame sampling off the
+  * WAV header's actual duration; m63/m64/m65 are the per-codec round
+  * trips. The payloads are synthesized from closed-form pixel/sample
+  * functions, so the DuckDB oracles gate the full encode→ship→sniff→
+  * decode pipeline without parsing any container themselves. */
 object MultimodalOps {
 
-  /** One media row after "decode": typed metadata next to the payload. */
-  final case class MediaMeta(
-      doc_id: Long,
-      n_bytes: Long,
-      format: String,   // sniffed from fake magic bytes
-      width: Int,
-      height: Int,
-      channels: Int)
-
-  /** The decode seam. Real pipelines put JNI/codec init in `open()`,
-    * called once per PARTITION (see m61), never per row. */
-  object DecodeStub {
-    /** Deterministic fake decode: dimensions derived from the payload's
-      * MD5 so results are stable across runs/partitionings. */
-    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      def nib(i: Int): Int = (md(i / 2) >> (if (i % 2 == 0) 4 else 0)) & 0xf
-      MediaMeta(
-        doc_id = docId,
-        n_bytes = payload.length.toLong,
-        format = if (nib(0) < 8) "png" else "jpeg",
-        width = 64 + nib(1) * 8,
-        height = 64 + nib(2) * 8,
-        channels = if (nib(3) < 12) 3 else 4)
+  /** PCM16 mono WAV bytes: `n` samples at `rate` Hz, sample i =
+    * (id·31 + i·7) mod 4096 − 2048 — the closed form every WAV oracle
+    * restates. */
+  private def wavBytes(id: Long, n: Int, rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 31 + i * 7) % 4096 - 2048).toInt
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
     }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   // ---------------------------------------------------------------- m60
@@ -70,84 +64,135 @@ object MultimodalOps {
       | SUBSTRING(HEX(ENCODE(text)), 1, 8) AS magic_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** The mapPartitions decode pipeline, exposed for reuse + tests. */
-  def decoded(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text".cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // partition-scoped "decoder" init happens here, once
-        it.map { case (id, payload) => DecodeStub.decode(id, payload) }
-      }
-  }
-
   // ---------------------------------------------------------------- m61
-  /** Decode + feature-extract over binary payloads via mapPartitions.
-    * The fake decode is pure MD5-nibble arithmetic, so the ORACLE can
-    * restate it: DuckDB derives the same nibbles from md5(text) hex chars
-    * (`strpos('0123456789abcdef', …) - 1`) — every "decoded" value is
-    * hash-verified, while the Spark side still runs the real
-    * partition-at-a-time decoder seam. The seam itself is proven LIVE
-    * with two real JDK codecs — PNG (m63, javax.imageio) and WAV (m64,
-    * javax.sound.sampled); this stub stands in only for codecs absent
-    * from the JDK (video), with identical plumbing. */
+  /** MIXED-PAYLOAD CONTENT SNIFFING over real bytes: stage 1 encodes a
+    * GENUINE container per document — PNG (javax.imageio) for even ids,
+    * WAV (javax.sound.sampled) for odd — with dimensions/frame counts a
+    * closed-form function of doc_id; stage 2 receives only the opaque
+    * binary column, sniffs the MAGIC BYTES (\x89PNG vs RIFF/WAVE),
+    * routes each payload to the matching decoder inside mapPartitions
+    * (both decoders initialized once per partition), and extracts typed
+    * metadata. This is the heterogeneous-lake shape: one binary column,
+    * many formats, decode dispatched by content, not by a column the
+    * writer promised. The oracle restates the closed-form properties —
+    * it never parses a container; a sniff or decode error surfaces as a
+    * hash mismatch. */
   private def m61(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    decoded(spark, dir).toDF()
-      .select($"doc_id", $"n_bytes", $"format", $"width", $"height", $"channels")
+    val encoded: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 2 == 0) {
+            val w = 4 + (id % 5).toInt
+            val h = 4 + (id % 3).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((id * 131 + y * w + x) % 0x1000000).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          } else (id, wavBytes(id, n = 32 + (id % 17).toInt, rate = 8000f))
+        }
+      }
+    encoded
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val isPng = bytes.length > 8 &&
+            (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+            bytes(2) == 'N' && bytes(3) == 'G'
+          val isWav = bytes.length > 12 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+            bytes(10) == 'V' && bytes(11) == 'E'
+          if (isPng) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            (id, "png", img.getWidth.toLong, img.getHeight.toLong,
+              img.getColorModel.getNumComponents)
+          } else if (isWav) {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            (id, "wav", ais.getFrameLength,
+              ais.getFormat.getSampleRate.toLong, ais.getFormat.getChannels)
+          } else (id, "unknown", -1L, -1L, -1)
+        }
+      }
+      .toDF("doc_id", "format", "dim1", "dim2", "channels")
       .orderBy($"doc_id")
   }
   private val m61Sql =
-    """WITH m AS (
-      |  SELECT doc_id, md5(text) AS h,
-      |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
-      |  FROM documents),
-      |n AS (
-      |  SELECT doc_id, n_bytes,
-      |    strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS n0,
-      |    strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS n1,
-      |    strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS n2,
-      |    strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS n3
-      |  FROM m)
-      |SELECT doc_id, n_bytes,
-      | CASE WHEN n0 < 8 THEN 'png' ELSE 'jpeg' END AS format,
-      | CAST(64 + n1 * 8 AS INTEGER) AS width,
-      | CAST(64 + n2 * 8 AS INTEGER) AS height,
-      | CAST(CASE WHEN n3 < 12 THEN 3 ELSE 4 END AS INTEGER) AS channels
-      |FROM n ORDER BY doc_id""".stripMargin
+    """SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+      | CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5
+      |   ELSE 32 + doc_id % 17 END AS BIGINT) AS dim1,
+      | CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 3
+      |   ELSE 8000 END AS BIGINT) AS dim2,
+      | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m62
-  /** Video FRAME SAMPLING plumbing: each payload gets a deterministic fake
-    * duration, frame offsets are a bounded per-row sequence explode
-    * (every 500 ms, at most 4 frames), and each frame gets a stable
-    * signature in place of decoded pixels. The schema/explode/batch shape
-    * is exactly the real frame-sampler's; only the codec is the
-    * deterministic stand-in (same seam as DecodeStub). Exploding bounded
-    * sequences keeps the blow-up per-row — no shuffle, scales linearly. */
+  /** FRAME SAMPLING driven by the container's REAL header: stage 1
+    * encodes a genuine WAV per document (100 Hz PCM16, sample count —
+    * and therefore duration — a closed-form function of doc_id);
+    * stage 2 parses the header with javax.sound (duration = frames /
+    * rate, read from the bytes, not trusted from a column), explodes
+    * one frame offset per 500 ms (capped at 4 — bounded per-row
+    * blow-up, no shuffle), and fingerprints each frame with the DECODED
+    * sample at that offset. The oracle recomputes duration, offsets,
+    * and the sample value from the closed form — a header misparse, an
+    * off-by-one in the offset→sample index map, or a PCM decode error
+    * all surface as hash mismatches. */
   private def m62(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text",
-        (octet_length($"text") * 7 % 10000 + 1000).as("dur_ms"))
-      .select($"doc_id", $"text", $"dur_ms",
-        explode(expr("sequence(0, least(dur_ms - 1, 1500), 500)")).as("frame_ms"))
-      .select(
-        $"doc_id",
-        $"dur_ms".cast("bigint").as("dur_ms"),
-        $"frame_ms".cast("bigint").as("frame_ms"),
-        md5(concat(md5($"text"), lit(":"), $"frame_ms".cast("string"))).as("frame_sig"))
+    val Rate = 100f
+    val encoded: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map(id =>
+        (id, wavBytes(id, n = ((id * 7) % 1000 + 100).toInt, rate = Rate))))
+    encoded
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val rate = ais.getFormat.getSampleRate
+          val frames = ais.getFrameLength
+          val durMs = frames * 1000L / rate.toLong
+          val pcm = ais.readAllBytes()
+          def sampleAt(i: Int): Int =
+            ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)).toShort.toInt
+          (0L to math.min(durMs - 1, 1500L) by 500L).map { frameMs =>
+            val idx = (frameMs * rate.toLong / 1000L).toInt
+            val sig = md.digest(s"$id:$frameMs:${sampleAt(idx)}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            (id, durMs, frameMs, sig)
+          }
+        }
+      }
+      .toDF("doc_id", "dur_ms", "frame_ms", "frame_sig")
       .orderBy($"doc_id", $"frame_ms")
   }
   private val m62Sql =
     """WITH v AS (
-      |  SELECT doc_id, text,
-      |    OCTET_LENGTH(ENCODE(text)) * 7 % 10000 + 1000 AS dur_ms
+      |  SELECT doc_id, (doc_id * 7) % 1000 + 100 AS n_samples,
+      |    ((doc_id * 7) % 1000 + 100) * 10 AS dur_ms
       |  FROM documents)
       |SELECT doc_id,
       | CAST(dur_ms AS BIGINT) AS dur_ms,
       | CAST(frame_ms AS BIGINT) AS frame_ms,
-      | MD5(MD5(text) || ':' || CAST(frame_ms AS VARCHAR)) AS frame_sig
+      | MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_ms AS VARCHAR) || ':'
+      |   || CAST((doc_id * 31 + (frame_ms // 10) * 7) % 4096 - 2048 AS VARCHAR))
+      |   AS frame_sig
       |FROM v, LATERAL (SELECT UNNEST(range(0, LEAST(dur_ms - 1, 1500) + 1, 500)) AS frame_ms) t
       |ORDER BY doc_id, frame_ms""".stripMargin
 
@@ -341,26 +386,7 @@ object MultimodalOps {
     val Rate = 8000f
     val encoded: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
       .select($"doc_id").as[Long]
-      .mapPartitions { it =>
-        val fmt = new javax.sound.sampled.AudioFormat(
-          Rate, 16, 1, true, false) // PCM16 mono signed little-endian
-        it.map { id =>
-          val raw = new Array[Byte](N * 2)
-          var i = 0
-          while (i < N) {
-            val s = ((id * 31 + i * 7) % 4096 - 2048).toInt
-            raw(2 * i) = (s & 0xff).toByte
-            raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
-            i += 1
-          }
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(raw), fmt, N.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          (id, bos.toByteArray)
-        }
-      }
+      .mapPartitions(_.map(id => (id, wavBytes(id, N, Rate))))
     encoded
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -399,8 +425,8 @@ object MultimodalOps {
 
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
-    RQ("m61_decode_stub", m61, Some(m61Sql)),
-    RQ("m62_frame_sample", m62, Some(m62Sql)),
+    RQ("m61_content_sniff", m61, Some(m61Sql)),
+    RQ("m62_wav_frame_sample", m62, Some(m62Sql)),
     RQ("m63_png_roundtrip", m63, Some(m63Sql)),
     RQ("m64_wav_roundtrip", m64, Some(m64Sql)),
     RQ("m65_gif_frames", m65, Some(m65Sql)))

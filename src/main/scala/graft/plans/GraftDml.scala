@@ -1,0 +1,399 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+import graft.io.{GraftTable, TxnTable}
+
+/** SQL `UPDATE` and `MERGE INTO` for graft tables — the warehouse DML
+  * spellings the reference's Postgres surface makes users expect (ref
+  * `dags/s3-etl-wallet-csv.py:204-236`), mapped onto [[TxnTable]]'s
+  * copy-on-write commit instead of Spark's `SupportsRowLevelOperations`
+  * machinery: graft's commit protocol (pinned-CAS manifest publish,
+  * file-surgical rewrite set, stats/bloom carry-forward) IS the
+  * group-based row-level operation, so the analyzer rule below
+  * intercepts the resolved `UpdateTable` / `MergeIntoTable` plans that
+  * Spark's own `RewriteUpdateTable` / `RewriteMergeIntoTable` leave
+  * untouched (the graft Table is not RLO-capable) and lowers them to a
+  * command executing `TxnTable.rewriteCommit`.
+  *
+  * Scale shape (the part Spark's generic group-rewrite cannot know):
+  * phase 1 finds the TOUCHED files through the graft DSv2 scan, so the
+  * UPDATE's WHERE (and nothing else) drives manifest-stats + bloom file
+  * skipping; phase 2 rewrites only those files, every other file
+  * carries forward by reference — a predicate touching 0.1% of a
+  * 100 TB table rewrites 0.1% of it. Requires the extension to be
+  * installed at session build (`spark.sql.extensions=
+  * graft.functions.GraftExtensions`): analyzer rules cannot be added to
+  * a live session. */
+object GraftDmlRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  private def graftTarget(p: LogicalPlan): Option[(Seq[Attribute], String)] =
+    p.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        (r.output, r.table.asInstanceOf[GraftTable].tablePath)
+    }
+
+  /** Merge-expression resolution the analyzer SKIPS for graft targets:
+    * ACCEPT_ANY_SCHEMA (needed for evolved appends) sets the relation's
+    * `skipSchemaResolution`, which makes ResolveReferences leave every
+    * merge action unresolved. This rule therefore resolves attribute
+    * references itself — scoped per SQL MERGE rules (ON + matched: both
+    * sides; insert values/conditions: source; not-matched-by-source:
+    * target) — and expands `UPDATE *` / `INSERT *` against same-name
+    * source columns. Partial progress is returned into the fixed point,
+    * so ResolveFunctions etc. still handle the rest; only a FULLY
+    * resolved merge is lowered to the command. */
+  private def resolveMergeStep(m: MergeIntoTable): MergeIntoTable = {
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def res(scope: Seq[LogicalPlan])(e: Expression): Expression = e.transformUp {
+      case u: UnresolvedAttribute =>
+        scope.view.flatMap(p => p.resolve(u.nameParts, resolver))
+          .headOption.getOrElse(u)
+    }
+    val both = Seq(m.targetTable, m.sourceTable)
+    val tgt = Seq(m.targetTable)
+    val src = Seq(m.sourceTable)
+    val tgtOut = m.targetTable.output
+    val srcOut = m.sourceTable.output
+    def starAssignments: Seq[Assignment] = tgtOut.flatMap { t =>
+      srcOut.find(s => resolver(s.name, t.name)).map(s => Assignment(t, s))
+    }
+    def rAssign(a: Assignment, valueScope: Seq[LogicalPlan]): Assignment =
+      Assignment(res(tgt)(a.key), res(valueScope)(a.value))
+    def rAction(a: MergeAction, matchedSide: Boolean): MergeAction = a match {
+      case ua: UpdateAction =>
+        val scope = if (matchedSide) both else tgt
+        UpdateAction(ua.condition.map(res(scope)),
+          ua.assignments.map(rAssign(_, scope)))
+      case da: DeleteAction =>
+        DeleteAction(da.condition.map(res(if (matchedSide) both else tgt)))
+      case ia: InsertAction =>
+        InsertAction(ia.condition.map(res(src)),
+          ia.assignments.map(rAssign(_, src)))
+      case us: UpdateStarAction =>
+        UpdateAction(us.condition.map(res(both)), starAssignments)
+      case is: InsertStarAction =>
+        InsertAction(is.condition.map(res(src)), starAssignments)
+      case other => other
+    }
+    m.copy(
+      mergeCondition = res(both)(m.mergeCondition),
+      matchedActions = m.matchedActions.map(rAction(_, matchedSide = true)),
+      notMatchedActions = m.notMatchedActions.map(rAction(_, matchedSide = true)),
+      notMatchedBySourceActions =
+        m.notMatchedBySourceActions.map(rAction(_, matchedSide = false)))
+  }
+
+  private def mergeResolved(m: MergeIntoTable): Boolean =
+    m.mergeCondition.resolved &&
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+        .forall {
+          case ua: UpdateAction =>
+            ua.condition.forall(_.resolved) && ua.assignments.forall(a =>
+              a.key.resolved && a.value.resolved)
+          case da: DeleteAction => da.condition.forall(_.resolved)
+          case ia: InsertAction =>
+            ia.condition.forall(_.resolved) && ia.assignments.forall(a =>
+              a.key.resolved && a.value.resolved)
+          case _ => false
+        }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && graftTarget(target).isDefined =>
+      val (out, path) = graftTarget(target).get
+      GraftUpdateCommand(new UpdatePayload(path, out, assignments, condition))
+    case m: MergeIntoTable
+        if m.targetTable.resolved && m.sourceTable.resolved &&
+          graftTarget(m.targetTable).isDefined =>
+      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+        "MERGE INTO ... WITH SCHEMA EVOLUTION is not supported on graft " +
+          "tables; evolve via the TxnTable.merge API or an evolved append")
+      if (!mergeResolved(m)) resolveMergeStep(m) // progress; fixed point re-runs
+      else {
+        val (out, path) = graftTarget(m.targetTable).get
+        GraftMergeCommand(new MergePayload(path, out, m.sourceTable,
+          m.mergeCondition, m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions))
+      }
+  }
+}
+
+/** Plain (non-Product) holders: captured expressions/plans must NOT
+  * surface as the command node's own `expressions`/`children` — a leaf
+  * command with dangling attribute references would fail CheckAnalysis'
+  * missing-input check. The payload is opaque to TreeNode reflection. */
+final class UpdatePayload(
+    val table: String,
+    val targetOutput: Seq[Attribute],
+    val assignments: Seq[Assignment],
+    val condition: Option[Expression])
+
+final class MergePayload(
+    val table: String,
+    val targetOutput: Seq[Attribute],
+    val source: LogicalPlan,
+    val condition: Expression,
+    val matched: Seq[MergeAction],
+    val notMatched: Seq[MergeAction],
+    val notMatchedBySource: Seq[MergeAction])
+
+case class GraftUpdateCommand(payload: UpdatePayload)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftMergeCommand(payload: MergePayload)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+object GraftDmlStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftUpdateCommand(p) =>
+      GraftDmlExec(s"UPDATE graft.`${p.table}`",
+        () => GraftDml.runUpdate(SparkSession.active, p)) :: Nil
+    case GraftMergeCommand(p) =>
+      GraftDmlExec(s"MERGE INTO graft.`${p.table}`",
+        () => GraftDml.runMerge(SparkSession.active, p)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Command-style exec: runs the rewrite exactly once on first collect
+  * (the eager-command execution path), returns no rows. */
+case class GraftDmlExec(label: String, run: () => Unit) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Array[InternalRow] = { run(); Array.empty }
+  override def executeCollect(): Array[InternalRow] = done
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD[InternalRow]
+  }
+  override def simpleString(maxFields: Int): String = s"GraftDmlExec $label"
+}
+
+private[plans] object GraftDml {
+
+  /** Attribute of `df`'s analyzed plan named `name` (resolution-rule
+    * output names match the committed schema's exactly). */
+  private def attrOf(df: DataFrame, name: String): Attribute =
+    GraftBridge.analyzedOutput(df).find(_.name == name).getOrElse(
+      throw new IllegalStateException(
+        s"rewrite frame lost column $name — schema changed concurrently?"))
+
+  /** Captured expression → Column over the CURRENT rewrite frames:
+    * target references (captured exprIds) re-point at `targetDf`'s
+    * attributes by name; anything else (source references, literals)
+    * passes through by exprId. */
+  private def subst(e: Expression, byId: Map[ExprId, String],
+                    targetDf: DataFrame): Column =
+    GraftBridge.column(e.transform {
+      case a: AttributeReference if byId.contains(a.exprId) =>
+        attrOf(targetDf, byId(a.exprId))
+    })
+
+  private def keyName(k: Expression, byId: Map[ExprId, String]): String =
+    k match {
+      case a: AttributeReference => byId.getOrElse(a.exprId, a.name)
+      case other => throw new UnsupportedOperationException(
+        s"only top-level column assignment is supported, got ${other.sql}")
+    }
+
+  def runUpdate(spark: SparkSession, p: UpdatePayload): Unit = {
+    val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
+    val sets: Map[String, Expression] =
+      p.assignments.map(a => keyName(a.key, byId) -> a.value).toMap
+    TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
+      // phase 1: touched files — the WHERE flows through the graft DSv2
+      // scan, so manifest stats + blooms prune before any data is read
+      val cond = p.condition.map(subst(_, byId, snap)).getOrElse(lit(true))
+      val touched = snap.withColumn("__graft_file", input_file_name())
+        .filter(cond).select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) None
+      else {
+        // phase 2: rewrite ONLY the touched files — matching rows get
+        // the assignments (cast to the column's type), others carry;
+        // a NULL condition keeps the row (SQL UPDATE semantics)
+        val tdf = spark.read.schema(snap.schema).parquet(touched: _*)
+        val cond2 = p.condition.map(subst(_, byId, tdf)).getOrElse(lit(true))
+        val out = tdf.select(snap.schema.fields.toIndexedSeq.map { f =>
+          sets.get(f.name) match {
+            case Some(v) =>
+              when(cond2, subst(v, byId, tdf).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        Some((touched, out))
+      }
+    })
+    ()
+  }
+
+  def runMerge(spark: SparkSession, p: MergePayload): Unit = {
+    val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
+
+    // Every target-column reference in a post-join frame must go through
+    // the PRE-join target frame's attributes: after `target JOIN source`
+    // both sides usually carry the same column names, and a by-name
+    // `col("k")` would be ambiguous. Source references resolve by their
+    // captured exprIds; target references substitute to `targetDf`'s.
+    def tcol(targetDf: DataFrame, f: StructField): Column =
+      GraftBridge.column(attrOf(targetDf, f.name))
+
+    def actionCond(a: MergeAction, targetDf: DataFrame): Column = a match {
+      case ua: UpdateAction => ua.condition.map(subst(_, byId, targetDf)).getOrElse(lit(true))
+      case da: DeleteAction => da.condition.map(subst(_, byId, targetDf)).getOrElse(lit(true))
+      case ia: InsertAction => ia.condition.map(subst(_, byId, targetDf)).getOrElse(lit(true))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE action: $other")
+    }
+
+    /** TRUE iff the first applicable action for this row is a DELETE. */
+    def deleteCascade(actions: Seq[MergeAction], targetDf: DataFrame): Column =
+      actions.foldRight(lit(false)) { (a, els) =>
+        a match {
+          case _: DeleteAction => when(actionCond(a, targetDf), lit(true)).otherwise(els)
+          case _ => when(actionCond(a, targetDf), lit(false)).otherwise(els)
+        }
+      }
+
+    /** Value of column `f` after the first applicable action (keep when
+      * none applies, or when the applicable UPDATE does not assign it). */
+    def updateCascade(actions: Seq[MergeAction], targetDf: DataFrame,
+                      f: StructField): Column =
+      actions.foldRight(tcol(targetDf, f)) { (a, els) =>
+        a match {
+          case ua: UpdateAction =>
+            val assigned = ua.assignments.collectFirst {
+              case Assignment(k, v) if keyName(k, byId) == f.name => v
+            }
+            assigned match {
+              case Some(v) =>
+                when(actionCond(ua, targetDf), subst(v, byId, targetDf).cast(f.dataType))
+                  .otherwise(els)
+              case None => when(actionCond(ua, targetDf), tcol(targetDf, f)).otherwise(els)
+            }
+          case da: DeleteAction =>
+            // row is filtered by the delete cascade; value irrelevant
+            when(actionCond(da, targetDf), tcol(targetDf, f)).otherwise(els)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported MERGE action: $other")
+        }
+      }
+
+    TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
+      val source = GraftBridge.ofRows(spark, p.source)
+      val schema = snap.schema
+      val fields = schema.fields.toIndexedSeq
+
+      // phase 1: touched files. WHEN NOT MATCHED BY SOURCE can affect
+      // ANY target row, so it touches every file; otherwise only files
+      // holding a row that matches some source row are rewritten.
+      val touched: Seq[String] =
+        if (p.notMatchedBySource.nonEmpty)
+          snap.withColumn("__graft_file", input_file_name())
+            .select(col("__graft_file")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        else if (p.matched.nonEmpty)
+          snap.withColumn("__graft_file", input_file_name())
+            .join(source, subst(p.condition, byId, snap), "inner")
+            .select(col("__graft_file")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        else Nil
+
+      // phase 2: replacement rows for the touched files
+      val rewritten: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else {
+          val tdf = spark.read.schema(schema).parquet(touched: _*)
+            .withColumn("__graft_tid", monotonically_increasing_id())
+          val condT = subst(p.condition, byId, tdf)
+          // matched half: SQL MERGE forbids one target row matching
+          // several source rows when update/delete actions exist
+          val matchedPart: DataFrame =
+            if (p.matched.isEmpty)
+              tdf.join(source, condT, "left_semi")
+                .select(fields.map(f => col(f.name)): _*)
+            else {
+              val joined = tdf.join(source, condT, "inner")
+              val dup = joined.groupBy(col("__graft_tid")).count()
+                .filter(col("count") > 1).limit(1).count()
+              if (dup > 0) throw new IllegalStateException(
+                "MERGE INTO: a target row matched multiple source rows — " +
+                  "the update/delete to apply is ambiguous (SQL MERGE " +
+                  "cardinality violation)")
+              joined.filter(!deleteCascade(p.matched, tdf))
+                .select(fields.map(f =>
+                  updateCascade(p.matched, tdf, f).as(f.name)): _*)
+            }
+          // not-matched-by-source half: target rows with no source match
+          val unmatchedBase = tdf.join(source, condT, "left_anti")
+          val unmatchedPart: DataFrame =
+            if (p.notMatchedBySource.isEmpty)
+              unmatchedBase.select(fields.map(f => col(f.name)): _*)
+            else
+              unmatchedBase
+                .filter(!deleteCascade(p.notMatchedBySource, tdf))
+                .select(fields.map(f =>
+                  updateCascade(p.notMatchedBySource, tdf, f)
+                    .as(f.name)): _*)
+          Some(matchedPart.unionByName(unmatchedPart))
+        }
+
+      // inserts: source rows matching NO target row, through the first
+      // applicable WHEN NOT MATCHED action (none applies → dropped);
+      // insert values reference only the source, so no substitution
+      val inserts: Option[DataFrame] =
+        if (p.notMatched.isEmpty) None
+        else {
+          val unmatched = source.join(snap, subst(p.condition, byId, snap),
+            "left_anti")
+          val idx = p.notMatched.zipWithIndex
+            .foldRight(lit(-1)) { case ((a, i), els) =>
+              when(actionCond(a, unmatched), lit(i)).otherwise(els)
+            }
+          val chosen = unmatched.withColumn("__graft_act", idx)
+            .filter(col("__graft_act") >= 0)
+          val outCols = fields.map { f =>
+            p.notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+              case ((a, i), els) =>
+                val v = a.asInstanceOf[InsertAction].assignments.collectFirst {
+                  case Assignment(k, vv) if keyName(k, byId) == f.name => vv
+                }
+                v match {
+                  case Some(vv) =>
+                    when(col("__graft_act") === i,
+                      GraftBridge.column(vv).cast(f.dataType)).otherwise(els)
+                  case None =>
+                    when(col("__graft_act") === i,
+                      lit(null).cast(f.dataType)).otherwise(els)
+                }
+            }.as(f.name)
+          }
+          Some(chosen.select(outCols: _*))
+        }
+
+      (rewritten, inserts) match {
+        case (None, None) => None
+        case (r, i) =>
+          val replacement = (r.toSeq ++ i.toSeq).reduce(_.unionByName(_))
+          Some((touched, replacement))
+      }
+    })
+    ()
+  }
+}

@@ -494,35 +494,36 @@ object SimilarityOps {
        |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
        | (acc, u) -> acc + u)""".stripMargin
 
+  /** One Lloyd iteration as three CTEs over `corpus`: assign aI against
+    * c(I-1), per-(cell,dim) decimal-sum means mI, rebuilt centroid
+    * table cI (LEFT JOIN + COALESCE keeps an empty cell's previous
+    * centroid). Shared by the fixed-shape (e51/e53) and sampled (e56)
+    * trainer oracles. */
+  private def lloydIterSql(i: Int, corpus: String): String =
+    s"""a$i AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM c${i - 1}
+       |    ORDER BY ${l2Sql("e.embedding", s"c${i - 1}.c")} ASC, cent_id LIMIT 1) AS cell
+       |  FROM $corpus e),
+       |m$i AS (
+       |  SELECT cell, d.dim,
+       |    CAST(SUM(CAST(e.embedding[d.dim]::DOUBLE AS DECIMAL(38,6))) AS DOUBLE)
+       |      / COUNT(e.embedding[d.dim]) AS m
+       |  FROM a$i e, generate_series(1, 64) AS d(dim)
+       |  GROUP BY cell, d.dim),
+       |c$i AS (
+       |  SELECT p.cent_id, COALESCE(n.c, p.c) AS c
+       |  FROM c${i - 1} p LEFT JOIN (
+       |    SELECT cell AS cent_id, list(m ORDER BY dim) AS c
+       |    FROM m$i GROUP BY cell) n USING (cent_id))""".stripMargin
+
   /** The Lloyd-replay CTE chain shared by e51's and e53's oracles:
     * defines c0 (seed) through c{e51Iters} (trained centroids). */
-  private def lloydChainSql: String = {
-    def l2(v: String, c: String) = l2Sql(v, c)
-    // one Lloyd iteration as three CTEs: assign aI against c(I-1),
-    // per-(cell,dim) decimal-sum means mI, rebuilt centroid table cI
-    // (LEFT JOIN + COALESCE keeps an empty cell's previous centroid)
-    def iter(i: Int): String =
-      s"""a$i AS (
-         |  SELECT e.vec_id, e.embedding, (
-         |    SELECT cent_id FROM c${i - 1}
-         |    ORDER BY ${l2("e.embedding", s"c${i - 1}.c")} ASC, cent_id LIMIT 1) AS cell
-         |  FROM embeddings e),
-         |m$i AS (
-         |  SELECT cell, d.dim,
-         |    CAST(SUM(CAST(e.embedding[d.dim]::DOUBLE AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(e.embedding[d.dim]) AS m
-         |  FROM a$i e, generate_series(1, 64) AS d(dim)
-         |  GROUP BY cell, d.dim),
-         |c$i AS (
-         |  SELECT p.cent_id, COALESCE(n.c, p.c) AS c
-         |  FROM c${i - 1} p LEFT JOIN (
-         |    SELECT cell AS cent_id, list(m ORDER BY dim) AS c
-         |    FROM m$i GROUP BY cell) n USING (cent_id))""".stripMargin
+  private def lloydChainSql: String =
     s"""c0 AS (
        |  SELECT vec_id AS cent_id, list_transform(embedding, x -> x::DOUBLE) AS c
        |  FROM embeddings WHERE vec_id < 16),
-       |${(1 to e51Iters).map(iter).mkString(",\n")}""".stripMargin
-  }
+       |${(1 to e51Iters).map(lloydIterSql(_, "embeddings")).mkString(",\n")}""".stripMargin
 
   private val e51Sql: String =
     s"""WITH $lloydChainSql,
@@ -844,6 +845,51 @@ object SimilarityOps {
        |ORDER BY adc_dist ASC, a.vec_id LIMIT 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e56
+  /** THE SCALE-CORRECT IVF TRAINER under the oracle — e51's pinned
+    * k=16/iters=2 stand-in exists for bit-exact replay; THIS is the
+    * production shape (`trainCentroidsSampled`): arbitrary k (32 here),
+    * training over a deterministic md5-hash SAMPLE of the corpus
+    * (25% — a coarse quantizer converges on a sample; only assignment
+    * ever scans the full corpus), convergence-based stopping. The
+    * oracle replays the sampled training bit-exact: the md5 keep-rule
+    * (first 4 hex nibbles < '4000' ≡ the 16-bit uniform < 0.25·65536),
+    * the k-lowest-id seed, two decimal-mean Lloyd iterations over the
+    * sample, then full-corpus assignment. eps=0 pins the iteration
+    * count for the replay (REQUIREd); the convergence path itself is
+    * spec-gated (TrainedIndexSpec). */
+  private def e56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (cents, iters) = trainCentroidsSampled(spark, dir, k = 32,
+      sampleFraction = 0.25, maxIters = 2, eps = 0.0)
+    require(iters == 2, s"eps=0 must run exactly maxIters; ran $iters")
+    Tables.embeddings(spark, dir).select(
+        $"vec_id",
+        element_at(Similarity.nearestSubCells("embedding", cents, 1, 0), 1)
+          .cast("bigint").as("cell"))
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy($"cell")).cast("bigint"))
+      .orderBy($"vec_id")
+  }
+  private val e56Sql: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '4000'),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cent_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM sample ORDER BY vec_id LIMIT 32),
+       |${(1 to 2).map(lloydIterSql(_, "sample")).mkString(",\n")},
+       |af AS (
+       |  SELECT e.vec_id, (
+       |    SELECT cent_id FROM c2
+       |    ORDER BY ${l2Sql("e.embedding", "c2.c")} ASC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       | CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+       |FROM af ORDER BY vec_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -859,5 +905,6 @@ object SimilarityOps {
     RQ("e52_pq_trained", e52, Some(e52Sql)),
     RQ("e53_ivf_trained_search", e53, Some(e53Sql)),
     RQ("e54_pq_adc_search", e54, Some(e54Sql)),
-    RQ("e55_ivfpq_search", e55, Some(e55Sql)))
+    RQ("e55_ivfpq_search", e55, Some(e55Sql)),
+    RQ("e56_ivf_sampled_trainer", e56, Some(e56Sql)))
 }

@@ -23,6 +23,13 @@ object GraftBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** The analyzed plan's output attributes — what the SQL DML rewrite
+    * substitutes captured target references with when it rebuilds the
+    * rewrite over a fresh snapshot read. */
+  def analyzedOutput(
+      df: DataFrame): Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.output
+
   /** Schema-evolution merge (the private[sql] StructType.merge):
     * union of fields, numeric-compatible type promotion, error on
     * incompatible types. All fields forced nullable — an evolved

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.{Tables, TxnTable}
+
+/** Partitioned graft writes: partition-value file groups, sticky
+  * partitioning across appends AND rewrites, metadata-only partition
+  * drops, and SQL DML over a partitioned table. */
+class GraftPartitionSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def withZone(f: String => Unit): Unit = {
+    val zone = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    try f(zone.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(zone)
+    }
+  }
+
+  test("partitionBy via API and option; every file single-valued; sticky append") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      cust.filter($"c_custkey" % 2 === 0)
+        .write.format("graft").mode("overwrite")
+        .partitionBy("c_mktsegment").save(table)
+      assert(TxnTable.partitionColumns(spark, table) == Seq("c_mktsegment"))
+      // append WITHOUT partitionBy conforms (sticky)
+      cust.filter($"c_custkey" % 2 === 1)
+        .write.format("graft").mode("append").save(table)
+      val v = TxnTable.latestVersion(spark, table).get
+      val stats = TxnTable.fileStats(spark, table, v)
+      val files = TxnTable.snapshotFiles(spark, table, v)
+      assert(files.forall(f => stats.getOrElse(f, Nil).exists(s =>
+        s.col == "c_mktsegment" && s.minV == s.maxV && s.nulls == 0L)))
+      // content round-trips exactly
+      val got = TxnTable.read(spark, table)
+      assert(got.count() == cust.count())
+      assert(got.except(cust).count() == 0 && cust.except(got).count() == 0)
+      // option spelling works too
+      val t2 = s"$zone/t2"
+      cust.write.format("graft").mode("overwrite")
+        .option("partitionBy", "c_mktsegment").save(t2)
+      assert(TxnTable.partitionColumns(spark, t2) == Seq("c_mktsegment"))
+    }
+  }
+
+  test("deleteEquals on the partition column drops whole partitions as metadata") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      cust.write.format("graft").mode("overwrite")
+        .partitionBy("c_mktsegment").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.snapshotFiles(spark, table, v1).toSet
+      val stats = TxnTable.fileStats(spark, table, v1)
+      val doomed = before.filter(f => stats(f)
+        .exists(s => s.col == "c_mktsegment" && s.minV == "BUILDING"))
+      val v2 = TxnTable.deleteEquals(spark, table, "c_mktsegment", "BUILDING")
+      val after = TxnTable.snapshotFiles(spark, table, v2).toSet
+      // pure metadata: removed exactly the partition's files, added none
+      assert(after == before -- doomed,
+        s"partition delete should drop ${doomed.size} files by metadata only")
+      assert(TxnTable.read(spark, table)
+        .filter($"c_mktsegment" === "BUILDING").count() == 0)
+      assert(TxnTable.read(spark, table).count() ==
+        cust.filter($"c_mktsegment" =!= "BUILDING").count())
+    }
+  }
+
+  test("rewrites (SQL UPDATE, compactSmall) preserve the partition layout") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      cust.write.format("graft").mode("overwrite")
+        .partitionBy("c_mktsegment").save(table)
+      spark.sql(s"CREATE TABLE graft_part_dml USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """UPDATE graft_part_dml SET c_acctbal = 0.0
+            |WHERE c_mktsegment = 'MACHINERY' AND c_custkey < 100""".stripMargin)
+      } finally spark.sql("DROP TABLE graft_part_dml")
+      TxnTable.compactSmall(spark, table, smallBytes = 1L << 40)
+      val v = TxnTable.latestVersion(spark, table).get
+      assert(TxnTable.partitionColumns(spark, table) == Seq("c_mktsegment"))
+      val stats = TxnTable.fileStats(spark, table, v)
+      val files = TxnTable.snapshotFiles(spark, table, v)
+      // every file — including the UPDATE's and compaction's rewrites —
+      // is still single-valued on the partition column
+      assert(files.forall(f => stats.getOrElse(f, Nil).exists(s =>
+        s.col == "c_mktsegment" && s.minV == s.maxV)))
+      val expect = cust.select($"c_custkey", $"c_mktsegment",
+        when($"c_mktsegment" === "MACHINERY" && $"c_custkey" < 100, 0.0)
+          .otherwise($"c_acctbal").as("c_acctbal"))
+      val got = TxnTable.read(spark, table)
+      assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+    }
+  }
+}

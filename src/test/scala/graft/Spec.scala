@@ -15,6 +15,9 @@ object Spec {
       // previous run otherwise fail CREATE TABLE with LOCATION_ALREADY_EXISTS
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      // analyzer-level extensions (SQL UPDATE/MERGE INTO lowering) only
+      // exist on the config path
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

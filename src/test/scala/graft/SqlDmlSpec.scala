@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.{Tables, TxnTable}
+
+/** SQL UPDATE and MERGE INTO on graft catalog tables — the analyzer
+  * lowering (GraftDmlRewrite) onto TxnTable's copy-on-write commit.
+  * Asserts semantics (matched/unmatched/cascade/cardinality) AND the
+  * scale shape: only files the predicate touches are rewritten. */
+class SqlDmlSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def withZone(f: String => Unit): Unit = {
+    val zone = java.nio.file.Files.createTempDirectory("graft_sqldml").toFile
+    try f(zone.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(zone)
+    }
+  }
+
+  test("SQL UPDATE: correct rows change; only touched files rewritten") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      // three key-disjoint commits with stats → the WHERE can prune
+      TxnTable.commitOverwrite(
+        cust.filter($"c_custkey" <= 500).coalesce(1), table, Seq("c_custkey"))
+      TxnTable.commitAppend(
+        cust.filter($"c_custkey".between(501, 1000)).coalesce(1), table,
+        Seq("c_custkey"))
+      TxnTable.commitAppend(
+        cust.filter($"c_custkey" > 1000).coalesce(1), table, Seq("c_custkey"))
+      val before = TxnTable.latestVersion(spark, table).get
+      val beforeFiles = TxnTable.snapshotFiles(spark, table, before).toSet
+      val lowFiles = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      spark.sql(s"CREATE TABLE sqldml_upd USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "UPDATE sqldml_upd SET c_acctbal = c_acctbal * 2 WHERE c_custkey <= 50")
+        val after = TxnTable.latestVersion(spark, table).get
+        val afterFiles = TxnTable.snapshotFiles(spark, table, after).toSet
+        // only the low-range files were replaced; the other two commits'
+        // files carried forward by reference
+        assert((beforeFiles -- lowFiles).subsetOf(afterFiles),
+          "files outside the WHERE range must carry forward")
+        assert((beforeFiles & afterFiles & lowFiles) == Set.empty[String],
+          "files inside the WHERE range must be rewritten")
+        // semantics: doubled inside the range, untouched outside
+        val got = TxnTable.read(spark, table)
+        val expect = cust.select($"c_custkey",
+          when($"c_custkey" <= 50, $"c_acctbal" * 2)
+            .otherwise($"c_acctbal").as("c_acctbal"))
+        assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+      } finally spark.sql("DROP TABLE sqldml_upd")
+    }
+  }
+
+  test("SQL UPDATE without WHERE updates every row") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+          .toDF("k", "name", "v"), table)
+      spark.sql(s"CREATE TABLE sqldml_all USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("UPDATE sqldml_all SET v = v + 1, name = upper(name)")
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        assert(got.toSeq == Seq((1L, "A", 11.0), (2L, "B", 21.0), (3L, "C", 31.0)))
+      } finally spark.sql("DROP TABLE sqldml_all")
+    }
+  }
+
+  test("MERGE INTO: update matched, insert unmatched, conditions respected") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal"), table)
+      Seq((2L, 200.0), (3L, -1.0), (4L, 40.0))
+        .toDF("k", "bal").createOrReplaceTempView("sqldml_src")
+      spark.sql(s"CREATE TABLE sqldml_mrg USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO sqldml_mrg t USING sqldml_src s ON t.k = s.k
+            |WHEN MATCHED AND s.bal > 0 THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)
+            |""".stripMargin)
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        // k=2 updated, k=3 kept (condition false), k=4 inserted
+        assert(got.toSeq == Seq((1L, 10.0), (2L, 200.0), (3L, 30.0), (4L, 40.0)))
+      } finally spark.sql("DROP TABLE sqldml_mrg")
+    }
+  }
+
+  test("MERGE INTO: matched DELETE and NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "bal"),
+        table)
+      Seq((2L, 0.0), (3L, 300.0)).toDF("k", "bal")
+        .createOrReplaceTempView("sqldml_src2")
+      spark.sql(s"CREATE TABLE sqldml_mrg2 USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO sqldml_mrg2 t USING sqldml_src2 s ON t.k = s.k
+            |WHEN MATCHED AND s.bal = 0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET bal = -bal
+            |""".stripMargin)
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        // k=1 negated (not matched by source, cond), k=2 deleted,
+        // k=3 updated, k=4 kept (not matched by source, cond false)
+        assert(got.toSeq == Seq((1L, -10.0), (3L, 300.0), (4L, 40.0)))
+      } finally spark.sql("DROP TABLE sqldml_mrg2")
+    }
+  }
+
+  test("MERGE INTO: duplicate source matches fail the cardinality check") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(Seq((1L, 10.0)).toDF("k", "bal"), table)
+      Seq((1L, 100.0), (1L, 200.0)).toDF("k", "bal")
+        .createOrReplaceTempView("sqldml_src3")
+      spark.sql(s"CREATE TABLE sqldml_mrg3 USING graft OPTIONS (path '$table')")
+      try {
+        val e = intercept[Exception] {
+          spark.sql(
+            """MERGE INTO sqldml_mrg3 t USING sqldml_src3 s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET bal = s.bal
+              |""".stripMargin)
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("cardinality")))
+        // table unchanged
+        assert(TxnTable.read(spark, table).collect().toSeq
+          .map(r => (r.getLong(0), r.getDouble(1))) == Seq((1L, 10.0)))
+      } finally spark.sql("DROP TABLE sqldml_mrg3")
+    }
+  }
+
+  test("MERGE INTO: insert-only merge is an append-only commit") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(Seq((1L, 10.0)).toDF("k", "bal"), table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val f1 = TxnTable.snapshotFiles(spark, table, v1).toSet
+      Seq((1L, 999.0), (2L, 20.0)).toDF("k", "bal")
+        .createOrReplaceTempView("sqldml_src4")
+      spark.sql(s"CREATE TABLE sqldml_mrg4 USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO sqldml_mrg4 t USING sqldml_src4 s ON t.k = s.k
+            |WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)
+            |""".stripMargin)
+        val v2 = TxnTable.latestVersion(spark, table).get
+        val f2 = TxnTable.snapshotFiles(spark, table, v2).toSet
+        assert(f1.subsetOf(f2), "insert-only merge must not rewrite files")
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0)))
+      } finally spark.sql("DROP TABLE sqldml_mrg4")
+    }
+  }
+}
