@@ -142,6 +142,11 @@ object TxnTable {
     * library. */
   val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Diagnostic: data-materializing writes (writeData calls) — specs
+    * assert CAS losers REBASE instead of recomputing when the race was
+    * with provably-disjoint appends. Monotonic. */
+  val dataWrites = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readSmall(ctx: FileContext, p: Path): String = {
     metaReads.incrementAndGet()
     val in = ctx.open(p)
@@ -704,6 +709,7 @@ object TxnTable {
                         partitionCols: Seq[String] = Nil)
       : (String, Seq[String], Map[String, Seq[FileStat]],
          Map[String, Seq[BloomMeta]], Map[String, Long]) = {
+    dataWrites.incrementAndGet()
     val spark = df.sparkSession
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     // PARTITIONED WRITE: hive-style value dirs inside this commit's data
@@ -1129,7 +1135,6 @@ object TxnTable {
       val covered = candidates.filter(f =>
         st.stat(f, column).exists(s => s.containedIn(b) && s.nulls == 0L))
       val boundary = candidates.filterNot(covered.toSet)
-      val carried = st.files.filterNot(candidates.toSet)
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
@@ -1145,25 +1150,16 @@ object TxnTable {
             writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
           (nf, ns, nb, nr, Some(d))
         }
-      val files = carried ++ newFiles
       val removedFiles = (covered ++ boundary).sorted
-      val next = st.version + 1L
-      val content =
-        if (next % checkpointInterval(spark) == 0)
-          manifestContent(schema, st.txns,
-            (st.stats -- removedFiles) ++ newStats, files,
-            (st.blooms -- removedFiles) ++ newBlooms,
-            (st.rows -- removedFiles) ++ newRows, st.partCols)
-        else deltaContent(schema, st.txns, newStats,
-          removed = removedFiles, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
-      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
-        writePointer(ctx, table, next)
-        return next
-      }
-      dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
-      attempt += 1 // computed against a stale snapshot: redo
-      backoff(attempt)
+      publishRewrite(spark, ctx, table, st, schema, removedFiles, newFiles,
+        newStats, newBlooms, newRows, disjointCol = Some(column), bound = b)
+        match {
+          case Some(v) => return v
+          case None => // race invalidated the computation: redo
+            dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
+            attempt += 1
+            backoff(attempt)
+        }
     }
     throw new IllegalStateException(
       s"deleteEquals on $table lost the snapshot race 16 times")
@@ -1247,7 +1243,6 @@ object TxnTable {
           .select(col("__f")).distinct().collect()
           .map(r => { val u = r.getString(0)
             byBase(u.substring(u.lastIndexOf('/') + 1)) }).toSet
-      val untouched = st.files.filterNot(touched)
       // schema evolution happens HERE, not just in the manifest header:
       // allowMissingColumns lets an updates frame add a column (old rows
       // surface it as NULL) or omit one (update rows get NULL) — the
@@ -1273,32 +1268,85 @@ object TxnTable {
         st.bloomCols.intersect(merged.columns.toSet).toSeq.sorted
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
         writeData(merged, table, trackedCols, trackedBlooms, st.partCols)
-      val files = untouched ++ newFiles
-      val stats = (st.stats -- touched) ++ newStats
-      val blooms = (st.blooms -- touched) ++ newBlooms
-      val rows = (st.rows -- touched) ++ newRows
       val mergedSchema =
         org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema)
-      val next = st.version + 1L
-      val content =
-        if (next % checkpointInterval(spark) == 0)
-          manifestContent(mergedSchema, st.txns, stats, files, blooms, rows,
-            st.partCols)
-        else deltaContent(mergedSchema, st.txns, newStats,
-          removed = touched.toSeq.sorted, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
-      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
-        writePointer(ctx, table, next)
-        return next
+      // rebase on CAS loss only when the interleaved commits appended
+      // files provably DISJOINT from the update keys' range (they can
+      // hold no matching row, so neither the rewrite set nor the
+      // unmatched-insert decision changes); unnormalizable keys
+      // (keyBound None) always recompute
+      publishRewrite(spark, ctx, table, st, mergedSchema,
+        touched.toSeq.sorted, newFiles, newStats, newBlooms, newRows,
+        disjointCol = keyBound.map(_ => keyCol),
+        bound = keyBound.getOrElse(Bound("conflict"))) match {
+        case Some(v) => return v
+        case None =>
+          // lost the race: this merge was computed against a stale base —
+          // discard its output and redo the whole read-merge-write
+          ctx.delete(new Path(s"$table/$dataDir"), true)
+          attempt += 1
+          backoff(attempt)
       }
-      // lost the race: this merge was computed against a stale base —
-      // discard its output and redo the whole read-merge-write
-      ctx.delete(new Path(s"$table/$dataDir"), true)
-      attempt += 1
-      backoff(attempt)
     }
     throw new IllegalStateException(
       s"merge into $table lost the snapshot race 16 times — pathological contention")
+  }
+
+  /** CAS publish for a computed file rewrite, with APPEND REBASE:
+    * first tried against the snapshot the rewrite was computed on;
+    * on every CAS loss, if the interleaved commits (a) left every
+    * removed file in place, (b) only ADDED files whose stats on
+    * `disjointCol` PROVABLY refute `bound` (no row of theirs matches
+    * the rewrite's predicate), and (c) did not evolve the schema, the
+    * already-written output is still exact — re-derive the manifest
+    * against the fresh snapshot and re-CAS, WITHOUT re-running the
+    * read-rewrite-write. This is the streaming-ingest shape: a
+    * maintenance delete/merge racing a firehose of disjoint appends
+    * commits in one data write instead of recomputing per loss.
+    * Returns None when the race invalidated the computation (caller
+    * discards its data dir and recomputes). */
+  private def publishRewrite(
+      spark: SparkSession, ctx: FileContext, table: String,
+      computed: State, schema: org.apache.spark.sql.types.StructType,
+      removedFiles: Seq[String], newFiles: Seq[String],
+      newStats: Map[String, Seq[FileStat]],
+      newBlooms: Map[String, Seq[BloomMeta]],
+      newRows: Map[String, Long],
+      disjointCol: Option[String], bound: Bound,
+      txns: State => Map[String, Long] = _.txns): Option[Long] = {
+    val removedSet = removedFiles.toSet
+    val computedFiles = computed.files.toSet
+    var base = computed
+    var tries = 0
+    while (tries < 32) {
+      val files = base.files.filterNot(removedSet) ++ newFiles
+      val next = base.version + 1L
+      val content =
+        if (next % checkpointInterval(spark) == 0)
+          manifestContent(schema, txns(base),
+            (base.stats -- removedFiles) ++ newStats, files,
+            (base.blooms -- removedFiles) ++ newBlooms,
+            (base.rows -- removedFiles) ++ newRows, base.partCols)
+        else deltaContent(schema, txns(base), newStats,
+          removed = removedFiles, added = newFiles, base = base.version,
+          newBlooms = newBlooms, newRows = newRows, partCols = base.partCols)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return Some(next)
+      }
+      tries += 1
+      backoff(tries)
+      val fresh = latestState(spark, table).getOrElse(return None)
+      val rebasable = disjointCol.exists { c =>
+        removedFiles.forall(fresh.files.contains) &&
+          fresh.schema.map(_.json) == computed.schema.map(_.json) &&
+          fresh.files.filterNot(computedFiles).forall(f =>
+            fresh.stat(f, c).exists(_.disjointFrom(bound)))
+      }
+      if (!rebasable) return None
+      base = fresh
+    }
+    None
   }
 
   /** COPY-ON-WRITE COMMIT — the generic file-surgical primitive SQL
@@ -1426,25 +1474,16 @@ object TxnTable {
             writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
           (nf, ns, nb, nr, Some(d))
         }
-      val files = disjoint ++ newFiles
       val removedFiles = (covered ++ boundary).sorted
-      val next = st.version + 1L
-      val content =
-        if (next % checkpointInterval(spark) == 0)
-          manifestContent(schema, st.txns,
-            (st.stats -- removedFiles) ++ newStats, files,
-            (st.blooms -- removedFiles) ++ newBlooms,
-            (st.rows -- removedFiles) ++ newRows, st.partCols)
-        else deltaContent(schema, st.txns, newStats,
-          removed = removedFiles, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
-      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
-        writePointer(ctx, table, next)
-        return next
-      }
-      dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
-      attempt += 1 // computed against a stale snapshot: redo
-      backoff(attempt)
+      publishRewrite(spark, ctx, table, st, schema, removedFiles, newFiles,
+        newStats, newBlooms, newRows, disjointCol = Some(column), bound = b)
+        match {
+          case Some(v) => return v
+          case None => // race invalidated the computation: redo
+            dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
+            attempt += 1
+            backoff(attempt)
+        }
     }
     throw new IllegalStateException(
       s"deleteRange on $table lost the snapshot race 16 times")
@@ -1788,15 +1827,23 @@ object TxnTable {
             doomed.foreach(f => ctx.delete(new Path(s"$table/$f"), false))
             if (doomed.nonEmpty) {
               // reap the deleted files' bloom sidecars too (named
-              // `<file>.bloom.<col>` — they share the file's lifecycle)
+              // `<file>.bloom.<col>` — they share the file's lifecycle).
+              // RECURSIVE: partitioned commits nest value dirs inside
+              // the w= dir, and sidecars sit next to their data files.
               val bases = doomed.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-              val entries = ctx.listStatus(st.getPath)
-              while (entries.hasNext) {
-                val e = entries.next().getPath
-                val i = e.getName.indexOf(".bloom.")
-                if (i > 0 && bases.contains(e.getName.take(i)))
-                  ctx.delete(e, false)
+              def sweep(dir: Path): Unit = {
+                val entries = ctx.listStatus(dir)
+                while (entries.hasNext) {
+                  val e = entries.next()
+                  if (e.isDirectory) sweep(e.getPath)
+                  else {
+                    val i = e.getPath.getName.indexOf(".bloom.")
+                    if (i > 0 && bases.contains(e.getPath.getName.take(i)))
+                      ctx.delete(e.getPath, false)
+                  }
+                }
               }
+              sweep(st.getPath)
             }
           }
         }

@@ -300,6 +300,46 @@ private[plans] object GraftDml {
       val schema = snap.schema
       val fields = schema.fields.toIndexedSeq
 
+      // STATS PRE-PRUNE (the same shape TxnTable.merge uses): for each
+      // equi-join conjunct `t.k = <source expr>`, the source's [min,
+      // max] of that expr bounds every MATCHABLE target row — pushed as
+      // a range filter into the graft DSv2 scan, it prunes candidate
+      // FILES from the manifest stats before any data is read. A merge
+      // touching a narrow key slice of a 100 TB table plans its phase-1
+      // scan over that slice's files only.
+      val targetIds = byId.keySet
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      def sourceOnly(e: Expression): Boolean =
+        e.references.forall(a => !targetIds.contains(a.exprId))
+      val equiKeys: Seq[(String, Expression)] =
+        conjuncts(p.condition).collect {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              t: AttributeReference, s)
+              if byId.contains(t.exprId) && sourceOnly(s) => byId(t.exprId) -> s
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              s, t: AttributeReference)
+              if byId.contains(t.exprId) && sourceOnly(s) => byId(t.exprId) -> s
+        }
+      val preFilter: Column =
+        if (equiKeys.isEmpty) lit(true)
+        else {
+          val aggs = equiKeys.zipWithIndex.flatMap { case ((_, s), i) =>
+            Seq(min(GraftBridge.column(s)).as(s"__graft_lo_$i"),
+              max(GraftBridge.column(s)).as(s"__graft_hi_$i"))
+          }
+          val row = source.agg(aggs.head, aggs.drop(1): _*).head()
+          equiKeys.zipWithIndex.map { case ((t, _), i) =>
+            val lo = row.getAs[Any](s"__graft_lo_$i")
+            val hi = row.getAs[Any](s"__graft_hi_$i")
+            if (lo == null) lit(false) // no non-null source keys: no match
+            else GraftBridge.column(attrOf(snap, t)).between(lit(lo), lit(hi))
+          }.reduce(_ && _)
+        }
+
       // phase 1: touched files. WHEN NOT MATCHED BY SOURCE can affect
       // ANY target row, so it touches every file; otherwise only files
       // holding a row that matches some source row are rewritten.
@@ -309,7 +349,8 @@ private[plans] object GraftDml {
             .select(col("__graft_file")).distinct()
             .collect().map(_.getString(0)).toSeq
         else if (p.matched.nonEmpty)
-          snap.withColumn("__graft_file", input_file_name())
+          snap.filter(preFilter)
+            .withColumn("__graft_file", input_file_name())
             .join(source, subst(p.condition, byId, snap), "inner")
             .select(col("__graft_file")).distinct()
             .collect().map(_.getString(0)).toSeq
@@ -360,8 +401,11 @@ private[plans] object GraftDml {
       val inserts: Option[DataFrame] =
         if (p.notMatched.isEmpty) None
         else {
-          val unmatched = source.join(snap, subst(p.condition, byId, snap),
-            "left_anti")
+          // target rows outside the source key bounds can't match any
+          // source row, so the anti-join's right side prunes to the
+          // same file slice as phase 1
+          val unmatched = source.join(snap.filter(preFilter),
+            subst(p.condition, byId, snap), "left_anti")
           val idx = p.notMatched.zipWithIndex
             .foldRight(lit(-1)) { case ((a, i), els) =>
               when(actionCond(a, unmatched), lit(i)).otherwise(els)

@@ -105,7 +105,7 @@ class Round2OpsSpec extends AnyFunSuite {
   }
 
   test("frame sampling: offsets every 500ms, capped at 4, within duration") {
-    val out = Registry.queries("m62_frame_sample")(spark, Spec.sf0001)
+    val out = Registry.queries("m62_wav_frame_sample")(spark, Spec.sf0001)
       .select($"doc_id", $"dur_ms", $"frame_ms").as[(Long, Long, Long)].collect()
     val byDoc = out.groupBy(_._1)
     byDoc.foreach { case (_, rows) =>

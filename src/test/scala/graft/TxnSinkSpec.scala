@@ -119,6 +119,51 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("delete racing disjoint appends REBASES: one data write, no recompute") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    withZone { table =>
+      val base = Seq.range(0L, 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      TxnTable.commitOverwrite(base.coalesce(1), table, statsCols = Seq("k"))
+      val before = TxnTable.dataWrites.get()
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(4)
+      // three appenders land key ranges PROVABLY disjoint (stats on k)
+      // from the racing deleteRange [100, 200]: every CAS the delete
+      // loses is rebasable, so its complement rewrite runs ONCE
+      val appends = (0 until 3).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await(10, TimeUnit.SECONDS)
+            val lo = 10000L + i * 1000L
+            TxnTable.commitAppend(
+              Seq.range(lo, lo + 100L).map(k => (k, k * 2.0)).toDF("k", "v")
+                .coalesce(1),
+              table, statsCols = Seq("k"))
+          }
+        })
+      }
+      val del = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await(10, TimeUnit.SECONDS)
+          TxnTable.deleteRange(spark, table, "k", lo = 100, hi = 200)
+        }
+      })
+      gate.countDown()
+      (appends :+ del).foreach(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      val writes = TxnTable.dataWrites.get() - before
+      // 3 append writes + exactly 1 delete rewrite — a CAS loss must
+      // REBASE the manifest, never re-run the read-filter-write
+      assert(writes == 4L,
+        s"expected 4 data writes (3 appends + 1 delete rewrite), got $writes")
+      assert(TxnTable.versions(spark, table) == (1L to 5L))
+      assert(TxnTable.read(spark, table).count() == (1000 - 101) + 300)
+      assert(TxnTable.read(spark, table)
+        .filter($"k".between(100, 200)).count() == 0)
+    }
+  }
+
   test("4 writers x 3 appends each: all 12 commits serialize and survive") {
     import spark.implicits._
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
