@@ -1569,6 +1569,69 @@ object FormatOps {
     """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- k109
+  /** FILTERED METADATA-ONLY AGGREGATE — exact filter handling: on a
+    * partitioned table every file is single-valued on the partition
+    * column, so `WHERE o_orderpriority = '1-URGENT'` selects exactly
+    * that partition's files AND provably matches every row in them —
+    * the scan claims the filter (no residual), Spark pushes the
+    * aggregate, and `COUNT(*) / MIN / MAX ... WHERE p = x` is answered
+    * from the manifest with ZERO files opened (REQUIREd in-plan). A
+    * predicate the stats can NOT prove exact (the key range splits
+    * files) must keep the ordinary scan — REQUIREd too. */
+  private def k109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k109_fagg")
+    try {
+      val table = s"$zone/orders_part"
+      val ord = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      ord.write.format("graft").mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .option("statsCols", "o_orderkey").save(table)
+      val agg = spark.read.format("graft").load(table)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          min($"o_orderkey").as("min_key"),
+          max($"o_orderkey").as("max_key"))
+      val aggScan = agg.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      require(aggScan.exists {
+        case g: GraftScanFiles => g.scannedFileCount == 0
+        case _ => false
+      }, s"partition-filtered aggregate must be metadata-only; got $aggScan")
+      // a filter the stats cannot prove exact must NOT be claimed:
+      // the range splits files, so the plan keeps a real scan and the
+      // residual re-filter — correctness over convenience
+      val split = spark.read.format("graft").load(table)
+        .filter($"o_orderkey" <= 1000)
+        .agg(count(lit(1)).cast("bigint").as("n"))
+      val splitMeta = split.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.exists(_.isInstanceOf[GraftAggScan])
+      require(!splitMeta, "a file-splitting predicate must not push the aggregate")
+      require(split.head().getLong(0) ==
+        ord.filter($"o_orderkey" <= 1000).count(),
+        "residual re-filter must keep the split-range count exact")
+      spark.createDataFrame(
+        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k109Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1598,5 +1661,6 @@ object FormatOps {
     RQ("k105_metadata_profile", k105, Some(k105Sql)),
     RQ("k106_sql_update", k106, Some(k106Sql)),
     RQ("k107_sql_merge_into", k107, Some(k107Sql)),
-    RQ("k108_partitioned_write", k108, Some(k108Sql)))
+    RQ("k108_partitioned_write", k108, Some(k108Sql)),
+    RQ("k109_partition_filter_agg", k109, Some(k109Sql)))
 }

@@ -358,134 +358,31 @@ private[io] class GraftScanBuilder(
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
 
-  import TxnTable.Bound
+  // the shared filter->stats machinery (the streaming source builds the
+  // same pruner per batch, so filtered streams skip identically)
+  private lazy val pruner = new StatsPruner(dataSchema, meta.stats)
 
-  /** One filter value normalized against the column's declared type —
-    * numbers and temporals to Right(epoch/double), strings on string
-    * columns to Left(lexicographic). None = unprunable value. */
-  private def value(c: String, v: Any): Option[Either[String, Double]] =
-    dataSchema.find(_.name == c).flatMap { f =>
-      try Some(TxnTable.boundValue(v, f.dataType))
-      catch { case _: IllegalArgumentException => None }
-    }
+  /** Files surviving stats pruning under ALL pushed filters -- the
+    * universe both build() and the metadata-only aggregate planner
+    * work over. */
+  private lazy val statsChosen: Seq[String] =
+    meta.files.filter(f => pushed.forall(pruner.mayMatch(f, _)))
 
-  private def point(e: Either[String, Double]): Bound = e match {
-    case Right(d) => Bound("num", lo = d, hi = d)
-    case Left(s) => Bound("str", loS = s, hiS = s)
-  }
-  private def lower(e: Either[String, Double]): Bound = e match {
-    case Right(d) => Bound("num", lo = d)
-    case Left(s) => Bound("str", loS = s)
-  }
-  private def upper(e: Either[String, Double]): Bound = e match {
-    case Right(d) => Bound("num", hi = d)
-    case Left(s) => Bound("str", hiS = s)
-  }
-  /** Conservative per-column bounds a LEAF filter implies: only shapes
-    * whose satisfying rows PROVABLY fall in a single column's range are
-    * extracted (equality, one-sided and two-sided ranges, In). Anything
-    * else contributes no bound — never wrong, just unpruned. And/Or
-    * composition happens in `mayMatch`, not here. Typed: numeric,
-    * string, and temporal columns all prune against their manifest
-    * stats. */
-  private def bounds(f: Filter): Map[String, Bound] = f match {
-    case EqualTo(c, v) => value(c, v).map(e => Map(c -> point(e))).getOrElse(Map.empty)
-    case GreaterThan(c, v) => value(c, v).map(e => Map(c -> lower(e))).getOrElse(Map.empty)
-    case GreaterThanOrEqual(c, v) => value(c, v).map(e => Map(c -> lower(e))).getOrElse(Map.empty)
-    case LessThan(c, v) => value(c, v).map(e => Map(c -> upper(e))).getOrElse(Map.empty)
-    case LessThanOrEqual(c, v) => value(c, v).map(e => Map(c -> upper(e))).getOrElse(Map.empty)
-    case In(c, vs) if vs.nonEmpty =>
-      val es = vs.toSeq.map(v => value(c, v))
-      if (es.exists(_.isEmpty)) Map.empty
-      else es.flatten.foldLeft(Option.empty[Bound]) {
-        // In = UNION of points: the enclosing [min, max] envelope
-        case (None, e) => Some(point(e))
-        case (Some(b), e) => point(e) match {
-          case p if p.kind == b.kind && p.kind == "num" =>
-            Some(Bound("num", lo = math.min(b.lo, p.lo), hi = math.max(b.hi, p.hi)))
-          case p if p.kind == b.kind =>
-            Some(Bound("str",
-              loS = TxnTable.Utf8Ordering.min(b.loS, p.loS),
-              hiS = TxnTable.Utf8Ordering.max(b.hiS, p.hiS)))
-          case _ => Some(Bound("conflict"))
-        }
-      }.map(b => Map(c -> b)).getOrElse(Map.empty)
-    case _ => Map.empty
-  }
-
-  /** Equality constraints a filter implies, one entry per conjunct:
-    * `k === x` yields (k, [x]); `k IN (…)` yields (k, values); an OR of
-    * equalities on the SAME column folds into one value set (`k = a OR
-    * k = b` ≡ `k IN (a, b)`) — a file survives if ANY value might be
-    * present. A disjunction across different columns yields nothing (a
-    * bloom probe on one side could wrongly veto the other). Applied
-    * AFTER min/max pruning as an independent bloom probe per
-    * constraint. */
-  private def eqConstraints(f: Filter): Seq[(String, Seq[Any])] = f match {
-    case EqualTo(c, v) if v != null => Seq(c -> Seq(v))
-    case In(c, vs) if vs.nonEmpty => Seq(c -> vs.toSeq)
-    case And(a, b) => eqConstraints(a) ++ eqConstraints(b)
-    case Or(a, b) =>
-      (eqConstraints(a), eqConstraints(b)) match {
-        case (Seq((c1, v1)), Seq((c2, v2))) if c1 == c2 => Seq(c1 -> (v1 ++ v2))
-        case _ => Nil
-      }
-    case _ => Nil
-  }
-
-  /** Can this filter tree contribute ANY file pruning? Mirrors the
-    * leaves mayMatch understands. */
-  private def prunable(f: Filter): Boolean = f match {
-    case And(a, b) => prunable(a) || prunable(b)
-    case Or(a, b) => prunable(a) && prunable(b) // Or prunes only if BOTH sides can
-    case IsNull(_) | IsNotNull(_) => true
-    case StringStartsWith(_, p) => p.nonEmpty
-    case leaf => bounds(leaf).nonEmpty
-  }
-
-  /** MAY file `f` contain a row matching `filter`? False only on PROOF
-    * from the manifest. The recursion makes the pruning compositional:
-    * And prunes if either side proves absence, Or only if both sides
-    * do (`k < 10 OR k > 100` skips the middle files), IS NULL uses the
-    * per-file null counts (zero recorded nulls — a superset of genuine
-    * NULLs — proves no NULL row), IS NOT NULL uses the proven all-null
-    * stat kind, and LIKE-prefix prunes lexicographically on string
-    * stats. Unknown leaves are conservatively true. */
-  private def mayMatch(f: String, filter: Filter): Boolean = {
-    def statOf(c: String) = meta.stats.getOrElse(f, Nil).find(_.col == c)
-    filter match {
-      case And(a, b) => mayMatch(f, a) && mayMatch(f, b)
-      case Or(a, b) => mayMatch(f, a) || mayMatch(f, b)
-      case Not(_) => true // min/max cannot refute a negation usefully
-      case IsNull(c) => statOf(c).forall(_.nulls != 0L)
-      case IsNotNull(c) => !statOf(c).exists(_.kind == "null")
-      case StringStartsWith(c, p) if p.nonEmpty =>
-        statOf(c) match {
-          case Some(s) if s.kind == "str" =>
-            // disjoint iff every value is below the prefix, or at/above
-            // the next prefix (increment of p's last char) — compared in
-            // UTF8 binary order, the order the stats were computed in.
-            // The char increment is only an exact successor below the
-            // surrogate range; past it, skip the upper test (still
-            // sound, just unpruned).
-            val below = TxnTable.strLt(s.maxV, p)
-            val above = p.last < '\ud7ff' && {
-              val next = p.init + (p.last + 1).toChar
-              !TxnTable.strLt(s.minV, next)
-            }
-            !(below || above)
-          case Some(s) if s.kind == "null" => false
-          case _ => true
-        }
-      case leaf =>
-        val bs = bounds(leaf)
-        bs.isEmpty || bs.forall { case (c, b) => statOf(c).forall(_.mayOverlap(b)) }
-    }
-  }
-
+  /** EXACT FILTER HANDLING: a pushed filter that every surviving file
+    * PROVABLY fully-matches (StatsPruner.mustMatch) needs no row-level
+    * re-evaluation -- it is NOT returned as residual, so Spark drops it
+    * above the scan. This is the partition-filter shape (partitioned
+    * files are single-valued on the partition column, so `WHERE p =
+    * 'x'` selects exactly that partition's files and every row in them
+    * matches), and it is what keeps METADATA-ONLY aggregates available
+    * under a WHERE: `SELECT count(*) FROM t WHERE p = 'x'` answers from
+    * the manifest because no residual filter blocks the agg pushdown.
+    * Anything unprovable stays residual -- never wrong, just
+    * re-checked row-by-row as before. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(prunable)
-    filters // ALL filters stay residual: skipping prunes files, Spark prunes rows
+    pushed = filters.filter(pruner.prunable)
+    filters.filterNot(f =>
+      pruner.prunable(f) && statsChosen.forall(pruner.mustMatch(_, f)))
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -633,8 +530,14 @@ private[io] class GraftScanBuilder(
     * provable from the manifest. */
   private def planAgg(agg: Aggregation)
       : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
-    if (pushed.nonEmpty) return None
-    val (files, stats, _) = aggState
+    // Spark only attempts aggregate pushdown when NO residual filter
+    // remains above the scan, i.e. every pushed filter was EXACTLY
+    // handled (pushFilters proved every surviving file fully matches).
+    // The aggregate then folds over the PRUNED file set — the filtered
+    // files' rows are exactly the filtered rows, so `SELECT count(*)
+    // FROM t WHERE p = 'x'` stays metadata-only.
+    val (_, stats, _) = aggState
+    val files = statsChosen
     // group columns: single-column references whose stat proves every
     // file single-valued (min == max, zero nulls) — the partitioned-
     // ingest layout where a file belongs to exactly one group
@@ -701,11 +604,11 @@ private[io] class GraftScanBuilder(
     }
     // compositional pruning: a file survives iff EVERY pushed filter
     // (top-level conjuncts) may match it — the recursion inside
-    // mayMatch handles And/Or/null/prefix/range leaves uniformly
-    val statsChosen = meta.files.filter(f => pushed.forall(mayMatch(f, _)))
-    // equality constraints additionally probe bloom sidecars — the
-    // pruning min/max can't do on a hash-partitioned point lookup
-    val chosen = pushed.flatMap(eqConstraints).distinct
+    // StatsPruner.mayMatch handles And/Or/null/prefix/range leaves
+    // uniformly. Equality constraints additionally probe bloom
+    // sidecars — the pruning min/max can't do on a hash-partitioned
+    // point lookup.
+    val chosen = pushed.flatMap(pruner.eqConstraints).distinct
       .foldLeft(statsChosen) { case (fs, (c, vs)) =>
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
@@ -840,6 +743,12 @@ private[io] class GraftMicroBatchStream(
     val (s, e) = (ver(start), ver(end))
     if (e <= s) return Array.empty
     val delta = TxnTable.changedFiles(spark, table, s, e, skipChangeCommits)
+    // NOTE: Spark does not run filter/column pushdown for streaming
+    // DSv2 relations (the builder's pushFilters/pruneColumns are never
+    // invoked on this path — verified empirically), so `pushed` is
+    // always empty here and per-batch stats skipping has nothing to
+    // prune on. Batch reads of the same table get the full
+    // StatsPruner treatment.
     val scan = org.apache.spark.sql.GraftBridge.parquetScan(
       spark, delta.map(f => s"$table/$f"), dataSchema, required, pushed, options)
     planned = Some(scan)

@@ -1519,7 +1519,8 @@ object TxnTable {
     * REMOVED files — a file-set diff would silently misreport that as
     * pure addition). `sinceVersion = 0` reads everything. */
   def readChanges(spark: SparkSession, table: String,
-                  sinceVersion: Long): (DataFrame, Long) = {
+                  sinceVersion: Long,
+                  skipChangeCommits: Boolean = false): (DataFrame, Long) = {
     val latest = latestVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
     require(sinceVersion >= 0 && sinceVersion <= latest,
@@ -1530,8 +1531,12 @@ object TxnTable {
     if (sinceVersion == latest)
       return (spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
-    val newFiles = changedFiles(spark, table, sinceVersion, latest)
-      .map(f => s"$table/$f")
+    val newFiles =
+      changedFiles(spark, table, sinceVersion, latest, skipChangeCommits)
+        .map(f => s"$table/$f")
+    if (newFiles.isEmpty) // e.g. only change commits in range, all skipped
+      return (spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
     (spark.read.schema(schema).parquet(newFiles: _*), latest)
   }
 
