@@ -1632,6 +1632,59 @@ object FormatOps {
       | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  // --------------------------------------------------------------- k110
+  /** SQL DELETE with an ARBITRARY predicate (multi-column AND) — not
+    * expressible by the metadata-gated SupportsDelete shapes, so the
+    * analyzer lowers it to the copy-on-write rewrite: phase 1 locates
+    * the touched files through the pruned DSv2 scan, phase 2 rewrites
+    * only those with the complement (NULL predicate retains the row);
+    * key-disjoint files carry forward BY REFERENCE (REQUIREd). The
+    * oracle restates the complement over raw customer. */
+  private def k110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k110_delany")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      val hi = cust.agg(max($"c_custkey")).head().getLong(0)
+      val cut = hi / 4 // predicate confined to the low quarter of keys
+      spark.sql(s"CREATE TABLE graft_k110_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          s"""DELETE FROM graft_k110_t
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey < $cut""".stripMargin)
+      } finally spark.sql("DROP TABLE graft_k110_t")
+      val v = TxnTable.latestVersion(spark, table).get
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      require((before & after).nonEmpty && before != after,
+        s"copy-on-write DELETE must be file-surgical: carried " +
+          s"${(before & after).size} of ${before.size}")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k110Sql =
+    """WITH cut AS (SELECT MAX(c_custkey) // 4 AS c FROM customer)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer, cut
+      |WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey < cut.c)""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1662,5 +1715,6 @@ object FormatOps {
     RQ("k106_sql_update", k106, Some(k106Sql)),
     RQ("k107_sql_merge_into", k107, Some(k107Sql)),
     RQ("k108_partitioned_write", k108, Some(k108Sql)),
-    RQ("k109_partition_filter_agg", k109, Some(k109Sql)))
+    RQ("k109_partition_filter_agg", k109, Some(k109Sql)),
+    RQ("k110_sql_delete_any", k110, Some(k110Sql)))
 }

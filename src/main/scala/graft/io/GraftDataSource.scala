@@ -631,10 +631,18 @@ private[io] class GraftScan(
   override def description(): String =
     s"GraftScan graft.`$table`@v$version [${chosenFiles.size} files]"
   override def scannedFileCount: Int = chosenFiles.size
+  // Only filters whose columns are IN the clipped read schema may reach
+  // the parquet layer: parquet-mr evaluates a predicate on a column
+  // absent from the projection as never-matching and drops every row
+  // group. Exactly-handled filters (whose columns Spark pruned away
+  // because no residual references them) are file-level knowledge —
+  // they did their work in manifest pruning, not in the reader.
+  private def parquetSafe: Array[Filter] =
+    pushed.filter(_.references.forall(required.fieldNames.contains))
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     org.apache.spark.sql.GraftBridge.parquetScan(
       spark, chosenFiles.map(f => s"$table/$f"), dataSchema, required,
-      pushed, options).toBatch
+      parquetSafe, options).toBatch
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(spark, table, dataSchema, required, pushed, options)
@@ -748,16 +756,19 @@ private[io] class GraftMicroBatchStream(
     // invoked on this path — verified empirically), so `pushed` is
     // always empty here and per-batch stats skipping has nothing to
     // prune on. Batch reads of the same table get the full
-    // StatsPruner treatment.
+    // StatsPruner treatment. Same read-schema guard as GraftScan: the
+    // parquet layer must never see a filter on an unread column.
+    val safe = pushed.filter(_.references.forall(required.fieldNames.contains))
     val scan = org.apache.spark.sql.GraftBridge.parquetScan(
-      spark, delta.map(f => s"$table/$f"), dataSchema, required, pushed, options)
+      spark, delta.map(f => s"$table/$f"), dataSchema, required, safe, options)
     planned = Some(scan)
     scan.toBatch.planInputPartitions()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     planned.getOrElse(org.apache.spark.sql.GraftBridge.parquetScan(
-      spark, Nil, dataSchema, required, pushed, options))
+      spark, Nil, dataSchema, required,
+      pushed.filter(_.references.forall(required.fieldNames.contains)), options))
       .toBatch.createReaderFactory()
 
   override def commit(end: Offset): Unit = () // progress lives in Spark's checkpoint

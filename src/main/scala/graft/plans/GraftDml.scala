@@ -109,11 +109,43 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
           case _ => false
         }
 
+  /** DELETE shapes the table's SupportsDelete path handles as METADATA
+    * (point / closed-range on one column — GraftTable.deletePlan):
+    * those must stay on Spark's DeleteFromTable plan, where they cost
+    * zero-to-boundary I/O. Everything else (multi-column predicates,
+    * IS NULL, open ranges, subqueries) lowers to the copy-on-write
+    * rewrite below — full SQL DELETE coverage instead of an
+    * unsupported-shape error. */
+  private def metadataDeletable(cond: Option[Expression]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def col(e: Expression): Option[ExprId] = e match {
+      case a: AttributeReference => Some(a.exprId)
+      case _ => None
+    }
+    cond match {
+      case None => false
+      case Some(e) => e match {
+        case EqualTo(a, Literal(v, _)) if col(a).isDefined && v != null => true
+        case EqualTo(Literal(v, _), a) if col(a).isDefined && v != null => true
+        case And(GreaterThanOrEqual(a, _: Literal), LessThanOrEqual(b, _: Literal))
+            if col(a).isDefined && col(a) == col(b) => true
+        case And(LessThanOrEqual(a, _: Literal), GreaterThanOrEqual(b, _: Literal))
+            if col(a).isDefined && col(a) == col(b) => true
+        case _ => false
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && graftTarget(target).isDefined =>
       val (out, path) = graftTarget(target).get
       GraftUpdateCommand(new UpdatePayload(path, out, assignments, condition))
+    case d @ DeleteFromTable(target, condition)
+        if d.resolved && graftTarget(target).isDefined &&
+          !metadataDeletable(Some(condition)) =>
+      val (out, path) = graftTarget(target).get
+      GraftDeleteCommand(new DeletePayload(path, out, condition))
     case m: MergeIntoTable
         if m.targetTable.resolved && m.sourceTable.resolved &&
           graftTarget(m.targetTable).isDefined =>
@@ -149,7 +181,17 @@ final class MergePayload(
     val notMatched: Seq[MergeAction],
     val notMatchedBySource: Seq[MergeAction])
 
+final class DeletePayload(
+    val table: String,
+    val targetOutput: Seq[Attribute],
+    val condition: Expression)
+
 case class GraftUpdateCommand(payload: UpdatePayload)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftDeleteCommand(payload: DeletePayload)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -167,6 +209,9 @@ object GraftDmlStrategy extends SparkStrategy {
     case GraftMergeCommand(p) =>
       GraftDmlExec(s"MERGE INTO graft.`${p.table}`",
         () => GraftDml.runMerge(SparkSession.active, p)) :: Nil
+    case GraftDeleteCommand(p) =>
+      GraftDmlExec(s"DELETE FROM graft.`${p.table}`",
+        () => GraftDml.runDelete(SparkSession.active, p)) :: Nil
     case _ => Nil
   }
 }
@@ -238,6 +283,29 @@ private[plans] object GraftDml {
           }
         }: _*)
         Some((touched, out))
+      }
+    })
+    ()
+  }
+
+  /** Copy-on-write DELETE for predicates the metadata-gated
+    * SupportsDelete shapes can't express: phase 1 finds touched files
+    * through the DSv2 scan (the predicate prunes via stats/blooms),
+    * phase 2 rewrites only those files with the complement. SQL NULL
+    * semantics: a NULL predicate RETAINS the row (`not(coalesce(cond,
+    * false))`). */
+  def runDelete(spark: SparkSession, p: DeletePayload): Unit = {
+    val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
+    TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
+      val cond = subst(p.condition, byId, snap)
+      val touched = snap.withColumn("__graft_file", input_file_name())
+        .filter(cond).select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) None
+      else {
+        val tdf = spark.read.schema(snap.schema).parquet(touched: _*)
+        val cond2 = subst(p.condition, byId, tdf)
+        Some((touched, tdf.filter(!coalesce(cond2, lit(false)))))
       }
     })
     ()

@@ -129,6 +129,85 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE INTO: UPDATE SET * and INSERT * expand against source columns") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), table)
+      Seq((2L, 222.0), (3L, 30.0)).toDF("k", "bal")
+        .createOrReplaceTempView("sqldml_star_src")
+      spark.sql(s"CREATE TABLE sqldml_star USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO sqldml_star t USING sqldml_star_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |""".stripMargin)
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.toSeq == Seq((1L, 10.0), (2L, 222.0), (3L, 30.0)))
+      } finally spark.sql("DROP TABLE sqldml_star")
+    }
+  }
+
+  test("SQL UPDATE with an IN-subquery WHERE") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal"), table)
+      Seq(Tuple1(1L), Tuple1(3L)).toDF("kk")
+        .createOrReplaceTempView("sqldml_subq_keys")
+      spark.sql(s"CREATE TABLE sqldml_subq USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """UPDATE sqldml_subq SET bal = 0.0
+            |WHERE k IN (SELECT kk FROM sqldml_subq_keys)""".stripMargin)
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.toSeq == Seq((1L, 0.0), (2L, 20.0), (3L, 0.0)))
+      } finally spark.sql("DROP TABLE sqldml_subq")
+    }
+  }
+
+  test("SQL DELETE with arbitrary predicates lowers to copy-on-write") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(6, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"), table, Seq("c_custkey"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      spark.sql(s"CREATE TABLE sqldml_del USING graft OPTIONS (path '$table')")
+      try {
+        // multi-column predicate: not expressible by the metadata-gated
+        // SupportsDelete shapes — must still work, file-surgically
+        // (keys span 0..149 in 6 range files; < 60 touches only the
+        // low-range files, the rest carry by reference)
+        spark.sql(
+          """DELETE FROM sqldml_del
+            |WHERE c_mktsegment = 'BUILDING' AND c_custkey < 60""".stripMargin)
+        val v = TxnTable.latestVersion(spark, table).get
+        val after = TxnTable.snapshotFiles(spark, table, v).toSet
+        assert((before & after).nonEmpty,
+          "key-range-pruned files must carry forward by reference")
+        val expect = cust.filter(
+          !($"c_mktsegment" === "BUILDING" && $"c_custkey" < 60))
+        val got = TxnTable.read(spark, table)
+        assert(got.count() == expect.count())
+        assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+        // OR / IS NULL shapes route the same way
+        spark.sql(
+          "DELETE FROM sqldml_del WHERE c_custkey > 1400 OR c_acctbal < -900")
+        val expect2 = expect.filter(!($"c_custkey" > 1400 || $"c_acctbal" < -900))
+        assert(TxnTable.read(spark, table).count() == expect2.count())
+      } finally spark.sql("DROP TABLE sqldml_del")
+    }
+  }
+
   test("MERGE INTO: duplicate source matches fail the cardinality check") {
     import spark.implicits._
     withZone { zone =>
