@@ -70,7 +70,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         ".option(\"txnAppId\", ...) or .option(\"checkpointLocation\", ...) on the " +
         "writer (a session-conf default checkpoint dir is NOT per-query and would " +
         "make two queries writing this table drop each other's batches as replays)")
-    new GraftStreamSink(table, parameters)
+    // writeStream.partitionBy(...) arrives here: the first microbatch
+    // records it, later batches conform via the sticky table partitioning
+    new GraftStreamSink(table, parameters, partitionColumns)
   }
 
   private def tablePath(options: util.Map[String, String]): String = {
@@ -148,7 +150,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * through toRdd + internalCreateDataFrame (the standard streaming-sink
   * pattern) so the commit path can run fresh batch queries (stats
   * collection, read-back) over it. */
-private[io] class GraftStreamSink(table: String, parameters: Map[String, String])
+private[io] class GraftStreamSink(table: String, parameters: Map[String, String],
+    partitionCols: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
   private def cols(k: String): Seq[String] =
     parameters.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -166,7 +169,8 @@ private[io] class GraftStreamSink(table: String, parameters: Map[String, String]
     val batchDf = org.apache.spark.sql.GraftBridge
       .internalCreateDataFrame(spark, rows, data.schema)
     TxnTable.commitAppendIdempotent(batchDf, table, appId, batchId,
-      statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+      statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
+      partitionCols = partitionCols)
     ()
   }
   override def toString: String = s"GraftSink[$table]"

@@ -262,10 +262,14 @@ private[plans] object GraftDml {
       p.assignments.map(a => keyName(a.key, byId) -> a.value).toMap
     TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
       // phase 1: touched files — the WHERE flows through the graft DSv2
-      // scan, so manifest stats + blooms prune before any data is read
+      // scan, so manifest stats + blooms prune before any data is read.
+      // Filter BEFORE the input_file_name projection: a nondeterministic
+      // projection blocks predicate pushdown, which would cost the
+      // phase-1 scan its file skipping.
       val cond = p.condition.map(subst(_, byId, snap)).getOrElse(lit(true))
-      val touched = snap.withColumn("__graft_file", input_file_name())
-        .filter(cond).select(col("__graft_file")).distinct()
+      val touched = snap.filter(cond)
+        .withColumn("__graft_file", input_file_name())
+        .select(col("__graft_file")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) None
       else {
@@ -297,9 +301,12 @@ private[plans] object GraftDml {
   def runDelete(spark: SparkSession, p: DeletePayload): Unit = {
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
     TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
+      // filter BEFORE the input_file_name projection (pushdown-blocking
+      // nondeterminism) — the predicate's file skipping is the point
       val cond = subst(p.condition, byId, snap)
-      val touched = snap.withColumn("__graft_file", input_file_name())
-        .filter(cond).select(col("__graft_file")).distinct()
+      val touched = snap.filter(cond)
+        .withColumn("__graft_file", input_file_name())
+        .select(col("__graft_file")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) None
       else {

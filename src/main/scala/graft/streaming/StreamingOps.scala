@@ -911,6 +911,77 @@ object StreamingOps {
       | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- s67
+  /** STREAMING INTO A PARTITIONED TABLE — `writeStream.format("graft")
+    * .partitionBy("event_type")`: every microbatch lands as partition-
+    * value file groups (single-valued files, recorded as stats), later
+    * batches conform via the sticky table partitioning, and the
+    * resulting table answers `GROUP BY event_type` from the MANIFEST
+    * with zero files opened (REQUIREd in-plan) — the streaming-ingest →
+    * instant-rollup shape. Oracle: the group counts over raw events. */
+  private def s67(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s67").toFile
+    try {
+      val landing = s"${root.getAbsolutePath}/landing"
+      val table = s"${root.getAbsolutePath}/table"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 2 === 0), s"$landing/file1.parquet")
+      graft.io.Tables.writeSingleFile(
+        ev.filter($"event_id" % 2 === 1), s"$landing/file2.parquet")
+      val q = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream
+        .format("graft")
+        .partitionBy("event_type")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start(table)
+      q.awaitTermination()
+      require(graft.io.TxnTable.partitionColumns(spark, table)
+        == Seq("event_type"), "streamed partitioning must be recorded")
+      val v = graft.io.TxnTable.latestVersion(spark, table).get
+      val stats = graft.io.TxnTable.fileStats(spark, table, v)
+      val files = graft.io.TxnTable.snapshotFiles(spark, table, v)
+      require(files.nonEmpty && files.forall(f =>
+        stats.getOrElse(f, Nil).exists(s =>
+          s.col == "event_type" && s.minV == s.maxV && s.nulls == 0L)),
+        "every streamed file must be single-valued on the partition column")
+      val grouped = spark.read.format("graft").load(table)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val scan = grouped.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      require(scan.exists {
+        case g: graft.io.GraftScanFiles => g.scannedFileCount == 0
+        case _ => false
+      }, s"streamed partition GROUP BY must be metadata-only; got $scan")
+      val result = grouped
+        .select($"event_type", $"n".cast("bigint").as("n"))
+        .orderBy($"event_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s67Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -928,5 +999,6 @@ object StreamingOps {
     RQ("s63_txn_stream_source", s63, Some(s63Sql)),
     RQ("s64_native_stream_sink", s64, Some(s64Sql)),
     RQ("s65_table_to_table_stream", s65, Some(s65Sql)),
-    RQ("s66_stream_past_compaction", s66, Some(s66Sql)))
+    RQ("s66_stream_past_compaction", s66, Some(s66Sql)),
+    RQ("s67_stream_partitioned_sink", s67, Some(s67Sql)))
 }
