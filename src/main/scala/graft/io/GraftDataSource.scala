@@ -27,15 +27,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * GraftBridge), so execution inherits whole-stage codegen, nested
   * schema pruning, and row-group skipping for free.
   *
-  * Filter contract: pushed range/equality filters are used for file
-  * skipping only — every filter is also RETURNED as a residual, so
-  * Spark re-evaluates them row-by-row post-scan. Skipping is sound for
-  * NULL-laden files because a range/equality predicate on the stats
-  * column can never select a NULL row anyway.
+  * Filter contract: pushed filters drive file skipping, and stay
+  * residual UNLESS the manifest PROVES every surviving file fully
+  * matches (StatsPruner.mustMatch — the partition-filter shape), in
+  * which case the filter is claimed and metadata-only aggregates stay
+  * available under the WHERE. Skipping is sound for NULL-laden files
+  * because a range/equality predicate on the stats column can never
+  * select a NULL row anyway.
   *
-  * Options: `versionAsOf` time-travels to a committed snapshot; the
-  * default pins the latest version once at planning (a long query never
-  * sees a torn snapshot).
+  * Full surface reached through this provider:
+  *   - reads: file/bloom skipping, metadata-only aggregates (also
+  *     partition-filtered), `versionAsOf`/`timestampAsOf` snapshot
+  *     pinning (default pins latest once at planning — a long query
+  *     never sees a torn snapshot)
+  *   - writes: append/overwrite (+ idempotent via txnAppId/txnVersion),
+  *     `partitionBy(...)` partition-value file groups (sticky across
+  *     later writes), statsCols/bloomCols skipping metadata
+  *   - SQL: SELECT/INSERT [OVERWRITE]/DELETE (metadata shapes via
+  *     SupportsDelete, arbitrary predicates via the copy-on-write
+  *     lowering)/TRUNCATE, plus UPDATE and MERGE INTO through
+  *     GraftDmlRewrite (spark.sql.extensions)
+  *   - streaming: source over the commit log (maxVersionsPerTrigger
+  *     admission, skipChangeCommits maintenance escape hatch) and the
+  *     exactly-once sink (per-microbatch idempotent commits,
+  *     partitionBy honored)
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with StreamSinkProvider {
