@@ -1685,6 +1685,68 @@ object FormatOps {
       |FROM customer, cut
       |WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey < cut.c)""".stripMargin
 
+  // --------------------------------------------------------------- k111
+  /** VACUUM under the oracle — the retention sweep's operational
+    * contract: after overwrite + append + delete history, `vacuum
+    * (keep=1)` drops the superseded manifests AND the data files no
+    * retained snapshot references, while the latest snapshot stays
+    * byte-identical (hash-gated against the oracle) and time travel to
+    * a reclaimed version fails loudly instead of half-reading. REQUIREd
+    * in-query: versions() shrinks to the retained suffix, orphaned
+    * parquet bytes are actually gone from disk, the dropped version
+    * throws. */
+  private def k111(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k111_vacuum")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust.filter($"c_custkey" % 2 === 0), table,
+        statsCols = Seq("c_custkey"))
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table,
+        statsCols = Seq("c_custkey"))
+      TxnTable.deleteRangeOn(spark, table, "c_custkey", 1, 100)
+      // a delta chain pins its checkpoint base (vacuum refuses to strand
+      // retained deltas); compaction writes a FULL manifest, so the
+      // whole prior history becomes reclaimable
+      TxnTable.compact(spark, table, targetFiles = 2)
+      val latest = TxnTable.latestVersion(spark, table).get
+      def parquetOnDisk(): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        walk(new java.io.File(table))
+      }
+      val before = parquetOnDisk()
+      TxnTable.vacuum(spark, table, keep = 0)
+      require(TxnTable.versions(spark, table) == Seq(latest),
+        s"vacuum must retain only the latest full snapshot, got " +
+          s"${TxnTable.versions(spark, table)}")
+      require(parquetOnDisk() < before,
+        "vacuum must reclaim unreferenced data files from disk")
+      val gone = intercept3(TxnTable.readVersion(spark, table, 1L).count())
+      require(gone, "time travel to a vacuumed version must fail loudly")
+      val result = TxnTable.read(spark, table).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private def intercept3(body: => Any): Boolean =
+    try { body; false } catch { case scala.util.control.NonFatal(_) => true }
+  private val k111Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey NOT BETWEEN 1 AND 100""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1716,5 +1778,6 @@ object FormatOps {
     RQ("k107_sql_merge_into", k107, Some(k107Sql)),
     RQ("k108_partitioned_write", k108, Some(k108Sql)),
     RQ("k109_partition_filter_agg", k109, Some(k109Sql)),
-    RQ("k110_sql_delete_any", k110, Some(k110Sql)))
+    RQ("k110_sql_delete_any", k110, Some(k110Sql)),
+    RQ("k111_vacuum_retention", k111, Some(k111Sql)))
 }

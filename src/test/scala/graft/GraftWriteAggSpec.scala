@@ -34,6 +34,30 @@ class GraftWriteAggSpec extends AnyFunSuite {
         r.scan
     }.collect { case g: GraftScanFiles => g.scannedFileCount }
 
+  test("ambiguous positional write fails loudly; synthetic INSERT names align") {
+    import spark.implicits._
+    withZone { table =>
+      Seq((1L, 10.0)).toDF("k", "bal")
+        .write.format("graft").mode("overwrite").save(table)
+      // a frame with real-but-renamed columns is ambiguous (rename+cast
+      // could silently mis-map a reordered frame): refuse with a
+      // by-name instruction instead of guessing positional intent
+      val e = intercept[Exception] {
+        Seq((2L, 20.0)).toDF("key", "balance")
+          .write.format("graft").mode("append").save(table)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("positional mapping")))
+      // renamed-to-match works by name; synthetic col1/col2 (the SQL
+      // INSERT VALUES shape) aligns positionally — covered by the DDL
+      // test below
+      Seq((2L, 20.0)).toDF("k", "bal")
+        .write.format("graft").mode("append").save(table)
+      assert(TxnTable.read(spark, table).count() == 2)
+    }
+  }
+
   test("DSv2 write: overwrite creates, append adds, txn replay is a no-op") {
     withZone { table =>
       val cust = Tables.customer(spark, Spec.sf0001)
