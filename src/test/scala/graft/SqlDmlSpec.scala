@@ -151,6 +151,26 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL UPDATE with a scalar subquery in SET") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), table)
+      Seq(Tuple1(77.0)).toDF("v").createOrReplaceTempView("sqldml_scalar_src")
+      spark.sql(s"CREATE TABLE sqldml_scalar USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """UPDATE sqldml_scalar
+            |SET bal = (SELECT max(v) FROM sqldml_scalar_src)
+            |WHERE k = 1""".stripMargin)
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.toSeq == Seq((1L, 77.0), (2L, 20.0)))
+      } finally spark.sql("DROP TABLE sqldml_scalar")
+    }
+  }
+
   test("SQL UPDATE with an IN-subquery WHERE") {
     import spark.implicits._
     withZone { zone =>
