@@ -1,0 +1,196 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGE DATA FEED read path — `spark.read/readStream.format("graft")
+  * .option("readChangeFeed", "true")` surfaces every committed
+  * row-level change with Delta-parity `_change_type` (insert /
+  * update_preimage / update_postimage / delete) and `_commit_version`
+  * columns, planned from [[TxnTable.commitChanges]]'s manifest
+  * arithmetic (ref ships `delta-core_2.12-0.7.0.jar`, whose
+  * `readChangeFeed` this mirrors; SURVEY.md §1.3).
+  *
+  * Provenance is mixed per commit — plain data files whose every row is
+  * one constant change type (append adds, overwrite/range-delete
+  * victims) and eager change files that carry their own `_change_type`
+  * column — so each file group is planned as an ordinary vectorized
+  * parquet scan and its partitions are WRAPPED with the per-commit
+  * constants; a thin row-level reader appends the feed columns. This
+  * keeps planning cost at O(commits in range) small manifest reads and
+  * data cost at exactly the changed rows: at 100 TB an incremental
+  * consumer reads the day's changes, never the table. */
+object GraftCdc {
+  /** The feed's output schema: table columns + the two feed columns. */
+  def feedSchema(table: StructType): StructType =
+    StructType(table.fields.toSeq :+
+      StructField(TxnTable.ChangeTypeCol, StringType, nullable = false) :+
+      StructField(TxnTable.CommitVersionCol, LongType, nullable = false))
+
+  def isFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  /** Inverse of [[feedSchema]] — the Table handle of a CDF read carries
+    * the extended schema; the planner needs the data files'. */
+  def baseSchema(s: StructType): StructType =
+    StructType(s.fields.toSeq.filterNot(f =>
+      f.name == TxnTable.ChangeTypeCol || f.name == TxnTable.CommitVersionCol))
+
+  /** Partitions + shared reader factory for the changes committed in
+    * versions (`since`, `until`]. */
+  def plan(spark: SparkSession, table: String, base: StructType,
+           options: CaseInsensitiveStringMap, since: Long, until: Long)
+      : (Array[InputPartition], PartitionReaderFactory) = {
+    val cdcSchema = StructType(base.fields.toSeq :+
+      StructField(TxnTable.ChangeTypeCol, StringType))
+    val factories = scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    def add(files: Seq[String], schema: StructType, fill: String, v: Long): Unit =
+      if (files.nonEmpty) {
+        val scan = org.apache.spark.sql.GraftBridge.parquetScan(
+          spark, files.map(f => s"$table/$f"), schema, schema,
+          Array.empty, options).toBatch
+        val fid = factories.length
+        factories += scan.createReaderFactory()
+        scan.planInputPartitions().foreach(p =>
+          parts += CdcPartition(p, fid, fill, v))
+      }
+    ((since + 1L) to until).foreach { v =>
+      val cc = TxnTable.commitChanges(spark, table, v)
+      add(cc.inserts, base, "insert", v)
+      add(cc.deletes, base, "delete", v)
+      add(cc.cdc, cdcSchema, null, v)
+    }
+    (parts.toArray, new CdcReaderFactory(factories.toArray, base))
+  }
+}
+
+/** One wrapped file partition: which inner parquet factory reads it,
+  * the constant `_change_type` to append (null when the file is an
+  * eager change file carrying its own), and the commit version. */
+final case class CdcPartition(inner: InputPartition, factoryId: Int,
+                              fill: String, version: Long)
+    extends InputPartition
+
+/** Appends the feed columns to every inner parquet row: output layout
+  * is [table columns..., _change_type, _commit_version]. Row-based on
+  * purpose — the feed's volume is the changed rows, not the table, and
+  * a row wrapper composes with any inner reader. */
+final class CdcReaderFactory(factories: Array[PartitionReaderFactory],
+                             base: StructType)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CdcPartition]
+    val inner = factories(cp.factoryId).createReader(cp.inner)
+    val innerTypes: Array[DataType] =
+      if (cp.fill != null) base.fields.map(_.dataType)
+      else base.fields.map(_.dataType) :+ StringType
+    val width = base.length + 2
+    val typeValue = Option(cp.fill).map(UTF8String.fromString).orNull
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        // copy first: the inner reader may reuse its row buffer, and
+        // the values we lift out must survive the next() call
+        val row = inner.get().copy()
+        val out = new GenericInternalRow(width)
+        var i = 0
+        while (i < innerTypes.length) {
+          out.update(i, if (row.isNullAt(i)) null else row.get(i, innerTypes(i)))
+          i += 1
+        }
+        if (typeValue != null) out.update(base.length, typeValue)
+        out.setLong(base.length + 1, cp.version)
+        out
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Batch CDF scan: `spark.read.format("graft")
+  * .option("readChangeFeed", "true").option("startingVersion", n)
+  * [.option("endingVersion", m)].load(path)` — changes in (n, m],
+  * ending at the handle's pinned version by default. Filters stay
+  * residual and aggregates never push (the feed is a log, not a
+  * snapshot — file stats describe table state, not change rows). */
+private[io] class GraftCdcScan(
+    spark: SparkSession, table: String, version: Long,
+    base: StructType, options: CaseInsensitiveStringMap)
+    extends Scan with GraftScanFiles {
+  private val startV =
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+  private val endV =
+    Option(options.get("endingVersion")).map(_.toLong).getOrElse(version)
+  private lazy val planned = GraftCdc.plan(spark, table, base, options, startV, endV)
+  override def readSchema(): StructType = GraftCdc.feedSchema(base)
+  override def description(): String =
+    s"GraftCdcScan graft.`$table` changes ($startV, $endV]"
+  override def scannedFileCount: Int = planned._1.length
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = planned._1
+    override def createReaderFactory(): PartitionReaderFactory = planned._2
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftCdcMicroBatchStream(spark, table, base, options)
+}
+
+/** Streaming CDF source: offsets are committed table versions (same
+  * contract as the plain graft source), each microbatch delivers the
+  * change rows of the commits in its version window. Routine
+  * maintenance (compact, restore) contributes no rows and wedges
+  * nothing — the CDF consumer's answer to `skipChangeCommits`, except
+  * nothing is lost: UPDATE/DELETE/MERGE commits arrive as their exact
+  * pre/post/delete/insert rows. `startingVersion` (exclusive, default
+  * 0) picks up history; `maxVersionsPerTrigger` bounds backlog drains. */
+private[io] class GraftCdcMicroBatchStream(
+    spark: SparkSession, table: String, base: StructType,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def ver(o: Offset): Long = o.asInstanceOf[GraftOffset].v
+
+  override def initialOffset(): Offset = new GraftOffset(
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+  override def latestOffset(): Offset = new GraftOffset(
+    TxnTable.latestVersion(spark, table).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    new GraftOffset(json.toLong)
+
+  private val maxVersions: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TxnTable.latestVersion(spark, table).getOrElse(0L))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val tip = TxnTable.latestVersion(spark, table).getOrElse(0L)
+    val target = availableNowTarget.fold(tip)(math.min(_, tip))
+    val capped = maxVersions match {
+      case Some(n) => math.min(ver(start) + math.max(1L, n), target)
+      case None => target
+    }
+    new GraftOffset(capped)
+  }
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  private var planned: Option[(Array[InputPartition], PartitionReaderFactory)] = None
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val p = GraftCdc.plan(spark, table, base, options, ver(start), ver(end))
+    planned = Some(p)
+    p._1
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    planned.map(_._2).getOrElse(
+      new CdcReaderFactory(Array.empty, base))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

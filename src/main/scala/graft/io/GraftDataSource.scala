@@ -132,9 +132,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     pinnedVersion(spark, table, options) match {
       case None => new StructType()
       case Some(v) =>
-        TxnTable.snapshotSchema(spark, table, v).getOrElse(
+        val snap = TxnTable.snapshotSchema(spark, table, v).getOrElse(
           throw new IllegalStateException(
             s"$table@v$v predates the schema log — unreadable through format(\"graft\")"))
+        // change-data-feed reads surface the table rows PLUS the feed
+        // columns (_change_type, _commit_version)
+        if (GraftCdc.isFeed(options)) GraftCdc.feedSchema(snap) else snap
     }
   }
 
@@ -185,7 +188,8 @@ private[io] class GraftStreamSink(table: String, parameters: Map[String, String]
       .internalCreateDataFrame(spark, rows, data.schema)
     TxnTable.commitAppendIdempotent(batchDf, table, appId, batchId,
       statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
-      partitionCols = partitionCols)
+      partitionCols = partitionCols,
+      cdf = parameters.get("enableChangeFeed").map(_.toBoolean))
     ()
   }
   override def toString: String = s"GraftSink[$table]"
@@ -343,19 +347,23 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
           case _ => throw new IllegalArgumentException(
             "txnAppId and txnVersion must be set together")
         }
+        // `.option("enableChangeFeed", "true")` turns the change data
+        // feed on (sticky, like partitioning); absent, the table's
+        // recorded flag carries forward
+        val cdf = Option(info.options.get("enableChangeFeed")).map(_.toBoolean)
         (overwrite, txn) match {
           case (false, None) =>
             TxnTable.commitAppend(aligned, table, statsCols, bloomCols,
-              partitionCols)
+              partitionCols, cdf)
           case (true, None) =>
             TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols,
-              partitionCols)
+              partitionCols, cdf)
           case (false, Some((a, v))) =>
             TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols,
-              bloomCols, partitionCols)
+              bloomCols, partitionCols, cdf)
           case (true, Some((a, v))) =>
             TxnTable.commitOverwriteIdempotent(aligned, table, a, v, statsCols,
-              bloomCols, partitionCols)
+              bloomCols, partitionCols, cdf)
         }
         ()
       }
@@ -376,6 +384,12 @@ private[io] class GraftScanBuilder(
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
+
+  // CHANGE DATA FEED read (`readChangeFeed=true`): the scan is a change
+  // LOG, not a snapshot — stats pruning/claiming and metadata-only
+  // aggregates describe table state and must not apply; every filter
+  // stays residual and build() hands off to the CDC planner.
+  private val isFeed = GraftCdc.isFeed(options)
 
   // the shared filter->stats machinery (the streaming source builds the
   // same pruner per batch, so filtered streams skip identically)
@@ -399,6 +413,7 @@ private[io] class GraftScanBuilder(
     * Anything unprovable stays residual -- never wrong, just
     * re-checked row-by-row as before. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (isFeed) return filters // change rows: no file skipping, all residual
     pushed = filters.filter(pruner.prunable)
     filters.filterNot(f =>
       pruner.prunable(f) && statsChosen.forall(pruner.mustMatch(_, f)))
@@ -609,14 +624,18 @@ private[io] class GraftScanBuilder(
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    planAgg(agg).isDefined
+    !isFeed && planAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
+    if (isFeed) return false
     plannedAgg = planAgg(agg)
     plannedAgg.isDefined
   }
 
   override def build(): Scan = {
+    if (isFeed)
+      return new GraftCdcScan(spark, table, version,
+        GraftCdc.baseSchema(dataSchema), options)
     plannedAgg match {
       case Some((schema, rows)) => return new GraftAggScan(table, version, schema, rows)
       case None => ()

@@ -89,6 +89,36 @@ object TxnTable {
   // of the table directory where mtimes would not. Pre-#ts manifests
   // fall back to their mtime.
   private val TsPrefix = "#ts="
+  // What KIND of commit this manifest records (`#op=` header): append,
+  // overwrite, update, delete, merge, compact, restore. The change data
+  // feed classifies each commit from this label — maintenance commits
+  // (compact, restore) rewrite files without changing table CONTENT, so
+  // a CDF reader must distinguish them from an UPDATE that rewrote the
+  // same files. Commit-scoped: never merged into snapshot state.
+  private val OpPrefix = "#op="
+  // Change-data-feed enablement (`#cdf=true` header): STICKY table flag
+  // (like #partcols) — once a commit records it, every later rewrite
+  // commit also writes its row-level change files, and readChangeFeed
+  // can serve the full history from that point on. Delta's
+  // `delta.enableChangeDataFeed` table property, as a manifest header.
+  private val CdfPrefix = "#cdf="
+  // EAGER change files (`#cdc=<file>` lines): parquet files holding this
+  // commit's row-level changes with their `_change_type` column already
+  // materialized (update_preimage/update_postimage/delete/insert) —
+  // written by the rewrite paths, which are the only ones that KNOW
+  // which rows changed how. Live under the commit's data dir (`w=.../
+  // _cdc/...`), so they share its lifecycle. Commit-scoped.
+  private val CdcPrefix = "#cdc="
+  // LAZY change records (`#cdcdel=<file>` lines): EVERY row of this
+  // removed data file is a `delete` of this commit. Zero write cost —
+  // the reader reads the superseded file (still on disk until vacuum)
+  // and tags its rows. This is what keeps the metadata-only delete
+  // (a fully-covered file dropped without being read) metadata-only
+  // even with CDF enabled. Commit-scoped.
+  private val CdcDelPrefix = "#cdcdel="
+  /** The `_change_type` values the change feed emits (Delta-parity). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
   private val StatPrefix = "#stat="   // #stat=<file>|<col>|<min>|<max>[|<nulls>]
   private val StatSep = "|"
   // Per-file ROW COUNTS ride ON the file entry itself — a manifest file
@@ -281,12 +311,19 @@ object TxnTable {
     }
 
   /** The recorded commit wall-clock of one manifest (its `#ts=` header),
-    * falling back to the file's mtime for pre-#ts manifests. */
-  private def commitTs(ctx: FileContext, table: String, v: Long): Long = {
+    * falling back to the file's mtime for pre-#ts manifests. The Boolean
+    * reports which source answered: a binary search over commit times is
+    * only sound when every probe came from a recorded header (recorded
+    * times are CAS-serialized and nondecreasing up to clock skew;
+    * mtimes of copied/restored tables are not), so a `false` anywhere
+    * in the probe range sends `versionAt` to the linear scan. */
+  private def commitTs(ctx: FileContext, table: String, v: Long): (Long, Boolean) = {
     val p = new Path(table, manifestName(v))
     readSmall(ctx, p).split("\n").find(_.startsWith(TsPrefix))
-      .flatMap(_.stripPrefix(TsPrefix).trim.toLongOption)
-      .getOrElse(ctx.getFileStatus(p).getModificationTime)
+      .flatMap(_.stripPrefix(TsPrefix).trim.toLongOption) match {
+      case Some(ts) => (ts, true)
+      case None => (ctx.getFileStatus(p).getModificationTime, false)
+    }
   }
 
   /** Time travel by WALL CLOCK: the latest version committed at or
@@ -303,13 +340,25 @@ object TxnTable {
       var lo = 1L
       var hi = latest
       var best = Option.empty[Long]
-      while (lo <= hi) {
+      var allRecorded = true
+      while (allRecorded && lo <= hi) {
         val mid = (lo + hi) / 2
         if (!ctx.util.exists(new Path(table, manifestName(mid)))) lo = mid + 1
-        else if (commitTs(ctx, table, mid) <= tsMillis) { best = Some(mid); lo = mid + 1 }
-        else hi = mid - 1
+        else {
+          val (ts, recorded) = commitTs(ctx, table, mid)
+          if (!recorded) allRecorded = false // mixed ts sources: see below
+          else if (ts <= tsMillis) { best = Some(mid); lo = mid + 1 }
+          else hi = mid - 1
+        }
       }
-      best
+      if (allRecorded) best
+      else
+        // a probed manifest predates `#ts=`: its mtime may be out of
+        // order with recorded times (upgrade boundary, copied/restored
+        // table), which could make the binary search skip a version —
+        // fall back to the exhaustive scan the pre-#ts code path used
+        versions(spark, table)
+          .filter(v => commitTs(ctx, table, v)._1 <= tsMillis).lastOption
     }
   }
 
@@ -354,8 +403,15 @@ object TxnTable {
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
-        if (st.isDirectory) walk(s"$rel/$n")
-        else if (n.endsWith(".parquet")) buf += s"$rel/$n"
+        // `_`-prefixed entries are metadata, not data: the `_cdc/`
+        // change-file dir a rewrite commit nests inside its data dir
+        // must never be read back as table rows. The one exception is
+        // `__gp_<col>=<value>` hive-style partition-value dirs, which ARE
+        // data layout.
+        if (st.isDirectory && (!n.startsWith("_") || n.startsWith("__gp_")))
+          walk(s"$rel/$n")
+        else if (!st.isDirectory && n.endsWith(".parquet") && !n.startsWith("_"))
+          buf += s"$rel/$n"
       }
     }
     walk(dirName)
@@ -481,7 +537,26 @@ object TxnTable {
         s"cannot interpret bound $v (${v.getClass.getSimpleName}) against $dt")
     }
 
-  private[io] def boundRange(lo: Any, hi: Any, dt: DataType): Bound =
+  /** Possibly-open bound from optional endpoints, normalized against the
+    * column type — what the SQL DML lowering derives from a WHERE's
+    * conjuncts as its rebase proof. None when an endpoint resists
+    * normalization or kinds mix (callers must then not claim
+    * disjointness). */
+  private[graft] def boundOf(lo: Option[Any], hi: Option[Any],
+                             dt: DataType): Option[Bound] =
+    try {
+      (lo.map(boundValue(_, dt)), hi.map(boundValue(_, dt))) match {
+        case (Some(Right(a)), Some(Right(b))) => Some(Bound("num", lo = a, hi = b))
+        case (Some(Right(a)), None) => Some(Bound("num", lo = a))
+        case (None, Some(Right(b))) => Some(Bound("num", hi = b))
+        case (Some(Left(a)), Some(Left(b))) => Some(Bound("str", loS = a, hiS = b))
+        case (Some(Left(a)), None) => Some(Bound("str", loS = a))
+        case (None, Some(Left(b))) => Some(Bound("str", hiS = b))
+        case _ => None
+      }
+    } catch { case _: IllegalArgumentException => None }
+
+  private[graft] def boundRange(lo: Any, hi: Any, dt: DataType): Bound =
     (boundValue(lo, dt), boundValue(hi, dt)) match {
       case (Right(l), Right(h)) => Bound("num", lo = l, hi = h)
       case (Left(l), Left(h)) => Bound("str", loS = l, hiS = h)
@@ -536,7 +611,8 @@ object TxnTable {
       stats: Map[String, Seq[FileStat]],
       blooms: Map[String, Seq[BloomMeta]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      partCols: Seq[String] = Nil) {
+      partCols: Seq[String] = Nil,
+      cdf: Boolean = false) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
@@ -654,13 +730,21 @@ object TxnTable {
       headOf = dh
     }
     State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows,
-      parsePartCols(headOf))
+      parsePartCols(headOf), parseCdf(headOf))
   }
 
   private def parsePartCols(headers: Seq[String]): Seq[String] =
     headers.find(_.startsWith(PartPrefix)).toSeq
       .flatMap(_.stripPrefix(PartPrefix).split(",").toSeq)
       .map(_.trim).filter(_.nonEmpty).map(dec)
+
+  private def parseCdf(headers: Seq[String]): Boolean =
+    headers.exists(l => l.startsWith(CdfPrefix) &&
+      l.stripPrefix(CdfPrefix).trim == "true")
+
+  /** Is the change data feed enabled on the latest snapshot? */
+  def changeFeedEnabled(spark: SparkSession, table: String): Boolean =
+    latestState(spark, table).exists(_.cdf)
 
   private def latestState(spark: SparkSession, table: String): Option[State] =
     latestVersion(spark, table).map(stateOf(spark, table, _))
@@ -817,6 +901,27 @@ object TxnTable {
     (dataDir, newFiles, stats, blooms, rowCounts)
   }
 
+  /** Write `changes` (table columns + [[ChangeTypeCol]]) as this commit's
+    * eager change files, nested under the commit's own data dir
+    * (`<dataDir>/_cdc/` — the `_` prefix keeps them out of every data
+    * read, and they share the data dir's lifecycle: a discarded CAS
+    * loser takes its change files with it). Returns the table-relative
+    * paths for the `#cdc=` manifest lines. */
+  private def writeChangeData(changes: DataFrame, table: String,
+                              dataDir: String): Seq[String] = {
+    changes.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir/_cdc")
+    val ctx = fc(changes.sparkSession)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = ctx.listStatus(new Path(s"$table/$dataDir/_cdc"))
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.endsWith(".parquet"))
+        buf += s"$dataDir/_cdc/$n"
+    }
+    buf.sorted.toSeq
+  }
+
   private def partColsLine(partCols: Seq[String]): Seq[String] =
     if (partCols.isEmpty) Nil
     else Seq(s"$PartPrefix${partCols.map(enc).mkString(",")}")
@@ -828,10 +933,18 @@ object TxnTable {
       files: Seq[String],
       blooms: Map[String, Seq[BloomMeta]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      partCols: Seq[String] = Nil): String = {
+      partCols: Seq[String] = Nil,
+      op: String = "append",
+      cdf: Boolean = false,
+      cdcAdd: Seq[String] = Nil,
+      cdcDel: Seq[String] = Nil): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}",
-      s"$TsPrefix${System.currentTimeMillis()}") ++
+      s"$TsPrefix${System.currentTimeMillis()}",
+      s"$OpPrefix$op") ++
+      (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
+      cdcAdd.map(CdcPrefix + _) ++
+      cdcDel.map(CdcDelPrefix + _) ++
       partColsLine(partCols) ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       stats.toSeq.filter(kv => filesSet(kv._1)).sortBy(_._1).flatMap { case (f, ss) =>
@@ -854,9 +967,17 @@ object TxnTable {
       base: Long,
       newBlooms: Map[String, Seq[BloomMeta]] = Map.empty,
       newRows: Map[String, Long] = Map.empty,
-      partCols: Seq[String] = Nil): String =
+      partCols: Seq[String] = Nil,
+      op: String = "append",
+      cdf: Boolean = false,
+      cdcAdd: Seq[String] = Nil,
+      cdcDel: Seq[String] = Nil): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}",
-      s"$TsPrefix${System.currentTimeMillis()}") ++
+      s"$TsPrefix${System.currentTimeMillis()}",
+      s"$OpPrefix$op") ++
+      (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
+      cdcAdd.map(CdcPrefix + _) ++
+      cdcDel.map(CdcDelPrefix + _) ++
       partColsLine(partCols) ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" } ++
       newStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
@@ -889,7 +1010,10 @@ object TxnTable {
                      txn: Option[(String, Long)],
                      statsCols: Seq[String],
                      bloomCols: Seq[String] = Nil,
-                     partitionCols: Seq[String] = Nil): Long = {
+                     partitionCols: Seq[String] = Nil,
+                     cdf: Option[Boolean] = None,
+                     opLabel: Option[String] = None): Long = {
+    val op = opLabel.getOrElse(if (append) "append" else "overwrite")
     val spark = df.sparkSession
     val ctx = fc(spark)
     def applied(state: Option[State]): Boolean =
@@ -949,12 +1073,16 @@ object TxnTable {
       // interval-th version, which rolls the chain up into a checkpoint
       val writeFull = !append || state.isEmpty ||
         next % checkpointInterval(spark) == 0
+      // CDF enablement is STICKY: an explicit request turns it on (or
+      // off); otherwise the prior snapshot's flag carries forward
+      val cdfOn = cdf.getOrElse(state.exists(_.cdf))
       val content =
         if (writeFull)
-          manifestContent(schema, txns, stats, files, blooms, rows, partCols)
+          manifestContent(schema, txns, stats, files, blooms, rows, partCols,
+            op = op, cdf = cdfOn)
         else deltaContent(schema, txns, newStats, removed = Nil,
           added = newFiles, base = state.get.version, newBlooms = newBlooms,
-          newRows = newRows, partCols = partCols)
+          newRows = newRows, partCols = partCols, op = op, cdf = cdfOn)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -975,9 +1103,10 @@ object TxnTable {
   def commitOverwrite(df: DataFrame, table: String,
                       statsCols: Seq[String] = Nil,
                       bloomCols: Seq[String] = Nil,
-                      partitionCols: Seq[String] = Nil): Long =
+                      partitionCols: Seq[String] = Nil,
+                      cdf: Option[Boolean] = None): Long =
     commit(df, table, append = false, txn = None, statsCols = statsCols,
-      bloomCols = bloomCols, partitionCols = partitionCols)
+      bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
@@ -987,9 +1116,10 @@ object TxnTable {
   def commitAppend(df: DataFrame, table: String,
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
-                   partitionCols: Seq[String] = Nil): Long =
+                   partitionCols: Seq[String] = Nil,
+                   cdf: Option[Boolean] = None): Long =
     commit(df, table, append = true, txn = None, statsCols = statsCols,
-      bloomCols = bloomCols, partitionCols = partitionCols)
+      bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf)
 
   /** Overwrite exactly-once per (appId, batchId): the marker commits
     * ATOMICALLY with the replacement snapshot, so a consumer that
@@ -1000,10 +1130,11 @@ object TxnTable {
                                 appId: String, batchId: Long,
                                 statsCols: Seq[String] = Nil,
                                 bloomCols: Seq[String] = Nil,
-                                partitionCols: Seq[String] = Nil): Long =
+                                partitionCols: Seq[String] = Nil,
+                                cdf: Option[Boolean] = None): Long =
     commit(df, table, append = false, txn = Some((appId, batchId)),
       statsCols = statsCols, bloomCols = bloomCols,
-      partitionCols = partitionCols)
+      partitionCols = partitionCols, cdf = cdf)
 
   /** Append exactly-once per (appId, batchId): a replay of an
     * already-applied batch is a no-op returning the current version.
@@ -1013,10 +1144,11 @@ object TxnTable {
                              appId: String, batchId: Long,
                              statsCols: Seq[String] = Nil,
                              bloomCols: Seq[String] = Nil,
-                             partitionCols: Seq[String] = Nil): Long =
+                             partitionCols: Seq[String] = Nil,
+                             cdf: Option[Boolean] = None): Long =
     commit(df, table, append = true, txn = Some((appId, batchId)),
       statsCols = statsCols, bloomCols = bloomCols,
-      partitionCols = partitionCols)
+      partitionCols = partitionCols, cdf = cdf)
 
   /** DATA-SKIPPING read: the latest snapshot's rows with `column` in
     * [lo, hi] — planned over ONLY the files whose manifest min/max for
@@ -1138,21 +1270,35 @@ object TxnTable {
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
-      val (newFiles, newStats, newBlooms, newRows, dataDir) =
+      val (newFiles, newStats, newBlooms, newRows, dataDir, cdcAdd) =
         if (boundary.isEmpty)
           (Nil, Map.empty[String, Seq[FileStat]],
-            Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long], None)
+            Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long],
+            None, Nil)
         else {
+          val matchExpr = coalesce(col(column) === lit(value), lit(false))
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
-            .filter(not(coalesce(col(column) === lit(value), lit(false))))
+            .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
             writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
-          (nf, ns, nb, nr, Some(d))
+          // CDF: the boundary files' DELETED rows become eager change
+          // files; covered files go as lazy `#cdcdel=` lines below
+          val cdc =
+            if (!st.cdf) Nil
+            else writeChangeData(
+              spark.read.schema(schema)
+                .parquet(boundary.map(f => s"$table/$f"): _*)
+                .filter(matchExpr)
+                .withColumn(ChangeTypeCol, lit("delete")),
+              table, d)
+          (nf, ns, nb, nr, Some(d), cdc)
         }
       val removedFiles = (covered ++ boundary).sorted
       publishRewrite(spark, ctx, table, st, schema, removedFiles, newFiles,
-        newStats, newBlooms, newRows, disjointCol = Some(column), bound = b)
+        newStats, newBlooms, newRows, disjointCol = Some(column), bound = b,
+        op = "delete", cdcAdd = cdcAdd,
+        cdcDel = if (st.cdf) covered.sorted else Nil)
         match {
           case Some(v) => return v
           case None => // race invalidated the computation: redo
@@ -1268,6 +1414,31 @@ object TxnTable {
         st.bloomCols.intersect(merged.columns.toSet).toSeq.sorted
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
         writeData(merged, table, trackedCols, trackedBlooms, st.partCols)
+      // CDF: classify against the pinned snapshot — touched rows whose
+      // key appears in the updates are update_preimage, their update
+      // rows update_postimage, keys matching no target row insert
+      val cdcAdd =
+        if (!st.cdf) Nil
+        else {
+          val touchedDf =
+            if (touched.isEmpty) None
+            else Some(spark.read.schema(schema)
+              .parquet(touched.toSeq.map(f => s"$table/$f"): _*))
+          val updKeys = updates.select(col(keyCol)).distinct()
+          val pre = touchedDf.map(_.join(updKeys, Seq(keyCol), "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_preimage")))
+          val matchedKeys = touchedDf.map(_.select(col(keyCol)).distinct())
+          val post = matchedKeys.map(mk =>
+            updates.join(mk, Seq(keyCol), "left_semi")
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+          val ins = matchedKeys
+            .map(mk => updates.join(mk, Seq(keyCol), "left_anti"))
+            .getOrElse(updates)
+            .withColumn(ChangeTypeCol, lit("insert"))
+          val changes = (pre.toSeq ++ post.toSeq :+ ins)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          writeChangeData(changes, table, dataDir)
+        }
       val mergedSchema =
         org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema)
       // rebase on CAS loss only when the interleaved commits appended
@@ -1278,7 +1449,8 @@ object TxnTable {
       publishRewrite(spark, ctx, table, st, mergedSchema,
         touched.toSeq.sorted, newFiles, newStats, newBlooms, newRows,
         disjointCol = keyBound.map(_ => keyCol),
-        bound = keyBound.getOrElse(Bound("conflict"))) match {
+        bound = keyBound.getOrElse(Bound("conflict")),
+        op = "merge", cdcAdd = cdcAdd) match {
         case Some(v) => return v
         case None =>
           // lost the race: this merge was computed against a stale base —
@@ -1313,7 +1485,10 @@ object TxnTable {
       newBlooms: Map[String, Seq[BloomMeta]],
       newRows: Map[String, Long],
       disjointCol: Option[String], bound: Bound,
-      txns: State => Map[String, Long] = _.txns): Option[Long] = {
+      txns: State => Map[String, Long] = _.txns,
+      op: String = "delete",
+      cdcAdd: Seq[String] = Nil,
+      cdcDel: Seq[String] = Nil): Option[Long] = {
     val removedSet = removedFiles.toSet
     val computedFiles = computed.files.toSet
     var base = computed
@@ -1326,10 +1501,12 @@ object TxnTable {
           manifestContent(schema, txns(base),
             (base.stats -- removedFiles) ++ newStats, files,
             (base.blooms -- removedFiles) ++ newBlooms,
-            (base.rows -- removedFiles) ++ newRows, base.partCols)
+            (base.rows -- removedFiles) ++ newRows, base.partCols,
+            op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel)
         else deltaContent(schema, txns(base), newStats,
           removed = removedFiles, added = newFiles, base = base.version,
-          newBlooms = newBlooms, newRows = newRows, partCols = base.partCols)
+          newBlooms = newBlooms, newRows = newRows, partCols = base.partCols,
+          op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return Some(next)
@@ -1363,8 +1540,30 @@ object TxnTable {
     * losing the race discards the written data dir and recomputes
     * against the new snapshot — a row-level rewrite's correctness
     * depends on its base. */
-  def rewriteCommit(spark: SparkSession, table: String,
-                    compute: (DataFrame, Long) => Option[(Seq[String], DataFrame)]): Long = {
+  /** What a [[rewriteCommit]] `compute` hands back:
+    *   - `removed`: snapshot files to replace (absolute or relative)
+    *   - `replacement`: their surviving/updated rows (plus any pure
+    *     inserts) — its schema may be WIDER than the table's (MERGE
+    *     schema evolution): the commit merges it into the schema log
+    *   - `changes`: this rewrite's row-level change feed (table columns
+    *     + [[ChangeTypeCol]]); written as eager change files iff the
+    *     table has CDF enabled, ignored otherwise
+    *   - `disjointKey`: a (column, bound) PROOF OBLIGATION the rewrite's
+    *     predicate is confined to — every row the rewrite touches or
+    *     whose fate it decides lies inside `bound` on `column`. With it,
+    *     a CAS loss against interleaved appends whose files are
+    *     stats-provably disjoint from the bound REBASES (re-derives the
+    *     manifest, keeps the written data) instead of recomputing — the
+    *     long-UPDATE-racing-streaming-ingest shape. None = always
+    *     recompute on loss. */
+  final case class Rewrite(
+      removed: Seq[String],
+      replacement: DataFrame,
+      changes: Option[DataFrame] = None,
+      disjointKey: Option[(String, Bound)] = None)
+
+  def rewriteCommit(spark: SparkSession, table: String, op: String,
+                    compute: (DataFrame, Long) => Option[Rewrite]): Long = {
     val ctx = fc(spark)
     var attempt = 0
     while (attempt < 16) {
@@ -1376,37 +1575,40 @@ object TxnTable {
         .option("versionAsOf", st.version.toString).load(table)
       compute(snap, st.version) match {
         case None => return st.version
-        case Some((removedRaw, replacement)) =>
+        case Some(rw) =>
           val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-          val removed = removedRaw.map { r =>
+          val removed = rw.removed.map { r =>
             val base = r.substring(r.lastIndexOf('/') + 1)
             byBase.getOrElse(base, throw new IllegalStateException(
               s"rewrite names a file not in snapshot v${st.version}: $r"))
           }.distinct.sorted
           val trackedCols = st.stats.values.flatten.map(_.col).toSet
-            .intersect(replacement.columns.toSet).toSeq.sorted
+            .intersect(rw.replacement.columns.toSet).toSeq.sorted
           val trackedBlooms =
-            st.bloomCols.intersect(replacement.columns.toSet).toSeq.sorted
+            st.bloomCols.intersect(rw.replacement.columns.toSet).toSeq.sorted
           val (dataDir, newFiles, newStats, newBlooms, newRows) =
-            writeData(replacement, table, trackedCols, trackedBlooms, st.partCols)
-          val files = st.files.filterNot(removed.toSet) ++ newFiles
-          val next = st.version + 1L
-          val content =
-            if (next % checkpointInterval(spark) == 0)
-              manifestContent(schema, st.txns,
-                (st.stats -- removed) ++ newStats, files,
-                (st.blooms -- removed) ++ newBlooms,
-                (st.rows -- removed) ++ newRows, st.partCols)
-            else deltaContent(schema, st.txns, newStats, removed = removed,
-              added = newFiles, base = st.version, newBlooms = newBlooms,
-              newRows = newRows, partCols = st.partCols)
-          if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
-            writePointer(ctx, table, next)
-            return next
+            writeData(rw.replacement, table, trackedCols, trackedBlooms,
+              st.partCols)
+          val cdcAdd =
+            if (st.cdf) rw.changes.toSeq.flatMap(writeChangeData(_, table, dataDir))
+            else Nil
+          // the replacement may carry evolved columns (MERGE ... WITH
+          // SCHEMA EVOLUTION): merge them into the recorded schema —
+          // pre-evolution files surface the new columns as NULL
+          val outSchema = org.apache.spark.sql.GraftBridge.mergeSchemas(
+            schema, org.apache.spark.sql.types.StructType(
+              rw.replacement.schema.filterNot(_.name == ChangeTypeCol)))
+          publishRewrite(spark, ctx, table, st, outSchema, removed, newFiles,
+            newStats, newBlooms, newRows,
+            disjointCol = rw.disjointKey.map(_._1),
+            bound = rw.disjointKey.map(_._2).getOrElse(Bound("conflict")),
+            op = op, cdcAdd = cdcAdd) match {
+            case Some(v) => return v
+            case None =>
+              ctx.delete(new Path(s"$table/$dataDir"), true)
+              attempt += 1 // computed against a stale snapshot: redo
+              backoff(attempt)
           }
-          ctx.delete(new Path(s"$table/$dataDir"), true)
-          attempt += 1 // computed against a stale snapshot: redo
-          backoff(attempt)
       }
     }
     throw new IllegalStateException(
@@ -1457,26 +1659,42 @@ object TxnTable {
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
-      val (newFiles, newStats, newBlooms, newRows, dataDir) =
+      val (newFiles, newStats, newBlooms, newRows, dataDir, cdcAdd) =
         if (boundary.isEmpty)
           (Nil, Map.empty[String, Seq[FileStat]],
-            Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long], None)
+            Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long],
+            None, Nil)
         else {
           // three-valued logic trap: for a NULL (or uncastable) key the
           // bare `!between` predicate is NULL, which filter treats as
           // drop — rows OUTSIDE the delete range would silently vanish.
           // SQL DELETE retains NULL-keyed rows, so default the match to
           // false before negating.
+          val matchExpr = coalesce(rangeFilter(column, dt, lo, hi), lit(false))
           val complement = spark.read.schema(schema)
             .parquet(boundary.map(f => s"$table/$f"): _*)
-            .filter(not(coalesce(rangeFilter(column, dt, lo, hi), lit(false))))
+            .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
             writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
-          (nf, ns, nb, nr, Some(d))
+          // CDF: eager change files for the boundary files' deleted rows;
+          // fully-covered files stay METADATA-ONLY deletes — they go as
+          // lazy `#cdcdel=` lines (the reader tags the superseded file's
+          // rows), so CDF costs the retention sweep zero extra data I/O
+          val cdc =
+            if (!st.cdf) Nil
+            else writeChangeData(
+              spark.read.schema(schema)
+                .parquet(boundary.map(f => s"$table/$f"): _*)
+                .filter(matchExpr)
+                .withColumn(ChangeTypeCol, lit("delete")),
+              table, d)
+          (nf, ns, nb, nr, Some(d), cdc)
         }
       val removedFiles = (covered ++ boundary).sorted
       publishRewrite(spark, ctx, table, st, schema, removedFiles, newFiles,
-        newStats, newBlooms, newRows, disjointCol = Some(column), bound = b)
+        newStats, newBlooms, newRows, disjointCol = Some(column), bound = b,
+        op = "delete", cdcAdd = cdcAdd,
+        cdcDel = if (st.cdf) covered.sorted else Nil)
         match {
           case Some(v) => return v
           case None => // race invalidated the computation: redo
@@ -1553,7 +1771,14 @@ object TxnTable {
     * its added files are rewrites of rows the stream already delivered
     * from their original files, so re-reading them would double-count.
     * This is what lets routine `compactSmall` maintenance run under a
-    * live `readStream` consumer without permanently wedging it. Cost:
+    * live `readStream` consumer without permanently wedging it.
+    * CAVEAT (Delta-parity, but easier to hit here because graft's MERGE
+    * lowering co-commits its inserts with the rewrite): genuinely NEW
+    * rows a MERGE inserts in the same remove+add commit are skipped
+    * with it and never delivered. A consumer that must observe rewrite
+    * commits' rows — including those inserts — should read the CHANGE
+    * DATA FEED (`readChangeFeed`) instead, which classifies every
+    * commit's rows exactly. Cost:
     * delta manifests expose their +/- lines in one small read per
     * version; a full (checkpoint/overwrite) manifest in the range
     * resolves two snapshots to diff — O(interval) reads, and at most
@@ -1597,6 +1822,134 @@ object TxnTable {
       }
       included.result()
     }
+  }
+
+  /** One commit's change provenance — what the change data feed plans
+    * from, derived in O(1) small manifest reads per commit:
+    *   - `inserts`: data files whose EVERY row is an `insert` of this
+    *     commit (append adds; a pure-insert merge)
+    *   - `deletes`: files whose every row is a `delete` — an
+    *     overwrite's replaced files, or a range delete's fully-covered
+    *     files (`#cdcdel=` lazy records; the superseded file stays
+    *     readable until vacuum, so the feed costs those deletes zero
+    *     write I/O)
+    *   - `cdc`: eager change files carrying their own `_change_type`
+    *     column (update_preimage/update_postimage/delete/insert),
+    *     written by the rewrite that knew which rows changed how
+    * Maintenance commits (compact, restore) rewrite files without
+    * changing content: all three lists empty. */
+  final case class CommitChanges(
+      version: Long,
+      op: String,
+      inserts: Seq[String],
+      deletes: Seq[String],
+      cdc: Seq[String])
+
+  /** Change provenance of commit `v` (see [[CommitChanges]]). Throws for
+    * a rewrite commit made while CDF was disabled — its row-level
+    * changes were never recorded and cannot be reconstructed — and for
+    * pre-`#op` legacy manifests that removed files. */
+  def commitChanges(spark: SparkSession, table: String,
+                    v: Long): CommitChanges = {
+    val lines = manifestLines(spark, table, v)
+    val headers = lines.filter(_.startsWith("#"))
+    val isDelta = headers.exists(_.startsWith(DeltaPrefix))
+    val op = headers.find(_.startsWith(OpPrefix))
+      .map(_.stripPrefix(OpPrefix).trim)
+    val cdfOn = parseCdf(headers)
+    val cdc = headers.filter(_.startsWith(CdcPrefix)).map(_.stripPrefix(CdcPrefix))
+    val cdcDel =
+      headers.filter(_.startsWith(CdcDelPrefix)).map(_.stripPrefix(CdcDelPrefix))
+    val (added, removed) =
+      if (isDelta) {
+        val fl = lines.filterNot(_.startsWith("#"))
+        (fl.filter(_.startsWith(AddPrefix))
+           .map(l => parseFileLine(l.stripPrefix(AddPrefix))._1),
+         fl.filter(_.startsWith(RemovePrefix)).map(_.stripPrefix(RemovePrefix)))
+      } else {
+        // full manifest (overwrite, checkpoint, compact, restore):
+        // classify by diffing against the prior snapshot
+        val cur = stateOf(spark, table, v).files
+        val prev =
+          if (v <= 1) Seq.empty[String]
+          else stateOf(spark, table, v - 1).files
+        (cur.filterNot(prev.toSet), prev.filterNot(cur.toSet))
+      }
+    op match {
+      case Some("append") => CommitChanges(v, "append", added, Nil, Nil)
+      case Some("overwrite") =>
+        // an overwrite IS delete-all + insert-all; both sides derive
+        // lazily from the file diff (TRUNCATE is the added-empty case)
+        CommitChanges(v, "overwrite", added, removed, Nil)
+      case Some(o @ ("update" | "delete" | "merge")) =>
+        if (cdfOn || cdc.nonEmpty || cdcDel.nonEmpty)
+          CommitChanges(v, o, Nil, cdcDel, cdc)
+        else if (removed.isEmpty)
+          CommitChanges(v, o, added, Nil, Nil) // pure-insert rewrite op
+        else throw new IllegalStateException(
+          s"$table v$v ($o) recorded no change data — the table did not " +
+            "have the change data feed enabled when it was committed. " +
+            "Enable CDF (write option enableChangeFeed=true) before " +
+            "relying on readChangeFeed; changes from earlier rewrite " +
+            "commits are not reconstructible")
+      case Some("compact") | Some("restore") =>
+        CommitChanges(v, op.get, Nil, Nil, Nil) // no logical content change
+      case Some(other) => throw new IllegalStateException(
+        s"$table v$v carries unknown commit op '$other'")
+      case None => // legacy pre-#op manifest
+        if (removed.isEmpty) CommitChanges(v, "append", added, Nil, Nil)
+        else throw new IllegalStateException(
+          s"$table v$v predates commit-op tracking and removed files — " +
+            "its changes cannot be classified; start the change feed at " +
+            "a later version")
+    }
+  }
+
+  /** CHANGE DATA FEED, batch form: every row-level change committed in
+    * versions (`sinceVersion`, `untilVersion`] as table rows plus
+    * Delta-parity `_change_type` (insert / update_preimage /
+    * update_postimage / delete) and `_commit_version` columns — the
+    * feed an incremental consumer (warehouse replication, matview
+    * refresh) folds instead of re-reading zones, and the fully general
+    * successor to append-only `readChanges`. `untilVersion = -1` reads
+    * to the latest commit. Planning is manifest arithmetic; data cost
+    * is the changed rows only (plus the superseded files lazy `delete`
+    * records point at). */
+  def changeFeed(spark: SparkSession, table: String, sinceVersion: Long,
+                 untilVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val latest = latestVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val until = if (untilVersion < 0L) latest else untilVersion
+    require(sinceVersion >= 0 && sinceVersion <= until && until <= latest,
+      s"change range ($sinceVersion, $until] outside committed [1, $latest]")
+    val schema = snapshotSchema(spark, table, until).getOrElse(
+      throw new IllegalStateException(s"$table predates the schema log"))
+    val outSchema = StructType(schema.fields.toSeq :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(CommitVersionCol, LongType, nullable = false))
+    val cdcSchema = StructType(schema.fields.toSeq :+
+      StructField(ChangeTypeCol, StringType))
+    val frames = ((sinceVersion + 1L) to until).flatMap { v =>
+      val cc = commitChanges(spark, table, v)
+      def readAs(files: Seq[String], tpe: String): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(spark.read.schema(schema)
+          .parquet(files.map(f => s"$table/$f"): _*)
+          .withColumn(ChangeTypeCol, lit(tpe)))
+      val cdc =
+        if (cc.cdc.isEmpty) None
+        else Some(spark.read.schema(cdcSchema)
+          .parquet(cc.cdc.map(f => s"$table/$f"): _*))
+      (readAs(cc.inserts, "insert").toSeq ++
+        readAs(cc.deletes, "delete").toSeq ++ cdc.toSeq)
+        .map(_.withColumn(CommitVersionCol, lit(v)))
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(outSchema.fieldNames.map(col): _*)
   }
 
   /** METADATA-ONLY column profile (ANALYZE without the scan): one row
@@ -1704,7 +2057,8 @@ object TxnTable {
       val next = st.version + 1L
       val content =
         manifestContent(schema, st.txns, target.stats, target.files,
-          target.blooms, target.rows, target.partCols)
+          target.blooms, target.rows, target.partCols,
+          op = "restore", cdf = st.cdf)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1728,8 +2082,9 @@ object TxnTable {
       throw new IllegalStateException(s"no committed version in $table"))
     val trackedCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
     val trackedBlooms = st.bloomCols.toSeq.sorted
-    commitOverwrite(read(spark, table).coalesce(targetFiles), table,
-      statsCols = trackedCols, bloomCols = trackedBlooms)
+    commit(read(spark, table).coalesce(targetFiles), table, append = false,
+      txn = None, statsCols = trackedCols, bloomCols = trackedBlooms,
+      opLabel = Some("compact"))
   }
 
   /** PARTIAL compaction — the scale-correct OPTIMIZE: bin-pack only the
@@ -1769,10 +2124,12 @@ object TxnTable {
           manifestContent(schema, st.txns,
             (st.stats -- removed) ++ newStats, files,
             (st.blooms -- removed) ++ newBlooms,
-            (st.rows -- removed) ++ newRows, st.partCols)
+            (st.rows -- removed) ++ newRows, st.partCols,
+            op = "compact", cdf = st.cdf)
         else deltaContent(schema, st.txns, newStats,
           removed = removed, added = newFiles, base = st.version,
-          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols)
+          newBlooms = newBlooms, newRows = newRows, partCols = st.partCols,
+          op = "compact", cdf = st.cdf)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1807,7 +2164,17 @@ object TxnTable {
       val (dropped, retained) = all.partition(_ < floor)
       // resolve references BEFORE deleting any manifest — chain reads
       // must never race the drop
-      val referencedEarly = retained.flatMap(snapshotFiles(spark, table, _)).toSet
+      val referencedEarly = retained.flatMap(snapshotFiles(spark, table, _)).toSet ++
+        // change-feed references of RETAINED commits: eager `#cdc=`
+        // files, and the superseded data files their lazy `#cdcdel=`
+        // delete records still point at — reclaiming either would break
+        // readChangeFeed over history vacuum promised to keep
+        retained.flatMap { v =>
+          manifestLines(spark, table, v).collect {
+            case l if l.startsWith(CdcPrefix) => l.stripPrefix(CdcPrefix)
+            case l if l.startsWith(CdcDelPrefix) => l.stripPrefix(CdcDelPrefix)
+          }
+        }
       dropped.foreach(v => ctx.delete(new Path(table, manifestName(v)), false))
       // reclamation is FILE-driven, not version-driven: append lineage
       // lets retained manifests reference files in ANY data dir (and an
@@ -1825,7 +2192,11 @@ object TxnTable {
         if (st.isDirectory && n.startsWith("w=") &&
             (retainMs <= 0L || st.getModificationTime < cutoff)) {
           val files = listParquet(spark, table, n)
-          if (files.nonEmpty && files.forall(f => !referenced.contains(f)))
+          // whole-dir delete also requires no retained CDF reference
+          // INTO the dir (change files under `_cdc/` are invisible to
+          // listParquet but still readable history)
+          if (files.nonEmpty && files.forall(f => !referenced.contains(f)) &&
+              !referenced.exists(_.startsWith(s"$n/")))
             ctx.delete(st.getPath, true)
           else {
             val doomed = files.filterNot(referenced.contains)

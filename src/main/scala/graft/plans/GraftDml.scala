@@ -256,11 +256,82 @@ private[plans] object GraftDml {
         s"only top-level column assignment is supported, got ${other.sql}")
     }
 
+  /** A (column, bound) the condition provably confines every matching
+    * row to — one target column's range assembled from the WHERE's
+    * top-level conjuncts. Handed to the rewrite commit as its REBASE
+    * proof: a CAS loss against appends whose stats refute the bound
+    * keeps the written rewrite instead of recomputing. Inclusive
+    * widening of strict comparisons is sound (a wider bound only makes
+    * the disjointness proof harder, never wrong). */
+  private def disjointKeyOf(cond: Option[Expression],
+                            byId: Map[ExprId, String],
+                            schema: org.apache.spark.sql.types.StructType)
+      : Option[(String, TxnTable.Bound)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      // BETWEEN survives analysis as its runtime-replaceable node
+      case b: Between =>
+        Seq(GreaterThanOrEqual(b.input, b.lower), LessThanOrEqual(b.input, b.upper))
+      case other => Seq(other)
+    }
+    // constant side: any FOLDABLE expression (the analyzer leaves type
+    // promotions as unfolded Casts around literals — `k BETWEEN 100 AND
+    // 200` on a bigint column arrives as `k >= cast(100 as bigint)`)
+    def ext(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(e.eval(null), e.dataType))
+    def colOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => byId.get(a.exprId)
+      case _ => None
+    }
+    // (column, lo?, hi?) contributed by one conjunct; conjunction means
+    // every contribution holds for matching rows, so combining any lo
+    // with any hi of the same column stays a containing bound
+    val parts: Seq[(String, Option[Any], Option[Any])] =
+      cond.toSeq.flatMap(conjuncts).flatMap {
+        case EqualTo(a, l) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, Some(v): Option[Any], Some(v): Option[Any]))
+        case EqualTo(l, a) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, Some(v): Option[Any], Some(v): Option[Any]))
+        case GreaterThanOrEqual(a, l) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, Some(v): Option[Any], None: Option[Any]))
+        case GreaterThan(a, l) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, Some(v): Option[Any], None: Option[Any]))
+        case LessThanOrEqual(a, l) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, None: Option[Any], Some(v): Option[Any]))
+        case LessThan(a, l) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, None: Option[Any], Some(v): Option[Any]))
+        case GreaterThanOrEqual(l, a) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, None: Option[Any], Some(v): Option[Any]))
+        case GreaterThan(l, a) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, None: Option[Any], Some(v): Option[Any]))
+        case LessThanOrEqual(l, a) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, Some(v): Option[Any], None: Option[Any]))
+        case LessThan(l, a) if colOf(a).isDefined =>
+          ext(l).map(v => (colOf(a).get, Some(v): Option[Any], None: Option[Any]))
+        case _ => None
+      }
+    val byCol = parts.groupBy(_._1)
+    // prefer a closed range; fall back to the first one-sided bound
+    val ordered = parts.map(_._1).distinct
+      .sortBy(c => !byCol(c).exists(_._2.isDefined) || !byCol(c).exists(_._3.isDefined))
+    ordered.view.flatMap { c =>
+      for {
+        f <- schema.find(_.name == c)
+        b <- TxnTable.boundOf(
+          byCol(c).flatMap(_._2).headOption,
+          byCol(c).flatMap(_._3).headOption, f.dataType)
+      } yield c -> b
+    }.headOption
+  }
+
   def runUpdate(spark: SparkSession, p: UpdatePayload): Unit = {
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
     val sets: Map[String, Expression] =
       p.assignments.map(a => keyName(a.key, byId) -> a.value).toMap
-    TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
+    TxnTable.rewriteCommit(spark, p.table, "update", (snap, _) => {
       // phase 1: touched files — the WHERE flows through the graft DSv2
       // scan, so manifest stats + blooms prune before any data is read.
       // Filter BEFORE the input_file_name projection: a nondeterministic
@@ -278,15 +349,30 @@ private[plans] object GraftDml {
         // a NULL condition keeps the row (SQL UPDATE semantics)
         val tdf = spark.read.schema(snap.schema).parquet(touched: _*)
         val cond2 = p.condition.map(subst(_, byId, tdf)).getOrElse(lit(true))
+        def assigned(f: StructField): Column = sets.get(f.name) match {
+          case Some(v) => subst(v, byId, tdf).cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
         val out = tdf.select(snap.schema.fields.toIndexedSeq.map { f =>
           sets.get(f.name) match {
-            case Some(v) =>
-              when(cond2, subst(v, byId, tdf).cast(f.dataType))
-                .otherwise(col(f.name)).as(f.name)
+            case Some(_) =>
+              when(cond2, assigned(f)).otherwise(col(f.name)).as(f.name)
             case None => col(f.name)
           }
         }: _*)
-        Some((touched, out))
+        // CDF: the selected rows before and after assignment (evaluated
+        // on the ORIGINAL rows — post-assignment values must not feed
+        // the condition); written iff the table has CDF enabled
+        val hit = coalesce(cond2, lit(false))
+        val fields = snap.schema.fields.toIndexedSeq
+        val changes = tdf.filter(hit)
+          .select(fields.map(f => col(f.name)): _*)
+          .withColumn(TxnTable.ChangeTypeCol, lit("update_preimage"))
+          .unionByName(tdf.filter(hit)
+            .select(fields.map(assigned): _*)
+            .withColumn(TxnTable.ChangeTypeCol, lit("update_postimage")))
+        Some(TxnTable.Rewrite(touched, out, Some(changes),
+          disjointKeyOf(p.condition, byId, snap.schema)))
       }
     })
     ()
@@ -300,7 +386,7 @@ private[plans] object GraftDml {
     * false))`). */
   def runDelete(spark: SparkSession, p: DeletePayload): Unit = {
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
-    TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
+    TxnTable.rewriteCommit(spark, p.table, "delete", (snap, _) => {
       // filter BEFORE the input_file_name projection (pushdown-blocking
       // nondeterminism) — the predicate's file skipping is the point
       val cond = subst(p.condition, byId, snap)
@@ -312,7 +398,11 @@ private[plans] object GraftDml {
       else {
         val tdf = spark.read.schema(snap.schema).parquet(touched: _*)
         val cond2 = subst(p.condition, byId, tdf)
-        Some((touched, tdf.filter(!coalesce(cond2, lit(false)))))
+        val changes = tdf.filter(coalesce(cond2, lit(false)))
+          .withColumn(TxnTable.ChangeTypeCol, lit("delete"))
+        Some(TxnTable.Rewrite(touched,
+          tdf.filter(!coalesce(cond2, lit(false))), Some(changes),
+          disjointKeyOf(Some(p.condition), byId, snap.schema)))
       }
     })
     ()
@@ -370,7 +460,7 @@ private[plans] object GraftDml {
         }
       }
 
-    TxnTable.rewriteCommit(spark, p.table, (snap, _) => {
+    TxnTable.rewriteCommit(spark, p.table, "merge", (snap, _) => {
       val source = GraftBridge.ofRows(spark, p.source)
       val schema = snap.schema
       val fields = schema.fields.toIndexedSeq
@@ -399,20 +489,35 @@ private[plans] object GraftDml {
               s, t: AttributeReference)
               if byId.contains(t.exprId) && sourceOnly(s) => byId(t.exprId) -> s
         }
-      val preFilter: Column =
-        if (equiKeys.isEmpty) lit(true)
+      val (preFilter, mergeBound): (Column, Option[(String, TxnTable.Bound)]) =
+        if (equiKeys.isEmpty) (lit(true), None)
         else {
           val aggs = equiKeys.zipWithIndex.flatMap { case ((_, s), i) =>
             Seq(min(GraftBridge.column(s)).as(s"__graft_lo_$i"),
               max(GraftBridge.column(s)).as(s"__graft_hi_$i"))
           }
           val row = source.agg(aggs.head, aggs.drop(1): _*).head()
-          equiKeys.zipWithIndex.map { case ((t, _), i) =>
+          val cond = equiKeys.zipWithIndex.map { case ((t, _), i) =>
             val lo = row.getAs[Any](s"__graft_lo_$i")
             val hi = row.getAs[Any](s"__graft_hi_$i")
             if (lo == null) lit(false) // no non-null source keys: no match
             else GraftBridge.column(attrOf(snap, t)).between(lit(lo), lit(hi))
           }.reduce(_ && _)
+          // the same key bounds double as the rewrite's REBASE proof:
+          // an interleaved append stats-disjoint from the source keys
+          // can neither match nor change the insert decision — but only
+          // when no NOT MATCHED BY SOURCE action exists (those can
+          // touch ANY target row, appended ones included)
+          val bound =
+            if (p.notMatchedBySource.nonEmpty) None
+            else equiKeys.zipWithIndex.view.flatMap { case ((t, _), i) =>
+              val lo = row.getAs[Any](s"__graft_lo_$i")
+              val hi = row.getAs[Any](s"__graft_hi_$i")
+              if (lo == null || hi == null) None
+              else schema.find(_.name == t).flatMap(f =>
+                TxnTable.boundOf(Some(lo), Some(hi), f.dataType).map(t -> _))
+            }.headOption
+          (cond, bound)
         }
 
       // phase 1: touched files. WHEN NOT MATCHED BY SOURCE can affect
@@ -431,7 +536,12 @@ private[plans] object GraftDml {
             .collect().map(_.getString(0)).toSeq
         else Nil
 
-      // phase 2: replacement rows for the touched files
+      // phase 2: replacement rows for the touched files. The change
+      // frames mirror each half — assembled alongside, written as this
+      // commit's change files iff the table has CDF enabled.
+      val changeParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def typed(df: DataFrame, tpe: String): DataFrame =
+        df.withColumn(TxnTable.ChangeTypeCol, lit(tpe))
       val rewritten: Option[DataFrame] =
         if (touched.isEmpty) None
         else {
@@ -439,34 +549,66 @@ private[plans] object GraftDml {
             .withColumn("__graft_tid", monotonically_increasing_id())
           val condT = subst(p.condition, byId, tdf)
           // matched half: SQL MERGE forbids one target row matching
-          // several source rows when update/delete actions exist
+          // several source rows when update/delete actions exist. The
+          // cardinality check rides INSIDE the join as a per-target-row
+          // window count guarding the delete-cascade filter — one
+          // executed plan, not a separate probe job over a second join.
           val matchedPart: DataFrame =
             if (p.matched.isEmpty)
               tdf.join(source, condT, "left_semi")
                 .select(fields.map(f => col(f.name)): _*)
             else {
               val joined = tdf.join(source, condT, "inner")
-              val dup = joined.groupBy(col("__graft_tid")).count()
-                .filter(col("count") > 1).limit(1).count()
-              if (dup > 0) throw new IllegalStateException(
-                "MERGE INTO: a target row matched multiple source rows — " +
-                  "the update/delete to apply is ambiguous (SQL MERGE " +
-                  "cardinality violation)")
-              joined.filter(!deleteCascade(p.matched, tdf))
+                .withColumn("__graft_dup",
+                  count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                    .partitionBy(col("__graft_tid"))))
+              val guarded = joined.filter(
+                when(col("__graft_dup") > 1,
+                  raise_error(lit("MERGE INTO: a target row matched " +
+                    "multiple source rows — the update/delete to apply " +
+                    "is ambiguous (SQL MERGE cardinality violation)"))
+                    .cast("boolean"))
+                  .otherwise(!deleteCascade(p.matched, tdf)))
+              val applies = p.matched.foldRight(lit(false))((a, els) =>
+                when(actionCond(a, tdf), lit(true)).otherwise(els))
+              val updHit = joined.filter(applies && !deleteCascade(p.matched, tdf))
+              changeParts += typed(joined.filter(deleteCascade(p.matched, tdf))
+                .select(fields.map(f => tcol(tdf, f).as(f.name)): _*), "delete")
+              changeParts += typed(updHit
+                .select(fields.map(f => tcol(tdf, f).as(f.name)): _*),
+                "update_preimage")
+              changeParts += typed(updHit
                 .select(fields.map(f =>
-                  updateCascade(p.matched, tdf, f).as(f.name)): _*)
+                  updateCascade(p.matched, tdf, f).as(f.name)): _*),
+                "update_postimage")
+              guarded.select(fields.map(f =>
+                updateCascade(p.matched, tdf, f).as(f.name)): _*)
             }
           // not-matched-by-source half: target rows with no source match
           val unmatchedBase = tdf.join(source, condT, "left_anti")
           val unmatchedPart: DataFrame =
             if (p.notMatchedBySource.isEmpty)
               unmatchedBase.select(fields.map(f => col(f.name)): _*)
-            else
+            else {
+              val applies = p.notMatchedBySource.foldRight(lit(false))((a, els) =>
+                when(actionCond(a, tdf), lit(true)).otherwise(els))
+              val del = deleteCascade(p.notMatchedBySource, tdf)
+              val updHit = unmatchedBase.filter(applies && !del)
+              changeParts += typed(unmatchedBase.filter(del)
+                .select(fields.map(f => tcol(tdf, f).as(f.name)): _*), "delete")
+              changeParts += typed(updHit
+                .select(fields.map(f => tcol(tdf, f).as(f.name)): _*),
+                "update_preimage")
+              changeParts += typed(updHit
+                .select(fields.map(f =>
+                  updateCascade(p.notMatchedBySource, tdf, f).as(f.name)): _*),
+                "update_postimage")
               unmatchedBase
-                .filter(!deleteCascade(p.notMatchedBySource, tdf))
+                .filter(!del)
                 .select(fields.map(f =>
                   updateCascade(p.notMatchedBySource, tdf, f)
                     .as(f.name)): _*)
+            }
           Some(matchedPart.unionByName(unmatchedPart))
         }
 
@@ -505,12 +647,17 @@ private[plans] object GraftDml {
           }
           Some(chosen.select(outCols: _*))
         }
+      inserts.foreach(i => changeParts += typed(i, "insert"))
 
       (rewritten, inserts) match {
         case (None, None) => None
         case (r, i) =>
           val replacement = (r.toSeq ++ i.toSeq).reduce(_.unionByName(_))
-          Some((touched, replacement))
+          val changes =
+            if (changeParts.isEmpty) None
+            else Some(changeParts.reduce(
+              _.unionByName(_, allowMissingColumns = true)))
+          Some(TxnTable.Rewrite(touched, replacement, changes, mergeBound))
       }
     })
     ()

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TxnTable
+
+/** CHANGE DATA FEED: commit-op classification, eager/lazy change files,
+  * the batch changeFeed frame, and the streaming readChangeFeed source. */
+class TxnCdfSpec extends AnyFunSuite {
+  private lazy val spark = Spec.spark
+
+  private def withZone(body: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toFile
+    try body(s"${root.getAbsolutePath}/t")
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  test("append commits feed as inserts; compact feeds nothing") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s"), table,
+        statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.commitAppend(Seq((3L, "c")).toDF("k", "s"), table)
+      TxnTable.compactSmall(spark, table, smallBytes = 1L << 40)
+      val feed = TxnTable.changeFeed(spark, table, sinceVersion = 0L)
+      val got = feed.select($"k", $"_change_type", $"_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L)))
+      // the compaction (v3) contributed no change rows
+      assert(TxnTable.commitChanges(spark, table, 3L).op == "compact")
+    }
+  }
+
+  test("range delete: covered file feeds lazily, boundary eagerly") {
+    import spark.implicits._
+    withZone { table =>
+      // two files: k in [0,9] (covered by the delete) and [10,19]
+      // (boundary: only half its rows match)
+      val df = Seq.range(0L, 20L).map(k => (k, k * 2.0)).toDF("k", "v")
+        .repartitionByRange(2, $"k")
+      TxnTable.commitOverwrite(df, table, statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.deleteRangeOn(spark, table, "k", 0L, 14L)
+      val cc = TxnTable.commitChanges(spark, table, 2L)
+      assert(cc.op == "delete")
+      assert(cc.deletes.nonEmpty, "covered file must feed as a lazy #cdcdel")
+      assert(cc.cdc.nonEmpty, "boundary deletions must land in eager change files")
+      val feed = TxnTable.changeFeed(spark, table, sinceVersion = 1L)
+      val got = feed.select($"k", $"_change_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == (0L until 15L).map(k => (k, "delete")).toSet)
+      // table state is untouched by the feed machinery
+      assert(TxnTable.read(spark, table).select(min($"k")).head().getLong(0) == 15L)
+    }
+  }
+
+  test("merge feeds update pre/post images and inserts") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), table,
+        statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.merge(Seq((2L, 99.0), (5L, 50.0)).toDF("k", "v"), table, "k")
+      val feed = TxnTable.changeFeed(spark, table, sinceVersion = 1L)
+      val got = feed.select($"k", $"v", $"_change_type")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(got == Set(
+        (2L, 20.0, "update_preimage"),
+        (2L, 99.0, "update_postimage"),
+        (5L, 50.0, "insert")))
+    }
+  }
+
+  test("overwrite feeds delete-all + insert-all; truncate delete-all") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), table,
+        cdf = Some(true))
+      TxnTable.commitOverwrite(Seq((2L, "b")).toDF("k", "s"), table)
+      val feed = TxnTable.changeFeed(spark, table, 1L, 2L)
+      val got = feed.select($"k", $"_change_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "delete"), (2L, "insert")))
+    }
+  }
+
+  test("a rewrite committed with CDF off refuses feed reads, loudly") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(
+        Seq.range(0L, 10L).map(k => (k, k * 1.0)).toDF("k", "v"), table,
+        statsCols = Seq("k")) // CDF not enabled
+      TxnTable.deleteRangeOn(spark, table, "k", 0L, 20L)
+      val e = intercept[IllegalStateException] {
+        TxnTable.changeFeed(spark, table, 1L)
+      }
+      assert(e.getMessage.contains("change data feed"))
+    }
+  }
+
+  test("streaming readChangeFeed drains typed changes exactly once") {
+    import spark.implicits._
+    withZone { table =>
+      val root = new java.io.File(table).getParent
+      TxnTable.commitOverwrite(
+        Seq.range(0L, 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+          .repartitionByRange(4, $"k"),
+        table, statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.commitAppend(
+        Seq.range(100L, 110L).map(k => (k, k * 1.0)).toDF("k", "v"), table)
+      TxnTable.deleteRangeOn(spark, table, "k", 0L, 24L)
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1")
+          .load(table)
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$root/sink")
+        q.awaitTermination()
+      }
+      drain()
+      // maintenance between drains contributes nothing and wedges nothing
+      TxnTable.compactSmall(spark, table, smallBytes = 1L << 40)
+      TxnTable.merge(Seq((50L, -1.0), (200L, 2.0)).toDF("k", "v"), table, "k")
+      drain()
+      val sink = TxnTable.read(spark, s"$root/sink")
+      val byType = sink.groupBy($"_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map(
+        "insert" -> 11L,           // v2 append (10) + merge insert (1)
+        "delete" -> 25L,           // range delete 0..24
+        "update_preimage" -> 1L,   // merge hit k=50
+        "update_postimage" -> 1L))
+      val versions = sink.select($"_commit_version").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(versions == Set(2L, 3L, 5L)) // v4 compaction feeds nothing
+    }
+  }
+}

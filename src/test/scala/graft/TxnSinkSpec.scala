@@ -164,6 +164,59 @@ class TxnSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL UPDATE racing disjoint appends REBASES: one data write") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    withZone { table =>
+      val base = Seq.range(0L, 2000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      TxnTable.commitOverwrite(base.coalesce(2), table, statsCols = Seq("k"))
+      spark.sql(s"CREATE TABLE sink_upd_race USING graft OPTIONS (path '$table')")
+      try {
+        val before = TxnTable.dataWrites.get()
+        val gate = new CountDownLatch(1)
+        val pool = Executors.newFixedThreadPool(4)
+        // three appenders land key ranges PROVABLY disjoint (stats on k)
+        // from the UPDATE's WHERE [100, 200]: every CAS the update loses
+        // is rebasable through the rewrite's disjointKey bound, so its
+        // copy-on-write rewrite runs ONCE
+        val appends = (0 until 3).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.await(10, TimeUnit.SECONDS)
+              val lo = 10000L + i * 1000L
+              TxnTable.commitAppend(
+                Seq.range(lo, lo + 100L).map(k => (k, k * 2.0)).toDF("k", "v")
+                  .coalesce(1),
+                table, statsCols = Seq("k"))
+            }
+          })
+        }
+        val upd = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            gate.await(10, TimeUnit.SECONDS)
+            spark.sql(
+              "UPDATE sink_upd_race SET v = v + 0.5 WHERE k BETWEEN 100 AND 200")
+            ()
+          }
+        })
+        gate.countDown()
+        appends.foreach(_.get(120, TimeUnit.SECONDS))
+        upd.get(120, TimeUnit.SECONDS)
+        pool.shutdown()
+        val writes = TxnTable.dataWrites.get() - before
+        assert(writes == 4L,
+          s"expected 4 data writes (3 appends + 1 update rewrite), got $writes")
+        assert(TxnTable.versions(spark, table) == (1L to 5L))
+        val t = TxnTable.read(spark, table)
+        assert(t.count() == 2000 + 300)
+        assert(t.filter($"k".between(100, 200) && $"v" =!= $"k" * 2.0 + 0.5)
+          .count() == 0, "every row in the WHERE range must be updated")
+        assert(t.filter(!$"k".between(100, 200) && $"v" =!= $"k" * 2.0)
+          .count() == 0, "rows outside the WHERE range must be untouched")
+      } finally spark.sql("DROP TABLE sink_upd_race")
+    }
+  }
+
   test("4 writers x 3 appends each: all 12 commits serialize and survive") {
     import spark.implicits._
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
