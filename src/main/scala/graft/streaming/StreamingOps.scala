@@ -982,6 +982,106 @@ object StreamingOps {
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- s68
+  /** STREAMING THE CHANGE DATA FEED — `readStream.option(
+    * "readChangeFeed", "true")`: a downstream incremental consumer
+    * OBSERVES row-level UPDATE/DELETE instead of skipping them
+    * (s66's escape hatch) or failing. SQL UPDATE then SQL DELETE run
+    * against the table between drains; the feed delivers exactly the
+    * changed rows typed insert/update_preimage/update_postimage/delete
+    * with their commit version, and a compaction between the two DML
+    * commits contributes nothing. REQUIREd in-query: the UPDATE is
+    * file-surgical (k106 contract), the sink's versions are exactly
+    * the two DML commits. Oracle: DuckDB recomputes the same pre/post/
+    * delete rows from raw events (the DELETE sees post-UPDATE values —
+    * sequencing matters and the oracle replays it). */
+  private def s68(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s68").toFile
+    try {
+      val table = s"${root.getAbsolutePath}/table"
+      val sinkT = s"${root.getAbsolutePath}/sink"
+      val cp = s"${root.getAbsolutePath}/cp"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      graft.io.TxnTable.commitOverwrite(
+        ev.repartitionByRange(8, $"event_id")
+          .sortWithinPartitions($"event_id"),
+        table, statsCols = Seq("event_id"), cdf = Some(true))
+      val seedFiles = graft.io.TxnTable.snapshotFiles(spark, table, 1L).toSet
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1") // incremental: skip the seed
+          .load(table)
+          .writeStream.format("graft")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .start(sinkT)
+        q.awaitTermination()
+      }
+      spark.sql(s"CREATE TABLE graft_s68_t USING graft OPTIONS (path '$table')")
+      try {
+        // v2: stats-bounded UPDATE — only low-key files rewritten
+        spark.sql(
+          """UPDATE graft_s68_t SET value = value + 100.0
+            |WHERE event_type = 'click' AND event_id < 5000""".stripMargin)
+        val v2 = graft.io.TxnTable.latestVersion(spark, table).get
+        val carried =
+          graft.io.TxnTable.snapshotFiles(spark, table, v2).toSet
+            .intersect(seedFiles)
+        require(carried.nonEmpty && carried != seedFiles,
+          s"SQL UPDATE must be file-surgical: carried ${carried.size} of " +
+            s"${seedFiles.size} seed files")
+        drain() // update pre/post images flow
+        // v3: routine maintenance — feeds NOTHING, wedges nothing
+        graft.io.TxnTable.compactSmall(spark, table, smallBytes = 1L << 40)
+        // v4: arbitrary-predicate DELETE (copy-on-write, k110 machinery);
+        // deleted rows carry post-UPDATE values — order is observable
+        spark.sql("DELETE FROM graft_s68_t WHERE event_id % 7 = 3")
+        drain()
+      } finally spark.sql("DROP TABLE graft_s68_t")
+      val sink = graft.io.TxnTable.read(spark, sinkT)
+      val versions = sink.select($"_commit_version").distinct()
+        .collect().map(_.getLong(0)).toSet
+      require(versions == Set(2L, 4L),
+        s"feed must carry exactly the two DML commits, got $versions")
+      val result = sink.groupBy($"_change_type")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          countDistinct($"event_id").cast("bigint").as("n_ids"),
+          dsum($"value").as("sum_value"))
+        .orderBy($"_change_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s68Sql =
+    """WITH upd AS (
+      |  SELECT event_id, value FROM events
+      |  WHERE event_type = 'click' AND event_id < 5000),
+      |post AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_type = 'click' AND event_id < 5000
+      |         THEN value + 100.0 ELSE value END AS value
+      |  FROM events),
+      |changes AS (
+      |  SELECT 'update_preimage' AS _change_type, event_id, value FROM upd
+      |  UNION ALL
+      |  SELECT 'update_postimage', event_id, value + 100.0 FROM upd
+      |  UNION ALL
+      |  SELECT 'delete', event_id, value FROM post WHERE event_id % 7 = 3)
+      |SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM changes GROUP BY _change_type ORDER BY _change_type""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -1000,5 +1100,6 @@ object StreamingOps {
     RQ("s64_native_stream_sink", s64, Some(s64Sql)),
     RQ("s65_table_to_table_stream", s65, Some(s65Sql)),
     RQ("s66_stream_past_compaction", s66, Some(s66Sql)),
-    RQ("s67_stream_partitioned_sink", s67, Some(s67Sql)))
+    RQ("s67_stream_partitioned_sink", s67, Some(s67Sql)),
+    RQ("s68_stream_change_feed", s68, Some(s68Sql)))
 }

@@ -106,6 +106,32 @@ class TxnCdfSpec extends AnyFunSuite {
     }
   }
 
+  test("batch spark.read readChangeFeed honors starting/endingVersion") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), table,
+        statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.commitAppend(Seq((3L, 30.0)).toDF("k", "v"), table)
+      TxnTable.merge(Seq((2L, 99.0)).toDF("k", "v"), table, "k")
+      def feed(opts: Map[String, String]) = {
+        var r = spark.read.format("graft").option("readChangeFeed", "true")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(table).select($"k", $"_change_type", $"_commit_version")
+          .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+      }
+      // default: full history to the pinned tip
+      assert(feed(Map.empty) == Set(
+        (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L),
+        (2L, "update_preimage", 3L), (2L, "update_postimage", 3L)))
+      // half-open (start, end] window
+      assert(feed(Map("startingVersion" -> "1", "endingVersion" -> "2"))
+        == Set((3L, "insert", 2L)))
+      // plain read is unaffected by feed machinery
+      assert(spark.read.format("graft").load(table).count() == 3L)
+    }
+  }
+
   test("streaming readChangeFeed drains typed changes exactly once") {
     import spark.implicits._
     withZone { table =>
