@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rules only exist on the config path — `install` on a live session
     // cannot add them, so DML needs spark.sql.extensions at build time.
     e.injectResolutionRule(_ => graft.plans.GraftDmlRewrite)
+    // SQL `VERSION AS OF` / `TIMESTAMP AS OF`: must run BEFORE the
+    // Resolution batch (ResolveRelations refuses time travel on
+    // session-catalog tables), so it rides the Hints batch.
+    e.injectHintResolutionRule(s => graft.plans.GraftTimeTravel(s))
   }
 }
 

@@ -1747,6 +1747,77 @@ object FormatOps {
       | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM customer WHERE c_custkey NOT BETWEEN 1 AND 100""".stripMargin
 
+  // --------------------------------------------------------------- k112
+  /** SQL TIME TRAVEL — `SELECT ... FROM t VERSION AS OF n` /
+    * `TIMESTAMP AS OF ts` through `spark.sql`, the Delta spelling
+    * (plans/GraftTimeTravel.scala lowers it onto the reader-option
+    * snapshot pinning before ResolveRelations can refuse). History:
+    * overwrite (v1) → append (v2) → SQL DELETE (v3). All three
+    * versions read back through SQL; TIMESTAMP AS OF an instant
+    * between v1 and v2 must pin v1 (REQUIREd in-query, as is SQL ≡
+    * reader-option agreement). Oracle: DuckDB replays each stage from
+    * raw customer. */
+  private def k112(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k112_tt")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust.filter($"c_custkey" % 2 === 0), table,
+        statsCols = Seq("c_custkey"))
+      Thread.sleep(30)
+      val betweenV1V2 = System.currentTimeMillis()
+      Thread.sleep(30)
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table,
+        statsCols = Seq("c_custkey"))
+      spark.sql(s"CREATE TABLE graft_k112_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("DELETE FROM graft_k112_t WHERE c_custkey % 3 = 1")
+        def agg(df: DataFrame, stage: String): DataFrame =
+          df.agg(
+            count(lit(1)).cast("bigint").as("n"),
+            graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+            .select(lit(stage).as("stage"), $"n", $"sum_bal")
+        val ts = agg(
+          spark.sql(s"SELECT * FROM graft_k112_t TIMESTAMP AS OF '$betweenV1V2'"),
+          "v1")
+        val v1 = agg(
+          spark.sql("SELECT * FROM graft_k112_t VERSION AS OF 1"), "v1")
+        require(ts.collect().toSeq == v1.collect().toSeq,
+          "TIMESTAMP AS OF between v1 and v2 must pin v1")
+        val v2sql = spark.sql("SELECT * FROM graft_k112_t VERSION AS OF 2")
+        val v2opt = spark.read.format("graft")
+          .option("versionAsOf", "2").load(table)
+        require(agg(v2sql, "x").collect().toSeq ==
+          agg(v2opt, "x").collect().toSeq,
+          "SQL VERSION AS OF must agree with the reader-option path")
+        val result = v1
+          .unionAll(agg(v2sql, "v2"))
+          .unionAll(agg(
+            spark.sql("SELECT * FROM graft_k112_t VERSION AS OF 3"), "v3"))
+          .orderBy($"stage")
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k112_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k112Sql =
+    """WITH stages AS (
+      |  SELECT 'v1' AS stage, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT 'v2', c_acctbal FROM customer
+      |  UNION ALL SELECT 'v3', c_acctbal FROM customer
+      |    WHERE NOT (c_custkey % 3 = 1))
+      |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM stages GROUP BY stage ORDER BY stage""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1779,5 +1850,6 @@ object FormatOps {
     RQ("k108_partitioned_write", k108, Some(k108Sql)),
     RQ("k109_partition_filter_agg", k109, Some(k109Sql)),
     RQ("k110_sql_delete_any", k110, Some(k110Sql)),
-    RQ("k111_vacuum_retention", k111, Some(k111Sql)))
+    RQ("k111_vacuum_retention", k111, Some(k111Sql)),
+    RQ("k112_sql_time_travel", k112, Some(k112Sql)))
 }
