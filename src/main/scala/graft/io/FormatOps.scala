@@ -1818,6 +1818,89 @@ object FormatOps {
       | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM stages GROUP BY stage ORDER BY stage""".stripMargin
 
+  // --------------------------------------------------------------- k113
+  /** `MERGE ... WITH SCHEMA EVOLUTION` through SQL — the source carries
+    * a column the target lacks (c_mktsegment); star actions assign it,
+    * the rewrite evolves the recorded schema, and untouched rows +
+    * carried files read the new column back as NULL (Delta-parity; the
+    * API path k94 already evolves via unionByName). REQUIREd in-query:
+    * the evolved column appears in the read schema; pre-merge rows are
+    * NULL there. Oracle: DuckDB replays the merge with a full outer
+    * join shape over raw customer. */
+  private def k113(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k113_evo")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"))
+      val hi = cust.agg(max($"c_custkey")).head().getLong(0)
+      val full = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      full.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", ($"c_acctbal" * 0.5).as("c_acctbal"),
+          $"c_mktsegment")
+        .unionByName(full.filter($"c_custkey" % 7 === 0)
+          .select(($"c_custkey" + hi + 1).as("c_custkey"), $"c_acctbal",
+            $"c_mktsegment"))
+        .createOrReplaceTempView("graft_k113_src")
+      spark.sql(s"CREATE TABLE graft_k113_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE WITH SCHEMA EVOLUTION INTO graft_k113_t t
+            |USING graft_k113_src s ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |""".stripMargin)
+      } finally spark.sql("DROP TABLE graft_k113_t")
+      val got = TxnTable.read(spark, table)
+      require(got.schema.fieldNames.contains("c_mktsegment"),
+        "MERGE WITH SCHEMA EVOLUTION must add the source-only column")
+      require(got.filter($"c_custkey" % 3 =!= 0 && $"c_custkey" <= hi &&
+          $"c_mktsegment".isNotNull).isEmpty,
+        "rows the merge never touched must read the evolved column as NULL")
+      val result = got
+        .groupBy(coalesce($"c_mktsegment", lit("__none")).as("seg"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+        .orderBy($"seg")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k113Sql =
+    """WITH hi AS (SELECT MAX(c_custkey) AS h FROM customer),
+      |src AS (
+      |  SELECT c_custkey, c_acctbal * 0.5 AS bal, c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + h + 1, c_acctbal, c_mktsegment
+      |  FROM customer, hi WHERE c_custkey % 7 = 0),
+      |merged AS (
+      |  SELECT t.c_custkey,
+      |    CASE WHEN s.c_custkey IS NOT NULL THEN s.bal
+      |         ELSE t.c_acctbal END AS bal,
+      |    s.seg
+      |  FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.bal, s.seg
+      |  FROM src s LEFT JOIN customer t ON s.c_custkey = t.c_custkey
+      |  WHERE t.c_custkey IS NULL)
+      |SELECT COALESCE(seg, '__none') AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1851,5 +1934,6 @@ object FormatOps {
     RQ("k109_partition_filter_agg", k109, Some(k109Sql)),
     RQ("k110_sql_delete_any", k110, Some(k110Sql)),
     RQ("k111_vacuum_retention", k111, Some(k111Sql)),
-    RQ("k112_sql_time_travel", k112, Some(k112Sql)))
+    RQ("k112_sql_time_travel", k112, Some(k112Sql)),
+    RQ("k113_sql_merge_evolve", k113, Some(k113Sql)))
 }

@@ -66,8 +66,25 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     val src = Seq(m.sourceTable)
     val tgtOut = m.targetTable.output
     val srcOut = m.sourceTable.output
-    def starAssignments: Seq[Assignment] = tgtOut.flatMap { t =>
-      srcOut.find(s => resolver(s.name, t.name)).map(s => Assignment(t, s))
+    // Star expansion is STRICT, like Spark/Delta: a target column with
+    // no same-name source column fails analysis (silently landing NULLs
+    // from a typo'd source column is worse than the error). WITH SCHEMA
+    // EVOLUTION additionally assigns source-only columns — keyed by the
+    // source attribute itself; the rewrite evolves the target schema.
+    def starAssignments: Seq[Assignment] = {
+      val base = tgtOut.map { t =>
+        srcOut.find(s => resolver(s.name, t.name)) match {
+          case Some(s) => Assignment(t, s)
+          case None => throw new UnsupportedOperationException(
+            s"MERGE INTO ... SET * / INSERT *: target column `${t.name}` " +
+              "has no same-name source column — assign it explicitly")
+        }
+      }
+      val extra =
+        if (!m.withSchemaEvolution) Nil
+        else srcOut.filterNot(s => tgtOut.exists(t => resolver(t.name, s.name)))
+          .map(s => Assignment(s, s))
+      base ++ extra
     }
     def rAssign(a: Assignment, valueScope: Seq[LogicalPlan]): Assignment =
       Assignment(res(tgt)(a.key), res(valueScope)(a.value))
@@ -125,12 +142,20 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     cond match {
       case None => false
       case Some(e) => e match {
+        // literals must be NON-NULL in every shape, mirroring
+        // GraftTable.deletePlan exactly — `k >= NULL AND k <= x` must
+        // lower to the copy-on-write no-op, not reach SupportsDelete
+        // where the null-guard would refuse the statement
         case EqualTo(a, Literal(v, _)) if col(a).isDefined && v != null => true
         case EqualTo(Literal(v, _), a) if col(a).isDefined && v != null => true
-        case And(GreaterThanOrEqual(a, _: Literal), LessThanOrEqual(b, _: Literal))
-            if col(a).isDefined && col(a) == col(b) => true
-        case And(LessThanOrEqual(a, _: Literal), GreaterThanOrEqual(b, _: Literal))
-            if col(a).isDefined && col(a) == col(b) => true
+        case And(GreaterThanOrEqual(a, Literal(lo, _)),
+            LessThanOrEqual(b, Literal(hi, _)))
+            if col(a).isDefined && col(a) == col(b) &&
+              lo != null && hi != null => true
+        case And(LessThanOrEqual(a, Literal(hi, _)),
+            GreaterThanOrEqual(b, Literal(lo, _)))
+            if col(a).isDefined && col(a) == col(b) &&
+              lo != null && hi != null => true
         case _ => false
       }
     }
@@ -149,15 +174,12 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     case m: MergeIntoTable
         if m.targetTable.resolved && m.sourceTable.resolved &&
           graftTarget(m.targetTable).isDefined =>
-      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-        "MERGE INTO ... WITH SCHEMA EVOLUTION is not supported on graft " +
-          "tables; evolve via the TxnTable.merge API or an evolved append")
       if (!mergeResolved(m)) resolveMergeStep(m) // progress; fixed point re-runs
       else {
         val (out, path) = graftTarget(m.targetTable).get
         GraftMergeCommand(new MergePayload(path, out, m.sourceTable,
           m.mergeCondition, m.matchedActions, m.notMatchedActions,
-          m.notMatchedBySourceActions))
+          m.notMatchedBySourceActions, m.withSchemaEvolution))
       }
   }
 }
@@ -179,7 +201,8 @@ final class MergePayload(
     val condition: Expression,
     val matched: Seq[MergeAction],
     val notMatched: Seq[MergeAction],
-    val notMatchedBySource: Seq[MergeAction])
+    val notMatchedBySource: Seq[MergeAction],
+    val withSchemaEvolution: Boolean = false)
 
 final class DeletePayload(
     val table: String,
@@ -416,8 +439,13 @@ private[plans] object GraftDml {
     // both sides usually carry the same column names, and a by-name
     // `col("k")` would be ambiguous. Source references resolve by their
     // captured exprIds; target references substitute to `targetDf`'s.
+    // A field the target frame does not have yet (WITH SCHEMA
+    // EVOLUTION) reads as NULL — pre-evolution rows surface the new
+    // columns as NULL, exactly like pre-evolution files at read time.
     def tcol(targetDf: DataFrame, f: StructField): Column =
-      GraftBridge.column(attrOf(targetDf, f.name))
+      if (targetDf.columns.contains(f.name))
+        GraftBridge.column(attrOf(targetDf, f.name))
+      else lit(null).cast(f.dataType)
 
     def actionCond(a: MergeAction, targetDf: DataFrame): Column = a match {
       case ua: UpdateAction => ua.condition.map(subst(_, byId, targetDf)).getOrElse(lit(true))
@@ -463,7 +491,27 @@ private[plans] object GraftDml {
     TxnTable.rewriteCommit(spark, p.table, "merge", (snap, _) => {
       val source = GraftBridge.ofRows(spark, p.source)
       val schema = snap.schema
-      val fields = schema.fields.toIndexedSeq
+      // WITH SCHEMA EVOLUTION: columns assigned by any action but
+      // absent from the target evolve the schema — typed from the
+      // assigned value, appended after the existing fields. The
+      // rewrite commit merges them into the recorded schema;
+      // untouched rows and carried files read them back as NULL.
+      val evolved: Seq[StructField] =
+        if (!p.withSchemaEvolution) Nil
+        else {
+          val existing = schema.fieldNames.toSet
+          (p.matched ++ p.notMatched ++ p.notMatchedBySource)
+            .flatMap {
+              case ua: UpdateAction => ua.assignments
+              case ia: InsertAction => ia.assignments
+              case _ => Nil
+            }
+            .map(a => keyName(a.key, byId) -> a.value.dataType)
+            .filterNot { case (n, _) => existing.contains(n) }
+            .distinctBy(_._1)
+            .map { case (n, dt) => StructField(n, dt, nullable = true) }
+        }
+      val fields = schema.fields.toIndexedSeq ++ evolved
 
       // STATS PRE-PRUNE (the same shape TxnTable.merge uses): for each
       // equi-join conjunct `t.k = <source expr>`, the source's [min,
@@ -556,7 +604,7 @@ private[plans] object GraftDml {
           val matchedPart: DataFrame =
             if (p.matched.isEmpty)
               tdf.join(source, condT, "left_semi")
-                .select(fields.map(f => col(f.name)): _*)
+                .select(fields.map(f => tcol(tdf, f).as(f.name)): _*)
             else {
               val joined = tdf.join(source, condT, "inner")
                 .withColumn("__graft_dup",
@@ -588,7 +636,7 @@ private[plans] object GraftDml {
           val unmatchedBase = tdf.join(source, condT, "left_anti")
           val unmatchedPart: DataFrame =
             if (p.notMatchedBySource.isEmpty)
-              unmatchedBase.select(fields.map(f => col(f.name)): _*)
+              unmatchedBase.select(fields.map(f => tcol(tdf, f).as(f.name)): _*)
             else {
               val applies = p.notMatchedBySource.foldRight(lit(false))((a, els) =>
                 when(actionCond(a, tdf), lit(true)).otherwise(els))

@@ -151,6 +151,57 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE INTO WITH SCHEMA EVOLUTION adds source-only columns") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), table,
+        statsCols = Seq("k"))
+      Seq((2L, 222.0, "eu"), (3L, 30.0, "us")).toDF("k", "bal", "region")
+        .createOrReplaceTempView("sqldml_evo_src")
+      spark.sql(s"CREATE TABLE sqldml_evo USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE WITH SCHEMA EVOLUTION INTO sqldml_evo t
+            |USING sqldml_evo_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |""".stripMargin)
+        val got = TxnTable.read(spark, table).orderBy($"k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1),
+            Option(r.getString(2))))
+        // k=1 untouched: new column NULL; k=2 updated; k=3 inserted
+        assert(got.toSeq == Seq((1L, 10.0, None),
+          (2L, 222.0, Some("eu")), (3L, 30.0, Some("us"))))
+      } finally spark.sql("DROP TABLE sqldml_evo")
+    }
+  }
+
+  test("MERGE star without evolution refuses a missing source column") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0, "x")).toDF("k", "bal", "tag"), table)
+      Seq((1L, 11.0)).toDF("k", "bal")
+        .createOrReplaceTempView("sqldml_strict_src")
+      spark.sql(s"CREATE TABLE sqldml_strict USING graft OPTIONS (path '$table')")
+      try {
+        val e = intercept[Exception] {
+          spark.sql(
+            """MERGE INTO sqldml_strict t USING sqldml_strict_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *
+              |""".stripMargin)
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("no same-name source column")))
+      } finally spark.sql("DROP TABLE sqldml_strict")
+    }
+  }
+
   test("SQL UPDATE with a scalar subquery in SET") {
     import spark.implicits._
     withZone { zone =>
