@@ -1901,6 +1901,76 @@ object FormatOps {
       |  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k114
+  /** `days(ts)` PARTITION TRANSFORM — the daily-ingest layout (Delta
+    * `PARTITIONED BY (days(ts))`, Iceberg day transform): files group
+    * by the UTC day of the timestamp, each file's ts stats are
+    * day-tight, and a date-range filter prunes to exactly the matching
+    * days' files through the ORDINARY stats machinery (no separate
+    * partition-pruning path). REQUIREd in-query: the transform is
+    * recorded and sticky across a plain append, every file is
+    * day-tight, and the range read scans exactly the two matching
+    * days' files. Oracle: daily rollup over raw events. */
+  private def k114(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k114_days")
+    try {
+      val table = s"$zone/events_txn"
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      ev.filter($"event_id" % 2 === 0)
+        .write.format("graft").mode("overwrite")
+        .option("partitionBy", "days(ts)")
+        .option("statsCols", "event_id").save(table)
+      require(TxnTable.partitionColumns(spark, table) == Seq("days(ts)"),
+        "days(ts) must be recorded as the table partitioning")
+      // append WITHOUT the option conforms to the recorded transform
+      ev.filter($"event_id" % 2 === 1)
+        .write.format("graft").mode("append").save(table)
+      val v = TxnTable.latestVersion(spark, table).get
+      val stats = TxnTable.fileStats(spark, table, v)
+      val files = TxnTable.snapshotFiles(spark, table, v)
+      def day(sec: String): Long = math.floorDiv(sec.toDouble.toLong, 86400L)
+      require(files.nonEmpty && files.forall(f =>
+        stats.getOrElse(f, Nil).exists(s =>
+          s.col == "ts" && s.nulls == 0L && day(s.minV) == day(s.maxV))),
+        "every day-partitioned file must be day-tight on ts")
+      val d10 = java.time.LocalDate.parse("2024-01-10").toEpochDay * 86400.0
+      val d12 = java.time.LocalDate.parse("2024-01-12").toEpochDay * 86400.0
+      val expected = files.count(f => stats(f).exists(s =>
+        s.col == "ts" && s.minV.toDouble >= d10 && s.maxV.toDouble < d12))
+      val ranged = spark.read.format("graft").load(table)
+        .filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          $"ts" < lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+      val scanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(ranged).get
+      require(scanned == expected && scanned < files.size,
+        s"date-range read scanned $scanned files, want exactly $expected " +
+          s"of ${files.size}")
+      val result = ranged
+        .groupBy(date_format($"ts", "yyyy-MM-dd").as("d"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"value").as("sum_value"))
+        .orderBy($"d")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k114Sql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -1935,5 +2005,6 @@ object FormatOps {
     RQ("k110_sql_delete_any", k110, Some(k110Sql)),
     RQ("k111_vacuum_retention", k111, Some(k111Sql)),
     RQ("k112_sql_time_travel", k112, Some(k112Sql)),
-    RQ("k113_sql_merge_evolve", k113, Some(k113Sql)))
+    RQ("k113_sql_merge_evolve", k113, Some(k113Sql)),
+    RQ("k114_days_partitioning", k114, Some(k114Sql)))
 }

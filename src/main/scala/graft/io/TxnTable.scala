@@ -491,6 +491,29 @@ object TxnTable {
 
   /** Stats representation a column type gets, if any: unsupported types
     * simply collect no stats (conservative scans, never an error). */
+  /** Partition entries are identity column names (`c`) or a day
+    * transform (`days(c)`) — the events/streaming layout (Delta
+    * `PARTITIONED BY (days(ts))` / Iceberg day partitioning). A days
+    * entry groups files by the UTC day of the source column: each
+    * file's ts min/max is day-tight, so the EXISTING stats machinery
+    * does the partition pruning (range filters skip files, and
+    * StatsPruner.mustMatch proves full-match for interior days —
+    * day-aligned COUNT/MIN/MAX stay metadata-only). */
+  private val DaysEntry = """days\((.+)\)""".r
+  private[io] def partSource(entry: String): String = entry match {
+    case DaysEntry(c) => c
+    case c => c
+  }
+  private def partDirName(entry: String): String = entry match {
+    case DaysEntry(c) => s"__gp_days_$c"
+    case c => s"__gp_$c"
+  }
+  private def partDirExpr(entry: String): org.apache.spark.sql.Column =
+    entry match {
+      case DaysEntry(c) => col(c).cast("date")
+      case c => col(c)
+    }
+
   private[io] def statKind(dt: DataType): Option[String] = dt match {
     case StringType => Some("str")
     case DateType | TimestampType | TimestampNTZType => Some("num")
@@ -806,13 +829,14 @@ object TxnTable {
     // existing stats machinery do exact partition pruning AND lets the
     // metadata-only GROUP BY pushdown treat partitions as groups — no
     // separate partition-pruning code path to keep correct.
-    val partCols = partitionCols.filter(df.columns.contains)
+    val partCols = partitionCols.filter(e => df.columns.contains(partSource(e)))
     if (partCols.isEmpty)
       df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
     else
-      partCols.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+      partCols.foldLeft(df)((d, e) =>
+          d.withColumn(partDirName(e), partDirExpr(e)))
         .write.mode(SaveMode.ErrorIfExists)
-        .partitionBy(partCols.map(c => s"__gp_$c"): _*)
+        .partitionBy(partCols.map(partDirName): _*)
         .parquet(s"$table/$dataDir")
     val newFiles = listParquet(spark, table, dataDir)
     // URI → table-relative key, matching listParquet's raw names (the
@@ -1036,7 +1060,8 @@ object TxnTable {
       if (partitionCols.nonEmpty) partitionCols
       else state.map(_.partCols).getOrElse(Nil)
     val (dataDir, newFiles, newStats, newBlooms, newRows) =
-      writeData(df, table, (statsCols ++ partCols).distinct, bloomCols, partCols)
+      writeData(df, table, (statsCols ++ partCols.map(partSource)).distinct,
+        bloomCols, partCols)
     var attempt = 0
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch

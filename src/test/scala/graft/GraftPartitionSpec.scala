@@ -78,6 +78,38 @@ class GraftPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("days(ts) transform: day-tight files, sticky, rewrites preserve it") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      val ev = Tables.events(spark, Spec.sf0001)
+        .select($"event_id", $"ts", $"value")
+      ev.filter($"event_id" % 2 === 0)
+        .write.format("graft").mode("overwrite")
+        .option("partitionBy", "days(ts)").save(table)
+      assert(TxnTable.partitionColumns(spark, table) == Seq("days(ts)"))
+      ev.filter($"event_id" % 2 === 1)
+        .write.format("graft").mode("append").save(table)
+      def dayTight(): Boolean = {
+        val v = TxnTable.latestVersion(spark, table).get
+        val stats = TxnTable.fileStats(spark, table, v)
+        val files = TxnTable.snapshotFiles(spark, table, v)
+        def day(sec: String) = math.floorDiv(sec.toDouble.toLong, 86400L)
+        files.nonEmpty && files.forall(f => stats.getOrElse(f, Nil).exists(s =>
+          s.col == "ts" && day(s.minV) == day(s.maxV)))
+      }
+      assert(dayTight(), "append must conform to the sticky days(ts) layout")
+      assert(TxnTable.read(spark, table).count() == ev.count())
+      // a SQL UPDATE rewrite keeps the day grouping
+      spark.sql(s"CREATE TABLE graft_days_dml USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("UPDATE graft_days_dml SET value = 0.0 WHERE event_id < 50")
+      } finally spark.sql("DROP TABLE graft_days_dml")
+      assert(TxnTable.partitionColumns(spark, table) == Seq("days(ts)"))
+      assert(dayTight(), "the UPDATE's rewritten files must stay day-tight")
+    }
+  }
+
   test("rewrites (SQL UPDATE, compactSmall) preserve the partition layout") {
     import spark.implicits._
     withZone { zone =>
