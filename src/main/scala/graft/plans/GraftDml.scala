@@ -252,7 +252,7 @@ case class GraftDmlExec(label: String, run: () => Unit) extends LeafExecNode {
   override def simpleString(maxFields: Int): String = s"GraftDmlExec $label"
 }
 
-private[plans] object GraftDml {
+private[plans] object GraftDml extends org.apache.spark.internal.Logging {
 
   /** Attribute of `df`'s analyzed plan named `name` (resolution-rule
     * output names match the committed schema's exactly). */
@@ -568,21 +568,47 @@ private[plans] object GraftDml {
           (cond, bound)
         }
 
-      // phase 1: touched files. WHEN NOT MATCHED BY SOURCE can affect
-      // ANY target row, so it touches every file; otherwise only files
-      // holding a row that matches some source row are rewritten.
+      // phase 1: touched files. Matched actions touch files holding a
+      // row that matches some source row. WHEN NOT MATCHED BY SOURCE
+      // can affect ANY target row — but when EVERY such action carries
+      // a condition, only files holding a row satisfying SOME condition
+      // can change (the conditions reference the target alone, so they
+      // prune through the DSv2 scan's stats/blooms like a WHERE); a
+      // file in neither set carries by reference. An UNconditioned
+      // clause really does rewrite the whole table — warned loudly,
+      // because at 100 TB that is almost never what the user meant.
+      def filesOf(df: DataFrame): Seq[String] =
+        df.withColumn("__graft_file", input_file_name())
+          .select(col("__graft_file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      def matchFiles: Seq[String] =
+        if (p.matched.isEmpty) Nil
+        else filesOf(snap.filter(preFilter)
+          .withColumn("__graft_file", input_file_name())
+          .join(source, subst(p.condition, byId, snap), "inner"))
+      def condOf(a: MergeAction): Option[Expression] = a match {
+        case ua: UpdateAction => ua.condition
+        case da: DeleteAction => da.condition
+        case ia: InsertAction => ia.condition
+        case _ => None
+      }
       val touched: Seq[String] =
-        if (p.notMatchedBySource.nonEmpty)
-          snap.withColumn("__graft_file", input_file_name())
-            .select(col("__graft_file")).distinct()
-            .collect().map(_.getString(0)).toSeq
-        else if (p.matched.nonEmpty)
-          snap.filter(preFilter)
-            .withColumn("__graft_file", input_file_name())
-            .join(source, subst(p.condition, byId, snap), "inner")
-            .select(col("__graft_file")).distinct()
-            .collect().map(_.getString(0)).toSeq
-        else Nil
+        if (p.notMatchedBySource.nonEmpty) {
+          val conds = p.notMatchedBySource.map(condOf)
+          val nmbsFiles =
+            if (conds.forall(_.isDefined))
+              filesOf(snap.filter(
+                conds.flatten.map(subst(_, byId, snap)).reduce(_ || _)))
+            else {
+              logWarning(s"MERGE INTO graft.`${p.table}`: an unconditioned " +
+                "WHEN NOT MATCHED BY SOURCE clause touches every target " +
+                "row — the whole table will be rewritten; add a condition " +
+                "with target-key bounds to confine the rewrite")
+              filesOf(snap)
+            }
+          (nmbsFiles ++ matchFiles).distinct
+        }
+        else matchFiles
 
       // phase 2: replacement rows for the touched files. The change
       // frames mirror each half — assembled alongside, written as this

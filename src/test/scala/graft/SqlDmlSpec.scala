@@ -151,6 +151,49 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded WHEN NOT MATCHED BY SOURCE rewrites only matching files") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      // 8 range-partitioned files over k = 0..199
+      TxnTable.commitOverwrite(
+        Seq.range(0L, 200L).map(k => (k, k * 1.0)).toDF("k", "bal")
+          .repartitionByRange(8, $"k").sortWithinPartitions($"k"),
+        table, statsCols = Seq("k"))
+      val before = TxnTable.snapshotFiles(spark, table, 1L).toSet
+      // source matches k in [40, 60); NMBS condition confines to k < 25
+      Seq.range(40L, 60L).map(k => (k, -1.0)).toDF("k", "bal")
+        .createOrReplaceTempView("sqldml_nmbs_src")
+      spark.sql(s"CREATE TABLE sqldml_nmbs USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO sqldml_nmbs t USING sqldml_nmbs_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED BY SOURCE AND t.k < 25 THEN UPDATE SET bal = 0.0
+            |""".stripMargin)
+      } finally spark.sql("DROP TABLE sqldml_nmbs")
+      val v = TxnTable.latestVersion(spark, table).get
+      val after = TxnTable.snapshotFiles(spark, table, v).toSet
+      val stats = TxnTable.fileStats(spark, table, 1L)
+      // files provably outside BOTH the source keys [40,60) and the
+      // NMBS bound k<25 must carry by reference
+      val untouched = before.filter(f => stats(f).exists(s =>
+        s.col == "k" && (s.minV.toDouble >= 60.0 ||
+          (s.maxV.toDouble < 40.0 && s.minV.toDouble >= 25.0))))
+      assert(untouched.nonEmpty, "fixture must have provably-disjoint files")
+      assert(untouched.subsetOf(after),
+        "files outside the source keys and the NMBS bound must carry")
+      val got = TxnTable.read(spark, table).orderBy($"k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val want = Seq.range(0L, 200L).map {
+        case k if k >= 40L && k < 60L => (k, -1.0)
+        case k if k < 25L => (k, 0.0)
+        case k => (k, k * 1.0)
+      }
+      assert(got.toSeq == want)
+    }
+  }
+
   test("MERGE INTO WITH SCHEMA EVOLUTION adds source-only columns") {
     import spark.implicits._
     withZone { zone =>
