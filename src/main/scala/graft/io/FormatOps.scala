@@ -1998,9 +1998,13 @@ object FormatOps {
     RQ("k103_txn_history", k103, Some(k103Sql)),
     RQ("k104_compact_small", k104, Some(k104Sql)),
     RQ("k105_metadata_profile", k105, Some(k105Sql)),
-    RQ("k106_sql_update", k106, Some(k106Sql)),
+    // k106/k108 carry the bench flag: the DML path (SQL UPDATE's
+    // file-surgical copy-on-write) and the partitioned-write path are
+    // timed per round — a perf regression in either is otherwise
+    // invisible to the headline set
+    RQ("k106_sql_update", k106, Some(k106Sql), bench = true),
     RQ("k107_sql_merge_into", k107, Some(k107Sql)),
-    RQ("k108_partitioned_write", k108, Some(k108Sql)),
+    RQ("k108_partitioned_write", k108, Some(k108Sql), bench = true),
     RQ("k109_partition_filter_agg", k109, Some(k109Sql)),
     RQ("k110_sql_delete_any", k110, Some(k110Sql)),
     RQ("k111_vacuum_retention", k111, Some(k111Sql)),
