@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Resolution batch (ResolveRelations refuses time travel on
     // session-catalog tables), so it rides the Hints batch.
     e.injectHintResolutionRule(s => graft.plans.GraftTimeTravel(s))
+    // SQL table functions: graft_history (DESCRIBE HISTORY) and
+    // graft_changes (Delta's table_changes spelling of the change feed)
+    e.injectTableFunction((FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_history"),
+      graft.plans.GraftTableFunctions.history _))
+    e.injectTableFunction((FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_changes"),
+      graft.plans.GraftTableFunctions.changes _))
   }
 }
 

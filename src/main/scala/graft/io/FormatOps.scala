@@ -1971,6 +1971,74 @@ object FormatOps {
       |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k115
+  /** THE SQL CDC SURFACE — `graft_changes(path, since)` (Delta's
+    * `table_changes` spelling, plans/GraftTableFunctions.scala) over a
+    * history of SQL UPDATE then SQL DELETE on a CDF table: one SQL
+    * query reads every typed change and aggregates it; the DuckDB
+    * oracle replays the sequenced changes from raw customer (the
+    * DELETE sees post-UPDATE values). `graft_history` is REQUIREd
+    * in-query to report the exact op sequence. */
+  private def k115(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k115_tvf")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"), cdf = Some(true))
+      spark.sql(s"CREATE TABLE graft_k115_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """UPDATE graft_k115_t SET c_acctbal = c_acctbal + 500.0
+            |WHERE c_custkey BETWEEN 200 AND 400""".stripMargin)
+        spark.sql("DELETE FROM graft_k115_t WHERE c_custkey % 5 = 2")
+      } finally spark.sql("DROP TABLE graft_k115_t")
+      val ops = spark.sql(s"SELECT op FROM graft_history('$table')")
+        .collect().map(_.getString(0)).toSeq
+      require(ops == Seq("delete", "update", "overwrite"),
+        s"graft_history must report the exact op sequence, got $ops")
+      val result = spark.sql(
+        s"""SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+           |FROM graft_changes('$table', 1)
+           |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k115Sql =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_custkey BETWEEN 200 AND 400),
+      |post AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey BETWEEN 200 AND 400
+      |         THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer),
+      |changes AS (
+      |  SELECT 'update_preimage' AS _change_type, c_custkey, c_acctbal
+      |  FROM upd
+      |  UNION ALL
+      |  SELECT 'update_postimage', c_custkey, c_acctbal + 500.0 FROM upd
+      |  UNION ALL
+      |  SELECT 'delete', c_custkey, c_acctbal FROM post
+      |  WHERE c_custkey % 5 = 2)
+      |SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM changes GROUP BY _change_type ORDER BY _change_type""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2010,5 +2078,6 @@ object FormatOps {
     RQ("k111_vacuum_retention", k111, Some(k111Sql)),
     RQ("k112_sql_time_travel", k112, Some(k112Sql)),
     RQ("k113_sql_merge_evolve", k113, Some(k113Sql)),
-    RQ("k114_days_partitioning", k114, Some(k114Sql)))
+    RQ("k114_days_partitioning", k114, Some(k114Sql)),
+    RQ("k115_sql_change_feed", k115, Some(k115Sql)))
 }

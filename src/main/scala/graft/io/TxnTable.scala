@@ -1870,6 +1870,39 @@ object TxnTable {
       deletes: Seq[String],
       cdc: Seq[String])
 
+  /** One line of table history: version, recorded commit wall-clock
+    * (manifest `#ts=`, mtime for pre-#ts manifests), operation kind,
+    * file-line counts. `added`/`removed` are the commit's own +/- lines
+    * for delta manifests; a FULL manifest (overwrite, checkpoint,
+    * compact, restore) reports its complete snapshot file count as
+    * `added` — the manifest records state, not a diff, and history
+    * stays O(1) reads per version by not reconstructing one. */
+  final case class CommitInfo(version: Long, tsMillis: Long, op: String,
+                              added: Long, removed: Long)
+
+  /** Bounded commit-log listing, newest first — what DESCRIBE HISTORY
+    * shows on Delta (SQL spelling: the `graft_history` table function;
+    * the `history` DataFrame API above reports per-version snapshot
+    * shape instead). O(retained versions) small manifest reads, never a
+    * directory listing; vacuumed prefixes are simply absent. */
+  def commitLog(spark: SparkSession, table: String): Seq[CommitInfo] = {
+    val ctx = fc(spark)
+    versions(spark, table).map { v =>
+      val lines = manifestLines(spark, table, v)
+      val headers = lines.filter(_.startsWith("#"))
+      val op = headers.find(_.startsWith(OpPrefix))
+        .map(_.stripPrefix(OpPrefix).trim)
+        .getOrElse(if (headers.exists(_.startsWith(DeltaPrefix))) "append"
+          else "commit") // legacy pre-#op manifest
+      val added =
+        if (headers.exists(_.startsWith(DeltaPrefix)))
+          lines.count(_.startsWith(AddPrefix))
+        else lines.count(l => !l.startsWith("#"))
+      val removed = lines.count(_.startsWith(RemovePrefix))
+      CommitInfo(v, commitTs(ctx, table, v)._1, op, added, removed)
+    }.reverse
+  }
+
   /** Change provenance of commit `v` (see [[CommitChanges]]). Throws for
     * a rewrite commit made while CDF was disabled — its row-level
     * changes were never recorded and cannot be reconstructed — and for

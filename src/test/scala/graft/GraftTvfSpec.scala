@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TxnTable
+
+/** SQL table functions: graft_history (DESCRIBE HISTORY) and
+  * graft_changes (the table_changes spelling of the change feed). */
+class GraftTvfSpec extends AnyFunSuite {
+  private lazy val spark = Spec.spark
+
+  private def withTable(body: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf").toFile
+    try body(s"${root.getAbsolutePath}/t")
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  test("graft_history lists commits newest first with ops and counts") {
+    import spark.implicits._
+    withTable { table =>
+      TxnTable.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+        table, statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.commitAppend(Seq((3L, "c")).toDF("k", "s"), table)
+      TxnTable.deleteRangeOn(spark, table, "k", 1L, 1L)
+      val h = spark.sql(s"SELECT * FROM graft_history('$table')")
+        .select($"version", $"op").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(h == Seq((3L, "delete"), (2L, "append"), (1L, "overwrite")))
+      // timestamps are nondecreasing down the history
+      val ts = spark.sql(s"SELECT ts FROM graft_history('$table')")
+        .collect().map(_.getTimestamp(0).getTime).toSeq
+      assert(ts == ts.sorted.reverse)
+      // composes with ordinary SQL (aggregation over the TVF)
+      val nOps = spark.sql(
+        s"SELECT COUNT(DISTINCT op) FROM graft_history('$table')")
+        .head().getLong(0)
+      assert(nOps == 3L)
+    }
+  }
+
+  test("graft_changes returns the typed feed for a version window") {
+    import spark.implicits._
+    withTable { table =>
+      TxnTable.commitOverwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+        table, statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.commitAppend(Seq((3L, 30.0)).toDF("k", "v"), table)
+      TxnTable.merge(Seq((2L, 99.0)).toDF("k", "v"), table, "k")
+      val got = spark.sql(
+        s"SELECT k, _change_type, _commit_version FROM graft_changes('$table', 1)")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (3L, "insert", 2L),
+        (2L, "update_preimage", 3L), (2L, "update_postimage", 3L)))
+      // explicit end version bounds the window
+      val windowed = spark.sql(
+        s"SELECT k, _change_type FROM graft_changes('$table', 1, 2)")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(windowed == Set((3L, "insert")))
+      // aggregates compose
+      val counts = spark.sql(
+        s"""SELECT _change_type, COUNT(*) AS n
+           |FROM graft_changes('$table', 0) GROUP BY 1 ORDER BY 1""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(counts == Seq(("insert", 3L),
+        ("update_postimage", 1L), ("update_preimage", 1L)))
+    }
+  }
+
+  test("non-constant or malformed arguments refuse loudly") {
+    withTable { table =>
+      import spark.implicits._
+      TxnTable.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), table)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_changes('$table')").collect()
+      }
+      assert(e.getMessage.contains("usage: graft_changes"))
+    }
+  }
+}
