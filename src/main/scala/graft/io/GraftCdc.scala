@@ -42,6 +42,39 @@ object GraftCdc {
     StructType(s.fields.toSeq.filterNot(f =>
       f.name == TxnTable.ChangeTypeCol || f.name == TxnTable.CommitVersionCol))
 
+  /** Feed-window start from `startingVersion` (exclusive, our version
+    * convention) or `startingTimestamp` (include every commit AT OR
+    * AFTER the instant — resolved to the last strictly-earlier version,
+    * Delta-parity). Mutually exclusive; default 0 = full history. */
+  def sinceOf(spark: SparkSession, table: String,
+              options: CaseInsensitiveStringMap): Long = {
+    val byV = Option(options.get("startingVersion"))
+    val byT = Option(options.get("startingTimestamp"))
+    require(byV.isEmpty || byT.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    byV.map(_.toLong)
+      .orElse(byT.map(t =>
+        TxnTable.versionAt(spark, table, TxnTable.parseUtcMillis(t) - 1L)
+          .getOrElse(0L)))
+      .getOrElse(0L)
+  }
+
+  /** Feed-window end from `endingVersion` or `endingTimestamp` (include
+    * every commit at or before the instant); default = the handle's
+    * pinned version. */
+  def untilOf(spark: SparkSession, table: String, pinned: Long,
+              options: CaseInsensitiveStringMap): Long = {
+    val byV = Option(options.get("endingVersion"))
+    val byT = Option(options.get("endingTimestamp"))
+    require(byV.isEmpty || byT.isEmpty,
+      "endingVersion and endingTimestamp are mutually exclusive")
+    byV.map(_.toLong)
+      .orElse(byT.map(t =>
+        TxnTable.versionAt(spark, table, TxnTable.parseUtcMillis(t))
+          .getOrElse(0L)))
+      .getOrElse(pinned)
+  }
+
   /** Partitions + shared reader factory for the changes committed in
     * versions (`since`, `until`]. */
   def plan(spark: SparkSession, table: String, base: StructType,
@@ -125,10 +158,8 @@ private[io] class GraftCdcScan(
     spark: SparkSession, table: String, version: Long,
     base: StructType, options: CaseInsensitiveStringMap)
     extends Scan with GraftScanFiles {
-  private val startV =
-    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
-  private val endV =
-    Option(options.get("endingVersion")).map(_.toLong).getOrElse(version)
+  private val startV = GraftCdc.sinceOf(spark, table, options)
+  private val endV = GraftCdc.untilOf(spark, table, version, options)
   private lazy val planned = GraftCdc.plan(spark, table, base, options, startV, endV)
   override def readSchema(): StructType = GraftCdc.feedSchema(base)
   override def description(): String =
@@ -149,7 +180,8 @@ private[io] class GraftCdcScan(
   * nothing — the CDF consumer's answer to `skipChangeCommits`, except
   * nothing is lost: UPDATE/DELETE/MERGE commits arrive as their exact
   * pre/post/delete/insert rows. `startingVersion` (exclusive, default
-  * 0) picks up history; `maxVersionsPerTrigger` bounds backlog drains. */
+  * 0) or `startingTimestamp` (at-or-after) picks up history;
+  * `maxVersionsPerTrigger` bounds backlog drains. */
 private[io] class GraftCdcMicroBatchStream(
     spark: SparkSession, table: String, base: StructType,
     options: CaseInsensitiveStringMap)
@@ -158,7 +190,7 @@ private[io] class GraftCdcMicroBatchStream(
   private def ver(o: Offset): Long = o.asInstanceOf[GraftOffset].v
 
   override def initialOffset(): Offset = new GraftOffset(
-    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+    GraftCdc.sinceOf(spark, table, options))
   override def latestOffset(): Offset = new GraftOffset(
     TxnTable.latestVersion(spark, table).getOrElse(0L))
   override def deserializeOffset(json: String): Offset =

@@ -108,15 +108,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       "versionAsOf and timestampAsOf are mutually exclusive")
     byVersion
       .orElse(byTime.map { raw =>
-        val ts = raw.trim.toLongOption.getOrElse {
-          val t = raw.trim
-          val ldt =
-            if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
-            else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        }
-        TxnTable.versionAt(spark, table, ts).getOrElse(
-          throw new IllegalStateException(
+        TxnTable.versionAt(spark, table, TxnTable.parseUtcMillis(raw))
+          .getOrElse(throw new IllegalStateException(
             s"$table has no version committed at or before $raw"))
       })
       .orElse(TxnTable.latestVersion(spark, table))

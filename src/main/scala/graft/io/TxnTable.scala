@@ -533,6 +533,17 @@ object TxnTable {
       case _ => col(c).cast("double")
     }
 
+  /** Timestamp option parsing shared by snapshot pinning and the change
+    * feed: epoch millis, or "yyyy-MM-dd[ HH:mm:ss]" interpreted UTC. */
+  private[io] def parseUtcMillis(raw: String): Long =
+    raw.trim.toLongOption.getOrElse {
+      val t = raw.trim
+      val ldt =
+        if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   private def parseEpoch(s: String): Double = {
     val t = s.trim
     if (t.length <= 10) java.time.LocalDate.parse(t).toEpochDay * 86400.0

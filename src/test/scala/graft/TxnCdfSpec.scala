@@ -129,6 +129,21 @@ class TxnCdfSpec extends AnyFunSuite {
         == Set((3L, "insert", 2L)))
       // plain read is unaffected by feed machinery
       assert(spark.read.format("graft").load(table).count() == 3L)
+      // timestamp window: every commit at-or-after v2's wall clock
+      val log = TxnTable.commitLog(spark, table)
+      val v2ts = log.find(_.version == 2L).get.tsMillis
+      val v3ts = log.find(_.version == 3L).get.tsMillis
+      if (v3ts > v2ts) { // same-millisecond commits can't be split
+        assert(feed(Map("startingTimestamp" -> v3ts.toString))
+          == Set((2L, "update_preimage", 3L), (2L, "update_postimage", 3L)))
+        assert(feed(Map("startingTimestamp" -> v2ts.toString,
+          "endingTimestamp" -> v2ts.toString)) == Set((3L, "insert", 2L)))
+      }
+      // version + timestamp spellings are mutually exclusive
+      val e = intercept[Exception] {
+        feed(Map("startingVersion" -> "1", "startingTimestamp" -> "0"))
+      }
+      assert(e.getMessage.contains("mutually exclusive"))
     }
   }
 
