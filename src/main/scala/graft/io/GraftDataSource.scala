@@ -147,15 +147,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         t.references.head.fieldNames.head
-      // days(ts): day-grouped files; recorded as a `days(c)` entry
-      // (TxnTable.partSource) — the option spelling
-      // `.option("partitionBy", "days(ts)")` reaches commitAppend
-      // directly, this arm covers real Transform objects
-      case t if t.name == "days" && t.references.length == 1 &&
+      // days/hours/months/years(ts): time-bucketed files; recorded as a
+      // `<transform>(c)` entry (TxnTable.partSource) — the option
+      // spelling `.option("partitionBy", "days(ts)")` reaches
+      // commitAppend directly, this arm covers real Transform objects
+      case t if TxnTable.PartTransformNames.contains(t.name) &&
+          t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
-        s"days(${t.references.head.fieldNames.head})"
+        s"${t.name}(${t.references.head.fieldNames.head})"
       case other => throw new UnsupportedOperationException(
-        s"graft tables support identity and days() partitioning, got $other")
+        "graft tables support identity and days/hours/months/years() " +
+          s"partitioning, got $other")
     }
     new GraftTable(table,
       pinnedVersion(spark, table, properties).getOrElse(0L), schema, partCols)

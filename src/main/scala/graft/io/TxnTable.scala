@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, count, date_format, input_file_name, lit, max, min, not, trunc}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS whose
@@ -491,26 +491,42 @@ object TxnTable {
 
   /** Stats representation a column type gets, if any: unsupported types
     * simply collect no stats (conservative scans, never an error). */
-  /** Partition entries are identity column names (`c`) or a day
-    * transform (`days(c)`) — the events/streaming layout (Delta
-    * `PARTITIONED BY (days(ts))` / Iceberg day partitioning). A days
-    * entry groups files by the UTC day of the source column: each
-    * file's ts min/max is day-tight, so the EXISTING stats machinery
-    * does the partition pruning (range filters skip files, and
-    * StatsPruner.mustMatch proves full-match for interior days —
-    * day-aligned COUNT/MIN/MAX stay metadata-only). */
+  /** Partition entries are identity column names (`c`) or a time
+    * transform — `days(c)`, `hours(c)`, `months(c)`, `years(c)` (the
+    * Delta/Iceberg temporal layouts; days is the events/streaming
+    * default). A transform entry groups files by the UTC time bucket of
+    * the source column: each file's min/max is bucket-tight, so the
+    * EXISTING stats machinery does the partition pruning (range filters
+    * skip files, and StatsPruner.mustMatch proves full-match for
+    * interior buckets — bucket-aligned COUNT/MIN/MAX stay
+    * metadata-only). Timezone-bearing timestamps bucket in the session
+    * zone (UTC in this engine's sessions); TIMESTAMP_NTZ buckets on its
+    * wall clock. */
   private val DaysEntry = """days\((.+)\)""".r
+  private val HoursEntry = """hours\((.+)\)""".r
+  private val MonthsEntry = """months\((.+)\)""".r
+  private val YearsEntry = """years\((.+)\)""".r
+  private[io] val PartTransformNames = Seq("days", "hours", "months", "years")
   private[io] def partSource(entry: String): String = entry match {
     case DaysEntry(c) => c
+    case HoursEntry(c) => c
+    case MonthsEntry(c) => c
+    case YearsEntry(c) => c
     case c => c
   }
   private def partDirName(entry: String): String = entry match {
     case DaysEntry(c) => s"__gp_days_$c"
+    case HoursEntry(c) => s"__gp_hours_$c"
+    case MonthsEntry(c) => s"__gp_months_$c"
+    case YearsEntry(c) => s"__gp_years_$c"
     case c => s"__gp_$c"
   }
   private def partDirExpr(entry: String): org.apache.spark.sql.Column =
     entry match {
       case DaysEntry(c) => col(c).cast("date")
+      case HoursEntry(c) => date_format(col(c), "yyyy-MM-dd-HH")
+      case MonthsEntry(c) => trunc(col(c).cast("date"), "month")
+      case YearsEntry(c) => trunc(col(c).cast("date"), "year")
       case c => col(c)
     }
 

@@ -110,6 +110,46 @@ class GraftPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("hours/months/years transforms bucket tightly and stay sticky") {
+    import spark.implicits._
+    withZone { zone =>
+      val ev = Tables.events(spark, Spec.sf0001)
+        .select($"event_id", $"ts", $"value")
+      def tight(table: String, bucket: Long => Any): Boolean = {
+        val v = TxnTable.latestVersion(spark, table).get
+        val stats = TxnTable.fileStats(spark, table, v)
+        val files = TxnTable.snapshotFiles(spark, table, v)
+        def b(sec: String) = bucket(sec.toDouble.toLong)
+        files.nonEmpty && files.forall(f => stats.getOrElse(f, Nil).exists(s =>
+          s.col == "ts" && b(s.minV) == b(s.maxV)))
+      }
+      def ym(sec: Long) = {
+        val d = java.time.LocalDate.ofEpochDay(math.floorDiv(sec, 86400L))
+        (d.getYear, d.getMonthValue)
+      }
+      val hT = s"$zone/h"
+      ev.filter($"event_id" < 100)
+        .write.format("graft").mode("overwrite")
+        .option("partitionBy", "hours(ts)").save(hT)
+      assert(TxnTable.partitionColumns(spark, hT) == Seq("hours(ts)"))
+      assert(tight(hT, math.floorDiv(_, 3600L)),
+        "hour files must be hour-tight on ts")
+      val mT = s"$zone/m"
+      ev.write.format("graft").mode("overwrite")
+        .option("partitionBy", "months(ts)").save(mT)
+      assert(tight(mT, ym), "month files must be month-contained")
+      assert(TxnTable.read(spark, mT).count() == ev.count())
+      // sticky across an append, like identity and days
+      ev.limit(10).write.format("graft").mode("append").save(mT)
+      assert(TxnTable.partitionColumns(spark, mT) == Seq("months(ts)"))
+      val yT = s"$zone/y"
+      ev.write.format("graft").mode("overwrite")
+        .option("partitionBy", "years(ts)").save(yT)
+      assert(TxnTable.partitionColumns(spark, yT) == Seq("years(ts)"))
+      assert(TxnTable.read(spark, yT).count() == ev.count())
+    }
+  }
+
   test("rewrites (SQL UPDATE, compactSmall) preserve the partition layout") {
     import spark.implicits._
     withZone { zone =>
