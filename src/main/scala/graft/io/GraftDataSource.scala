@@ -280,7 +280,7 @@ private[graft] class GraftTable(table: String, version: Long,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, table, version, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table, info, writePartCols)
+    new GraftWriteBuilder(table, info, writePartCols, tableSchema)
 }
 
 /** DSv2 WRITE path: `df.write.format("graft").mode("append"|"overwrite")
@@ -293,7 +293,8 @@ private[graft] class GraftTable(table: String, version: Long,
   * the write idempotent per (appId, batchId) — a replayed save() is a
   * no-op, the foreachBatch restart contract. */
 private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
-    tablePartCols: Seq[String] = Nil)
+    tablePartCols: Seq[String] = Nil,
+    declaredSchema: StructType = new StructType())
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -323,8 +324,14 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         // overlap = by-name intent → pass through (an extra column is
         // schema evolution; the commit's mergeSchemas validates it).
         val spark = data.sparkSession
+        // target schema: the committed manifest's, or — for the FIRST
+        // insert into a catalog table with a declared schema (CREATE
+        // TABLE ... USING graft, no data yet) — the declaration; a
+        // positional VALUES frame must align to it or the parquet
+        // would land col1/col2 names the declared read schema nulls out
         val committed = TxnTable.latestVersion(spark, table)
           .flatMap(v => TxnTable.snapshotSchema(spark, table, v))
+          .orElse(if (declaredSchema.nonEmpty) Some(declaredSchema) else None)
         val synthetic = data.columns.zipWithIndex.forall {
           case (n, i) => n == s"col${i + 1}" }
         val aligned = committed match {
