@@ -741,10 +741,11 @@ private[io] class GraftMicroBatchStream(
 
   private def ver(o: Offset): Long = o.asInstanceOf[GraftOffset].v
 
-  /** `startingVersion` option: first microbatch starts AFTER this
-    * version (default 0 = consume the whole table). */
+  /** `startingVersion` (exclusive) or `startingTimestamp` (at-or-after)
+    * option: where the first microbatch starts (default 0 = consume the
+    * whole table). Same resolution as the change-feed source. */
   override def initialOffset(): Offset = new GraftOffset(
-    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+    GraftCdc.sinceOf(spark, table, options))
   override def latestOffset(): Offset = new GraftOffset(
     TxnTable.latestVersion(spark, table).getOrElse(0L))
   override def deserializeOffset(json: String): Offset =

@@ -113,6 +113,40 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("startingVersion / startingTimestamp pick up mid-history") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      (1 to 3).foreach { i =>
+        TxnTable.commitAppend(
+          Seq.tabulate(10)(j => (i * 100L + j, i)).toDF("id", "commit_no"), src)
+      }
+      def drain(opts: Map[String, String], cp: String): Long = {
+        var n = 0L
+        var r = spark.readStream.format("graft")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        val q = r.load(src).writeStream
+          .option("checkpointLocation", s"$zone/$cp")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => n += batch.count(); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n
+      }
+      // startingVersion is exclusive: skip the first two commits
+      assert(drain(Map("startingVersion" -> "2"), "cp_v") == 10L)
+      // startingTimestamp: at-or-after v3's recorded wall clock
+      val log = TxnTable.commitLog(spark, src)
+      val v2ts = log.find(_.version == 2L).get.tsMillis
+      val v3ts = log.find(_.version == 3L).get.tsMillis
+      if (v3ts > v2ts) // same-millisecond commits can't be split
+        assert(drain(Map("startingTimestamp" -> v3ts.toString), "cp_t") == 10L)
+    }
+  }
+
   /** Same drain but with the skipChangeCommits escape hatch set. */
   private def drainSkip(src: String, out: String, cp: String, id: Int): Long = {
     val before = TxnTable.latestVersion(spark, out)
