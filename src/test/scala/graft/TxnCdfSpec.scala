@@ -147,6 +147,90 @@ class TxnCdfSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed on a partitioned table: changes typed, layout kept") {
+    import spark.implicits._
+    withZone { table =>
+      val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+        .toDF("k", "seg", "v")
+      TxnTable.commitOverwrite(df, table, statsCols = Seq("k"),
+        partitionCols = Seq("seg"), cdf = Some(true))
+      spark.sql(s"CREATE TABLE cdf_part_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("UPDATE cdf_part_t SET v = v + 1.0 WHERE k >= 2")
+      } finally spark.sql("DROP TABLE cdf_part_t")
+      val feed = TxnTable.changeFeed(spark, table, sinceVersion = 1L)
+        .select($"k", $"v", $"_change_type")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(feed == Set(
+        (2L, 20.0, "update_preimage"), (2L, 21.0, "update_postimage"),
+        (3L, 30.0, "update_preimage"), (3L, 31.0, "update_postimage")))
+      // the rewrite preserved the partition layout; change files are
+      // metadata (never listed as table data)
+      assert(TxnTable.partitionColumns(spark, table) == Seq("seg"))
+      val v = TxnTable.latestVersion(spark, table).get
+      val stats = TxnTable.fileStats(spark, table, v)
+      val files = TxnTable.snapshotFiles(spark, table, v)
+      assert(files.forall(f => stats.getOrElse(f, Nil).exists(s =>
+        s.col == "seg" && s.minV == s.maxV)))
+      assert(TxnTable.read(spark, table).count() == 3L)
+    }
+  }
+
+  test("change feed spans a schema evolution; old changes read as NULL-extended") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(Seq((1L, 10.0)).toDF("k", "v"), table,
+        statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.deleteRangeOn(spark, table, "k", 1L, 1L) // v2: pre-evolution change
+      // v3 evolves the schema (new column s), v4 changes under it
+      TxnTable.commitAppend(Seq((2L, 20.0, "x")).toDF("k", "v", "s"), table)
+      TxnTable.merge(Seq((2L, 99.0, "y")).toDF("k", "v", "s"), table, "k")
+      val feed = TxnTable.changeFeed(spark, table, sinceVersion = 0L)
+        .select($"k", $"v", $"s", $"_change_type", $"_commit_version")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)),
+          r.getString(3), r.getLong(4))).toSet
+      assert(feed == Set(
+        (1L, 10.0, None, "insert", 1L),
+        (1L, 10.0, None, "delete", 2L), // pre-evolution file: s reads NULL
+        (2L, 20.0, Some("x"), "insert", 3L),
+        (2L, 20.0, Some("x"), "update_preimage", 4L),
+        (2L, 99.0, Some("y"), "update_postimage", 4L)))
+    }
+  }
+
+  test("vacuum reclaims dropped commits' change files, keeps the retained feed") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(
+        Seq.range(0L, 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+          .repartitionByRange(2, $"k"),
+        table, statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.deleteRangeOn(spark, table, "k", 0L, 4L) // v2: eager+lazy changes
+      TxnTable.compact(spark, table, targetFiles = 1)   // v3: full manifest
+      TxnTable.merge(Seq((10L, -1.0)).toDF("k", "v"), table, "k") // v4: changes
+      def cdcOnDisk(): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getPath.contains("/_cdc/")) 1L else 0L
+        walk(new java.io.File(table))
+      }
+      assert(cdcOnDisk() > 0L)
+      TxnTable.vacuum(spark, table, keep = 1) // retain v3 (base) + v4
+      // v4's change feed still reads; the reclaimed v2 change files are
+      // gone with their commit dirs
+      val feed = TxnTable.changeFeed(spark, table, sinceVersion = 3L)
+        .select($"k", $"_change_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(feed == Set((10L, "update_preimage"), (10L, "update_postimage")))
+      val e = intercept[Exception] {
+        TxnTable.changeFeed(spark, table, sinceVersion = 1L, untilVersion = 2L)
+          .collect()
+      }
+      assert(e.getMessage != null) // vacuumed history refuses, not half-reads
+    }
+  }
+
   test("streaming readChangeFeed drains typed changes exactly once") {
     import spark.implicits._
     withZone { table =>
