@@ -450,8 +450,13 @@ private[io] class GraftScanBuilder(
 
   // ONE manifest-chain read shared by aggregate planning AND file
   // pruning in build() — planning cost must not scale with the number
-  // of metadata consumers
-  private lazy val meta = TxnTable.snapshotMeta(spark, table, version)
+  // of metadata consumers. Version 0 = a DECLARED table with no commit
+  // yet (CREATE TABLE ... USING graft before the first insert): an
+  // empty snapshot, not an error — SELECT over it returns zero rows
+  // with the declared schema, like any table format.
+  private lazy val meta =
+    if (version == 0L) TxnTable.SnapshotMeta(Nil, Map.empty, Map.empty)
+    else TxnTable.snapshotMeta(spark, table, version)
   private def aggState = (meta.files, meta.stats, meta.rows)
 
   private var plannedAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None

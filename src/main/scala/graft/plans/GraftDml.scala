@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.io.{GraftTable, TxnTable}
 
@@ -350,7 +350,14 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
     }.headOption
   }
 
+  /** A DECLARED table with no commit yet (CREATE TABLE before the first
+    * insert) has no rows: UPDATE/DELETE are no-ops, MERGE reduces to
+    * its WHEN NOT MATCHED inserts — never an error. */
+  private def neverCommitted(spark: SparkSession, table: String): Boolean =
+    TxnTable.latestVersion(spark, table).isEmpty
+
   def runUpdate(spark: SparkSession, p: UpdatePayload): Unit = {
+    if (neverCommitted(spark, p.table)) return
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
     val sets: Map[String, Expression] =
       p.assignments.map(a => keyName(a.key, byId) -> a.value).toMap
@@ -408,6 +415,7 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
     * semantics: a NULL predicate RETAINS the row (`not(coalesce(cond,
     * false))`). */
   def runDelete(spark: SparkSession, p: DeletePayload): Unit = {
+    if (neverCommitted(spark, p.table)) return
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
     TxnTable.rewriteCommit(spark, p.table, "delete", (snap, _) => {
       // filter BEFORE the input_file_name projection (pushdown-blocking
@@ -487,6 +495,52 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
             s"unsupported MERGE action: $other")
         }
       }
+
+    // never-committed target: no row can match, so the merge reduces to
+    // its WHEN NOT MATCHED inserts against the DECLARED schema — the
+    // bootstrap-by-merge shape (Delta allows it; erroring would force
+    // users to seed tables with a dummy insert first)
+    if (neverCommitted(spark, p.table)) {
+      if (p.notMatched.isEmpty) return
+      val source = GraftBridge.ofRows(spark, p.source)
+      val declared = StructType(p.targetOutput.map(a =>
+        StructField(a.name, a.dataType, a.nullable)))
+      val insertFields = declared.fields.toIndexedSeq ++ (
+        if (!p.withSchemaEvolution) Nil
+        else p.notMatched
+          .flatMap { case ia: InsertAction => ia.assignments; case _ => Nil }
+          .map(a => keyName(a.key, byId) -> a.value.dataType)
+          .filterNot { case (n, _) => declared.fieldNames.contains(n) }
+          .distinctBy(_._1)
+          .map { case (n, dt) => StructField(n, dt, nullable = true) })
+      // insert conditions/values are source-scoped by SQL MERGE rules —
+      // no target reference can appear, so they evaluate on the source
+      def cond(a: MergeAction): Column = a match {
+        case ia: InsertAction => ia.condition.map(GraftBridge.column).getOrElse(lit(true))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED action: $other")
+      }
+      val idx = p.notMatched.zipWithIndex.foldRight(lit(-1)) {
+        case ((a, i), els) => when(cond(a), lit(i)).otherwise(els)
+      }
+      val chosen = source.withColumn("__graft_act", idx)
+        .filter(col("__graft_act") >= 0)
+      val outCols = insertFields.map { f =>
+        p.notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+          case ((a, i), els) =>
+            a.asInstanceOf[InsertAction].assignments.collectFirst {
+              case Assignment(k, vv) if keyName(k, byId) == f.name => vv
+            } match {
+              case Some(vv) => when(col("__graft_act") === i,
+                GraftBridge.column(vv).cast(f.dataType)).otherwise(els)
+              case None => when(col("__graft_act") === i,
+                lit(null).cast(f.dataType)).otherwise(els)
+            }
+        }.as(f.name)
+      }
+      TxnTable.commitAppend(chosen.select(outCols: _*), p.table)
+      return
+    }
 
     TxnTable.rewriteCommit(spark, p.table, "merge", (snap, _) => {
       val source = GraftBridge.ofRows(spark, p.source)

@@ -74,6 +74,34 @@ class GraftDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("a declared table with no data yet: SELECT empty, DML no-ops, MERGE bootstraps") {
+    import spark.implicits._
+    withZone { zone =>
+      spark.sql(s"CREATE TABLE ddl_empty (k BIGINT, v DOUBLE) USING graft " +
+        s"OPTIONS (path '$zone/t')")
+      try {
+        assert(spark.sql("SELECT * FROM ddl_empty").collect().isEmpty)
+        assert(spark.sql("SELECT COUNT(*) AS n FROM ddl_empty")
+          .head().getLong(0) == 0L)
+        spark.sql("DELETE FROM ddl_empty WHERE k % 2 = 0") // no-op, no error
+        spark.sql("UPDATE ddl_empty SET v = 0.0 WHERE k = 1")
+        assert(TxnTable.latestVersion(spark, s"$zone/t").isEmpty,
+          "no-op DML must not commit anything")
+        // bootstrap-by-merge: WHEN NOT MATCHED inserts seed the table
+        Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+          .createOrReplaceTempView("ddl_empty_src")
+        spark.sql(
+          """MERGE INTO ddl_empty t USING ddl_empty_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED AND s.k < 2 THEN INSERT *
+            |""".stripMargin)
+        val rows = spark.sql("SELECT k, v FROM ddl_empty ORDER BY k")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(rows == Seq((1L, 1.0))) // insert condition honored
+      } finally spark.sql("DROP TABLE ddl_empty")
+    }
+  }
+
   test("time transforms in SQL DDL surface the session catalog's refusal") {
     withZone { zone =>
       // V2SessionCatalog itself rejects non-identity transforms in DDL —
