@@ -1082,6 +1082,121 @@ object StreamingOps {
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM changes GROUP BY _change_type ORDER BY _change_type""".stripMargin
 
+  // ---------------------------------------------------------------- s69
+  /** CDC-DRIVEN INCREMENTAL MATERIALIZED VIEW — the pattern the change
+    * feed exists for: a per-segment aggregate stays correct under
+    * UPDATE and DELETE (not just appends, s62's limit) by folding each
+    * microbatch of typed change rows into signed deltas —
+    * insert/update_postimage count +1/+bal, delete/update_preimage
+    * −1/−bal — and merging them into the view. The view table is
+    * key-sized; the stream reads only CHANGED rows per trigger, so at
+    * 100 TB the maintenance cost is the day's changes, never the
+    * table. REQUIREd in-query: after drains spanning an UPDATE, a
+    * DELETE, and an append, the maintained view equals the direct
+    * aggregate of the final table state. Oracle: DuckDB replays the
+    * same sequenced DML over raw customer. */
+  private def s69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s69").toFile
+    try {
+      val table = s"${root.getAbsolutePath}/table"
+      val view = s"${root.getAbsolutePath}/view"
+      val cp = s"${root.getAbsolutePath}/cp"
+      val cust = graft.io.Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      graft.io.TxnTable.commitOverwrite(
+        cust.repartitionByRange(8, $"c_custkey")
+          .sortWithinPartitions($"c_custkey"),
+        table, statsCols = Seq("c_custkey"), cdf = Some(true))
+      // the view accumulates in DECIMAL(38,6): signed increments are
+      // then EXACT and associative, so the maintained sum equals the
+      // direct aggregate bit-for-bit however the changes were batched
+      // (double accumulation would drift by ULPs per fold order)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      def maintain(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                   batchId: Long): Unit = {
+        val sign = when(
+          col(graft.io.TxnTable.ChangeTypeCol)
+            .isin("insert", "update_postimage"), 1)
+          .otherwise(-1)
+        val delta = batch
+          .groupBy(col("c_mktsegment").as("seg"))
+          .agg(
+            sum(sign.cast("long")).as("d_n"),
+            sum((col("c_acctbal") * sign).cast(dec)).as("d_bal"))
+        val cur = graft.io.TxnTable.latestVersion(spark, view)
+          .map(_ => graft.io.TxnTable.read(spark, view))
+          .getOrElse(spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(
+              StructField("seg", StringType),
+              StructField("n", LongType),
+              StructField("sum_bal", dec)))))
+        val next = cur.join(delta, Seq("seg"), "full_outer")
+          .select($"seg",
+            (coalesce($"n", lit(0L)) + coalesce($"d_n", lit(0L))).as("n"),
+            (coalesce($"sum_bal", lit(0).cast(dec)) +
+              coalesce($"d_bal", lit(0).cast(dec))).cast(dec).as("sum_bal"))
+          .filter($"n" > 0)
+        graft.io.TxnTable.commitOverwriteIdempotent(
+          next, view, "s69-view", batchId)
+      }
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true").load(table)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch(maintain _)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // seed inserts
+      spark.sql(s"CREATE TABLE graft_s69_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """UPDATE graft_s69_t SET c_acctbal = c_acctbal + 250.0
+            |WHERE c_custkey BETWEEN 100 AND 500""".stripMargin)
+        drain()
+        spark.sql("DELETE FROM graft_s69_t WHERE c_custkey % 4 = 1")
+        graft.io.TxnTable.commitAppend(
+          cust.limit(0), table) // empty append: feed contributes nothing
+        drain()
+      } finally spark.sql("DROP TABLE graft_s69_t")
+      // the maintained view must equal the direct aggregate of the
+      // final table state — CDC maintenance is exact, not approximate
+      val direct = graft.io.TxnTable.read(spark, table)
+        .groupBy($"c_mktsegment".as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum($"c_acctbal".cast(dec)).cast(dec).as("sum_bal"))
+      val mv = graft.io.TxnTable.read(spark, view)
+      require(mv.except(direct).isEmpty && direct.except(mv).isEmpty,
+        "CDC-maintained view diverged from the direct aggregate")
+      val result = mv
+        .select($"seg", $"n".cast("bigint").as("n"),
+          $"sum_bal".cast("double").as("sum_bal"))
+        .orderBy($"seg")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s69Sql =
+    """WITH post AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey BETWEEN 100 AND 500
+      |         THEN c_acctbal + 250.0 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer),
+      |final AS (SELECT * FROM post WHERE NOT (c_custkey % 4 = 1))
+      |SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -1101,5 +1216,6 @@ object StreamingOps {
     RQ("s65_table_to_table_stream", s65, Some(s65Sql)),
     RQ("s66_stream_past_compaction", s66, Some(s66Sql)),
     RQ("s67_stream_partitioned_sink", s67, Some(s67Sql)),
-    RQ("s68_stream_change_feed", s68, Some(s68Sql)))
+    RQ("s68_stream_change_feed", s68, Some(s68Sql)),
+    RQ("s69_cdc_incremental_matview", s69, Some(s69Sql)))
 }
