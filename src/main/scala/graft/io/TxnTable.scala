@@ -2286,6 +2286,19 @@ object TxnTable {
           else {
             val doomed = files.filterNot(referenced.contains)
             doomed.foreach(f => ctx.delete(new Path(s"$table/$f"), false))
+            // orphaned CHANGE files too: a partially-retained dir can
+            // hold `_cdc/` files whose commit was dropped — only
+            // retained manifests' #cdc/#cdcdel lines pin them
+            val cdcDir = new Path(s"$table/$n/_cdc")
+            if (ctx.util.exists(cdcDir)) {
+              val cdcIt = ctx.listStatus(cdcDir)
+              while (cdcIt.hasNext) {
+                val e = cdcIt.next()
+                val rel = s"$n/_cdc/${e.getPath.getName}"
+                if (!e.isDirectory && !referenced.contains(rel))
+                  ctx.delete(e.getPath, false)
+              }
+            }
             if (doomed.nonEmpty) {
               // reap the deleted files' bloom sidecars too (named
               // `<file>.bloom.<col>` — they share the file's lifecycle).

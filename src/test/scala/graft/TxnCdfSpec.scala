@@ -212,7 +212,9 @@ class TxnCdfSpec extends AnyFunSuite {
       def cdcOnDisk(): Long = {
         def walk(f: java.io.File): Long =
           if (f.isDirectory) f.listFiles().map(walk).sum
-          else if (f.getPath.contains("/_cdc/")) 1L else 0L
+          else if (f.getPath.contains("/_cdc/") &&
+            f.getName.endsWith(".parquet")) 1L
+          else 0L
         walk(new java.io.File(table))
       }
       assert(cdcOnDisk() > 0L)
@@ -228,6 +230,9 @@ class TxnCdfSpec extends AnyFunSuite {
           .collect()
       }
       assert(e.getMessage != null) // vacuumed history refuses, not half-reads
+      // on disk: exactly the retained commits' change files survive
+      assert(cdcOnDisk() == TxnTable.commitChanges(spark, table, 4L).cdc.size,
+        "dropped commits' change files must be reclaimed, retained ones kept")
     }
   }
 

@@ -169,7 +169,8 @@ class TxnSinkSpec extends AnyFunSuite {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     withZone { table =>
       val base = Seq.range(0L, 2000L).map(k => (k, k * 2.0)).toDF("k", "v")
-      TxnTable.commitOverwrite(base.coalesce(2), table, statsCols = Seq("k"))
+      TxnTable.commitOverwrite(base.coalesce(2), table, statsCols = Seq("k"),
+        cdf = Some(true)) // the rebase must carry the CDC lines too
       spark.sql(s"CREATE TABLE sink_upd_race USING graft OPTIONS (path '$table')")
       try {
         val before = TxnTable.dataWrites.get()
@@ -213,6 +214,19 @@ class TxnSinkSpec extends AnyFunSuite {
           .count() == 0, "every row in the WHERE range must be updated")
         assert(t.filter(!$"k".between(100, 200) && $"v" =!= $"k" * 2.0)
           .count() == 0, "rows outside the WHERE range must be untouched")
+        // CDC survives the rebase: whichever version the update landed
+        // at, the feed carries its exact pre/post images, and the
+        // racing appends feed as plain inserts
+        val feed = TxnTable.changeFeed(spark, table, sinceVersion = 1L)
+        val byType = feed.groupBy($"_change_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(byType == Map(
+          "insert" -> 300L,
+          "update_preimage" -> 101L, "update_postimage" -> 101L),
+          s"rebased commit must keep its change files, got $byType")
+        assert(feed.filter($"_change_type" === "update_postimage" &&
+          $"v" =!= $"k" * 2.0 + 0.5).count() == 0,
+          "post-images must carry the updated values")
       } finally spark.sql("DROP TABLE sink_upd_race")
     }
   }
