@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_changes"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_changes"),
       graft.plans.GraftTableFunctions.changes _))
+    // maintenance SQL (VACUUM / OPTIMIZE) — statements Spark's grammar
+    // does not know; the delegating parser intercepts exactly those
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    e.injectPlannerStrategy(_ => graft.plans.GraftMaintenanceStrategy)
   }
 }
 

@@ -2182,7 +2182,7 @@ object TxnTable {
     * table bulk. Skipping metadata survives on the packed replacements;
     * same optimistic pinned-CAS commit as merge/deleteRange. */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
-                   targetFiles: Int = 1): Long = {
+                   targetFiles: Int = 1, checkpoint: Boolean = false): Long = {
     val ctx = fc(spark)
     var attempt = 0
     while (attempt < 16) {
@@ -2204,8 +2204,12 @@ object TxnTable {
       val files = carried ++ newFiles
       val removed = small.sorted
       val next = st.version + 1L
+      // `checkpoint` forces a FULL manifest: a compaction is a natural
+      // checkpoint, and the SQL OPTIMIZE spelling uses it so a
+      // follow-up VACUUM can reclaim the packed history instead of
+      // being pinned by a delta chain
       val content =
-        if (next % checkpointInterval(spark) == 0)
+        if (checkpoint || next % checkpointInterval(spark) == 0)
           manifestContent(schema, st.txns,
             (st.stats -- removed) ++ newStats, files,
             (st.blooms -- removed) ++ newBlooms,

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.io.TxnTable
+
+/** Shared catalog resolution: the table path IFF a multipart identifier
+  * names a session-catalog table whose provider is graft. Used by the
+  * time-travel rule and the maintenance-statement parser. */
+private[plans] object GraftCatalog {
+  def pathOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    val catalog = spark.sessionState.catalog
+    if (ident.database.isEmpty && catalog.getTempView(ident.table).isDefined)
+      return None
+    if (!catalog.tableExists(ident)) return None
+    val meta = catalog.getTableMetadata(ident)
+    if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) return None
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(_.getPath))
+  }
+}
+
+/** MAINTENANCE SQL for graft tables — the statements the reference's
+  * shipped Delta 0.7 jar implies (`VACUUM`, and OPTIMIZE as the
+  * small-file compaction every daily-ingest table needs), which Spark's
+  * grammar does not know. A delegating parser (the same seam Delta's
+  * own SqlParser rides) intercepts exactly these two statement shapes
+  * and hands EVERYTHING else — including every other parse entry point
+  * — to Spark's parser:
+  *
+  *   VACUUM '<path>' | table_ident [RETAIN n HOURS] [KEEP n VERSIONS]
+  *   OPTIMIZE '<path>' | table_ident [FILES SMALLER THAN n]
+  *
+  * Both execute eagerly as commands: VACUUM maps to
+  * [[TxnTable.vacuum]] (retention window + kept-version count),
+  * OPTIMIZE to [[TxnTable.compactSmall]] (pack small files; default
+  * threshold 32 MiB). Identifier targets resolve through the session
+  * catalog at execution time; non-graft targets refuse loudly. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(
+      sqlText: String, ctx: ParameterContext): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+}
+
+object GraftSqlParser {
+  // target = 'quoted path' | "quoted path" | (possibly backquoted)
+  // identifier; clauses optional, any whitespace, case-insensitive
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?\b\s*)?(?:KEEP\s+(\d+)\s+VERSIONS?\b\s*)?;?\s*""".r
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
+
+  private[plans] def parseMaintenance(sql: String): Option[LogicalPlan] =
+    sql match {
+      case VacuumStmt(target, hours, keep) =>
+        Some(GraftVacuumCommand(target,
+          Option(hours).map(_.toLong), Option(keep).map(_.toInt)))
+      case OptimizeStmt(target, small) =>
+        Some(GraftOptimizeCommand(target, Option(small).map(_.toLong)))
+      case _ => None
+    }
+
+  /** Quoted target = literal path; identifier target = session-catalog
+    * graft table (resolved at execution, so DROP/CREATE between parse
+    * and run behave as expected). */
+  private[plans] def resolveTarget(spark: SparkSession, raw: String): String = {
+    val t = raw.trim
+    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+      t.substring(1, t.length - 1)
+    else {
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
+      GraftCatalog.pathOf(spark, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"$t is not a graft table — VACUUM/OPTIMIZE apply to graft " +
+            "tables only (use a quoted path for path-addressed tables)"))
+    }
+  }
+}
+
+case class GraftVacuumCommand(target: String, retainHours: Option[Long],
+                              keepVersions: Option[Int])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftOptimizeCommand(target: String, smallBytes: Option[Long])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+object GraftMaintenanceStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftVacuumCommand(target, hours, keep) =>
+      GraftDmlExec(s"VACUUM $target", () => {
+        val spark = SparkSession.active
+        TxnTable.vacuum(spark, GraftSqlParser.resolveTarget(spark, target),
+          keep = keep.getOrElse(0),
+          retainMs = hours.map(_ * 3600L * 1000L).getOrElse(0L))
+      }) :: Nil
+    case GraftOptimizeCommand(target, small) =>
+      GraftDmlExec(s"OPTIMIZE $target", () => {
+        val spark = SparkSession.active
+        // checkpoint = true: the compaction writes a FULL manifest, so
+        // a follow-up VACUUM can reclaim the packed small-file history
+        TxnTable.compactSmall(spark,
+          GraftSqlParser.resolveTarget(spark, target),
+          smallBytes = small.getOrElse(32L << 20), checkpoint = true)
+        ()
+      }) :: Nil
+    case _ => Nil
+  }
+}

@@ -44,23 +44,8 @@ case class GraftTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The table path IFF the identifier names a session-catalog table
     * whose provider is graft (temp views and other providers: None). */
-  private def graftPath(u: UnresolvedRelation): Option[String] = {
-    val ident = u.multipartIdentifier match {
-      case Seq(t) => TableIdentifier(t)
-      case Seq(db, t) => TableIdentifier(t, Some(db))
-      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
-        TableIdentifier(t, Some(db))
-      case _ => return None
-    }
-    val catalog = spark.sessionState.catalog
-    if (ident.database.isEmpty && catalog.getTempView(ident.table).isDefined)
-      return None
-    if (!catalog.tableExists(ident)) return None
-    val meta = catalog.getTableMetadata(ident)
-    if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) return None
-    meta.storage.properties.get("path")
-      .orElse(meta.storage.locationUri.map(_.getPath))
-  }
+  private def graftPath(u: UnresolvedRelation): Option[String] =
+    GraftCatalog.pathOf(spark, u.multipartIdentifier)
 
   /** Reader option for the AS OF clause. `VERSION AS OF n` maps
     * directly; `TIMESTAMP AS OF` accepts a string constant (passed to

@@ -102,6 +102,45 @@ class GraftDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE and VACUUM SQL statements run graft maintenance") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      // 4 small commits -> 4+ small files
+      (0 until 4).foreach { i =>
+        TxnTable.commitAppend(
+          Seq.range(i * 10L, i * 10L + 10L).map(k => (k, k * 1.0)).toDF("k", "v"),
+          table, statsCols = Seq("k"))
+      }
+      val before = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get).size
+      spark.sql(s"OPTIMIZE '$table'")
+      val afterOpt = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get).size
+      assert(afterOpt < before, s"OPTIMIZE must pack small files " +
+        s"($before -> $afterOpt)")
+      assert(TxnTable.read(spark, table).count() == 40L)
+      // VACUUM by catalog identifier, keeping only the compacted tip
+      spark.sql(s"CREATE TABLE ddl_vac USING graft OPTIONS (path '$table')")
+      try spark.sql("VACUUM ddl_vac KEEP 0 VERSIONS")
+      finally spark.sql("DROP TABLE ddl_vac")
+      val vs = TxnTable.versions(spark, table)
+      assert(vs.size <= 2, s"VACUUM must drop reclaimable history, got $vs")
+      assert(TxnTable.read(spark, table).count() == 40L)
+      // RETAIN window: a fresh table vacuumed with a huge window keeps all
+      spark.sql(s"VACUUM '$table' RETAIN 1000 HOURS")
+      assert(TxnTable.read(spark, table).count() == 40L)
+      // non-graft identifier refuses loudly
+      spark.sql("CREATE TABLE ddl_vac_plain (k INT) USING parquet")
+      try {
+        val e = intercept[Exception] { spark.sql("VACUUM ddl_vac_plain") }
+        assert(e.getMessage.contains("not a graft table"))
+      } finally spark.sql("DROP TABLE ddl_vac_plain")
+      // ordinary SQL still parses through the delegate
+      assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
+    }
+  }
+
   test("time transforms in SQL DDL surface the session catalog's refusal") {
     withZone { zone =>
       // V2SessionCatalog itself rejects non-identity transforms in DDL —
