@@ -551,7 +551,7 @@ object TxnTable {
 
   /** Timestamp option parsing shared by snapshot pinning and the change
     * feed: epoch millis, or "yyyy-MM-dd[ HH:mm:ss]" interpreted UTC. */
-  private[io] def parseUtcMillis(raw: String): Long =
+  private[graft] def parseUtcMillis(raw: String): Long =
     raw.trim.toLongOption.getOrElse {
       val t = raw.trim
       val ldt =

@@ -43,12 +43,17 @@ private[plans] object GraftCatalog {
   *
   *   VACUUM '<path>' | table_ident [RETAIN n HOURS] [KEEP n VERSIONS]
   *   OPTIMIZE '<path>' | table_ident [FILES SMALLER THAN n]
+  *   RESTORE [TABLE] <target> TO VERSION AS OF n
+  *   RESTORE [TABLE] <target> TO TIMESTAMP AS OF '<ts>'
+  *   DESCRIBE HISTORY <target>
   *
-  * Both execute eagerly as commands: VACUUM maps to
-  * [[TxnTable.vacuum]] (retention window + kept-version count),
-  * OPTIMIZE to [[TxnTable.compactSmall]] (pack small files; default
-  * threshold 32 MiB). Identifier targets resolve through the session
-  * catalog at execution time; non-graft targets refuse loudly. */
+  * VACUUM maps to [[TxnTable.vacuum]] (retention window + kept-version
+  * count), OPTIMIZE to [[TxnTable.compactSmall]] (pack small files;
+  * default threshold 32 MiB), RESTORE to [[TxnTable.restore]] (a NEW
+  * commit reinstating the old snapshot — history is preserved), and
+  * DESCRIBE HISTORY to the same bounded metadata rows as the
+  * `graft_history` table function. Identifier targets resolve through
+  * the session catalog; non-graft targets refuse loudly. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.parseMaintenance(sqlText)
@@ -79,6 +84,10 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?\b\s*)?(?:KEEP\s+(\d+)\s+VERSIONS?\b\s*)?;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
+  private val RestoreStmt =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
+  private val HistoryStmt =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
 
   private[plans] def parseMaintenance(sql: String): Option[LogicalPlan] =
     sql match {
@@ -87,17 +96,32 @@ object GraftSqlParser {
           Option(hours).map(_.toLong), Option(keep).map(_.toInt)))
       case OptimizeStmt(target, small) =>
         Some(GraftOptimizeCommand(target, Option(small).map(_.toLong)))
+      case RestoreStmt(target, kind, asOf) =>
+        Some(GraftRestoreCommand(target,
+          kind.equalsIgnoreCase("VERSION"), unquote(asOf)))
+      case HistoryStmt(target) =>
+        // metadata-eager, like the graft_history table function it
+        // shares rows with — a handful of bounded manifest reads
+        Some(GraftTableFunctions.history(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            resolveTarget(SparkSession.active, target)))))
       case _ => None
     }
+
+  private def unquote(t0: String): String = {
+    val t = t0.trim
+    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+      t.substring(1, t.length - 1)
+    else t
+  }
 
   /** Quoted target = literal path; identifier target = session-catalog
     * graft table (resolved at execution, so DROP/CREATE between parse
     * and run behave as expected). */
   private[plans] def resolveTarget(spark: SparkSession, raw: String): String = {
     val t = raw.trim
-    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
-        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
-      t.substring(1, t.length - 1)
+    if (t.startsWith("'") || t.startsWith("\"")) unquote(t)
     else {
       val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
       GraftCatalog.pathOf(spark, parts).getOrElse(
@@ -119,6 +143,15 @@ case class GraftOptimizeCommand(target: String, smallBytes: Option[Long])
   override def output: Seq[Attribute] = Nil
 }
 
+/** `byVersion`: asOf is a version number; else a timestamp string in
+  * the reader's `timestampAsOf` grammar (epoch millis or UTC
+  * date/datetime). */
+case class GraftRestoreCommand(target: String, byVersion: Boolean,
+                               asOf: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 object GraftMaintenanceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftVacuumCommand(target, hours, keep) =>
@@ -136,6 +169,18 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         TxnTable.compactSmall(spark,
           GraftSqlParser.resolveTarget(spark, target),
           smallBytes = small.getOrElse(32L << 20), checkpoint = true)
+        ()
+      }) :: Nil
+    case GraftRestoreCommand(target, byVersion, asOf) =>
+      GraftDmlExec(s"RESTORE $target", () => {
+        val spark = SparkSession.active
+        val table = GraftSqlParser.resolveTarget(spark, target)
+        val v =
+          if (byVersion) asOf.toLong
+          else TxnTable.versionAt(spark, table, TxnTable.parseUtcMillis(asOf))
+            .getOrElse(throw new IllegalStateException(
+              s"$table has no version committed at or before $asOf"))
+        TxnTable.restore(spark, table, v)
         ()
       }) :: Nil
     case _ => Nil

@@ -141,6 +141,43 @@ class GraftDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("RESTORE and DESCRIBE HISTORY SQL statements") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitAppend(Seq((1L, "a")).toDF("k", "v"), table,
+        statsCols = Seq("k"))
+      TxnTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), table,
+        statsCols = Seq("k"))
+      TxnTable.commitAppend(Seq((3L, "c")).toDF("k", "v"), table,
+        statsCols = Seq("k"))
+      // DESCRIBE HISTORY: one row per commit, newest first
+      val hist = spark.sql(s"DESCRIBE HISTORY '$table'").collect()
+      assert(hist.length == 3)
+      assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+      assert(hist.forall(_.getString(2) == "append"))
+      // RESTORE TO VERSION AS OF: new commit, old snapshot content
+      spark.sql(s"RESTORE TABLE '$table' TO VERSION AS OF 1")
+      assert(TxnTable.read(spark, table).as[(Long, String)].collect()
+        .toSet == Set((1L, "a")))
+      assert(TxnTable.latestVersion(spark, table).get == 4L)
+      // history is preserved: travel forward to v3 still works
+      assert(spark.read.format("graft").option("versionAsOf", 3)
+        .load(table).count() == 3L)
+      // RESTORE by catalog identifier + TIMESTAMP AS OF (far future =
+      // latest committed version, i.e. the v4 restore point itself)
+      spark.sql(s"CREATE TABLE ddl_restore USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("RESTORE ddl_restore TO TIMESTAMP AS OF '2999-01-01'")
+        assert(TxnTable.read(spark, table).count() == 1L)
+        val e = intercept[Exception] {
+          spark.sql("RESTORE nope_not_here TO VERSION AS OF 1")
+        }
+        assert(e.getMessage.contains("not a graft table"))
+      } finally spark.sql("DROP TABLE ddl_restore")
+    }
+  }
+
   test("time transforms in SQL DDL surface the session catalog's refusal") {
     withZone { zone =>
       // V2SessionCatalog itself rejects non-identity transforms in DDL —
