@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rules only exist on the config path — `install` on a live session
     // cannot add them, so DML needs spark.sql.extensions at build time.
     e.injectResolutionRule(_ => graft.plans.GraftDmlRewrite)
+    // merge-on-read deletes: rewrite reads of delete-bearing snapshots
+    // into anti-joined plans (after GraftDmlRewrite in the batch — DML
+    // targets are shielded inside the rule as well)
+    e.injectResolutionRule(s => graft.plans.GraftApplyDeletes(s))
     // SQL `VERSION AS OF` / `TIMESTAMP AS OF`: must run BEFORE the
     // Resolution batch (ResolveRelations refuses time travel on
     // session-catalog tables), so it rides the Hints batch.

@@ -2039,6 +2039,114 @@ object FormatOps {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM changes GROUP BY _change_type ORDER BY _change_type""".stripMargin
 
+  /** MERGE-ON-READ DELETE, oracle-gated end to end: on a `mergeOnRead`
+    * table a SQL DELETE commits a small equality-delete tuple file —
+    * the plan REQUIREs the snapshot's data files are byte-identical
+    * afterwards — and every subsequent read subtracts the tuples via a
+    * broadcast anti-join (graft.plans.GraftApplyDeletes). The
+    * deletion-vector shape of Delta / Iceberg v2 equality deletes: a
+    * point delete on a 100 TB table writes kilobytes and rewrites
+    * nothing. */
+  private def k116(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k116_mor")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .repartitionByRange(8, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.morState(spark, table, v1).files.toSet
+      spark.sql(s"CREATE TABLE graft_k116_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("DELETE FROM graft_k116_t WHERE c_mktsegment = 'BUILDING'")
+        spark.sql("DELETE FROM graft_k116_t WHERE c_custkey = 1")
+        val v3 = TxnTable.latestVersion(spark, table).get
+        val st = TxnTable.morState(spark, table, v3)
+        require(st.files.toSet == before,
+          "merge-on-read DELETE must leave every data file untouched")
+        require(st.dels.size == 2,
+          s"expected two live equality-delete files, got ${st.dels.size}")
+        val result = spark.sql(
+          """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k116_t
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k116_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k116Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE c_mktsegment <> 'BUILDING' AND c_custkey <> 1
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** OPTIMIZE materializes merge-on-read deletes: after the SQL
+    * OPTIMIZE statement packs the table, the delete entries are gone
+    * from the log (REQUIREd), the tuples' rows are physically absent
+    * from the rewritten files, and the same aggregate still matches the
+    * oracle — the read-time anti-join and the materialized layout are
+    * observationally identical. */
+  private def k117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k117_opt")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .repartitionByRange(8, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      spark.sql(s"CREATE TABLE graft_k117_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("DELETE FROM graft_k117_t WHERE c_acctbal < 0")
+        require(TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get).dels.nonEmpty,
+          "the DELETE must have committed an equality-delete file")
+        spark.sql(s"OPTIMIZE '$table'")
+        val st = TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get)
+        require(st.dels.isEmpty,
+          "OPTIMIZE must materialize and drop the delete entries")
+        // raw file contents now equal the logical table: read the
+        // packed parquet directly, bypassing the delete-applying rule
+        val raw = spark.read.format("graft").option("ignoreDeletes", "true")
+          .load(table)
+        require(raw.filter($"c_acctbal" < 0).count() == 0L,
+          "materialized files must not contain the deleted rows")
+        val result = spark.sql(
+          """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k117_t""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k117_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k117Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM customer WHERE c_acctbal >= 0""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2079,5 +2187,7 @@ object FormatOps {
     RQ("k112_sql_time_travel", k112, Some(k112Sql)),
     RQ("k113_sql_merge_evolve", k113, Some(k113Sql)),
     RQ("k114_days_partitioning", k114, Some(k114Sql)),
-    RQ("k115_sql_change_feed", k115, Some(k115Sql)))
+    RQ("k115_sql_change_feed", k115, Some(k115Sql)),
+    RQ("k116_mor_delete", k116, Some(k116Sql)),
+    RQ("k117_mor_optimize", k117, Some(k117Sql)))
 }

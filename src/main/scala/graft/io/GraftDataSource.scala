@@ -242,8 +242,24 @@ private[graft] class GraftTable(table: String, version: Long,
       case _ => None
     }
   }
+  /** This handle's pinned snapshot version (what the delete-applying
+    * read rewrite re-pins its sub-scans to). */
+  private[graft] def pinnedVersion: Long = version
+
+  /** Live merge-on-read delete metadata of the pinned snapshot — what
+    * graft.plans.GraftApplyDeletes decides and plans the read-time
+    * subtraction from. Resolved once per handle. */
+  private[graft] lazy val morMeta: TxnTable.MorState =
+    if (version == 0L) TxnTable.MorState(Nil, Map.empty, Nil)
+    else TxnTable.morState(SparkSession.active, table, version)
+
+  // with live equality deletes the metadata delete path is off: a
+  // whole-file drop is still content-correct, but its lazy #cdcdel
+  // change records would re-report rows the deletes already removed.
+  // The SQL DELETE lowering routes merge-on-read tables before this
+  // is consulted; the guard protects direct DSv2 users.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    deletePlan(filters).isDefined
+    deletePlan(filters).isDefined && morMeta.dels.isEmpty
   override def deleteWhere(filters: Array[Filter]): Unit =
     deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
       s"DELETE shape not expressible as a point or closed-range delete: " +
@@ -360,13 +376,17 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         // feed on (sticky, like partitioning); absent, the table's
         // recorded flag carries forward
         val cdf = Option(info.options.get("enableChangeFeed")).map(_.toBoolean)
+        // `.option("mergeOnRead", "true")` turns merge-on-read DELETE
+        // on (sticky, like CDF): SQL DELETE then commits equality-
+        // delete files instead of rewriting data files
+        val mor = Option(info.options.get("mergeOnRead")).map(_.toBoolean)
         (overwrite, txn) match {
           case (false, None) =>
             TxnTable.commitAppend(aligned, table, statsCols, bloomCols,
-              partitionCols, cdf)
+              partitionCols, cdf, mor)
           case (true, None) =>
             TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols,
-              partitionCols, cdf)
+              partitionCols, cdf, mor)
           case (false, Some((a, v))) =>
             TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols,
               bloomCols, partitionCols, cdf)
@@ -408,7 +428,7 @@ private[io] class GraftScanBuilder(
     * universe both build() and the metadata-only aggregate planner
     * work over. */
   private lazy val statsChosen: Seq[String] =
-    meta.files.filter(f => pushed.forall(pruner.mayMatch(f, _)))
+    universe.filter(f => pushed.forall(pruner.mayMatch(f, _)))
 
   /** EXACT FILTER HANDLING: a pushed filter that every surviving file
     * PROVABLY fully-matches (StatsPruner.mustMatch) needs no row-level
@@ -457,7 +477,24 @@ private[io] class GraftScanBuilder(
   private lazy val meta =
     if (version == 0L) TxnTable.SnapshotMeta(Nil, Map.empty, Map.empty)
     else TxnTable.snapshotMeta(spark, table, version)
-  private def aggState = (meta.files, meta.stats, meta.rows)
+
+  // `filesSubset` (internal): the delete-applying read rewrite
+  // (graft.plans.GraftApplyDeletes) splits a snapshot into gate groups
+  // and re-reads each through its own relation restricted to that
+  // group's files. ALL planning — stats pruning, bloom probes, and
+  // metadata-only aggregates — works over this universe, so a
+  // metadata COUNT pushed into a subset relation counts the subset.
+  private lazy val universe: Seq[String] =
+    Option(options.get("filesSubset")) match {
+      case Some(list) =>
+        val sub = list.split(",").toSeq.filter(_.nonEmpty)
+        val known = meta.files.toSet
+        sub.foreach(f => require(known(f),
+          s"filesSubset names a file not in snapshot v$version: $f"))
+        sub
+      case None => meta.files
+    }
+  private def aggState = (universe, meta.stats, meta.rows)
 
   private var plannedAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 

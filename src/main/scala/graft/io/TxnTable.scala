@@ -116,6 +116,29 @@ object TxnTable {
   // (a fully-covered file dropped without being read) metadata-only
   // even with CDF enabled. Commit-scoped.
   private val CdcDelPrefix = "#cdcdel="
+  // MERGE-ON-READ mode (`#mor=true` header): STICKY table flag (like
+  // #cdf) — while on, SQL DELETE writes an equality-delete file (the
+  // matched rows' distinct key tuples) instead of rewriting data files,
+  // and readers subtract those tuples at query time. The deletion-
+  // vector idea of Delta / Iceberg v2, in the equality-delete flavor:
+  // a point delete on a 100 TB table writes kilobytes.
+  private val MorPrefix = "#mor="
+  // Equality-delete files (`#del=<file>|<gateVersion>|<rows>|<keycols>`
+  // lines): SNAPSHOT STATE, carried forward like data-file lines until
+  // a compaction/overwrite materializes them. The tuples file lives
+  // under its commit's data dir (`w=.../_del/...`, invisible to data
+  // reads). `gateVersion` pins the delete to its read snapshot: the
+  // tuples subtract ONLY from files added at earlier versions, so a
+  // row re-inserted after the delete survives (Iceberg's sequence-
+  // number rule for equality deletes).
+  private val DelPrefix = "#del="
+  // Per-file ADD VERSIONS (`#addv=<file>|<version>` lines) back the
+  // gate above. Only FULL (checkpoint) manifests write them — a delta
+  // manifest's added files carry their own version implicitly (the
+  // delta IS that version), so appends stay O(new files). A file with
+  // no recorded add version predates merge-on-read entirely and reads
+  // as version 0: older than every possible delete, which is exact.
+  private val AddvPrefix = "#addv="
   /** The `_change_type` values the change feed emits (Delta-parity). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -628,6 +651,15 @@ object TxnTable {
     * `graft.txn.bloomBits` change never misreads an old sidecar. */
   final case class BloomMeta(col: String, bits: Int, hashes: Int)
 
+  /** One committed equality-delete file: `file` holds the DISTINCT
+    * `keyCols` tuples of the rows a merge-on-read DELETE removed;
+    * readers subtract them (null-safe anti-join) from every data file
+    * whose add version is strictly below `version` — files added later
+    * are exempt, so re-inserted rows survive. `rows` = tuple count
+    * (informational). */
+  final case class DelMeta(file: String, version: Long,
+                           keyCols: Seq[String], rows: Long)
+
   /** Column types a bloom can cover: exact-equality types whose query
     * constants coerce unambiguously to the column's declared type (the
     * hash is type-sensitive — an Int and a Long with the same value
@@ -662,7 +694,10 @@ object TxnTable {
       blooms: Map[String, Seq[BloomMeta]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
       partCols: Seq[String] = Nil,
-      cdf: Boolean = false) {
+      cdf: Boolean = false,
+      mor: Boolean = false,
+      dels: Seq[DelMeta] = Nil,
+      addv: Map[String, Long] = Map.empty) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
@@ -766,7 +801,12 @@ object TxnTable {
     var stats = parseStats(baseHeaders)
     var blooms = parseBlooms(baseHeaders)
     var rows = baseParsed.collect { case (f, Some(n)) => f -> n }.toMap
+    var dels = parseDels(baseHeaders)
+    var addv = parseAddv(baseHeaders)
     var headOf = baseHeaders
+    // a delta's added files were added AT the delta's own version —
+    // recorded implicitly by chain position, never as #addv lines
+    var deltaV = cur + 1L
     for (delta <- chain) {
       val (dh, df) = delta.partition(_.startsWith("#"))
       val removed = df.filter(_.startsWith(RemovePrefix))
@@ -777,10 +817,13 @@ object TxnTable {
       stats = (stats -- removed) ++ parseStats(dh)
       blooms = (blooms -- removed) ++ parseBlooms(dh)
       rows = (rows -- removed) ++ added.collect { case (f, Some(n)) => f -> n }
+      dels = dels ++ parseDels(dh)
+      addv = (addv -- removed) ++ added.map(_._1 -> deltaV).toMap
       headOf = dh
+      deltaV += 1L
     }
     State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows,
-      parsePartCols(headOf), parseCdf(headOf))
+      parsePartCols(headOf), parseCdf(headOf), parseMor(headOf), dels, addv)
   }
 
   private def parsePartCols(headers: Seq[String]): Seq[String] =
@@ -791,6 +834,34 @@ object TxnTable {
   private def parseCdf(headers: Seq[String]): Boolean =
     headers.exists(l => l.startsWith(CdfPrefix) &&
       l.stripPrefix(CdfPrefix).trim == "true")
+
+  private def parseMor(headers: Seq[String]): Boolean =
+    headers.exists(l => l.startsWith(MorPrefix) &&
+      l.stripPrefix(MorPrefix).trim == "true")
+
+  private def delLine(d: DelMeta): String =
+    s"$DelPrefix${d.file}$StatSep${d.version}$StatSep${d.rows}$StatSep" +
+      d.keyCols.map(enc).mkString(",")
+
+  private def parseDels(headers: Seq[String]): Seq[DelMeta] =
+    headers.filter(_.startsWith(DelPrefix)).map { l =>
+      val p = l.stripPrefix(DelPrefix)
+        .split(java.util.regex.Pattern.quote(StatSep))
+      DelMeta(p(0), p(1).toLong,
+        p(3).split(",").toSeq.filter(_.nonEmpty).map(dec), p(2).toLong)
+    }
+
+  private def addvLines(addv: Map[String, Long],
+                        filesSet: Set[String]): Seq[String] =
+    addv.toSeq.filter(kv => filesSet(kv._1) && kv._2 > 0L).sortBy(_._1)
+      .map { case (f, v) => s"$AddvPrefix$f$StatSep$v" }
+
+  private def parseAddv(headers: Seq[String]): Map[String, Long] =
+    headers.filter(_.startsWith(AddvPrefix)).map { l =>
+      val body = l.stripPrefix(AddvPrefix)
+      val i = body.lastIndexOf(StatSep)
+      body.take(i) -> body.drop(i + 1).toLong
+    }.toMap
 
   /** Is the change data feed enabled on the latest snapshot? */
   def changeFeedEnabled(spark: SparkSession, table: String): Boolean =
@@ -988,12 +1059,18 @@ object TxnTable {
       op: String = "append",
       cdf: Boolean = false,
       cdcAdd: Seq[String] = Nil,
-      cdcDel: Seq[String] = Nil): String = {
+      cdcDel: Seq[String] = Nil,
+      mor: Boolean = false,
+      dels: Seq[DelMeta] = Nil,
+      addv: Map[String, Long] = Map.empty): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
       s"$OpPrefix$op") ++
       (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
+      (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
+      dels.map(delLine) ++
+      addvLines(addv, filesSet) ++
       cdcAdd.map(CdcPrefix + _) ++
       cdcDel.map(CdcDelPrefix + _) ++
       partColsLine(partCols) ++
@@ -1022,11 +1099,15 @@ object TxnTable {
       op: String = "append",
       cdf: Boolean = false,
       cdcAdd: Seq[String] = Nil,
-      cdcDel: Seq[String] = Nil): String =
+      cdcDel: Seq[String] = Nil,
+      mor: Boolean = false,
+      newDels: Seq[DelMeta] = Nil): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
       s"$OpPrefix$op") ++
       (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
+      (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
+      newDels.map(delLine) ++
       cdcAdd.map(CdcPrefix + _) ++
       cdcDel.map(CdcDelPrefix + _) ++
       partColsLine(partCols) ++
@@ -1063,7 +1144,8 @@ object TxnTable {
                      bloomCols: Seq[String] = Nil,
                      partitionCols: Seq[String] = Nil,
                      cdf: Option[Boolean] = None,
-                     opLabel: Option[String] = None): Long = {
+                     opLabel: Option[String] = None,
+                     mor: Option[Boolean] = None): Long = {
     val op = opLabel.getOrElse(if (append) "append" else "overwrite")
     val spark = df.sparkSession
     val ctx = fc(spark)
@@ -1125,16 +1207,31 @@ object TxnTable {
       // interval-th version, which rolls the chain up into a checkpoint
       val writeFull = !append || state.isEmpty ||
         next % checkpointInterval(spark) == 0
-      // CDF enablement is STICKY: an explicit request turns it on (or
-      // off); otherwise the prior snapshot's flag carries forward
+      // CDF and merge-on-read enablement are STICKY: an explicit
+      // request turns them on (or off); otherwise the prior snapshot's
+      // flags carry forward
       val cdfOn = cdf.getOrElse(state.exists(_.cdf))
+      val morOn = mor.getOrElse(state.exists(_.mor))
+      // equality-delete files survive an APPEND untouched (the new
+      // files' add versions exempt them from every live delete); an
+      // OVERWRITE replaces table content wholesale, so they drop
+      val dels = if (append) state.map(_.dels).getOrElse(Nil) else Nil
+      val addvAll =
+        (if (append) state.map(_.addv).getOrElse(Map.empty[String, Long])
+         else Map.empty[String, Long]) ++ newFiles.map(_ -> next).toMap
+      // checkpoints prune delete entries whose gate no surviving file
+      // is under — once every pre-delete file is rewritten or dropped,
+      // the delete is fully materialized and leaves the log
+      def liveDels =
+        dels.filter(d => files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
       val content =
         if (writeFull)
           manifestContent(schema, txns, stats, files, blooms, rows, partCols,
-            op = op, cdf = cdfOn)
+            op = op, cdf = cdfOn, mor = morOn, dels = liveDels, addv = addvAll)
         else deltaContent(schema, txns, newStats, removed = Nil,
           added = newFiles, base = state.get.version, newBlooms = newBlooms,
-          newRows = newRows, partCols = partCols, op = op, cdf = cdfOn)
+          newRows = newRows, partCols = partCols, op = op, cdf = cdfOn,
+          mor = morOn)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1156,9 +1253,11 @@ object TxnTable {
                       statsCols: Seq[String] = Nil,
                       bloomCols: Seq[String] = Nil,
                       partitionCols: Seq[String] = Nil,
-                      cdf: Option[Boolean] = None): Long =
+                      cdf: Option[Boolean] = None,
+                      mor: Option[Boolean] = None): Long =
     commit(df, table, append = false, txn = None, statsCols = statsCols,
-      bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf)
+      bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf,
+      mor = mor)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
@@ -1169,9 +1268,11 @@ object TxnTable {
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
                    partitionCols: Seq[String] = Nil,
-                   cdf: Option[Boolean] = None): Long =
+                   cdf: Option[Boolean] = None,
+                   mor: Option[Boolean] = None): Long =
     commit(df, table, append = true, txn = None, statsCols = statsCols,
-      bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf)
+      bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf,
+      mor = mor)
 
   /** Overwrite exactly-once per (appId, batchId): the marker commits
     * ATOMICALLY with the replacement snapshot, so a consumer that
@@ -1306,6 +1407,10 @@ object TxnTable {
     while (attempt < 16) {
       val st = latestState(spark, table).getOrElse(
         throw new IllegalStateException(s"no committed version in $table"))
+      require(st.dels.isEmpty,
+        s"$table carries merge-on-read delete files; materialize them " +
+          "first (compact / SQL OPTIMIZE) or delete through SQL DELETE, " +
+          "which composes with them")
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
       val dt = schema(column).dataType
@@ -1548,17 +1653,30 @@ object TxnTable {
     while (tries < 32) {
       val files = base.files.filterNot(removedSet) ++ newFiles
       val next = base.version + 1L
+      // equality-delete entries survive a rewrite: untouched files keep
+      // their gate, the REPLACEMENT files' add version (`next`) exempts
+      // them — the rewrite read its rows through the delete-applying
+      // path, so their deletions are materialized
       val content =
         if (next % checkpointInterval(spark) == 0)
-          manifestContent(schema, txns(base),
-            (base.stats -- removedFiles) ++ newStats, files,
-            (base.blooms -- removedFiles) ++ newBlooms,
-            (base.rows -- removedFiles) ++ newRows, base.partCols,
-            op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel)
+          {
+            val addvAll =
+              (base.addv -- removedFiles) ++ newFiles.map(_ -> next).toMap
+            manifestContent(schema, txns(base),
+              (base.stats -- removedFiles) ++ newStats, files,
+              (base.blooms -- removedFiles) ++ newBlooms,
+              (base.rows -- removedFiles) ++ newRows, base.partCols,
+              op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel,
+              mor = base.mor,
+              dels = base.dels.filter(d =>
+                files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
+              addv = addvAll)
+          }
         else deltaContent(schema, txns(base), newStats,
           removed = removedFiles, added = newFiles, base = base.version,
           newBlooms = newBlooms, newRows = newRows, partCols = base.partCols,
-          op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel)
+          op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel,
+          mor = base.mor)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return Some(next)
@@ -1667,6 +1785,186 @@ object TxnTable {
       s"rewrite of $table lost the snapshot race 16 times")
   }
 
+  /** Is merge-on-read DELETE active on the latest snapshot? (Sticky
+    * `#mor=true` flag — write option `mergeOnRead=true` sets it, any
+    * `deleteWhereMoR` commit turns it on.) */
+  def morEnabled(spark: SparkSession, table: String): Boolean =
+    latestState(spark, table).exists(_.mor)
+
+  /** The merge-on-read metadata the read-path rewrite rule plans from:
+    * live equality-delete files, per-file add versions, and the
+    * snapshot's data files. */
+  final case class MorState(dels: Seq[DelMeta], addv: Map[String, Long],
+                            files: Seq[String])
+  private[graft] def morState(spark: SparkSession, table: String,
+                              version: Long): MorState = {
+    val st = stateOf(spark, table, version)
+    MorState(st.dels, st.addv, st.files)
+  }
+
+  /** MERGE-ON-READ DELETE — the deletion-vector answer for point/
+    * selective deletes at 100 TB: instead of rewriting every touched
+    * data file (copy-on-write), commit ONE small parquet file holding
+    * the matched rows' DISTINCT `keyCols` tuples; readers subtract
+    * them with a broadcast null-safe anti-join. Data I/O is one
+    * stats/bloom-pruned scan of the matching files (to enumerate the
+    * tuples — and, with CDF on, to record the deleted rows), data
+    * WRITE I/O is the tuple file: kilobytes for a point delete,
+    * independent of the table's bulk. `compact`/OPTIMIZE materializes
+    * live deletes and drops the read-time work.
+    *
+    * Exactness: `cond` must be a DETERMINISTIC function of `keyCols`
+    * only (the SQL DELETE lowering derives keyCols from the WHERE's
+    * column references, so this holds by construction). Then a row's
+    * tuple is in the delete set iff the row matches the predicate —
+    * the anti-join removes exactly the matched rows. Rows appended
+    * AFTER this delete's snapshot are exempt via the version gate even
+    * when their tuples match — snapshot-isolation semantics, same as a
+    * copy-on-write delete racing an append.
+    *
+    * CAS losses against interleaved APPENDS or other merge-on-read
+    * deletes REBASE (the gate/composition make them commutative);
+    * interleaved rewrites recompute. */
+  def deleteWhereMoR(spark: SparkSession, table: String,
+                     keyCols: Seq[String],
+                     cond: DataFrame => org.apache.spark.sql.Column): Long = {
+    require(keyCols.nonEmpty, "merge-on-read delete needs at least one key column")
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"merge-on-read delete key '$k' is not a column of $table"))
+      // pinned graft read: stats/bloom skipping prunes the scan to the
+      // predicate's files, and LIVE deletes are already applied — a
+      // tuple deleted twice is harmless, but CDF must not re-record it
+      val snap = spark.read.format("graft")
+        .option("versionAsOf", st.version.toString).load(table)
+      val matched = snap.filter(cond(snap))
+      val tuples = matched
+        .select(keyCols.map(k => col(s"`$k`")): _*).distinct().coalesce(1)
+      val dataDir =
+        s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+      tuples.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir/_del")
+      val delFiles = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = ctx.listStatus(new Path(s"$table/$dataDir/_del"))
+        while (it.hasNext) {
+          val s = it.next()
+          if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+            buf += s"$dataDir/_del/${s.getPath.getName}"
+        }
+        buf.sorted.toSeq
+      }
+      val n = delFiles.map(f =>
+        spark.read.parquet(s"$table/$f").count()).sum
+      if (n == 0L) { // nothing matched: provable no-op
+        ctx.delete(new Path(s"$table/$dataDir"), true)
+        return st.version
+      }
+      val cdcAdd =
+        if (st.cdf)
+          writeChangeData(
+            matched.withColumn(ChangeTypeCol, lit("delete")), table, dataDir)
+        else Nil
+      // the gate pins the delete to its READ snapshot: it subtracts
+      // only from files whose add version is below st.version + 1,
+      // i.e. exactly the files it was computed against
+      val gate = st.version + 1L
+      val dels = delFiles.map(f => DelMeta(f, gate, keyCols, n))
+      var base = st
+      var tries = 0
+      var rebasing = true
+      while (rebasing && tries < 32) {
+        val next = base.version + 1L
+        val content =
+          if (next % checkpointInterval(spark) == 0)
+            manifestContent(schema, base.txns, base.stats, base.files,
+              base.blooms, base.rows, base.partCols, op = "delete",
+              cdf = base.cdf, cdcAdd = cdcAdd,
+              mor = true, dels = base.dels ++ dels, addv = base.addv)
+          else deltaContent(schema, base.txns,
+            Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
+            base = base.version, partCols = base.partCols, op = "delete",
+            cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels)
+        if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+          writePointer(ctx, table, next)
+          return next
+        }
+        tries += 1
+        backoff(tries)
+        val fresh = latestState(spark, table).getOrElse(
+          throw new IllegalStateException(s"$table lost its manifests mid-commit"))
+        // interleaved appends: exempt via the gate; interleaved MoR
+        // deletes: both tuple sets apply. Removed files or a schema
+        // change invalidate the computed tuples — recompute.
+        rebasing = st.files.forall(fresh.files.contains) &&
+          fresh.schema.map(_.json) == st.schema.map(_.json) &&
+          st.dels.forall(fresh.dels.contains)
+        if (rebasing) base = fresh
+      }
+      ctx.delete(new Path(s"$table/$dataDir"), true)
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"merge-on-read delete of $table lost the snapshot race 16 times")
+  }
+
+  /** `st`'s rows from `files` with every applicable equality delete
+    * subtracted: files are grouped by their applicable delete set (one
+    * group per distinct gate combination — at most #deletes + 1), each
+    * group anti-joins its deletes null-safely on the delete's key
+    * columns. The delete side is a handful of small parquet files —
+    * Catalyst broadcasts it, so the subtraction adds no shuffle. */
+  private def delAppliedRead(spark: SparkSession, table: String, st: State,
+                             files: Seq[String]): DataFrame = {
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"$table predates the schema log — cannot apply deletes"))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    def applicable(f: String): Seq[DelMeta] =
+      st.dels.filter(_.version > st.addv.getOrElse(f, 0L))
+    val groups = files.groupBy(applicable).toSeq.sortBy(_._2.head)
+    groups.map { case (dels, fs) =>
+      var df = spark.read.schema(schema).parquet(fs.map(f => s"$table/$f"): _*)
+      dels.foreach { d =>
+        val keySchema = org.apache.spark.sql.types.StructType(
+          d.keyCols.map(k => schema(k)))
+        val dd = spark.read.schema(keySchema).parquet(s"$table/${d.file}")
+        val on = d.keyCols.map(k => df(s"`$k`") <=> dd(s"`$k`")).reduce(_ && _)
+        df = df.join(dd, on, "left_anti")
+      }
+      df
+    }.reduce(_ unionByName _)
+  }
+
+  /** Rows of snapshot `version` restricted to `files` (absolute URIs or
+    * table-relative — matched by basename), with live equality deletes
+    * applied — what a copy-on-write rewrite's phase 2 must read so it
+    * never resurrects merge-on-read-deleted rows into its replacement
+    * files. */
+  private[graft] def readSnapshotFiles(spark: SparkSession, table: String,
+                                       version: Long,
+                                       files: Seq[String]): DataFrame = {
+    val st = stateOf(spark, table, version)
+    val byBase =
+      st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val rel = files.map { r =>
+      val base = r.substring(r.lastIndexOf('/') + 1)
+      byBase.getOrElse(base, throw new IllegalStateException(
+        s"file not in snapshot v$version of $table: $r"))
+    }.distinct.sorted
+    if (st.dels.isEmpty)
+      spark.read.schema(st.schema.getOrElse(throw new IllegalStateException(
+        s"$table predates the schema log"))).parquet(rel.map(f => s"$table/$f"): _*)
+    else delAppliedRead(spark, table, st, rel)
+  }
+
   /** RANGE DELETE: remove every row with the stats column in [lo, hi] —
     * the GDPR / retention primitive. Three file classes, decided from
     * manifest stats alone:
@@ -1695,6 +1993,10 @@ object TxnTable {
     while (attempt < 16) {
       val st = latestState(spark, table).getOrElse(
         throw new IllegalStateException(s"no committed version in $table"))
+      require(st.dels.isEmpty,
+        s"$table carries merge-on-read delete files; materialize them " +
+          "first (compact / SQL OPTIMIZE) or delete through SQL DELETE, " +
+          "which composes with them")
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
       val dt = schema(column).dataType
@@ -1770,10 +2072,14 @@ object TxnTable {
     * footer round-trips at planning, and files written before a column
     * was added surface it as NULL (log-driven schema evolution). */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val files = snapshotFiles(spark, table, version).map(f => s"$table/$f")
-    snapshotSchema(spark, table, version) match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.parquet(files: _*) // pre-schema-log manifest
+    val st = stateOf(spark, table, version)
+    if (st.dels.nonEmpty) delAppliedRead(spark, table, st, st.files)
+    else {
+      val files = st.files.map(f => s"$table/$f")
+      st.schema match {
+        case Some(s) => spark.read.schema(s).parquet(files: _*)
+        case None => spark.read.parquet(files: _*) // pre-schema-log manifest
+      }
     }
   }
 
@@ -1839,16 +2145,25 @@ object TxnTable {
                                since: Long, until: Long,
                                skipChangeCommits: Boolean = false): Seq[String] = {
     if (!skipChangeCommits) {
-      val sinceFiles =
-        if (since == 0) Set.empty[String]
-        else snapshotFiles(spark, table, since).toSet
-      val untilFiles = snapshotFiles(spark, table, until)
-      require(sinceFiles.subsetOf(untilFiles.toSet),
+      val sinceSt = if (since == 0) None else Some(stateOf(spark, table, since))
+      val untilSt = stateOf(spark, table, until)
+      val sinceFiles = sinceSt.map(_.files.toSet).getOrElse(Set.empty[String])
+      require(sinceFiles.subsetOf(untilSt.files.toSet),
         s"history $since -> $until is not append-only (files were " +
           "removed by an overwrite/compact); incremental read would be " +
           "wrong. Set skipChangeCommits=true on the stream reader to " +
           "skip rewrite commits instead of failing")
-      untilFiles.filterNot(sinceFiles)
+      // a merge-on-read delete removes rows WITHOUT removing files —
+      // a file-set diff would silently misreport the range as pure
+      // addition, so it must fail as loudly as a rewrite does
+      require(untilSt.dels.toSet ==
+          sinceSt.map(_.dels.toSet).getOrElse(Set.empty[TxnTable.DelMeta]),
+        s"history $since -> $until contains merge-on-read deletes; an " +
+          "append-only incremental read would deliver deleted rows. " +
+          "Materialize them (compact / SQL OPTIMIZE) before streaming, " +
+          "read the change data feed instead, or set " +
+          "skipChangeCommits=true to skip delete commits")
+      untilSt.files.filterNot(sinceFiles)
     } else {
       val included = Vector.newBuilder[String]
       var v = math.max(since, 0L) + 1L
@@ -1967,9 +2282,12 @@ object TxnTable {
         // lazily from the file diff (TRUNCATE is the added-empty case)
         CommitChanges(v, "overwrite", added, removed, Nil)
       case Some(o @ ("update" | "delete" | "merge")) =>
+        // a merge-on-read delete removes rows without removing files:
+        // its #del line marks it a change commit even with no -/+ lines
+        val delAdded = headers.exists(_.startsWith(DelPrefix))
         if (cdfOn || cdc.nonEmpty || cdcDel.nonEmpty)
           CommitChanges(v, o, Nil, cdcDel, cdc)
-        else if (removed.isEmpty)
+        else if (removed.isEmpty && !delAdded)
           CommitChanges(v, o, added, Nil, Nil) // pure-insert rewrite op
         else throw new IllegalStateException(
           s"$table v$v ($o) recorded no change data — the table did not " +
@@ -2143,7 +2461,9 @@ object TxnTable {
       val content =
         manifestContent(schema, st.txns, target.stats, target.files,
           target.blooms, target.rows, target.partCols,
-          op = "restore", cdf = st.cdf)
+          op = "restore", cdf = st.cdf,
+          mor = st.mor || target.dels.nonEmpty,
+          dels = target.dels, addv = target.addv)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -2196,8 +2516,13 @@ object TxnTable {
       val carried = st.files.filterNot(small.toSet)
       val trackedCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
-      val packed = spark.read.schema(schema)
-        .parquet(small.map(f => s"$table/$f"): _*)
+      // live equality deletes materialize INTO the packed replacements
+      // (they are new files, exempt from every gate); the delete
+      // entries stay — they still apply to the carried files
+      val packed =
+        (if (st.dels.isEmpty)
+           spark.read.schema(schema).parquet(small.map(f => s"$table/$f"): _*)
+         else delAppliedRead(spark, table, st, small))
         .coalesce(targetFiles)
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
         writeData(packed, table, trackedCols, trackedBlooms, st.partCols)
@@ -2214,11 +2539,17 @@ object TxnTable {
             (st.stats -- removed) ++ newStats, files,
             (st.blooms -- removed) ++ newBlooms,
             (st.rows -- removed) ++ newRows, st.partCols,
-            op = "compact", cdf = st.cdf)
+            op = "compact", cdf = st.cdf, mor = st.mor,
+            dels = {
+              val addvAll = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap
+              st.dels.filter(d =>
+                files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
+            },
+            addv = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap)
         else deltaContent(schema, st.txns, newStats,
           removed = removed, added = newFiles, base = st.version,
           newBlooms = newBlooms, newRows = newRows, partCols = st.partCols,
-          op = "compact", cdf = st.cdf)
+          op = "compact", cdf = st.cdf, mor = st.mor)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -2253,7 +2584,12 @@ object TxnTable {
       val (dropped, retained) = all.partition(_ < floor)
       // resolve references BEFORE deleting any manifest — chain reads
       // must never race the drop
-      val referencedEarly = retained.flatMap(snapshotFiles(spark, table, _)).toSet ++
+      val referencedEarly = retained.flatMap { v =>
+        val s = stateOf(spark, table, v)
+        // equality-delete files are snapshot state exactly like data
+        // files: reclaiming one would corrupt every retained read
+        s.files ++ s.dels.map(_.file)
+      }.toSet ++
         // change-feed references of RETAINED commits: eager `#cdc=`
         // files, and the superseded data files their lazy `#cdcdel=`
         // delete records still point at — reclaiming either would break
@@ -2299,6 +2635,19 @@ object TxnTable {
               while (cdcIt.hasNext) {
                 val e = cdcIt.next()
                 val rel = s"$n/_cdc/${e.getPath.getName}"
+                if (!e.isDirectory && !referenced.contains(rel))
+                  ctx.delete(e.getPath, false)
+              }
+            }
+            // orphaned EQUALITY-DELETE files the same way: once no
+            // retained manifest's #del line points at them (the delete
+            // was materialized and its entry pruned), they reclaim
+            val delDir = new Path(s"$table/$n/_del")
+            if (ctx.util.exists(delDir)) {
+              val delIt = ctx.listStatus(delDir)
+              while (delIt.hasNext) {
+                val e = delIt.next()
+                val rel = s"$n/_del/${e.getPath.getName}"
                 if (!e.isDirectory && !referenced.contains(rel))
                   ctx.delete(e.getPath, false)
               }

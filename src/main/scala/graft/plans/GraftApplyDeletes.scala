@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualNullSafe, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, Join, JoinHint, LocalRelation, LogicalPlan, MergeIntoTable, Project, Union, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.{GraftDataSource, GraftTable, TxnTable}
+
+/** MERGE-ON-READ deletes, applied DECLARATIVELY: every graft relation
+  * whose pinned snapshot carries live equality-delete files
+  * (`TxnTable.deleteWhereMoR` — the deletion-vector answer for point
+  * deletes at 100 TB) is rewritten during analysis into
+  *
+  *   Project(original output attrs,
+  *     Union over gate groups(
+  *       AntiJoin(scan(group's files), delete tuples, null-safe keys)))
+  *
+  * so the subtraction is an ordinary Catalyst plan: the delete side is
+  * a few kilobytes of parquet, so the optimizer BROADCASTS the
+  * anti-join (no shuffle), column pruning still reaches the data scan
+  * (the join only adds the delete's key columns), and every read path
+  * — SQL, DataFrame, time travel, the DML phases' own snapshot reads —
+  * inherits the semantics without a custom reader. Files are grouped
+  * by their APPLICABLE delete set (a delete gates only files added at
+  * earlier versions — Iceberg's sequence-number rule), so rows
+  * appended after a delete are never joined against it at all.
+  *
+  * Scale shape: planning cost is one manifest-chain read per relation;
+  * execution adds one broadcast anti-join per live delete file —
+  * exactly the merge-on-read read amplification OPTIMIZE/compact
+  * materializes away.
+  *
+  * Boundaries (each shielded subtree owns its own delete handling):
+  *   - DML targets (UPDATE/DELETE/MERGE): the GraftDml lowering reads
+  *     its snapshots through fresh graft reads where this rule applies,
+  *     and its file-surgical phase 1 needs the BARE relation;
+  *   - write targets (INSERT/AppendData/Overwrite...): rewriting the
+  *     sink relation would corrupt the write plan;
+  *   - `ignoreDeletes=true` reader option: the explicit raw escape
+  *     hatch (and this rule's own recursion guard);
+  *   - change-feed reads: the feed is a log, not a snapshot. */
+case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val shielded = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case u: UpdateTable => u.table.foreach(shielded.add)
+      case d: DeleteFromTable => d.table.foreach(shielded.add)
+      case m: MergeIntoTable => m.targetTable.foreach(shielded.add)
+      case w: V2WriteCommand => w.table.foreach(shielded.add)
+      case i: InsertIntoStatement => i.table.foreach(shielded.add)
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if !shielded.contains(r) && eligible(r) =>
+        rewrite(r)
+    }
+  }
+
+  private def eligible(r: DataSourceV2Relation): Boolean = r.table match {
+    case t: GraftTable =>
+      !r.options.containsKey("ignoreDeletes") &&
+        !Option(r.options.get("readChangeFeed")).exists(_.toBoolean) &&
+        t.morMeta.dels.nonEmpty
+    case _ => false
+  }
+
+  private def rewrite(r: DataSourceV2Relation): LogicalPlan = {
+    val t = r.table.asInstanceOf[GraftTable]
+    val ms = t.morMeta
+    val schema = t.schema()
+    def applicable(f: String): Seq[TxnTable.DelMeta] =
+      ms.dels.filter(_.version > ms.addv.getOrElse(f, 0L))
+    val groups = ms.files.groupBy(applicable).toSeq.sortBy(_._2.head)
+    if (groups.isEmpty) return LocalRelation(r.output) // all-deleted table
+    val branches: Seq[LogicalPlan] = groups.map { case (dels, fs) =>
+      val scan = subsetRelation(t, schema, fs)
+      dels.foldLeft(scan: LogicalPlan) { (left, d) =>
+        val keySchema = StructType(d.keyCols.map(k => schema(k)))
+        val right = GraftBridge.parquetRelation(
+          spark, Seq(s"${t.tablePath}/${d.file}"), keySchema)
+        val cond = d.keyCols.map { k =>
+          EqualNullSafe(
+            left.output.find(_.name == k).getOrElse(throw new IllegalStateException(
+              s"delete key '$k' missing from ${t.tablePath}'s read schema")),
+            right.output.find(_.name == k).get)
+        }.reduce[Expression](And(_, _))
+        Join(left, right, LeftAnti, Some(cond), JoinHint.NONE)
+      }
+    }
+    val combined = if (branches.size == 1) branches.head else Union(branches)
+    // parents reference the ORIGINAL relation's attribute ids — alias
+    // the rewritten plan's columns back onto them
+    val aliases: Seq[NamedExpression] = r.output.zip(combined.output).map {
+      case (o, u) => Alias(u, o.name)(exprId = o.exprId,
+        qualifier = o.qualifier, explicitMetadata = Some(o.metadata))
+    }
+    Project(aliases, combined)
+  }
+
+  /** The same pinned relation a reader would build, restricted to one
+    * gate group's files and marked delete-exempt (recursion guard). */
+  private def subsetRelation(t: GraftTable, schema: StructType,
+                             files: Seq[String]): DataSourceV2Relation = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", t.tablePath)
+    opts.put("versionAsOf", t.pinnedVersion.toString)
+    opts.put("filesSubset", files.mkString(","))
+    opts.put("ignoreDeletes", "true")
+    val csm = new CaseInsensitiveStringMap(opts)
+    val provider = new GraftDataSource()
+    val table = provider.getTable(schema, Array.empty[Transform],
+      csm.asCaseSensitiveMap())
+    DataSourceV2Relation.create(table, None, None, csm)
+  }
+}

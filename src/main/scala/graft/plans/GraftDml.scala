@@ -168,7 +168,12 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
       GraftUpdateCommand(new UpdatePayload(path, out, assignments, condition))
     case d @ DeleteFromTable(target, condition)
         if d.resolved && graftTarget(target).isDefined &&
-          !metadataDeletable(Some(condition)) =>
+          (!metadataDeletable(Some(condition)) ||
+            // merge-on-read tables route EVERY delete through the
+            // command path — runDelete then commits an equality-delete
+            // file instead of dropping/rewriting data files
+            TxnTable.morEnabled(SparkSession.active,
+              graftTarget(target).get._2)) =>
       val (out, path) = graftTarget(target).get
       GraftDeleteCommand(new DeletePayload(path, out, condition))
     case m: MergeIntoTable
@@ -361,7 +366,7 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
     val sets: Map[String, Expression] =
       p.assignments.map(a => keyName(a.key, byId) -> a.value).toMap
-    TxnTable.rewriteCommit(spark, p.table, "update", (snap, _) => {
+    TxnTable.rewriteCommit(spark, p.table, "update", (snap, ver) => {
       // phase 1: touched files — the WHERE flows through the graft DSv2
       // scan, so manifest stats + blooms prune before any data is read.
       // Filter BEFORE the input_file_name projection: a nondeterministic
@@ -377,7 +382,9 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
         // phase 2: rewrite ONLY the touched files — matching rows get
         // the assignments (cast to the column's type), others carry;
         // a NULL condition keeps the row (SQL UPDATE semantics)
-        val tdf = spark.read.schema(snap.schema).parquet(touched: _*)
+        // del-aware read: the replacement files must not resurrect
+        // rows a merge-on-read delete already removed
+        val tdf = TxnTable.readSnapshotFiles(spark, p.table, ver, touched)
         val cond2 = p.condition.map(subst(_, byId, tdf)).getOrElse(lit(true))
         def assigned(f: StructField): Column = sets.get(f.name) match {
           case Some(v) => subst(v, byId, tdf).cast(f.dataType).as(f.name)
@@ -417,7 +424,26 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
   def runDelete(spark: SparkSession, p: DeletePayload): Unit = {
     if (neverCommitted(spark, p.table)) return
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
-    TxnTable.rewriteCommit(spark, p.table, "delete", (snap, _) => {
+    // MERGE-ON-READ: while the table's #mor flag is on, a DELETE whose
+    // predicate is a deterministic, subquery-free function of its
+    // column references commits an equality-delete file (kilobytes)
+    // instead of rewriting data files; readers subtract it until
+    // OPTIMIZE/compact materializes. Shapes outside that contract
+    // (subqueries — tuples wouldn't determine membership; rand()) fall
+    // back to the copy-on-write rewrite below, which stays exact.
+    if (TxnTable.morEnabled(spark, p.table) && p.condition.deterministic &&
+        p.condition.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+          .isEmpty) {
+      val keyCols = p.condition.references.toSeq
+        .map(a => byId.getOrElse(a.exprId, a.name)).distinct.sorted
+      if (keyCols.nonEmpty) {
+        TxnTable.deleteWhereMoR(spark, p.table, keyCols,
+          snap => subst(p.condition, byId, snap))
+        return
+      }
+    }
+    TxnTable.rewriteCommit(spark, p.table, "delete", (snap, ver) => {
       // filter BEFORE the input_file_name projection (pushdown-blocking
       // nondeterminism) — the predicate's file skipping is the point
       val cond = subst(p.condition, byId, snap)
@@ -427,7 +453,7 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) None
       else {
-        val tdf = spark.read.schema(snap.schema).parquet(touched: _*)
+        val tdf = TxnTable.readSnapshotFiles(spark, p.table, ver, touched)
         val cond2 = subst(p.condition, byId, tdf)
         val changes = tdf.filter(coalesce(cond2, lit(false)))
           .withColumn(TxnTable.ChangeTypeCol, lit("delete"))
@@ -542,7 +568,7 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
       return
     }
 
-    TxnTable.rewriteCommit(spark, p.table, "merge", (snap, _) => {
+    TxnTable.rewriteCommit(spark, p.table, "merge", (snap, ver) => {
       val source = GraftBridge.ofRows(spark, p.source)
       val schema = snap.schema
       // WITH SCHEMA EVOLUTION: columns assigned by any action but
@@ -673,7 +699,7 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
       val rewritten: Option[DataFrame] =
         if (touched.isEmpty) None
         else {
-          val tdf = spark.read.schema(schema).parquet(touched: _*)
+          val tdf = TxnTable.readSnapshotFiles(spark, p.table, ver, touched)
             .withColumn("__graft_tid", monotonically_increasing_id())
           val condT = subst(p.condition, byId, tdf)
           // matched half: SQL MERGE forbids one target row matching

@@ -53,6 +53,16 @@ object GraftBridge {
         f.selectedPartitions.partitionCount
     }
 
+  /** A RESOLVED V1 parquet relation over an explicit file list with an
+    * explicit schema — the right side of the delete-applying anti-join
+    * (graft.plans.GraftApplyDeletes) embeds this directly into the
+    * plan it rewrites. Tiny plan, no graft nodes, so the nested
+    * analysis is cycle-free. */
+  def parquetRelation(spark: SparkSession, paths: Seq[String],
+                      schema: org.apache.spark.sql.types.StructType): LogicalPlan =
+    spark.read.schema(schema).parquet(paths: _*)
+      .asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** Spark's own vectorized parquet Scan over an EXPLICIT file list —
     * the execution half of the graft DSv2 source: graft planning picks
     * the files (manifest-stats skipping), Spark's ParquetScan executes
