@@ -2147,6 +2147,133 @@ object FormatOps {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
       |FROM customer WHERE c_acctbal >= 0""".stripMargin
 
+  /** MERGE-ON-READ UPDATE, oracle-gated: on a `mergeOnRead` table a
+    * SQL UPDATE appends ONLY the updated rows plus an equality-delete
+    * file of the originals' key tuples — the plan REQUIREs every
+    * pre-update data file survives byte-identical and the delete entry
+    * is live. Write I/O proportional to the changed rows, not the
+    * touched files: a one-row update on a 1 GB file writes one row. */
+  private def k118(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k118_morupd")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .repartitionByRange(8, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val before = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get).files.toSet
+      spark.sql(s"CREATE TABLE graft_k118_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "UPDATE graft_k118_t SET c_acctbal = c_acctbal + 100 " +
+            "WHERE c_mktsegment = 'BUILDING'")
+        val st = TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get)
+        require(before.subsetOf(st.files.toSet),
+          "merge-on-read UPDATE must leave every pre-update data file in place")
+        require(st.files.toSet != before,
+          "the updated rows must land in appended files")
+        require(st.dels.nonEmpty, "the update must commit an equality-delete file")
+        val result = spark.sql(
+          """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k118_t
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k118_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k118Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+      |    THEN c_acctbal + 100 ELSE c_acctbal END AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS bal
+      |FROM customer
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** MERGE-ON-READ MERGE (the canonical upsert), oracle-gated: matched
+    * keys are tuple-deleted, updated + inserted rows are appended, no
+    * data file is rewritten (REQUIREd). The 100 TB CDC-apply shape:
+    * applying a day's upserts writes the day's rows, not the table. */
+  private def k119(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k119_mormrg")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .repartitionByRange(8, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val before = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get).files.toSet
+      val cust = Tables.customer(spark, dir)
+      cust.filter($"c_custkey" <= 50)
+        .select($"c_custkey".as("mk"), ($"c_custkey" * 1.5d).as("mb"))
+        .unionByName(cust.filter($"c_custkey" <= 20)
+          .select(($"c_custkey" + 1000000L).as("mk"),
+            ($"c_custkey" * 2.0d).as("mb")))
+        .createOrReplaceTempView("graft_k119_src")
+      spark.sql(s"CREATE TABLE graft_k119_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO graft_k119_t t USING graft_k119_src src
+            |ON t.c_custkey = src.mk
+            |WHEN MATCHED THEN UPDATE SET c_acctbal = src.mb
+            |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, c_acctbal)
+            |  VALUES (src.mk, 'NEW', src.mb)""".stripMargin)
+        val st = TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get)
+        require(before.subsetOf(st.files.toSet),
+          "merge-on-read MERGE must leave every pre-merge data file in place")
+        require(st.dels.nonEmpty, "the merge must commit an equality-delete file")
+        val result = spark.sql(
+          """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k119_t
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k119_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k119Sql =
+    """WITH src AS (
+      |  SELECT c_custkey AS mk, c_custkey * 1.5 AS mb
+      |  FROM customer WHERE c_custkey <= 50
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS mk, c_custkey * 2.0 AS mb
+      |  FROM customer WHERE c_custkey <= 20
+      |), merged AS (
+      |  SELECT c.c_mktsegment,
+      |    CASE WHEN s.mk IS NOT NULL THEN s.mb ELSE c.c_acctbal END AS bal
+      |  FROM customer c LEFT JOIN src s ON c.c_custkey = s.mk
+      |  UNION ALL
+      |  SELECT 'NEW' AS c_mktsegment, s.mb AS bal
+      |  FROM src s LEFT JOIN customer c ON s.mk = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
+      |)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM merged
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2189,5 +2316,7 @@ object FormatOps {
     RQ("k114_days_partitioning", k114, Some(k114Sql)),
     RQ("k115_sql_change_feed", k115, Some(k115Sql)),
     RQ("k116_mor_delete", k116, Some(k116Sql)),
-    RQ("k117_mor_optimize", k117, Some(k117Sql)))
+    RQ("k117_mor_optimize", k117, Some(k117Sql)),
+    RQ("k118_mor_update", k118, Some(k118Sql)),
+    RQ("k119_mor_merge", k119, Some(k119Sql)))
 }

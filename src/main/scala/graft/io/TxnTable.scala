@@ -1914,6 +1914,153 @@ object TxnTable {
       s"merge-on-read delete of $table lost the snapshot race 16 times")
   }
 
+  /** What an [[upsertMoR]] `compute` hands back, all derived from the
+    * pinned snapshot it received:
+    *   - `keyCols`: the equality-delete key columns
+    *   - `tuples`: the DISTINCT `keyCols` tuples of every superseded
+    *     target row (the rows the commit logically removes)
+    *   - `appended`: the replacement/new rows to append as ordinary
+    *     data files (None = pure delete), table schema
+    *   - `changes`: row-level change feed (written iff CDF enabled) */
+  final case class MorWrite(
+      keyCols: Seq[String],
+      tuples: DataFrame,
+      appended: Option[DataFrame],
+      changes: Option[DataFrame] = None)
+
+  /** MERGE-ON-READ UPSERT — the write-amplification answer for UPDATE
+    * and MERGE at 100 TB: ONE commit that (a) appends only the
+    * changed/new rows as ordinary data files and (b) records an
+    * equality-delete file whose tuples remove the superseded originals
+    * at read time. A copy-on-write UPDATE touching one row of a 1 GB
+    * file rewrites the gigabyte; this commits the one updated row plus
+    * a kilobyte tuple file. The version gate makes it sound in one
+    * commit: the delete tuples gate at the READ snapshot's successor,
+    * so they subtract only from pre-existing files, while the commit's
+    * own appended files (and any racing appends) carry a later add
+    * version and are exempt — the updated rows survive their own
+    * delete even when the assignments leave the key columns unchanged.
+    *
+    * Exactness contract (the SQL lowerings establish it by
+    * construction): `tuples` must be exactly the `keyCols` projection
+    * of the rows to remove, and membership of a row's tuple in the set
+    * must DETERMINE removal — i.e. the superseded-row predicate is a
+    * function of `keyCols`.
+    *
+    * CAS losses against interleaved pure APPENDS rebase (the gate
+    * exempts their files, and — unlike the copy-on-write path, which
+    * must prove stats-disjointness — ANY append commutes: rows it adds
+    * are untouched by this commit, which equals the upsert-then-append
+    * serial order). Interleaved deletes/rewrites recompute: the
+    * appended rows were derived from a snapshot whose rows those
+    * commits changed, so re-publishing could resurrect their deletions. */
+  def upsertMoR(spark: SparkSession, table: String, op: String,
+                compute: (DataFrame, Long) => Option[MorWrite]): Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val snap = spark.read.format("graft")
+        .option("versionAsOf", st.version.toString).load(table)
+      compute(snap, st.version) match {
+        case None => return st.version
+        case Some(mw) =>
+          mw.keyCols.foreach(k => require(schema.fieldNames.contains(k),
+            s"merge-on-read upsert key '$k' is not a column of $table"))
+          // appended rows first: writeData's stats read-back pass must
+          // run before anything else lands under the commit's data dir
+          val (dataDir, newFiles, newStats, newBlooms, newRows) =
+            mw.appended match {
+              case Some(df) =>
+                val trackedCols = st.stats.values.flatten.map(_.col).toSet
+                  .intersect(df.columns.toSet).toSeq.sorted
+                val trackedBlooms =
+                  st.bloomCols.intersect(df.columns.toSet).toSeq.sorted
+                writeData(df, table, trackedCols, trackedBlooms, st.partCols)
+              case None =>
+                (s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}",
+                  Nil, Map.empty[String, Seq[FileStat]],
+                  Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long])
+            }
+          mw.tuples.select(mw.keyCols.map(k => col(s"`$k`")): _*)
+            .distinct().coalesce(1)
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir/_del")
+          val delFiles = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            val it = ctx.listStatus(new Path(s"$table/$dataDir/_del"))
+            while (it.hasNext) {
+              val s = it.next()
+              if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+                buf += s"$dataDir/_del/${s.getPath.getName}"
+            }
+            buf.sorted.toSeq
+          }
+          val n = delFiles.map(f =>
+            spark.read.parquet(s"$table/$f").count()).sum
+          // provable no-op: no tuples AND no appended rows (an empty
+          // append may still have produced zero-row part files)
+          if (n == 0L && newFiles.forall(f => newRows.getOrElse(f, 0L) == 0L)) {
+            ctx.delete(new Path(s"$table/$dataDir"), true)
+            return st.version
+          }
+          val cdcAdd =
+            if (st.cdf) mw.changes.toSeq.flatMap(writeChangeData(_, table, dataDir))
+            else Nil
+          val gate = st.version + 1L
+          val dels =
+            if (n == 0L) Nil
+            else delFiles.map(f => DelMeta(f, gate, mw.keyCols, n))
+          var base = st
+          var tries = 0
+          var rebasing = true
+          while (rebasing && tries < 32) {
+            val next = base.version + 1L
+            val content =
+              if (next % checkpointInterval(spark) == 0) {
+                val addvAll = base.addv ++ newFiles.map(_ -> next).toMap
+                val files = base.files ++ newFiles
+                manifestContent(schema, base.txns,
+                  base.stats ++ newStats, files, base.blooms ++ newBlooms,
+                  base.rows ++ newRows, base.partCols, op = op,
+                  cdf = base.cdf, cdcAdd = cdcAdd, mor = true,
+                  dels = (base.dels ++ dels).filter(d =>
+                    files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
+                  addv = addvAll)
+              } else deltaContent(schema, base.txns, newStats,
+                removed = Nil, added = newFiles, base = base.version,
+                newBlooms = newBlooms, newRows = newRows,
+                partCols = base.partCols, op = op, cdf = base.cdf,
+                cdcAdd = cdcAdd, mor = true, newDels = dels)
+            if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+              writePointer(ctx, table, next)
+              return next
+            }
+            tries += 1
+            backoff(tries)
+            val fresh = latestState(spark, table).getOrElse(
+              throw new IllegalStateException(s"$table lost its manifests mid-commit"))
+            // only interleaved PURE APPENDS rebase: same file set plus
+            // additions, same schema, and IDENTICAL delete entries —
+            // an interleaved delete's tuples would not subtract from
+            // this commit's appended rows (gate-exempt), silently
+            // resurrecting them
+            rebasing = st.files.forall(fresh.files.contains) &&
+              fresh.schema.map(_.json) == st.schema.map(_.json) &&
+              fresh.dels == st.dels
+            if (rebasing) base = fresh
+          }
+          ctx.delete(new Path(s"$table/$dataDir"), true)
+          attempt += 1
+          backoff(attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"merge-on-read upsert of $table lost the snapshot race 16 times")
+  }
+
   /** `st`'s rows from `files` with every applicable equality delete
     * subtracted: files are grouped by their applicable delete set (one
     * group per distinct gate combination — at most #deletes + 1), each

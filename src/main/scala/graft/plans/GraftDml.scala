@@ -366,6 +366,41 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
     val sets: Map[String, Expression] =
       p.assignments.map(a => keyName(a.key, byId) -> a.value).toMap
+    // MERGE-ON-READ UPDATE: while the table's #mor flag is on, an
+    // UPDATE whose predicate is a deterministic, subquery-free function
+    // of its column references commits the UPDATED ROWS plus an
+    // equality-delete file of the originals' key tuples — write I/O is
+    // the changed rows, not the touched files (a one-row update on a
+    // 1 GB file writes one row, not a gigabyte). Shapes outside the
+    // tuple contract (subqueries, rand(), WHERE-less) fall back to the
+    // copy-on-write rewrite below.
+    if (TxnTable.morEnabled(spark, p.table) &&
+        p.condition.exists(c => c.deterministic && c.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+          .isEmpty)) {
+      val keyCols = p.condition.get.references.toSeq
+        .map(a => byId.getOrElse(a.exprId, a.name)).distinct.sorted
+      if (keyCols.nonEmpty) {
+        TxnTable.upsertMoR(spark, p.table, "update", (snap, _) => {
+          val hit = coalesce(subst(p.condition.get, byId, snap), lit(false))
+          val matched = snap.filter(hit)
+          val fields = snap.schema.fields.toIndexedSeq
+          def assigned(f: StructField): Column = sets.get(f.name) match {
+            case Some(v) => subst(v, byId, snap).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+          val updated = matched.select(fields.map(f => assigned(f).as(f.name)): _*)
+          val changes = matched
+            .withColumn(TxnTable.ChangeTypeCol, lit("update_preimage"))
+            .unionByName(updated
+              .withColumn(TxnTable.ChangeTypeCol, lit("update_postimage")))
+          Some(TxnTable.MorWrite(keyCols,
+            matched.select(keyCols.map(k => col(s"`$k`")): _*),
+            Some(updated), Some(changes)))
+        })
+        return
+      }
+    }
     TxnTable.rewriteCommit(spark, p.table, "update", (snap, ver) => {
       // phase 1: touched files — the WHERE flows through the graft DSv2
       // scan, so manifest stats + blooms prune before any data is read.
@@ -522,6 +557,42 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
         }
       }
 
+    /** Insert rows: source rows matching NO row of `prunedTarget`,
+      * through the first applicable WHEN NOT MATCHED action (none
+      * applies → dropped); insert values reference only the source, so
+      * no substitution. Shared by the copy-on-write and merge-on-read
+      * paths. */
+    def insertsFor(prunedTarget: DataFrame, source: DataFrame,
+                   fields: IndexedSeq[StructField]): Option[DataFrame] =
+      if (p.notMatched.isEmpty) None
+      else {
+        val unmatched = source.join(prunedTarget,
+          subst(p.condition, byId, prunedTarget), "left_anti")
+        val idx = p.notMatched.zipWithIndex
+          .foldRight(lit(-1)) { case ((a, i), els) =>
+            when(actionCond(a, unmatched), lit(i)).otherwise(els)
+          }
+        val chosen = unmatched.withColumn("__graft_act", idx)
+          .filter(col("__graft_act") >= 0)
+        val outCols = fields.map { f =>
+          p.notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+            case ((a, i), els) =>
+              val v = a.asInstanceOf[InsertAction].assignments.collectFirst {
+                case Assignment(k, vv) if keyName(k, byId) == f.name => vv
+              }
+              v match {
+                case Some(vv) =>
+                  when(col("__graft_act") === i,
+                    GraftBridge.column(vv).cast(f.dataType)).otherwise(els)
+                case None =>
+                  when(col("__graft_act") === i,
+                    lit(null).cast(f.dataType)).otherwise(els)
+              }
+          }.as(f.name)
+        }
+        Some(chosen.select(outCols: _*))
+      }
+
     // never-committed target: no row can match, so the merge reduces to
     // its WHEN NOT MATCHED inserts against the DECLARED schema — the
     // bootstrap-by-merge shape (Delta allows it; erroring would force
@@ -565,6 +636,112 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
         }.as(f.name)
       }
       TxnTable.commitAppend(chosen.select(outCols: _*), p.table)
+      return
+    }
+
+    // MERGE-ON-READ MERGE (the upsert shape): while the table's #mor
+    // flag is on and the merge is the canonical upsert — ON a pure
+    // conjunction of `target.col = <source expr>` equi-predicates, ONE
+    // unconditional WHEN MATCHED UPDATE or DELETE, optional WHEN NOT
+    // MATCHED inserts, no NOT-MATCHED-BY-SOURCE, no schema evolution —
+    // commit the updated+inserted rows plus an equality-delete file of
+    // the matched target keys, instead of rewriting every touched
+    // file. Matching is determined by the target key tuple (the ON is
+    // exactly an equi-join on those columns), so the tuple subtraction
+    // removes precisely the matched rows; the commit's own appended
+    // files are gate-exempt. Everything else falls back to the
+    // copy-on-write rewrite below.
+    val morMergeKeys: Option[Seq[(String, Expression)]] = {
+      def conjunctsOf(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjunctsOf(l) ++ conjunctsOf(r)
+        case other => Seq(other)
+      }
+      def srcOnly(e: Expression): Boolean =
+        e.references.forall(a => !byId.contains(a.exprId))
+      val cs = conjunctsOf(p.condition)
+      val keys = cs.flatMap {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            t: AttributeReference, s)
+            if byId.contains(t.exprId) && srcOnly(s) => Some(byId(t.exprId) -> s)
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            s, t: AttributeReference)
+            if byId.contains(t.exprId) && srcOnly(s) => Some(byId(t.exprId) -> s)
+        case _ => None
+      }
+      val matchedOk = p.matched match {
+        case Seq(ua: UpdateAction) => ua.condition.isEmpty
+        case Seq(da: DeleteAction) => da.condition.isEmpty
+        case _ => false
+      }
+      if (TxnTable.morEnabled(spark, p.table) && !p.withSchemaEvolution &&
+          p.notMatchedBySource.isEmpty && matchedOk &&
+          keys.size == cs.size && keys.nonEmpty &&
+          p.condition.deterministic &&
+          p.condition.find(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+            .isEmpty)
+        Some(keys)
+      else None
+    }
+    if (morMergeKeys.isDefined) {
+      val equiKeys = morMergeKeys.get
+      val keyCols = equiKeys.map(_._1).distinct.sorted
+      TxnTable.upsertMoR(spark, p.table, "merge", (snap, _) => {
+        val source = GraftBridge.ofRows(spark, p.source)
+        val fields = snap.schema.fields.toIndexedSeq
+        // the same source-key min/max pre-filter as the copy-on-write
+        // path: prunes the target scan to files that can hold a match
+        val aggs = equiKeys.zipWithIndex.flatMap { case ((_, s), i) =>
+          Seq(min(GraftBridge.column(s)).as(s"__graft_lo_$i"),
+            max(GraftBridge.column(s)).as(s"__graft_hi_$i"))
+        }
+        val row = source.agg(aggs.head, aggs.drop(1): _*).head()
+        val preFilter = equiKeys.zipWithIndex.map { case ((t, _), i) =>
+          val lo = row.getAs[Any](s"__graft_lo_$i")
+          if (lo == null) lit(false)
+          else GraftBridge.column(attrOf(snap, t))
+            .between(lit(lo), lit(row.getAs[Any](s"__graft_hi_$i")))
+        }.reduce(_ && _)
+        val tdf = snap.filter(preFilter)
+          .withColumn("__graft_tid", monotonically_increasing_id())
+        val joined = tdf.join(source, subst(p.condition, byId, tdf), "inner")
+          .withColumn("__graft_dup",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__graft_tid"))))
+        // SQL MERGE cardinality check, folded into whichever scan runs
+        val guarded = joined.filter(
+          when(col("__graft_dup") > 1,
+            raise_error(lit("MERGE INTO: a target row matched multiple " +
+              "source rows — the update/delete to apply is ambiguous " +
+              "(SQL MERGE cardinality violation)")).cast("boolean"))
+            .otherwise(lit(true)))
+        val tuples = guarded.select(
+          keyCols.map(k => GraftBridge.column(attrOf(tdf, k)).as(k)): _*)
+        val updated: Option[DataFrame] = p.matched.head match {
+          case _: UpdateAction => Some(guarded.select(fields.map(f =>
+            updateCascade(p.matched, tdf, f).as(f.name)): _*))
+          case _ => None // DELETE: matched rows contribute no appended rows
+        }
+        val inserts = insertsFor(snap.filter(preFilter), source, fields)
+        val appended = (updated.toSeq ++ inserts.toSeq)
+          .reduceOption(_.unionByName(_))
+        val changeParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def typed(df: DataFrame, tpe: String): DataFrame =
+          df.withColumn(TxnTable.ChangeTypeCol, lit(tpe))
+        p.matched.head match {
+          case _: UpdateAction =>
+            changeParts += typed(guarded.select(
+              fields.map(f => tcol(tdf, f).as(f.name)): _*), "update_preimage")
+            updated.foreach(u => changeParts += typed(u, "update_postimage"))
+          case _ =>
+            changeParts += typed(guarded.select(
+              fields.map(f => tcol(tdf, f).as(f.name)): _*), "delete")
+        }
+        inserts.foreach(i => changeParts += typed(i, "insert"))
+        Some(TxnTable.MorWrite(keyCols, tuples, appended,
+          changeParts.reduceOption(_.unionByName(_))))
+      })
       return
     }
 
@@ -766,41 +943,11 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
           Some(matchedPart.unionByName(unmatchedPart))
         }
 
-      // inserts: source rows matching NO target row, through the first
-      // applicable WHEN NOT MATCHED action (none applies → dropped);
-      // insert values reference only the source, so no substitution
+      // inserts: target rows outside the source key bounds can't match
+      // any source row, so the anti-join's right side prunes to the
+      // same file slice as phase 1
       val inserts: Option[DataFrame] =
-        if (p.notMatched.isEmpty) None
-        else {
-          // target rows outside the source key bounds can't match any
-          // source row, so the anti-join's right side prunes to the
-          // same file slice as phase 1
-          val unmatched = source.join(snap.filter(preFilter),
-            subst(p.condition, byId, snap), "left_anti")
-          val idx = p.notMatched.zipWithIndex
-            .foldRight(lit(-1)) { case ((a, i), els) =>
-              when(actionCond(a, unmatched), lit(i)).otherwise(els)
-            }
-          val chosen = unmatched.withColumn("__graft_act", idx)
-            .filter(col("__graft_act") >= 0)
-          val outCols = fields.map { f =>
-            p.notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
-              case ((a, i), els) =>
-                val v = a.asInstanceOf[InsertAction].assignments.collectFirst {
-                  case Assignment(k, vv) if keyName(k, byId) == f.name => vv
-                }
-                v match {
-                  case Some(vv) =>
-                    when(col("__graft_act") === i,
-                      GraftBridge.column(vv).cast(f.dataType)).otherwise(els)
-                  case None =>
-                    when(col("__graft_act") === i,
-                      lit(null).cast(f.dataType)).otherwise(els)
-                }
-            }.as(f.name)
-          }
-          Some(chosen.select(outCols: _*))
-        }
+        insertsFor(snap.filter(preFilter), source, fields)
       inserts.foreach(i => changeParts += typed(i, "insert"))
 
       (rewritten, inserts) match {

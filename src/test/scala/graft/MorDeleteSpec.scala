@@ -112,9 +112,12 @@ class MorDeleteSpec extends AnyFunSuite {
     withZone { (table, tn) =>
       seed(table, tn)
       spark.sql(s"DELETE FROM $tn WHERE g = 1")
-      // update a disjoint slice: its file rewrite must NOT resurrect
-      // the deleted g=1 rows that shared those files
-      spark.sql(s"UPDATE $tn SET s = 'upd' WHERE k < 10")
+      // update a disjoint slice — the scalar subquery forces the
+      // COPY-ON-WRITE path (merge-on-read updates route plain
+      // predicates); its file rewrite must NOT resurrect the deleted
+      // g=1 rows that shared those files
+      spark.sql(
+        s"UPDATE $tn SET s = 'upd' WHERE k < (SELECT min(k) + 10 FROM $tn)")
       val df = spark.read.format("graft").load(table)
       assert(df.filter($"g" === 1).count() == 0L)
       assert(df.filter($"s" === "upd").count() == 8L) // k in 0..9 minus g=1 (k=1,6)
