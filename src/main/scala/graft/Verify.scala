@@ -33,7 +33,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A crashing query must surface as a RED row in the driver's
+        // report, never a silent omission: write a one-row marker frame
+        // whose schema can't match any oracle, so rows/schema/hash all
+        // mismatch and the failure is visible in CORRECTNESS_r{N}.json.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        import spark.implicits._
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        Seq(msg).toDF("_graft_query_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

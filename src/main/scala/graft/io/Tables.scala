@@ -32,20 +32,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
-    * to a microsecond timestamp with integer division — `ts div 1000`, NOT
-    * `/1000` + cast: epoch-nanos ≈ 1.7e18 exceeds a double's 2^53 exact
-    * range, so float division would corrupt low-order digits. The testdata
-    * has no sub-microsecond components, and DuckDB reads the same file at
-    * microsecond resolution, so the conversion is lossless and oracle-equal. */
+  /** events.parquet has shipped `ts` both as INT64 TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — loaded as raw long via the legacy
+    * conf) and, currently, as plain TIMESTAMP(MICROS). Branch on the dtype
+    * the scan actually produced instead of assuming either vintage:
+    *  - LongType ⇒ legacy nanos file: convert with integer division
+    *    (`ts div 1000`, NOT `/1000` + cast — epoch-nanos ≈ 1.7e18 exceeds a
+    *    double's 2^53 exact range, so float division would corrupt digits);
+    *  - any timestamp type ⇒ just normalize to TIMESTAMP_NTZ, matching how
+    *    the other tables' timestamps load (parquet isAdjustedToUTC=false). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // cast to NTZ: the other tables' timestamps load as TIMESTAMP_NTZ
-    // (parquet isAdjustedToUTC=false), so derived timestamps match.
-    load(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
