@@ -1999,7 +1999,14 @@ object FormatOps {
       } finally spark.sql("DROP TABLE graft_k115_t")
       val ops = spark.sql(s"SELECT op FROM graft_history('$table')")
         .collect().map(_.getString(0)).toSeq
-      require(ops == Seq("delete", "update", "overwrite"),
+      // a zero-row UPDATE commits nothing (tiny scale factors have no
+      // custkey in [200, 400]) — the expected op sequence tracks whether
+      // the predicate actually matched
+      val updMatched = cust.filter($"c_custkey".between(200, 400)).count() > 0
+      val expected =
+        if (updMatched) Seq("delete", "update", "overwrite")
+        else Seq("delete", "overwrite")
+      require(ops == expected,
         s"graft_history must report the exact op sequence, got $ops")
       val result = spark.sql(
         s"""SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2274,6 +2281,303 @@ object FormatOps {
       |FROM merged
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- k120
+  /** ALTER TABLE SCHEMA EVOLUTION, the full statement family on one
+    * table: ADD COLUMNS is a METADATA-ONLY commit (REQUIREd: identical
+    * file set before/after — zero data I/O however large the table),
+    * pre-evolution files surface the new columns as NULL through the
+    * schema-driven read; an append lands rows that HAVE them; DROP
+    * COLUMN removes a column from every read, again metadata-only; a
+    * re-add of the dropped name is REQUIREd to be refused (old files
+    * still contain it — without field-ID column mapping a re-add would
+    * resurrect stale values); RENAME COLUMN rewrites (the Delta-0.7-era
+    * trade-off, documented at TxnTable.renameColumn) and data survives
+    * under the new name. Oracle: DuckDB replays the same evolution from
+    * raw customer. */
+  private def k120(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k120_alter")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+        .repartitionByRange(4, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(table)
+      spark.sql(s"CREATE TABLE graft_k120_t USING graft OPTIONS (path '$table')")
+      try {
+        val v1 = TxnTable.latestVersion(spark, table).get
+        val filesBefore = TxnTable.snapshotFiles(spark, table, v1)
+        spark.sql(
+          "ALTER TABLE graft_k120_t ADD COLUMNS (tier STRING, bonus DOUBLE)")
+        val v2 = TxnTable.latestVersion(spark, table).get
+        require(TxnTable.snapshotFiles(spark, table, v2) == filesBefore,
+          "ALTER TABLE ADD COLUMNS must be metadata-only: same file set")
+        require(spark.table("graft_k120_t").columns.toSeq ==
+            Seq("c_custkey", "c_acctbal", "tier", "bonus"),
+          "added columns must surface in the read schema")
+        // pre-evolution rows read the new columns as NULL
+        require(spark.table("graft_k120_t")
+            .filter($"tier".isNotNull || $"bonus".isNotNull).isEmpty,
+          "pre-evolution files must surface added columns as NULL")
+        // append rows that carry the evolved columns
+        TxnTable.commitAppend(
+          Tables.customer(spark, dir).filter($"c_custkey" <= 100)
+            .select(($"c_custkey" + 1000000L).as("c_custkey"),
+              ($"c_acctbal" * 0.5d).as("c_acctbal"),
+              lit("NEW").as("tier"), ($"c_custkey" * 1.0d).as("bonus")),
+          table, statsCols = Seq("c_custkey"))
+        spark.sql("ALTER TABLE graft_k120_t DROP COLUMN bonus")
+        require(!spark.table("graft_k120_t").columns.contains("bonus"),
+          "dropped column must leave the read schema")
+        // the resurrection guard: re-adding a dropped name is refused
+        val refused =
+          try { spark.sql("ALTER TABLE graft_k120_t ADD COLUMNS (bonus DOUBLE)")
+                false }
+          catch { case e: Throwable =>
+            e.getMessage != null && e.getMessage.contains("previously dropped") }
+        require(refused, "re-adding a dropped column name must be refused")
+        spark.sql("ALTER TABLE graft_k120_t RENAME COLUMN tier TO segment_tier")
+        val result = spark.sql(
+          """SELECT coalesce(segment_tier, 'OLD') AS tier,
+            |  CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k120_t
+            |GROUP BY coalesce(segment_tier, 'OLD') ORDER BY tier""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k120_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k120Sql =
+    """WITH evolved AS (
+      |  SELECT c_custkey, c_acctbal, NULL AS segment_tier FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal * 0.5, 'NEW'
+      |  FROM customer WHERE c_custkey <= 100
+      |)
+      |SELECT coalesce(segment_tier, 'OLD') AS tier,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM evolved
+      |GROUP BY coalesce(segment_tier, 'OLD') ORDER BY tier""".stripMargin
+
+  // --------------------------------------------------------------- k121
+  /** CHECK CONSTRAINTS AND NOT NULL INVARIANTS enforced at the table
+    * boundary — the warehouse-DDL guarantee the reference delegated to
+    * Postgres (ref `dags/s3-etl-wallet-csv.py:208-234`), moved into the
+    * lakehouse commit path. REQUIREd in-query: a violating append
+    * throws and lands NOTHING (row count unchanged); a violating NULL
+    * append throws; constraints SURVIVE both OPTIMIZE and RESTORE (they
+    * are snapshot state, re-enforced after each); a valid append
+    * passes; DROP CONSTRAINT lifts the gate. Oracle replays the valid
+    * writes only. */
+  private def k121(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k121_chk")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+        .repartitionByRange(4, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(table)
+      spark.sql(s"CREATE TABLE graft_k121_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "ALTER TABLE graft_k121_t ADD CONSTRAINT bal_floor CHECK (c_acctbal > -100000.0)")
+        spark.sql(
+          "ALTER TABLE graft_k121_t ALTER COLUMN c_custkey SET NOT NULL")
+        require(TxnTable.checkConstraints(spark, table).keySet ==
+            Set("bal_floor", "c_custkey_not_null"),
+          "both constraints must be recorded in the manifest")
+        val n0 = spark.table("graft_k121_t").count()
+        def violates(df: DataFrame): Boolean =
+          try { TxnTable.commitAppend(df, table); false }
+          catch { case e: Throwable =>
+            e.getMessage != null && e.getMessage.contains("CHECK constraint") }
+        require(violates(Seq((9000001L, -500000.0d))
+            .toDF("c_custkey", "c_acctbal")),
+          "a write violating the CHECK constraint must throw")
+        require(violates(Seq((Option.empty[Long], 10.0d))
+            .toDF("c_custkey", "c_acctbal")),
+          "a write violating NOT NULL must throw")
+        require(spark.table("graft_k121_t").count() == n0,
+          "violating writes must land NOTHING")
+        // constraints survive maintenance and restore: OPTIMIZE, then
+        // roll BACK over it to the pre-optimize snapshot — the restored
+        // manifest must still carry (and enforce) the constraint set
+        val vPre = TxnTable.latestVersion(spark, table).get
+        spark.sql(s"OPTIMIZE graft_k121_t")
+        spark.sql(s"RESTORE graft_k121_t TO VERSION AS OF $vPre")
+        require(TxnTable.checkConstraints(spark, table).size == 2,
+          "constraints must survive OPTIMIZE and RESTORE")
+        require(violates(Seq((9000002L, -500000.0d))
+            .toDF("c_custkey", "c_acctbal")),
+          "constraints must still ENFORCE after OPTIMIZE + RESTORE")
+        // a valid append passes the gate
+        TxnTable.commitAppend(
+          Tables.customer(spark, dir).filter($"c_custkey" <= 50)
+            .select(($"c_custkey" + 2000000L).as("c_custkey"),
+              ($"c_acctbal" + 1000.0d).as("c_acctbal")),
+          table, statsCols = Seq("c_custkey"))
+        spark.sql("ALTER TABLE graft_k121_t DROP CONSTRAINT bal_floor")
+        require(TxnTable.checkConstraints(spark, table).keySet ==
+            Set("c_custkey_not_null"), "DROP CONSTRAINT must remove the check")
+        val result = spark.sql(
+          """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k121_t""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k121_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k121Sql =
+    """WITH final AS (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, c_acctbal + 1000.0
+      |  FROM customer WHERE c_custkey <= 50
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM final""".stripMargin
+
+  // --------------------------------------------------------------- k122
+  /** COPY INTO — batch, exactly-once file ingestion (the lakehouse
+    * spelling of the reference's landing→curated hop, ref
+    * `dags/s3-etl-wallet-csv.py:161-176`, which got exactly-once only by
+    * DELETING the landing file after the copy). Three landing files are
+    * ingested; the SAME statement re-runs and is REQUIREd to ingest
+    * NOTHING (no new version, same row count) — the crash-between-
+    * copy-and-cleanup case the reference's design could double-load. A
+    * late-arriving fourth file is picked up by a third run without
+    * re-ingesting the first three. Oracle: each source row exactly
+    * once. */
+  private def k122(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k122_copy")
+    try {
+      val landing = s"$zone/landing"
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal")
+      def drop(name: String, lo: Long, hi: Long): Unit =
+        Tables.writeSingleFile(
+          cust.filter($"c_custkey".between(lo, hi)), s"$landing/$name")
+      drop("batch_a.parquet", 1L, 500L)
+      drop("batch_b.parquet", 501L, 1000L)
+      drop("batch_c.parquet", 1001L, 1500L)
+      spark.sql(s"CREATE TABLE graft_k122_t USING graft OPTIONS (path '$table')")
+      try {
+        val copy =
+          s"COPY INTO graft_k122_t FROM '$landing' " +
+            "FILEFORMAT = parquet PATTERN = '*.parquet'"
+        spark.sql(copy)
+        val v1 = TxnTable.latestVersion(spark, table).get
+        val n1 = spark.table("graft_k122_t").count()
+        spark.sql(copy) // re-run: the crash-replay case
+        require(TxnTable.latestVersion(spark, table).get == v1 &&
+            spark.table("graft_k122_t").count() == n1,
+          "re-running COPY INTO over the same files must ingest NOTHING")
+        drop("batch_d.parquet", 1501L, 2000L) // late arrival
+        spark.sql(copy)
+        require(spark.table("graft_k122_t").count() ==
+            cust.filter($"c_custkey".between(1L, 2000L)).count(),
+          "the third run must ingest exactly the late file")
+        val result = spark.sql(
+          """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k122_t""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k122_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k122Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM customer WHERE c_custkey BETWEEN 1 AND 2000""".stripMargin
+
+  // --------------------------------------------------------------- k123
+  /** MERGE-ON-READ READ-PATH BENCHMARK — a lineitem-sized table carrying
+    * LIVE equality-delete files, read and aggregated WITHOUT
+    * materializing the deletes: the cost being tracked is the
+    * broadcast-anti-join subtraction (plans/GraftApplyDeletes) layered
+    * on the scan, i.e. the read amplification a table accumulates
+    * between OPTIMIZE runs. Benched so a regression in the MoR read
+    * path (e.g. a shuffle sneaking into the per-gate-group anti-join)
+    * shows up in BENCH before someone ships a 100-delete-file table.
+    * Oracle replays the two deletes as filters. */
+  private def k123(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k123_morread")
+    try {
+      val table = s"$zone/lineitem_txn"
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_returnflag")
+        .repartitionByRange(8, $"l_orderkey")
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val before = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get).files.toSet
+      spark.sql(s"CREATE TABLE graft_k123_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("DELETE FROM graft_k123_t WHERE l_returnflag = 'R'")
+        spark.sql("DELETE FROM graft_k123_t WHERE l_linenumber = 7")
+        val st = TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get)
+        require(st.files.toSet == before && st.dels.size == 2,
+          "the deletes must stay merge-on-read (files untouched, 2 live " +
+            "delete files) — otherwise this benches the wrong path")
+        val result = spark.sql(
+          """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS price
+            |FROM graft_k123_t
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k123_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k123Sql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS price
+      |FROM lineitem
+      |WHERE l_returnflag <> 'R' AND l_linenumber <> 7
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2318,5 +2622,9 @@ object FormatOps {
     RQ("k116_mor_delete", k116, Some(k116Sql)),
     RQ("k117_mor_optimize", k117, Some(k117Sql)),
     RQ("k118_mor_update", k118, Some(k118Sql)),
-    RQ("k119_mor_merge", k119, Some(k119Sql)))
+    RQ("k119_mor_merge", k119, Some(k119Sql)),
+    RQ("k120_alter_columns", k120, Some(k120Sql)),
+    RQ("k121_check_constraints", k121, Some(k121Sql)),
+    RQ("k122_copy_into", k122, Some(k122Sql)),
+    RQ("k123_mor_read", k123, Some(k123Sql), bench = true))
 }

@@ -139,6 +139,23 @@ object TxnTable {
   // no recorded add version predates merge-on-read entirely and reads
   // as version 0: older than every possible delete, which is exact.
   private val AddvPrefix = "#addv="
+  // CHECK constraints (`#check=<name>|<enc sql>` lines): table-level
+  // write invariants (ALTER TABLE ADD CONSTRAINT … CHECK, and NOT NULL
+  // spelled as a check). SNAPSHOT STATE like the schema: every
+  // manifest — full or delta — carries the complete set, so they
+  // survive appends, compaction, restore, and DML rewrites. Enforced
+  // on every path that introduces or modifies rows (append/overwrite/
+  // merge/DML), mirroring the warehouse-DDL boundary the reference
+  // delegated to Postgres (ref `dags/s3-etl-wallet-csv.py:208-234`).
+  private val ChkPrefix = "#check="
+  // Physical column names EVER dropped from the schema
+  // (`#retired=<enc name>,<enc name>…`): old data files still CONTAIN
+  // a dropped column, so re-adding the same name would resurrect stale
+  // values from pre-drop files instead of reading NULL. Without
+  // parquet field-ID column mapping the only sound answer is to refuse
+  // that re-add — the retired list is the memory that makes the
+  // refusal possible. Carried in every manifest like the schema.
+  private val RetiredPrefix = "#retired="
   /** The `_change_type` values the change feed emits (Delta-parity). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -697,7 +714,9 @@ object TxnTable {
       cdf: Boolean = false,
       mor: Boolean = false,
       dels: Seq[DelMeta] = Nil,
-      addv: Map[String, Long] = Map.empty) {
+      addv: Map[String, Long] = Map.empty,
+      checks: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
@@ -823,7 +842,8 @@ object TxnTable {
       deltaV += 1L
     }
     State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows,
-      parsePartCols(headOf), parseCdf(headOf), parseMor(headOf), dels, addv)
+      parsePartCols(headOf), parseCdf(headOf), parseMor(headOf), dels, addv,
+      parseChecks(headOf), parseRetired(headOf))
   }
 
   private def parsePartCols(headers: Seq[String]): Seq[String] =
@@ -862,6 +882,26 @@ object TxnTable {
       val i = body.lastIndexOf(StatSep)
       body.take(i) -> body.drop(i + 1).toLong
     }.toMap
+
+  private def checkLines(checks: Map[String, String]): Seq[String] =
+    checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+      s"$ChkPrefix${enc(n)}$StatSep${enc(sql)}" }
+
+  private def parseChecks(headers: Seq[String]): Map[String, String] =
+    headers.filter(_.startsWith(ChkPrefix)).map { l =>
+      val p = l.stripPrefix(ChkPrefix)
+        .split(java.util.regex.Pattern.quote(StatSep))
+      dec(p(0)) -> dec(p(1))
+    }.toMap
+
+  private def retiredLine(retired: Seq[String]): Seq[String] =
+    if (retired.isEmpty) Nil
+    else Seq(s"$RetiredPrefix${retired.map(enc).mkString(",")}")
+
+  private def parseRetired(headers: Seq[String]): Seq[String] =
+    headers.find(_.startsWith(RetiredPrefix)).toSeq
+      .flatMap(_.stripPrefix(RetiredPrefix).split(",").toSeq)
+      .filter(_.nonEmpty).map(dec)
 
   /** Is the change data feed enabled on the latest snapshot? */
   def changeFeedEnabled(spark: SparkSession, table: String): Boolean =
@@ -1062,15 +1102,26 @@ object TxnTable {
       cdcDel: Seq[String] = Nil,
       mor: Boolean = false,
       dels: Seq[DelMeta] = Nil,
-      addv: Map[String, Long] = Map.empty): String = {
+      addv: Map[String, Long] = Map.empty,
+      checks: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
       s"$OpPrefix$op") ++
       (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
       (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
+      checkLines(checks) ++
+      retiredLine(retired) ++
       dels.map(delLine) ++
-      addvLines(addv, filesSet) ++
+      // add-version lines exist ONLY to gate equality deletes; on a
+      // table that never enabled merge-on-read they are O(files) dead
+      // weight per checkpoint (500 appends ≈ +45 KB of manifest). A
+      // file with no recorded add version reads as version 0 — "older
+      // than every delete" — which is exact for every file committed
+      // before MoR was enabled, so omitting them while mor is off is
+      // lossless, not an approximation.
+      (if (mor || dels.nonEmpty) addvLines(addv, filesSet) else Nil) ++
       cdcAdd.map(CdcPrefix + _) ++
       cdcDel.map(CdcDelPrefix + _) ++
       partColsLine(partCols) ++
@@ -1101,12 +1152,16 @@ object TxnTable {
       cdcAdd: Seq[String] = Nil,
       cdcDel: Seq[String] = Nil,
       mor: Boolean = false,
-      newDels: Seq[DelMeta] = Nil): String =
+      newDels: Seq[DelMeta] = Nil,
+      checks: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
       s"$OpPrefix$op") ++
       (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
       (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
+      checkLines(checks) ++
+      retiredLine(retired) ++
       newDels.map(delLine) ++
       cdcAdd.map(CdcPrefix + _) ++
       cdcDel.map(CdcDelPrefix + _) ++
@@ -1138,6 +1193,33 @@ object TxnTable {
     (reads, bytes)
   }
 
+  /** CHECK-constraint gate (ALTER TABLE … ADD CONSTRAINT … CHECK and
+    * NOT NULL invariants): evaluate every constraint over the incoming
+    * frame BEFORE any data file lands. SQL semantics: a row violates
+    * only when the predicate is FALSE — NULL passes (use an explicit
+    * `IS NOT NULL` check for null rejection). Cost: ONE extra pass over
+    * the incoming data (all constraints folded into a single conjunction
+    * and stopped at the first violation via limit(1)); the per-constraint
+    * re-probe runs only on the failure path, to name the culprit. The
+    * constraint set is read from the snapshot observed at write start —
+    * a constraint added concurrently with an in-flight write gates the
+    * NEXT write (same read-committed contract as Delta's). */
+  private def enforceChecks(df: DataFrame, table: String,
+                            checks: Map[String, String]): Unit =
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      def violated(sql: String) =
+        df.filter(not(coalesce(expr(sql), lit(true)))).limit(1).count() > 0L
+      val combined = checks.values.toSeq
+        .map(s => coalesce(expr(s), lit(true))).reduce(_ && _)
+      if (df.filter(not(combined)).limit(1).count() > 0L) {
+        val culprit = checks.find { case (_, s) => violated(s) }
+        val (n, s) = culprit.getOrElse(checks.head)
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n ($s) violated by write to $table")
+      }
+    }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
                      statsCols: Seq[String],
@@ -1145,7 +1227,8 @@ object TxnTable {
                      partitionCols: Seq[String] = Nil,
                      cdf: Option[Boolean] = None,
                      opLabel: Option[String] = None,
-                     mor: Option[Boolean] = None): Long = {
+                     mor: Option[Boolean] = None,
+                     extraTxns: Map[String, Long] = Map.empty): Long = {
     val op = opLabel.getOrElse(if (append) "append" else "overwrite")
     val spark = df.sparkSession
     val ctx = fc(spark)
@@ -1160,6 +1243,10 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
+    // CHECK constraints gate every commit that introduces rows — one
+    // violating row aborts BEFORE any data file lands (validated against
+    // the snapshot observed here; see enforceChecks for the contract)
+    state.map(_.checks).foreach(enforceChecks(df, table, _))
     // partitioning is STICKY: an explicit spec wins (and re-partitions
     // the table on overwrite); otherwise appends conform to the prior
     // snapshot's recorded partition columns automatically. Partition
@@ -1180,7 +1267,7 @@ object TxnTable {
       val next = state.map(_.version + 1L).getOrElse(1L)
       val priorTxns = state.map(_.txns).getOrElse(Map.empty[String, Long])
       val txns = priorTxns ++ txn.map { case (a, b) =>
-        a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) }
+        a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) } ++ extraTxns
       val files =
         if (append) state.map(_.files).getOrElse(Nil) ++ newFiles else newFiles
       val stats: Map[String, Seq[FileStat]] =
@@ -1224,14 +1311,19 @@ object TxnTable {
       // the delete is fully materialized and leaves the log
       def liveDels =
         dels.filter(d => files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
+      // constraints and the retired-name list are snapshot state like
+      // the schema: carried forward by every commit, append or overwrite
+      val chks = state.map(_.checks).getOrElse(Map.empty[String, String])
+      val ret = state.map(_.retired).getOrElse(Nil)
       val content =
         if (writeFull)
           manifestContent(schema, txns, stats, files, blooms, rows, partCols,
-            op = op, cdf = cdfOn, mor = morOn, dels = liveDels, addv = addvAll)
+            op = op, cdf = cdfOn, mor = morOn, dels = liveDels, addv = addvAll,
+            checks = chks, retired = ret)
         else deltaContent(schema, txns, newStats, removed = Nil,
           added = newFiles, base = state.get.version, newBlooms = newBlooms,
           newRows = newRows, partCols = partCols, op = op, cdf = cdfOn,
-          mor = morOn)
+          mor = morOn, checks = chks, retired = ret)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1505,6 +1597,10 @@ object TxnTable {
   def merge(updates: DataFrame, table: String, keyCol: String): Long = {
     val spark = updates.sparkSession
     val ctx = fc(spark)
+    // upserted rows are new/changed data: the constraint gate applies
+    // (untouched carried-forward rows were validated by their own write)
+    latestState(spark, table).map(_.checks)
+      .foreach(enforceChecks(updates, table, _))
     var attempt = 0
     while (attempt < 16) {
       val st = latestState(spark, table).getOrElse(
@@ -1670,13 +1766,13 @@ object TxnTable {
               mor = base.mor,
               dels = base.dels.filter(d =>
                 files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
-              addv = addvAll)
+              addv = addvAll, checks = base.checks, retired = base.retired)
           }
         else deltaContent(schema, txns(base), newStats,
           removed = removedFiles, added = newFiles, base = base.version,
           newBlooms = newBlooms, newRows = newRows, partCols = base.partCols,
           op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel,
-          mor = base.mor)
+          mor = base.mor, checks = base.checks, retired = base.retired)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return Some(next)
@@ -1746,6 +1842,9 @@ object TxnTable {
       compute(snap, st.version) match {
         case None => return st.version
         case Some(rw) =>
+          // a rewrite's replacement rows are MODIFIED data (SQL UPDATE /
+          // MERGE): the constraint gate applies to them like any write
+          enforceChecks(rw.replacement.drop(ChangeTypeCol), table, st.checks)
           val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
           val removed = rw.removed.map { r =>
             val base = r.substring(r.lastIndexOf('/') + 1)
@@ -1885,11 +1984,13 @@ object TxnTable {
             manifestContent(schema, base.txns, base.stats, base.files,
               base.blooms, base.rows, base.partCols, op = "delete",
               cdf = base.cdf, cdcAdd = cdcAdd,
-              mor = true, dels = base.dels ++ dels, addv = base.addv)
+              mor = true, dels = base.dels ++ dels, addv = base.addv,
+              checks = base.checks, retired = base.retired)
           else deltaContent(schema, base.txns,
             Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
             base = base.version, partCols = base.partCols, op = "delete",
-            cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels)
+            cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels,
+            checks = base.checks, retired = base.retired)
         if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
           writePointer(ctx, table, next)
           return next
@@ -1970,6 +2071,8 @@ object TxnTable {
         case Some(mw) =>
           mw.keyCols.foreach(k => require(schema.fieldNames.contains(k),
             s"merge-on-read upsert key '$k' is not a column of $table"))
+          // appended rows are NEW data: the constraint gate applies
+          mw.appended.foreach(enforceChecks(_, table, st.checks))
           // appended rows first: writeData's stats read-back pass must
           // run before anything else lands under the commit's data dir
           val (dataDir, newFiles, newStats, newBlooms, newRows) =
@@ -2028,12 +2131,13 @@ object TxnTable {
                   cdf = base.cdf, cdcAdd = cdcAdd, mor = true,
                   dels = (base.dels ++ dels).filter(d =>
                     files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
-                  addv = addvAll)
+                  addv = addvAll, checks = base.checks, retired = base.retired)
               } else deltaContent(schema, base.txns, newStats,
                 removed = Nil, added = newFiles, base = base.version,
                 newBlooms = newBlooms, newRows = newRows,
                 partCols = base.partCols, op = op, cdf = base.cdf,
-                cdcAdd = cdcAdd, mor = true, newDels = dels)
+                cdcAdd = cdcAdd, mor = true, newDels = dels,
+                checks = base.checks, retired = base.retired)
             if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
               writePointer(ctx, table, next)
               return next
@@ -2610,7 +2714,13 @@ object TxnTable {
           target.blooms, target.rows, target.partCols,
           op = "restore", cdf = st.cdf,
           mor = st.mor || target.dels.nonEmpty,
-          dels = target.dels, addv = target.addv)
+          dels = target.dels, addv = target.addv,
+          // constraints are POLICY, not data: a restore rolls back table
+          // content but keeps the current constraint set and the full
+          // retired-name memory (old files coming back is precisely when
+          // the resurrection guard matters most)
+          checks = st.checks,
+          retired = (st.retired ++ target.retired).distinct)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -2620,6 +2730,252 @@ object TxnTable {
     }
     throw new IllegalStateException(
       s"restore of $table lost the manifest race 64 times")
+  }
+
+  // ------------------------------------------------------------ ALTER
+  /** Metadata-only commit: identical files/stats/deletes to the latest
+    * snapshot with a new schema / constraint set — the O(1) spelling of
+    * ALTER TABLE at any table size (one small manifest write; zero data
+    * I/O on a 100 TB table). Written FULL: a schema change is a natural
+    * checkpoint. */
+  private def commitMetadata(spark: SparkSession, table: String, op: String)(
+      f: State => (org.apache.spark.sql.types.StructType,
+                   Map[String, Seq[FileStat]],
+                   Map[String, Seq[BloomMeta]],
+                   Map[String, String], Seq[String])): Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 64) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val (schema, stats, blooms, checks, retired) = f(st)
+      val next = st.version + 1L
+      val content = manifestContent(schema, st.txns, stats, st.files,
+        blooms, st.rows, st.partCols, op = op, cdf = st.cdf, mor = st.mor,
+        dels = st.dels, addv = st.addv, checks = checks, retired = retired)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"$op on $table lost the manifest race 64 times")
+  }
+
+  /** Column names a SQL expression references — used to refuse schema
+    * changes that would orphan a CHECK constraint. */
+  private def exprRefs(spark: SparkSession, sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }
+
+  /** ALTER TABLE … ADD COLUMNS — pure metadata (Delta 0.7 parity, the
+    * reference's declared bar via its shipped delta-core jar): the new
+    * fields join the manifest schema; files written before the change
+    * surface them as NULL through the schema-driven read, exactly like
+    * MERGE…WITH SCHEMA EVOLUTION's data path. Re-adding a name that a
+    * DROP COLUMN retired is refused — old data files still contain the
+    * dropped column, and without parquet field-ID column mapping the
+    * re-add would resurrect stale values instead of NULL. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: org.apache.spark.sql.types.StructType): Long =
+    commitMetadata(spark, table, "alter-add") { st =>
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      cols.foreach { c =>
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(c.name)),
+          s"column ${c.name} already exists in $table")
+        require(!st.retired.exists(_.equalsIgnoreCase(c.name)),
+          s"column ${c.name} was previously dropped from $table; old data " +
+            "files still contain it and would resurrect stale values — " +
+            "use a different name")
+      }
+      (org.apache.spark.sql.types.StructType(
+         schema.fields ++ cols.map(_.copy(nullable = true))),
+       st.stats, st.blooms, st.checks, st.retired)
+    }
+
+  /** ALTER TABLE … DROP COLUMN — pure metadata: the field leaves the
+    * manifest schema (schema-driven reads never project it again; the
+    * bytes in existing files become dead weight reclaimed by natural
+    * rewrite churn), its skipping stats/blooms leave the manifest, and
+    * its name joins the RETIRED list so a later re-add can't resurrect
+    * the orphaned values. Refused for partition columns, constraint
+    * inputs, and live merge-on-read delete keys — each would silently
+    * corrupt a machinery that keys on the column. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long =
+    commitMetadata(spark, table, "alter-drop") { st =>
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no such column $name in $table"))
+      require(schema.fields.length > 1,
+        s"cannot drop the only column of $table")
+      require(!st.partCols.map(partSource).exists(_.equalsIgnoreCase(field.name)),
+        s"cannot drop partition column ${field.name} of $table")
+      st.checks.foreach { case (cn, sql) =>
+        require(!exprRefs(spark, sql).exists(_.equalsIgnoreCase(field.name)),
+          s"cannot drop ${field.name}: CHECK constraint $cn references it " +
+            "(DROP CONSTRAINT first)")
+      }
+      require(!st.dels.exists(_.keyCols.exists(_.equalsIgnoreCase(field.name))),
+        s"cannot drop ${field.name}: live merge-on-read deletes key on it " +
+          "(OPTIMIZE to materialize them first)")
+      (org.apache.spark.sql.types.StructType(
+         schema.fields.filterNot(_ eq field)),
+       st.stats.view.mapValues(_.filterNot(_.col == field.name))
+         .filter(_._2.nonEmpty).toMap,
+       st.blooms.view.mapValues(_.filterNot(_.col == field.name))
+         .filter(_._2.nonEmpty).toMap,
+       st.checks, (st.retired :+ field.name).distinct)
+    }
+
+  /** One partitioning entry with its source column renamed —
+    * `days(old)` → `days(new)`, bare `old` → `new`. */
+  private def renameEntry(entry: String, from: String, to: String): String =
+    if (!partSource(entry).equalsIgnoreCase(from)) entry
+    else entry match {
+      case DaysEntry(_) => s"days($to)"
+      case HoursEntry(_) => s"hours($to)"
+      case MonthsEntry(_) => s"months($to)"
+      case YearsEntry(_) => s"years($to)"
+      case _ => to
+    }
+
+  /** ALTER TABLE … RENAME COLUMN — implemented as a FULL REWRITE commit
+    * (read snapshot → rename → overwrite, skipping metadata re-collected
+    * under the new name, partition spec translated). Correct at any
+    * scale but O(table) data I/O; the zero-rewrite spelling requires
+    * parquet field-ID column mapping (Delta 1.2+ / Iceberg), which this
+    * log does not carry yet — and the reference's declared bar, Delta
+    * 0.7, offers no rename at all. The rewrite drops old files from the
+    * snapshot, so the old name needs no retirement: a later re-add of
+    * `from` reads NULL everywhere, as it should. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Long = {
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"$table predates the schema log"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(s"no such column $from in $table"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists in $table")
+    require(!st.retired.exists(_.equalsIgnoreCase(to)),
+      s"column $to was previously dropped from $table; old data files " +
+        "still contain it — use a different name")
+    st.checks.foreach { case (cn, sql) =>
+      require(!exprRefs(spark, sql).exists(_.equalsIgnoreCase(field.name)),
+        s"cannot rename ${field.name}: CHECK constraint $cn references it " +
+          "(DROP CONSTRAINT, rename, re-add)")
+    }
+    val tr: String => String =
+      c => if (c.equalsIgnoreCase(field.name)) to else c
+    val statsCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
+      .map(tr).filterNot(c => st.partCols.map(partSource).contains(c))
+    val bloomCols = st.bloomCols.toSeq.sorted.map(tr)
+    val partCols = st.partCols.map(renameEntry(_, field.name, to))
+    commit(read(spark, table).withColumnRenamed(field.name, to), table,
+      append = false, txn = None, statsCols = statsCols,
+      bloomCols = bloomCols, partitionCols = partCols,
+      opLabel = Some("alter-rename"))
+  }
+
+  // ------------------------------------------------- CHECK constraints
+  /** ALTER TABLE … ADD CONSTRAINT name CHECK (expr) — recorded in the
+    * manifest (snapshot state, survives restore/compaction/DML) and
+    * enforced by [[enforceChecks]] on every row-introducing write path:
+    * append, overwrite, streaming sink, MERGE upsert, SQL UPDATE/MERGE
+    * rewrites, and merge-on-read upserts. `validateExisting` (Delta
+    * semantics) scans the current snapshot once and refuses the
+    * constraint if any committed row already violates it. */
+  def addCheck(spark: SparkSession, table: String, name: String, sql: String,
+               validateExisting: Boolean = true): Long = {
+    // cheap structural validation FIRST (unknown columns, duplicate
+    // name), so a malformed constraint fails with its own message
+    // before the existing-data scan gets a chance to
+    def validate(st: State): org.apache.spark.sql.types.StructType = {
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      require(!st.checks.contains(name),
+        s"constraint $name already exists on $table")
+      exprRefs(spark, sql).foreach(r =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+          s"CHECK constraint $name references unknown column $r"))
+      schema
+    }
+    latestState(spark, table).foreach { st =>
+      validate(st)
+      if (validateExisting)
+        enforceChecks(read(spark, table), table, Map(name -> sql))
+    }
+    commitMetadata(spark, table, "alter-constraint") { st =>
+      (validate(st), st.stats, st.blooms, st.checks + (name -> sql), st.retired)
+    }
+  }
+
+  /** ALTER TABLE … DROP CONSTRAINT name. */
+  def dropCheck(spark: SparkSession, table: String, name: String): Long =
+    commitMetadata(spark, table, "alter-constraint") { st =>
+      require(st.checks.contains(name),
+        s"no constraint $name on $table")
+      (st.schema.getOrElse(throw new IllegalStateException(
+         s"$table predates the schema log")),
+       st.stats, st.blooms, st.checks - name, st.retired)
+    }
+
+  /** The latest snapshot's CHECK constraints (name → SQL). */
+  def checkConstraints(spark: SparkSession,
+                       table: String): Map[String, String] =
+    latestState(spark, table).map(_.checks).getOrElse(Map.empty)
+
+  // --------------------------------------------------------- COPY INTO
+  /** `COPY INTO` — batch, idempotent, file-manifest ingestion: the
+    * lakehouse spelling of the reference's landing→curated copy hop
+    * (ref `dags/s3-etl-wallet-csv.py:161-176`, which moved whole files
+    * between zones and relied on deleting the source for exactly-once).
+    * Each source file's path is recorded as a `copy:<path>` txn marker
+    * IN THE SAME ATOMIC COMMIT as its rows, so re-offering a file — a
+    * re-run of the daily load, an overlapping glob, a crash between
+    * ingest and source cleanup — ingests nothing the second time.
+    * Markers ride the txn header (O(ingested files) small manifest
+    * lines, carried like streaming batch markers). Listing cost is one
+    * glob of the source prefix per call; data cost is the new files
+    * only. Concurrent COPY INTO of the SAME source can race to ingest
+    * the same file twice (the marker check happens before the commit
+    * CAS); run one loader per source prefix — the contract this serves
+    * is idempotent REPLAY, not concurrent dedup. Returns (version,
+    * newly ingested source paths). */
+  def copyInto(spark: SparkSession, table: String, source: String,
+               format: String = "parquet", pattern: String = "*",
+               schema: Option[org.apache.spark.sql.types.StructType] = None,
+               statsCols: Seq[String] = Nil): (Long, Seq[String]) = {
+    val ctx = fc(spark)
+    val matches = ctx.util().globStatus(new Path(new Path(source), pattern))
+      .filterNot(_.isDirectory)
+    val st = latestState(spark, table)
+    val done = st.map(_.txns.keySet).getOrElse(Set.empty[String])
+    val fresh = matches.map(_.getPath)
+      .filter(p => !done(s"copy:${p.toUri.getPath}")).toSeq
+      .sortBy(_.toUri.getPath)
+    if (fresh.isEmpty) return (st.map(_.version).getOrElse(0L), Nil)
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val df = format.toLowerCase match {
+      case "parquet" => reader.parquet(fresh.map(_.toString): _*)
+      case "csv" =>
+        reader.options(Map("header" -> "true", "encoding" -> "UTF-8"))
+          .csv(fresh.map(_.toString): _*)
+      case "json" => reader.json(fresh.map(_.toString): _*)
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO supports parquet/csv/json, got $other")
+    }
+    val v = commit(df, table, append = true, txn = None,
+      statsCols = statsCols, opLabel = Some("copy-into"),
+      extraTxns = fresh.map(p => s"copy:${p.toUri.getPath}" -> 1L).toMap)
+    (v, fresh.map(_.toUri.getPath))
   }
 
   /** Compaction: rewrite the committed snapshot into `targetFiles` files
@@ -2692,11 +3048,13 @@ object TxnTable {
               st.dels.filter(d =>
                 files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
             },
-            addv = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap)
+            addv = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap,
+            checks = st.checks, retired = st.retired)
         else deltaContent(schema, st.txns, newStats,
           removed = removed, added = newFiles, base = st.version,
           newBlooms = newBlooms, newRows = newRows, partCols = st.partCols,
-          op = "compact", cdf = st.cdf, mor = st.mor)
+          op = "compact", cdf = st.cdf, mor = st.mor,
+          checks = st.checks, retired = st.retired)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next

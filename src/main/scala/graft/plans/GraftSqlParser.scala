@@ -88,6 +88,45 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
+  // ALTER TABLE family — intercepted ONLY when the target is a graft
+  // table (quoted path, or identifier resolving to provider=graft);
+  // every other ALTER TABLE falls through to Spark's own grammar.
+  private val AlterAddColsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
+  private val AlterDropColStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+COLUMN\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
+  private val AlterRenameColStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w]+)\s+TO\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
+  private val AlterAddCheckStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ADD\s+CONSTRAINT\s+(`[^`]+`|[\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val AlterDropCheckStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+CONSTRAINT\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
+  private val AlterNotNullStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  // COPY INTO <target> FROM '<source dir>'
+  //   [FILEFORMAT = parquet|csv|json] [PATTERN = '<glob>']
+  private val CopyIntoStmt =
+    """(?is)\s*COPY\s+INTO\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+FROM\s+('[^']+'|"[^"]+")\s*(?:FILEFORMAT\s*=\s*(\w+)\s*)?(?:PATTERN\s*=\s*('[^']+'|"[^"]+")\s*)?;?\s*""".r
+
+  private def unquoteId(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Is `raw` a graft target this parser owns? Quoted paths always are;
+    * identifiers only when the session catalog says provider=graft —
+    * otherwise Spark's own ALTER TABLE grammar must see the statement. */
+  private def graftTarget(raw: String): Boolean = {
+    val t = raw.trim
+    if (t.startsWith("'") || t.startsWith("\"")) true
+    else try {
+      val spark = SparkSession.active
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
+      GraftCatalog.pathOf(spark, parts).isDefined
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   private[plans] def parseMaintenance(sql: String): Option[LogicalPlan] =
     sql match {
@@ -105,6 +144,24 @@ object GraftSqlParser {
         Some(GraftTableFunctions.history(Seq(
           org.apache.spark.sql.catalyst.expressions.Literal(
             resolveTarget(SparkSession.active, target)))))
+      case AlterAddCheckStmt(target, name, expr) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "add-check",
+          Seq(unquoteId(name), expr.trim)))
+      case AlterDropCheckStmt(target, name) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "drop-check", Seq(unquoteId(name))))
+      case AlterAddColsStmt(target, colsDdl) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "add-columns", Seq(colsDdl.trim)))
+      case AlterDropColStmt(target, col) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "drop-column", Seq(unquoteId(col))))
+      case AlterRenameColStmt(target, from, to) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "rename-column",
+          Seq(unquoteId(from), unquoteId(to))))
+      case AlterNotNullStmt(target, col) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "set-not-null", Seq(unquoteId(col))))
+      case CopyIntoStmt(target, source, format, pattern) if graftTarget(target) =>
+        Some(GraftCopyIntoCommand(target, unquote(source),
+          Option(format).map(_.toLowerCase).getOrElse("parquet"),
+          Option(pattern).map(unquote).getOrElse("*")))
       case _ => None
     }
 
@@ -114,6 +171,37 @@ object GraftSqlParser {
         (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
       t.substring(1, t.length - 1)
     else t
+  }
+
+  /** After a manifest-level schema change (ALTER TABLE, first COPY INTO
+    * into a declared-empty table), push the new snapshot schema into the
+    * session catalog entry for identifier targets — `spark.table(name)`
+    * resolves through the CATALOG's stored schema, which CREATE TABLE
+    * froze at creation time. Quoted-path targets have no catalog entry
+    * and need nothing. */
+  private[plans] def syncCatalogSchema(spark: SparkSession, raw: String): Unit = {
+    val t = raw.trim
+    if (t.startsWith("'") || t.startsWith("\"")) return
+    try {
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
+      val ident = parts match {
+        case Seq(tb) => TableIdentifier(tb)
+        case Seq(db, tb) => TableIdentifier(tb, Some(db))
+        case Seq(cat, db, tb) if cat.equalsIgnoreCase("spark_catalog") =>
+          TableIdentifier(tb, Some(db))
+        case _ => return
+      }
+      val catalog = spark.sessionState.catalog
+      if (!catalog.tableExists(ident)) return
+      val path = GraftCatalog.pathOf(spark, parts).getOrElse(return)
+      TxnTable.latestVersion(spark, path)
+        .flatMap(v => TxnTable.snapshotSchema(spark, path, v))
+        .foreach { s =>
+          val meta = catalog.getTableMetadata(ident)
+          catalog.alterTable(meta.copy(schema = s))
+          catalog.refreshTable(ident)
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Quoted target = literal path; identifier target = session-catalog
@@ -152,6 +240,20 @@ case class GraftRestoreCommand(target: String, byVersion: Boolean,
   override def output: Seq[Attribute] = Nil
 }
 
+/** ALTER TABLE on a graft table. `kind` selects the operation; `args`
+  * carries its operands (column DDL, names, or constraint SQL). */
+case class GraftAlterCommand(target: String, kind: String, args: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Idempotent batch file ingestion (COPY INTO). */
+case class GraftCopyIntoCommand(target: String, source: String,
+                                format: String, pattern: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 object GraftMaintenanceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftVacuumCommand(target, hours, keep) =>
@@ -182,6 +284,38 @@ object GraftMaintenanceStrategy extends SparkStrategy {
               s"$table has no version committed at or before $asOf"))
         TxnTable.restore(spark, table, v)
         ()
+      }) :: Nil
+    case GraftAlterCommand(target, kind, args) =>
+      GraftDmlExec(s"ALTER TABLE $target ($kind)", () => {
+        val spark = SparkSession.active
+        val table = GraftSqlParser.resolveTarget(spark, target)
+        kind match {
+          case "add-columns" =>
+            TxnTable.addColumns(spark, table,
+              spark.sessionState.sqlParser.parseTableSchema(args.head))
+          case "drop-column" =>
+            TxnTable.dropColumn(spark, table, args.head)
+          case "rename-column" =>
+            TxnTable.renameColumn(spark, table, args(0), args(1))
+          case "add-check" =>
+            TxnTable.addCheck(spark, table, args(0), args(1))
+          case "drop-check" =>
+            TxnTable.dropCheck(spark, table, args.head)
+          case "set-not-null" =>
+            // NOT NULL is a named check, so DROP CONSTRAINT can undo it
+            TxnTable.addCheck(spark, table, s"${args.head}_not_null",
+              s"`${args.head}` IS NOT NULL")
+          case other => throw new IllegalStateException(
+            s"unknown ALTER kind $other")
+        }
+        GraftSqlParser.syncCatalogSchema(spark, target)
+      }) :: Nil
+    case GraftCopyIntoCommand(target, source, format, pattern) =>
+      GraftDmlExec(s"COPY INTO $target", () => {
+        val spark = SparkSession.active
+        val table = GraftSqlParser.resolveTarget(spark, target)
+        TxnTable.copyInto(spark, table, source, format, pattern)
+        GraftSqlParser.syncCatalogSchema(spark, target)
       }) :: Nil
     case _ => Nil
   }

@@ -1,0 +1,220 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.TxnTable
+
+/** ALTER TABLE schema evolution, CHECK constraints, and COPY INTO —
+  * the manifest-level semantics behind k120-k122 (FormatOps), tested
+  * at the API level plus the SQL-statement edges the queries don't
+  * cover (non-graft passthrough, drop refusals, constraint/column
+  * interlocks). */
+class AlterTableSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def withZone(f: String => Unit): Unit = {
+    val zone = java.nio.file.Files.createTempDirectory("graft_alter").toFile
+    try f(zone.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(zone)
+    }
+  }
+
+  private def seed(table: String): Unit = {
+    import spark.implicits._
+    TxnTable.commitOverwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "tag", "v").repartition(2),
+      table, statsCols = Seq("id"))
+  }
+
+  test("addColumns is metadata-only and NULL-backfills old files") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      seed(table)
+      val filesBefore = TxnTable.snapshotFiles(spark, table, 1L)
+      TxnTable.addColumns(spark, table,
+        StructType(Seq(StructField("extra", DoubleType))))
+      assert(TxnTable.snapshotFiles(spark, table, 2L) == filesBefore)
+      val df = TxnTable.read(spark, table)
+      assert(df.columns.toSeq == Seq("id", "tag", "v", "extra"))
+      assert(df.filter(col("extra").isNotNull).isEmpty)
+      // appends may now carry the column; old rows still read NULL
+      import spark.implicits._
+      TxnTable.commitAppend(
+        Seq((4L, "d", 40.0, 7.5)).toDF("id", "tag", "v", "extra"), table)
+      val out = TxnTable.read(spark, table)
+        .select("id", "extra").collect().map(r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      assert(out == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some(7.5)))
+    }
+  }
+
+  test("dropColumn removes the field, its stats, and retires the name") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      seed(table)
+      TxnTable.dropColumn(spark, table, "tag")
+      assert(TxnTable.read(spark, table).columns.toSeq == Seq("id", "v"))
+      // the stats for the dropped column leave the manifest
+      val stats = TxnTable.fileStats(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      assert(!stats.values.flatten.exists(_.col == "tag"))
+      // re-adding the dropped name must be refused (stale resurrection)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.addColumns(spark, table,
+          StructType(Seq(StructField("tag", StringType))))
+      }
+      assert(e.getMessage.contains("previously dropped"))
+      // a DIFFERENT name is fine
+      TxnTable.addColumns(spark, table,
+        StructType(Seq(StructField("tag2", StringType))))
+      assert(TxnTable.read(spark, table).columns.contains("tag2"))
+    }
+  }
+
+  test("dropColumn refuses partition columns and the last column") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, "x")).toDF("id", "p"), table, partitionCols = Seq("p"))
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.dropColumn(spark, table, "p")
+      }.getMessage.contains("partition column"))
+      TxnTable.dropColumn(spark, table, "id")
+      // p is now the only column left
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.dropColumn(spark, table, "p")
+      }.getMessage.contains("only column"))
+    }
+  }
+
+  test("renameColumn rewrites data and translates stats + partitioning") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "p", "v"),
+        table, statsCols = Seq("id"), partitionCols = Seq("p"))
+      TxnTable.renameColumn(spark, table, "id", "row_id")
+      val df = TxnTable.read(spark, table)
+      assert(df.columns.toSeq.sorted == Seq("p", "row_id", "v"))
+      assert(df.select(sum("row_id")).head.getLong(0) == 3L)
+      val v = TxnTable.latestVersion(spark, table).get
+      val stats = TxnTable.fileStats(spark, table, v)
+      assert(stats.values.flatten.exists(_.col == "row_id"))
+      assert(!stats.values.flatten.exists(_.col == "id"))
+      assert(TxnTable.partitionColumns(spark, table) == Seq("p"))
+      // renaming the partition column translates the recorded spec
+      TxnTable.renameColumn(spark, table, "p", "part")
+      assert(TxnTable.partitionColumns(spark, table) == Seq("part"))
+      assert(TxnTable.read(spark, table)
+        .filter(col("part") === "x").count() == 1L)
+    }
+  }
+
+  test("CHECK constraints gate append, merge, and survive restore") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      seed(table)
+      TxnTable.addCheck(spark, table, "v_pos", "v > 0")
+      // append of a violating row throws and lands nothing
+      val n0 = TxnTable.read(spark, table).count()
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.commitAppend(
+          Seq((9L, "z", -1.0)).toDF("id", "tag", "v"), table)
+      }
+      assert(e.getMessage.contains("v_pos"))
+      assert(TxnTable.read(spark, table).count() == n0)
+      // NULL passes a plain check (SQL semantics)…
+      TxnTable.commitAppend(
+        Seq((10L, "n", Option.empty[Double])).toDF("id", "tag", "v"), table)
+      // …until an explicit NOT NULL check is added — which must refuse
+      // to even attach while a violating row is committed
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.addCheck(spark, table, "v_nn", "v IS NOT NULL")
+      }.getMessage.contains("v_nn"))
+      // merge-path enforcement
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.merge(Seq((1L, "a", -5.0)).toDF("id", "tag", "v"),
+          table, "id")
+      }.getMessage.contains("v_pos"))
+      // restore keeps the constraint set
+      val vNow = TxnTable.latestVersion(spark, table).get
+      TxnTable.restore(spark, table, 1L)
+      assert(TxnTable.checkConstraints(spark, table).contains("v_pos"))
+      TxnTable.restore(spark, table, vNow)
+      TxnTable.dropCheck(spark, table, "v_pos")
+      TxnTable.commitAppend(
+        Seq((11L, "ok", -2.0)).toDF("id", "tag", "v"), table)
+      assert(TxnTable.checkConstraints(spark, table).isEmpty)
+    }
+  }
+
+  test("addCheck validates existing rows and unknown columns") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      seed(table)
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.addCheck(spark, table, "too_strict", "v > 25.0")
+      }.getMessage.contains("too_strict"))
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.addCheck(spark, table, "ghost", "nope > 0")
+      }.getMessage.contains("unknown column"))
+      // constraint blocks dropping its input column
+      TxnTable.addCheck(spark, table, "v_pos", "v > 0")
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.dropColumn(spark, table, "v")
+      }.getMessage.contains("v_pos"))
+    }
+  }
+
+  test("copyInto ingests each source file exactly once") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      val landing = s"$zone/landing"
+      def drop(name: String, rows: Seq[(Long, Double)]): Unit =
+        graft.io.Tables.writeSingleFile(
+          rows.toDF("id", "v"), s"$landing/$name")
+      drop("a.parquet", Seq((1L, 1.0), (2L, 2.0)))
+      drop("b.parquet", Seq((3L, 3.0)))
+      val (v1, in1) = TxnTable.copyInto(spark, table, landing,
+        pattern = "*.parquet", statsCols = Seq("id"))
+      assert(in1.size == 2 && TxnTable.read(spark, table).count() == 3L)
+      // replay: nothing new
+      val (v2, in2) = TxnTable.copyInto(spark, table, landing,
+        pattern = "*.parquet")
+      assert(v2 == v1 && in2.isEmpty)
+      assert(TxnTable.read(spark, table).count() == 3L)
+      // late arrival: only the new file
+      drop("c.parquet", Seq((4L, 4.0)))
+      val (_, in3) = TxnTable.copyInto(spark, table, landing,
+        pattern = "*.parquet")
+      assert(in3.size == 1)
+      assert(TxnTable.read(spark, table)
+        .select(sum("id")).head.getLong(0) == 10L)
+    }
+  }
+
+  test("SQL ALTER TABLE on a non-graft table falls through to Spark") {
+    // a plain parquet-backed catalog table must hit Spark's own grammar
+    // (which supports ADD COLUMNS for v1 tables) — not the graft path
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS alter_plain_t")
+    Seq((1, "a")).toDF("i", "s").write.saveAsTable("alter_plain_t")
+    try {
+      spark.sql("ALTER TABLE alter_plain_t ADD COLUMNS (j INT)")
+      assert(spark.table("alter_plain_t").columns.toSeq == Seq("i", "s", "j"))
+    } finally spark.sql("DROP TABLE alter_plain_t")
+  }
+}
