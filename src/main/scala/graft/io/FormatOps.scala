@@ -2578,6 +2578,87 @@ object FormatOps {
       |WHERE l_returnflag <> 'R' AND l_linenumber <> 7
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- k124
+  /** SHALLOW CLONE — the zero-copy dev/test fork: `CREATE TABLE …
+    * SHALLOW CLONE` writes ONE manifest (REQUIREd: no parquet lands
+    * under the clone), the clone diverges via its own UPDATE + append
+    * while the SOURCE is REQUIREd byte-identical (same version, same
+    * file set), and a full OPTIMIZE then VACUUM on the clone REQUIREs
+    * every source data file still on disk — the clone's maintenance
+    * can never reclaim source bytes. Oracle replays the divergence
+    * from raw customer. */
+  private def k124(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k124_clone")
+    try {
+      val source = s"$zone/src_txn"
+      val clone = s"$zone/fork_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+        .repartitionByRange(4, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(source)
+      val srcV = TxnTable.latestVersion(spark, source).get
+      val srcFiles = TxnTable.snapshotFiles(spark, source, srcV)
+      spark.sql(s"CREATE TABLE '$clone' SHALLOW CLONE '$source'")
+      def parquetUnder(p: String): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(new java.io.File(p))
+      }
+      require(parquetUnder(clone).isEmpty,
+        "SHALLOW CLONE must be zero-copy: no data files under the clone")
+      spark.sql(s"CREATE TABLE graft_k124_t USING graft OPTIONS (path '$clone')")
+      try {
+        // the clone diverges…
+        spark.sql(
+          """UPDATE graft_k124_t SET c_acctbal = c_acctbal + 1000.0
+            |WHERE c_custkey <= 100""".stripMargin)
+        TxnTable.commitAppend(
+          Tables.customer(spark, dir).filter($"c_custkey" <= 20)
+            .select(($"c_custkey" + 5000000L).as("c_custkey"),
+              lit(42.0d).as("c_acctbal")),
+          clone, statsCols = Seq("c_custkey"))
+        // …and the source is untouched: same version, same files
+        require(TxnTable.latestVersion(spark, source).get == srcV &&
+            TxnTable.snapshotFiles(spark, source, srcV) == srcFiles,
+          "clone divergence must leave the source version and files alone")
+        // full materialization + vacuum on the CLONE must not reclaim
+        // a single SOURCE byte
+        TxnTable.compact(spark, clone, targetFiles = 2)
+        TxnTable.vacuum(spark, clone, keep = 0)
+        require(srcFiles.forall(f =>
+            new java.io.File(s"$source/$f").isFile),
+          "clone OPTIMIZE+VACUUM must never delete source data files")
+        val result = spark.sql(
+          """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k124_t""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k124_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k124Sql =
+    """WITH forked AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey <= 100 THEN c_acctbal + 1000.0
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 5000000, 42.0 FROM customer WHERE c_custkey <= 20
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM forked""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2626,5 +2707,6 @@ object FormatOps {
     RQ("k120_alter_columns", k120, Some(k120Sql)),
     RQ("k121_check_constraints", k121, Some(k121Sql)),
     RQ("k122_copy_into", k122, Some(k122Sql)),
-    RQ("k123_mor_read", k123, Some(k123Sql), bench = true))
+    RQ("k123_mor_read", k123, Some(k123Sql), bench = true),
+    RQ("k124_shallow_clone", k124, Some(k124Sql)))
 }

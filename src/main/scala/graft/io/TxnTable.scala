@@ -2978,6 +2978,64 @@ object TxnTable {
     (v, fresh.map(_.toUri.getPath))
   }
 
+  // ------------------------------------------------------ SHALLOW CLONE
+  /** `CREATE TABLE … SHALLOW CLONE` — a zero-copy dev/test fork: the
+    * clone's v1 manifest references the source snapshot's data files BY
+    * RELATIVE PATH (`../src/w=…/part….parquet`) and copies its schema,
+    * stats, blooms, partitioning, constraints, and txn markers. No data
+    * moves at any table size — cloning a 100 TB table writes one small
+    * manifest. The clone then lives its own life: appends/DML land
+    * local files, compaction gradually materializes referenced data
+    * locally, and the clone's VACUUM can never touch source bytes (its
+    * sweep is confined to the clone's own `w=` dirs, and referenced-set
+    * logic only ever deletes swept files). Caveats, both Delta-parity:
+    * the SOURCE's vacuum does not know about clones — vacuuming source
+    * history a clone still references breaks the clone; and relative
+    * escape paths require a hierarchical filesystem (refused when
+    * either side carries a URI scheme). Live merge-on-read deletes are
+    * refused (their version gates are source-relative — OPTIMIZE the
+    * source first to materialize them). */
+  def cloneShallow(spark: SparkSession, source: String, dest: String,
+                   version: Option[Long] = None): Long = {
+    val ctx = fc(spark)
+    require(!source.contains("://") && !dest.contains("://"),
+      "SHALLOW CLONE resolves source files by relative path and needs a " +
+        "hierarchical filesystem — URI-schemed paths are not supported")
+    val srcV = version.getOrElse(latestVersion(spark, source).getOrElse(
+      throw new IllegalStateException(s"no committed version in $source")))
+    val st = stateOf(spark, source, srcV)
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"$source@v$srcV predates the schema log — cannot clone"))
+    // same liveness rule as the commit path: a delete entry is dead once
+    // no surviving file predates its gate (e.g. after a compaction that
+    // hasn't reached its pruning checkpoint yet)
+    val liveDels = st.dels.filter(d =>
+      st.files.exists(f => st.addv.getOrElse(f, 0L) < d.version))
+    require(liveDels.isEmpty,
+      s"$source@v$srcV carries live merge-on-read deletes whose version " +
+        "gates are source-relative — OPTIMIZE the source to materialize " +
+        "them, then clone")
+    require(latestVersion(spark, dest).isEmpty,
+      s"$dest already has commits — SHALLOW CLONE creates a NEW table")
+    val rel = {
+      val d = java.nio.file.Paths.get(dest).toAbsolutePath.normalize
+      val s = java.nio.file.Paths.get(source).toAbsolutePath.normalize
+      d.relativize(s).toString
+    }
+    def pf(f: String) = s"$rel/$f"
+    val content = manifestContent(schema, st.txns,
+      st.stats.map { case (f, v) => pf(f) -> v },
+      st.files.map(pf),
+      st.blooms.map { case (f, v) => pf(f) -> v },
+      st.rows.map { case (f, v) => pf(f) -> v },
+      st.partCols, op = "clone", cdf = st.cdf, mor = st.mor,
+      checks = st.checks, retired = st.retired)
+    require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
+      s"$dest was concurrently initialized — clone aborted")
+    writePointer(ctx, dest, 1L)
+    1L
+  }
+
   /** Compaction: rewrite the committed snapshot into `targetFiles` files
     * as a NEW version (readers on the old version are never disturbed —
     * same commit path as any write). The small-files answer for a table

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
@@ -103,6 +104,9 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+CONSTRAINT\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
   private val AlterNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  // CREATE TABLE <dest> SHALLOW CLONE <source> [VERSION AS OF n]
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SHALLOW\s+CLONE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
   // COPY INTO <target> FROM '<source dir>'
   //   [FILEFORMAT = parquet|csv|json] [PATTERN = '<glob>']
   private val CopyIntoStmt =
@@ -162,6 +166,9 @@ object GraftSqlParser {
         Some(GraftCopyIntoCommand(target, unquote(source),
           Option(format).map(_.toLowerCase).getOrElse("parquet"),
           Option(pattern).map(unquote).getOrElse("*")))
+      case CloneStmt(target, source, version) if graftTarget(source) =>
+        Some(GraftCloneCommand(target, source,
+          Option(version).map(_.toLong)))
       case _ => None
     }
 
@@ -254,6 +261,13 @@ case class GraftCopyIntoCommand(target: String, source: String,
   override def output: Seq[Attribute] = Nil
 }
 
+/** Zero-copy table fork (CREATE TABLE … SHALLOW CLONE …). */
+case class GraftCloneCommand(target: String, source: String,
+                             version: Option[Long])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 object GraftMaintenanceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftVacuumCommand(target, hours, keep) =>
@@ -316,6 +330,46 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val table = GraftSqlParser.resolveTarget(spark, target)
         TxnTable.copyInto(spark, table, source, format, pattern)
         GraftSqlParser.syncCatalogSchema(spark, target)
+      }) :: Nil
+    case GraftCloneCommand(target, source, version) =>
+      GraftDmlExec(s"SHALLOW CLONE $source", () => {
+        val spark = SparkSession.active
+        val src = GraftSqlParser.resolveTarget(spark, source)
+        val t = target.trim
+        if (t.startsWith("'") || t.startsWith("\"")) {
+          // path-addressed clone: no catalog entry
+          TxnTable.cloneShallow(spark, src,
+            GraftSqlParser.resolveTarget(spark, t), version)
+          ()
+        } else {
+          // identifier clone: materialize under the warehouse default
+          // location and register a graft catalog entry over it
+          val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
+          val ident = parts match {
+            case Seq(tb) => TableIdentifier(tb)
+            case Seq(db, tb) => TableIdentifier(tb, Some(db))
+            case _ => throw new IllegalArgumentException(
+              s"unsupported clone target identifier $t")
+          }
+          val catalog = spark.sessionState.catalog
+          require(!catalog.tableExists(ident),
+            s"table $t already exists — SHALLOW CLONE creates a NEW table")
+          val loc = catalog.defaultTablePath(ident)
+          val path = new Path(loc).toUri.getPath
+          TxnTable.cloneShallow(spark, src, path, version)
+          val schema = TxnTable.snapshotSchema(spark, path, 1L).get
+          import org.apache.spark.sql.catalyst.catalog.{
+            CatalogStorageFormat, CatalogTable, CatalogTableType}
+          catalog.createTable(CatalogTable(
+            identifier = ident,
+            tableType = CatalogTableType.EXTERNAL,
+            storage = CatalogStorageFormat.empty.copy(
+              locationUri = Some(new java.net.URI(s"file:$path")),
+              properties = Map("path" -> path)),
+            schema = schema,
+            provider = Some("graft")), ignoreIfExists = false)
+          ()
+        }
       }) :: Nil
     case _ => Nil
   }
