@@ -150,12 +150,19 @@ object DedupOps {
     // across verify/bench runs), while checkpoint blocks are freed by the
     // ContextCleaner as soon as the frame is unreferenced.
     val sig = sigFrame(spark, dir).localCheckpoint()
-    val pairs = (1 to 4).map { k =>
-      val a = sig.select($"doc_id".as("doc_a"), col(s"band$k").as("bk"))
-      val b = sig.select($"doc_id".as("doc_b"), col(s"band$k").as("bk"))
-      a.join(b, "bk").filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
-    }.reduce(_ union _)
-    pairs.distinct()
+    // ONE self-join on the composite (band index, band hash) instead of
+    // four band-wise self-joins: posexplode is narrow, so the whole
+    // candidate generation pays one shuffle per join leg + the distinct,
+    // where the per-band spelling paid four joins and a union — same
+    // candidate set, ~3 fewer shuffles of the signature table (the
+    // difference between one pass and four over a 100 TB corpus).
+    val ex = sig.select($"doc_id",
+      posexplode(array((1 to 4).map(k => col(s"band$k")): _*))
+        .as(Seq("k", "bk")))
+    ex.select($"doc_id".as("doc_a"), $"k", $"bk")
+      .join(ex.select($"doc_id".as("doc_b"), $"k", $"bk"), Seq("k", "bk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
   }
 
   private def d37(spark: SparkSession, dir: String): DataFrame = {
