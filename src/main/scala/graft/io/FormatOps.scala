@@ -2659,6 +2659,91 @@ object FormatOps {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
       |FROM forked""".stripMargin
 
+  // --------------------------------------------------------------- k125
+  /** replaceWhere — THE daily-re-ingest primitive (Delta's scoped
+    * overwrite): atomically swap exactly one partition's rows for a
+    * recomputed frame. On the identity-partitioned layout the replace
+    * is REQUIREd file-surgical: every file of every OTHER partition
+    * carries by path identity (zero read, zero write amplification —
+    * re-ingesting one day of a 100 TB table touches one day), and the
+    * replacement is a true replace, not an update — the new frame has
+    * FEWER rows (odd custkeys dropped) and the oracle replays exactly
+    * that. Incoming rows outside the predicate are REQUIREd to refuse.
+    * Exercised through the writer-option spelling
+    * (`.option("replaceWhere", "c_mktsegment = 'BUILDING'")`). */
+  private def k125(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k125_rw")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .partitionBy("c_mktsegment")
+        .mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.snapshotFiles(spark, table, v1)
+      val stats1 = TxnTable.fileStats(spark, table, v1)
+      val buildingFiles = before.filter(f =>
+        stats1.getOrElse(f, Nil).exists(s =>
+          s.col == "c_mktsegment" && s.minV == "BUILDING" && s.maxV == "BUILDING"))
+      require(buildingFiles.nonEmpty && buildingFiles.size < before.size,
+        "layout precondition: BUILDING must own some but not all files")
+      // rows OUTSIDE the predicate refuse before anything lands
+      val refused =
+        try {
+          Tables.customer(spark, dir).limit(10)
+            .select($"c_custkey", lit("MACHINERY").as("c_mktsegment"),
+              $"c_acctbal")
+            .write.format("graft").mode("overwrite")
+            .option("replaceWhere", "c_mktsegment = 'BUILDING'").save(table)
+          false
+        } catch { case e: Throwable =>
+          e.getMessage != null && e.getMessage.contains("replaceWhere") }
+      require(refused && TxnTable.latestVersion(spark, table).get == v1,
+        "out-of-predicate rows must refuse and land nothing")
+      // the real replace: BUILDING recomputed with fewer rows + new bals
+      Tables.customer(spark, dir)
+        .filter($"c_mktsegment" === "BUILDING" && $"c_custkey" % 2 === 0)
+        .select($"c_custkey", $"c_mktsegment",
+          ($"c_acctbal" + 500.0d).as("c_acctbal"))
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "c_mktsegment = 'BUILDING'").save(table)
+      val v2 = TxnTable.latestVersion(spark, table).get
+      val after = TxnTable.snapshotFiles(spark, table, v2)
+      require(before.filterNot(buildingFiles.toSet)
+          .forall(after.contains),
+        "replaceWhere must carry every other partition's file by identity")
+      require(buildingFiles.forall(f => !after.contains(f)),
+        "replaceWhere must drop every replaced partition file")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"c_acctbal").as("bal"))
+        .orderBy($"c_mktsegment")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k125Sql =
+    """WITH replaced AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |  WHERE c_mktsegment <> 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_acctbal + 500.0 FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+      |)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM replaced
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2708,5 +2793,6 @@ object FormatOps {
     RQ("k121_check_constraints", k121, Some(k121Sql)),
     RQ("k122_copy_into", k122, Some(k122Sql)),
     RQ("k123_mor_read", k123, Some(k123Sql), bench = true),
-    RQ("k124_shallow_clone", k124, Some(k124Sql)))
+    RQ("k124_shallow_clone", k124, Some(k124Sql)),
+    RQ("k125_replace_where", k125, Some(k125Sql)))
 }

@@ -380,19 +380,49 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         // on (sticky, like CDF): SQL DELETE then commits equality-
         // delete files instead of rewriting data files
         val mor = Option(info.options.get("mergeOnRead")).map(_.toBoolean)
-        (overwrite, txn) match {
-          case (false, None) =>
-            TxnTable.commitAppend(aligned, table, statsCols, bloomCols,
-              partitionCols, cdf, mor)
-          case (true, None) =>
-            TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols,
-              partitionCols, cdf, mor)
-          case (false, Some((a, v))) =>
-            TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols,
-              bloomCols, partitionCols, cdf)
-          case (true, Some((a, v))) =>
-            TxnTable.commitOverwriteIdempotent(aligned, table, a, v, statsCols,
-              bloomCols, partitionCols, cdf)
+        // `.option("replaceWhere", "c = v" | "c BETWEEN a AND b")` with
+        // mode("overwrite"): Delta's scoped overwrite — replace exactly
+        // the predicate's rows atomically (TxnTable.replaceRange). Only
+        // the two provable shapes are accepted; anything else refuses
+        // rather than overwriting the wrong rows.
+        Option(info.options.get("replaceWhere")) match {
+          case Some(pred) =>
+            require(overwrite,
+              "replaceWhere requires mode(\"overwrite\")")
+            require(txn.isEmpty,
+              "replaceWhere does not compose with txnAppId idempotent writes")
+            val Eq = """(?is)\s*`?([\w]+)`?\s*=\s*('[^']*'|"[^"]*"|[-\w.:]+)\s*""".r
+            val Btw = """(?is)\s*`?([\w]+)`?\s+BETWEEN\s+('[^']*'|"[^"]*"|[-\w.:]+)\s+AND\s+('[^']*'|"[^"]*"|[-\w.:]+)\s*""".r
+            def v(s: String): Any = {
+              val t = s.trim
+              if ((t.startsWith("'") && t.endsWith("'")) ||
+                  (t.startsWith("\"") && t.endsWith("\"")))
+                t.substring(1, t.length - 1)
+              else t.toLongOption.getOrElse(
+                t.toDoubleOption.getOrElse(t): Any)
+            }
+            val (c, lo, hi) = pred match {
+              case Eq(cn, value) => (cn, v(value), v(value))
+              case Btw(cn, l, h) => (cn, v(l), v(h))
+              case other => throw new IllegalArgumentException(
+                s"replaceWhere supports `col = v` and `col BETWEEN a AND " +
+                  s"b`, got: $other")
+            }
+            TxnTable.replaceRange(aligned, table, c, lo, hi)
+          case None => (overwrite, txn) match {
+            case (false, None) =>
+              TxnTable.commitAppend(aligned, table, statsCols, bloomCols,
+                partitionCols, cdf, mor)
+            case (true, None) =>
+              TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols,
+                partitionCols, cdf, mor)
+            case (false, Some((a, v))) =>
+              TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols,
+                bloomCols, partitionCols, cdf)
+            case (true, Some((a, v))) =>
+              TxnTable.commitOverwriteIdempotent(aligned, table, a, v, statsCols,
+                bloomCols, partitionCols, cdf)
+          }
         }
         ()
       }

@@ -2312,6 +2312,89 @@ object TxnTable {
       s"deleteRange on $table lost the snapshot race 16 times")
   }
 
+  /** Delta's `replaceWhere` — the daily-re-ingest primitive: atomically
+    * replace exactly the rows with `column` in [lo, hi] by `df`, in ONE
+    * commit. The incoming frame must lie entirely inside the range
+    * (checked; Delta's contract) so the operation is a scoped overwrite,
+    * never a partial merge. File handling mirrors deleteRangeOn: files
+    * whose stats PROVE containment drop as pure metadata (on a
+    * partition-aligned layout — the common daily-partition case — that
+    * is every replaced file: zero read I/O however large the table);
+    * boundary files have only their out-of-range rows rewritten,
+    * stats-disjoint files are untouched. CDF tables feed the replaced
+    * rows as lazy whole-file deletes + eager boundary deletes + eager
+    * inserts. Same optimistic pinned-CAS publish as delete/merge, with
+    * append-rebase against stats-disjoint concurrent commits. */
+  def replaceRange(df: DataFrame, table: String, column: String,
+                   lo: Any, hi: Any): Long = {
+    val spark = df.sparkSession
+    val ctx = fc(spark)
+    val dtIn = df.schema(column).dataType
+    val inRange = coalesce(rangeFilter(column, dtIn, lo, hi), lit(false))
+    require(df.filter(not(inRange)).limit(1).count() == 0L,
+      s"replaceWhere contract: every incoming row must have $column in " +
+        s"[$lo, $hi] — found rows outside (or NULL-keyed)")
+    latestState(spark, table).map(_.checks)
+      .foreach(enforceChecks(df, table, _))
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        return commitOverwrite(df, table, statsCols = Seq(column)))
+      require(st.dels.isEmpty,
+        s"$table carries merge-on-read delete files; materialize them " +
+          "first (compact / SQL OPTIMIZE), then replaceWhere")
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val dt = schema(column).dataType
+      val b = boundRange(lo, hi, dt)
+      val covered = st.files.filter(f =>
+        st.stat(f, column).exists(s => s.containedIn(b) && s.nulls == 0L))
+      val disjoint = st.files.filter(f =>
+        st.stat(f, column).exists(_.disjointFrom(b)))
+      val boundary = st.files.filterNot((covered ++ disjoint).toSet)
+      val trackedCols =
+        (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
+      val trackedBlooms = st.bloomCols.toSeq.sorted
+      val incoming = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      val matchExpr = coalesce(rangeFilter(column, dt, lo, hi), lit(false))
+      def boundaryRead = spark.read.schema(schema)
+        .parquet(boundary.map(f => s"$table/$f"): _*)
+      // NULL-keyed rows in boundary files are OUTSIDE the range (SQL
+      // semantics, same as deleteRangeOn) and survive the replace
+      val payload =
+        if (boundary.isEmpty) incoming
+        else boundaryRead.filter(not(matchExpr)).unionByName(incoming)
+      val (dataDir, newFiles, newStats, newBlooms, newRows) =
+        writeData(payload, table, trackedCols, trackedBlooms, st.partCols)
+      val cdcAdd =
+        if (!st.cdf) Nil
+        else {
+          val deletes =
+            if (boundary.isEmpty) None
+            else Some(boundaryRead.filter(matchExpr)
+              .withColumn(ChangeTypeCol, lit("delete")))
+          val inserts = incoming.withColumn(ChangeTypeCol, lit("insert"))
+          writeChangeData(
+            deletes.map(_.unionByName(inserts)).getOrElse(inserts),
+            table, dataDir)
+        }
+      val removed = (covered ++ boundary).sorted
+      publishRewrite(spark, ctx, table, st, schema, removed, newFiles,
+        newStats, newBlooms, newRows,
+        disjointCol = Some(column), bound = b, op = "replace",
+        cdcAdd = cdcAdd, cdcDel = if (st.cdf) covered.sorted else Nil)
+        match {
+          case Some(v) => return v
+          case None =>
+            ctx.delete(new Path(s"$table/$dataDir"), true)
+            attempt += 1
+            backoff(attempt)
+        }
+    }
+    throw new IllegalStateException(
+      s"replaceWhere on $table lost the snapshot race 16 times")
+  }
+
   /** Read the committed snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table,
@@ -2532,7 +2615,7 @@ object TxnTable {
         // an overwrite IS delete-all + insert-all; both sides derive
         // lazily from the file diff (TRUNCATE is the added-empty case)
         CommitChanges(v, "overwrite", added, removed, Nil)
-      case Some(o @ ("update" | "delete" | "merge")) =>
+      case Some(o @ ("update" | "delete" | "merge" | "replace")) =>
         // a merge-on-read delete removes rows without removing files:
         // its #del line marks it a change commit even with no -/+ lines
         val delAdded = headers.exists(_.startsWith(DelPrefix))
@@ -2546,8 +2629,17 @@ object TxnTable {
             "Enable CDF (write option enableChangeFeed=true) before " +
             "relying on readChangeFeed; changes from earlier rewrite " +
             "commits are not reconstructible")
-      case Some("compact") | Some("restore") =>
-        CommitChanges(v, op.get, Nil, Nil, Nil) // no logical content change
+      case Some("copy-into") => // pure append with ingest markers
+        CommitChanges(v, "copy-into", added, Nil, Nil)
+      case Some("clone") => // a clone's v1 IS insert-all, like overwrite
+        CommitChanges(v, "clone", added, removed, Nil)
+      case Some("compact") | Some("restore") | Some("alter-add") |
+           Some("alter-drop") | Some("alter-constraint") |
+           Some("alter-rename") =>
+        // no logical content change: maintenance, metadata-only schema/
+        // constraint commits, and the rename rewrite (same rows, new
+        // column name — schema changes are not row changes)
+        CommitChanges(v, op.get, Nil, Nil, Nil)
       case Some(other) => throw new IllegalStateException(
         s"$table v$v carries unknown commit op '$other'")
       case None => // legacy pre-#op manifest
