@@ -609,6 +609,57 @@ object DedupOps {
       | COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos), '') AS cleaned
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d44
+  /** BENCHMARK DECONTAMINATION — the training-data hygiene pass every
+    * serious pretraining pipeline runs (the n-gram overlap check of
+    * GPT-3 appendix C / Dolma): flag every training document sharing a
+    * word 5-gram with the held-out set. The "benchmark" here is the
+    * deterministic slice `doc_id % 17 == 3`; real pipelines substitute
+    * their eval suites. Scale shape: the eval side collapses to a
+    * DISTINCT gram set (tiny next to the corpus — benchmark suites are
+    * megabytes, corpora are terabytes), so AQE broadcasts it and the
+    * training side streams through one hash join + one keyed
+    * aggregation; no all-pairs anything. */
+  private def d44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", tokenNgrams("toks", 5).as("g"))
+    val evalGrams = docs.filter($"doc_id" % 17 === 3)
+      .select(explode($"g").as("gram")).distinct()
+    val trainGrams = docs.filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id", explode($"g").as("gram")).distinct()
+    val hits = trainGrams.join(evalGrams, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("bigint").as("hits"))
+    docs.filter($"doc_id" % 17 =!= 3).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"hits", lit(0L)).cast("bigint").as("n_contaminated"),
+        $"hits".isNotNull.as("contaminated"))
+      .orderBy($"doc_id")
+  }
+  private val d44Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [array_to_string(string_split(text,' ')[i:i+4], ' ')
+      |     for i in range(1, len(string_split(text,' ')) - 3)] AS grams
+      |  FROM documents),
+      |eval_g AS (
+      |  SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 17 = 3),
+      |train_g AS (
+      |  SELECT DISTINCT doc_id, UNNEST(grams) AS gram
+      |  FROM g WHERE doc_id % 17 <> 3),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n
+      |  FROM train_g JOIN eval_g USING (gram) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+      |  h.n IS NOT NULL AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3) d
+      |LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("d33_fingerprint_groups", d33, Some(d33Sql)),
     RQ("d34_dedup_exact", d34, Some(d34Sql), bench = true),
@@ -620,5 +671,6 @@ object DedupOps {
     RQ("d40_dedup_clusters", d40, Some(d40Sql), bench = true),
     RQ("d41_dedup_keep_best", d41, Some(d41Sql)),
     RQ("d42_candidate_precision", d42, Some(d42Sql)),
-    RQ("d43_passage_dedup", d43, Some(d43Sql)))
+    RQ("d43_passage_dedup", d43, Some(d43Sql)),
+    RQ("d44_decontaminate", d44, Some(d44Sql)))
 }

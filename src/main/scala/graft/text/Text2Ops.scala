@@ -244,11 +244,61 @@ object Text2Ops {
       |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  // ---------------------------------------------------------------- t47
+  /** SEQUENCE PACKING — the last hop before a pretraining run: pack
+    * documents, in deterministic (lang, doc_id) order, into fixed
+    * token-budget training sequences (concat-then-chunk at 512 tokens,
+    * the streaming-concatenation packing GPT-style pipelines use).
+    * `seq_id = floor(tokens-before-this-doc / 512)` via one window
+    * cumulative sum — a document always joins the sequence its START
+    * falls into, so packing is reproducible regardless of partitioning.
+    * Scale shape: one shuffle on the window key + one keyed agg. The
+    * window partitions by `lang` alone, which caps parallelism at the
+    * language count — a 100 TB run adds a coarse range bucket (e.g.
+    * doc_id div 10M) to the partition key, packing each bucket
+    * independently; the per-bucket plan is THIS plan. */
+  private def t47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512.0
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(TextFunctions.tokens($"text")).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    docs
+      .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("seq_id", floor($"cum_before" / budget).cast("bigint"))
+      .groupBy($"lang", $"seq_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum($"n_tokens").cast("bigint").as("n_tokens"),
+        min($"doc_id").cast("bigint").as("first_doc"),
+        max($"doc_id").cast("bigint").as("last_doc"))
+      .orderBy($"lang", $"seq_id")
+  }
+  private val t47Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+      |                - n_tokens) / 512.0) AS BIGINT) AS seq_id
+      |  FROM d)
+      |SELECT lang, seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
     RQ("t43_tfidf_topterms", t43, Some(t43Sql), bench = true),
     RQ("t44_repetition_signal", t44, Some(t44Sql)),
     RQ("t45_unicode_clean", t45, Some(t45Sql)),
-    RQ("t46_edit_distance", t46, Some(t46Sql)))
+    RQ("t46_edit_distance", t46, Some(t46Sql)),
+    RQ("t47_sequence_pack", t47, Some(t47Sql)))
 }
