@@ -2744,6 +2744,78 @@ object FormatOps {
       |FROM replaced
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- k126
+  /** `OPTIMIZE … ZORDER BY (x, y)` — k92's two-dimensional skipping
+    * layout as ONE SQL statement over an EXISTING badly-laid-out table:
+    * the seed is range-partitioned on custkey alone (acctbal reads scan
+    * everything — REQUIREd), the statement re-clusters along the Morton
+    * curve with stats on both columns, and afterwards range reads on
+    * EITHER dimension are REQUIREd to skip files. DESCRIBE HISTORY must
+    * report the `zorder` op; the feed classifies it as no logical
+    * change. Oracle: the same two filtered aggregates off raw
+    * customer. */
+  private def k126(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k126_zorder")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+        .repartitionByRange(16, $"c_custkey")
+        .sortWithinPartitions($"c_custkey")
+        .write.format("graft")
+        .option("statsCols", "c_custkey,c_acctbal")
+        .mode("overwrite").save(table)
+      // the single-column layout cannot skip on the OTHER dimension
+      val (_, scanned0, total0) =
+        TxnTable.readRange(spark, table, "c_acctbal", 0, 2000)
+      require(scanned0 == total0,
+        s"seed layout precondition: acctbal reads must scan everything, " +
+          s"got $scanned0 of $total0")
+      spark.sql(s"CREATE TABLE graft_k126_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "OPTIMIZE graft_k126_t ZORDER BY (c_custkey, c_acctbal) INTO 16 FILES")
+        val ops = spark.sql(s"SELECT op FROM graft_history('$table')")
+          .collect().map(_.getString(0)).toSeq
+        require(ops.headOption.contains("zorder"),
+          s"history must record the zorder op, got $ops")
+        def prunedAgg(colName: String, lo: Double, hi: Double,
+                      label: String): DataFrame = {
+          val (rows, scanned, total) =
+            TxnTable.readRange(spark, table, colName, lo, hi)
+          require(scanned < total && scanned > 0,
+            s"z-order skipping failed on $colName: $scanned of $total files")
+          rows.agg(
+            lit(label).as("dim"),
+            count(lit(1)).cast("bigint").as("n"),
+            graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+            .select($"dim", $"n", $"sum_bal")
+        }
+        val result = prunedAgg("c_custkey", 100, 400, "custkey_100_400")
+          .unionAll(prunedAgg("c_acctbal", 0, 2000, "acctbal_0_2000"))
+          .orderBy($"dim")
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k126_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k126Sql =
+    """SELECT 'acctbal_0_2000' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_acctbal BETWEEN 0 AND 2000
+      |UNION ALL
+      |SELECT 'custkey_100_400', CAST(COUNT(*) AS BIGINT),
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |FROM customer WHERE c_custkey BETWEEN 100 AND 400
+      |ORDER BY dim""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2794,5 +2866,6 @@ object FormatOps {
     RQ("k122_copy_into", k122, Some(k122Sql)),
     RQ("k123_mor_read", k123, Some(k123Sql), bench = true),
     RQ("k124_shallow_clone", k124, Some(k124Sql)),
-    RQ("k125_replace_where", k125, Some(k125Sql)))
+    RQ("k125_replace_where", k125, Some(k125Sql)),
+    RQ("k126_sql_zorder", k126, Some(k126Sql)))
 }

@@ -2633,12 +2633,13 @@ object TxnTable {
         CommitChanges(v, "copy-into", added, Nil, Nil)
       case Some("clone") => // a clone's v1 IS insert-all, like overwrite
         CommitChanges(v, "clone", added, removed, Nil)
-      case Some("compact") | Some("restore") | Some("alter-add") |
-           Some("alter-drop") | Some("alter-constraint") |
-           Some("alter-rename") =>
-        // no logical content change: maintenance, metadata-only schema/
-        // constraint commits, and the rename rewrite (same rows, new
-        // column name — schema changes are not row changes)
+      case Some("compact") | Some("zorder") | Some("restore") |
+           Some("alter-add") | Some("alter-drop") |
+           Some("alter-constraint") | Some("alter-rename") =>
+        // no logical content change: maintenance (incl. the z-order
+        // re-clustering rewrite), metadata-only schema/constraint
+        // commits, and the rename rewrite (same rows, new column name —
+        // schema changes are not row changes)
         CommitChanges(v, op.get, Nil, Nil, Nil)
       case Some(other) => throw new IllegalStateException(
         s"$table v$v carries unknown commit op '$other'")
@@ -3143,6 +3144,32 @@ object TxnTable {
     commit(read(spark, table).coalesce(targetFiles), table, append = false,
       txn = None, statsCols = trackedCols, bloomCols = trackedBlooms,
       opLabel = Some("compact"))
+  }
+
+  /** `OPTIMIZE … ZORDER BY (x, y)` — rewrite the snapshot clustered
+    * along the Morton curve of the two columns (graft.ops.ZOrder: both
+    * dimensions min/max-normalized to the 16-bit lane, range-partition
+    * + in-partition sort on the z-value), with skipping stats collected
+    * on BOTH columns so subsequent range reads prune files on EITHER
+    * dimension (k92's layout, now one statement). An O(table) rewrite
+    * by nature — like Delta's ZORDER — scheduled off-peak; live
+    * merge-on-read deletes are materialized by the rewrite for free
+    * (the clustering read applies them, the overwrite drops them). */
+  def zorderBy(spark: SparkSession, table: String, x: String, y: String,
+               targetFiles: Option[Int] = None): Long = {
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"$table predates the schema log"))
+    Seq(x, y).foreach(c => require(schema.fieldNames.contains(c),
+      s"ZORDER BY column $c is not a column of $table"))
+    val n = targetFiles.getOrElse(math.max(1, st.files.size))
+    val trackedCols =
+      (st.stats.values.flatten.map(_.col).toSet ++ Set(x, y)).toSeq.sorted
+    val trackedBlooms = st.bloomCols.toSeq.sorted
+    commit(graft.ops.ZOrder.cluster(read(spark, table), x, y, n), table,
+      append = false, txn = None, statsCols = trackedCols,
+      bloomCols = trackedBlooms, opLabel = Some("zorder"))
   }
 
   /** PARTIAL compaction — the scale-correct OPTIMIZE: bin-pack only the
