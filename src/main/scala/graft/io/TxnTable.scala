@@ -3155,19 +3155,19 @@ object TxnTable {
     * by nature — like Delta's ZORDER — scheduled off-peak; live
     * merge-on-read deletes are materialized by the rewrite for free
     * (the clustering read applies them, the overwrite drops them). */
-  def zorderBy(spark: SparkSession, table: String, x: String, y: String,
+  def zorderBy(spark: SparkSession, table: String, cols: Seq[String],
                targetFiles: Option[Int] = None): Long = {
     val st = latestState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"$table predates the schema log"))
-    Seq(x, y).foreach(c => require(schema.fieldNames.contains(c),
+    cols.foreach(c => require(schema.fieldNames.contains(c),
       s"ZORDER BY column $c is not a column of $table"))
     val n = targetFiles.getOrElse(math.max(1, st.files.size))
     val trackedCols =
-      (st.stats.values.flatten.map(_.col).toSet ++ Set(x, y)).toSeq.sorted
+      (st.stats.values.flatten.map(_.col).toSet ++ cols).toSeq.sorted
     val trackedBlooms = st.bloomCols.toSeq.sorted
-    commit(graft.ops.ZOrder.cluster(read(spark, table), x, y, n), table,
+    commit(graft.ops.ZOrder.clusterN(read(spark, table), cols, n), table,
       append = false, txn = None, statsCols = trackedCols,
       bloomCols = trackedBlooms, opLabel = Some("zorder"))
   }

@@ -85,9 +85,9 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?\b\s*)?(?:KEEP\s+(\d+)\s+VERSIONS?\b\s*)?;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
-  // OPTIMIZE <target> ZORDER BY (x, y) [INTO n FILES]
+  // OPTIMIZE <target> ZORDER BY (c1, c2[, ...]) [INTO n FILES]
   private val ZOrderStmt =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ZORDER\s+BY\s*\(\s*(`[^`]+`|[\w]+)\s*,\s*(`[^`]+`|[\w]+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
@@ -140,8 +140,9 @@ object GraftSqlParser {
       case VacuumStmt(target, hours, keep) =>
         Some(GraftVacuumCommand(target,
           Option(hours).map(_.toLong), Option(keep).map(_.toInt)))
-      case ZOrderStmt(target, x, y, files) =>
-        Some(GraftZOrderCommand(target, unquoteId(x), unquoteId(y),
+      case ZOrderStmt(target, colList, files) =>
+        Some(GraftZOrderCommand(target,
+          colList.split(",").toSeq.map(c => unquoteId(c.trim)),
           Option(files).map(_.toInt)))
       case OptimizeStmt(target, small) =>
         Some(GraftOptimizeCommand(target, Option(small).map(_.toLong)))
@@ -244,8 +245,8 @@ case class GraftOptimizeCommand(target: String, smallBytes: Option[Long])
   override def output: Seq[Attribute] = Nil
 }
 
-/** OPTIMIZE … ZORDER BY (x, y) — Morton-curve re-clustering rewrite. */
-case class GraftZOrderCommand(target: String, x: String, y: String,
+/** OPTIMIZE … ZORDER BY (c1, c2, …) — Morton-curve re-clustering. */
+case class GraftZOrderCommand(target: String, cols: Seq[String],
                               targetFiles: Option[Int])
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
@@ -290,13 +291,14 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           keep = keep.getOrElse(0),
           retainMs = hours.map(_ * 3600L * 1000L).getOrElse(0L))
       }) :: Nil
-    case GraftZOrderCommand(target, x, y, files) =>
-      GraftDmlExec(s"OPTIMIZE $target ZORDER BY ($x, $y)", () => {
-        val spark = SparkSession.active
-        TxnTable.zorderBy(spark,
-          GraftSqlParser.resolveTarget(spark, target), x, y, files)
-        ()
-      }) :: Nil
+    case GraftZOrderCommand(target, cols, files) =>
+      GraftDmlExec(s"OPTIMIZE $target ZORDER BY (${cols.mkString(", ")})",
+        () => {
+          val spark = SparkSession.active
+          TxnTable.zorderBy(spark,
+            GraftSqlParser.resolveTarget(spark, target), cols, files)
+          ()
+        }) :: Nil
     case GraftOptimizeCommand(target, small) =>
       GraftDmlExec(s"OPTIMIZE $target", () => {
         val spark = SparkSession.active

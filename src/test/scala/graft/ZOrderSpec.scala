@@ -22,6 +22,42 @@ class ZOrderSpec extends AnyFunSuite {
       .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
       .agg(avg($"span")).as[Double].head()
 
+  test("N-way z-order bounds every dimension; 2-col clusterN matches cluster") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorderN").toString
+    try {
+      val orders = Tables.orders(spark, Spec.sf0001)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val files = 27 // 3 dims ⇒ ~3×3×3 grid, expected span ~1/3 of range
+      ZOrder.clusterN(orders,
+        Seq("o_orderkey", "o_custkey", "o_totalprice"), files)
+        .write.parquet(s"$base/z3")
+      def range(c: String): Double = orders.agg(
+        (max(col(c)) - min(col(c))).cast("double")).as[Double].head()
+      for (c <- Seq("o_orderkey", "o_custkey", "o_totalprice")) {
+        val frac = meanSpan(s"$base/z3", c) / range(c)
+        info(f"$c span under 3-way z-order: $frac%.2f of range")
+        // every dimension bounded well below full range (grid ~1/3;
+        // generous slack for uneven key distributions)
+        assert(frac < 0.7, f"$c span $frac%.2f — dimension unclustered")
+      }
+      assert(spark.read.parquet(s"$base/z3").count() == orders.count())
+      // the 2-column N-way interleave is bit-identical to the proven
+      // 2-column path: same lane width, same bit placement
+      val a = ZOrder.cluster(orders, "o_custkey", "o_orderkey", 8)
+        .withColumn("f", spark_partition_id())
+      val b = ZOrder.clusterN(orders, Seq("o_custkey", "o_orderkey"), 8)
+        .withColumn("f", spark_partition_id())
+      assert(a.select("o_orderkey", "f").except(
+        b.select("o_orderkey", "f")).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("z-ordered files are narrow in both dimensions; linear sort is not") {
     val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     try {
