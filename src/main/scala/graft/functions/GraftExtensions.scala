@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_changes"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_changes"),
       graft.plans.GraftTableFunctions.changes _))
+    e.injectTableFunction((FunctionIdentifier("graft_detail"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_detail"),
+      graft.plans.GraftTableFunctions.detail _))
     // maintenance SQL (VACUUM / OPTIMIZE) — statements Spark's grammar
     // does not know; the delegating parser intercepts exactly those
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

@@ -907,6 +907,10 @@ object TxnTable {
   def changeFeedEnabled(spark: SparkSession, table: String): Boolean =
     latestState(spark, table).exists(_.cdf)
 
+  /** Is merge-on-read DML enabled on the latest snapshot? */
+  def mergeOnReadEnabled(spark: SparkSession, table: String): Boolean =
+    latestState(spark, table).exists(_.mor)
+
   private def latestState(spark: SparkSession, table: String): Option[State] =
     latestVersion(spark, table).map(stateOf(spark, table, _))
 

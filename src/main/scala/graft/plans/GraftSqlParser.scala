@@ -92,6 +92,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
+  private val DetailStmt =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   // ALTER TABLE family — intercepted ONLY when the target is a graft
   // table (quoted path, or identifier resolving to provider=graft);
   // every other ALTER TABLE falls through to Spark's own grammar.
@@ -153,6 +155,10 @@ object GraftSqlParser {
         // metadata-eager, like the graft_history table function it
         // shares rows with — a handful of bounded manifest reads
         Some(GraftTableFunctions.history(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            resolveTarget(SparkSession.active, target)))))
+      case DetailStmt(target) =>
+        Some(GraftTableFunctions.detail(Seq(
           org.apache.spark.sql.catalyst.expressions.Literal(
             resolveTarget(SparkSession.active, target)))))
       case AlterAddCheckStmt(target, name, expr) if graftTarget(target) =>

@@ -74,6 +74,50 @@ object GraftTableFunctions {
     LocalRelation(out, rows)
   }
 
+  /** `DESCRIBE DETAIL` / `graft_detail(path)` — one metadata-only row
+    * describing the latest snapshot (Delta's DESCRIBE DETAIL shape):
+    * format, location, version, file count, total bytes, partition
+    * spec, constraint count, and the CDF / merge-on-read flags. Bounded
+    * manifest reads plus one file-status pass over the snapshot's file
+    * list (O(files) stat calls, no data I/O). */
+  def detail(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_detail(path)")
+    val table = str(exprs.head, "path")
+    val spark = SparkSession.active
+    val v = TxnTable.latestVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val files = TxnTable.snapshotFiles(spark, table, v)
+    val conf = spark.sessionState.newHadoopConf()
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(s"$table/$f")
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val out = Seq(
+      AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("num_constraints", LongType, nullable = false)(),
+      AttributeReference("change_feed", org.apache.spark.sql.types.BooleanType,
+        nullable = false)(),
+      AttributeReference("merge_on_read", org.apache.spark.sql.types.BooleanType,
+        nullable = false)())
+    val r = new GenericInternalRow(9)
+    r.update(0, UTF8String.fromString("graft"))
+    r.update(1, UTF8String.fromString(table))
+    r.setLong(2, v)
+    r.setLong(3, files.size.toLong)
+    r.setLong(4, bytes)
+    r.update(5, UTF8String.fromString(
+      TxnTable.partitionColumns(spark, table).mkString(",")))
+    r.setLong(6, TxnTable.checkConstraints(spark, table).size.toLong)
+    r.setBoolean(7, TxnTable.changeFeedEnabled(spark, table))
+    r.setBoolean(8, graft.io.TxnTable.mergeOnReadEnabled(spark, table))
+    LocalRelation(out, Seq(r: InternalRow))
+  }
+
   /** `graft_changes(path, start[, end])` — the change-feed relation,
     * (start, end] half-open like the reader options; end defaults to
     * the latest version at plan time. */

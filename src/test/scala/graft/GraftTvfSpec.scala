@@ -22,6 +22,30 @@ class GraftTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_detail / DESCRIBE DETAIL reports the snapshot's shape") {
+    import spark.implicits._
+    withTable { table =>
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "p", "v")
+        .write.format("graft").option("statsCols", "id")
+        .option("enableChangeFeed", "true")
+        .partitionBy("p").mode("overwrite").save(table)
+      TxnTable.addCheck(spark, table, "v_pos", "v > 0")
+      val d = spark.sql(s"DESCRIBE DETAIL '$table'").head()
+      assert(d.getAs[String]("format") == "graft")
+      assert(d.getAs[Long]("version") == 2L)
+      assert(d.getAs[Long]("num_files") >= 2L) // one per partition value
+      assert(d.getAs[Long]("size_bytes") > 0L)
+      assert(d.getAs[String]("partition_columns") == "p")
+      assert(d.getAs[Long]("num_constraints") == 1L)
+      assert(d.getAs[Boolean]("change_feed"))
+      assert(!d.getAs[Boolean]("merge_on_read"))
+      // the TVF spelling composes with ordinary SQL
+      assert(spark.sql(
+        s"SELECT num_files FROM graft_detail('$table')").head().getLong(0) ==
+        d.getAs[Long]("num_files"))
+    }
+  }
+
   test("graft_history lists commits newest first with ops and counts") {
     import spark.implicits._
     withTable { table =>
