@@ -292,7 +292,8 @@ private[graft] class GraftTable(table: String, version: Long,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, table, version, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -311,9 +312,23 @@ private[graft] class GraftTable(table: String, version: Long,
 private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
     tablePartCols: Seq[String] = Nil,
     declaredSchema: StructType = new StructType())
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
+  private var overwriteFilters: Array[Filter] = Array.empty
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  /** SQL `INSERT OVERWRITE t PARTITION (p = 'x')` plans an
+    * OverwriteByExpression whose filters land here: a single provable
+    * equality/range routes to the scoped-overwrite primitive
+    * (TxnTable.replaceRange — same machinery as the writer option),
+    * AlwaysTrue is the whole-table overwrite, anything else refuses
+    * loudly rather than overwriting the wrong rows. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwrite = true
+    overwriteFilters = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
@@ -348,21 +363,34 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         val committed = TxnTable.latestVersion(spark, table)
           .flatMap(v => TxnTable.snapshotSchema(spark, table, v))
           .orElse(if (declaredSchema.nonEmpty) Some(declaredSchema) else None)
-        val synthetic = data.columns.zipWithIndex.forall {
-          case (n, i) => n == s"col${i + 1}" }
         val aligned = committed match {
+          case Some(ts) if data.columns.length == ts.length &&
+              data.columns.exists(_.matches("col\\d+")) &&
+              data.columns.forall(n =>
+                n.matches("col\\d+") || ts.fieldNames.contains(n)) =>
+            // positional VALUES frame — possibly MIXED with real names
+            // (INSERT OVERWRITE ... PARTITION (p='x') VALUES (...) hands
+            // back synthetic col1/col2 plus the cast partition column):
+            // named columns keep their slot, synthetic colN fill the
+            // remaining schema fields in declaration order
+            val remaining =
+              ts.fields.filterNot(f => data.columns.contains(f.name)).iterator
+            val renamed = data.columns.map(n =>
+              if (ts.fieldNames.contains(n)) n else remaining.next().name)
+            data.toDF(renamed.toIndexedSeq: _*)
+              .select(ts.fields.toIndexedSeq.map(f =>
+                org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
           case Some(ts)
               if !data.columns.exists(ts.fieldNames.contains) &&
                 data.columns.length == ts.length =>
-            if (!synthetic) throw new IllegalArgumentException(
+            // real-but-renamed columns sharing no name: ambiguous —
+            // rename+cast could silently mis-map a reordered frame
+            throw new IllegalArgumentException(
               s"cannot align write to $table: incoming columns " +
                 s"[${data.columns.mkString(", ")}] share no name with the " +
                 s"committed schema [${ts.fieldNames.mkString(", ")}]; rename " +
                 "the frame's columns to the table's (positional mapping is " +
                 "only inferred for synthetic col1/col2/... INSERT names)")
-            data.toDF(ts.fieldNames.toIndexedSeq: _*)
-              .select(ts.fields.toIndexedSeq.map(f =>
-                org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
           case _ => data
         }
         val txn = (Option(info.options.get("txnAppId")),
@@ -385,6 +413,25 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         // the predicate's rows atomically (TxnTable.replaceRange). Only
         // the two provable shapes are accepted; anything else refuses
         // rather than overwriting the wrong rows.
+        if (overwriteFilters.nonEmpty) {
+          // SQL INSERT OVERWRITE ... PARTITION / OverwriteByExpression
+          val (c, lo, hi) = overwriteFilters.toSeq match {
+            case Seq(EqualTo(cn, v)) if v != null => (cn, v, v)
+            // static partition values arrive null-safe (p <=> 'x')
+            case Seq(org.apache.spark.sql.sources.EqualNullSafe(cn, v))
+                if v != null => (cn, v, v)
+            case Seq(GreaterThanOrEqual(c1, l), LessThanOrEqual(c2, h))
+                if c1 == c2 && l != null && h != null => (c1, l, h)
+            case Seq(LessThanOrEqual(c2, h), GreaterThanOrEqual(c1, l))
+                if c1 == c2 && l != null && h != null => (c1, l, h)
+            case other => throw new UnsupportedOperationException(
+              "graft INSERT OVERWRITE supports one equality (static " +
+                "partition) or one closed-range filter, got " +
+                other.mkString(", "))
+          }
+          TxnTable.replaceRange(aligned, table, c, lo, hi)
+          return
+        }
         Option(info.options.get("replaceWhere")) match {
           case Some(pred) =>
             require(overwrite,

@@ -87,6 +87,36 @@ class ReplaceWhereSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL INSERT OVERWRITE PARTITION routes to the scoped overwrite") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      spark.sql("DROP TABLE IF EXISTS rw_sql_t")
+      spark.sql(
+        s"""CREATE TABLE rw_sql_t (id BIGINT, v DOUBLE, p STRING)
+           |USING graft PARTITIONED BY (p)
+           |OPTIONS (path '$table')""".stripMargin)
+      try {
+        spark.sql(
+          "INSERT INTO rw_sql_t VALUES (1, 1.0, 'a'), (2, 2.0, 'a'), " +
+            "(3, 3.0, 'b')")
+        val v1 = TxnTable.latestVersion(spark, table).get
+        val before = TxnTable.snapshotFiles(spark, table, v1)
+        val stats = TxnTable.fileStats(spark, table, v1)
+        val bFiles = before.filter(f => stats.getOrElse(f, Nil)
+          .exists(s => s.col == "p" && s.minV == "b"))
+        spark.sql(
+          "INSERT OVERWRITE rw_sql_t PARTITION (p = 'a') VALUES (10, 10.0)")
+        val out = spark.table("rw_sql_t").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+        assert(out == Set((10L, 10.0, "a"), (3L, 3.0, "b")))
+        // the untouched partition's files carried by identity
+        val after = TxnTable.snapshotFiles(spark, table,
+          TxnTable.latestVersion(spark, table).get)
+        assert(bFiles.nonEmpty && bFiles.forall(after.contains))
+      } finally spark.sql("DROP TABLE rw_sql_t")
+    }
+  }
+
   test("NULL-keyed rows survive a replace (SQL range semantics)") {
     withZone { zone =>
       import spark.implicits._
