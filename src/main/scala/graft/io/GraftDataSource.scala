@@ -432,6 +432,31 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
           TxnTable.replaceRange(aligned, table, c, lo, hi)
           return
         }
+        // `.option("dynamicPartitionOverwrite", "true")` with
+        // mode("overwrite"): replace exactly the partitions present in
+        // the incoming frame (partitionOverwriteMode=dynamic semantics)
+        // — values discovered from the data, one bounded distinct.
+        if (Option(info.options.get("dynamicPartitionOverwrite"))
+            .exists(_.toBoolean)) {
+          require(overwrite,
+            "dynamicPartitionOverwrite requires mode(\"overwrite\")")
+          val pc = partitionCols match {
+            case Seq(single) => single
+            case Nil => TxnTable.partitionColumns(spark, table) match {
+              case Seq(single) => single
+              case other => throw new UnsupportedOperationException(
+                "dynamicPartitionOverwrite needs exactly one identity " +
+                  s"partition column, table has [${other.mkString(", ")}]")
+            }
+            case other => throw new UnsupportedOperationException(
+              "dynamicPartitionOverwrite needs exactly one identity " +
+                s"partition column, got [${other.mkString(", ")}]")
+          }
+          val values = aligned.select(pc).distinct().collect()
+            .map(_.get(0)).filter(_ != null).toSeq
+          TxnTable.replaceValues(aligned, table, pc, values)
+          return
+        }
         Option(info.options.get("replaceWhere")) match {
           case Some(pred) =>
             require(overwrite,

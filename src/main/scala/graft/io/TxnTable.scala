@@ -2330,14 +2330,72 @@ object TxnTable {
     * inserts. Same optimistic pinned-CAS publish as delete/merge, with
     * append-rebase against stats-disjoint concurrent commits. */
   def replaceRange(df: DataFrame, table: String, column: String,
-                   lo: Any, hi: Any): Long = {
+                   lo: Any, hi: Any): Long =
+    scopedOverwrite(df, table, column,
+      predicate = dt => coalesce(rangeFilter(column, dt, lo, hi), lit(false)),
+      contractMsg = s"$column in [$lo, $hi]",
+      coveredBy = (s, dt) => s.containedIn(boundRange(lo, hi, dt)),
+      disjointFrom = (s, dt) => s.disjointFrom(boundRange(lo, hi, dt)),
+      rebaseBound = dt => boundRange(lo, hi, dt))
+
+  /** Dynamic-partition overwrite (`partitionOverwriteMode=dynamic`
+    * semantics): atomically replace exactly the rows whose `column`
+    * value is IN the incoming frame's own value set. The writer option
+    * spelling is `.option("dynamicPartitionOverwrite", "true")` with
+    * mode("overwrite") — values are discovered from the data (one
+    * bounded distinct over the partition column), so the daily job just
+    * writes whatever days it recomputed and each lands file-surgically.
+    * Same machinery as replaceWhere with a value set instead of a
+    * range; an empty frame is a no-op (nothing to replace), matching
+    * Delta's dynamic mode. */
+  def replaceValues(df: DataFrame, table: String, column: String,
+                    values0: Seq[Any]): Long = {
+    val values = values0.distinct
+    if (values.isEmpty)
+      return latestVersion(spark = df.sparkSession, table = table).getOrElse(
+        throw new IllegalStateException(
+          s"dynamic overwrite of empty frame into uncommitted $table"))
+    def bounds(dt: DataType): Seq[Bound] = values.map(v => pointBound(v, dt))
+    def overall(dt: DataType): Bound = {
+      val bs = bounds(dt)
+      val kinds = bs.map(_.kind).distinct
+      kinds match {
+        case Seq("num") =>
+          bs.reduce((a, b) => Bound("num",
+            lo = math.min(a.lo, b.lo), hi = math.max(a.hi, b.hi)))
+        case Seq("str") =>
+          bs.reduce((a, b) => Bound("str",
+            loS = if (strLt(a.loS, b.loS)) a.loS else b.loS,
+            hiS = if (strLt(a.hiS, b.hiS)) b.hiS else a.hiS))
+        case _ => Bound("conflict") // mixed/unbound: no rebase, still correct
+      }
+    }
+    scopedOverwrite(df, table, column,
+      predicate = _ => coalesce(
+        col(column).isInCollection(values), lit(false)),
+      contractMsg = s"$column in {${values.mkString(", ")}}",
+      coveredBy = (s, dt) => s.nulls == 0L &&
+        bounds(dt).exists(b => s.containedIn(b)),
+      disjointFrom = (s, dt) => bounds(dt).forall(b => s.disjointFrom(b)),
+      rebaseBound = overall)
+  }
+
+  /** The shared core of replaceRange / replaceValues: one atomic
+    * scoped-overwrite commit, with metadata drops for files the
+    * per-file predicate proves fully replaced and complement rewrites
+    * for boundary files. */
+  private def scopedOverwrite(df: DataFrame, table: String, column: String,
+                              predicate: DataType => org.apache.spark.sql.Column,
+                              contractMsg: String,
+                              coveredBy: (FileStat, DataType) => Boolean,
+                              disjointFrom: (FileStat, DataType) => Boolean,
+                              rebaseBound: DataType => Bound): Long = {
     val spark = df.sparkSession
     val ctx = fc(spark)
     val dtIn = df.schema(column).dataType
-    val inRange = coalesce(rangeFilter(column, dtIn, lo, hi), lit(false))
-    require(df.filter(not(inRange)).limit(1).count() == 0L,
-      s"replaceWhere contract: every incoming row must have $column in " +
-        s"[$lo, $hi] — found rows outside (or NULL-keyed)")
+    require(df.filter(not(predicate(dtIn))).limit(1).count() == 0L,
+      s"replaceWhere scoped-overwrite contract: every incoming row must " +
+        s"have $contractMsg — found rows outside (or NULL-keyed)")
     latestState(spark, table).map(_.checks)
       .foreach(enforceChecks(df, table, _))
     var attempt = 0
@@ -2350,17 +2408,17 @@ object TxnTable {
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
       val dt = schema(column).dataType
-      val b = boundRange(lo, hi, dt)
+      val b = rebaseBound(dt)
       val covered = st.files.filter(f =>
-        st.stat(f, column).exists(s => s.containedIn(b) && s.nulls == 0L))
+        st.stat(f, column).exists(s => s.nulls == 0L && coveredBy(s, dt)))
       val disjoint = st.files.filter(f =>
-        st.stat(f, column).exists(_.disjointFrom(b)))
+        st.stat(f, column).exists(disjointFrom(_, dt)))
       val boundary = st.files.filterNot((covered ++ disjoint).toSet)
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
       val incoming = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
-      val matchExpr = coalesce(rangeFilter(column, dt, lo, hi), lit(false))
+      val matchExpr = predicate(dt)
       def boundaryRead = spark.read.schema(schema)
         .parquet(boundary.map(f => s"$table/$f"): _*)
       // NULL-keyed rows in boundary files are OUTSIDE the range (SQL

@@ -117,6 +117,41 @@ class ReplaceWhereSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite replaces exactly the incoming partitions") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 4.0, "c"))
+        .toDF("id", "v", "p")
+        .write.format("graft").option("statsCols", "id")
+        .partitionBy("p").mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.snapshotFiles(spark, table, v1)
+      val stats = TxnTable.fileStats(spark, table, v1)
+      val cFiles = before.filter(f => stats.getOrElse(f, Nil)
+        .exists(s => s.col == "p" && s.minV == "c"))
+      // the daily job recomputed partitions a and b — c must survive
+      Seq((10L, 10.0, "a"), (30L, 30.0, "b"))
+        .toDF("id", "v", "p")
+        .write.format("graft").mode("overwrite")
+        .option("dynamicPartitionOverwrite", "true").save(table)
+      val out = spark.read.format("graft").load(table).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(out == Set((10L, "a"), (30L, "b"), (4L, "c")))
+      // the untouched partition's files carried by identity
+      val after = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      assert(cFiles.nonEmpty && cFiles.forall(after.contains))
+      // replaceValues over a value set feeds the change feed the same
+      // way and rejects rows outside the declared set
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.replaceValues(
+          Seq((99L, 9.0, "zzz")).toDF("id", "v", "p"), table, "p",
+          Seq("a"))
+      }.getMessage.contains("scoped-overwrite contract"))
+    }
+  }
+
   test("NULL-keyed rows survive a replace (SQL range semantics)") {
     withZone { zone =>
       import spark.implicits._
