@@ -38,10 +38,17 @@ object Verify {
         // whose schema can't match any oracle, so rows/schema/hash all
         // mismatch and the failure is visible in CORRECTNESS_r{N}.json.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        import spark.implicits._
-        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
-        Seq(msg).toDF("_graft_query_error")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the marker write itself can fail (full disk, unwritable outDir —
+        // plausibly the same cause as the query failure); never let that
+        // abort the remaining queries
+        try {
+          import spark.implicits._
+          val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+          Seq(msg).toDF("_graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write also failed: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

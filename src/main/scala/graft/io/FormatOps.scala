@@ -2766,12 +2766,18 @@ object FormatOps {
         .write.format("graft")
         .option("statsCols", "c_custkey,c_acctbal")
         .mode("overwrite").save(table)
-      // the single-column layout cannot skip on the OTHER dimension
+      // the single-column layout cannot skip on the OTHER dimension.
+      // Scale-adaptive: with tiny files (sf0.001 ~9 rows/file) a file can
+      // land entirely outside [0,2000] by chance and the full-scan
+      // precondition fails probabilistically — only REQUIRE it when files
+      // are dense enough that every file almost surely straddles the range
       val (_, scanned0, total0) =
         TxnTable.readRange(spark, table, "c_acctbal", 0, 2000)
-      require(scanned0 == total0,
-        s"seed layout precondition: acctbal reads must scan everything, " +
-          s"got $scanned0 of $total0")
+      val seedRows = Tables.customer(spark, dir).count()
+      if (seedRows / 16 >= 50)
+        require(scanned0 == total0,
+          s"seed layout precondition: acctbal reads must scan everything, " +
+            s"got $scanned0 of $total0")
       spark.sql(s"CREATE TABLE graft_k126_t USING graft OPTIONS (path '$table')")
       try {
         spark.sql(

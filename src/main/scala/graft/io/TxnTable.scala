@@ -1247,10 +1247,16 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
-    // CHECK constraints gate every commit that introduces rows — one
+    // CHECK constraints gate every commit that introduces NEW rows — one
     // violating row aborts BEFORE any data file lands (validated against
-    // the snapshot observed here; see enforceChecks for the contract)
-    state.map(_.checks).foreach(enforceChecks(df, table, _))
+    // the snapshot observed here; see enforceChecks for the contract).
+    // Maintenance rewrites (compact/zorder/alter-rename) only carry rows
+    // that already passed the gate at their originating commit, so they
+    // skip the re-scan — same as Delta, which doesn't re-validate on
+    // OPTIMIZE.
+    val maintenanceOps = Set("compact", "zorder", "alter-rename")
+    if (!maintenanceOps(op))
+      state.map(_.checks).foreach(enforceChecks(df, table, _))
     // partitioning is STICKY: an explicit spec wins (and re-partitions
     // the table on overwrite); otherwise appends conform to the prior
     // snapshot's recorded partition columns automatically. Partition
@@ -2947,6 +2953,13 @@ object TxnTable {
           s"column ${c.name} was previously dropped from $table; old data " +
             "files still contain it and would resurrect stale values — " +
             "use a different name")
+        // refusing, not coercing: files written before the change surface
+        // the new field as NULL, so a NOT NULL add is unenforceable (Delta
+        // refuses it too). Add nullable, backfill, then SET NOT NULL.
+        require(c.nullable,
+          s"cannot add NOT NULL column ${c.name} to $table: existing files " +
+            "surface it as NULL. ADD it nullable, backfill, then ALTER " +
+            "COLUMN ... SET NOT NULL")
       }
       (org.apache.spark.sql.types.StructType(
          schema.fields ++ cols.map(_.copy(nullable = true))),
@@ -3109,7 +3122,10 @@ object TxnTable {
                schema: Option[org.apache.spark.sql.types.StructType] = None,
                statsCols: Seq[String] = Nil): (Long, Seq[String]) = {
     val ctx = fc(spark)
-    val matches = ctx.util().globStatus(new Path(new Path(source), pattern))
+    // globStatus returns NULL (not empty) for a non-wildcard pattern with
+    // no match or a missing source dir — surface a clear error, not an NPE
+    val matches = Option(ctx.util().globStatus(new Path(new Path(source), pattern)))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .filterNot(_.isDirectory)
     val st = latestState(spark, table)
     val done = st.map(_.txns.keySet).getOrElse(Set.empty[String])

@@ -252,46 +252,55 @@ object Text2Ops {
     * `seq_id = floor(tokens-before-this-doc / 512)` via one window
     * cumulative sum — a document always joins the sequence its START
     * falls into, so packing is reproducible regardless of partitioning.
-    * Scale shape: one shuffle on the window key + one keyed agg. The
-    * window partitions by `lang` alone, which caps parallelism at the
-    * language count — a 100 TB run adds a coarse range bucket (e.g.
-    * doc_id div 10M) to the partition key, packing each bucket
-    * independently; the per-bucket plan is THIS plan. */
-  private def t47(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    * Scale shape: the window partitions by (lang, bucket) where
+    * `bucket = floor(doc_id / bucketSize)` — a coarse range bucket that
+    * keeps the cumulative sum embarrassingly parallel instead of
+    * serializing the whole corpus through one task per language. Each
+    * bucket packs independently (a sequence never crosses a bucket
+    * boundary — acceptable padding loss of < 1 sequence per bucket).
+    * bucketSize here is 100 so the test data exercises multiple buckets;
+    * a 100 TB run uses the same plan with bucketSize ~10M. */
+  private[graft] def sequencePack(docs: DataFrame, bucketSize: Long,
+                                  budget: Double): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val budget = 512.0
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang",
-        size(TextFunctions.tokens($"text")).cast("bigint").as("n_tokens"))
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    val w = Window.partitionBy($"lang", $"bucket").orderBy($"doc_id")
     docs
+      .withColumn("bucket", floor($"doc_id" / bucketSize).cast("bigint"))
       .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
       .withColumn("seq_id", floor($"cum_before" / budget).cast("bigint"))
-      .groupBy($"lang", $"seq_id")
+      .groupBy($"lang", $"bucket", $"seq_id")
       .agg(
         count(lit(1)).cast("bigint").as("n_docs"),
         sum($"n_tokens").cast("bigint").as("n_tokens"),
         min($"doc_id").cast("bigint").as("first_doc"),
         max($"doc_id").cast("bigint").as("last_doc"))
-      .orderBy($"lang", $"seq_id")
+      .orderBy($"lang", $"bucket", $"seq_id")
+  }
+  private def t47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(TextFunctions.tokens($"text")).cast("bigint").as("n_tokens"))
+    sequencePack(docs, bucketSize = 100L, budget = 512.0)
   }
   private val t47Sql =
     """WITH d AS (
       |  SELECT doc_id, lang,
+      |    CAST(FLOOR(doc_id / 100) AS BIGINT) AS bucket,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |p AS (
-      |  SELECT doc_id, lang, n_tokens,
-      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+      |  SELECT doc_id, lang, bucket, n_tokens,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id)
       |                - n_tokens) / 512.0) AS BIGINT) AS seq_id
       |  FROM d)
-      |SELECT lang, seq_id,
+      |SELECT lang, bucket, seq_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-      |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+      |FROM p GROUP BY lang, bucket, seq_id ORDER BY lang, bucket, seq_id""".stripMargin
 
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),

@@ -43,4 +43,25 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(salted.length == plain.length)
     assert(salted.sameElements(plain))
   }
+
+  test("t47 sequence-pack window is keyed by (lang, bucket), not lang alone") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val docs = Tables.documents(spark, Spec.sf0001)
+      .select(col("doc_id"), col("lang"),
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val packed = graft.text.Text2Ops.sequencePack(docs, bucketSize = 100L, budget = 512.0)
+    // assert on the optimized logical plan — AQE hides the WindowExec
+    // behind AdaptiveSparkPlanExec until execution
+    val windows = packed.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, "expected a WindowExec in the sequence-pack plan")
+    val keys = windows.head.partitionSpec.map(_.toString)
+    assert(keys.length == 2 && keys.exists(_.contains("lang")) &&
+      keys.exists(_.contains("bucket")),
+      s"window must partition by (lang, bucket); got: ${keys.mkString(", ")}")
+    // the bucketed key must actually split a language across partitions:
+    // more distinct (lang, bucket) groups than langs
+    val groups = packed.select(col("lang"), col("bucket")).distinct().count()
+    val langs = docs.select(col("lang")).distinct().count()
+    assert(groups > langs, s"bucketing added no parallelism: $groups groups vs $langs langs")
+  }
 }
