@@ -79,10 +79,17 @@ object Bench {
     val ratios = results.collect { case (_, (mn, mx)) if mn > 0 => mx / mn }.sorted
     val noise = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2) // median max/min
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // full per-rep vectors, in run order: a contaminated rep (one noisy
+    // neighbor window on a shared host) is identifiable post-hoc, and a
+    // cross-round comparison can use trimmed statistics instead of
+    // trusting min alone
+    val samplesJson = headline
+      .map(q => s""""${q.name}":[${samples(q.name).map(j).mkString(",")}]""")
+      .mkString("{", ",", "}")
     // "sf" as the numeric scale factor when the dir encodes one
     val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
       .map(_.group(1)).getOrElse(s""""$sfDir"""")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"spread":$spread,"noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"spread":$spread,"samples":$samplesJson,"noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf}""")
     spark.stop()
   }
 }

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // into anti-joined plans (after GraftDmlRewrite in the batch — DML
     // targets are shielded inside the rule as well)
     e.injectResolutionRule(s => graft.plans.GraftApplyDeletes(s))
+    // zero-rewrite RENAME COLUMN: reads of alias-bearing snapshots scan
+    // both physical names and coalesce (column mapping without touching
+    // the files; same shielding discipline as GraftApplyDeletes)
+    e.injectResolutionRule(s => graft.plans.GraftResolveRenames(s))
     // SQL `VERSION AS OF` / `TIMESTAMP AS OF`: must run BEFORE the
     // Resolution batch (ResolveRelations refuses time travel on
     // session-catalog tables), so it rides the Hints batch.

@@ -2822,6 +2822,239 @@ object FormatOps {
       |FROM customer WHERE c_custkey BETWEEN 100 AND 400
       |ORDER BY dim""".stripMargin
 
+  // --------------------------------------------------------------- k127
+  /** CONVERT TO GRAFT — in-place adoption of an existing hive-layout
+    * parquet lake (Delta 0.7's `CONVERT TO DELTA`, the bar the
+    * reference declares by shipping delta-core 0.7; ref
+    * `spark/jars/delta-core_2.12-0.7.0.jar`): seed a PLAIN partitioned
+    * parquet dir with no graft involvement, run the SQL statement,
+    * REQUIRE the adoption wrote ZERO new parquet files, then drive the
+    * full table lifecycle over the adopted files — partition-pruned
+    * reads (path-derived partition values), SQL UPDATE, time travel
+    * back to the adopted snapshot, and OPTIMIZE materializing into
+    * graft-written files. Oracle replays the UPDATE + aggregate off
+    * raw orders. */
+  private def k127(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k127_convert")
+    try {
+      val lake = s"$zone/lake"
+      val seed = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      seed.write.partitionBy("o_orderstatus").parquet(lake)
+      def parquetUnder(p: String): Set[String] = {
+        def walk(f: java.io.File): Seq[String] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Nil
+        walk(new java.io.File(p)).toSet
+      }
+      val before = parquetUnder(lake)
+      val seedCount = seed.count()
+      spark.sql(s"CONVERT TO GRAFT '$lake' STATS (o_orderkey)")
+      require(parquetUnder(lake) == before,
+        "CONVERT must adopt in place: zero data files written or moved")
+      spark.sql(s"CREATE TABLE graft_k127_t USING graft OPTIONS (path '$lake')")
+      try {
+        // partition-pruned read over adopted files: the hive dirs became
+        // single-valued stats, so ordinary skipping IS partition pruning
+        val (fRows, scanned, total) =
+          TxnTable.readEquals(spark, lake, "o_orderstatus", "F")
+        require(fRows.count() ==
+            seed.filter($"o_orderstatus" === "F").count(),
+          "adopted partition read must match the raw dir")
+        require(scanned < total,
+          s"partition pruning must skip files: $scanned of $total")
+        // SQL SELECT through the DSv2 split scan (no graft files yet)
+        val viaSql = spark.sql(
+          "SELECT count(*) FROM graft_k127_t WHERE o_orderstatus = 'O'")
+          .head.getLong(0)
+        require(viaSql == seed.filter($"o_orderstatus" === "O").count(),
+          "SQL read over adopted files must fill partition values")
+        // DML over the adopted files (copy-on-write rewrite)
+        spark.sql(
+          "UPDATE graft_k127_t SET o_totalprice = 0.0 WHERE o_orderstatus = 'P'")
+        // time travel: v1 is the adopted snapshot, bit-for-bit
+        require(TxnTable.readVersion(spark, lake, 1L).count() == seedCount,
+          "time travel to the adopted snapshot must survive DML")
+        // OPTIMIZE materializes adopted files into graft-written ones
+        spark.sql("OPTIMIZE graft_k127_t")
+        val result = spark.sql(
+          """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price
+            |FROM graft_k127_t GROUP BY o_orderstatus
+            |ORDER BY o_orderstatus""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k127_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k127Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN 0.0
+      |                     ELSE o_totalprice END AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // --------------------------------------------------------------- k128
+  /** Partition-scoped OPTIMIZE — `OPTIMIZE t WHERE p = x`: compacting
+    * one hot partition of a partitioned table considers ONLY the files
+    * whose stats prove containment in the predicate (the replaceWhere
+    * containment test), so the cost is O(hot partition), not O(table).
+    * Seed a partitioned table, fragment ONE partition with three small
+    * appends, OPTIMIZE WHERE that partition, then REQUIRE the untouched
+    * partitions' files carry BY PATH IDENTITY while the hot partition's
+    * file count drops. Oracle replays seed+appends off raw orders. */
+  private def k128(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k128_optwhere")
+    try {
+      val table = s"$zone/orders_part"
+      val ord = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      ord.write.format("graft").mode("overwrite")
+        .partitionBy("o_orderpriority").save(table)
+      // fragment the hot partition: three deterministic small appends
+      val hotSeed = ord.filter($"o_orderpriority" === "1-URGENT")
+        .orderBy($"o_orderkey").limit(10)
+      (1 to 3).foreach { i =>
+        hotSeed.withColumn("o_orderkey", $"o_orderkey" + lit(1000000L * i))
+          .write.format("graft").mode("append").save(table)
+      }
+      val v0 = TxnTable.latestVersion(spark, table).get
+      val files0 = TxnTable.snapshotFiles(spark, table, v0)
+      def partsOf(v: Long): Map[String, String] = {
+        val stats = TxnTable.fileStats(spark, table, v)
+        TxnTable.snapshotFiles(spark, table, v).flatMap(f =>
+          stats.getOrElse(f, Nil).find(_.col == "o_orderpriority")
+            .map(s => f -> s.minV)).toMap
+      }
+      val part0 = partsOf(v0)
+      val hot0 = files0.filter(f => part0.get(f).contains("1-URGENT"))
+      val cold0 = files0.filterNot(f => part0.get(f).contains("1-URGENT"))
+      require(hot0.size >= 4 && cold0.nonEmpty,
+        s"seed must fragment the hot partition: ${hot0.size} hot, " +
+          s"${cold0.size} cold")
+      spark.sql(s"OPTIMIZE '$table' WHERE o_orderpriority = '1-URGENT'")
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val files1 = TxnTable.snapshotFiles(spark, table, v1)
+      val part1 = partsOf(v1)
+      val hot1 = files1.filter(f => part1.get(f).contains("1-URGENT"))
+      // the predicate's complement carries by PATH IDENTITY — cold
+      // partitions were never read, rewritten, or even size-probed
+      require(cold0.forall(files1.contains),
+        "OPTIMIZE WHERE must carry untouched partitions' files by identity")
+      require(hot1.size < hot0.size,
+        s"hot partition must compact: ${hot0.size} -> ${hot1.size} files")
+      require(hot1.forall(f => !files0.contains(f)),
+        "hot partition files must be fresh replacements")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"o_totalprice").as("price"))
+        .orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k128Sql =
+    """WITH hot AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey LIMIT 10),
+      |augmented AS (
+      |  SELECT o_orderpriority, o_totalprice FROM orders
+      |  UNION ALL SELECT o_orderpriority, o_totalprice FROM hot
+      |  UNION ALL SELECT o_orderpriority, o_totalprice FROM hot
+      |  UNION ALL SELECT o_orderpriority, o_totalprice FROM hot)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price
+      |FROM augmented GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- k129
+  /** MULTI-CLAUSE CONDITIONAL MERGE — one statement carrying
+    * `WHEN MATCHED AND cond THEN DELETE`, an unconditional
+    * `WHEN MATCHED THEN UPDATE`, and `WHEN NOT MATCHED AND cond THEN
+    * INSERT`, pinning the FIRST-MATCH-WINS clause ordering (Delta
+    * semantics: a matched row with a negative source balance hits the
+    * DELETE clause and never reaches the UPDATE). Oracle replays the
+    * same three-way split off raw customer. */
+  private def k129(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k129_merge")
+    try {
+      val table = s"$zone/cust_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+        .repartitionByRange(4, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(table)
+      // source: every existing key (matched) plus shifted new keys
+      // (not matched; only the high-balance ones may insert)
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+        .unionByName(Tables.customer(spark, dir)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_acctbal"))
+        .createOrReplaceTempView("graft_k129_src")
+      spark.sql(s"CREATE TABLE graft_k129_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO graft_k129_t t USING graft_k129_src s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.c_acctbal
+            |WHEN NOT MATCHED AND s.c_acctbal > 5000 THEN
+            |  INSERT (c_custkey, c_acctbal) VALUES (s.c_custkey, s.c_acctbal)
+            |""".stripMargin)
+        val result = spark.sql(
+          """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal,
+            |  CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+            |  CAST(MAX(c_custkey) AS BIGINT) AS max_key
+            |FROM graft_k129_t""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally {
+        spark.sql("DROP TABLE graft_k129_t")
+        spark.catalog.dropTempView("graft_k129_src"); ()
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k129Sql =
+    """WITH src AS (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal FROM customer),
+      |merged AS (
+      |  SELECT t.c_custkey, t.c_acctbal + s.c_acctbal AS c_acctbal
+      |  FROM customer t JOIN src s ON t.c_custkey = s.c_custkey
+      |  WHERE NOT (s.c_acctbal < 0)
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.c_acctbal FROM src s
+      |  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM customer)
+      |    AND s.c_acctbal > 5000)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal,
+      |  CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(c_custkey) AS BIGINT) AS max_key
+      |FROM merged""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -2873,5 +3106,8 @@ object FormatOps {
     RQ("k123_mor_read", k123, Some(k123Sql), bench = true),
     RQ("k124_shallow_clone", k124, Some(k124Sql)),
     RQ("k125_replace_where", k125, Some(k125Sql)),
-    RQ("k126_sql_zorder", k126, Some(k126Sql)))
+    RQ("k126_sql_zorder", k126, Some(k126Sql)),
+    RQ("k127_convert_in_place", k127, Some(k127Sql)),
+    RQ("k128_optimize_where", k128, Some(k128Sql)),
+    RQ("k129_merge_multiclause", k129, Some(k129Sql)))
 }

@@ -804,7 +804,7 @@ private[io] class GraftScanBuilder(
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
     new GraftScan(spark, table, version, dataSchema, required, pushed,
-      chosen, options)
+      chosen, options, meta.partCols, meta.pathpart)
   }
 }
 
@@ -816,9 +816,23 @@ private[io] class GraftScan(
     spark: SparkSession, table: String, version: Long,
     dataSchema: StructType, required: StructType,
     pushed: Array[Filter], chosenFiles: Seq[String],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    partCols: Seq[String] = Nil, pathpart: Boolean = false)
     extends Scan with GraftScanFiles {
-  override def readSchema(): StructType = required
+  // CONVERTED-IN-PLACE partitioned layout: the chosen files' partition
+  // values live in their hive `col=value` path segments, not the file
+  // bytes — the scan splits the projection into data columns (from the
+  // parquet reader) + partition columns (from the file index's
+  // discovered partition spec, basePath-anchored at the table root).
+  // Spark re-projects above the scan by name, so the reordered
+  // readSchema (data cols first, partition cols appended) is safe.
+  private def splitLayout: Boolean =
+    pathpart && partCols.nonEmpty && chosenFiles.exists(!_.startsWith("w="))
+  private def partSet = partCols.toSet
+  override def readSchema(): StructType =
+    if (!splitLayout) required
+    else StructType(required.filterNot(f => partSet(f.name)) ++
+      partCols.flatMap(c => required.find(_.name == c)))
   override def description(): String =
     s"GraftScan graft.`$table`@v$version [${chosenFiles.size} files]"
   override def scannedFileCount: Int = chosenFiles.size
@@ -828,15 +842,38 @@ private[io] class GraftScan(
   // group. Exactly-handled filters (whose columns Spark pruned away
   // because no residual references them) are file-level knowledge —
   // they did their work in manifest pruning, not in the reader.
-  private def parquetSafe: Array[Filter] =
-    pushed.filter(_.references.forall(required.fieldNames.contains))
+  // Converted files don't CONTAIN the partition columns, so filters on
+  // them never reach the parquet layer in the split branch.
+  private def parquetSafe: Array[Filter] = {
+    val inFile: String => Boolean =
+      if (splitLayout) c => required.fieldNames.contains(c) && !partSet(c)
+      else required.fieldNames.contains(_)
+    pushed.filter(_.references.forall(inFile))
+  }
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    org.apache.spark.sql.GraftBridge.parquetScan(
-      spark, chosenFiles.map(f => s"$table/$f"), dataSchema, required,
-      parquetSafe, options).toBatch
+    if (!splitLayout)
+      org.apache.spark.sql.GraftBridge.parquetScan(
+        spark, chosenFiles.map(f => s"$table/$f"), dataSchema, required,
+        parquetSafe, options).toBatch
+    else {
+      // one homogeneous leg only: after any graft write lands next to
+      // adopted files the two layouts would need two reader factories
+      // under one Batch — OPTIMIZE materializes instead
+      require(chosenFiles.forall(!_.startsWith("w=")),
+        s"$table mixes in-place-converted files with graft-written ones — " +
+          "OPTIMIZE the table to materialize the converted files, then " +
+          "read through SQL again")
+      org.apache.spark.sql.GraftBridge.parquetScanPartitioned(
+        spark, table, chosenFiles.map(f => s"$table/$f"), dataSchema,
+        required, partCols, parquetSafe, options).toBatch
+    }
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!(pathpart && partCols.nonEmpty),
+      s"$table was converted in place with path-derived partition values — " +
+        "OPTIMIZE it into graft-written files before streaming")
     new GraftMicroBatchStream(spark, table, dataSchema, required, pushed, options)
+  }
 }
 
 /** The Scan a fully-pushed aggregate plans to: driver-built rows (one

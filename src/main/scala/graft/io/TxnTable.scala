@@ -116,6 +116,22 @@ object TxnTable {
   // (a fully-covered file dropped without being read) metadata-only
   // even with CDF enabled. Commit-scoped.
   private val CdcDelPrefix = "#cdcdel="
+  // CONVERTED-IN-PLACE layout (`#pathpart=true` header): STICKY table
+  // flag set by `convert` — some of the table's files were adopted from
+  // a pre-existing hive-layout parquet directory, where partition
+  // values live in `col=value` DIRECTORY NAMES instead of file bytes.
+  // Reads split structurally: graft-written files (under `w=<token>/`)
+  // carry every column in the file; adopted files (never under `w=`)
+  // read with basePath=<table> so Spark's partition discovery fills the
+  // partition columns from their paths. No per-file metadata needed.
+  private val PathPartPrefix = "#pathpart="
+  // COLUMN-MAPPING aliases (`#alias=` lines): logical column name ->
+  // prior PHYSICAL names still present in old data files, newest first.
+  // Written by the zero-rewrite RENAME COLUMN; the schema-driven read
+  // scans logical + alias names and COALESCEs (a column exists under
+  // exactly one name per file, so the coalesce picks the one present).
+  // Snapshot state, carried by every commit like checks/retired.
+  private val AliasPrefix = "#alias="
   // MERGE-ON-READ mode (`#mor=true` header): STICKY table flag (like
   // #cdf) — while on, SQL DELETE writes an equality-delete file (the
   // matched rows' distinct key tuples) instead of rewriting data files,
@@ -716,7 +732,9 @@ object TxnTable {
       dels: Seq[DelMeta] = Nil,
       addv: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil) {
+      retired: Seq[String] = Nil,
+      pathpart: Boolean = false,
+      aliases: Map[String, Seq[String]] = Map.empty) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
@@ -843,7 +861,8 @@ object TxnTable {
     }
     State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows,
       parsePartCols(headOf), parseCdf(headOf), parseMor(headOf), dels, addv,
-      parseChecks(headOf), parseRetired(headOf))
+      parseChecks(headOf), parseRetired(headOf), parsePathPart(headOf),
+      parseAliases(headOf))
   }
 
   private def parsePartCols(headers: Seq[String]): Seq[String] =
@@ -858,6 +877,21 @@ object TxnTable {
   private def parseMor(headers: Seq[String]): Boolean =
     headers.exists(l => l.startsWith(MorPrefix) &&
       l.stripPrefix(MorPrefix).trim == "true")
+
+  private def parsePathPart(headers: Seq[String]): Boolean =
+    headers.exists(l => l.startsWith(PathPartPrefix) &&
+      l.stripPrefix(PathPartPrefix).trim == "true")
+
+  private def aliasLines(aliases: Map[String, Seq[String]]): Seq[String] =
+    aliases.toSeq.sortBy(_._1).map { case (l, as) =>
+      s"$AliasPrefix${enc(l)}$StatSep${as.map(enc).mkString(",")}" }
+
+  private def parseAliases(headers: Seq[String]): Map[String, Seq[String]] =
+    headers.filter(_.startsWith(AliasPrefix)).map { l =>
+      val p = l.stripPrefix(AliasPrefix)
+        .split(java.util.regex.Pattern.quote(StatSep))
+      dec(p(0)) -> p(1).split(",").toSeq.filter(_.nonEmpty).map(dec)
+    }.toMap
 
   private def delLine(d: DelMeta): String =
     s"$DelPrefix${d.file}$StatSep${d.version}$StatSep${d.rows}$StatSep" +
@@ -938,11 +972,13 @@ object TxnTable {
   final case class SnapshotMeta(
       files: Seq[String],
       stats: Map[String, Seq[FileStat]],
-      rows: Map[String, Long])
+      rows: Map[String, Long],
+      partCols: Seq[String] = Nil,
+      pathpart: Boolean = false)
   private[io] def snapshotMeta(spark: SparkSession, table: String,
                                version: Long): SnapshotMeta = {
     val st = stateOf(spark, table, version)
-    SnapshotMeta(st.files, st.stats, st.rows)
+    SnapshotMeta(st.files, st.stats, st.rows, st.partCols, st.pathpart)
   }
 
   /** Write `df` under a fresh unique data dir; return (dir, its files,
@@ -1108,15 +1144,19 @@ object TxnTable {
       dels: Seq[DelMeta] = Nil,
       addv: Map[String, Long] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil): String = {
+      retired: Seq[String] = Nil,
+      pathpart: Boolean = false,
+      aliases: Map[String, Seq[String]] = Map.empty): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
       s"$OpPrefix$op") ++
       (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
       (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
+      (if (pathpart) Seq(s"${PathPartPrefix}true") else Nil) ++
       checkLines(checks) ++
       retiredLine(retired) ++
+      aliasLines(aliases) ++
       dels.map(delLine) ++
       // add-version lines exist ONLY to gate equality deletes; on a
       // table that never enabled merge-on-read they are O(files) dead
@@ -1158,14 +1198,18 @@ object TxnTable {
       mor: Boolean = false,
       newDels: Seq[DelMeta] = Nil,
       checks: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil): String =
+      retired: Seq[String] = Nil,
+      pathpart: Boolean = false,
+      aliases: Map[String, Seq[String]] = Map.empty): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
       s"$OpPrefix$op") ++
       (if (cdf) Seq(s"${CdfPrefix}true") else Nil) ++
       (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
+      (if (pathpart) Seq(s"${PathPartPrefix}true") else Nil) ++
       checkLines(checks) ++
       retiredLine(retired) ++
+      aliasLines(aliases) ++
       newDels.map(delLine) ++
       cdcAdd.map(CdcPrefix + _) ++
       cdcDel.map(CdcDelPrefix + _) ++
@@ -1325,15 +1369,26 @@ object TxnTable {
       // the schema: carried forward by every commit, append or overwrite
       val chks = state.map(_.checks).getOrElse(Map.empty[String, String])
       val ret = state.map(_.retired).getOrElse(Nil)
+      // converted-layout flag is sticky ONLY while adopted files remain:
+      // an overwrite replaces table content wholesale with graft-written
+      // files, so the flag drops with them
+      val ppOn = state.exists(_.pathpart) && append
+      // like pathpart: an overwrite replaces every old-name file, so the
+      // alias map (and its coalesce read cost) drops with them
+      val aliasOn =
+        if (append) state.map(_.aliases).getOrElse(Map.empty[String, Seq[String]])
+        else Map.empty[String, Seq[String]]
       val content =
         if (writeFull)
           manifestContent(schema, txns, stats, files, blooms, rows, partCols,
             op = op, cdf = cdfOn, mor = morOn, dels = liveDels, addv = addvAll,
-            checks = chks, retired = ret)
+            checks = chks, retired = ret, pathpart = ppOn,
+            aliases = aliasOn)
         else deltaContent(schema, txns, newStats, removed = Nil,
           added = newFiles, base = state.get.version, newBlooms = newBlooms,
           newRows = newRows, partCols = partCols, op = op, cdf = cdfOn,
-          mor = morOn, checks = chks, retired = ret)
+          mor = morOn, checks = chks, retired = ret, pathpart = ppOn,
+          aliases = aliasOn)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -1433,7 +1488,7 @@ object TxnTable {
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(chosen.map(f => s"$table/$f"): _*)
+      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases)
         .filter(rangeFilter(column, dt, lo, hi))
     (rows, chosen.size, st.files.size)
   }
@@ -1488,7 +1543,7 @@ object TxnTable {
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(chosen.map(f => s"$table/$f"): _*)
+      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases)
         .filter(col(column) === lit(value))
     (rows, chosen.size, st.files.size)
   }
@@ -1536,8 +1591,7 @@ object TxnTable {
             None, Nil)
         else {
           val matchExpr = coalesce(col(column) === lit(value), lit(false))
-          val complement = spark.read.schema(schema)
-            .parquet(boundary.map(f => s"$table/$f"): _*)
+          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
             .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
             writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
@@ -1546,8 +1600,7 @@ object TxnTable {
           val cdc =
             if (!st.cdf) Nil
             else writeChangeData(
-              spark.read.schema(schema)
-                .parquet(boundary.map(f => s"$table/$f"): _*)
+              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
                 .filter(matchExpr)
                 .withColumn(ChangeTypeCol, lit("delete")),
               table, d)
@@ -1643,8 +1696,7 @@ object TxnTable {
       val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else spark.read.schema(schema)
-          .parquet(candidates.map(f => s"$table/$f"): _*)
+        else planFiles(spark, table, schema, candidates, st.pathpart, st.aliases)
           .select(col(keyCol), input_file_name().as("__f"))
           // no broadcast hint: AQE picks broadcast when the key set is
           // small and falls back to shuffle when a bulk merge isn't
@@ -1659,8 +1711,7 @@ object TxnTable {
       // evolution actually goes through the data path
       val merged =
         if (touched.isEmpty) updates
-        else spark.read.schema(schema)
-          .parquet(touched.toSeq.map(f => s"$table/$f"): _*)
+        else planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases)
           .join(updates, Seq(keyCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       // rewritten files keep stats for EVERY column the table tracks —
@@ -1685,8 +1736,7 @@ object TxnTable {
         else {
           val touchedDf =
             if (touched.isEmpty) None
-            else Some(spark.read.schema(schema)
-              .parquet(touched.toSeq.map(f => s"$table/$f"): _*))
+            else Some(planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases))
           val updKeys = updates.select(col(keyCol)).distinct()
           val pre = touchedDf.map(_.join(updKeys, Seq(keyCol), "left_semi")
             .withColumn(ChangeTypeCol, lit("update_preimage")))
@@ -1776,13 +1826,16 @@ object TxnTable {
               mor = base.mor,
               dels = base.dels.filter(d =>
                 files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
-              addv = addvAll, checks = base.checks, retired = base.retired)
+              addv = addvAll, checks = base.checks, retired = base.retired,
+              pathpart = base.pathpart && files.exists(!_.startsWith("w=")),
+              aliases = base.aliases)
           }
         else deltaContent(schema, txns(base), newStats,
           removed = removedFiles, added = newFiles, base = base.version,
           newBlooms = newBlooms, newRows = newRows, partCols = base.partCols,
           op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel,
-          mor = base.mor, checks = base.checks, retired = base.retired)
+          mor = base.mor, checks = base.checks, retired = base.retired,
+          pathpart = base.pathpart, aliases = base.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return Some(next)
@@ -1904,11 +1957,12 @@ object TxnTable {
     * live equality-delete files, per-file add versions, and the
     * snapshot's data files. */
   final case class MorState(dels: Seq[DelMeta], addv: Map[String, Long],
-                            files: Seq[String])
+                            files: Seq[String],
+                            aliases: Map[String, Seq[String]] = Map.empty)
   private[graft] def morState(spark: SparkSession, table: String,
                               version: Long): MorState = {
     val st = stateOf(spark, table, version)
-    MorState(st.dels, st.addv, st.files)
+    MorState(st.dels, st.addv, st.files, st.aliases)
   }
 
   /** MERGE-ON-READ DELETE — the deletion-vector answer for point/
@@ -1995,12 +2049,14 @@ object TxnTable {
               base.blooms, base.rows, base.partCols, op = "delete",
               cdf = base.cdf, cdcAdd = cdcAdd,
               mor = true, dels = base.dels ++ dels, addv = base.addv,
-              checks = base.checks, retired = base.retired)
+              checks = base.checks, retired = base.retired,
+              pathpart = base.pathpart, aliases = base.aliases)
           else deltaContent(schema, base.txns,
             Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
             base = base.version, partCols = base.partCols, op = "delete",
             cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels,
-            checks = base.checks, retired = base.retired)
+            checks = base.checks, retired = base.retired,
+            pathpart = base.pathpart, aliases = base.aliases)
         if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
           writePointer(ctx, table, next)
           return next
@@ -2141,13 +2197,15 @@ object TxnTable {
                   cdf = base.cdf, cdcAdd = cdcAdd, mor = true,
                   dels = (base.dels ++ dels).filter(d =>
                     files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
-                  addv = addvAll, checks = base.checks, retired = base.retired)
+                  addv = addvAll, checks = base.checks, retired = base.retired,
+                  pathpart = base.pathpart, aliases = base.aliases)
               } else deltaContent(schema, base.txns, newStats,
                 removed = Nil, added = newFiles, base = base.version,
                 newBlooms = newBlooms, newRows = newRows,
                 partCols = base.partCols, op = op, cdf = base.cdf,
                 cdcAdd = cdcAdd, mor = true, newDels = dels,
-                checks = base.checks, retired = base.retired)
+                checks = base.checks, retired = base.retired,
+                pathpart = base.pathpart, aliases = base.aliases)
             if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
               writePointer(ctx, table, next)
               return next
@@ -2175,6 +2233,62 @@ object TxnTable {
       s"merge-on-read upsert of $table lost the snapshot race 16 times")
   }
 
+  /** Plan ONE logical scan over table-relative `rel` data files with
+    * the manifest `schema`. On a converted table (`#pathpart`) files
+    * adopted in place (never under `w=`) read with basePath=<table> so
+    * Spark's partition discovery fills partition columns from their
+    * hive `col=value` path segments; graft-written files carry every
+    * column in the file bytes and read plain. Both legs surface exactly
+    * `schema`, so the union is loss-free; on non-converted tables this
+    * is byte-identical to the single-scan plan it replaced. */
+  private def planFiles(spark: SparkSession, table: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        rel: Seq[String], pathpart: Boolean,
+                        aliases: Map[String, Seq[String]] = Map.empty)
+      : DataFrame = {
+    // COLUMN MAPPING (zero-rewrite RENAME): a renamed column's bytes sit
+    // under its OLD physical name in pre-rename files and the NEW name
+    // in post-rename ones. The scan schema carries BOTH (Spark surfaces
+    // a name a file lacks as NULL — no per-file branching, no extra
+    // I/O), and one codegen'd COALESCE restores the logical column:
+    // exactly one leg is non-null per file.
+    val live = aliases.filter { case (l, as) =>
+      as.nonEmpty && schema.fieldNames.contains(l) }
+    val scanSchema =
+      if (live.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.flatMap { f =>
+        f +: live.getOrElse(f.name, Nil)
+          .map(a => org.apache.spark.sql.types.StructField(a, f.dataType))
+          .toArray[org.apache.spark.sql.types.StructField]
+      })
+    def project(df: DataFrame): DataFrame =
+      if (live.isEmpty) df
+      else df.select(schema.fields.map { f =>
+        live.get(f.name) match {
+          case Some(as) =>
+            org.apache.spark.sql.functions.coalesce(
+              (f.name +: as).map(n => col(s"`$n`")): _*).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }.toIndexedSeq: _*)
+    def scan(fs: Seq[String], withBase: Boolean) = {
+      val r = spark.read.schema(scanSchema)
+      (if (withBase) r.option("basePath", table) else r)
+        .parquet(fs.map(f => s"$table/$f"): _*)
+    }
+    project(
+      if (!pathpart) scan(rel, withBase = false)
+      else {
+        val (own, adopted) = rel.partition(_.startsWith("w="))
+        val legs = Seq((own, false), (adopted, true))
+          .collect { case (fs, withBase) if fs.nonEmpty => scan(fs, withBase) }
+        if (legs.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), scanSchema)
+        else legs.reduce(_ unionByName _)
+      })
+  }
+
   /** `st`'s rows from `files` with every applicable equality delete
     * subtracted: files are grouped by their applicable delete set (one
     * group per distinct gate combination — at most #deletes + 1), each
@@ -2192,7 +2306,7 @@ object TxnTable {
       st.dels.filter(_.version > st.addv.getOrElse(f, 0L))
     val groups = files.groupBy(applicable).toSeq.sortBy(_._2.head)
     groups.map { case (dels, fs) =>
-      var df = spark.read.schema(schema).parquet(fs.map(f => s"$table/$f"): _*)
+      var df = planFiles(spark, table, schema, fs, st.pathpart, st.aliases)
       dels.foreach { d =>
         val keySchema = org.apache.spark.sql.types.StructType(
           d.keyCols.map(k => schema(k)))
@@ -2221,8 +2335,8 @@ object TxnTable {
         s"file not in snapshot v$version of $table: $r"))
     }.distinct.sorted
     if (st.dels.isEmpty)
-      spark.read.schema(st.schema.getOrElse(throw new IllegalStateException(
-        s"$table predates the schema log"))).parquet(rel.map(f => s"$table/$f"): _*)
+      planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases)
     else delAppliedRead(spark, table, st, rel)
   }
 
@@ -2286,8 +2400,7 @@ object TxnTable {
           // SQL DELETE retains NULL-keyed rows, so default the match to
           // false before negating.
           val matchExpr = coalesce(rangeFilter(column, dt, lo, hi), lit(false))
-          val complement = spark.read.schema(schema)
-            .parquet(boundary.map(f => s"$table/$f"): _*)
+          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
             .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
             writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
@@ -2298,8 +2411,7 @@ object TxnTable {
           val cdc =
             if (!st.cdf) Nil
             else writeChangeData(
-              spark.read.schema(schema)
-                .parquet(boundary.map(f => s"$table/$f"): _*)
+              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
                 .filter(matchExpr)
                 .withColumn(ChangeTypeCol, lit("delete")),
               table, d)
@@ -2425,8 +2537,7 @@ object TxnTable {
       val trackedBlooms = st.bloomCols.toSeq.sorted
       val incoming = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
       val matchExpr = predicate(dt)
-      def boundaryRead = spark.read.schema(schema)
-        .parquet(boundary.map(f => s"$table/$f"): _*)
+      def boundaryRead = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
       // NULL-keyed rows in boundary files are OUTSIDE the range (SQL
       // semantics, same as deleteRangeOn) and survive the replace
       val payload =
@@ -2476,12 +2587,10 @@ object TxnTable {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val st = stateOf(spark, table, version)
     if (st.dels.nonEmpty) delAppliedRead(spark, table, st, st.files)
-    else {
-      val files = st.files.map(f => s"$table/$f")
-      st.schema match {
-        case Some(s) => spark.read.schema(s).parquet(files: _*)
-        case None => spark.read.parquet(files: _*) // pre-schema-log manifest
-      }
+    else st.schema match {
+      case Some(s) => planFiles(spark, table, s, st.files, st.pathpart, st.aliases)
+      case None => // pre-schema-log manifest
+        spark.read.parquet(st.files.map(f => s"$table/$f"): _*)
     }
   }
 
@@ -2511,11 +2620,11 @@ object TxnTable {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
     val newFiles =
       changedFiles(spark, table, sinceVersion, latest, skipChangeCommits)
-        .map(f => s"$table/$f")
     if (newFiles.isEmpty) // e.g. only change commits in range, all skipped
       return (spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
-    (spark.read.schema(schema).parquet(newFiles: _*), latest)
+    val lst = stateOf(spark, table, latest)
+    (planFiles(spark, table, schema, newFiles, lst.pathpart, lst.aliases), latest)
   }
 
   /** Files added between two snapshots of append-only history — the
@@ -2745,12 +2854,13 @@ object TxnTable {
       StructField(CommitVersionCol, LongType, nullable = false))
     val cdcSchema = StructType(schema.fields.toSeq :+
       StructField(ChangeTypeCol, StringType))
+    val untilSt = stateOf(spark, table, until)
     val frames = ((sinceVersion + 1L) to until).flatMap { v =>
       val cc = commitChanges(spark, table, v)
       def readAs(files: Seq[String], tpe: String): Option[DataFrame] =
         if (files.isEmpty) None
-        else Some(spark.read.schema(schema)
-          .parquet(files.map(f => s"$table/$f"): _*)
+        else Some(planFiles(spark, table, schema, files, untilSt.pathpart,
+            untilSt.aliases)
           .withColumn(ChangeTypeCol, lit(tpe)))
       val cdc =
         if (cc.cdc.isEmpty) None
@@ -2881,7 +2991,11 @@ object TxnTable {
           // retired-name memory (old files coming back is precisely when
           // the resurrection guard matters most)
           checks = st.checks,
-          retired = (st.retired ++ target.retired).distinct)
+          retired = (st.retired ++ target.retired).distinct,
+          pathpart = target.pathpart,
+          // aliases are DATA-layout state like the file list: the
+          // restored snapshot's files resolve through ITS alias map
+          aliases = target.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -2913,7 +3027,8 @@ object TxnTable {
       val next = st.version + 1L
       val content = manifestContent(schema, st.txns, stats, st.files,
         blooms, st.rows, st.partCols, op = op, cdf = st.cdf, mor = st.mor,
-        dels = st.dels, addv = st.addv, checks = checks, retired = retired)
+        dels = st.dels, addv = st.addv, checks = checks, retired = retired,
+        pathpart = st.pathpart, aliases = st.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -3013,43 +3128,74 @@ object TxnTable {
       case _ => to
     }
 
-  /** ALTER TABLE … RENAME COLUMN — implemented as a FULL REWRITE commit
-    * (read snapshot → rename → overwrite, skipping metadata re-collected
-    * under the new name, partition spec translated). Correct at any
-    * scale but O(table) data I/O; the zero-rewrite spelling requires
-    * parquet field-ID column mapping (Delta 1.2+ / Iceberg), which this
-    * log does not carry yet — and the reference's declared bar, Delta
-    * 0.7, offers no rename at all. The rewrite drops old files from the
-    * snapshot, so the old name needs no retirement: a later re-add of
-    * `from` reads NULL everywhere, as it should. */
+  /** ALTER TABLE … RENAME COLUMN — METADATA-ONLY via column-mapping
+    * aliases (Delta 1.2's column mapping / Iceberg field-ids, realized
+    * without touching the files): ONE manifest write at any table size,
+    * zero data I/O. The new schema carries the new name; a `#alias=`
+    * entry records the old PHYSICAL name, and every read scans both
+    * names and coalesces (see [[planFiles]] — exactly one is non-null
+    * per file). Skipping SURVIVES: the per-file stats entries rename
+    * with the column (the bytes they describe are unchanged). Bloom
+    * metas of the column drop — their sidecar paths embed the physical
+    * name — degrading point lookups to stats-only pruning until natural
+    * rewrite churn rebuilds them. The old name joins the RETIRED list
+    * so a later re-add cannot resurrect the aliased bytes. */
   def renameColumn(spark: SparkSession, table: String,
                    from: String, to: String): Long = {
-    val st = latestState(spark, table).getOrElse(
-      throw new IllegalStateException(s"no committed version in $table"))
-    val schema = st.schema.getOrElse(
-      throw new IllegalStateException(s"$table predates the schema log"))
-    val field = schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
-      throw new IllegalArgumentException(s"no such column $from in $table"))
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
-      s"column $to already exists in $table")
-    require(!st.retired.exists(_.equalsIgnoreCase(to)),
-      s"column $to was previously dropped from $table; old data files " +
-        "still contain it — use a different name")
-    st.checks.foreach { case (cn, sql) =>
-      require(!exprRefs(spark, sql).exists(_.equalsIgnoreCase(field.name)),
-        s"cannot rename ${field.name}: CHECK constraint $cn references it " +
-          "(DROP CONSTRAINT, rename, re-add)")
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 64) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val field = schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(s"no such column $from in $table"))
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists in $table")
+      require(!st.retired.exists(_.equalsIgnoreCase(to)),
+        s"column $to was previously dropped from $table; old data files " +
+          "still contain it — use a different name")
+      st.checks.foreach { case (cn, sql) =>
+        require(!exprRefs(spark, sql).exists(_.equalsIgnoreCase(field.name)),
+          s"cannot rename ${field.name}: CHECK constraint $cn references it " +
+            "(DROP CONSTRAINT, rename, re-add)")
+      }
+      require(!st.dels.exists(_.keyCols.exists(_.equalsIgnoreCase(field.name))),
+        s"cannot rename ${field.name}: live merge-on-read deletes key on " +
+          "it — OPTIMIZE to materialize them first")
+      // a converted table's partition VALUES live in `from=x` path
+      // segments; renaming the column would orphan them
+      require(!(st.pathpart &&
+          st.partCols.map(partSource).exists(_.equalsIgnoreCase(field.name))),
+        s"cannot rename partition column ${field.name} of an in-place-" +
+          "converted table: its values are path-derived — OPTIMIZE first")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+      val newStats = st.stats.view.mapValues(_.map(fs =>
+        if (fs.col.equalsIgnoreCase(from)) fs.copy(col = to) else fs)).toMap
+      val newBlooms = st.blooms.view
+        .mapValues(_.filterNot(_.col.equalsIgnoreCase(from)))
+        .toMap.filter(_._2.nonEmpty)
+      val newPart = st.partCols.map(renameEntry(_, field.name, to))
+      val newAliases = (st.aliases - field.name) +
+        (to -> (field.name +: st.aliases.getOrElse(field.name, Nil)))
+      val next = st.version + 1L
+      val content = manifestContent(newSchema, st.txns, newStats, st.files,
+        newBlooms, st.rows, newPart, op = "alter-rename", cdf = st.cdf,
+        mor = st.mor, dels = st.dels, addv = st.addv, checks = st.checks,
+        retired = (st.retired :+ field.name).distinct,
+        pathpart = st.pathpart, aliases = newAliases)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
+      attempt += 1
+      backoff(attempt)
     }
-    val tr: String => String =
-      c => if (c.equalsIgnoreCase(field.name)) to else c
-    val statsCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
-      .map(tr).filterNot(c => st.partCols.map(partSource).contains(c))
-    val bloomCols = st.bloomCols.toSeq.sorted.map(tr)
-    val partCols = st.partCols.map(renameEntry(_, field.name, to))
-    commit(read(spark, table).withColumnRenamed(field.name, to), table,
-      append = false, txn = None, statsCols = statsCols,
-      bloomCols = bloomCols, partitionCols = partCols,
-      opLabel = Some("alter-rename"))
+    throw new IllegalStateException(
+      s"rename on $table lost the manifest race 64 times")
   }
 
   // ------------------------------------------------- CHECK constraints
@@ -3188,6 +3334,12 @@ object TxnTable {
         "them, then clone")
     require(latestVersion(spark, dest).isEmpty,
       s"$dest already has commits — SHALLOW CLONE creates a NEW table")
+    // a converted table's partition values live in file PATHS read via
+    // basePath=<table>; cloned rel-path references would resolve them
+    // against the wrong base — refuse rather than silently mis-read
+    require(!st.pathpart,
+      s"$source@v$srcV was converted in place (path-derived partition " +
+        "values) — OPTIMIZE it into graft-written files, then clone")
     val rel = {
       val d = java.nio.file.Paths.get(dest).toAbsolutePath.normalize
       val s = java.nio.file.Paths.get(source).toAbsolutePath.normalize
@@ -3200,10 +3352,112 @@ object TxnTable {
       st.blooms.map { case (f, v) => pf(f) -> v },
       st.rows.map { case (f, v) => pf(f) -> v },
       st.partCols, op = "clone", cdf = st.cdf, mor = st.mor,
-      checks = st.checks, retired = st.retired)
+      checks = st.checks, retired = st.retired, aliases = st.aliases)
     require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
       s"$dest was concurrently initialized — clone aborted")
     writePointer(ctx, dest, 1L)
+    1L
+  }
+
+  /** `CONVERT TO GRAFT` — in-place adoption of an EXISTING parquet
+    * directory (Delta 0.7's `CONVERT TO DELTA`, the capability the
+    * reference declares by shipping `spark/jars/delta-core_2.12-0.7.0.jar`
+    * — SURVEY.md §1.3): write manifest v1 LISTING the directory's
+    * current files. Zero data rewrite — the one-shot adoption path for
+    * a pre-existing 100 TB lake, where CTAS/COPY INTO (full rewrite /
+    * re-ingest) are effectively unavailable. Hive `col=value` layout
+    * infers identity partition transforms; partition values stay
+    * PATH-derived (`#pathpart` flag) and fill in at read time via
+    * basePath, so adopted files are never touched. Stats for
+    * `statsCols` (plus the inferred partition columns — single-valued
+    * per file, so ordinary stats pruning IS partition pruning) are
+    * collected in one distributed pass over the adopted files; time
+    * travel, DML, OPTIMIZE, and streaming all work from v1 on. */
+  def convert(spark: SparkSession, table: String,
+              statsCols: Seq[String] = Nil): Long = {
+    val ctx = fc(spark)
+    require(!table.contains("://"),
+      "CONVERT resolves adopted files by relative path and needs a " +
+        "hierarchical filesystem — URI-schemed paths are not supported")
+    require(latestVersion(spark, table).isEmpty,
+      s"$table already has graft commits — CONVERT adopts a PLAIN parquet dir")
+    val tabAbs = java.nio.file.Paths.get(table).toAbsolutePath.normalize.toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path, rel: String): Unit = {
+      val it = ctx.listStatus(p)
+      while (it.hasNext) {
+        val fs = it.next()
+        val n = fs.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          val childRel = if (rel.isEmpty) n else s"$rel/$n"
+          if (fs.isDirectory) walk(fs.getPath, childRel)
+          else if (n.endsWith(".parquet")) buf += childRel
+        }
+      }
+    }
+    walk(new Path(tabAbs), "")
+    val files = buf.sorted.toSeq
+    require(files.nonEmpty, s"CONVERT found no parquet files under $table")
+    require(!files.exists(_.split('/').exists(_.startsWith("w="))),
+      s"$table contains 'w=' path segments — reserved for graft commits")
+    // hive partition inference: the k=v directory segments, which must
+    // name the same column sequence for every file
+    def partsOf(f: String): Seq[String] = f.split('/').dropRight(1).toSeq
+      .filter(_.contains('=')).map(s => dec(s.takeWhile(_ != '=')))
+    val partCols = partsOf(files.head)
+    require(files.forall(f => partsOf(f) == partCols),
+      s"inconsistent hive partition layout under $table: every file must " +
+        s"sit under the same ${partCols.mkString("/")} directory nesting")
+    // schema via Spark's own discovery — partition columns land with the
+    // types partition inference assigns, which is exactly what the
+    // basePath read produces later, so manifest schema == read schema
+    val full = spark.read.parquet(tabAbs)
+    partCols.foreach(c => require(full.columns.contains(c),
+      s"partition column $c missing from discovered schema of $table"))
+    val schema = org.apache.spark.sql.GraftBridge.nullableSchema(full.schema)
+    // ONE distributed stats pass (same shape as writeData's read-back):
+    // per-file row counts always; min/max/nulls for the designated stats
+    // columns plus every partition column
+    val tracked = (statsCols ++ partCols).distinct.flatMap(c =>
+      schema.find(_.name == c).flatMap(f =>
+        statKind(f.dataType).map(k => (c, f.dataType, k))))
+    val aggs = (count(lit(1)).as("__rows") +:
+      tracked.flatMap { case (c, dt, _) => Seq(
+        min(normExpr(c, dt)).as(s"__mn_$c"),
+        max(normExpr(c, dt)).as(s"__mx_$c"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            normExpr(c, dt).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+      })
+    def relKey(uri: String): String = {
+      val path = new Path(new java.net.URI(uri)).toUri.getPath
+      require(path.startsWith(s"$tabAbs/"),
+        s"stats read-back file $uri outside $table")
+      path.substring(tabAbs.length + 1)
+    }
+    val perFile = full.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val key = relKey(r.getString(0))
+        val ss = tracked.flatMap { case (c, _, kind) =>
+          val nn = r.getAs[Long](s"__nn_$c")
+          (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
+            case (null, _) if nn > 0L => Some(FileStat(c, "null", "", "", nn))
+            case (null, _) => None
+            case (mn, mx) => Some(FileStat(c, kind, mn.toString, mx.toString, nn))
+          }
+        }
+        (key, ss, r.getAs[Long]("__rows"))
+      }
+    val stats = perFile.filter(_._2.nonEmpty).map(t => t._1 -> t._2).toMap
+    val rowCounts =
+      files.map(f => f -> perFile.find(_._1 == f).map(_._3).getOrElse(0L)).toMap
+    val content = manifestContent(schema, Map.empty, stats, files,
+      rows = rowCounts, partCols = partCols, op = "convert", pathpart = true)
+    require(tryCreateAtomic(ctx, new Path(tabAbs, manifestName(1L)), content),
+      s"$table was concurrently initialized — convert aborted")
+    writePointer(ctx, tabAbs, 1L)
     1L
   }
 
@@ -3258,9 +3512,17 @@ object TxnTable {
     * streaming commits on top of petabytes of settled data. Cost here
     * is O(small files) data I/O + O(files) size lookups, independent of
     * table bulk. Skipping metadata survives on the packed replacements;
-    * same optimistic pinned-CAS commit as merge/deleteRange. */
+    * same optimistic pinned-CAS commit as merge/deleteRange.
+    *
+    * `scope` (OPTIMIZE … WHERE col = value — Delta's partition-scoped
+    * OPTIMIZE): only files whose manifest stats PROVE containment in
+    * the predicate (single-valued on `col`, zero nulls — the same
+    * containment test replaceWhere uses) are candidates; everything
+    * else carries by reference without even a size lookup. Compacting
+    * one hot day of a 100 TB table costs O(that day's files). */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
-                   targetFiles: Int = 1, checkpoint: Boolean = false): Long = {
+                   targetFiles: Int = 1, checkpoint: Boolean = false,
+                   scope: Option[(String, Any)] = None): Long = {
     val ctx = fc(spark)
     var attempt = 0
     while (attempt < 16) {
@@ -3268,7 +3530,15 @@ object TxnTable {
         throw new IllegalStateException(s"no committed version in $table"))
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
-      val small = st.files.filter(f =>
+      val inScope: String => Boolean = scope match {
+        case None => _ => true
+        case Some((c, v)) =>
+          require(schema.fieldNames.contains(c),
+            s"OPTIMIZE WHERE column $c is not a column of $table")
+          val b = pointBound(v, schema(c).dataType)
+          f => st.stat(f, c).exists(s => s.nulls == 0L && s.containedIn(b))
+      }
+      val small = st.files.filter(f => inScope(f) &&
         ctx.getFileStatus(new Path(s"$table/$f")).getLen < smallBytes)
       if (small.size <= 1) return st.version // nothing worth packing
       val carried = st.files.filterNot(small.toSet)
@@ -3279,7 +3549,7 @@ object TxnTable {
       // entries stay — they still apply to the carried files
       val packed =
         (if (st.dels.isEmpty)
-           spark.read.schema(schema).parquet(small.map(f => s"$table/$f"): _*)
+           planFiles(spark, table, schema, small, st.pathpart, st.aliases)
          else delAppliedRead(spark, table, st, small))
         .coalesce(targetFiles)
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
@@ -3304,12 +3574,15 @@ object TxnTable {
                 files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
             },
             addv = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap,
-            checks = st.checks, retired = st.retired)
+            checks = st.checks, retired = st.retired,
+            pathpart = st.pathpart && files.exists(!_.startsWith("w=")),
+            aliases = st.aliases)
         else deltaContent(schema, st.txns, newStats,
           removed = removed, added = newFiles, base = st.version,
           newBlooms = newBlooms, newRows = newRows, partCols = st.partCols,
           op = "compact", cdf = st.cdf, mor = st.mor,
-          checks = st.checks, retired = st.retired)
+          checks = st.checks, retired = st.retired,
+          pathpart = st.pathpart, aliases = st.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
         return next
@@ -3331,7 +3604,45 @@ object TxnTable {
     * (Delta's retention-window rule; 0 only when no writer is live). */
   def vacuum(spark: SparkSession, table: String, keep: Int = 0,
              retainMs: Long = 0L): Unit = {
+    vacuumImpl(spark, table, keep, retainMs, dryRun = false)
+    ()
+  }
+
+  /** `VACUUM … DRY RUN` — the safety spelling every cautious operator
+    * runs first: the table-relative paths a real vacuum with the same
+    * arguments would delete right now, WITHOUT deleting anything. Same
+    * walk, same retention/reference math, deletions recorded instead of
+    * executed. */
+  def vacuumDryRun(spark: SparkSession, table: String, keep: Int = 0,
+                   retainMs: Long = 0L): Seq[String] =
+    vacuumImpl(spark, table, keep, retainMs, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, table: String, keep: Int,
+                         retainMs: Long, dryRun: Boolean): Seq[String] = {
     val ctx = fc(spark)
+    val planned = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tabPrefix = new Path(table).toUri.getPath
+    def relOf(p: Path): String = {
+      val full = p.toUri.getPath
+      if (full.startsWith(s"$tabPrefix/")) full.substring(tabPrefix.length + 1)
+      else full
+    }
+    // every reclamation routes through here: a dry run RECORDS the
+    // file-level paths; a real run deletes them (recursive dir deletes
+    // record their files so dry-run output is file-granular)
+    def reap(p: Path, recursive: Boolean): Unit =
+      if (!dryRun) { ctx.delete(p, recursive); () }
+      else if (!recursive) planned += relOf(p)
+      else {
+        def walk(q: Path): Unit = {
+          val it = ctx.listStatus(q)
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.isDirectory) walk(e.getPath) else planned += relOf(e.getPath)
+          }
+        }
+        walk(p)
+      }
     val cutoff = System.currentTimeMillis() - retainMs
     latestVersion(spark, table).foreach { latest =>
       val all = versions(spark, table)
@@ -3360,7 +3671,7 @@ object TxnTable {
             case l if l.startsWith(CdcDelPrefix) => l.stripPrefix(CdcDelPrefix)
           }
         }
-      dropped.foreach(v => ctx.delete(new Path(table, manifestName(v)), false))
+      dropped.foreach(v => reap(new Path(table, manifestName(v)), false))
       // reclamation is FILE-driven, not version-driven: append lineage
       // lets retained manifests reference files in ANY data dir (and an
       // already-dropped manifest's shared files only become unreferenced
@@ -3382,10 +3693,10 @@ object TxnTable {
           // listParquet but still readable history)
           if (files.nonEmpty && files.forall(f => !referenced.contains(f)) &&
               !referenced.exists(_.startsWith(s"$n/")))
-            ctx.delete(st.getPath, true)
+            reap(st.getPath, true)
           else {
             val doomed = files.filterNot(referenced.contains)
-            doomed.foreach(f => ctx.delete(new Path(s"$table/$f"), false))
+            doomed.foreach(f => reap(new Path(s"$table/$f"), false))
             // orphaned CHANGE files too: a partially-retained dir can
             // hold `_cdc/` files whose commit was dropped — only
             // retained manifests' #cdc/#cdcdel lines pin them
@@ -3396,7 +3707,7 @@ object TxnTable {
                 val e = cdcIt.next()
                 val rel = s"$n/_cdc/${e.getPath.getName}"
                 if (!e.isDirectory && !referenced.contains(rel))
-                  ctx.delete(e.getPath, false)
+                  reap(e.getPath, false)
               }
             }
             // orphaned EQUALITY-DELETE files the same way: once no
@@ -3409,7 +3720,7 @@ object TxnTable {
                 val e = delIt.next()
                 val rel = s"$n/_del/${e.getPath.getName}"
                 if (!e.isDirectory && !referenced.contains(rel))
-                  ctx.delete(e.getPath, false)
+                  reap(e.getPath, false)
               }
             }
             if (doomed.nonEmpty) {
@@ -3426,7 +3737,7 @@ object TxnTable {
                   else {
                     val i = e.getPath.getName.indexOf(".bloom.")
                     if (i > 0 && bases.contains(e.getPath.getName.take(i)))
-                      ctx.delete(e.getPath, false)
+                      reap(e.getPath, false)
                   }
                 }
               }
@@ -3435,7 +3746,8 @@ object TxnTable {
           }
         }
       }
-      writePointer(ctx, table, latest) // keep the discovery hint fresh
+      if (!dryRun) writePointer(ctx, table, latest) // keep discovery fresh
     }
+    planned.toSeq.sorted
   }
 }

@@ -82,9 +82,12 @@ object GraftSqlParser {
   // target = 'quoted path' | "quoted path" | (possibly backquoted)
   // identifier; clauses optional, any whitespace, case-insensitive
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?\b\s*)?(?:KEEP\s+(\d+)\s+VERSIONS?\b\s*)?;?\s*""".r
+    """(?is)\s*VACUUM\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?\b\s*)?(?:KEEP\s+(\d+)\s+VERSIONS?\b\s*)?(DRY\s+RUN\s*)?;?\s*""".r
+  // OPTIMIZE <target> [WHERE col = value] [FILES SMALLER THAN n] —
+  // the WHERE scopes compaction to files whose stats prove containment
+  // (partition-scoped OPTIMIZE, Delta-style)
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:WHERE\s+(`[^`]+`|[\w]+)\s*=\s*('[^']*'|"[^"]*"|[\w.\-:]+)\s*)?(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
   // OPTIMIZE <target> ZORDER BY (c1, c2[, ...]) [INTO n FILES]
   private val ZOrderStmt =
     """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
@@ -112,6 +115,10 @@ object GraftSqlParser {
   // CREATE TABLE <dest> SHALLOW CLONE <source> [VERSION AS OF n]
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SHALLOW\s+CLONE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
+  // CONVERT TO GRAFT '<parquet dir>' [STATS (c1, c2, ...)] — in-place
+  // adoption: manifest v1 over the existing files, zero rewrite
+  private val ConvertStmt =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+('[^']+'|"[^"]+")\s*(?:STATS\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))*)\s*\)\s*)?;?\s*""".r
   // COPY INTO <target> FROM '<source dir>'
   //   [FILEFORMAT = parquet|csv|json] [PATTERN = '<glob>']
   private val CopyIntoStmt =
@@ -139,15 +146,26 @@ object GraftSqlParser {
 
   private[plans] def parseMaintenance(sql: String): Option[LogicalPlan] =
     sql match {
-      case VacuumStmt(target, hours, keep) =>
+      case VacuumStmt(target, hours, keep, dry) if dry != null =>
+        // DRY RUN is metadata-eager like DESCRIBE HISTORY: the
+        // would-delete list comes back as rows, nothing is deleted
+        Some(GraftTableFunctions.vacuumDryRows(
+          resolveTarget(SparkSession.active, target),
+          Option(keep).map(_.toInt).getOrElse(0),
+          Option(hours).map(_.toLong * 3600L * 1000L).getOrElse(0L)))
+      case VacuumStmt(target, hours, keep, _) =>
         Some(GraftVacuumCommand(target,
           Option(hours).map(_.toLong), Option(keep).map(_.toInt)))
       case ZOrderStmt(target, colList, files) =>
         Some(GraftZOrderCommand(target,
           colList.split(",").toSeq.map(c => unquoteId(c.trim)),
           Option(files).map(_.toInt)))
-      case OptimizeStmt(target, small) =>
-        Some(GraftOptimizeCommand(target, Option(small).map(_.toLong)))
+      case OptimizeStmt(target, whereCol, whereVal, small) =>
+        Some(GraftOptimizeCommand(target, Option(small).map(_.toLong),
+          (Option(whereCol), Option(whereVal)) match {
+            case (Some(c), Some(v)) => Some((unquoteId(c), literalValue(v)))
+            case _ => None
+          }))
       case RestoreStmt(target, kind, asOf) =>
         Some(GraftRestoreCommand(target,
           kind.equalsIgnoreCase("VERSION"), unquote(asOf)))
@@ -175,6 +193,10 @@ object GraftSqlParser {
           Seq(unquoteId(from), unquoteId(to))))
       case AlterNotNullStmt(target, col) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "set-not-null", Seq(unquoteId(col))))
+      case ConvertStmt(target, stats) =>
+        Some(GraftConvertCommand(unquote(target),
+          Option(stats).toSeq.flatMap(_.split(",").toSeq)
+            .map(c => unquoteId(c.trim)).filter(_.nonEmpty)))
       case CopyIntoStmt(target, source, format, pattern) if graftTarget(target) =>
         Some(GraftCopyIntoCommand(target, unquote(source),
           Option(format).map(_.toLowerCase).getOrElse("parquet"),
@@ -184,6 +206,16 @@ object GraftSqlParser {
           Option(version).map(_.toLong)))
       case _ => None
     }
+
+  /** A scalar literal from the OPTIMIZE WHERE grammar: quoted → string,
+    * else integral → Long, decimal → Double, anything else verbatim
+    * (dates/timestamps normalize downstream against the column type). */
+  private def literalValue(t0: String): Any = {
+    val t = t0.trim
+    if (t.startsWith("'") || t.startsWith("\"")) unquote(t)
+    else t.toLongOption.getOrElse(
+      t.toDoubleOption.getOrElse(t): Any)
+  }
 
   private def unquote(t0: String): String = {
     val t = t0.trim
@@ -246,7 +278,8 @@ case class GraftVacuumCommand(target: String, retainHours: Option[Long],
   override def output: Seq[Attribute] = Nil
 }
 
-case class GraftOptimizeCommand(target: String, smallBytes: Option[Long])
+case class GraftOptimizeCommand(target: String, smallBytes: Option[Long],
+                                scope: Option[(String, Any)] = None)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -270,6 +303,14 @@ case class GraftRestoreCommand(target: String, byVersion: Boolean,
 /** ALTER TABLE on a graft table. `kind` selects the operation; `args`
   * carries its operands (column DDL, names, or constraint SQL). */
 case class GraftAlterCommand(target: String, kind: String, args: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** In-place adoption of an existing parquet directory (CONVERT TO
+  * GRAFT — Delta 0.7's CONVERT TO DELTA). Path-addressed only: the
+  * target is not a catalog table until someone registers it. */
+case class GraftConvertCommand(target: String, statsCols: Seq[String])
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -305,14 +346,15 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             GraftSqlParser.resolveTarget(spark, target), cols, files)
           ()
         }) :: Nil
-    case GraftOptimizeCommand(target, small) =>
+    case GraftOptimizeCommand(target, small, scope) =>
       GraftDmlExec(s"OPTIMIZE $target", () => {
         val spark = SparkSession.active
         // checkpoint = true: the compaction writes a FULL manifest, so
         // a follow-up VACUUM can reclaim the packed small-file history
         TxnTable.compactSmall(spark,
           GraftSqlParser.resolveTarget(spark, target),
-          smallBytes = small.getOrElse(32L << 20), checkpoint = true)
+          smallBytes = small.getOrElse(32L << 20), checkpoint = true,
+          scope = scope)
         ()
       }) :: Nil
     case GraftRestoreCommand(target, byVersion, asOf) =>
@@ -351,6 +393,11 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             s"unknown ALTER kind $other")
         }
         GraftSqlParser.syncCatalogSchema(spark, target)
+      }) :: Nil
+    case GraftConvertCommand(target, statsCols) =>
+      GraftDmlExec(s"CONVERT TO GRAFT $target", () => {
+        TxnTable.convert(SparkSession.active, target, statsCols)
+        ()
       }) :: Nil
     case GraftCopyIntoCommand(target, source, format, pattern) =>
       GraftDmlExec(s"COPY INTO $target", () => {

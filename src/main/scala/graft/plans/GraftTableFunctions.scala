@@ -74,6 +74,20 @@ object GraftTableFunctions {
     LocalRelation(out, rows)
   }
 
+  /** `VACUUM … DRY RUN` — the would-delete list as rows, one
+    * table-relative path per row. Nothing is deleted; a real VACUUM
+    * with the same arguments deletes exactly these paths. */
+  def vacuumDryRows(table: String, keep: Int, retainMs: Long): LogicalPlan = {
+    val spark = SparkSession.active
+    val out = Seq(AttributeReference("path", StringType, nullable = false)())
+    val rows = TxnTable.vacuumDryRun(spark, table, keep, retainMs).map { f =>
+      val r = new GenericInternalRow(1)
+      r.update(0, UTF8String.fromString(f))
+      r: InternalRow
+    }
+    LocalRelation(out, rows)
+  }
+
   /** `DESCRIBE DETAIL` / `graft_detail(path)` — one metadata-only row
     * describing the latest snapshot (Delta's DESCRIBE DETAIL shape):
     * format, location, version, file count, total bytes, partition

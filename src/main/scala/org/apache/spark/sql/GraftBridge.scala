@@ -91,6 +91,43 @@ object GraftBridge {
       org.apache.spark.sql.types.StructType(Nil), filters, options)
   }
 
+  /** ParquetScan over files whose PARTITION VALUES live in hive
+    * `col=value` path segments under `basePath` (a table converted in
+    * place — the files do not contain the partition columns). The file
+    * index discovers the partition spec from the paths (typed by the
+    * user schema); the scan projects data columns from parquet and
+    * partition columns from the spec, partition columns appended last
+    * (Spark re-projects by name above the scan). */
+  def parquetScanPartitioned(
+      spark: SparkSession,
+      basePath: String,
+      paths: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      readSchema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.Scan = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val partSet = partCols.toSet
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.filterNot(f => partSet(f.name)))
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      cs,
+      paths.map(new org.apache.hadoop.fs.Path(_)),
+      Map("basePath" -> basePath),
+      Some(dataSchema),
+      org.apache.spark.sql.execution.datasources.NoopCache,
+      None, None)
+    val readData = org.apache.spark.sql.types.StructType(
+      readSchema.filterNot(f => partSet(f.name)))
+    val readPart = org.apache.spark.sql.types.StructType(
+      partCols.flatMap(c => readSchema.find(_.name == c)))
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      cs, cs.sessionState.newHadoopConf(), index,
+      fileSchema, readData, readPart, filters, options)
+  }
+
   /** Files the frame's DSv2 scan will actually read (AFTER graft's
     * manifest-stats pruning) — the skip ratio a spec asserts. None when
     * the plan has no DSv2 file scan. */

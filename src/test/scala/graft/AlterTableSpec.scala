@@ -97,18 +97,32 @@ class AlterTableSpec extends AnyFunSuite {
     }
   }
 
-  test("renameColumn rewrites data and translates stats + partitioning") {
+  test("renameColumn is METADATA-ONLY: zero data I/O, old files resolve") {
     withZone { zone =>
       import spark.implicits._
       val table = s"$zone/t"
+      // multi-file seed so the zero-rewrite claim is non-trivial
       TxnTable.commitOverwrite(
-        Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "p", "v"),
+        Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "p", "v")
+          .repartition(2),
         table, statsCols = Seq("id"), partitionCols = Seq("p"))
+      val v0 = TxnTable.latestVersion(spark, table).get
+      val files0 = TxnTable.snapshotFiles(spark, table, v0)
+      val writes0 = TxnTable.dataWrites.get()
       TxnTable.renameColumn(spark, table, "id", "row_id")
+      // NO read amplification: the commit wrote zero data files and
+      // every old file carries by path identity
+      assert(TxnTable.dataWrites.get() == writes0,
+        "rename must not write data files")
+      val v = TxnTable.latestVersion(spark, table).get
+      assert(v == v0 + 1)
+      assert(TxnTable.snapshotFiles(spark, table, v) == files0,
+        "rename must carry every file by identity")
+      // …and the OLD files' bytes resolve under the NEW name
       val df = TxnTable.read(spark, table)
       assert(df.columns.toSeq.sorted == Seq("p", "row_id", "v"))
       assert(df.select(sum("row_id")).head.getLong(0) == 3L)
-      val v = TxnTable.latestVersion(spark, table).get
+      // skipping survives: the stats entries renamed with the column
       val stats = TxnTable.fileStats(spark, table, v)
       assert(stats.values.flatten.exists(_.col == "row_id"))
       assert(!stats.values.flatten.exists(_.col == "id"))
@@ -118,6 +132,42 @@ class AlterTableSpec extends AnyFunSuite {
       assert(TxnTable.partitionColumns(spark, table) == Seq("part"))
       assert(TxnTable.read(spark, table)
         .filter(col("part") === "x").count() == 1L)
+      // chained rename: a->b->c coalesces through BOTH prior names
+      TxnTable.renameColumn(spark, table, "row_id", "rid")
+      assert(TxnTable.read(spark, table)
+        .select(sum("rid")).head.getLong(0) == 3L)
+      // appends after the rename write the NEW physical name; the mixed
+      // snapshot still reads as one logical column
+      TxnTable.commitAppend(
+        Seq((5L, "z", 9.9)).toDF("rid", "part", "v"), table)
+      assert(TxnTable.read(spark, table)
+        .select(sum("rid")).head.getLong(0) == 8L)
+      // re-adding a prior physical name is refused (bytes would
+      // resurrect); stats-driven range read works under the new name
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.addColumns(spark, table, org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      }.getMessage.contains("previously dropped"))
+      val (rows, _, _) = TxnTable.readRangeOn(spark, table, "rid", 1, 2)
+      assert(rows.count() == 2L)
+    }
+  }
+
+  test("rename via SQL: DSv2 SELECT coalesces old physical names") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), table,
+        statsCols = Seq("id"))
+      spark.sql(s"ALTER TABLE '$table' RENAME COLUMN id TO row_id")
+      val got = spark.read.format("graft").load(table)
+        .select(sum(col("row_id"))).head.getLong(0)
+      assert(got == 3L)
+      // filters on the renamed column still answer correctly
+      assert(spark.read.format("graft").load(table)
+        .filter(col("row_id") === 2L).select(col("v")).head.getDouble(0) == 20.0)
     }
   }
 

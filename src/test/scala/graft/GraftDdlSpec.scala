@@ -192,4 +192,44 @@ class GraftDdlSpec extends AnyFunSuite {
         e.getMessage.contains("days"))
     }
   }
+
+  test("VACUUM DRY RUN lists exactly what a real run deletes, deletes nothing") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      (0 until 3).foreach { i =>
+        TxnTable.commitAppend(
+          Seq((i.toLong, i * 1.0)).toDF("k", "v"), table,
+          statsCols = Seq("k"))
+      }
+      TxnTable.compact(spark, table, targetFiles = 1)
+      def allFiles: Set[String] = {
+        val base = java.nio.file.Paths.get(table)
+        val out = scala.collection.mutable.Set.empty[String]
+        java.nio.file.Files.walk(base).forEach { q =>
+          // local-FS checksum shadows (.crc) are invisible to Hadoop
+          // listings and don't exist on HDFS/object stores — the dry
+          // run is file-manifest-level, not checksum-shadow-level
+          if (java.nio.file.Files.isRegularFile(q) &&
+              !q.getFileName.toString.startsWith("."))
+            out += base.relativize(q).toString
+        }
+        out.toSet
+      }
+      val before = allFiles
+      val dry = spark.sql(s"VACUUM '$table' KEEP 0 VERSIONS DRY RUN")
+        .collect().map(_.getString(0)).toSet
+      assert(dry.nonEmpty, "superseded history must be reclaimable")
+      assert(allFiles == before, "DRY RUN must delete nothing")
+      // a real run with the same arguments deletes exactly the dry list
+      // (modulo the _latest discovery hint, which is overwritten in place)
+      spark.sql(s"VACUUM '$table' KEEP 0 VERSIONS")
+      val deleted = before -- allFiles
+      assert(deleted == dry,
+        s"dry list must equal the real deletions;\n  dry-only: " +
+          s"${(dry -- deleted).mkString(", ")}\n  real-only: " +
+          s"${(deleted -- dry).mkString(", ")}")
+      assert(TxnTable.read(spark, table).count() == 3L)
+    }
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.{Tables, TxnTable}
+
+/** Plan-shape regression guards for the headline bench queries — cheap
+  * insurance that AQE tuning or a refactor can't silently reintroduce a
+  * shuffle the 100 TB story depends on. Assertions run on the REGISTERED
+  * query functions (the exact plans Verify/Bench execute), at the
+  * logical/physical level before execution. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def planOf(name: String): String =
+    Registry.queries(name)(spark, Spec.sf0001)
+      .queryExecution.executedPlan.toString
+
+  private def scanCount(name: String): Int =
+    Registry.queries(name)(spark, Spec.sf0001)
+      .queryExecution.optimizedPlan.collectLeaves().size
+
+  test("q02 maxscale: exactly 2 scans (one data pass + one stats pass)") {
+    // the flagship shape: ONE global aggregate crossJoined into the
+    // projection — not the reference's 11-scans-per-action
+    assert(scanCount("q02_maxscale_features") == 2,
+      s"q02 must read the wallet data exactly twice, got " +
+        s"${scanCount("q02_maxscale_features")} scans")
+  }
+
+  test("q04/q05 joins broadcast the dimension side (no SortMergeJoin)") {
+    Seq("q04_star_join_agg", "q05_multiway_join").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q must broadcast its dimension joins; plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q expected broadcast hash joins; plan:\n$plan")
+    }
+  }
+
+  test("a50 bucketed join plans with zero Exchange even when broadcast is off") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Registry.queries("a50_bucketed_join")(spark, Spec.sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"a50's bucketed join must not shuffle; plan:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+  }
+
+  test("merge-on-read read subtracts deletes via a BROADCAST anti-join") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_planshape").toString
+    try {
+      import spark.implicits._
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq.range(0L, 200L).map(k => (k, k * 1.0)).toDF("k", "v"),
+        table, statsCols = Seq("k"))
+      TxnTable.deleteWhereMoR(spark, table, Seq("k"), df => df("k") < 10L)
+      val plan = TxnTable.read(spark, table).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"MoR subtraction must be a broadcast anti-join; plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"MoR subtraction must not shuffle the data side; plan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+}
