@@ -3055,6 +3055,65 @@ object FormatOps {
       |  CAST(MAX(c_custkey) AS BIGINT) AS max_key
       |FROM merged""".stripMargin
 
+  // --------------------------------------------------------------- k130
+  /** VACUUM DRY RUN — the safety spelling before the destructive sweep:
+    * fragment a table's history (three appends + a full OPTIMIZE), run
+    * `VACUUM … DRY RUN`, REQUIRE it deleted NOTHING while listing a
+    * non-empty reclaim set, then run the real VACUUM and REQUIRE it
+    * deleted EXACTLY the listed paths (file-for-file) with table
+    * content untouched. Oracle: the same aggregate off raw supplier —
+    * vacuum must never change query results. */
+  private def k130(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k130_vacdry")
+    try {
+      val table = s"$zone/supp_txn"
+      val supp = Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_acctbal", $"s_nationkey")
+      (0 until 3).foreach { i =>
+        supp.filter($"s_suppkey" % 3 === i)
+          .write.format("graft").option("statsCols", "s_suppkey")
+          .mode(if (i == 0) "overwrite" else "append").save(table)
+      }
+      spark.sql(s"OPTIMIZE '$table'") // supersede the fragments
+      def visible(): Set[String] = {
+        def walk(f: java.io.File, rel: String): Seq[String] =
+          if (f.isDirectory)
+            f.listFiles().toSeq.flatMap(c => walk(c,
+              if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+          else if (f.getName.startsWith(".")) Nil // local-FS crc shadows
+          else Seq(rel)
+        walk(new java.io.File(table), "").toSet
+      }
+      val before = visible()
+      val dry = spark.sql(s"VACUUM '$table' KEEP 0 VERSIONS DRY RUN")
+        .collect().map(_.getString(0)).toSet
+      require(dry.nonEmpty, "superseded fragments must be reclaimable")
+      require(visible() == before, "DRY RUN must delete nothing")
+      spark.sql(s"VACUUM '$table' KEEP 0 VERSIONS")
+      val deleted = before -- visible()
+      require(deleted == dry,
+        s"real vacuum must delete exactly the dry list; dry-only=" +
+          s"${(dry -- deleted).mkString(",")} real-only=${(deleted -- dry).mkString(",")}")
+      val result = spark.read.format("graft").load(table)
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"s_acctbal").as("bal"))
+        .select($"n", $"bal")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k130Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM supplier""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3109,5 +3168,6 @@ object FormatOps {
     RQ("k126_sql_zorder", k126, Some(k126Sql)),
     RQ("k127_convert_in_place", k127, Some(k127Sql)),
     RQ("k128_optimize_where", k128, Some(k128Sql)),
-    RQ("k129_merge_multiclause", k129, Some(k129Sql)))
+    RQ("k129_merge_multiclause", k129, Some(k129Sql)),
+    RQ("k130_vacuum_dry_run", k130, Some(k130Sql)))
 }

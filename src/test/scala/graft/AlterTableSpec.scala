@@ -168,6 +168,16 @@ class AlterTableSpec extends AnyFunSuite {
       // filters on the renamed column still answer correctly
       assert(spark.read.format("graft").load(table)
         .filter(col("row_id") === 2L).select(col("v")).head.getDouble(0) == 20.0)
+      // DML AFTER the rename: the rewrite reads old-name bytes through
+      // the coalesce and writes replacements under the NEW name
+      spark.sql(s"CREATE TABLE alter_ren_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("UPDATE alter_ren_t SET v = v + 1.0 WHERE row_id = 1")
+        val rows = spark.sql(
+          "SELECT row_id, v FROM alter_ren_t ORDER BY row_id")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(rows == Seq((1L, 11.0), (2L, 20.0)))
+      } finally spark.sql("DROP TABLE alter_ren_t")
     }
   }
 
