@@ -64,19 +64,29 @@ object Analytic2 {
     * semantics: the value at row ceil(p·n) of the group's total order).
     * Interpolating percentile_cont differs across engines in its float
     * arithmetic; row selection is pure comparison — oracle-exact
-    * (same rationale as a38's exact median). */
+    * (same rationale as a38's exact median).
+    *
+    * Scale shape: the value at rank k is the SMALLEST value whose
+    * cumulative count reaches k, so the heavy pass is ONE map-side-
+    * combinable groupBy over (group, value) — fully parallel at any
+    * data size — and the window runs over the tiny counts frame
+    * (≤ distinct-values rows per group), not the fact table. A window
+    * partitioned by the 3-value group key alone would serialize the
+    * corpus through 3 tasks — the t47 lesson, applied here. */
   private def a44(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
-    val wc = Window.partitionBy($"l_returnflag")
+    val counts = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    val wall = Window.partitionBy($"l_returnflag")
     def pick(p: Double): Column =
-      min(when($"rn" === ceil(lit(p) * $"n"), $"l_quantity"))
-    Tables.lineitem(spark, dir)
-      .select($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wc))
+      min(when($"cum" >= ceil(lit(p) * $"n"), $"l_quantity"))
+    counts
+      .withColumn("cum", sum($"c").over(wcum))
+      .withColumn("n", sum($"c").over(wall))
       .groupBy($"l_returnflag")
       .agg(
         max($"n").cast("bigint").as("n"),

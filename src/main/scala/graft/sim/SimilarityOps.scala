@@ -890,6 +890,48 @@ object SimilarityOps {
        | CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
        |FROM af ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- e57
+  /** FILTERED ANN — metadata-filtered vector search, the production
+    * retrieval shape ("nearest neighbors WITHIN lang='en' / this
+    * tenant / this date range"): the metadata predicate applies BEFORE
+    * any distance math, so the candidate set shrinks at the SCAN
+    * (predicate pushdown prunes files; here the filter is the probe's
+    * own label, expressed as an equi-join key so Catalyst broadcasts
+    * the tiny probe side and the filter rides the join). Per-probe
+    * ranking is a window over probe_id — parallelism scales with the
+    * probe count, never the corpus. */
+  private def e57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p"),
+        $"label".as("plabel"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos_sim".desc, $"vec_id")
+    emb.join(broadcast(probes),
+        $"label" === $"plabel" && $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        Similarity.cosine("embedding", "p").as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter($"rank" <= 3)
+      .orderBy($"probe_id", $"rank")
+  }
+  private val e57Sql =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p, label AS plabel
+       |  FROM embeddings WHERE vec_id < 5),
+       |sims AS (
+       |  SELECT probe_id, e.vec_id AS vec_id,
+       |    ${Similarity.cosineSql("e.embedding", "p")} AS cos_sim
+       |  FROM embeddings e JOIN probes
+       |    ON e.label = plabel AND e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT probe_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -906,5 +948,6 @@ object SimilarityOps {
     RQ("e53_ivf_trained_search", e53, Some(e53Sql)),
     RQ("e54_pq_adc_search", e54, Some(e54Sql)),
     RQ("e55_ivfpq_search", e55, Some(e55Sql)),
-    RQ("e56_ivf_sampled_trainer", e56, Some(e56Sql)))
+    RQ("e56_ivf_sampled_trainer", e56, Some(e56Sql)),
+    RQ("e57_filtered_ann", e57, Some(e57Sql)))
 }
