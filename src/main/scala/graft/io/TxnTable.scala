@@ -2864,8 +2864,10 @@ object TxnTable {
           .withColumn(ChangeTypeCol, lit(tpe)))
       val cdc =
         if (cc.cdc.isEmpty) None
-        else Some(spark.read.schema(cdcSchema)
-          .parquet(cc.cdc.map(f => s"$table/$f"): _*))
+        // eager change files written before a rename carry the OLD
+        // physical names — same alias coalesce as the data legs
+        else Some(planFiles(spark, table, cdcSchema, cc.cdc,
+          pathpart = false, aliases = untilSt.aliases))
       (readAs(cc.inserts, "insert").toSeq ++
         readAs(cc.deletes, "delete").toSeq ++ cdc.toSeq)
         .map(_.withColumn(CommitVersionCol, lit(v)))

@@ -93,6 +93,40 @@ class ConvertSpec extends AnyFunSuite {
     assert(opt.filter(col("o_orderstatus").isNull).isEmpty)
   }
 
+  test("two-level hive convert: nested partition values both path-derive") {
+    val dir = tmp("graft-convert-hive2")
+    val seed = Tables.orders(spark, Spec.sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderpriority"))
+    seed.write.partitionBy("o_orderstatus", "o_orderpriority").parquet(dir)
+    TxnTable.convert(spark, dir)
+    assert(TxnTable.partitionColumns(spark, dir) ==
+      Seq("o_orderstatus", "o_orderpriority"))
+    val got = TxnTable.read(spark, dir)
+    assert(got.exceptAll(seed).isEmpty && seed.exceptAll(got).isEmpty)
+    // both nesting levels prune via single-valued stats
+    val (rows, scanned, total) =
+      TxnTable.readEquals(spark, dir, "o_orderpriority", "1-URGENT")
+    assert(rows.count() ==
+      seed.filter(col("o_orderpriority") === "1-URGENT").count())
+    assert(scanned < total)
+  }
+
+  test("a flat converted table streams: commit-log source from v1") {
+    val dir = tmp("graft-convert-stream")
+    val seed = Tables.nation(spark, Spec.sf0001)
+    seed.repartition(2).write.parquet(dir)
+    TxnTable.convert(spark, dir)
+    // adopted files carry every column in-file, so the commit-log
+    // stream serves the v1 snapshot as its first batch
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("cvt_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally if (q.isActive) q.stop()
+    assert(spark.table("cvt_stream").count() == seed.count())
+  }
+
   test("convert refuses a dir that is already a graft table, and w= layouts") {
     val dir = tmp("graft-convert-refuse")
     Tables.nation(spark, Spec.sf0001).write.parquet(dir)

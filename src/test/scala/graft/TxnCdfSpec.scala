@@ -276,4 +276,26 @@ class TxnCdfSpec extends AnyFunSuite {
       assert(versions == Set(2L, 3L, 5L)) // v4 compaction feeds nothing
     }
   }
+
+  test("change feed spans a zero-rewrite RENAME: old changes surface new name") {
+    import spark.implicits._
+    withZone { table =>
+      TxnTable.commitOverwrite(Seq((1L, 10.0)).toDF("k", "v"), table,
+        statsCols = Seq("k"), cdf = Some(true))
+      TxnTable.deleteRangeOn(spark, table, "k", 1L, 1L) // v2: pre-rename change
+      TxnTable.renameColumn(spark, table, "v", "val")   // v3: metadata-only
+      TxnTable.commitAppend(Seq((2L, 20.0)).toDF("k", "val"), table) // v4
+      val feed = TxnTable.changeFeed(spark, table, sinceVersion = 0L)
+        .select($"k", $"val", $"_change_type", $"_commit_version")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+        .toSet
+      // pre-rename commits' bytes sit under the OLD physical name; the
+      // feed reads them through the alias coalesce as the new column
+      assert(feed == Set(
+        (1L, 10.0, "insert", 1L),
+        (1L, 10.0, "delete", 2L),
+        (2L, 20.0, "insert", 4L)))
+    }
+  }
 }
