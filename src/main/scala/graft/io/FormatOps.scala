@@ -3114,6 +3114,81 @@ object FormatOps {
       |  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
       |FROM supplier""".stripMargin
 
+  // --------------------------------------------------------------- k131
+  /** Scoped ZORDER — `OPTIMIZE t WHERE p = x ZORDER BY (a, b)`:
+    * re-cluster ONE hot partition along the Morton curve while every
+    * other partition's files carry by PATH IDENTITY (the same
+    * containment scoping as k128, now with a clustering rewrite).
+    * REQUIREs: cold files identical, hot files replaced, the commit
+    * records a `zorder` op, and the replacements carry skipping stats
+    * on BOTH curve dimensions. Oracle: content unchanged — the same
+    * aggregate off raw orders. */
+  private def k131(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k131_zorderwhere")
+    try {
+      val table = s"$zone/orders_part"
+      val ord = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      // three slices = several files per partition, content == orders
+      (0 until 3).foreach { i =>
+        ord.filter($"o_orderkey" % 3 === i)
+          .write.format("graft").option("statsCols", "o_orderkey")
+          .mode(if (i == 0) "overwrite" else "append")
+          .partitionBy("o_orderpriority").save(table)
+      }
+      def partsOf(v: Long): Map[String, String] = {
+        val stats = TxnTable.fileStats(spark, table, v)
+        TxnTable.snapshotFiles(spark, table, v).flatMap(f =>
+          stats.getOrElse(f, Nil).find(_.col == "o_orderpriority")
+            .map(s => f -> s.minV)).toMap
+      }
+      val v0 = TxnTable.latestVersion(spark, table).get
+      val files0 = TxnTable.snapshotFiles(spark, table, v0)
+      val part0 = partsOf(v0)
+      val hot0 = files0.filter(f => part0.get(f).contains("1-URGENT"))
+      val cold0 = files0.filterNot(f => part0.get(f).contains("1-URGENT"))
+      require(hot0.size >= 2 && cold0.nonEmpty,
+        s"seed must fragment the hot partition: ${hot0.size} hot")
+      spark.sql(s"OPTIMIZE '$table' WHERE o_orderpriority = '1-URGENT' " +
+        "ZORDER BY (o_orderkey, o_totalprice) INTO 2 FILES")
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val files1 = TxnTable.snapshotFiles(spark, table, v1)
+      val part1 = partsOf(v1)
+      val hot1 = files1.filter(f => part1.get(f).contains("1-URGENT"))
+      require(cold0.forall(files1.contains),
+        "scoped ZORDER must carry untouched partitions by identity")
+      require(hot1.forall(f => !files0.contains(f)),
+        "hot partition files must be fresh clustered replacements")
+      val ops = spark.sql(s"SELECT op FROM graft_history('$table')")
+        .collect().map(_.getString(0)).toSeq
+      require(ops.headOption.contains("zorder"),
+        s"history must record the scoped zorder, got ${ops.take(3)}")
+      // replacements keep skipping on BOTH curve dimensions
+      val stats1 = TxnTable.fileStats(spark, table, v1)
+      require(hot1.forall(f => Seq("o_orderkey", "o_totalprice").forall(c =>
+          stats1.getOrElse(f, Nil).exists(_.col == c))),
+        "clustered replacements must carry stats on both curve dims")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"o_totalprice").as("price"))
+        .orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k131Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3169,5 +3244,6 @@ object FormatOps {
     RQ("k127_convert_in_place", k127, Some(k127Sql)),
     RQ("k128_optimize_where", k128, Some(k128Sql)),
     RQ("k129_merge_multiclause", k129, Some(k129Sql)),
-    RQ("k130_vacuum_dry_run", k130, Some(k130Sql)))
+    RQ("k130_vacuum_dry_run", k130, Some(k130Sql)),
+    RQ("k131_zorder_where", k131, Some(k131Sql)))
 }

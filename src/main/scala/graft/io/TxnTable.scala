@@ -3506,6 +3506,31 @@ object TxnTable {
       bloomCols = trackedBlooms, opLabel = Some("zorder"))
   }
 
+  /** Scoped `OPTIMIZE … WHERE col = value ZORDER BY (…)`: re-cluster
+    * ONLY the files whose stats prove containment in the predicate —
+    * z-ordering one hot partition of a 100 TB table costs O(that
+    * partition), with skipping stats collected on every curve
+    * dimension; every other file carries by reference (same containment
+    * + partial-rewrite machinery as scoped compaction). */
+  def zorderWhere(spark: SparkSession, table: String, cols: Seq[String],
+                  column: String, value: Any,
+                  targetFiles: Option[Int] = None): Long = {
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"$table predates the schema log"))
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"ZORDER BY column $c is not a column of $table"))
+    val b = pointBound(value, schema(column).dataType)
+    val scoped = st.files.filter(f =>
+      st.stat(f, column).exists(s => s.nulls == 0L && s.containedIn(b)))
+    val n = targetFiles.getOrElse(math.max(1, scoped.size))
+    compactSmall(spark, table, smallBytes = Long.MaxValue, targetFiles = n,
+      checkpoint = true, scope = Some((column, value)),
+      transform = Some(df => graft.ops.ZOrder.clusterN(df, cols, n)),
+      extraStatsCols = cols, opName = "zorder")
+  }
+
   /** PARTIAL compaction — the scale-correct OPTIMIZE: bin-pack only the
     * files smaller than `smallBytes` into `targetFiles` replacements;
     * every file already at healthy size carries forward BY REFERENCE.
@@ -3524,7 +3549,10 @@ object TxnTable {
     * one hot day of a 100 TB table costs O(that day's files). */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
                    targetFiles: Int = 1, checkpoint: Boolean = false,
-                   scope: Option[(String, Any)] = None): Long = {
+                   scope: Option[(String, Any)] = None,
+                   transform: Option[DataFrame => DataFrame] = None,
+                   extraStatsCols: Seq[String] = Nil,
+                   opName: String = "compact"): Long = {
     val ctx = fc(spark)
     var attempt = 0
     while (attempt < 16) {
@@ -3544,16 +3572,20 @@ object TxnTable {
         ctx.getFileStatus(new Path(s"$table/$f")).getLen < smallBytes)
       if (small.size <= 1) return st.version // nothing worth packing
       val carried = st.files.filterNot(small.toSet)
-      val trackedCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
+      val trackedCols =
+        (st.stats.values.flatten.map(_.col).toSet ++ extraStatsCols)
+          .toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
       // live equality deletes materialize INTO the packed replacements
       // (they are new files, exempt from every gate); the delete
       // entries stay — they still apply to the carried files
-      val packed =
-        (if (st.dels.isEmpty)
-           planFiles(spark, table, schema, small, st.pathpart, st.aliases)
-         else delAppliedRead(spark, table, st, small))
-        .coalesce(targetFiles)
+      val source =
+        if (st.dels.isEmpty)
+          planFiles(spark, table, schema, small, st.pathpart, st.aliases)
+        else delAppliedRead(spark, table, st, small)
+      // `transform` (scoped ZORDER) owns its own output layout; plain
+      // compaction bin-packs into targetFiles
+      val packed = transform.fold(source.coalesce(targetFiles))(_(source))
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
         writeData(packed, table, trackedCols, trackedBlooms, st.partCols)
       val files = carried ++ newFiles
@@ -3569,7 +3601,7 @@ object TxnTable {
             (st.stats -- removed) ++ newStats, files,
             (st.blooms -- removed) ++ newBlooms,
             (st.rows -- removed) ++ newRows, st.partCols,
-            op = "compact", cdf = st.cdf, mor = st.mor,
+            op = opName, cdf = st.cdf, mor = st.mor,
             dels = {
               val addvAll = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap
               st.dels.filter(d =>
@@ -3582,7 +3614,7 @@ object TxnTable {
         else deltaContent(schema, st.txns, newStats,
           removed = removed, added = newFiles, base = st.version,
           newBlooms = newBlooms, newRows = newRows, partCols = st.partCols,
-          op = "compact", cdf = st.cdf, mor = st.mor,
+          op = opName, cdf = st.cdf, mor = st.mor,
           checks = st.checks, retired = st.retired,
           pathpart = st.pathpart, aliases = st.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {

@@ -91,6 +91,10 @@ object GraftSqlParser {
   // OPTIMIZE <target> ZORDER BY (c1, c2[, ...]) [INTO n FILES]
   private val ZOrderStmt =
     """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
+  // OPTIMIZE <target> WHERE col = value ZORDER BY (...) [INTO n FILES]
+  // — re-cluster only the predicate's stats-proven-contained files
+  private val ZOrderWhereStmt =
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+WHERE\s+(`[^`]+`|[\w]+)\s*=\s*('[^']*'|"[^"]*"|[\w.\-:]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
@@ -156,6 +160,11 @@ object GraftSqlParser {
       case VacuumStmt(target, hours, keep, _) =>
         Some(GraftVacuumCommand(target,
           Option(hours).map(_.toLong), Option(keep).map(_.toInt)))
+      case ZOrderWhereStmt(target, whereCol, whereVal, colList, files) =>
+        Some(GraftZOrderCommand(target,
+          colList.split(",").toSeq.map(c => unquoteId(c.trim)),
+          Option(files).map(_.toInt),
+          Some((unquoteId(whereCol), literalValue(whereVal)))))
       case ZOrderStmt(target, colList, files) =>
         Some(GraftZOrderCommand(target,
           colList.split(",").toSeq.map(c => unquoteId(c.trim)),
@@ -284,9 +293,11 @@ case class GraftOptimizeCommand(target: String, smallBytes: Option[Long],
   override def output: Seq[Attribute] = Nil
 }
 
-/** OPTIMIZE … ZORDER BY (c1, c2, …) — Morton-curve re-clustering. */
+/** OPTIMIZE … [WHERE col = v] ZORDER BY (c1, c2, …) — Morton-curve
+  * re-clustering, whole-table or scoped to the predicate's files. */
 case class GraftZOrderCommand(target: String, cols: Seq[String],
-                              targetFiles: Option[Int])
+                              targetFiles: Option[Int],
+                              scope: Option[(String, Any)] = None)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -338,12 +349,16 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           keep = keep.getOrElse(0),
           retainMs = hours.map(_ * 3600L * 1000L).getOrElse(0L))
       }) :: Nil
-    case GraftZOrderCommand(target, cols, files) =>
+    case GraftZOrderCommand(target, cols, files, scope) =>
       GraftDmlExec(s"OPTIMIZE $target ZORDER BY (${cols.mkString(", ")})",
         () => {
           val spark = SparkSession.active
-          TxnTable.zorderBy(spark,
-            GraftSqlParser.resolveTarget(spark, target), cols, files)
+          val path = GraftSqlParser.resolveTarget(spark, target)
+          scope match {
+            case Some((c, v)) =>
+              TxnTable.zorderWhere(spark, path, cols, c, v, files)
+            case None => TxnTable.zorderBy(spark, path, cols, files)
+          }
           ()
         }) :: Nil
     case GraftOptimizeCommand(target, small, scope) =>

@@ -79,8 +79,58 @@ object PlanOps {
       .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- c63
+  /** QUALITY-TOP-K PER SOURCE — the curation cut a training pipeline
+    * runs over every crawl snapshot: keep each source's k best
+    * documents by the composite quality score (t32's exact formula).
+    * `source` has a HANDFUL of distinct values, so the idiomatic
+    * ROW_NUMBER window would serialize the corpus through #sources
+    * tasks; the native TopKPerKey operator keeps bounded per-key heaps
+    * in every map task and merges partial heaps — parallelism scales
+    * with the data, state with k·#sources. The oracle states the same
+    * semantics in the window form. */
+  private def c63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.TextFunctions.{stopwords, tokens, wordSetCount}
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("ttr", size(array_distinct($"toks")).cast("double") / $"n_tokens")
+      .withColumn("stop_ratio",
+        wordSetCount("toks", stopwords("en")).cast("double") / $"n_tokens")
+      .withColumn("quality",
+        lit(0.35) * least(lit(1.0), $"n_tokens" / lit(200.0)) +
+          lit(0.35) * $"ttr" + lit(0.30) * $"stop_ratio")
+      .select($"source", $"doc_id", $"quality")
+    TopK.perKey(base, Seq("source"),
+        Seq("quality" -> false, "doc_id" -> true), k = 5)
+      .orderBy($"source", $"quality".desc, $"doc_id")
+  }
+  private val c63Sql = {
+    import graft.text.TextFunctions.stopwords
+    val inSql = stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |    CAST(0.35 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+       |        LEN(string_split(text, ' ')) / CAST(200.0 AS DOUBLE))
+       |      + CAST(0.35 AS DOUBLE) * (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |          / LEN(string_split(text, ' ')))
+       |      + CAST(0.30 AS DOUBLE) * (CAST(LEN(list_filter(string_split(text, ' '),
+       |            t -> t IN ($inSql))) AS DOUBLE)
+       |          / LEN(string_split(text, ' '))) AS quality
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY quality DESC, doc_id) AS rn
+       |  FROM scored)
+       |SELECT source, doc_id, quality FROM ranked WHERE rn <= 5
+       |ORDER BY source, quality DESC, doc_id""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("c60_topk_custom_operator", c60, Some(c60Sql), bench = true),
     RQ("c61_asof_join_operator", c61, Some(c61Sql), bench = true),
-    RQ("c62_topk_window_rewrite", c62, Some(c60Sql)))
+    RQ("c62_topk_window_rewrite", c62, Some(c60Sql)),
+    RQ("c63_quality_topk_per_source", c63, Some(c63Sql)))
 }

@@ -302,6 +302,67 @@ object Text2Ops {
       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
       |FROM p GROUP BY lang, bucket, seq_id ORDER BY lang, bucket, seq_id""".stripMargin
 
+  // ---------------------------------------------------------------- t48
+  /** TOKEN-BUDGET CORPUS CUT — the data-mixing primitive: cap each
+    * source at a token budget, keeping documents in deterministic
+    * doc_id order (a doc is kept iff the tokens BEFORE it within its
+    * source fit the budget — reproducible regardless of partitioning).
+    *
+    * Scale shape: an EXACT per-source running sum without a per-source
+    * serial window. Two passes, GlobalOrder-style: (1) one map-side-
+    * combinable groupBy gives per-(source, bucket) token totals — a
+    * TINY frame; a window over THAT frame yields each bucket's global
+    * offset within its source; (2) the offsets broadcast-join back and
+    * a window partitioned by (source, bucket) — embarrassingly
+    * parallel — adds the local running sum. The corpus-wide pass never
+    * serializes through #sources tasks. */
+  private def t48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 10240L
+    val bucketSize = 100L
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        floor($"doc_id" / bucketSize).cast("bigint").as("bucket"),
+        size(TextFunctions.tokens($"text")).cast("bigint").as("n_tokens"))
+    // pass 1: per-bucket totals (tiny) -> global offset of each bucket
+    val wOff = Window.partitionBy($"source").orderBy($"bucket")
+    val offsets = docs.groupBy($"source", $"bucket")
+      .agg(sum($"n_tokens").as("bt"))
+      .withColumn("offset", sum($"bt").over(wOff) - $"bt")
+      .select($"source", $"bucket", $"offset")
+    // pass 2: local running sum + broadcast offset = exact global prefix
+    val wLoc = Window.partitionBy($"source", $"bucket").orderBy($"doc_id")
+    docs.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_before",
+        $"offset" + sum($"n_tokens").over(wLoc) - $"n_tokens")
+      .filter($"cum_before" < budget)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum($"n_tokens").cast("bigint").as("kept_tokens"),
+        min($"doc_id").cast("bigint").as("first_doc"),
+        max($"doc_id").cast("bigint").as("last_doc"))
+      .orderBy($"source")
+  }
+  private val t48Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+      |      - n_tokens AS cum_before
+      |  FROM d)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM p WHERE cum_before < 10240
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -309,5 +370,6 @@ object Text2Ops {
     RQ("t44_repetition_signal", t44, Some(t44Sql)),
     RQ("t45_unicode_clean", t45, Some(t45Sql)),
     RQ("t46_edit_distance", t46, Some(t46Sql)),
-    RQ("t47_sequence_pack", t47, Some(t47Sql)))
+    RQ("t47_sequence_pack", t47, Some(t47Sql)),
+    RQ("t48_token_budget", t48, Some(t48Sql)))
 }
