@@ -132,5 +132,5 @@ object PlanOps {
     RQ("c60_topk_custom_operator", c60, Some(c60Sql), bench = true),
     RQ("c61_asof_join_operator", c61, Some(c61Sql), bench = true),
     RQ("c62_topk_window_rewrite", c62, Some(c60Sql)),
-    RQ("c63_quality_topk_per_source", c63, Some(c63Sql)))
+    RQ("c63_quality_topk_per_source", c63, Some(c63Sql), bench = true))
 }

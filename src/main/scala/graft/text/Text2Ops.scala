@@ -371,5 +371,5 @@ object Text2Ops {
     RQ("t45_unicode_clean", t45, Some(t45Sql)),
     RQ("t46_edit_distance", t46, Some(t46Sql)),
     RQ("t47_sequence_pack", t47, Some(t47Sql)),
-    RQ("t48_token_budget", t48, Some(t48Sql)))
+    RQ("t48_token_budget", t48, Some(t48Sql), bench = true))
 }
