@@ -59,11 +59,21 @@ case class GraftResolveRenames(spark: SparkSession) extends Rule[LogicalPlan] {
     t.morMeta.aliases.filter { case (l, as) => as.nonEmpty && names(l) }
   }
 
+  /** A scan whose schema already CONTAINS an alias physical name is an
+    * extended scan this rule (or a composed rewrite over one) produced —
+    * extending it again would duplicate fields and prevent the
+    * Resolution batch from reaching a fixpoint with GraftApplyDeletes
+    * (each rule would forever rewrite the other's fresh relations). */
+  private def alreadyExtended(t: GraftTable): Boolean = {
+    val names = t.schema().fieldNames.toSet
+    t.morMeta.aliases.values.flatten.exists(names)
+  }
+
   private def eligible(r: DataSourceV2Relation): Boolean = r.table match {
     case t: GraftTable =>
       !r.options.containsKey("ignoreRenames") &&
         !Option(r.options.get("readChangeFeed")).exists(_.toBoolean) &&
-        live(t).nonEmpty
+        live(t).nonEmpty && !alreadyExtended(t)
     case _ => false
   }
 
@@ -75,7 +85,7 @@ case class GraftResolveRenames(spark: SparkSession) extends Rule[LogicalPlan] {
       f +: aliases.getOrElse(f.name, Nil)
         .map(a => StructField(a, f.dataType)).toArray[StructField]
     })
-    val inner = extendedRelation(t, extended)
+    val inner = extendedRelation(t, extended, r)
     def attr(n: String) = inner.output.find(_.name == n).getOrElse(
       throw new IllegalStateException(
         s"alias column $n missing from ${t.tablePath}'s extended scan"))
@@ -91,10 +101,15 @@ case class GraftResolveRenames(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The same pinned relation, re-opened over the extended (logical +
-    * alias physical names) schema and marked rename-exempt. */
-  private def extendedRelation(t: GraftTable,
-                               extended: StructType): DataSourceV2Relation = {
-    val opts = new java.util.HashMap[String, String]()
+    * alias physical names) schema and marked rename-exempt. The
+    * ORIGINAL relation's options carry over verbatim — in particular a
+    * `filesSubset`/`ignoreDeletes` pair from GraftApplyDeletes, so the
+    * composed plan (coalesce below the delete anti-join, per gate
+    * group) keeps both rewrites' semantics and the Resolution batch
+    * terminates. */
+  private def extendedRelation(t: GraftTable, extended: StructType,
+                               r: DataSourceV2Relation): DataSourceV2Relation = {
+    val opts = new java.util.HashMap[String, String](r.options)
     opts.put("path", t.tablePath)
     opts.put("versionAsOf", t.pinnedVersion.toString)
     opts.put("ignoreRenames", "true")

@@ -181,6 +181,30 @@ class AlterTableSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-read delete AFTER a rename: both read rewrites compose") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+          .repartition(2),
+        table, statsCols = Seq("id"))
+      TxnTable.renameColumn(spark, table, "v", "val")
+      // the delete keys on the CURRENT schema; old data files still
+      // carry the old physical name
+      TxnTable.deleteWhereMoR(spark, table, Seq("id"), df => df("id") === 2L)
+      // TxnTable read path: alias coalesce + delete anti-join
+      val got = TxnTable.read(spark, table)
+        .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((1L, 10.0), (3L, 30.0)))
+      // DSv2 path: GraftApplyDeletes and GraftResolveRenames both
+      // rewrite the same relation
+      val sql = spark.read.format("graft").load(table)
+        .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(sql.toSeq == Seq((1L, 10.0), (3L, 30.0)))
+    }
+  }
+
   test("CHECK constraints gate append, merge, and survive restore") {
     withZone { zone =>
       import spark.implicits._
