@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_detail"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_detail"),
       graft.plans.GraftTableFunctions.detail _))
+    e.injectTableFunction((FunctionIdentifier("graft_files"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_files"),
+      graft.plans.GraftTableFunctions.files _))
     // maintenance SQL (VACUUM / OPTIMIZE) — statements Spark's grammar
     // does not know; the delegating parser intercepts exactly those
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

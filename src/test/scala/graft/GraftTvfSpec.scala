@@ -107,4 +107,36 @@ class GraftTvfSpec extends AnyFunSuite {
       assert(e.getMessage.contains("usage: graft_changes"))
     }
   }
+
+  test("graft_files lists per-file rows, bytes, and skipping stats") {
+    import spark.implicits._
+    withTable { table =>
+      Seq.range(0L, 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+        .write.format("graft").option("statsCols", "k")
+        .mode("overwrite").save(table)
+      val rows = spark.sql(s"SELECT * FROM graft_files('$table') ORDER BY file")
+        .collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getAs[Long]("rows")).sum == 100L)
+      assert(rows.forall(_.getAs[Long]("bytes") > 0L))
+      // range-partitioned seed: each file's stat window is disjoint
+      val statsStrs = rows.map(_.getAs[String]("stats"))
+      assert(statsStrs.forall(_.contains("k=[")),
+        s"every file must carry a k stat: ${statsStrs.mkString(" | ")}")
+      // composes with SQL: find small files like an operator would
+      val small = spark.sql(
+        s"SELECT count(*) FROM graft_files('$table') WHERE bytes < 1000000")
+        .head().getLong(0)
+      assert(small == 4L)
+      // version argument pins an older snapshot's file list
+      TxnTable.compact(spark, table, targetFiles = 1)
+      val latest = spark.sql(s"SELECT count(*) FROM graft_files('$table')")
+        .head().getLong(0)
+      assert(latest == 1L)
+      val old = spark.sql(s"SELECT count(*) FROM graft_files('$table', 1)")
+        .head().getLong(0)
+      assert(old == 4L)
+    }
+  }
 }
