@@ -3513,7 +3513,7 @@ object TxnTable {
     * dimension; every other file carries by reference (same containment
     * + partial-rewrite machinery as scoped compaction). */
   def zorderWhere(spark: SparkSession, table: String, cols: Seq[String],
-                  column: String, value: Any,
+                  column: String, lo: Any, hi: Any,
                   targetFiles: Option[Int] = None): Long = {
     val st = latestState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
@@ -3521,12 +3521,12 @@ object TxnTable {
       throw new IllegalStateException(s"$table predates the schema log"))
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"ZORDER BY column $c is not a column of $table"))
-    val b = pointBound(value, schema(column).dataType)
+    val b = boundRange(lo, hi, schema(column).dataType)
     val scoped = st.files.filter(f =>
       st.stat(f, column).exists(s => s.nulls == 0L && s.containedIn(b)))
     val n = targetFiles.getOrElse(math.max(1, scoped.size))
     compactSmall(spark, table, smallBytes = Long.MaxValue, targetFiles = n,
-      checkpoint = true, scope = Some((column, value)),
+      checkpoint = true, scope = Some((column, lo, hi)),
       transform = Some(df => graft.ops.ZOrder.clusterN(df, cols, n)),
       extraStatsCols = cols, opName = "zorder")
   }
@@ -3541,15 +3541,16 @@ object TxnTable {
     * table bulk. Skipping metadata survives on the packed replacements;
     * same optimistic pinned-CAS commit as merge/deleteRange.
     *
-    * `scope` (OPTIMIZE … WHERE col = value — Delta's partition-scoped
-    * OPTIMIZE): only files whose manifest stats PROVE containment in
-    * the predicate (single-valued on `col`, zero nulls — the same
+    * `scope` (OPTIMIZE … WHERE col = v | col BETWEEN lo AND hi —
+    * Delta's partition-scoped OPTIMIZE): only files whose manifest
+    * stats PROVE containment in [lo, hi] (zero nulls — the same
     * containment test replaceWhere uses) are candidates; everything
     * else carries by reference without even a size lookup. Compacting
-    * one hot day of a 100 TB table costs O(that day's files). */
+    * one hot day — or one retention week — of a 100 TB table costs
+    * O(that range's files). */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
                    targetFiles: Int = 1, checkpoint: Boolean = false,
-                   scope: Option[(String, Any)] = None,
+                   scope: Option[(String, Any, Any)] = None,
                    transform: Option[DataFrame => DataFrame] = None,
                    extraStatsCols: Seq[String] = Nil,
                    opName: String = "compact"): Long = {
@@ -3562,10 +3563,10 @@ object TxnTable {
         throw new IllegalStateException(s"$table predates the schema log"))
       val inScope: String => Boolean = scope match {
         case None => _ => true
-        case Some((c, v)) =>
+        case Some((c, lo, hi)) =>
           require(schema.fieldNames.contains(c),
             s"OPTIMIZE WHERE column $c is not a column of $table")
-          val b = pointBound(v, schema(c).dataType)
+          val b = boundRange(lo, hi, schema(c).dataType)
           f => st.stat(f, c).exists(s => s.nulls == 0L && s.containedIn(b))
       }
       val small = st.files.filter(f => inScope(f) &&

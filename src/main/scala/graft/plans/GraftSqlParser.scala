@@ -83,18 +83,20 @@ object GraftSqlParser {
   // identifier; clauses optional, any whitespace, case-insensitive
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?\b\s*)?(?:KEEP\s+(\d+)\s+VERSIONS?\b\s*)?(DRY\s+RUN\s*)?;?\s*""".r
-  // OPTIMIZE <target> [WHERE col = value] [FILES SMALLER THAN n] —
-  // the WHERE scopes compaction to files whose stats prove containment
-  // (partition-scoped OPTIMIZE, Delta-style)
+  // OPTIMIZE <target> [WHERE col = v | col BETWEEN a AND b]
+  //   [FILES SMALLER THAN n] — the WHERE scopes compaction to files
+  // whose stats prove containment (partition-scoped OPTIMIZE,
+  // Delta-style; BETWEEN covers retention-window maintenance)
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:WHERE\s+(`[^`]+`|[\w]+)\s*=\s*('[^']*'|"[^"]*"|[\w.\-:]+)\s*)?(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:WHERE\s+(`[^`]+`|[\w]+)\s*(?:=\s*('[^']*'|"[^"]*"|[\w.\-:]+)|BETWEEN\s+('[^']*'|"[^"]*"|[\w.\-:]+)\s+AND\s+('[^']*'|"[^"]*"|[\w.\-:]+))\s*)?(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
   // OPTIMIZE <target> ZORDER BY (c1, c2[, ...]) [INTO n FILES]
   private val ZOrderStmt =
     """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
-  // OPTIMIZE <target> WHERE col = value ZORDER BY (...) [INTO n FILES]
+  // OPTIMIZE <target> WHERE col = v | col BETWEEN a AND b
+  //   ZORDER BY (...) [INTO n FILES]
   // — re-cluster only the predicate's stats-proven-contained files
   private val ZOrderWhereStmt =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+WHERE\s+(`[^`]+`|[\w]+)\s*=\s*('[^']*'|"[^"]*"|[\w.\-:]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+WHERE\s+(`[^`]+`|[\w]+)\s*(?:=\s*('[^']*'|"[^"]*"|[\w.\-:]+)|BETWEEN\s+('[^']*'|"[^"]*"|[\w.\-:]+)\s+AND\s+('[^']*'|"[^"]*"|[\w.\-:]+))\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
@@ -160,21 +162,18 @@ object GraftSqlParser {
       case VacuumStmt(target, hours, keep, _) =>
         Some(GraftVacuumCommand(target,
           Option(hours).map(_.toLong), Option(keep).map(_.toInt)))
-      case ZOrderWhereStmt(target, whereCol, whereVal, colList, files) =>
+      case ZOrderWhereStmt(target, whereCol, eqV, loV, hiV, colList, files) =>
         Some(GraftZOrderCommand(target,
           colList.split(",").toSeq.map(c => unquoteId(c.trim)),
           Option(files).map(_.toInt),
-          Some((unquoteId(whereCol), literalValue(whereVal)))))
+          Some(scopeOf(whereCol, eqV, loV, hiV))))
       case ZOrderStmt(target, colList, files) =>
         Some(GraftZOrderCommand(target,
           colList.split(",").toSeq.map(c => unquoteId(c.trim)),
           Option(files).map(_.toInt)))
-      case OptimizeStmt(target, whereCol, whereVal, small) =>
+      case OptimizeStmt(target, whereCol, eqV, loV, hiV, small) =>
         Some(GraftOptimizeCommand(target, Option(small).map(_.toLong),
-          (Option(whereCol), Option(whereVal)) match {
-            case (Some(c), Some(v)) => Some((unquoteId(c), literalValue(v)))
-            case _ => None
-          }))
+          Option(whereCol).map(c => scopeOf(c, eqV, loV, hiV))))
       case RestoreStmt(target, kind, asOf) =>
         Some(GraftRestoreCommand(target,
           kind.equalsIgnoreCase("VERSION"), unquote(asOf)))
@@ -215,6 +214,14 @@ object GraftSqlParser {
           Option(version).map(_.toLong)))
       case _ => None
     }
+
+  /** OPTIMIZE WHERE scope as an inclusive [lo, hi] range: equality is
+    * the degenerate v..v range (same containment test either way). */
+  private def scopeOf(col: String, eqV: String, loV: String,
+                      hiV: String): (String, Any, Any) =
+    if (eqV != null) {
+      val v = literalValue(eqV); (unquoteId(col), v, v)
+    } else (unquoteId(col), literalValue(loV), literalValue(hiV))
 
   /** A scalar literal from the OPTIMIZE WHERE grammar: quoted → string,
     * else integral → Long, decimal → Double, anything else verbatim
@@ -288,7 +295,7 @@ case class GraftVacuumCommand(target: String, retainHours: Option[Long],
 }
 
 case class GraftOptimizeCommand(target: String, smallBytes: Option[Long],
-                                scope: Option[(String, Any)] = None)
+                                scope: Option[(String, Any, Any)] = None)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -297,7 +304,7 @@ case class GraftOptimizeCommand(target: String, smallBytes: Option[Long],
   * re-clustering, whole-table or scoped to the predicate's files. */
 case class GraftZOrderCommand(target: String, cols: Seq[String],
                               targetFiles: Option[Int],
-                              scope: Option[(String, Any)] = None)
+                              scope: Option[(String, Any, Any)] = None)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -355,8 +362,8 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           val spark = SparkSession.active
           val path = GraftSqlParser.resolveTarget(spark, target)
           scope match {
-            case Some((c, v)) =>
-              TxnTable.zorderWhere(spark, path, cols, c, v, files)
+            case Some((c, lo, hi)) =>
+              TxnTable.zorderWhere(spark, path, cols, c, lo, hi, files)
             case None => TxnTable.zorderBy(spark, path, cols, files)
           }
           ()

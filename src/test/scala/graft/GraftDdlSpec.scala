@@ -232,4 +232,38 @@ class GraftDdlSpec extends AnyFunSuite {
       assert(TxnTable.read(spark, table).count() == 3L)
     }
   }
+
+  test("OPTIMIZE WHERE BETWEEN compacts only the range's files") {
+    withZone { zone =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val table = s"$zone/t"
+      // 4 range-partitioned slices: k in [0,25), [25,50), [50,75), [75,100)
+      (0 until 4).foreach { i =>
+        Seq.range(i * 25L, i * 25L + 25L).map(k => (k, k * 1.0)).toDF("k", "v")
+          .coalesce(1)
+          .write.format("graft").option("statsCols", "k")
+          .mode(if (i == 0) "overwrite" else "append").save(table)
+      }
+      val v0 = TxnTable.latestVersion(spark, table).get
+      val files0 = TxnTable.snapshotFiles(spark, table, v0)
+      val stats0 = TxnTable.fileStats(spark, table, v0)
+      def lowOf(f: String): Double = stats0(f).find(_.col == "k").get.minV.toDouble
+      val inRange0 = files0.filter(f => lowOf(f) < 50.0)   // first two slices
+      val outside0 = files0.filterNot(f => lowOf(f) < 50.0)
+      assert(inRange0.size == 2 && outside0.size == 2)
+      spark.sql(s"OPTIMIZE '$table' WHERE k BETWEEN 0 AND 49")
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val files1 = TxnTable.snapshotFiles(spark, table, v1)
+      // the range's two files packed into one; the others untouched
+      assert(outside0.forall(files1.contains),
+        "files outside the BETWEEN range must carry by identity")
+      assert(!files1.exists(inRange0.contains),
+        "files inside the range must be replaced")
+      assert(files1.size == outside0.size + 1)
+      assert(TxnTable.read(spark, table).count() == 100L)
+      assert(TxnTable.read(spark, table)
+        .filter(col("k") < 50L).count() == 50L)
+    }
+  }
 }
