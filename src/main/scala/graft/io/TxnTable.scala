@@ -945,6 +945,20 @@ object TxnTable {
   def mergeOnReadEnabled(spark: SparkSession, table: String): Boolean =
     latestState(spark, table).exists(_.mor)
 
+  /** Does the latest snapshot still carry in-place-converted files
+    * (partition values path-derived — see `convert`)? Drops when the
+    * last adopted file is rewritten. */
+  def convertedInPlace(spark: SparkSession, table: String): Boolean =
+    latestState(spark, table).exists(_.pathpart)
+
+  /** Column-mapping aliases of the latest snapshot: logical column →
+    * prior physical names still present in old data files (see
+    * `renameColumn`). Empty once rewrite churn retires the old names. */
+  def columnAliases(spark: SparkSession,
+                    table: String): Map[String, Seq[String]] =
+    latestState(spark, table).map(_.aliases)
+      .getOrElse(Map.empty[String, Seq[String]])
+
   private def latestState(spark: SparkSession, table: String): Option[State] =
     latestVersion(spark, table).map(stateOf(spark, table, _))
 

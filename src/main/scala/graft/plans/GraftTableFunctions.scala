@@ -117,8 +117,11 @@ object GraftTableFunctions {
       AttributeReference("change_feed", org.apache.spark.sql.types.BooleanType,
         nullable = false)(),
       AttributeReference("merge_on_read", org.apache.spark.sql.types.BooleanType,
-        nullable = false)())
-    val r = new GenericInternalRow(9)
+        nullable = false)(),
+      AttributeReference("converted_in_place", org.apache.spark.sql.types.BooleanType,
+        nullable = false)(),
+      AttributeReference("column_aliases", StringType, nullable = false)())
+    val r = new GenericInternalRow(11)
     r.update(0, UTF8String.fromString("graft"))
     r.update(1, UTF8String.fromString(table))
     r.setLong(2, v)
@@ -129,6 +132,10 @@ object GraftTableFunctions {
     r.setLong(6, TxnTable.checkConstraints(spark, table).size.toLong)
     r.setBoolean(7, TxnTable.changeFeedEnabled(spark, table))
     r.setBoolean(8, graft.io.TxnTable.mergeOnReadEnabled(spark, table))
+    r.setBoolean(9, TxnTable.convertedInPlace(spark, table))
+    r.update(10, UTF8String.fromString(
+      TxnTable.columnAliases(spark, table).toSeq.sortBy(_._1)
+        .map { case (l, as) => s"$l<-${as.mkString("|")}" }.mkString(", ")))
     LocalRelation(out, Seq(r: InternalRow))
   }
 

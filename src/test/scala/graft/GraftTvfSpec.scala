@@ -39,6 +39,12 @@ class GraftTvfSpec extends AnyFunSuite {
       assert(d.getAs[Long]("num_constraints") == 1L)
       assert(d.getAs[Boolean]("change_feed"))
       assert(!d.getAs[Boolean]("merge_on_read"))
+      assert(!d.getAs[Boolean]("converted_in_place"))
+      assert(d.getAs[String]("column_aliases") == "")
+      // layout states surface after a rename (id: no constraint on it)
+      TxnTable.renameColumn(spark, table, "id", "row_id")
+      val d2 = spark.sql(s"DESCRIBE DETAIL '$table'").head()
+      assert(d2.getAs[String]("column_aliases") == "row_id<-id")
       // the TVF spelling composes with ordinary SQL
       assert(spark.sql(
         s"SELECT num_files FROM graft_detail('$table')").head().getLong(0) ==
