@@ -50,6 +50,27 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
   }
 
+  test("t48 token-budget: corpus windows per (source, bucket), offsets broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Registry.queries("t48_token_budget")(spark, Spec.sf0001)
+    // the CORPUS window (ordered by doc_id — the one that touches every
+    // row) must key on (source, bucket); the offsets window (ordered by
+    // bucket) runs over the tiny per-bucket counts frame and may key on
+    // source alone by design
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window =>
+        (w.partitionSpec.map(_.toString), w.orderSpec.map(_.child.toString)) }
+    val corpus = windows.filter(_._2.exists(_.contains("doc_id")))
+    assert(corpus.nonEmpty, "expected the doc_id-ordered corpus window")
+    assert(corpus.forall { case (keys, _) =>
+        keys.exists(_.contains("source")) && keys.exists(_.contains("bucket")) },
+      s"the corpus window must key on (source, bucket); got: " +
+        corpus.map(_._1.mkString("+")).mkString(" | "))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back onto the corpus side:\n$plan")
+  }
+
   test("merge-on-read read subtracts deletes via a BROADCAST anti-join") {
     val zone = java.nio.file.Files.createTempDirectory("graft_planshape").toString
     try {
