@@ -3189,6 +3189,168 @@ object FormatOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- k132
+  /** GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS`, via
+    * [[TxnTable.withGeneratedColumn]]): `p_date GENERATED ALWAYS AS
+    * (CAST(ts AS DATE))` + `PARTITIONED BY (p_date)` — the canonical
+    * daily-layout pattern. The definition lives as field metadata in
+    * the snapshot schema (rides the existing `#schema=` header through
+    * every commit), so an append that OMITS the column gets it computed
+    * at commit, and one that contradicts it refuses. Derived partition
+    * pruning: the generation SOURCE column (ts) auto-joins the stats
+    * set at write, so a raw-ts range predicate prunes the generated
+    * date partitioning's files through ordinary stats skipping — no
+    * filter-rewrite rule, which is the architecture-appropriate
+    * realization of Delta's generated-column partition filters in a
+    * stats-planned table. REQUIREd in-query: the definition is
+    * recorded and survives the append, the appended half was
+    * auto-filled (no NULLs, values equal the expression), and the
+    * ts-range read scans exactly the matching days' files. Differs
+    * from k114's days(ts) transform: the generated column is a REAL
+    * queryable column with an arbitrary SQL definition, not a hidden
+    * layout transform. Oracle: the same daily rollup off raw events. */
+  private def k132(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k132_gen")
+    try {
+      val table = s"$zone/events_gen"
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      TxnTable.commitOverwrite(
+        TxnTable.withGeneratedColumn(
+          ev.filter($"event_id" % 2 === 0), "p_date", "CAST(ts AS DATE)"),
+        table, partitionCols = Seq("p_date"))
+      // append WITHOUT p_date: the commit must compute it
+      TxnTable.commitAppend(ev.filter($"event_id" % 2 === 1), table)
+      val v = TxnTable.latestVersion(spark, table).get
+      require(TxnTable.generatedColumns(
+          TxnTable.snapshotSchema(spark, table, v).get)
+        == Map("p_date" -> "CAST(ts AS DATE)"),
+        "generation expression must be recorded in the snapshot schema " +
+          "and survive the append's schema merge")
+      val full = spark.read.format("graft").load(table)
+      require(full.filter($"p_date".isNull ||
+          $"p_date" =!= expr("CAST(ts AS DATE)")).limit(1).count() == 0L,
+        "every row (incl. the auto-filled append) must satisfy the definition")
+      // contradicting value refuses, leaving the version untouched
+      val bad = ev.filter($"event_id" === 2).limit(1)
+        .withColumn("p_date", expr("DATE'1999-01-01'"))
+      val refused =
+        try { TxnTable.commitAppend(bad, table); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused && TxnTable.latestVersion(spark, table).get == v,
+        "a frame contradicting the generated column must refuse")
+      // derived partition pruning: a raw-ts range scans only its days
+      val stats = TxnTable.fileStats(spark, table, v)
+      val files = TxnTable.snapshotFiles(spark, table, v)
+      require(files.forall(f => stats.getOrElse(f, Nil).exists(_.col == "ts")),
+        "the generation source column must carry per-file stats")
+      val d10 = java.time.LocalDate.parse("2024-01-10").toEpochDay * 86400.0
+      val d12 = java.time.LocalDate.parse("2024-01-12").toEpochDay * 86400.0
+      val expected = files.count(f => stats(f).exists(s =>
+        s.col == "ts" && s.maxV.toDouble >= d10 && s.minV.toDouble < d12))
+      val ranged = full
+        .filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          $"ts" < lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+      val scanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(ranged).get
+      require(scanned == expected && scanned < files.size,
+        s"ts-range read scanned $scanned files, want exactly $expected " +
+          s"of ${files.size} (derived partition pruning)")
+      // the generated column is a REAL column: group by it directly
+      val result = ranged
+        .groupBy($"p_date")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"value").as("sum_value"))
+        .select($"p_date".cast("string").as("d"), $"n", $"sum_value")
+        .orderBy($"d")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k132Sql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- k133
+  /** IDENTITY COLUMNS (Delta's `GENERATED ALWAYS AS IDENTITY`, via
+    * [[TxnTable.withIdentityColumn]]): the surrogate-key generator of a
+    * warehouse load — declaration AND high-water mark live as field
+    * metadata in the snapshot schema (Delta's
+    * delta.identity.highWaterMark design), so the hwm commits
+    * atomically with the rows that consumed it. Assignment is
+    * cluster-parallel (per-partition offsets, one O(partitions) driver
+    * sync — the GlobalOrder pattern, no global sort, no
+    * single-partition window). REQUIREd in-query: creation assigns
+    * start..n, an append WITHOUT the column continues above the hwm,
+    * an append SUPPLYING it refuses (ALWAYS), and the recorded hwm
+    * equals the max assigned value. Oracle: the id span is fully
+    * determined by the row count (sequential, no races here), so the
+    * summary row is computable from raw customer. */
+  private def k133(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k133_ident")
+    try {
+      val table = s"$zone/customer_ids"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(
+          cust.filter($"c_custkey" % 2 === 0), "row_id"),
+        table)
+      // append WITHOUT row_id: commit assigns above the hwm
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table)
+      val v = TxnTable.latestVersion(spark, table).get
+      val d = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table, v).get).get
+      // an append SUPPLYING the column refuses, leaving no new version
+      val refused =
+        try {
+          TxnTable.commitAppend(
+            cust.limit(1).withColumn("row_id", lit(-1L)), table)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused && TxnTable.latestVersion(spark, table).get == v,
+        "a frame supplying the IDENTITY column must refuse (ALWAYS)")
+      val out = spark.read.format("graft").load(table)
+      val summary = out.agg(
+        count(lit(1)).cast("bigint").as("n_rows"),
+        countDistinct($"row_id").cast("bigint").as("n_ids"),
+        min($"row_id").cast("bigint").as("min_id"),
+        max($"row_id").cast("bigint").as("max_id"))
+      val row = summary.collect()(0)
+      require(d.hwm.contains(row.getLong(3)),
+        s"recorded hwm ${d.hwm} must equal the max assigned id ${row.getLong(3)}")
+      require(row.getLong(0) == row.getLong(1),
+        "identity values must be unique")
+      spark.createDataFrame(
+        java.util.Arrays.asList(summary.collect(): _*), summary.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k133Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |  CAST(1 AS BIGINT) AS min_id,
+      |  CAST(COUNT(*) AS BIGINT) AS max_id
+      |FROM customer""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3245,5 +3407,7 @@ object FormatOps {
     RQ("k128_optimize_where", k128, Some(k128Sql)),
     RQ("k129_merge_multiclause", k129, Some(k129Sql)),
     RQ("k130_vacuum_dry_run", k130, Some(k130Sql)),
-    RQ("k131_zorder_where", k131, Some(k131Sql)))
+    RQ("k131_zorder_where", k131, Some(k131Sql)),
+    RQ("k132_generated_columns", k132, Some(k132Sql)),
+    RQ("k133_identity_columns", k133, Some(k133Sql)))
 }

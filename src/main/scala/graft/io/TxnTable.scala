@@ -1282,6 +1282,168 @@ object TxnTable {
       }
     }
 
+  /** Field-metadata key holding a GENERATED column's defining SQL —
+    * Delta's `delta.generationExpression` realized on graft's schema
+    * log: the definition lives INSIDE the snapshot schema's StructField
+    * metadata, so it travels through every commit path (append, merge,
+    * compact, zorder, clone, restore, schema evolution) for free —
+    * `#schema=` already carries field metadata through its JSON. */
+  val GenExprKey = "graft.generationExpression"
+
+  /** name → generation SQL of every GENERATED column declared in
+    * `schema` (empty when the table has none). */
+  def generatedColumns(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    schema.fields.iterator
+      .filter(_.metadata.contains(GenExprKey))
+      .map(f => f.name -> f.metadata.getString(GenExprKey)).toMap
+
+  /** Declare `name` GENERATED ALWAYS AS (`sqlExpr`) on `df`: computes
+    * the column when absent and records the definition as field
+    * metadata. Write the result with commitOverwrite/format("graft")
+    * to create a generated-column table; every later append fills the
+    * column automatically (or validates a caller-supplied value) —
+    * see commit(). Pairs with partitionBy(name) for the Delta pattern
+    * `p_date GENERATED ALWAYS AS (CAST(ts AS DATE))` + partition on
+    * p_date. */
+  def withGeneratedColumn(df: DataFrame, name: String,
+                          sqlExpr: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val filled =
+      if (df.columns.exists(_.equalsIgnoreCase(name))) df
+      else df.withColumn(name, expr(sqlExpr))
+    val prior = filled.schema(filled.schema.fieldIndex(name)).metadata
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(prior).putString(GenExprKey, sqlExpr).build()
+    filled.withColumn(name, col(name).as(name, meta))
+  }
+
+  /** Source columns a generation expression reads — these auto-join
+    * the stats set so a predicate on the SOURCE column prunes the
+    * generated partitioning's files (derived partition pruning: in a
+    * stats-planned table it falls out of ordinary file skipping, no
+    * filter-rewrite rule needed). */
+  private def genSources(spark: SparkSession, sql: String): Seq[String] =
+    try spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.distinct
+    catch { case _: Exception => Nil }
+
+  /** IDENTITY columns (Delta's `GENERATED ALWAYS AS IDENTITY`): like
+    * generated columns, the declaration lives as field metadata in the
+    * snapshot schema; the HIGH-WATER MARK (last value handed out) is
+    * schema metadata too — Delta's own delta.identity.highWaterMark
+    * design — so it commits ATOMICALLY with the rows that consumed it
+    * and rides every manifest for free. */
+  val IdStartKey = "graft.identity.start"
+  val IdStepKey = "graft.identity.step"
+  val IdHwmKey = "graft.identity.highWaterMark"
+
+  final case class IdentityDef(col: String, start: Long, step: Long,
+                               hwm: Option[Long])
+
+  /** The schema's identity column declaration, if any (at most one). */
+  def identityColumn(schema: org.apache.spark.sql.types.StructType)
+      : Option[IdentityDef] =
+    schema.fields.find(_.metadata.contains(IdStartKey)).map { f =>
+      IdentityDef(f.name, f.metadata.getLong(IdStartKey),
+        f.metadata.getLong(IdStepKey),
+        if (f.metadata.contains(IdHwmKey)) Some(f.metadata.getLong(IdHwmKey))
+        else None)
+    }
+
+  /** Declare `name` GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * STEP `step`) on a CREATING frame: assigns `start, start+step, …`
+    * across the cluster (per-partition offsets — one O(partitions)
+    * driver sync, no global sort, no single-partition window) and
+    * records declaration + high-water mark as field metadata. Commit
+    * the result with commitOverwrite to create the table; every later
+    * append gets fresh values assigned AT COMMIT, above the snapshot's
+    * high-water mark (appends supplying the column refuse — ALWAYS
+    * semantics). Values are unique and ascending, not gapless — the
+    * same contract Delta documents. */
+  def withIdentityColumn(df: DataFrame, name: String,
+                         start: Long = 1L, step: Long = 1L): DataFrame = {
+    require(step != 0L, "identity step must be nonzero")
+    require(!df.columns.exists(_.equalsIgnoreCase(name)),
+      s"IDENTITY column $name is GENERATED ALWAYS — the frame cannot supply it")
+    val (assigned, n) = assignSequential(df, name, start, step)
+    val hwm = if (n == 0L) start - step else start + step * (n - 1L)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(IdStartKey, start).putLong(IdStepKey, step)
+      .putLong(IdHwmKey, hwm).build()
+    assigned.withColumn(name, col(name).as(name, meta))
+  }
+
+  /** Prepend `base, base+step, …` as `name` without sorting or a
+    * single-partition exchange: per-partition counts → offsets (an
+    * O(partitions) driver sync, the GlobalOrder pattern), then
+    * partition-local numbering at the InternalRow level. Returns the
+    * frame and the row count (= values consumed). */
+  private def assignSequential(df: DataFrame, name: String,
+                               base: Long, step: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val rdd = df.queryExecution.toRdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(pid -> n)
+    }.collect().toMap
+    val parts = rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(parts, 1))
+    var acc = 0L
+    var p = 0
+    while (p < parts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L); p += 1 }
+    val numbered = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { row =>
+        val v = base + step * i
+        i += 1
+        new JoinedRow(
+          new GenericInternalRow(Array[Any](v)), row.copy()): InternalRow
+      }
+    }
+    val outSchema = StructType(
+      StructField(name, LongType, nullable = false) +: df.schema.fields)
+    (org.apache.spark.sql.GraftBridge
+       .internalCreateDataFrame(spark, numbered, outSchema), acc)
+  }
+
+  /** Re-stamp the identity column's high-water mark in `schema`. */
+  private def patchIdentityHwm(schema: org.apache.spark.sql.types.StructType,
+                               colName: String, hwm: Long)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(colName))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(IdHwmKey, hwm).build())
+      else f
+    })
+
+  /** GENERATED-column write gate: fill each declared column when the
+    * incoming frame lacks it; when the frame supplies it, REQUIRE
+    * row-for-row agreement with the definition (one validating scan,
+    * same cost class as a CHECK constraint; limit(1) stops at the
+    * first offender) — Delta's exact contract: you may omit a
+    * generated column, you may not contradict it. */
+  private def applyGenerated(df: DataFrame, table: String,
+                             defs: Map[String, String]): DataFrame =
+    defs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      import org.apache.spark.sql.functions.expr
+      if (!d.columns.exists(_.equalsIgnoreCase(name)))
+        d.withColumn(name, expr(sql))
+      else {
+        val bad = d.filter(!(col(name) <=> expr(sql))).limit(1).count()
+        require(bad == 0L,
+          s"GENERATED column $name of $table must equal ($sql); " +
+            "the incoming frame contradicts the definition")
+        d
+      }
+    }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
                      statsCols: Seq[String],
@@ -1315,6 +1477,53 @@ object TxnTable {
     val maintenanceOps = Set("compact", "zorder", "alter-rename")
     if (!maintenanceOps(op))
       state.map(_.checks).foreach(enforceChecks(df, table, _))
+    // GENERATED columns: on append the definitions come from the
+    // SNAPSHOT schema (so a plain frame that lost its metadata still
+    // fills/validates); on overwrite from the incoming frame's own
+    // annotations (overwrite replaces the schema, Delta-style).
+    // Maintenance rewrites carry already-validated rows and skip both.
+    val genDefs: Map[String, String] =
+      if (maintenanceOps(op)) Map.empty
+      else if (append)
+        state.flatMap(_.schema).map(generatedColumns)
+          .getOrElse(generatedColumns(df.schema))
+      else generatedColumns(df.schema)
+    val dfg =
+      if (genDefs.isEmpty) df else applyGenerated(df, table, genDefs)
+    // the generation SOURCE columns join the stats set: a predicate on
+    // the source (e.g. the raw timestamp behind a generated date
+    // partition) then prunes files through ordinary stats skipping —
+    // derived partition pruning with no filter-rewrite machinery
+    val genStatCols =
+      genDefs.keys.toSeq ++
+        genDefs.values.toSeq.flatMap(genSources(spark, _))
+          .filter(c => dfg.columns.exists(_.equalsIgnoreCase(c)))
+    // IDENTITY column: on append the declaration (and high-water mark)
+    // comes from the snapshot schema; fresh values are assigned HERE,
+    // above the observed hwm — a frame supplying the column refuses
+    // (ALWAYS semantics). On overwrite the creating frame (via
+    // withIdentityColumn) already carries assigned values + metadata.
+    // Maintenance rewrites carry already-assigned rows untouched.
+    val idDef: Option[IdentityDef] =
+      if (maintenanceOps(op)) None
+      else if (append) state.flatMap(_.schema).flatMap(identityColumn)
+      else identityColumn(dfg.schema)
+    if (append) idDef.foreach { d =>
+      require(!dfg.columns.exists(_.equalsIgnoreCase(d.col)),
+        s"IDENTITY column ${d.col} of $table is GENERATED ALWAYS — " +
+          "appends cannot supply it")
+    }
+    // hwm base this attempt's values were assigned from; a CAS loser
+    // that observes an ADVANCED hwm re-materializes (below) so two
+    // racing identity appends can never hand out the same value
+    var idBase = 0L
+    def assignIdentity(st: Option[State]): DataFrame = idDef match {
+      case Some(d) if append =>
+        idBase = st.flatMap(_.schema).flatMap(identityColumn)
+          .flatMap(_.hwm).getOrElse(d.start - d.step)
+        assignSequential(dfg, d.col, idBase + d.step, d.step)._1
+      case _ => dfg
+    }
     // partitioning is STICKY: an explicit spec wins (and re-partitions
     // the table on overwrite); otherwise appends conform to the prior
     // snapshot's recorded partition columns automatically. Partition
@@ -1323,9 +1532,12 @@ object TxnTable {
     val partCols =
       if (partitionCols.nonEmpty) partitionCols
       else state.map(_.partCols).getOrElse(Nil)
-    val (dataDir, newFiles, newStats, newBlooms, newRows) =
-      writeData(df, table, (statsCols ++ partCols.map(partSource)).distinct,
-        bloomCols, partCols)
+    val allStatsCols =
+      (statsCols ++ partCols.map(partSource) ++ genStatCols ++
+        idDef.map(_.col).toSeq).distinct
+    var dfw = assignIdentity(state)
+    var (dataDir, newFiles, newStats, newBlooms, newRows) =
+      writeData(dfw, table, allStatsCols, bloomCols, partCols)
     var attempt = 0
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch
@@ -1351,12 +1563,33 @@ object TxnTable {
       // merges the evolved frame's schema into the prior snapshot's —
       // pre-evolution files surface the new column as NULL; incompatible
       // evolution fails HERE, at commit, not at some later read
-      val schema =
+      val mergedSchema =
         if (append)
           state.flatMap(_.schema)
-            .map(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
-            .getOrElse(org.apache.spark.sql.GraftBridge.nullableSchema(df.schema))
-        else org.apache.spark.sql.GraftBridge.nullableSchema(df.schema)
+            .map(org.apache.spark.sql.GraftBridge.mergeSchemas(_, dfw.schema))
+            .getOrElse(org.apache.spark.sql.GraftBridge.nullableSchema(dfw.schema))
+        else org.apache.spark.sql.GraftBridge.nullableSchema(dfw.schema)
+      // the identity high-water mark commits WITH the rows that
+      // consumed it: merge keeps the PRIOR snapshot's (stale) value, so
+      // re-stamp it — appends advance by the rows just assigned,
+      // overwrites keep monotonicity across the replacement (ids are
+      // never reused even after the old rows are gone)
+      val schema = idDef match {
+        case Some(d) =>
+          val newHwm =
+            if (append) idBase + d.step * newRows.values.sum
+            else {
+              val frameHwm = identityColumn(dfw.schema).flatMap(_.hwm)
+                .getOrElse(d.start - d.step)
+              state.flatMap(_.schema).flatMap(identityColumn).flatMap(_.hwm)
+                .map(prior =>
+                  if (d.step > 0) math.max(prior, frameHwm)
+                  else math.min(prior, frameHwm))
+                .getOrElse(frameHwm)
+            }
+          patchIdentityHwm(mergedSchema, d.col, newHwm)
+        case None => mergedSchema
+      }
       // checkpoint cadence: overwrites and first commits are naturally
       // full; appends write an O(new files) delta except every
       // interval-th version, which rolls the chain up into a checkpoint
@@ -1410,6 +1643,22 @@ object TxnTable {
       attempt += 1 // lost the CAS: recompute against the new snapshot
       backoff(attempt)
       state = latestState(spark, table)
+      // identity race: the winner advanced the hwm our files baked in —
+      // drop this attempt's data dir and re-assign above the NEW hwm,
+      // so concurrent identity appends can never publish duplicates
+      if (append && idDef.isDefined) {
+        val hwmNow = state.flatMap(_.schema).flatMap(identityColumn)
+          .flatMap(_.hwm).getOrElse(idDef.get.start - idDef.get.step)
+        if (hwmNow != idBase) {
+          ctx.delete(new Path(s"$table/$dataDir"), true)
+          dfw = assignIdentity(state)
+          val rewritten =
+            writeData(dfw, table, allStatsCols, bloomCols, partCols)
+          dataDir = rewritten._1; newFiles = rewritten._2
+          newStats = rewritten._3; newBlooms = rewritten._4
+          newRows = rewritten._5
+        }
+      }
     }
     throw new IllegalStateException(
       s"commit to $table lost the manifest race 64 times — pathological contention")

@@ -363,6 +363,64 @@ object Text2Ops {
       |FROM p WHERE cum_before < 10240
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t49
+  /** UNIGRAM CROSS-ENTROPY quality score (the CCNet / Wikipedia-LM
+    * filtering signal): score each document by the mean negative
+    * log-probability of its tokens under the corpus's OWN unigram
+    * distribution — fluent, typical text scores low; gibberish,
+    * boilerplate and OOV-heavy text scores high. The language-model
+    * cousin of t32's heuristic quality score, and the standard
+    * perplexity-bucket pre-filter before an expensive model-based one.
+    *
+    * Scale shape: one explode → one map-side-combinable keyed agg on
+    * token (the vocab build) → one hash join tokens⋈vocab on the token
+    * key (AQE broadcasts it when the vocab is small; at web scale it
+    * stays a well-distributed shuffle join — token frequency skew is
+    * bounded because the join key is the token, and even "the" hashes
+    * to one partition only alongside its own occurrences) → one keyed
+    * agg on doc_id. No window, no driver state, no corpus-wide sort.
+    *
+    * Determinism: each ln passes through DECIMAL(38,6) before the sum
+    * ([[graft.ops.Num]]'s order-independence trick), so the score is
+    * bit-stable across engines, partitionings and cluster sizes. */
+  private def t49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum($"c").as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select($"doc_id",
+        log($"c").cast(dec).as("lnc"),
+        log($"total".cast("double")).cast(dec).cast("double").as("lnt"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        sum($"lnc").cast("double").as("sum_ln"),
+        first($"lnt").as("lnt"))
+      .select($"doc_id", $"n_tokens",
+        ($"lnt" - $"sum_ln" / $"n_tokens".cast("double")).as("xent"))
+      .orderBy($"doc_id")
+  }
+  private val t49Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM documents),
+      |tok AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+      |vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS total FROM vocab),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(LN(c) AS DECIMAL(38,6))) AS DOUBLE) AS sum_ln
+      |  FROM tok JOIN vocab USING (tok) GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  CAST(CAST(LN(CAST(total AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+      |    - sum_ln / CAST(n_tokens AS DOUBLE) AS xent
+      |FROM s, tot ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -371,5 +429,6 @@ object Text2Ops {
     RQ("t45_unicode_clean", t45, Some(t45Sql)),
     RQ("t46_edit_distance", t46, Some(t46Sql)),
     RQ("t47_sequence_pack", t47, Some(t47Sql)),
-    RQ("t48_token_budget", t48, Some(t48Sql), bench = true))
+    RQ("t48_token_budget", t48, Some(t48Sql), bench = true),
+    RQ("t49_unigram_logprob", t49, Some(t49Sql), bench = true))
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.TxnTable
+
+/** IDENTITY columns (Delta's GENERATED ALWAYS AS IDENTITY — k133):
+  * declaration + high-water mark live as field metadata in the
+  * snapshot schema (Delta's delta.identity.highWaterMark design), so
+  * the hwm commits atomically with the rows that consumed it; appends
+  * get fresh values above the hwm assigned at commit with no global
+  * sort; supplying the column refuses; racing appends never hand out
+  * the same value. */
+class IdentityColsSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def withZone(f: String => Unit): Unit = {
+    val zone = java.nio.file.Files.createTempDirectory("graft_ident").toFile
+    try f(zone.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(zone)
+    }
+  }
+
+  private def rows(tags: Seq[String]) = {
+    import spark.implicits._
+    tags.map(t => (t, t.length.toDouble)).toDF("tag", "v").repartition(3)
+  }
+
+  test("creation assigns start/step and appends continue above the hwm") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b", "c", "d", "e")),
+          "id", start = 100L, step = 10L),
+        table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val d1 = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table, v1).get).get
+      assert(d1 == TxnTable.IdentityDef("id", 100L, 10L, Some(140L)))
+      val ids1 = TxnTable.read(spark, table)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids1 == Seq(100L, 110L, 120L, 130L, 140L))
+      // append WITHOUT the column: values continue above the hwm
+      TxnTable.commitAppend(rows(Seq("f", "g", "h")), table)
+      val v2 = TxnTable.latestVersion(spark, table).get
+      val d2 = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table, v2).get).get
+      assert(d2.hwm.contains(170L))
+      val ids2 = TxnTable.read(spark, table)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids2 == (0 to 7).map(i => 100L + 10L * i))
+    }
+  }
+
+  test("an append supplying the identity column refuses (ALWAYS semantics)") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b")), "id"), table)
+      val v = TxnTable.latestVersion(spark, table).get
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.commitAppend(
+          rows(Seq("x")).withColumn("id", lit(999L)), table)
+      }
+      assert(e.getMessage.contains("GENERATED ALWAYS"))
+      assert(TxnTable.latestVersion(spark, table).get == v)
+    }
+  }
+
+  test("racing identity appends never hand out the same value") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("seed")), "id"), table)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (1 to 4).map { w =>
+        Future {
+          TxnTable.commitAppend(rows(Seq(s"w$w-1", s"w$w-2", s"w$w-3")), table)
+        }
+      }
+      Await.result(Future.sequence(writers), 120.seconds)
+      val out = TxnTable.read(spark, table)
+      assert(out.count() == 13L)
+      val ids = out.select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids.distinct.size == 13, s"duplicate identity values: $ids")
+      assert(ids.sorted == (1L to 13L),
+        s"expected 1..13 with no gaps from clean retries, got ${ids.sorted}")
+      val hwm = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get).get.hwm
+      assert(hwm.contains(13L))
+    }
+  }
+
+  test("hwm stays monotonic across an overwrite (ids are never reused)") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b", "c")), "id"), table)
+      // replacement frame re-declares the identity column from scratch;
+      // the commit must keep the PRIOR hwm (3), not reset to the
+      // frame's (2), so later appends can't collide with retained ids
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("x", "y")), "id"), table)
+      val hwm = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get).get.hwm
+      assert(hwm.contains(3L))
+      TxnTable.commitAppend(rows(Seq("z")), table)
+      val ids = TxnTable.read(spark, table)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L), s"append must start above the prior hwm: $ids")
+    }
+  }
+
+  test("compaction carries assigned ids untouched") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b", "c")), "id"), table)
+      TxnTable.commitAppend(rows(Seq("d", "e")), table)
+      val before = TxnTable.read(spark, table)
+        .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      TxnTable.compactSmall(spark, table, smallBytes = 32L << 20)
+      val after = TxnTable.read(spark, table)
+        .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(after == before)
+      val d = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get)
+      assert(d.exists(_.hwm.contains(5L)))
+    }
+  }
+}
