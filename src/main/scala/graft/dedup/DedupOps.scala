@@ -609,6 +609,65 @@ object DedupOps {
       | COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos), '') AS cleaned
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d45
+  /** BOILERPLATE PURGE by corpus frequency — the C4 rule d43's
+    * keep-first dedup deliberately does NOT implement: a passage
+    * occurring in >= 3 DISTINCT documents is boilerplate (nav chrome,
+    * license headers, cookie banners) and EVERY occurrence is dropped,
+    * including the first — C4 removes any line repeated 3+ times in
+    * the corpus outright, on the theory that text shared that widely
+    * is template, not content. 3-word passages, stride 3.
+    *
+    * Scale shape: one keyed agg on the passage (countDistinct doc_id,
+    * map-side combinable) → the hot set, which is TINY relative to the
+    * corpus by construction (it's the >= K-doc tail of the passage
+    * frequency distribution), so the purge join broadcasts; the
+    * rebuild is one doc_id shuffle. No window over the corpus, no
+    * all-pairs anything. */
+  private def d45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val passages = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(expr(
+        """transform(
+          |  sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1),
+          |  i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"""
+          .stripMargin)).as(Seq("pos", "passage")))
+    val hot = passages.groupBy($"passage")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= 3)
+      .select($"passage".as("hp"))
+    passages
+      .join(broadcast(hot), $"passage" === $"hp", "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_passages"),
+        sum(when($"hp".isNull, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when($"hp".isNull, struct($"pos", $"passage")))),
+            s => s.getField("passage")),
+          " ").as("cleaned"))
+      .orderBy($"doc_id")
+  }
+  private val d45Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |passages AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(w[(i*3+1):(i*3+3)], ' ') AS passage
+      |  FROM toks, range(0, 4000) r(i)
+      |  WHERE i * 3 < len(w)),
+      |hot AS (
+      |  SELECT passage AS hp FROM passages
+      |  GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 3)
+      |SELECT doc_id,
+      | CAST(COUNT(*) AS BIGINT) AS n_passages,
+      | CAST(SUM(CASE WHEN hp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | COALESCE(string_agg(CASE WHEN hp IS NULL THEN passage END, ' ' ORDER BY pos), '') AS cleaned
+      |FROM passages LEFT JOIN hot ON passage = hp
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d44
   /** BENCHMARK DECONTAMINATION — the training-data hygiene pass every
     * serious pretraining pipeline runs (the n-gram overlap check of
@@ -672,5 +731,6 @@ object DedupOps {
     RQ("d41_dedup_keep_best", d41, Some(d41Sql)),
     RQ("d42_candidate_precision", d42, Some(d42Sql)),
     RQ("d43_passage_dedup", d43, Some(d43Sql)),
-    RQ("d44_decontaminate", d44, Some(d44Sql)))
+    RQ("d44_decontaminate", d44, Some(d44Sql)),
+    RQ("d45_boilerplate_purge", d45, Some(d45Sql)))
 }

@@ -456,6 +456,47 @@ object Analytic2 {
       |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- a56
+  /** RETENTION COHORTS — the product-analytics staple over the events
+    * stream: bucket every user into the week of their FIRST event
+    * (cohort), then count how many distinct users of each cohort were
+    * still active 0, 1, 2, … weeks later. Shape: one map-side-
+    * combinable first-event aggregate per user, one KEYED join back on
+    * user_id (no broadcast assumption — the user dimension can be
+    * arbitrarily large; AQE broadcasts when it happens to be small),
+    * one small distinct-count aggregate. No window over the corpus, no
+    * per-user serialization beyond the keyed groupBy. */
+  private def a56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("2024-01-01")
+    def weekOf(c: Column): Column =
+      floor(datediff(to_date(c), to_date(epoch)) / 7).cast("bigint")
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts")
+    val cohorts = ev.groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"))
+      .select($"user_id", weekOf($"first_ts").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .select($"user_id", $"cohort_week",
+        (weekOf($"ts") - $"cohort_week").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").cast("bigint").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+  private val a56Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(DATE_DIFF('day', DATE '2024-01-01', CAST(MIN(ts) AS DATE)) / 7) AS BIGINT)
+      |      AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |j AS (
+      |  SELECT e.user_id, f.cohort_week,
+      |    CAST(FLOOR(DATE_DIFF('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7) AS BIGINT)
+      |      - f.cohort_week AS week_offset
+      |  FROM events e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_week, week_offset,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", a43, Some(a43Sql)),
     RQ("a55_range_frame", a55, Some(a55Sql)),
@@ -469,5 +510,6 @@ object Analytic2 {
     RQ("a50_bucketed_join", a50, Some(a50Sql), bench = true),
     RQ("a51_salted_skew_join", a51, Some(a50Sql), bench = true),
     RQ("a52_stratified_split", a52, Some(a52Sql)),
-    RQ("a53_target_mix_resample", a53, Some(a53Sql)))
+    RQ("a53_target_mix_resample", a53, Some(a53Sql)),
+    RQ("a56_retention_cohorts", a56, Some(a56Sql)))
 }

@@ -932,6 +932,103 @@ object SimilarityOps {
        |SELECT probe_id, vec_id, cos_sim, rank FROM ranked
        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- e58
+  /** ADC SHORTLIST + EXACT RE-RANK — FAISS's refine stage, the missing
+    * last step of the e55 serving pipeline: the compressed domain
+    * (coarse cells → PQ ADC) is lossy, so production search takes a
+    * WIDER shortlist by ADC (k0 = 20 here) and re-ranks just those
+    * candidates with EXACT distances over the full-precision vectors,
+    * returning the top k = 5. At 100 TB the refine step is what makes
+    * PQ compression free in recall terms: the corpus is scanned in the
+    * compressed domain only, and full-precision vectors are fetched
+    * for k0 rows per probe — a bounded point-lookup, not a scan.
+    *
+    * Exact distance = ‖a‖² + ‖b‖² − 2·a·b, each term the native
+    * one-pass GraftDot fold — bit-identical to the oracle's identical
+    * formula over identical folds. */
+  private def e58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(spark, dir)
+    val sub = Dim / 4
+    def sliceOf(v: Array[Double], j: Int): Array[Double] =
+      v.slice(j * sub, (j + 1) * sub)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var d = 0
+      while (d < a.length) { val t = a(d) - b(d); acc += t * t; d += 1 }
+      acc
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val p = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head().map(_.toDouble)
+    val adc = (0 until 4).map { j =>
+      val lutJ = cents.map(c => l2(sliceOf(p, j), sliceOf(c, j)))
+      val codeJ = element_at(
+        Similarity.nearestSubCells("embedding",
+          cents.map(sliceOf(_, j)), 1, j * sub), 1)
+      element_at(lit(lutJ), codeJ + lit(1))
+    }.reduce(_ + _)
+    val assigned = emb.select(
+      $"vec_id", $"embedding",
+      element_at(Similarity.nearestCells("embedding", cents, 1), 1)
+        .cast("bigint").as("cell"))
+    val probeCells = emb.filter($"vec_id" === 0)
+      .select(explode(Similarity.nearestCells("embedding", cents, 2)).as("pc"))
+      .select($"pc".cast("bigint").as("pcell"))
+    val shortlist = assigned
+      .join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= 0)
+      .select($"vec_id", $"embedding", adc.as("adc_dist"))
+      .orderBy($"adc_dist".asc, $"vec_id")
+      .limit(20)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+    shortlist.crossJoin(broadcast(probe))
+      .select($"vec_id", $"adc_dist",
+        (Similarity.dot("embedding", "embedding") + Similarity.dot("p", "p")
+          - lit(2.0) * Similarity.dot("embedding", "p")).as("l2_dist"))
+      .orderBy($"l2_dist".asc, $"vec_id")
+      .limit(5)
+  }
+  private val e58Sql = {
+    def l2s(aExpr: String, bExpr: String, j: Int): String = {
+      val lo = j * 16 + 1
+      val hi = (j + 1) * 16
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(list_zip($aExpr[$lo:$hi], $bExpr[$lo:$hi]),
+         |   s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))),
+         | (acc, v) -> acc + v)""".stripMargin
+    }
+    def code(j: Int): String =
+      s"""(SELECT cent_id FROM cents
+         | ORDER BY ${l2s("e.embedding", "cents.c", j)} ASC, cent_id LIMIT 1) AS code$j""".stripMargin
+    def lut(j: Int): String =
+      s"(SELECT ${l2s("probe.p", "cents.c", j)} FROM cents WHERE cent_id = k.code$j)"
+    val exact =
+      s"""${Similarity.dotSql("s.embedding", "s.embedding")}
+         | + ${Similarity.dotSql("probe.p", "probe.p")}
+         | - 2.0 * ${Similarity.dotSql("s.embedding", "probe.p")}""".stripMargin
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |codes AS (SELECT e.vec_id, ${code(0)}, ${code(1)}, ${code(2)}, ${code(3)}
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2),
+       |shortlist AS (
+       |  SELECT a.vec_id,
+       |    ${lut(0)} + ${lut(1)} + ${lut(2)} + ${lut(3)} AS adc_dist
+       |  FROM assigned a JOIN codes k ON a.vec_id = k.vec_id, probe
+       |  WHERE a.cell IN (SELECT cent_id FROM pcells) AND a.vec_id <> 0
+       |  ORDER BY adc_dist ASC, a.vec_id LIMIT 20)
+       |SELECT sl.vec_id, sl.adc_dist, ${exact} AS l2_dist
+       |FROM shortlist sl JOIN embeddings s ON sl.vec_id = s.vec_id, probe
+       |ORDER BY l2_dist ASC, sl.vec_id LIMIT 5""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -949,5 +1046,6 @@ object SimilarityOps {
     RQ("e54_pq_adc_search", e54, Some(e54Sql)),
     RQ("e55_ivfpq_search", e55, Some(e55Sql)),
     RQ("e56_ivf_sampled_trainer", e56, Some(e56Sql)),
-    RQ("e57_filtered_ann", e57, Some(e57Sql)))
+    RQ("e57_filtered_ann", e57, Some(e57Sql)),
+    RQ("e58_adc_rerank", e58, Some(e58Sql)))
 }
