@@ -1444,6 +1444,36 @@ object TxnTable {
       }
     }
 
+  /** RECOMPUTE every generated column over rows written OUTSIDE the
+    * append path (merge / MoR upsert / DML rewrite / replaceWhere —
+    * paths that build manifests directly and so bypass commit()'s
+    * fill-or-validate gate): for carried rows the recompute is the
+    * identity, for modified rows it repairs staleness (Delta's UPDATE
+    * behavior — a SET on a generation source must not leave the
+    * derived value stale), and for merge-inserted rows it IS the
+    * fill. */
+  private def recomputeGenerated(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    schema.map(generatedColumns).getOrElse(Map.empty)
+      .toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+        d.withColumn(n, expr(sql)) }
+  }
+
+  /** Row-INTRODUCING writes outside the append path cannot mint
+    * identity values (assignment + hwm advance live on the commit()
+    * append leg) — refuse rather than silently land NULL/duplicate
+    * ids. Delta shipped the same restriction for MERGE + IDENTITY. */
+  private def refuseIdentity(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      table: String, op: String): Unit =
+    schema.flatMap(identityColumn).foreach { d =>
+      throw new IllegalArgumentException(
+        s"$op into $table is not supported with IDENTITY column " +
+          s"${d.col}: identity values are assigned only on the append " +
+          "path — append new rows, then update them")
+    }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
                      statsCols: Seq[String],
@@ -1920,9 +1950,16 @@ object TxnTable {
     * subset. Optimistic commit: the CAS is pinned to the snapshot the
     * merge was computed against; losing it recomputes against the new
     * snapshot (merge correctness, unlike append, depends on the base). */
-  def merge(updates: DataFrame, table: String, keyCol: String): Long = {
-    val spark = updates.sparkSession
+  def merge(updates0: DataFrame, table: String, keyCol: String): Long = {
+    val spark = updates0.sparkSession
     val ctx = fc(spark)
+    // upserts can INSERT rows — identity tables refuse (values are
+    // minted only on the append path); generated columns recompute
+    // over the incoming frame (fill for inserts, staleness repair for
+    // updates) before any gate sees it
+    val mergeSchema = latestState(spark, table).flatMap(_.schema)
+    refuseIdentity(mergeSchema, table, "merge")
+    val updates = recomputeGenerated(updates0, mergeSchema)
     // upserted rows are new/changed data: the constraint gate applies
     // (untouched carried-forward rows were validated by their own write)
     latestState(spark, table).map(_.checks)
@@ -2168,9 +2205,17 @@ object TxnTable {
       compute(snap, st.version) match {
         case None => return st.version
         case Some(rw) =>
+          // SQL MERGE can INSERT rows — those would need identity values
+          // only the append path can mint; UPDATE/DELETE rewrites carry
+          // already-assigned ids and pass
+          if (op == "merge") refuseIdentity(st.schema, table, "MERGE")
+          // generated columns recompute over the whole replacement:
+          // identity for carried rows, staleness repair for updated
+          // rows, fill for merge-inserted rows
+          val replacement = recomputeGenerated(rw.replacement, st.schema)
           // a rewrite's replacement rows are MODIFIED data (SQL UPDATE /
           // MERGE): the constraint gate applies to them like any write
-          enforceChecks(rw.replacement.drop(ChangeTypeCol), table, st.checks)
+          enforceChecks(replacement.drop(ChangeTypeCol), table, st.checks)
           val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
           val removed = rw.removed.map { r =>
             val base = r.substring(r.lastIndexOf('/') + 1)
@@ -2178,11 +2223,11 @@ object TxnTable {
               s"rewrite names a file not in snapshot v${st.version}: $r"))
           }.distinct.sorted
           val trackedCols = st.stats.values.flatten.map(_.col).toSet
-            .intersect(rw.replacement.columns.toSet).toSeq.sorted
+            .intersect(replacement.columns.toSet).toSeq.sorted
           val trackedBlooms =
-            st.bloomCols.intersect(rw.replacement.columns.toSet).toSeq.sorted
+            st.bloomCols.intersect(replacement.columns.toSet).toSeq.sorted
           val (dataDir, newFiles, newStats, newBlooms, newRows) =
-            writeData(rw.replacement, table, trackedCols, trackedBlooms,
+            writeData(replacement, table, trackedCols, trackedBlooms,
               st.partCols)
           val cdcAdd =
             if (st.cdf) rw.changes.toSeq.flatMap(writeChangeData(_, table, dataDir))
@@ -2192,7 +2237,7 @@ object TxnTable {
           // pre-evolution files surface the new columns as NULL
           val outSchema = org.apache.spark.sql.GraftBridge.mergeSchemas(
             schema, org.apache.spark.sql.types.StructType(
-              rw.replacement.schema.filterNot(_.name == ChangeTypeCol)))
+              replacement.schema.filterNot(_.name == ChangeTypeCol)))
           publishRewrite(spark, ctx, table, st, outSchema, removed, newFiles,
             newStats, newBlooms, newRows,
             disjointCol = rw.disjointKey.map(_._1),
@@ -2401,11 +2446,20 @@ object TxnTable {
           mw.keyCols.foreach(k => require(schema.fieldNames.contains(k),
             s"merge-on-read upsert key '$k' is not a column of $table"))
           // appended rows are NEW data: the constraint gate applies
-          mw.appended.foreach(enforceChecks(_, table, st.checks))
+          // MoR merge can INSERT rows (identity refuses — only the
+          // append path mints values); MoR update re-inserts modified
+          // rows carrying their ids and passes. Generated columns
+          // recompute over the appended rows: staleness repair for
+          // updates, fill for merge inserts.
+          if (op == "merge" && mw.appended.isDefined)
+            refuseIdentity(st.schema, table, "MERGE")
+          val appendedG =
+            mw.appended.map(recomputeGenerated(_, st.schema))
+          appendedG.foreach(enforceChecks(_, table, st.checks))
           // appended rows first: writeData's stats read-back pass must
           // run before anything else lands under the commit's data dir
           val (dataDir, newFiles, newStats, newBlooms, newRows) =
-            mw.appended match {
+            appendedG match {
               case Some(df) =>
                 val trackedCols = st.stats.values.flatten.map(_.col).toSet
                   .intersect(df.columns.toSet).toSeq.sorted
@@ -2779,6 +2833,12 @@ object TxnTable {
         s"have $contractMsg — found rows outside (or NULL-keyed)")
     latestState(spark, table).map(_.checks)
       .foreach(enforceChecks(df, table, _))
+    // replaceWhere lands NEW rows: identity refuses (values are minted
+    // only on the append path); generated columns recompute (fill for
+    // frames that omit them, staleness repair otherwise) — carried
+    // boundary rows re-derive to the same values
+    refuseIdentity(latestState(spark, table).flatMap(_.schema),
+      table, "replaceWhere")
     var attempt = 0
     while (attempt < 16) {
       val st = latestState(spark, table).getOrElse(
@@ -2798,7 +2858,8 @@ object TxnTable {
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet + column).toSeq.sorted
       val trackedBlooms = st.bloomCols.toSeq.sorted
-      val incoming = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      val incoming = recomputeGenerated(df, st.schema)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       val matchExpr = predicate(dt)
       def boundaryRead = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
       // NULL-keyed rows in boundary files are OUTSIDE the range (SQL

@@ -107,6 +107,44 @@ class GeneratedColsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL UPDATE on a generation source recomputes the derived column") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withGeneratedColumn(seedRows(1L to 10L), "p_date",
+          "CAST(ts AS DATE)"), table, statsCols = Seq("id"))
+      spark.sql(s"CREATE TABLE gen_upd USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "UPDATE gen_upd SET ts = TIMESTAMP'2030-06-01 12:00:00' WHERE id <= 3")
+        val out = TxnTable.read(spark, table)
+        assert(out.filter(col("p_date") =!= expr("CAST(ts AS DATE)"))
+          .count() == 0L, "UPDATE must not leave the generated column stale")
+        assert(out.filter(col("p_date") === lit("2030-06-01").cast("date"))
+          .count() == 3L)
+        // the definition itself survived the rewrite commit
+        val s = TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get
+        assert(TxnTable.generatedColumns(s).contains("p_date"))
+      } finally spark.sql("DROP TABLE IF EXISTS gen_upd")
+    }
+  }
+
+  test("merge fills an omitted generated column on upserted rows") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withGeneratedColumn(seedRows(1L to 5L), "p_date",
+          "CAST(ts AS DATE)"), table, statsCols = Seq("id"))
+      // upsert frame carries the SOURCE but omits the generated column
+      TxnTable.merge(seedRows(4L to 8L), table, "id")
+      val out = TxnTable.read(spark, table)
+      assert(out.count() == 8L)
+      assert(out.filter(col("p_date").isNull ||
+        col("p_date") =!= expr("CAST(ts AS DATE)")).count() == 0L)
+    }
+  }
+
   test("a predicate on the generation SOURCE column prunes files") {
     withZone { zone =>
       val table = s"$zone/t"

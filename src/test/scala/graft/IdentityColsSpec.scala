@@ -121,6 +121,36 @@ class IdentityColsSpec extends AnyFunSuite {
     }
   }
 
+  test("merge and replaceWhere refuse on an identity table; UPDATE passes") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      import spark.implicits._
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b", "c")), "id"), table,
+        statsCols = Seq("tag"))
+      // merge would INSERT rows whose ids nothing can mint — refuse
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.merge(rows(Seq("a", "zz")), table, "tag")
+      }
+      assert(e.getMessage.contains("IDENTITY"))
+      // replaceWhere likewise
+      val e2 = intercept[IllegalArgumentException] {
+        TxnTable.replaceValues(rows(Seq("a")), table, "tag", Seq("a"))
+      }
+      assert(e2.getMessage.contains("IDENTITY"))
+      // SQL UPDATE carries assigned ids through the rewrite — allowed
+      spark.sql(s"CREATE TABLE ident_upd USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("UPDATE ident_upd SET v = 99.0 WHERE tag = 'a'")
+        val out = TxnTable.read(spark, table)
+        assert(out.filter($"tag" === "a").select("v")
+          .collect().map(_.getDouble(0)).toSeq == Seq(99.0))
+        assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+          == Seq(1L, 2L, 3L))
+      } finally spark.sql("DROP TABLE IF EXISTS ident_upd")
+    }
+  }
+
   test("compaction carries assigned ids untouched") {
     withZone { zone =>
       val table = s"$zone/t"
