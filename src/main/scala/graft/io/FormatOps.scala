@@ -3351,6 +3351,92 @@ object FormatOps {
       |  CAST(COUNT(*) AS BIGINT) AS max_id
       |FROM customer""".stripMargin
 
+  // --------------------------------------------------------------- k134
+  /** PARTITION-SPEC EVOLUTION (Iceberg's flagship metadata operation):
+    * change a table's partitioning for FUTURE appends without touching
+    * a single existing file. The old vintage keeps its layout and its
+    * per-file stats; the new vintage lands under the new spec; reads
+    * plan from per-file stats, so pruning works on BOTH vintages — a
+    * filter on the OLD partition column prunes old files (single-
+    * valued stats), a filter on the NEW one prunes new files, and
+    * neither needs the other's layout. In Hive/Spark static
+    * partitioning this operation is a full-table rewrite; in graft it
+    * is one manifest header change, because the reader never assumes a
+    * uniform directory layout — the stats ARE the partitioning.
+    * REQUIREd in-query: the evolved spec is recorded, every old file
+    * carries by path identity across the evolution commit, an
+    * old-partition-column read scans a strict subset, and a
+    * new-partition-column (day range) read scans a strict subset.
+    * Oracle: a type×window rollup off raw events. */
+  private def k134(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k134_evo")
+    try {
+      val table = s"$zone/events_evo"
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      // vintage 1: identity-partitioned by event_type
+      ev.filter($"event_id" % 2 === 0)
+        .write.format("graft").mode("overwrite")
+        .option("partitionBy", "event_type")
+        .option("statsCols", "event_id").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val oldFiles = TxnTable.snapshotFiles(spark, table, v1).toSet
+      require(TxnTable.partitionColumns(spark, table) == Seq("event_type"),
+        "vintage-1 partitioning must be recorded")
+      // EVOLVE: future appends partition by days(ts) — one metadata
+      // change, zero rewrite
+      ev.filter($"event_id" % 2 === 1)
+        .write.format("graft").mode("append")
+        .option("partitionBy", "days(ts)").save(table)
+      val v2 = TxnTable.latestVersion(spark, table).get
+      require(TxnTable.partitionColumns(spark, table) == Seq("days(ts)"),
+        "the evolved spec must be recorded for future appends")
+      val files = TxnTable.snapshotFiles(spark, table, v2)
+      require(oldFiles.subsetOf(files.toSet),
+        "evolution must carry every old file by path identity")
+      val newFiles = files.filterNot(oldFiles).toSet
+      require(newFiles.nonEmpty, "the evolved append must land new files")
+      val full = spark.read.format("graft").load(table)
+      // OLD-spec pruning: event_type = 'click' skips old files of other
+      // types (single-valued stats); new day-files all scan
+      val byType = full.filter($"event_type" === "click")
+      val scannedT = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(byType).get
+      require(scannedT < files.size,
+        s"event_type read scanned $scannedT of ${files.size} — old-vintage " +
+          "pruning must survive the evolution")
+      // NEW-spec pruning: a one-day ts range skips other days' new files
+      val byDay = full
+        .filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          $"ts" < lit("2024-01-11 00:00:00").cast("timestamp_ntz"))
+      val scannedD = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(byDay).get
+      require(scannedD < files.size,
+        s"ts read scanned $scannedD of ${files.size} — new-vintage " +
+          "pruning must work under the evolved spec")
+      val result = byDay
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k134Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3409,5 +3495,6 @@ object FormatOps {
     RQ("k130_vacuum_dry_run", k130, Some(k130Sql)),
     RQ("k131_zorder_where", k131, Some(k131Sql)),
     RQ("k132_generated_columns", k132, Some(k132Sql)),
-    RQ("k133_identity_columns", k133, Some(k133Sql)))
+    RQ("k133_identity_columns", k133, Some(k133Sql)),
+    RQ("k134_partition_evolution", k134, Some(k134Sql)))
 }
