@@ -120,8 +120,10 @@ object GraftTableFunctions {
         nullable = false)(),
       AttributeReference("converted_in_place", org.apache.spark.sql.types.BooleanType,
         nullable = false)(),
-      AttributeReference("column_aliases", StringType, nullable = false)())
-    val r = new GenericInternalRow(11)
+      AttributeReference("column_aliases", StringType, nullable = false)(),
+      AttributeReference("generated_columns", StringType, nullable = false)(),
+      AttributeReference("identity_column", StringType, nullable = false)())
+    val r = new GenericInternalRow(13)
     r.update(0, UTF8String.fromString("graft"))
     r.update(1, UTF8String.fromString(table))
     r.setLong(2, v)
@@ -136,6 +138,16 @@ object GraftTableFunctions {
     r.update(10, UTF8String.fromString(
       TxnTable.columnAliases(spark, table).toSeq.sortBy(_._1)
         .map { case (l, as) => s"$l<-${as.mkString("|")}" }.mkString(", ")))
+    val schema = TxnTable.snapshotSchema(spark, table, v)
+    r.update(11, UTF8String.fromString(
+      schema.map(TxnTable.generatedColumns).getOrElse(Map.empty)
+        .toSeq.sortBy(_._1)
+        .map { case (n, sql) => s"$n AS ($sql)" }.mkString(", ")))
+    r.update(12, UTF8String.fromString(
+      schema.flatMap(TxnTable.identityColumn)
+        .map(d => s"${d.col} START ${d.start} STEP ${d.step}" +
+          d.hwm.map(h => s" HWM $h").getOrElse(""))
+        .getOrElse("")))
     LocalRelation(out, Seq(r: InternalRow))
   }
 

@@ -107,6 +107,29 @@ class GeneratedColsSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent (streaming-sink) appends fill; replay is a no-op; DESCRIBE DETAIL reports the definition") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withGeneratedColumn(seedRows(1L to 5L), "p_date",
+          "CAST(ts AS DATE)"), table)
+      // the streaming sink's exactly-once path: same (appId, batchId)
+      // re-offered must not double-append (and the first offer fills)
+      val v1 = TxnTable.commitAppendIdempotent(
+        seedRows(6L to 8L), table, "app", 1L)
+      val v2 = TxnTable.commitAppendIdempotent(
+        seedRows(6L to 8L), table, "app", 1L)
+      assert(v1 == v2)
+      val out = TxnTable.read(spark, table)
+      assert(out.count() == 8L)
+      assert(out.filter(col("p_date").isNull ||
+        col("p_date") =!= expr("CAST(ts AS DATE)")).count() == 0L)
+      val d = spark.sql(s"DESCRIBE DETAIL '$table'").head()
+      assert(d.getAs[String]("generated_columns")
+        == "p_date AS (CAST(ts AS DATE))")
+    }
+  }
+
   test("SQL UPDATE on a generation source recomputes the derived column") {
     withZone { zone =>
       val table = s"$zone/t"

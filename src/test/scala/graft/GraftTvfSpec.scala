@@ -41,6 +41,8 @@ class GraftTvfSpec extends AnyFunSuite {
       assert(!d.getAs[Boolean]("merge_on_read"))
       assert(!d.getAs[Boolean]("converted_in_place"))
       assert(d.getAs[String]("column_aliases") == "")
+      assert(d.getAs[String]("generated_columns") == "")
+      assert(d.getAs[String]("identity_column") == "")
       // layout states surface after a rename (id: no constraint on it)
       TxnTable.renameColumn(spark, table, "id", "row_id")
       val d2 = spark.sql(s"DESCRIBE DETAIL '$table'").head()

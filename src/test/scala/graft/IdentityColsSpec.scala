@@ -151,6 +151,24 @@ class IdentityColsSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent replay does not advance the hwm; DETAIL reports the declaration") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b")), "id"), table)
+      val v1 = TxnTable.commitAppendIdempotent(rows(Seq("c", "d")), table, "app", 1L)
+      val v2 = TxnTable.commitAppendIdempotent(rows(Seq("c", "d")), table, "app", 1L)
+      assert(v1 == v2)
+      val d = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table, v2).get).get
+      assert(d.hwm.contains(4L), s"replay must not advance the hwm: $d")
+      assert(TxnTable.read(spark, table)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 4L))
+      val det = spark.sql(s"DESCRIBE DETAIL '$table'").head()
+      assert(det.getAs[String]("identity_column") == "id START 1 STEP 1 HWM 4")
+    }
+  }
+
   test("compaction carries assigned ids untouched") {
     withZone { zone =>
       val table = s"$zone/t"
