@@ -497,6 +497,49 @@ object Analytic2 {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- a57
+  /** FUNNEL ANALYSIS — view → click → purchase step conversion, the
+    * other product-analytics staple (a56 is its retention sibling).
+    * Computed with the scalable funnel trick: ONE conditional-min
+    * aggregate per user per step (first view, first click, first
+    * purchase), then ordering comparisons between the three
+    * timestamps — no per-user event sorting, no window over the event
+    * stream, no sequence-matching UDF. Shape: one map-side-combinable
+    * user_id shuffle + a singleton aggregate. A NULL step (user never
+    * did it) makes the comparison NULL → counted as not converted,
+    * identical in both engines. */
+  private def a57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def firstOf(t: String): Column =
+      min(when($"event_type" === t, $"ts"))
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        firstOf("view").as("t_view"),
+        firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).cast("bigint").as("n_users"),
+      sum(when($"t_view".isNotNull, 1L).otherwise(0L))
+        .cast("bigint").as("n_view"),
+      sum(when($"t_view" < $"t_click", 1L).otherwise(0L))
+        .cast("bigint").as("n_view_click"),
+      sum(when($"t_view" < $"t_click" && $"t_click" < $"t_purchase", 1L)
+        .otherwise(0L)).cast("bigint").as("n_full_funnel"))
+  }
+  private val a57Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM u""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", a43, Some(a43Sql)),
     RQ("a55_range_frame", a55, Some(a55Sql)),
@@ -511,5 +554,6 @@ object Analytic2 {
     RQ("a51_salted_skew_join", a51, Some(a50Sql), bench = true),
     RQ("a52_stratified_split", a52, Some(a52Sql)),
     RQ("a53_target_mix_resample", a53, Some(a53Sql)),
-    RQ("a56_retention_cohorts", a56, Some(a56Sql)))
+    RQ("a56_retention_cohorts", a56, Some(a56Sql)),
+    RQ("a57_funnel_steps", a57, Some(a57Sql)))
 }

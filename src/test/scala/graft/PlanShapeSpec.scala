@@ -71,6 +71,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucket offsets must broadcast back onto the corpus side:\n$plan")
   }
 
+  test("t49 unigram scoring: no cartesian product, one-row total broadcast") {
+    val df = Registry.queries("t49_unigram_logprob")(spark, Spec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the token⋈vocab join must be an equi-join (hash or broadcast —
+    // AQE picks); the corpus-total crossJoin is a one-row broadcast
+    assert(!plan.contains("CartesianProduct"),
+      s"t49 must never plan a cartesian product; plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"t49's scalar total must broadcast; plan:\n$plan")
+  }
+
+  test("d45 boilerplate purge: the hot-passage set broadcasts") {
+    val df = Registry.queries("d45_boilerplate_purge")(spark, Spec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"d45's hot set must broadcast into the purge join; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"d45 must never plan a cartesian product; plan:\n$plan")
+  }
+
+  test("a57 funnel: conditional-min aggregate, no window over events") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Registry.queries("a57_funnel_steps")(spark, Spec.sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w }
+    assert(windows.isEmpty,
+      "the funnel must be aggregate-shaped, not a window over the event stream")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected map-side-combinable aggregation; plan:\n$plan")
+  }
+
   test("merge-on-read read subtracts deletes via a BROADCAST anti-join") {
     val zone = java.nio.file.Files.createTempDirectory("graft_planshape").toString
     try {
