@@ -1497,21 +1497,14 @@ object TxnTable {
     // concurrent evolution can still surface it inside the loop)
     if (append) state.flatMap(_.schema)
       .foreach(org.apache.spark.sql.GraftBridge.mergeSchemas(_, df.schema))
-    // CHECK constraints gate every commit that introduces NEW rows — one
-    // violating row aborts BEFORE any data file lands (validated against
-    // the snapshot observed here; see enforceChecks for the contract).
-    // Maintenance rewrites (compact/zorder/alter-rename) only carry rows
-    // that already passed the gate at their originating commit, so they
-    // skip the re-scan — same as Delta, which doesn't re-validate on
-    // OPTIMIZE.
     val maintenanceOps = Set("compact", "zorder", "alter-rename")
-    if (!maintenanceOps(op))
-      state.map(_.checks).foreach(enforceChecks(df, table, _))
     // GENERATED columns: on append the definitions come from the
     // SNAPSHOT schema (so a plain frame that lost its metadata still
     // fills/validates); on overwrite from the incoming frame's own
     // annotations (overwrite replaces the schema, Delta-style).
     // Maintenance rewrites carry already-validated rows and skip both.
+    // Fill happens BEFORE the constraint gate so a CHECK referencing a
+    // generated column sees the filled value, not a missing column.
     val genDefs: Map[String, String] =
       if (maintenanceOps(op)) Map.empty
       else if (append)
@@ -1520,6 +1513,15 @@ object TxnTable {
       else generatedColumns(df.schema)
     val dfg =
       if (genDefs.isEmpty) df else applyGenerated(df, table, genDefs)
+    // CHECK constraints gate every commit that introduces NEW rows — one
+    // violating row aborts BEFORE any data file lands (validated against
+    // the snapshot observed here; see enforceChecks for the contract).
+    // Maintenance rewrites (compact/zorder/alter-rename) only carry rows
+    // that already passed the gate at their originating commit, so they
+    // skip the re-scan — same as Delta, which doesn't re-validate on
+    // OPTIMIZE.
+    if (!maintenanceOps(op))
+      state.map(_.checks).foreach(enforceChecks(dfg, table, _))
     // the generation SOURCE columns join the stats set: a predicate on
     // the source (e.g. the raw timestamp behind a generated date
     // partition) then prunes files through ordinary stats skipping —
@@ -3433,6 +3435,14 @@ object TxnTable {
       require(!st.dels.exists(_.keyCols.exists(_.equalsIgnoreCase(field.name))),
         s"cannot drop ${field.name}: live merge-on-read deletes key on it " +
           "(OPTIMIZE to materialize them first)")
+      // dropping a GENERATED column drops its definition with the field
+      // (fine); dropping a column a definition READS would dangle it
+      generatedColumns(schema).foreach { case (gn, gsql) =>
+        require(gn.equalsIgnoreCase(field.name) ||
+            !exprRefs(spark, gsql).exists(_.equalsIgnoreCase(field.name)),
+          s"cannot drop ${field.name}: generated column $gn derives from " +
+            "it (drop the generated column first)")
+      }
       (org.apache.spark.sql.types.StructType(
          schema.fields.filterNot(_ eq field)),
        st.stats.view.mapValues(_.filterNot(_.col == field.name))
@@ -3496,6 +3506,15 @@ object TxnTable {
           st.partCols.map(partSource).exists(_.equalsIgnoreCase(field.name))),
         s"cannot rename partition column ${field.name} of an in-place-" +
           "converted table: its values are path-derived — OPTIMIZE first")
+      // renaming the GENERATED column itself carries its definition with
+      // the field copy; renaming a column a definition READS would leave
+      // the recorded SQL referencing a name that no longer resolves
+      generatedColumns(schema).foreach { case (gn, gsql) =>
+        require(gn.equalsIgnoreCase(field.name) ||
+            !exprRefs(spark, gsql).exists(_.equalsIgnoreCase(field.name)),
+          s"cannot rename ${field.name}: generated column $gn derives " +
+            "from it (drop the generated column first)")
+      }
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(f =>
           if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))

@@ -168,6 +168,50 @@ class GeneratedColsSpec extends AnyFunSuite {
     }
   }
 
+  test("a CHECK constraint referencing the generated column sees the filled value") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withGeneratedColumn(seedRows(1L to 5L), "p_date",
+          "CAST(ts AS DATE)"), table)
+      TxnTable.addCheck(spark, table, "date_floor", "p_date >= DATE'1970-01-01'")
+      // frame OMITS p_date: the fill must run before the constraint gate
+      TxnTable.commitAppend(seedRows(6L to 8L), table)
+      assert(TxnTable.read(spark, table).count() == 8L)
+    }
+  }
+
+  test("DROP/RENAME of a generation source column refuse; of the generated column pass") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withGeneratedColumn(seedRows(1L to 5L), "p_date",
+          "CAST(ts AS DATE)"), table)
+      val e1 = intercept[IllegalArgumentException] {
+        TxnTable.dropColumn(spark, table, "ts")
+      }
+      assert(e1.getMessage.contains("generated column p_date"))
+      val e2 = intercept[IllegalArgumentException] {
+        TxnTable.renameColumn(spark, table, "ts", "event_ts")
+      }
+      assert(e2.getMessage.contains("generated column p_date"))
+      // renaming the generated column itself carries the definition
+      TxnTable.renameColumn(spark, table, "p_date", "part_date")
+      val s = TxnTable.snapshotSchema(spark, table,
+        TxnTable.latestVersion(spark, table).get).get
+      assert(TxnTable.generatedColumns(s) ==
+        Map("part_date" -> "CAST(ts AS DATE)"))
+      // dropping the generated column drops its definition with it
+      TxnTable.dropColumn(spark, table, "part_date")
+      val s2 = TxnTable.snapshotSchema(spark, table,
+        TxnTable.latestVersion(spark, table).get).get
+      assert(TxnTable.generatedColumns(s2).isEmpty)
+      // ts is free to evolve now
+      TxnTable.renameColumn(spark, table, "ts", "event_ts")
+      assert(TxnTable.read(spark, table).columns.contains("event_ts"))
+    }
+  }
+
   test("a predicate on the generation SOURCE column prunes files") {
     withZone { zone =>
       val table = s"$zone/t"
