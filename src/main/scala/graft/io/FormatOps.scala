@@ -3437,6 +3437,96 @@ object FormatOps {
       |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k135
+  /** THE DSv2 CATALOG FRONT DOOR ([[GraftTableCatalog]]): multi-part
+    * names and the full SQL spelling for managed columns —
+    *
+    *   CREATE TABLE gk.db.cust (
+    *     row_id     BIGINT GENERATED ALWAYS AS IDENTITY,
+    *     ...,
+    *     bal_bucket BIGINT GENERATED ALWAYS AS (...))
+    *   USING graft
+    *
+    * flowing through Spark 4's connector Column API
+    * (generationExpression / identityColumnSpec, gated by the
+    * SUPPORTS_CREATE_TABLE_WITH_* catalog capabilities) into the SAME
+    * schema-metadata keys the programmatic API writes. REQUIREd
+    * in-query: both declarations land in the snapshot schema, an
+    * INSERT INTO ... SELECT that omits both managed columns gets them
+    * filled (identity gapless for a single insert, hwm == row count;
+    * generated values satisfy the definition), and the result is read
+    * back through the catalog name. Oracle: the same segment rollup
+    * (including the generated bucket column's sum) off raw customer. */
+  private def k135(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k135_cat")
+    try {
+      spark.conf.set("spark.sql.catalog.gk135", "graft.io.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.gk135.warehouse", zone)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gk135.db")
+      spark.sql(
+        """CREATE TABLE gk135.db.cust (
+          |  row_id       BIGINT GENERATED ALWAYS AS IDENTITY,
+          |  c_custkey    BIGINT,
+          |  c_mktsegment STRING,
+          |  c_acctbal    DOUBLE,
+          |  bal_bucket   BIGINT GENERATED ALWAYS AS
+          |    (CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)))
+          |USING graft""".stripMargin)
+      try {
+        val table = s"$zone/db/cust"
+        val schema = TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get
+        require(TxnTable.generatedColumns(schema).keySet == Set("bal_bucket"),
+          "the generation expression must land in the snapshot schema")
+        require(TxnTable.identityColumn(schema).exists(_.col == "row_id"),
+          "the identity declaration must land in the snapshot schema")
+        Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .createOrReplaceTempView("k135_src")
+        spark.sql(
+          """INSERT INTO gk135.db.cust (c_custkey, c_mktsegment, c_acctbal)
+            |SELECT c_custkey, c_mktsegment, c_acctbal FROM k135_src""".stripMargin)
+        val n = Tables.customer(spark, dir).count()
+        val full = spark.sql("SELECT * FROM gk135.db.cust")
+        require(full.select(countDistinct($"row_id")).head().getLong(0) == n &&
+            full.agg(max($"row_id")).head().getLong(0) == n,
+          "a single catalog INSERT must assign gapless 1..n identity values")
+        require(full.filter($"bal_bucket" =!=
+            expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)")).limit(1)
+            .count() == 0L,
+          "every inserted row must satisfy the generated definition")
+        val d = TxnTable.identityColumn(TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get).get
+        require(d.hwm.contains(n), s"hwm must equal the rows consumed: $d")
+        val result = spark.sql(
+          """SELECT c_mktsegment,
+            |  CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+            |  CAST(SUM(bal_bucket) AS BIGINT) AS sum_bucket
+            |FROM gk135.db.cust GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS gk135.db.cust")
+        spark.catalog.dropTempView("k135_src")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k135Sql =
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+      |  CAST(SUM(CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS sum_bucket
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3496,5 +3586,6 @@ object FormatOps {
     RQ("k131_zorder_where", k131, Some(k131Sql)),
     RQ("k132_generated_columns", k132, Some(k132Sql)),
     RQ("k133_identity_columns", k133, Some(k133Sql)),
-    RQ("k134_partition_evolution", k134, Some(k134Sql)))
+    RQ("k134_partition_evolution", k134, Some(k134Sql)),
+    RQ("k135_sql_catalog", k135, Some(k135Sql)))
 }

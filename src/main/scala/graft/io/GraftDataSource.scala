@@ -393,6 +393,43 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
                 "only inferred for synthetic col1/col2/... INSERT names)")
           case _ => data
         }
+        // STORE-ASSIGNMENT coercion for by-name frames (ACCEPT_ANY_SCHEMA
+        // suppressed Spark's): a column sharing its name with a committed
+        // field but carrying a type the schema merge would REFUSE (e.g. a
+        // DECIMAL literal into a DOUBLE column — SQL INSERT VALUES) casts
+        // to the committed type. Types the merge can promote (int→long)
+        // are left alone: that is graft's documented schema evolution.
+        val coerced = committed match {
+          case Some(ts) =>
+            val target = ts.fields.map(f => f.name -> f.dataType).toMap
+            def mergeable(from: org.apache.spark.sql.types.DataType,
+                          to: org.apache.spark.sql.types.DataType): Boolean =
+              try {
+                org.apache.spark.sql.GraftBridge.mergeSchemas(
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("x", to))),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("x", from))))
+                true
+              } catch { case _: Exception => false }
+            val needsCast = aligned.schema.fields.exists(f =>
+              target.get(f.name).exists(to => to != f.dataType &&
+                !mergeable(f.dataType, to) &&
+                org.apache.spark.sql.catalyst.expressions.Cast
+                  .canANSIStoreAssign(f.dataType, to)))
+            if (!needsCast) aligned
+            else aligned.select(aligned.schema.fields.toIndexedSeq.map { f =>
+              target.get(f.name) match {
+                case Some(to) if to != f.dataType &&
+                    !mergeable(f.dataType, to) &&
+                    org.apache.spark.sql.catalyst.expressions.Cast
+                      .canANSIStoreAssign(f.dataType, to) =>
+                  org.apache.spark.sql.functions.col(f.name).cast(to).as(f.name)
+                case _ => org.apache.spark.sql.functions.col(f.name)
+              }
+            }: _*)
+          case None => aligned
+        }
         val txn = (Option(info.options.get("txnAppId")),
           Option(info.options.get("txnVersion"))) match {
           case (Some(a), Some(v)) => Some((a, v.toLong))
@@ -429,7 +466,7 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
                 "partition) or one closed-range filter, got " +
                 other.mkString(", "))
           }
-          TxnTable.replaceRange(aligned, table, c, lo, hi)
+          TxnTable.replaceRange(coerced, table, c, lo, hi)
           return
         }
         // `.option("dynamicPartitionOverwrite", "true")` with
@@ -452,9 +489,9 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
               "dynamicPartitionOverwrite needs exactly one identity " +
                 s"partition column, got [${other.mkString(", ")}]")
           }
-          val values = aligned.select(pc).distinct().collect()
+          val values = coerced.select(pc).distinct().collect()
             .map(_.get(0)).filter(_ != null).toSeq
-          TxnTable.replaceValues(aligned, table, pc, values)
+          TxnTable.replaceValues(coerced, table, pc, values)
           return
         }
         Option(info.options.get("replaceWhere")) match {
@@ -480,19 +517,19 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
                 s"replaceWhere supports `col = v` and `col BETWEEN a AND " +
                   s"b`, got: $other")
             }
-            TxnTable.replaceRange(aligned, table, c, lo, hi)
+            TxnTable.replaceRange(coerced, table, c, lo, hi)
           case None => (overwrite, txn) match {
             case (false, None) =>
-              TxnTable.commitAppend(aligned, table, statsCols, bloomCols,
+              TxnTable.commitAppend(coerced, table, statsCols, bloomCols,
                 partitionCols, cdf, mor)
             case (true, None) =>
-              TxnTable.commitOverwrite(aligned, table, statsCols, bloomCols,
+              TxnTable.commitOverwrite(coerced, table, statsCols, bloomCols,
                 partitionCols, cdf, mor)
             case (false, Some((a, v))) =>
-              TxnTable.commitAppendIdempotent(aligned, table, a, v, statsCols,
+              TxnTable.commitAppendIdempotent(coerced, table, a, v, statsCols,
                 bloomCols, partitionCols, cdf)
             case (true, Some((a, v))) =>
-              TxnTable.commitOverwriteIdempotent(aligned, table, a, v, statsCols,
+              TxnTable.commitOverwriteIdempotent(coerced, table, a, v, statsCols,
                 bloomCols, partitionCols, cdf)
           }
         }

@@ -1044,7 +1044,12 @@ object TxnTable {
     // max/nulls for each designated stats column. With no stats columns
     // the pass references zero data columns, so the vectorized reader
     // drives it from row-group metadata.
-    val (stats, rowCounts) = {
+    val (stats, rowCounts) = if (newFiles.isEmpty) {
+      // an empty PARTITIONED frame lands no part files at all (the
+      // non-partitioned writer emits one empty file) — e.g. a catalog
+      // CREATE TABLE ... PARTITIONED BY commit; nothing to read back
+      (Map.empty[String, Seq[FileStat]], Map.empty[String, Long])
+    } else {
       val back = spark.read.parquet(s"$table/$dataDir")
       // one (col, dtype, kind) per stats column the data carries AND
       // the kind system supports — others get no stats, not errors
@@ -1085,7 +1090,7 @@ object TxnTable {
         newFiles.map(f => f -> counts.getOrElse(f, 0L)).toMap)
     }
     val blooms: Map[String, Seq[BloomMeta]] =
-      if (bloomCols.isEmpty) Map.empty
+      if (bloomCols.isEmpty || newFiles.isEmpty) Map.empty
       else {
         val ctx = fc(spark)
         val back = spark.read.parquet(s"$table/$dataDir")

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.TxnTable
+
+/** The DSv2 TableCatalog front door (graft.io.GraftTableCatalog):
+  * multi-part names, CREATE TABLE with the SQL spellings for GENERATED
+  * ALWAYS AS (expr) and GENERATED ALWAYS AS IDENTITY flowing through
+  * Spark 4's connector Column API into graft's schema-metadata keys,
+  * INSERT INTO auto-fill, ALTER routed to the metadata-only evolution
+  * primitives, and namespace management. */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = Spec.spark
+    if (s.conf.getOption("spark.sql.catalog.gcat").isEmpty) {
+      s.conf.set("spark.sql.catalog.gcat", "graft.io.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_cat").toString)
+    }
+    s
+  }
+
+  private def wh: String = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+
+  test("CREATE TABLE with generated + identity columns; INSERT fills both") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql(
+      """CREATE TABLE gcat.db.ev (
+        |  id     BIGINT GENERATED ALWAYS AS IDENTITY,
+        |  ts     TIMESTAMP_NTZ,
+        |  p_date DATE   GENERATED ALWAYS AS (CAST(ts AS DATE)),
+        |  v      DOUBLE)
+        |USING graft""".stripMargin)
+    try {
+      val path = s"$wh/db/ev"
+      val schema = TxnTable.snapshotSchema(spark, path,
+        TxnTable.latestVersion(spark, path).get).get
+      assert(TxnTable.generatedColumns(schema) ==
+        Map("p_date" -> "CAST(ts AS DATE)"))
+      assert(TxnTable.identityColumn(schema).map(d => (d.col, d.start, d.step))
+        .contains(("id", 1L, 1L)))
+      // by-name INSERT omitting both managed columns: commit fills them
+      spark.sql(
+        """INSERT INTO gcat.db.ev (ts, v) VALUES
+          |  (TIMESTAMP_NTZ'2024-03-01 10:00:00', 1.5),
+          |  (TIMESTAMP_NTZ'2024-03-02 11:00:00', 2.5)""".stripMargin)
+      val out = spark.sql("SELECT * FROM gcat.db.ev ORDER BY id")
+      assert(out.columns.toSeq ==
+        Seq("id", "ts", "p_date", "v"))
+      val rows = out.collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(rows.map(_.getDate(2).toString).toSeq ==
+        Seq("2024-03-01", "2024-03-02"))
+      // a second INSERT continues above the hwm
+      spark.sql(
+        "INSERT INTO gcat.db.ev (ts, v) VALUES (TIMESTAMP_NTZ'2024-03-03 09:00:00', 3.5)")
+      assert(spark.sql("SELECT max(id) FROM gcat.db.ev").head().getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.ev")
+  }
+
+  test("PARTITIONED BY a generated column through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql(
+      """CREATE TABLE gcat.db.part (
+        |  ts     TIMESTAMP_NTZ,
+        |  p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE)),
+        |  v      DOUBLE)
+        |USING graft PARTITIONED BY (p_date)""".stripMargin)
+    try {
+      val path = s"$wh/db/part"
+      assert(TxnTable.partitionColumns(spark, path) == Seq("p_date"))
+      spark.sql(
+        """INSERT INTO gcat.db.part (ts, v) VALUES
+          |  (TIMESTAMP_NTZ'2024-03-01 10:00:00', 1.0),
+          |  (TIMESTAMP_NTZ'2024-03-01 12:00:00', 2.0),
+          |  (TIMESTAMP_NTZ'2024-03-02 10:00:00', 3.0)""".stripMargin)
+      val v = TxnTable.latestVersion(spark, path).get
+      val files = TxnTable.snapshotFiles(spark, path, v)
+      val stats = TxnTable.fileStats(spark, path, v)
+      // partitioned layout: every file single-valued on p_date
+      assert(files.nonEmpty && files.forall(f =>
+        stats.getOrElse(f, Nil).exists(s =>
+          s.col == "p_date" && s.minV == s.maxV)))
+      assert(spark.sql("SELECT count(*) FROM gcat.db.part WHERE p_date = DATE'2024-03-01'")
+        .head().getLong(0) == 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.part")
+  }
+
+  test("ALTER TABLE through the catalog routes to metadata-only evolution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql(
+      "CREATE TABLE gcat.db.alt (k BIGINT, s STRING) USING graft")
+    try {
+      val path = s"$wh/db/alt"
+      spark.sql("INSERT INTO gcat.db.alt VALUES (1, 'a'), (2, 'b')")
+      val filesBefore = TxnTable.snapshotFiles(spark, path,
+        TxnTable.latestVersion(spark, path).get).toSet
+      spark.sql("ALTER TABLE gcat.db.alt ADD COLUMNS (note STRING)")
+      spark.sql("ALTER TABLE gcat.db.alt RENAME COLUMN s TO tag")
+      val filesAfter = TxnTable.snapshotFiles(spark, path,
+        TxnTable.latestVersion(spark, path).get).toSet
+      assert(filesAfter == filesBefore, "evolution must be metadata-only")
+      val out = spark.sql("SELECT k, tag, note FROM gcat.db.alt ORDER BY k")
+      assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.alt")
+  }
+
+  test("SHOW TABLES, table existence, and DROP through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns2")
+    spark.sql("CREATE TABLE gcat.ns2.t1 (k BIGINT) USING graft")
+    try {
+      val listed = spark.sql("SHOW TABLES IN gcat.ns2")
+        .select("tableName").collect().map(_.getString(0)).toSeq
+      assert(listed.contains("t1"))
+      spark.sql("DROP TABLE gcat.ns2.t1")
+      assert(spark.sql("SHOW TABLES IN gcat.ns2").count() == 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.ns2.t1")
+      spark.sql("DROP NAMESPACE IF EXISTS gcat.ns2")
+    }
+  }
+
+  test("GENERATED BY DEFAULT AS IDENTITY refuses with a clear message") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE gcat.db.bad (
+          |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+          |  v  DOUBLE)
+          |USING graft""".stripMargin)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS") ||
+      e.getMessage.contains("not supported"))
+  }
+}
