@@ -82,6 +82,33 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(path, v, schema)
   }
 
+  /** SQL `SELECT ... FROM g.db.t VERSION AS OF n` — the catalog half of
+    * time travel (the path-based provider spells it
+    * `option("versionAsOf", n)`). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val path = dirOf(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft versions are numeric, got '$version'"))
+    require(TxnTable.versions(spark, path).contains(v),
+      s"no committed version $v in $path")
+    val schema = TxnTable.snapshotSchema(spark, path, v).getOrElse(
+      new StructType())
+    new GraftTable(path, v, schema)
+  }
+
+  /** SQL `TIMESTAMP AS OF` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val path = dirOf(ident)
+    val v = TxnTable.versionAt(spark, path, timestamp / 1000L).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no version committed at or before the given timestamp"))
+    val schema = TxnTable.snapshotSchema(spark, path, v).getOrElse(
+      new StructType())
+    new GraftTable(path, v, schema)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =

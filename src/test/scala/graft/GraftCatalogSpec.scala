@@ -123,6 +123,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("time travel and CTAS through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql("CREATE TABLE gcat.db.tt (k BIGINT, s STRING) USING graft")
+    try {
+      spark.sql("INSERT INTO gcat.db.tt VALUES (1, 'a')")
+      spark.sql("INSERT INTO gcat.db.tt VALUES (2, 'b')")
+      // v1 = empty create, v2 = first insert, v3 = second
+      assert(spark.sql("SELECT count(*) FROM gcat.db.tt VERSION AS OF 2")
+        .head().getLong(0) == 1L)
+      assert(spark.sql("SELECT count(*) FROM gcat.db.tt").head().getLong(0) == 2L)
+      val lastTs = java.time.Instant.now().toString.stripSuffix("Z")
+      assert(spark.sql(
+        s"SELECT count(*) FROM gcat.db.tt TIMESTAMP AS OF '$lastTs'")
+        .head().getLong(0) == 2L)
+      // CTAS through the catalog (non-atomic create + write path)
+      spark.sql(
+        "CREATE TABLE gcat.db.tt2 USING graft AS SELECT k, s FROM gcat.db.tt")
+      try assert(spark.sql("SELECT count(*) FROM gcat.db.tt2")
+        .head().getLong(0) == 2L)
+      finally spark.sql("DROP TABLE IF EXISTS gcat.db.tt2")
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.tt")
+  }
+
   test("GENERATED BY DEFAULT AS IDENTITY refuses with a clear message") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     val e = intercept[Exception] {
