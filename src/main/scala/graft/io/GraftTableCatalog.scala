@@ -53,10 +53,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   private def dirOf(ident: Identifier): String =
     (warehouse +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
 
+  /** The table's directory — what the maintenance-statement parser
+    * (OPTIMIZE/VACUUM/RESTORE/DESCRIBE HISTORY on catalog names) hands
+    * to the TxnTable primitives. */
+  def tablePathOf(ident: Identifier): String = dirOf(ident)
+
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   // ------------------------------------------------------------ tables
 
@@ -182,6 +188,17 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         require(ren.fieldNames.length == 1,
           "graft ALTER supports top-level columns only")
         TxnTable.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            TxnTable.addCheck(spark, path, c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft tables support CHECK constraints only, got $other")
+        }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists() ||
+            TxnTable.checkConstraints(spark, path).contains(dc.name()))
+          TxnTable.dropCheck(spark, path, dc.name())
       case other => throw new UnsupportedOperationException(
         s"ALTER change not supported through the graft catalog: $other")
     }

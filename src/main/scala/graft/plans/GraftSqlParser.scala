@@ -16,6 +16,18 @@ import graft.io.TxnTable
   * time-travel rule and the maintenance-statement parser. */
 private[plans] object GraftCatalog {
   def pathOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    // a GraftTableCatalog name resolves first: `gcat.db.t` targets the
+    // catalog's table directory, so OPTIMIZE/VACUUM/RESTORE/DESCRIBE
+    // HISTORY and time travel work on catalog names exactly like paths
+    if (parts.length >= 2) {
+      org.apache.spark.sql.GraftBridge.catalogPlugin(spark, parts.head)
+        .collect { case g: graft.io.GraftTableCatalog => g }
+        .foreach { g =>
+          val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last)
+          if (g.tableExists(ident)) return Some(g.tablePathOf(ident))
+        }
+    }
     val ident = parts match {
       case Seq(t) => TableIdentifier(t)
       case Seq(db, t) => TableIdentifier(t, Some(db))

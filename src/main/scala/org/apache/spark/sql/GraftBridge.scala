@@ -163,6 +163,16 @@ object GraftBridge {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(internal, dt, 42L)
   }
 
+  /** A registered V2 catalog plugin by name (CatalogManager is
+    * private[sql]) — how graft's maintenance-statement parser resolves
+    * `gcat.db.t` targets to table directories. None when no such
+    * catalog is configured or it fails to instantiate. */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try Some(spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager.catalog(name))
+    catch { case _: Exception => None }
+
   /** RDD[InternalRow] → DataFrame without the Row encode/decode round
     * trip (the private[sql] twin of createDataFrame). The rows must
     * already be in catalyst format and safe to buffer (copied). */

@@ -146,6 +146,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gcat.db.tt")
   }
 
+  test("DML and maintenance statements work on catalog names") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql("CREATE TABLE gcat.db.dml (k BIGINT, v DOUBLE) USING graft")
+    try {
+      spark.sql("INSERT INTO gcat.db.dml VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      // SQL UPDATE lowers through the same GraftTable-relation rewrite
+      spark.sql("UPDATE gcat.db.dml SET v = v * 10 WHERE k = 2")
+      assert(spark.sql("SELECT v FROM gcat.db.dml WHERE k = 2")
+        .head().getDouble(0) == 20.0)
+      // MERGE INTO a catalog name
+      spark.sql(
+        """MERGE INTO gcat.db.dml t USING (SELECT 3L AS k, 99.0 AS v) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      assert(spark.sql("SELECT v FROM gcat.db.dml WHERE k = 3")
+        .head().getDouble(0) == 99.0)
+      // maintenance statements resolve the catalog name to the table dir
+      val hist = spark.sql("DESCRIBE HISTORY gcat.db.dml").collect()
+      assert(hist.nonEmpty)
+      spark.sql("OPTIMIZE gcat.db.dml")
+      val dry = spark.sql("VACUUM gcat.db.dml RETAIN 0 HOURS DRY RUN").count()
+      assert(dry >= 0L)
+      assert(spark.sql("SELECT count(*) FROM gcat.db.dml").head().getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.dml")
+  }
+
+  test("CHECK constraints through catalog ALTER are write-enforced") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql("CREATE TABLE gcat.db.chk (k BIGINT, v DOUBLE) USING graft")
+    try {
+      val path = s"$wh/db/chk"
+      spark.sql("INSERT INTO gcat.db.chk VALUES (1, 1.0)")
+      spark.sql("ALTER TABLE gcat.db.chk ADD CONSTRAINT v_pos CHECK (v > 0)")
+      assert(TxnTable.checkConstraints(spark, path) == Map("v_pos" -> "v > 0"))
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO gcat.db.chk VALUES (2, -5.0)")
+      }
+      assert(e.getMessage.contains("v_pos") ||
+        Option(e.getCause).exists(_.getMessage.contains("v_pos")))
+      assert(spark.sql("SELECT count(*) FROM gcat.db.chk").head().getLong(0) == 1L)
+      spark.sql("ALTER TABLE gcat.db.chk DROP CONSTRAINT v_pos")
+      spark.sql("INSERT INTO gcat.db.chk VALUES (2, -5.0)")
+      assert(spark.sql("SELECT count(*) FROM gcat.db.chk").head().getLong(0) == 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.chk")
+  }
+
   test("GENERATED BY DEFAULT AS IDENTITY refuses with a clear message") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     val e = intercept[Exception] {
