@@ -193,6 +193,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gcat.db.chk")
   }
 
+  test("readStream.table streams a catalog table's commit log") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql("CREATE TABLE gcat.db.strm (k BIGINT, s STRING) USING graft")
+    try {
+      spark.sql("INSERT INTO gcat.db.strm VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO gcat.db.strm VALUES (3, 'c')")
+      val q = spark.readStream.table("gcat.db.strm")
+        .writeStream.format("memory").queryName("gcat_strm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val out = spark.sql("SELECT k FROM gcat_strm ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(1L, 2L, 3L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.db.strm")
+      spark.catalog.dropTempView("gcat_strm")
+    }
+  }
+
   test("GENERATED BY DEFAULT AS IDENTITY refuses with a clear message") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     val e = intercept[Exception] {
