@@ -821,7 +821,38 @@ object TxnTable {
     * from v's own manifest (every manifest carries them in full). The
     * commit loop therefore reads O(interval) small objects per attempt
     * regardless of table history length. */
+  /** Parsed-snapshot cache: a committed version's State is IMMUTABLE
+    * (manifests are write-once; a delta's chain below it cannot change
+    * without a new version), so (manifest path, length, mtime) is a
+    * sound cache key — the fingerprint catches a table directory being
+    * deleted and recreated at the same path, which version alone would
+    * alias. Planning cost for a hot table drops from O(manifest bytes)
+    * per call — and stateOf is called several times per query — to one
+    * stat(): the in-memory analog of Delta's parquet-checkpoint reads.
+    * Bounded LRU; entries for superseded versions age out. */
+  private val stateCache =
+    new java.util.LinkedHashMap[(String, Long, Long), State](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), State]): Boolean =
+        size() > 64
+    }
+
   private def stateOf(spark: SparkSession, table: String, v: Long): State = {
+    val ctx = fc(spark)
+    val top = new Path(table, manifestName(v))
+    val key = try {
+      val fs = ctx.getFileStatus(top)
+      Some((top.toString, fs.getLen, fs.getModificationTime))
+    } catch { case _: java.io.IOException => None }
+    key.flatMap(k => stateCache.synchronized(Option(stateCache.get(k))))
+      .getOrElse {
+        val st = computeState(spark, table, v)
+        key.foreach(k => stateCache.synchronized { stateCache.put(k, st); () })
+        st
+      }
+  }
+
+  private def computeState(spark: SparkSession, table: String, v: Long): State = {
     var chain = List.empty[Seq[String]] // deltas, oldest first
     var cur = v
     var lines = manifestLines(spark, table, cur)

@@ -421,6 +421,62 @@ object Text2Ops {
       |    - sum_ln / CAST(n_tokens AS DOUBLE) AS xent
       |FROM s, tot ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t50
+  /** SHUFFLED SEQUENCE PACKING — t47's packing composed with the
+    * DETERMINISTIC CORPUS SHUFFLE every pretraining run does first:
+    * training order must be random with respect to crawl/source order
+    * (adjacent documents are correlated), yet reproducible across
+    * reruns and engines. The shuffle key is md5(doc_id) — a
+    * deterministic permutation, no RNG — and its first two hex digits
+    * double as the pack bucket, so randomization and parallelism come
+    * from the SAME hash: 256 buckets per language, each packing its
+    * hash-ordered slice independently. Contrast t47, which packs in
+    * doc_id (i.e. crawl) order with an arbitrary range bucket.
+    *
+    * Scale shape: one hash projection, one keyed window per
+    * (lang, bucket) — parallelism scales with the bucket count, the
+    * corpus never funnels through a serial cumsum. */
+  private def t50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512.0
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(TextFunctions.tokens($"text")).cast("bigint").as("n_tokens"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("bucket", substring($"h", 1, 2))
+    val w = Window.partitionBy($"lang", $"bucket").orderBy($"h", $"doc_id")
+    docs
+      .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("seq_id", floor($"cum_before" / budget).cast("bigint"))
+      .groupBy($"lang", $"bucket", $"seq_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum($"n_tokens").cast("bigint").as("n_tokens"),
+        min($"doc_id").cast("bigint").as("min_doc"),
+        max($"doc_id").cast("bigint").as("max_doc"))
+      .orderBy($"lang", $"bucket", $"seq_id")
+  }
+  private val t50Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    MD5(CAST(doc_id AS VARCHAR)) AS h,
+      |    SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, bucket, n_tokens,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY h, doc_id)
+      |                - n_tokens) / 512.0) AS BIGINT) AS seq_id
+      |  FROM d)
+      |SELECT lang, bucket, seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      |FROM p GROUP BY lang, bucket, seq_id
+      |ORDER BY lang, bucket, seq_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -430,5 +486,6 @@ object Text2Ops {
     RQ("t46_edit_distance", t46, Some(t46Sql)),
     RQ("t47_sequence_pack", t47, Some(t47Sql)),
     RQ("t48_token_budget", t48, Some(t48Sql), bench = true),
-    RQ("t49_unigram_logprob", t49, Some(t49Sql), bench = true))
+    RQ("t49_unigram_logprob", t49, Some(t49Sql), bench = true),
+    RQ("t50_shuffled_pack", t50, Some(t50Sql)))
 }
