@@ -423,11 +423,110 @@ object MultimodalOps {
       | CAST(SUM((doc_id * 31 + i * 7) % 4096 - 2048) AS BIGINT) AS sum_samples
       |FROM documents, idx GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m66
+  /** IMAGE RESIZE over a binary column — the thumbnail stage every
+    * image-training pipeline runs between decode and feature
+    * extraction. Three real stages: (1) encode a 16×16 closed-form RGB
+    * PNG per document; (2) decode → downsample 2× → re-encode an 8×8
+    * PNG thumbnail, all inside one mapPartitions (codec init per
+    * partition; the binary column in, binary column out shape is
+    * exactly how a resize stage slots into a lakehouse table at
+    * 100 TB — no driver involvement, output rows same count as input);
+    * (3) decode the THUMBNAIL bytes and extract dimensions + channel
+    * sums. The resample kernel is explicit strided nearest-neighbor —
+    * dst(x,y) = src(2x, 2y) — rather than Graphics2D interpolation,
+    * because closed-form pixels are what let the DuckDB oracle gate
+    * the full decode→resize→encode→decode chain bit-exactly (AWT's
+    * filtered scalers are implementation-defined; a training pipeline
+    * wanting bilinear swaps one inner loop, the Spark plumbing is
+    * identical). */
+  private def m66(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Src = 16
+    val Dst = 8
+    val full: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            Src, Src, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < Src) {
+            var x = 0
+            while (x < Src) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+              val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+    val thumbs: Dataset[(Long, Array[Byte])] = full
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val dst = new java.awt.image.BufferedImage(
+            Dst, Dst, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < Dst) {
+            var x = 0
+            while (x < Dst) {
+              dst.setRGB(x, y, src.getRGB(2 * x, 2 * y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+    thumbs
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.getWidth, img.getHeight, rs, gs, bs)
+        }
+      }
+      .toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy($"doc_id")
+  }
+  private val m66Sql =
+    """WITH grid AS (
+      |  SELECT x.g AS x, y.g AS y
+      |  FROM generate_series(0, 7) x(g), generate_series(0, 7) y(g))
+      |SELECT doc_id,
+      | CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      | CAST(SUM((doc_id * 31 + 2 * x * 7 + 2 * y * 13) % 256) AS BIGINT) AS r_sum,
+      | CAST(SUM((doc_id * 17 + 2 * x * 11 + 2 * y * 5) % 256) AS BIGINT) AS g_sum,
+      | CAST(SUM((doc_id * 23 + 2 * x * 3 + 2 * y * 19) % 256) AS BIGINT) AS b_sum
+      |FROM documents, grid GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
     RQ("m61_content_sniff", m61, Some(m61Sql)),
     RQ("m62_wav_frame_sample", m62, Some(m62Sql)),
     RQ("m63_png_roundtrip", m63, Some(m63Sql)),
     RQ("m64_wav_roundtrip", m64, Some(m64Sql)),
-    RQ("m65_gif_frames", m65, Some(m65Sql)))
+    RQ("m65_gif_frames", m65, Some(m65Sql)),
+    RQ("m66_image_resize", m66, Some(m66Sql)))
 }

@@ -540,6 +540,50 @@ object Analytic2 {
       |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- a58
+  /** SEMI-STRUCTURED SHREDDING via Spark 4's VARIANT type: JSON is
+    * parsed ONCE into the binary variant encoding (`parse_json`), then
+    * typed fields shred out with `variant_get` path extraction — at
+    * 100 TB this is the difference between re-parsing a JSON string per
+    * field access and one decode into a navigable binary form (the
+    * Parquet/Spark answer to semi-structured columns; Delta writes
+    * shredded variant subcolumns the same way). The query round-trips
+    * the events table's typed columns through to_json → parse_json →
+    * variant_get (gating the full encode/decode path bit-exactly, since
+    * the oracle restates the extraction straight from the typed
+    * columns), pulls a nested path, extracts the props field typed,
+    * and exercises the two miss semantics: a missing path yields NULL,
+    * and `try_variant_get` on a type-mismatched cast yields NULL
+    * instead of an error. */
+  private def a58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.io.Tables.events(spark, dir)
+      .select(
+        $"event_id",
+        to_json(struct(
+          $"event_type".as("t"),
+          $"value".as("v"),
+          struct($"user_id".as("u")).as("nest"))).as("js"),
+        $"props")
+      .select(
+        $"event_id",
+        expr("variant_get(parse_json(js), '$.t', 'string')").as("t"),
+        expr("variant_get(parse_json(js), '$.v', 'double')").as("v"),
+        expr("variant_get(parse_json(js), '$.nest.u', 'bigint')").as("u"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("variant_get(parse_json(js), '$.absent', 'bigint')")
+          .as("missing_path"),
+        expr("try_variant_get(parse_json(js), '$.t', 'bigint')")
+          .as("bad_cast"))
+      .orderBy($"event_id")
+  }
+  private val a58Sql =
+    """SELECT event_id, event_type AS t, value AS v, user_id AS u,
+      | CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+      | CAST(NULL AS BIGINT) AS missing_path,
+      | CAST(NULL AS BIGINT) AS bad_cast
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("a43_window_family", a43, Some(a43Sql)),
     RQ("a55_range_frame", a55, Some(a55Sql)),
@@ -555,5 +599,6 @@ object Analytic2 {
     RQ("a52_stratified_split", a52, Some(a52Sql)),
     RQ("a53_target_mix_resample", a53, Some(a53Sql)),
     RQ("a56_retention_cohorts", a56, Some(a56Sql)),
-    RQ("a57_funnel_steps", a57, Some(a57Sql)))
+    RQ("a57_funnel_steps", a57, Some(a57Sql)),
+    RQ("a58_variant_shred", a58, Some(a58Sql)))
 }

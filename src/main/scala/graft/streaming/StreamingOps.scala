@@ -1220,6 +1220,97 @@ object StreamingOps {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s70
+  /** Spark 4 ARBITRARY STATEFUL PROCESSING via `transformWithState` +
+    * the RocksDB state store — the successor API to s53's
+    * mapGroupsWithState, and the scale answer for state that outgrows
+    * executor heap: RocksDB spills per-key state to local SSD and
+    * checkpoints changelogs, so per-user state is bounded by disk, not
+    * memory, on a 1000-executor cluster. The processor keeps TWO typed
+    * state variables per user — a ValueState running total and a
+    * MapState of per-event-type counts (a shape mapGroupsWithState
+    * could only fake by packing a map into one blob and rewriting it
+    * wholesale; MapState updates touch only the changed key) — and
+    * emits the updated (type count, user total) rows per micro-batch.
+    * Both emitted fields are monotone counters, so the per-key MAX over
+    * all updates equals the final state regardless of AvailableNow's
+    * batching, which is what makes the query oracle-checkable against
+    * plain batch GROUP BYs. */
+  private class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var total: ValueState[Long] = _
+    @transient private var byType: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long](
+        "total", Encoders.scalaLong, TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long](
+        "by_type", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long, Long)] = {
+      var tot = if (total.exists()) total.get() else 0L
+      // LinkedHashSet: emit one row per event type touched this batch,
+      // in first-touch order (order is irrelevant to the final MAX)
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val n = if (byType.containsKey(t)) byType.getValue(t) else 0L
+        byType.updateValue(t, n + 1)
+        tot += 1
+        touched += t
+      }
+      total.update(tot)
+      val finalTot = tot
+      touched.iterator.map(t => (key, t, byType.getValue(t), finalTot))
+    }
+  }
+
+  private def s70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState requires the RocksDB provider; scope the conf
+    // to this query and restore whatever the session had before
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventsStream(spark, dir)
+        .select($"user_id", $"event_type")
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n", "user_total")
+      val drained = drain(updates, "s70_out", "update")
+      val perType = drained.groupBy($"user_id", $"event_type")
+        .agg(max($"n").cast("bigint").as("n"))
+      val perUser = drained.groupBy($"user_id")
+        .agg(max($"user_total").cast("bigint").as("n_total"))
+      perType.join(perUser, "user_id")
+        .select($"user_id", $"event_type", $"n", $"n_total")
+        .orderBy($"user_id", $"event_type")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+  private val s70Sql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total
+      |  FROM events GROUP BY 1)
+      |SELECT c.user_id, c.event_type, c.n, t.n_total
+      |FROM c JOIN t USING (user_id)
+      |ORDER BY user_id, event_type""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -1240,5 +1331,6 @@ object StreamingOps {
     RQ("s66_stream_past_compaction", s66, Some(s66Sql)),
     RQ("s67_stream_partitioned_sink", s67, Some(s67Sql)),
     RQ("s68_stream_change_feed", s68, Some(s68Sql)),
-    RQ("s69_cdc_incremental_matview", s69, Some(s69Sql)))
+    RQ("s69_cdc_incremental_matview", s69, Some(s69Sql)),
+    RQ("s70_transform_with_state", s70, Some(s70Sql)))
 }
