@@ -3527,6 +3527,91 @@ object FormatOps {
       |  CAST(SUM(CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS sum_bucket
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k136
+  /** STORAGE-PARTITIONED JOIN: two graft tables identity-partitioned on
+    * the same key join with ZERO shuffles on either side — the DSv2
+    * scan reports `KeyGroupedPartitioning` from the manifest's
+    * single-valued partition stats (GraftScan.outputPartitioning), its
+    * splits carry `HasPartitionKey` tuples, and Spark's planner matches
+    * the clustering against the join keys and elides both Exchanges.
+    * At 100 TB this is THE fact-to-fact join plan: co-partitioned
+    * tables stream partition-aligned file groups straight into the
+    * merge join, and the partition-key aggregate above it reuses the
+    * same partitioning — the whole pipeline runs shuffle-free where the
+    * naive plan shuffles both inputs twice. Join keys are a SUPERSET of
+    * the partition key (the common shape: equi-join on partition + row
+    * key), which needs the relaxed co-partition requirement — the same
+    * three confs Iceberg's SPJ documents. The REQUIREs pin the plan
+    * (zero shuffles, a real merge join); the oracle restates the 1:1
+    * join arithmetic from the raw events table. */
+  private def spjShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        spjShuffles(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        spjShuffles(r.child)
+    }.sum
+
+  private def k136(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k136_spj")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = s"$zone/facts"
+      val right = s"$zone/enrich"
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      ev.write.format("graft").mode("overwrite")
+        .partitionBy("event_type").save(left)
+      ev.select($"event_id", $"event_type", ($"value" * 2).as("value2"))
+        .write.format("graft").mode("overwrite")
+        .partitionBy("event_type").save(right)
+      val l = spark.read.format("graft").load(left)
+      val r = spark.read.format("graft").load(right)
+      // count(value), not count(*): keep a data column in the aggregate
+      // so the metadata-only pushdown can't answer it — the join runs
+      val agg = l.join(r, Seq("event_type", "event_id"))
+        .groupBy($"event_type")
+        .agg(count($"value").cast("bigint").as("n"),
+          graft.ops.Num.dsum($"value" + $"value2").as("sum_v3"))
+      agg.collect() // finalize the AQE plan before auditing it
+      val fin = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      require(spjShuffles(fin) == 0,
+        s"storage-partitioned join must plan zero shuffles, got:\n$fin")
+      require(fin.toString.contains("SortMergeJoin"),
+        s"expected a real merge join in the SPJ plan:\n$fin")
+      val result = agg.orderBy($"event_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k136Sql =
+    """SELECT event_type,
+      |  CAST(COUNT(value) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value + 2 * value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v3
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3587,5 +3672,6 @@ object FormatOps {
     RQ("k132_generated_columns", k132, Some(k132Sql)),
     RQ("k133_identity_columns", k133, Some(k133Sql)),
     RQ("k134_partition_evolution", k134, Some(k134Sql)),
-    RQ("k135_sql_catalog", k135, Some(k135Sql)))
+    RQ("k135_sql_catalog", k135, Some(k135Sql)),
+    RQ("k136_storage_partitioned_join", k136, Some(k136Sql), bench = true))
 }

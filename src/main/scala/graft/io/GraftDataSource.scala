@@ -841,7 +841,50 @@ private[io] class GraftScanBuilder(
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
     new GraftScan(spark, table, version, dataSchema, required, pushed,
-      chosen, options, meta.partCols, meta.pathpart)
+      chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen))
+  }
+
+  /** STORAGE-PARTITIONED JOIN planning: for a graft-written table with
+    * IDENTITY partition columns whose every chosen file is provably
+    * single-valued on every partition column (stat min == max, zero
+    * nulls — the invariant the partitioned writer establishes), group
+    * the files by their partition-value tuple. The scan then reports
+    * `KeyGroupedPartitioning` and plans one keyed split group per
+    * tuple, so a join of two tables partitioned on the same key — or a
+    * GROUP BY on the partition key — needs NO shuffle on either side:
+    * at 100 TB this is the difference between re-shuffling both fact
+    * tables and reading co-located partitions straight into the join.
+    * Everything is proof-gated like the aggregate pushdown: a
+    * transform partition (days/hours), a converted path-derived
+    * layout, a multi-valued or null-carrying file, or a partition
+    * column pruned out of the projection (Spark could not resolve the
+    * clustering key) all refuse, and the scan degrades to an ordinary
+    * unknown-partitioning parquet read. */
+  private def spjGroups(chosen: Seq[String])
+      : Option[Seq[(Array[Any], Seq[String])]] = {
+    val pcs = meta.partCols
+    if (pcs.isEmpty || meta.pathpart || chosen.isEmpty) return None
+    if (pcs.exists(e => TxnTable.partSource(e) != e)) return None
+    if (!pcs.forall(required.fieldNames.contains)) return None
+    val fields = pcs.map(c => dataSchema.find(_.name == c).getOrElse(return None))
+    val keyed: Seq[(Seq[Any], String)] = chosen.map { f =>
+      val key: Seq[Any] = fields.map { gf =>
+        meta.stats.getOrElse(f, Nil).find(_.col == gf.name) match {
+          case Some(s) if s.minV == s.maxV && s.nulls == 0L =>
+            (s.kind, gf.dataType) match {
+              case ("str", StringType) =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s.minV)
+              case ("num", dt) => fromNum(dt, s.min).getOrElse(return None)
+              case _ => return None
+            }
+          case _ => return None
+        }
+      }
+      (key, f)
+    }
+    Some(keyed.groupBy(_._1).toSeq
+      .map { case (k, fs) => (k.toArray, fs.map(_._2)) }
+      .sortBy(_._1.map(String.valueOf(_)).mkString(" ")))
   }
 }
 
@@ -854,8 +897,29 @@ private[io] class GraftScan(
     dataSchema: StructType, required: StructType,
     pushed: Array[Filter], chosenFiles: Seq[String],
     options: CaseInsensitiveStringMap,
-    partCols: Seq[String] = Nil, pathpart: Boolean = false)
-    extends Scan with GraftScanFiles {
+    partCols: Seq[String] = Nil, pathpart: Boolean = false,
+    spjGroups: Option[Seq[(Array[Any], Seq[String])]] = None)
+    extends Scan with GraftScanFiles
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** KeyGroupedPartitioning when the builder proved per-file partition
+    * tuples (see spjGroups): Spark's planner matches the clustering
+    * keys against join/aggregate keys and elides the Exchange on this
+    * side. Requires spark.sql.sources.v2.bucketing.enabled (the
+    * planner ignores the report otherwise — never wrong, just
+    * unexploited). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some(gs) if gs.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          gs.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
   // CONVERTED-IN-PLACE partitioned layout: the chosen files' partition
   // values live in their hive `col=value` path segments, not the file
   // bytes — the scan splits the projection into data columns (from the
@@ -888,10 +952,22 @@ private[io] class GraftScan(
     pushed.filter(_.references.forall(inFile))
   }
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    if (!splitLayout)
-      org.apache.spark.sql.GraftBridge.parquetScan(
-        spark, chosenFiles.map(f => s"$table/$f"), dataSchema, required,
-        parquetSafe, options).toBatch
+    if (!splitLayout) spjGroups match {
+      case Some(gs) if gs.nonEmpty =>
+        // keyed split planning: one delegate parquet Batch per partition
+        // tuple, every split tagged with its key (HasPartitionKey) so
+        // Spark can group co-keyed splits into co-located tasks
+        new GraftKeyedBatch(gs.map { case (key, fs) =>
+          (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key),
+            org.apache.spark.sql.GraftBridge.parquetScan(
+              spark, fs.map(f => s"$table/$f"), dataSchema, required,
+              parquetSafe, options).toBatch)
+        })
+      case _ =>
+        org.apache.spark.sql.GraftBridge.parquetScan(
+          spark, chosenFiles.map(f => s"$table/$f"), dataSchema, required,
+          parquetSafe, options).toBatch
+    }
     else {
       // one homogeneous leg only: after any graft write lands next to
       // adopted files the two layouts would need two reader factories
@@ -911,6 +987,58 @@ private[io] class GraftScan(
         "OPTIMIZE it into graft-written files before streaming")
     new GraftMicroBatchStream(spark, table, dataSchema, required, pushed, options)
   }
+}
+
+/** A parquet split tagged with the partition-value tuple of the file
+  * group it came from — the `HasPartitionKey` contract storage-
+  * partitioned joins are built on. Wraps the delegate ParquetScan's
+  * own split untouched; `group` indexes the matching delegate reader
+  * factory. */
+private[io] class GraftKeyedPartition(
+    val key: org.apache.spark.sql.catalyst.InternalRow, val group: Int,
+    val inner: org.apache.spark.sql.connector.read.InputPartition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Batch over per-partition-tuple delegate parquet Batches: planning
+  * flattens every delegate's splits with their shared key attached;
+  * reading dispatches each split back to its delegate's reader factory
+  * (columnar included), so execution stays Spark's own vectorized
+  * parquet reader end to end — the wrapper adds a key per split and
+  * nothing else. */
+private[io] class GraftKeyedBatch(
+    groups: Seq[(org.apache.spark.sql.catalyst.InternalRow,
+      org.apache.spark.sql.connector.read.Batch)])
+    extends org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.zipWithIndex.flatMap { case ((k, b), gi) =>
+      b.planInputPartitions().map(p => new GraftKeyedPartition(k, gi, p))
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKeyedReaderFactory(
+      groups.map(_._2.createReaderFactory()).toIndexedSeq)
+}
+
+private[io] class GraftKeyedReaderFactory(
+    delegates: IndexedSeq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.InputPartition
+  private def un(p: InputPartition): GraftKeyedPartition =
+    p.asInstanceOf[GraftKeyedPartition]
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    delegates(un(p).group).createReader(un(p).inner)
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegates(un(p).group).createColumnarReader(un(p).inner)
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegates(un(p).group).supportColumnarReads(un(p).inner)
 }
 
 /** The Scan a fully-pushed aggregate plans to: driver-built rows (one
