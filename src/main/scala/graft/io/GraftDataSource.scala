@@ -862,6 +862,12 @@ private[io] class GraftScanBuilder(
     * unknown-partitioning parquet read. */
   private def spjGroups(chosen: Seq[String])
       : Option[Seq[(Array[Any], Seq[String])]] = {
+    // keyed planning only when the session can exploit it — otherwise
+    // keep the single coalesced parquet scan (splits may span partition
+    // values, which is the better default when no join wants the keys)
+    if (!spark.sessionState.conf
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+        .toBoolean) return None
     val pcs = meta.partCols
     if (pcs.isEmpty || meta.pathpart || chosen.isEmpty) return None
     if (pcs.exists(e => TxnTable.partSource(e) != e)) return None
