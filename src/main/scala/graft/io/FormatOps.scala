@@ -3612,6 +3612,85 @@ object FormatOps {
       |  CAST(SUM(CAST(value + 2 * value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v3
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k137
+  /** RUNTIME FILE PRUNING (dynamic partition pruning for the graft
+    * DSv2 source): the classic star-join shape — a big fact table
+    * partitioned on a key, a small dim whose FILTER decides which
+    * partitions matter. Spark turns the broadcast build side's values
+    * into a runtime In-filter and hands it to the scan
+    * (SupportsRuntimeFiltering) BEFORE any fact bytes are read; the
+    * scan re-prunes its chosen files against manifest stats + blooms.
+    * At 100 TB the dim filter is only known at run time (it's data),
+    * so static pruning can't help — this is the mechanism that makes
+    * `fact JOIN dim WHERE dim.selective` read one partition instead of
+    * the table. The REQUIRE pins the behavior: the executed scan must
+    * report FEWER files than the snapshot holds. Oracle restates the
+    * join from the raw tables. */
+  private def k137Scans(df: DataFrame): Seq[GraftScanFiles] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftScanFiles] =
+      p.flatMap {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case g: GraftScanFiles => Seq(g)
+            case _ => Nil
+          }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => Nil
+      }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def k137(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k137_rtf")
+    try {
+      val fact = s"$zone/orders"
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .write.format("graft").mode("overwrite")
+        .partitionBy("o_orderpriority").save(fact)
+      val total = TxnTable.snapshotFiles(
+        spark, fact, TxnTable.latestVersion(spark, fact).get).size
+      // dim staged as parquet: a LocalRelation's filter constant-folds
+      // away and DPP then sees no selective predicate to derive from
+      val dimPath = s"$zone/dim"
+      Seq(("1-URGENT", "rush"), ("5-LOW", "rush"), ("2-HIGH", "bulk"),
+        ("3-MEDIUM", "bulk"), ("4-NOT SPECIFIED", "bulk"))
+        .toDF("prio", "class").write.parquet(dimPath)
+      val dim = spark.read.parquet(dimPath).filter($"class" === "rush")
+      val agg = spark.read.format("graft").load(fact)
+        .join(broadcast(dim), $"o_orderpriority" === $"prio")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          graft.ops.Num.dsum($"o_totalprice").as("sum_price"))
+      agg.collect() // runtime filters fire at execution
+      val scans = k137Scans(agg)
+      require(scans.nonEmpty, "expected a graft BatchScan in the k137 plan")
+      val scanned = scans.map(_.scannedFileCount).min
+      require(scanned < total,
+        s"runtime filter must prune fact files: scanned $scanned of $total")
+      val result = agg.orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k137Sql =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3673,5 +3752,6 @@ object FormatOps {
     RQ("k133_identity_columns", k133, Some(k133Sql)),
     RQ("k134_partition_evolution", k134, Some(k134Sql)),
     RQ("k135_sql_catalog", k135, Some(k135Sql)),
-    RQ("k136_storage_partitioned_join", k136, Some(k136Sql), bench = true))
+    RQ("k136_storage_partitioned_join", k136, Some(k136Sql), bench = true),
+    RQ("k137_runtime_file_pruning", k137, Some(k137Sql)))
 }

@@ -841,7 +841,8 @@ private[io] class GraftScanBuilder(
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
     new GraftScan(spark, table, version, dataSchema, required, pushed,
-      chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen))
+      chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen),
+      meta.stats)
   }
 
   /** STORAGE-PARTITIONED JOIN planning: for a graft-written table with
@@ -904,9 +905,42 @@ private[io] class GraftScan(
     pushed: Array[Filter], chosenFiles: Seq[String],
     options: CaseInsensitiveStringMap,
     partCols: Seq[String] = Nil, pathpart: Boolean = false,
-    spjGroups: Option[Seq[(Array[Any], Seq[String])]] = None)
+    spjGroups: Option[Seq[(Array[Any], Seq[String])]] = None,
+    fileStats: Map[String, Seq[TxnTable.FileStat]] = Map.empty)
     extends Scan with GraftScanFiles
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // ---- RUNTIME FILE PRUNING (dynamic partition pruning for DSv2) ----
+  // Spark turns a broadcast join's build-side values into runtime
+  // In-filters on the probe side and hands them here BEFORE execution;
+  // re-pruning the chosen files against manifest stats + blooms means a
+  // star join reads only the fact files the dim filter selects — at
+  // 100 TB the difference between scanning the year and scanning the
+  // week the dimension matched. Same machinery as planning-time
+  // skipping (StatsPruner + bloom sidecars), just fed later.
+  @volatile private var runtimeFiles: Seq[String] = chosenFiles
+  private def currentFiles: Seq[String] = runtimeFiles
+  private lazy val rtPruner = new StatsPruner(dataSchema, fileStats)
+
+  /** Columns runtime filters can prune on: anything carrying per-file
+    * stats (partition columns always do). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fileStats.valuesIterator.flatMap(_.map(_.col)).toSet
+      .intersect(dataSchema.fieldNames.toSet).toArray.sorted
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val fs = filters.filter(rtPruner.prunable)
+    if (fs.isEmpty) return
+    val statsPruned =
+      runtimeFiles.filter(f => fs.forall(rtPruner.mayMatch(f, _)))
+    runtimeFiles = fs.flatMap(rtPruner.eqConstraints).distinct
+      .foldLeft(statsPruned) { case (acc, (c, vs)) =>
+        TxnTable.pruneByBloom(spark, table, version, c, vs, acc)
+      }
+  }
 
   /** KeyGroupedPartitioning when the builder proved per-file partition
     * tuples (see spjGroups): Spark's planner matches the clustering
@@ -941,8 +975,8 @@ private[io] class GraftScan(
     else StructType(required.filterNot(f => partSet(f.name)) ++
       partCols.flatMap(c => required.find(_.name == c)))
   override def description(): String =
-    s"GraftScan graft.`$table`@v$version [${chosenFiles.size} files]"
-  override def scannedFileCount: Int = chosenFiles.size
+    s"GraftScan graft.`$table`@v$version [${currentFiles.size} files]"
+  override def scannedFileCount: Int = currentFiles.size
   // Only filters whose columns are IN the clipped read schema may reach
   // the parquet layer: parquet-mr evaluates a predicate on a column
   // absent from the projection as never-matching and drops every row
@@ -962,16 +996,23 @@ private[io] class GraftScan(
       case Some(gs) if gs.nonEmpty =>
         // keyed split planning: one delegate parquet Batch per partition
         // tuple, every split tagged with its key (HasPartitionKey) so
-        // Spark can group co-keyed splits into co-located tasks
-        new GraftKeyedBatch(gs.map { case (key, fs) =>
-          (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key),
-            org.apache.spark.sql.GraftBridge.parquetScan(
-              spark, fs.map(f => s"$table/$f"), dataSchema, required,
-              parquetSafe, options).toBatch)
+        // Spark can group co-keyed splits into co-located tasks.
+        // Runtime filters may have shrunk the file set since planning —
+        // re-filter each group (a vanished key becomes an empty group;
+        // Spark's push-part-values machinery aligns the missing side).
+        val live = currentFiles.toSet
+        new GraftKeyedBatch(gs.flatMap { case (key, fs) =>
+          val kept = fs.filter(live)
+          if (kept.isEmpty) None
+          else Some(
+            (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key),
+              org.apache.spark.sql.GraftBridge.parquetScan(
+                spark, kept.map(f => s"$table/$f"), dataSchema, required,
+                parquetSafe, options).toBatch))
         })
       case _ =>
         org.apache.spark.sql.GraftBridge.parquetScan(
-          spark, chosenFiles.map(f => s"$table/$f"), dataSchema, required,
+          spark, currentFiles.map(f => s"$table/$f"), dataSchema, required,
           parquetSafe, options).toBatch
     }
     else {
@@ -983,7 +1024,7 @@ private[io] class GraftScan(
           "OPTIMIZE the table to materialize the converted files, then " +
           "read through SQL again")
       org.apache.spark.sql.GraftBridge.parquetScanPartitioned(
-        spark, table, chosenFiles.map(f => s"$table/$f"), dataSchema,
+        spark, table, currentFiles.map(f => s"$table/$f"), dataSchema,
         required, partCols, parquetSafe, options).toBatch
     }
   override def toMicroBatchStream(checkpointLocation: String)

@@ -141,6 +141,19 @@ private[io] final class StatsPruner(
           case Some(s) if s.kind == "null" => false
           case _ => true
         }
+      case In(c, vs) if vs.nonEmpty =>
+        // per-value check, not the [min,max] envelope of the set: the
+        // envelope of IN ('1-URGENT','5-LOW') covers every priority in
+        // between and prunes nothing, while "some member may be in the
+        // file" skips every file whose range misses all members — the
+        // shape runtime filters (DPP In-lists) arrive in
+        statOf(c) match {
+          case Some(s) =>
+            val es = vs.toSeq.map(v => value(c, v))
+            es.exists(_.isEmpty) || // an unprunable value: keep the file
+              es.flatten.exists(e => s.mayOverlap(point(e)))
+          case None => true
+        }
       case leaf =>
         val bs = bounds(leaf)
         bs.isEmpty || bs.forall { case (c, b) => statOf(c).forall(_.mayOverlap(b)) }
