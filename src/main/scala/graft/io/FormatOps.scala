@@ -3691,6 +3691,87 @@ object FormatOps {
       |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k138
+  /** BUCKETED STORAGE-PARTITIONED JOIN — the high-cardinality answer
+    * identity partitioning can't give: `bucket(16, user_id)` hash-
+    * buckets both tables at write time (partition value =
+    * pmod(murmur3, n), Iceberg's bucket transform), and the catalog's
+    * FunctionCatalog serves the `bucket` function so Spark resolves
+    * both sides' clustering to the same canonical transform and elides
+    * every Exchange: a fact-to-fact join on a billion-key column reads
+    * co-bucketed file groups straight into the merge join. The GROUP
+    * BY on the join key above it reuses the same partitioning — the
+    * whole query plans ZERO shuffles (REQUIREd). The oracle replays
+    * the self-join verbatim on the raw events table. */
+  private def k138(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k138_bspj")
+    val cat = "gk138"
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", zone)
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.l (user_id BIGINT, v DOUBLE)
+           |USING graft PARTITIONED BY (bucket(16, user_id))""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $cat.db.r (user_id BIGINT, w DOUBLE)
+           |USING graft PARTITIONED BY (bucket(16, user_id))""".stripMargin)
+      Tables.events(spark, dir).select($"user_id", $"value".as("v"))
+        .createOrReplaceTempView("k138_src")
+      spark.sql(s"INSERT INTO $cat.db.l SELECT user_id, v FROM k138_src")
+      spark.sql(
+        s"INSERT INTO $cat.db.r SELECT user_id, v * 2 AS w FROM k138_src")
+      val agg = spark.sql(
+        s"""SELECT l.user_id, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l.v + r.w AS DECIMAL(38,6))) AS DOUBLE) AS sum_vw
+           |FROM $cat.db.l l JOIN $cat.db.r r ON l.user_id = r.user_id
+           |GROUP BY l.user_id""".stripMargin)
+      agg.collect()
+      val fin = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      require(spjShuffles(fin) == 0,
+        s"bucketed SPJ must plan zero shuffles, got:\n$fin")
+      val result = agg
+        .select($"user_id", $"n".cast("bigint").as("n"), $"sum_vw")
+        .orderBy($"user_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $cat.db.l")
+        spark.sql(s"DROP TABLE IF EXISTS $cat.db.r")
+      } catch { case _: Throwable => () }
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k138Sql =
+    """SELECT e1.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(e1.value + 2 * e2.value AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_vw
+      |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+      |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3753,5 +3834,6 @@ object FormatOps {
     RQ("k134_partition_evolution", k134, Some(k134Sql)),
     RQ("k135_sql_catalog", k135, Some(k135Sql)),
     RQ("k136_storage_partitioned_join", k136, Some(k136Sql), bench = true),
-    RQ("k137_runtime_file_pruning", k137, Some(k137Sql)))
+    RQ("k137_runtime_file_pruning", k137, Some(k137Sql)),
+    RQ("k138_bucketed_spj", k138, Some(k138Sql)))
 }

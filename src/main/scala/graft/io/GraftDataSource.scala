@@ -212,8 +212,14 @@ private[graft] class GraftTable(table: String, version: Long,
     val cols =
       if (writePartCols.nonEmpty) writePartCols
       else TxnTable.partitionColumns(SparkSession.active, table)
-    cols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    import org.apache.spark.sql.connector.expressions.Expressions
+    cols.map {
+      case TxnTable.BucketEntry(n, c) => Expressions.bucket(n, c)
+      case e if TxnTable.partSource(e) != e => // days(c)/hours(c)/…
+        Expressions.apply(e.takeWhile(_ != '('),
+          Expressions.column(TxnTable.partSource(e)))
+      case c => Expressions.identity(c)
+    }.toArray
   }
 
   /** SQL `DELETE FROM` mapped onto the metadata-gated delete
@@ -871,22 +877,34 @@ private[io] class GraftScanBuilder(
         .toBoolean) return None
     val pcs = meta.partCols
     if (pcs.isEmpty || meta.pathpart || chosen.isEmpty) return None
-    if (pcs.exists(e => TxnTable.partSource(e) != e)) return None
-    if (!pcs.forall(required.fieldNames.contains)) return None
-    val fields = pcs.map(c => dataSchema.find(_.name == c).getOrElse(return None))
+    // identity entries key off single-valued stats; bucket(n, c)
+    // entries key off the bucket id in the file's partition path.
+    // days()/hours() transforms refuse — their derived value is not
+    // recoverable from the column stats exactly.
+    if (!pcs.forall(e => TxnTable.partSource(e) == e ||
+        TxnTable.BucketEntry.unapply(e).isDefined)) return None
+    if (!pcs.map(TxnTable.partSource).forall(required.fieldNames.contains))
+      return None
+    val extractors: Seq[String => Option[Any]] = pcs.map {
+      case TxnTable.BucketEntry(n, c) =>
+        (f: String) => TxnTable.bucketIdOf(f, n, c).map(Integer.valueOf)
+      case c =>
+        val gf = dataSchema.find(_.name == c).getOrElse(return None)
+        (f: String) =>
+          meta.stats.getOrElse(f, Nil).find(_.col == gf.name) match {
+            case Some(s) if s.minV == s.maxV && s.nulls == 0L =>
+              (s.kind, gf.dataType) match {
+                case ("str", StringType) =>
+                  Some(org.apache.spark.unsafe.types.UTF8String.fromString(s.minV))
+                case ("num", dt) => fromNum(dt, s.min)
+                case _ => None
+              }
+            case _ => None
+          }
+    }
     val keyed: Seq[(Seq[Any], String)] = chosen.map { f =>
-      val key: Seq[Any] = fields.map { gf =>
-        meta.stats.getOrElse(f, Nil).find(_.col == gf.name) match {
-          case Some(s) if s.minV == s.maxV && s.nulls == 0L =>
-            (s.kind, gf.dataType) match {
-              case ("str", StringType) =>
-                org.apache.spark.unsafe.types.UTF8String.fromString(s.minV)
-              case ("num", dt) => fromNum(dt, s.min).getOrElse(return None)
-              case _ => return None
-            }
-          case _ => return None
-        }
-      }
+      val key: Seq[Any] =
+        extractors.map(ex => ex(f).getOrElse(return None))
       (key, f)
     }
     Some(keyed.groupBy(_._1).toSeq
@@ -924,11 +942,15 @@ private[io] class GraftScan(
   private lazy val rtPruner = new StatsPruner(dataSchema, fileStats)
 
   /** Columns runtime filters can prune on: anything carrying per-file
-    * stats (partition columns always do). */
+    * stats — intersected with the PRUNED read schema, because Spark
+    * resolves these against the relation's (column-pruned) output and
+    * an unresolvable name aborts the whole query at planning
+    * (PartitionPruning.getFilterableTableScan resolves eagerly). Join
+    * keys are always in the output, so nothing prunable is lost. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     fileStats.valuesIterator.flatMap(_.map(_.col)).toSet
-      .intersect(dataSchema.fieldNames.toSet).toArray.sorted
+      .intersect(required.fieldNames.toSet).toArray.sorted
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -953,9 +975,14 @@ private[io] class GraftScan(
     spjGroups match {
       case Some(gs) if gs.nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          partCols.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          partCols.map {
+            case TxnTable.BucketEntry(n, c) =>
+              org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+                : org.apache.spark.sql.connector.expressions.Expression
+            case c =>
+              org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression
+          }.toArray,
           gs.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)

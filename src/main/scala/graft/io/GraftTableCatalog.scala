@@ -36,7 +36,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * files by RELATIVE path — a directory move would silently break every
   * clone of the table (Delta shares this caveat for path-based
   * tables). */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- FunctionCatalog: the `bucket` transform function -------------
+  // Storage-partitioned joins over bucket(n, col) tables need the
+  // catalog to RESOLVE the transform so Spark can compare the two
+  // sides' clustering (TransformExpression canonicalName + bucket
+  // count). The bound function also computes the bucket id exactly as
+  // the write path does — pmod(murmur3 seed 42, n) — so Spark could
+  // re-bucket one side (v2.bucketing.shuffle) without disagreeing with
+  // the files.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catName: String = _
   private var warehouse: String = _
@@ -157,9 +175,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
           t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         s"${t.name}(${t.references.head.fieldNames.head})"
+      case t if t.name == "bucket" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform needs an integer bucket count, got $t"))
+        TxnTable.BucketEntry(n, t.references.head.fieldNames.head)
       case other => throw new UnsupportedOperationException(
-        "graft tables support identity and days/hours/months/years() " +
-          s"partitioning, got $other")
+        "graft tables support identity, days/hours/months/years(), and " +
+          s"bucket(n, col) partitioning, got $other")
     }
     TxnTable.commitOverwrite(
       spark.createDataFrame(
@@ -270,5 +297,45 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     }
     rm(dir)
     true
+  }
+}
+
+/** The `bucket(n, col)` V2 function the catalog serves so Spark can
+  * resolve and compare bucket-transform clustering across tables
+  * (storage-partitioned joins). Bound semantics MUST equal the write
+  * path's partDirExpr: pmod over Spark's Murmur3 hash with seed 42 —
+  * one definition of "which bucket" for writers, the planner, and any
+  * runtime re-bucketing. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col, seed 42), n)"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets INT, col), got $inputType")
+    val argTypes = inputType.fields.map(_.dataType)
+    require(argTypes(0) == IntegerType,
+      s"bucket count must be INT, got ${argTypes(0)}")
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Int] {
+      override def inputTypes(): Array[DataType] = argTypes
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Int = {
+        val n = input.getInt(0)
+        val v = input.get(1, argTypes(1))
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(v, argTypes(1), 42L).toInt
+        val r = h % n
+        if (r < 0) r + n else r
+      }
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, date_format, input_file_name, lit, max, min, not, trunc}
+import org.apache.spark.sql.functions.{coalesce, col, count, date_format, hash, input_file_name, lit, max, min, not, pmod, trunc}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS whose
@@ -563,11 +563,29 @@ object TxnTable {
   private val MonthsEntry = """months\((.+)\)""".r
   private val YearsEntry = """years\((.+)\)""".r
   private[io] val PartTransformNames = Seq("days", "hours", "months", "years")
+
+  /** `bucket(n, c)` — hash-bucket partitioning for HIGH-cardinality
+    * keys (Iceberg's bucket transform): partition value =
+    * pmod(murmur3(c), n), so two tables bucketed the same way are
+    * co-partitioned for storage-partitioned joins on keys identity
+    * partitioning could never enumerate. The hash is Spark's own
+    * `hash()` (Murmur3, seed 42) — one definition shared by the write
+    * path, the V2 bucket function (GraftBucketFunction), and any
+    * engine that re-derives bucket ids. */
+  private[io] object BucketEntry {
+    private val Re = """bucket\((\d+)\s*,\s*(.+)\)""".r
+    def unapply(s: String): Option[(Int, String)] = s match {
+      case Re(n, c) => Some((n.toInt, c.trim))
+      case _ => None
+    }
+    def apply(n: Int, c: String): String = s"bucket($n,$c)"
+  }
   private[io] def partSource(entry: String): String = entry match {
     case DaysEntry(c) => c
     case HoursEntry(c) => c
     case MonthsEntry(c) => c
     case YearsEntry(c) => c
+    case BucketEntry(_, c) => c
     case c => c
   }
   private def partDirName(entry: String): String = entry match {
@@ -575,6 +593,7 @@ object TxnTable {
     case HoursEntry(c) => s"__gp_hours_$c"
     case MonthsEntry(c) => s"__gp_months_$c"
     case YearsEntry(c) => s"__gp_years_$c"
+    case BucketEntry(n, c) => s"__gp_bucket_${n}_$c"
     case c => s"__gp_$c"
   }
   private def partDirExpr(entry: String): org.apache.spark.sql.Column =
@@ -583,8 +602,19 @@ object TxnTable {
       case HoursEntry(c) => date_format(col(c), "yyyy-MM-dd-HH")
       case MonthsEntry(c) => trunc(col(c).cast("date"), "month")
       case YearsEntry(c) => trunc(col(c).cast("date"), "year")
+      case BucketEntry(n, c) => pmod(hash(col(c)), lit(n))
       case c => col(c)
     }
+
+  /** The bucket id a file landed in, parsed from its partition-dir path
+    * segment (`…/__gp_bucket_<n>_<col>=<id>/part-….parquet`) — the
+    * read-side inverse of partDirExpr for bucket entries. */
+  private[io] def bucketIdOf(file: String, n: Int, c: String): Option[Int] = {
+    val prefix = s"__gp_bucket_${n}_$c="
+    file.split('/').collectFirst {
+      case seg if seg.startsWith(prefix) => seg.substring(prefix.length).toInt
+    }
+  }
 
   private[io] def statKind(dt: DataType): Option[String] = dt match {
     case StringType => Some("str")
@@ -3497,6 +3527,10 @@ object TxnTable {
       case HoursEntry(_) => s"hours($to)"
       case MonthsEntry(_) => s"months($to)"
       case YearsEntry(_) => s"years($to)"
+      // bucket dirs embed the physical column name — renaming the
+      // source would orphan every existing bucket path segment
+      case BucketEntry(_, _) => throw new IllegalArgumentException(
+        s"cannot rename the source column of bucket partitioning ($entry)")
       case _ => to
     }
 

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** bucket(n, col) partitioning + storage-partitioned joins through the
+  * catalog: hash-bucketed tables on a HIGH-cardinality key join with
+  * zero shuffles — the transform resolves through the catalog's
+  * FunctionCatalog (GraftBucketFunction) so Spark can compare the two
+  * sides' clustering. */
+class BucketSpjSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  private def withSpjConfs[A](body: => A): A = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case _: ShuffleExchangeExec => 1
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffles(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        shuffles(r.child)
+    }.sum
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  test("bucketed tables join shuffle-free through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bspj").toString
+    spark.conf.set("spark.sql.catalog.gbspj", "graft.io.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gbspj.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gbspj.db")
+      spark.sql(
+        """CREATE TABLE gbspj.db.l (user_id BIGINT, v DOUBLE)
+          |USING graft PARTITIONED BY (bucket(8, user_id))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE gbspj.db.r (user_id BIGINT, w DOUBLE)
+          |USING graft PARTITIONED BY (bucket(8, user_id))""".stripMargin)
+      graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"user_id", $"value".as("v"))
+        .createOrReplaceTempView("bspj_src")
+      spark.sql("INSERT INTO gbspj.db.l SELECT user_id, v FROM bspj_src")
+      spark.sql(
+        "INSERT INTO gbspj.db.r SELECT user_id, v * 2 AS w FROM bspj_src")
+
+      // every file must land in exactly one bucket dir
+      val lPath = s"$wh/db/l"
+      val files = graft.io.TxnTable.snapshotFiles(
+        spark, lPath, graft.io.TxnTable.latestVersion(spark, lPath).get)
+      assert(files.nonEmpty &&
+        files.forall(_.contains("__gp_bucket_8_user_id=")),
+        s"files not bucket-partitioned: ${files.take(3)}")
+
+      withSpjConfs {
+        val j = spark.sql(
+          """SELECT l.user_id, COUNT(*) AS n
+            |FROM gbspj.db.l l JOIN gbspj.db.r r ON l.user_id = r.user_id
+            |GROUP BY l.user_id""".stripMargin)
+        val plan = finalPlan(j)
+        assert(shuffles(plan) == 0,
+          s"bucketed SPJ must plan zero shuffles:\n$plan")
+        // correctness: per-user count = (events of user)^2
+        val perUser = graft.io.Tables.events(spark, Spec.sf0001)
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+          .select($"user_id", ($"c" * $"c").as("n"))
+        assert(j.orderBy($"user_id").collect().toSeq ==
+          perUser.orderBy($"user_id").collect().toSeq)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gbspj.db.l")
+      spark.sql("DROP TABLE IF EXISTS gbspj.db.r")
+      spark.conf.unset("spark.sql.catalog.gbspj")
+      spark.conf.unset("spark.sql.catalog.gbspj.warehouse")
+    }
+  }
+
+  test("mismatched bucket counts refuse co-partitioning but stay correct") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bspj2").toString
+    spark.conf.set("spark.sql.catalog.gbspj2", "graft.io.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gbspj2.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gbspj2.db")
+      spark.sql(
+        """CREATE TABLE gbspj2.db.a (user_id BIGINT, v DOUBLE)
+          |USING graft PARTITIONED BY (bucket(8, user_id))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE gbspj2.db.b (user_id BIGINT, w DOUBLE)
+          |USING graft PARTITIONED BY (bucket(4, user_id))""".stripMargin)
+      graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"user_id", $"value".as("v")).limit(500)
+        .createOrReplaceTempView("bspj2_src")
+      spark.sql("INSERT INTO gbspj2.db.a SELECT user_id, v FROM bspj2_src")
+      spark.sql("INSERT INTO gbspj2.db.b SELECT user_id, v FROM bspj2_src")
+      withSpjConfs {
+        val j = spark.sql(
+          """SELECT COUNT(*) AS n FROM gbspj2.db.a a
+            |JOIN gbspj2.db.b b ON a.user_id = b.user_id""".stripMargin)
+        assert(shuffles(finalPlan(j)) > 0) // 8 vs 4 buckets: must shuffle
+        val n = j.collect()(0).getLong(0)
+        val perUser = graft.io.Tables.events(spark, Spec.sf0001)
+          .select($"user_id", $"value").limit(500)
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        val expect = perUser.select(sum($"c" * $"c")).collect()(0).getLong(0)
+        assert(n == expect)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gbspj2.db.a")
+      spark.sql("DROP TABLE IF EXISTS gbspj2.db.b")
+      spark.conf.unset("spark.sql.catalog.gbspj2")
+      spark.conf.unset("spark.sql.catalog.gbspj2.warehouse")
+    }
+  }
+}
