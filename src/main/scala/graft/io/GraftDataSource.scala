@@ -842,10 +842,15 @@ private[io] class GraftScanBuilder(
     // uniformly. Equality constraints additionally probe bloom
     // sidecars — the pruning min/max can't do on a hash-partitioned
     // point lookup.
-    val chosen = pushed.flatMap(pruner.eqConstraints).distinct
+    val eqPruned = pushed.flatMap(pruner.eqConstraints).distinct
       .foldLeft(statsChosen) { case (fs, (c, vs)) =>
         TxnTable.pruneByBloom(spark, table, version, c, vs, fs)
       }
+    // BUCKET pruning: `WHERE user_id = x` on a bucketed 100 TB table
+    // reads 1/n of the files before any bloom probe (see
+    // TxnTable.pruneByBucket).
+    val chosen = TxnTable.pruneByBucket(eqPruned, meta.partCols,
+      dataSchema, pushed.toSeq.flatMap(pruner.eqConstraints))
     new GraftScan(spark, table, version, dataSchema, required, pushed,
       chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen),
       meta.stats)
@@ -958,10 +963,14 @@ private[io] class GraftScan(
     if (fs.isEmpty) return
     val statsPruned =
       runtimeFiles.filter(f => fs.forall(rtPruner.mayMatch(f, _)))
-    runtimeFiles = fs.flatMap(rtPruner.eqConstraints).distinct
+    val eqCons = fs.toSeq.flatMap(rtPruner.eqConstraints)
+    val bloomPruned = eqCons.distinct
       .foldLeft(statsPruned) { case (acc, (c, vs)) =>
         TxnTable.pruneByBloom(spark, table, version, c, vs, acc)
       }
+    // a runtime In-list on a bucketed join key keeps only its buckets
+    runtimeFiles =
+      TxnTable.pruneByBucket(bloomPruned, partCols, dataSchema, eqCons)
   }
 
   /** KeyGroupedPartitioning when the builder proved per-file partition

@@ -616,6 +616,49 @@ object TxnTable {
     }
   }
 
+  /** The bucket an equality value lands in — MUST agree with
+    * partDirExpr's pmod(hash(col), n) (Spark's Murmur3, seed 42) or
+    * plan-time bucket pruning would skip the wrong files. None when the
+    * runtime value can't be converted to the column's catalyst form
+    * (unused pruning beats wrong pruning). */
+  private[io] def bucketOf(value: Any, dt: DataType, n: Int): Option[Int] =
+    try {
+      val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(value)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(cat, dt, 42L).toInt
+      val r = h % n
+      Some(if (r < 0) r + n else r)
+    } catch { case _: Exception => None }
+
+  /** Plan- and run-time BUCKET pruning: a point lookup on a
+    * bucket(n, col) partition column keeps only the value's own
+    * bucket's files — min/max stats are useless on a hash-partitioned
+    * key (every bucket spans the whole range), but the bucket of an
+    * equality value is computable without touching data. Each
+    * equality constraint (= or IN) is a disjunction whose bucket set
+    * admits a file; conjuncts intersect; an inconvertible value voids
+    * its constraint (unused pruning, never wrong pruning). */
+  private[io] def pruneByBucket(files: Seq[String], partCols: Seq[String],
+                                schema: StructType,
+                                eqCons: Seq[(String, Seq[Any])]): Seq[String] =
+    partCols.collect { case e @ BucketEntry(_, _) => e }
+      .foldLeft(files) { case (fs, BucketEntry(n, c)) =>
+        val dt = schema.find(_.name == c).map(_.dataType)
+        val perConjunct: Seq[Set[Int]] = dt match {
+          case None => Nil
+          case Some(t) => eqCons.filter(_._1 == c).flatMap { case (_, vs) =>
+            val ids = vs.map(v => bucketOf(v, t, n))
+            if (ids.exists(_.isEmpty)) None else Some(ids.flatten.toSet)
+          }
+        }
+        if (perConjunct.isEmpty) fs
+        else {
+          val wanted = perConjunct.reduce(_ intersect _)
+          fs.filter(f => bucketIdOf(f, n, c).forall(wanted.contains))
+        }
+      }
+
   private[io] def statKind(dt: DataType): Option[String] = dt match {
     case StringType => Some("str")
     case DateType | TimestampType | TimestampNTZType => Some("num")

@@ -96,6 +96,36 @@ class BucketSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup on a bucketed column prunes to one bucket's files") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_bprune").toString
+    val t = s"$zone/t"
+    graft.io.TxnTable.commitAppend(
+      graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"user_id", $"event_id", $"value"),
+      t, partitionCols = Seq("bucket(8,user_id)"))
+    val total = graft.io.TxnTable.snapshotFiles(
+      spark, t, graft.io.TxnTable.latestVersion(spark, t).get).size
+    // sf0.001 has few distinct users — an empty bucket lands no file
+    assert(total >= 4, s"expected several bucket file groups, got $total")
+    val probe = spark.read.format("graft").load(t)
+      .filter($"user_id" === 7L)
+    val scanned = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(probe).get
+    assert(scanned < total && scanned >= 1,
+      s"bucket pruning should keep ~1/8 of files: $scanned of $total")
+    // values unchanged vs the raw table
+    val expect = graft.io.Tables.events(spark, Spec.sf0001)
+      .filter($"user_id" === 7L).count()
+    assert(probe.count() == expect && expect > 0)
+    // IN across two buckets keeps both, still < total
+    val probe2 = spark.read.format("graft").load(t)
+      .filter($"user_id".isin(7L, 11L))
+    val scanned2 = org.apache.spark.sql.GraftBridge.dsv2ScannedFiles(probe2).get
+    assert(scanned2 < total)
+    val expect2 = graft.io.Tables.events(spark, Spec.sf0001)
+      .filter($"user_id".isin(7L, 11L)).count()
+    assert(probe2.count() == expect2)
+  }
+
   test("mismatched bucket counts refuse co-partitioning but stay correct") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bspj2").toString
     spark.conf.set("spark.sql.catalog.gbspj2", "graft.io.GraftTableCatalog")
