@@ -451,6 +451,10 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         // on (sticky, like CDF): SQL DELETE then commits equality-
         // delete files instead of rewriting data files
         val mor = Option(info.options.get("mergeOnRead")).map(_.toBoolean)
+        // Delta's optimizeWrite: shuffle rows to their partition value
+        // before writing so each value lands one file per commit
+        val optimizedWrite = Option(info.options.get("optimizedWrite"))
+          .exists(_.toBoolean)
         // `.option("replaceWhere", "c = v" | "c BETWEEN a AND b")` with
         // mode("overwrite"): Delta's scoped overwrite — replace exactly
         // the predicate's rows atomically (TxnTable.replaceRange). Only
@@ -527,10 +531,10 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
           case None => (overwrite, txn) match {
             case (false, None) =>
               TxnTable.commitAppend(coerced, table, statsCols, bloomCols,
-                partitionCols, cdf, mor)
+                partitionCols, cdf, mor, optimizedWrite)
             case (true, None) =>
               TxnTable.commitOverwrite(coerced, table, statsCols, bloomCols,
-                partitionCols, cdf, mor)
+                partitionCols, cdf, mor, optimizedWrite)
             case (false, Some((a, v))) =>
               TxnTable.commitAppendIdempotent(coerced, table, a, v, statsCols,
                 bloomCols, partitionCols, cdf)

@@ -1109,7 +1109,8 @@ object TxnTable {
   private def writeData(df: DataFrame, table: String,
                         statsCols: Seq[String],
                         bloomCols: Seq[String] = Nil,
-                        partitionCols: Seq[String] = Nil)
+                        partitionCols: Seq[String] = Nil,
+                        optimized: Boolean = false)
       : (String, Seq[String], Map[String, Seq[FileStat]],
          Map[String, Seq[BloomMeta]], Map[String, Long]) = {
     dataWrites.incrementAndGet()
@@ -1128,12 +1129,23 @@ object TxnTable {
     val partCols = partitionCols.filter(e => df.columns.contains(partSource(e)))
     if (partCols.isEmpty)
       df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir")
-    else
-      partCols.foldLeft(df)((d, e) =>
-          d.withColumn(partDirName(e), partDirExpr(e)))
-        .write.mode(SaveMode.ErrorIfExists)
+    else {
+      val withDirs = partCols.foldLeft(df)((d, e) =>
+        d.withColumn(partDirName(e), partDirExpr(e)))
+      // OPTIMIZED WRITE (Delta's optimizeWrite): shuffle rows to their
+      // partition value before writing, so each value lands in ONE file
+      // instead of one-per-task-per-value — a 1000-task append into 100
+      // partitions writes 100 files, not up to 100,000. Costs one
+      // shuffle; a skewed value lands one big file (OPTIMIZE rebalances
+      // later). Opt-in because compaction tests pin exact file counts.
+      val shaped =
+        if (optimized)
+          withDirs.repartition(partCols.map(e => col(partDirName(e))): _*)
+        else withDirs
+      shaped.write.mode(SaveMode.ErrorIfExists)
         .partitionBy(partCols.map(partDirName): _*)
         .parquet(s"$table/$dataDir")
+    }
     val newFiles = listParquet(spark, table, dataDir)
     // URI → table-relative key, matching listParquet's raw names (the
     // URI form may percent-encode; decode through the path)
@@ -1591,7 +1603,8 @@ object TxnTable {
                      cdf: Option[Boolean] = None,
                      opLabel: Option[String] = None,
                      mor: Option[Boolean] = None,
-                     extraTxns: Map[String, Long] = Map.empty): Long = {
+                     extraTxns: Map[String, Long] = Map.empty,
+                     optimizedWrite: Boolean = false): Long = {
     val op = opLabel.getOrElse(if (append) "append" else "overwrite")
     val spark = df.sparkSession
     val ctx = fc(spark)
@@ -1678,7 +1691,7 @@ object TxnTable {
         idDef.map(_.col).toSeq).distinct
     var dfw = assignIdentity(state)
     var (dataDir, newFiles, newStats, newBlooms, newRows) =
-      writeData(dfw, table, allStatsCols, bloomCols, partCols)
+      writeData(dfw, table, allStatsCols, bloomCols, partCols, optimizedWrite)
     var attempt = 0
     while (attempt < 64) {
       if (applied(state)) { // raced with a replica of the same batch
@@ -1794,7 +1807,8 @@ object TxnTable {
           ctx.delete(new Path(s"$table/$dataDir"), true)
           dfw = assignIdentity(state)
           val rewritten =
-            writeData(dfw, table, allStatsCols, bloomCols, partCols)
+            writeData(dfw, table, allStatsCols, bloomCols, partCols,
+              optimizedWrite)
           dataDir = rewritten._1; newFiles = rewritten._2
           newStats = rewritten._3; newBlooms = rewritten._4
           newRows = rewritten._5
@@ -1815,10 +1829,11 @@ object TxnTable {
                       bloomCols: Seq[String] = Nil,
                       partitionCols: Seq[String] = Nil,
                       cdf: Option[Boolean] = None,
-                      mor: Option[Boolean] = None): Long =
+                      mor: Option[Boolean] = None,
+                      optimizedWrite: Boolean = false): Long =
     commit(df, table, append = false, txn = None, statsCols = statsCols,
       bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf,
-      mor = mor)
+      mor = mor, optimizedWrite = optimizedWrite)
 
   /** Append `df` as a new snapshot = previous snapshot + new files —
     * no existing data is rewritten; the commit is manifest concatenation
@@ -1830,10 +1845,11 @@ object TxnTable {
                    bloomCols: Seq[String] = Nil,
                    partitionCols: Seq[String] = Nil,
                    cdf: Option[Boolean] = None,
-                   mor: Option[Boolean] = None): Long =
+                   mor: Option[Boolean] = None,
+                   optimizedWrite: Boolean = false): Long =
     commit(df, table, append = true, txn = None, statsCols = statsCols,
       bloomCols = bloomCols, partitionCols = partitionCols, cdf = cdf,
-      mor = mor)
+      mor = mor, optimizedWrite = optimizedWrite)
 
   /** Overwrite exactly-once per (appId, batchId): the marker commits
     * ATOMICALLY with the replacement snapshot, so a consumer that

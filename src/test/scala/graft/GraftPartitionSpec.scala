@@ -180,4 +180,50 @@ class GraftPartitionSpec extends AnyFunSuite {
       assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
     }
   }
+
+  test("optimizedWrite: one file per partition value regardless of input tasks") {
+    withZone { zone =>
+      import spark.implicits._
+      val t = s"$zone/opt"
+      val ev = graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"event_id", $"event_type", $"value")
+        .repartition(16) // many tasks: the naive layout writes ~16 x values files
+      graft.io.TxnTable.commitAppend(ev, t,
+        partitionCols = Seq("event_type"), optimizedWrite = true)
+      val files = graft.io.TxnTable.snapshotFiles(
+        spark, t, graft.io.TxnTable.latestVersion(spark, t).get)
+      val nTypes = graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"event_type").distinct().count()
+      assert(files.size == nTypes,
+        s"optimized write should land one file per value: ${files.size} vs $nTypes")
+      // contrast: the plain layout multiplies tasks x values
+      val t2 = s"$zone/plain"
+      graft.io.TxnTable.commitAppend(ev, t2, partitionCols = Seq("event_type"))
+      val plain = graft.io.TxnTable.snapshotFiles(
+        spark, t2, graft.io.TxnTable.latestVersion(spark, t2).get)
+      assert(plain.size > files.size)
+      // same rows either way
+      val a = spark.read.format("graft").load(t)
+      val b = spark.read.format("graft").load(t2)
+      assert(a.count() == b.count() && a.except(b).isEmpty)
+    }
+  }
+
+  test("optimizedWrite through the DSv2 writer option") {
+    withZone { zone =>
+      import spark.implicits._
+      val t = s"$zone/dsv2opt"
+      graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"event_id", $"event_type", $"value")
+        .repartition(16)
+        .write.format("graft").mode("overwrite")
+        .option("optimizedWrite", "true")
+        .partitionBy("event_type").save(t)
+      val files = graft.io.TxnTable.snapshotFiles(
+        spark, t, graft.io.TxnTable.latestVersion(spark, t).get)
+      val nTypes = graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"event_type").distinct().count()
+      assert(files.size == nTypes)
+    }
+  }
 }
