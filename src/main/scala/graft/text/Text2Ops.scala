@@ -477,6 +477,60 @@ object Text2Ops {
       |FROM p GROUP BY lang, bucket, seq_id
       |ORDER BY lang, bucket, seq_id""".stripMargin
 
+  // ---------------------------------------------------------------- t51
+  /** DOMAIN-MIXING WEIGHTS — temperature sampling over corpus sources
+    * (the mT5/XLM-R recipe, τ = 2): sampling share p_i ∝ sqrt(n_i/N),
+    * so under-represented domains up-weight without letting a huge
+    * domain drown the mixture. Per-row weight = p_i / natural share,
+    * i.e. the resampling factor a data loader applies per source.
+    * Scale shape: one map-side-combinable groupBy(source) collapses
+    * the corpus to #sources rows; the two global reductions (total
+    * tokens, sqrt-share normalizer) broadcast back — no second pass
+    * over the data, no window over the corpus. The intermediate sqrt
+    * share is pinned through DECIMAL(38,6) so the normalizer sum is
+    * order-independent and bit-stable across engines. */
+  private def t51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val per = Tables.documents(spark, dir)
+      .select($"source",
+        size(TextFunctions.tokens($"text")).cast("bigint").as("t"))
+      .groupBy($"source")
+      .agg(sum($"t").cast("bigint").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").cast("bigint").as("total"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("nat_share",
+        $"n_tokens".cast("double") / $"total".cast("double"))
+      .withColumn("s", sqrt($"nat_share").cast(dec).cast("double"))
+    val norm = shared.agg(sum($"s".cast(dec)).cast("double").as("norm"))
+    shared.crossJoin(broadcast(norm))
+      .select(
+        $"source", $"n_tokens",
+        $"nat_share",
+        ($"s" / $"norm").as("samp_share"),
+        (($"s" / $"norm") / $"nat_share").as("weight"))
+      .orderBy($"source")
+  }
+  private val t51Sql =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+      |sh AS (
+      |  SELECT source, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS nat_share,
+      |    CAST(CAST(SQRT(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
+      |      AS DECIMAL(38,6)) AS DOUBLE) AS s
+      |  FROM per, tot),
+      |nm AS (SELECT CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS norm
+      |       FROM sh)
+      |SELECT source, n_tokens, nat_share,
+      |  s / norm AS samp_share,
+      |  (s / norm) / nat_share AS weight
+      |FROM sh, nm ORDER BY source""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -487,5 +541,6 @@ object Text2Ops {
     RQ("t47_sequence_pack", t47, Some(t47Sql)),
     RQ("t48_token_budget", t48, Some(t48Sql), bench = true),
     RQ("t49_unigram_logprob", t49, Some(t49Sql), bench = true),
-    RQ("t50_shuffled_pack", t50, Some(t50Sql)))
+    RQ("t50_shuffled_pack", t50, Some(t50Sql)),
+    RQ("t51_domain_mix_weights", t51, Some(t51Sql)))
 }
