@@ -1955,9 +1955,11 @@ object TxnTable {
     val dt = schema(column).dataType
     val b = pointBound(value, dt)
     val statsPass = st.files.filter(f => st.mayOverlap(f, column, b))
+    val bucketPass = pruneByBucket(statsPass, st.partCols, schema,
+      Seq(column -> Seq(value)))
     val chosen = hashForColumn(value, dt) match {
-      case Some(h) => statsPass.filter(bloomKeep(fc(spark), table, st, column, Seq(h)))
-      case None => statsPass
+      case Some(h) => bucketPass.filter(bloomKeep(fc(spark), table, st, column, Seq(h)))
+      case None => bucketPass
     }
     val rows =
       if (chosen.isEmpty)
@@ -1993,9 +1995,14 @@ object TxnTable {
       val dt = schema(column).dataType
       val b = pointBound(value, dt)
       val statsPass = st.files.filter(f => st.mayOverlap(f, column, b))
+      // bucketed key: min/max stats span every bucket, but the value's
+      // own bucket is computable — the rewrite set shrinks to 1/n of
+      // the files before any bloom probe
+      val bucketPass = pruneByBucket(statsPass, st.partCols, schema,
+        Seq(column -> Seq(value)))
       val candidates = hashForColumn(value, dt) match {
-        case Some(h) => statsPass.filter(bloomKeep(ctx, table, st, column, Seq(h)))
-        case None => statsPass
+        case Some(h) => bucketPass.filter(bloomKeep(ctx, table, st, column, Seq(h)))
+        case None => bucketPass
       }
       // metadata-only drop: min == max == value and known-zero NULLs
       val covered = candidates.filter(f =>

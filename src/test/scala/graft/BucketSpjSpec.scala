@@ -126,6 +126,37 @@ class BucketSpjSpec extends AnyFunSuite {
     assert(probe2.count() == expect2)
   }
 
+  test("readEquals and deleteEquals on a bucketed key touch one bucket") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_bdml").toString
+    val t = s"$zone/t"
+    graft.io.TxnTable.commitAppend(
+      graft.io.Tables.events(spark, Spec.sf0001)
+        .select($"user_id", $"event_id", $"value"),
+      t, partitionCols = Seq("bucket(8,user_id)"))
+    val v0 = graft.io.TxnTable.latestVersion(spark, t).get
+    val before = graft.io.TxnTable.snapshotFiles(spark, t, v0)
+    val (rows, scanned, total) =
+      graft.io.TxnTable.readEquals(spark, t, "user_id", 7L)
+    assert(scanned < total, s"readEquals scanned $scanned of $total")
+    val expect = graft.io.Tables.events(spark, Spec.sf0001)
+      .filter($"user_id" === 7L).count()
+    assert(rows.count() == expect && expect > 0)
+    graft.io.TxnTable.deleteEquals(spark, t, "user_id", 7L)
+    val after = graft.io.TxnTable.snapshotFiles(
+      spark, t, graft.io.TxnTable.latestVersion(spark, t).get)
+    // every file OUTSIDE the key's bucket carries by path identity: the
+    // rewritten (dropped) files must all come from ONE bucket dir
+    val seg = "__gp_bucket_8_user_id="
+    def bid(f: String): Option[Int] = f.split('/').collectFirst {
+      case s if s.startsWith(seg) => s.substring(seg.length).toInt
+    }
+    val rewritten = before.filterNot(after.contains)
+    assert(rewritten.nonEmpty && rewritten.flatMap(bid).distinct.size == 1,
+      s"delete must rewrite only the key's bucket, touched: $rewritten")
+    assert(spark.read.format("graft").load(t)
+      .filter($"user_id" === 7L).count() == 0)
+  }
+
   test("mismatched bucket counts refuse co-partitioning but stay correct") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bspj2").toString
     spark.conf.set("spark.sql.catalog.gbspj2", "graft.io.GraftTableCatalog")
