@@ -157,6 +157,38 @@ class BucketSpjSpec extends AnyFunSuite {
       .filter($"user_id" === 7L).count() == 0)
   }
 
+  test("compaction preserves the bucket layout and the keyed join plan") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_bcomp").toString
+    val t = s"$zone/t"
+    val ev = graft.io.Tables.events(spark, Spec.sf0001)
+      .select($"user_id", $"event_id", $"value")
+    graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 2 === 0), t,
+      partitionCols = Seq("bucket(8,user_id)"))
+    graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 2 === 1), t)
+    graft.io.TxnTable.compact(spark, t)
+    val files = graft.io.TxnTable.snapshotFiles(
+      spark, t, graft.io.TxnTable.latestVersion(spark, t).get)
+    assert(files.nonEmpty &&
+      files.forall(_.contains("__gp_bucket_8_user_id=")),
+      s"compaction must re-bucket: ${files.take(3)}")
+    // bucket-transform clustering resolves only through a catalog's
+    // FunctionCatalog — point one at the zone and join through it
+    spark.conf.set("spark.sql.catalog.gbcomp", "graft.io.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gbcomp.warehouse", zone)
+    try withSpjConfs {
+      val j = spark.sql(
+        """SELECT a.user_id, a.event_id FROM gbcomp.t a
+          |JOIN gbcomp.t b ON a.user_id = b.user_id
+          |  AND a.event_id = b.event_id""".stripMargin)
+      assert(shuffles(finalPlan(j)) == 0,
+        "compacted bucketed table must still join shuffle-free")
+      assert(j.count() == ev.count())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gbcomp")
+      spark.conf.unset("spark.sql.catalog.gbcomp.warehouse")
+    }
+  }
+
   test("mismatched bucket counts refuse co-partitioning but stay correct") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bspj2").toString
     spark.conf.set("spark.sql.catalog.gbspj2", "graft.io.GraftTableCatalog")
