@@ -857,7 +857,7 @@ private[io] class GraftScanBuilder(
       dataSchema, pushed.toSeq.flatMap(pruner.eqConstraints))
     new GraftScan(spark, table, version, dataSchema, required, pushed,
       chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen),
-      meta.stats)
+      meta.stats, meta.rows)
   }
 
   /** STORAGE-PARTITIONED JOIN planning: for a graft-written table with
@@ -933,10 +933,35 @@ private[io] class GraftScan(
     options: CaseInsensitiveStringMap,
     partCols: Seq[String] = Nil, pathpart: Boolean = false,
     spjGroups: Option[Seq[(Array[Any], Seq[String])]] = None,
-    fileStats: Map[String, Seq[TxnTable.FileStat]] = Map.empty)
+    fileStats: Map[String, Seq[TxnTable.FileStat]] = Map.empty,
+    fileRows: Map[String, Long] = Map.empty)
     extends Scan with GraftScanFiles
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** EXACT row count from the manifest (post-pruning file set) —
+    * without this a DSv2 relation's size estimate is
+    * spark.sql.defaultSizeInBytes = Long.MaxValue, so a graft dim
+    * table would NEVER be auto-broadcast and every star join would
+    * shuffle-sort-merge unless hand-hinted. Spark derives sizeInBytes
+    * from numRows × schema row width (transformV2Stats); files
+    * predating per-file row tracking report unknown and fall back to
+    * the conservative default. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val known: Option[Long] = {
+        val fs = currentFiles
+        if (fs.forall(fileRows.contains)) Some(fs.map(fileRows).sum)
+        else None
+      }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        known.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
 
   // ---- RUNTIME FILE PRUNING (dynamic partition pruning for DSv2) ----
   // Spark turns a broadcast join's build-side values into runtime
