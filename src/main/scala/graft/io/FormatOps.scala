@@ -3772,6 +3772,94 @@ object FormatOps {
       |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
       |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin
 
+  // --------------------------------------------------------------- k139
+  /** STORAGE-PARTITIONED JOIN over a GENERATED daily partition — the
+    * canonical lakehouse fact layout, composed end to end: `p_date
+    * DATE GENERATED ALWAYS AS (CAST(ts AS DATE))` auto-fills at
+    * insert (k132's machinery), identity-partitions both tables by
+    * day, and the scan's KeyGroupedPartitioning report (k136's
+    * machinery) lets the day-plus-key equi-join of the two fact
+    * tables plan ZERO shuffles — the everyday "join today's events to
+    * today's enrichment" query reads partition-aligned file groups
+    * straight into the merge join. Oracle restates the 1:1 join from
+    * raw events with the same date derivation. */
+  private def k139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k139_genspj")
+    val cat = "gk139"
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", zone)
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      for (t <- Seq("l", "r"))
+        spark.sql(
+          s"""CREATE TABLE $cat.db.$t (
+             |  event_id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE,
+             |  p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+             |USING graft PARTITIONED BY (p_date)""".stripMargin)
+      Tables.events(spark, dir)
+        .select($"event_id", $"ts", $"value".as("v"))
+        .createOrReplaceTempView("k139_src")
+      spark.sql(
+        s"INSERT INTO $cat.db.l (event_id, ts, v) " +
+          "SELECT event_id, ts, v FROM k139_src")
+      spark.sql(
+        s"INSERT INTO $cat.db.r (event_id, ts, v) " +
+          "SELECT event_id, ts, v * 2 AS v FROM k139_src")
+      val agg = spark.sql(
+        s"""SELECT l.p_date, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l.v + r.v AS DECIMAL(38,6))) AS DOUBLE) AS sum_v3
+           |FROM $cat.db.l l JOIN $cat.db.r r
+           |  ON l.p_date = r.p_date AND l.event_id = r.event_id
+           |GROUP BY l.p_date""".stripMargin)
+      agg.collect()
+      val fin = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      require(spjShuffles(fin) == 0,
+        s"generated-partition SPJ must plan zero shuffles, got:\n$fin")
+      // dates cross engines as ISO strings (pandas maps DuckDB DATE to
+      // datetime64, Spark DATE to date objects — dtype mismatch)
+      val result = agg
+        .select($"p_date".cast("string").as("p_date"),
+          $"n".cast("bigint").as("n"), $"sum_v3")
+        .orderBy($"p_date")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $cat.db.l")
+        spark.sql(s"DROP TABLE IF EXISTS $cat.db.r")
+      } catch { case _: Throwable => () }
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k139Sql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS p_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value + 2 * value AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_v3
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3835,5 +3923,6 @@ object FormatOps {
     RQ("k135_sql_catalog", k135, Some(k135Sql)),
     RQ("k136_storage_partitioned_join", k136, Some(k136Sql), bench = true),
     RQ("k137_runtime_file_pruning", k137, Some(k137Sql)),
-    RQ("k138_bucketed_spj", k138, Some(k138Sql)))
+    RQ("k138_bucketed_spj", k138, Some(k138Sql)),
+    RQ("k139_generated_partition_spj", k139, Some(k139Sql)))
 }
