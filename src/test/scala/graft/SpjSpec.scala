@@ -131,6 +131,44 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime dim pruning composes with the keyed join") {
+    val zone = tmp()
+    val left = s"$zone/l"
+    val right = s"$zone/r"
+    val ev = graft.io.Tables.events(spark, Spec.sf0001)
+      .select($"event_id", $"event_type", $"value")
+    ev.write.format("graft").mode("overwrite").partitionBy("event_type").save(left)
+    ev.withColumnRenamed("value", "value2")
+      .write.format("graft").mode("overwrite").partitionBy("event_type").save(right)
+    // file-backed dim keeping 2 of the event types (LocalRelation
+    // filters constant-fold away and DPP sees nothing)
+    val dimPath = s"$zone/dim"
+    graft.io.Tables.events(spark, Spec.sf0001)
+      .select($"event_type").distinct()
+      .withColumn("keep", $"event_type".isin("view", "click"))
+      .write.parquet(dimPath)
+    withSpjConfs {
+      val l = spark.read.format("graft").load(left)
+      val r = spark.read.format("graft").load(right)
+      val dim = spark.read.parquet(dimPath).filter($"keep" === true)
+        .select($"event_type".as("det"))
+      // dim broadcast-joins l (firing a runtime In-filter into l's
+      // KEYED scan), then the keyed l-r join runs on the survivors
+      val j = l.join(broadcast(dim), $"event_type" === $"det")
+        .drop("det")
+        .join(r, Seq("event_type", "event_id"))
+        .groupBy($"event_type")
+        .agg(count($"value").cast("bigint").as("n"))
+      val rows = j.orderBy($"event_type").collect()
+      val expect = graft.io.Tables.events(spark, Spec.sf0001)
+        .filter($"event_type".isin("view", "click"))
+        .groupBy($"event_type").agg(count(lit(1)).cast("bigint").as("n"))
+        .orderBy($"event_type").collect()
+      assert(rows.toSeq == expect.toSeq,
+        "values must survive DPP over a keyed batch")
+    }
+  }
+
   test("with v2 bucketing disabled the report is ignored, results unchanged") {
     val zone = tmp()
     val t = s"$zone/t"
