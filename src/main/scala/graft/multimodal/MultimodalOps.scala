@@ -521,6 +521,78 @@ object MultimodalOps {
       | CAST(SUM((doc_id * 23 + 2 * x * 3 + 2 * y * 19) % 256) AS BIGINT) AS b_sum
       |FROM documents, grid GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m67
+  /** AUDIO RESAMPLE over a binary column — m66's twin for the audio
+    * modality: (1) encode a closed-form 8 kHz PCM16 WAV per document;
+    * (2) decode → decimate 2× (keep every second sample — the explicit
+    * strided kernel, same reasoning as m66: a deterministic resample
+    * the oracle can restate; a production pipeline swaps in a
+    * windowed-sinc kernel, the Spark plumbing is identical) →
+    * re-encode at 4 kHz, inside one mapPartitions; (3) decode the
+    * RESAMPLED bytes and extract rate, frame count, and sample sum.
+    * The oracle restates the arithmetic over the even source
+    * indices. */
+  private def m67(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map(id => (id, wavBytes(id, n = 64 + (id % 17).toInt, rate = 8000f)))
+      }
+    val resampled: Dataset[(Long, Array[Byte])] = full
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val kept = (n + 1) / 2
+          val out = new Array[Byte](kept * 2)
+          var j = 0
+          while (j < kept) {
+            out(2 * j) = raw(4 * j)
+            out(2 * j + 1) = raw(4 * j + 1)
+            j += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(4000f, 16, 1, true, false)
+          val outAis = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), fmt, kept.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            outAis, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+    resampled
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val rate = ais.getFormat.getSampleRate.toInt
+          val raw = ais.readAllBytes()
+          val frames = raw.length / 2
+          var sum = 0L
+          var i = 0
+          while (i < frames) {
+            sum += ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          (id, rate, frames.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "rate_hz", "n_frames", "sum_samples")
+      .orderBy($"doc_id")
+  }
+  private val m67Sql =
+    """WITH idx AS (SELECT UNNEST(range(0, 80)) AS i)
+      |SELECT doc_id,
+      | CAST(4000 AS INTEGER) AS rate_hz,
+      | CAST((64 + doc_id % 17 + 1) // 2 AS BIGINT) AS n_frames,
+      | CAST(SUM(CASE WHEN i % 2 = 0 AND i < 64 + doc_id % 17
+      |   THEN (doc_id * 31 + i * 7) % 4096 - 2048 ELSE 0 END) AS BIGINT)
+      |   AS sum_samples
+      |FROM documents, idx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
     RQ("m61_content_sniff", m61, Some(m61Sql)),
@@ -528,5 +600,6 @@ object MultimodalOps {
     RQ("m63_png_roundtrip", m63, Some(m63Sql)),
     RQ("m64_wav_roundtrip", m64, Some(m64Sql)),
     RQ("m65_gif_frames", m65, Some(m65Sql)),
-    RQ("m66_image_resize", m66, Some(m66Sql)))
+    RQ("m66_image_resize", m66, Some(m66Sql)),
+    RQ("m67_audio_resample", m67, Some(m67Sql)))
 }
