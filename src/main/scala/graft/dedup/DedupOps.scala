@@ -732,5 +732,65 @@ object DedupOps {
     RQ("d42_candidate_precision", d42, Some(d42Sql)),
     RQ("d43_passage_dedup", d43, Some(d43Sql)),
     RQ("d44_decontaminate", d44, Some(d44Sql)),
-    RQ("d45_boilerplate_purge", d45, Some(d45Sql)))
+    RQ("d45_boilerplate_purge", d45, Some(d45Sql)),
+    RQ("d46_dedup_inplace", d46, Some(d46Sql)))
+
+  // ---------------------------------------------------------------- d46
+  /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
+    * form of d34's keep-first — on a merge-on-read graft table, rank
+    * duplicates of IDENTICAL texts by doc_id and delete every rank>1
+    * row as exact (file, row ordinal) coordinates
+    * (`TxnTable.deletePositions`). Equality deletes cannot express
+    * "drop some of several byte-identical rows"; position deletes name
+    * physical rows, so a 100 TB corpus dedups by committing
+    * kilobyte-scale sidecars instead of rewriting data files (REQUIREd
+    * here), with OPTIMIZE materializing later. Scale shape: one
+    * identity read (zero extra I/O — parquet `_metadata`), one window
+    * shuffle keyed by the text (at real scale you'd key by a content
+    * hash to shrink shuffle rows — same plan), one broadcast anti-join
+    * at read. */
+  private def d46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d46_pos").toFile.getAbsolutePath
+    try {
+      val table = s"$zone/docs_txn"
+      Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
+        .repartitionByRange(8, $"doc_id")
+        .write.format("graft").option("mergeOnRead", "true")
+        .mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.morState(spark, table, v1).files.toSet
+      val rows = TxnTable.readWithRowIdentity(spark, table)
+      val w = Window.partitionBy($"text").orderBy($"doc_id")
+      val losers = rows.withColumn("rn", row_number().over(w))
+        .filter($"rn" > 1)
+      TxnTable.deletePositions(spark, table, losers)
+      val st = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      require(st.files.toSet == before,
+        "in-place dedup must not rewrite any data file")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum($"doc_id").cast("bigint").as("id_sum"))
+        .orderBy($"lang")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: defined after `all` in initialization order
+  private def d46Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM documents
+      |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }

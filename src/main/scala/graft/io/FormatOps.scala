@@ -3860,6 +3860,61 @@ object FormatOps {
       |    AS sum_v3
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k140
+  /** POSITIONAL deletion vectors — the DV flavor proper (Delta DVs /
+    * Iceberg v2 position deletes; the equality flavor is k116): a
+    * multi-column predicate delete commits exact (file, row ordinal)
+    * coordinates in one kilobyte-scale sidecar. REQUIREs prove zero
+    * data files were rewritten and the live delete entry is positional;
+    * the aggregate over the surviving rows matches the oracle's
+    * complement predicate. At 100 TB this is the delete whose write
+    * cost is independent of both table size and predicate shape — and
+    * whose read-time subtraction OPTIMIZE (k117) materializes away. */
+  private def k140(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k140_pos")
+    try {
+      val table = s"$zone/orders_txn"
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderpriority")
+        .repartitionByRange(8, $"o_orderkey")
+        .write.format("graft").option("statsCols", "o_orderkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.morState(spark, table, v1).files.toSet
+      TxnTable.deleteWherePos(spark, table,
+        df => df("o_orderstatus") === "F" && df("o_totalprice") > 150000.0)
+      val st = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      require(st.files.toSet == before,
+        "positional delete must leave every data file untouched")
+      require(st.dels.nonEmpty &&
+        st.dels.forall(_.keyCols == Seq(TxnTable.PosDelKey)),
+        "expected a live positional delete entry")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"o_totalprice".cast("decimal(38,6)")).cast("double")
+            .as("total"))
+        .orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k140Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3924,5 +3979,6 @@ object FormatOps {
     RQ("k136_storage_partitioned_join", k136, Some(k136Sql), bench = true),
     RQ("k137_runtime_file_pruning", k137, Some(k137Sql)),
     RQ("k138_bucketed_spj", k138, Some(k138Sql)),
-    RQ("k139_generated_partition_spj", k139, Some(k139Sql)))
+    RQ("k139_generated_partition_spj", k139, Some(k139Sql)),
+    RQ("k140_pos_delete_vectors", k140, Some(k140Sql)))
 }

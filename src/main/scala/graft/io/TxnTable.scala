@@ -766,6 +766,30 @@ object TxnTable {
   final case class DelMeta(file: String, version: Long,
                            keyCols: Seq[String], rows: Long)
 
+  /** Sentinel `keyCols` marking a POSITIONAL delete file — the
+    * deletion-vector flavor proper: the sidecar holds (table-relative
+    * file path, row ordinal) pairs naming EXACT physical rows, instead
+    * of equality key tuples. It rides the identical `#del=` manifest
+    * line, version gate, liveness rule, compaction materialization,
+    * and vacuum pinning as equality deletes — only the read-side
+    * subtraction differs (anti-join on `_metadata` row identity).
+    * Positional deletes express what equality deletes cannot: removing
+    * SOME of several identical rows (in-place dedup keep-first) and
+    * deleting rows selected by a non-column criterion (sampling, an
+    * ANN result, a human review list). */
+  val PosDelKey = "__pos__"
+  private[graft] val PosDelKeyCols: Seq[String] = Seq(PosDelKey)
+  /** Column names of a positional sidecar / [[readWithRowIdentity]]. */
+  val PosFileCol = "_gfile"
+  val PosOrdCol = "_gpos"
+  private val IdPathCol = "__gpath"
+  private val IdPosCol = "__gpos"
+  private def PosDelSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(PosFileCol,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(PosOrdCol,
+      org.apache.spark.sql.types.LongType)))
+
   /** Column types a bloom can cover: exact-equality types whose query
     * constants coerce unambiguously to the column's declared type (the
     * hash is type-sensitive — an Int and a Long with the same value
@@ -2523,6 +2547,174 @@ object TxnTable {
       s"merge-on-read delete of $table lost the snapshot race 16 times")
   }
 
+  /** The table's live rows (all deletes applied) plus two ROW IDENTITY
+    * columns — `_gfile` (table-relative data file path) and `_gpos`
+    * (row ordinal within that file) — the coordinates a POSITIONAL
+    * delete names rows by. Feed a subset of these rows (or just their
+    * identity pair) to [[deletePositions]] to remove exactly those
+    * physical rows without rewriting a file. Identity derives from the
+    * parquet source's constant `_metadata` struct: zero extra I/O. */
+  def readWithRowIdentity(spark: SparkSession, table: String,
+                          versionAsOf: Option[Long] = None): DataFrame = {
+    val st = versionAsOf match {
+      case Some(v) => stateOf(spark, table, v)
+      case None => latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+    }
+    readIdentityOf(spark, table, st)
+  }
+
+  private def readIdentityOf(spark: SparkSession, table: String,
+                             st: State): DataFrame = {
+    st.schema.foreach { s =>
+      require(!s.fieldNames.contains(PosFileCol) &&
+        !s.fieldNames.contains(PosOrdCol),
+        s"$table has a data column shadowing the $PosFileCol/$PosOrdCol " +
+          "identity columns")
+    }
+    val df = delAppliedRead(spark, table, st, st.files, withIdentity = true)
+    // absolute → table-relative: relative paths are the stable spelling
+    // a sidecar stores (they survive table relocation and re-listing)
+    val qdf = relToAbs(spark, table, st.files)
+    df.join(qdf, df(IdPathCol) === qdf("_gabs"))
+      .drop(IdPathCol, "_gabs")
+      .withColumnRenamed("_grel", PosFileCol)
+      .withColumnRenamed(IdPosCol, PosOrdCol)
+  }
+
+  /** POSITIONAL (deletion-vector) DELETE: remove exactly the rows
+    * matching `cond`, by physical (file, row ordinal) identity. Same
+    * merge-on-read economics as [[deleteWhereMoR]] — data write I/O is
+    * one small sidecar however large the table — but with no
+    * determinism requirement on `cond` at all: it may sample, rank,
+    * window, or reference row identity, because the committed artifact
+    * is the row coordinates themselves, not a predicate re-evaluated
+    * at read time. The flip side: rows appended later are untouched by
+    * construction (their coordinates are not in the vector), giving
+    * the same snapshot-isolation gate semantics as equality deletes. */
+  def deleteWherePos(spark: SparkSession, table: String,
+                     cond: DataFrame => org.apache.spark.sql.Column): Long =
+    deletePosCore(spark, table, snap => snap.filter(cond(snap)))
+
+  /** Delete rows by explicit identity: `positions` carries `_gfile` /
+    * `_gpos` pairs (from [[readWithRowIdentity]] — e.g. the rank>1 rows
+    * of a dedup window, an external review list, a sampled holdout).
+    *
+    * Scale shape: with the change feed OFF this touches NO data file —
+    * coordinates naming unknown files are dropped by a join against
+    * the manifest's file list (metadata-sized, broadcast) and the
+    * distinct remainder is the sidecar; the typical dedup pipeline
+    * (identity read → rank → deletePositions) therefore scans the
+    * corpus exactly once. With CDF ON the deleted rows must be
+    * recorded, so the snapshot is semi-joined once to materialize
+    * them — which also drops stale in-file coordinates. */
+  def deletePositions(spark: SparkSession, table: String,
+                      positions: DataFrame): Long = {
+    require(positions.columns.contains(PosFileCol) &&
+      positions.columns.contains(PosOrdCol),
+      s"positions frame needs $PosFileCol and $PosOrdCol columns")
+    val pos = positions.select(col(PosFileCol), col(PosOrdCol))
+    deletePosCore(spark, table,
+      snap => snap.join(pos, Seq(PosFileCol, PosOrdCol), "left_semi"),
+      positionsOnly = Some(pos))
+  }
+
+  private def deletePosCore(spark: SparkSession, table: String,
+                            compute: DataFrame => DataFrame,
+                            positionsOnly: Option[DataFrame] = None)
+      : Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      // CDF off + caller-supplied coordinates: pure-metadata commit, no
+      // data scan — validate file names against the manifest and dedup.
+      // Otherwise: pinned identity read with live deletes applied, so
+      // an already-deleted row is never re-recorded (or re-fed to CDF).
+      val metadataOnly = positionsOnly.filter(_ => !st.cdf)
+      lazy val matched = compute(readIdentityOf(spark, table, st))
+      val tuples = (metadataOnly match {
+        case Some(pos) =>
+          val known = relToAbs(spark, table, st.files)
+            .select(col("_grel").as(PosFileCol))
+          pos.join(known, Seq(PosFileCol), "left_semi").distinct()
+        case None => matched.select(col(PosFileCol), col(PosOrdCol))
+      }).coalesce(1)
+      val dataDir =
+        s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+      tuples.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir/_del")
+      val delFiles = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = ctx.listStatus(new Path(s"$table/$dataDir/_del"))
+        while (it.hasNext) {
+          val s = it.next()
+          if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+            buf += s"$dataDir/_del/${s.getPath.getName}"
+        }
+        buf.sorted.toSeq
+      }
+      val n = delFiles.map(f =>
+        spark.read.parquet(s"$table/$f").count()).sum
+      if (n == 0L) { // nothing matched: provable no-op
+        ctx.delete(new Path(s"$table/$dataDir"), true)
+        return st.version
+      }
+      val cdcAdd =
+        if (st.cdf)
+          writeChangeData(
+            matched.drop(PosFileCol, PosOrdCol)
+              .withColumn(ChangeTypeCol, lit("delete")), table, dataDir)
+        else Nil
+      // the gate pins the delete to its READ snapshot, exactly like the
+      // equality flavor — positions can only name files that existed
+      val gate = st.version + 1L
+      val dels = delFiles.map(f => DelMeta(f, gate, PosDelKeyCols, n))
+      var base = st
+      var tries = 0
+      var rebasing = true
+      while (rebasing && tries < 32) {
+        val next = base.version + 1L
+        val content =
+          if (next % checkpointInterval(spark) == 0)
+            manifestContent(schema, base.txns, base.stats, base.files,
+              base.blooms, base.rows, base.partCols, op = "delete",
+              cdf = base.cdf, cdcAdd = cdcAdd,
+              mor = true, dels = base.dels ++ dels, addv = base.addv,
+              checks = base.checks, retired = base.retired,
+              pathpart = base.pathpart, aliases = base.aliases)
+          else deltaContent(schema, base.txns,
+            Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
+            base = base.version, partCols = base.partCols, op = "delete",
+            cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels,
+            checks = base.checks, retired = base.retired,
+            pathpart = base.pathpart, aliases = base.aliases)
+        if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+          writePointer(ctx, table, next)
+          return next
+        }
+        tries += 1
+        backoff(tries)
+        val fresh = latestState(spark, table).getOrElse(
+          throw new IllegalStateException(s"$table lost its manifests mid-commit"))
+        // interleaved appends: exempt via the gate; interleaved deletes
+        // of either flavor: both sets apply. Removed files or a schema
+        // change invalidate the recorded coordinates — recompute.
+        rebasing = st.files.forall(fresh.files.contains) &&
+          fresh.schema.map(_.json) == st.schema.map(_.json) &&
+          st.dels.forall(fresh.dels.contains)
+        if (rebasing) base = fresh
+      }
+      ctx.delete(new Path(s"$table/$dataDir"), true)
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"positional delete of $table lost the snapshot race 16 times")
+  }
+
   /** What an [[upsertMoR]] `compute` hands back, all derived from the
     * pinned snapshot it received:
     *   - `keyCols`: the equality-delete key columns
@@ -2695,7 +2887,8 @@ object TxnTable {
   private def planFiles(spark: SparkSession, table: String,
                         schema: org.apache.spark.sql.types.StructType,
                         rel: Seq[String], pathpart: Boolean,
-                        aliases: Map[String, Seq[String]] = Map.empty)
+                        aliases: Map[String, Seq[String]] = Map.empty,
+                        withIdentity: Boolean = false)
       : DataFrame = {
     // COLUMN MAPPING (zero-rewrite RENAME): a renamed column's bytes sit
     // under its OLD physical name in pre-rename files and the NEW name
@@ -2714,19 +2907,37 @@ object TxnTable {
       })
     def project(df: DataFrame): DataFrame =
       if (live.isEmpty) df
-      else df.select(schema.fields.map { f =>
+      else df.select((schema.fields.map { f =>
         live.get(f.name) match {
           case Some(as) =>
             org.apache.spark.sql.functions.coalesce(
               (f.name +: as).map(n => col(s"`$n`")): _*).as(f.name)
           case None => col(s"`${f.name}`")
         }
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq ++
+        (if (withIdentity) Seq(col(IdPathCol), col(IdPosCol)) else Nil)): _*)
     def scan(fs: Seq[String], withBase: Boolean) = {
       val r = spark.read.schema(scanSchema)
-      (if (withBase) r.option("basePath", table) else r)
+      val df = (if (withBase) r.option("basePath", table) else r)
         .parquet(fs.map(f => s"$table/$f"): _*)
+      // ROW IDENTITY for positional deletes: the parquet source's
+      // constant `_metadata` struct, materialized as plain columns so
+      // they survive union/project. file_path renders identically to
+      // Hadoop makeQualified of the same path — the rel↔absolute
+      // translation joins rely on that.
+      if (withIdentity)
+        df.select(col("*"),
+          col("_metadata.file_path").as(IdPathCol),
+          col("_metadata.row_index").as(IdPosCol))
+      else df
     }
+    val emptySchema =
+      if (!withIdentity) scanSchema
+      else org.apache.spark.sql.types.StructType(scanSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(IdPathCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(IdPosCol,
+          org.apache.spark.sql.types.LongType)))
     project(
       if (!pathpart) scan(rel, withBase = false)
       else {
@@ -2735,38 +2946,90 @@ object TxnTable {
           .collect { case (fs, withBase) if fs.nonEmpty => scan(fs, withBase) }
         if (legs.isEmpty)
           spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), scanSchema)
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), emptySchema)
         else legs.reduce(_ unionByName _)
       })
   }
 
-  /** `st`'s rows from `files` with every applicable equality delete
-    * subtracted: files are grouped by their applicable delete set (one
-    * group per distinct gate combination — at most #deletes + 1), each
-    * group anti-joins its deletes null-safely on the delete's key
-    * columns. The delete side is a handful of small parquet files —
-    * Catalyst broadcasts it, so the subtraction adds no shuffle. */
+  /** `st`'s rows from `files` with every applicable delete subtracted:
+    * files are grouped by their applicable delete set (one group per
+    * distinct gate combination — at most #deletes + 1); each group
+    * anti-joins its EQUALITY deletes null-safely on the delete's key
+    * columns, and its POSITIONAL deletes (`keyCols == [__pos__]`) on
+    * exact (file, row ordinal) identity from the parquet source's
+    * `_metadata` columns. Either delete side is a handful of small
+    * parquet files — Catalyst broadcasts it, so the subtraction adds
+    * no shuffle. With `withIdentity` the result additionally carries
+    * `__gpath` (absolute file path) and `__gpos` (row ordinal). */
   private def delAppliedRead(spark: SparkSession, table: String, st: State,
-                             files: Seq[String]): DataFrame = {
+                             files: Seq[String],
+                             withIdentity: Boolean = false): DataFrame = {
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"$table predates the schema log — cannot apply deletes"))
-    if (files.isEmpty)
+    if (files.isEmpty) {
+      val empty =
+        if (!withIdentity) schema
+        else org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(IdPathCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(IdPosCol,
+            org.apache.spark.sql.types.LongType)))
       return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), empty)
+    }
     def applicable(f: String): Seq[DelMeta] =
       st.dels.filter(_.version > st.addv.getOrElse(f, 0L))
     val groups = files.groupBy(applicable).toSeq.sortBy(_._2.head)
     groups.map { case (dels, fs) =>
-      var df = planFiles(spark, table, schema, fs, st.pathpart, st.aliases)
-      dels.foreach { d =>
+      val (posDels, eqDels) = dels.partition(_.keyCols == PosDelKeyCols)
+      val needId = withIdentity || posDels.nonEmpty
+      var df = planFiles(spark, table, schema, fs, st.pathpart, st.aliases,
+        withIdentity = needId)
+      eqDels.foreach { d =>
         val keySchema = org.apache.spark.sql.types.StructType(
           d.keyCols.map(k => schema(k)))
         val dd = spark.read.schema(keySchema).parquet(s"$table/${d.file}")
         val on = d.keyCols.map(k => df(s"`$k`") <=> dd(s"`$k`")).reduce(_ && _)
         df = df.join(dd, on, "left_anti")
       }
-      df
+      if (posDels.nonEmpty) {
+        // sidecars store TABLE-RELATIVE paths (stable across relocation
+        // and re-listing); translate to this read's absolute rendering
+        // via a driver-built map over the group's own file list —
+        // O(#files) metadata, broadcast by size
+        val qdf = relToAbs(spark, table, fs)
+        posDels.foreach { d =>
+          val dd = spark.read.schema(PosDelSchema).parquet(s"$table/${d.file}")
+            .join(qdf, col(PosFileCol) === col("_grel"))
+            .select(col("_gabs"), col(PosOrdCol).as("_dpos"))
+          df = df.join(dd,
+            df(IdPathCol) === dd("_gabs") && df(IdPosCol) === dd("_dpos"),
+            "left_anti")
+        }
+      }
+      if (needId && !withIdentity) df.drop(IdPathCol, IdPosCol) else df
     }.reduce(_ unionByName _)
+  }
+
+  /** (table-relative, absolute-as-Spark-renders-it) pairs for `rel`,
+    * as a small broadcastable frame — the bridge between positional
+    * sidecar entries and `_metadata.file_path`. */
+  private def relToAbs(spark: SparkSession, table: String,
+                       rel: Seq[String]): DataFrame = {
+    val fsys = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = rel.map { r =>
+      org.apache.spark.sql.Row(
+        r, fsys.makeQualified(new Path(s"$table/$r")).toString)
+    }
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_grel",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_gabs",
+        org.apache.spark.sql.types.StringType)))
+    org.apache.spark.sql.functions.broadcast(
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sch))
   }
 
   /** Rows of snapshot `version` restricted to `files` (absolute URIs or
@@ -2785,6 +3048,24 @@ object TxnTable {
       byBase.getOrElse(base, throw new IllegalStateException(
         s"file not in snapshot v$version of $table: $r"))
     }.distinct.sorted
+    if (st.dels.isEmpty)
+      planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases)
+    else delAppliedRead(spark, table, st, rel)
+  }
+
+  /** [[readSnapshotFiles]] for callers that already hold EXACT
+    * table-relative paths — no basename matching, which would collide
+    * on hive-partitioned layouts where every partition dir repeats
+    * `part-00000`-style names. */
+  private[graft] def readSnapshotFilesExact(spark: SparkSession,
+                                            table: String, version: Long,
+                                            rel: Seq[String]): DataFrame = {
+    val st = stateOf(spark, table, version)
+    val known = st.files.toSet
+    val unknown = rel.filterNot(known)
+    require(unknown.isEmpty,
+      s"files not in snapshot v$version of $table: ${unknown.mkString(", ")}")
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
         s"$table predates the schema log")), rel, st.pathpart, st.aliases)

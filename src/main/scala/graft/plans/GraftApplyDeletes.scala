@@ -81,6 +81,17 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
     val groups = ms.files.groupBy(applicable).toSeq.sortBy(_._2.head)
     if (groups.isEmpty) return LocalRelation(r.output) // all-deleted table
     val branches: Seq[LogicalPlan] = groups.map { case (dels, fs) =>
+      if (dels.exists(_.keyCols == TxnTable.PosDelKeyCols)) {
+        // POSITIONAL deletes subtract on (file, row ordinal) identity,
+        // which only the parquet file source's `_metadata` exposes —
+        // this group reads through the library's snapshot-file reader
+        // (both delete flavors applied there) spliced in as an analyzed
+        // subplan. Trade-off, mirroring merge-on-read economics: the
+        // group loses DSv2 stats/agg pushdown until OPTIMIZE
+        // materializes the vector; eq-only groups keep the fast path.
+        TxnTable.readSnapshotFilesExact(spark, t.tablePath, t.pinnedVersion, fs)
+          .queryExecution.analyzed
+      } else {
       val scan = subsetRelation(t, schema, fs)
       dels.foldLeft(scan: LogicalPlan) { (left, d) =>
         val keySchema = StructType(d.keyCols.map(k => schema(k)))
@@ -93,6 +104,7 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
             right.output.find(_.name == k).get)
         }.reduce[Expression](And(_, _))
         Join(left, right, LeftAnti, Some(cond), JoinHint.NONE)
+      }
       }
     }
     val combined = if (branches.size == 1) branches.head else Union(branches)

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TxnTable
+
+/** POSITIONAL deletion vectors: a delete commits (file, row-ordinal)
+  * coordinates instead of key tuples — removing exact physical rows
+  * (including SOME of several identical ones), version-gated and
+  * materialized by OPTIMIZE exactly like the equality flavor. */
+class MorPosSpec extends AnyFunSuite {
+  private lazy val spark = Spec.spark
+
+  private var n = 0
+  private def withZone(body: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pos").toFile
+    try body(s"${root.getAbsolutePath}/t")
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  private def state(table: String) =
+    TxnTable.morState(spark, table,
+      TxnTable.latestVersion(spark, table).get)
+
+  private def seed(table: String): Unit = {
+    import spark.implicits._
+    // duplicate rows on purpose: k repeats across two batches
+    val df = Seq.range(0L, 50L).map(k => (k, s"s${k % 10}", k % 5))
+      .toDF("k", "s", "g").repartitionByRange(4, $"k")
+    df.write.format("graft").option("statsCols", "k,g")
+      .option("mergeOnRead", "true").mode("overwrite").save(table)
+  }
+
+  test("deleteWherePos removes exactly the matched rows, zero data rewrite") {
+    withZone { table =>
+      seed(table)
+      val before = state(table).files.toSet
+      val v = TxnTable.deleteWherePos(spark, table, df => df("g") === 2)
+      assert(state(table).files.toSet == before, "no data file rewritten")
+      val d = state(table).dels
+      assert(d.size == 1 && d.head.keyCols == Seq(TxnTable.PosDelKey))
+      assert(d.head.rows == 10)
+      val left = spark.read.format("graft").load(table)
+      assert(left.count() == 40L)
+      assert(left.filter(col("g") === 2).count() == 0L)
+      // time travel below the delete still sees the rows
+      val past = spark.read.format("graft")
+        .option("versionAsOf", (v - 1).toString).load(table)
+      assert(past.count() == 50L)
+    }
+  }
+
+  test("keep-first dedup in place: only rank>1 duplicates of identical rows go") {
+    withZone { table =>
+      import spark.implicits._
+      // five identical (v=1) rows and five distinct others
+      val df = (Seq.fill(5)((1L, "dup")) ++ Seq.range(10L, 15L).map(k => (k, s"u$k")))
+        .toDF("v", "s").repartition(3)
+      df.write.format("graft").option("mergeOnRead", "true")
+        .mode("overwrite").save(table)
+      val rows = TxnTable.readWithRowIdentity(spark, table)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"v", $"s")
+        .orderBy(col(TxnTable.PosFileCol), col(TxnTable.PosOrdCol))
+      val losers = rows.withColumn("rn", row_number().over(w))
+        .filter($"rn" > 1)
+      TxnTable.deletePositions(spark, table, losers)
+      val left = spark.read.format("graft").load(table)
+      assert(left.count() == 6L, "one survivor per distinct row")
+      assert(left.filter($"v" === 1L).count() == 1L)
+      // equality deletes could NOT express this: all five v=1 rows are
+      // byte-identical; the positional vector names one survivor
+    }
+  }
+
+  test("version gate: rows appended after the delete survive matching coords") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      TxnTable.deleteWherePos(spark, table, df => df("g") === 0)
+      // re-insert rows that would have matched — new files, exempt
+      Seq((1000L, "s0", 0L)).toDF("k", "s", "g")
+        .write.format("graft").mode("append").save(table)
+      val left = spark.read.format("graft").load(table)
+      assert(left.filter($"g" === 0).count() == 1L)
+      assert(left.count() == 41L)
+    }
+  }
+
+  test("stale or unknown coordinates are ignored by deletePositions") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      val bogus = Seq(("w=nope/part-0.parquet", 3L), ("zzz", 99L))
+        .toDF(TxnTable.PosFileCol, TxnTable.PosOrdCol)
+      val v0 = TxnTable.latestVersion(spark, table).get
+      val v = TxnTable.deletePositions(spark, table, bogus)
+      assert(v == v0, "no-op delete must not commit")
+      assert(spark.read.format("graft").load(table).count() == 50L)
+    }
+  }
+
+  test("OPTIMIZE materializes positional deletes; vector dies with its files") {
+    withZone { table =>
+      seed(table)
+      TxnTable.deleteWherePos(spark, table, df => df("k") < 10)
+      assert(state(table).dels.nonEmpty)
+      TxnTable.compact(spark, table, targetFiles = 1)
+      val st = state(table)
+      // liveness rule: no surviving file predates the gate → entry dropped
+      assert(st.dels.isEmpty, "materialized vector must leave the manifest")
+      assert(spark.read.format("graft").load(table).count() == 40L)
+    }
+  }
+
+  test("positional and equality deletes compose on one table") {
+    withZone { table =>
+      seed(table)
+      TxnTable.deleteWhereMoR(spark, table, Seq("g"), df => df("g") === 4)
+      TxnTable.deleteWherePos(spark, table, df => df("k") === 0L)
+      val left = spark.read.format("graft").load(table)
+      assert(left.count() == 39L)
+      assert(left.filter(col("g") === 4).count() == 0L)
+      assert(left.filter(col("k") === 0L).count() == 0L)
+      val kinds = state(table).dels.map(_.keyCols).toSet
+      assert(kinds == Set(Seq("g"), Seq(TxnTable.PosDelKey)))
+    }
+  }
+
+  test("change feed records the positionally deleted rows") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      // turn CDF on via an append with the option
+      Seq((999L, "x", 9L)).toDF("k", "s", "g").write.format("graft")
+        .option("enableChangeFeed", "true").mode("append").save(table)
+      val since = TxnTable.latestVersion(spark, table).get
+      TxnTable.deleteWherePos(spark, table, df => df("k") === 7L)
+      val feed = TxnTable.changeFeed(spark, table, since, -1)
+      val del = feed.filter(col(TxnTable.ChangeTypeCol) === "delete")
+      assert(del.count() == 1L)
+      assert(del.select("k").as[Long].head() == 7L)
+    }
+  }
+
+  test("identity read round-trips relative paths on a partitioned table") {
+    withZone { table =>
+      import spark.implicits._
+      Seq.range(0L, 20L).map(k => (k, k % 2))
+        .toDF("k", "p").write.format("graft")
+        .option("partitionBy", "p").option("mergeOnRead", "true")
+        .mode("overwrite").save(table)
+      val rows = TxnTable.readWithRowIdentity(spark, table)
+      assert(rows.count() == 20L)
+      assert(rows.filter(col(TxnTable.PosFileCol).isNull).count() == 0L)
+      // every identity is unique
+      assert(rows.select(TxnTable.PosFileCol, TxnTable.PosOrdCol)
+        .distinct().count() == 20L)
+      TxnTable.deleteWherePos(spark, table, df => df("k") < 5)
+      assert(spark.read.format("graft").load(table).count() == 15L)
+    }
+  }
+}
