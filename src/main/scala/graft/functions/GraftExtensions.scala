@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_files"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_files"),
       graft.plans.GraftTableFunctions.files _))
+    e.injectTableFunction((FunctionIdentifier("graft_partitions"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_partitions"),
+      graft.plans.GraftTableFunctions.partitions _))
     // maintenance SQL (VACUUM / OPTIMIZE) — statements Spark's grammar
     // does not know; the delegating parser intercepts exactly those
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

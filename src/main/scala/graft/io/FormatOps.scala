@@ -3915,6 +3915,45 @@ object FormatOps {
       |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- k141
+  /** `SHOW PARTITIONS` as manifest arithmetic (`graft_partitions` table
+    * function): partition value-tuples with file/row/byte counts read
+    * from the commit log's per-file row counts — zero data-dir listing,
+    * zero data reads. The triage surface before a scoped OPTIMIZE /
+    * replaceWhere on a 100 TB partitioned table. Row counts are
+    * oracle-gated against a plain GROUP BY over the raw data. */
+  private def k141(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k141_parts")
+    try {
+      val table = s"$zone/li_txn"
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        .write.format("graft").option("partitionBy", "l_returnflag")
+        .mode("overwrite").save(table)
+      val parts = spark.sql(
+        s"SELECT partition, n_files, n_rows, bytes " +
+          s"FROM graft_partitions('$table')").collect()
+      require(parts.forall(r => !r.isNullAt(2) && r.getLong(3) > 0),
+        "graft-written files must carry row counts and bytes")
+      val result = spark.sql(
+        s"SELECT partition, n_rows FROM graft_partitions('$table') " +
+          "ORDER BY partition")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k141Sql =
+    """SELECT 'l_returnflag=' || l_returnflag AS partition,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY partition""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -3980,5 +4019,6 @@ object FormatOps {
     RQ("k137_runtime_file_pruning", k137, Some(k137Sql)),
     RQ("k138_bucketed_spj", k138, Some(k138Sql)),
     RQ("k139_generated_partition_spj", k139, Some(k139Sql)),
-    RQ("k140_pos_delete_vectors", k140, Some(k140Sql)))
+    RQ("k140_pos_delete_vectors", k140, Some(k140Sql)),
+    RQ("k141_show_partitions", k141, Some(k141Sql)))
 }

@@ -195,6 +195,54 @@ object GraftTableFunctions {
     LocalRelation(out, data)
   }
 
+  /** `graft_partitions(path[, version])` — `SHOW PARTITIONS`, manifest
+    * arithmetic only: one row per partition value-tuple with file
+    * count, row count (null if any file predates row tracking), and
+    * bytes. Values parse from the hive-layout path segments both write
+    * vintages produce (`__gp_<entry>=<v>` graft-written, `<col>=<v>`
+    * converted-in-place), so partition-spec evolution shows each
+    * vintage's real layout. At 100 TB this answers "which days are
+    * hot / small-filed / missing" without listing a single data dir —
+    * the triage query before a scoped OPTIMIZE or replaceWhere. */
+  def partitions(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "usage: graft_partitions(path[, version])")
+    val table = str(exprs.head, "path")
+    val spark = SparkSession.active
+    val v = if (exprs.length == 2) long(exprs(1), "version")
+      else TxnTable.latestVersion(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+    val fs = TxnTable.snapshotFiles(spark, table, v)
+    val rows = TxnTable.fileRows(spark, table, v)
+    val conf = spark.sessionState.newHadoopConf()
+    def partOf(f: String): String =
+      f.split('/').dropRight(1)
+        .filter(seg => seg.contains('=') && !seg.startsWith("w="))
+        .map(seg =>
+          if (seg.startsWith("__gp_")) seg.substring("__gp_".length) else seg)
+        .mkString("/")
+    val out = Seq(
+      AttributeReference("partition", StringType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("n_rows", LongType, nullable = true)(),
+      AttributeReference("bytes", LongType, nullable = false)())
+    val data = fs.groupBy(partOf).toSeq.sortBy(_._1).map { case (p, group) =>
+      val bytes = group.map { f =>
+        val hp = new org.apache.hadoop.fs.Path(s"$table/$f")
+        hp.getFileSystem(conf).getFileStatus(hp).getLen
+      }.sum
+      val counts = group.map(rows.get)
+      val r = new GenericInternalRow(4)
+      r.update(0, UTF8String.fromString(p))
+      r.setLong(1, group.size.toLong)
+      if (counts.forall(_.isDefined)) r.setLong(2, counts.flatten.sum)
+      else r.setNullAt(2) // any pre-rows file makes the count unknown
+      r.setLong(3, bytes)
+      r: InternalRow
+    }
+    LocalRelation(out, data)
+  }
+
   /** `graft_changes(path, start[, end])` — the change-feed relation,
     * (start, end] half-open like the reader options; end defaults to
     * the latest version at plan time. */

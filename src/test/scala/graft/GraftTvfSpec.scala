@@ -147,4 +147,34 @@ class GraftTvfSpec extends AnyFunSuite {
       assert(old == 4L)
     }
   }
+
+  test("graft_partitions aggregates the manifest per partition value") {
+    import spark.implicits._
+    withTable { table =>
+      Seq.range(0L, 90L).map(k => (k, (k % 3).toString))
+        .toDF("k", "p")
+        .write.format("graft").option("partitionBy", "p")
+        .mode("overwrite").save(table)
+      val rows = spark.sql(
+        s"SELECT * FROM graft_partitions('$table') ORDER BY partition")
+        .collect()
+      assert(rows.map(_.getAs[String]("partition")).toSeq ==
+        Seq("p=0", "p=1", "p=2"))
+      assert(rows.forall(_.getAs[Long]("n_rows") == 30L))
+      assert(rows.forall(_.getAs[Long]("n_files") >= 1L))
+      assert(rows.forall(_.getAs[Long]("bytes") > 0L))
+      // the partition spec is sticky: a plain append lands in its value dir
+      Seq((1000L, "9")).toDF("k", "p")
+        .write.format("graft").mode("append").save(table)
+      val all = spark.sql(
+        s"SELECT partition, n_rows FROM graft_partitions('$table')")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(all("p=9") == 1L && all("p=0") == 30L)
+      // the version argument pins an older snapshot's layout
+      val v1 = spark.sql(
+        s"SELECT count(*) FROM graft_partitions('$table', 1)")
+        .head().getLong(0)
+      assert(v1 == 3L)
+    }
+  }
 }
