@@ -126,4 +126,28 @@ class PlanShapeSpec extends AnyFunSuite {
       rm(new java.io.File(zone))
     }
   }
+
+  test("positional deletes subtract via a BROADCAST anti-join on row identity") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_planshape").toString
+    try {
+      import spark.implicits._
+      val table = s"$zone/t"
+      Seq.range(0L, 200L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .write.format("graft").option("statsCols", "k")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      TxnTable.deleteWherePos(spark, table, df => df("k") < 10L)
+      val plan = spark.read.format("graft").load(table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"positional subtraction must be a broadcast anti-join; plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"positional subtraction must not shuffle the data side; plan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
 }
