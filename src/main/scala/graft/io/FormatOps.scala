@@ -3954,6 +3954,62 @@ object FormatOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY partition""".stripMargin
 
+  // --------------------------------------------------------------- k142
+  /** ANALYZE TABLE → cost-based optimizer: one aggregate pass computes
+    * approx column NDV (HLL++, Spark's own ANALYZE sketch) into the
+    * advisory `_ndv` sidecar; the DSv2 scan reports it (with null
+    * counts from skipping stats) as V2 column statistics, which land in
+    * the CBO's attribute stats — the inputs join-order and join-size
+    * estimation need. REQUIREs pin: NDV within HLL tolerance of exact,
+    * and the optimizer actually SEEING distinctCount under
+    * spark.sql.cbo.enabled. The returned aggregate oracle-gates the
+    * post-ANALYZE read path. */
+  private def k142(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k142_cbo")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_nationkey")
+        .repartitionByRange(4, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(table)
+      val ndv = TxnTable.analyzeTable(spark, table)
+      val exact = spark.read.format("graft").load(table)
+        .agg(countDistinct($"c_custkey")).head().getLong(0)
+      require(math.abs(ndv("c_custkey") - exact) <= exact / 10 + 5,
+        s"NDV ${ndv("c_custkey")} too far from exact $exact")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val stats = spark.read.format("graft").load(table)
+          .queryExecution.optimizedPlan.collectFirst {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              r.stats
+          }.getOrElse(throw new IllegalStateException("no DSv2 scan"))
+        require(stats.attributeStats.exists { case (a, s) =>
+          a.name == "c_custkey" && s.distinctCount.isDefined },
+          "optimizer must see the analyzed distinct count")
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          countDistinct($"c_nationkey").cast("bigint").as("nations"))
+        .orderBy($"c_mktsegment")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k142Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nations
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4020,5 +4076,6 @@ object FormatOps {
     RQ("k138_bucketed_spj", k138, Some(k138Sql)),
     RQ("k139_generated_partition_spj", k139, Some(k139Sql)),
     RQ("k140_pos_delete_vectors", k140, Some(k140Sql)),
-    RQ("k141_show_partitions", k141, Some(k141Sql)))
+    RQ("k141_show_partitions", k141, Some(k141Sql)),
+    RQ("k142_analyze_cbo_stats", k142, Some(k142Sql)))
 }

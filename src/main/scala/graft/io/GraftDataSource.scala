@@ -857,7 +857,7 @@ private[io] class GraftScanBuilder(
       dataSchema, pushed.toSeq.flatMap(pruner.eqConstraints))
     new GraftScan(spark, table, version, dataSchema, required, pushed,
       chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen),
-      meta.stats, meta.rows)
+      meta.stats, meta.rows, TxnTable.ndvStats(spark, table, version))
   }
 
   /** STORAGE-PARTITIONED JOIN planning: for a graft-written table with
@@ -934,7 +934,8 @@ private[io] class GraftScan(
     partCols: Seq[String] = Nil, pathpart: Boolean = false,
     spjGroups: Option[Seq[(Array[Any], Seq[String])]] = None,
     fileStats: Map[String, Seq[TxnTable.FileStat]] = Map.empty,
-    fileRows: Map[String, Long] = Map.empty)
+    fileRows: Map[String, Long] = Map.empty,
+    ndv: Map[String, Long] = Map.empty)
     extends Scan with GraftScanFiles
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -961,6 +962,43 @@ private[io] class GraftScan(
       override def numRows(): java.util.OptionalLong =
         known.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      /** COLUMN stats for the CBO (`spark.sql.cbo.enabled`): NDV from
+        * the advisory `_ndv` sidecar (ANALYZE TABLE), null counts
+        * summed from the post-pruning files' skipping stats when every
+        * file tracks them. Distinct counts are what drive join-order
+        * and join-size estimation — at 100 TB the difference between
+        * building the hash side from the 25-key dimension and the
+        * billion-key fact. */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val fs = currentFiles
+        dataSchema.fieldNames.foreach { c =>
+          val perFile = fs.map(f =>
+            fileStats.getOrElse(f, Nil).find(_.col == c))
+          val nulls: Option[Long] =
+            if (fs.nonEmpty && perFile.forall(_.exists(_.nulls >= 0L)))
+              Some(perFile.flatten.map(_.nulls).sum)
+            else None
+          val d = ndv.get(c)
+          if (d.isDefined || nulls.isDefined)
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  d.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def nullCount(): java.util.OptionalLong =
+                  nulls.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+              })
+        }
+        m
+      }
     }
 
   // ---- RUNTIME FILE PRUNING (dynamic partition pruning for DSv2) ----

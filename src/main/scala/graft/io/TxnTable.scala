@@ -1107,6 +1107,76 @@ object TxnTable {
                version: Long): Map[String, Long] =
     stateOf(spark, table, version).rows
 
+  // ---- ANALYZE: advisory column NDV statistics for the CBO ----------
+  // `_ndv` is a small sidecar object next to the manifests (line 1:
+  // `version=<analyzed snapshot>`, then `<enc col>|<ndv>` lines). It is
+  // deliberately NOT part of the commit CAS: NDV is an optimizer
+  // ESTIMATE — losing or racing the write costs estimate quality,
+  // never correctness, so ANALYZE needs no snapshot race loop (the
+  // same advisory contract as Spark's own catalog stats, which go
+  // stale until the next ANALYZE).
+  private val NdvName = "_ndv"
+
+  /** Compute approx NDV (HyperLogLog++, Spark's own ANALYZE sketch) for
+    * `cols` (empty = every column) over the CURRENT snapshot — one
+    * aggregate pass, deletes applied — and persist the `_ndv` sidecar.
+    * Returns the computed map. */
+  def analyzeTable(spark: SparkSession, table: String,
+                   cols: Seq[String] = Nil): Map[String, Long] = {
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"$table predates the schema log"))
+    val targets = if (cols.isEmpty) schema.fieldNames.toSeq else cols
+    targets.foreach(c => require(schema.fieldNames.contains(c),
+      s"ANALYZE column '$c' is not a column of $table"))
+    val df = spark.read.format("graft")
+      .option("versionAsOf", st.version.toString).load(table)
+    val aggs = targets.map(c =>
+      org.apache.spark.sql.functions.approx_count_distinct(col(s"`$c`"))
+        .as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndv = targets.zipWithIndex.map { case (c, i) =>
+      c -> row.getLong(i)
+    }.toMap
+    val content = (s"version=${st.version}" +:
+      ndv.toSeq.sortBy(_._1).map { case (c, n) => s"${enc(c)}|$n" })
+      .mkString("", "\n", "\n")
+    val ctx = fc(spark)
+    val out = ctx.create(new Path(table, NdvName),
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    ndv
+  }
+
+  /** The analyzed NDV map applicable to snapshot `version`: empty when
+    * never analyzed, analyzed ABOVE the pinned version (a time-traveled
+    * read must not see future statistics), or unreadable. */
+  def ndvStats(spark: SparkSession, table: String,
+               version: Long): Map[String, Long] =
+    try {
+      val ctx = fc(spark)
+      val p = new Path(table, NdvName)
+      if (!ctx.util.exists(p)) return Map.empty
+      metaReads.incrementAndGet()
+      val in = ctx.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val lines = new String(bytes, UTF_8).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val analyzedV = lines.headOption
+        .filter(_.startsWith("version=")).map(_.stripPrefix("version=").toLong)
+        .getOrElse(return Map.empty)
+      if (analyzedV > version) return Map.empty
+      lines.tail.flatMap { l =>
+        l.split(java.util.regex.Pattern.quote("|")) match {
+          case Array(c, n) => Some(dec(c) -> n.toLong)
+          case _ => None
+        }
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** One snapshot's planner-facing metadata in a SINGLE manifest-chain
     * read — what the DSv2 scan builder consumes. The per-accessor
     * spellings above each re-walk the chain; a planner that needs

@@ -137,6 +137,10 @@ object GraftSqlParser {
   // adoption: manifest v1 over the existing files, zero rewrite
   private val ConvertStmt =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+('[^']+'|"[^"]+")\s*(?:STATS\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))*)\s*\)\s*)?;?\s*""".r
+  // ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL COLUMNS]
+  // — advisory column NDV for the CBO (TxnTable.analyzeTable)
+  private val AnalyzeStmt =
+    """(?is)\s*ANALYZE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+ALL\s+COLUMNS|FOR\s+COLUMNS\s+((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))*))?\s*;?\s*""".r
   // COPY INTO <target> FROM '<source dir>'
   //   [FILEFORMAT = parquet|csv|json] [PATTERN = '<glob>']
   private val CopyIntoStmt =
@@ -216,6 +220,10 @@ object GraftSqlParser {
       case ConvertStmt(target, stats) =>
         Some(GraftConvertCommand(unquote(target),
           Option(stats).toSeq.flatMap(_.split(",").toSeq)
+            .map(c => unquoteId(c.trim)).filter(_.nonEmpty)))
+      case AnalyzeStmt(target, cols) if graftTarget(target) =>
+        Some(GraftAnalyzeCommand(target,
+          Option(cols).toSeq.flatMap(_.split(",").toSeq)
             .map(c => unquoteId(c.trim)).filter(_.nonEmpty)))
       case CopyIntoStmt(target, source, format, pattern) if graftTarget(target) =>
         Some(GraftCopyIntoCommand(target, unquote(source),
@@ -359,6 +367,14 @@ case class GraftCloneCommand(target: String, source: String,
   override def output: Seq[Attribute] = Nil
 }
 
+/** ANALYZE TABLE … COMPUTE STATISTICS — one aggregate pass computing
+  * approx column NDV, persisted as the advisory `_ndv` sidecar the
+  * scan reports to the cost-based optimizer. Empty `cols` = all. */
+case class GraftAnalyzeCommand(target: String, cols: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 object GraftMaintenanceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftVacuumCommand(target, hours, keep) =>
@@ -431,6 +447,13 @@ object GraftMaintenanceStrategy extends SparkStrategy {
     case GraftConvertCommand(target, statsCols) =>
       GraftDmlExec(s"CONVERT TO GRAFT $target", () => {
         TxnTable.convert(SparkSession.active, target, statsCols)
+        ()
+      }) :: Nil
+    case GraftAnalyzeCommand(target, cols) =>
+      GraftDmlExec(s"ANALYZE TABLE $target", () => {
+        val spark = SparkSession.active
+        TxnTable.analyzeTable(spark,
+          GraftSqlParser.resolveTarget(spark, target), cols)
         ()
       }) :: Nil
     case GraftCopyIntoCommand(target, source, format, pattern) =>
