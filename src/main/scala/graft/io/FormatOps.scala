@@ -4010,6 +4010,59 @@ object FormatOps {
       |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nations
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- k143
+  /** POSITIONAL UPDATE (k140's DV flavor on the write-amplification
+    * path k118 covers with equality tuples): one commit appends ONLY
+    * the changed rows and supersedes the originals by exact (file, row
+    * ordinal) coordinates — original data files carry untouched
+    * (REQUIREd), and the post-update aggregate matches the oracle's
+    * CASE-rewritten view of the raw data. */
+  private def k143(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k143_posupd")
+    try {
+      val table = s"$zone/orders_txn"
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderpriority")
+        .repartitionByRange(8, $"o_orderkey")
+        .write.format("graft").option("statsCols", "o_orderkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.morState(spark, table, v1).files.toSet
+      TxnTable.updateWherePos(spark, table,
+        df => df("o_orderstatus") === "P",
+        Map("o_totalprice" -> ($"o_totalprice" + 1000.0)))
+      val st = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      require(before.subsetOf(st.files.toSet),
+        "positional update must carry every original data file")
+      require(st.dels.exists(_.keyCols == Seq(TxnTable.PosDelKey)),
+        "expected a live positional delete entry")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"o_totalprice".cast("decimal(38,6)")).cast("double")
+            .as("total"))
+        .orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k143Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
+      |    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4077,5 +4130,6 @@ object FormatOps {
     RQ("k139_generated_partition_spj", k139, Some(k139Sql)),
     RQ("k140_pos_delete_vectors", k140, Some(k140Sql)),
     RQ("k141_show_partitions", k141, Some(k141Sql)),
-    RQ("k142_analyze_cbo_stats", k142, Some(k142Sql)))
+    RQ("k142_analyze_cbo_stats", k142, Some(k142Sql)),
+    RQ("k143_pos_update", k143, Some(k143Sql)))
 }

@@ -2689,6 +2689,38 @@ object TxnTable {
       positionsOnly = Some(pos))
   }
 
+  /** POSITIONAL (deletion-vector) UPDATE: one commit appends the
+    * updated rows and records a positional delete of the originals by
+    * exact (file, row ordinal) coordinates — [[upsertMoR]]'s economics
+    * (write I/O = changed rows + a kilobyte vector) with no
+    * determinism contract on `cond` at all: it may sample, rank, or
+    * reference row identity, and it stays exact when matched rows are
+    * byte-identical duplicates (an equality tuple would supersede ALL
+    * copies; coordinates supersede exactly the matched ones). `set`
+    * values are cast to the column's declared type, like SQL UPDATE. */
+  def updateWherePos(spark: SparkSession, table: String,
+                     cond: DataFrame => org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column]): Long =
+    upsertMoR(spark, table, "update", (_, v) => {
+      val st = stateOf(spark, table, v)
+      val snap = readIdentityOf(spark, table, st)
+      val fields = st.schema.get.fields.toIndexedSeq
+      set.keys.foreach(c => require(fields.exists(_.name == c),
+        s"SET column '$c' is not a column of $table"))
+      val matched = snap.filter(cond(snap))
+      val updated = matched.select(fields.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(s"`${f.name}`"))
+      }: _*)
+      val changes = matched.drop(PosFileCol, PosOrdCol)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(
+          updated.withColumn(ChangeTypeCol, lit("update_postimage")))
+      Some(MorWrite(PosDelKeyCols,
+        matched.select(col(PosFileCol), col(PosOrdCol)),
+        Some(updated), Some(changes)))
+    })
+
   private def deletePosCore(spark: SparkSession, table: String,
                             compute: DataFrame => DataFrame,
                             positionsOnly: Option[DataFrame] = None)
@@ -2839,8 +2871,11 @@ object TxnTable {
       compute(snap, st.version) match {
         case None => return st.version
         case Some(mw) =>
-          mw.keyCols.foreach(k => require(schema.fieldNames.contains(k),
-            s"merge-on-read upsert key '$k' is not a column of $table"))
+          // positional tuples (keyCols == [__pos__]) name rows by
+          // coordinates, not by schema columns
+          if (mw.keyCols != PosDelKeyCols)
+            mw.keyCols.foreach(k => require(schema.fieldNames.contains(k),
+              s"merge-on-read upsert key '$k' is not a column of $table"))
           // appended rows are NEW data: the constraint gate applies
           // MoR merge can INSERT rows (identity refuses — only the
           // append path mints values); MoR update re-inserts modified
@@ -2867,7 +2902,10 @@ object TxnTable {
                   Nil, Map.empty[String, Seq[FileStat]],
                   Map.empty[String, Seq[BloomMeta]], Map.empty[String, Long])
             }
-          mw.tuples.select(mw.keyCols.map(k => col(s"`$k`")): _*)
+          mw.tuples.select(
+            (if (mw.keyCols == PosDelKeyCols)
+              Seq(col(PosFileCol), col(PosOrdCol))
+            else mw.keyCols.map(k => col(s"`$k`"))): _*)
             .distinct().coalesce(1)
             .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir/_del")
           val delFiles = {

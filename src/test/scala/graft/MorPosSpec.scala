@@ -150,6 +150,55 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("updateWherePos: changed rows append, originals supersede by coordinate") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      val before = state(table).files.toSet
+      TxnTable.updateWherePos(spark, table,
+        df => df("g") === 2, Map("s" -> lit("UPDATED")))
+      val st = state(table)
+      assert(before.subsetOf(st.files.toSet), "original files carry")
+      assert(st.files.size > before.size, "updated rows land as new files")
+      assert(st.dels.exists(_.keyCols == Seq(TxnTable.PosDelKey)))
+      val now = spark.read.format("graft").load(table)
+      assert(now.count() == 50L, "update must not change cardinality")
+      assert(now.filter($"s" === "UPDATED").count() == 10L)
+      assert(now.filter($"g" === 2 && $"s" =!= "UPDATED").count() == 0L)
+    }
+  }
+
+  test("updateWherePos can target SOME of byte-identical duplicates") {
+    withZone { table =>
+      import spark.implicits._
+      Seq.fill(5)((1L, "dup")).toDF("v", "s").coalesce(1)
+        .write.format("graft").option("mergeOnRead", "true")
+        .mode("overwrite").save(table)
+      // row identity in the predicate: update the first two copies only
+      TxnTable.updateWherePos(spark, table,
+        df => df(TxnTable.PosOrdCol) < 2L, Map("s" -> lit("first-two")))
+      val now = spark.read.format("graft").load(table)
+      assert(now.filter($"s" === "first-two").count() == 2L)
+      assert(now.filter($"s" === "dup").count() == 3L)
+    }
+  }
+
+  test("updateWherePos records pre/postimage in the change feed") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      Seq((999L, "x", 9L)).toDF("k", "s", "g").write.format("graft")
+        .option("enableChangeFeed", "true").mode("append").save(table)
+      val since = TxnTable.latestVersion(spark, table).get
+      TxnTable.updateWherePos(spark, table,
+        df => df("k") === 3L, Map("s" -> lit("u3")))
+      val feed = TxnTable.changeFeed(spark, table, since, -1)
+      val types = feed.groupBy(col(TxnTable.ChangeTypeCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(types == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
+    }
+  }
+
   test("identity read round-trips relative paths on a partitioned table") {
     withZone { table =>
       import spark.implicits._
