@@ -3563,12 +3563,18 @@ object TxnTable {
     *     written by the rewrite that knew which rows changed how
     * Maintenance commits (compact, restore) rewrite files without
     * changing content: all three lists empty. */
+  /** `posDels`: the commit's NEW positional delete entries — unlike
+    * equality deletes (a predicate whose matched rows are unrecoverable
+    * once superseded), coordinates are losslessly replayable against
+    * the prior snapshot, so the change feed reconstructs them lazily
+    * even when the table never enabled CDF. */
   final case class CommitChanges(
       version: Long,
       op: String,
       inserts: Seq[String],
       deletes: Seq[String],
-      cdc: Seq[String])
+      cdc: Seq[String],
+      posDels: Seq[DelMeta] = Nil)
 
   /** One line of table history: version, recorded commit wall-clock
     * (manifest `#ts=`, mtime for pre-#ts manifests), operation kind,
@@ -3641,12 +3647,29 @@ object TxnTable {
         CommitChanges(v, "overwrite", added, removed, Nil)
       case Some(o @ ("update" | "delete" | "merge" | "replace")) =>
         // a merge-on-read delete removes rows without removing files:
-        // its #del line marks it a change commit even with no -/+ lines
-        val delAdded = headers.exists(_.startsWith(DelPrefix))
+        // its NEW #del lines mark it a change commit even with no -/+
+        // lines (a full manifest also CARRIES older entries — those are
+        // not this commit's changes)
+        val delsHere = parseDels(headers)
+        val newDels =
+          if (isDelta) delsHere
+          else {
+            val prev =
+              if (v <= 1) Set.empty[DelMeta]
+              else stateOf(spark, table, v - 1).dels.toSet
+            delsHere.filterNot(prev)
+          }
         if (cdfOn || cdc.nonEmpty || cdcDel.nonEmpty)
           CommitChanges(v, o, Nil, cdcDel, cdc)
-        else if (removed.isEmpty && !delAdded)
+        else if (removed.isEmpty && newDels.isEmpty)
           CommitChanges(v, o, added, Nil, Nil) // pure-insert rewrite op
+        else if (removed.isEmpty &&
+            newDels.forall(_.keyCols == PosDelKeyCols))
+          // POSITIONAL deletes replay losslessly: the removed rows ARE
+          // the prior snapshot's rows at the recorded coordinates — no
+          // eager change data needed (equality deletes cannot do this:
+          // their matched rows are gone once files rewrite)
+          CommitChanges(v, o, added, Nil, Nil, posDels = newDels)
         else throw new IllegalStateException(
           s"$table v$v ($o) recorded no change data — the table did not " +
             "have the change data feed enabled when it was committed. " +
@@ -3715,8 +3738,34 @@ object TxnTable {
         // physical names — same alias coalesce as the data legs
         else Some(planFiles(spark, table, cdcSchema, cc.cdc,
           pathpart = false, aliases = untilSt.aliases))
-      (readAs(cc.inserts, "insert").toSeq ++
-        readAs(cc.deletes, "delete").toSeq ++ cdc.toSeq)
+      // LAZY positional replay (no CDF): the commit's removed rows are
+      // the PRIOR snapshot's rows at the recorded coordinates
+      val posReplayed =
+        if (cc.posDels.isEmpty) None
+        else {
+          val prior = stateOf(spark, table, v - 1)
+          val rows =
+            delAppliedRead(spark, table, prior, prior.files,
+              withIdentity = true)
+          val coords = cc.posDels.map(d =>
+            spark.read.schema(PosDelSchema).parquet(s"$table/${d.file}"))
+            .reduce(_ unionByName _)
+          val abs = coords.join(relToAbs(spark, table, prior.files),
+              col(PosFileCol) === col("_grel"))
+            .select(col("_gabs"), col(PosOrdCol).as("_dpos"))
+          val tpe = if (cc.op == "delete") "delete" else "update_preimage"
+          Some(rows.join(abs,
+              rows(IdPathCol) === abs("_gabs") &&
+                rows(IdPosCol) === abs("_dpos"), "left_semi")
+            .drop(IdPathCol, IdPosCol)
+            .withColumn(ChangeTypeCol, lit(tpe)))
+        }
+      val insertType =
+        if (cc.posDels.nonEmpty && cc.op != "delete") "update_postimage"
+        else "insert"
+      (readAs(cc.inserts, insertType).toSeq ++
+        readAs(cc.deletes, "delete").toSeq ++ cdc.toSeq ++
+        posReplayed.toSeq)
         .map(_.withColumn(CommitVersionCol, lit(v)))
     }
     if (frames.isEmpty)

@@ -199,6 +199,37 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("positional commits replay through the change feed WITHOUT CDF") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table) // CDF never enabled
+      val v0 = TxnTable.latestVersion(spark, table).get
+      TxnTable.deleteWherePos(spark, table, df => df("g") === 1)
+      val feed = TxnTable.changeFeed(spark, table, v0, -1)
+      val dels = feed.filter(col(TxnTable.ChangeTypeCol) === "delete")
+      assert(dels.count() == 10L)
+      assert(dels.select("g").distinct().as[Long].collect().toSeq == Seq(1L))
+      // positional update: preimage reconstructs, postimage = new files
+      val v1 = TxnTable.latestVersion(spark, table).get
+      TxnTable.updateWherePos(spark, table,
+        df => df("k") === 5L, Map("s" -> lit("lazy")))
+      val feed2 = TxnTable.changeFeed(spark, table, v1, -1)
+      val byType = feed2.groupBy(col(TxnTable.ChangeTypeCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map(
+        "update_preimage" -> 1L, "update_postimage" -> 1L))
+      assert(feed2.filter(col(TxnTable.ChangeTypeCol) === "update_preimage")
+        .select("s").as[String].head() == "s5")
+      // equality deletes stay unreconstructible — the contract holds
+      val v2 = TxnTable.latestVersion(spark, table).get
+      TxnTable.deleteWhereMoR(spark, table, Seq("g"), df => df("g") === 3)
+      val e = intercept[IllegalStateException] {
+        TxnTable.changeFeed(spark, table, v2, -1).collect()
+      }
+      assert(e.getMessage.contains("no change data"))
+    }
+  }
+
   test("identity read round-trips relative paths on a partitioned table") {
     withZone { table =>
       import spark.implicits._
