@@ -4063,6 +4063,63 @@ object FormatOps {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
       .stripMargin
 
+  // --------------------------------------------------------------- k144
+  /** `REORG TABLE … APPLY (PURGE)` — the bounded-I/O DV materialization
+    * (vs k117's full OPTIMIZE): rewrite ONLY the files a live delete
+    * touches. The positional vector here names rows in a strict subset
+    * of the range-partitioned files, and the REQUIREs prove every
+    * unaffected file carried BY PATH IDENTITY while the vector left
+    * the log — at 100 TB, purge cost tracks the delete's blast radius,
+    * not the table. */
+  private def k144(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k144_reorg")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .repartitionByRange(8, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.morState(spark, table, v1).files
+      val cut = spark.read.format("graft").load(table)
+        .agg(max($"c_custkey")).head().getLong(0) / 10L
+      TxnTable.deleteWherePos(spark, table, df => df("c_custkey") <= cut)
+      spark.sql(s"CREATE TABLE graft_k144_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("REORG TABLE graft_k144_t APPLY (PURGE)")
+        val st = TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get)
+        require(st.dels.isEmpty, "purge must materialize the vector away")
+        val carried = before.toSet.intersect(st.files.toSet)
+        require(carried.nonEmpty && carried.size < before.size,
+          s"purge must rewrite a strict subset: carried ${carried.size} " +
+            s"of ${before.size}")
+        val result = spark.sql(
+          """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k144_t
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k144_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k144Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE c_custkey > (SELECT CAST(FLOOR(MAX(c_custkey) / 10.0) AS BIGINT)
+      |                   FROM customer)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4131,5 +4188,6 @@ object FormatOps {
     RQ("k140_pos_delete_vectors", k140, Some(k140Sql)),
     RQ("k141_show_partitions", k141, Some(k141Sql)),
     RQ("k142_analyze_cbo_stats", k142, Some(k142Sql)),
-    RQ("k143_pos_update", k143, Some(k143Sql)))
+    RQ("k143_pos_update", k143, Some(k143Sql)),
+    RQ("k144_reorg_purge", k144, Some(k144Sql)))
 }

@@ -4397,6 +4397,19 @@ object TxnTable {
       opLabel = Some("compact"))
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` — Delta's DV purge: rewrite ONLY the
+    * files an applicable merge-on-read delete touches (equality deletes
+    * gate every older file; positional vectors name exactly theirs, so
+    * the candidate set narrows to those), materializing the subtraction
+    * and letting dead delete entries fall out of the log. A full
+    * OPTIMIZE rewrites the table; PURGE's I/O is bounded by the delete
+    * blast radius — on a 100 TB table with one hot partition's vectors
+    * that is the difference between an hour and a minute of rewrite.
+    * The rewrite keeps natural write parallelism (no coalesce). */
+  def reorgPurge(spark: SparkSession, table: String): Long =
+    compactSmall(spark, table, smallBytes = Long.MaxValue,
+      targetFiles = 0, checkpoint = true, purgeOnly = true)
+
   /** `OPTIMIZE … ZORDER BY (x, y)` — rewrite the snapshot clustered
     * along the Morton curve of the two columns (graft.ops.ZOrder: both
     * dimensions min/max-normalized to the 16-bit lane, range-partition
@@ -4470,7 +4483,8 @@ object TxnTable {
                    scope: Option[(String, Any, Any)] = None,
                    transform: Option[DataFrame => DataFrame] = None,
                    extraStatsCols: Seq[String] = Nil,
-                   opName: String = "compact"): Long = {
+                   opName: String = "compact",
+                   purgeOnly: Boolean = false): Long = {
     val ctx = fc(spark)
     var attempt = 0
     while (attempt < 16) {
@@ -4486,9 +4500,33 @@ object TxnTable {
           val b = boundRange(lo, hi, schema(c).dataType)
           f => st.stat(f, c).exists(s => s.nulls == 0L && s.containedIn(b))
       }
-      val small = st.files.filter(f => inScope(f) &&
-        ctx.getFileStatus(new Path(s"$table/$f")).getLen < smallBytes)
-      if (small.size <= 1) return st.version // nothing worth packing
+      // REORG/PURGE: per-vector named-file sets. Equality deletes gate
+      // every older file; positional vectors NAME their files — one
+      // kilobyte-scale distinct scan per sidecar narrows the rewrite to
+      // exactly those (settled files untouched), and lets an exhausted
+      // vector (every named file rewritten) drop from the log even
+      // while unrelated older files remain under its gate.
+      val posNamedByDel: Map[String, Set[String]] =
+        if (!purgeOnly) Map.empty
+        else st.dels.filter(_.keyCols == PosDelKeyCols).map { d =>
+          d.file -> spark.read.schema(PosDelSchema)
+            .parquet(s"$table/${d.file}")
+            .select(PosFileCol).distinct()
+            .collect().map(_.getString(0)).toSet
+        }.toMap
+      val small =
+        if (purgeOnly) {
+          val posNamed = posNamedByDel.values.flatten.toSet
+          st.files.filter { f =>
+            val ds = st.dels.filter(_.version > st.addv.getOrElse(f, 0L))
+            ds.exists(_.keyCols != PosDelKeyCols) ||
+              (ds.exists(_.keyCols == PosDelKeyCols) && posNamed.contains(f))
+          }
+        } else st.files.filter(f => inScope(f) &&
+          ctx.getFileStatus(new Path(s"$table/$f")).getLen < smallBytes)
+      // purge rewrites even a single affected file; packing needs ≥ 2
+      if (if (purgeOnly) small.isEmpty else small.size <= 1)
+        return st.version
       val carried = st.files.filterNot(small.toSet)
       val trackedCols =
         (st.stats.values.flatten.map(_.col).toSet ++ extraStatsCols)
@@ -4502,8 +4540,12 @@ object TxnTable {
           planFiles(spark, table, schema, small, st.pathpart, st.aliases)
         else delAppliedRead(spark, table, st, small)
       // `transform` (scoped ZORDER) owns its own output layout; plain
-      // compaction bin-packs into targetFiles
-      val packed = transform.fold(source.coalesce(targetFiles))(_(source))
+      // compaction bin-packs into targetFiles; targetFiles <= 0 keeps
+      // the source's natural parallelism (a purge of N files scattered
+      // across a 100 TB table must not serialize through one task)
+      val packed = transform.fold(
+        if (targetFiles > 0) source.coalesce(targetFiles) else source)(
+        _(source))
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
         writeData(packed, table, trackedCols, trackedBlooms, st.partCols)
       val files = carried ++ newFiles
@@ -4522,8 +4564,15 @@ object TxnTable {
             op = opName, cdf = st.cdf, mor = st.mor,
             dels = {
               val addvAll = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap
-              st.dels.filter(d =>
-                files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
+              val present = files.toSet
+              st.dels.filter { d =>
+                files.exists(f => addvAll.getOrElse(f, 0L) < d.version) &&
+                  // an exhausted positional vector (purge rewrote every
+                  // file it names) is dead even under a live gate
+                  (!purgeOnly || d.keyCols != PosDelKeyCols ||
+                    posNamedByDel.getOrElse(d.file, Set.empty)
+                      .exists(present))
+              }
             },
             addv = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap,
             checks = st.checks, retired = st.retired,

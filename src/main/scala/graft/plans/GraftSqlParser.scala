@@ -137,6 +137,10 @@ object GraftSqlParser {
   // adoption: manifest v1 over the existing files, zero rewrite
   private val ConvertStmt =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+('[^']+'|"[^"]+")\s*(?:STATS\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))*)\s*\)\s*)?;?\s*""".r
+  // REORG TABLE <t> APPLY (PURGE) — rewrite only delete-affected files,
+  // materializing merge-on-read vectors (TxnTable.reorgPurge)
+  private val ReorgStmt =
+    """(?is)\s*REORG\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   // ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL COLUMNS]
   // — advisory column NDV for the CBO (TxnTable.analyzeTable)
   private val AnalyzeStmt =
@@ -221,6 +225,8 @@ object GraftSqlParser {
         Some(GraftConvertCommand(unquote(target),
           Option(stats).toSeq.flatMap(_.split(",").toSeq)
             .map(c => unquoteId(c.trim)).filter(_.nonEmpty)))
+      case ReorgStmt(target) if graftTarget(target) =>
+        Some(GraftReorgCommand(target))
       case AnalyzeStmt(target, cols) if graftTarget(target) =>
         Some(GraftAnalyzeCommand(target,
           Option(cols).toSeq.flatMap(_.split(",").toSeq)
@@ -375,6 +381,12 @@ case class GraftAnalyzeCommand(target: String, cols: Seq[String])
   override def output: Seq[Attribute] = Nil
 }
 
+/** REORG TABLE … APPLY (PURGE) — rewrite only delete-affected files. */
+case class GraftReorgCommand(target: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 object GraftMaintenanceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftVacuumCommand(target, hours, keep) =>
@@ -454,6 +466,13 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val spark = SparkSession.active
         TxnTable.analyzeTable(spark,
           GraftSqlParser.resolveTarget(spark, target), cols)
+        ()
+      }) :: Nil
+    case GraftReorgCommand(target) =>
+      GraftDmlExec(s"REORG TABLE $target", () => {
+        val spark = SparkSession.active
+        TxnTable.reorgPurge(spark,
+          GraftSqlParser.resolveTarget(spark, target))
         ()
       }) :: Nil
     case GraftCopyIntoCommand(target, source, format, pattern) =>

@@ -230,6 +230,42 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("REORG PURGE rewrites only the files a positional vector names") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table) // 4 range-partitioned files over k = 0..49
+      // the vector names rows in the FIRST range file only
+      TxnTable.deleteWherePos(spark, table, df => df("k") < 5)
+      val before = state(table).files
+      val v = TxnTable.reorgPurge(spark, table)
+      val st = state(table)
+      assert(st.dels.isEmpty, "purge must materialize the vector away")
+      val carried = before.toSet.intersect(st.files.toSet)
+      assert(carried.size == before.size - 1,
+        s"exactly one affected file rewrites; carried=${carried.size} " +
+          s"of ${before.size}")
+      val left = spark.read.format("graft").load(table)
+      assert(left.count() == 45L)
+      assert(left.filter($"k" < 5).count() == 0L)
+      // idempotent: a second purge is a provable no-op
+      assert(TxnTable.reorgPurge(spark, table) == v)
+    }
+  }
+
+  test("SQL REORG TABLE ... APPLY (PURGE) routes to the purge") {
+    withZone { table =>
+      seed(table)
+      TxnTable.deleteWherePos(spark, table, df => df("g") === 0)
+      spark.sql(s"CREATE TABLE pos_reorg_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("REORG TABLE pos_reorg_t APPLY (PURGE)")
+        assert(state(table).dels.isEmpty)
+        assert(spark.sql("SELECT count(*) FROM pos_reorg_t")
+          .head().getLong(0) == 40L)
+      } finally spark.sql("DROP TABLE pos_reorg_t")
+    }
+  }
+
   test("identity read round-trips relative paths on a partitioned table") {
     withZone { table =>
       import spark.implicits._
