@@ -122,8 +122,15 @@ object GraftTableFunctions {
         nullable = false)(),
       AttributeReference("column_aliases", StringType, nullable = false)(),
       AttributeReference("generated_columns", StringType, nullable = false)(),
-      AttributeReference("identity_column", StringType, nullable = false)())
-    val r = new GenericInternalRow(13)
+      AttributeReference("identity_column", StringType, nullable = false)(),
+      // merge-on-read read amplification at a glance: live delete
+      // entries (either flavor) and their recorded row counts — the
+      // numbers that say "time to REORG ... APPLY (PURGE)"
+      AttributeReference("num_delete_files", LongType, nullable = false)(),
+      AttributeReference("num_delete_rows", LongType, nullable = false)(),
+      // ANALYZE freshness: which columns carry CBO NDV at this version
+      AttributeReference("analyzed_columns", StringType, nullable = false)())
+    val r = new GenericInternalRow(16)
     r.update(0, UTF8String.fromString("graft"))
     r.update(1, UTF8String.fromString(table))
     r.setLong(2, v)
@@ -148,6 +155,13 @@ object GraftTableFunctions {
         .map(d => s"${d.col} START ${d.start} STEP ${d.step}" +
           d.hwm.map(h => s" HWM $h").getOrElse(""))
         .getOrElse("")))
+    val ms = TxnTable.morState(spark, table, v)
+    val liveDels = ms.dels.filter(d =>
+      ms.files.exists(f => ms.addv.getOrElse(f, 0L) < d.version))
+    r.setLong(13, liveDels.size.toLong)
+    r.setLong(14, liveDels.map(_.rows).sum)
+    r.update(15, UTF8String.fromString(
+      TxnTable.ndvStats(spark, table, v).keys.toSeq.sorted.mkString(",")))
     LocalRelation(out, Seq(r: InternalRow))
   }
 

@@ -43,6 +43,15 @@ class GraftTvfSpec extends AnyFunSuite {
       assert(d.getAs[String]("column_aliases") == "")
       assert(d.getAs[String]("generated_columns") == "")
       assert(d.getAs[String]("identity_column") == "")
+      assert(d.getAs[Long]("num_delete_files") == 0L)
+      assert(d.getAs[String]("analyzed_columns") == "")
+      // a positional delete and an ANALYZE surface in the detail row
+      TxnTable.deleteWherePos(spark, table, df => df("v") > 1.5)
+      TxnTable.analyzeTable(spark, table, Seq("v"))
+      val dd = spark.sql(s"DESCRIBE DETAIL '$table'").head()
+      assert(dd.getAs[Long]("num_delete_files") == 1L)
+      assert(dd.getAs[Long]("num_delete_rows") == 1L)
+      assert(dd.getAs[String]("analyzed_columns") == "v")
       // layout states surface after a rename (id: no constraint on it)
       TxnTable.renameColumn(spark, table, "id", "row_id")
       val d2 = spark.sql(s"DESCRIBE DETAIL '$table'").head()
