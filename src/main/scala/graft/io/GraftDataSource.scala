@@ -983,8 +983,30 @@ private[io] class GraftScan(
             if (fs.nonEmpty && perFile.forall(_.exists(_.nulls >= 0L)))
               Some(perFile.flatten.map(_.nulls).sum)
             else None
+          // global min/max folded from the per-file skipping stats —
+          // complete coverage only (a statless file voids the bound),
+          // typed to the column's CATALYST value class so the CBO's
+          // range-selectivity estimation can consume them directly
+          val minMax: Option[(Any, Any)] =
+            if (fs.isEmpty || !perFile.forall(_.exists(_.kind == "num")))
+              None
+            else {
+              import org.apache.spark.sql.types._
+              val vals = perFile.flatten
+              val lo = vals.map(_.min).min
+              val hi = vals.map(_.max).max
+              dataSchema(c).dataType match {
+                case LongType if math.abs(lo) < 9.0e15 && math.abs(hi) < 9.0e15 =>
+                  Some((Long.box(lo.toLong), Long.box(hi.toLong)))
+                case IntegerType => Some((Int.box(lo.toInt), Int.box(hi.toInt)))
+                case ShortType => Some((Short.box(lo.toShort), Short.box(hi.toShort)))
+                case DoubleType => Some((Double.box(lo), Double.box(hi)))
+                case FloatType => Some((Float.box(lo.toFloat), Float.box(hi.toFloat)))
+                case _ => None
+              }
+            }
           val d = ndv.get(c)
-          if (d.isDefined || nulls.isDefined)
+          if (d.isDefined || nulls.isDefined || minMax.isDefined)
             m.put(org.apache.spark.sql.connector.expressions.Expressions
               .column(c),
               new org.apache.spark.sql.connector.read.colstats
@@ -995,6 +1017,14 @@ private[io] class GraftScan(
                 override def nullCount(): java.util.OptionalLong =
                   nulls.map(java.util.OptionalLong.of)
                     .getOrElse(java.util.OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  minMax.map(m => java.util.Optional.of(
+                    m._1.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  minMax.map(m => java.util.Optional.of(
+                    m._2.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
               })
         }
         m

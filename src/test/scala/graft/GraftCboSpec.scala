@@ -84,6 +84,33 @@ class GraftCboSpec extends AnyFunSuite {
     }
   }
 
+  test("folded min/max reach the CBO and shrink range-filter estimates") {
+    withZone { table =>
+      seed(table)
+      TxnTable.analyzeTable(spark, table)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val base = spark.read.format("graft").load(table)
+        val scanStats = base.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.stats
+        }.get
+        val k = scanStats.attributeStats.collectFirst {
+          case (a, s) if a.name == "k" => s
+        }.get
+        assert(k.min.contains(0L) && k.max.contains(999L),
+          s"k bounds: min=${k.min} max=${k.max}")
+        // the estimator now prices `k < 100` at ~10% of the table,
+        // not the no-stats default
+        val filtered = spark.read.format("graft").load(table)
+          .filter(col("k") < 100L)
+        val est = filtered.queryExecution.optimizedPlan.stats.rowCount
+        assert(est.exists(r => r >= BigInt(50) && r <= BigInt(200)),
+          s"range-filter estimate should be ~100 of 1000 rows, got $est")
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    }
+  }
+
   test("time travel below the analyzed version must not see future NDV") {
     withZone { table =>
       import spark.implicits._
