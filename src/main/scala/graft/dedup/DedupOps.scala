@@ -733,7 +733,7 @@ object DedupOps {
     RQ("d43_passage_dedup", d43, Some(d43Sql)),
     RQ("d44_decontaminate", d44, Some(d44Sql)),
     RQ("d45_boilerplate_purge", d45, Some(d45Sql)),
-    RQ("d46_dedup_inplace", d46, Some(d46Sql)))
+    RQ("d46_dedup_inplace", d46, Some(d46Sql), bench = true))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free

@@ -972,10 +972,17 @@ private[io] class GraftScan(
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        // memoized per file set: plan stats are visited repeatedly
+        // (CBO, AQE re-planning) and the fold is O(files × columns)
+        val fsNow = currentFiles
+        colStatsCache match {
+          case Some((k, v)) if k eq fsNow => return v
+          case _ => ()
+        }
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        val fs = currentFiles
+        val fs = fsNow
         dataSchema.fieldNames.foreach { c =>
           val perFile = fs.map(f =>
             fileStats.getOrElse(f, Nil).find(_.col == c))
@@ -1027,9 +1034,14 @@ private[io] class GraftScan(
                     .getOrElse(java.util.Optional.empty[Object]())
               })
         }
+        colStatsCache = Some((fsNow, m))
         m
       }
     }
+
+  @volatile private var colStatsCache: Option[(Seq[String], java.util.Map[
+    org.apache.spark.sql.connector.expressions.NamedReference,
+    org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None
 
   // ---- RUNTIME FILE PRUNING (dynamic partition pruning for DSv2) ----
   // Spark turns a broadcast join's build-side values into runtime
