@@ -266,6 +266,37 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("positional delete racing appends: CAS rebase keeps both outcomes") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      val ex = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val appends = (1 to 6).map { i =>
+          ex.submit(new Runnable {
+            override def run(): Unit =
+              Seq((1000L + i, s"app$i", 999L)).toDF("k", "s", "g")
+                .coalesce(1).write.format("graft").mode("append").save(table)
+          })
+        }
+        val del = ex.submit(new Runnable {
+          override def run(): Unit = {
+            TxnTable.deleteWherePos(spark, table, df => df("g") === 2)
+            ()
+          }
+        })
+        (appends :+ del).foreach(_.get())
+      } finally ex.shutdown()
+      val now = spark.read.format("graft").load(table)
+      // all six appends land; the delete removes exactly its 10 rows
+      // (g=999 appends never match the predicate, so the outcome is
+      // deterministic whatever interleaving the CAS saw)
+      assert(now.count() == 46L, s"got ${now.count()}")
+      assert(now.filter($"g" === 2).count() == 0L)
+      assert(now.filter($"g" === 999L).count() == 6L)
+    }
+  }
+
   test("identity read round-trips relative paths on a partitioned table") {
     withZone { table =>
       import spark.implicits._
