@@ -115,6 +115,10 @@ object GraftSqlParser {
     """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   private val DetailStmt =
     """(?is)\s*DESCRIBE\s+DETAIL\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
+  // SHOW PARTITIONS — intercepted ONLY for graft targets (Spark's own
+  // grammar owns the statement for v1 catalog tables)
+  private val ShowPartitionsStmt =
+    """(?is)\s*SHOW\s+PARTITIONS\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   // ALTER TABLE family — intercepted ONLY when the target is a graft
   // table (quoted path, or identifier resolving to provider=graft);
   // every other ALTER TABLE falls through to Spark's own grammar.
@@ -205,6 +209,11 @@ object GraftSqlParser {
             resolveTarget(SparkSession.active, target)))))
       case DetailStmt(target) =>
         Some(GraftTableFunctions.detail(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            resolveTarget(SparkSession.active, target)))))
+      case ShowPartitionsStmt(target) if graftTarget(target) =>
+        // metadata-eager, shares rows with the graft_partitions TVF
+        Some(GraftTableFunctions.partitions(Seq(
           org.apache.spark.sql.catalyst.expressions.Literal(
             resolveTarget(SparkSession.active, target)))))
       case AlterAddCheckStmt(target, name, expr) if graftTarget(target) =>

@@ -184,6 +184,10 @@ class GraftTvfSpec extends AnyFunSuite {
         s"SELECT count(*) FROM graft_partitions('$table', 1)")
         .head().getLong(0)
       assert(v1 == 3L)
+      // the SHOW PARTITIONS statement spelling shares the rows
+      val shown = spark.sql(s"SHOW PARTITIONS '$table'")
+        .collect().map(_.getAs[String]("partition")).sorted.toSeq
+      assert(shown == Seq("p=0", "p=1", "p=2", "p=9"))
     }
   }
 }
