@@ -531,6 +531,44 @@ object Text2Ops {
       |  (s / norm) / nat_share AS weight
       |FROM sh, nm ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t52
+  /** GROUP-AWARE train/eval split — the leakage-safe form of a37's
+    * row-hash split: the split unit is the SOURCE, not the document.
+    * Near-duplicates cluster within a source (mirrors, templates,
+    * boilerplate), so hashing per document leaks eval n-grams into
+    * train through a sibling copy; hashing the group key puts every
+    * document of a source on one side by construction. Portable split:
+    * first hex digit of md5(source) (the cross-engine-stable hash a37
+    * established), 12/16 → train. Scale shape: the decision is a pure
+    * projection — the group key is already ON the row, so group-aware
+    * costs no join and no shuffle beyond the reporting aggregate. */
+  private def t52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = when(
+      instr(lit("0123456789abcdef"),
+        substring(md5($"source"), 1, 1)) <= 12, "train")
+      .otherwise("eval")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("split", split)
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct($"source").cast("bigint").as("n_sources"),
+        sum($"doc_id").cast("bigint").as("id_sum"))
+      .orderBy($"split")
+  }
+  private val t52Sql =
+    """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CASE WHEN STRPOS('0123456789abcdef', SUBSTR(MD5(source), 1, 1)) <= 12
+      |         THEN 'train' ELSE 'eval' END AS split
+      |  FROM documents) t
+      |GROUP BY split ORDER BY split""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -542,5 +580,6 @@ object Text2Ops {
     RQ("t48_token_budget", t48, Some(t48Sql), bench = true),
     RQ("t49_unigram_logprob", t49, Some(t49Sql), bench = true),
     RQ("t50_shuffled_pack", t50, Some(t50Sql)),
-    RQ("t51_domain_mix_weights", t51, Some(t51Sql)))
+    RQ("t51_domain_mix_weights", t51, Some(t51Sql)),
+    RQ("t52_group_split", t52, Some(t52Sql)))
 }
