@@ -297,6 +297,32 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("two concurrent positional deletes both land; both vectors apply") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      val ex = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val a = ex.submit(new Runnable {
+          override def run(): Unit = {
+            TxnTable.deleteWherePos(spark, table, df => df("g") === 1); ()
+          }
+        })
+        val b = ex.submit(new Runnable {
+          override def run(): Unit = {
+            TxnTable.deleteWherePos(spark, table, df => df("g") === 2); ()
+          }
+        })
+        a.get(); b.get()
+      } finally ex.shutdown()
+      val now = spark.read.format("graft").load(table)
+      assert(now.count() == 30L)
+      assert(now.filter($"g" === 1 || $"g" === 2).count() == 0L)
+      assert(state(table).dels.size == 2,
+        "both vectors must survive the race (CAS rebase, not clobber)")
+    }
+  }
+
   test("identity read round-trips relative paths on a partitioned table") {
     withZone { table =>
       import spark.implicits._
