@@ -96,6 +96,15 @@ object GraftCdc {
       }
     ((since + 1L) to until).foreach { v =>
       val cc = TxnTable.commitChanges(spark, table, v)
+      // lazy positional replay needs a (prior snapshot ⋈ coordinates)
+      // join, which this file-wrapping planner cannot express — refuse
+      // LOUDLY rather than silently omitting the commit's deletes (the
+      // batch library API, TxnTable.changeFeed, does replay them)
+      require(cc.posDels.isEmpty,
+        s"$table v$v is a positional-delete commit on a table without " +
+          "the change data feed; the DSv2 readChangeFeed path cannot " +
+          "replay it — use TxnTable.changeFeed (batch replay) or " +
+          "enable CDF (enableChangeFeed=true) before such commits")
       add(cc.inserts, base, "insert", v)
       add(cc.deletes, base, "delete", v)
       add(cc.cdc, cdcSchema, null, v)

@@ -220,6 +220,14 @@ class MorPosSpec extends AnyFunSuite {
         "update_preimage" -> 1L, "update_postimage" -> 1L))
       assert(feed2.filter(col(TxnTable.ChangeTypeCol) === "update_preimage")
         .select("s").as[String].head() == "s5")
+      // the DSv2 readChangeFeed path cannot express the replay join —
+      // it must refuse LOUDLY, never silently omit the deletes
+      val dsv2 = intercept[Exception] {
+        spark.read.format("graft").option("readChangeFeed", "true")
+          .option("startingVersion", v0.toString).load(table).collect()
+      }
+      assert(dsv2.getMessage.contains("positional-delete commit"),
+        s"got: ${dsv2.getMessage}")
       // equality deletes stay unreconstructible — the contract holds
       val v2 = TxnTable.latestVersion(spark, table).get
       TxnTable.deleteWhereMoR(spark, table, Seq("g"), df => df("g") === 3)
