@@ -746,9 +746,9 @@ object DedupOps {
     * kilobyte-scale sidecars instead of rewriting data files (REQUIREd
     * here), with OPTIMIZE materializing later. Scale shape: one
     * identity read (zero extra I/O — parquet `_metadata`), one window
-    * shuffle keyed by the text (at real scale you'd key by a content
-    * hash to shrink shuffle rows — same plan), one broadcast anti-join
-    * at read. */
+    * shuffle keyed by `xxhash64(text)` (8-byte shuffle/sort key;
+    * collisions resolved exactly by a text tiebreak inside the
+    * bucket), one broadcast anti-join at read. */
   private def d46(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.io.TxnTable
@@ -763,9 +763,17 @@ object DedupOps {
       val v1 = TxnTable.latestVersion(spark, table).get
       val before = TxnTable.morState(spark, table, v1).files.toSet
       val rows = TxnTable.readWithRowIdentity(spark, table)
-      val w = Window.partitionBy($"text").orderBy($"doc_id")
-      val losers = rows.withColumn("rn", row_number().over(w))
-        .filter($"rn" > 1)
+      // window keyed on xxhash64(text), NOT the text itself: the
+      // exchange ships the same rows either way, but hashing/comparing
+      // an 8-byte key beats multi-KB strings as the shuffle and sort
+      // key at corpus scale. Hash collisions are exact-safe: rows sort
+      // by (text, doc_id) within the bucket and a row is a loser iff
+      // its PREDECESSOR carries the same text — the first row of each
+      // text run (the min doc_id) survives.
+      val w = Window.partitionBy(xxhash64($"text"))
+        .orderBy($"text", $"doc_id")
+      val losers = rows.withColumn("_prev", lag($"text", 1).over(w))
+        .filter($"_prev" === $"text")
       TxnTable.deletePositions(spark, table, losers)
       val st = TxnTable.morState(spark, table,
         TxnTable.latestVersion(spark, table).get)

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, date_format, hash, input_file_name, lit, max, min, not, pmod, trunc}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, date_format, hash, input_file_name, lit, max, min, not, pmod, raise_error, trunc, when}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Minimal TRANSACTIONAL parquet table: per-version FILE MANIFESTS whose
@@ -762,9 +762,30 @@ object TxnTable {
     * readers subtract them (null-safe anti-join) from every data file
     * whose add version is strictly below `version` — files added later
     * are exempt, so re-inserted rows survive. `rows` = tuple count
-    * (informational). */
+    * (informational).
+    *
+    * `named` (positional vectors only): the table-relative data files
+    * the vector's coordinates actually reference, recorded at commit
+    * time. A positional delete can only remove rows of files it
+    * names, so readers restrict the identity subtraction — and its
+    * fast-path cost — to exactly those files: on a 100 TB table a
+    * kilobyte vector touching two files knocks only those two off the
+    * stats-pruned DSv2 path instead of every file under its gate.
+    * Empty = unknown (legacy manifest, or the vector named more files
+    * than `graft.txn.posNamedLimit`) → readers fall back to gating
+    * every file under the version gate, which is always sound. */
   final case class DelMeta(file: String, version: Long,
-                           keyCols: Seq[String], rows: Long)
+                           keyCols: Seq[String], rows: Long,
+                           named: Seq[String] = Nil) {
+    /** May this delete remove rows of data file `f` (added at version
+      * `addedAt`)? The version gate applies to both flavors; a
+      * positional vector with a recorded file list additionally gates
+      * only the files it names. */
+    def gates(f: String, addedAt: Long): Boolean =
+      version > addedAt &&
+        (keyCols != PosDelKeyCols || named.isEmpty || namedSet(f))
+    @transient private lazy val namedSet: Set[String] = named.toSet
+  }
 
   /** Sentinel `keyCols` marking a POSITIONAL delete file — the
     * deletion-vector flavor proper: the sidecar holds (table-relative
@@ -1023,14 +1044,21 @@ object TxnTable {
 
   private def delLine(d: DelMeta): String =
     s"$DelPrefix${d.file}$StatSep${d.version}$StatSep${d.rows}$StatSep" +
-      d.keyCols.map(enc).mkString(",")
+      d.keyCols.map(enc).mkString(",") +
+      // optional 5th field: the files a positional vector names —
+      // omitted when unknown, so pre-named manifests parse unchanged
+      (if (d.named.isEmpty) ""
+       else StatSep + d.named.map(enc).mkString(","))
 
   private def parseDels(headers: Seq[String]): Seq[DelMeta] =
     headers.filter(_.startsWith(DelPrefix)).map { l =>
       val p = l.stripPrefix(DelPrefix)
         .split(java.util.regex.Pattern.quote(StatSep))
       DelMeta(p(0), p(1).toLong,
-        p(3).split(",").toSeq.filter(_.nonEmpty).map(dec), p(2).toLong)
+        p(3).split(",").toSeq.filter(_.nonEmpty).map(dec), p(2).toLong,
+        named =
+          if (p.length > 4) p(4).split(",").toSeq.filter(_.nonEmpty).map(dec)
+          else Nil)
     }
 
   private def addvLines(addv: Map[String, Long],
@@ -1127,9 +1155,19 @@ object TxnTable {
       throw new IllegalStateException(s"no committed version in $table"))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"$table predates the schema log"))
-    val targets = if (cols.isEmpty) schema.fieldNames.toSeq else cols
-    targets.foreach(c => require(schema.fieldNames.contains(c),
+    cols.foreach(c => require(schema.fieldNames.contains(c),
       s"ANALYZE column '$c' is not a column of $table"))
+    // approx_count_distinct (HLL++) cannot aggregate map columns (no
+    // hashable ordering) — skip them rather than abort the whole
+    // ANALYZE; an explicitly named unsupported column is skipped too,
+    // matching Spark's lenient FOR ALL COLUMNS behavior
+    def supported(c: String): Boolean = schema(c).dataType match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    val targets =
+      (if (cols.isEmpty) schema.fieldNames.toSeq else cols).filter(supported)
+    if (targets.isEmpty) return Map.empty
     val df = spark.read.format("graft")
       .option("versionAsOf", st.version.toString).load(table)
     val aggs = targets.map(c =>
@@ -2644,9 +2682,18 @@ object TxnTable {
     }
     val df = delAppliedRead(spark, table, st, st.files, withIdentity = true)
     // absolute → table-relative: relative paths are the stable spelling
-    // a sidecar stores (they survive table relocation and re-listing)
+    // a sidecar stores (they survive table relocation and re-listing).
+    // LEFT join + raise_error, not inner: an inner join would silently
+    // drop every row if the parquet source's path rendering diverged
+    // from makeQualified — coordinates derived from a partial identity
+    // read would silently under-delete.
     val qdf = relToAbs(spark, table, st.files)
-    df.join(qdf, df(IdPathCol) === qdf("_gabs"))
+    df.join(qdf, df(IdPathCol) === qdf("_gabs"), "left")
+      .withColumn("_grel",
+        when(col("_grel").isNull, raise_error(concat(
+          lit(s"graft: $table: parquet _metadata.file_path rendering " +
+            "diverged from the filesystem's qualified paths at "),
+          col(IdPathCol)))).otherwise(col("_grel")))
       .drop(IdPathCol, "_gabs")
       .withColumnRenamed("_grel", PosFileCol)
       .withColumnRenamed(IdPosCol, PosOrdCol)
@@ -2677,16 +2724,25 @@ object TxnTable {
     * (identity read → rank → deletePositions) therefore scans the
     * corpus exactly once. With CDF ON the deleted rows must be
     * recorded, so the snapshot is semi-joined once to materialize
-    * them — which also drops stale in-file coordinates. */
+    * them.
+    *
+    * Staleness contract: coordinates naming a file the current
+    * manifest does NOT list mean a rewrite (OPTIMIZE/REORG/copy-on-
+    * write DML) landed after the identity read — those rows now live
+    * under new coordinates, so dropping the entries would silently
+    * no-op part of the delete. The default REFUSES with a
+    * ConcurrentModificationException; `requirePresent = false` opts
+    * into dropping stale entries (e.g. a best-effort review list). */
   def deletePositions(spark: SparkSession, table: String,
-                      positions: DataFrame): Long = {
+                      positions: DataFrame,
+                      requirePresent: Boolean = true): Long = {
     require(positions.columns.contains(PosFileCol) &&
       positions.columns.contains(PosOrdCol),
       s"positions frame needs $PosFileCol and $PosOrdCol columns")
     val pos = positions.select(col(PosFileCol), col(PosOrdCol))
     deletePosCore(spark, table,
       snap => snap.join(pos, Seq(PosFileCol, PosOrdCol), "left_semi"),
-      positionsOnly = Some(pos))
+      positionsOnly = Some(pos), requirePresent = requirePresent)
   }
 
   /** POSITIONAL (deletion-vector) UPDATE: one commit appends the
@@ -2707,7 +2763,15 @@ object TxnTable {
       val fields = st.schema.get.fields.toIndexedSeq
       set.keys.foreach(c => require(fields.exists(_.name == c),
         s"SET column '$c' is not a column of $table"))
-      val matched = snap.filter(cond(snap))
+      // materialized ONCE: `matched` feeds three separate actions (the
+      // appended-rows write, the coordinate sidecar, the change feed) —
+      // without pinning it, a nondeterministic cond (sampling, a
+      // ranking with ties) would select DIFFERENT rows per action and
+      // the committed coordinates would diverge from the re-appended
+      // rows: silent row loss or duplication in one commit. The
+      // checkpoint is sized to the matched rows, which the commit
+      // appends anyway.
+      val matched = snap.filter(cond(snap)).localCheckpoint()
       val updated = matched.select(fields.map { f =>
         set.get(f.name).map(_.cast(f.dataType).as(f.name))
           .getOrElse(col(s"`${f.name}`"))
@@ -2721,9 +2785,25 @@ object TxnTable {
         Some(updated), Some(changes)))
     })
 
+  /** The distinct data files a positional sidecar names, when not
+    * more than `graft.txn.posNamedLimit` of them (default 1024) —
+    * None past the limit, so a corpus-wide vector (in-place dedup
+    * touching most files) records nothing instead of bloating the
+    * manifest line; readers then fall back to version-gate-only
+    * subtraction, which is always sound. */
+  private def namedFiles(spark: SparkSession, table: String,
+                         side: DataFrame): Option[Seq[String]] = {
+    val limit = spark.conf.get("graft.txn.posNamedLimit", "1024").toInt
+    if (limit <= 0) return None
+    val ns = side.select(col(PosFileCol)).distinct().limit(limit + 1)
+      .collect().map(_.getString(0))
+    if (ns.length > limit) None else Some(ns.toSeq.sorted)
+  }
+
   private def deletePosCore(spark: SparkSession, table: String,
                             compute: DataFrame => DataFrame,
-                            positionsOnly: Option[DataFrame] = None)
+                            positionsOnly: Option[DataFrame] = None,
+                            requirePresent: Boolean = true)
       : Long = {
     val ctx = fc(spark)
     var attempt = 0
@@ -2733,13 +2813,44 @@ object TxnTable {
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
       // CDF off + caller-supplied coordinates: pure-metadata commit, no
-      // data scan — validate file names against the manifest and dedup.
-      // Otherwise: pinned identity read with live deletes applied, so
-      // an already-deleted row is never re-recorded (or re-fed to CDF).
+      // data scan — the coordinates go to the sidecar as written and
+      // are validated against the manifest from the sidecar read-back
+      // below (no second pass over the caller's frame). Otherwise:
+      // pinned identity read with live deletes applied, so an
+      // already-deleted row is never re-recorded (or re-fed to CDF).
+      // With CDF on, `matched` feeds TWO actions (the sidecar write
+      // and the change-feed write) — materialize it once so a
+      // nondeterministic selection (sampling, ranking with ties)
+      // cannot record coordinates that diverge from the CDC rows.
       val metadataOnly = positionsOnly.filter(_ => !st.cdf)
-      lazy val matched = compute(readIdentityOf(spark, table, st))
+      lazy val matched = {
+        val m = compute(readIdentityOf(spark, table, st))
+        if (st.cdf) m.localCheckpoint() else m
+      }
+      // concurrent-rewrite staleness: caller-held coordinates naming a
+      // file the CURRENT manifest no longer lists (OPTIMIZE/REORG/
+      // copy-on-write landed since the identity read) mean those rows
+      // now live under NEW coordinates — silently dropping the entries
+      // would no-op part of the delete with a successful return. With
+      // CDF on the snapshot semi-join would drop them before the
+      // sidecar, so probe the caller's frame directly.
+      if (requirePresent && st.cdf && positionsOnly.isDefined) {
+        val knownDf = relToAbs(spark, table, st.files)
+          .select(col("_grel").as(PosFileCol))
+        val missing = positionsOnly.get.select(col(PosFileCol)).distinct()
+          .join(knownDf, Seq(PosFileCol), "left_anti")
+          .limit(20).collect().map(_.getString(0))
+        if (missing.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"positional delete of $table names files absent from " +
+              s"snapshot v${st.version} (rewritten since the identity " +
+              s"read?): ${missing.mkString(", ")} — re-derive the " +
+              "coordinates from a fresh readWithRowIdentity, or pass " +
+              "requirePresent=false to drop stale entries")
+      }
       val tuples = (metadataOnly match {
-        case Some(pos) =>
+        case Some(pos) if requirePresent => pos.distinct()
+        case Some(pos) => // opt-out: silently drop stale coordinates
           val known = relToAbs(spark, table, st.files)
             .select(col("_grel").as(PosFileCol))
           pos.join(known, Seq(PosFileCol), "left_semi").distinct()
@@ -2758,11 +2869,38 @@ object TxnTable {
         }
         buf.sorted.toSeq
       }
-      val n = delFiles.map(f =>
-        spark.read.parquet(s"$table/$f").count()).sum
+      val side = spark.read.schema(PosDelSchema)
+        .parquet(delFiles.map(f => s"$table/$f"): _*)
+      val n = side.count()
       if (n == 0L) { // nothing matched: provable no-op
         ctx.delete(new Path(s"$table/$dataDir"), true)
         return st.version
+      }
+      // the files the vector names, read back from the kilobyte-scale
+      // sidecar: (a) the strict staleness gate for metadata-only
+      // commits, (b) recorded in the manifest so readers confine the
+      // identity subtraction — and its fast-path loss — to exactly
+      // these files (see DelMeta.named)
+      val named = namedFiles(spark, table, side)
+      if (requirePresent && metadataOnly.isDefined) {
+        val missing = (named match {
+          case Some(ns) => ns.filterNot(st.files.toSet)
+          case None => // over-limit vector: probe distributed
+            val knownDf = relToAbs(spark, table, st.files)
+              .select(col("_grel").as(PosFileCol))
+            side.select(col(PosFileCol)).distinct()
+              .join(knownDf, Seq(PosFileCol), "left_anti")
+              .limit(20).collect().map(_.getString(0)).toSeq
+        }).take(20)
+        if (missing.nonEmpty) {
+          ctx.delete(new Path(s"$table/$dataDir"), true)
+          throw new java.util.ConcurrentModificationException(
+            s"positional delete of $table names files absent from " +
+              s"snapshot v${st.version} (rewritten since the identity " +
+              s"read?): ${missing.mkString(", ")} — re-derive the " +
+              "coordinates from a fresh readWithRowIdentity, or pass " +
+              "requirePresent=false to drop stale entries")
+        }
       }
       val cdcAdd =
         if (st.cdf)
@@ -2773,7 +2911,8 @@ object TxnTable {
       // the gate pins the delete to its READ snapshot, exactly like the
       // equality flavor — positions can only name files that existed
       val gate = st.version + 1L
-      val dels = delFiles.map(f => DelMeta(f, gate, PosDelKeyCols, n))
+      val dels = delFiles.map(f =>
+        DelMeta(f, gate, PosDelKeyCols, n, named = named.getOrElse(Nil)))
       var base = st
       var tries = 0
       var rebasing = true
@@ -2918,8 +3057,13 @@ object TxnTable {
             }
             buf.sorted.toSeq
           }
-          val n = delFiles.map(f =>
-            spark.read.parquet(s"$table/$f").count()).sum
+          val sideDf =
+            if (mw.keyCols == PosDelKeyCols && delFiles.nonEmpty)
+              Some(spark.read.schema(PosDelSchema)
+                .parquet(delFiles.map(f => s"$table/$f"): _*))
+            else None
+          val n = sideDf.map(_.count()).getOrElse(delFiles.map(f =>
+            spark.read.parquet(s"$table/$f").count()).sum)
           // provable no-op: no tuples AND no appended rows (an empty
           // append may still have produced zero-row part files)
           if (n == 0L && newFiles.forall(f => newRows.getOrElse(f, 0L) == 0L)) {
@@ -2930,9 +3074,13 @@ object TxnTable {
             if (st.cdf) mw.changes.toSeq.flatMap(writeChangeData(_, table, dataDir))
             else Nil
           val gate = st.version + 1L
+          // positional vectors record the files they name so readers
+          // confine the identity subtraction to exactly those files
+          val named = sideDf.flatMap(namedFiles(spark, table, _))
           val dels =
             if (n == 0L) Nil
-            else delFiles.map(f => DelMeta(f, gate, mw.keyCols, n))
+            else delFiles.map(f =>
+              DelMeta(f, gate, mw.keyCols, n, named = named.getOrElse(Nil)))
           var base = st
           var tries = 0
           var rebasing = true
@@ -3085,8 +3233,11 @@ object TxnTable {
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), empty)
     }
+    // gates(): version gate for both flavors; a positional vector
+    // with a recorded file list additionally applies only to the files
+    // it names — everything else stays in an identity-free group
     def applicable(f: String): Seq[DelMeta] =
-      st.dels.filter(_.version > st.addv.getOrElse(f, 0L))
+      st.dels.filter(_.gates(f, st.addv.getOrElse(f, 0L)))
     val groups = files.groupBy(applicable).toSeq.sortBy(_._2.head)
     groups.map { case (dels, fs) =>
       val (posDels, eqDels) = dels.partition(_.keyCols == PosDelKeyCols)
@@ -3102,18 +3253,30 @@ object TxnTable {
       }
       if (posDels.nonEmpty) {
         // sidecars store TABLE-RELATIVE paths (stable across relocation
-        // and re-listing); translate to this read's absolute rendering
-        // via a driver-built map over the group's own file list —
-        // O(#files) metadata, broadcast by size
+        // and re-listing). Translate the DATA side's absolute
+        // `_metadata.file_path` rendering to the manifest's relative
+        // spelling ONCE per group (a broadcast over the group's own
+        // file list) — and LOUDLY: if the parquet source's rendering
+        // ever diverged from FileSystem.makeQualified (authority/port
+        // spelling, URI escaping), a silent mismatch would anti-join
+        // nothing and resurrect every deleted row. The subtraction
+        // then compares manifest strings to manifest strings, immune
+        // to rendering.
         val qdf = relToAbs(spark, table, fs)
+        df = df.join(qdf, df(IdPathCol) === qdf("_gabs"), "left")
+          .withColumn("_grel",
+            when(col("_grel").isNull, raise_error(concat(
+              lit(s"graft: $table: parquet _metadata.file_path rendering " +
+                "diverged from the filesystem's qualified paths at "),
+              col(IdPathCol)))).otherwise(col("_grel")))
+          .drop("_gabs")
         posDels.foreach { d =>
           val dd = spark.read.schema(PosDelSchema).parquet(s"$table/${d.file}")
-            .join(qdf, col(PosFileCol) === col("_grel"))
-            .select(col("_gabs"), col(PosOrdCol).as("_dpos"))
           df = df.join(dd,
-            df(IdPathCol) === dd("_gabs") && df(IdPosCol) === dd("_dpos"),
+            df("_grel") === dd(PosFileCol) && df(IdPosCol) === dd(PosOrdCol),
             "left_anti")
         }
+        df = df.drop("_grel")
       }
       if (needId && !withIdentity) df.drop(IdPathCol, IdPosCol) else df
     }.reduce(_ unionByName _)
@@ -4509,10 +4672,13 @@ object TxnTable {
       val posNamedByDel: Map[String, Set[String]] =
         if (!purgeOnly) Map.empty
         else st.dels.filter(_.keyCols == PosDelKeyCols).map { d =>
-          d.file -> spark.read.schema(PosDelSchema)
-            .parquet(s"$table/${d.file}")
-            .select(PosFileCol).distinct()
-            .collect().map(_.getString(0)).toSet
+          // the manifest records named files at commit; only legacy or
+          // over-limit vectors fall back to scanning the sidecar
+          d.file -> (if (d.named.nonEmpty) d.named.toSet
+            else spark.read.schema(PosDelSchema)
+              .parquet(s"$table/${d.file}")
+              .select(PosFileCol).distinct()
+              .collect().map(_.getString(0)).toSet)
         }.toMap
       val small =
         if (purgeOnly) {
@@ -4566,12 +4732,17 @@ object TxnTable {
               val addvAll = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap
               val present = files.toSet
               st.dels.filter { d =>
-                files.exists(f => addvAll.getOrElse(f, 0L) < d.version) &&
-                  // an exhausted positional vector (purge rewrote every
-                  // file it names) is dead even under a live gate
-                  (!purgeOnly || d.keyCols != PosDelKeyCols ||
-                    posNamedByDel.getOrElse(d.file, Set.empty)
-                      .exists(present))
+                val gateLive =
+                  files.exists(f => addvAll.getOrElse(f, 0L) < d.version)
+                // an exhausted positional vector (every file it names
+                // rewritten away) is dead even under a live gate —
+                // its coordinates can match nothing
+                val posLive = d.keyCols != PosDelKeyCols ||
+                  (if (d.named.nonEmpty) d.named.exists(present)
+                   else !purgeOnly ||
+                     posNamedByDel.getOrElse(d.file, Set.empty)
+                       .exists(present))
+                gateLive && posLive
               }
             },
             addv = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap,

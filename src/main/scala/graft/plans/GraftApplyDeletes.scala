@@ -76,8 +76,15 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
     val t = r.table.asInstanceOf[GraftTable]
     val ms = t.morMeta
     val schema = t.schema()
+    // gates(): the version gate for both flavors, AND — for positional
+    // vectors that recorded their file list at commit — only the files
+    // the vector actually names. That confinement is what keeps the
+    // 100 TB fast path alive under a live deletion vector: every
+    // un-named file groups WITHOUT the positional delete and keeps the
+    // DSv2 scan (manifest-stats/bloom file skipping, agg pushdown);
+    // only the vector's own files take the identity-subtraction branch.
     def applicable(f: String): Seq[TxnTable.DelMeta] =
-      ms.dels.filter(_.version > ms.addv.getOrElse(f, 0L))
+      ms.dels.filter(_.gates(f, ms.addv.getOrElse(f, 0L)))
     val groups = ms.files.groupBy(applicable).toSeq.sortBy(_._2.head)
     if (groups.isEmpty) return LocalRelation(r.output) // all-deleted table
     val branches: Seq[LogicalPlan] = groups.map { case (dels, fs) =>

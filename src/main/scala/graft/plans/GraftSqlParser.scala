@@ -148,7 +148,7 @@ object GraftSqlParser {
   // ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL COLUMNS]
   // — advisory column NDV for the CBO (TxnTable.analyzeTable)
   private val AnalyzeStmt =
-    """(?is)\s*ANALYZE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+ALL\s+COLUMNS|FOR\s+COLUMNS\s+((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))*))?\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+COMPUTE\s+STATISTICS\s*(?:(FOR\s+ALL\s+COLUMNS)|FOR\s+COLUMNS\s+((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))*))?\s*;?\s*""".r
   // COPY INTO <target> FROM '<source dir>'
   //   [FILEFORMAT = parquet|csv|json] [PATTERN = '<glob>']
   private val CopyIntoStmt =
@@ -236,10 +236,14 @@ object GraftSqlParser {
             .map(c => unquoteId(c.trim)).filter(_.nonEmpty)))
       case ReorgStmt(target) if graftTarget(target) =>
         Some(GraftReorgCommand(target))
-      case AnalyzeStmt(target, cols) if graftTarget(target) =>
+      case AnalyzeStmt(target, allCols, cols) if graftTarget(target) =>
+        // the bare form (no FOR clause) is Spark's cheap TABLE-level
+        // analysis — the manifest already tracks exact row counts and
+        // sizes, so it's a provable no-op here, NOT a full NDV scan
         Some(GraftAnalyzeCommand(target,
           Option(cols).toSeq.flatMap(_.split(",").toSeq)
-            .map(c => unquoteId(c.trim)).filter(_.nonEmpty)))
+            .map(c => unquoteId(c.trim)).filter(_.nonEmpty),
+          ndv = allCols != null || cols != null))
       case CopyIntoStmt(target, source, format, pattern) if graftTarget(target) =>
         Some(GraftCopyIntoCommand(target, unquote(source),
           Option(format).map(_.toLowerCase).getOrElse("parquet"),
@@ -382,10 +386,15 @@ case class GraftCloneCommand(target: String, source: String,
   override def output: Seq[Attribute] = Nil
 }
 
-/** ANALYZE TABLE … COMPUTE STATISTICS — one aggregate pass computing
-  * approx column NDV, persisted as the advisory `_ndv` sidecar the
-  * scan reports to the cost-based optimizer. Empty `cols` = all. */
-case class GraftAnalyzeCommand(target: String, cols: Seq[String])
+/** ANALYZE TABLE … COMPUTE STATISTICS — with a FOR clause (`ndv`),
+  * one aggregate pass computing approx column NDV, persisted as the
+  * advisory `_ndv` sidecar the scan reports to the cost-based
+  * optimizer; empty `cols` = all NDV-supported columns. The bare form
+  * (`ndv = false`) is Spark's cheap table-level analysis — the
+  * manifest already tracks exact row counts, so it's a no-op, not a
+  * full scan. */
+case class GraftAnalyzeCommand(target: String, cols: Seq[String],
+                               ndv: Boolean = true)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -470,11 +479,13 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         TxnTable.convert(SparkSession.active, target, statsCols)
         ()
       }) :: Nil
-    case GraftAnalyzeCommand(target, cols) =>
+    case GraftAnalyzeCommand(target, cols, ndv) =>
       GraftDmlExec(s"ANALYZE TABLE $target", () => {
-        val spark = SparkSession.active
-        TxnTable.analyzeTable(spark,
-          GraftSqlParser.resolveTarget(spark, target), cols)
+        if (ndv) {
+          val spark = SparkSession.active
+          TxnTable.analyzeTable(spark,
+            GraftSqlParser.resolveTarget(spark, target), cols)
+        }
         ()
       }) :: Nil
     case GraftReorgCommand(target) =>

@@ -94,16 +94,71 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
-  test("stale or unknown coordinates are ignored by deletePositions") {
+  test("coordinates naming unknown files are a CONFLICT, not a silent no-op") {
     withZone { table =>
       import spark.implicits._
       seed(table)
+      // a file absent from the manifest means a rewrite landed after
+      // the identity read — dropping the entry would lose the delete
       val bogus = Seq(("w=nope/part-0.parquet", 3L), ("zzz", 99L))
         .toDF(TxnTable.PosFileCol, TxnTable.PosOrdCol)
       val v0 = TxnTable.latestVersion(spark, table).get
-      val v = TxnTable.deletePositions(spark, table, bogus)
-      assert(v == v0, "no-op delete must not commit")
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TxnTable.deletePositions(spark, table, bogus)
+      }
+      assert(e.getMessage.contains("w=nope/part-0.parquet"))
+      assert(TxnTable.latestVersion(spark, table).get == v0,
+        "refused delete must not commit")
+      // explicit opt-out: stale entries drop, known-file semantics keep
+      val v = TxnTable.deletePositions(spark, table, bogus,
+        requirePresent = false)
+      assert(v == v0, "all-stale delete must no-op under the opt-out")
       assert(spark.read.format("graft").load(table).count() == 50L)
+    }
+  }
+
+  test("a live vector keeps un-named files on the stats-pruned fast path") {
+    withZone { table =>
+      import spark.implicits._
+      // three appends → three disjoint-range files, stats on k
+      Seq.tabulate(3) { b =>
+        Seq.range(b * 100L, b * 100L + 100L).map(k => (k, k * 2.0))
+          .toDF("k", "v").coalesce(1)
+      }.foreach(_.write.format("graft").option("statsCols", "k")
+        .option("mergeOnRead", "true")
+        .mode(if (new java.io.File(table).exists) "append" else "overwrite")
+        .save(table))
+      val st0 = state(table)
+      assert(st0.files.size == 3)
+      TxnTable.deleteWherePos(spark, table, df => df("k") < 10L)
+      val d = state(table).dels
+      assert(d.size == 1 && d.head.named.size == 1,
+        s"the vector touches one file and must record it; got ${d.head.named}")
+      // a predicate selecting only the THIRD file's range: the two
+      // un-named files ride the DSv2 scan, whose manifest stats must
+      // prune down to one file — a live vector elsewhere in the table
+      // must not degrade this read to a full file sweep
+      val q = spark.read.format("graft").load(table).filter($"k" >= 250L)
+      assert(q.count() == 50L)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+        p.flatMap {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case g: graft.io.GraftScanFiles => Seq(g.scannedFileCount)
+              case _ => Nil
+            }
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(s.plan)
+          case _ => Nil
+        }
+      val scans = walk(q.queryExecution.executedPlan)
+      assert(scans.nonEmpty && scans.min == 1,
+        s"expected the un-named files' DSv2 scan pruned to 1 file; " +
+          s"scan file counts: $scans\n${q.queryExecution.executedPlan}")
+      // and the subtraction itself still holds on the named file
+      assert(spark.read.format("graft").load(table).count() == 290L)
     }
   }
 
