@@ -4120,6 +4120,130 @@ object FormatOps {
       |                   FROM customer)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- k145
+  /** `ALTER TABLE … ADD COLUMN … DEFAULT v` — SQL-standard column
+    * defaults as PURE metadata, on Spark's own CURRENT_DEFAULT /
+    * EXISTS_DEFAULT field-metadata contract: the ALTER touches no data
+    * file (REQUIREd), rows written BEFORE the column surface the
+    * folded default through Spark's parquet reader itself, and later
+    * INSERTs that omit the column fill it at write. At 100 TB the
+    * alternative spelling is a full-table rewrite. */
+  private def k145(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k145_dflt")
+    try {
+      val table = s"$zone/customer_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      val cut = cust.agg(max($"c_custkey")).head().getLong(0) / 2L
+      cust.filter($"c_custkey" <= cut)
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(table)
+      val filesBefore = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      spark.sql(s"CREATE TABLE graft_k145_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "ALTER TABLE graft_k145_t ADD COLUMN tier STRING DEFAULT 'std'")
+        spark.sql(
+          "ALTER TABLE graft_k145_t ADD COLUMN score DOUBLE DEFAULT 2.5")
+        require(TxnTable.snapshotFiles(spark, table,
+          TxnTable.latestVersion(spark, table).get) == filesBefore,
+          "ADD COLUMN ... DEFAULT must be metadata-only: no data file " +
+            "read or written")
+        cust.filter($"c_custkey" > cut).createOrReplaceTempView("k145_src")
+        // the upper half inserts with an explicit tier and NO score —
+        // the omitted column fills from its declared default
+        spark.sql(
+          """INSERT INTO graft_k145_t (c_custkey, c_mktsegment, c_acctbal, tier)
+            |SELECT c_custkey, c_mktsegment, c_acctbal, 'prm' FROM k145_src
+            |""".stripMargin)
+        val result = spark.sql(
+          """SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(score) AS DOUBLE) AS score_sum,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k145_t
+            |GROUP BY tier ORDER BY tier""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k145_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k145Sql =
+    """SELECT CASE WHEN c_custkey <=
+      |    (SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) FROM customer)
+      |  THEN 'std' ELSE 'prm' END AS tier,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(2.5) AS DOUBLE) AS score_sum,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM customer
+      |GROUP BY 1 ORDER BY tier""".stripMargin
+
+  // --------------------------------------------------------------- k146
+  /** `CREATE OR REPLACE TABLE … AS SELECT` — the daily full re-publish
+    * of a dim table (the reference's own `mode('overwrite')` refresh,
+    * `spark/jobs/pr-wallet-data-tf.py:129`, lifted to the catalog
+    * layer) as ONE atomic manifest swap via StagingTableCatalog: the
+    * lineage continues under the same name (REQUIREd), readers pinned
+    * below the replace keep their snapshot, and time travel spans it.
+    * Never drop+create: between those two commits the table does not
+    * exist, and a concurrent reader fails. */
+  private def k146(spark: SparkSession, dir: String): DataFrame = {
+    val zone = tmpZone("graft_k146_cor")
+    try {
+      spark.conf.set("spark.sql.catalog.gk146", "graft.io.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.gk146.warehouse", zone)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gk146.db")
+      Tables.nation(spark, dir).createOrReplaceTempView("k146_nation")
+      try {
+        // day-1 publish (partial load), day-2 full re-publish with an
+        // extra column — a schema-evolving replace
+        spark.sql(
+          """CREATE OR REPLACE TABLE gk146.db.dim USING graft AS
+            |SELECT n_nationkey, n_name FROM k146_nation
+            |WHERE n_nationkey < 10""".stripMargin)
+        val table = s"$zone/db/dim"
+        val v1 = TxnTable.latestVersion(spark, table).get
+        spark.sql(
+          """CREATE OR REPLACE TABLE gk146.db.dim USING graft AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM k146_nation
+            |""".stripMargin)
+        val v2 = TxnTable.latestVersion(spark, table).get
+        require(v2 > v1,
+          "replace must extend the manifest lineage, not restart it")
+        require(spark.sql(
+            s"SELECT count(*) FROM gk146.db.dim VERSION AS OF $v1")
+            .head().getLong(0) <
+            spark.table("gk146.db.dim").count(),
+          "the pre-replace snapshot must stay readable after the swap")
+        val result = spark.sql(
+          """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+            |  MIN(n_name) AS first_name
+            |FROM gk146.db.dim
+            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE IF EXISTS gk146.db.dim")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k146Sql =
+    """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(n_name) AS first_name
+      |FROM nation
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4189,5 +4313,7 @@ object FormatOps {
     RQ("k141_show_partitions", k141, Some(k141Sql)),
     RQ("k142_analyze_cbo_stats", k142, Some(k142Sql)),
     RQ("k143_pos_update", k143, Some(k143Sql)),
-    RQ("k144_reorg_purge", k144, Some(k144Sql)))
+    RQ("k144_reorg_purge", k144, Some(k144Sql)),
+    RQ("k145_column_defaults", k145, Some(k145Sql)),
+    RQ("k146_create_or_replace", k146, Some(k146Sql)))
 }

@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * clone of the table (Delta shares this caveat for path-based
   * tables). */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with StagingTableCatalog {
 
   // ---- FunctionCatalog: the `bucket` transform function -------------
   // Storage-partitioned joins over bucket(n, col) tables need the
@@ -80,6 +81,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   // ------------------------------------------------------------ tables
@@ -145,6 +147,24 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val spark = SparkSession.active
+    val (path, schema, partCols) =
+      declaration(ident, columns, partitions, properties)
+    TxnTable.commitOverwrite(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      path, partitionCols = partCols)
+    new GraftTable(path, TxnTable.latestVersion(spark, path).get, schema,
+      partCols)
+  }
+
+  /** Translate a CREATE/REPLACE declaration (v2 columns + transforms)
+    * to graft's schema-metadata spelling: generated / identity /
+    * DEFAULT declarations all land as the SAME StructField metadata
+    * keys the TxnTable API writes. */
+  private def declaration(ident: Identifier, columns: Array[V2Column],
+                          partitions: Array[Transform],
+                          properties: util.Map[String, String])
+      : (String, StructType, Seq[String]) = {
     val path = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(dirOf(ident))
     val fields = columns.map { c =>
@@ -162,11 +182,26 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         mb.putLong(TxnTable.IdStepKey, s.getStep)
         mb.putLong(TxnTable.IdHwmKey, s.getStart - s.getStep)
       }
-      require(c.defaultValue() == null,
-        s"${c.name()}: DEFAULT values are not supported on graft tables")
       StructField(c.name(), c.dataType(), c.nullable(), mb.build())
     }
-    val schema = StructType(fields)
+    // DEFAULT declarations: record Spark's own CURRENT_DEFAULT key and
+    // constant-fold EXISTS_DEFAULT, the same contract ALTER TABLE ...
+    // ADD COLUMN ... DEFAULT writes (see TxnTable.addColumnWithDefault)
+    val withDefaults = fields.zip(columns).map { case (f, c) =>
+      Option(c.defaultValue()) match {
+        case None => f
+        case Some(d) =>
+          val cur = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+          val declared = StructType(Seq(f.copy(
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putString(cur, d.getSql).build())))
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .constantFoldCurrentDefaultsToExistDefaults(
+              declared, "CREATE TABLE").fields.head
+      }
+    }
+    val schema = StructType(withDefaults)
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
@@ -188,12 +223,59 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         "graft tables support identity, days/hours/months/years(), and " +
           s"bucket(n, col) partitioning, got $other")
     }
-    TxnTable.commitOverwrite(
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
-      path, partitionCols = partCols)
-    new GraftTable(path, TxnTable.latestVersion(spark, path).get, schema,
-      partCols)
+    (path, schema, partCols)
+  }
+
+  // ---- CREATE OR REPLACE TABLE: atomic swap via the manifest CAS ----
+  // A graft "replace" is a commitOverwrite at the SAME path: one atomic
+  // manifest publish switches readers from the old lineage to the new,
+  // old pinned snapshots stay readable (their manifests and files are
+  // untouched until VACUUM), and time travel spans the replace. The
+  // staged-table contract maps onto that directly: a CTAS write lands
+  // the swap itself (its overwrite IS one CAS commit); a plain REPLACE
+  // with only a declared schema commits the empty overwrite at
+  // commitStagedChanges. Nothing is visible before the CAS, so there
+  // is nothing to clean up on abort.
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, info)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = staged(ident, info)
+
+  private def staged(ident: Identifier,
+                     info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = {
+    val spark = SparkSession.active
+    val (path, schema, partCols) =
+      declaration(ident, info.columns(), info.partitions(), info.properties())
+    val at = TxnTable.latestVersion(spark, path)
+    new GraftTable(path, at.getOrElse(0L), schema, partCols)
+        with StagedTable {
+      override def commitStagedChanges(): Unit = {
+        // a CTAS write already landed the swap (the version advanced);
+        // otherwise this is declaration-only CREATE/REPLACE — publish
+        // the empty overwrite with the declared schema now
+        if (TxnTable.latestVersion(spark, path) == at)
+          TxnTable.commitOverwrite(
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema),
+            path, partitionCols = partCols)
+      }
+      override def abortStagedChanges(): Unit = ()
+    }
   }
 
   override def alterTable(ident: Identifier,

@@ -1583,6 +1583,71 @@ object TxnTable {
     }.distinct
     catch { case _: Exception => Nil }
 
+  /** Column DEFAULT values — Spark's OWN field-metadata contract
+    * (SPARK-38334), not a private key: `CURRENT_DEFAULT` holds the
+    * declared expression (filled into writes that omit the column),
+    * `EXISTS_DEFAULT` its constant-folded literal — what files
+    * written BEFORE the column existed surface instead of NULL.
+    * Spark's parquet readers apply EXISTS_DEFAULT from the read
+    * schema themselves (vectorized and row paths both), so `ALTER
+    * TABLE … ADD COLUMN … DEFAULT v` is a pure-metadata commit with
+    * ZERO graft read-path code: old files yield v, new files carry
+    * the column physically. SQL-standard / DuckDB semantics. */
+  private def CurDefaultKey = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+
+  /** name → (declared type, default SQL) of every column of `schema`
+    * carrying a DEFAULT declaration. */
+  def defaultColumns(schema: org.apache.spark.sql.types.StructType)
+      : Seq[(org.apache.spark.sql.types.StructField, String)] =
+    schema.fields.toSeq.filter(_.metadata.contains(CurDefaultKey))
+      .map(f => f -> f.metadata.getString(CurDefaultKey))
+
+  /** `ALTER TABLE … ADD COLUMN name dt DEFAULT defaultSql` — pure
+    * metadata, like [[addColumns]]: no data file is read or written.
+    * The default is analyzed and constant-folded HERE (a malformed or
+    * non-foldable default fails the ALTER, not some later read), then
+    * recorded as Spark's CURRENT_DEFAULT + EXISTS_DEFAULT field
+    * metadata on the new field. */
+  def addColumnWithDefault(spark: SparkSession, table: String,
+                           name: String,
+                           dt: org.apache.spark.sql.types.DataType,
+                           defaultSql: String): Long =
+    commitMetadata(spark, table, "alter-add") { st =>
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists in $table")
+      require(!st.retired.exists(_.equalsIgnoreCase(name)),
+        s"column $name was previously dropped from $table; old data " +
+          "files still contain it and would resurrect stale values — " +
+          "use a different name")
+      val declared = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name, dt, nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(CurDefaultKey, defaultSql).build())))
+      // Spark's validator+folder: analyzes the expression against the
+      // declared type and stamps EXISTS_DEFAULT with the folded literal
+      val folded = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .constantFoldCurrentDefaultsToExistDefaults(
+          declared, "ALTER TABLE ADD COLUMNS")
+      (org.apache.spark.sql.types.StructType(schema.fields ++ folded.fields),
+       st.stats, st.blooms, st.checks, st.retired)
+    }
+
+  /** DEFAULT-column write gate (commit() append leg): fill each
+    * declared column the incoming frame omits — SQL INSERT through
+    * Spark's analyzer pads defaults itself (TableOutputResolver reads
+    * the same metadata); this covers the library DataFrame path. */
+  private def applyDefaults(df: DataFrame,
+      defs: Seq[(org.apache.spark.sql.types.StructField, String)])
+      : DataFrame =
+    defs.foldLeft(df) { case (d, (f, sql)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+      else d.withColumn(f.name,
+        org.apache.spark.sql.functions.expr(sql).cast(f.dataType))
+    }
+
   /** IDENTITY columns (Delta's `GENERATED ALWAYS AS IDENTITY`): like
     * generated columns, the declaration lives as field metadata in the
     * snapshot schema; the HIGH-WATER MARK (last value handed out) is
@@ -1765,8 +1830,17 @@ object TxnTable {
         state.flatMap(_.schema).map(generatedColumns)
           .getOrElse(generatedColumns(df.schema))
       else generatedColumns(df.schema)
+    // DEFAULT columns fill the same way (before the constraint gate);
+    // appends read declarations from the snapshot schema
+    val defDefs =
+      if (maintenanceOps(op)) Nil
+      else if (append)
+        state.flatMap(_.schema).map(defaultColumns)
+          .getOrElse(defaultColumns(df.schema))
+      else defaultColumns(df.schema)
+    val dfd = if (defDefs.isEmpty) df else applyDefaults(df, defDefs)
     val dfg =
-      if (genDefs.isEmpty) df else applyGenerated(df, table, genDefs)
+      if (genDefs.isEmpty) dfd else applyGenerated(dfd, table, genDefs)
     // CHECK constraints gate every commit that introduces NEW rows — one
     // violating row aborts BEFORE any data file lands (validated against
     // the snapshot observed here; see enforceChecks for the contract).

@@ -122,6 +122,10 @@ object GraftSqlParser {
   // ALTER TABLE family — intercepted ONLY when the target is a graft
   // table (quoted path, or identifier resolving to provider=graft);
   // every other ALTER TABLE falls through to Spark's own grammar.
+  // single-column form with a DEFAULT — matched BEFORE the generic
+  // list form (whose parseTableSchema has no DEFAULT grammar)
+  private val AlterAddColDefaultStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ADD\s+COLUMNS?\s*\(?\s*(`[^`]+`|[\w]+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s+DEFAULT\s+(.+?)\s*\)?\s*;?\s*""".r
   private val AlterAddColsStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val AlterDropColStmt =
@@ -221,6 +225,10 @@ object GraftSqlParser {
           Seq(unquoteId(name), expr.trim)))
       case AlterDropCheckStmt(target, name) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "drop-check", Seq(unquoteId(name))))
+      case AlterAddColDefaultStmt(target, name, typeDdl, dflt)
+          if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "add-column-default",
+          Seq(unquoteId(name), typeDdl.trim, dflt.trim)))
       case AlterAddColsStmt(target, colsDdl) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "add-columns", Seq(colsDdl.trim)))
       case AlterDropColStmt(target, col) if graftTarget(target) =>
@@ -457,6 +465,9 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           case "add-columns" =>
             TxnTable.addColumns(spark, table,
               spark.sessionState.sqlParser.parseTableSchema(args.head))
+          case "add-column-default" =>
+            TxnTable.addColumnWithDefault(spark, table, args(0),
+              spark.sessionState.sqlParser.parseDataType(args(1)), args(2))
           case "drop-column" =>
             TxnTable.dropColumn(spark, table, args.head)
           case "rename-column" =>

@@ -57,6 +57,57 @@ class AlterTableSpec extends AnyFunSuite {
     }
   }
 
+  test("ADD COLUMN ... DEFAULT is metadata-only; old rows read the default") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      seed(table)
+      val filesBefore = TxnTable.snapshotFiles(spark, table, 1L)
+      TxnTable.addColumnWithDefault(spark, table, "tier",
+        org.apache.spark.sql.types.StringType, "'bronze'")
+      // pure metadata: no data file read or written
+      assert(TxnTable.snapshotFiles(spark, table, 2L) == filesBefore)
+      // existing rows surface the default (SQL standard / DuckDB
+      // semantics), filled by Spark's own parquet reader from the
+      // EXISTS_DEFAULT metadata — both the library and DSv2 paths
+      assert(TxnTable.read(spark, table).filter(col("tier") === "bronze")
+        .count() == 3L)
+      assert(spark.read.format("graft").load(table)
+        .filter(col("tier") === "bronze").count() == 3L)
+      // an append omitting the column gets the CURRENT default filled;
+      // one supplying it (even NULL) keeps its value
+      TxnTable.commitAppend(Seq((4L, "d", 40.0)).toDF("id", "tag", "v"), table)
+      TxnTable.commitAppend(
+        Seq((5L, "e", 50.0, "gold"), (6L, "f", 60.0, null))
+          .toDF("id", "tag", "v", "tier"), table)
+      val got = TxnTable.read(spark, table).select("id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("bronze"), 2L -> Some("bronze"),
+        3L -> Some("bronze"), 4L -> Some("bronze"), 5L -> Some("gold"),
+        6L -> None), s"got $got")
+      // SQL spelling, with an expression default over a numeric type
+      spark.sql(s"CREATE TABLE alter_dflt_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "ALTER TABLE alter_dflt_t ADD COLUMN score DOUBLE DEFAULT 1.5 * 2")
+        val sc = spark.sql(
+          "SELECT count(*) FROM alter_dflt_t WHERE score = 3.0")
+          .head().getLong(0)
+        assert(sc == 6L, "all pre-existing rows must read the folded default")
+        // INSERT omitting the defaulted columns fills them
+        spark.sql("INSERT INTO alter_dflt_t (id, tag, v) VALUES (7, 'g', 70.0)")
+        val row = spark.sql(
+          "SELECT tier, score FROM alter_dflt_t WHERE id = 7").head()
+        assert(row.getString(0) == "bronze" && row.getDouble(1) == 3.0)
+      } finally spark.sql("DROP TABLE alter_dflt_t")
+      // a malformed default fails the ALTER, not a later read
+      intercept[Exception] {
+        TxnTable.addColumnWithDefault(spark, table, "bad",
+          org.apache.spark.sql.types.LongType, "no_such_col + 1")
+      }
+    }
+  }
+
   test("dropColumn removes the field, its stats, and retires the name") {
     withZone { zone =>
       val table = s"$zone/t"

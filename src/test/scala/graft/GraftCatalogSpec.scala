@@ -146,6 +146,63 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gcat.db.tt")
   }
 
+  test("CREATE OR REPLACE TABLE: atomic swap, old snapshots travel") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql("DROP TABLE IF EXISTS gcat.db.cor")
+    try {
+      // CREATE OR REPLACE on a nonexistent table = CREATE (CTAS form)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").createOrReplaceTempView("cor_src")
+      spark.sql(
+        "CREATE OR REPLACE TABLE gcat.db.cor USING graft AS SELECT * FROM cor_src")
+      assert(spark.table("gcat.db.cor").count() == 2L)
+      val path = s"$wh/db/cor"
+      val v1 = TxnTable.latestVersion(spark, path).get
+      // the daily full re-publish: REPLACE with different rows — ONE
+      // atomic manifest swap, not drop+create (the lineage continues)
+      Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("k", "s")
+        .createOrReplaceTempView("cor_src2")
+      spark.sql(
+        "CREATE OR REPLACE TABLE gcat.db.cor USING graft AS SELECT * FROM cor_src2")
+      val v2 = TxnTable.latestVersion(spark, path).get
+      assert(v2 > v1, "replace must extend the lineage, not restart it")
+      assert(spark.table("gcat.db.cor").count() == 3L)
+      // readers pinned BELOW the replace still see the old table
+      assert(spark.sql(
+        s"SELECT count(*) FROM gcat.db.cor VERSION AS OF $v1")
+        .head().getLong(0) == 2L)
+      // declaration-only REPLACE: new schema, empty rows, still a swap
+      spark.sql(
+        "CREATE OR REPLACE TABLE gcat.db.cor (a BIGINT, note STRING) USING graft")
+      assert(spark.table("gcat.db.cor").columns.toSeq == Seq("a", "note"))
+      assert(spark.table("gcat.db.cor").count() == 0L)
+      assert(TxnTable.latestVersion(spark, path).get > v2)
+      // plain REPLACE TABLE (no OR) refuses when the table is gone
+      spark.sql("DROP TABLE gcat.db.cor")
+      intercept[Exception] {
+        spark.sql("REPLACE TABLE gcat.db.cor (a BIGINT) USING graft")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.cor")
+  }
+
+  test("CREATE TABLE with DEFAULT columns through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql("DROP TABLE IF EXISTS gcat.db.dflt")
+    try {
+      spark.sql(
+        """CREATE TABLE gcat.db.dflt (
+          |  k    BIGINT,
+          |  tier STRING DEFAULT 'bronze',
+          |  n    INT    DEFAULT 1 + 2)
+          |USING graft""".stripMargin)
+      spark.sql("INSERT INTO gcat.db.dflt (k) VALUES (1)")
+      spark.sql("INSERT INTO gcat.db.dflt VALUES (2, 'gold', DEFAULT)")
+      val got = spark.table("gcat.db.dflt").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(got == Seq((1L, "bronze", 3), (2L, "gold", 3)), s"got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.db.dflt")
+  }
+
   test("DML and maintenance statements work on catalog names") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     spark.sql("CREATE TABLE gcat.db.dml (k BIGINT, v DOUBLE) USING graft")

@@ -372,4 +372,80 @@ class SqlDmlSpec extends AnyFunSuite {
       } finally spark.sql("DROP TABLE sqldml_mrg4")
     }
   }
+
+  test("two copy-on-write UPDATEs rewriting the SAME file: loser recomputes") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      // ONE data file, so both updates must rewrite the same file —
+      // the overlap the CAS must detect. Disjoint ROW sets make the
+      // serial outcome unique: both deltas must land exactly once.
+      TxnTable.commitOverwrite(
+        Seq.range(0L, 50L).map(k => (k, k * 1.0)).toDF("k", "v").coalesce(1),
+        table, Seq("k"))
+      assert(TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get).size == 1)
+      spark.sql(s"CREATE TABLE sqldml_race USING graft OPTIONS (path '$table')")
+      val ex = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        def upd(sql: String) = ex.submit(new Runnable {
+          override def run(): Unit = { gate.await(); spark.sql(sql); () }
+        })
+        val a = upd("UPDATE sqldml_race SET v = v + 1 WHERE k < 25")
+        val b = upd("UPDATE sqldml_race SET v = v + 100 WHERE k >= 25")
+        gate.countDown()
+        a.get(); b.get()
+        val got = TxnTable.read(spark, table)
+        // no row lost, none duplicated, BOTH updates applied — the CAS
+        // loser recomputed against the winner's snapshot instead of
+        // re-publishing its stale rewrite (which would resurrect the
+        // winner's pre-update rows)
+        assert(got.count() == 50L)
+        assert(got.select(countDistinct($"k")).head().getLong(0) == 50L)
+        val sum = got.agg(org.apache.spark.sql.functions.sum($"v"))
+          .head().getDouble(0)
+        val expect = (0L until 50L).map(_.toDouble).sum + 25 * 1.0 + 25 * 100.0
+        assert(sum == expect,
+          s"both updates must land exactly once: got $sum expected $expect")
+      } finally {
+        ex.shutdown()
+        spark.sql("DROP TABLE sqldml_race")
+      }
+    }
+  }
+
+  test("concurrent UPDATE and DELETE on the same rows serialize cleanly") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq.range(0L, 40L).map(k => (k, k * 1.0)).toDF("k", "v").coalesce(1),
+        table, Seq("k"))
+      spark.sql(s"CREATE TABLE sqldml_race2 USING graft OPTIONS (path '$table')")
+      val ex = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        def run(sql: String) = ex.submit(new Runnable {
+          override def run(): Unit = { gate.await(); spark.sql(sql); () }
+        })
+        val a = run("UPDATE sqldml_race2 SET v = v + 1000 WHERE k < 10")
+        val b = run("DELETE FROM sqldml_race2 WHERE k < 10")
+        gate.countDown()
+        a.get(); b.get()
+        val got = TxnTable.read(spark, table)
+        val n = got.count()
+        val survivors = got.filter($"k" < 10).count()
+        // either serial order: delete-then-update (update matches
+        // nothing) or update-then-delete (updated rows then deleted) —
+        // both end with the k<10 rows GONE; a lost-update anomaly would
+        // resurrect them (n=40) or drop extras
+        assert(n == 30L && survivors == 0L,
+          s"serializable outcome required: n=$n survivors=$survivors")
+      } finally {
+        ex.shutdown()
+        spark.sql("DROP TABLE sqldml_race2")
+      }
+    }
+  }
 }
