@@ -96,7 +96,10 @@ object DedupOps {
   /** MinHash band keys per doc, UNordered — shared by d36 (adds the
     * oracle ORDER BY) and d37 (caches it; sorting before a cache that
     * feeds band self-joins would be wasted work). */
-  private def sigFrame(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash band signature of an arbitrary documents frame — the
+    * batch-parameterized core of [[sigFrame]], reused by d47's
+    * incremental ingest. */
+  private def sigOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     // native one-pass signature (graft.functions.MinHashSig): the HOF
     // spelling of this — 8 interpreted lambda traversals materializing
@@ -104,7 +107,7 @@ object DedupOps {
     // expression keeps 8 running minima in one tight loop.
     graft.functions.GraftExtensions.install(spark)
     val sig = expr("minhash_sig(sh, 8)")
-    graft.ops.Par.spread(Tables.documents(spark, dir))
+    docs
       .withColumn("toks", tokens($"text"))
       .withColumn("sh", tokenNgrams("toks", 3))
       .withColumn("sig", sig)
@@ -115,6 +118,9 @@ object DedupOps {
         md5(concat(element_at($"sig", 5), element_at($"sig", 6))).as("band3"),
         md5(concat(element_at($"sig", 7), element_at($"sig", 8))).as("band4"))
   }
+
+  private def sigFrame(spark: SparkSession, dir: String): DataFrame =
+    sigOf(spark, graft.ops.Par.spread(Tables.documents(spark, dir)))
 
   private def d36(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -733,7 +739,8 @@ object DedupOps {
     RQ("d43_passage_dedup", d43, Some(d43Sql)),
     RQ("d44_decontaminate", d44, Some(d44Sql)),
     RQ("d45_boilerplate_purge", d45, Some(d45Sql)),
-    RQ("d46_dedup_inplace", d46, Some(d46Sql), bench = true))
+    RQ("d46_dedup_inplace", d46, Some(d46Sql), bench = true),
+    RQ("d47_incremental_dedup", d47, Some(d47Sql), bench = true))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -794,7 +801,129 @@ object DedupOps {
       rm(new java.io.File(zone))
     }
   }
+  // ---------------------------------------------------------------- d47
+  /** INCREMENTAL cross-batch dedup — the production shape of MinHash
+    * dedup at 100 TB: band signatures PERSIST as a graft table, and
+    * each incoming batch dedups against them with a band-key join
+    * sized to the BATCH, then positional-deletes its in-batch losers
+    * and appends its own signatures — no corpus rescan, ever. The
+    * corpus here ingests as two id-ordered batches; each ingest:
+    *
+    *   1. appends the batch to the merge-on-read corpus table;
+    *   2. computes the batch's band signatures (native one-pass
+    *      `minhash_sig`, the same bands d36 persists);
+    *   3. marks a doc a DUP iff some band key matches the signature
+    *      table (a strictly earlier doc — cross-batch) or an
+    *      earlier-id doc of the same batch (per-band min-id window);
+    *   4. removes the dups by POSITIONAL delete (kilobyte vector, no
+    *      data-file rewrite — REQUIREd);
+    *   5. appends ALL the batch's signatures (survivors AND dups, so
+    *      the pairwise earlier-id rule stays exactly recomputable).
+    *
+    * Per-increment cost: one batch signature pass + one band join
+    * against a bucketable signature table + one metadata commit —
+    * independent of corpus size. The oracle recomputes the SAME
+    * pairwise rule from scratch in DuckDB over the full corpus:
+    * incremental and batch answers must agree exactly. */
+  private def d47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d47_inc").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/corpus_txn"
+      val sigs = s"$zone/sigs_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
+      val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2L
+      def sigLong(batch: DataFrame): DataFrame =
+        sigOf(spark, batch).select($"doc_id",
+          posexplode(array($"band1", $"band2", $"band3", $"band4"))
+            .as(Seq("b", "h")))
+      def ingest(batch: DataFrame, first: Boolean,
+                 inBatchPred: org.apache.spark.sql.Column): Unit = {
+        batch.write.format("graft").option("mergeOnRead", "true")
+          .option("statsCols", "doc_id")
+          .mode(if (first) "overwrite" else "append").save(corpus)
+        val sig = sigLong(batch).localCheckpoint()
+        // cross-batch dups: batch docs whose band key already exists in
+        // the persisted signatures (all strictly earlier ids) — a
+        // semi-join keyed on (band, hash), batch-sized on the left
+        val cross =
+          if (first) spark.emptyDataset[Long].toDF("doc_id")
+          else sig.join(
+            spark.read.format("graft").load(sigs).select($"b", $"h"),
+            Seq("b", "h"), "left_semi").select($"doc_id")
+        // in-batch dups: per band key, everything above the min id
+        val w = Window.partitionBy($"b", $"h")
+        val inBatch = sig.withColumn("m", min($"doc_id").over(w))
+          .filter($"doc_id" > $"m").select($"doc_id")
+        val losers = cross.union(inBatch).distinct()
+        // coordinate lookup confined to the BATCH's id range: the
+        // predicate prunes the identity read to the batch's own files
+        // (doc_id stats), so the increment never rescans the corpus
+        val rows = TxnTable.readWithRowIdentity(spark, corpus)
+          .filter(inBatchPred)
+        TxnTable.deletePositions(spark, corpus,
+          rows.join(losers, Seq("doc_id"), "left_semi"))
+        // ALL signatures persist — the earlier-id pairwise rule judges
+        // against every prior doc, deleted or not
+        sig.write.format("graft").mode(if (first) "overwrite" else "append")
+          .save(sigs)
+      }
+      val before = {
+        ingest(docs.filter($"doc_id" <= cut), first = true,
+          $"doc_id" <= cut)
+        TxnTable.morState(spark, corpus,
+          TxnTable.latestVersion(spark, corpus).get).files.toSet
+      }
+      ingest(docs.filter($"doc_id" > cut), first = false, $"doc_id" > cut)
+      val after = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files
+      require(before.subsetOf(after.toSet),
+        "incremental dedup must not rewrite any ingested data file")
+      val result = spark.read.format("graft").load(corpus)
+        .groupBy($"lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum($"doc_id").cast("bigint").as("id_sum"))
+        .orderBy($"lang")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
   // def, not val: defined after `all` in initialization order
+  private def d47Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh),
+       |dups AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM sig a JOIN sig b ON a.doc_id > b.doc_id AND
+       |    (a.band1 = b.band1 OR a.band2 = b.band2 OR
+       |     a.band3 = b.band3 OR a.band4 = b.band4))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private def d46Sql =
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum

@@ -857,7 +857,8 @@ private[io] class GraftScanBuilder(
       dataSchema, pushed.toSeq.flatMap(pruner.eqConstraints))
     new GraftScan(spark, table, version, dataSchema, required, pushed,
       chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen),
-      meta.stats, meta.rows, TxnTable.ndvStats(spark, table, version))
+      meta.stats, meta.rows, TxnTable.ndvStats(spark, table, version),
+      TxnTable.histStats(spark, table, version))
   }
 
   /** STORAGE-PARTITIONED JOIN planning: for a graft-written table with
@@ -935,7 +936,8 @@ private[io] class GraftScan(
     spjGroups: Option[Seq[(Array[Any], Seq[String])]] = None,
     fileStats: Map[String, Seq[TxnTable.FileStat]] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
-    ndv: Map[String, Long] = Map.empty)
+    ndv: Map[String, Long] = Map.empty,
+    hists: Map[String, TxnTable.ColHist] = Map.empty)
     extends Scan with GraftScanFiles
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1013,6 +1015,26 @@ private[io] class GraftScan(
               }
             }
           val d = ndv.get(c)
+          // ANALYZE's equi-height histogram, when present — Spark's
+          // transformV2Stats folds it into the catalyst ColumnStat, and
+          // FilterEstimation then prices a skewed range predicate by
+          // its bins instead of assuming uniformity over [min,max]
+          val hist: Option[org.apache.spark.sql.connector.read.colstats
+            .Histogram] = hists.get(c).map { ch =>
+            new org.apache.spark.sql.connector.read.colstats.Histogram {
+              override def height(): Double = ch.height
+              override def bins(): Array[
+                  org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                ch.bins.map { case (l, h, n) =>
+                  new org.apache.spark.sql.connector.read.colstats
+                    .HistogramBin {
+                    override def lo(): Double = l
+                    override def hi(): Double = h
+                    override def ndv(): Long = n
+                  }
+                }.toArray
+            }
+          }
           if (d.isDefined || nulls.isDefined || minMax.isDefined)
             m.put(org.apache.spark.sql.connector.expressions.Expressions
               .column(c),
@@ -1032,6 +1054,10 @@ private[io] class GraftScan(
                   minMax.map(m => java.util.Optional.of(
                     m._2.asInstanceOf[Object]))
                     .getOrElse(java.util.Optional.empty[Object]())
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] =
+                  hist.map(java.util.Optional.of(_))
+                    .getOrElse(java.util.Optional.empty())
               })
         }
         colStatsCache = Some((fsNow, m))

@@ -1177,8 +1177,56 @@ object TxnTable {
     val ndv = targets.zipWithIndex.map { case (c, i) =>
       c -> row.getLong(i)
     }.toMap
+    // EQUI-HEIGHT HISTOGRAMS for the numeric targets — what turns a
+    // skewed range predicate's selectivity from the uniform [min,max]
+    // guess into a per-bin estimate (Catalyst's FilterEstimation
+    // consumes them whenever present). Bounds from one
+    // approx_percentile pass, per-bin NDV from one bounded groupBy per
+    // column; both driver results are O(numBins). ANALYZE is the
+    // explicitly-paid advisory pass, so the extra scans are its cost
+    // model, not the read path's.
+    val numBins = spark.conf.get("graft.cbo.histogramBins", "16").toInt
+    val histTargets = targets.filter(c => schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    val histLines: Seq[String] =
+      if (numBins < 2) Nil
+      else histTargets.flatMap { c =>
+        val cc = col(s"`$c`")
+        val nn = df.filter(cc.isNotNull)
+        val pcts = (1 to numBins).map(i => i.toDouble / numBins)
+        val h = nn.agg(
+          org.apache.spark.sql.functions.expr(
+            s"cast(approx_percentile(`$c`, array(${pcts.mkString(",")}), " +
+              "10000) as array<double>)"),
+          min(cc).cast("double"), count(lit(1))).head()
+        if (h.isNullAt(0) || h.getLong(2) == 0L) None
+        else {
+          val bounds = h.getSeq[Double](0)
+          val lo0 = h.getDouble(1)
+          val rows = h.getLong(2)
+          // bin i covers (bounds(i-1), bounds(i)]; values at or below
+          // the first bound land in bin 0
+          val binIdx = bounds.init.zipWithIndex.reverse.foldLeft(
+            lit(numBins - 1): org.apache.spark.sql.Column) {
+            case (acc, (b, i)) => when(cc.cast("double") <= b, i).otherwise(acc)
+          }
+          val perBin = nn.groupBy(binIdx.as("_gbin"))
+            .agg(org.apache.spark.sql.functions
+              .approx_count_distinct(cc).as("_gndv"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val bins = (0 until numBins).map { i =>
+            val lo = if (i == 0) lo0 else bounds(i - 1)
+            s"$lo:${bounds(i)}:${perBin.getOrElse(i, 0L)}"
+          }
+          Some(s"hist|${enc(c)}|${rows.toDouble / numBins}|" +
+            bins.mkString(";"))
+        }
+      }
     val content = (s"version=${st.version}" +:
-      ndv.toSeq.sortBy(_._1).map { case (c, n) => s"${enc(c)}|$n" })
+      (ndv.toSeq.sortBy(_._1).map { case (c, n) => s"${enc(c)}|$n" } ++
+        histLines))
       .mkString("", "\n", "\n")
     val ctx = fc(spark)
     val out = ctx.create(new Path(table, NdvName),
@@ -1210,6 +1258,39 @@ object TxnTable {
       lines.tail.flatMap { l =>
         l.split(java.util.regex.Pattern.quote("|")) match {
           case Array(c, n) => Some(dec(c) -> n.toLong)
+          case _ => None
+        }
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** One column's equi-height histogram from the `_ndv` sidecar:
+    * `height` = non-null rows per bin, `bins` = (lo, hi, ndv]. */
+  final case class ColHist(height: Double, bins: Seq[(Double, Double, Long)])
+
+  /** The analyzed histograms applicable to snapshot `version` — same
+    * sidecar, same time-travel gate as [[ndvStats]]. */
+  def histStats(spark: SparkSession, table: String,
+                version: Long): Map[String, ColHist] =
+    try {
+      val ctx = fc(spark)
+      val p = new Path(table, NdvName)
+      if (!ctx.util.exists(p)) return Map.empty
+      val in = ctx.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val lines = new String(bytes, UTF_8).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val analyzedV = lines.headOption
+        .filter(_.startsWith("version=")).map(_.stripPrefix("version=").toLong)
+        .getOrElse(return Map.empty)
+      if (analyzedV > version) return Map.empty
+      lines.tail.flatMap { l =>
+        l.split(java.util.regex.Pattern.quote("|")) match {
+          case Array("hist", c, height, bins) =>
+            Some(dec(c) -> ColHist(height.toDouble,
+              bins.split(";").toSeq.map { b =>
+                val p3 = b.split(":")
+                (p3(0).toDouble, p3(1).toDouble, p3(2).toLong)
+              }))
           case _ => None
         }
       }.toMap

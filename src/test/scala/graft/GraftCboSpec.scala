@@ -125,6 +125,57 @@ class GraftCboSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-height histogram tightens a skewed range estimate") {
+    withZone { table =>
+      import spark.implicits._
+      // 900 rows bunched in v ∈ [1, 9], 100 rows spread over
+      // [100, 1090] — the shape where assuming uniformity over
+      // [min, max] overestimates `v > 500` by ~10×. The high values
+      // INTERLEAVE across the k-ranged files so per-file [min, max]
+      // spans them all and file pruning cannot shrink the scan — the
+      // estimate difference is purely the histogram's.
+      val rows = (0L until 1000L).map(k =>
+        (k, if (k % 10L == 0L) 100L + (k / 10L) * 10L else k % 10L))
+      rows.toDF("k", "v").repartitionByRange(4, $"k")
+        .write.format("graft").option("statsCols", "k,v")
+        .mode("overwrite").save(table)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        def estimate(): BigInt = {
+          val df = spark.read.format("graft").load(table)
+            .filter($"v" > lit(500L))
+          df.queryExecution.optimizedPlan.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.stats.rowCount
+          }.flatten.headOption.getOrElse(
+            fail("no Filter estimate in the optimized plan"))
+        }
+        // no histogram yet: NDV+min/max only → uniform-range guess
+        TxnTable.analyzeTable(spark, table, Seq("k"))
+        spark.conf.set("graft.cbo.histogramBins", "0") // ndv only for v
+        TxnTable.analyzeTable(spark, table, Seq("v"))
+        val uniform = estimate()
+        assert(uniform > BigInt(300),
+          s"uniform assumption should grossly overestimate; got $uniform")
+        // with the histogram the estimate collapses to ~the true 59
+        spark.conf.set("graft.cbo.histogramBins", "16")
+        TxnTable.analyzeTable(spark, table, Seq("v"))
+        val v = TxnTable.latestVersion(spark, table).get
+        assert(TxnTable.histStats(spark, table, v).contains("v"),
+          "histogram must persist in the sidecar")
+        val hist = estimate()
+        assert(hist < uniform / 3,
+          s"histogram must tighten the skewed estimate: " +
+            s"uniform=$uniform hist=$hist")
+        assert(hist <= BigInt(200),
+          s"histogram estimate should approach the true 59 rows; got $hist")
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.unset("graft.cbo.histogramBins")
+      }
+    }
+  }
+
   test("the sidecar survives VACUUM and is advisory on corruption") {
     withZone { table =>
       seed(table)
