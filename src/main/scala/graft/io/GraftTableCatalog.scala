@@ -297,6 +297,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         require(ren.fieldNames.length == 1,
           "graft ALTER supports top-level columns only")
         TxnTable.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
+      case d: TableChange.UpdateColumnDefaultValue =>
+        require(d.fieldNames.length == 1,
+          "graft ALTER supports top-level columns only")
+        // empty string = Spark's DROP DEFAULT spelling
+        TxnTable.setColumnDefault(spark, path, d.fieldNames.head,
+          Option(d.newDefaultValue()).filter(_.nonEmpty))
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>

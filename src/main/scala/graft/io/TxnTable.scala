@@ -1677,12 +1677,24 @@ object TxnTable {
   private def CurDefaultKey = org.apache.spark.sql.catalyst.util
     .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
 
-  /** name → (declared type, default SQL) of every column of `schema`
-    * carrying a DEFAULT declaration. */
+  private def ExistsDefaultKey = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  /** Every column of `schema` the append-side fill gate must care
+    * about: fields with a live CURRENT default (fill the declared
+    * expression), and fields whose CURRENT default was DROPPED but
+    * whose EXISTS_DEFAULT remains (fill an explicit NULL — leaving the
+    * column physically absent would let the reader resurrect the old
+    * existence default for the new rows). */
   def defaultColumns(schema: org.apache.spark.sql.types.StructType)
-      : Seq[(org.apache.spark.sql.types.StructField, String)] =
-    schema.fields.toSeq.filter(_.metadata.contains(CurDefaultKey))
-      .map(f => f -> f.metadata.getString(CurDefaultKey))
+      : Seq[(org.apache.spark.sql.types.StructField, Option[String])] =
+    schema.fields.toSeq
+      .filter(f => f.metadata.contains(CurDefaultKey) ||
+        f.metadata.contains(ExistsDefaultKey))
+      .map(f => f ->
+        (if (f.metadata.contains(CurDefaultKey))
+          Some(f.metadata.getString(CurDefaultKey))
+        else None))
 
   /** `ALTER TABLE … ADD COLUMN name dt DEFAULT defaultSql` — pure
     * metadata, like [[addColumns]]: no data file is read or written.
@@ -1716,17 +1728,55 @@ object TxnTable {
        st.stats, st.blooms, st.checks, st.retired)
     }
 
+  /** `ALTER TABLE … ALTER COLUMN name SET DEFAULT sql` / `DROP
+    * DEFAULT` — metadata-only, SQL-standard semantics: the change
+    * affects FUTURE inserts only. CURRENT_DEFAULT updates (validated
+    * by folding, like ADD COLUMN DEFAULT); EXISTS_DEFAULT — what
+    * files written before the column existed surface — is
+    * deliberately NOT touched: rows already on disk keep reading what
+    * was true when they were written. */
+  def setColumnDefault(spark: SparkSession, table: String,
+                       name: String, defaultSql: Option[String]): Long =
+    commitMetadata(spark, table, "alter-default") { st =>
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no such column $name in $table"))
+      val patched = defaultSql match {
+        case Some(sql) =>
+          // validate by analyzing+folding against the declared type;
+          // keep only CURRENT_DEFAULT from the result (EXISTS stays)
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .constantFoldCurrentDefaultsToExistDefaults(
+              org.apache.spark.sql.types.StructType(Seq(field.copy(
+                metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(field.metadata)
+                  .putString(CurDefaultKey, sql).build()))),
+              "ALTER TABLE ALTER COLUMN")
+          field.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(field.metadata)
+            .putString(CurDefaultKey, sql).build())
+        case None =>
+          field.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(field.metadata).remove(CurDefaultKey).build())
+      }
+      (org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(name)) patched else f)),
+       st.stats, st.blooms, st.checks, st.retired)
+    }
+
   /** DEFAULT-column write gate (commit() append leg): fill each
     * declared column the incoming frame omits — SQL INSERT through
     * Spark's analyzer pads defaults itself (TableOutputResolver reads
     * the same metadata); this covers the library DataFrame path. */
   private def applyDefaults(df: DataFrame,
-      defs: Seq[(org.apache.spark.sql.types.StructField, String)])
+      defs: Seq[(org.apache.spark.sql.types.StructField, Option[String])])
       : DataFrame =
     defs.foldLeft(df) { case (d, (f, sql)) =>
       if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
       else d.withColumn(f.name,
-        org.apache.spark.sql.functions.expr(sql).cast(f.dataType))
+        sql.map(org.apache.spark.sql.functions.expr)
+          .getOrElse(lit(null)).cast(f.dataType))
     }
 
   /** IDENTITY columns (Delta's `GENERATED ALWAYS AS IDENTITY`): like
@@ -3295,11 +3345,45 @@ object TxnTable {
     * column in the file bytes and read plain. Both legs surface exactly
     * `schema`, so the union is loss-free; on non-converted tables this
     * is byte-identical to the single-scan plan it replaced. */
+  /** keep-callback for GraftBridge.statsPrunedParquetFrame: pushed
+    * data filters → (absolute path → may match), judged by the
+    * snapshot's skipping stats and bloom sidecars — the V1 read path's
+    * manifest skipping. Absolute↔relative translation uses the same
+    * makeQualified rendering as [[relToAbs]]; a path the map doesn't
+    * know is NEVER pruned (defensive). */
+  private def statsKeep(spark: SparkSession, table: String, st: State,
+                        rel: Seq[String])
+      : Seq[org.apache.spark.sql.sources.Filter] => (String => Boolean) = {
+    val schema = st.schema.get
+    val pruner = new StatsPruner(schema, st.stats)
+    val ctx = fc(spark)
+    val fsys = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byAbs: Map[String, String] = rel.map(r =>
+      fsys.makeQualified(new Path(s"$table/$r")).toString -> r).toMap
+    filters => {
+      val prunable = filters.filter(pruner.prunable)
+      val eqCons = filters.flatMap(pruner.eqConstraints).distinct
+      abs => byAbs.get(abs) match {
+        case None => true
+        case Some(r) =>
+          prunable.forall(pruner.mayMatch(r, _)) &&
+            eqCons.forall { case (c, vs) =>
+              val hashes = schema.find(_.name == c).map(_.dataType).toSeq
+                .flatMap(dt =>
+                  vs.filter(_ != null).flatMap(v => hashForColumn(v, dt)))
+              hashes.size != vs.size || bloomKeep(ctx, table, st, c, hashes)(r)
+            }
+      }
+    }
+  }
+
   private def planFiles(spark: SparkSession, table: String,
                         schema: org.apache.spark.sql.types.StructType,
                         rel: Seq[String], pathpart: Boolean,
                         aliases: Map[String, Seq[String]] = Map.empty,
-                        withIdentity: Boolean = false)
+                        withIdentity: Boolean = false,
+                        pruneWith: Option[State] = None)
       : DataFrame = {
     // COLUMN MAPPING (zero-rewrite RENAME): a renamed column's bytes sit
     // under its OLD physical name in pre-rename files and the NEW name
@@ -3328,9 +3412,20 @@ object TxnTable {
       }.toIndexedSeq ++
         (if (withIdentity) Seq(col(IdPathCol), col(IdPosCol)) else Nil)): _*)
     def scan(fs: Seq[String], withBase: Boolean) = {
-      val r = spark.read.schema(scanSchema)
-      val df = (if (withBase) r.option("basePath", table) else r)
-        .parquet(fs.map(f => s"$table/$f"): _*)
+      // with a snapshot in hand, the graft-written leg reads through a
+      // stats-aware FileIndex: pushed filters prune files by manifest
+      // stats + blooms at planning, Delta's TahoeFileIndex shape — the
+      // V1 path's equivalent of the DSv2 scan's skipping
+      val df = pruneWith match {
+        case Some(st) if !withBase && st.schema.isDefined =>
+          org.apache.spark.sql.GraftBridge.statsPrunedParquetFrame(
+            spark, fs.map(f => s"$table/$f"), scanSchema,
+            statsKeep(spark, table, st, fs))
+        case _ =>
+          val r = spark.read.schema(scanSchema)
+          (if (withBase) r.option("basePath", table) else r)
+            .parquet(fs.map(f => s"$table/$f"): _*)
+      }
       // ROW IDENTITY for positional deletes: the parquet source's
       // constant `_metadata` struct, materialized as plain columns so
       // they survive union/project. file_path renders identically to
@@ -3398,7 +3493,7 @@ object TxnTable {
       val (posDels, eqDels) = dels.partition(_.keyCols == PosDelKeyCols)
       val needId = withIdentity || posDels.nonEmpty
       var df = planFiles(spark, table, schema, fs, st.pathpart, st.aliases,
-        withIdentity = needId)
+        withIdentity = needId, pruneWith = Some(st))
       eqDels.foreach { d =>
         val keySchema = org.apache.spark.sql.types.StructType(
           d.keyCols.map(k => schema(k)))
@@ -3476,7 +3571,8 @@ object TxnTable {
     }.distinct.sorted
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
-        s"$table predates the schema log")), rel, st.pathpart, st.aliases)
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases,
+        pruneWith = Some(st))
     else delAppliedRead(spark, table, st, rel)
   }
 
@@ -3494,7 +3590,8 @@ object TxnTable {
       s"files not in snapshot v$version of $table: ${unknown.mkString(", ")}")
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
-        s"$table predates the schema log")), rel, st.pathpart, st.aliases)
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases,
+        pruneWith = Some(st))
     else delAppliedRead(spark, table, st, rel)
   }
 
@@ -3753,7 +3850,8 @@ object TxnTable {
     val st = stateOf(spark, table, version)
     if (st.dels.nonEmpty) delAppliedRead(spark, table, st, st.files)
     else st.schema match {
-      case Some(s) => planFiles(spark, table, s, st.files, st.pathpart, st.aliases)
+      case Some(s) => planFiles(spark, table, s, st.files, st.pathpart,
+        st.aliases, pruneWith = Some(st))
       case None => // pre-schema-log manifest
         spark.read.parquet(st.files.map(f => s"$table/$f"): _*)
     }

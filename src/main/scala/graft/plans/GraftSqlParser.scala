@@ -138,6 +138,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+CONSTRAINT\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
   private val AlterNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  private val AlterSetDefaultStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
+  private val AlterDropDefaultStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+DROP\s+DEFAULT\s*;?\s*""".r
   // CREATE TABLE <dest> SHALLOW CLONE <source> [VERSION AS OF n]
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SHALLOW\s+CLONE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
@@ -238,6 +242,11 @@ object GraftSqlParser {
           Seq(unquoteId(from), unquoteId(to))))
       case AlterNotNullStmt(target, col) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "set-not-null", Seq(unquoteId(col))))
+      case AlterSetDefaultStmt(target, col, dflt) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "set-default",
+          Seq(unquoteId(col), dflt.trim)))
+      case AlterDropDefaultStmt(target, col) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "drop-default", Seq(unquoteId(col))))
       case ConvertStmt(target, stats) =>
         Some(GraftConvertCommand(unquote(target),
           Option(stats).toSeq.flatMap(_.split(",").toSeq)
@@ -480,6 +489,10 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             // NOT NULL is a named check, so DROP CONSTRAINT can undo it
             TxnTable.addCheck(spark, table, s"${args.head}_not_null",
               s"`${args.head}` IS NOT NULL")
+          case "set-default" =>
+            TxnTable.setColumnDefault(spark, table, args(0), Some(args(1)))
+          case "drop-default" =>
+            TxnTable.setColumnDefault(spark, table, args(0), None)
           case other => throw new IllegalStateException(
             s"unknown ALTER kind $other")
         }

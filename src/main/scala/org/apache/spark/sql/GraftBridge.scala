@@ -63,6 +63,55 @@ object GraftBridge {
     spark.read.schema(schema).parquet(paths: _*)
       .asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** V1 parquet DataFrame over an explicit file list whose FileIndex
+    * applies GRAFT's manifest skipping at PLANNING time: Spark's
+    * FileSourceStrategy hands the pushed data filters to
+    * `FileIndex.listFiles(partitionFilters, dataFilters)` — the same
+    * hook Delta's TahoeFileIndex rides — and `keep`, built graft-side
+    * over the snapshot's stats and bloom sidecars, decides which files
+    * survive. This is what lets the LIBRARY read path (delete-applying
+    * groups, DML phase sources, the positional-vector splice inside a
+    * DSv2 rewrite) skip files a predicate excludes WITHOUT opening
+    * their footers. */
+  def statsPrunedParquetFrame(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      keep: Seq[org.apache.spark.sql.sources.Filter] => (String => Boolean))
+      : DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      cs, paths.map(new org.apache.hadoop.fs.Path(_)),
+      Map.empty[String, String], Some(schema),
+      org.apache.spark.sql.execution.datasources.NoopCache, None, None) {
+      override def listFiles(
+          partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+        val base = super.listFiles(partitionFilters, dataFilters)
+        val translated = dataFilters.flatMap(
+          org.apache.spark.sql.execution.datasources.DataSourceStrategy
+            .translateFilter(_, supportNestedPredicatePushdown = true))
+        if (translated.isEmpty) base
+        else {
+          val p = keep(translated)
+          base.map(pd => pd.copy(files = pd.files.filter(f =>
+            p(f.fileStatus.getPath.toString))))
+        }
+      }
+    }
+    // file sources always read nullable (DataFrameReader does the same
+    // coercion): a schema-evolved file missing a declared-non-null
+    // column must surface NULL, not corrupt the row
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new org.apache.spark.sql.types.StructType(),
+      schema.asNullable, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(cs)
+    classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
+
   /** Spark's own vectorized parquet Scan over an EXPLICIT file list —
     * the execution half of the graft DSv2 source: graft planning picks
     * the files (manifest-stats skipping), Spark's ParquetScan executes

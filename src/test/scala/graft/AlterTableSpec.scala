@@ -108,6 +108,47 @@ class AlterTableSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT changes future inserts only") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      seed(table)
+      TxnTable.addColumnWithDefault(spark, table, "tier",
+        org.apache.spark.sql.types.StringType, "'bronze'")
+      spark.sql(s"CREATE TABLE alter_sd_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("ALTER TABLE alter_sd_t ALTER COLUMN tier SET DEFAULT 'silver'")
+        // SQL-standard: rows already on disk keep reading the ORIGINAL
+        // existence default; only new inserts see the new one
+        assert(spark.sql(
+          "SELECT count(*) FROM alter_sd_t WHERE tier = 'bronze'")
+          .head().getLong(0) == 3L)
+        spark.sql("INSERT INTO alter_sd_t (id, tag, v) VALUES (4, 'd', 40.0)")
+        assert(spark.sql(
+          "SELECT tier FROM alter_sd_t WHERE id = 4").head().getString(0)
+          == "silver")
+        spark.sql("ALTER TABLE alter_sd_t ALTER COLUMN tier DROP DEFAULT")
+        spark.sql("INSERT INTO alter_sd_t (id, tag, v) VALUES (5, 'e', 50.0)")
+        assert(spark.sql("SELECT tier FROM alter_sd_t WHERE id = 5")
+          .head().isNullAt(0), "after DROP DEFAULT an omitted column is NULL")
+        // and the old rows STILL read their original default
+        assert(spark.sql(
+          "SELECT count(*) FROM alter_sd_t WHERE tier = 'bronze'")
+          .head().getLong(0) == 3L)
+        // UPDATE ... SET c = DEFAULT resolves through the same metadata
+        spark.sql("ALTER TABLE alter_sd_t ALTER COLUMN tier SET DEFAULT 'gold'")
+        spark.sql("UPDATE alter_sd_t SET tier = DEFAULT WHERE id = 1")
+        assert(spark.sql("SELECT tier FROM alter_sd_t WHERE id = 1")
+          .head().getString(0) == "gold")
+        // a malformed default refuses at ALTER time
+        intercept[Exception] {
+          spark.sql(
+            "ALTER TABLE alter_sd_t ALTER COLUMN tier SET DEFAULT no_col + 1")
+        }
+      } finally spark.sql("DROP TABLE alter_sd_t")
+    }
+  }
+
   test("dropColumn removes the field, its stats, and retires the name") {
     withZone { zone =>
       val table = s"$zone/t"

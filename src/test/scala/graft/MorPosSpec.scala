@@ -157,6 +157,24 @@ class MorPosSpec extends AnyFunSuite {
       assert(scans.nonEmpty && scans.min == 1,
         s"expected the un-named files' DSv2 scan pruned to 1 file; " +
           s"scan file counts: $scans\n${q.queryExecution.executedPlan}")
+      // the NAMED file's v1 branch ALSO skips: its manifest stats
+      // refute the predicate inside the stats-aware FileIndex, so the
+      // data-side FileSourceScan reads ZERO files
+      def v1Files(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+        p.flatMap {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.output.exists(_.name == "k") =>
+            Seq(f.metrics("numFiles").value)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            v1Files(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            v1Files(s.plan)
+          case _ => Nil
+        }
+      val v1 = v1Files(q.queryExecution.executedPlan)
+      assert(v1.nonEmpty && v1.max == 0,
+        s"the named file's v1 branch must prune on manifest stats; " +
+          s"numFiles: $v1")
       // and the subtraction itself still holds on the named file
       assert(spark.read.format("graft").load(table).count() == 290L)
     }
