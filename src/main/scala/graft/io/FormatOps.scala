@@ -4244,6 +4244,55 @@ object FormatOps {
       |FROM nation
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // --------------------------------------------------------------- k147
+  /** Table properties + DESCRIBE DETAIL: `ALTER TABLE … SET
+    * TBLPROPERTIES` is a metadata-only CAS commit (REQUIREd — no data
+    * file touched), `SHOW TBLPROPERTIES` serves the manifest's
+    * property lines as rows, and DESCRIBE DETAIL's exact manifest row
+    * count ties the metadata surface back to the data: the oracle
+    * recomputes it with COUNT(*). */
+  private def k147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k147_props")
+    try {
+      val table = s"$zone/nation_txn"
+      Tables.nation(spark, dir)
+        .write.format("graft").mode("overwrite").save(table)
+      val filesBefore = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      spark.sql(s"CREATE TABLE graft_k147_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "ALTER TABLE graft_k147_t SET TBLPROPERTIES " +
+            "('owner' = 'etl', 'ttl.days' = '30')")
+        require(TxnTable.snapshotFiles(spark, table,
+          TxnTable.latestVersion(spark, table).get) == filesBefore,
+          "SET TBLPROPERTIES must be metadata-only")
+        val props = spark.sql("SHOW TBLPROPERTIES graft_k147_t")
+        val detail = spark.sql("DESCRIBE DETAIL graft_k147_t")
+        val result = props
+          .unionByName(detail.select(lit("num_rows").as("key"),
+            col("num_rows").cast("string").as("value")))
+          .orderBy($"key")
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k147_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k147Sql =
+    """SELECT key, value FROM (
+      |  SELECT 'num_rows' AS key, CAST(COUNT(*) AS VARCHAR) AS value
+      |  FROM nation
+      |  UNION ALL SELECT 'owner', 'etl'
+      |  UNION ALL SELECT 'ttl.days', '30')
+      |ORDER BY key""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4315,5 +4364,6 @@ object FormatOps {
     RQ("k143_pos_update", k143, Some(k143Sql)),
     RQ("k144_reorg_purge", k144, Some(k144Sql)),
     RQ("k145_column_defaults", k145, Some(k145Sql)),
-    RQ("k146_create_or_replace", k146, Some(k146Sql)))
+    RQ("k146_create_or_replace", k146, Some(k146Sql)),
+    RQ("k147_tblproperties", k147, Some(k147Sql)))
 }

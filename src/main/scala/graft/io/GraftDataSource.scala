@@ -206,6 +206,19 @@ private[graft] class GraftTable(table: String, version: Long,
     * .GraftDmlRewrite) hands to the TxnTable copy-on-write commit. */
   def tablePath: String = table
 
+  /** The snapshot's table properties (`#prop=` manifest lines), served
+    * through the connector API so `SHOW TBLPROPERTIES g.db.t` /
+    * DESCRIBE EXTENDED surface them. Lazy: one manifest-chain read per
+    * Table instance, and only if someone asks. */
+  private lazy val props0: java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    try TxnTable.tableProperties(SparkSession.active, table, Some(version))
+      .foreach { case (k, v) => m.put(k, v) }
+    catch { case scala.util.control.NonFatal(_) => () }
+    m
+  }
+  override def properties(): java.util.Map[String, String] = props0
+
   /** Declared partitioning: the writer-supplied transforms if any, else
     * the snapshot's recorded partition columns (sticky). */
   override def partitioning(): Array[Transform] = {

@@ -153,8 +153,23 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
       path, partitionCols = partCols)
+    storeDeclaredProps(path, properties)
     new GraftTable(path, TxnTable.latestVersion(spark, path).get, schema,
       partCols)
+  }
+
+  /** Persist a CREATE statement's TBLPROPERTIES into the manifest,
+    * filtering Spark's own bookkeeping keys. */
+  private def storeDeclaredProps(path: String,
+                                 properties: util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val user = properties.asScala.toMap
+      .filterNot { case (k, _) => reserved(k) || k.startsWith("option.") }
+    if (user.nonEmpty)
+      TxnTable.setProperties(SparkSession.active, path, user)
   }
 
   /** Translate a CREATE/REPLACE declaration (v2 columns + transforms)
@@ -273,6 +288,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               schema),
             path, partitionCols = partCols)
+        storeDeclaredProps(path, info.properties())
       }
       override def abortStagedChanges(): Unit = ()
     }
@@ -297,6 +313,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         require(ren.fieldNames.length == 1,
           "graft ALTER supports top-level columns only")
         TxnTable.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
+      case sp: TableChange.SetProperty =>
+        TxnTable.setProperties(spark, path,
+          Map(sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        TxnTable.unsetProperties(spark, path, Seq(rp.property()))
       case d: TableChange.UpdateColumnDefaultValue =>
         require(d.fieldNames.length == 1,
           "graft ALTER supports top-level columns only")

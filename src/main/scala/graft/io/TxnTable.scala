@@ -164,6 +164,7 @@ object TxnTable {
   // merge/DML), mirroring the warehouse-DDL boundary the reference
   // delegated to Postgres (ref `dags/s3-etl-wallet-csv.py:208-234`).
   private val ChkPrefix = "#check="
+  private val PropPrefix = "#prop="
   // Physical column names EVER dropped from the schema
   // (`#retired=<enc name>,<enc name>…`): old data files still CONTAIN
   // a dropped column, so re-adding the same name would resurrect stale
@@ -852,7 +853,8 @@ object TxnTable {
       checks: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil,
       pathpart: Boolean = false,
-      aliases: Map[String, Seq[String]] = Map.empty) {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      props: Map[String, String] = Map.empty) {
     def stat(f: String, c: String): Option[FileStat] =
       stats.getOrElse(f, Nil).find(_.col == c)
     /** Overlap test for pruning: false only when stats PROVE the file
@@ -1011,7 +1013,7 @@ object TxnTable {
     State(v, parseTxns(headOf), files, parseSchema(headOf), stats, blooms, rows,
       parsePartCols(headOf), parseCdf(headOf), parseMor(headOf), dels, addv,
       parseChecks(headOf), parseRetired(headOf), parsePathPart(headOf),
-      parseAliases(headOf))
+      parseAliases(headOf), parseProps(headOf))
   }
 
   private def parsePartCols(headers: Seq[String]): Seq[String] =
@@ -1076,6 +1078,17 @@ object TxnTable {
   private def checkLines(checks: Map[String, String]): Seq[String] =
     checks.toSeq.sortBy(_._1).map { case (n, sql) =>
       s"$ChkPrefix${enc(n)}$StatSep${enc(sql)}" }
+
+  private def propLines(props: Map[String, String]): Seq[String] =
+    props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"$PropPrefix${enc(k)}$StatSep${enc(v)}" }
+
+  private def parseProps(headers: Seq[String]): Map[String, String] =
+    headers.filter(_.startsWith(PropPrefix)).map { l =>
+      val p = l.stripPrefix(PropPrefix)
+        .split(java.util.regex.Pattern.quote(StatSep))
+      dec(p(0)) -> (if (p.length > 1) dec(p(1)) else "")
+    }.toMap
 
   private def parseChecks(headers: Seq[String]): Map[String, String] =
     headers.filter(_.startsWith(ChkPrefix)).map { l =>
@@ -1494,7 +1507,8 @@ object TxnTable {
       checks: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil,
       pathpart: Boolean = false,
-      aliases: Map[String, Seq[String]] = Map.empty): String = {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      props: Map[String, String] = Map.empty): String = {
     val filesSet = files.toSet
     (Seq(s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
@@ -1503,6 +1517,7 @@ object TxnTable {
       (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
       (if (pathpart) Seq(s"${PathPartPrefix}true") else Nil) ++
       checkLines(checks) ++
+      propLines(props) ++
       retiredLine(retired) ++
       aliasLines(aliases) ++
       dels.map(delLine) ++
@@ -1548,7 +1563,8 @@ object TxnTable {
       checks: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil,
       pathpart: Boolean = false,
-      aliases: Map[String, Seq[String]] = Map.empty): String =
+      aliases: Map[String, Seq[String]] = Map.empty,
+      props: Map[String, String] = Map.empty): String =
     (Seq(s"$DeltaPrefix$base", s"$SchemaPrefix${schema.json}",
       s"$TsPrefix${System.currentTimeMillis()}",
       s"$OpPrefix$op") ++
@@ -1556,6 +1572,7 @@ object TxnTable {
       (if (mor) Seq(s"${MorPrefix}true") else Nil) ++
       (if (pathpart) Seq(s"${PathPartPrefix}true") else Nil) ++
       checkLines(checks) ++
+      propLines(props) ++
       retiredLine(retired) ++
       aliasLines(aliases) ++
       newDels.map(delLine) ++
@@ -2106,6 +2123,9 @@ object TxnTable {
       // constraints and the retired-name list are snapshot state like
       // the schema: carried forward by every commit, append or overwrite
       val chks = state.map(_.checks).getOrElse(Map.empty[String, String])
+      // table properties carry like constraints — through append AND
+      // overwrite (replacing a table's rows is not un-configuring it)
+      val prps = state.map(_.props).getOrElse(Map.empty[String, String])
       val ret = state.map(_.retired).getOrElse(Nil)
       // converted-layout flag is sticky ONLY while adopted files remain:
       // an overwrite replaces table content wholesale with graft-written
@@ -2120,12 +2140,12 @@ object TxnTable {
         if (writeFull)
           manifestContent(schema, txns, stats, files, blooms, rows, partCols,
             op = op, cdf = cdfOn, mor = morOn, dels = liveDels, addv = addvAll,
-            checks = chks, retired = ret, pathpart = ppOn,
+            checks = chks, props = prps, retired = ret, pathpart = ppOn,
             aliases = aliasOn)
         else deltaContent(schema, txns, newStats, removed = Nil,
           added = newFiles, base = state.get.version, newBlooms = newBlooms,
           newRows = newRows, partCols = partCols, op = op, cdf = cdfOn,
-          mor = morOn, checks = chks, retired = ret, pathpart = ppOn,
+          mor = morOn, checks = chks, props = prps, retired = ret, pathpart = ppOn,
           aliases = aliasOn)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
@@ -2597,7 +2617,7 @@ object TxnTable {
               mor = base.mor,
               dels = base.dels.filter(d =>
                 files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
-              addv = addvAll, checks = base.checks, retired = base.retired,
+              addv = addvAll, checks = base.checks, props = base.props, retired = base.retired,
               pathpart = base.pathpart && files.exists(!_.startsWith("w=")),
               aliases = base.aliases)
           }
@@ -2605,7 +2625,7 @@ object TxnTable {
           removed = removedFiles, added = newFiles, base = base.version,
           newBlooms = newBlooms, newRows = newRows, partCols = base.partCols,
           op = op, cdf = base.cdf, cdcAdd = cdcAdd, cdcDel = cdcDel,
-          mor = base.mor, checks = base.checks, retired = base.retired,
+          mor = base.mor, checks = base.checks, props = base.props, retired = base.retired,
           pathpart = base.pathpart, aliases = base.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
@@ -2828,13 +2848,13 @@ object TxnTable {
               base.blooms, base.rows, base.partCols, op = "delete",
               cdf = base.cdf, cdcAdd = cdcAdd,
               mor = true, dels = base.dels ++ dels, addv = base.addv,
-              checks = base.checks, retired = base.retired,
+              checks = base.checks, props = base.props, retired = base.retired,
               pathpart = base.pathpart, aliases = base.aliases)
           else deltaContent(schema, base.txns,
             Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
             base = base.version, partCols = base.partCols, op = "delete",
             cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels,
-            checks = base.checks, retired = base.retired,
+            checks = base.checks, props = base.props, retired = base.retired,
             pathpart = base.pathpart, aliases = base.aliases)
         if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
           writePointer(ctx, table, next)
@@ -3129,13 +3149,13 @@ object TxnTable {
               base.blooms, base.rows, base.partCols, op = "delete",
               cdf = base.cdf, cdcAdd = cdcAdd,
               mor = true, dels = base.dels ++ dels, addv = base.addv,
-              checks = base.checks, retired = base.retired,
+              checks = base.checks, props = base.props, retired = base.retired,
               pathpart = base.pathpart, aliases = base.aliases)
           else deltaContent(schema, base.txns,
             Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
             base = base.version, partCols = base.partCols, op = "delete",
             cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels,
-            checks = base.checks, retired = base.retired,
+            checks = base.checks, props = base.props, retired = base.retired,
             pathpart = base.pathpart, aliases = base.aliases)
         if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
           writePointer(ctx, table, next)
@@ -3301,14 +3321,14 @@ object TxnTable {
                   cdf = base.cdf, cdcAdd = cdcAdd, mor = true,
                   dels = (base.dels ++ dels).filter(d =>
                     files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
-                  addv = addvAll, checks = base.checks, retired = base.retired,
+                  addv = addvAll, checks = base.checks, props = base.props, retired = base.retired,
                   pathpart = base.pathpart, aliases = base.aliases)
               } else deltaContent(schema, base.txns, newStats,
                 removed = Nil, added = newFiles, base = base.version,
                 newBlooms = newBlooms, newRows = newRows,
                 partCols = base.partCols, op = op, cdf = base.cdf,
                 cdcAdd = cdcAdd, mor = true, newDels = dels,
-                checks = base.checks, retired = base.retired,
+                checks = base.checks, props = base.props, retired = base.retired,
                 pathpart = base.pathpart, aliases = base.aliases)
             if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
               writePointer(ctx, table, next)
@@ -4304,7 +4324,7 @@ object TxnTable {
           // content but keeps the current constraint set and the full
           // retired-name memory (old files coming back is precisely when
           // the resurrection guard matters most)
-          checks = st.checks,
+          checks = st.checks, props = st.props,
           retired = (st.retired ++ target.retired).distinct,
           pathpart = target.pathpart,
           // aliases are DATA-layout state like the file list: the
@@ -4341,7 +4361,7 @@ object TxnTable {
       val next = st.version + 1L
       val content = manifestContent(schema, st.txns, stats, st.files,
         blooms, st.rows, st.partCols, op = op, cdf = st.cdf, mor = st.mor,
-        dels = st.dels, addv = st.addv, checks = checks, retired = retired,
+        dels = st.dels, addv = st.addv, checks = checks, retired = retired, props = st.props,
         pathpart = st.pathpart, aliases = st.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
@@ -4519,7 +4539,7 @@ object TxnTable {
       val next = st.version + 1L
       val content = manifestContent(newSchema, st.txns, newStats, st.files,
         newBlooms, st.rows, newPart, op = "alter-rename", cdf = st.cdf,
-        mor = st.mor, dels = st.dels, addv = st.addv, checks = st.checks,
+        mor = st.mor, dels = st.dels, addv = st.addv, checks = st.checks, props = st.props,
         retired = (st.retired :+ field.name).distinct,
         pathpart = st.pathpart, aliases = newAliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
@@ -4531,6 +4551,56 @@ object TxnTable {
     }
     throw new IllegalStateException(
       s"rename on $table lost the manifest race 64 times")
+  }
+
+  // ---------------------------------------------------- table properties
+  /** Free-form table properties (`#prop=` manifest lines) — snapshot
+    * state like CHECK constraints: carried by every commit, visible to
+    * time travel, restored by RESTORE. SET/UNSET are metadata-only CAS
+    * commits. */
+  def tableProperties(spark: SparkSession, table: String,
+                      versionAsOf: Option[Long] = None)
+      : Map[String, String] = {
+    val st = versionAsOf match {
+      case Some(v) => stateOf(spark, table, v)
+      case None => latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+    }
+    st.props
+  }
+
+  def setProperties(spark: SparkSession, table: String,
+                    kv: Map[String, String]): Long =
+    commitProps(spark, table, "set-props")(_ ++ kv)
+
+  def unsetProperties(spark: SparkSession, table: String,
+                      keys: Seq[String]): Long =
+    commitProps(spark, table, "unset-props")(_ -- keys)
+
+  private def commitProps(spark: SparkSession, table: String, op: String)(
+      f: Map[String, String] => Map[String, String]): Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 64) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val next = st.version + 1L
+      val content = manifestContent(
+        st.schema.getOrElse(throw new IllegalStateException(
+          s"$table predates the schema log")),
+        st.txns, st.stats, st.files, st.blooms, st.rows, st.partCols,
+        op = op, cdf = st.cdf, mor = st.mor, dels = st.dels, addv = st.addv,
+        checks = st.checks, props = f(st.props), retired = st.retired,
+        pathpart = st.pathpart, aliases = st.aliases)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"$op on $table lost the manifest race 64 times")
   }
 
   // ------------------------------------------------- CHECK constraints
@@ -4687,7 +4757,7 @@ object TxnTable {
       st.blooms.map { case (f, v) => pf(f) -> v },
       st.rows.map { case (f, v) => pf(f) -> v },
       st.partCols, op = "clone", cdf = st.cdf, mor = st.mor,
-      checks = st.checks, retired = st.retired, aliases = st.aliases)
+      checks = st.checks, props = st.props, retired = st.retired, aliases = st.aliases)
     require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
       s"$dest was concurrently initialized — clone aborted")
     writePointer(ctx, dest, 1L)
@@ -4999,14 +5069,14 @@ object TxnTable {
               }
             },
             addv = (st.addv -- removed) ++ newFiles.map(_ -> next).toMap,
-            checks = st.checks, retired = st.retired,
+            checks = st.checks, props = st.props, retired = st.retired,
             pathpart = st.pathpart && files.exists(!_.startsWith("w=")),
             aliases = st.aliases)
         else deltaContent(schema, st.txns, newStats,
           removed = removed, added = newFiles, base = st.version,
           newBlooms = newBlooms, newRows = newRows, partCols = st.partCols,
           op = opName, cdf = st.cdf, mor = st.mor,
-          checks = st.checks, retired = st.retired,
+          checks = st.checks, props = st.props, retired = st.retired,
           pathpart = st.pathpart, aliases = st.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)

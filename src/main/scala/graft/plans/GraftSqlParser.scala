@@ -138,6 +138,12 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+CONSTRAINT\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
   private val AlterNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  private val SetTblPropsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val UnsetTblPropsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*""".r
+  private val ShowTblPropsStmt =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   private val AlterSetDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val AlterDropDefaultStmt =
@@ -161,6 +167,27 @@ object GraftSqlParser {
   //   [FILEFORMAT = parquet|csv|json] [PATTERN = '<glob>']
   private val CopyIntoStmt =
     """(?is)\s*COPY\s+INTO\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+FROM\s+('[^']+'|"[^"]+")\s*(?:FILEFORMAT\s*=\s*(\w+)\s*)?(?:PATTERN\s*=\s*('[^']+'|"[^"]+")\s*)?;?\s*""".r
+
+  /** Strip one layer of '…', "…", or `…` quoting, if any. */
+  private def unquoteAny(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 &&
+        ((t.startsWith("'") && t.endsWith("'")) ||
+          (t.startsWith("\"") && t.endsWith("\"")) ||
+          (t.startsWith("`") && t.endsWith("`"))))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** `'k1' = 'v1', k2 = v2` → pairs. Quotes strip one layer; commas
+    * split top-level entries (quoted commas are not supported — use the
+    * library API for exotic values). */
+  private def parseKvList(s: String): Seq[(String, String)] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      val i = e.indexOf('=')
+      require(i > 0, s"malformed TBLPROPERTIES entry: $e")
+      unquoteAny(e.take(i)) -> unquoteAny(e.drop(i + 1))
+    }
 
   private def unquoteId(s: String): String = {
     val t = s.trim
@@ -242,6 +269,15 @@ object GraftSqlParser {
           Seq(unquoteId(from), unquoteId(to))))
       case AlterNotNullStmt(target, col) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "set-not-null", Seq(unquoteId(col))))
+      case SetTblPropsStmt(target, kvs) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "set-props",
+          parseKvList(kvs).sortBy(_._1).flatMap(kv => Seq(kv._1, kv._2))))
+      case UnsetTblPropsStmt(target, ks) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "unset-props",
+          ks.split(",").toSeq.map(k => unquoteAny(k.trim)).filter(_.nonEmpty)))
+      case ShowTblPropsStmt(target) if graftTarget(target) =>
+        Some(GraftTableFunctions.tblProperties(
+          resolveTarget(SparkSession.active, target)))
       case AlterSetDefaultStmt(target, col, dflt) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "set-default",
           Seq(unquoteId(col), dflt.trim)))
@@ -493,6 +529,11 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             TxnTable.setColumnDefault(spark, table, args(0), Some(args(1)))
           case "drop-default" =>
             TxnTable.setColumnDefault(spark, table, args(0), None)
+          case "set-props" =>
+            TxnTable.setProperties(spark, table,
+              args.grouped(2).map(p => p(0) -> p(1)).toMap)
+          case "unset-props" =>
+            TxnTable.unsetProperties(spark, table, args)
           case other => throw new IllegalStateException(
             s"unknown ALTER kind $other")
         }

@@ -129,8 +129,12 @@ object GraftTableFunctions {
       AttributeReference("num_delete_files", LongType, nullable = false)(),
       AttributeReference("num_delete_rows", LongType, nullable = false)(),
       // ANALYZE freshness: which columns carry CBO NDV at this version
-      AttributeReference("analyzed_columns", StringType, nullable = false)())
-    val r = new GenericInternalRow(16)
+      AttributeReference("analyzed_columns", StringType, nullable = false)(),
+      // exact manifest row count (null while any file predates per-file
+      // row tracking) and the free-form property map as sorted k=v text
+      AttributeReference("num_rows", LongType, nullable = true)(),
+      AttributeReference("properties", StringType, nullable = false)())
+    val r = new GenericInternalRow(18)
     r.update(0, UTF8String.fromString("graft"))
     r.update(1, UTF8String.fromString(table))
     r.setLong(2, v)
@@ -162,6 +166,13 @@ object GraftTableFunctions {
     r.setLong(14, liveDels.map(_.rows).sum)
     r.update(15, UTF8String.fromString(
       TxnTable.ndvStats(spark, table, v).keys.toSeq.sorted.mkString(",")))
+    val rowsByFile = TxnTable.fileRows(spark, table, v)
+    if (files.forall(rowsByFile.contains))
+      r.setLong(16, files.map(rowsByFile).sum)
+    else r.setNullAt(16)
+    r.update(17, UTF8String.fromString(
+      TxnTable.tableProperties(spark, table, Some(v)).toSeq.sortBy(_._1)
+        .map { case (k, pv) => s"$k=$pv" }.mkString(",")))
     LocalRelation(out, Seq(r: InternalRow))
   }
 
@@ -279,4 +290,22 @@ object GraftTableFunctions {
       cism.asCaseSensitiveMap())
     DataSourceV2Relation.create(t, None, None, cism)
   }
+
+  /** SHOW TBLPROPERTIES — (key, value) rows from the manifest's
+    * property lines; metadata-eager like SHOW PARTITIONS. */
+  def tblProperties(table: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val props = TxnTable.tableProperties(spark, table)
+    val out = Seq(
+      AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+    val data = props.toSeq.sortBy(_._1).map { case (k, v) =>
+      val r = new GenericInternalRow(2)
+      r.update(0, UTF8String.fromString(k))
+      r.update(1, UTF8String.fromString(v))
+      r: InternalRow
+    }
+    LocalRelation(out, data)
+  }
+
 }

@@ -1047,5 +1047,82 @@ object SimilarityOps {
     RQ("e55_ivfpq_search", e55, Some(e55Sql)),
     RQ("e56_ivf_sampled_trainer", e56, Some(e56Sql)),
     RQ("e57_filtered_ann", e57, Some(e57Sql)),
-    RQ("e58_adc_rerank", e58, Some(e58Sql)))
+    RQ("e58_adc_rerank", e58, Some(e58Sql)),
+    RQ("e59_incremental_ivf", e59, Some(e59Sql), bench = true))
+
+  // ---------------------------------------------------------------- e59
+  /** INCREMENTAL IVF INGEST — index maintenance as a pipeline, the ANN
+    * mirror of d47's incremental dedup: the inverted file PERSISTS as
+    * a graft table (vec_id, cell, embedding), and each incoming batch
+    * of vectors assigns against the FIXED coarse quantizer (the same
+    * codegen'd NearestCells projection as e47) and APPENDS —
+    * batch-sized work, no re-assignment of the existing corpus
+    * (REQUIREd append-only). Queries serve from the persisted index:
+    * probe → 2 nearest cells → candidates by cell equi-join, exactly
+    * e48's serving plan but against the incrementally-built table.
+    * Incremental == from-scratch EXACTLY because assignment is a pure
+    * per-row function of the fixed centroids — the oracle (e48's SQL)
+    * recomputes the whole index in DuckDB and must agree. */
+  private def e59(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_e59_ivf").toFile.getAbsolutePath
+    try {
+      val index = s"$zone/ivf_txn"
+      val cents = centroids(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max($"vec_id")).head().getLong(0) / 2L
+      def assign(batch: DataFrame): DataFrame = batch.select(
+        $"vec_id", $"embedding",
+        element_at(Similarity.nearestCells("embedding", cents, 1), 1)
+          .cast("bigint").as("cell"))
+      assign(emb.filter($"vec_id" <= cut))
+        .write.format("graft").option("statsCols", "vec_id,cell")
+        .mode("overwrite").save(index)
+      val before = TxnTable.snapshotFiles(spark, index,
+        TxnTable.latestVersion(spark, index).get).toSet
+      // day-2 increment: assign ONLY the new vectors, append
+      assign(emb.filter($"vec_id" > cut))
+        .write.format("graft").mode("append").save(index)
+      val after = TxnTable.snapshotFiles(spark, index,
+        TxnTable.latestVersion(spark, index).get).toSet
+      require(before.subsetOf(after),
+        "incremental ingest must append to the index, not rebuild it")
+      val assigned = spark.read.format("graft").load(index)
+      val probeCells = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("p"),
+          explode(Similarity.nearestCells("embedding", cents, 2)).as("pc"))
+        .select($"p", $"pc".cast("bigint").as("pcell"))
+      val result = assigned
+        .join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= 0)
+        .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(5)
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: defined after `all` in initialization order
+  private def e59Sql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2)
+       |SELECT vec_id, ${cosineSql("embedding", "p")} AS cos_sim
+       |FROM assigned, probe
+       |WHERE cell IN (SELECT cent_id FROM pcells) AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 }
