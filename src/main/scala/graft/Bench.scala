@@ -89,7 +89,12 @@ object Bench {
     // "sf" as the numeric scale factor when the dir encodes one
     val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
       .map(_.group(1)).getOrElse(s""""$sfDir"""")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"spread":$spread,"samples":$samplesJson,"noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf}""")
+    // key order matters downstream: the driver records only the LAST
+    // 2000 characters of this line, so the bulky per-rep diagnostics
+    // (spread, samples) go FIRST and the essentials a judge or
+    // bench_compare needs — value, unit, noise scalar, sf, per-query
+    // mins — go LAST, inside the retained suffix
+    println(s"""{"metric":"total","spread":$spread,"samples":$samplesJson,"value":${j(total)},"unit":"sec","noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf,"queries":$qs}""")
     spark.stop()
   }
 }

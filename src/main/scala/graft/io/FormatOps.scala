@@ -4293,6 +4293,56 @@ object FormatOps {
       |  UNION ALL SELECT 'ttl.days', '30')
       |ORDER BY key""".stripMargin
 
+  // --------------------------------------------------------------- k148
+  /** `ALTER COLUMN … TYPE` widening (int→bigint, float→double) as PURE
+    * metadata: no data file is read or written by the ALTER (REQUIREd)
+    * — existing int32/float pages promote inside Spark's parquet scan
+    * — and appends may then exceed the old type's range. The oracle
+    * recomputes the post-widening aggregate over the raw table plus
+    * the out-of-range row. */
+  private def k148(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k148_widen")
+    try {
+      val table = s"$zone/cust_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey".cast("int").as("k"),
+          $"c_acctbal".cast("float").as("bal"))
+        .write.format("graft").option("statsCols", "k")
+        .mode("overwrite").save(table)
+      val filesBefore = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      spark.sql(s"CREATE TABLE graft_k148_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("ALTER TABLE graft_k148_t ALTER COLUMN k TYPE BIGINT")
+        spark.sql("ALTER TABLE graft_k148_t ALTER COLUMN bal TYPE DOUBLE")
+        require(TxnTable.snapshotFiles(spark, table,
+          TxnTable.latestVersion(spark, table).get) == filesBefore,
+          "type widening must be metadata-only: no data file rewritten")
+        // a value no INT could hold lands through the widened column
+        spark.sql("INSERT INTO graft_k148_t VALUES (2147483657, 10.5)")
+        val result = spark.sql(
+          """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(k) AS BIGINT) AS key_sum,
+            |  CAST(MAX(k) AS BIGINT) AS max_k
+            |FROM graft_k148_t""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k148_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k148Sql =
+    """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n,
+      |  CAST(SUM(c_custkey) + 2147483657 AS BIGINT) AS key_sum,
+      |  CAST(2147483657 AS BIGINT) AS max_k
+      |FROM customer""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4365,5 +4415,6 @@ object FormatOps {
     RQ("k144_reorg_purge", k144, Some(k144Sql)),
     RQ("k145_column_defaults", k145, Some(k145Sql)),
     RQ("k146_create_or_replace", k146, Some(k146Sql)),
-    RQ("k147_tblproperties", k147, Some(k147Sql)))
+    RQ("k147_tblproperties", k147, Some(k147Sql)),
+    RQ("k148_type_widening", k148, Some(k148Sql)))
 }

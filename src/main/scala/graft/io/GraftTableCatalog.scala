@@ -313,6 +313,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         require(ren.fieldNames.length == 1,
           "graft ALTER supports top-level columns only")
         TxnTable.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft ALTER supports top-level columns only")
+        TxnTable.alterColumnType(spark, path, ut.fieldNames.head,
+          ut.newDataType())
       case sp: TableChange.SetProperty =>
         TxnTable.setProperties(spark, path,
           Map(sp.property() -> sp.value()))

@@ -4415,6 +4415,68 @@ object TxnTable {
        st.stats, st.blooms, st.checks, st.retired)
     }
 
+  /** Widenings Spark's parquet readers perform IN the scan (verified
+    * against this build: int32 pages decode straight into the wider
+    * vector) — the whitelist `ALTER COLUMN … TYPE` accepts. Anything
+    * else (narrowing, string↔numeric, decimal scale changes) would
+    * need a data rewrite and refuses. */
+  private def widenable(from: DataType,
+                        to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN name TYPE to` — TYPE WIDENING as pure
+    * metadata (Delta's type-widening feature): the declared type
+    * changes in the manifest schema and existing files are read
+    * through Spark's parquet type promotion — zero rewrite at any
+    * table size. Only [[widenable]] pairs are accepted.
+    *
+    * Interlocks: the column's BLOOM sidecars drop from the manifest —
+    * `xxhash64` is type-sensitive, so a long-typed probe against
+    * int-built bits could skip a file that HAS the value (wrong
+    * results, not just wrong pruning). Bucket partition columns refuse
+    * outright for the same hash reason (the bucket ids in existing
+    * paths were computed from the old type). Min/max skipping stats
+    * keep working unchanged: they store a numeric envelope, not typed
+    * bytes. */
+  def alterColumnType(spark: SparkSession, table: String,
+                      name: String, to: DataType): Long =
+    commitMetadata(spark, table, "alter-type") { st =>
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no such column $name in $table"))
+      if (field.dataType == to)
+        return latestVersion(spark, table).get // provable no-op
+      require(widenable(field.dataType, to),
+        s"cannot change ${field.name} from ${field.dataType.simpleString} " +
+          s"to ${to.simpleString}: only widening conversions the parquet " +
+          "reader performs in-scan (byte/short/int->long, int->double, " +
+          "float->double) are metadata-only; anything else needs a rewrite")
+      require(!st.partCols.exists {
+        case BucketEntry(_, c) => c.equalsIgnoreCase(field.name)
+        case _ => false
+      }, s"cannot widen bucket column ${field.name}: existing bucket ids " +
+        "were hashed from the old type")
+      require(!identityColumn(schema).exists(_.col.equalsIgnoreCase(name)),
+        s"cannot change the type of IDENTITY column $name")
+      (org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f)),
+       st.stats,
+       // type-sensitive hashes: the column's blooms are no longer
+       // sound probes — drop them (skipping degrades, results don't)
+       st.blooms.view.mapValues(_.filterNot(_.col.equalsIgnoreCase(name)))
+         .filter(_._2.nonEmpty).toMap,
+       st.checks, st.retired)
+    }
+
   /** ALTER TABLE … DROP COLUMN — pure metadata: the field leaves the
     * manifest schema (schema-driven reads never project it again; the
     * bytes in existing files become dead weight reclaimed by natural

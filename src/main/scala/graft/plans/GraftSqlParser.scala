@@ -144,6 +144,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*""".r
   private val ShowTblPropsStmt =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
+  private val AlterColTypeStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
   private val AlterSetDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val AlterDropDefaultStmt =
@@ -278,6 +280,9 @@ object GraftSqlParser {
       case ShowTblPropsStmt(target) if graftTarget(target) =>
         Some(GraftTableFunctions.tblProperties(
           resolveTarget(SparkSession.active, target)))
+      case AlterColTypeStmt(target, col, typeDdl) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "alter-type",
+          Seq(unquoteId(col), typeDdl.trim)))
       case AlterSetDefaultStmt(target, col, dflt) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "set-default",
           Seq(unquoteId(col), dflt.trim)))
@@ -525,6 +530,9 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             // NOT NULL is a named check, so DROP CONSTRAINT can undo it
             TxnTable.addCheck(spark, table, s"${args.head}_not_null",
               s"`${args.head}` IS NOT NULL")
+          case "alter-type" =>
+            TxnTable.alterColumnType(spark, table, args(0),
+              spark.sessionState.sqlParser.parseDataType(args(1)))
           case "set-default" =>
             TxnTable.setColumnDefault(spark, table, args(0), Some(args(1)))
           case "drop-default" =>

@@ -149,6 +149,84 @@ class AlterTableSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER COLUMN TYPE widens as pure metadata; old files promote in-scan") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      // int + float columns, written as their narrow physical types
+      TxnTable.commitOverwrite(
+        Seq((1, 1.5f), (2, 2.5f), (3, 3.5f)).toDF("k", "f").coalesce(1),
+        table, statsCols = Seq("k"))
+      val filesBefore = TxnTable.snapshotFiles(spark, table, 1L)
+      spark.sql(s"CREATE TABLE alter_wide_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("ALTER TABLE alter_wide_t ALTER COLUMN k TYPE BIGINT")
+        spark.sql("ALTER TABLE alter_wide_t ALTER COLUMN f TYPE DOUBLE")
+        assert(TxnTable.snapshotFiles(spark, table,
+          TxnTable.latestVersion(spark, table).get) == filesBefore,
+          "widening must not touch any data file")
+        val df = spark.read.format("graft").load(table)
+        assert(df.schema("k").dataType ==
+          org.apache.spark.sql.types.LongType)
+        assert(df.schema("f").dataType ==
+          org.apache.spark.sql.types.DoubleType)
+        // old int32/float pages promote inside the scan, on both paths
+        assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq ==
+          Seq(1L, 2L, 3L))
+        assert(TxnTable.read(spark, table).agg(
+          org.apache.spark.sql.functions.sum($"f")).head().getDouble(0)
+          == 7.5d)
+        // appends may now exceed the old type's range
+        spark.sql(
+          s"INSERT INTO alter_wide_t VALUES (${Int.MaxValue.toLong + 10L}, 9.0)")
+        assert(spark.sql(
+          s"SELECT count(*) FROM alter_wide_t WHERE k > ${Int.MaxValue}")
+          .head().getLong(0) == 1L)
+        // stats skipping on the widened column still prunes correctly
+        assert(spark.sql("SELECT count(*) FROM alter_wide_t WHERE k <= 3")
+          .head().getLong(0) == 3L)
+        // narrowing and cross-kind changes refuse
+        intercept[Exception] {
+          spark.sql("ALTER TABLE alter_wide_t ALTER COLUMN k TYPE INT")
+        }
+        intercept[Exception] {
+          spark.sql("ALTER TABLE alter_wide_t ALTER COLUMN f TYPE STRING")
+        }
+      } finally spark.sql("DROP TABLE alter_wide_t")
+    }
+  }
+
+  test("widening drops the column's blooms and refuses bucket columns") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      Seq.range(0, 100).map(i => (i, i.toLong % 8L)).toDF("k", "g")
+        .coalesce(1).write.format("graft")
+        .option("statsCols", "k").option("bloomCols", "k")
+        .mode("overwrite").save(table)
+      assert(TxnTable.morState(spark, table, 1L) != null)
+      TxnTable.alterColumnType(spark, table, "k",
+        org.apache.spark.sql.types.LongType)
+      // results stay exact: a long-typed probe would hash differently
+      // than the int-built bloom bits, so the sidecar entry must be gone
+      val left = spark.read.format("graft").load(table)
+        .filter(org.apache.spark.sql.functions.col("k") === 42L)
+      assert(left.count() == 1L)
+      // bucket partition columns refuse: path bucket ids hashed the
+      // old type
+      val t2 = s"$zone/t2"
+      TxnTable.commitOverwrite(
+        Seq.range(0, 50).map(i => (i, s"s$i")).toDF("k", "s"),
+        t2, partitionCols = Seq("bucket(4,k)"))
+      assert(TxnTable.partitionColumns(spark, t2) == Seq("bucket(4,k)"),
+        "the refusal test needs a genuinely bucketed table")
+      intercept[Exception] {
+        TxnTable.alterColumnType(spark, t2, "k",
+          org.apache.spark.sql.types.LongType)
+      }
+    }
+  }
+
   test("dropColumn removes the field, its stats, and retires the name") {
     withZone { zone =>
       val table = s"$zone/t"
