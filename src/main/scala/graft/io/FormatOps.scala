@@ -4343,6 +4343,65 @@ object FormatOps {
       |  CAST(2147483657 AS BIGINT) AS max_k
       |FROM customer""".stripMargin
 
+  // --------------------------------------------------------------- k149
+  /** `TBLPROPERTIES ('graft.deleteMode' = 'positional')` — SQL DELETE
+    * commits deletion vectors for EVERY predicate shape, including the
+    * subquery the equality flavor must refuse and copy-on-write would
+    * rewrite files for. REQUIREd: zero data-file rewrite, and the
+    * recorded delete entries are positional. */
+  private def k149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k149_posmode")
+    try {
+      val table = s"$zone/customer_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .repartitionByRange(4, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(table)
+      val before = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get).files.toSet
+      spark.sql(s"CREATE TABLE graft_k149_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("ALTER TABLE graft_k149_t SET TBLPROPERTIES " +
+          "('graft.deleteMode' = 'positional')")
+        Tables.customer(spark, dir).filter($"c_acctbal" < 0)
+          .select($"c_custkey").createOrReplaceTempView("k149_bad_keys")
+        spark.sql(
+          """DELETE FROM graft_k149_t
+            |WHERE c_custkey IN (SELECT c_custkey FROM k149_bad_keys)
+            |""".stripMargin)
+        val st = TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get)
+        require(st.files.toSet == before,
+          "positional delete mode must not rewrite any data file")
+        require(st.dels.nonEmpty &&
+          st.dels.forall(_.keyCols == Seq(TxnTable.PosDelKey)),
+          "the delete must commit as a positional vector")
+        val result = spark.sql(
+          """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+            |FROM graft_k149_t
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k149_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k149Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      |FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4416,5 +4475,6 @@ object FormatOps {
     RQ("k145_column_defaults", k145, Some(k145Sql)),
     RQ("k146_create_or_replace", k146, Some(k146Sql)),
     RQ("k147_tblproperties", k147, Some(k147Sql)),
-    RQ("k148_type_widening", k148, Some(k148Sql)))
+    RQ("k148_type_widening", k148, Some(k148Sql)),
+    RQ("k149_positional_delete_mode", k149, Some(k149Sql)))
 }

@@ -2982,9 +2982,20 @@ object TxnTable {
   def updateWherePos(spark: SparkSession, table: String,
                      cond: DataFrame => org.apache.spark.sql.Column,
                      set: Map[String, org.apache.spark.sql.Column]): Long =
+    updateWherePosWith(spark, table, cond, _ => set)
+
+  /** [[updateWherePos]] with LATE-BOUND assignments: `setOf` receives
+    * the pinned identity frame and returns the assignment columns
+    * resolved against it — what the SQL UPDATE lowering needs when its
+    * catalyst expressions must rebind to the read's attributes. */
+  def updateWherePosWith(spark: SparkSession, table: String,
+                         cond: DataFrame => org.apache.spark.sql.Column,
+                         setOf: DataFrame =>
+                           Map[String, org.apache.spark.sql.Column]): Long =
     upsertMoR(spark, table, "update", (_, v) => {
       val st = stateOf(spark, table, v)
       val snap = readIdentityOf(spark, table, st)
+      val set = setOf(snap)
       val fields = st.schema.get.fields.toIndexedSeq
       set.keys.foreach(c => require(fields.exists(_.name == c),
         s"SET column '$c' is not a column of $table"))

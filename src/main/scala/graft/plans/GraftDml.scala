@@ -171,8 +171,13 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
           (!metadataDeletable(Some(condition)) ||
             // merge-on-read tables route EVERY delete through the
             // command path — runDelete then commits an equality-delete
-            // file instead of dropping/rewriting data files
+            // file instead of dropping/rewriting data files — and
+            // positional-mode tables likewise (their contract is zero
+            // data-file rewrites, which the metadata path's boundary
+            // rewrite would violate)
             TxnTable.morEnabled(SparkSession.active,
+              graftTarget(target).get._2) ||
+            GraftDml.positionalDeletes(SparkSession.active,
               graftTarget(target).get._2)) =>
       val (out, path) = graftTarget(target).get
       GraftDeleteCommand(new DeletePayload(path, out, condition))
@@ -258,6 +263,21 @@ case class GraftDmlExec(label: String, run: () => Unit) extends LeafExecNode {
 }
 
 private[plans] object GraftDml extends org.apache.spark.internal.Logging {
+
+  /** `TBLPROPERTIES ('graft.deleteMode' = 'positional')` — every SQL
+    * DELETE commits a deletion vector (exact coordinates) instead of
+    * an equality tuple set or a copy-on-write rewrite. The matching
+    * `graft.updateMode` routes SQL UPDATE through the positional
+    * UPDATE (append the changed rows + a vector of the originals). */
+  private[plans] def positionalMode(spark: SparkSession, table: String,
+                                    key: String): Boolean =
+    try TxnTable.tableProperties(spark, table)
+      .get(key).contains("positional")
+    catch { case _: IllegalStateException => false }
+
+  private[plans] def positionalDeletes(spark: SparkSession,
+                                       table: String): Boolean =
+    positionalMode(spark, table, "graft.deleteMode")
 
   /** Attribute of `df`'s analyzed plan named `name` (resolution-rule
     * output names match the committed schema's exactly). */
@@ -366,6 +386,20 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
     val sets: Map[String, Expression] =
       p.assignments.map(a => keyName(a.key, byId) -> a.value).toMap
+    // POSITIONAL mode (`TBLPROPERTIES ('graft.updateMode' =
+    // 'positional')`): the update commits the changed rows plus a
+    // deletion vector of the originals' coordinates — no determinism
+    // or key-function contract on the WHERE (subqueries, rankings,
+    // byte-identical duplicate rows all stay exact), write I/O is the
+    // changed rows + a kilobyte sidecar. A WHERE-less UPDATE falls
+    // through (a whole-table vector has no advantage over a rewrite).
+    if (p.condition.isDefined &&
+        GraftDml.positionalMode(spark, p.table, "graft.updateMode")) {
+      TxnTable.updateWherePosWith(spark, p.table,
+        snap => coalesce(subst(p.condition.get, byId, snap), lit(false)),
+        snap => sets.map { case (k, v) => k -> subst(v, byId, snap) })
+      return
+    }
     // MERGE-ON-READ UPDATE: while the table's #mor flag is on, an
     // UPDATE whose predicate is a deterministic, subquery-free function
     // of its column references commits the UPDATED ROWS plus an
@@ -459,6 +493,20 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
   def runDelete(spark: SparkSession, p: DeletePayload): Unit = {
     if (neverCommitted(spark, p.table)) return
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
+    // POSITIONAL mode (`TBLPROPERTIES ('graft.deleteMode' =
+    // 'positional')`): route EVERY delete through a deletion-vector
+    // commit — including the shapes the equality flavor must refuse
+    // (subquery predicates, conditions that are not a function of
+    // stable key columns, byte-identical duplicate rows). The
+    // committed artifact is the matched COORDINATES, not a predicate
+    // or key set, so no determinism/key-function contract applies and
+    // a `DELETE … WHERE id IN (SELECT …)` on a 100 TB table commits a
+    // kilobyte sidecar instead of rewriting files.
+    if (GraftDml.positionalDeletes(spark, p.table)) {
+      TxnTable.deleteWherePos(spark, p.table,
+        snap => subst(p.condition, byId, snap))
+      return
+    }
     // MERGE-ON-READ: while the table's #mor flag is on, a DELETE whose
     // predicate is a deterministic, subquery-free function of its
     // column references commits an equality-delete file (kilobytes)

@@ -180,6 +180,79 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteMode=positional routes SQL DELETE — subqueries included — to vectors") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      spark.sql(s"CREATE TABLE pos_mode_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "ALTER TABLE pos_mode_t SET TBLPROPERTIES ('graft.deleteMode' = 'positional')")
+        val before = state(table).files.toSet
+        // a subquery predicate — the shape the EQUALITY flavor must
+        // refuse (tuples would not determine membership) and copy-on-
+        // write would rewrite files for; positional mode commits the
+        // matched coordinates instead
+        Seq(1L, 3L).toDF("gg").createOrReplaceTempView("pos_mode_del_keys")
+        spark.sql(
+          "DELETE FROM pos_mode_t WHERE g IN (SELECT gg FROM pos_mode_del_keys)")
+        val st = state(table)
+        assert(st.files.toSet == before,
+          "positional mode must not rewrite any data file")
+        assert(st.dels.nonEmpty &&
+          st.dels.forall(_.keyCols == Seq(TxnTable.PosDelKey)),
+          s"expected a positional vector, got ${st.dels.map(_.keyCols)}")
+        assert(spark.sql("SELECT count(*) FROM pos_mode_t").head().getLong(0)
+          == 30L)
+        assert(spark.sql(
+          "SELECT count(*) FROM pos_mode_t WHERE g IN (1, 3)")
+          .head().getLong(0) == 0L)
+        // the metadata-deletable shape (point predicate) ALSO routes to
+        // a vector: the mode's contract is zero data-file rewrites
+        spark.sql("DELETE FROM pos_mode_t WHERE g = 0")
+        val st2 = state(table)
+        assert(st2.files.toSet == before,
+          "point deletes must not trigger the boundary rewrite either")
+        assert(spark.sql("SELECT count(*) FROM pos_mode_t").head().getLong(0)
+          == 20L)
+        // dropping the property restores the default routing
+        spark.sql("ALTER TABLE pos_mode_t UNSET TBLPROPERTIES ('graft.deleteMode')")
+      } finally spark.sql("DROP TABLE pos_mode_t")
+    }
+  }
+
+  test("updateMode=positional routes SQL UPDATE through vectors, subqueries too") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      spark.sql(s"CREATE TABLE pos_umode_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("ALTER TABLE pos_umode_t SET TBLPROPERTIES " +
+          "('graft.updateMode' = 'positional')")
+        val before = state(table).files.toSet
+        Seq(2L, 4L).toDF("gg").createOrReplaceTempView("pos_umode_keys")
+        // subquery WHERE + self-referencing SET — the shapes the
+        // equality flavor refuses; positional mode stays exact
+        spark.sql(
+          """UPDATE pos_umode_t SET k = k + 1000
+            |WHERE g IN (SELECT gg FROM pos_umode_keys)""".stripMargin)
+        val st = state(table)
+        assert(st.files.toSet.intersect(before) == before,
+          "positional update must append, never rewrite")
+        assert(st.dels.nonEmpty &&
+          st.dels.forall(_.keyCols == Seq(TxnTable.PosDelKey)))
+        val got = spark.sql("SELECT count(*) FROM pos_umode_t").head().getLong(0)
+        assert(got == 50L, s"row count preserved, got $got")
+        assert(spark.sql(
+          "SELECT count(*) FROM pos_umode_t WHERE k >= 1000").head().getLong(0)
+          == 20L, "exactly the matched rows carry the update")
+        assert(spark.sql(
+          "SELECT count(*) FROM pos_umode_t WHERE g IN (2, 4) AND k < 1000")
+          .head().getLong(0) == 0L)
+      } finally spark.sql("DROP TABLE pos_umode_t")
+    }
+  }
+
   test("OPTIMIZE materializes positional deletes; vector dies with its files") {
     withZone { table =>
       seed(table)
