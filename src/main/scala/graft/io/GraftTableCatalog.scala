@@ -159,16 +159,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Persist a CREATE statement's TBLPROPERTIES into the manifest,
-    * filtering Spark's own bookkeeping keys. */
+    * filtering Spark's own bookkeeping keys. `reset` (the REPLACE
+    * path) re-declares the whole map — a replaced table does NOT
+    * inherit the old table's configuration. */
   private def storeDeclaredProps(path: String,
-                                 properties: util.Map[String, String]): Unit = {
+                                 properties: util.Map[String, String],
+                                 reset: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION)
     val user = properties.asScala.toMap
       .filterNot { case (k, _) => reserved(k) || k.startsWith("option.") }
-    if (user.nonEmpty)
+    if (reset)
+      TxnTable.replaceProperties(SparkSession.active, path, user)
+    else if (user.nonEmpty)
       TxnTable.setProperties(SparkSession.active, path, user)
   }
 
@@ -288,7 +293,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               schema),
             path, partitionCols = partCols)
-        storeDeclaredProps(path, info.properties())
+        storeDeclaredProps(path, info.properties(), reset = true)
       }
       override def abortStagedChanges(): Unit = ()
     }

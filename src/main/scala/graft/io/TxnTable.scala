@@ -4650,6 +4650,17 @@ object TxnTable {
                       keys: Seq[String]): Long =
     commitProps(spark, table, "unset-props")(_ -- keys)
 
+  /** Replace the WHOLE property map — what `CREATE OR REPLACE TABLE`
+    * needs: a replace is a re-declaration, so properties reset to the
+    * statement's TBLPROPERTIES instead of merging with the old
+    * table's. No-ops (and commits nothing) when already equal. */
+  def replaceProperties(spark: SparkSession, table: String,
+                        kv: Map[String, String]): Long = {
+    if (tableProperties(spark, table) == kv)
+      return latestVersion(spark, table).get
+    commitProps(spark, table, "replace-props")(_ => kv)
+  }
+
   private def commitProps(spark: SparkSession, table: String, op: String)(
       f: Map[String, String] => Map[String, String]): Long = {
     val ctx = fc(spark)

@@ -196,6 +196,60 @@ class AlterTableSpec extends AnyFunSuite {
     }
   }
 
+  test("widening a DEFAULT column keeps both defaults readable") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        Seq((1L, "a")).toDF("id", "tag").coalesce(1), table)
+      // an INT column with an int-typed default, then widened to BIGINT:
+      // the EXISTS_DEFAULT literal was analyzed against INT — the wider
+      // read schema must still coerce it, for old files AND new fills
+      TxnTable.addColumnWithDefault(spark, table, "n",
+        org.apache.spark.sql.types.IntegerType, "7")
+      TxnTable.alterColumnType(spark, table, "n",
+        org.apache.spark.sql.types.LongType)
+      val df = TxnTable.read(spark, table)
+      assert(df.schema("n").dataType == org.apache.spark.sql.types.LongType)
+      assert(df.select("n").head().getLong(0) == 7L,
+        "pre-column rows surface the existence default through the " +
+          "widened type")
+      TxnTable.commitAppend(Seq((2L, "b")).toDF("id", "tag"), table)
+      val got = TxnTable.read(spark, table).select("id", "n").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 7L, 2L -> 7L), s"got $got")
+    }
+  }
+
+  test("widening composes with live deletes of both flavors") {
+    withZone { zone =>
+      import spark.implicits._
+      val table = s"$zone/t"
+      Seq.range(0, 40).map(i => (i, i % 4)).toDF("k", "g")
+        .repartitionByRange(2, $"k")
+        .write.format("graft").option("statsCols", "k")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      // one vector (coordinates — type-free) and one equality delete
+      // (int-typed key tuples) live BEFORE the widen
+      TxnTable.deleteWherePos(spark, table, df => df("k") < 4)
+      TxnTable.deleteWhereMoR(spark, table, Seq("g"), df => df("g") === 3)
+      TxnTable.alterColumnType(spark, table, "k",
+        org.apache.spark.sql.types.LongType)
+      TxnTable.alterColumnType(spark, table, "g",
+        org.apache.spark.sql.types.LongType)
+      // the eq sidecar's int32 tuples promote inside its own read and
+      // still subtract against the widened data column exactly
+      val left = spark.read.format("graft").load(table)
+      assert(left.schema("k").dataType == org.apache.spark.sql.types.LongType)
+      assert(left.count() == 27L, // 40 - 4 (k<4) - 9 (g==3, k>=4)
+        s"both delete flavors must keep applying; got ${left.count()}")
+      assert(left.filter($"g" === 3L).count() == 0L)
+      assert(left.filter($"k" < 4L).count() == 0L)
+      // and the library path agrees
+      assert(TxnTable.read(spark, table).count() == 27L)
+    }
+  }
+
   test("widening drops the column's blooms and refuses bucket columns") {
     withZone { zone =>
       import spark.implicits._

@@ -112,6 +112,31 @@ class TblPropsSpec extends AnyFunSuite {
     } finally s.sql("DROP TABLE IF EXISTS gprop.db.pt")
   }
 
+  test("CREATE OR REPLACE resets properties to the declaration") {
+    val s = spark
+    if (s.conf.getOption("spark.sql.catalog.gprop2").isEmpty) {
+      s.conf.set("spark.sql.catalog.gprop2", "graft.io.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.gprop2.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_prop_cat2").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gprop2.db")
+    s.sql("DROP TABLE IF EXISTS gprop2.db.rt")
+    try {
+      s.sql("""CREATE TABLE gprop2.db.rt (k BIGINT) USING graft
+              |TBLPROPERTIES ('old' = '1', 'keepme' = 'no')""".stripMargin)
+      val wh = s.conf.get("spark.sql.catalog.gprop2.warehouse")
+      val path = s"$wh/db/rt"
+      // a REPLACE is a re-declaration: the old configuration does NOT
+      // leak into the new table — only the statement's properties exist
+      s.sql("""CREATE OR REPLACE TABLE gprop2.db.rt (k BIGINT, v STRING)
+              |USING graft TBLPROPERTIES ('new' = '2')""".stripMargin)
+      assert(TxnTable.tableProperties(s, path) == Map("new" -> "2"))
+      // and a REPLACE with no TBLPROPERTIES clears them
+      s.sql("CREATE OR REPLACE TABLE gprop2.db.rt (k BIGINT) USING graft")
+      assert(TxnTable.tableProperties(s, path).isEmpty)
+    } finally s.sql("DROP TABLE IF EXISTS gprop2.db.rt")
+  }
+
   test("properties survive OPTIMIZE; RESTORE keeps the CURRENT set") {
     withZone { table =>
       seed(table) // v1
