@@ -4402,6 +4402,68 @@ object FormatOps {
       |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- k150
+  /** PARTITION-SPEC EVOLUTION (`ALTER TABLE … SET PARTITIONED BY`) —
+    * Iceberg's signature metadata-only re-layout, which Delta can only
+    * do by rewriting the table: orders lands identity-partitioned by
+    * o_orderpriority, the spec evolves to bucket(8, o_custkey) in ONE
+    * kilobyte commit, and the second half of the data arrives under the
+    * new layout. REQUIREd: the evolution writes/drops zero data files,
+    * and each vintage carries its own layout dirs — on a 100 TB table
+    * mis-partitioned in hindsight this is the whole fix; old data
+    * migrates lazily through OPTIMIZE churn, never eagerly. Reads plan
+    * from per-file stats and path bucket ids, so both vintages prune
+    * (PartEvolSpec pins a 1-file point lookup across vintages). The
+    * oracle recomputes the cross-vintage aggregate from raw parquet. */
+  private def k150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k150_pevol")
+    try {
+      val table = s"$zone/orders_txn"
+      val orders = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+          $"o_totalprice")
+      orders.filter($"o_orderkey" % 2 === 0)
+        .write.format("graft").option("statsCols", "o_orderkey")
+        .option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(table)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      val before = TxnTable.snapshotFiles(spark, table, v1).toSet
+      require(before.forall(_.contains("__gp_o_orderpriority=")),
+        "vintage-1 files must carry the identity layout")
+      val v2 = TxnTable.setPartitionSpec(spark, table,
+        Seq("bucket(8, o_custkey)"))
+      require(TxnTable.snapshotFiles(spark, table, v2).toSet == before,
+        "partition-spec evolution must be metadata-only: zero data files")
+      orders.filter($"o_orderkey" % 2 === 1)
+        .write.format("graft").mode("append").save(table)
+      val fresh = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get).filterNot(before)
+      require(fresh.nonEmpty &&
+        fresh.forall(_.contains("__gp_bucket_8_o_custkey=")),
+        "vintage-2 files must carry the evolved bucket layout")
+      val result = spark.read.format("graft").load(table)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Num.dsum($"o_totalprice").as("price_sum"),
+          max($"o_custkey").as("max_cust"))
+        .orderBy($"o_orderpriority")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k150Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum,
+      |  CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4476,5 +4538,6 @@ object FormatOps {
     RQ("k146_create_or_replace", k146, Some(k146Sql)),
     RQ("k147_tblproperties", k147, Some(k147Sql)),
     RQ("k148_type_widening", k148, Some(k148Sql)),
-    RQ("k149_positional_delete_mode", k149, Some(k149Sql)))
+    RQ("k149_positional_delete_mode", k149, Some(k149Sql)),
+    RQ("k150_partition_evolution", k150, Some(k150Sql)))
 }

@@ -361,9 +361,12 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         // Table; `.option("partitionBy", "a,b")` is the spelling for
         // APIs that cannot thread transforms. Either re-partitions on
         // overwrite; absent, the commit keeps the table's recorded
-        // partitioning (sticky).
+        // partitioning (sticky). Paren-aware split: `bucket(4,k)` is
+        // ONE entry whose inner comma must not break it in two.
         val partitionCols =
-          if (tablePartCols.nonEmpty) tablePartCols else cols("partitionBy")
+          if (tablePartCols.nonEmpty) tablePartCols
+          else Option(info.options.get("partitionBy")).toSeq
+            .flatMap(TxnTable.splitTopLevel)
         // ACCEPT_ANY_SCHEMA suppresses Spark's output resolution, so
         // positional writes (SQL `INSERT INTO t VALUES ...`) must be
         // aligned here. Positional intent is accepted ONLY for Spark's

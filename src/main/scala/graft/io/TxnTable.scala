@@ -581,6 +581,24 @@ object TxnTable {
     }
     def apply(n: Int, c: String): String = s"bucket($n,$c)"
   }
+  /** Top-level comma split that respects parentheses — partition specs
+    * carry transform entries like `bucket(8, k)` whose inner comma must
+    * not split the entry. Shared by the writer's `partitionBy` option
+    * and the SQL parser's `SET PARTITIONED BY` list. */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ch => cur.append(ch)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   private[io] def partSource(entry: String): String = entry match {
     case DaysEntry(c) => c
     case HoursEntry(c) => c
@@ -4358,7 +4376,8 @@ object TxnTable {
     * ALTER TABLE at any table size (one small manifest write; zero data
     * I/O on a 100 TB table). Written FULL: a schema change is a natural
     * checkpoint. */
-  private def commitMetadata(spark: SparkSession, table: String, op: String)(
+  private def commitMetadata(spark: SparkSession, table: String, op: String,
+      partColsOf: State => Seq[String] = _.partCols)(
       f: State => (org.apache.spark.sql.types.StructType,
                    Map[String, Seq[FileStat]],
                    Map[String, Seq[BloomMeta]],
@@ -4371,7 +4390,7 @@ object TxnTable {
       val (schema, stats, blooms, checks, retired) = f(st)
       val next = st.version + 1L
       val content = manifestContent(schema, st.txns, stats, st.files,
-        blooms, st.rows, st.partCols, op = op, cdf = st.cdf, mor = st.mor,
+        blooms, st.rows, partColsOf(st), op = op, cdf = st.cdf, mor = st.mor,
         dels = st.dels, addv = st.addv, checks = checks, retired = retired, props = st.props,
         pathpart = st.pathpart, aliases = st.aliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
@@ -4476,6 +4495,19 @@ object TxnTable {
         case _ => false
       }, s"cannot widen bucket column ${field.name}: existing bucket ids " +
         "were hashed from the old type")
+      // partition-spec evolution can REMOVE a bucket entry and later
+      // re-add it — but files written under the old spec still carry
+      // bucket ids in their paths. Widening between those two commits
+      // would poison a future re-add (murmur3 of int 5 ≠ long 5: a
+      // re-added bucket entry would prune files that HOLD the value).
+      // Refuse on the file layout, not just the current spec.
+      require(!st.files.exists(_.split('/').exists(seg =>
+          seg.toLowerCase.matches("__gp_bucket_\\d+_" +
+            java.util.regex.Pattern.quote(field.name.toLowerCase) + "=.*"))),
+        s"cannot widen ${field.name}: existing files were bucket-" +
+          "partitioned on it under the old type, and their path bucket " +
+          "ids would mis-prune if the bucket entry is ever re-added — " +
+          "OPTIMIZE the old layout away first")
       require(!identityColumn(schema).exists(_.col.equalsIgnoreCase(name)),
         s"cannot change the type of IDENTITY column $name")
       (org.apache.spark.sql.types.StructType(schema.fields.map(f =>
@@ -4487,6 +4519,58 @@ object TxnTable {
          .filter(_._2.nonEmpty).toMap,
        st.checks, st.retired)
     }
+
+  /** `ALTER TABLE … SET PARTITIONED BY (…)` — PARTITION-SPEC EVOLUTION
+    * as pure metadata (Iceberg's signature move; Delta answers with a
+    * full rewrite): the manifest's partition spec changes and only
+    * FUTURE writes lay out under it. Existing files keep their old
+    * directory layout, which is safe because graft never plans from
+    * layout: partition values live IN the files, pruning is per-file
+    * stats (single-valued files make min == max exact for whichever
+    * spec the file was written under), bucket pruning parses each
+    * file's own path segment and conservatively keeps files that lack
+    * it, and SHOW PARTITIONS renders each vintage's real layout. On a
+    * 100 TB table partitioned wrong in hindsight the fix is this one
+    * kilobyte commit plus new data arriving right — old data migrates
+    * lazily through natural OPTIMIZE/rewrite churn, never eagerly.
+    * An empty spec unpartitions future writes. */
+  def setPartitionSpec(spark: SparkSession, table: String,
+                       entries: Seq[String]): Long = {
+    // one canonical spelling per entry, so path segments and manifest
+    // lines can never disagree over whitespace
+    val norm = entries.map(_.trim).filter(_.nonEmpty).map {
+      case DaysEntry(c) => s"days(${c.trim})"
+      case HoursEntry(c) => s"hours(${c.trim})"
+      case MonthsEntry(c) => s"months(${c.trim})"
+      case YearsEntry(c) => s"years(${c.trim})"
+      case BucketEntry(n, c) => BucketEntry(n, c)
+      case c => c
+    }
+    commitMetadata(spark, table, "set-partition-spec", _ => norm) { st =>
+      if (st.partCols == norm)
+        return st.version // provable no-op: nothing to commit
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      norm.foreach { e =>
+        val src = partSource(e)
+        val field = schema.fields.find(_.name.equalsIgnoreCase(src)).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition source $src of entry $e is not a column of $table"))
+        e match {
+          case DaysEntry(_) | HoursEntry(_) | MonthsEntry(_) | YearsEntry(_) =>
+            require(field.dataType == DateType ||
+                field.dataType == TimestampType ||
+                field.dataType == TimestampNTZType,
+              s"temporal transform $e needs a DATE/TIMESTAMP source, " +
+                s"got ${field.dataType.simpleString}")
+          case BucketEntry(n, _) =>
+            require(n > 0, s"bucket count must be positive in $e")
+          case _ => ()
+        }
+      }
+      (schema, st.stats, st.blooms, st.checks, st.retired)
+    }
+  }
 
   /** ALTER TABLE … DROP COLUMN — pure metadata: the field leaves the
     * manifest schema (schema-driven reads never project it again; the

@@ -150,6 +150,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val AlterDropDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+DROP\s+DEFAULT\s*;?\s*""".r
+  private val AlterSetPartStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*?)\)\s*;?\s*""".r
+  private val AlterUnpartStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+UNPARTITIONED\s*;?\s*""".r
   // CREATE TABLE <dest> SHALLOW CLONE <source> [VERSION AS OF n]
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SHALLOW\s+CLONE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
@@ -288,6 +292,13 @@ object GraftSqlParser {
           Seq(unquoteId(col), dflt.trim)))
       case AlterDropDefaultStmt(target, col) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "drop-default", Seq(unquoteId(col))))
+      case AlterSetPartStmt(target, entries) if graftTarget(target) =>
+        // paren-aware split: bucket(8, k) holds a comma of its own
+        Some(GraftAlterCommand(target, "set-partition-spec",
+          graft.io.TxnTable.splitTopLevel(entries).map(e =>
+            e.replaceAll("`", "")))) // backticked inner ids → plain
+      case AlterUnpartStmt(target) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "set-partition-spec", Nil))
       case ConvertStmt(target, stats) =>
         Some(GraftConvertCommand(unquote(target),
           Option(stats).toSeq.flatMap(_.split(",").toSeq)
@@ -542,6 +553,8 @@ object GraftMaintenanceStrategy extends SparkStrategy {
               args.grouped(2).map(p => p(0) -> p(1)).toMap)
           case "unset-props" =>
             TxnTable.unsetProperties(spark, table, args)
+          case "set-partition-spec" =>
+            TxnTable.setPartitionSpec(spark, table, args)
           case other => throw new IllegalStateException(
             s"unknown ALTER kind $other")
         }
