@@ -4464,6 +4464,62 @@ object FormatOps {
       |  CAST(MAX(o_custkey) AS BIGINT) AS max_cust
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- k151
+  /** NESTED schema evolution — `ALTER TABLE … ADD COLUMNS (meta.clerk
+    * STRING)` adds a field INSIDE a struct column as pure metadata
+    * (REQUIREd: zero data files written). Files from before the change
+    * surface the field as NULL through Spark's parquet by-name clipping
+    * — no graft read-path code at all — and later appends fill it. The
+    * oracle rebuilds the same split from raw orders with a CASE on the
+    * append half. */
+  private def k151(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k151_nested")
+    try {
+      val table = s"$zone/orders_txn"
+      val orders = Tables.orders(spark, dir)
+      orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey",
+          struct($"o_orderpriority".as("priority")).as("meta"))
+        .write.format("graft").option("statsCols", "o_orderkey")
+        .mode("overwrite").save(table)
+      val before = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get).toSet
+      spark.sql(s"CREATE TABLE graft_k151_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("ALTER TABLE graft_k151_t ADD COLUMNS (meta.status STRING)")
+        require(TxnTable.snapshotFiles(spark, table,
+          TxnTable.latestVersion(spark, table).get).toSet == before,
+          "nested schema evolution must be metadata-only: zero data files")
+        orders.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey",
+            struct($"o_orderpriority".as("priority"),
+              $"o_orderstatus".as("status")).as("meta"))
+          .write.format("graft").mode("append").save(table)
+        val result = spark.sql(
+          """SELECT meta.priority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(COUNT(meta.status) AS BIGINT) AS n_status,
+            |  MAX(meta.status) AS max_status
+            |FROM graft_k151_t
+            |GROUP BY meta.priority ORDER BY priority""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k151_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k151Sql =
+    """SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS BIGINT)
+      |    AS n_status,
+      |  MAX(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS max_status
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4539,5 +4595,6 @@ object FormatOps {
     RQ("k147_tblproperties", k147, Some(k147Sql)),
     RQ("k148_type_widening", k148, Some(k148Sql)),
     RQ("k149_positional_delete_mode", k149, Some(k149Sql)),
-    RQ("k150_partition_evolution", k150, Some(k150Sql)))
+    RQ("k150_partition_evolution", k150, Some(k150Sql)),
+    RQ("k151_nested_evolution", k151, Some(k151Sql)))
 }

@@ -4481,6 +4481,27 @@ object TxnTable {
     commitMetadata(spark, table, "alter-type") { st =>
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
+      // NESTED widen (`ALTER COLUMN s.f TYPE bigint`): same in-scan
+      // parquet promotion, pure schema surgery at the dotted path. The
+      // top-level interlocks don't apply — nested fields can't be
+      // bucket sources, bloom columns, or identity columns.
+      if (name.contains('.')) {
+        val parts = name.split('.').toSeq.map(_.trim)
+        val ns = transformStructAt(schema, parts.init, table) { inner =>
+          val f = inner.fields.find(_.name.equalsIgnoreCase(parts.last))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no such column $name in $table"))
+          if (f.dataType == to) return st.version // provable no-op
+          require(widenable(f.dataType, to),
+            s"cannot change $name from ${f.dataType.simpleString} to " +
+              s"${to.simpleString}: only in-scan parquet widenings are " +
+              "metadata-only")
+          StructType(inner.fields.map(x =>
+            if (x.name.equalsIgnoreCase(parts.last)) x.copy(dataType = to)
+            else x))
+        }
+        (ns, st.stats, st.blooms, st.checks, st.retired)
+      } else {
       val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(s"no such column $name in $table"))
       if (field.dataType == to)
@@ -4518,6 +4539,95 @@ object TxnTable {
        st.blooms.view.mapValues(_.filterNot(_.col.equalsIgnoreCase(name)))
          .filter(_._2.nonEmpty).toMap,
        st.checks, st.retired)
+      }
+    }
+
+  /** Schema surgery at a dotted path: apply `f` to the STRUCT at
+    * `path` (Nil = the root schema). Descends plain struct chains
+    * only — evolution inside arrays/maps would need parquet field-ID
+    * mapping to stay unambiguous, so it refuses loudly. */
+  private def transformStructAt(schema: StructType, path: Seq[String],
+      where: String)(f: StructType => StructType): StructType =
+    if (path.isEmpty) f(schema)
+    else {
+      val fld = schema.fields.find(_.name.equalsIgnoreCase(path.head))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column ${path.head} in $where"))
+      fld.dataType match {
+        case st: StructType =>
+          StructType(schema.fields.map(x =>
+            if (x.name.equalsIgnoreCase(path.head))
+              x.copy(dataType = transformStructAt(st, path.tail, where)(f))
+            else x))
+        case other => throw new IllegalArgumentException(
+          s"${path.head} is ${other.simpleString}, not a struct — nested " +
+            "schema evolution descends plain struct chains only")
+      }
+    }
+
+  /** `ALTER TABLE … ADD COLUMNS (s.f T)` — NESTED schema evolution,
+    * same pure-metadata contract as the top-level form: the field joins
+    * the struct in the manifest schema and Spark's parquet by-name
+    * clipping surfaces it as NULL from files written before the change
+    * (zero graft read-path code — the scan schema IS the manifest
+    * schema). Appends evolve through the same recursive
+    * `StructType.merge` the top-level path uses. */
+  def addNestedColumn(spark: SparkSession, table: String, dotted: String,
+                      dt: DataType): Long =
+    commitMetadata(spark, table, "alter-add-nested") { st =>
+      val parts = dotted.split('.').toSeq.map(_.trim)
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"nested add needs a dotted path, got $dotted")
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      require(!st.retired.exists(_.equalsIgnoreCase(dotted)),
+        s"column $dotted was previously dropped from $table; old data " +
+          "files still contain it and would resurrect stale values — " +
+          "use a different name")
+      val ns = transformStructAt(schema, parts.init, table) { inner =>
+        require(!inner.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
+          s"column $dotted already exists in $table")
+        StructType(inner.fields :+
+          StructField(parts.last, dt, nullable = true))
+      }
+      (ns, st.stats, st.blooms, st.checks, st.retired)
+    }
+
+  /** `ALTER TABLE … DROP COLUMN s.f` — the nested drop: the field
+    * leaves its struct in the manifest schema (schema-driven reads
+    * never project it again) and the dotted path joins the RETIRED
+    * list so a later re-add can't resurrect orphaned bytes. */
+  def dropNestedColumn(spark: SparkSession, table: String,
+                       dotted: String): Long =
+    commitMetadata(spark, table, "alter-drop-nested") { st =>
+      val parts = dotted.split('.').toSeq.map(_.trim)
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"nested drop needs a dotted path, got $dotted")
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      st.checks.foreach { case (cn, sql) =>
+        require(!exprRefs(spark, sql).exists(r =>
+            r.equalsIgnoreCase(dotted) ||
+              r.toLowerCase.startsWith(dotted.toLowerCase + ".")),
+          s"cannot drop $dotted: CHECK constraint $cn references it " +
+            "(DROP CONSTRAINT first)")
+      }
+      generatedColumns(schema).foreach { case (gn, gsql) =>
+        require(!exprRefs(spark, gsql).exists(r =>
+            r.equalsIgnoreCase(dotted) ||
+              r.toLowerCase.startsWith(dotted.toLowerCase + ".")),
+          s"cannot drop $dotted: generated column $gn derives from it " +
+            "(drop the generated column first)")
+      }
+      val ns = transformStructAt(schema, parts.init, table) { inner =>
+        require(inner.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
+          s"no such column $dotted in $table")
+        require(inner.fields.length > 1,
+          s"cannot drop the only field of struct ${parts.init.mkString(".")}")
+        StructType(inner.fields.filterNot(
+          _.name.equalsIgnoreCase(parts.last)))
+      }
+      (ns, st.stats, st.blooms, st.checks, st.retired :+ dotted)
     }
 
   /** `ALTER TABLE … SET PARTITIONED BY (…)` — PARTITION-SPEC EVOLUTION
@@ -4590,8 +4700,13 @@ object TxnTable {
         s"cannot drop the only column of $table")
       require(!st.partCols.map(partSource).exists(_.equalsIgnoreCase(field.name)),
         s"cannot drop partition column ${field.name} of $table")
+      // prefix match too: a check/definition reading `s.f` dangles just
+      // as hard when the whole struct `s` drops as when `s.f` does
+      def refs(name: String)(r: String): Boolean =
+        r.equalsIgnoreCase(name) ||
+          r.toLowerCase.startsWith(name.toLowerCase + ".")
       st.checks.foreach { case (cn, sql) =>
-        require(!exprRefs(spark, sql).exists(_.equalsIgnoreCase(field.name)),
+        require(!exprRefs(spark, sql).exists(refs(field.name)),
           s"cannot drop ${field.name}: CHECK constraint $cn references it " +
             "(DROP CONSTRAINT first)")
       }
@@ -4602,7 +4717,7 @@ object TxnTable {
       // (fine); dropping a column a definition READS would dangle it
       generatedColumns(schema).foreach { case (gn, gsql) =>
         require(gn.equalsIgnoreCase(field.name) ||
-            !exprRefs(spark, gsql).exists(_.equalsIgnoreCase(field.name)),
+            !exprRefs(spark, gsql).exists(refs(field.name)),
           s"cannot drop ${field.name}: generated column $gn derives from " +
             "it (drop the generated column first)")
       }
@@ -4789,8 +4904,23 @@ object TxnTable {
         throw new IllegalStateException(s"$table predates the schema log"))
       require(!st.checks.contains(name),
         s"constraint $name already exists on $table")
+      // a dotted ref (`m.n > 0`) resolves through struct chains; a
+      // literal dotted top-level name keeps working either way
+      def resolvable(r: String): Boolean = {
+        def walk(dt: DataType, ps: Seq[String]): Boolean = ps match {
+          case Seq() => true
+          case h +: t => dt match {
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.find(_.name.equalsIgnoreCase(h))
+                .exists(f => walk(f.dataType, t))
+            case _ => false
+          }
+        }
+        schema.fieldNames.exists(_.equalsIgnoreCase(r)) ||
+          walk(schema, r.split('.').toSeq)
+      }
       exprRefs(spark, sql).foreach(r =>
-        require(schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+        require(resolvable(r),
           s"CHECK constraint $name references unknown column $r"))
       schema
     }

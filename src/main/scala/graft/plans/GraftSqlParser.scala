@@ -129,7 +129,7 @@ object GraftSqlParser {
   private val AlterAddColsStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val AlterDropColStmt =
-    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+COLUMN\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+COLUMN\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val AlterRenameColStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w]+)\s+TO\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
   private val AlterAddCheckStmt =
@@ -145,7 +145,7 @@ object GraftSqlParser {
   private val ShowTblPropsStmt =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   private val AlterColTypeStmt =
-    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w.]+)\s+TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
   private val AlterSetDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val AlterDropDefaultStmt =
@@ -524,13 +524,24 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val table = GraftSqlParser.resolveTarget(spark, target)
         kind match {
           case "add-columns" =>
-            TxnTable.addColumns(spark, table,
-              spark.sessionState.sqlParser.parseTableSchema(args.head))
+            // `ADD COLUMNS (s.f BIGINT)` — a dotted first token routes
+            // to nested evolution; plain DDL parses as a column list
+            val NestedCol = """(?s)\s*([\w]+(?:\.[\w]+)+)\s+(.+)""".r
+            args.head match {
+              case NestedCol(path, ddl) =>
+                TxnTable.addNestedColumn(spark, table, path,
+                  spark.sessionState.sqlParser.parseDataType(ddl.trim))
+              case ddl =>
+                TxnTable.addColumns(spark, table,
+                  spark.sessionState.sqlParser.parseTableSchema(ddl))
+            }
           case "add-column-default" =>
             TxnTable.addColumnWithDefault(spark, table, args(0),
               spark.sessionState.sqlParser.parseDataType(args(1)), args(2))
           case "drop-column" =>
-            TxnTable.dropColumn(spark, table, args.head)
+            if (args.head.contains('.'))
+              TxnTable.dropNestedColumn(spark, table, args.head)
+            else TxnTable.dropColumn(spark, table, args.head)
           case "rename-column" =>
             TxnTable.renameColumn(spark, table, args(0), args(1))
           case "add-check" =>
