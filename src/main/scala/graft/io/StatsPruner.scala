@@ -27,8 +27,8 @@ private[io] final class StatsPruner(
     * numbers and temporals to Right(epoch/double), strings on string
     * columns to Left(lexicographic). None = unprunable value. */
   private def value(c: String, v: Any): Option[Either[String, Double]] =
-    dataSchema.find(_.name == c).flatMap { f =>
-      try Some(TxnTable.boundValue(v, f.dataType))
+    TxnTable.typeAt(dataSchema, c).flatMap { dt =>
+      try Some(TxnTable.boundValue(v, dt))
       catch { case _: IllegalArgumentException => None }
     }
 

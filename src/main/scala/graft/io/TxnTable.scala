@@ -678,6 +678,24 @@ object TxnTable {
         }
       }
 
+  /** The declared type at a possibly-dotted column path: top-level
+    * name first (a literal dotted name wins), then a struct-chain walk
+    * — the one resolution rule shared by stats collection, the pruner,
+    * and bloom probes, so a nested stats column can never normalize
+    * differently on the write and read sides. */
+  private[io] def typeAt(schema: StructType, c: String): Option[DataType] =
+    schema.fields.find(_.name == c).map(_.dataType).orElse {
+      def walk(dt: DataType, ps: Seq[String]): Option[DataType] = ps match {
+        case Seq() => Some(dt)
+        case h +: t => dt match {
+          case s: StructType =>
+            s.fields.find(_.name == h).flatMap(f => walk(f.dataType, t))
+          case _ => None
+        }
+      }
+      if (c.contains('.')) walk(schema, c.split('.').toSeq) else None
+    }
+
   private[io] def statKind(dt: DataType): Option[String] = dt match {
     case StringType => Some("str")
     case DateType | TimestampType | TimestampNTZType => Some("num")
@@ -1412,10 +1430,13 @@ object TxnTable {
     } else {
       val back = spark.read.parquet(s"$table/$dataDir")
       // one (col, dtype, kind) per stats column the data carries AND
-      // the kind system supports — others get no stats, not errors
+      // the kind system supports — others get no stats, not errors.
+      // Dotted entries (`meta.score`) resolve through struct chains:
+      // nested fields carry per-file skipping stats exactly like
+      // top-level ones (normExpr's col() resolves the same path).
       val tracked = statsCols.flatMap(c =>
-        back.schema.find(_.name == c).flatMap(f =>
-          statKind(f.dataType).map(k => (c, f.dataType, k))))
+        typeAt(back.schema, c).flatMap(dt =>
+          statKind(dt).map(k => (c, dt, k))))
       val aggs = (count(lit(1)).as("__rows") +:
         tracked.flatMap { case (c, dt, _) => Seq(
           min(normExpr(c, dt)).as(s"__mn_$c"),
@@ -1457,8 +1478,10 @@ object TxnTable {
         val bits = bloomBits(spark)
         val hashes = bloomHashes(spark)
         val buildAgg = org.apache.spark.sql.functions.udaf(new Bloom.BuildAgg(bits, hashes))
+        // dotted entries resolve through struct chains — nested fields
+        // carry bloom sidecars exactly like top-level ones
         val tracked = bloomCols.distinct.filter(c =>
-          back.schema.find(_.name == c).exists(f => bloomSupported(f.dataType)))
+          typeAt(back.schema, c).exists(bloomSupported))
         tracked.flatMap { c =>
           // one keyed pass per bloom column over the fresh data: group
           // by source file, OR together the per-partition bitsets
@@ -2434,7 +2457,7 @@ object TxnTable {
                    column: String, values: Seq[Any],
                    files: Seq[String]): Seq[String] = {
     val st = stateOf(spark, table, version)
-    val dt = st.schema.flatMap(_.find(_.name == column)).map(_.dataType)
+    val dt = st.schema.flatMap(typeAt(_, column))
       .getOrElse(return files)
     val hashes = values.filter(_ != null).flatMap(v => hashForColumn(v, dt))
     // a NULL or uncoercible constant defeats the prune (conservative)
@@ -3418,7 +3441,7 @@ object TxnTable {
         case Some(r) =>
           prunable.forall(pruner.mayMatch(r, _)) &&
             eqCons.forall { case (c, vs) =>
-              val hashes = schema.find(_.name == c).map(_.dataType).toSeq
+              val hashes = typeAt(schema, c).toSeq
                 .flatMap(dt =>
                   vs.filter(_ != null).flatMap(v => hashForColumn(v, dt)))
               hashes.size != vs.size || bloomKeep(ctx, table, st, c, hashes)(r)
@@ -4500,7 +4523,12 @@ object TxnTable {
             if (x.name.equalsIgnoreCase(parts.last)) x.copy(dataType = to)
             else x))
         }
-        (ns, st.stats, st.blooms, st.checks, st.retired)
+        // nested blooms hash the old type too — drop them like the
+        // top-level widen does (skipping degrades, results don't)
+        (ns, st.stats,
+          st.blooms.view.mapValues(_.filterNot(_.col.equalsIgnoreCase(name)))
+            .filter(_._2.nonEmpty).toMap,
+          st.checks, st.retired)
       } else {
       val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(s"no such column $name in $table"))
@@ -4627,7 +4655,17 @@ object TxnTable {
         StructType(inner.fields.filterNot(
           _.name.equalsIgnoreCase(parts.last)))
       }
-      (ns, st.stats, st.blooms, st.checks, st.retired :+ dotted)
+      // the dotted path's skipping stats and blooms leave with it —
+      // prefix too, for dropping a nested struct with statted children
+      def gone(c: String): Boolean =
+        c.equalsIgnoreCase(dotted) ||
+          c.toLowerCase.startsWith(dotted.toLowerCase + ".")
+      (ns,
+        st.stats.view.mapValues(_.filterNot(s => gone(s.col)))
+          .filter(_._2.nonEmpty).toMap,
+        st.blooms.view.mapValues(_.filterNot(b => gone(b.col)))
+          .filter(_._2.nonEmpty).toMap,
+        st.checks, st.retired :+ dotted)
     }
 
   /** `ALTER TABLE … SET PARTITIONED BY (…)` — PARTITION-SPEC EVOLUTION
@@ -4723,9 +4761,11 @@ object TxnTable {
       }
       (org.apache.spark.sql.types.StructType(
          schema.fields.filterNot(_ eq field)),
-       st.stats.view.mapValues(_.filterNot(_.col == field.name))
+       // prefix too: dropping a struct takes its nested fields' stats
+       // and blooms (keyed by dotted path) with it
+       st.stats.view.mapValues(_.filterNot(s => refs(field.name)(s.col)))
          .filter(_._2.nonEmpty).toMap,
-       st.blooms.view.mapValues(_.filterNot(_.col == field.name))
+       st.blooms.view.mapValues(_.filterNot(b => refs(field.name)(b.col)))
          .filter(_._2.nonEmpty).toMap,
        st.checks, (st.retired :+ field.name).distinct)
     }
@@ -5209,7 +5249,7 @@ object TxnTable {
       throw new IllegalStateException(s"no committed version in $table"))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"$table predates the schema log"))
-    cols.foreach(c => require(schema.fieldNames.contains(c),
+    cols.foreach(c => require(typeAt(schema, c).isDefined,
       s"ZORDER BY column $c is not a column of $table"))
     val n = targetFiles.getOrElse(math.max(1, st.files.size))
     val trackedCols =
@@ -5233,9 +5273,11 @@ object TxnTable {
       throw new IllegalStateException(s"no committed version in $table"))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"$table predates the schema log"))
-    cols.foreach(c => require(schema.fieldNames.contains(c),
+    cols.foreach(c => require(typeAt(schema, c).isDefined,
       s"ZORDER BY column $c is not a column of $table"))
-    val b = boundRange(lo, hi, schema(column).dataType)
+    val b = boundRange(lo, hi, typeAt(schema, column).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column $column in $table")))
     val scoped = st.files.filter(f =>
       st.stat(f, column).exists(s => s.nulls == 0L && s.containedIn(b)))
     val n = targetFiles.getOrElse(math.max(1, scoped.size))
@@ -5279,9 +5321,9 @@ object TxnTable {
       val inScope: String => Boolean = scope match {
         case None => _ => true
         case Some((c, lo, hi)) =>
-          require(schema.fieldNames.contains(c),
-            s"OPTIMIZE WHERE column $c is not a column of $table")
-          val b = boundRange(lo, hi, schema(c).dataType)
+          val b = boundRange(lo, hi, typeAt(schema, c).getOrElse(
+            throw new IllegalArgumentException(
+              s"OPTIMIZE WHERE column $c is not a column of $table")))
           f => st.stat(f, c).exists(s => s.nulls == 0L && s.containedIn(b))
       }
       // REORG/PURGE: per-vector named-file sets. Equality deletes gate

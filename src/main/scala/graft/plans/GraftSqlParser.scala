@@ -100,15 +100,15 @@ object GraftSqlParser {
   // whose stats prove containment (partition-scoped OPTIMIZE,
   // Delta-style; BETWEEN covers retention-window maintenance)
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:WHERE\s+(`[^`]+`|[\w]+)\s*(?:=\s*('[^']*'|"[^"]*"|[\w.\-:]+)|BETWEEN\s+('[^']*'|"[^"]*"|[\w.\-:]+)\s+AND\s+('[^']*'|"[^"]*"|[\w.\-:]+))\s*)?(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:WHERE\s+(`[^`]+`|[\w.]+)\s*(?:=\s*('[^']*'|"[^"]*"|[\w.\-:]+)|BETWEEN\s+('[^']*'|"[^"]*"|[\w.\-:]+)\s+AND\s+('[^']*'|"[^"]*"|[\w.\-:]+))\s*)?(?:FILES\s+SMALLER\s+THAN\s+(\d+)\b\s*)?;?\s*""".r
   // OPTIMIZE <target> ZORDER BY (c1, c2[, ...]) [INTO n FILES]
   private val ZOrderStmt =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w.]+)(?:\s*,\s*(?:`[^`]+`|[\w.]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
   // OPTIMIZE <target> WHERE col = v | col BETWEEN a AND b
   //   ZORDER BY (...) [INTO n FILES]
   // — re-cluster only the predicate's stats-proven-contained files
   private val ZOrderWhereStmt =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+WHERE\s+(`[^`]+`|[\w]+)\s*(?:=\s*('[^']*'|"[^"]*"|[\w.\-:]+)|BETWEEN\s+('[^']*'|"[^"]*"|[\w.\-:]+)\s+AND\s+('[^']*'|"[^"]*"|[\w.\-:]+))\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w]+)(?:\s*,\s*(?:`[^`]+`|[\w]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+WHERE\s+(`[^`]+`|[\w.]+)\s*(?:=\s*('[^']*'|"[^"]*"|[\w.\-:]+)|BETWEEN\s+('[^']*'|"[^"]*"|[\w.\-:]+)\s+AND\s+('[^']*'|"[^"]*"|[\w.\-:]+))\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w.]+)(?:\s*,\s*(?:`[^`]+`|[\w.]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
