@@ -278,10 +278,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
                      info: org.apache.spark.sql.connector.catalog.TableInfo)
       : StagedTable = {
     val spark = SparkSession.active
-    val (path, schema, partCols) =
+    val (path, declaredSchema, partCols) =
       declaration(ident, info.columns(), info.partitions(), info.properties())
     val at = TxnTable.latestVersion(spark, path)
-    new GraftTable(path, at.getOrElse(0L), schema, partCols)
+    new GraftTable(path, at.getOrElse(0L), declaredSchema, partCols)
         with StagedTable {
       override def commitStagedChanges(): Unit = {
         // a CTAS write already landed the swap (the version advanced);
@@ -291,7 +291,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           TxnTable.commitOverwrite(
             spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              schema),
+              declaredSchema),
             path, partitionCols = partCols)
         storeDeclaredProps(path, info.properties(), reset = true)
       }

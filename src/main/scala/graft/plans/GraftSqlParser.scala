@@ -109,6 +109,13 @@ object GraftSqlParser {
   // — re-cluster only the predicate's stats-proven-contained files
   private val ZOrderWhereStmt =
     """(?is)\s*OPTIMIZE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+WHERE\s+(`[^`]+`|[\w.]+)\s*(?:=\s*('[^']*'|"[^"]*"|[\w.\-:]+)|BETWEEN\s+('[^']*'|"[^"]*"|[\w.\-:]+)\s+AND\s+('[^']*'|"[^"]*"|[\w.\-:]+))\s+ZORDER\s+BY\s*\(\s*((?:`[^`]+`|[\w.]+)(?:\s*,\s*(?:`[^`]+`|[\w.]+))+)\s*\)\s*(?:INTO\s+(\d+)\s+FILES\s*)?;?\s*""".r
+  // INSERT INTO <target> REPLACE WHERE col = v | col BETWEEN a AND b
+  // SELECT … — Delta's scoped-overwrite ingest spelling: the SELECT's
+  // rows atomically replace exactly the predicate's slice, riding the
+  // writer's replaceWhere path (stats-proven containment; rows outside
+  // the slice refuse write-side)
+  private val InsertReplaceWhereStmt =
+    """(?is)\s*INSERT\s+INTO\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+?)\s*;?\s*""".r
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
@@ -317,6 +324,9 @@ object GraftSqlParser {
         Some(GraftCopyIntoCommand(target, unquote(source),
           Option(format).map(_.toLowerCase).getOrElse("parquet"),
           Option(pattern).map(unquote).getOrElse("*")))
+      case InsertReplaceWhereStmt(target, pred, select)
+          if graftTarget(target) =>
+        Some(GraftReplaceWhereInsertCommand(target, pred.trim, select.trim))
       case CloneStmt(target, source, version) if graftTarget(source) =>
         Some(GraftCloneCommand(target, source,
           Option(version).map(_.toLong)))
@@ -444,6 +454,13 @@ case class GraftConvertCommand(target: String, statsCols: Seq[String])
 /** Idempotent batch file ingestion (COPY INTO). */
 case class GraftCopyIntoCommand(target: String, source: String,
                                 format: String, pattern: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Scoped-overwrite ingest (INSERT INTO … REPLACE WHERE … SELECT …). */
+case class GraftReplaceWhereInsertCommand(target: String, pred: String,
+                                          select: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -597,6 +614,14 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val spark = SparkSession.active
         val table = GraftSqlParser.resolveTarget(spark, target)
         TxnTable.copyInto(spark, table, source, format, pattern)
+        GraftSqlParser.syncCatalogSchema(spark, target)
+      }) :: Nil
+    case GraftReplaceWhereInsertCommand(target, pred, select) =>
+      GraftDmlExec(s"INSERT INTO $target REPLACE WHERE $pred", () => {
+        val spark = SparkSession.active
+        val table = GraftSqlParser.resolveTarget(spark, target)
+        spark.sql(select).write.format("graft")
+          .option("replaceWhere", pred).mode("overwrite").save(table)
         GraftSqlParser.syncCatalogSchema(spark, target)
       }) :: Nil
     case GraftCloneCommand(target, source, version) =>

@@ -45,6 +45,47 @@ class GraftDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO ... REPLACE WHERE swaps exactly the predicate's slice") {
+    withZone { zone =>
+      import spark.implicits._
+      val path = s"$zone/rw"
+      // two segment slices land as separate files (partitioned write)
+      Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L), (4L, "B", 40L))
+        .toDF("k", "seg", "v").coalesce(1)
+        .write.format("graft").option("statsCols", "k")
+        .option("partitionBy", "seg").mode("overwrite").save(path)
+      val before = TxnTable.snapshotFiles(spark, path,
+        TxnTable.latestVersion(spark, path).get)
+      val aFiles = before.filter(_.contains("__gp_seg=A"))
+      assert(aFiles.nonEmpty)
+      Seq((30L, "B", 300L), (31L, "B", 310L), (32L, "B", 320L))
+        .toDF("k", "seg", "v").createOrReplaceTempView("rw_batch")
+      // the daily re-publish spelling: one atomic scoped overwrite
+      spark.sql(
+        s"INSERT INTO '$path' REPLACE WHERE seg = 'B' SELECT * FROM rw_batch")
+      val df = spark.read.format("graft").load(path)
+      assert(df.count() == 5L)
+      assert(df.filter($"seg" === "B").select($"k").as[Long]
+        .collect().toSet == Set(30L, 31L, 32L))
+      assert(df.filter($"seg" === "A").select($"k").as[Long]
+        .collect().toSet == Set(1L, 2L))
+      // slice A's files carried BY REFERENCE — untouched bytes
+      val after = TxnTable.snapshotFiles(spark, path,
+        TxnTable.latestVersion(spark, path).get)
+      assert(aFiles.forall(after.contains),
+        s"untouched slice must carry by reference; before=$aFiles after=$after")
+      // rows OUTSIDE the predicate refuse write-side
+      Seq((9L, "A", 90L)).toDF("k", "seg", "v")
+        .createOrReplaceTempView("rw_bad")
+      val e = intercept[Exception] {
+        spark.sql(
+          s"INSERT INTO '$path' REPLACE WHERE seg = 'B' SELECT * FROM rw_bad")
+      }
+      assert(e.getMessage != null && e.getMessage.contains("replaceWhere"),
+        e.getMessage)
+    }
+  }
+
   test("INSERT OVERWRITE replaces the snapshot as one overwrite commit") {
     withZone { zone =>
       spark.sql(s"CREATE TABLE ddl_ovw (k BIGINT, s STRING) USING graft " +
