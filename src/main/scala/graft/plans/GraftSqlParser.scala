@@ -545,6 +545,12 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             // to nested evolution; plain DDL parses as a column list
             val NestedCol = """(?s)\s*([\w]+(?:\.[\w]+)+)\s+(.+)""".r
             args.head match {
+              case NestedCol(path, ddl)
+                  if ddl.toUpperCase.contains("DEFAULT") =>
+                throw new IllegalArgumentException(
+                  s"ADD COLUMN $path with DEFAULT is not supported: " +
+                    "column-default metadata is top-level only — add the " +
+                    "nested field plain, then backfill with UPDATE")
               case NestedCol(path, ddl) =>
                 TxnTable.addNestedColumn(spark, table, path,
                   spark.sessionState.sqlParser.parseDataType(ddl.trim))
