@@ -103,6 +103,54 @@ class NestedEvolSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL spellings: nested widen and nested drop") {
+    withZone { table =>
+      import spark.implicits._
+      Seq((1L, 5, "a"), (2L, 6, "b")).toDF("id", "n", "s")
+        .select($"id", struct($"n", $"s").as("m")).coalesce(1)
+        .write.format("graft").option("statsCols", "id")
+        .mode("overwrite").save(table)
+      spark.sql(s"CREATE TABLE graft_nsql_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("ALTER TABLE graft_nsql_t ALTER COLUMN m.n TYPE BIGINT")
+        val widened = spark.sql("SELECT m.n AS n FROM graft_nsql_t ORDER BY n")
+        assert(widened.schema("n").dataType == LongType)
+        assert(widened.as[Long].collect().toSeq == Seq(5L, 6L))
+        spark.sql("ALTER TABLE graft_nsql_t DROP COLUMN m.s")
+        assert(spark.table("graft_nsql_t").schema("m")
+          .dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("n"))
+        // nested + DEFAULT refuses with guidance, not a parse error
+        val e = intercept[Exception] {
+          spark.sql(
+            "ALTER TABLE graft_nsql_t ADD COLUMNS (m.d INT DEFAULT 7)")
+        }
+        assert(e.getMessage.contains("top-level"), e.getMessage)
+      } finally spark.sql("DROP TABLE graft_nsql_t")
+    }
+  }
+
+  test("merge evolves a nested schema through the recursive struct merge") {
+    withZone { table =>
+      import spark.implicits._
+      Seq((1L, 10), (2L, 20)).toDF("k", "x")
+        .select($"k", struct($"x").as("m")).coalesce(1)
+        .write.format("graft").option("statsCols", "k")
+        .mode("overwrite").save(table)
+      // the updates frame's struct carries an EXTRA nested field: the
+      // commit's recursive StructType.merge widens the schema, matched
+      // rows replace, unmatched insert, old rows surface NULL
+      val updates = Seq((2L, 21, "u"), (3L, 30, "i")).toDF("k", "x", "tag")
+        .select($"k", struct($"x", $"tag").as("m"))
+      TxnTable.merge(updates, table, "k")
+      val got = spark.read.format("graft").load(table)
+        .select($"k", $"m.x".as("x"), $"m.tag".as("tag"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) "-" else r.getString(2))).toSet
+      assert(got == Set((1L, 10, "-"), (2L, 21, "u"), (3L, 30, "i")),
+        s"got $got")
+    }
+  }
+
   test("dropping a struct a CHECK reads into refuses (prefix match)") {
     withZone { table =>
       import spark.implicits._

@@ -175,6 +175,65 @@ class PartEvolSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog spelling: SET PARTITIONED BY on a catalog table") {
+    val s = spark
+    if (s.conf.getOption("spark.sql.catalog.gpev").isEmpty) {
+      s.conf.set("spark.sql.catalog.gpev", "graft.io.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.gpev.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_pevol_cat").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpev.db")
+    s.sql("DROP TABLE IF EXISTS gpev.db.pt")
+    try {
+      s.sql("CREATE TABLE gpev.db.pt (k BIGINT, g BIGINT) USING graft")
+      s.sql("INSERT INTO gpev.db.pt VALUES (1, 0), (2, 1)")
+      s.sql("ALTER TABLE gpev.db.pt SET PARTITIONED BY (g)")
+      val wh = s.conf.get("spark.sql.catalog.gpev.warehouse")
+      assert(TxnTable.partitionColumns(s, s"$wh/db/pt") == Seq("g"))
+      s.sql("INSERT INTO gpev.db.pt VALUES (3, 0)")
+      val vEnd = TxnTable.latestVersion(s, s"$wh/db/pt").get
+      assert(TxnTable.snapshotFiles(s, s"$wh/db/pt", vEnd)
+        .exists(_.contains("__gp_g=")), "evolved catalog appends lay out")
+      assert(s.sql("SELECT COUNT(*) FROM gpev.db.pt").head().getLong(0) == 3L)
+    } finally s.sql("DROP TABLE IF EXISTS gpev.db.pt")
+  }
+
+  test("a spec change racing an append: both land, the table stays coherent") {
+    withZone { table =>
+      import spark.implicits._
+      Seq.range(0L, 50L).map(k => (k, k % 5L)).toDF("k", "g").coalesce(1)
+        .write.format("graft").option("statsCols", "k")
+        .mode("overwrite").save(table)
+      // the append computes its layout from the OLD spec; the evolution
+      // commits concurrently — whichever CAS order results, both
+      // commits land and reads stay exact (files are self-describing,
+      // so an old-layout straggler under a new spec is merely
+      // conservative, never wrong)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      import scala.concurrent.{ExecutionContext, Future, Await}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fA = Future {
+        Seq.range(50L, 100L).map(k => (k, k % 5L)).toDF("k", "g")
+          .write.format("graft").mode("append").save(table)
+      }
+      val fB = Future { TxnTable.setPartitionSpec(spark, table, Seq("g")) }
+      try {
+        Await.result(fA, 120.seconds); Await.result(fB, 120.seconds)
+      } finally pool.shutdown()
+      assert(TxnTable.partitionColumns(spark, table) == Seq("g"))
+      val df = spark.read.format("graft").load(table)
+      assert(df.count() == 100L)
+      assert(df.agg(sum($"k")).head().getLong(0) == 99L * 100L / 2L)
+      // and the NEXT append honors the evolved spec
+      Seq((100L, 0L)).toDF("k", "g")
+        .write.format("graft").mode("append").save(table)
+      val vEnd = TxnTable.latestVersion(spark, table).get
+      assert(TxnTable.snapshotFiles(spark, table, vEnd)
+        .exists(_.contains("__gp_g=")))
+    }
+  }
+
   test("widening refuses while old bucket-layout files linger, then allows") {
     withZone { table =>
       import spark.implicits._
