@@ -4520,6 +4520,59 @@ object FormatOps {
       |  MAX(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS max_status
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k152
+  /** NESTED-FIELD DATA SKIPPING under the driver's gate — `statsCols =
+    * "m.ck"` collects per-file min/max for a field INSIDE a struct
+    * column, Spark pushes the nested predicate to the DSv2 scan with
+    * its dotted name, and the scan prunes files by those stats.
+    * REQUIREd in-query: the nested range read plans FEWER files than
+    * the table holds (range-clustered on the nested key, so the proof
+    * is structural, not lucky). The aggregate itself oracle-checks
+    * against DuckDB over raw orders — skipping must never change an
+    * answer. The 100 TB shape: struct-payload event logs prune without
+    * flattening. */
+  private def k152(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k152_nstat")
+    try {
+      val table = s"$zone/orders_txn"
+      Tables.orders(spark, dir)
+        .select($"o_orderkey",
+          struct($"o_custkey".as("ck"), $"o_totalprice".as("price"))
+            .as("m"))
+        .repartitionByRange(4, $"o_custkey")
+        .write.format("graft").option("statsCols", "m.ck")
+        .mode("overwrite").save(table)
+      val total = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get).size
+      require(total >= 4, s"expected >= 4 range files, got $total")
+      val slice = spark.read.format("graft").load(table)
+        .filter($"m.ck" >= 100L && $"m.ck" <= 200L)
+      val scanned = org.apache.spark.sql.GraftBridge
+        .dsv2ScannedFiles(slice).getOrElse(
+          throw new IllegalStateException("no DSv2 scan in the plan"))
+      require(scanned < total,
+        s"nested-stat pruning must skip files: scanned $scanned of $total")
+      val result = slice.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum($"o_orderkey").cast("bigint").as("key_sum"),
+        graft.ops.Num.dsum($"m.price").as("price_sum"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k152Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+      |FROM orders WHERE o_custkey BETWEEN 100 AND 200""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4596,5 +4649,6 @@ object FormatOps {
     RQ("k148_type_widening", k148, Some(k148Sql)),
     RQ("k149_positional_delete_mode", k149, Some(k149Sql)),
     RQ("k150_partition_evolution", k150, Some(k150Sql)),
-    RQ("k151_nested_evolution", k151, Some(k151Sql)))
+    RQ("k151_nested_evolution", k151, Some(k151Sql)),
+    RQ("k152_nested_skipping", k152, Some(k152Sql)))
 }
