@@ -138,7 +138,7 @@ object GraftSqlParser {
   private val AlterDropColStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+COLUMN\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val AlterRenameColStmt =
-    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w]+)\s+TO\s+(`[^`]+`|[\w]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w.]+)\s+TO\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val AlterAddCheckStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ADD\s+CONSTRAINT\s+(`[^`]+`|[\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val AlterDropCheckStmt =
@@ -566,6 +566,16 @@ object GraftMaintenanceStrategy extends SparkStrategy {
               TxnTable.dropNestedColumn(spark, table, args.head)
             else TxnTable.dropColumn(spark, table, args.head)
           case "rename-column" =>
+            // zero-rewrite rename rides top-level column-mapping
+            // aliases; a nested field has no alias slot without parquet
+            // field-ID mapping — refuse with the supported path instead
+            // of a grammar error
+            if (args.exists(_.contains('.')))
+              throw new IllegalArgumentException(
+                "nested RENAME COLUMN is not supported: old files cannot " +
+                  "serve a renamed nested field without parquet field-ID " +
+                  "mapping — ADD the new field, backfill with UPDATE, " +
+                  "then DROP the old one")
             TxnTable.renameColumn(spark, table, args(0), args(1))
           case "add-check" =>
             TxnTable.addCheck(spark, table, args(0), args(1))

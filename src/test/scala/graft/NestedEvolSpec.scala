@@ -125,6 +125,11 @@ class NestedEvolSpec extends AnyFunSuite {
             "ALTER TABLE graft_nsql_t ADD COLUMNS (m.d INT DEFAULT 7)")
         }
         assert(e.getMessage.contains("top-level"), e.getMessage)
+        // nested RENAME refuses with the supported alternative
+        val e2 = intercept[Exception] {
+          spark.sql("ALTER TABLE graft_nsql_t RENAME COLUMN m.n TO m.x")
+        }
+        assert(e2.getMessage.contains("field-ID"), e2.getMessage)
       } finally spark.sql("DROP TABLE graft_nsql_t")
     }
   }
