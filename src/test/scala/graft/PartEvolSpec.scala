@@ -234,6 +234,40 @@ class PartEvolSpec extends AnyFunSuite {
     }
   }
 
+  test("a running stream's next microbatch honors an evolved sink spec") {
+    withZone { zone =>
+      import spark.implicits._
+      val src = s"$zone-src"; val sink = s"$zone-sink"; val cp = s"$zone-cp"
+      Seq((1L, 0L), (2L, 1L)).toDF("k", "g").coalesce(1)
+        .write.format("graft").mode("overwrite").save(src)
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft").load(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(sink)
+        q.awaitTermination()
+      }
+      drain()
+      val before = TxnTable.snapshotFiles(spark, sink,
+        TxnTable.latestVersion(spark, sink).get).toSet
+      assert(before.forall(f => !f.contains("__gp_")))
+      // evolve the SINK's spec between microbatches — the stream's next
+      // commit inherits it (partitioning is sticky and read at COMMIT
+      // time, not pinned at stream start)
+      TxnTable.setPartitionSpec(spark, sink, Seq("g"))
+      Seq((3L, 0L), (4L, 1L)).toDF("k", "g")
+        .write.format("graft").mode("append").save(src)
+      drain()
+      val after = TxnTable.snapshotFiles(spark, sink,
+        TxnTable.latestVersion(spark, sink).get)
+      val fresh = after.filterNot(before)
+      assert(fresh.nonEmpty && fresh.forall(_.contains("__gp_g=")),
+        s"mid-stream evolution must shape the next microbatch: $fresh")
+      assert(spark.read.format("graft").load(sink).count() == 4L)
+    }
+  }
+
   test("widening refuses while old bucket-layout files linger, then allows") {
     withZone { table =>
       import spark.implicits._
