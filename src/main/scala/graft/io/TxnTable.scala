@@ -2485,17 +2485,32 @@ object TxnTable {
   def merge(updates0: DataFrame, table: String, keyCol: String): Long = {
     val spark = updates0.sparkSession
     val ctx = fc(spark)
-    // upserts can INSERT rows — identity tables refuse (values are
-    // minted only on the append path); generated columns recompute
-    // over the incoming frame (fill for inserts, staleness repair for
-    // updates) before any gate sees it
+    // GENERATED ALWAYS AS IDENTITY: a merge MAY run — matched rows
+    // INHERIT their existing identity values (same logical entity,
+    // keyed by keyCol) and unmatched inserts MINT fresh values above
+    // the snapshot's high-water mark, inside the attempt loop where the
+    // pinned hwm is in hand — but the frame can never SUPPLY the
+    // column (ALWAYS semantics, same as the append path). Generated
+    // columns recompute over the incoming frame (fill for inserts,
+    // staleness repair for updates) before any gate sees it.
     val mergeSchema = latestState(spark, table).flatMap(_.schema)
-    refuseIdentity(mergeSchema, table, "merge")
+    mergeSchema.flatMap(identityColumn).foreach { d =>
+      require(!updates0.columns.exists(_.equalsIgnoreCase(d.col)),
+        s"IDENTITY column ${d.col} is GENERATED ALWAYS — the merge " +
+          "frame cannot supply it")
+    }
     val updates = recomputeGenerated(updates0, mergeSchema)
     // upserted rows are new/changed data: the constraint gate applies
-    // (untouched carried-forward rows were validated by their own write)
-    latestState(spark, table).map(_.checks)
-      .foreach(enforceChecks(updates, table, _))
+    // (untouched carried-forward rows were validated by their own
+    // write). Checks referencing the identity column can't evaluate
+    // over the pre-enrichment frame — they hold by construction
+    // (inherited and minted values are never NULL), so they skip here.
+    latestState(spark, table).map { st0 =>
+      val idCol = st0.schema.flatMap(identityColumn).map(_.col)
+      st0.checks.filterNot { case (_, sql) =>
+        idCol.exists(c => exprRefs(spark, sql).exists(_.equalsIgnoreCase(c)))
+      }
+    }.foreach(enforceChecks(updates, table, _))
     var attempt = 0
     while (attempt < 16) {
       val st = latestState(spark, table).getOrElse(
@@ -2536,16 +2551,49 @@ object TxnTable {
           .select(col("__f")).distinct().collect()
           .map(r => { val u = r.getString(0)
             byBase(u.substring(u.lastIndexOf('/') + 1)) }).toSet
+      // IDENTITY enrichment: matched keys inherit the target's value
+      // (min over same-key rows — the merge replaces them all with one
+      // update row, so the choice must be deterministic); unmatched
+      // keys mint sequentially above the PINNED snapshot's high-water
+      // mark. localCheckpoint freezes the minting: a nondeterministic
+      // updates frame must not re-mint differently between the data
+      // write and the CDC write (the updateWherePos lesson).
+      val idDef = identityColumn(schema)
+      val (enriched, newHwm) = idDef match {
+        case None => (updates, None)
+        case Some(d) =>
+          val tgtIds =
+            if (touched.isEmpty)
+              spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType(Seq(
+                  updates.schema(keyCol),
+                  org.apache.spark.sql.types.StructField(d.col,
+                    org.apache.spark.sql.types.LongType))))
+            else planFiles(spark, table, schema, touched.toSeq,
+                st.pathpart, st.aliases)
+              .groupBy(col(keyCol)).agg(min(col(d.col)).as(d.col))
+          val withId = updates.join(tgtIds, Seq(keyCol), "left")
+          val hwmBase = d.hwm.getOrElse(d.start - d.step)
+          val inserts = withId.filter(col(d.col).isNull).drop(d.col)
+          val (minted, n) =
+            assignSequential(inserts, d.col, hwmBase + d.step, d.step)
+          val e = withId.filter(col(d.col).isNotNull)
+            .unionByName(minted.select(
+              withId.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+            .localCheckpoint()
+          (e, if (n == 0L) None else Some(hwmBase + d.step * n))
+      }
       // schema evolution happens HERE, not just in the manifest header:
       // allowMissingColumns lets an updates frame add a column (old rows
       // surface it as NULL) or omit one (update rows get NULL) — the
       // same merged schema the commit records, so the advertised
       // evolution actually goes through the data path
       val merged =
-        if (touched.isEmpty) updates
+        if (touched.isEmpty) enriched
         else planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases)
-          .join(updates, Seq(keyCol), "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
+          .join(enriched, Seq(keyCol), "left_anti")
+          .unionByName(enriched, allowMissingColumns = true)
       // rewritten files keep stats for EVERY column the table tracks —
       // a merge must not degrade later skipping on other dimensions.
       // (A column the merged frame doesn't carry — pure-insert updates
@@ -2569,31 +2617,46 @@ object TxnTable {
           val touchedDf =
             if (touched.isEmpty) None
             else Some(planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases))
-          val updKeys = updates.select(col(keyCol)).distinct()
+          val updKeys = enriched.select(col(keyCol)).distinct()
           val pre = touchedDf.map(_.join(updKeys, Seq(keyCol), "left_semi")
             .withColumn(ChangeTypeCol, lit("update_preimage")))
           val matchedKeys = touchedDf.map(_.select(col(keyCol)).distinct())
           val post = matchedKeys.map(mk =>
-            updates.join(mk, Seq(keyCol), "left_semi")
+            enriched.join(mk, Seq(keyCol), "left_semi")
               .withColumn(ChangeTypeCol, lit("update_postimage")))
           val ins = matchedKeys
-            .map(mk => updates.join(mk, Seq(keyCol), "left_anti"))
-            .getOrElse(updates)
+            .map(mk => enriched.join(mk, Seq(keyCol), "left_anti"))
+            .getOrElse(enriched)
             .withColumn(ChangeTypeCol, lit("insert"))
           val changes = (pre.toSeq ++ post.toSeq :+ ins)
             .reduce(_.unionByName(_, allowMissingColumns = true))
           writeChangeData(changes, table, dataDir)
         }
-      val mergedSchema =
-        org.apache.spark.sql.GraftBridge.mergeSchemas(schema, updates.schema)
+      val mergedSchema0 =
+        org.apache.spark.sql.GraftBridge.mergeSchemas(schema, enriched.schema)
+      // the identity declaration (start/step metadata) must survive the
+      // schema merge — the enriched frame carries the column without
+      // metadata — and the high-water mark advances by the minted count
+      val mergedSchema = idDef match {
+        case Some(d) =>
+          val restored = org.apache.spark.sql.types.StructType(
+            mergedSchema0.fields.map(f =>
+              if (f.name.equalsIgnoreCase(d.col))
+                schema.fields.find(_.name.equalsIgnoreCase(d.col)).get
+              else f))
+          newHwm.map(patchIdentityHwm(restored, d.col, _)).getOrElse(restored)
+        case None => mergedSchema0
+      }
       // rebase on CAS loss only when the interleaved commits appended
       // files provably DISJOINT from the update keys' range (they can
       // hold no matching row, so neither the rewrite set nor the
       // unmatched-insert decision changes); unnormalizable keys
-      // (keyBound None) always recompute
+      // (keyBound None) always recompute — and identity merges ALWAYS
+      // recompute (a raced append may have advanced the high-water
+      // mark; re-minting from the fresh snapshot prevents collisions)
       publishRewrite(spark, ctx, table, st, mergedSchema,
         touched.toSeq.sorted, newFiles, newStats, newBlooms, newRows,
-        disjointCol = keyBound.map(_ => keyCol),
+        disjointCol = if (idDef.isDefined) None else keyBound.map(_ => keyCol),
         bound = keyBound.getOrElse(Bound("conflict")),
         op = "merge", cdcAdd = cdcAdd) match {
         case Some(v) => return v

@@ -121,18 +121,38 @@ class IdentityColsSpec extends AnyFunSuite {
     }
   }
 
-  test("merge and replaceWhere refuse on an identity table; UPDATE passes") {
+  test("merge inherits matched ids and mints for inserts; UPDATE passes") {
     withZone { zone =>
       val table = s"$zone/t"
       import spark.implicits._
       TxnTable.commitOverwrite(
         TxnTable.withIdentityColumn(rows(Seq("a", "b", "c")), "id"), table,
         statsCols = Seq("tag"))
-      // merge would INSERT rows whose ids nothing can mint — refuse
-      val e = intercept[IllegalArgumentException] {
-        TxnTable.merge(rows(Seq("a", "zz")), table, "tag")
+      // upsert: 'a' matches (keeps id 1), 'zz' inserts (mints above the
+      // hwm 3); the frame itself can never SUPPLY the column
+      TxnTable.merge(rows(Seq("a", "zz")), table, "tag")
+      val got = TxnTable.read(spark, table)
+        .select("tag", "id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got("a") == 1L, s"matched row must keep its id: $got")
+      assert(got("zz") == 4L, s"insert must mint hwm+step: $got")
+      assert(got.values.toSeq.distinct.size == got.size, s"ids unique: $got")
+      val hwmAfter = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get).get
+      assert(hwmAfter.hwm.contains(4L),
+        s"the merge's commit must advance the hwm: $hwmAfter")
+      assert(hwmAfter.start == 1L && hwmAfter.step == 1L,
+        "the declaration survives the schema merge")
+      // a later APPEND continues above the merge-minted values
+      TxnTable.commitAppend(rows(Seq("w")), table)
+      assert(TxnTable.read(spark, table).filter($"tag" === "w")
+        .select("id").head().getLong(0) == 5L)
+      val eSup = intercept[IllegalArgumentException] {
+        TxnTable.merge(rows(Seq("q")).withColumn("id", lit(99L)),
+          table, "tag")
       }
-      assert(e.getMessage.contains("IDENTITY"))
+      assert(eSup.getMessage.contains("IDENTITY"))
       // replaceWhere likewise
       val e2 = intercept[IllegalArgumentException] {
         TxnTable.replaceValues(rows(Seq("a")), table, "tag", Seq("a"))
@@ -146,8 +166,38 @@ class IdentityColsSpec extends AnyFunSuite {
         assert(out.filter($"tag" === "a").select("v")
           .collect().map(_.getDouble(0)).toSeq == Seq(99.0))
         assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq
-          == Seq(1L, 2L, 3L))
+          == Seq(1L, 2L, 3L, 4L, 5L))
       } finally spark.sql("DROP TABLE IF EXISTS ident_upd")
+    }
+  }
+
+  test("a merge racing an append never reuses identity values") {
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b")), "id"), table,
+        statsCols = Seq("tag"))
+      // the merge mints from its pinned snapshot's hwm; if the append
+      // lands first and advances it, the merge's CAS MUST lose and
+      // recompute from the fresh snapshot (identity merges never
+      // fast-rebase) — two winners from the same hwm would collide
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      import scala.concurrent.{ExecutionContext, Future, Await}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fA = Future { TxnTable.merge(rows(Seq("m1", "m2")), table, "tag") }
+      val fB = Future { TxnTable.commitAppend(rows(Seq("p1", "p2")), table) }
+      try { Await.result(fA, 120.seconds); Await.result(fB, 120.seconds) }
+      finally pool.shutdown()
+      val ids = TxnTable.read(spark, table)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids.size == 6 && ids.distinct.size == 6,
+        s"every row keeps a unique id across the race: ${ids.sorted}")
+      val d = TxnTable.identityColumn(
+        TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get).get
+      assert(d.hwm.contains(ids.max),
+        s"the surviving hwm covers every assigned value: $d vs ${ids.max}")
     }
   }
 
