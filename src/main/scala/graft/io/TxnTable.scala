@@ -2800,9 +2800,13 @@ object TxnTable {
       compute(snap, st.version) match {
         case None => return st.version
         case Some(rw) =>
-          // SQL MERGE can INSERT rows — those would need identity values
-          // only the append path can mint; UPDATE/DELETE rewrites carry
-          // already-assigned ids and pass
+          // SQL MERGE can INSERT rows — at this layer a user-supplied
+          // id is indistinguishable from a carried one (ALWAYS
+          // semantics would silently break) and the separate CDC frame
+          // could not observe the same minting. The keyed upsert
+          // (TxnTable.merge) mints correctly — route identity upserts
+          // there; UPDATE/DELETE rewrites carry already-assigned ids
+          // and pass.
           if (op == "merge") refuseIdentity(st.schema, table, "MERGE")
           // generated columns recompute over the whole replacement:
           // identity for carried rows, staleness repair for updated
