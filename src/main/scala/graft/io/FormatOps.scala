@@ -2867,7 +2867,7 @@ object FormatOps {
         // SQL SELECT through the DSv2 split scan (no graft files yet)
         val viaSql = spark.sql(
           "SELECT count(*) FROM graft_k127_t WHERE o_orderstatus = 'O'")
-          .head.getLong(0)
+          .head().getLong(0)
         require(viaSql == seed.filter($"o_orderstatus" === "O").count(),
           "SQL read over adopted files must fill partition values")
         // DML over the adopted files (copy-on-write rewrite)

@@ -331,9 +331,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case d: TableChange.UpdateColumnDefaultValue =>
         require(d.fieldNames.length == 1,
           "graft ALTER supports top-level columns only")
-        // empty string = Spark's DROP DEFAULT spelling
+        // null DefaultValue = Spark's DROP DEFAULT spelling; a default
+        // delivered without its SQL text cannot round-trip through the
+        // manifest metadata — refuse rather than silently dropping
         TxnTable.setColumnDefault(spark, path, d.fieldNames.head,
-          Option(d.newDefaultValue()).filter(_.nonEmpty))
+          Option(d.newCurrentDefault()).map { dv =>
+            val sql = dv.getSql
+            require(sql != null && sql.nonEmpty,
+              s"default for ${d.fieldNames.head} has no SQL form")
+            sql
+          })
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>

@@ -4327,7 +4327,7 @@ object TxnTable {
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
-      .select(outSchema.fieldNames.map(col): _*)
+      .select(outSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** METADATA-ONLY column profile (ANALYZE without the scan): one row

@@ -1051,7 +1051,7 @@ object StreamingOps {
         // file lies entirely above the predicate cutoff — at tiny scale
         // factors (sf0.001: event_id 0..999 < 5000) every file matches
         // and a full rewrite is the CORRECT plan, so skip the REQUIRE
-        val maxId = ev.agg(max($"event_id")).head.getLong(0)
+        val maxId = ev.agg(max($"event_id")).head().getLong(0)
         if (maxId >= 8000)
           require(carried.nonEmpty && carried != seedFiles,
             s"SQL UPDATE must be file-surgical: carried ${carried.size} of " +
