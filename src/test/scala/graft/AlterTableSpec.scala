@@ -345,7 +345,7 @@ class AlterTableSpec extends AnyFunSuite {
       // …and the OLD files' bytes resolve under the NEW name
       val df = TxnTable.read(spark, table)
       assert(df.columns.toSeq.sorted == Seq("p", "row_id", "v"))
-      assert(df.select(sum("row_id")).head.getLong(0) == 3L)
+      assert(df.select(sum("row_id")).head().getLong(0) == 3L)
       // skipping survives: the stats entries renamed with the column
       val stats = TxnTable.fileStats(spark, table, v)
       assert(stats.values.flatten.exists(_.col == "row_id"))
@@ -359,13 +359,13 @@ class AlterTableSpec extends AnyFunSuite {
       // chained rename: a->b->c coalesces through BOTH prior names
       TxnTable.renameColumn(spark, table, "row_id", "rid")
       assert(TxnTable.read(spark, table)
-        .select(sum("rid")).head.getLong(0) == 3L)
+        .select(sum("rid")).head().getLong(0) == 3L)
       // appends after the rename write the NEW physical name; the mixed
       // snapshot still reads as one logical column
       TxnTable.commitAppend(
         Seq((5L, "z", 9.9)).toDF("rid", "part", "v"), table)
       assert(TxnTable.read(spark, table)
-        .select(sum("rid")).head.getLong(0) == 8L)
+        .select(sum("rid")).head().getLong(0) == 8L)
       // re-adding a prior physical name is refused (bytes would
       // resurrect); stats-driven range read works under the new name
       assert(intercept[IllegalArgumentException] {
@@ -387,11 +387,11 @@ class AlterTableSpec extends AnyFunSuite {
         statsCols = Seq("id"))
       spark.sql(s"ALTER TABLE '$table' RENAME COLUMN id TO row_id")
       val got = spark.read.format("graft").load(table)
-        .select(sum(col("row_id"))).head.getLong(0)
+        .select(sum(col("row_id"))).head().getLong(0)
       assert(got == 3L)
       // filters on the renamed column still answer correctly
       assert(spark.read.format("graft").load(table)
-        .filter(col("row_id") === 2L).select(col("v")).head.getDouble(0) == 20.0)
+        .filter(col("row_id") === 2L).select(col("v")).head().getDouble(0) == 20.0)
       // DML AFTER the rename: the rewrite reads old-name bytes through
       // the coalesce and writes replacements under the NEW name
       spark.sql(s"CREATE TABLE alter_ren_t USING graft OPTIONS (path '$table')")
@@ -510,7 +510,7 @@ class AlterTableSpec extends AnyFunSuite {
         pattern = "*.parquet")
       assert(in3.size == 1)
       assert(TxnTable.read(spark, table)
-        .select(sum("id")).head.getLong(0) == 10L)
+        .select(sum("id")).head().getLong(0) == 10L)
     }
   }
 

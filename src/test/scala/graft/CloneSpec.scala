@@ -33,7 +33,7 @@ class CloneSpec extends AnyFunSuite {
       TxnTable.addCheck(spark, src, "v_pos", "v > 0") // policy travels
       TxnTable.cloneShallow(spark, src, s"$zone/fork")
       val fork = TxnTable.read(spark, s"$zone/fork")
-      assert(fork.select(sum("v")).head.getDouble(0) == 60.0)
+      assert(fork.select(sum("v")).head().getDouble(0) == 60.0)
       // zero-copy: the fork dir holds one manifest + pointer, no parquet
       val local = new java.io.File(s"$zone/fork").listFiles().map(_.getName)
       assert(!local.exists(_.startsWith("w=")))

@@ -43,7 +43,7 @@ class ConvertSpec extends AnyFunSuite {
       TxnTable.readRangeOn(spark, dir, "o_orderkey", 1, 10)
     assert(total == 4 && scanned <= total)
     // DML: copy-on-write delete rewrites only what it must
-    val key = seed.select(min("o_orderkey")).head.getLong(0)
+    val key = seed.select(min("o_orderkey")).head().getLong(0)
     TxnTable.deleteEquals(spark, dir, "o_orderkey", key)
     assert(TxnTable.read(spark, dir).filter(col("o_orderkey") === key).isEmpty)
     // time travel: v1 is the adopted snapshot, untouched
@@ -61,8 +61,8 @@ class ConvertSpec extends AnyFunSuite {
     assert(parquetFiles(dir) == before, "convert must not rewrite data")
     // partition values come back from the paths
     val got = TxnTable.read(spark, dir)
-    assert(got.select(countDistinct(col("o_orderstatus"))).head.getLong(0) ==
-      seed.select(countDistinct(col("o_orderstatus"))).head.getLong(0))
+    assert(got.select(countDistinct(col("o_orderstatus"))).head().getLong(0) ==
+      seed.select(countDistinct(col("o_orderstatus"))).head().getLong(0))
     assert(got.exceptAll(seed).isEmpty && seed.exceptAll(got).isEmpty)
     // partition pruning IS stats pruning: single-valued files
     val (rows, scanned, total) =
@@ -75,7 +75,7 @@ class ConvertSpec extends AnyFunSuite {
     try {
       val viaSql = spark.sql(
         "SELECT count(*) AS n FROM graft_cvt_t WHERE o_orderstatus = 'O'")
-        .head.getLong(0)
+        .head().getLong(0)
       assert(viaSql == seed.filter(col("o_orderstatus") === "O").count())
     } finally spark.sql("DROP TABLE graft_cvt_t")
     // appends conform to the adopted partitioning; mixed layout reads

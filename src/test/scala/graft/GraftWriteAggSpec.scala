@@ -373,7 +373,7 @@ class GraftWriteAggSpec extends AnyFunSuite {
         val byMeta = TxnTable.fileRows(spark, table, v)
         val files = TxnTable.snapshotFiles(spark, table, v)
         assert(files.forall(byMeta.contains), "every live file has a count")
-        assert(byMeta.filterKeys(files.toSet).values.sum ==
+        assert(byMeta.view.filterKeys(files.toSet).values.sum ==
           TxnTable.read(spark, table).count())
       }
       rowsAgree()

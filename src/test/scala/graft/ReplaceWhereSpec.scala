@@ -62,7 +62,7 @@ class ReplaceWhereSpec extends AnyFunSuite {
         Seq.empty[(Long, Double)].toDF("id", "v"), table, "id", 1L, 25L)
       assert(TxnTable.read(spark, table).count() == 75L)
       assert(TxnTable.read(spark, table)
-        .agg(min($"id")).head.getLong(0) == 26L)
+        .agg(min($"id")).head().getLong(0) == 26L)
     }
   }
 
