@@ -74,6 +74,41 @@ object GraftTableFunctions {
     LocalRelation(out, rows)
   }
 
+  /** `graft_snapshot_diff(path, fromVersion, toVersion)` — what changed
+    * between two snapshots, manifest arithmetic only: one row per data
+    * file that is in exactly one of the two, with its direction, row
+    * count (null for pre-row-tracking files), and per-version row
+    * delta derivable by aggregation. The 100 TB triage question
+    * "what did last night's job actually touch" answers without
+    * listing a single data directory. */
+  def snapshotDiff(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "usage: graft_snapshot_diff(path, fromVersion, toVersion)")
+    val table = str(exprs.head, "path")
+    val from = long(exprs(1), "fromVersion")
+    val to = long(exprs(2), "toVersion")
+    val spark = SparkSession.active
+    val a = TxnTable.snapshotFiles(spark, table, from).toSet
+    val b = TxnTable.snapshotFiles(spark, table, to).toSet
+    val rowsB = TxnTable.fileRows(spark, table, to)
+    val rowsA = TxnTable.fileRows(spark, table, from)
+    val out = Seq(
+      AttributeReference("file", StringType, nullable = false)(),
+      AttributeReference("change", StringType, nullable = false)(),
+      AttributeReference("n_rows", LongType, nullable = true)())
+    def row(f: String, change: String, n: Option[Long]): InternalRow = {
+      val r = new GenericInternalRow(3)
+      r.update(0, UTF8String.fromString(f))
+      r.update(1, UTF8String.fromString(change))
+      n match { case Some(v) => r.setLong(2, v); case None => r.setNullAt(2) }
+      r
+    }
+    val data =
+      (b -- a).toSeq.sorted.map(f => row(f, "added", rowsB.get(f))) ++
+        (a -- b).toSeq.sorted.map(f => row(f, "removed", rowsA.get(f)))
+    LocalRelation(out, data)
+  }
+
   /** `VACUUM … DRY RUN` — the would-delete list as rows, one
     * table-relative path per row. Nothing is deleted; a real VACUUM
     * with the same arguments deletes exactly these paths. */

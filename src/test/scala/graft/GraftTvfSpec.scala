@@ -22,6 +22,35 @@ class GraftTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_snapshot_diff: what changed between two versions, metadata-only") {
+    import spark.implicits._
+    withTable { table =>
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1)
+        .write.format("graft").option("statsCols", "id")
+        .mode("overwrite").save(table)                       // v1
+      Seq((3L, 3.0), (4L, 4.0), (5L, 5.0)).toDF("id", "v").coalesce(1)
+        .write.format("graft").mode("append").save(table)    // v2
+      TxnTable.deleteRange(spark, table, "id", 1L, 2L)       // v3: v1's file drops
+      val v = TxnTable.latestVersion(spark, table).get
+      val diff = spark.sql(
+        s"SELECT * FROM graft_snapshot_diff('$table', 1, $v)")
+        .collect().map(r => (r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+      // vs v1: the append's file (3 rows) added, v1's own file removed
+      assert(diff == Seq(("added", 3L), ("removed", 2L)), s"got $diff")
+      // a no-op span diffs empty
+      assert(spark.sql(
+        s"SELECT * FROM graft_snapshot_diff('$table', $v, $v)").count() == 0L)
+      // aggregated row delta matches the table's real movement
+      val delta = spark.sql(
+        s"""SELECT COALESCE(SUM(CASE WHEN change = 'added' THEN n_rows
+           |  ELSE -n_rows END), 0) AS d
+           |FROM graft_snapshot_diff('$table', 1, $v)""".stripMargin)
+        .head().getLong(0)
+      assert(delta == 1L, s"2 rows -> 3 rows means +1, got $delta")
+    }
+  }
+
   test("graft_detail / DESCRIBE DETAIL reports the snapshot's shape") {
     import spark.implicits._
     withTable { table =>
