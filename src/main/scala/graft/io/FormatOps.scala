@@ -4573,6 +4573,57 @@ object FormatOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
       |FROM orders WHERE o_custkey BETWEEN 100 AND 200""".stripMargin
 
+  // --------------------------------------------------------------- k153
+  /** `graft_snapshot_diff` under the driver's gate: a three-commit
+    * history (seed, append, range delete) diffs v1→latest as PURE
+    * manifest arithmetic — the per-direction file and row totals must
+    * equal what the data movement implies. The oracle recomputes the
+    * same totals from the raw customer table's arithmetic. */
+  private def k153(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k153_sdiff")
+    try {
+      val table = s"$zone/cust_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      val half = cust.agg(max($"c_custkey")).head().getLong(0) / 2L
+      cust.filter($"c_custkey" <= half).coalesce(1)
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(table)                        // v1
+      cust.filter($"c_custkey" > half).coalesce(1)
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("append").save(table)                           // v2
+      // v3: drop v1's whole file — its key range is fully covered and
+      // stats prove it, so the delete is metadata-only (no new files)
+      TxnTable.deleteRange(spark, table, "c_custkey", 0L, half)
+      val v = TxnTable.latestVersion(spark, table).get
+      val result = spark.sql(
+        s"""SELECT change, CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+           |FROM graft_snapshot_diff('$table', 1, $v)
+           |GROUP BY change ORDER BY change""".stripMargin)
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k153Sql =
+    """WITH h AS (SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS half
+      |           FROM customer)
+      |SELECT 'added' AS change, CAST(1 AS BIGINT) AS n_files,
+      |  CAST((SELECT COUNT(*) FROM customer, h WHERE c_custkey > half)
+      |    AS BIGINT) AS n_rows
+      |UNION ALL
+      |SELECT 'removed', CAST(1 AS BIGINT),
+      |  CAST((SELECT COUNT(*) FROM customer, h WHERE c_custkey <= half)
+      |    AS BIGINT)
+      |ORDER BY change""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4650,5 +4701,6 @@ object FormatOps {
     RQ("k149_positional_delete_mode", k149, Some(k149Sql)),
     RQ("k150_partition_evolution", k150, Some(k150Sql)),
     RQ("k151_nested_evolution", k151, Some(k151Sql)),
-    RQ("k152_nested_skipping", k152, Some(k152Sql)))
+    RQ("k152_nested_skipping", k152, Some(k152Sql)),
+    RQ("k153_snapshot_diff", k153, Some(k153Sql)))
 }
