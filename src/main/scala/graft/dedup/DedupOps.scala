@@ -820,11 +820,31 @@ object DedupOps {
     *   5. appends ALL the batch's signatures (survivors AND dups, so
     *      the pairwise earlier-id rule stays exactly recomputable).
     *
-    * Per-increment cost: one batch signature pass + one band join
-    * against a bucketable signature table + one metadata commit —
-    * independent of corpus size. The oracle recomputes the SAME
-    * pairwise rule from scratch in DuckDB over the full corpus:
-    * incremental and batch answers must agree exactly. */
+    * Per-increment cost: one batch signature pass + one SHUFFLE-FREE
+    * probe of the signature table + one metadata commit. The batch
+    * side BROADCASTS into the band join, so the corpus-sized sigs
+    * side streams straight out of its scan with zero Exchange
+    * (REQUIREd in-query); the sigs table is written `bucket(16, h)`-
+    * partitioned with (b,h) stats and an h bloom per file, so the
+    * scan itself prunes signature files the batch's key set cannot
+    * match (runtime filtering, k137 machinery) — nothing ever
+    * shuffles the corpus, and the scan narrows with key locality.
+    * The oracle recomputes the SAME pairwise rule from scratch in
+    * DuckDB over the full corpus: incremental and batch answers must
+    * agree exactly. */
+  /** Shuffle Exchanges in an executed (possibly adaptive) plan. */
+  private def d47Shuffles(
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        d47Shuffles(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        d47Shuffles(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        d47Shuffles(r.child)
+    }.sum
+
   private def d47(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.io.TxnTable
@@ -846,13 +866,26 @@ object DedupOps {
           .mode(if (first) "overwrite" else "append").save(corpus)
         val sig = sigLong(batch).localCheckpoint()
         // cross-batch dups: batch docs whose band key already exists in
-        // the persisted signatures (all strictly earlier ids) — a
-        // semi-join keyed on (band, hash), batch-sized on the left
+        // the persisted signatures (all strictly earlier ids). The
+        // batch side broadcasts into an inner join PROBING the
+        // corpus-sized signature table — a left-semi spelling would
+        // put the corpus on the build/shuffle side, so the join is
+        // flipped: sigs stream out of their scan, the batch's keys
+        // ride the broadcast, and the only shuffle anywhere is the
+        // batch-sized distinct downstream
         val cross =
           if (first) spark.emptyDataset[Long].toDF("doc_id")
-          else sig.join(
-            spark.read.format("graft").load(sigs).select($"b", $"h"),
-            Seq("b", "h"), "left_semi").select($"doc_id")
+          else {
+            val probe = spark.read.format("graft").load(sigs)
+              .select($"b", $"h")
+              .join(broadcast(sig), Seq("b", "h"), "inner")
+              .select($"doc_id")
+            val out = probe.localCheckpoint()
+            require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
+              "cross-batch sig probe must not shuffle the signature " +
+                s"table:\n${probe.queryExecution.executedPlan}")
+            out
+          }
         // in-batch dups: per band key, everything above the min id
         val w = Window.partitionBy($"b", $"h")
         val inBatch = sig.withColumn("m", min($"doc_id").over(w))
@@ -866,9 +899,15 @@ object DedupOps {
         TxnTable.deletePositions(spark, corpus,
           rows.join(losers, Seq("doc_id"), "left_semi"))
         // ALL signatures persist — the earlier-id pairwise rule judges
-        // against every prior doc, deleted or not
-        sig.write.format("graft").mode(if (first) "overwrite" else "append")
-          .save(sigs)
+        // against every prior doc, deleted or not. Layout is the point:
+        // bucket(16, h) (sticky across appends) + per-file (b,h) stats
+        // and h blooms give later increments a PRUNABLE probe target,
+        // and optimizedWrite keeps it one file per bucket per ingest
+        val sw = sig.write.format("graft")
+          .option("statsCols", "b,h").option("bloomCols", "h")
+          .option("optimizedWrite", "true")
+        (if (first) sw.option("partitionBy", "bucket(16, h)").mode("overwrite")
+         else sw.mode("append")).save(sigs)
       }
       val before = {
         ingest(docs.filter($"doc_id" <= cut), first = true,
