@@ -4595,7 +4595,7 @@ object FormatOps {
         .mode("append").save(table)                           // v2
       // v3: drop v1's whole file — its key range is fully covered and
       // stats prove it, so the delete is metadata-only (no new files)
-      TxnTable.deleteRange(spark, table, "c_custkey", 0L, half)
+      TxnTable.deleteRange(spark, table, "c_custkey", 0.0, half.toDouble)
       val v = TxnTable.latestVersion(spark, table).get
       val result = spark.sql(
         s"""SELECT change, CAST(COUNT(*) AS BIGINT) AS n_files,
@@ -4623,6 +4623,99 @@ object FormatOps {
       |  CAST((SELECT COUNT(*) FROM customer, h WHERE c_custkey <= half)
       |    AS BIGINT)
       |ORDER BY change""".stripMargin
+
+  // --------------------------------------------------------------- k154
+  /** SQL `MERGE INTO` on a GENERATED ALWAYS AS IDENTITY table — the
+    * canonical warehouse ingest: a surrogate-keyed dimension upserted
+    * by natural key (the reference's Postgres `SERIAL` surrogate at
+    * ref dags/s3-etl-wallet-csv.py:210, done lakehouse-side). The
+    * statement can never assign the identity column; matched rows
+    * INHERIT their surrogate keys through the update cascade, WHEN NOT
+    * MATCHED inserts MINT fresh values above the pinned snapshot's
+    * high-water mark (frozen by localCheckpoint so data and CDC agree),
+    * and the commit publishes the advanced hwm atomically — CAS losses
+    * recompute, never fast-rebase. REQUIREd in-query: seeded rows keep
+    * ids 1..n_seed, the merged table is gapless 1..n, the hwm equals n,
+    * and assigning the column refuses. The oracle replays the balance
+    * arithmetic (matched rows got +100) off raw customer. */
+  private def k154(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k154_mrgid")
+    val cat = "gk154"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", zone)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.cust (
+           |  row_id       BIGINT GENERATED ALWAYS AS IDENTITY,
+           |  c_custkey    BIGINT,
+           |  c_mktsegment STRING,
+           |  c_acctbal    DOUBLE)
+           |USING graft""".stripMargin)
+      try {
+        Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .createOrReplaceTempView("k154_src")
+        spark.sql(
+          s"""INSERT INTO $cat.db.cust (c_custkey, c_mktsegment, c_acctbal)
+             |SELECT c_custkey, c_mktsegment, c_acctbal FROM k154_src
+             |WHERE c_custkey % 2 = 0""".stripMargin)
+        val nSeed = spark.table(s"$cat.db.cust").count()
+        spark.sql(
+          s"""MERGE INTO $cat.db.cust t USING k154_src s
+             |ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 100.0
+             |WHEN NOT MATCHED THEN
+             |  INSERT (c_custkey, c_mktsegment, c_acctbal)
+             |  VALUES (s.c_custkey, s.c_mktsegment, s.c_acctbal)""".stripMargin)
+        val n = Tables.customer(spark, dir).count()
+        val full = spark.table(s"$cat.db.cust")
+        require(full.select(countDistinct($"row_id")).head().getLong(0) == n &&
+            full.agg(max($"row_id")).head().getLong(0) == n,
+          "merge must keep surrogate keys gapless: inherit matched, mint inserts")
+        require(full.filter($"c_custkey" % 2 === 0 && $"row_id" > nSeed)
+            .limit(1).count() == 0L,
+          "matched rows must INHERIT their seeded surrogate keys")
+        val table = s"$zone/db/cust"
+        val d = TxnTable.identityColumn(TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get).get
+        require(d.hwm.contains(n), s"the merge must advance the hwm with " +
+          s"its commit: $d vs $n")
+        val refused = try {
+          spark.sql(s"""MERGE INTO $cat.db.cust t USING k154_src s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED THEN UPDATE SET row_id = 0""".stripMargin)
+          false
+        } catch { case e: Exception => e.getMessage.contains("GENERATED ALWAYS") }
+        require(refused, "assigning the IDENTITY column must refuse")
+        val result = spark.sql(
+          s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+             |FROM $cat.db.cust GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $cat.db.cust")
+        spark.catalog.dropTempView("k154_src")
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k154Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0
+      |                     ELSE c_acctbal END
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
@@ -4702,5 +4795,6 @@ object FormatOps {
     RQ("k150_partition_evolution", k150, Some(k150Sql)),
     RQ("k151_nested_evolution", k151, Some(k151Sql)),
     RQ("k152_nested_skipping", k152, Some(k152Sql)),
-    RQ("k153_snapshot_diff", k153, Some(k153Sql)))
+    RQ("k153_snapshot_diff", k153, Some(k153Sql)),
+    RQ("k154_merge_identity", k154, Some(k154Sql)))
 }

@@ -1888,8 +1888,8 @@ object TxnTable {
     * O(partitions) driver sync, the GlobalOrder pattern), then
     * partition-local numbering at the InternalRow level. Returns the
     * frame and the row count (= values consumed). */
-  private def assignSequential(df: DataFrame, name: String,
-                               base: Long, step: Long): (DataFrame, Long) = {
+  private[graft] def assignSequential(df: DataFrame, name: String,
+                                      base: Long, step: Long): (DataFrame, Long) = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -1978,7 +1978,9 @@ object TxnTable {
       throw new IllegalArgumentException(
         s"$op into $table is not supported with IDENTITY column " +
           s"${d.col}: identity values are assigned only on the append " +
-          "path — append new rows, then update them")
+          "path. Recipe: DELETE the scoped rows, then APPEND the " +
+          "replacements (each append mints fresh values above the " +
+          "high-water mark, so retained ids are never reused)")
     }
 
   private def commit(df: DataFrame, table: String, append: Boolean,
@@ -2779,12 +2781,24 @@ object TxnTable {
     *     stats-provably disjoint from the bound REBASES (re-derives the
     *     manifest, keeps the written data) instead of recomputing — the
     *     long-UPDATE-racing-streaming-ingest shape. None = always
-    *     recompute on loss. */
+    *     recompute on loss.
+    *   - `identityHandled`: the compute enriched its replacement for the
+    *     table's IDENTITY column itself (inherit for carried/updated
+    *     rows, mint for inserts) — without it a row-introducing `merge`
+    *     refuses, because at this layer a user-supplied id is
+    *     indistinguishable from a carried one
+    *   - `identityHwm`: the high-water mark the compute minted up to
+    *     (None = nothing minted). Recorded atomically with the rows that
+    *     consumed it, and it DISABLES the append rebase: a raced append
+    *     advanced the hwm these values were assigned from, so the only
+    *     sound recovery is a full recompute against the fresh snapshot. */
   final case class Rewrite(
       removed: Seq[String],
       replacement: DataFrame,
       changes: Option[DataFrame] = None,
-      disjointKey: Option[(String, Bound)] = None)
+      disjointKey: Option[(String, Bound)] = None,
+      identityHandled: Boolean = false,
+      identityHwm: Option[Long] = None)
 
   def rewriteCommit(spark: SparkSession, table: String, op: String,
                     compute: (DataFrame, Long) => Option[Rewrite]): Long = {
@@ -2800,14 +2814,17 @@ object TxnTable {
       compute(snap, st.version) match {
         case None => return st.version
         case Some(rw) =>
-          // SQL MERGE can INSERT rows — at this layer a user-supplied
-          // id is indistinguishable from a carried one (ALWAYS
-          // semantics would silently break) and the separate CDC frame
-          // could not observe the same minting. The keyed upsert
-          // (TxnTable.merge) mints correctly — route identity upserts
-          // there; UPDATE/DELETE rewrites carry already-assigned ids
-          // and pass.
-          if (op == "merge") refuseIdentity(st.schema, table, "MERGE")
+          // SQL MERGE can INSERT rows — unless the lowering declared it
+          // minted/inherited identity values itself (GraftDml.runMerge
+          // does: matched rows inherit through the update cascade,
+          // NOT-MATCHED inserts mint above the pinned hwm, frozen by
+          // localCheckpoint so data and CDC observe the same values), a
+          // user-supplied id is indistinguishable from a carried one
+          // here (ALWAYS semantics would silently break) and it must
+          // refuse. UPDATE/DELETE rewrites carry already-assigned ids
+          // and always pass.
+          if (op == "merge" && !rw.identityHandled)
+            refuseIdentity(st.schema, table, "MERGE")
           // generated columns recompute over the whole replacement:
           // identity for carried rows, staleness repair for updated
           // rows, fill for merge-inserted rows
@@ -2834,12 +2851,32 @@ object TxnTable {
           // the replacement may carry evolved columns (MERGE ... WITH
           // SCHEMA EVOLUTION): merge them into the recorded schema —
           // pre-evolution files surface the new columns as NULL
-          val outSchema = org.apache.spark.sql.GraftBridge.mergeSchemas(
+          val outSchema0 = org.apache.spark.sql.GraftBridge.mergeSchemas(
             schema, org.apache.spark.sql.types.StructType(
               replacement.schema.filterNot(_.name == ChangeTypeCol)))
+          // the identity declaration (start/step/hwm metadata) must
+          // survive the schema merge — the replacement frame carries the
+          // column bare — and a compute that minted values advances the
+          // high-water mark atomically with the rows that consumed it
+          val outSchema = identityColumn(schema) match {
+            case Some(d) =>
+              val restored = org.apache.spark.sql.types.StructType(
+                outSchema0.fields.map(f =>
+                  if (f.name.equalsIgnoreCase(d.col))
+                    schema.fields.find(_.name.equalsIgnoreCase(d.col)).get
+                  else f))
+              rw.identityHwm.map(patchIdentityHwm(restored, d.col, _))
+                .getOrElse(restored)
+            case None => outSchema0
+          }
           publishRewrite(spark, ctx, table, st, outSchema, removed, newFiles,
             newStats, newBlooms, newRows,
-            disjointCol = rw.disjointKey.map(_._1),
+            // minted values were assigned from the PINNED hwm: a raced
+            // append advanced it, so the append rebase is forbidden —
+            // recompute is the only sound recovery (never fast-rebase)
+            disjointCol =
+              if (rw.identityHwm.isDefined) None
+              else rw.disjointKey.map(_._1),
             bound = rw.disjointKey.map(_._2).getOrElse(Bound("conflict")),
             op = op, cdcAdd = cdcAdd) match {
             case Some(v) => return v
@@ -3307,12 +3344,21 @@ object TxnTable {
     *     target row (the rows the commit logically removes)
     *   - `appended`: the replacement/new rows to append as ordinary
     *     data files (None = pure delete), table schema
-    *   - `changes`: row-level change feed (written iff CDF enabled) */
+    *   - `changes`: row-level change feed (written iff CDF enabled)
+    *   - `identityHandled` / `identityHwm`: see [[Rewrite]] — the
+    *     compute enriched the appended rows for the IDENTITY column
+    *     itself, and minted up to `identityHwm` from the pinned
+    *     snapshot's high-water mark. The mark publishes with the commit;
+    *     the pure-append rebase stays sound because any raced identity
+    *     append ADVANCES the hwm in the schema metadata, which fails the
+    *     rebase's schema-identity check and forces a recompute. */
   final case class MorWrite(
       keyCols: Seq[String],
       tuples: DataFrame,
       appended: Option[DataFrame],
-      changes: Option[DataFrame] = None)
+      changes: Option[DataFrame] = None,
+      identityHandled: Boolean = false,
+      identityHwm: Option[Long] = None)
 
   /** MERGE-ON-READ UPSERT — the write-amplification answer for UPDATE
     * and MERGE at 100 TB: ONE commit that (a) appends only the
@@ -3359,17 +3405,25 @@ object TxnTable {
           if (mw.keyCols != PosDelKeyCols)
             mw.keyCols.foreach(k => require(schema.fieldNames.contains(k),
               s"merge-on-read upsert key '$k' is not a column of $table"))
-          // appended rows are NEW data: the constraint gate applies
-          // MoR merge can INSERT rows (identity refuses — only the
-          // append path mints values); MoR update re-inserts modified
-          // rows carrying their ids and passes. Generated columns
-          // recompute over the appended rows: staleness repair for
-          // updates, fill for merge inserts.
-          if (op == "merge" && mw.appended.isDefined)
+          // appended rows are NEW data: the constraint gate applies.
+          // MoR merge can INSERT rows — refused on identity tables
+          // unless the lowering declared it minted/inherited the values
+          // itself (GraftDml.runMerge does); MoR update re-inserts
+          // modified rows carrying their ids and passes. Generated
+          // columns recompute over the appended rows: staleness repair
+          // for updates, fill for merge inserts.
+          if (op == "merge" && mw.appended.isDefined && !mw.identityHandled)
             refuseIdentity(st.schema, table, "MERGE")
           val appendedG =
             mw.appended.map(recomputeGenerated(_, st.schema))
           appendedG.foreach(enforceChecks(_, table, st.checks))
+          // minted identity values publish their high-water mark
+          // atomically with the rows that consumed it — the declaration
+          // itself carries verbatim from the pinned schema, only the
+          // mark moves
+          val pubSchema = mw.identityHwm.flatMap(h =>
+            identityColumn(schema).map(d => patchIdentityHwm(schema, d.col, h)))
+            .getOrElse(schema)
           // appended rows first: writeData's stats read-back pass must
           // run before anything else lands under the commit's data dir
           val (dataDir, newFiles, newStats, newBlooms, newRows) =
@@ -3434,7 +3488,7 @@ object TxnTable {
               if (next % checkpointInterval(spark) == 0) {
                 val addvAll = base.addv ++ newFiles.map(_ -> next).toMap
                 val files = base.files ++ newFiles
-                manifestContent(schema, base.txns,
+                manifestContent(pubSchema, base.txns,
                   base.stats ++ newStats, files, base.blooms ++ newBlooms,
                   base.rows ++ newRows, base.partCols, op = op,
                   cdf = base.cdf, cdcAdd = cdcAdd, mor = true,
@@ -3442,7 +3496,7 @@ object TxnTable {
                     files.exists(f => addvAll.getOrElse(f, 0L) < d.version)),
                   addv = addvAll, checks = base.checks, props = base.props, retired = base.retired,
                   pathpart = base.pathpart, aliases = base.aliases)
-              } else deltaContent(schema, base.txns, newStats,
+              } else deltaContent(pubSchema, base.txns, newStats,
                 removed = Nil, added = newFiles, base = base.version,
                 newBlooms = newBlooms, newRows = newRows,
                 partCols = base.partCols, op = op, cdf = base.cdf,
@@ -4477,7 +4531,18 @@ object TxnTable {
     while (attempt < 64) {
       val st = latestState(spark, table).getOrElse(
         throw new IllegalStateException(s"no committed version in $table"))
-      val (schema, stats, blooms, checks, retired) = f(st)
+      val (schema0, stats, blooms, checks, retired) = f(st)
+      // FIELD-ID choke point: EVERY metadata-only schema change on an
+      // id-mode table flows through here — fields the change carried
+      // keep their ids (f.copy preserves metadata), brand-new fields
+      // (ADD COLUMN, nested adds, evolved elements) mint fresh ids
+      // above both the live max and every retired id (never reused)
+      val schema = st.schema match {
+        case Some(prior) if FieldIds.hasIds(prior) =>
+          FieldIds.assign(Some(prior), schema0,
+            (0L +: FieldIds.retiredIds(retired)).max)
+        case _ => schema0
+      }
       val next = st.version + 1L
       val content = manifestContent(schema, st.txns, stats, st.files,
         blooms, st.rows, partColsOf(st), op = op, cdf = st.cdf, mor = st.mor,

@@ -551,6 +551,46 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
   def runMerge(spark: SparkSession, p: MergePayload): Unit = {
     val byId = p.targetOutput.map(a => a.exprId -> a.name).toMap
 
+    // GENERATED ALWAYS AS IDENTITY: the statement can never ASSIGN the
+    // column — matched rows inherit their values through the update
+    // cascade's keep-default, carried rows ride untouched, and WHEN NOT
+    // MATCHED inserts MINT fresh values above the PINNED snapshot's
+    // high-water mark (TxnTable.merge's recipe, moved into this
+    // lowering): assignSequential numbers the insert rows, a
+    // localCheckpoint freezes the minting so the data write and the CDC
+    // frame observe the same values, and the commit publishes the
+    // advanced hwm atomically with the rows that consumed it. CAS
+    // losses recompute against the fresh snapshot (never fast-rebase),
+    // re-minting above the NEW hwm — racing appends can never collide.
+    def identityOf(ver: Long): Option[TxnTable.IdentityDef] = {
+      val d = TxnTable.snapshotSchema(spark, p.table, ver)
+        .flatMap(TxnTable.identityColumn)
+      d.foreach { dd =>
+        val assigned = (p.matched ++ p.notMatched ++ p.notMatchedBySource)
+          .flatMap {
+            case ua: UpdateAction => ua.assignments
+            case ia: InsertAction => ia.assignments
+            case _ => Nil
+          }.map(a => keyName(a.key, byId))
+        require(!assigned.exists(_.equalsIgnoreCase(dd.col)),
+          s"IDENTITY column ${dd.col} is GENERATED ALWAYS — MERGE cannot " +
+            "assign it: matched rows inherit their values, inserts mint " +
+            "fresh ones")
+      }
+      d
+    }
+    def mintInserts(ins: Option[DataFrame], d: Option[TxnTable.IdentityDef])
+        : (Option[DataFrame], Option[Long]) = (ins, d) match {
+      case (Some(df), Some(dd)) =>
+        val hwmBase = dd.hwm.getOrElse(dd.start - dd.step)
+        val (m, n) = TxnTable.assignSequential(
+          df.drop(dd.col), dd.col, hwmBase + dd.step, dd.step)
+        val ordered = m.select(
+          df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*).localCheckpoint()
+        (Some(ordered), if (n == 0L) None else Some(hwmBase + dd.step * n))
+      case _ => (ins, None)
+    }
+
     // Every target-column reference in a post-join frame must go through
     // the PRE-join target frame's attributes: after `target JOIN source`
     // both sides usually carry the same column names, and a by-name
@@ -735,7 +775,8 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
     if (morMergeKeys.isDefined) {
       val equiKeys = morMergeKeys.get
       val keyCols = equiKeys.map(_._1).distinct.sorted
-      TxnTable.upsertMoR(spark, p.table, "merge", (snap, _) => {
+      TxnTable.upsertMoR(spark, p.table, "merge", (snap, pv) => {
+        val idDef = identityOf(pv)
         val source = GraftBridge.ofRows(spark, p.source)
         val fields = snap.schema.fields.toIndexedSeq
         // the same source-key min/max pre-filter as the copy-on-write
@@ -771,7 +812,8 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
             updateCascade(p.matched, tdf, f).as(f.name)): _*))
           case _ => None // DELETE: matched rows contribute no appended rows
         }
-        val inserts = insertsFor(snap.filter(preFilter), source, fields)
+        val (inserts, idHwm) =
+          mintInserts(insertsFor(snap.filter(preFilter), source, fields), idDef)
         val appended = (updated.toSeq ++ inserts.toSeq)
           .reduceOption(_.unionByName(_))
         val changeParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -788,12 +830,14 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
         }
         inserts.foreach(i => changeParts += typed(i, "insert"))
         Some(TxnTable.MorWrite(keyCols, tuples, appended,
-          changeParts.reduceOption(_.unionByName(_))))
+          changeParts.reduceOption(_.unionByName(_)),
+          identityHandled = idDef.isDefined, identityHwm = idHwm))
       })
       return
     }
 
     TxnTable.rewriteCommit(spark, p.table, "merge", (snap, ver) => {
+      val idDef = identityOf(ver)
       val source = GraftBridge.ofRows(spark, p.source)
       val schema = snap.schema
       // WITH SCHEMA EVOLUTION: columns assigned by any action but
@@ -994,8 +1038,8 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
       // inserts: target rows outside the source key bounds can't match
       // any source row, so the anti-join's right side prunes to the
       // same file slice as phase 1
-      val inserts: Option[DataFrame] =
-        insertsFor(snap.filter(preFilter), source, fields)
+      val (inserts, idHwm) =
+        mintInserts(insertsFor(snap.filter(preFilter), source, fields), idDef)
       inserts.foreach(i => changeParts += typed(i, "insert"))
 
       (rewritten, inserts) match {
@@ -1006,7 +1050,8 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
             if (changeParts.isEmpty) None
             else Some(changeParts.reduce(
               _.unionByName(_, allowMissingColumns = true)))
-          Some(TxnTable.Rewrite(touched, replacement, changes, mergeBound))
+          Some(TxnTable.Rewrite(touched, replacement, changes, mergeBound,
+            identityHandled = idDef.isDefined, identityHwm = idHwm))
       }
     })
     ()

@@ -219,6 +219,196 @@ class IdentityColsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL MERGE INTO: matched rows inherit, inserts mint above the hwm") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b", "c")), "id"), table,
+        statsCols = Seq("tag"))
+      Seq(("a", 100.0), ("x", 1.0), ("y", 2.0)).toDF("tag", "v")
+        .createOrReplaceTempView("ident_mrg_src")
+      spark.sql(s"CREATE TABLE ident_mrg USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO ident_mrg t USING ident_mrg_src s ON t.tag = s.tag
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (tag, v) VALUES (s.tag, s.v)
+            |""".stripMargin)
+        val out = TxnTable.read(spark, table)
+          .select("id", "tag", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        // a/b/c keep 1..3 (a updated in place), x/y mint 4..5
+        val byTag = out.map(r => r._2 -> r._1).toMap
+        assert(out.map(_._1).sorted.toSeq == (1L to 5L),
+          s"ids must stay gapless across the merge: ${out.toSeq}")
+        assert(Seq("a", "b", "c").flatMap(byTag.get).forall(_ <= 3L),
+          s"matched/carried rows must inherit their ids: ${out.toSeq}")
+        assert(out.collectFirst { case (_, "a", v) => v }.contains(100.0))
+        val d = TxnTable.identityColumn(
+          TxnTable.snapshotSchema(spark, table,
+            TxnTable.latestVersion(spark, table).get).get).get
+        assert(d.hwm.contains(5L), s"merge must advance the hwm: $d")
+        // ALWAYS: the statement can never assign the identity column
+        val e = intercept[Exception] {
+          spark.sql(
+            """MERGE INTO ident_mrg t USING ident_mrg_src s ON t.tag = s.tag
+              |WHEN MATCHED THEN UPDATE SET id = 99
+              |""".stripMargin)
+        }
+        assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+      } finally spark.sql("DROP TABLE IF EXISTS ident_mrg")
+    }
+  }
+
+  test("SQL MERGE INTO on a merge-on-read table mints without rewriting files") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b")), "id"), table,
+        statsCols = Seq("tag"), mor = Some(true))
+      val before = TxnTable.morState(spark, table,
+        TxnTable.latestVersion(spark, table).get).files.toSet
+      Seq(("a", 50.0), ("z", 9.0)).toDF("tag", "v")
+        .createOrReplaceTempView("ident_mor_src")
+      spark.sql(s"CREATE TABLE ident_mor USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO ident_mor t USING ident_mor_src s ON t.tag = s.tag
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (tag, v) VALUES (s.tag, s.v)
+            |""".stripMargin)
+        val after = TxnTable.morState(spark, table,
+          TxnTable.latestVersion(spark, table).get).files.toSet
+        assert(before.subsetOf(after),
+          "merge-on-read MERGE must not rewrite existing data files")
+        val out = TxnTable.read(spark, table)
+          .select("id", "tag", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        assert(out.map(_._1).sorted.toSeq == (1L to 3L), s"${out.toSeq}")
+        assert(out.collectFirst { case (_, "a", v) => v }.contains(50.0))
+        assert(out.collectFirst { case (i, "z", _) => i }.contains(3L),
+          s"the insert must mint above the pinned hwm: ${out.toSeq}")
+        val d = TxnTable.identityColumn(
+          TxnTable.snapshotSchema(spark, table,
+            TxnTable.latestVersion(spark, table).get).get).get
+        assert(d.hwm.contains(3L), s"$d")
+      } finally spark.sql("DROP TABLE IF EXISTS ident_mor")
+    }
+  }
+
+  test("SQL MERGE racing an append never reuses identity values") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b")), "id"), table,
+        statsCols = Seq("tag"))
+      Seq(("a", 1.0), ("n1", 2.0), ("n2", 3.0)).toDF("tag", "v")
+        .createOrReplaceTempView("ident_race_src")
+      spark.sql(s"CREATE TABLE ident_race USING graft OPTIONS (path '$table')")
+      // the merge mints from its pinned snapshot's hwm; if the append
+      // lands first and advances it, the merge's CAS MUST lose and
+      // recompute (identity merges never fast-rebase) — two winners
+      // minting from the same hwm would collide
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      import scala.concurrent.{ExecutionContext, Future, Await}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fA = Future {
+          spark.sql(
+            """MERGE INTO ident_race t USING ident_race_src s ON t.tag = s.tag
+              |WHEN MATCHED THEN UPDATE SET v = s.v
+              |WHEN NOT MATCHED THEN INSERT (tag, v) VALUES (s.tag, s.v)
+              |""".stripMargin)
+        }
+        val fB = Future { TxnTable.commitAppend(rows(Seq("p1", "p2")), table) }
+        try { Await.result(fA, 120.seconds); Await.result(fB, 120.seconds) }
+        finally pool.shutdown()
+        val ids = TxnTable.read(spark, table)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(ids.size == 6 && ids.distinct.size == 6,
+          s"every row keeps a unique id across the race: ${ids.sorted}")
+        val d = TxnTable.identityColumn(
+          TxnTable.snapshotSchema(spark, table,
+            TxnTable.latestVersion(spark, table).get).get).get
+        assert(d.hwm.contains(ids.max),
+          s"the surviving hwm covers every assigned value: $d vs ${ids.max}")
+      } finally spark.sql("DROP TABLE IF EXISTS ident_race")
+    }
+  }
+
+  test("SQL MERGE under CDF: insert change rows carry the minted ids") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b")), "id"), table,
+        statsCols = Seq("tag"), cdf = Some(true))
+      Seq(("a", 5.0), ("w", 6.0)).toDF("tag", "v")
+        .createOrReplaceTempView("ident_cdf_src")
+      spark.sql(s"CREATE TABLE ident_cdf USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          """MERGE INTO ident_cdf t USING ident_cdf_src s ON t.tag = s.tag
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (tag, v) VALUES (s.tag, s.v)
+            |""".stripMargin)
+        val v = TxnTable.latestVersion(spark, table).get
+        // half-open (start, end] window: exactly the merge's commit
+        val changes = spark.read.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", (v - 1L).toString)
+          .option("endingVersion", v.toString).load(table)
+        val insId = changes
+          .filter($"_change_type" === "insert" && $"tag" === "w")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        val tblId = TxnTable.read(spark, table).filter($"tag" === "w")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(insId == tblId && insId.size == 1,
+          s"the CDC frame must observe the same minting: $insId vs $tblId")
+      } finally spark.sql("DROP TABLE IF EXISTS ident_cdf")
+    }
+  }
+
+  test("replaceWhere's refusal recipe is executable: delete the scope, then append") {
+    import spark.implicits._
+    withZone { zone =>
+      val table = s"$zone/t"
+      TxnTable.commitOverwrite(
+        TxnTable.withIdentityColumn(rows(Seq("a", "b", "c")), "id"), table,
+        statsCols = Seq("tag"))
+      // replaceWhere refuses (correct: a scoped overwrite lands new rows
+      // outside the minting path) and its message names the recipe
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.replaceValues(rows(Seq("a")), table, "tag", Seq("a"))
+      }
+      assert(e.getMessage.contains("DELETE") && e.getMessage.contains("APPEND"),
+        s"the refusal must carry the executable recipe: ${e.getMessage}")
+      // the recipe itself: DELETE the scope, then APPEND the replacements
+      spark.sql(s"CREATE TABLE ident_rw USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("DELETE FROM ident_rw WHERE tag = 'a'")
+        TxnTable.commitAppend(
+          Seq(("a", 42.0)).toDF("tag", "v").coalesce(1), table)
+        val out = TxnTable.read(spark, table)
+          .select("id", "tag", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        // b/c keep their ids; the replacement row minted ABOVE the hwm —
+        // the retained id 1 is never reused
+        assert(out.map(_._2) == Set("a", "b", "c"))
+        assert(out.collectFirst { case (i, "a", v) => (i, v) }.contains((4L, 42.0)),
+          s"the re-appended scope must mint fresh (never reuse id 1): $out")
+        val d = TxnTable.identityColumn(
+          TxnTable.snapshotSchema(spark, table,
+            TxnTable.latestVersion(spark, table).get).get).get
+        assert(d.hwm.contains(4L), s"$d")
+      } finally spark.sql("DROP TABLE IF EXISTS ident_rw")
+    }
+  }
+
   test("compaction carries assigned ids untouched") {
     withZone { zone =>
       val table = s"$zone/t"
