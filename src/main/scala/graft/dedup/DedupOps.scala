@@ -845,6 +845,151 @@ object DedupOps {
         d47Shuffles(r.child)
     }.sum
 
+  /** Distinct band keys at or below which an increment's probe pushes
+    * a STATIC `h IN (...)` filter into the signature scan: bucket
+    * pruning + (b,h) stats + per-file h blooms then skip signature
+    * files at PLAN time (a dynamic runtime filter never fires here —
+    * the broadcast side carries no selective predicate for DPP to
+    * derive from, so the claim must be established statically). The
+    * bounded driver sync is ≤ limit+1 longs; a batch with more keys
+    * touches every bucket anyway and gains nothing from pruning. */
+  private[graft] def probeKeyLimit(spark: SparkSession): Int =
+    spark.conf.getOption("graft.dedup.probeKeyLimit")
+      .map(_.toInt).getOrElse(1024)
+
+  /** Signature rows above which an increment abandons `broadcast(sig)`
+    * (Spark's 8 GB hard cap, driver memory in practice) for the
+    * bucketed STORAGE-PARTITIONED spelling: the batch's signatures are
+    * written `bucket(16, h)` like the persisted table and the probe
+    * joins co-partitioned file groups — zero Exchanges on EITHER side
+    * at any batch size (k138 machinery). */
+  private[graft] def sigBroadcastLimit(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dedup.sigBroadcastLimit")
+      .map(_.toLong).getOrElse(50L * 1000 * 1000)
+
+  /** One incremental-dedup ingest (the d47 step, reusable by specs):
+    * append `batch` to the merge-on-read `corpus`, probe the persisted
+    * `sigs` table for cross-batch band matches, positional-delete the
+    * batch's losers, append the batch's signatures. Returns the
+    * probe's (scanned, total) signature file counts (0,0 on the first
+    * ingest) so callers can REQUIRE real file pruning. The probe plan
+    * REQUIREs zero shuffle Exchanges on every path — the corpus-sized
+    * signature side must always stream out of its scan. */
+  private[graft] def d47Ingest(spark: SparkSession, corpus: String,
+      sigs: String, batch: DataFrame, first: Boolean,
+      inBatchPred: org.apache.spark.sql.Column): (Int, Int) = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    batch.write.format("graft").option("mergeOnRead", "true")
+      .option("statsCols", "doc_id")
+      .mode(if (first) "overwrite" else "append").save(corpus)
+    val sig = sigOf(spark, batch).select($"doc_id",
+      posexplode(array($"band1", $"band2", $"band3", $"band4"))
+        .as(Seq("b", "h"))).localCheckpoint()
+    // cross-batch dups: batch docs whose band key already exists in
+    // the persisted signatures (all strictly earlier ids). The batch
+    // side broadcasts into an inner join PROBING the corpus-sized
+    // signature table — a left-semi spelling would put the corpus on
+    // the build/shuffle side, so the join is flipped: sigs stream out
+    // of their scan, the batch's keys ride the broadcast, and the only
+    // shuffle anywhere is the batch-sized distinct downstream. A small
+    // batch additionally pre-filters the scan with its literal key set
+    // (plan-time file skipping); a batch too big to broadcast joins
+    // storage-co-partitioned instead.
+    val (cross, pruneCounts) =
+      if (first) (spark.emptyDataset[Long].toDF("doc_id"), (0, 0))
+      else {
+        val total = TxnTable.snapshotFiles(spark, sigs,
+          TxnTable.latestVersion(spark, sigs).get).size
+        val keyLimit = probeKeyLimit(spark)
+        val keys: Seq[String] = sig.select($"h").distinct()
+          .limit(keyLimit + 1).as[String].collect().toSeq
+        val base = spark.read.format("graft").load(sigs).select($"b", $"h")
+        val scanSide =
+          if (keys.length <= keyLimit) base.filter($"h".isin(keys: _*))
+          else base
+        val prevConfs = scala.collection.mutable.ListBuffer
+          .empty[(String, Option[String])]
+        val bigBatch = keys.length > keyLimit &&
+          sig.count() > sigBroadcastLimit(spark)
+        val probe =
+          if (!bigBatch)
+            scanSide.join(broadcast(sig), Seq("b", "h"), "inner")
+              .select($"doc_id")
+          else {
+            // bucketed-SPJ spelling: land the batch's signatures in the
+            // SAME bucket(16, h) layout and join co-partitioned — the
+            // k138 machinery elides every Exchange without a broadcast.
+            // Both sides must resolve through a CATALOG: Spark only
+            // turns a reported KeyGroupedPartitioning's bucket()
+            // transform into a usable clustering when the relation
+            // carries a FunctionCatalog to resolve it (path-based
+            // loads silently degrade to UnknownPartitioning).
+            val tmp = sigs + "_batch"
+            sig.write.format("graft")
+              .option("partitionBy", "bucket(16, h)")
+              .option("optimizedWrite", "true")
+              .mode("overwrite").save(tmp)
+            val slash = sigs.lastIndexOf('/')
+            val (wh, sigsName) = (sigs.substring(0, slash),
+              sigs.substring(slash + 1))
+            val cat = "gd47spj"
+            (Seq(
+              "spark.sql.sources.v2.bucketing.enabled" -> "true",
+              "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+              "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+              // this path exists BECAUSE the batch exceeds broadcast
+              // limits — planner size estimates must not re-pick BHJ
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+              s"spark.sql.catalog.$cat" -> "graft.io.GraftTableCatalog",
+              s"spark.sql.catalog.$cat.warehouse" -> wh))
+              .foreach { case (k, v) =>
+                prevConfs += k -> spark.conf.getOption(k)
+                spark.conf.set(k, v)
+              }
+            spark.table(s"$cat.`$sigsName`").select($"b", $"h")
+              .join(spark.table(s"$cat.`${sigsName}_batch`")
+                .select($"doc_id", $"b", $"h"),
+                Seq("b", "h"), "inner")
+              .select($"doc_id")
+          }
+        val out = probe.localCheckpoint()
+        require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
+          "cross-batch sig probe must not shuffle the signature " +
+            s"table:\n${probe.queryExecution.executedPlan}")
+        val scanned = org.apache.spark.sql.GraftBridge
+          .dsv2ScannedFiles(probe).getOrElse(total)
+        prevConfs.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+        (out, (scanned, total))
+      }
+    // in-batch dups: per band key, everything above the min id
+    val w = Window.partitionBy($"b", $"h")
+    val inBatch = sig.withColumn("m", min($"doc_id").over(w))
+      .filter($"doc_id" > $"m").select($"doc_id")
+    val losers = cross.union(inBatch).distinct()
+    // coordinate lookup confined to the BATCH's id range: the
+    // predicate prunes the identity read to the batch's own files
+    // (doc_id stats), so the increment never rescans the corpus
+    val rows = TxnTable.readWithRowIdentity(spark, corpus)
+      .filter(inBatchPred)
+    TxnTable.deletePositions(spark, corpus,
+      rows.join(losers, Seq("doc_id"), "left_semi"))
+    // ALL signatures persist — the earlier-id pairwise rule judges
+    // against every prior doc, deleted or not. Layout is the point:
+    // bucket(16, h) (sticky across appends) + per-file (b,h) stats
+    // and h blooms give later increments a PRUNABLE probe target,
+    // and optimizedWrite keeps it one file per bucket per ingest
+    val sw = sig.write.format("graft")
+      .option("statsCols", "b,h").option("bloomCols", "h")
+      .option("optimizedWrite", "true")
+    (if (first) sw.option("partitionBy", "bucket(16, h)").mode("overwrite")
+     else sw.mode("append")).save(sigs)
+    pruneCounts
+  }
+
   private def d47(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.io.TxnTable
@@ -854,68 +999,27 @@ object DedupOps {
       val corpus = s"$zone/corpus_txn"
       val sigs = s"$zone/sigs_txn"
       val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
-      val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2L
-      def sigLong(batch: DataFrame): DataFrame =
-        sigOf(spark, batch).select($"doc_id",
-          posexplode(array($"band1", $"band2", $"band3", $"band4"))
-            .as(Seq("b", "h")))
-      def ingest(batch: DataFrame, first: Boolean,
-                 inBatchPred: org.apache.spark.sql.Column): Unit = {
-        batch.write.format("graft").option("mergeOnRead", "true")
-          .option("statsCols", "doc_id")
-          .mode(if (first) "overwrite" else "append").save(corpus)
-        val sig = sigLong(batch).localCheckpoint()
-        // cross-batch dups: batch docs whose band key already exists in
-        // the persisted signatures (all strictly earlier ids). The
-        // batch side broadcasts into an inner join PROBING the
-        // corpus-sized signature table — a left-semi spelling would
-        // put the corpus on the build/shuffle side, so the join is
-        // flipped: sigs stream out of their scan, the batch's keys
-        // ride the broadcast, and the only shuffle anywhere is the
-        // batch-sized distinct downstream
-        val cross =
-          if (first) spark.emptyDataset[Long].toDF("doc_id")
-          else {
-            val probe = spark.read.format("graft").load(sigs)
-              .select($"b", $"h")
-              .join(broadcast(sig), Seq("b", "h"), "inner")
-              .select($"doc_id")
-            val out = probe.localCheckpoint()
-            require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
-              "cross-batch sig probe must not shuffle the signature " +
-                s"table:\n${probe.queryExecution.executedPlan}")
-            out
-          }
-        // in-batch dups: per band key, everything above the min id
-        val w = Window.partitionBy($"b", $"h")
-        val inBatch = sig.withColumn("m", min($"doc_id").over(w))
-          .filter($"doc_id" > $"m").select($"doc_id")
-        val losers = cross.union(inBatch).distinct()
-        // coordinate lookup confined to the BATCH's id range: the
-        // predicate prunes the identity read to the batch's own files
-        // (doc_id stats), so the increment never rescans the corpus
-        val rows = TxnTable.readWithRowIdentity(spark, corpus)
-          .filter(inBatchPred)
-        TxnTable.deletePositions(spark, corpus,
-          rows.join(losers, Seq("doc_id"), "left_semi"))
-        // ALL signatures persist — the earlier-id pairwise rule judges
-        // against every prior doc, deleted or not. Layout is the point:
-        // bucket(16, h) (sticky across appends) + per-file (b,h) stats
-        // and h blooms give later increments a PRUNABLE probe target,
-        // and optimizedWrite keeps it one file per bucket per ingest
-        val sw = sig.write.format("graft")
-          .option("statsCols", "b,h").option("bloomCols", "h")
-          .option("optimizedWrite", "true")
-        (if (first) sw.option("partitionBy", "bucket(16, h)").mode("overwrite")
-         else sw.mode("append")).save(sigs)
-      }
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = maxId - 5L // a TINY third increment — the daily shape
       val before = {
-        ingest(docs.filter($"doc_id" <= cut), first = true,
-          $"doc_id" <= cut)
+        d47Ingest(spark, corpus, sigs, docs.filter($"doc_id" <= cut),
+          first = true, $"doc_id" <= cut)
         TxnTable.morState(spark, corpus,
           TxnTable.latestVersion(spark, corpus).get).files.toSet
       }
-      ingest(docs.filter($"doc_id" > cut), first = false, $"doc_id" > cut)
+      d47Ingest(spark, corpus, sigs,
+        docs.filter($"doc_id" > cut && $"doc_id" <= cut2),
+        first = false, $"doc_id" > cut && $"doc_id" <= cut2)
+      // the tiny increment's probe must ACTUALLY skip signature files —
+      // its literal key set reaches the scan, so bucket pruning, (b,h)
+      // stats and the per-file h blooms prune at plan time (this is
+      // the machine check on the layout claim, not just plan shape)
+      val (scanned, total) = d47Ingest(spark, corpus, sigs,
+        docs.filter($"doc_id" > cut2), first = false, $"doc_id" > cut2)
+      require(scanned < total,
+        s"small-increment probe must prune signature files: read " +
+          s"$scanned of $total")
       val after = TxnTable.morState(spark, corpus,
         TxnTable.latestVersion(spark, corpus).get).files
       require(before.subsetOf(after.toSet),

@@ -72,6 +72,72 @@ object FieldIds {
       if (i < 0) None else r.substring(i + 1).toLongOption
     }
 
+  /** Never-reuse floor: the largest retired id (0 when none). */
+  def floorOf(retired: Seq[String]): Long = (0L +: retiredIds(retired)).max
+
+  /** Lower-cased dotted paths of retired `name#id` entries (bare name,
+    * `#id` stripped) — the names whose BYTES may still sit in old files
+    * under a different id. */
+  def retiredPaths(retired: Seq[String]): Set[String] =
+    retired.flatMap { r =>
+      val i = r.lastIndexOf('#')
+      if (i < 0 || r.substring(i + 1).toLongOption.isEmpty) None
+      else Some(r.substring(0, i).toLowerCase)
+    }.toSet
+
+  /** Live schema paths that COLLIDE with a retired name: a dropped (or
+    * renamed-away) column's bytes still sit in old files under this
+    * name with a DIFFERENT id, and Spark's vectorized reader cannot
+    * serve a requested field whose name matches a file column of
+    * another id (it pairs clipped columns by name) — such columns must
+    * be REQUESTED under a mangled name and aliased back. */
+  def collidePaths(schema: StructType, retired: Seq[String]): Set[String] = {
+    val dead = retiredPaths(retired)
+    if (dead.isEmpty) return Set.empty
+    val out = Set.newBuilder[String]
+    def goT(p: String, dt: DataType): Unit = dt match {
+      case s: StructType => go(p, s)
+      case a: ArrayType  => goT(s"$p.element", a.elementType)
+      case m: MapType =>
+        goT(s"$p.key", m.keyType); goT(s"$p.value", m.valueType)
+      case _ => ()
+    }
+    def go(prefix: String, st: StructType): Unit = st.fields.foreach { f =>
+      val p = if (prefix.isEmpty) f.name.toLowerCase
+        else s"$prefix.${f.name.toLowerCase}"
+      if (dead(p)) out += p
+      goT(p, f.dataType)
+    }
+    go("", schema)
+    out.result()
+  }
+
+  private def mangled(name: String, id: Long): String = s"__gfid${id}_$name"
+
+  /** `s` with every field at a path in `collide` renamed to a unique
+    * non-colliding physical name (`__gfid<id>_<name>`). Only the NAME
+    * changes — the id metadata still resolves the right bytes in
+    * post-re-add files; old files (where the name collides under the
+    * dead id) serve NULL through the fake-name miss. */
+  def mangle(s: StructType, collide: Set[String]): StructType = {
+    def goT(p: String, dt: DataType): DataType = dt match {
+      case inner: StructType => goS(p, inner)
+      case a: ArrayType => a.copy(elementType = goT(s"$p.element", a.elementType))
+      case m: MapType => m.copy(keyType = goT(s"$p.key", m.keyType),
+        valueType = goT(s"$p.value", m.valueType))
+      case other => other
+    }
+    def goS(prefix: String, st: StructType): StructType =
+      StructType(st.fields.map { f =>
+        val p = if (prefix.isEmpty) f.name.toLowerCase
+          else s"$prefix.${f.name.toLowerCase}"
+        val f2 = f.copy(dataType = goT(p, f.dataType))
+        if (collide(p)) f2.copy(name = mangled(f.name, idOf(f).getOrElse(0L)))
+        else f2
+      })
+    goS("", s)
+  }
+
   /** `next` fully id-stamped: a field matching `prior` at the same
     * path (case-insensitive name) CARRIES prior's id; a field that
     * already carries an id keeps it; everything else MINTS fresh ids
@@ -116,7 +182,10 @@ object FieldIds {
     * MUST be written from a stamped frame: the parquet writer takes the
     * ids from the frame's schema, and a file missing a column's id
     * would serve NULL for it under id-resolution. */
-  def stamp(df: DataFrame, declared: StructType): DataFrame = {
+  /** `s` with the ids of `declared` copied onto matching paths
+    * (case-insensitive names, recursing through structs and array/map
+    * elements) — fields `declared` doesn't know keep their metadata. */
+  def overlay(declared: StructType, s: StructType): StructType = {
     def goT(d: Option[DataType], t: DataType): DataType = (d, t) match {
       case (Some(ds: StructType), st: StructType) => goS(Some(ds), st)
       case (Some(da: ArrayType), a: ArrayType) =>
@@ -137,7 +206,11 @@ object FieldIds {
         f.copy(dataType = goT(dfld.map(_.dataType), f.dataType),
           metadata = md)
       })
-    val stamped = goS(Some(declared), df.schema)
+    goS(Some(declared), s)
+  }
+
+  def stamp(df: DataFrame, declared: StructType): DataFrame = {
+    val stamped = overlay(declared, df.schema)
     if (stamped == df.schema) df
     else org.apache.spark.sql.GraftBridge.internalCreateDataFrame(
       df.sparkSession, df.queryExecution.toRdd, stamped)

@@ -4717,6 +4717,103 @@ object FormatOps {
       |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k155
+  /** Parquet FIELD-ID column mapping end to end (Iceberg field ids /
+    * Delta `columnMapping.mode = id`, realized on Spark's own public
+    * `parquet.field.id` contract — graft.io.FieldIds): a table created
+    * with `TBLPROPERTIES ('graft.columnMapping.mode'='id')` renames
+    * columns — top-level AND nested — as pure metadata (the id, not
+    * the name, resolves old files; no alias/COALESCE legs), and
+    * re-adding a DROPPED column's name can never resurrect its stale
+    * bytes (the re-add mints a fresh id above the never-reuse floor,
+    * so old files serve NULL). REQUIREd in-query: the rename records
+    * ZERO aliases, the renamed fields keep their ids, and none of the
+    * first batch's dropped-name bytes survive the re-add. The oracle
+    * replays the lifecycle off raw customer: every row keeps its
+    * balance and segment under the new names; only second-batch (odd
+    * custkey) rows carry the re-added name. */
+  private def k155(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k155_fid")
+    val cat = "gk155"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", zone)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.cust (
+           |  c_custkey BIGINT,
+           |  c_name    STRING,
+           |  c_acctbal DOUBLE,
+           |  meta      STRUCT<seg: STRING, nat: BIGINT>)
+           |USING graft
+           |TBLPROPERTIES ('graft.columnMapping.mode' = 'id')""".stripMargin)
+      try {
+        Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_name", $"c_acctbal",
+            struct($"c_mktsegment".as("seg"), $"c_nationkey".as("nat")).as("meta"))
+          .createOrReplaceTempView("k155_src")
+        // batch 1: even custkeys, c_name POPULATED (bytes that must
+        // never resurrect after the drop + re-add below)
+        spark.sql(
+          s"""INSERT INTO $cat.db.cust
+             |SELECT * FROM k155_src WHERE c_custkey % 2 = 0""".stripMargin)
+        val table = s"$zone/db/cust"
+        val idBal = FieldIds.idOf(TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get("c_acctbal"))
+        require(idBal.isDefined, "id-mode table must stamp field ids")
+        // zero-rewrite renames: top-level and NESTED — both pure
+        // metadata, both served by id from the batch-1 files
+        spark.sql(s"ALTER TABLE $cat.db.cust RENAME COLUMN c_acctbal TO balance")
+        spark.sql(s"ALTER TABLE $cat.db.cust RENAME COLUMN meta.seg TO segment")
+        require(TxnTable.columnAliases(spark, table).isEmpty,
+          "field-id rename must not fall back to alias legs")
+        val s2 = TxnTable.snapshotSchema(spark, table,
+          TxnTable.latestVersion(spark, table).get).get
+        require(FieldIds.idOf(s2("balance")) == idBal,
+          "rename must keep the field id")
+        // drop + re-add the same name: the fresh id makes batch-1's
+        // same-named bytes unreachable (NULL), batch 2 carries values
+        spark.sql(s"ALTER TABLE $cat.db.cust DROP COLUMN c_name")
+        spark.sql(s"ALTER TABLE $cat.db.cust ADD COLUMNS (c_name STRING)")
+        spark.sql(
+          s"""INSERT INTO $cat.db.cust (c_custkey, balance, meta, c_name)
+             |SELECT c_custkey, c_acctbal, meta, c_name FROM k155_src
+             |WHERE c_custkey % 2 = 1""".stripMargin)
+        require(spark.sql(
+            s"""SELECT COUNT(c_name) FROM $cat.db.cust
+               |WHERE c_custkey % 2 = 0""".stripMargin).head().getLong(0) == 0L,
+          "re-added column must read NULL from pre-drop files — stale " +
+            "bytes can never resurrect under a fresh field id")
+        val result = spark.sql(
+          s"""SELECT meta.segment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(balance AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+             |  CAST(COUNT(c_name) AS BIGINT) AS n_named
+             |FROM $cat.db.cust GROUP BY meta.segment
+             |ORDER BY seg""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $cat.db.cust")
+        spark.catalog.dropTempView("k155_src")
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k155Sql =
+    """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+      |  CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_named
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4796,5 +4893,6 @@ object FormatOps {
     RQ("k151_nested_evolution", k151, Some(k151Sql)),
     RQ("k152_nested_skipping", k152, Some(k152Sql)),
     RQ("k153_snapshot_diff", k153, Some(k153Sql)),
-    RQ("k154_merge_identity", k154, Some(k154Sql)))
+    RQ("k154_merge_identity", k154, Some(k154Sql)),
+    RQ("k155_field_id_mapping", k155, Some(k155Sql)))
 }

@@ -452,6 +452,13 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
             }: _*)
           case None => aligned
         }
+        // FIELD-ID creation via the catalog: a CTAS into a table
+        // declared with columnMapping 'id' has no committed snapshot
+        // yet — the DECLARED schema's ids stamp the first write so
+        // TxnTable.commit detects the mode (later writes re-stamp from
+        // the committed snapshot inside commit/writeData themselves)
+        val coerced1 = committed.filter(FieldIds.hasIds)
+          .map(FieldIds.stamp(coerced, _)).getOrElse(coerced)
         val txn = (Option(info.options.get("txnAppId")),
           Option(info.options.get("txnVersion"))) match {
           case (Some(a), Some(v)) => Some((a, v.toLong))
@@ -492,7 +499,7 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
                 "partition) or one closed-range filter, got " +
                 other.mkString(", "))
           }
-          TxnTable.replaceRange(coerced, table, c, lo, hi)
+          TxnTable.replaceRange(coerced1, table, c, lo, hi)
           return
         }
         // `.option("dynamicPartitionOverwrite", "true")` with
@@ -515,9 +522,9 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
               "dynamicPartitionOverwrite needs exactly one identity " +
                 s"partition column, got [${other.mkString(", ")}]")
           }
-          val values = coerced.select(pc).distinct().collect()
+          val values = coerced1.select(pc).distinct().collect()
             .map(_.get(0)).filter(_ != null).toSeq
-          TxnTable.replaceValues(coerced, table, pc, values)
+          TxnTable.replaceValues(coerced1, table, pc, values)
           return
         }
         Option(info.options.get("replaceWhere")) match {
@@ -543,19 +550,19 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
                 s"replaceWhere supports `col = v` and `col BETWEEN a AND " +
                   s"b`, got: $other")
             }
-            TxnTable.replaceRange(coerced, table, c, lo, hi)
+            TxnTable.replaceRange(coerced1, table, c, lo, hi)
           case None => (overwrite, txn) match {
             case (false, None) =>
-              TxnTable.commitAppend(coerced, table, statsCols, bloomCols,
+              TxnTable.commitAppend(coerced1, table, statsCols, bloomCols,
                 partitionCols, cdf, mor, optimizedWrite)
             case (true, None) =>
-              TxnTable.commitOverwrite(coerced, table, statsCols, bloomCols,
+              TxnTable.commitOverwrite(coerced1, table, statsCols, bloomCols,
                 partitionCols, cdf, mor, optimizedWrite)
             case (false, Some((a, v))) =>
-              TxnTable.commitAppendIdempotent(coerced, table, a, v, statsCols,
+              TxnTable.commitAppendIdempotent(coerced1, table, a, v, statsCols,
                 bloomCols, partitionCols, cdf)
             case (true, Some((a, v))) =>
-              TxnTable.commitOverwriteIdempotent(coerced, table, a, v, statsCols,
+              TxnTable.commitOverwriteIdempotent(coerced1, table, a, v, statsCols,
                 bloomCols, partitionCols, cdf)
           }
         }
@@ -871,10 +878,13 @@ private[io] class GraftScanBuilder(
     // TxnTable.pruneByBucket).
     val chosen = TxnTable.pruneByBucket(eqPruned, meta.partCols,
       dataSchema, pushed.toSeq.flatMap(pruner.eqConstraints))
+    // field-id tables resolve read columns BY ID — make sure the
+    // session-wide reader flag is on before any task plans
+    if (FieldIds.hasIds(dataSchema)) FieldIds.enableRead(spark)
     new GraftScan(spark, table, version, dataSchema, required, pushed,
       chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen),
       meta.stats, meta.rows, TxnTable.ndvStats(spark, table, version),
-      TxnTable.histStats(spark, table, version))
+      TxnTable.histStats(spark, table, version), meta.retired)
   }
 
   /** STORAGE-PARTITIONED JOIN planning: for a graft-written table with
@@ -953,7 +963,8 @@ private[io] class GraftScan(
     fileStats: Map[String, Seq[TxnTable.FileStat]] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
     ndv: Map[String, Long] = Map.empty,
-    hists: Map[String, TxnTable.ColHist] = Map.empty)
+    hists: Map[String, TxnTable.ColHist] = Map.empty,
+    retired: Seq[String] = Nil)
     extends Scan with GraftScanFiles
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1157,6 +1168,26 @@ private[io] class GraftScan(
   private def splitLayout: Boolean =
     pathpart && partCols.nonEmpty && chosenFiles.exists(!_.startsWith("w="))
   private def partSet = partCols.toSet
+  // FIELD-ID collision mangling (see TxnTable.planFiles for the full
+  // story): a live column whose NAME a retired `name#id` entry still
+  // claims (drop + re-add) is requested from the parquet layer under a
+  // mangled physical name. DSv2 readers hand rows back POSITIONALLY —
+  // Spark consumes this scan through readSchema() (logical names), the
+  // delegate parquet scan reads the physical spelling, and the two
+  // agree field-for-field by position, so the mangling never surfaces.
+  private val collide: Set[String] =
+    if (FieldIds.hasIds(dataSchema))
+      FieldIds.collidePaths(dataSchema, retired)
+    else Set.empty
+  // requested schemas arrive from Spark's column pruner — re-overlay
+  // the snapshot ids in case an intermediate transformation shed the
+  // field metadata (id resolution silently degrading to name matching
+  // would break renamed columns)
+  private def physical(s: StructType): StructType =
+    if (!FieldIds.hasIds(dataSchema)) s
+    else FieldIds.mangle(FieldIds.overlay(dataSchema, s), collide)
+  private lazy val physRequired = physical(required)
+  private lazy val physData = physical(dataSchema)
   override def readSchema(): StructType =
     if (!splitLayout) required
     else StructType(required.filterNot(f => partSet(f.name)) ++
@@ -1176,7 +1207,15 @@ private[io] class GraftScan(
     val inFile: String => Boolean =
       if (splitLayout) c => required.fieldNames.contains(c) && !partSet(c)
       else required.fieldNames.contains(_)
-    pushed.filter(_.references.forall(inFile))
+    // collide-mangled columns carry a physical name the filter's
+    // references don't spell — keep those filters OUT of the parquet
+    // layer (they stay residual / did their work in manifest pruning)
+    def collides(r: String): Boolean = {
+      val rl = r.toLowerCase
+      collide.exists(c => rl == c || rl.startsWith(c + ".") ||
+        c.startsWith(rl + "."))
+    }
+    pushed.filter(_.references.forall(r => inFile(r) && !collides(r)))
   }
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     if (!splitLayout) spjGroups match {
@@ -1194,12 +1233,12 @@ private[io] class GraftScan(
           else Some(
             (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key),
               org.apache.spark.sql.GraftBridge.parquetScan(
-                spark, kept.map(f => s"$table/$f"), dataSchema, required,
+                spark, kept.map(f => s"$table/$f"), physData, physRequired,
                 parquetSafe, options).toBatch))
         })
       case _ =>
         org.apache.spark.sql.GraftBridge.parquetScan(
-          spark, currentFiles.map(f => s"$table/$f"), dataSchema, required,
+          spark, currentFiles.map(f => s"$table/$f"), physData, physRequired,
           parquetSafe, options).toBatch
     }
     else {

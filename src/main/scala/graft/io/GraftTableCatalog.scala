@@ -221,7 +221,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
               declared, "CREATE TABLE").fields.head
       }
     }
-    val schema = StructType(withDefaults)
+    // FIELD-ID column mapping opt-in: `TBLPROPERTIES
+    // ('graft.columnMapping.mode' = 'id')` stamps the declared schema
+    // (every field, nested included) with stable parquet field ids —
+    // the creating commit detects the stamped schema and enforces the
+    // files-empty precondition (TxnTable.commit)
+    val mode = Option(properties.get(FieldIds.ModeProp)).map(_.trim.toLowerCase)
+    mode.foreach(m => require(m == "id" || m == "none" || m == "name",
+      s"unsupported ${FieldIds.ModeProp} '$m' — supported: 'id' " +
+        "(parquet field-id column mapping), 'name'/'none' (default)"))
+    val schema0 = StructType(withDefaults)
+    val schema =
+      if (mode.contains("id")) FieldIds.assign(None, schema0) else schema0
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
@@ -315,9 +326,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           "graft ALTER supports top-level columns only")
         TxnTable.dropColumn(spark, path, del.fieldNames.head)
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames.length == 1,
-          "graft ALTER supports top-level columns only")
-        TxnTable.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
+        // nested renames route to the field-id path (refuses with the
+        // supported workaround on name-mode tables)
+        if (ren.fieldNames.length > 1)
+          TxnTable.renameNestedColumn(spark, path,
+            ren.fieldNames.mkString("."), ren.newName)
+        else
+          TxnTable.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames.length == 1,
           "graft ALTER supports top-level columns only")

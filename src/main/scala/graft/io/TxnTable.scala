@@ -1354,11 +1354,13 @@ object TxnTable {
       stats: Map[String, Seq[FileStat]],
       rows: Map[String, Long],
       partCols: Seq[String] = Nil,
-      pathpart: Boolean = false)
+      pathpart: Boolean = false,
+      retired: Seq[String] = Nil)
   private[io] def snapshotMeta(spark: SparkSession, table: String,
                                version: Long): SnapshotMeta = {
     val st = stateOf(spark, table, version)
-    SnapshotMeta(st.files, st.stats, st.rows, st.partCols, st.pathpart)
+    SnapshotMeta(st.files, st.stats, st.rows, st.partCols, st.pathpart,
+      st.retired)
   }
 
   /** Write `df` under a fresh unique data dir; return (dir, its files,
@@ -1368,14 +1370,25 @@ object TxnTable {
     * (one Aggregator per file group over `xxhash64(col)`), collected as
     * bounded per-file metadata (bits/8 bytes per file per column), and
     * written as sidecar objects next to their data files. */
-  private def writeData(df: DataFrame, table: String,
+  private def writeData(df0: DataFrame, table: String,
                         statsCols: Seq[String],
                         bloomCols: Seq[String] = Nil,
                         partitionCols: Seq[String] = Nil,
-                        optimized: Boolean = false)
+                        optimized: Boolean = false,
+                        declared: Option[StructType] = None)
       : (String, Seq[String], Map[String, Seq[FileStat]],
          Map[String, Seq[BloomMeta]], Map[String, Long]) = {
     dataWrites.incrementAndGet()
+    // FIELD-ID stamping choke point: on an id-mode table EVERY data
+    // file must carry its columns' ids (the parquet writer takes them
+    // from the frame schema's metadata; a file missing a column's id
+    // would serve NULL for it under id resolution). `declared` is the
+    // pinned snapshot schema of the committing path — rewrites
+    // (merge/compact/zorder/MoR upsert/delete complements) re-stamp
+    // here because metadata does not survive arbitrary Catalyst
+    // transformations of the frames they derive from reads.
+    val df = declared.filter(FieldIds.hasIds)
+      .map(FieldIds.stamp(df0, _)).getOrElse(df0)
     val spark = df.sparkSession
     val dataDir = s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     // PARTITIONED WRITE: hive-style value dirs inside this commit's data
@@ -1983,6 +1996,20 @@ object TxnTable {
           "high-water mark, so retained ids are never reused)")
     }
 
+  /** Opt a CREATING frame into parquet FIELD-ID column mapping
+    * ([[FieldIds]]): every field — top-level and nested, including
+    * struct fields inside arrays and maps — is stamped with a stable
+    * id, the parquet writer bakes the ids into every data file, and
+    * reads resolve columns BY ID. RENAME (top-level or nested) becomes
+    * pure metadata with no alias legs, re-adding a dropped name can
+    * never resurrect stale bytes (fresh id), and evolution inside
+    * array/map elements resolves unambiguously. Creation-time only:
+    * commit refuses the stamped frame if the table already holds
+    * id-less files. The SQL spelling is
+    * `TBLPROPERTIES ('graft.columnMapping.mode' = 'id')` at CREATE. */
+  def withFieldIds(df: DataFrame): DataFrame =
+    FieldIds.stamp(df, FieldIds.assign(None, df.schema))
+
   private def commit(df: DataFrame, table: String, append: Boolean,
                      txn: Option[(String, Long)],
                      statsCols: Seq[String],
@@ -2086,7 +2113,39 @@ object TxnTable {
     val allStatsCols =
       (statsCols ++ partCols.map(partSource) ++ genStatCols ++
         idDef.map(_.col).toSeq).distinct
-    var dfw = assignIdentity(state)
+    // FIELD-ID MODE (parquet column mapping): active when the prior
+    // snapshot's schema carries ids, or the creating frame opted in
+    // (withFieldIds / the catalog's TBLPROPERTIES spelling). Enablement
+    // is creation-only: files written before it carry no ids and would
+    // serve all-NULL under id resolution.
+    val priorHasIds = state.flatMap(_.schema).exists(FieldIds.hasIds)
+    val idMode = priorHasIds || FieldIds.hasIds(df.schema)
+    if (FieldIds.hasIds(df.schema) && !priorHasIds)
+      state.foreach(s => require(s.files.isEmpty,
+        s"$table already holds files written without field ids — " +
+          "column-mapping mode 'id' can only be declared while the " +
+          "table has no files"))
+    // the (prior idMap, never-reuse floor) this attempt assigned ids
+    // from — a CAS loser whose winner evolved the schema re-mints
+    // against the fresh snapshot, so two racing evolutions can never
+    // publish files whose bytes claim the same id for different columns
+    def idSigOf(st: Option[State]) =
+      (st.flatMap(_.schema).filter(FieldIds.hasIds).map(FieldIds.idMap),
+        FieldIds.floorOf(st.map(_.retired).getOrElse(Nil)))
+    var idSig = idSigOf(state)
+    // the frame an attempt writes: identity values assigned above the
+    // observed hwm, then — in id mode — every field (including brand-new
+    // evolved columns) stamped with its id so the parquet writer bakes
+    // them into the files; the recorded schema below carries the SAME
+    // ids because StructType.merge preserves field metadata
+    def shape(st: Option[State]): DataFrame = {
+      val d = assignIdentity(st)
+      if (!idMode) d
+      else FieldIds.stamp(d, FieldIds.assign(
+        st.flatMap(_.schema).filter(FieldIds.hasIds), d.schema,
+        FieldIds.floorOf(st.map(_.retired).getOrElse(Nil))))
+    }
+    var dfw = shape(state)
     var (dataDir, newFiles, newStats, newBlooms, newRows) =
       writeData(dfw, table, allStatsCols, bloomCols, partCols, optimizedWrite)
     var attempt = 0
@@ -2199,20 +2258,25 @@ object TxnTable {
       state = latestState(spark, table)
       // identity race: the winner advanced the hwm our files baked in —
       // drop this attempt's data dir and re-assign above the NEW hwm,
-      // so concurrent identity appends can never publish duplicates
-      if (append && idDef.isDefined) {
-        val hwmNow = state.flatMap(_.schema).flatMap(identityColumn)
-          .flatMap(_.hwm).getOrElse(idDef.get.start - idDef.get.step)
-        if (hwmNow != idBase) {
-          ctx.delete(new Path(s"$table/$dataDir"), true)
-          dfw = assignIdentity(state)
-          val rewritten =
-            writeData(dfw, table, allStatsCols, bloomCols, partCols,
-              optimizedWrite)
-          dataDir = rewritten._1; newFiles = rewritten._2
-          newStats = rewritten._3; newBlooms = rewritten._4
-          newRows = rewritten._5
-        }
+      // so concurrent identity appends can never publish duplicates.
+      // Field-id race likewise: the winner evolved the schema, so the
+      // ids this attempt stamped may collide with the winner's minting —
+      // re-stamp against the fresh snapshot before re-publishing.
+      val idRace = append && idDef.exists { d =>
+        state.flatMap(_.schema).flatMap(identityColumn)
+          .flatMap(_.hwm).getOrElse(d.start - d.step) != idBase
+      }
+      val fidRace = idMode && idSigOf(state) != idSig
+      if (idRace || fidRace) {
+        ctx.delete(new Path(s"$table/$dataDir"), true)
+        dfw = shape(state)
+        idSig = idSigOf(state)
+        val rewritten =
+          writeData(dfw, table, allStatsCols, bloomCols, partCols,
+            optimizedWrite)
+        dataDir = rewritten._1; newFiles = rewritten._2
+        newStats = rewritten._3; newBlooms = rewritten._4
+        newRows = rewritten._5
       }
     }
     throw new IllegalStateException(
@@ -2308,7 +2372,7 @@ object TxnTable {
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases)
+      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases, retired = st.retired)
         .filter(rangeFilter(column, dt, lo, hi))
     (rows, chosen.size, st.files.size)
   }
@@ -2365,7 +2429,7 @@ object TxnTable {
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases)
+      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases, retired = st.retired)
         .filter(col(column) === lit(value))
     (rows, chosen.size, st.files.size)
   }
@@ -2418,16 +2482,17 @@ object TxnTable {
             None, Nil)
         else {
           val matchExpr = coalesce(col(column) === lit(value), lit(false))
-          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
+          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
             .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
-            writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
+            writeData(complement, table, trackedCols, trackedBlooms,
+              st.partCols, declared = st.schema)
           // CDF: the boundary files' DELETED rows become eager change
           // files; covered files go as lazy `#cdcdel=` lines below
           val cdc =
             if (!st.cdf) Nil
             else writeChangeData(
-              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
+              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
                 .filter(matchExpr)
                 .withColumn(ChangeTypeCol, lit("delete")),
               table, d)
@@ -2545,7 +2610,7 @@ object TxnTable {
       val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else planFiles(spark, table, schema, candidates, st.pathpart, st.aliases)
+        else planFiles(spark, table, schema, candidates, st.pathpart, st.aliases, retired = st.retired)
           .select(col(keyCol), input_file_name().as("__f"))
           // no broadcast hint: AQE picks broadcast when the key set is
           // small and falls back to shuffle when a bulk merge isn't
@@ -2573,7 +2638,7 @@ object TxnTable {
                   org.apache.spark.sql.types.StructField(d.col,
                     org.apache.spark.sql.types.LongType))))
             else planFiles(spark, table, schema, touched.toSeq,
-                st.pathpart, st.aliases)
+                st.pathpart, st.aliases, retired = st.retired)
               .groupBy(col(keyCol)).agg(min(col(d.col)).as(d.col))
           val withId = updates.join(tgtIds, Seq(keyCol), "left")
           val hwmBase = d.hwm.getOrElse(d.start - d.step)
@@ -2593,7 +2658,7 @@ object TxnTable {
       // evolution actually goes through the data path
       val merged =
         if (touched.isEmpty) enriched
-        else planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases)
+        else planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases, retired = st.retired)
           .join(enriched, Seq(keyCol), "left_anti")
           .unionByName(enriched, allowMissingColumns = true)
       // rewritten files keep stats for EVERY column the table tracks —
@@ -2608,8 +2673,31 @@ object TxnTable {
       // table blooms — a merge must not degrade later point skipping
       val trackedBlooms =
         st.bloomCols.intersect(merged.columns.toSet).toSeq.sorted
+      val mergedSchema0 =
+        org.apache.spark.sql.GraftBridge.mergeSchemas(schema, enriched.schema)
+      // the identity declaration (start/step metadata) must survive the
+      // schema merge — the enriched frame carries the column without
+      // metadata — and the high-water mark advances by the minted count
+      val mergedSchema1 = idDef match {
+        case Some(d) =>
+          val restored = org.apache.spark.sql.types.StructType(
+            mergedSchema0.fields.map(f =>
+              if (f.name.equalsIgnoreCase(d.col))
+                schema.fields.find(_.name.equalsIgnoreCase(d.col)).get
+              else f))
+          newHwm.map(patchIdentityHwm(restored, d.col, _)).getOrElse(restored)
+        case None => mergedSchema0
+      }
+      // id-mode: evolved columns the updates frame introduced mint
+      // fresh ids in the RECORDED schema, and the written frame is
+      // stamped FROM it so files and manifest agree byte-for-byte
+      val mergedSchema =
+        if (!FieldIds.hasIds(schema)) mergedSchema1
+        else FieldIds.assign(Some(schema), mergedSchema1,
+          FieldIds.floorOf(st.retired))
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
-        writeData(merged, table, trackedCols, trackedBlooms, st.partCols)
+        writeData(merged, table, trackedCols, trackedBlooms, st.partCols,
+          declared = Some(mergedSchema))
       // CDF: classify against the pinned snapshot — touched rows whose
       // key appears in the updates are update_preimage, their update
       // rows update_postimage, keys matching no target row insert
@@ -2618,7 +2706,7 @@ object TxnTable {
         else {
           val touchedDf =
             if (touched.isEmpty) None
-            else Some(planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases))
+            else Some(planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases, retired = st.retired))
           val updKeys = enriched.select(col(keyCol)).distinct()
           val pre = touchedDf.map(_.join(updKeys, Seq(keyCol), "left_semi")
             .withColumn(ChangeTypeCol, lit("update_preimage")))
@@ -2634,21 +2722,6 @@ object TxnTable {
             .reduce(_.unionByName(_, allowMissingColumns = true))
           writeChangeData(changes, table, dataDir)
         }
-      val mergedSchema0 =
-        org.apache.spark.sql.GraftBridge.mergeSchemas(schema, enriched.schema)
-      // the identity declaration (start/step metadata) must survive the
-      // schema merge — the enriched frame carries the column without
-      // metadata — and the high-water mark advances by the minted count
-      val mergedSchema = idDef match {
-        case Some(d) =>
-          val restored = org.apache.spark.sql.types.StructType(
-            mergedSchema0.fields.map(f =>
-              if (f.name.equalsIgnoreCase(d.col))
-                schema.fields.find(_.name.equalsIgnoreCase(d.col)).get
-              else f))
-          newHwm.map(patchIdentityHwm(restored, d.col, _)).getOrElse(restored)
-        case None => mergedSchema0
-      }
       // rebase on CAS loss only when the interleaved commits appended
       // files provably DISJOINT from the update keys' range (they can
       // hold no matching row, so neither the rewrite set nor the
@@ -2842,12 +2915,6 @@ object TxnTable {
             .intersect(replacement.columns.toSet).toSeq.sorted
           val trackedBlooms =
             st.bloomCols.intersect(replacement.columns.toSet).toSeq.sorted
-          val (dataDir, newFiles, newStats, newBlooms, newRows) =
-            writeData(replacement, table, trackedCols, trackedBlooms,
-              st.partCols)
-          val cdcAdd =
-            if (st.cdf) rw.changes.toSeq.flatMap(writeChangeData(_, table, dataDir))
-            else Nil
           // the replacement may carry evolved columns (MERGE ... WITH
           // SCHEMA EVOLUTION): merge them into the recorded schema —
           // pre-evolution files surface the new columns as NULL
@@ -2858,7 +2925,7 @@ object TxnTable {
           // survive the schema merge — the replacement frame carries the
           // column bare — and a compute that minted values advances the
           // high-water mark atomically with the rows that consumed it
-          val outSchema = identityColumn(schema) match {
+          val outSchema1 = identityColumn(schema) match {
             case Some(d) =>
               val restored = org.apache.spark.sql.types.StructType(
                 outSchema0.fields.map(f =>
@@ -2869,6 +2936,19 @@ object TxnTable {
                 .getOrElse(restored)
             case None => outSchema0
           }
+          // id-mode: evolved columns mint fresh ids in the recorded
+          // schema; the replacement files are stamped FROM it (the
+          // ChangeTypeCol, never recorded, stays unstamped)
+          val outSchema =
+            if (!FieldIds.hasIds(schema)) outSchema1
+            else FieldIds.assign(Some(schema), outSchema1,
+              FieldIds.floorOf(st.retired))
+          val (dataDir, newFiles, newStats, newBlooms, newRows) =
+            writeData(replacement, table, trackedCols, trackedBlooms,
+              st.partCols, declared = Some(outSchema))
+          val cdcAdd =
+            if (st.cdf) rw.changes.toSeq.flatMap(writeChangeData(_, table, dataDir))
+            else Nil
           publishRewrite(spark, ctx, table, st, outSchema, removed, newFiles,
             newStats, newBlooms, newRows,
             // minted values were assigned from the PINNED hwm: a raced
@@ -3433,7 +3513,8 @@ object TxnTable {
                   .intersect(df.columns.toSet).toSeq.sorted
                 val trackedBlooms =
                   st.bloomCols.intersect(df.columns.toSet).toSeq.sorted
-                writeData(df, table, trackedCols, trackedBlooms, st.partCols)
+                writeData(df, table, trackedCols, trackedBlooms,
+                  st.partCols, declared = Some(schema))
               case None =>
                 (s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}",
                   Nil, Map.empty[String, Seq[FileStat]],
@@ -3576,25 +3657,54 @@ object TxnTable {
                         rel: Seq[String], pathpart: Boolean,
                         aliases: Map[String, Seq[String]] = Map.empty,
                         withIdentity: Boolean = false,
-                        pruneWith: Option[State] = None)
+                        pruneWith: Option[State] = None,
+                        retired: Seq[String] = Nil)
       : DataFrame = {
+    // FIELD-ID MODE: the requested schema's ids resolve every column in
+    // every file directly (renames included) — no alias legs. The one
+    // exception is a live column whose NAME a retired `name#id` entry
+    // still claims (drop + re-add): old files hold same-named bytes
+    // under the dead id, and Spark's vectorized reader cannot pair a
+    // requested field with a same-named file column of another id — so
+    // such columns are requested under a mangled unique name and a
+    // positional struct cast restores the logical names. Id mode and
+    // the alias machinery are mutually exclusive by construction
+    // (aliases only ever come from name-mode renames).
+    val idMode = FieldIds.hasIds(schema)
+    if (idMode) FieldIds.enableRead(spark)
+    val collide =
+      if (idMode) FieldIds.collidePaths(schema, retired) else Set.empty[String]
     // COLUMN MAPPING (zero-rewrite RENAME): a renamed column's bytes sit
     // under its OLD physical name in pre-rename files and the NEW name
     // in post-rename ones. The scan schema carries BOTH (Spark surfaces
     // a name a file lacks as NULL — no per-file branching, no extra
     // I/O), and one codegen'd COALESCE restores the logical column:
     // exactly one leg is non-null per file.
-    val live = aliases.filter { case (l, as) =>
-      as.nonEmpty && schema.fieldNames.contains(l) }
+    val live =
+      if (idMode) Map.empty[String, Seq[String]]
+      else aliases.filter { case (l, as) =>
+        as.nonEmpty && schema.fieldNames.contains(l) }
     val scanSchema =
-      if (live.isEmpty) schema
+      if (collide.nonEmpty) FieldIds.mangle(schema, collide)
+      else if (live.isEmpty) schema
       else org.apache.spark.sql.types.StructType(schema.fields.flatMap { f =>
         f +: live.getOrElse(f.name, Nil)
           .map(a => org.apache.spark.sql.types.StructField(a, f.dataType))
           .toArray[org.apache.spark.sql.types.StructField]
       })
     def project(df: DataFrame): DataFrame =
-      if (live.isEmpty) df
+      if (collide.nonEmpty)
+        // physical → logical: alias mangled top-level names back, and a
+        // positional struct CAST (a no-op rename at execution) restores
+        // nested names — codegen-friendly, no per-row work
+        df.select((schema.fields.zip(scanSchema.fields).map {
+          case (lf, pf) =>
+            if (pf.name == lf.name && pf.dataType == lf.dataType)
+              col(s"`${lf.name}`")
+            else col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        }.toIndexedSeq ++
+          (if (withIdentity) Seq(col(IdPathCol), col(IdPosCol)) else Nil)): _*)
+      else if (live.isEmpty) df
       else df.select((schema.fields.map { f =>
         live.get(f.name) match {
           case Some(as) =>
@@ -3686,10 +3796,12 @@ object TxnTable {
       val (posDels, eqDels) = dels.partition(_.keyCols == PosDelKeyCols)
       val needId = withIdentity || posDels.nonEmpty
       var df = planFiles(spark, table, schema, fs, st.pathpart, st.aliases,
-        withIdentity = needId, pruneWith = Some(st))
+        withIdentity = needId, pruneWith = Some(st), retired = st.retired)
       eqDels.foreach { d =>
-        val keySchema = org.apache.spark.sql.types.StructType(
-          d.keyCols.map(k => schema(k)))
+        // tuple sidecars are library-written and resolve BY NAME — the
+        // requested key schema must not carry field ids
+        val keySchema = FieldIds.strip(org.apache.spark.sql.types.StructType(
+          d.keyCols.map(k => schema(k))))
         val dd = spark.read.schema(keySchema).parquet(s"$table/${d.file}")
         val on = d.keyCols.map(k => df(s"`$k`") <=> dd(s"`$k`")).reduce(_ && _)
         df = df.join(dd, on, "left_anti")
@@ -3764,7 +3876,7 @@ object TxnTable {
     }.distinct.sorted
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
-        s"$table predates the schema log")), rel, st.pathpart, st.aliases,
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases, retired = st.retired,
         pruneWith = Some(st))
     else delAppliedRead(spark, table, st, rel)
   }
@@ -3783,7 +3895,7 @@ object TxnTable {
       s"files not in snapshot v$version of $table: ${unknown.mkString(", ")}")
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
-        s"$table predates the schema log")), rel, st.pathpart, st.aliases,
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases, retired = st.retired,
         pruneWith = Some(st))
     else delAppliedRead(spark, table, st, rel)
   }
@@ -3848,10 +3960,11 @@ object TxnTable {
           // SQL DELETE retains NULL-keyed rows, so default the match to
           // false before negating.
           val matchExpr = coalesce(rangeFilter(column, dt, lo, hi), lit(false))
-          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
+          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
             .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
-            writeData(complement, table, trackedCols, trackedBlooms, st.partCols)
+            writeData(complement, table, trackedCols, trackedBlooms,
+              st.partCols, declared = st.schema)
           // CDF: eager change files for the boundary files' deleted rows;
           // fully-covered files stay METADATA-ONLY deletes — they go as
           // lazy `#cdcdel=` lines (the reader tags the superseded file's
@@ -3859,7 +3972,7 @@ object TxnTable {
           val cdc =
             if (!st.cdf) Nil
             else writeChangeData(
-              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
+              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
                 .filter(matchExpr)
                 .withColumn(ChangeTypeCol, lit("delete")),
               table, d)
@@ -3992,14 +4105,15 @@ object TxnTable {
       val incoming = recomputeGenerated(df, st.schema)
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       val matchExpr = predicate(dt)
-      def boundaryRead = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases)
+      def boundaryRead = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
       // NULL-keyed rows in boundary files are OUTSIDE the range (SQL
       // semantics, same as deleteRangeOn) and survive the replace
       val payload =
         if (boundary.isEmpty) incoming
         else boundaryRead.filter(not(matchExpr)).unionByName(incoming)
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
-        writeData(payload, table, trackedCols, trackedBlooms, st.partCols)
+        writeData(payload, table, trackedCols, trackedBlooms, st.partCols,
+          declared = Some(schema))
       val cdcAdd =
         if (!st.cdf) Nil
         else {
@@ -4044,7 +4158,7 @@ object TxnTable {
     if (st.dels.nonEmpty) delAppliedRead(spark, table, st, st.files)
     else st.schema match {
       case Some(s) => planFiles(spark, table, s, st.files, st.pathpart,
-        st.aliases, pruneWith = Some(st))
+        st.aliases, pruneWith = Some(st), retired = st.retired)
       case None => // pre-schema-log manifest
         spark.read.parquet(st.files.map(f => s"$table/$f"): _*)
     }
@@ -4080,7 +4194,7 @@ object TxnTable {
       return (spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
     val lst = stateOf(spark, table, latest)
-    (planFiles(spark, table, schema, newFiles, lst.pathpart, lst.aliases), latest)
+    (planFiles(spark, table, schema, newFiles, lst.pathpart, lst.aliases, retired = lst.retired), latest)
   }
 
   /** Files added between two snapshots of append-only history — the
@@ -4331,15 +4445,18 @@ object TxnTable {
     val outSchema = StructType(schema.fields.toSeq :+
       StructField(ChangeTypeCol, StringType, nullable = false) :+
       StructField(CommitVersionCol, LongType, nullable = false))
-    val cdcSchema = StructType(schema.fields.toSeq :+
-      StructField(ChangeTypeCol, StringType))
+    // eager change files are library-written sidecars that resolve BY
+    // NAME — strip field ids from the requested schema (data legs keep
+    // them: data files of an id-mode table are always stamped)
+    val cdcSchema = FieldIds.strip(StructType(schema.fields.toSeq :+
+      StructField(ChangeTypeCol, StringType)))
     val untilSt = stateOf(spark, table, until)
     val frames = ((sinceVersion + 1L) to until).flatMap { v =>
       val cc = commitChanges(spark, table, v)
       def readAs(files: Seq[String], tpe: String): Option[DataFrame] =
         if (files.isEmpty) None
         else Some(planFiles(spark, table, schema, files, untilSt.pathpart,
-            untilSt.aliases)
+            untilSt.aliases, retired = untilSt.retired)
           .withColumn(ChangeTypeCol, lit(tpe)))
       val cdc =
         if (cc.cdc.isEmpty) None
@@ -4642,7 +4759,8 @@ object TxnTable {
       // bucket sources, bloom columns, or identity columns.
       if (name.contains('.')) {
         val parts = name.split('.').toSeq.map(_.trim)
-        val ns = transformStructAt(schema, parts.init, table) { inner =>
+        val ns = transformStructAt(schema, parts.init, table,
+            containers = FieldIds.hasIds(schema)) { inner =>
           val f = inner.fields.find(_.name.equalsIgnoreCase(parts.last))
             .getOrElse(throw new IllegalArgumentException(
               s"no such column $name in $table"))
@@ -4707,23 +4825,45 @@ object TxnTable {
     * only — evolution inside arrays/maps would need parquet field-ID
     * mapping to stay unambiguous, so it refuses loudly. */
   private def transformStructAt(schema: StructType, path: Seq[String],
-      where: String)(f: StructType => StructType): StructType =
-    if (path.isEmpty) f(schema)
-    else {
-      val fld = schema.fields.find(_.name.equalsIgnoreCase(path.head))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no such column ${path.head} in $where"))
-      fld.dataType match {
-        case st: StructType =>
-          StructType(schema.fields.map(x =>
-            if (x.name.equalsIgnoreCase(path.head))
-              x.copy(dataType = transformStructAt(st, path.tail, where)(f))
-            else x))
+      where: String, containers: Boolean = false)(
+      f: StructType => StructType): StructType = {
+    def goT(dt: DataType, ps: Seq[String]): DataType = ps match {
+      case Nil => dt match {
+        case st: StructType => f(st)
         case other => throw new IllegalArgumentException(
-          s"${path.head} is ${other.simpleString}, not a struct — nested " +
-            "schema evolution descends plain struct chains only")
+          s"${path.mkString(".")} is ${other.simpleString}, not a struct")
+      }
+      case head +: tail => dt match {
+        case st: StructType =>
+          val fld = st.fields.find(_.name.equalsIgnoreCase(head))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no such column $head in $where"))
+          // a non-struct intermediate that is NOT a container keyword
+          // surfaces the classic error below via the recursive call
+          StructType(st.fields.map(x =>
+            if (x.name.equalsIgnoreCase(head))
+              x.copy(dataType = goT(fld.dataType, tail))
+            else x))
+        // FIELD-ID tables evolve INSIDE arrays and maps (Iceberg's
+        // `arr.element.f` spelling): id resolution keeps old files
+        // unambiguous where by-name clipping could not be
+        case a: ArrayType if containers && head.equalsIgnoreCase("element") =>
+          a.copy(elementType = goT(a.elementType, tail))
+        case m: MapType if containers && head.equalsIgnoreCase("key") =>
+          m.copy(keyType = goT(m.keyType, tail))
+        case m: MapType if containers && head.equalsIgnoreCase("value") =>
+          m.copy(valueType = goT(m.valueType, tail))
+        case other => throw new IllegalArgumentException(
+          s"$head is ${other.simpleString}, not a struct — nested " +
+            "schema evolution descends plain struct chains only" +
+            (if (containers) " (use .element/.key/.value to step into " +
+              "arrays and maps on a field-id table)" else
+              "; evolution inside arrays/maps needs parquet field-ID " +
+              "column mapping (TBLPROPERTIES graft.columnMapping.mode='id')"))
       }
     }
+    goT(schema, path).asInstanceOf[StructType]
+  }
 
   /** `ALTER TABLE … ADD COLUMNS (s.f T)` — NESTED schema evolution,
     * same pure-metadata contract as the top-level form: the field joins
@@ -4744,7 +4884,8 @@ object TxnTable {
         s"column $dotted was previously dropped from $table; old data " +
           "files still contain it and would resurrect stale values — " +
           "use a different name")
-      val ns = transformStructAt(schema, parts.init, table) { inner =>
+      val ns = transformStructAt(schema, parts.init, table,
+          containers = FieldIds.hasIds(schema)) { inner =>
         require(!inner.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
           s"column $dotted already exists in $table")
         StructType(inner.fields :+
@@ -4779,11 +4920,15 @@ object TxnTable {
           s"cannot drop $dotted: generated column $gn derives from it " +
             "(drop the generated column first)")
       }
-      val ns = transformStructAt(schema, parts.init, table) { inner =>
-        require(inner.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
-          s"no such column $dotted in $table")
+      var droppedId: Option[Long] = None
+      val ns = transformStructAt(schema, parts.init, table,
+          containers = FieldIds.hasIds(schema)) { inner =>
+        val f = inner.fields.find(_.name.equalsIgnoreCase(parts.last))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no such column $dotted in $table"))
         require(inner.fields.length > 1,
           s"cannot drop the only field of struct ${parts.init.mkString(".")}")
+        droppedId = FieldIds.idOf(f)
         StructType(inner.fields.filterNot(
           _.name.equalsIgnoreCase(parts.last)))
       }
@@ -4797,7 +4942,8 @@ object TxnTable {
           .filter(_._2.nonEmpty).toMap,
         st.blooms.view.mapValues(_.filterNot(b => gone(b.col)))
           .filter(_._2.nonEmpty).toMap,
-        st.checks, st.retired :+ dotted)
+        st.checks,
+        st.retired :+ droppedId.map(i => s"$dotted#$i").getOrElse(dotted))
     }
 
   /** `ALTER TABLE … SET PARTITIONED BY (…)` — PARTITION-SPEC EVOLUTION
@@ -4899,7 +5045,13 @@ object TxnTable {
          .filter(_._2.nonEmpty).toMap,
        st.blooms.view.mapValues(_.filterNot(b => refs(field.name)(b.col)))
          .filter(_._2.nonEmpty).toMap,
-       st.checks, (st.retired :+ field.name).distinct)
+       st.checks,
+       // id-mode drops retire `name#id`: the id keeps the never-reuse
+       // floor (FieldIds.assign mints above every retired id) and the
+       // bare name unblocks — a re-add under a FRESH id reads the old
+       // files' same-named bytes as NULL, never resurrecting them
+       (st.retired :+ FieldIds.idOf(field).map(i => s"${field.name}#$i")
+         .getOrElse(field.name)).distinct)
     }
 
   /** One partitioning entry with its source column renamed —
@@ -4978,13 +5130,23 @@ object TxnTable {
         .mapValues(_.filterNot(_.col.equalsIgnoreCase(from)))
         .toMap.filter(_._2.nonEmpty)
       val newPart = st.partCols.map(renameEntry(_, field.name, to))
-      val newAliases = (st.aliases - field.name) +
-        (to -> (field.name +: st.aliases.getOrElse(field.name, Nil)))
+      // FIELD-ID tables rename as PURE metadata: the id is unchanged, so
+      // every old file serves the renamed column by id resolution — no
+      // alias legs, no coalesce read cost. The old name still joins the
+      // retired list as `name#id`: the id keeps the never-reuse floor
+      // and the entry registers the name for collision mangling should
+      // a future column re-claim it (FieldIds.collidePaths).
+      val idMode = FieldIds.hasIds(schema)
+      val newAliases =
+        if (idMode) st.aliases
+        else (st.aliases - field.name) +
+          (to -> (field.name +: st.aliases.getOrElse(field.name, Nil)))
       val next = st.version + 1L
       val content = manifestContent(newSchema, st.txns, newStats, st.files,
         newBlooms, st.rows, newPart, op = "alter-rename", cdf = st.cdf,
         mor = st.mor, dels = st.dels, addv = st.addv, checks = st.checks, props = st.props,
-        retired = (st.retired :+ field.name).distinct,
+        retired = (st.retired :+ FieldIds.idOf(field)
+          .map(i => s"${field.name}#$i").getOrElse(field.name)).distinct,
         pathpart = st.pathpart, aliases = newAliases)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
@@ -4996,6 +5158,86 @@ object TxnTable {
     throw new IllegalStateException(
       s"rename on $table lost the manifest race 64 times")
   }
+
+  /** `ALTER TABLE … RENAME COLUMN s.f TO g` — NESTED rename, FIELD-ID
+    * tables only: the field's id is unchanged, so every old file serves
+    * the renamed nested field directly through id resolution — pure
+    * metadata at any table size, the exact capability the name-mode
+    * alias machinery cannot express below the top level. The old dotted
+    * path joins the retired list as `path#id` (never-reuse floor +
+    * collision registry), and its skipping stats rename with it. */
+  def renameNestedColumn(spark: SparkSession, table: String,
+                         dotted: String, to: String): Long =
+    commitMetadata(spark, table, "alter-rename-nested") { st =>
+      val parts = dotted.split('.').toSeq.map(_.trim)
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"nested rename needs a dotted path, got $dotted")
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      require(FieldIds.hasIds(schema),
+        "nested RENAME COLUMN needs parquet field-ID column mapping " +
+          "(a table created with TBLPROPERTIES " +
+          "'graft.columnMapping.mode'='id') — on name-mode tables old " +
+          "files cannot serve a renamed nested field: ADD the new " +
+          "field, backfill with UPDATE, then DROP the old one")
+      // a dotted target is accepted when it spells the SAME enclosing
+      // struct (`RENAME COLUMN m.n TO m.x` ≡ `... TO x`) — renames
+      // never move a field across structs
+      val toLeaf =
+        if (!to.contains('.')) to
+        else {
+          val tp = to.split('.').toSeq.map(_.trim)
+          require(tp.init.map(_.toLowerCase) == parts.init.map(_.toLowerCase),
+            s"rename cannot move a field across structs: $dotted -> $to")
+          tp.last
+        }
+      st.checks.foreach { case (cn, sql) =>
+        require(!exprRefs(spark, sql).exists(r =>
+            r.equalsIgnoreCase(dotted) ||
+              r.toLowerCase.startsWith(dotted.toLowerCase + ".")),
+          s"cannot rename $dotted: CHECK constraint $cn references it " +
+            "(DROP CONSTRAINT, rename, re-add)")
+      }
+      generatedColumns(schema).foreach { case (gn, gsql) =>
+        require(!exprRefs(spark, gsql).exists(r =>
+            r.equalsIgnoreCase(dotted) ||
+              r.toLowerCase.startsWith(dotted.toLowerCase + ".")),
+          s"cannot rename $dotted: generated column $gn derives from it " +
+            "(drop the generated column first)")
+      }
+      var renamedId: Option[Long] = None
+      val ns = transformStructAt(schema, parts.init, table,
+          containers = true) { inner =>
+        val f = inner.fields.find(_.name.equalsIgnoreCase(parts.last))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no such column $dotted in $table"))
+        require(!inner.fieldNames.exists(_.equalsIgnoreCase(toLeaf)),
+          s"column ${(parts.init :+ toLeaf).mkString(".")} already exists in $table")
+        renamedId = FieldIds.idOf(f)
+        StructType(inner.fields.map(x =>
+          if (x.name.equalsIgnoreCase(parts.last)) x.copy(name = toLeaf) else x))
+      }
+      val newPath = (parts.init :+ toLeaf).mkString(".")
+      def renamed(c: String): String =
+        if (c.equalsIgnoreCase(dotted)) newPath
+        else if (c.toLowerCase.startsWith(dotted.toLowerCase + "."))
+          newPath + c.substring(dotted.length)
+        else c
+      (ns,
+        // per-file stats rename with the field — the bytes they
+        // describe are unchanged, so skipping survives the rename
+        st.stats.view.mapValues(_.map(fs => fs.copy(col = renamed(fs.col))))
+          .toMap,
+        // bloom sidecar paths embed the old physical name — drop the
+        // metas (point lookups degrade to stats pruning until churn)
+        st.blooms.view.mapValues(_.filterNot(b =>
+            b.col.equalsIgnoreCase(dotted) ||
+              b.col.toLowerCase.startsWith(dotted.toLowerCase + ".")))
+          .filter(_._2.nonEmpty).toMap,
+        st.checks,
+        (st.retired :+ renamedId.map(i => s"$dotted#$i").getOrElse(dotted))
+          .distinct)
+    }
 
   // ---------------------------------------------------- table properties
   /** Free-form table properties (`#prop=` manifest lines) — snapshot
@@ -5498,7 +5740,7 @@ object TxnTable {
       // entries stay — they still apply to the carried files
       val source =
         if (st.dels.isEmpty)
-          planFiles(spark, table, schema, small, st.pathpart, st.aliases)
+          planFiles(spark, table, schema, small, st.pathpart, st.aliases, retired = st.retired)
         else delAppliedRead(spark, table, st, small)
       // `transform` (scoped ZORDER) owns its own output layout; plain
       // compaction bin-packs into targetFiles; targetFiles <= 0 keeps
@@ -5508,7 +5750,8 @@ object TxnTable {
         if (targetFiles > 0) source.coalesce(targetFiles) else source)(
         _(source))
       val (dataDir, newFiles, newStats, newBlooms, newRows) =
-        writeData(packed, table, trackedCols, trackedBlooms, st.partCols)
+        writeData(packed, table, trackedCols, trackedBlooms, st.partCols,
+          declared = st.schema)
       val files = carried ++ newFiles
       val removed = small.sorted
       val next = st.version + 1L

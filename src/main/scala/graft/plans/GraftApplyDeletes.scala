@@ -101,7 +101,10 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
       } else {
       val scan = subsetRelation(t, schema, fs)
       dels.foldLeft(scan: LogicalPlan) { (left, d) =>
-        val keySchema = StructType(d.keyCols.map(k => schema(k)))
+        // tuple sidecars are library-written and resolve BY NAME — the
+        // requested key schema must not carry field ids
+        val keySchema = graft.io.FieldIds.strip(
+          StructType(d.keyCols.map(k => schema(k))))
         val right = GraftBridge.parquetRelation(
           spark, Seq(s"${t.tablePath}/${d.file}"), keySchema)
         val cond = d.keyCols.map { k =>

@@ -579,14 +579,21 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
       }
       d
     }
+    // each compute attempt localCheckpoints its minted insert frame
+    // (freezing the values so data and CDC agree); a CAS-losing attempt
+    // must release the previous checkpoint's cached blocks or the retry
+    // loop leaks one insert frame per attempt until the session ends
+    var lastMinted: Option[DataFrame] = None
     def mintInserts(ins: Option[DataFrame], d: Option[TxnTable.IdentityDef])
         : (Option[DataFrame], Option[Long]) = (ins, d) match {
       case (Some(df), Some(dd)) =>
+        lastMinted.foreach(GraftBridge.unpersistCheckpoint)
         val hwmBase = dd.hwm.getOrElse(dd.start - dd.step)
         val (m, n) = TxnTable.assignSequential(
           df.drop(dd.col), dd.col, hwmBase + dd.step, dd.step)
         val ordered = m.select(
           df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*).localCheckpoint()
+        lastMinted = Some(ordered)
         (Some(ordered), if (n == 0L) None else Some(hwmBase + dd.step * n))
       case _ => (ins, None)
     }
@@ -833,6 +840,7 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
           changeParts.reduceOption(_.unionByName(_)),
           identityHandled = idDef.isDefined, identityHwm = idHwm))
       })
+      lastMinted.foreach(GraftBridge.unpersistCheckpoint)
       return
     }
 
@@ -1054,6 +1062,7 @@ private[plans] object GraftDml extends org.apache.spark.internal.Logging {
             identityHandled = idDef.isDefined, identityHwm = idHwm))
       }
     })
+    lastMinted.foreach(GraftBridge.unpersistCheckpoint)
     ()
   }
 }

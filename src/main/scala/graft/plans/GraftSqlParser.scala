@@ -566,17 +566,14 @@ object GraftMaintenanceStrategy extends SparkStrategy {
               TxnTable.dropNestedColumn(spark, table, args.head)
             else TxnTable.dropColumn(spark, table, args.head)
           case "rename-column" =>
-            // zero-rewrite rename rides top-level column-mapping
-            // aliases; a nested field has no alias slot without parquet
-            // field-ID mapping — refuse with the supported path instead
-            // of a grammar error
-            if (args.exists(_.contains('.')))
-              throw new IllegalArgumentException(
-                "nested RENAME COLUMN is not supported: old files cannot " +
-                  "serve a renamed nested field without parquet field-ID " +
-                  "mapping — ADD the new field, backfill with UPDATE, " +
-                  "then DROP the old one")
-            TxnTable.renameColumn(spark, table, args(0), args(1))
+            // nested renames need parquet field-ID mapping (the id, not
+            // the name, resolves old files) — renameNestedColumn
+            // enforces that and refuses on name-mode tables with the
+            // supported workaround; top-level renames work on both
+            // (aliases on name-mode, pure metadata on id-mode)
+            if (args.head.contains('.'))
+              TxnTable.renameNestedColumn(spark, table, args(0), args(1))
+            else TxnTable.renameColumn(spark, table, args(0), args(1))
           case "add-check" =>
             TxnTable.addCheck(spark, table, args(0), args(1))
           case "drop-check" =>

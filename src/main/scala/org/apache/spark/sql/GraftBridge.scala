@@ -47,6 +47,18 @@ object GraftBridge {
     * partition pruning (planning-time directory pruning — note
     * `df.inputFiles` can NOT show this: it lists the pre-pruning file
     * index). None when the plan has no file scan. */
+  /** Release the cached blocks of a `localCheckpoint()`ed frame — its
+    * plan is a LogicalRDD over a persisted RDD that Dataset.unpersist
+    * cannot reach (no CacheManager entry). A retry loop that
+    * checkpoints per attempt must drop the loser's blocks or leak one
+    * frame per attempt until the session ends. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def prunedPartitionCount(df: DataFrame): Option[Int] =
     df.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -181,23 +193,28 @@ object GraftBridge {
     * manifest-stats pruning) — the skip ratio a spec asserts. None when
     * the plan has no DSv2 file scan. */
   def dsv2ScannedFiles(df: DataFrame): Option[Int] = {
-    // AdaptiveSparkPlanExec is a LEAF node: descend into its current
-    // plan or a shuffling query hides the scan entirely
-    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
-      p.collectFirst {
+    // AdaptiveSparkPlanExec AND the per-stage QueryStageExec wrappers
+    // are LEAF nodes: descend into their inner plans or an adaptive
+    // (or merely shuffling) query hides the scan entirely
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.connector.read.Scan] =
+      p.flatMap {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan
-      } match {
-        case Some(g: graft.io.GraftScanFiles) => Some(g.scannedFileCount)
-        case Some(fs: org.apache.spark.sql.execution.datasources.v2.FileScan) =>
-          Some(fs.fileIndex.inputFiles.length)
-        case Some(_) => None
-        case None =>
-          p.collectFirst {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-          }.flatMap(a => find(a.executedPlan))
+          Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+        case _ => Nil
       }
-    find(df.queryExecution.executedPlan)
+    scans(df.queryExecution.executedPlan).headOption.flatMap {
+      case g: graft.io.GraftScanFiles => Some(g.scannedFileCount)
+      case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        Some(fs.fileIndex.inputFiles.length)
+      case _ => None
+    }
   }
 
   /** Driver-side twin of the `xxhash64(col)` SQL function (seed 42):

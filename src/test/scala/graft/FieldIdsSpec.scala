@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.FieldIds
+
+/** Parquet field-ID column mapping — first the raw Spark contract the
+  * design rides on (writer stamps `parquet.field.id` from schema
+  * metadata; reader with `fieldId.read.enabled` resolves requested
+  * columns BY ID, surfacing unmatched ids as NULL), then the TxnTable
+  * wiring built on it. */
+class FieldIdsSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-fid").toString
+
+  test("Spark contract: writer stamps ids; reader resolves by id") {
+    val dir = tmp() + "/t"
+    val schema = FieldIds.assign(None, StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    assert(FieldIds.idOf(schema("a")).contains(1L))
+    assert(FieldIds.idOf(schema("b")).contains(2L))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1, "x"),
+        org.apache.spark.sql.Row(2, "y")), schema)
+    df.write.parquet(dir)
+    info("write.enabled=" +
+      spark.conf.get("spark.sql.parquet.fieldId.write.enabled"))
+    val f0 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f0.toString),
+        spark.sparkContext.hadoopConfiguration))
+    info("FOOTER: " + rdr.getFooter.getFileMetaData.getSchema.toString)
+    rdr.close()
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      // RENAMED requested schema: same ids, different names — the file's
+      // bytes must serve the new names by id resolution
+      val renamed = StructType(Seq(
+        StructField("aa", IntegerType,
+          metadata = new MetadataBuilder().putLong(FieldIds.Key, 1L).build()),
+        StructField("bb", StringType,
+          metadata = new MetadataBuilder().putLong(FieldIds.Key, 2L).build())))
+      val got = spark.read.schema(renamed).parquet(dir)
+        .orderBy("aa").as[(Int, String)].collect().toSeq
+      assert(got == Seq((1, "x"), (2, "y")))
+      // a FRESH id under a NON-COLLIDING name: the file has no field 3 —
+      // NULL, never the old bytes
+      val fresh = StructType(Seq(
+        StructField("aa", IntegerType,
+          metadata = new MetadataBuilder().putLong(FieldIds.Key, 1L).build()),
+        StructField("z", StringType,
+          metadata = new MetadataBuilder().putLong(FieldIds.Key, 3L).build())))
+      val got2 = spark.read.schema(fresh).parquet(dir)
+        .orderBy("aa").as[(Int, Option[String])].collect().toSeq
+      assert(got2 == Seq((1, None), (2, None)))
+      // NAME COLLISION + id mismatch (re-added dropped name): the
+      // requested name exists in the file under a DIFFERENT id. This is
+      // the one shape Spark's vectorized reader cannot serve (it pairs
+      // the clipped file column by name) — graft's planFiles therefore
+      // reads such columns under a mangled name and aliases back.
+      val readd = StructType(Seq(
+        StructField("aa", IntegerType,
+          metadata = new MetadataBuilder().putLong(FieldIds.Key, 1L).build()),
+        StructField("a", StringType,
+          metadata = new MetadataBuilder().putLong(FieldIds.Key, 3L).build())))
+      val collided =
+        try { spark.read.schema(readd).parquet(dir).collect(); "served" }
+        catch { case _: Throwable => "threw" }
+      info(s"collision read: $collided")
+    } finally
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+  }
+
+  test("Spark contract: StructType.merge preserves field-id metadata") {
+    val prior = FieldIds.assign(None, StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("s", StructType(Seq(StructField("x", LongType)))))))
+    val incoming = StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType),
+        StructField("y", StringType,
+          metadata = new MetadataBuilder().putLong(FieldIds.Key, 9L).build())))),
+      StructField("c", DoubleType,
+        metadata = new MetadataBuilder().putLong(FieldIds.Key, 7L).build())))
+    val merged = org.apache.spark.sql.GraftBridge.mergeSchemas(prior, incoming)
+    assert(FieldIds.idOf(merged("a")) == FieldIds.idOf(prior("a")))
+    assert(FieldIds.idOf(merged("c")).contains(7L))
+    val s = merged("s").dataType.asInstanceOf[StructType]
+    assert(FieldIds.idOf(s("x")) ==
+      FieldIds.idOf(prior("s").dataType.asInstanceOf[StructType]("x")))
+    assert(FieldIds.idOf(s("y")).contains(9L))
+  }
+
+  test("creation opt-in + rename is pure metadata served by id") {
+    import graft.io.TxnTable
+    val t = tmp() + "/t"
+    val df = Seq((1, "x", 10L), (2, "y", 20L)).toDF("a", "b", "v")
+    TxnTable.commitOverwrite(TxnTable.withFieldIds(df), t)
+    val s1 = TxnTable.snapshotSchema(spark, t,
+      TxnTable.latestVersion(spark, t).get).get
+    assert(FieldIds.hasIds(s1) && FieldIds.maxId(s1) == 3L)
+    // append through the ordinary path: files stay stamped
+    TxnTable.commitAppend(Seq((3, "z", 30L)).toDF("a", "b", "v"), t)
+    // top-level rename: no aliases recorded, old files serve the new
+    // name through id resolution
+    TxnTable.renameColumn(spark, t, "b", "label")
+    assert(TxnTable.columnAliases(spark, t).isEmpty)
+    val out = TxnTable.read(spark, t).orderBy("a")
+      .select("a", "label", "v").as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "x", 10L), (2, "y", 20L), (3, "z", 30L)))
+    // and the id is unchanged under the new name
+    val s2 = TxnTable.snapshotSchema(spark, t,
+      TxnTable.latestVersion(spark, t).get).get
+    assert(FieldIds.idOf(s2("label")) == FieldIds.idOf(s1("b")))
+  }
+
+  test("drop + re-add same name: old bytes read NULL, never resurrect") {
+    import graft.io.TxnTable
+    val t = tmp() + "/t"
+    val df = Seq((1, "secret1", 1.0), (2, "secret2", 2.0)).toDF("k", "c", "v")
+    TxnTable.commitOverwrite(TxnTable.withFieldIds(df), t)
+    val droppedId = FieldIds.idOf(TxnTable.snapshotSchema(spark, t, 1L).get("c"))
+    TxnTable.dropColumn(spark, t, "c")
+    // the retired entry carries `name#id` — the never-reuse floor
+    val stRetired = {
+      val v = TxnTable.latestVersion(spark, t).get
+      // re-parse via schema API: retired list is internal; assert via
+      // re-add behavior + fresh id below
+      v
+    }
+    // re-add under the SAME name (allowed in id mode)
+    TxnTable.addColumns(spark, t, StructType(Seq(StructField("c", StringType))))
+    val s2 = TxnTable.snapshotSchema(spark, t,
+      TxnTable.latestVersion(spark, t).get).get
+    assert(FieldIds.idOf(s2("c")) != droppedId) // fresh id, floored above
+    assert(FieldIds.idOf(s2("c")).get > droppedId.get)
+    // old files: the re-added column is NULL (never the old bytes)
+    val out = TxnTable.read(spark, t).orderBy("k")
+      .select("k", "c").as[(Int, Option[String])].collect().toSeq
+    assert(out == Seq((1, None), (2, None)))
+    // new rows land values under the fresh id; both vintages read
+    TxnTable.commitAppend(Seq((3, "fresh", 3.0)).toDF("k", "c", "v"), t)
+    val out2 = TxnTable.read(spark, t).orderBy("k")
+      .select("k", "c").as[(Int, Option[String])].collect().toSeq
+    assert(out2 == Seq((1, None), (2, None), (3, Some("fresh"))))
+    // filtering on the re-added column still works (residual filter)
+    assert(TxnTable.read(spark, t).filter($"c" === "fresh").count() == 1L)
+  }
+
+  test("nested rename + array-element evolution on an id-mode table") {
+    import graft.io.TxnTable
+    val t = tmp() + "/t"
+    val df = spark.range(3).select($"id",
+      org.apache.spark.sql.functions.struct(
+        ($"id" * 2).as("x"), org.apache.spark.sql.functions.lit("m").as("tag")).as("s"),
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.struct(
+          $"id".cast("int").as("q"))).as("arr"))
+    TxnTable.commitOverwrite(TxnTable.withFieldIds(df), t)
+    // nested rename: s.x -> sx, old files serve it by id
+    TxnTable.renameNestedColumn(spark, t, "s.x", "sx")
+    val got = TxnTable.read(spark, t).orderBy("id")
+      .select($"id", $"s.sx").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L), (1L, 2L), (2L, 4L)))
+    // evolution INSIDE the array element: add arr.element.w
+    TxnTable.addNestedColumn(spark, t, "arr.element.w", StringType)
+    val s2 = TxnTable.snapshotSchema(spark, t,
+      TxnTable.latestVersion(spark, t).get).get
+    val elem = s2("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(elem.fieldNames.toSeq == Seq("q", "w"))
+    assert(FieldIds.idOf(elem("w")).isDefined)
+    // old files surface the new element field as NULL; appended rows
+    // carry values — both vintages read through one scan
+    val row = TxnTable.read(spark, t).orderBy("id")
+      .select(org.apache.spark.sql.functions.expr("arr[0].w")).collect()
+    assert(row.forall(_.isNullAt(0)))
+    // stats survive the nested rename (s.sx entries renamed with it)
+    assert(TxnTable.fileStats(spark, t,
+        TxnTable.latestVersion(spark, t).get).values.flatten
+      .forall(fs => !fs.col.equalsIgnoreCase("s.x")))
+  }
+
+  test("SQL surface: TBLPROPERTIES opt-in, nested RENAME, DSv2 re-add read") {
+    val s = spark
+    if (s.conf.getOption("spark.sql.catalog.gfid").isEmpty) {
+      s.conf.set("spark.sql.catalog.gfid", "graft.io.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.gfid.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_fid_cat").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gfid.db")
+    s.sql("""CREATE TABLE gfid.db.m (
+            |  k BIGINT, c STRING,
+            |  s STRUCT<x: BIGINT, tag: STRING>)
+            |USING graft
+            |TBLPROPERTIES ('graft.columnMapping.mode' = 'id')""".stripMargin)
+    try {
+      s.sql("INSERT INTO gfid.db.m VALUES (1, 'one', named_struct('x', 10L, 'tag', 'a'))")
+      // nested rename through SQL — needs id mode, works zero-rewrite
+      s.sql("ALTER TABLE gfid.db.m RENAME COLUMN s.x TO sx")
+      assert(s.sql("SELECT s.sx FROM gfid.db.m").head().getLong(0) == 10L)
+      // drop + re-add the same top-level name, then read through DSv2:
+      // old files must serve NULL (collision-mangled request)
+      s.sql("ALTER TABLE gfid.db.m DROP COLUMN c")
+      s.sql("ALTER TABLE gfid.db.m ADD COLUMNS (c STRING)")
+      s.sql("INSERT INTO gfid.db.m VALUES (2, named_struct('x', 20L, 'tag', 'b'), 'fresh')")
+      val out = s.sql("SELECT k, c FROM gfid.db.m ORDER BY k").collect()
+      assert(out.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+        Seq((1L, None), (2L, Some("fresh"))))
+      // aggregate over both vintages
+      assert(s.sql("SELECT count(c) FROM gfid.db.m").head().getLong(0) == 1L)
+    } finally s.sql("DROP TABLE IF EXISTS gfid.db.m")
+  }
+
+  test("late enablement refuses once id-less files exist") {
+    import graft.io.TxnTable
+    val t = tmp() + "/t"
+    TxnTable.commitOverwrite(Seq((1, "x")).toDF("a", "b"), t)
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.commitAppend(
+        TxnTable.withFieldIds(Seq((2, "y")).toDF("a", "b")), t)
+    }
+    assert(e.getMessage.contains("can only be declared"))
+  }
+
+  test("assign: carries prior ids, mints above floor and retired") {
+    val prior = FieldIds.assign(None, StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    val next = StructType(Seq(
+      StructField("b", StringType), StructField("c", LongType)))
+    val out = FieldIds.assign(Some(prior), next,
+      (0L +: FieldIds.retiredIds(Seq("a#1", "plain-name"))).max)
+    assert(FieldIds.idOf(out("b")) == FieldIds.idOf(prior("b")))
+    // c mints above max(prior max = 2, floor from retired a#1 = 1)
+    assert(FieldIds.idOf(out("c")).contains(3L))
+    assert(FieldIds.retiredIds(Seq("a#1", "plain", "x#12")) == Seq(1L, 12L))
+  }
+}
