@@ -4814,6 +4814,158 @@ object FormatOps {
       |    AS n_named
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k156
+  /** DEEP CLONE — the materialized full-copy fork (and the documented
+    * escape hatch for the RENAME TABLE refusal): `CREATE TABLE … DEEP
+    * CLONE src VERSION AS OF n` copies the pinned snapshot's data
+    * files byte-for-byte (distributed raw copy, no decode/re-encode)
+    * and starts a FRESH history at v1 carrying schema, stats, blooms,
+    * constraints, and properties. REQUIREd in-query: the clone holds
+    * its own parquet bytes, pins the pre-append version, starts at v1,
+    * and — the deep-vs-shallow contract — survives the source's
+    * DELETION outright, then diverges with its own SQL UPDATE. The
+    * oracle replays the pinned snapshot + divergence off raw
+    * customer. */
+  private def k156(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k156_deep")
+    try {
+      val source = s"$zone/src_txn"
+      val clone = s"$zone/fork_txn"
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .repartitionByRange(4, $"c_custkey")
+        .write.format("graft").option("statsCols", "c_custkey")
+        .mode("overwrite").save(source)
+      val srcV = TxnTable.latestVersion(spark, source).get
+      // the source moves on — the pinned clone must not see this
+      TxnTable.commitAppend(
+        Tables.customer(spark, dir).filter($"c_custkey" <= 10)
+          .select(($"c_custkey" + 5000000L).as("c_custkey"),
+            lit("GHOST").as("c_mktsegment"), lit(1.0d).as("c_acctbal")),
+        source)
+      spark.sql(
+        s"CREATE TABLE '$clone' DEEP CLONE '$source' VERSION AS OF $srcV")
+      def parquetUnder(p: String): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(new java.io.File(p))
+      }
+      require(parquetUnder(clone).nonEmpty,
+        "DEEP CLONE must materialize its own data files")
+      require(TxnTable.latestVersion(spark, clone).contains(1L),
+        "clone history must start fresh at v1")
+      // stats traveled verbatim: a point read on the clone prunes files
+      val (_, scanned, total) =
+        TxnTable.readRange(spark, clone, "c_custkey", 1.0, 1.0)
+      require(scanned < total,
+        s"cloned skipping stats must prune: $scanned of $total")
+      // deep-vs-shallow: DELETE the source — the clone must not notice
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(source))
+      spark.sql(s"CREATE TABLE graft_k156_t USING graft OPTIONS (path '$clone')")
+      try {
+        spark.sql(
+          """UPDATE graft_k156_t SET c_acctbal = c_acctbal + 500.0
+            |WHERE c_custkey <= 100""".stripMargin)
+        val result = spark.sql(
+          """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+            |FROM graft_k156_t GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k156_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k156Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CASE WHEN c_custkey <= 100 THEN c_acctbal + 500.0
+      |                     ELSE c_acctbal END
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- k157
+  /** NESTED column DEFAULTs — `ALTER TABLE … ADD COLUMNS (s.f T
+    * DEFAULT v)` as pure metadata: rows written BEFORE the declaration
+    * surface the default through graft's vintage-gated read-time fill
+    * (Spark's own readers only fill missing TOP-LEVEL columns from
+    * EXISTS_DEFAULT; a missing nested field they surface as NULL),
+    * writes that omit the field fill it at the append gate, and
+    * explicit values are respected. REQUIREd in-query: the ALTER moves
+    * no data (same file set), and the pre-declaration rows actually
+    * read the default through the DSv2 SQL path. The oracle replays
+    * the vintage split off raw orders. */
+  private def k157(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k157_ndef")
+    try {
+      val table = s"$zone/ord_txn"
+      val ords = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice",
+          struct($"o_orderpriority".as("priority")).as("meta"))
+      val half = ords.agg(max($"o_orderkey")).head().getLong(0) / 2L
+      ords.filter($"o_orderkey" <= half)
+        .write.format("graft").option("statsCols", "o_orderkey")
+        .mode("overwrite").save(table)
+      val filesBefore = TxnTable.snapshotFiles(spark, table,
+        TxnTable.latestVersion(spark, table).get)
+      spark.sql(s"CREATE TABLE graft_k157_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(
+          "ALTER TABLE graft_k157_t ADD COLUMNS " +
+            "(meta.src STRING DEFAULT 'legacy')")
+        require(TxnTable.snapshotFiles(spark, table,
+            TxnTable.latestVersion(spark, table).get) == filesBefore,
+          "nested ADD COLUMNS ... DEFAULT must be pure metadata")
+        // post-declaration rows carry their own value
+        TxnTable.commitAppend(
+          Tables.orders(spark, dir).filter($"o_orderkey" > half)
+            .select($"o_orderkey", $"o_totalprice",
+              struct($"o_orderpriority".as("priority"),
+                lit("fresh").as("src")).as("meta")),
+          table)
+        require(spark.sql(
+            s"""SELECT COUNT(*) FROM graft_k157_t
+               |WHERE meta.src = 'legacy' AND o_orderkey > $half""".stripMargin)
+            .head().getLong(0) == 0L,
+          "post-declaration rows must keep their explicit value")
+        val result = spark.sql(
+          """SELECT meta.src AS src, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+            |    AS sum_price
+            |FROM graft_k157_t GROUP BY meta.src ORDER BY src""".stripMargin)
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE graft_k157_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k157Sql =
+    """WITH h AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS half
+      |           FROM orders)
+      |SELECT CASE WHEN o_orderkey <= half THEN 'legacy' ELSE 'fresh' END
+      |    AS src,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders, h GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -4894,5 +5046,7 @@ object FormatOps {
     RQ("k152_nested_skipping", k152, Some(k152Sql)),
     RQ("k153_snapshot_diff", k153, Some(k153Sql)),
     RQ("k154_merge_identity", k154, Some(k154Sql)),
-    RQ("k155_field_id_mapping", k155, Some(k155Sql)))
+    RQ("k155_field_id_mapping", k155, Some(k155Sql)),
+    RQ("k156_deep_clone", k156, Some(k156Sql)),
+    RQ("k157_nested_defaults", k157, Some(k157Sql)))
 }

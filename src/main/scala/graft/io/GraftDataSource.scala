@@ -650,6 +650,36 @@ private[io] class GraftScanBuilder(
     if (version == 0L) TxnTable.SnapshotMeta(Nil, Map.empty, Map.empty)
     else TxnTable.snapshotMeta(spark, table, version)
 
+  // ---- POSITIONAL deletion vectors, applied IN-SCAN -------------------
+  // Which vector sidecars gate each universe file (version gate +
+  // named-file confinement). Un-gated files keep the untouched fast
+  // path; gated files get per-file delegate scans whose readers drop
+  // the vectors' ordinals (GraftVecBatch). `ignoreDeletes` is the raw
+  // escape hatch for both the analyzer splice and this.
+  private lazy val rawRead = options.containsKey("ignoreDeletes")
+  private lazy val morMeta =
+    if (version == 0L || rawRead) TxnTable.MorState(Nil, Map.empty, Nil)
+    else TxnTable.morState(spark, table, version)
+  private lazy val posGate: Map[String, Seq[String]] = {
+    val pos = morMeta.dels.filter(_.keyCols == TxnTable.PosDelKeyCols)
+    if (pos.isEmpty) Map.empty
+    else universe.flatMap { f =>
+      val scs = pos.filter(_.gates(f, morMeta.addv.getOrElse(f, 0L)))
+        .map(_.file)
+      if (scs.isEmpty) None else Some(f -> scs)
+    }.toMap
+  }
+  // per-file DISTINCT deleted counts — what metadata-only COUNTs
+  // subtract and exact scan statistics deduct. Driver-read from the
+  // kilobyte sidecars, bounded by graft.txn.aggVectorRowsLimit; None
+  // (vectors too large to tally on the driver) refuses those answers,
+  // never mis-counts.
+  private lazy val vecCounts: Option[Map[String, Long]] =
+    if (posGate.isEmpty) Some(Map.empty)
+    else PosVectors.deletedCounts(spark.sessionState.newHadoopConf(), table,
+      posGate,
+      spark.conf.get("graft.txn.aggVectorRowsLimit", "4194304").toLong)
+
   // `filesSubset` (internal): the delete-applying read rewrite
   // (graft.plans.GraftApplyDeletes) splits a snapshot into gate groups
   // and re-reads each through its own relation restricted to that
@@ -722,6 +752,9 @@ private[io] class GraftScanBuilder(
     // column OR untracked stats — indistinguishable, so refuse
     if (!files.forall(f => statOf(f).isDefined || rows.get(f).contains(0L)))
       return None
+    // a vector-gated file's extreme row may be among the DELETED rows —
+    // its recorded min/max no longer proves the live extreme
+    if (files.exists(posGate.contains)) return None
     // kind "null" = proven all-null file: contributes nothing to MIN/MAX
     val ss = files.flatMap(statOf).filterNot(_.kind == "null")
     if (ss.isEmpty) return Some(null) // no non-null rows: MIN/MAX is NULL
@@ -749,8 +782,16 @@ private[io] class GraftScanBuilder(
   private def aggCells(files: Seq[String], agg: Aggregation)
       : Option[Seq[(StructField, Any)]] = {
     val (_, stats, rows) = aggState
+    // vector-gated files subtract their DISTINCT deleted-row counts;
+    // unavailable counts (vectors too large for driver tallying)
+    // refuse, never mis-count
+    lazy val deleted: Option[Long] =
+      if (!files.exists(posGate.contains)) Some(0L)
+      else vecCounts.map(vc => files.flatMap(vc.get).sum)
     lazy val total: Option[Long] =
-      if (files.forall(rows.contains)) Some(files.map(rows).sum) else None
+      if (files.forall(rows.contains))
+        deleted.map(files.map(rows).sum - _)
+      else None
     val cells: Seq[Option[(StructField, Any)]] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
@@ -764,6 +805,11 @@ private[io] class GraftScanBuilder(
             if files.forall(fl =>
               stats.getOrElse(fl, Nil).find(_.col == f.name).exists(_.nulls >= 0L)
                 || rows.get(fl).contains(0L))
+            // a gated file's deleted rows subtract from COUNT(col) only
+            // when the file provably holds NO nulls in the column (then
+            // every deleted row was non-null); otherwise unprovable
+            if files.forall(fl => !posGate.contains(fl) ||
+              stats.getOrElse(fl, Nil).find(_.col == f.name).exists(_.nulls == 0L))
           } yield StructField(s"count(${f.name})", LongType, nullable = false) ->
             (t - files.flatMap(fl =>
               stats.getOrElse(fl, Nil).find(_.col == f.name)).map(_.nulls).sum)
@@ -820,7 +866,21 @@ private[io] class GraftScanBuilder(
           .sortBy(_._1.map(_._2).mkString("\u0000")))
       }
     grouped.flatMap { gs =>
-      val rowsOut = gs.map { case (key, fs) =>
+      // a group whose every row a vector deleted must NOT be emitted
+      // (SQL only surfaces groups with at least one live row); a gated
+      // group that cannot PROVE its live count refuses the pushdown
+      val (_, _, rowsMap) = aggState
+      val alive = gs.filter { case (_, fs) =>
+        if (!fs.exists(posGate.contains)) true
+        else (for {
+          vc <- vecCounts
+          if fs.forall(rowsMap.contains)
+        } yield fs.map(rowsMap).sum - fs.flatMap(vc.get).sum) match {
+          case None => return None
+          case Some(live) => live > 0L
+        }
+      }
+      val rowsOut = alive.map { case (key, fs) =>
         val gVals: Seq[Option[Any]] = key.zip(gFields).map {
           case (("str", v), gf) if gf.dataType == StringType =>
             Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
@@ -882,9 +942,14 @@ private[io] class GraftScanBuilder(
     // session-wide reader flag is on before any task plans
     if (FieldIds.hasIds(dataSchema)) FieldIds.enableRead(spark)
     new GraftScan(spark, table, version, dataSchema, required, pushed,
-      chosen, options, meta.partCols, meta.pathpart, spjGroups(chosen),
+      chosen, options, meta.partCols, meta.pathpart,
+      // keyed split planning and vector subtraction don't compose (a
+      // keyed group's delegate can't thread per-file readers) — vectors
+      // are the rarer state, SPJ yields
+      if (chosen.exists(posGate.contains)) None else spjGroups(chosen),
       meta.stats, meta.rows, TxnTable.ndvStats(spark, table, version),
-      TxnTable.histStats(spark, table, version), meta.retired)
+      TxnTable.histStats(spark, table, version), meta.retired,
+      posGate, vecCounts)
   }
 
   /** STORAGE-PARTITIONED JOIN planning: for a graft-written table with
@@ -964,7 +1029,9 @@ private[io] class GraftScan(
     fileRows: Map[String, Long] = Map.empty,
     ndv: Map[String, Long] = Map.empty,
     hists: Map[String, TxnTable.ColHist] = Map.empty,
-    retired: Seq[String] = Nil)
+    retired: Seq[String] = Nil,
+    posGate: Map[String, Seq[String]] = Map.empty,
+    vecCounts: Option[Map[String, Long]] = Some(Map.empty))
     extends Scan with GraftScanFiles
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -983,8 +1050,13 @@ private[io] class GraftScan(
     new org.apache.spark.sql.connector.read.Statistics {
       private val known: Option[Long] = {
         val fs = currentFiles
-        if (fs.forall(fileRows.contains)) Some(fs.map(fileRows).sum)
-        else None
+        if (!fs.forall(fileRows.contains)) None
+        else if (!fs.exists(posGate.contains)) Some(fs.map(fileRows).sum)
+        // vector-gated files deduct their deleted counts — exact
+        // statistics survive a live deletion vector; unknowable
+        // (over-limit) vectors report unknown, never an overcount
+        else vecCounts.map(vc =>
+          fs.map(fileRows).sum - fs.flatMap(vc.get).sum)
       }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
@@ -1237,9 +1309,35 @@ private[io] class GraftScan(
                 parquetSafe, options).toBatch))
         })
       case _ =>
-        org.apache.spark.sql.GraftBridge.parquetScan(
-          spark, currentFiles.map(f => s"$table/$f"), physData, physRequired,
-          parquetSafe, options).toBatch
+        val gated = currentFiles.filter(posGate.contains)
+        if (gated.isEmpty)
+          org.apache.spark.sql.GraftBridge.parquetScan(
+            spark, currentFiles.map(f => s"$table/$f"), physData, physRequired,
+            parquetSafe, options).toBatch
+        else {
+          // vector-gated files: per-file delegates whose requested
+          // schema appends the parquet ROW INDEX; the wrapper reader
+          // drops each file's deleted ordinals (GraftVecBatch). Clean
+          // files keep the ordinary columnar delegate untouched.
+          val clean = currentFiles.filterNot(posGate.contains)
+          val rif = org.apache.spark.sql.GraftBridge.rowIndexField
+          val vecData = StructType(physData.fields :+ rif)
+          val vecRequired = StructType(physRequired.fields :+ rif)
+          val root = new org.apache.hadoop.fs.Path(table)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(new org.apache.hadoop.fs.Path(table)).toString
+          new GraftVecBatch(
+            if (clean.isEmpty) None
+            else Some(org.apache.spark.sql.GraftBridge.parquetScan(
+              spark, clean.map(f => s"$table/$f"), physData, physRequired,
+              parquetSafe, options).toBatch),
+            gated.map(f => (f,
+              org.apache.spark.sql.GraftBridge.parquetScan(
+                spark, Seq(s"$table/$f"), vecData, vecRequired,
+                parquetSafe, options).toBatch,
+              posGate(f))),
+            root, physRequired)
+        }
     }
     else {
       // one homogeneous leg only: after any graft write lands next to

@@ -1767,6 +1767,132 @@ object TxnTable {
           Some(f.metadata.getString(CurDefaultKey))
         else None))
 
+  // ---------------------------------------------------- NESTED defaults
+  /** Version at which a NESTED defaulted field joined the schema — the
+    * vintage gate for read-time existence-default fill. Top-level
+    * defaults need no gate (Spark's parquet readers fill missing
+    * top-level columns from EXISTS_DEFAULT themselves), but a missing
+    * NESTED field they surface as plain NULL — so graft fills it, and
+    * only for files written BEFORE the field existed (add version <
+    * this). */
+  private[graft] val NestedDefaultSinceKey = "graft.default.sinceVersion"
+
+  final case class NestedDefault(path: Seq[String], dt: DataType,
+                                 curSql: Option[String],
+                                 existsSql: Option[String], sinceV: Long)
+
+  /** Nested (depth ≥ 2) fields of `schema` carrying a DEFAULT
+    * declaration. Walks plain struct chains only — container elements
+    * cannot carry defaults (no row exists to fill until the element
+    * does). */
+  private[graft] def nestedDefaults(schema: StructType): Seq[NestedDefault] = {
+    val out = Seq.newBuilder[NestedDefault]
+    def go(prefix: Seq[String], st: StructType): Unit = st.fields.foreach { f =>
+      val p = prefix :+ f.name
+      if (prefix.nonEmpty &&
+          (f.metadata.contains(CurDefaultKey) ||
+            f.metadata.contains(ExistsDefaultKey)))
+        out += NestedDefault(p, f.dataType,
+          if (f.metadata.contains(CurDefaultKey))
+            Some(f.metadata.getString(CurDefaultKey)) else None,
+          if (f.metadata.contains(ExistsDefaultKey))
+            Some(f.metadata.getString(ExistsDefaultKey)) else None,
+          if (f.metadata.contains(NestedDefaultSinceKey))
+            f.metadata.getLong(NestedDefaultSinceKey) else 0L)
+      f.dataType match {
+        case s: StructType => go(p, s)
+        case _ => ()
+      }
+    }
+    go(Nil, schema)
+    out.result()
+  }
+
+  /** The existence-default fill for a frame read from PRE-DECLARATION
+    * files: every row physically lacks the field, so within each
+    * non-null parent struct the value IS the existence default
+    * (`withField` keeps null parents null — an absent struct stays
+    * absent). A codegen'd projection, zero per-row interpretation. */
+  private[graft] def fillNestedDefaults(df: DataFrame,
+                                        defs: Seq[NestedDefault]): DataFrame =
+    defs.filter(_.existsSql.isDefined).foldLeft(df) { (d, nd) =>
+      d.withColumn(nd.path.head,
+        col(s"`${nd.path.head}`").withField(nd.path.tail.mkString("."),
+          org.apache.spark.sql.functions.expr(nd.existsSql.get).cast(nd.dt)))
+    }
+
+  /** Does `schema` carry a field at dotted `path` (struct chains)? */
+  private def hasPath(schema: StructType, path: Seq[String]): Boolean = {
+    def go(dt: DataType, ps: Seq[String]): Boolean = ps match {
+      case Nil => true
+      case h +: t => dt match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(h))
+            .exists(f => go(f.dataType, t))
+        case _ => false
+      }
+    }
+    go(schema, path)
+  }
+
+  /** Write-side fill for nested declared defaults (the append gate's
+    * nested twin of [[applyDefaults]]): when the incoming frame's
+    * struct TYPE lacks the declared field, fill the CURRENT default
+    * (or an explicit NULL for a dropped-but-once-existing default —
+    * leaving the field physically absent would hand those rows to the
+    * read-time existence fill). Frames that carry the field — even as
+    * NULL — are respected verbatim. A frame lacking the whole
+    * top-level struct writes it as NULL wholesale (SQL semantics: no
+    * struct, no field to default). */
+  private def applyNestedDefaults(df: DataFrame,
+                                  defs: Seq[NestedDefault]): DataFrame =
+    defs.foldLeft(df) { (d, nd) =>
+      val top = nd.path.head
+      if (!d.columns.exists(_.equalsIgnoreCase(top)) ||
+          hasPath(d.schema, nd.path)) d
+      else d.withColumn(top,
+        col(s"`$top`").withField(nd.path.tail.mkString("."),
+          nd.curSql.map(org.apache.spark.sql.functions.expr)
+            .getOrElse(lit(null)).cast(nd.dt)))
+    }
+
+  /** `ALTER TABLE … ADD COLUMNS (s.f dt DEFAULT sql)` — the NESTED
+    * default add, pure metadata like the top-level form: the folded
+    * default lands as CURRENT_DEFAULT + EXISTS_DEFAULT metadata on the
+    * nested field, plus the add-commit's version as the vintage gate.
+    * Old files surface the default through graft's read-time fill
+    * (vintage-grouped projection — Spark's own readers only fill
+    * missing TOP-LEVEL columns); writes omitting the field fill it at
+    * the append gate, so post-declaration files always carry it
+    * physically. */
+  def addNestedColumnWithDefault(spark: SparkSession, table: String,
+                                 dotted: String, dt: DataType,
+                                 defaultSql: String): Long =
+    commitMetadata(spark, table, "alter-add-nested") { st =>
+      val parts = dotted.split('.').toSeq.map(_.trim)
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"nested add needs a dotted path, got $dotted")
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val folded = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .constantFoldCurrentDefaultsToExistDefaults(
+          StructType(Seq(StructField(parts.last, dt, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(CurDefaultKey, defaultSql).build()))),
+          "ALTER TABLE ADD COLUMNS").fields.head
+      val stamped = folded.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(folded.metadata)
+          .putLong(NestedDefaultSinceKey, st.version + 1L).build())
+      val ns = transformStructAt(schema, parts.init, table,
+          containers = false) { inner =>
+        require(!inner.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
+          s"column $dotted already exists in $table")
+        StructType(inner.fields :+ stamped)
+      }
+      (ns, st.stats, st.blooms, st.checks, st.retired)
+    }
+
   /** `ALTER TABLE … ADD COLUMN name dt DEFAULT defaultSql` — pure
     * metadata, like [[addColumns]]: no data file is read or written.
     * The default is analyzed and constant-folded HERE (a malformed or
@@ -1811,6 +1937,37 @@ object TxnTable {
     commitMetadata(spark, table, "alter-default") { st =>
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
+      // NESTED `ALTER COLUMN s.f SET/DROP DEFAULT`: same future-only
+      // contract as top-level — CURRENT_DEFAULT changes (the append
+      // gate's nested fill reads it), EXISTS_DEFAULT is untouched, so
+      // rows already on disk keep reading what was true at write time
+      if (name.contains('.')) {
+        val parts = name.split('.').toSeq.map(_.trim)
+        val ns = transformStructAt(schema, parts.init, table) { inner =>
+          val f = inner.fields.find(_.name.equalsIgnoreCase(parts.last))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no such column $name in $table"))
+          val patched = defaultSql match {
+            case Some(sql) =>
+              org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                .constantFoldCurrentDefaultsToExistDefaults(
+                  StructType(Seq(f.copy(
+                    metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                      .withMetadata(f.metadata)
+                      .putString(CurDefaultKey, sql).build()))),
+                  "ALTER TABLE ALTER COLUMN")
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(CurDefaultKey, sql).build())
+            case None =>
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).remove(CurDefaultKey).build())
+          }
+          StructType(inner.fields.map(x =>
+            if (x.name.equalsIgnoreCase(parts.last)) patched else x))
+        }
+        (ns, st.stats, st.blooms, st.checks, st.retired)
+      } else {
       val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(s"no such column $name in $table"))
       val patched = defaultSql match {
@@ -1834,6 +1991,7 @@ object TxnTable {
       (org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         if (f.name.equalsIgnoreCase(name)) patched else f)),
        st.stats, st.blooms, st.checks, st.retired)
+      }
     }
 
   /** DEFAULT-column write gate (commit() append leg): fill each
@@ -2057,8 +2215,20 @@ object TxnTable {
           .getOrElse(defaultColumns(df.schema))
       else defaultColumns(df.schema)
     val dfd = if (defDefs.isEmpty) df else applyDefaults(df, defDefs)
+    // NESTED declared defaults fill the same way: a frame whose struct
+    // TYPE omits the declared field gets it filled (CURRENT default),
+    // so post-declaration files always carry the field physically and
+    // the read-time existence fill stays confined to pre-declaration
+    // vintages
+    val ndefDefs =
+      if (maintenanceOps(op)) Nil
+      else if (append)
+        state.flatMap(_.schema).map(nestedDefaults).getOrElse(Nil)
+      else nestedDefaults(df.schema)
+    val dfn =
+      if (ndefDefs.isEmpty) dfd else applyNestedDefaults(dfd, ndefDefs)
     val dfg =
-      if (genDefs.isEmpty) dfd else applyGenerated(dfd, table, genDefs)
+      if (genDefs.isEmpty) dfn else applyGenerated(dfn, table, genDefs)
     // CHECK constraints gate every commit that introduces NEW rows — one
     // violating row aborts BEFORE any data file lands (validated against
     // the snapshot observed here; see enforceChecks for the contract).
@@ -2372,7 +2542,7 @@ object TxnTable {
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases, retired = st.retired)
+      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
         .filter(rangeFilter(column, dt, lo, hi))
     (rows, chosen.size, st.files.size)
   }
@@ -2429,7 +2599,7 @@ object TxnTable {
       if (chosen.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases, retired = st.retired)
+      else planFiles(spark, table, schema, chosen, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
         .filter(col(column) === lit(value))
     (rows, chosen.size, st.files.size)
   }
@@ -2482,7 +2652,7 @@ object TxnTable {
             None, Nil)
         else {
           val matchExpr = coalesce(col(column) === lit(value), lit(false))
-          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
+          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
             .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
             writeData(complement, table, trackedCols, trackedBlooms,
@@ -2492,7 +2662,7 @@ object TxnTable {
           val cdc =
             if (!st.cdf) Nil
             else writeChangeData(
-              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
+              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
                 .filter(matchExpr)
                 .withColumn(ChangeTypeCol, lit("delete")),
               table, d)
@@ -2610,7 +2780,7 @@ object TxnTable {
       val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else planFiles(spark, table, schema, candidates, st.pathpart, st.aliases, retired = st.retired)
+        else planFiles(spark, table, schema, candidates, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
           .select(col(keyCol), input_file_name().as("__f"))
           // no broadcast hint: AQE picks broadcast when the key set is
           // small and falls back to shuffle when a bulk merge isn't
@@ -2638,7 +2808,7 @@ object TxnTable {
                   org.apache.spark.sql.types.StructField(d.col,
                     org.apache.spark.sql.types.LongType))))
             else planFiles(spark, table, schema, touched.toSeq,
-                st.pathpart, st.aliases, retired = st.retired)
+                st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
               .groupBy(col(keyCol)).agg(min(col(d.col)).as(d.col))
           val withId = updates.join(tgtIds, Seq(keyCol), "left")
           val hwmBase = d.hwm.getOrElse(d.start - d.step)
@@ -2658,7 +2828,7 @@ object TxnTable {
       // evolution actually goes through the data path
       val merged =
         if (touched.isEmpty) enriched
-        else planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases, retired = st.retired)
+        else planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
           .join(enriched, Seq(keyCol), "left_anti")
           .unionByName(enriched, allowMissingColumns = true)
       // rewritten files keep stats for EVERY column the table tracks —
@@ -2706,7 +2876,7 @@ object TxnTable {
         else {
           val touchedDf =
             if (touched.isEmpty) None
-            else Some(planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases, retired = st.retired))
+            else Some(planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases, retired = st.retired, addv = st.addv))
           val updKeys = enriched.select(col(keyCol)).distinct()
           val pre = touchedDf.map(_.join(updKeys, Seq(keyCol), "left_semi")
             .withColumn(ChangeTypeCol, lit("update_preimage")))
@@ -3658,8 +3828,31 @@ object TxnTable {
                         aliases: Map[String, Seq[String]] = Map.empty,
                         withIdentity: Boolean = false,
                         pruneWith: Option[State] = None,
-                        retired: Seq[String] = Nil)
+                        retired: Seq[String] = Nil,
+                        addv: Map[String, Long] = Map.empty,
+                        ndefFill: Boolean = true)
       : DataFrame = {
+    // NESTED EXISTENCE DEFAULTS: a nested field added with DEFAULT is
+    // physically absent from files that predate its declaration, and
+    // Spark's readers surface missing NESTED fields as NULL (they only
+    // fill missing top-level columns). Split the file list by VINTAGE
+    // (add version vs. the default's birth version) and project the
+    // existence default onto the pre-declaration legs — post-vintage
+    // files always carry the field physically (the append gate fills
+    // writes that omit it), so they read verbatim.
+    val ndefs = if (ndefFill) nestedDefaults(schema)
+      .filter(nd => nd.existsSql.isDefined && nd.sinceV > 0L) else Nil
+    if (ndefs.nonEmpty && rel.nonEmpty) {
+      val legs = rel.groupBy(f =>
+          ndefs.filter(nd => addv.getOrElse(f, 0L) < nd.sinceV))
+        .toSeq.sortBy(_._2.head)
+      return legs.map { case (defs, fs) =>
+        fillNestedDefaults(
+          planFiles(spark, table, schema, fs, pathpart, aliases,
+            withIdentity, pruneWith, retired, addv, ndefFill = false),
+          defs)
+      }.reduce(_ unionByName _)
+    }
     // FIELD-ID MODE: the requested schema's ids resolve every column in
     // every file directly (renames included) — no alias legs. The one
     // exception is a live column whose NAME a retired `name#id` entry
@@ -3796,7 +3989,7 @@ object TxnTable {
       val (posDels, eqDels) = dels.partition(_.keyCols == PosDelKeyCols)
       val needId = withIdentity || posDels.nonEmpty
       var df = planFiles(spark, table, schema, fs, st.pathpart, st.aliases,
-        withIdentity = needId, pruneWith = Some(st), retired = st.retired)
+        withIdentity = needId, pruneWith = Some(st), retired = st.retired, addv = st.addv)
       eqDels.foreach { d =>
         // tuple sidecars are library-written and resolve BY NAME — the
         // requested key schema must not carry field ids
@@ -3876,7 +4069,7 @@ object TxnTable {
     }.distinct.sorted
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
-        s"$table predates the schema log")), rel, st.pathpart, st.aliases, retired = st.retired,
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases, retired = st.retired, addv = st.addv,
         pruneWith = Some(st))
     else delAppliedRead(spark, table, st, rel)
   }
@@ -3895,7 +4088,7 @@ object TxnTable {
       s"files not in snapshot v$version of $table: ${unknown.mkString(", ")}")
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
-        s"$table predates the schema log")), rel, st.pathpart, st.aliases, retired = st.retired,
+        s"$table predates the schema log")), rel, st.pathpart, st.aliases, retired = st.retired, addv = st.addv,
         pruneWith = Some(st))
     else delAppliedRead(spark, table, st, rel)
   }
@@ -3960,7 +4153,7 @@ object TxnTable {
           // SQL DELETE retains NULL-keyed rows, so default the match to
           // false before negating.
           val matchExpr = coalesce(rangeFilter(column, dt, lo, hi), lit(false))
-          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
+          val complement = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
             .filter(not(matchExpr))
           val (d, nf, ns, nb, nr) =
             writeData(complement, table, trackedCols, trackedBlooms,
@@ -3972,7 +4165,7 @@ object TxnTable {
           val cdc =
             if (!st.cdf) Nil
             else writeChangeData(
-              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
+              planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
                 .filter(matchExpr)
                 .withColumn(ChangeTypeCol, lit("delete")),
               table, d)
@@ -4105,7 +4298,7 @@ object TxnTable {
       val incoming = recomputeGenerated(df, st.schema)
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       val matchExpr = predicate(dt)
-      def boundaryRead = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired)
+      def boundaryRead = planFiles(spark, table, schema, boundary, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
       // NULL-keyed rows in boundary files are OUTSIDE the range (SQL
       // semantics, same as deleteRangeOn) and survive the replace
       val payload =
@@ -4158,7 +4351,7 @@ object TxnTable {
     if (st.dels.nonEmpty) delAppliedRead(spark, table, st, st.files)
     else st.schema match {
       case Some(s) => planFiles(spark, table, s, st.files, st.pathpart,
-        st.aliases, pruneWith = Some(st), retired = st.retired)
+        st.aliases, pruneWith = Some(st), retired = st.retired, addv = st.addv)
       case None => // pre-schema-log manifest
         spark.read.parquet(st.files.map(f => s"$table/$f"): _*)
     }
@@ -4194,7 +4387,7 @@ object TxnTable {
       return (spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
     val lst = stateOf(spark, table, latest)
-    (planFiles(spark, table, schema, newFiles, lst.pathpart, lst.aliases, retired = lst.retired), latest)
+    (planFiles(spark, table, schema, newFiles, lst.pathpart, lst.aliases, retired = lst.retired, addv = lst.addv), latest)
   }
 
   /** Files added between two snapshots of append-only history — the
@@ -4462,8 +4655,11 @@ object TxnTable {
         if (cc.cdc.isEmpty) None
         // eager change files written before a rename carry the OLD
         // physical names — same alias coalesce as the data legs
+        // ndefFill off: change files are a LOG — each records the row
+        // as its commit wrote it, and they carry no add-version to
+        // vintage-gate a fill against
         else Some(planFiles(spark, table, cdcSchema, cc.cdc,
-          pathpart = false, aliases = untilSt.aliases))
+          pathpart = false, aliases = untilSt.aliases, ndefFill = false))
       // LAZY positional replay (no CDF): the commit's removed rows are
       // the PRIOR snapshot's rows at the recorded coordinates
       val posReplayed =
@@ -5476,6 +5672,77 @@ object TxnTable {
     1L
   }
 
+  // --------------------------------------------------------- DEEP CLONE
+  /** `CREATE TABLE … DEEP CLONE src [VERSION AS OF n]` — a MATERIALIZED
+    * full-copy fork at a pinned version, and the documented escape
+    * hatch for the RENAME TABLE refusal: every data file of the source
+    * snapshot is copied byte-for-byte to the SAME table-relative path
+    * under `dest` (bloom sidecars ride along), and the clone's v1
+    * manifest carries the snapshot's schema (identity/generated/
+    * default/field-id metadata verbatim), skipping stats, row counts,
+    * partition spec, constraints, properties, retired names, aliases,
+    * and txn markers. History starts fresh at v1; the clone shares no
+    * bytes with the source, so either side's VACUUM/DROP can never
+    * break the other — the difference from [[cloneShallow]], bought at
+    * full data-copy cost. The copy is DISTRIBUTED (one task per file
+    * batch, raw stream copy — no parquet decode/re-encode), so a
+    * 100 TB clone is cluster-parallel IO, not a driver loop. Stats and
+    * blooms describe identical bytes, so they carry verbatim — the
+    * clone starts with full skipping metadata and zero read-back
+    * passes. Live merge-on-read deletes refuse (their version gates
+    * are source-history-relative and v1 resets history — OPTIMIZE the
+    * source to materialize them, then clone). */
+  def cloneDeep(spark: SparkSession, source: String, dest: String,
+                version: Option[Long] = None): Long = {
+    val ctx = fc(spark)
+    val srcV = version.getOrElse(latestVersion(spark, source).getOrElse(
+      throw new IllegalStateException(s"no committed version in $source")))
+    val st = stateOf(spark, source, srcV)
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"$source@v$srcV predates the schema log — cannot clone"))
+    val liveDels = st.dels.filter(d =>
+      st.files.exists(f => st.addv.getOrElse(f, 0L) < d.version))
+    require(liveDels.isEmpty,
+      s"$source@v$srcV carries live merge-on-read deletes whose version " +
+        "gates are source-history-relative — OPTIMIZE the source to " +
+        "materialize them, then clone")
+    require(latestVersion(spark, dest).isEmpty,
+      s"$dest already has commits — DEEP CLONE creates a NEW table")
+    // every file copies under its source-relative name, plus each
+    // file's bloom sidecars (path = <file>.bloom.<col>)
+    val copies: Seq[String] = st.files ++
+      st.blooms.toSeq.flatMap { case (f, bs) =>
+        bs.map(b => s"$f.bloom.${enc(b.col)}") }
+    val srcAbs = new Path(source).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).makeQualified(new Path(source))
+    val dstAbs = new Path(dest).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).makeQualified(new Path(dest))
+    val (srcRoot, dstRoot) = (srcAbs.toString, dstAbs.toString)
+    val par = math.max(1, math.min(copies.size, 64))
+    spark.sparkContext.parallelize(copies, par).foreachPartition { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val sfs = new Path(srcRoot).getFileSystem(conf)
+      val dfs = new Path(dstRoot).getFileSystem(conf)
+      it.foreach { rel =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, new Path(s"$srcRoot/$rel"),
+          dfs, new Path(s"$dstRoot/$rel"),
+          false, true, conf)
+      }
+    }
+    // fresh history: every copied file's add version is the clone's v1,
+    // so future merge-on-read deletes gate them correctly
+    val content = manifestContent(schema, st.txns, st.stats, st.files,
+      st.blooms, st.rows, st.partCols, op = "deep-clone", cdf = st.cdf,
+      mor = st.mor, addv = st.files.map(_ -> 1L).toMap,
+      checks = st.checks, props = st.props, retired = st.retired,
+      pathpart = st.pathpart, aliases = st.aliases)
+    require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
+      s"$dest was concurrently initialized — clone aborted")
+    writePointer(ctx, dest, 1L)
+    1L
+  }
+
   /** `CONVERT TO GRAFT` — in-place adoption of an EXISTING parquet
     * directory (Delta 0.7's `CONVERT TO DELTA`, the capability the
     * reference declares by shipping `spark/jars/delta-core_2.12-0.7.0.jar`
@@ -5740,7 +6007,7 @@ object TxnTable {
       // entries stay — they still apply to the carried files
       val source =
         if (st.dels.isEmpty)
-          planFiles(spark, table, schema, small, st.pathpart, st.aliases, retired = st.retired)
+          planFiles(spark, table, schema, small, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
         else delAppliedRead(spark, table, st, small)
       // `transform` (scoped ZORDER) owns its own output layout; plain
       // compaction bin-packs into targetFiles; targetFiles <= 0 keeps

@@ -67,8 +67,16 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
   private def eligible(r: DataSourceV2Relation): Boolean = r.table match {
     case t: GraftTable =>
       !r.options.containsKey("ignoreDeletes") &&
+        !r.options.containsKey("graftRuleSubset") &&
         !Option(r.options.get("readChangeFeed")).exists(_.toBoolean) &&
-        t.morMeta.dels.nonEmpty
+        // POSITIONAL vectors apply INSIDE the DSv2 scan now
+        // (GraftVecBatch) — this rule only handles EQUALITY deletes...
+        (t.morMeta.dels.exists(_.keyCols != TxnTable.PosDelKeyCols) ||
+          // ...and NESTED existence defaults: pre-declaration files
+          // need the read-time fill projection (Spark's readers only
+          // fill missing TOP-LEVEL columns from EXISTS_DEFAULT)
+          TxnTable.nestedDefaults(t.schema())
+            .exists(nd => nd.existsSql.isDefined && nd.sinceV > 0L))
     case _ => false
   }
 
@@ -84,23 +92,24 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
     // DSv2 scan (manifest-stats/bloom file skipping, agg pushdown);
     // only the vector's own files take the identity-subtraction branch.
     def applicable(f: String): Seq[TxnTable.DelMeta] =
-      ms.dels.filter(_.gates(f, ms.addv.getOrElse(f, 0L)))
-    val groups = ms.files.groupBy(applicable).toSeq.sortBy(_._2.head)
+      ms.dels.filter(d => d.keyCols != TxnTable.PosDelKeyCols &&
+        d.gates(f, ms.addv.getOrElse(f, 0L)))
+    // nested existence defaults join the group key: files predating a
+    // defaulted nested field's declaration take a fill projection leg
+    val ndefs = TxnTable.nestedDefaults(schema)
+      .filter(nd => nd.existsSql.isDefined && nd.sinceV > 0L)
+    def vintage(f: String): Seq[TxnTable.NestedDefault] =
+      ndefs.filter(nd => ms.addv.getOrElse(f, 0L) < nd.sinceV)
+    val groups = ms.files.groupBy(f => (applicable(f), vintage(f)))
+      .toSeq.sortBy(_._2.head)
     if (groups.isEmpty) return LocalRelation(r.output) // all-deleted table
-    val branches: Seq[LogicalPlan] = groups.map { case (dels, fs) =>
-      if (dels.exists(_.keyCols == TxnTable.PosDelKeyCols)) {
-        // POSITIONAL deletes subtract on (file, row ordinal) identity,
-        // which only the parquet file source's `_metadata` exposes —
-        // this group reads through the library's snapshot-file reader
-        // (both delete flavors applied there) spliced in as an analyzed
-        // subplan. Trade-off, mirroring merge-on-read economics: the
-        // group loses DSv2 stats/agg pushdown until OPTIMIZE
-        // materializes the vector; eq-only groups keep the fast path.
-        TxnTable.readSnapshotFilesExact(spark, t.tablePath, t.pinnedVersion, fs)
+    val branches: Seq[LogicalPlan] = groups.map { case ((dels, vdefs), fs) =>
+      def filled(p: LogicalPlan): LogicalPlan =
+        if (vdefs.isEmpty) p
+        else TxnTable.fillNestedDefaults(GraftBridge.ofRows(spark, p), vdefs)
           .queryExecution.analyzed
-      } else {
       val scan = subsetRelation(t, schema, fs)
-      dels.foldLeft(scan: LogicalPlan) { (left, d) =>
+      filled(dels.foldLeft(scan: LogicalPlan) { (left, d) =>
         // tuple sidecars are library-written and resolve BY NAME — the
         // requested key schema must not carry field ids
         val keySchema = graft.io.FieldIds.strip(
@@ -114,8 +123,7 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
             right.output.find(_.name == k).get)
         }.reduce[Expression](And(_, _))
         Join(left, right, LeftAnti, Some(cond), JoinHint.NONE)
-      }
-      }
+      })
     }
     val combined = if (branches.size == 1) branches.head else Union(branches)
     // parents reference the ORIGINAL relation's attribute ids — alias
@@ -135,7 +143,9 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
     opts.put("path", t.tablePath)
     opts.put("versionAsOf", t.pinnedVersion.toString)
     opts.put("filesSubset", files.mkString(","))
-    opts.put("ignoreDeletes", "true")
+    // recursion guard ONLY — unlike `ignoreDeletes`, the subset's scan
+    // still applies its files' positional vectors in-scan
+    opts.put("graftRuleSubset", "true")
     val csm = new CaseInsensitiveStringMap(opts)
     val provider = new GraftDataSource()
     val table = provider.getTable(schema, Array.empty[Transform],

@@ -154,16 +154,16 @@ object GraftSqlParser {
   private val AlterColTypeStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w.]+)\s+TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
   private val AlterSetDefaultStmt =
-    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w.]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val AlterDropDefaultStmt =
-    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w]+)\s+DROP\s+DEFAULT\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w.]+)\s+DROP\s+DEFAULT\s*;?\s*""".r
   private val AlterSetPartStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*?)\)\s*;?\s*""".r
   private val AlterUnpartStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+UNPARTITIONED\s*;?\s*""".r
-  // CREATE TABLE <dest> SHALLOW CLONE <source> [VERSION AS OF n]
+  // CREATE TABLE <dest> SHALLOW|DEEP CLONE <source> [VERSION AS OF n]
   private val CloneStmt =
-    """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SHALLOW\s+CLONE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+(SHALLOW|DEEP)\s+CLONE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
   // CONVERT TO GRAFT '<parquet dir>' [STATS (c1, c2, ...)] — in-place
   // adoption: manifest v1 over the existing files, zero rewrite
   private val ConvertStmt =
@@ -327,8 +327,9 @@ object GraftSqlParser {
       case InsertReplaceWhereStmt(target, pred, select)
           if graftTarget(target) =>
         Some(GraftReplaceWhereInsertCommand(target, pred.trim, select.trim))
-      case CloneStmt(target, source, version) if graftTarget(source) =>
+      case CloneStmt(target, mode, source, version) if graftTarget(source) =>
         Some(GraftCloneCommand(target, source,
+          deep = mode.equalsIgnoreCase("deep"),
           Option(version).map(_.toLong)))
       case _ => None
     }
@@ -465,9 +466,11 @@ case class GraftReplaceWhereInsertCommand(target: String, pred: String,
   override def output: Seq[Attribute] = Nil
 }
 
-/** Zero-copy table fork (CREATE TABLE … SHALLOW CLONE …). */
+/** Table fork (CREATE TABLE … SHALLOW|DEEP CLONE …): shallow = one
+  * manifest referencing the source files; deep = materialized full
+  * copy, independent of the source's lifecycle. */
 case class GraftCloneCommand(target: String, source: String,
-                             version: Option[Long])
+                             deep: Boolean, version: Option[Long])
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -544,13 +547,13 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             // `ADD COLUMNS (s.f BIGINT)` — a dotted first token routes
             // to nested evolution; plain DDL parses as a column list
             val NestedCol = """(?s)\s*([\w]+(?:\.[\w]+)+)\s+(.+)""".r
+            val NestedDefault =
+              """(?is)(.+?)\s+DEFAULT\s+(.+)""".r
             args.head match {
-              case NestedCol(path, ddl)
-                  if ddl.toUpperCase.contains("DEFAULT") =>
-                throw new IllegalArgumentException(
-                  s"ADD COLUMN $path with DEFAULT is not supported: " +
-                    "column-default metadata is top-level only — add the " +
-                    "nested field plain, then backfill with UPDATE")
+              case NestedCol(path, NestedDefault(ddl, dflt)) =>
+                TxnTable.addNestedColumnWithDefault(spark, table, path,
+                  spark.sessionState.sqlParser.parseDataType(ddl.trim),
+                  dflt.trim)
               case NestedCol(path, ddl) =>
                 TxnTable.addNestedColumn(spark, table, path,
                   spark.sessionState.sqlParser.parseDataType(ddl.trim))
@@ -637,15 +640,18 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           .option("replaceWhere", pred).mode("overwrite").save(table)
         GraftSqlParser.syncCatalogSchema(spark, target)
       }) :: Nil
-    case GraftCloneCommand(target, source, version) =>
-      GraftDmlExec(s"SHALLOW CLONE $source", () => {
+    case GraftCloneCommand(target, source, deep, version) =>
+      val mode = if (deep) "DEEP" else "SHALLOW"
+      def clone(spark: SparkSession, src: String, dst: String): Long =
+        if (deep) TxnTable.cloneDeep(spark, src, dst, version)
+        else TxnTable.cloneShallow(spark, src, dst, version)
+      GraftDmlExec(s"$mode CLONE $source", () => {
         val spark = SparkSession.active
         val src = GraftSqlParser.resolveTarget(spark, source)
         val t = target.trim
         if (t.startsWith("'") || t.startsWith("\"")) {
           // path-addressed clone: no catalog entry
-          TxnTable.cloneShallow(spark, src,
-            GraftSqlParser.resolveTarget(spark, t), version)
+          clone(spark, src, GraftSqlParser.resolveTarget(spark, t))
           ()
         } else {
           // identifier clone: materialize under the warehouse default
@@ -659,10 +665,10 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           }
           val catalog = spark.sessionState.catalog
           require(!catalog.tableExists(ident),
-            s"table $t already exists — SHALLOW CLONE creates a NEW table")
+            s"table $t already exists — $mode CLONE creates a NEW table")
           val loc = catalog.defaultTablePath(ident)
           val path = new Path(loc).toUri.getPath
-          TxnTable.cloneShallow(spark, src, path, version)
+          clone(spark, src, path)
           val schema = TxnTable.snapshotSchema(spark, path, 1L).get
           import org.apache.spark.sql.catalyst.catalog.{
             CatalogStorageFormat, CatalogTable, CatalogTableType}

@@ -189,6 +189,19 @@ object GraftBridge {
       fileSchema, readData, readPart, filters, options)
   }
 
+  /** The parquet readers' per-file ROW INDEX as a requested column —
+    * Spark's own temporary-column contract (SPARK-37980): append this
+    * field to a read schema and both the vectorized and row-based
+    * parquet readers fill each row's ordinal within its file, with
+    * row-group and page skipping accounted exactly. */
+  def rowIndexField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      // NULLABLE so the readers' missing-column check admits it (the
+      // file really lacks it); the generator then fills every row
+      org.apache.spark.sql.types.LongType, nullable = true)
+
   /** Files the frame's DSv2 scan will actually read (AFTER graft's
     * manifest-stats pruning) — the skip ratio a spec asserts. None when
     * the plan has no DSv2 file scan. */

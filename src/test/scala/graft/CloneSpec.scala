@@ -96,4 +96,65 @@ class CloneSpec extends AnyFunSuite {
       } finally spark.sql("DROP TABLE clone_cat_t")
     }
   }
+
+  test("DEEP CLONE materializes an independent full copy at a version") {
+    withZone { zone =>
+      import spark.implicits._
+      val src = s"$zone/src"
+      TxnTable.commitOverwrite(
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"),
+        src, statsCols = Seq("id"), bloomCols = Seq("id"))
+      TxnTable.addCheck(spark, src, "v_pos", "v > 0")
+      val v1 = TxnTable.latestVersion(spark, src).get
+      TxnTable.commitAppend(Seq((4L, 40.0)).toDF("id", "v"), src)
+      // pin the pre-append version: the clone sees 3 rows
+      TxnTable.cloneDeep(spark, src, s"$zone/fork", Some(v1))
+      val fork = s"$zone/fork"
+      assert(TxnTable.read(spark, fork).select(sum("v")).head()
+        .getDouble(0) == 60.0)
+      // clone history starts fresh at v1
+      assert(TxnTable.latestVersion(spark, fork).contains(1L))
+      // MATERIALIZED: the fork holds its own parquet bytes
+      assert(new java.io.File(fork).listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("w=")))
+      // skipping metadata traveled verbatim: range read prunes, bloom
+      // point lookup prunes
+      val (rows, scanned, total) =
+        TxnTable.readRange(spark, fork, "id", 1.0, 1.0)
+      assert(rows.count() == 1L && scanned < total)
+      // constraints travel and enforce
+      assert(intercept[IllegalArgumentException] {
+        TxnTable.commitAppend(Seq((9L, -1.0)).toDF("id", "v"), fork)
+      }.getMessage.contains("v_pos"))
+      // INDEPENDENT lifecycles: dropping the source leaves the clone
+      // fully readable (the shallow clone's documented hazard, gone)
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(new java.io.File(src))
+      assert(TxnTable.read(spark, fork).count() == 3L)
+      // and the clone appends on its own from v1
+      TxnTable.commitAppend(Seq((5L, 50.0)).toDF("id", "v"), fork)
+      assert(TxnTable.read(spark, fork).count() == 4L)
+    }
+  }
+
+  test("SQL DEEP CLONE spelling; refusal parity with shallow") {
+    withZone { zone =>
+      import spark.implicits._
+      val src = s"$zone/src"
+      TxnTable.commitOverwrite(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src)
+      graft.functions.GraftExtensions.install(spark)
+      spark.sql(s"CREATE TABLE '$zone/fork2' DEEP CLONE '$src'")
+      assert(TxnTable.read(spark, s"$zone/fork2").count() == 2L)
+      // live MoR deletes refuse (gates are source-history-relative)
+      TxnTable.deleteWhereMoR(spark, src, Seq("k"), df => df("k") === 2L)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.cloneDeep(spark, src, s"$zone/fork3")
+      }
+      assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+    }
+  }
 }

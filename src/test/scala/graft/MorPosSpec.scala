@@ -157,9 +157,8 @@ class MorPosSpec extends AnyFunSuite {
       assert(scans.nonEmpty && scans.min == 1,
         s"expected the un-named files' DSv2 scan pruned to 1 file; " +
           s"scan file counts: $scans\n${q.queryExecution.executedPlan}")
-      // the NAMED file's v1 branch ALSO skips: its manifest stats
-      // refute the predicate inside the stats-aware FileIndex, so the
-      // data-side FileSourceScan reads ZERO files
+      // the vector applies IN-SCAN (GraftVecBatch): no v1 splice branch
+      // exists anymore — the whole table is ONE DSv2 relation
       def v1Files(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
         p.flatMap {
           case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -171,12 +170,35 @@ class MorPosSpec extends AnyFunSuite {
             v1Files(s.plan)
           case _ => Nil
         }
-      val v1 = v1Files(q.queryExecution.executedPlan)
-      assert(v1.nonEmpty && v1.max == 0,
-        s"the named file's v1 branch must prune on manifest stats; " +
-          s"numFiles: $v1")
+      assert(v1Files(q.queryExecution.executedPlan).isEmpty,
+        "positional vectors must apply inside the DSv2 scan, not a " +
+          "spliced v1 branch")
       // and the subtraction itself still holds on the named file
       assert(spark.read.format("graft").load(table).count() == 290L)
+      // THE fast-path payoff: a metadata-only COUNT(*) survives the
+      // live vector — answered from manifest row counts minus the
+      // vector's per-file deleted counts, ZERO files opened
+      val cnt = spark.read.format("graft").load(table)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      assert(cnt.head().getLong(0) == 290L)
+      val aggScans = cnt.queryExecution.executedPlan.flatMap {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case g: graft.io.GraftScanFiles => Seq(g.scannedFileCount)
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+      assert(aggScans.forall(_ == 0),
+        s"metadata-only COUNT must open zero files under a live " +
+          s"vector; scanned: $aggScans\n${cnt.queryExecution.executedPlan}")
+      // exact scan statistics deduct the vector too (broadcast sizing)
+      val rel = spark.read.format("graft").load(table)
+      assert(rel.queryExecution.optimizedPlan.stats.rowCount
+          .exists(_.toLong == 290L),
+        s"scan statistics must deduct deleted rows: " +
+          s"${rel.queryExecution.optimizedPlan.stats}")
     }
   }
 

@@ -119,12 +119,34 @@ class NestedEvolSpec extends AnyFunSuite {
         spark.sql("ALTER TABLE graft_nsql_t DROP COLUMN m.s")
         assert(spark.table("graft_nsql_t").schema("m")
           .dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("n"))
-        // nested + DEFAULT refuses with guidance, not a parse error
-        val e = intercept[Exception] {
-          spark.sql(
-            "ALTER TABLE graft_nsql_t ADD COLUMNS (m.d INT DEFAULT 7)")
-        }
-        assert(e.getMessage.contains("top-level"), e.getMessage)
+        // nested ADD with DEFAULT: pure metadata — old rows surface the
+        // default (read-time vintage fill), writes omitting it fill at
+        // the append gate, explicit values are respected
+        spark.sql("ALTER TABLE graft_nsql_t ADD COLUMNS (m.d INT DEFAULT 7)")
+        assert(spark.sql("SELECT m.d FROM graft_nsql_t").collect()
+          .forall(_.getInt(0) == 7))
+        // an INSERT omitting d inside the struct fills the default;
+        // one supplying it keeps its value
+        TxnTable.commitAppend(
+          Seq((3L, 9L)).toDF("id", "n")
+            .select($"id", struct($"n").as("m")), table)
+        TxnTable.commitAppend(
+          Seq((4L, 10L, 42)).toDF("id", "n", "d")
+            .select($"id", struct($"n", $"d").as("m")), table)
+        val ds = spark.sql(
+          "SELECT id, m.d AS d FROM graft_nsql_t ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        assert(ds == Seq((1L, 7), (2L, 7), (3L, 7), (4L, 42)), ds)
+        // future-only SET DEFAULT: existing rows keep reading 7
+        spark.sql(
+          "ALTER TABLE graft_nsql_t ALTER COLUMN m.d SET DEFAULT 99")
+        TxnTable.commitAppend(
+          Seq((5L, 11L)).toDF("id", "n")
+            .select($"id", struct($"n").as("m")), table)
+        val d5 = spark.sql(
+          "SELECT m.d FROM graft_nsql_t WHERE id IN (1, 5) ORDER BY id")
+          .collect().map(_.getInt(0)).toSeq
+        assert(d5 == Seq(7, 99), d5)
         // nested RENAME refuses with the supported alternative
         val e2 = intercept[Exception] {
           spark.sql("ALTER TABLE graft_nsql_t RENAME COLUMN m.n TO m.x")

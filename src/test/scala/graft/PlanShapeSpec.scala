@@ -127,7 +127,7 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("positional deletes subtract via a BROADCAST anti-join on row identity") {
+  test("positional deletes subtract INSIDE the scan: no join, no union") {
     val zone = java.nio.file.Files.createTempDirectory("graft_planshape").toString
     try {
       import spark.implicits._
@@ -136,12 +136,17 @@ class PlanShapeSpec extends AnyFunSuite {
         .write.format("graft").option("statsCols", "k")
         .option("mergeOnRead", "true").mode("overwrite").save(table)
       TxnTable.deleteWherePos(spark, table, df => df("k") < 10L)
-      val plan = spark.read.format("graft").load(table)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-        s"positional subtraction must be a broadcast anti-join; plan:\n$plan")
-      assert(!plan.contains("SortMergeJoin"),
-        s"positional subtraction must not shuffle the data side; plan:\n$plan")
+      val q = spark.read.format("graft").load(table)
+      assert(q.count() == 190L)
+      val plan = q.queryExecution.executedPlan.toString
+      // the vector applies in the partition readers (GraftVecBatch):
+      // the plan is ONE bare scan — no anti-join, no splice union, no
+      // exchange of any kind
+      assert(!plan.contains("Join") && !plan.contains("Union") &&
+          !plan.contains("Exchange"),
+        s"positional subtraction must stay inside the scan; plan:\n$plan")
+      assert(plan.contains("BatchScan"),
+        s"expected the bare DSv2 scan; plan:\n$plan")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
