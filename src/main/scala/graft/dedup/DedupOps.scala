@@ -740,7 +740,8 @@ object DedupOps {
     RQ("d44_decontaminate", d44, Some(d44Sql)),
     RQ("d45_boilerplate_purge", d45, Some(d45Sql)),
     RQ("d46_dedup_inplace", d46, Some(d46Sql), bench = true),
-    RQ("d47_incremental_dedup", d47, Some(d47Sql), bench = true))
+    RQ("d47_incremental_dedup", d47, Some(d47Sql), bench = true),
+    RQ("d48_span_dedup", d48, Some(d48Sql), bench = true))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -880,12 +881,22 @@ object DedupOps {
       inBatchPred: org.apache.spark.sql.Column): (Int, Int) = {
     import spark.implicits._
     import graft.io.TxnTable
+    // dev-only phase timing (unset in driver/bench protocol runs)
+    val prof = sys.env.contains("GRAFT_D47_PROF")
+    var t0 = System.nanoTime()
+    def lap(phase: String): Unit = if (prof) {
+      val t1 = System.nanoTime()
+      println(f"[d47prof] $phase%-16s ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
     batch.write.format("graft").option("mergeOnRead", "true")
       .option("statsCols", "doc_id")
       .mode(if (first) "overwrite" else "append").save(corpus)
+    lap("corpus_append")
     val sig = sigOf(spark, batch).select($"doc_id",
       posexplode(array($"band1", $"band2", $"band3", $"band4"))
         .as(Seq("b", "h"))).localCheckpoint()
+    lap("sig_checkpoint")
     // cross-batch dups: batch docs whose band key already exists in
     // the persisted signatures (all strictly earlier ids). The batch
     // side broadcasts into an inner join PROBING the corpus-sized
@@ -902,16 +913,23 @@ object DedupOps {
         val total = TxnTable.snapshotFiles(spark, sigs,
           TxnTable.latestVersion(spark, sigs).get).size
         val keyLimit = probeKeyLimit(spark)
-        val keys: Seq[String] = sig.select($"h").distinct()
-          .limit(keyLimit + 1).as[String].collect().toSeq
+        // one cheap count over the checkpointed sigs serves both
+        // decisions; a batch whose ROW count already dwarfs the key
+        // limit skips the distinct-keys probe job outright (pruning is
+        // an optimization — skipping it can only cost speed, not rows)
+        val sigN = sig.count()
+        val keys: Seq[String] =
+          if (sigN > 8L * keyLimit) Seq.empty
+          else sig.select($"h").distinct()
+            .limit(keyLimit + 1).as[String].collect().toSeq
+        val smallKeys = keys.nonEmpty && keys.length <= keyLimit
         val base = spark.read.format("graft").load(sigs).select($"b", $"h")
         val scanSide =
-          if (keys.length <= keyLimit) base.filter($"h".isin(keys: _*))
+          if (smallKeys) base.filter($"h".isin(keys: _*))
           else base
         val prevConfs = scala.collection.mutable.ListBuffer
           .empty[(String, Option[String])]
-        val bigBatch = keys.length > keyLimit &&
-          sig.count() > sigBroadcastLimit(spark)
+        val bigBatch = !smallKeys && sigN > sigBroadcastLimit(spark)
         val probe =
           if (!bigBatch)
             scanSide.join(broadcast(sig), Seq("b", "h"), "inner")
@@ -953,7 +971,9 @@ object DedupOps {
                 Seq("b", "h"), "inner")
               .select($"doc_id")
           }
+        lap("probe_plan")
         val out = probe.localCheckpoint()
+        lap("probe_exec")
         require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
           "cross-batch sig probe must not shuffle the signature " +
             s"table:\n${probe.queryExecution.executedPlan}")
@@ -970,13 +990,24 @@ object DedupOps {
     val inBatch = sig.withColumn("m", min($"doc_id").over(w))
       .filter($"doc_id" > $"m").select($"doc_id")
     val losers = cross.union(inBatch).distinct()
-    // coordinate lookup confined to the BATCH's id range: the
-    // predicate prunes the identity read to the batch's own files
-    // (doc_id stats), so the increment never rescans the corpus
-    val rows = TxnTable.readWithRowIdentity(spark, corpus)
-      .filter(inBatchPred)
-    TxnTable.deletePositions(spark, corpus,
-      rows.join(losers, Seq("doc_id"), "left_semi"))
+    // a loser-free increment (the common small-batch case) skips the
+    // whole positional-delete leg — identity read, join, and commit
+    lap("losers_probe_pre")
+    val anyLosers = losers.limit(1).count() > 0L
+    lap("losers_check")
+    if (anyLosers) {
+      // coordinate lookup confined to the BATCH's id range: the
+      // predicate prunes the identity read to the batch's own files
+      // (doc_id stats), so the increment never rescans the corpus
+      val rows = TxnTable.readWithRowIdentity(spark, corpus)
+        .filter(inBatchPred)
+      // losers is batch-bounded (it came from this increment's sigs) but
+      // carries no size stats — without the hint Spark sort-merges and
+      // shuffles the identity read
+      TxnTable.deletePositions(spark, corpus,
+        rows.join(broadcast(losers), Seq("doc_id"), "left_semi"))
+      lap("pos_delete")
+    }
     // ALL signatures persist — the earlier-id pairwise rule judges
     // against every prior doc, deleted or not. Layout is the point:
     // bucket(16, h) (sticky across appends) + per-file (b,h) stats
@@ -987,7 +1018,117 @@ object DedupOps {
       .option("optimizedWrite", "true")
     (if (first) sw.option("partitionBy", "bucket(16, h)").mode("overwrite")
      else sw.mode("append")).save(sigs)
+    lap("sig_append")
     pruneCounts
+  }
+
+  // ---------------------------------------------------------------- d48
+  /** EXACT DUPLICATE-SPAN removal with SLIDING k-gram windows — the
+    * substring-level dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL 2022), re-expressed with
+    * bounded-memory relational passes instead of a corpus-wide suffix
+    * array. d43's disjoint stride-10 passages miss any duplicate run
+    * that straddles a passage boundary (the common case: the same
+    * paragraph quoted mid-document at a different word offset); here
+    * EVERY k-word window (k=8) is a dedup key, so a duplicated run of
+    * >= k words is caught at ANY alignment:
+    *
+    *   1. each doc explodes into its sliding 8-word shingles with
+    *      their 1-based start positions;
+    *   2. an occurrence is a DUP iff an identical shingle exists at a
+    *      strictly earlier (doc_id, pos) — keep-first, deterministic;
+    *   3. a doc's removed region is the UNION of its dup windows
+    *      [pos, pos+7] (overlapping windows merge for free as a
+    *      position-set union — the interval merge of the paper);
+    *   4. surviving words rejoin in order.
+    *
+    * Scale shape: TWO keyed shuffles, exactly d43's — one on the
+    * shingle (the keep-first window), one on doc_id (the rebuild).
+    * The shingle explode is a projection (no pre-shuffle blowup
+    * materialized), the covered-set is per-doc and bounded by doc
+    * length, and nothing is pairwise: corpus-wide duplicate text
+    * costs one window pass however many copies exist. The per-word
+    * `array_contains` rebuild is O(words x removed) per doc — fine
+    * for bounded documents; a corpus of book-length docs would swap
+    * step 4 for an explode + anti-join on (doc_id, pos), one more
+    * doc_id-keyed shuffle. */
+  // def, not val: d48Sql is evaluated eagerly inside `all`, which is
+  // declared EARLIER in the object — a val here would still be 0 there
+  private def d48K = 8
+  private def d48(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(spark, Tables.documents(spark, dir))
+
+  /** The d48 transform over any (doc_id, text) frame — returns
+    * (doc_id, n_words, n_removed, cleaned) ordered by doc_id. */
+  private[graft] def spanDedup(spark: SparkSession,
+      input: DataFrame): DataFrame = {
+    import spark.implicits._
+    val docs = input.select($"doc_id", split($"text", " ").as("w"))
+    // sliding shingles; docs shorter than k yield none (and survive
+    // untouched through the left join below)
+    val grams = docs
+      .select($"doc_id", posexplode(expr(
+        s"""case when size(w) >= $d48K
+           |  then transform(sequence(1, size(w) - ${d48K - 1}),
+           |                 i -> array_join(slice(w, i, $d48K), ' '))
+           |  else array() end""".stripMargin)).as(Seq("off", "g")))
+      .select($"doc_id", ($"off" + 1).as("pos"), $"g")
+    val w = Window.partitionBy($"g").orderBy($"doc_id", $"pos")
+    val covered = grams
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" > 1)
+      .select($"doc_id",
+        sequence($"pos", $"pos" + lit(d48K - 1)).as("span"))
+      .groupBy($"doc_id")
+      .agg(array_distinct(flatten(collect_list($"span"))).as("cov"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        size($"w").cast("bigint").as("n_words"),
+        coalesce(size($"cov"), lit(0)).cast("bigint").as("n_removed"),
+        array_join(
+          filter($"w", (_, i) => not(array_contains(
+            coalesce($"cov", typedLit(Seq.empty[Int])), i + 1))),
+          " ").as("cleaned"))
+      .orderBy($"doc_id")
+  }
+  // def, not val: defined after `all` in initialization order
+  private def d48Sql = {
+    val k = d48K
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, pos, array_to_string(w[pos:pos+${k - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) - ${k - 2})) AS pos FROM toks) u),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       |  FROM grams),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + j AS p
+       |  FROM ranked, range(0, $k) r(j) WHERE rn > 1),
+       |words AS (
+       |  SELECT doc_id, w[p] AS word, p
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) + 1)) AS p FROM toks) u),
+       |clean AS (
+       |  SELECT wo.doc_id,
+       |    COALESCE(string_agg(CASE WHEN c.p IS NULL THEN wo.word END,
+       |                        ' ' ORDER BY wo.p), '') AS cleaned
+       |  FROM words wo LEFT JOIN cov c
+       |    ON c.doc_id = wo.doc_id AND c.p = wo.p
+       |  GROUP BY wo.doc_id),
+       |covn AS (
+       |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.w) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(v.n_removed, 0) AS BIGINT) AS n_removed,
+       |  c.cleaned
+       |FROM toks t
+       |LEFT JOIN covn v ON v.doc_id = t.doc_id
+       |JOIN clean c ON c.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   private def d47(spark: SparkSession, dir: String): DataFrame = {

@@ -83,6 +83,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t49's scalar total must broadcast; plan:\n$plan")
   }
 
+  test("d48 span dedup: keyed shuffles only, nothing pairwise") {
+    // corpus-wide substring dedup must cost keyed exchanges (shingle
+    // window, doc_id rebuild/join) — never a pairwise join: duplicate
+    // text 10^6 copies deep is one window partition, not 10^12 pairs
+    val df = Registry.queries("d48_span_dedup")(spark, Spec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"d48 must stay keyed, nothing pairwise; plan:\n$plan")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyed <= 4,
+      s"d48 expected at most 4 keyed exchanges (shingle window, covered " +
+        s"groupBy, rebuild join sides), got $keyed; plan:\n$plan")
+  }
+
   test("d45 boilerplate purge: the hot-passage set broadcasts") {
     val df = Registry.queries("d45_boilerplate_purge")(spark, Spec.sf0001)
     val plan = df.queryExecution.executedPlan.toString
