@@ -569,6 +569,92 @@ object Text2Ops {
       |  FROM documents) t
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- t53
+  /** MIXTURE MATERIALIZATION — turn t51's τ=2 temperature shares into
+    * an actual sampled corpus, deterministically. The largest total T
+    * the corpus can realize without over-drawing any source is
+    * T = min_s(docs_s / p_s); each source then contributes its
+    * floor(T · p_s) docs with the SMALLEST md5(doc_id) — hash-ranked
+    * selection, so the sample is pseudorandom yet bit-reproducible
+    * across engines and runs, and re-materializing with a grown
+    * corpus keeps prior picks stable modulo quota growth.
+    *
+    * Scale shape: the quota math collapses the corpus to #sources rows
+    * (map-side-combinable agg) and broadcasts back; selection is ONE
+    * window shuffle keyed on source. A pathologically large source
+    * making its window partition hot would swap exact ranking for a
+    * two-pass hash-threshold selection (estimate the m-th smallest
+    * hash, filter, exact-rank only the boundary sliver); shares pin
+    * through DECIMAL(38,6) so quotas are order-independent. */
+  private def t53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextFunctions.tokens($"text")).cast("bigint").as("t"))
+    val per = docs.groupBy($"source").agg(
+      count(lit(1)).cast("bigint").as("c"),
+      sum($"t").cast("bigint").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").cast("bigint").as("total"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("s",
+        sqrt($"n_tokens".cast("double") / $"total".cast("double"))
+          .cast(dec).cast("double"))
+    val norm = shared.agg(sum($"s".cast(dec)).cast("double").as("norm"))
+    val quota = shared.crossJoin(broadcast(norm))
+      .withColumn("p", $"s" / $"norm")
+      .withColumn("cap", $"c".cast("double") / $"p")
+    val tMin = quota.agg(min($"cap").as("tmin"))
+    val quotas = quota.crossJoin(broadcast(tMin))
+      .select($"source", $"c",
+        floor($"p" * $"tmin").cast("bigint").as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    docs.join(broadcast(quotas), Seq("source"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(
+        max($"c").cast("bigint").as("n_docs"),
+        sum(when($"rk" <= $"m", 1L).otherwise(0L)).cast("bigint")
+          .as("n_sampled"),
+        sum(when($"rk" <= $"m", $"doc_id")).cast("bigint").as("id_sum"))
+      .orderBy($"source")
+  }
+  private val t53Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, COUNT(*) AS c,
+      |    CAST(SUM(t) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+      |sh AS (
+      |  SELECT source, c,
+      |    CAST(CAST(SQRT(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
+      |      AS DECIMAL(38,6)) AS DOUBLE) AS s
+      |  FROM per, tot),
+      |nm AS (SELECT CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS norm
+      |       FROM sh),
+      |q AS (
+      |  SELECT source, c, s / norm AS p,
+      |    CAST(c AS DOUBLE) / (s / norm) AS cap
+      |  FROM sh, nm),
+      |tm AS (SELECT MIN(cap) AS tmin FROM q),
+      |quotas AS (
+      |  SELECT source, c, CAST(FLOOR(p * tmin) AS BIGINT) AS m FROM q, tm),
+      |rk AS (
+      |  SELECT d.doc_id, d.source, q.c, q.m,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      |  FROM d JOIN quotas q ON q.source = d.source)
+      |SELECT source,
+      |  CAST(MAX(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk <= m THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN rk <= m THEN doc_id END) AS BIGINT) AS id_sum
+      |FROM rk GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -581,5 +667,6 @@ object Text2Ops {
     RQ("t49_unigram_logprob", t49, Some(t49Sql), bench = true),
     RQ("t50_shuffled_pack", t50, Some(t50Sql)),
     RQ("t51_domain_mix_weights", t51, Some(t51Sql)),
-    RQ("t52_group_split", t52, Some(t52Sql)))
+    RQ("t52_group_split", t52, Some(t52Sql)),
+    RQ("t53_mixture_sample", t53, Some(t53Sql)))
 }

@@ -140,6 +140,35 @@ class CloneSpec extends AnyFunSuite {
     }
   }
 
+  test("DEEP CLONE carries field-id mode: rename on the clone stays pure metadata") {
+    withZone { zone =>
+      import spark.implicits._
+      import graft.io.FieldIds
+      val src = s"$zone/src"
+      TxnTable.commitOverwrite(
+        TxnTable.withFieldIds(Seq((1, "x", 10L), (2, "y", 20L))
+          .toDF("a", "b", "v")), src)
+      val fork = s"$zone/fork"
+      TxnTable.cloneDeep(spark, src, fork)
+      // the clone's schema is id-stamped verbatim
+      val s1 = TxnTable.snapshotSchema(spark, fork, 1L).get
+      assert(FieldIds.hasIds(s1))
+      // rename on the CLONE: no alias legs, copied files serve the new
+      // name by id; the source is untouched
+      TxnTable.renameColumn(spark, fork, "b", "label")
+      assert(TxnTable.columnAliases(spark, fork).isEmpty)
+      assert(TxnTable.read(spark, fork).orderBy("a")
+        .select("a", "label").as[(Int, String)].collect().toSeq ==
+        Seq((1, "x"), (2, "y")))
+      assert(TxnTable.read(spark, src).columns.contains("b"))
+      // appends into the clone keep stamping under the carried ids
+      TxnTable.commitAppend(Seq((3, "z", 30L)).toDF("a", "label", "v"), fork)
+      assert(TxnTable.read(spark, fork).orderBy("a")
+        .select("a", "label", "v").as[(Int, String, Long)].collect().toSeq ==
+        Seq((1, "x", 10L), (2, "y", 20L), (3, "z", 30L)))
+    }
+  }
+
   test("SQL DEEP CLONE spelling; refusal parity with shallow") {
     withZone { zone =>
       import spark.implicits._
