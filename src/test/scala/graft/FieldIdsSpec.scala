@@ -218,6 +218,31 @@ class FieldIdsSpec extends AnyFunSuite {
     } finally s.sql("DROP TABLE IF EXISTS gfid.db.m")
   }
 
+  test("change feed and time travel resolve by id across a rename") {
+    import graft.io.TxnTable
+    val t = tmp() + "/t"
+    TxnTable.commitOverwrite(
+      TxnTable.withFieldIds(Seq((1, "x")).toDF("k", "b")), t) // v1
+    TxnTable.commitAppend(Seq((2, "y")).toDF("k", "b"), t) // v2
+    TxnTable.renameColumn(spark, t, "b", "label") // v3 (metadata only)
+    TxnTable.commitAppend(Seq((3, "z")).toDF("k", "label"), t) // v4
+    // the change feed spans BOTH vintages: pre-rename files must serve
+    // the current name through id resolution, not come back null/binary
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(t)
+    assert(feed.columns.contains("label") && !feed.columns.contains("b"))
+    assert(feed.filter($"_change_type" === "insert")
+      .select($"k", $"label").as[(Int, String)].collect().toSet ==
+      Set((1, "x"), (2, "y"), (3, "z")))
+    // time travel BEFORE the rename serves the old name (per-version
+    // schema), still id-resolved
+    val old = TxnTable.readVersion(spark, t, 2L)
+    assert(old.columns.toSeq == Seq("k", "b"))
+    assert(old.orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "x"), (2, "y")))
+  }
+
   test("late enablement refuses once id-less files exist") {
     import graft.io.TxnTable
     val t = tmp() + "/t"
