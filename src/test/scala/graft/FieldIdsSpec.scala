@@ -243,6 +243,74 @@ class FieldIdsSpec extends AnyFunSuite {
       Seq((1, "x"), (2, "y")))
   }
 
+  test("positional vectors apply in-scan on an id-mode table, across a rename") {
+    import graft.io.TxnTable
+    val t = tmp() + "/t"
+    TxnTable.commitOverwrite(
+      TxnTable.withFieldIds(
+        Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "b")), t)
+    // kilobyte vector names the file; the DSv2 per-file delegate must
+    // still resolve the renamed column by id for that file
+    TxnTable.deletePositions(spark, t,
+      TxnTable.readWithRowIdentity(spark, t).filter($"k" === 2))
+    TxnTable.renameColumn(spark, t, "b", "label")
+    val out = spark.read.format("graft").load(t).orderBy("k")
+    assert(out.columns.toSeq == Seq("k", "label"))
+    assert(out.as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (3, "c"), (4, "d")))
+    assert(TxnTable.read(spark, t).count() == 3L)
+  }
+
+  test("nested ADD COLUMN DEFAULT on an id-mode table mints a fresh id and fills") {
+    import graft.io.TxnTable
+    import org.apache.spark.sql.functions.struct
+    val t = tmp() + "/t"
+    TxnTable.commitOverwrite(TxnTable.withFieldIds(
+      Seq((1L, 5, "a")).toDF("id", "n", "s")
+        .select($"id", struct($"n", $"s").as("m"))), t)
+    spark.sql(s"CREATE TABLE graft_fid_nd USING graft OPTIONS (path '$t')")
+    try {
+      val maxBefore = FieldIds.maxId(TxnTable.snapshotSchema(spark, t, 1L).get)
+      spark.sql("ALTER TABLE graft_fid_nd ADD COLUMNS (m.d INT DEFAULT 7)")
+      val s2 = TxnTable.snapshotSchema(spark, t,
+        TxnTable.latestVersion(spark, t).get).get
+      val dField = s2("m").dataType.asInstanceOf[StructType]("d")
+      assert(FieldIds.idOf(dField).exists(_ > maxBefore),
+        s"nested default column must mint above $maxBefore, got $dField")
+      // pre-declaration rows surface the default; an append omitting
+      // the field fills it at the gate — both under id stamping
+      assert(spark.sql("SELECT m.d FROM graft_fid_nd").collect()
+        .forall(_.getInt(0) == 7))
+      TxnTable.commitAppend(Seq((2L, 6)).toDF("id", "n")
+        .select($"id", struct($"n").as("m")), t)
+      assert(spark.sql("SELECT m.d FROM graft_fid_nd ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq == Seq(7, 7))
+    } finally spark.sql("DROP TABLE graft_fid_nd")
+  }
+
+  test("merge schema evolution on an id-mode table mints ids for new columns") {
+    import graft.io.TxnTable
+    val t = tmp() + "/t"
+    TxnTable.commitOverwrite(TxnTable.withFieldIds(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")), t)
+    val maxBefore = FieldIds.maxId(TxnTable.snapshotSchema(spark, t, 1L).get)
+    // upsert carries a NEW column: the evolved schema must stamp it
+    // with a fresh id and the rewritten files must stay id-resolved
+    TxnTable.merge(Seq((2L, "B", 9), (3L, "c", 7)).toDF("k", "v", "extra"), t, "k")
+    val s2 = TxnTable.snapshotSchema(spark, t,
+      TxnTable.latestVersion(spark, t).get).get
+    assert(FieldIds.hasIds(s2))
+    assert(FieldIds.idOf(s2("extra")).exists(_ > maxBefore))
+    val out = TxnTable.read(spark, t).orderBy("k")
+      .select($"k", $"v", $"extra").as[(Long, String, Option[Int])]
+      .collect().toSeq
+    assert(out == Seq((1L, "a", None), (2L, "B", Some(9)),
+      (3L, "c", Some(7))))
+    // the old column's id is unchanged through the rewrite
+    assert(FieldIds.idOf(s2("v")) ==
+      FieldIds.idOf(TxnTable.snapshotSchema(spark, t, 1L).get("v")))
+  }
+
   test("late enablement refuses once id-less files exist") {
     import graft.io.TxnTable
     val t = tmp() + "/t"
