@@ -428,6 +428,30 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum keeps a live vector's sidecar, reclaims it after REORG PURGE") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      TxnTable.deleteWherePos(spark, table, df => df("g") === 2)
+      val live = state(table).dels.map(_.file)
+      assert(live.nonEmpty)
+      // full-history vacuum: the sidecar is snapshot state exactly like
+      // a data file — reclaiming it would resurrect the deleted rows
+      TxnTable.vacuum(spark, table, keep = 0)
+      live.foreach(f => assert(new java.io.File(s"$table/$f").exists(),
+        s"vacuum must not reclaim live vector sidecar $f"))
+      assert(spark.read.format("graft").load(table)
+        .filter($"g" === 2).count() == 0L)
+      // PURGE materializes the vector into rewritten files; only then
+      // does the sidecar become garbage
+      TxnTable.reorgPurge(spark, table)
+      TxnTable.vacuum(spark, table, keep = 0)
+      live.foreach(f => assert(!new java.io.File(s"$table/$f").exists(),
+        s"materialized vector sidecar $f must vacuum away"))
+      assert(spark.read.format("graft").load(table).count() == 40L)
+    }
+  }
+
   test("SQL REORG TABLE ... APPLY (PURGE) routes to the purge") {
     withZone { table =>
       seed(table)
