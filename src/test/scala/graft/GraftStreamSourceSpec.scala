@@ -211,6 +211,31 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("positional-vector commit in-stream: loud without skip, skipped with it") {
+    import spark.implicits._
+    withZone { zone =>
+      val src = s"$zone/src"
+      val docs = Tables.documents(spark, Spec.sf001)
+        .select($"doc_id", $"n_chars")
+      TxnTable.commitAppend(docs.filter($"doc_id" < 100), src)
+      assert(drain(src, s"$zone/out1", s"$zone/cp1", 1) == 100L)
+      // a positional delete removes ROWS without removing files — a
+      // file-set diff would misread the range as pure addition, so the
+      // default stream must refuse exactly like it does for rewrites
+      TxnTable.deleteWherePos(spark, src, df => df("doc_id") < 10)
+      val late = docs.filter($"doc_id" >= 200 && $"doc_id" < 230)
+      TxnTable.commitAppend(late, src)
+      val ex = intercept[Exception] { drain(src, s"$zone/out1", s"$zone/cp1", 2) }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).map(t => Option(t.getMessage).getOrElse(""))
+        .exists(_.contains("merge-on-read deletes")), ex.getMessage)
+      // with the escape hatch the delete commit is skipped entirely and
+      // the later append flows
+      assert(drainSkip(src, s"$zone/out2", s"$zone/cp2", 1) == 100L + late.count())
+    }
+  }
+
   test("non-append history between offsets fails loudly, not wrongly") {
     import spark.implicits._
     withZone { zone =>
