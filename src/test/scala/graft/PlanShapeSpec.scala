@@ -107,6 +107,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"d45 must never plan a cartesian product; plan:\n$plan")
   }
 
+  test("t53 mixture sample: quotas broadcast, one corpus window shuffle") {
+    // the quota math collapses to #sources rows and must ride back on
+    // broadcasts; the only corpus-sized exchange is the source-keyed
+    // selection window (+ the reporting agg/sort downstream of it)
+    val df = Registry.queries("t53_mixture_sample")(spark, Spec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"t53's quota joins must broadcast; plan:\n$plan")
+  }
+
   test("a57 funnel: conditional-min aggregate, no window over events") {
     import org.apache.spark.sql.catalyst.plans.logical
     val df = Registry.queries("a57_funnel_steps")(spark, Spec.sf0001)
