@@ -68,6 +68,27 @@ object Bloom {
     * nothing about NULLs and neither does the bloom — the per-file
     * null count gates NULL semantics separately). The buffer is the
     * flat byte array itself, so the row encoder handles it natively. */
+  /** [[BuildAgg]] over a NULLABLE hash column: null inputs are skipped
+    * in `reduce` instead of pre-filtered, so the bloom build can ride
+    * the SAME read-back pass as per-file stats (which must see every
+    * row) — one scan of the fresh files per commit, not two. */
+  final class BuildAggNullable(bits: Int, hashes: Int)
+      extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](bits / 8)
+    override def reduce(b: Array[Byte], h: java.lang.Long): Array[Byte] = {
+      if (h != null) add(b, bits, hashes, h.longValue())
+      b
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
+      x
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class BuildAgg(bits: Int, hashes: Int)
       extends Aggregator[Long, Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = new Array[Byte](bits / 8)

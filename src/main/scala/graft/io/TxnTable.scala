@@ -1435,11 +1435,12 @@ object TxnTable {
     // max/nulls for each designated stats column. With no stats columns
     // the pass references zero data columns, so the vectorized reader
     // drives it from row-group metadata.
-    val (stats, rowCounts) = if (newFiles.isEmpty) {
+    val (stats, rowCounts, blooms) = if (newFiles.isEmpty) {
       // an empty PARTITIONED frame lands no part files at all (the
       // non-partitioned writer emits one empty file) — e.g. a catalog
       // CREATE TABLE ... PARTITIONED BY commit; nothing to read back
-      (Map.empty[String, Seq[FileStat]], Map.empty[String, Long])
+      (Map.empty[String, Seq[FileStat]], Map.empty[String, Long],
+        Map.empty[String, Seq[BloomMeta]])
     } else {
       val back = spark.read.parquet(s"$table/$dataDir")
       // one (col, dtype, kind) per stats column the data carries AND
@@ -1450,17 +1451,55 @@ object TxnTable {
       val tracked = statsCols.flatMap(c =>
         typeAt(back.schema, c).flatMap(dt =>
           statKind(dt).map(k => (c, dt, k))))
+      // bloom builds RIDE the same pass: a null-skipping aggregator ORs
+      // per-file bitsets next to the min/max/null aggregates, so a
+      // bloomed commit reads its fresh files ONCE, not twice
+      val bloomTracked = bloomCols.distinct.filter(c =>
+        typeAt(back.schema, c).exists(bloomSupported))
+      val bBits = bloomBits(spark)
+      val bHashes = bloomHashes(spark)
+      val buildAgg = org.apache.spark.sql.functions.udaf(
+        new Bloom.BuildAggNullable(bBits, bHashes))
       val aggs = (count(lit(1)).as("__rows") +:
-        tracked.flatMap { case (c, dt, _) => Seq(
+        (tracked.flatMap { case (c, dt, _) => Seq(
           min(normExpr(c, dt)).as(s"__mn_$c"),
           max(normExpr(c, dt)).as(s"__mx_$c"),
           org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.when(
               normExpr(c, dt).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
-        })
-      val perFile = back.groupBy(input_file_name().as("f"))
+        } ++ bloomTracked.flatMap { c => Seq(
+          buildAgg(org.apache.spark.sql.functions.when(col(c).isNotNull,
+            org.apache.spark.sql.functions.xxhash64(col(c))))
+            .as(s"__bl_$c"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(col(c).isNotNull, 1L)
+              .otherwise(0L)).as(s"__bv_$c"))
+        }))
+      val collected = back.groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
+      // bloom sidecars from the SAME collected rows; a file with zero
+      // non-null values gets no sidecar (parity with the pre-filtered
+      // two-pass spelling this replaces: absent sidecar = no pruning)
+      val bl: Map[String, Seq[BloomMeta]] =
+        if (bloomTracked.isEmpty) Map.empty
+        else collected.flatMap { r =>
+          val key = relKey(r.getString(0))
+          bloomTracked.flatMap { c =>
+            if (r.getAs[Long](s"__bv_$c") == 0L) None
+            else {
+              val out = fc(spark).create(bloomSidecar(table, key, c),
+                java.util.EnumSet.of(
+                  org.apache.hadoop.fs.CreateFlag.CREATE,
+                  org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+                Options.CreateOpts.createParent())
+              try out.write(r.getAs[Array[Byte]](s"__bl_$c"))
+              finally out.close()
+              Some(key -> BloomMeta(c, bBits, bHashes))
+            }
+          }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val perFile = collected
         .map { r =>
           val key = relKey(r.getString(0))
           val ss = tracked.flatMap { case (c, _, kind) =>
@@ -1481,40 +1520,8 @@ object TxnTable {
       // missing-line "unknown" of pre-rows manifests
       val counts = perFile.map(t => t._1 -> t._3).toMap
       (perFile.filter(_._2.nonEmpty).map(t => t._1 -> t._2).toMap,
-        newFiles.map(f => f -> counts.getOrElse(f, 0L)).toMap)
+        newFiles.map(f => f -> counts.getOrElse(f, 0L)).toMap, bl)
     }
-    val blooms: Map[String, Seq[BloomMeta]] =
-      if (bloomCols.isEmpty || newFiles.isEmpty) Map.empty
-      else {
-        val ctx = fc(spark)
-        val back = spark.read.parquet(s"$table/$dataDir")
-        val bits = bloomBits(spark)
-        val hashes = bloomHashes(spark)
-        val buildAgg = org.apache.spark.sql.functions.udaf(new Bloom.BuildAgg(bits, hashes))
-        // dotted entries resolve through struct chains — nested fields
-        // carry bloom sidecars exactly like top-level ones
-        val tracked = bloomCols.distinct.filter(c =>
-          typeAt(back.schema, c).exists(bloomSupported))
-        tracked.flatMap { c =>
-          // one keyed pass per bloom column over the fresh data: group
-          // by source file, OR together the per-partition bitsets
-          back.filter(col(c).isNotNull)
-            .select(input_file_name().as("__f"),
-              org.apache.spark.sql.functions.xxhash64(col(c)).as("__h"))
-            .groupBy(col("__f"))
-            .agg(buildAgg(col("__h")).as("__bloom"))
-            .collect()
-            .map { r =>
-              val key = relKey(r.getString(0))
-              val out = ctx.create(bloomSidecar(table, key, c),
-                java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-                  org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-                Options.CreateOpts.createParent())
-              try out.write(r.getAs[Array[Byte]]("__bloom")) finally out.close()
-              key -> BloomMeta(c, bits, hashes)
-            }
-        }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-      }
     (dataDir, newFiles, stats, blooms, rowCounts)
   }
 
