@@ -1042,12 +1042,15 @@ object DedupOps {
     *      position-set union — the interval merge of the paper);
     *   4. surviving words rejoin in order.
     *
-    * Scale shape: TWO keyed shuffles, exactly d43's — one on the
-    * shingle (the keep-first window), one on doc_id (the rebuild).
-    * The shingle explode is a projection (no pre-shuffle blowup
-    * materialized), the covered-set is per-doc and bounded by doc
-    * length, and nothing is pairwise: corpus-wide duplicate text
-    * costs one window pass however many copies exist. The per-word
+    * Scale shape: keyed shuffles only — shingle-keyed for the
+    * first-occurrence MIN and the flag join (one exchange, reused),
+    * doc_id-keyed for the rebuild. The shingle explode is a projection
+    * (no pre-shuffle blowup materialized), the covered-set is per-doc
+    * and bounded by doc length, and nothing is pairwise: corpus-wide
+    * duplicate text costs one aggregation pass however many copies
+    * exist, with hot shingles partial-aggregated map-side and the
+    * flag join AQE-skew-splittable (a window spelling would pin every
+    * occurrence of a boilerplate shingle on one reducer). The per-word
     * `array_contains` rebuild is O(words x removed) per doc — fine
     * for bounded documents; a corpus of book-length docs would swap
     * step 4 for an explode + anti-join on (doc_id, pos), one more
@@ -1066,6 +1069,11 @@ object DedupOps {
     val docs = input.select($"doc_id", split($"text", " ").as("w"))
     // sliding shingles; docs shorter than k yield none (and survive
     // untouched through the left join below)
+    // materialized once: the min-agg and the flag join both consume the
+    // shingle frame, and the explode (split + slice + join per window)
+    // is the op's CPU hot spot — recomputing it per branch would double
+    // the work (d36/d47 checkpoint their signature frames the same way;
+    // a production corpus would persist its shingle table to storage)
     val grams = docs
       .select($"doc_id", posexplode(expr(
         s"""case when size(w) >= $d48K
@@ -1073,10 +1081,28 @@ object DedupOps {
            |                 i -> array_join(slice(w, i, $d48K), ' '))
            |  else array() end""".stripMargin)).as(Seq("off", "g")))
       .select($"doc_id", ($"off" + 1).as("pos"), $"g")
-    val w = Window.partitionBy($"g").orderBy($"doc_id", $"pos")
+      .localCheckpoint()
+    // keep-first WITHOUT a window: the corpus-wide first occurrence per
+    // shingle is a map-side-combinable MIN, and flagging is an equi-join
+    // back on the shingle. A row_number window would pin every
+    // occurrence of a hot shingle (boilerplate shared by 10^6 docs) on
+    // ONE reducer with no recourse; the join spelling partial-aggregates
+    // hot keys before the shuffle and AQE splits a skewed join
+    // partition — same semantics ((doc_id, pos) is unique, so
+    // "occurrence != min" is exactly "rank > 1"), no hot-key ceiling.
+    // only shingles occurring MORE than once matter for flagging — the
+    // duplicated tail is tiny relative to the corpus (it's bounded by
+    // actual duplication volume), so the flag join usually broadcasts
+    // and the gram side streams with no sort; a massively-duplicated
+    // corpus falls back to an AQE-skew-splittable SMJ by size estimate
+    val dupFirsts = grams.groupBy($"g")
+      .agg(min(struct($"doc_id", $"pos")).as("first"),
+        count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"g", $"first")
     val covered = grams
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" > 1)
+      .join(dupFirsts, Seq("g"))
+      .filter(struct($"doc_id", $"pos") =!= $"first")
       .select($"doc_id",
         sequence($"pos", $"pos" + lit(d48K - 1)).as("span"))
       .groupBy($"doc_id")

@@ -93,9 +93,15 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"d48 must stay keyed, nothing pairwise; plan:\n$plan")
     val keyed = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(keyed <= 4,
-      s"d48 expected at most 4 keyed exchanges (shingle window, covered " +
-        s"groupBy, rebuild join sides), got $keyed; plan:\n$plan")
+    assert(keyed <= 5,
+      s"d48 expected at most 5 keyed exchanges (shingle min-agg + flag " +
+        s"join, covered groupBy, rebuild join sides), got $keyed; " +
+        s"plan:\n$plan")
+    // the keep-first must be aggregation + join, never a corpus window
+    // (a hot boilerplate shingle would pin one reducer)
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.contains("Window "),
+      s"d48 keep-first must not use a window; plan:\n$plan")
   }
 
   test("d45 boilerplate purge: the hot-passage set broadcasts") {
