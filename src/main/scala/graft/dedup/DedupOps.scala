@@ -45,14 +45,17 @@ object DedupOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d34
-  /** Exact dedup, keep lowest doc_id per fingerprint group. */
+  /** Exact dedup, keep lowest doc_id per fingerprint group — spelled
+    * as a map-side-combinable MIN, not a rank window: the keeper per
+    * group IS the aggregate, so a fingerprint duplicated 10^6 times
+    * collapses to one row per mapper partition before the shuffle
+    * instead of pinning a reducer with the whole group. */
   private def d34(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"fp").orderBy($"doc_id")
     Tables.documents(spark, dir)
       .select($"doc_id", fingerprint($"text").as("fp"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id", $"fp")
       .orderBy($"doc_id")
   }
@@ -576,23 +579,37 @@ object DedupOps {
     * aggregation, so the result is partition-count-independent. */
   private def d43(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // checkpointed once: the min-agg and the flag join both consume it
+    // and the explode is the op's CPU hot spot (the d48 pattern)
     val passages = Tables.documents(spark, dir)
       .select($"doc_id", posexplode(expr(
         """transform(
           |  sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1),
           |  i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"""
           .stripMargin)).as(Seq("pos", "passage")))
-    val w = Window.partitionBy($"passage").orderBy($"doc_id", $"pos")
-    passages
-      .withColumn("rn", row_number().over(w))
+      .localCheckpoint()
+    // keep-first without a corpus window (the d48 spelling): the first
+    // occurrence per passage is a map-side-combinable MIN, only the
+    // DUPLICATED tail joins back (left, broadcast in the common case),
+    // and occurrences of unique passages are first by construction —
+    // a license header shared by 10^6 documents partial-aggregates
+    // instead of pinning one reducer
+    val dupFirsts = passages.groupBy($"passage")
+      .agg(min(struct($"doc_id", $"pos")).as("first"),
+        count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"passage", $"first")
+    passages.join(dupFirsts, Seq("passage"), "left")
+      .withColumn("keep",
+        $"first".isNull || struct($"doc_id", $"pos") === $"first")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).cast("bigint").as("n_passages"),
-        sum(when($"rn" === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        sum(when($"keep", 1L).otherwise(0L)).cast("bigint").as("n_kept"),
         array_join(
           transform(
             array_sort(collect_list(
-              when($"rn" === 1, struct($"pos", $"passage")))),
+              when($"keep", struct($"pos", $"passage")))),
             s => s.getField("passage")),
           " ").as("cleaned"))
       .orderBy($"doc_id")
@@ -753,10 +770,12 @@ object DedupOps {
     * physical rows, so a 100 TB corpus dedups by committing
     * kilobyte-scale sidecars instead of rewriting data files (REQUIREd
     * here), with OPTIMIZE materializing later. Scale shape: one
-    * identity read (zero extra I/O — parquet `_metadata`), one window
-    * shuffle keyed by `xxhash64(text)` (8-byte shuffle/sort key;
-    * collisions resolved exactly by a text tiebreak inside the
-    * bucket), one broadcast anti-join at read. */
+    * column-pruned (text, doc_id) aggregation pass whose map-side
+    * combine collapses duplicates before the shuffle, a flag join
+    * against only the duplicated tail (broadcast in the common case)
+    * streaming the identity read, one broadcast anti-join at read —
+    * no corpus window, so a mass-duplicated text never pins a
+    * reducer. */
   private def d46(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.io.TxnTable
@@ -771,17 +790,20 @@ object DedupOps {
       val v1 = TxnTable.latestVersion(spark, table).get
       val before = TxnTable.morState(spark, table, v1).files.toSet
       val rows = TxnTable.readWithRowIdentity(spark, table)
-      // window keyed on xxhash64(text), NOT the text itself: the
-      // exchange ships the same rows either way, but hashing/comparing
-      // an 8-byte key beats multi-KB strings as the shuffle and sort
-      // key at corpus scale. Hash collisions are exact-safe: rows sort
-      // by (text, doc_id) within the bucket and a row is a loser iff
-      // its PREDECESSOR carries the same text — the first row of each
-      // text run (the min doc_id) survives.
-      val w = Window.partitionBy(xxhash64($"text"))
-        .orderBy($"text", $"doc_id")
-      val losers = rows.withColumn("_prev", lag($"text", 1).over(w))
-        .filter($"_prev" === $"text")
+      // keeper-per-text is a map-side-combinable MIN over a
+      // column-pruned (text, doc_id) scan — duplicates collapse BEFORE
+      // the shuffle, where the previous window spelling shipped every
+      // row (with identity columns) to a per-text-hash reducer and a
+      // mass-duplicated text pinned one task. Only the duplicated tail
+      // (n > 1) joins back — broadcast in the common case — so the
+      // identity read streams; losers are rows above their text's min.
+      val dupMins = rows.select($"text", $"doc_id")
+        .groupBy($"text")
+        .agg(min($"doc_id").as("_m"), count(lit(1)).as("_n"))
+        .filter($"_n" > 1)
+        .select($"text", $"_m")
+      val losers = rows.join(dupMins, Seq("text"))
+        .filter($"doc_id" > $"_m")
       TxnTable.deletePositions(spark, table, losers)
       val st = TxnTable.morState(spark, table,
         TxnTable.latestVersion(spark, table).get)
