@@ -64,6 +64,20 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(1L)._3 == (run8 ++ words("m", 4)).mkString(" "))
   }
 
+  test("mass duplication: one boilerplate run shared by many docs, all but the first cleaned") {
+    // the shape the no-window respell exists for: one hot shingle set
+    // shared corpus-wide must still resolve keep-first exactly
+    val boiler = words("bp", 10)
+    val docs = (1L to 40L).map(i =>
+      i -> (Seq(s"u${i}a", s"u${i}b") ++ boiler ++ Seq(s"u${i}c")).mkString(" "))
+    val out = run(docs)
+    assert(out(1L)._2 == 0L) // first occurrence intact
+    (2L to 40L).foreach { i =>
+      assert(out(i)._2 == 10L, s"doc $i must lose the boilerplate run")
+      assert(out(i)._3 == Seq(s"u${i}a", s"u${i}b", s"u${i}c").mkString(" "))
+    }
+  }
+
   test("docs shorter than the window and empty docs pass through untouched") {
     val short = words("s", 7).mkString(" ")
     val out = run(Seq(1L -> short, 2L -> short, 3L -> ""))
