@@ -78,6 +78,43 @@ class SpanDedupSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force reference of the d48 rule: global keep-first over
+    * sliding k-grams by (doc_id, pos), covered = union of dup windows. */
+  private def reference(docs: Seq[(Long, String)], k: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for {
+      (id, text) <- docs.sortBy(_._1)
+      w = text.split(" ", -1)
+      i <- 0 to w.length - k
+    } {
+      val g = w.slice(i, i + k).mkString(" ")
+      if (!first.contains(g)) first(g) = (id, i)
+    }
+    docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val covered = scala.collection.mutable.Set.empty[Int]
+      for (i <- 0 to w.length - k) {
+        val g = w.slice(i, i + k).mkString(" ")
+        if (first(g) != ((id, i))) covered ++= i until i + k
+      }
+      val cleaned = w.zipWithIndex.collect {
+        case (word, i) if !covered(i) => word }.mkString(" ")
+      id -> ((w.length.toLong, covered.size.toLong, cleaned))
+    }.toMap
+  }
+
+  test("property: matches the brute-force rule on random collision-heavy corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab forces collisions
+    (1 to 20).foreach { trial =>
+      val docs = (1L to (1 + rnd.nextInt(6)).toLong).map(i =>
+        i -> Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      assert(run(docs) == reference(docs, 8), s"trial $trial: $docs")
+    }
+  }
+
   test("docs shorter than the window and empty docs pass through untouched") {
     val short = words("s", 7).mkString(" ")
     val out = run(Seq(1L -> short, 2L -> short, 3L -> ""))
