@@ -1007,10 +1007,17 @@ object DedupOps {
         }
         (out, (scanned, total))
       }
-    // in-batch dups: per band key, everything above the min id
-    val w = Window.partitionBy($"b", $"h")
-    val inBatch = sig.withColumn("m", min($"doc_id").over(w))
-      .filter($"doc_id" > $"m").select($"doc_id")
+    // in-batch dups: per band key, everything above the min id — a
+    // map-side-combinable MIN over the checkpointed sigs plus a join
+    // against only the DUPLICATED band keys (no window: a batch
+    // carrying 10^6 copies of one doc shares band keys that would pin
+    // a single window reducer; the dup tail broadcasts instead)
+    val dupBands = sig.groupBy($"b", $"h")
+      .agg(min($"doc_id").as("_m"), count(lit(1)).as("_n"))
+      .filter($"_n" > 1)
+      .select($"b", $"h", $"_m")
+    val inBatch = sig.join(dupBands, Seq("b", "h"))
+      .filter($"doc_id" > $"_m").select($"doc_id")
     val losers = cross.union(inBatch).distinct()
     // a loser-free increment (the common small-batch case) skips the
     // whole positional-delete leg — identity read, join, and commit
