@@ -696,6 +696,13 @@ object TxnTable {
       if (c.contains('.')) walk(schema, c.split('.').toSeq) else None
     }
 
+  /** Longest string a per-file min/max stat may record; longer values
+    * get NO stat for that (file, column) — see the cap note at the
+    * collection site. */
+  private[io] def statMaxStringLen(spark: SparkSession): Int =
+    spark.conf.getOption("graft.stats.maxStringLen")
+      .map(_.toInt).getOrElse(256)
+
   private[io] def statKind(dt: DataType): Option[String] = dt match {
     case StringType => Some("str")
     case DateType | TimestampType | TimestampNTZType => Some("num")
@@ -1510,6 +1517,18 @@ object TxnTable {
               // delete paths a pointless boundary rewrite
               case (null, _) if nn > 0L => Some(FileStat(c, "null", "", "", nn))
               case (null, _) => None
+              // LONG-STRING CAP: manifests carry stats inline, so a
+              // statsCols entry on a document-sized text column would
+              // bloat every file line by its full min/max (10^6 files x
+              // multi-KB strings = manifest explosion at corpus scale).
+              // Truncated bounds are NOT recorded instead because the
+              // metadata-only MIN/MAX pushdown reads stats as exact
+              // values — an absent stat is conservative EVERYWHERE
+              // (pruning keeps the file, aggregates refuse pushdown).
+              case (mn, mx) if kind == "str" && {
+                val cap = statMaxStringLen(spark)
+                mn.toString.length > cap || mx.toString.length > cap
+              } => None
               case (mn, mx) => Some(FileStat(c, kind, mn.toString, mx.toString, nn))
             }
           }
