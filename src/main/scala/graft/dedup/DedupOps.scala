@@ -486,15 +486,19 @@ object DedupOps {
   // ---------------------------------------------------------------- d41
   /** Dedup KEEP-BEST: within each exact-fingerprint group keep the
     * richest copy (longest raw text, then lowest id) — the canonical-pick
-    * policy real pipelines use instead of d34's keep-first. */
+    * policy real pipelines use instead of d34's keep-first. The pick is
+    * a lexicographic MIN over (-length, doc_id): map-side combinable,
+    * so a mass-duplicated fingerprint never pins a window reducer. */
   private def d41(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"fp").orderBy(length($"text").desc, $"doc_id")
     Tables.documents(spark, dir)
-      .select($"doc_id", $"text", fingerprint($"text").as("fp"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"fp", length($"text").cast("bigint").as("n_chars"))
+      .select($"doc_id", fingerprint($"text").as("fp"),
+        length($"text").cast("bigint").as("n_chars"))
+      .groupBy($"fp")
+      .agg(min(struct((-$"n_chars").as("nl"), $"doc_id", $"n_chars"))
+        .as("best"))
+      .select($"best.doc_id".as("doc_id"), $"fp",
+        $"best.n_chars".as("n_chars"))
       .orderBy($"doc_id")
   }
   private val d41Sql =
