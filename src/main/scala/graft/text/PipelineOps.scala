@@ -20,7 +20,9 @@ import graft.text.TextFunctions._
   * (filter-after-dedup ordering, quality threshold on bit-identical
   * doubles, chunk-count arithmetic), not just the stages.
   *
-  * Shape at 100 TB: one shuffle (the fingerprint window), then pure
+  * Shape at 100 TB: one shuffle (the fingerprint keep-first, a
+  * map-side-combinable MIN — a mass-duplicated fingerprint collapses
+  * before the exchange instead of pinning a window reducer), then pure
   * per-row projections/explodes and one keyed count — the same plan the
   * stages have individually; composition adds no new exchanges. */
 object PipelineOps {
@@ -29,12 +31,11 @@ object PipelineOps {
 
   private def p90(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"fp").orderBy($"doc_id")
     val deduped = Tables.documents(spark, dir)
       .withColumn("fp", fingerprint($"text"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"text")
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"text")).as("best"))
+      .select($"best.doc_id".as("doc_id"), $"best.text".as("text"))
     val scored = deduped
       .withColumn("toks", tokens($"text"))
       .withColumn("n_tokens", size($"toks"))
