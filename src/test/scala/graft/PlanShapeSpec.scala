@@ -104,6 +104,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"d48 keep-first must not use a window; plan:\n$plan")
   }
 
+  test("keep-first/keep-best dedup plans a min-agg, never a window") {
+    // the skew contract of the r14 respell: a mass-duplicated
+    // fingerprint/passage must partial-aggregate map-side, not pin a
+    // window reducer (d33 keeps its window deliberately — its OUTPUT is
+    // the per-occurrence rank)
+    Seq("d34_dedup_exact", "d41_dedup_keep_best", "d43_passage_dedup",
+      "p90_training_pipeline").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Window"),
+        s"$q must keep-first via min-agg, not a window; plan:\n$plan")
+    }
+  }
+
   test("d45 boilerplate purge: the hot-passage set broadcasts") {
     val df = Registry.queries("d45_boilerplate_purge")(spark, Spec.sf0001)
     val plan = df.queryExecution.executedPlan.toString
