@@ -34,6 +34,21 @@ class ScanStatsSpec extends AnyFunSuite {
     // id stats still prune
     val (rr, scanned, total) = TxnTable.readRange(spark, t, "id", 3L, 3L)
     assert(rr.count() == 1L && scanned < total)
+    // blooms are the right tool for long-string equality: hash-based
+    // sidecars carry no value bytes, so they keep pruning where the
+    // capped stats cannot
+    val tb = s"$zone/txtbloom"
+    Seq((1L, long + "a"), (2L, long + "b")).toDF("id", "text")
+      .coalesce(1).write.format("graft")
+      .option("bloomCols", "text").mode("overwrite").save(tb)
+    Seq((3L, long + "c")).toDF("id", "text")
+      .coalesce(1).write.format("graft")
+      .option("bloomCols", "text").mode("append").save(tb)
+    val (hit, bScanned, bTotal) =
+      TxnTable.readEquals(spark, tb, "text", long + "c")
+    assert(hit.count() == 1L && bTotal == 2)
+    assert(bScanned < bTotal,
+      s"bloom must prune long-string equality: $bScanned of $bTotal")
     // absent stat is conservative: the un-statted file still scans
     val r = spark.read.format("graft").load(t)
     assert(r.filter($"text" === "short").count() == 1L)
