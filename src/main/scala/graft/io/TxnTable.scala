@@ -1601,14 +1601,21 @@ object TxnTable {
       retiredLine(retired) ++
       aliasLines(aliases) ++
       dels.map(delLine) ++
-      // add-version lines exist ONLY to gate equality deletes; on a
-      // table that never enabled merge-on-read they are O(files) dead
-      // weight per checkpoint (500 appends ≈ +45 KB of manifest). A
-      // file with no recorded add version reads as version 0 — "older
-      // than every delete" — which is exact for every file committed
-      // before MoR was enabled, so omitting them while mor is off is
-      // lossless, not an approximation.
-      (if (mor || dels.nonEmpty) addvLines(addv, filesSet) else Nil) ++
+      // add-version lines exist to gate equality deletes AND the
+      // nested-default existence fill; on a table using neither they
+      // are O(files) dead weight per checkpoint (500 appends ≈ +45 KB
+      // of manifest). A file with no recorded add version reads as
+      // version 0 — "older than every delete" — which is exact for
+      // every file committed before MoR was enabled, so omitting them
+      // while both features are off is lossless, not an approximation.
+      // With a vintage-gated nested DEFAULT, omission would be a
+      // CORRECTNESS bug: a full manifest (overwrite/compact/restore)
+      // dropping addv resets every file to vintage 0, and the read-time
+      // fill would overwrite post-declaration files' real values.
+      (if (mor || dels.nonEmpty ||
+           nestedDefaults(schema).exists(nd =>
+             nd.existsSql.isDefined && nd.sinceV > 0L))
+        addvLines(addv, filesSet) else Nil) ++
       cdcAdd.map(CdcPrefix + _) ++
       cdcDel.map(CdcDelPrefix + _) ++
       partColsLine(partCols) ++
@@ -4620,15 +4627,19 @@ object TxnTable {
             "commits are not reconstructible")
       case Some("copy-into") => // pure append with ingest markers
         CommitChanges(v, "copy-into", added, Nil, Nil)
-      case Some("clone") => // a clone's v1 IS insert-all, like overwrite
-        CommitChanges(v, "clone", added, removed, Nil)
+      case Some(o @ ("clone" | "deep-clone" | "convert")) =>
+        // a clone's / conversion's v1 IS insert-all, like overwrite
+        CommitChanges(v, o, added, removed, Nil)
       case Some("compact") | Some("zorder") | Some("restore") |
            Some("alter-add") | Some("alter-drop") |
-           Some("alter-constraint") | Some("alter-rename") =>
+           Some("alter-constraint") | Some("alter-rename") |
+           Some("alter-add-nested") | Some("alter-drop-nested") |
+           Some("alter-rename-nested") | Some("alter-default") |
+           Some("alter-type") | Some("set-partition-spec") =>
         // no logical content change: maintenance (incl. the z-order
-        // re-clustering rewrite), metadata-only schema/constraint
-        // commits, and the rename rewrite (same rows, new column name —
-        // schema changes are not row changes)
+        // re-clustering rewrite), metadata-only schema/constraint/
+        // default/partition-spec commits, and the rename rewrite (same
+        // rows, new column name — schema changes are not row changes)
         CommitChanges(v, op.get, Nil, Nil, Nil)
       case Some(other) => throw new IllegalStateException(
         s"$table v$v carries unknown commit op '$other'")
@@ -4672,10 +4683,18 @@ object TxnTable {
     val untilSt = stateOf(spark, table, until)
     val frames = ((sinceVersion + 1L) to until).flatMap { v =>
       val cc = commitChanges(spark, table, v)
-      def readAs(files: Seq[String], tpe: String): Option[DataFrame] =
+      // per-leg add versions gate the nested-default existence fill:
+      // files INSERTED at v have add version exactly v (they carry any
+      // default declared before v physically); files DELETED at v were
+      // live in the prior snapshot, whose addv records their vintage.
+      // Omitting addv would read every leg as vintage 0 and the fill
+      // would overwrite post-declaration files' real values.
+      lazy val priorSt = stateOf(spark, table, v - 1)
+      def readAs(files: Seq[String], tpe: String,
+                 addv: => Map[String, Long]): Option[DataFrame] =
         if (files.isEmpty) None
         else Some(planFiles(spark, table, schema, files, untilSt.pathpart,
-            untilSt.aliases, retired = untilSt.retired)
+            untilSt.aliases, retired = untilSt.retired, addv = addv)
           .withColumn(ChangeTypeCol, lit(tpe)))
       val cdc =
         if (cc.cdc.isEmpty) None
@@ -4691,7 +4710,7 @@ object TxnTable {
       val posReplayed =
         if (cc.posDels.isEmpty) None
         else {
-          val prior = stateOf(spark, table, v - 1)
+          val prior = priorSt
           val rows =
             delAppliedRead(spark, table, prior, prior.files,
               withIdentity = true)
@@ -4711,8 +4730,9 @@ object TxnTable {
       val insertType =
         if (cc.posDels.nonEmpty && cc.op != "delete") "update_postimage"
         else "insert"
-      (readAs(cc.inserts, insertType).toSeq ++
-        readAs(cc.deletes, "delete").toSeq ++ cdc.toSeq ++
+      (readAs(cc.inserts, insertType,
+          cc.inserts.map(_ -> v).toMap).toSeq ++
+        readAs(cc.deletes, "delete", priorSt.addv).toSeq ++ cdc.toSeq ++
         posReplayed.toSeq)
         .map(_.withColumn(CommitVersionCol, lit(v)))
     }
@@ -5634,6 +5654,64 @@ object TxnTable {
     (v, fresh.map(_.toUri.getPath))
   }
 
+  /** Clone-local re-basing of nested-default vintage gates. A clone's
+    * history starts fresh at v1, but `NestedDefaultSinceKey` values in
+    * the copied schema are SOURCE-history-relative — carried verbatim
+    * against reset add versions, every cloned file would read as
+    * pre-declaration and the existence fill would overwrite
+    * post-declaration files' REAL values. Re-base both sides: files
+    * keep only their fill-relevant ordering (pre-declaration files →
+    * add version 0, post → 1) and each default's sinceV is rewritten
+    * onto that two-value scale (0 = fills nothing, 1 = fills only the
+    * older class, 2 = fills everything). Add versions must stay ≤ 1 so
+    * the clone's own future merge-on-read deletes (version ≥ 2) still
+    * gate every cloned file; when the source's files split into more
+    * than two vintage classes that scale cannot represent them — refuse
+    * with the same escape hatch as live MoR deletes. Returns the
+    * re-stamped schema plus the clone's add-version map (source-relative
+    * file names; entries at version 0 omitted — absence reads as 0). */
+  private def rebaseNdefsForClone(source: String, srcV: Long,
+      schema: StructType, files: Seq[String], addv: Map[String, Long])
+      : (StructType, Map[String, Long]) = {
+    val ndefs = nestedDefaults(schema)
+      .filter(nd => nd.existsSql.isDefined && nd.sinceV > 0L)
+    if (ndefs.isEmpty) return (schema, files.map(_ -> 1L).toMap)
+    // per-file fill set: which defaults the read-time fill applies to.
+    // Fill sets are monotone in add version, so distinct sets CHAIN
+    // (newer ⊆ older) — two distinct sets are representable on the
+    // clone's {0, 1} add-version scale, three or more are not.
+    val fillSets: Map[String, Set[Seq[String]]] = files.map { f =>
+      f -> ndefs.filter(nd => addv.getOrElse(f, 0L) < nd.sinceV)
+        .map(_.path).toSet
+    }.toMap
+    val classes =
+      fillSets.values.toSet.toSeq.sortBy((s: Set[Seq[String]]) => -s.size)
+    require(classes.size <= 2,
+      s"$source@v$srcV splits its files into ${classes.size} " +
+        "nested-default vintage classes — a clone's fresh history can " +
+        "only represent two; OPTIMIZE the source to materialize the " +
+        "defaults, then clone")
+    // single class reads as "newer" (add version 1, no older leg)
+    val older = if (classes.size == 2) classes.head else Set.empty[Seq[String]]
+    val newer = classes.last
+    val sinceOf: Seq[String] => Long = p =>
+      if (newer.contains(p)) 2L else if (older.contains(p)) 1L else 0L
+    val restamped = ndefs.foldLeft(schema) { (s, nd) =>
+      transformStructAt(s, nd.path.init, source, containers = false) { inner =>
+        StructType(inner.fields.map { f =>
+          if (f.name.equalsIgnoreCase(nd.path.last))
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong(NestedDefaultSinceKey, sinceOf(nd.path)).build())
+          else f
+        })
+      }
+    }
+    val cloneAddv = files.filter(f => fillSets(f) != older).map(_ -> 1L).toMap
+    (restamped, cloneAddv)
+  }
+
   // ------------------------------------------------------ SHALLOW CLONE
   /** `CREATE TABLE … SHALLOW CLONE` — a zero-copy dev/test fork: the
     * clone's v1 manifest references the source snapshot's data files BY
@@ -5685,12 +5763,17 @@ object TxnTable {
       d.relativize(s).toString
     }
     def pf(f: String) = s"$rel/$f"
-    val content = manifestContent(schema, st.txns,
+    // nested-default vintage gates are source-history-relative — re-base
+    // them (and the add versions they gate against) onto clone history
+    val (cloneSchema, cloneAddv) =
+      rebaseNdefsForClone(source, srcV, schema, st.files, st.addv)
+    val content = manifestContent(cloneSchema, st.txns,
       st.stats.map { case (f, v) => pf(f) -> v },
       st.files.map(pf),
       st.blooms.map { case (f, v) => pf(f) -> v },
       st.rows.map { case (f, v) => pf(f) -> v },
       st.partCols, op = "clone", cdf = st.cdf, mor = st.mor,
+      addv = cloneAddv.map { case (f, v) => pf(f) -> v },
       checks = st.checks, props = st.props, retired = st.retired, aliases = st.aliases)
     require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
       s"$dest was concurrently initialized — clone aborted")
@@ -5756,11 +5839,16 @@ object TxnTable {
           false, true, conf)
       }
     }
-    // fresh history: every copied file's add version is the clone's v1,
-    // so future merge-on-read deletes gate them correctly
-    val content = manifestContent(schema, st.txns, st.stats, st.files,
+    // fresh history: copied files' add versions collapse to the clone's
+    // v1 (≤ 1, so future merge-on-read deletes at version ≥ 2 gate every
+    // file), with nested-default vintage gates re-based onto the same
+    // scale — carried verbatim they would be source-history-relative and
+    // the read-time fill would overwrite post-declaration files' values
+    val (cloneSchema, cloneAddv) =
+      rebaseNdefsForClone(source, srcV, schema, st.files, st.addv)
+    val content = manifestContent(cloneSchema, st.txns, st.stats, st.files,
       st.blooms, st.rows, st.partCols, op = "deep-clone", cdf = st.cdf,
-      mor = st.mor, addv = st.files.map(_ -> 1L).toMap,
+      mor = st.mor, addv = cloneAddv,
       checks = st.checks, props = st.props, retired = st.retired,
       pathpart = st.pathpart, aliases = st.aliases)
     require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
