@@ -200,4 +200,68 @@ class PlanShapeSpec extends AnyFunSuite {
       rm(new java.io.File(zone))
     }
   }
+
+  test("a live positional vector keeps the whole scan COLUMNAR") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_planshape").toString
+    try {
+      import spark.implicits._
+      val table = s"$zone/t"
+      // two vintages × two files each: the vector will name files of
+      // the FIRST batch only, so the second batch's files are clean —
+      // those must keep the vectorized fast path too (the r14 weak:
+      // one named file used to flip ALL partitions row-based).
+      // Struct + array columns exercise the remap wrapper's child and
+      // array paths under the nested vectorized reader.
+      def frame(lo: Long, hi: Long) =
+        spark.range(lo, hi).select($"id".as("k"), ($"id" * 1.0).as("v"),
+          concat(lit("s"), $"id").as("s"),
+          struct(($"id" % 7).as("a"), concat(lit("t"), $"id").as("b"))
+            .as("m"),
+          array($"id", $"id" + 1L).as("xs"))
+      frame(0L, 100L).repartition(2)
+        .write.format("graft").option("statsCols", "k")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      frame(100L, 200L).repartition(2)
+        .write.format("graft").mode("append").save(table)
+      TxnTable.deleteWherePos(spark, table, df => df("k") < 10L)
+      val q = spark.read.format("graft").load(table)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"),
+        s"vector-gated scan must stay columnar (vectorized reader); " +
+          s"plan:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("Union"),
+        s"subtraction must stay inside the scan; plan:\n$plan")
+      // values through the remap wrapper, both vintages, all types
+      assert(q.count() == 190L)
+      val got = q.select($"k", $"v", $"s", $"m.a", $"m.b",
+          element_at($"xs", 2)).where($"k".isin(10L, 150L))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getLong(3), r.getString(4), r.getLong(5))).toSet
+      assert(got == Set((10L, 10.0, "s10", 3L, "t10", 11L),
+        (150L, 150.0, "s150", 3L, "t150", 151L)), got)
+      assert(q.agg(sum($"k")).as[Long].head ==
+        (0L until 200L).filter(_ >= 10L).sum)
+      // a SECOND vector deleting one file's every remaining row
+      // exercises the fully-deleted-batch skip
+      TxnTable.deletePositions(spark, table,
+        TxnTable.readWithRowIdentity(spark, table)
+          .where($"k" >= 10L && $"k" < 100L)
+          .select(col(TxnTable.PosFileCol), col(TxnTable.PosOrdCol)))
+      val q2 = spark.read.format("graft").load(table)
+      assert(q2.count() == 100L)
+      assert(q2.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"), "still columnar under two vectors")
+      // row-based fallback still correct when vectorization is off
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+      try assert(spark.read.format("graft").load(table).count() == 100L)
+      finally
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
 }
