@@ -2809,18 +2809,40 @@ object TxnTable {
         case Some(b) => st.files.filter(f => st.mayOverlap(f, keyCol, b))
         case None => st.files
       }
+      // live merge-on-read deletes apply to EVERY data read below: the
+      // key scan (a deleted row must not match), identity inheritance
+      // (a deleted row's id must not be inherited), and above all the
+      // phase-2 rewrite — a raw read would RESURRECT deleted rows into
+      // the rewritten file, whose add version exceeds every gate (the
+      // DmlFuzzSpec finding)
+      def readFiles(fs: Seq[String]): DataFrame =
+        if (st.dels.isEmpty)
+          planFiles(spark, table, schema, fs, st.pathpart, st.aliases,
+            retired = st.retired, addv = st.addv)
+        else delAppliedRead(spark, table, st, fs)
       // phase 1: exact touched set — one key column over the candidates
+      // (under live deletes the file name comes from the identity read's
+      // exact path column — input_file_name() is task-scoped and not
+      // reliable through the subtraction join)
       val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else planFiles(spark, table, schema, candidates, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
-          .select(col(keyCol), input_file_name().as("__f"))
+        else {
+          val scan =
+            if (st.dels.isEmpty)
+              planFiles(spark, table, schema, candidates, st.pathpart,
+                  st.aliases, retired = st.retired, addv = st.addv)
+                .select(col(keyCol), input_file_name().as("__f"))
+            else delAppliedRead(spark, table, st, candidates,
+                withIdentity = true)
+              .select(col(keyCol), col(IdPathCol).as("__f"))
           // no broadcast hint: AQE picks broadcast when the key set is
           // small and falls back to shuffle when a bulk merge isn't
-          .join(keys, Seq(keyCol))
-          .select(col("__f")).distinct().collect()
-          .map(r => { val u = r.getString(0)
-            byBase(u.substring(u.lastIndexOf('/') + 1)) }).toSet
+          scan.join(keys, Seq(keyCol))
+            .select(col("__f")).distinct().collect()
+            .map(r => { val u = r.getString(0)
+              byBase(u.substring(u.lastIndexOf('/') + 1)) }).toSet
+        }
       // IDENTITY enrichment: matched keys inherit the target's value
       // (min over same-key rows — the merge replaces them all with one
       // update row, so the choice must be deterministic); unmatched
@@ -2840,8 +2862,7 @@ object TxnTable {
                   updates.schema(keyCol),
                   org.apache.spark.sql.types.StructField(d.col,
                     org.apache.spark.sql.types.LongType))))
-            else planFiles(spark, table, schema, touched.toSeq,
-                st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
+            else readFiles(touched.toSeq)
               .groupBy(col(keyCol)).agg(min(col(d.col)).as(d.col))
           val withId = updates.join(tgtIds, Seq(keyCol), "left")
           val hwmBase = d.hwm.getOrElse(d.start - d.step)
@@ -2861,7 +2882,7 @@ object TxnTable {
       // evolution actually goes through the data path
       val merged =
         if (touched.isEmpty) enriched
-        else planFiles(spark, table, schema, touched.toSeq, st.pathpart, st.aliases, retired = st.retired, addv = st.addv)
+        else readFiles(touched.toSeq)
           .join(enriched, Seq(keyCol), "left_anti")
           .unionByName(enriched, allowMissingColumns = true)
       // rewritten files keep stats for EVERY column the table tracks —
@@ -3016,9 +3037,15 @@ object TxnTable {
       tries += 1
       backoff(tries)
       val fresh = latestState(spark, table).getOrElse(return None)
+      // an interleaved merge-on-read delete (either flavor) invalidates
+      // the computation: the written replacement was read under the
+      // PINNED snapshot's deletes, and its files' add version will
+      // exceed the new delete's gate — rebasing would silently lose the
+      // new delete's effect on every replaced row
       val rebasable = disjointCol.exists { c =>
         removedFiles.forall(fresh.files.contains) &&
           fresh.schema.map(_.json) == computed.schema.map(_.json) &&
+          fresh.dels == computed.dels &&
           fresh.files.filterNot(computedFiles).forall(f =>
             fresh.stat(f, c).exists(_.disjointFrom(bound)))
       }
@@ -3598,6 +3625,7 @@ object TxnTable {
             pathpart = base.pathpart, aliases = base.aliases)
         if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
           writePointer(ctx, table, next)
+          maybeCoalescePosVectors(spark, table)
           return next
         }
         tries += 1
@@ -3618,6 +3646,114 @@ object TxnTable {
     }
     throw new IllegalStateException(
       s"positional delete of $table lost the snapshot race 16 times")
+  }
+
+  /** AUTO-COALESCE trigger for positional sidecars: when the live
+    * vector count reaches `graft.txn.posCoalesceAt` (default 8), merge
+    * them into one. Called after every positional commit; failures are
+    * swallowed (the delete/update itself is already durable —
+    * coalescing is maintenance, and the next positional commit
+    * retries). `posCoalesceAt = 0` disables. */
+  private def maybeCoalescePosVectors(spark: SparkSession,
+                                      table: String): Unit = {
+    val at = spark.conf.get("graft.txn.posCoalesceAt", "8").toInt
+    if (at <= 0) return
+    val live = latestState(spark, table).toSeq.flatMap { st =>
+      st.dels.filter(d => d.keyCols == PosDelKeyCols &&
+        st.files.exists(f => d.gates(f, st.addv.getOrElse(f, 0L))))
+    }
+    if (live.size >= at)
+      try { coalescePosVectors(spark, table); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Merge every LIVE positional deletion vector of `table` into ONE
+    * sidecar — metadata plus one kilobyte-scale parquet write, zero
+    * data-file rewrite. Overlapping vectors accumulate from repeated
+    * in-place dedups ([[deletePositions]] / [[deleteWherePos]] /
+    * [[updateWherePos]]); each one costs every vector-NAMED file's scan
+    * task a sidecar GET ([[PosVectors.ordinalsFor]] re-reads all
+    * applicable sidecars per task), so k named files × s live vectors
+    * small-object reads per stage until OPTIMIZE materializes. This
+    * keeps the read path O(1) sidecars without the rewrite.
+    *
+    * Semantics are the proven union: `ordinalsFor` already dedups
+    * overlapping coordinates, so one merged vector whose pair set is
+    * the distinct union over live vectors (restricted to files the
+    * CURRENT snapshot lists — a pair naming a rewritten-away file can
+    * never apply again, and file names are never reused) reads
+    * identically. The merged gate is the MAX of the constituent gates:
+    * every surviving pair's file existed when its own vector committed
+    * (addv < ownGate ≤ maxGate), and any file added later has
+    * addv > maxGate — per-file applicability is unchanged exactly.
+    * Old manifests are untouched (time travel and RESTORE read the
+    * original vectors); the superseded sidecar FILES stay on disk for
+    * those reads until VACUUM's ordinary retention sweeps them. */
+  def coalescePosVectors(spark: SparkSession, table: String): Long = {
+    val ctx = fc(spark)
+    var attempt = 0
+    while (attempt < 16) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"$table predates the schema log"))
+      val live = st.dels.filter(d => d.keyCols == PosDelKeyCols &&
+        st.files.exists(f => d.gates(f, st.addv.getOrElse(f, 0L))))
+      if (live.size < 2) return st.version
+      import spark.implicits._
+      val liveFiles = spark.createDataset(st.files).toDF(PosFileCol)
+      val merged = live.map(d =>
+          spark.read.schema(PosDelSchema).parquet(s"$table/${d.file}"))
+        .reduce(_ unionByName _)
+        .join(liveFiles, Seq(PosFileCol), "left_semi")
+        .distinct().coalesce(1)
+      val dataDir =
+        s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+      merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir/_del")
+      val delFiles = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = ctx.listStatus(new Path(s"$table/$dataDir/_del"))
+        while (it.hasNext) {
+          val s = it.next()
+          if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+            buf += s"$dataDir/_del/${s.getPath.getName}"
+        }
+        buf.sorted.toSeq
+      }
+      val side = spark.read.schema(PosDelSchema)
+        .parquet(delFiles.map(f => s"$table/$f"): _*)
+      val n = side.count()
+      // n == 0: every live vector's pairs name rewritten-away files —
+      // the vectors are collectively dead; drop them, commit no sidecar
+      val mergedDels =
+        if (n == 0L) Nil
+        else {
+          val named = namedFiles(spark, table, side)
+          val gate = live.map(_.version).max
+          delFiles.map(f =>
+            DelMeta(f, gate, PosDelKeyCols, n, named = named.getOrElse(Nil)))
+        }
+      if (n == 0L) ctx.delete(new Path(s"$table/$dataDir"), true)
+      // dropping del entries needs a FULL manifest (deltas are additive)
+      val next = st.version + 1L
+      val keep = st.dels.filterNot(live.contains)
+      val content = manifestContent(schema, st.txns, st.stats, st.files,
+        st.blooms, st.rows, st.partCols, op = "vec-coalesce",
+        cdf = st.cdf, mor = st.mor, dels = keep ++ mergedDels,
+        addv = st.addv, checks = st.checks, props = st.props,
+        retired = st.retired, pathpart = st.pathpart, aliases = st.aliases)
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        return next
+      }
+      // lost the race: a concurrent commit may have changed the vector
+      // set — recompute everything from the fresh state
+      if (n > 0L) ctx.delete(new Path(s"$table/$dataDir"), true)
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"vector coalesce of $table lost the manifest race 16 times")
   }
 
   /** What an [[upsertMoR]] `compute` hands back, all derived from the
@@ -3789,6 +3925,8 @@ object TxnTable {
                 pathpart = base.pathpart, aliases = base.aliases)
             if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
               writePointer(ctx, table, next)
+              if (mw.keyCols == PosDelKeyCols)
+                maybeCoalescePosVectors(spark, table)
               return next
             }
             tries += 1
@@ -4635,7 +4773,8 @@ object TxnTable {
            Some("alter-constraint") | Some("alter-rename") |
            Some("alter-add-nested") | Some("alter-drop-nested") |
            Some("alter-rename-nested") | Some("alter-default") |
-           Some("alter-type") | Some("set-partition-spec") =>
+           Some("alter-type") | Some("set-partition-spec") |
+           Some("vec-coalesce") =>
         // no logical content change: maintenance (incl. the z-order
         // re-clustering rewrite), metadata-only schema/constraint/
         // default/partition-spec commits, and the rename rewrite (same
@@ -5966,15 +6105,15 @@ object TxnTable {
     * Skipping metadata SURVIVES: the rewrite re-collects stats and bloom
     * sidecars for every column the table tracked — compaction must never
     * trade small-files for lost pruning. */
-  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
-    val st = latestState(spark, table).getOrElse(
-      throw new IllegalStateException(s"no committed version in $table"))
-    val trackedCols = st.stats.values.flatten.map(_.col).toSet.toSeq.sorted
-    val trackedBlooms = st.bloomCols.toSeq.sorted
-    commit(read(spark, table).coalesce(targetFiles), table, append = false,
-      txn = None, statsCols = trackedCols, bloomCols = trackedBlooms,
-      opLabel = Some("compact"))
-  }
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long =
+    // routed through the pinned-CAS rewrite loop (smallBytes = ∞ makes
+    // every file "small"), NOT through commit(append = false): an
+    // overwrite's data files are written ONCE before its CAS loop, so a
+    // compact losing the race to an interleaved delete/update/merge
+    // would re-publish STALE content and silently undo it (found by
+    // DmlFuzzSpec). The loop recomputes the whole rewrite per attempt.
+    compactSmall(spark, table, smallBytes = Long.MaxValue,
+      targetFiles = targetFiles, checkpoint = true)
 
   /** `REORG TABLE … APPLY (PURGE)` — Delta's DV purge: rewrite ONLY the
     * files an applicable merge-on-read delete touches (equality deletes
@@ -6007,12 +6146,12 @@ object TxnTable {
     cols.foreach(c => require(typeAt(schema, c).isDefined,
       s"ZORDER BY column $c is not a column of $table"))
     val n = targetFiles.getOrElse(math.max(1, st.files.size))
-    val trackedCols =
-      (st.stats.values.flatten.map(_.col).toSet ++ cols).toSeq.sorted
-    val trackedBlooms = st.bloomCols.toSeq.sorted
-    commit(graft.ops.ZOrder.clusterN(read(spark, table), cols, n), table,
-      append = false, txn = None, statsCols = trackedCols,
-      bloomCols = trackedBlooms, opLabel = Some("zorder"))
+    // same pinned-CAS rewrite loop as compact (see there): an overwrite
+    // through commit() would re-publish stale data after losing a race
+    compactSmall(spark, table, smallBytes = Long.MaxValue, targetFiles = n,
+      checkpoint = true,
+      transform = Some(df => graft.ops.ZOrder.clusterN(df, cols, n)),
+      extraStatsCols = cols, opName = "zorder")
   }
 
   /** Scoped `OPTIMIZE … WHERE col = value ZORDER BY (…)`: re-cluster
@@ -6108,8 +6247,12 @@ object TxnTable {
           }
         } else st.files.filter(f => inScope(f) &&
           ctx.getFileStatus(new Path(s"$table/$f")).getLen < smallBytes)
-      // purge rewrites even a single affected file; packing needs ≥ 2
-      if (if (purgeOnly) small.isEmpty else small.size <= 1)
+      // purge rewrites even a single affected file; packing needs ≥ 2 —
+      // unless live deletes must materialize into the rewrite, or a
+      // transform (ZORDER) re-clusters rows WITHIN the file
+      if (if (purgeOnly) small.isEmpty
+          else small.isEmpty ||
+            (small.size <= 1 && st.dels.isEmpty && transform.isEmpty))
         return st.version
       val carried = st.files.filterNot(small.toSet)
       val trackedCols =
