@@ -655,6 +655,90 @@ object Text2Ops {
       |  CAST(SUM(CASE WHEN rk <= m THEN doc_id END) AS BIGINT) AS id_sum
       |FROM rk GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t54
+  /** BPE pair-merge TRAINER — the iterative argmax merge loop of
+    * Sennrich et al. 2016 ("Neural Machine Translation of Rare Words
+    * with Subword Units", public algorithm), distributed: t39 TOKENIZES
+    * against a fixed merge table; this TRAINS one from the corpus.
+    *
+    * Scale shape: the working set collapses to the VOCABULARY in one
+    * corpus pass (distinct lowercase words + frequencies — bounded by
+    * language, not corpus bytes; at 100 TB it persists as a table and
+    * every round below is O(vocab), never O(corpus)). Each merge round
+    * is one keyed partial aggregation over adjacent symbol pairs
+    * (map-side combinable, weighted by word count) + a 1-row argmax to
+    * the driver (count DESC, then lexicographic pair — bit-stable),
+    * then one codegen'd `aggregate` fold re-pairing every word
+    * left-to-right non-overlapping. localCheckpoint per round keeps the
+    * plan from nesting N folds deep.
+    *
+    * NO SQL ORACLE by design: the iterative argmax is not expressible
+    * in one DuckDB query (the classic space-join respelling needs
+    * lookbehind, which RE2 lacks) — registered rows-only, with
+    * correctness carried by BpeTrainSpec: an in-JVM reference
+    * implementation property-checked over random collision-heavy
+    * corpora (the d48/SpanDedupSpec pattern), plus determinism. */
+  private[graft] def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(split($"w", "").as("syms"), $"cnt")
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val top = words
+        .where(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            | i -> struct(element_at(syms, i) AS l,
+            |             element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = l + rr
+        out += ((r + 1, l, rr, m, c))
+        // left-to-right non-overlapping re-pair: a codegen'd fold —
+        // symbols are [a-z]+ only, so the literals need no escaping
+        words = words.select(expr(
+          s"""aggregate(syms,
+             |  struct(CAST(array() AS array<string>) AS out,
+             |         CAST(NULL AS string) AS carry),
+             |  (acc, c) -> CASE
+             |    WHEN acc.carry = '$l' AND c = '$rr'
+             |      THEN struct(array_append(acc.out, '$m') AS out,
+             |                  CAST(NULL AS string) AS carry)
+             |    WHEN acc.carry IS NULL
+             |      THEN struct(acc.out AS out, c AS carry)
+             |    ELSE struct(array_append(acc.out, acc.carry) AS out,
+             |                c AS carry) END,
+             |  acc -> CASE WHEN acc.carry IS NULL THEN acc.out
+             |         ELSE array_append(acc.out, acc.carry) END)""".stripMargin)
+          .as("syms"), $"cnt")
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.result()
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .select($"rank".cast("int").as("rank"), $"left", $"right", $"merged",
+        $"pair_count".cast("bigint").as("pair_count"))
+      .orderBy($"rank")
+  }
+
+  private def t54(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir), merges = 24)
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -668,5 +752,9 @@ object Text2Ops {
     RQ("t50_shuffled_pack", t50, Some(t50Sql)),
     RQ("t51_domain_mix_weights", t51, Some(t51Sql)),
     RQ("t52_group_split", t52, Some(t52Sql)),
-    RQ("t53_mixture_sample", t53, Some(t53Sql)))
+    RQ("t53_mixture_sample", t53, Some(t53Sql)),
+    // rows-only by design: the iterative argmax merge has no single-
+    // query DuckDB spelling — BpeTrainSpec's in-JVM reference property
+    // check is the correctness gate (see bpeTrain's doc)
+    RQ("t54_bpe_train", t54, None))
 }
