@@ -762,7 +762,8 @@ object DedupOps {
     RQ("d45_boilerplate_purge", d45, Some(d45Sql)),
     RQ("d46_dedup_inplace", d46, Some(d46Sql), bench = true),
     RQ("d47_incremental_dedup", d47, Some(d47Sql), bench = true),
-    RQ("d48_span_dedup", d48, Some(d48Sql), bench = true))
+    RQ("d48_span_dedup", d48, Some(d48Sql), bench = true),
+    RQ("d49_incremental_span_dedup", d49, Some(d49Sql), bench = true))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -872,6 +873,99 @@ object DedupOps {
         d47Shuffles(r.child)
     }.sum
 
+  /** Probe a PERSISTED bucket(16, `keyCol`) graft table with a
+    * batch-sized frame — the incremental-dedup inner join, shared by
+    * d47 (minhash band signatures) and d49 (span shingle keys). The
+    * batch side broadcasts into an inner join PROBING the corpus-sized
+    * table — a left-semi spelling would put the corpus on the
+    * build/shuffle side, so the join is flipped: the persisted rows
+    * stream out of their scan and the batch's keys ride the broadcast.
+    * A small batch additionally pre-filters the scan with its literal
+    * key set (plan-time file skipping via bucket ids + stats + per-file
+    * blooms); a batch too big to broadcast is written in the SAME
+    * bucket(16, `keyCol`) layout and joined storage-co-partitioned (the
+    * k138 machinery — zero Exchanges on either side at any batch size).
+    * The zero-ShuffleExchange contract is REQUIREd on the executed
+    * plan. Returns (checkpointed `out` columns, (scanned files, total
+    * files)) — the caller asserts pruning where its batch is small. */
+  private def probePersisted(spark: SparkSession, persisted: String,
+      batch: DataFrame, joinCols: Seq[String], out: Seq[String],
+      keyCol: String, cat: String): (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val total = TxnTable.snapshotFiles(spark, persisted,
+      TxnTable.latestVersion(spark, persisted).get).size
+    val keyLimit = probeKeyLimit(spark)
+    // one cheap count over the (checkpointed) batch serves both
+    // decisions; a batch whose ROW count already dwarfs the key limit
+    // skips the distinct-keys probe job outright (pruning is an
+    // optimization — skipping it can only cost speed, not rows)
+    val batchN = batch.count()
+    val keys: Seq[String] =
+      if (batchN > 8L * keyLimit) Seq.empty
+      else batch.select(col(keyCol)).distinct()
+        .limit(keyLimit + 1).as[String].collect().toSeq
+    val smallKeys = keys.nonEmpty && keys.length <= keyLimit
+    val base = spark.read.format("graft").load(persisted)
+      .select(joinCols.map(col): _*)
+    val scanSide =
+      if (smallKeys) base.filter(col(keyCol).isin(keys: _*))
+      else base
+    val prevConfs = scala.collection.mutable.ListBuffer
+      .empty[(String, Option[String])]
+    val bigBatch = !smallKeys && batchN > sigBroadcastLimit(spark)
+    val probe =
+      if (!bigBatch)
+        scanSide.join(broadcast(batch), joinCols, "inner")
+          .select(out.map(col): _*)
+      else {
+        // bucketed-SPJ spelling: land the batch in the SAME
+        // bucket(16, keyCol) layout and join co-partitioned. Both
+        // sides must resolve through a CATALOG: Spark only turns a
+        // reported KeyGroupedPartitioning's bucket() transform into a
+        // usable clustering when the relation carries a
+        // FunctionCatalog to resolve it (path-based loads silently
+        // degrade to UnknownPartitioning).
+        val tmp = persisted + "_batch"
+        batch.write.format("graft")
+          .option("partitionBy", s"bucket(16, $keyCol)")
+          .option("optimizedWrite", "true")
+          .mode("overwrite").save(tmp)
+        val slash = persisted.lastIndexOf('/')
+        val (wh, name) = (persisted.substring(0, slash),
+          persisted.substring(slash + 1))
+        (Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          // this path exists BECAUSE the batch exceeds broadcast
+          // limits — planner size estimates must not re-pick BHJ
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          s"spark.sql.catalog.$cat" -> "graft.io.GraftTableCatalog",
+          s"spark.sql.catalog.$cat.warehouse" -> wh))
+          .foreach { case (k, v) =>
+            prevConfs += k -> spark.conf.getOption(k)
+            spark.conf.set(k, v)
+          }
+        spark.table(s"$cat.`$name`").select(joinCols.map(col): _*)
+          .join(spark.table(s"$cat.`${name}_batch`")
+            .select((out ++ joinCols).distinct.map(col): _*),
+            joinCols, "inner")
+          .select(out.map(col): _*)
+      }
+    val checked = probe.localCheckpoint()
+    require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
+      "cross-batch probe must not shuffle the persisted " +
+        s"table:\n${probe.queryExecution.executedPlan}")
+    val scanned = org.apache.spark.sql.GraftBridge
+      .dsv2ScannedFiles(probe).getOrElse(total)
+    prevConfs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    (checked, (scanned, total))
+  }
+
   /** Distinct band keys at or below which an increment's probe pushes
     * a STATIC `h IN (...)` filter into the signature scan: bucket
     * pruning + (b,h) stats + per-file h blooms then skip signature
@@ -924,92 +1018,17 @@ object DedupOps {
         .as(Seq("b", "h"))).localCheckpoint()
     lap("sig_checkpoint")
     // cross-batch dups: batch docs whose band key already exists in
-    // the persisted signatures (all strictly earlier ids). The batch
-    // side broadcasts into an inner join PROBING the corpus-sized
-    // signature table — a left-semi spelling would put the corpus on
-    // the build/shuffle side, so the join is flipped: sigs stream out
-    // of their scan, the batch's keys ride the broadcast, and the only
-    // shuffle anywhere is the batch-sized distinct downstream. A small
-    // batch additionally pre-filters the scan with its literal key set
-    // (plan-time file skipping); a batch too big to broadcast joins
-    // storage-co-partitioned instead.
+    // the persisted signatures (all strictly earlier ids) — the shared
+    // probePersisted contract: broadcast or SPJ, zero shuffles of the
+    // persisted side, literal-key scan pruning for small batches
     val (cross, pruneCounts) =
       if (first) (spark.emptyDataset[Long].toDF("doc_id"), (0, 0))
       else {
-        val total = TxnTable.snapshotFiles(spark, sigs,
-          TxnTable.latestVersion(spark, sigs).get).size
-        val keyLimit = probeKeyLimit(spark)
-        // one cheap count over the checkpointed sigs serves both
-        // decisions; a batch whose ROW count already dwarfs the key
-        // limit skips the distinct-keys probe job outright (pruning is
-        // an optimization — skipping it can only cost speed, not rows)
-        val sigN = sig.count()
-        val keys: Seq[String] =
-          if (sigN > 8L * keyLimit) Seq.empty
-          else sig.select($"h").distinct()
-            .limit(keyLimit + 1).as[String].collect().toSeq
-        val smallKeys = keys.nonEmpty && keys.length <= keyLimit
-        val base = spark.read.format("graft").load(sigs).select($"b", $"h")
-        val scanSide =
-          if (smallKeys) base.filter($"h".isin(keys: _*))
-          else base
-        val prevConfs = scala.collection.mutable.ListBuffer
-          .empty[(String, Option[String])]
-        val bigBatch = !smallKeys && sigN > sigBroadcastLimit(spark)
-        val probe =
-          if (!bigBatch)
-            scanSide.join(broadcast(sig), Seq("b", "h"), "inner")
-              .select($"doc_id")
-          else {
-            // bucketed-SPJ spelling: land the batch's signatures in the
-            // SAME bucket(16, h) layout and join co-partitioned — the
-            // k138 machinery elides every Exchange without a broadcast.
-            // Both sides must resolve through a CATALOG: Spark only
-            // turns a reported KeyGroupedPartitioning's bucket()
-            // transform into a usable clustering when the relation
-            // carries a FunctionCatalog to resolve it (path-based
-            // loads silently degrade to UnknownPartitioning).
-            val tmp = sigs + "_batch"
-            sig.write.format("graft")
-              .option("partitionBy", "bucket(16, h)")
-              .option("optimizedWrite", "true")
-              .mode("overwrite").save(tmp)
-            val slash = sigs.lastIndexOf('/')
-            val (wh, sigsName) = (sigs.substring(0, slash),
-              sigs.substring(slash + 1))
-            val cat = "gd47spj"
-            (Seq(
-              "spark.sql.sources.v2.bucketing.enabled" -> "true",
-              "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
-              "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
-              // this path exists BECAUSE the batch exceeds broadcast
-              // limits — planner size estimates must not re-pick BHJ
-              "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-              s"spark.sql.catalog.$cat" -> "graft.io.GraftTableCatalog",
-              s"spark.sql.catalog.$cat.warehouse" -> wh))
-              .foreach { case (k, v) =>
-                prevConfs += k -> spark.conf.getOption(k)
-                spark.conf.set(k, v)
-              }
-            spark.table(s"$cat.`$sigsName`").select($"b", $"h")
-              .join(spark.table(s"$cat.`${sigsName}_batch`")
-                .select($"doc_id", $"b", $"h"),
-                Seq("b", "h"), "inner")
-              .select($"doc_id")
-          }
-        lap("probe_plan")
-        val out = probe.localCheckpoint()
+        val r = probePersisted(spark, sigs, sig,
+          joinCols = Seq("b", "h"), out = Seq("doc_id"),
+          keyCol = "h", cat = "gd47spj")
         lap("probe_exec")
-        require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
-          "cross-batch sig probe must not shuffle the signature " +
-            s"table:\n${probe.queryExecution.executedPlan}")
-        val scanned = org.apache.spark.sql.GraftBridge
-          .dsv2ScannedFiles(probe).getOrElse(total)
-        prevConfs.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None)    => spark.conf.unset(k)
-        }
-        (out, (scanned, total))
+        r
       }
     // in-batch dups: per band key, everything above the min id — a
     // map-side-combinable MIN over the checkpointed sigs plus a join
@@ -1163,6 +1182,171 @@ object DedupOps {
        |ranked AS (
        |  SELECT doc_id, pos,
        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       |  FROM grams),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + j AS p
+       |  FROM ranked, range(0, $k) r(j) WHERE rn > 1),
+       |words AS (
+       |  SELECT doc_id, w[p] AS word, p
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) + 1)) AS p FROM toks) u),
+       |clean AS (
+       |  SELECT wo.doc_id,
+       |    COALESCE(string_agg(CASE WHEN c.p IS NULL THEN wo.word END,
+       |                        ' ' ORDER BY wo.p), '') AS cleaned
+       |  FROM words wo LEFT JOIN cov c
+       |    ON c.doc_id = wo.doc_id AND c.p = wo.p
+       |  GROUP BY wo.doc_id),
+       |covn AS (
+       |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.w) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(v.n_removed, 0) AS BIGINT) AS n_removed,
+       |  c.cleaned
+       |FROM toks t
+       |LEFT JOIN covn v ON v.doc_id = t.doc_id
+       |JOIN clean c ON c.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d49
+  /** INCREMENTAL duplicate-span removal — d48's substring dedup in the
+    * d47 ingest shape, closing d48's one scale concession (its shingle
+    * frame only localCheckpoints): the corpus's sliding 8-gram shingle
+    * KEYS persist as a `bucket(16, h)` graft table, and each arriving
+    * batch (1) probes it for spans already seen in ANY earlier batch —
+    * the shared [[probePersisted]] contract: broadcast or
+    * storage-co-partitioned, ZERO shuffles of the persisted side,
+    * literal-key file pruning for small batches (REQUIREd by the
+    * registered query on its tiny third ingest), (2) resolves in-batch
+    * keep-first as the min-agg (no window), (3) appends the batch's
+    * CLEANED text to the corpus table — committed files are never
+    * rewritten (REQUIREd) — and (4) appends its ORIGINAL shingle keys
+    * for future ingests, making span dedup a per-batch O(batch) step
+    * instead of a corpus-wide recompute.
+    *
+    * Batches arrive in doc_id order, so incremental keep-first equals
+    * the GLOBAL d48 rule exactly: a shingle's corpus-first occurrence
+    * lives in the earliest batch containing it, where it is also the
+    * in-batch min — which is why one DuckDB query over the whole
+    * corpus (the d48 oracle with md5 keys) checks the entire
+    * incremental pipeline. Shingles are keyed by md5(text) — 32 hex
+    * chars, stats/bloom-friendly, identical in DuckDB, and collision
+    * behavior (astronomically unlikely) matches the oracle bit-exactly
+    * because BOTH sides rank on the hash. */
+  private def d49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d49_inc").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/clean_txn"
+      val grams = s"$zone/grams_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = maxId - 5L // a TINY third increment — the daily shape
+      d49Ingest(spark, corpus, grams,
+        docs.filter($"doc_id" <= cut), first = true)
+      val before = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files.toSet
+      d49Ingest(spark, corpus, grams,
+        docs.filter($"doc_id" > cut && $"doc_id" <= cut2), first = false)
+      val (scanned, total) = d49Ingest(spark, corpus, grams,
+        docs.filter($"doc_id" > cut2), first = false)
+      require(scanned < total,
+        s"small-increment gram probe must prune persisted shingle " +
+          s"files: read $scanned of $total")
+      val after = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files
+      require(before.subsetOf(after.toSet),
+        "incremental span dedup must never rewrite a committed corpus file")
+      val result = spark.read.format("graft").load(corpus)
+        .select($"doc_id", $"n_words", $"n_removed", $"cleaned")
+        .orderBy($"doc_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+
+  /** One d49 ingest (reusable by specs): clean `batch` against the
+    * persisted shingle table + its own earlier occurrences, append the
+    * cleaned rows to `corpus` and the ORIGINAL shingle keys to `grams`.
+    * Returns the probe's (scanned, total) persisted-file counts. */
+  private[graft] def d49Ingest(spark: SparkSession, corpus: String,
+      grams: String, batch: DataFrame, first: Boolean): (Int, Int) = {
+    import spark.implicits._
+    val k = d48K
+    val docs = batch.select($"doc_id", split($"text", " ").as("w"))
+    val g = docs
+      .select($"doc_id", posexplode(expr(
+        s"""case when size(w) >= $k
+           |  then transform(sequence(1, size(w) - ${k - 1}),
+           |                 i -> md5(array_join(slice(w, i, $k), ' ')))
+           |  else array() end""".stripMargin)).as(Seq("off", "h")))
+      .select($"doc_id", ($"off" + 1).as("pos"), $"h")
+      .localCheckpoint()
+    val (cross, pruneCounts) =
+      if (first)
+        (spark.emptyDataset[(Long, Int)].toDF("doc_id", "pos"), (0, 0))
+      else probePersisted(spark, grams, g,
+        joinCols = Seq("h"), out = Seq("doc_id", "pos"),
+        keyCol = "h", cat = "gd49spj")
+    // in-batch keep-first: the min-agg + dup-tail join (no window —
+    // a boilerplate shingle partial-aggregates, same as d48)
+    val dupFirsts = g.groupBy($"h")
+      .agg(min(struct($"doc_id", $"pos")).as("first"),
+        count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"h", $"first")
+    val inBatch = g.join(dupFirsts, Seq("h"))
+      .filter(struct($"doc_id", $"pos") =!= $"first")
+      .select($"doc_id", $"pos")
+    val covered = cross.union(inBatch).distinct()
+      .select($"doc_id", sequence($"pos", $"pos" + lit(k - 1)).as("span"))
+      .groupBy($"doc_id")
+      .agg(array_distinct(flatten(collect_list($"span"))).as("cov"))
+    val cleaned = docs.join(covered, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        size($"w").cast("bigint").as("n_words"),
+        coalesce(size($"cov"), lit(0)).cast("bigint").as("n_removed"),
+        array_join(
+          filter($"w", (_, i) => not(array_contains(
+            coalesce($"cov", typedLit(Seq.empty[Int])), i + 1))),
+          " ").as("cleaned"))
+    cleaned.write.format("graft").option("statsCols", "doc_id")
+      .mode(if (first) "overwrite" else "append").save(corpus)
+    // ALL original shingles persist (the keep-first rule judges against
+    // the corpus as WRITTEN, not as cleaned); layout is the point:
+    // bucket(16, h) + per-file h stats and blooms make later ingests'
+    // probes prunable, optimizedWrite keeps it one file per bucket
+    val gw = g.write.format("graft")
+      .option("statsCols", "h").option("bloomCols", "h")
+      .option("optimizedWrite", "true")
+    (if (first) gw.option("partitionBy", "bucket(16, h)").mode("overwrite")
+     else gw.mode("append")).save(grams)
+    pruneCounts
+  }
+
+  // def, not val: defined after `all` in initialization order
+  private def d49Sql = {
+    val k = d48K
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+${k - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) - ${k - 2})) AS pos FROM toks) u),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
        |  FROM grams),
        |cov AS (
        |  SELECT DISTINCT doc_id, pos + j AS p
