@@ -4966,6 +4966,69 @@ object FormatOps {
       |    AS sum_price
       |FROM orders, h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k158
+  /** SCAN THROUGHPUT under a live positional deletion vector — the
+    * bench evidence for the r14 finding that one vector-named file used
+    * to flip the ENTIRE scan row-based (no vectorized parquet, no
+    * ColumnarToRow codegen) until OPTIMIZE. The worst case on purpose:
+    * lineitem lands in 8 range files, the sparse vector names EVERY one
+    * of them (the deleted keys spread across the range), and then a
+    * scan-heavy aggregate reads the full table through the subtraction.
+    * The plan is REQUIREd columnar (GraftVecRead's ColumnarBatch-level
+    * ordinal filter — a remap wrapper on hit batches, pass-through on
+    * clean ones); before the fix this query paid a full row-based scan,
+    * which at 100 TB is a multiple-of-runtime cost for a kilobyte of
+    * deletes. Oracle: DuckDB re-derives the same aggregate minus the
+    * deleted keys. */
+  private def k158(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k158_vecscan")
+    try {
+      val table = s"$zone/lineitem_txn"
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          $"l_discount", $"l_returnflag")
+        .repartitionByRange(8, $"l_orderkey")
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      TxnTable.deleteWherePos(spark, table,
+        df => df("l_orderkey") % 997L === 0L)
+      val q = spark.read.format("graft").load(table)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"l_quantity".cast("decimal(38,6)")).cast("double")
+            .as("sum_qty"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(38,6)")).cast("double").as("revenue"))
+        .orderBy($"l_returnflag")
+      val rows = q.collect()
+      // assert on the EXECUTED plan: AQE only materializes the
+      // ColumnarToRow/WholeStageCodegen wrappers per query stage, so
+      // the initial-plan string cannot show them
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("ColumnarToRow"),
+        s"vector-gated scan must stay COLUMNAR (vectorized reader); " +
+          s"plan:\n$plan")
+      require(!plan.contains("Join") && !plan.contains("Union"),
+        s"vector subtraction must stay inside the scan; plan:\n$plan")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k158Sql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE NOT (l_orderkey % 997 = 0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -5048,5 +5111,6 @@ object FormatOps {
     RQ("k154_merge_identity", k154, Some(k154Sql)),
     RQ("k155_field_id_mapping", k155, Some(k155Sql)),
     RQ("k156_deep_clone", k156, Some(k156Sql)),
-    RQ("k157_nested_defaults", k157, Some(k157Sql)))
+    RQ("k157_nested_defaults", k157, Some(k157Sql)),
+    RQ("k158_vector_scan_columnar", k158, Some(k158Sql), bench = true))
 }
