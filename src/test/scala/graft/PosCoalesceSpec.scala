@@ -92,6 +92,36 @@ class PosCoalesceSpec extends AnyFunSuite {
           .count() == 95L)
         // idempotent: a second coalesce is a no-op at the same version
         assert(TxnTable.coalescePosVectors(spark, table) == v)
+        // vacuum keeps the MERGED sidecar (it is referenced by the
+        // retained snapshot like any delete file) and reclaims the five
+        // superseded ones once their manifests drop
+        val mergedFile = after.head.file
+        TxnTable.vacuum(spark, table, keep = 0, retainMs = 0L)
+        assert(new java.io.File(s"$table/$mergedFile").exists(),
+          "vacuum must keep the live merged sidecar")
+        assert(spark.read.format("graft").load(table).count() == 89L,
+          "reads must survive vacuum after coalesce")
+      } finally spark.conf.unset("graft.txn.posCoalesceAt")
+    }
+  }
+
+  test("pushed filters stay correct through the COLUMNAR vector path") {
+    withZone { table =>
+      spark.conf.set("graft.txn.posCoalesceAt", "0")
+      try {
+        seed(table)
+        TxnTable.deleteWherePos(spark, table,
+          df => df("k") >= 40L && df("k") < 60L)
+        // range filter pushed into the vec-gated scan: row-index
+        // generation must stay exact under row-group/page skipping
+        val q = spark.read.format("graft").load(table)
+          .where($"k" >= 30L && $"k" < 80L)
+        assert(q.count() == 30L) // 30..39 ++ 60..79
+        val got = q.select($"k").as[Long].collect().sorted.toSeq
+        assert(got == ((30L until 40L) ++ (60L until 80L)).toSeq, got)
+        q.collect()
+        assert(q.queryExecution.executedPlan.toString
+          .contains("ColumnarToRow"), "filtered vec scan stays columnar")
       } finally spark.conf.unset("graft.txn.posCoalesceAt")
     }
   }
