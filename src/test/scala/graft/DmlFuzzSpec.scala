@@ -43,6 +43,9 @@ class DmlFuzzSpec extends AnyFunSuite {
   private case class VecDelete(mod: Long, r: Long) extends Op {
     val canNoOp = true
   }
+  private case class EqDelete(mod: Long, r: Long) extends Op {
+    val canNoOp = true
+  }
   private case class PosUpdate(mod: Long, r: Long, delta: Long) extends Op {
     val canNoOp = true
   }
@@ -53,6 +56,7 @@ class DmlFuzzSpec extends AnyFunSuite {
       case Append(rows) => state ++ rows
       case Merge(rows) => state ++ rows
       case VecDelete(m, r) => state.filterNot { case (k, _) => k % m == r }
+      case EqDelete(m, r) => state.filterNot { case (k, _) => k % m == r }
       case PosUpdate(m, r, d) =>
         state.map { case (k, v) => k -> (if (k % m == r) v + d else v) }
       case Optimize => state
@@ -65,6 +69,9 @@ class DmlFuzzSpec extends AnyFunSuite {
       TxnTable.merge(rows.toDF("k", "v"), table, "k")
     case VecDelete(m, r) =>
       TxnTable.deleteWherePos(spark, table, df => df("k") % m === r)
+    case EqDelete(m, r) =>
+      TxnTable.deleteWhereMoR(spark, table, Seq("k"),
+        df => df("k") % m === r)
     case PosUpdate(m, r, d) =>
       TxnTable.updateWherePos(spark, table,
         df => df("k") % m === r, Map("v" -> (col("v") + lit(d))))
@@ -95,7 +102,11 @@ class DmlFuzzSpec extends AnyFunSuite {
         val ks = Seq.fill(3)(10L * rnd.nextInt(5) + 7L + rnd.nextInt(3))
           .distinct
         Merge(ks.map(k => (k, 7000L + rnd.nextInt(1000))))
-      case 5 | 6 => VecDelete(10L, 2L * rnd.nextInt(3))
+      case 5 => VecDelete(10L, 2L * rnd.nextInt(3))
+      // equality-flavor MoR delete owns residue 6: keys no other op
+      // kind ever (re)inserts, so its key-tuple effect is identical at
+      // pin and commit
+      case 6 => EqDelete(10L, 6L)
       case 7 | 8 => PosUpdate(10L, 2L * rnd.nextInt(3) + 1L, 1L)
       case _ => Optimize
     }
@@ -128,7 +139,13 @@ class DmlFuzzSpec extends AnyFunSuite {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(
         java.util.concurrent.Executors.newFixedThreadPool(threads))
-    (1 to scenarios).foreach { seed =>
+    // low threshold so positional-sidecar AUTO-COALESCE fires MID-RACE:
+    // its full-manifest commit replacing the delete set must serialize
+    // cleanly against every op kind (a coalesce-owned version is
+    // unclaimed in the replay — a logical no-op, which the final
+    // equality check verifies it truly is)
+    spark.conf.set("graft.txn.posCoalesceAt", "2")
+    try (1 to scenarios).foreach { seed =>
       val root = java.nio.file.Files.createTempDirectory("graft_fuzz").toFile
       val table = s"${root.getAbsolutePath}/t"
       try {
@@ -181,6 +198,6 @@ class DmlFuzzSpec extends AnyFunSuite {
         }
         rm(root)
       }
-    }
+    } finally spark.conf.unset("graft.txn.posCoalesceAt")
   }
 }
