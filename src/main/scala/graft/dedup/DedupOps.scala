@@ -1282,6 +1282,14 @@ object DedupOps {
   private[graft] def d49Ingest(spark: SparkSession, corpus: String,
       grams: String, batch: DataFrame, first: Boolean): (Int, Int) = {
     import spark.implicits._
+    // dev-only phase timing (unset in driver/bench protocol runs)
+    val prof = sys.env.contains("GRAFT_D49_PROF")
+    var t0 = System.nanoTime()
+    def lap(phase: String): Unit = if (prof) {
+      val t1 = System.nanoTime()
+      println(f"[d49prof] $phase%-16s ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
     val k = d48K
     val docs = batch.select($"doc_id", split($"text", " ").as("w"))
     val g = docs
@@ -1292,12 +1300,17 @@ object DedupOps {
            |  else array() end""".stripMargin)).as(Seq("off", "h")))
       .select($"doc_id", ($"off" + 1).as("pos"), $"h")
       .localCheckpoint()
+    lap("gram_checkpoint")
     val (cross, pruneCounts) =
       if (first)
         (spark.emptyDataset[(Long, Int)].toDF("doc_id", "pos"), (0, 0))
-      else probePersisted(spark, grams, g,
-        joinCols = Seq("h"), out = Seq("doc_id", "pos"),
-        keyCol = "h", cat = "gd49spj")
+      else {
+        val r = probePersisted(spark, grams, g,
+          joinCols = Seq("h"), out = Seq("doc_id", "pos"),
+          keyCol = "h", cat = "gd49spj")
+        lap("probe")
+        r
+      }
     // in-batch keep-first: the min-agg + dup-tail join (no window —
     // a boilerplate shingle partial-aggregates, same as d48)
     val dupFirsts = g.groupBy($"h")
@@ -1323,6 +1336,7 @@ object DedupOps {
           " ").as("cleaned"))
     cleaned.write.format("graft").option("statsCols", "doc_id")
       .mode(if (first) "overwrite" else "append").save(corpus)
+    lap("cleaned_write")
     // ALL original shingles persist (the keep-first rule judges against
     // the corpus as WRITTEN, not as cleaned); layout is the point:
     // bucket(16, h) + per-file h stats and blooms make later ingests'
@@ -1332,6 +1346,7 @@ object DedupOps {
       .option("optimizedWrite", "true")
     (if (first) gw.option("partitionBy", "bucket(16, h)").mode("overwrite")
      else gw.mode("append")).save(grams)
+    lap("gram_append")
     pruneCounts
   }
 
