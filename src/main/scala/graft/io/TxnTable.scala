@@ -1849,9 +1849,20 @@ object TxnTable {
   private[graft] def fillNestedDefaults(df: DataFrame,
                                         defs: Seq[NestedDefault]): DataFrame =
     defs.filter(_.existsSql.isDefined).foldLeft(df) { (d, nd) =>
-      d.withColumn(nd.path.head,
-        col(s"`${nd.path.head}`").withField(nd.path.tail.mkString("."),
-          org.apache.spark.sql.functions.expr(nd.existsSql.get).cast(nd.dt)))
+      val top = nd.path.head
+      // withField REBUILDS the struct type and drops the nested field's
+      // METADATA (the default declaration itself) — cast back to the
+      // input's declared type, a value-wise no-op that restores it.
+      // Without this the filled leg's type differs from clean legs',
+      // and a Union's result schema then depends on branch order (which
+      // follows random data-dir names): reads would INTERMITTENTLY
+      // surface a metadata-stripped schema, and an overwrite written
+      // from such a read would silently lose the default declaration.
+      val declared = d.schema(top).dataType
+      d.withColumn(top,
+        col(s"`$top`").withField(nd.path.tail.mkString("."),
+          org.apache.spark.sql.functions.expr(nd.existsSql.get).cast(nd.dt))
+          .cast(declared))
     }
 
   /** Does `schema` carry a field at dotted `path` (struct chains)? */
@@ -5830,9 +5841,13 @@ object TxnTable {
         "nested-default vintage classes — a clone's fresh history can " +
         "only represent two; OPTIMIZE the source to materialize the " +
         "defaults, then clone")
-    // single class reads as "newer" (add version 1, no older leg)
+    // single class reads as "newer" (add version 1, no older leg); a
+    // FILE-LESS snapshot has no classes at all — nothing to fill, every
+    // gate rewrites to 0 (future appends carry the field physically via
+    // the write gate)
     val older = if (classes.size == 2) classes.head else Set.empty[Seq[String]]
-    val newer = classes.last
+    val newer =
+      if (classes.isEmpty) Set.empty[Seq[String]] else classes.last
     val sinceOf: Seq[String] => Long = p =>
       if (newer.contains(p)) 2L else if (older.contains(p)) 1L else 0L
     val restamped = ndefs.foldLeft(schema) { (s, nd) =>

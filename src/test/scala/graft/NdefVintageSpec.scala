@@ -168,4 +168,51 @@ class NdefVintageSpec extends AnyFunSuite {
         4L -> (43, 5), 5L -> (44, 66)), got)
     }
   }
+
+  test("mixed-vintage reads keep the default's metadata in their schema") {
+    // regression: fillNestedDefaults' withField used to rebuild the
+    // struct type WITHOUT the nested field's metadata, so the DSv2
+    // splice's Union surfaced a metadata-stripped schema whenever the
+    // filled branch happened to sort first (branch order follows random
+    // data-dir names — an INTERMITTENT strip), and an overwrite written
+    // from such a read lost the default declaration permanently.
+    // Several fresh tables cover both branch orders.
+    (1 to 4).foreach { _ =>
+      withZone { zone =>
+        val table = s"$zone/t"
+        seed(table)
+        val m = spark.read.format("graft").load(table)
+          .schema("m").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val d = m.fields.find(_.name == "d").get
+        assert(d.metadata.contains(TxnTable.NestedDefaultSinceKey) &&
+          d.metadata.contains("EXISTS_DEFAULT"),
+          s"read schema must keep the nested default declaration: " +
+            s"${d.metadata.json}")
+      }
+    }
+  }
+
+  test("clone of a FILE-LESS table with a nested default") {
+    withZone { zone =>
+      val table = s"$zone/src"
+      seed(table)
+      // TRUNCATE-shape overwrite: zero rows, zero files, default kept
+      import org.apache.spark.sql.Row
+      val cur = spark.read.format("graft").load(table).schema
+      spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), cur)
+        .write.format("graft").mode("overwrite").save(table)
+      TxnTable.cloneDeep(spark, table, s"$zone/deep")
+      assert(spark.read.format("graft").load(s"$zone/deep").count() == 0L)
+      // the clone's appends still fill at the write gate
+      TxnTable.commitAppend(
+        Seq((9L, 90L)).toDF("id", "n")
+          .select($"id", struct($"n").as("m")).coalesce(1), s"$zone/deep")
+      val got = spark.read.format("graft").load(s"$zone/deep")
+        .select($"id", $"m.d".as("d")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == Map(9L -> 7), got)
+    }
+  }
 }
