@@ -4076,15 +4076,20 @@ object TxnTable {
           case (lf, pf) =>
             if (pf.name == lf.name && pf.dataType == lf.dataType)
               col(s"`${lf.name}`")
-            else col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+            // metadata rides the alias: the declared column's default/
+            // identity/since annotations must survive the restore
+            else col(s"`${pf.name}`").cast(lf.dataType)
+              .as(lf.name, lf.metadata)
         }.toIndexedSeq ++
           (if (withIdentity) Seq(col(IdPathCol), col(IdPosCol)) else Nil)): _*)
       else if (live.isEmpty) df
       else df.select((schema.fields.map { f =>
         live.get(f.name) match {
           case Some(as) =>
+            // metadata rides the alias (same reason as the collide cast)
             org.apache.spark.sql.functions.coalesce(
-              (f.name +: as).map(n => col(s"`$n`")): _*).as(f.name)
+              (f.name +: as).map(n => col(s"`$n`")): _*)
+              .as(f.name, f.metadata)
           case None => col(s"`${f.name}`")
         }
       }.toIndexedSeq ++
