@@ -105,6 +105,26 @@ class PosCoalesceSpec extends AnyFunSuite {
     }
   }
 
+  test("the change feed classifies a coalesce commit as a no-change op") {
+    withZone { table =>
+      spark.conf.set("graft.txn.posCoalesceAt", "0")
+      try {
+        seed(table)
+        TxnTable.deleteWherePos(spark, table, df => df("k") === 1L)
+        TxnTable.deleteWherePos(spark, table, df => df("k") === 2L)
+        val v = TxnTable.coalescePosVectors(spark, table)
+        // the coalesce version contributes ZERO feed rows; the deletes
+        // below it still replay positionally
+        val feed = TxnTable.changeFeed(spark, table, 1L)
+          .select($"k", $"_change_type", $"_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(feed == Set((1L, "delete", v - 2), (2L, "delete", v - 1)),
+          feed)
+        assert(!feed.exists(_._3 == v))
+      } finally spark.conf.unset("graft.txn.posCoalesceAt")
+    }
+  }
+
   test("pushed filters stay correct through the COLUMNAR vector path") {
     withZone { table =>
       spark.conf.set("graft.txn.posCoalesceAt", "0")
