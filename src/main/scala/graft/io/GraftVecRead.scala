@@ -44,11 +44,17 @@ private[io] class GraftVecBatch(
     tableRoot: String,
     out: StructType) extends Batch {
 
+  // delegate partitions planned ONCE (file listing cost): both
+  // planInputPartitions and the columnar decision below read these
+  private lazy val cleanParts: Option[Array[InputPartition]] =
+    clean.map(_.planInputPartitions())
+  private lazy val vecParts: Seq[Array[InputPartition]] =
+    vecs.map(_._2.planInputPartitions())
+
   override def planInputPartitions(): Array[InputPartition] =
-    (clean.toSeq.flatMap(_.planInputPartitions()
-        .map(p => new GraftCleanPartition(p))) ++
-      vecs.zipWithIndex.flatMap { case ((f, b, _), i) =>
-        b.planInputPartitions().map(p => new GraftVecPartition(i, f, p))
+    (cleanParts.toSeq.flatMap(_.map(p => new GraftCleanPartition(p))) ++
+      vecs.zipWithIndex.flatMap { case ((f, _, _), i) =>
+        vecParts(i).map(p => new GraftVecPartition(i, f, p))
       }).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -59,10 +65,10 @@ private[io] class GraftVecBatch(
     // every one of its partitions (they share one schema modulo the
     // appended long row-index, so in practice this is all-or-nothing)
     val columnar =
-      clean.zip(cleanF).forall { case (b, f) =>
-        b.planInputPartitions().forall(f.supportColumnarReads) } &&
-      vecs.map(_._2).zip(vecFs).forall { case (b, f) =>
-        b.planInputPartitions().forall(f.supportColumnarReads) }
+      cleanParts.zip(cleanF).forall { case (ps, f) =>
+        ps.forall(f.supportColumnarReads) } &&
+      vecParts.zip(vecFs).forall { case (ps, f) =>
+        ps.forall(f.supportColumnarReads) }
     new GraftVecReaderFactory(cleanF, vecFs.toArray,
       vecs.map(_._3.toArray).toArray, tableRoot, out, columnar)
   }
