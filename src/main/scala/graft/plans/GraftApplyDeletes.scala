@@ -103,6 +103,14 @@ case class GraftApplyDeletes(spark: SparkSession) extends Rule[LogicalPlan] {
     val groups = ms.files.groupBy(f => (applicable(f), vintage(f)))
       .toSeq.sortBy(_._2.head)
     if (groups.isEmpty) return LocalRelation(r.output) // all-deleted table
+    // NOTHING applies to any file (the delete entries are gate-dead and
+    // every file postdates every default — the steady state after
+    // OPTIMIZE materializes): keep the ORIGINAL relation, with its V2
+    // statistics, runtime-filter, and aggregate-pushdown surfaces
+    // intact, instead of pinning an equivalent subset scan forever
+    if (groups.size == 1 && groups.head._1._1.isEmpty &&
+        groups.head._1._2.isEmpty)
+      return r
     val branches: Seq[LogicalPlan] = groups.map { case ((dels, vdefs), fs) =>
       def filled(p: LogicalPlan): LogicalPlan =
         if (vdefs.isEmpty) p

@@ -76,6 +76,17 @@ class NdefVintageSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
       assert(got == Map(1L -> (7, 5), 2L -> (7, 5), 3L -> (42, 5),
         4L -> (43, 5), 5L -> (44, 66)), got)
+      // steady state after a second compact: every file postdates every
+      // default, so the fill splice steps ASIDE and the read keeps the
+      // pristine DSv2 relation (bare scan, no fill Project wrapper)
+      TxnTable.compact(spark, table, targetFiles = 1)
+      val bare = spark.read.format("graft").load(table)
+      val plan = bare.queryExecution.executedPlan.toString
+      assert(plan.contains("BatchScan") && !plan.contains("Project") &&
+          !plan.contains("Union"),
+        s"materialized table must read through the bare scan; plan:\n$plan")
+      assert(bare.select($"m.e").collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(5, 5, 5, 5, 66))
     }
   }
 
