@@ -763,7 +763,8 @@ object DedupOps {
     RQ("d46_dedup_inplace", d46, Some(d46Sql), bench = true),
     RQ("d47_incremental_dedup", d47, Some(d47Sql), bench = true),
     RQ("d48_span_dedup", d48, Some(d48Sql), bench = true),
-    RQ("d49_incremental_span_dedup", d49, Some(d49Sql), bench = true))
+    RQ("d49_incremental_span_dedup", d49, Some(d49Sql), bench = true),
+    RQ("d50_incremental_boilerplate", d50, Some(d50Sql)))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -890,7 +891,8 @@ object DedupOps {
     * files)) — the caller asserts pruning where its batch is small. */
   private def probePersisted(spark: SparkSession, persisted: String,
       batch: DataFrame, joinCols: Seq[String], out: Seq[String],
-      keyCol: String, cat: String): (DataFrame, (Int, Int)) = {
+      keyCol: String, cat: String,
+      scanPayload: Seq[String] = Nil): (DataFrame, (Int, Int)) = {
     import spark.implicits._
     import graft.io.TxnTable
     val total = TxnTable.snapshotFiles(spark, persisted,
@@ -906,8 +908,11 @@ object DedupOps {
       else batch.select(col(keyCol)).distinct()
         .limit(keyLimit + 1).as[String].collect().toSeq
     val smallKeys = keys.nonEmpty && keys.length <= keyLimit
+    // `scanPayload`: extra PERSISTED-side columns the probe's output
+    // references (d50 reads the matching occurrences' doc ids); the
+    // batch side must not carry same-named columns
     val base = spark.read.format("graft").load(persisted)
-      .select(joinCols.map(col): _*)
+      .select((joinCols ++ scanPayload).distinct.map(col): _*)
     val scanSide =
       if (smallKeys) base.filter(col(keyCol).isin(keys: _*))
       else base
@@ -947,9 +952,11 @@ object DedupOps {
             prevConfs += k -> spark.conf.getOption(k)
             spark.conf.set(k, v)
           }
-        spark.table(s"$cat.`$name`").select(joinCols.map(col): _*)
+        spark.table(s"$cat.`$name`")
+          .select((joinCols ++ scanPayload).distinct.map(col): _*)
           .join(spark.table(s"$cat.`${name}_batch`")
-            .select((out ++ joinCols).distinct.map(col): _*),
+            .select((out.filterNot(scanPayload.contains) ++ joinCols)
+              .distinct.map(col): _*),
             joinCols, "inner")
           .select(out.map(col): _*)
       }
@@ -1388,6 +1395,188 @@ object DedupOps {
        |JOIN clean c ON c.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- d50
+  /** INCREMENTAL boilerplate purge — d45's C4 rule (a passage in >= 3
+    * DISTINCT documents is template text; EVERY occurrence drops,
+    * including the first) in the d47/d49 ingest shape, with the twist
+    * neither has: hotness is RETROACTIVE. A passage can cross the
+    * 3-document threshold in any later batch, at which point documents
+    * committed BEFORE the crossing must lose their occurrences too —
+    * so each ingest (1) appends the batch's stride-3 passage
+    * occurrences (md5 keys) to a `bucket(16, h)` occurrence table,
+    * (2) probes it for every corpus-wide occurrence of the batch's
+    * passages ([[probePersisted]]: broadcast or SPJ, zero shuffles of
+    * the persisted side, literal-key file pruning on small batches —
+    * REQUIREd by the registered query's tiny third ingest), (3) cleans
+    * and appends the batch against the passages hot AS OF this ingest,
+    * and (4) for passages that CROSSED the threshold here, re-cleans
+    * the (≤ 2 per crossing) prior documents from their stored ORIGINAL
+    * text via a positional UPDATE — kilobyte vectors, zero file
+    * rewrites. Hotness is monotone, and every crossing touches exactly
+    * its passage's documents, so the final state equals the GLOBAL d45
+    * rule — which is why one DuckDB query over the whole corpus
+    * oracle-checks the entire multi-ingest, retroactively-updated
+    * pipeline. */
+  private def d50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d50_inc").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/clean_txn"
+      val occs = s"$zone/occs_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = maxId - 5L // a TINY third increment — the daily shape
+      d50Ingest(spark, corpus, occs,
+        docs.filter($"doc_id" <= cut), first = true)
+      val before = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files.toSet
+      d50Ingest(spark, corpus, occs,
+        docs.filter($"doc_id" > cut && $"doc_id" <= cut2), first = false)
+      val (scanned, total) = d50Ingest(spark, corpus, occs,
+        docs.filter($"doc_id" > cut2), first = false)
+      require(scanned < total,
+        s"small-increment occurrence probe must prune persisted files: " +
+          s"read $scanned of $total")
+      val after = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files
+      require(before.subsetOf(after.toSet),
+        "retroactive re-cleaning must be positional updates, never a " +
+          "committed-file rewrite")
+      val result = spark.read.format("graft").load(corpus)
+        .select($"doc_id", $"n_passages", $"n_kept", $"cleaned")
+        .orderBy($"doc_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+
+  /** d45's stride-3 passages of `text`, as a SQL-expr column. */
+  private def d50Passages: String =
+    """transform(
+      |  sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1),
+      |  i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"""
+      .stripMargin
+
+  /** One d50 ingest (reusable by specs): append the batch's occurrence
+    * keys, clean + append the batch against passages hot as of NOW, and
+    * retroactively re-clean prior docs whose passages just crossed the
+    * threshold. Returns the probe's (scanned, total) file counts. */
+  private[graft] def d50Ingest(spark: SparkSession, corpus: String,
+      occs: String, batch: DataFrame, first: Boolean): (Int, Int) = {
+    import spark.implicits._
+    val pass = batch
+      .select($"doc_id", posexplode(expr(d50Passages)).as(Seq("pos", "p")))
+      .select($"doc_id", $"pos", md5($"p").as("h"))
+      .localCheckpoint()
+    // occurrences append FIRST: the per-ingest hot rule is "count
+    // INCLUDING this batch", so one post-append probe serves both the
+    // batch clean and the crossing detection
+    val ow = pass.write.format("graft")
+      .option("statsCols", "h").option("bloomCols", "h")
+      .option("optimizedWrite", "true")
+    (if (first) ow.option("partitionBy", "bucket(16, h)").mode("overwrite")
+     else ow.mode("append")).save(occs)
+    val keys = pass.select($"h").distinct().localCheckpoint()
+    val (matches, pruneCounts) =
+      if (first) (pass.select($"h", $"doc_id"), (0, 0))
+      else probePersisted(spark, occs, keys,
+        joinCols = Seq("h"), out = Seq("h", "doc_id"),
+        keyCol = "h", cat = "gd50spj", scanPayload = Seq("doc_id"))
+    // per batch-passage totals (corpus-wide, batch included) and the
+    // batch's own contribution — a passage CROSSED iff total >= 3 while
+    // total-minus-contribution was still below
+    val counts = matches.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("n")).localCheckpoint()
+    val hot = counts.filter($"n" >= 3).select($"h".as("hh"))
+    val pb = batch
+      .select($"doc_id", $"text",
+        posexplode(expr(d50Passages)).as(Seq("pos", "p")))
+      .withColumn("h", md5($"p"))
+    val cleanedBatch = pb
+      .join(broadcast(hot), $"h" === $"hh", "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_passages"),
+        sum(when($"hh".isNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when($"hh".isNull, struct($"pos", $"p")))),
+            s => s.getField("p")),
+          " ").as("cleaned"))
+      .join(batch, Seq("doc_id"))
+      .select($"doc_id", $"text", $"n_passages", $"n_kept", $"cleaned")
+    cleanedBatch.write.format("graft")
+      .option("statsCols", "doc_id").option("mergeOnRead", "true")
+      .mode(if (first) "overwrite" else "append").save(corpus)
+    // retroactive leg: passages that crossed the threshold THIS ingest
+    if (!first) {
+      val contrib = pass.select($"h", $"doc_id").distinct()
+        .groupBy($"h").agg(count(lit(1)).as("bn"))
+      val newlyHot = counts.join(contrib, Seq("h"))
+        .filter($"n" >= 3 && $"n" - $"bn" < 3).select($"h")
+      val batchIds = batch.select($"doc_id")
+      val affected = matches.join(broadcast(newlyHot), Seq("h"))
+        .select($"doc_id").distinct()
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .as[Long].collect().toSeq.sorted
+      if (affected.nonEmpty) {
+        // bounded by construction: each crossing has at most 2 prior
+        // documents, so |affected| <= 2 × crossings-this-ingest
+        val affKeys = spark.read.format("graft").load(corpus)
+          .filter($"doc_id".isin(affected: _*))
+          .select(explode(expr(d50Passages)).as("p"))
+          .select(md5($"p").as("h")).distinct().localCheckpoint()
+        val (affOcc, _) = probePersisted(spark, occs, affKeys,
+          joinCols = Seq("h"), out = Seq("h", "doc_id"),
+          keyCol = "h", cat = "gd50spj", scanPayload = Seq("doc_id"))
+        val hotArr = affOcc.groupBy($"h")
+          .agg(countDistinct($"doc_id").as("n"))
+          .filter($"n" >= 3).select($"h").as[String].collect().toSeq
+        val hotLit = typedLit(hotArr)
+        val kept = filter(expr(d50Passages),
+          p => !array_contains(hotLit, md5(p)))
+        graft.io.TxnTable.updateWherePos(spark, corpus,
+          df => df("doc_id").isin(affected: _*),
+          Map(
+            "cleaned" -> array_join(kept, " "),
+            "n_kept" -> size(kept).cast("bigint")))
+        ()
+      }
+    }
+    pruneCounts
+  }
+
+  // def, not val: defined after `all` in initialization order
+  private def d50Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |passages AS (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(w[(i*3+1):(i*3+3)], ' ')) AS h,
+      |    array_to_string(w[(i*3+1):(i*3+3)], ' ') AS passage
+      |  FROM toks, range(0, 4000) r(i)
+      |  WHERE i * 3 < len(w)),
+      |hot AS (
+      |  SELECT h AS hh FROM passages
+      |  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3)
+      |SELECT doc_id,
+      | CAST(COUNT(*) AS BIGINT) AS n_passages,
+      | CAST(SUM(CASE WHEN hh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | COALESCE(string_agg(CASE WHEN hh IS NULL THEN passage END, ' ' ORDER BY pos), '') AS cleaned
+      |FROM passages LEFT JOIN hot ON h = hh
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def d47(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
