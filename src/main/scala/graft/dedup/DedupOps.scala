@@ -889,7 +889,9 @@ object DedupOps {
     * The zero-ShuffleExchange contract is REQUIREd on the executed
     * plan. Returns (checkpointed `out` columns, (scanned files, total
     * files)) — the caller asserts pruning where its batch is small. */
-  private def probePersisted(spark: SparkSession, persisted: String,
+  // private[graft] (not private): the conf-restore failure-injection
+  // spec drives the SPJ branch into a thrown AnalysisException directly
+  private[graft] def probePersisted(spark: SparkSession, persisted: String,
       batch: DataFrame, joinCols: Seq[String], out: Seq[String],
       keyCol: String, cat: String,
       scanPayload: Seq[String] = Nil): (DataFrame, (Int, Int)) = {
@@ -919,58 +921,74 @@ object DedupOps {
     val prevConfs = scala.collection.mutable.ListBuffer
       .empty[(String, Option[String])]
     val bigBatch = !smallKeys && batchN > sigBroadcastLimit(spark)
-    val probe =
-      if (!bigBatch)
-        scanSide.join(broadcast(batch), joinCols, "inner")
-          .select(out.map(col): _*)
-      else {
-        // bucketed-SPJ spelling: land the batch in the SAME
-        // bucket(16, keyCol) layout and join co-partitioned. Both
-        // sides must resolve through a CATALOG: Spark only turns a
-        // reported KeyGroupedPartitioning's bucket() transform into a
-        // usable clustering when the relation carries a
-        // FunctionCatalog to resolve it (path-based loads silently
-        // degrade to UnknownPartitioning).
-        val tmp = persisted + "_batch"
-        batch.write.format("graft")
-          .option("partitionBy", s"bucket(16, $keyCol)")
-          .option("optimizedWrite", "true")
-          .mode("overwrite").save(tmp)
-        val slash = persisted.lastIndexOf('/')
-        val (wh, name) = (persisted.substring(0, slash),
-          persisted.substring(slash + 1))
-        (Seq(
-          "spark.sql.sources.v2.bucketing.enabled" -> "true",
-          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
-          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
-          // this path exists BECAUSE the batch exceeds broadcast
-          // limits — planner size estimates must not re-pick BHJ
-          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-          s"spark.sql.catalog.$cat" -> "graft.io.GraftTableCatalog",
-          s"spark.sql.catalog.$cat.warehouse" -> wh))
-          .foreach { case (k, v) =>
-            prevConfs += k -> spark.conf.getOption(k)
-            spark.conf.set(k, v)
-          }
-        spark.table(s"$cat.`$name`")
-          .select((joinCols ++ scanPayload).distinct.map(col): _*)
-          .join(spark.table(s"$cat.`${name}_batch`")
-            .select((out.filterNot(scanPayload.contains) ++ joinCols)
-              .distinct.map(col): _*),
-            joinCols, "inner")
-          .select(out.map(col): _*)
+    // session confs the SPJ branch flips and the scratch bucketed copy
+    // it writes are BOTH restored/removed on every exit path — a
+    // thrown plan (bad column, broken co-partitioning REQUIRE) must
+    // not leave the session with broadcast joins disabled or leak a
+    // full bucketed copy of the batch beside the persisted table
+    try {
+      val probe =
+        if (!bigBatch)
+          scanSide.join(broadcast(batch), joinCols, "inner")
+            .select(out.map(col): _*)
+        else {
+          // bucketed-SPJ spelling: land the batch in the SAME
+          // bucket(16, keyCol) layout and join co-partitioned. Both
+          // sides must resolve through a CATALOG: Spark only turns a
+          // reported KeyGroupedPartitioning's bucket() transform into a
+          // usable clustering when the relation carries a
+          // FunctionCatalog to resolve it (path-based loads silently
+          // degrade to UnknownPartitioning).
+          val tmp = persisted + "_batch"
+          batch.write.format("graft")
+            .option("partitionBy", s"bucket(16, $keyCol)")
+            .option("optimizedWrite", "true")
+            .mode("overwrite").save(tmp)
+          val slash = persisted.lastIndexOf('/')
+          val (wh, name) = (persisted.substring(0, slash),
+            persisted.substring(slash + 1))
+          (Seq(
+            "spark.sql.sources.v2.bucketing.enabled" -> "true",
+            "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+            "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+            // this path exists BECAUSE the batch exceeds broadcast
+            // limits — planner size estimates must not re-pick BHJ
+            "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+            s"spark.sql.catalog.$cat" -> "graft.io.GraftTableCatalog",
+            s"spark.sql.catalog.$cat.warehouse" -> wh))
+            .foreach { case (k, v) =>
+              prevConfs += k -> spark.conf.getOption(k)
+              spark.conf.set(k, v)
+            }
+          spark.table(s"$cat.`$name`")
+            .select((joinCols ++ scanPayload).distinct.map(col): _*)
+            .join(spark.table(s"$cat.`${name}_batch`")
+              .select((out.filterNot(scanPayload.contains) ++ joinCols)
+                .distinct.map(col): _*),
+              joinCols, "inner")
+            .select(out.map(col): _*)
+        }
+      val checked = probe.localCheckpoint()
+      require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
+        "cross-batch probe must not shuffle the persisted " +
+          s"table:\n${probe.queryExecution.executedPlan}")
+      val scanned = org.apache.spark.sql.GraftBridge
+        .dsv2ScannedFiles(probe).getOrElse(total)
+      (checked, (scanned, total))
+    } finally {
+      prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
-    val checked = probe.localCheckpoint()
-    require(d47Shuffles(probe.queryExecution.executedPlan) == 0,
-      "cross-batch probe must not shuffle the persisted " +
-        s"table:\n${probe.queryExecution.executedPlan}")
-    val scanned = org.apache.spark.sql.GraftBridge
-      .dsv2ScannedFiles(probe).getOrElse(total)
-    prevConfs.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+      // the scratch table is only needed until the probe materializes
+      // (localCheckpoint above); best-effort delete — a failure here
+      // must not mask the probe's own outcome
+      if (bigBatch) try {
+        val p = new org.apache.hadoop.fs.Path(persisted + "_batch")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
-    (checked, (scanned, total))
   }
 
   /** Distinct band keys at or below which an increment's probe pushes
@@ -1252,7 +1270,10 @@ object DedupOps {
       val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
       val maxId = docs.agg(max($"doc_id")).head().getLong(0)
       val cut = maxId / 2L
-      val cut2 = maxId - 5L // a TINY third increment — the daily shape
+      // a TINY third increment — the daily shape; clamped so batch 2
+      // stays non-empty on a small or sparse-id corpus (cut < cut2 < maxId
+      // must hold or the scanned<total pruning REQUIRE fails spuriously)
+      val cut2 = math.max(cut + 1L, maxId - 5L)
       d49Ingest(spark, corpus, grams,
         docs.filter($"doc_id" <= cut), first = true)
       val before = TxnTable.morState(spark, corpus,
@@ -1429,7 +1450,10 @@ object DedupOps {
       val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
       val maxId = docs.agg(max($"doc_id")).head().getLong(0)
       val cut = maxId / 2L
-      val cut2 = maxId - 5L // a TINY third increment — the daily shape
+      // a TINY third increment — the daily shape; clamped so batch 2
+      // stays non-empty on a small or sparse-id corpus (cut < cut2 < maxId
+      // must hold or the scanned<total pruning REQUIRE fails spuriously)
+      val cut2 = math.max(cut + 1L, maxId - 5L)
       d50Ingest(spark, corpus, occs,
         docs.filter($"doc_id" <= cut), first = true)
       val before = TxnTable.morState(spark, corpus,
@@ -1566,8 +1590,9 @@ object DedupOps {
       |  SELECT doc_id, i AS pos,
       |    md5(array_to_string(w[(i*3+1):(i*3+3)], ' ')) AS h,
       |    array_to_string(w[(i*3+1):(i*3+3)], ' ') AS passage
-      |  FROM toks, range(0, 4000) r(i)
-      |  WHERE i * 3 < len(w)),
+      |  FROM (SELECT doc_id, w,
+      |          unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS i
+      |        FROM toks) u),
       |hot AS (
       |  SELECT h AS hh FROM passages
       |  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3)
@@ -1589,7 +1614,10 @@ object DedupOps {
       val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
       val maxId = docs.agg(max($"doc_id")).head().getLong(0)
       val cut = maxId / 2L
-      val cut2 = maxId - 5L // a TINY third increment — the daily shape
+      // a TINY third increment — the daily shape; clamped so batch 2
+      // stays non-empty on a small or sparse-id corpus (cut < cut2 < maxId
+      // must hold or the scanned<total pruning REQUIRE fails spuriously)
+      val cut2 = math.max(cut + 1L, maxId - 5L)
       val before = {
         d47Ingest(spark, corpus, sigs, docs.filter($"doc_id" <= cut),
           first = true, $"doc_id" <= cut)

@@ -1010,7 +1010,7 @@ private[io] class GraftScanBuilder(
     }
     Some(keyed.groupBy(_._1).toSeq
       .map { case (k, fs) => (k.toArray, fs.map(_._2)) }
-      .sortBy(_._1.map(String.valueOf(_)).mkString(" ")))
+      .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000")))
   }
 }
 
@@ -1326,6 +1326,11 @@ private[io] class GraftScan(
           val root = new org.apache.hadoop.fs.Path(table)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .makeQualified(new org.apache.hadoop.fs.Path(table)).toString
+          // driver-captured session Hadoop conf, broadcast for the
+          // per-task sidecar reads (see GraftVecBatch's bcConf doc)
+          val bcConf = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
           new GraftVecBatch(
             if (clean.isEmpty) None
             else Some(org.apache.spark.sql.GraftBridge.parquetScan(
@@ -1336,7 +1341,7 @@ private[io] class GraftScan(
                 spark, Seq(s"$table/$f"), vecData, vecRequired,
                 parquetSafe, options).toBatch,
               posGate(f))),
-            root, physRequired)
+            root, physRequired, bcConf)
         }
     }
     else {

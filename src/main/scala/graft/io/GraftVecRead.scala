@@ -42,7 +42,14 @@ private[io] class GraftVecBatch(
     clean: Option[Batch],
     vecs: Seq[(String, Batch, Seq[String])], // (fileRel, delegate, sidecars)
     tableRoot: String,
-    out: StructType) extends Batch {
+    out: StructType,
+    // the DRIVER's session Hadoop conf (spark.hadoop.* keys, session
+    // overrides, object-store credentials), broadcast so the per-task
+    // sidecar reads resolve the filesystem exactly like the scan
+    // itself — a bare executor-side `new Configuration()` would drop
+    // every driver-configured key and break on any non-default FS
+    bcConf: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration]) extends Batch {
 
   // delegate partitions planned ONCE (file listing cost): both
   // planInputPartitions and the columnar decision below read these
@@ -70,7 +77,7 @@ private[io] class GraftVecBatch(
       vecParts.zip(vecFs).forall { case (ps, f) =>
         ps.forall(f.supportColumnarReads) }
     new GraftVecReaderFactory(cleanF, vecFs.toArray,
-      vecs.map(_._3.toArray).toArray, tableRoot, out, columnar)
+      vecs.map(_._3.toArray).toArray, tableRoot, out, columnar, bcConf)
   }
 }
 
@@ -91,13 +98,19 @@ private[io] class GraftVecReaderFactory(
     sidecars: Array[Array[String]],
     tableRoot: String,
     out: StructType,
-    columnar: Boolean) extends PartitionReaderFactory {
+    columnar: Boolean,
+    bcConf: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration])
+    extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
+  // the broadcast DRIVER conf, not a bare new Configuration(): sidecar
+  // GETs must see the same spark.hadoop.* keys / credentials as the
+  // delegate parquet scan or they break on any non-default filesystem
   private def deletedOf(v: GraftVecPartition): java.util.HashSet[java.lang.Long] =
     PosVectors.ordinalsFor(
-      new org.apache.hadoop.conf.Configuration(),
+      bcConf.value.value,
       sidecars(v.idx).toSeq.map(s => new Path(s"$tableRoot/$s")),
       v.fileRel)
 

@@ -14,26 +14,26 @@ import org.apache.hadoop.fs.Path
   * per-task re-read costs one small-object GET. */
 object PosVectors {
 
-  /** Iterate a sidecar's (file, ordinal) pairs. */
-  def pairs(conf: Configuration, sidecar: Path): Iterator[(String, Long)] = {
+  /** Visit a sidecar's (file, ordinal) pairs in order; stop early when
+    * `f` returns false. The reader closes on EVERY exit path — early
+    * stop, exhaustion, or a thrown read error — so callers with bounded
+    * traversals (the [[deletedCounts]] rows-limit guard) never leak the
+    * parquet input stream. Returns false iff the visit stopped early. */
+  def foreachPair(conf: Configuration, sidecar: Path)(
+      f: (String, Long) => Boolean): Boolean = {
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
         sidecar)
       .withConf(conf).build()
-    new Iterator[(String, Long)] {
-      private var nextGroup: org.apache.parquet.example.data.Group = reader.read()
-      override def hasNext: Boolean = {
-        val has = nextGroup != null
-        if (!has) reader.close()
-        has
+    try {
+      var g = reader.read()
+      while (g != null) {
+        if (!f(g.getString(TxnTable.PosFileCol, 0),
+            g.getLong(TxnTable.PosOrdCol, 0))) return false
+        g = reader.read()
       }
-      override def next(): (String, Long) = {
-        val g = nextGroup
-        nextGroup = reader.read()
-        (g.getString(TxnTable.PosFileCol, 0),
-          g.getLong(TxnTable.PosOrdCol, 0))
-      }
-    }
+      true
+    } finally reader.close()
   }
 
   /** The DISTINCT deleted ordinals of `fileRel` across `sidecars`
@@ -44,8 +44,9 @@ object PosVectors {
                   fileRel: String): java.util.HashSet[java.lang.Long] = {
     val out = new java.util.HashSet[java.lang.Long]()
     sidecars.foreach { sc =>
-      pairs(conf, sc).foreach { case (f, ord) =>
+      foreachPair(conf, sc) { (f, ord) =>
         if (f == fileRel) { out.add(ord); () }
+        true
       }
     }
     out
@@ -64,18 +65,25 @@ object PosVectors {
     if (gate.isEmpty) return Some(Map.empty)
     val sidecars = gate.values.flatten.toSeq.distinct
     // one pass per sidecar: ordinal sets per (sidecar, file), then per
-    // file the union over its applicable sidecars
+    // file the union over its applicable sidecars. The limit guard
+    // stops the traversal mid-sidecar; foreachPair still closes the
+    // reader on that early exit.
     val perSidecar = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]]
     var seen = 0L
     sidecars.foreach { sc =>
       val m = scala.collection.mutable.Map
         .empty[String, scala.collection.mutable.Set[Long]]
-      pairs(conf, new Path(s"$tableRoot/$sc")).foreach { case (f, ord) =>
-        seen += 1L
-        if (seen > rowsLimit) return None
-        m.getOrElseUpdate(f, scala.collection.mutable.Set.empty) += ord
+      val complete = foreachPair(conf, new Path(s"$tableRoot/$sc")) {
+        (f, ord) =>
+          seen += 1L
+          if (seen > rowsLimit) false
+          else {
+            m.getOrElseUpdate(f, scala.collection.mutable.Set.empty) += ord
+            true
+          }
       }
+      if (!complete) return None
       perSidecar(sc) = m
     }
     Some(gate.map { case (f, scs) =>

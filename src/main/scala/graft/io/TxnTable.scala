@@ -3659,24 +3659,31 @@ object TxnTable {
       s"positional delete of $table lost the snapshot race 16 times")
   }
 
-  /** AUTO-COALESCE trigger for positional sidecars: when the live
-    * vector count reaches `graft.txn.posCoalesceAt` (default 8), merge
-    * them into one. Called after every positional commit; failures are
-    * swallowed (the delete/update itself is already durable —
-    * coalescing is maintenance, and the next positional commit
-    * retries). `posCoalesceAt = 0` disables. */
+  /** AUTO-COALESCE trigger for positional sidecars: when the LIVE
+    * vector count reaches `graft.txn.posCoalesceAt` (default 8) — or
+    * that many gate-dead entries have accumulated — merge/sweep them.
+    * Called after every positional commit; the WHOLE body is
+    * failure-swallowed, including the conf parse and the state read:
+    * by this point writePointer already published the DML commit, so
+    * any throw here would surface a DURABLE delete/update as a failed
+    * operation and bait the caller into a double-applying retry.
+    * Coalescing is maintenance — the next positional commit retries.
+    * `posCoalesceAt = 0` disables. */
   private def maybeCoalescePosVectors(spark: SparkSession,
-                                      table: String): Unit = {
-    val at = spark.conf.get("graft.txn.posCoalesceAt", "8").toInt
-    if (at <= 0) return
-    val live = latestState(spark, table).toSeq.flatMap { st =>
-      st.dels.filter(d => d.keyCols == PosDelKeyCols &&
-        st.files.exists(f => d.gates(f, st.addv.getOrElse(f, 0L))))
-    }
-    if (live.size >= at)
-      try { coalescePosVectors(spark, table); () }
-      catch { case scala.util.control.NonFatal(_) => () }
-  }
+                                      table: String): Unit =
+    try {
+      val at = spark.conf.get("graft.txn.posCoalesceAt", "8").toInt
+      if (at > 0) {
+        val pos = latestState(spark, table).toSeq.flatMap { st =>
+          st.dels.filter(d => d.keyCols == PosDelKeyCols).map(d =>
+            st.files.exists(f => d.gates(f, st.addv.getOrElse(f, 0L))))
+        }
+        val live = pos.count(identity)
+        if (live >= at || pos.size - live >= at) {
+          coalescePosVectors(spark, table); ()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Merge every LIVE positional deletion vector of `table` into ONE
     * sidecar — metadata plus one kilobyte-scale parquet write, zero
@@ -3699,7 +3706,13 @@ object TxnTable {
     * addv > maxGate — per-file applicability is unchanged exactly.
     * Old manifests are untouched (time travel and RESTORE read the
     * original vectors); the superseded sidecar FILES stay on disk for
-    * those reads until VACUUM's ordinary retention sweeps them. */
+    * those reads until VACUUM's ordinary retention sweeps them.
+    *
+    * Gate-DEAD positional entries (naming only rewritten-away files —
+    * left behind by OPTIMIZE/copy-on-write DML) are swept in the same
+    * commit, including when fewer than 2 live vectors exist (a pure
+    * sweep that writes no sidecar): they can never apply again, since
+    * add versions only grow past their gate. */
   def coalescePosVectors(spark: SparkSession, table: String): Long = {
     val ctx = fc(spark)
     var attempt = 0
@@ -3708,46 +3721,60 @@ object TxnTable {
         throw new IllegalStateException(s"no committed version in $table"))
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
-      val live = st.dels.filter(d => d.keyCols == PosDelKeyCols &&
+      val pos = st.dels.filter(_.keyCols == PosDelKeyCols)
+      val live = pos.filter(d =>
         st.files.exists(f => d.gates(f, st.addv.getOrElse(f, 0L))))
-      if (live.size < 2) return st.version
+      // gate-DEAD positional vectors (every file they gate was
+      // rewritten away) drop in the same full-manifest commit: add
+      // versions only grow, so a vector gating no current file can
+      // never become applicable again — carrying it would bloat every
+      // future manifest forever without ever joining a merge
+      val dead = pos.size - live.size
+      if (live.size < 2 && dead == 0) return st.version
       import spark.implicits._
-      val liveFiles = spark.createDataset(st.files).toDF(PosFileCol)
-      val merged = live.map(d =>
-          spark.read.schema(PosDelSchema).parquet(s"$table/${d.file}"))
-        .reduce(_ unionByName _)
-        .join(liveFiles, Seq(PosFileCol), "left_semi")
-        .distinct().coalesce(1)
-      val dataDir =
-        s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
-      merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dataDir/_del")
-      val delFiles = {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        val it = ctx.listStatus(new Path(s"$table/$dataDir/_del"))
-        while (it.hasNext) {
-          val s = it.next()
-          if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
-            buf += s"$dataDir/_del/${s.getPath.getName}"
-        }
-        buf.sorted.toSeq
-      }
-      val side = spark.read.schema(PosDelSchema)
-        .parquet(delFiles.map(f => s"$table/$f"): _*)
-      val n = side.count()
-      // n == 0: every live vector's pairs name rewritten-away files —
-      // the vectors are collectively dead; drop them, commit no sidecar
-      val mergedDels =
-        if (n == 0L) Nil
+      // fewer than 2 live vectors with dead ones present: a pure
+      // SWEEP — carry the live vector (if any) verbatim, write nothing
+      val (mergedDels, dataDir) =
+        if (live.size < 2) (live, None)
         else {
-          val named = namedFiles(spark, table, side)
-          val gate = live.map(_.version).max
-          delFiles.map(f =>
-            DelMeta(f, gate, PosDelKeyCols, n, named = named.getOrElse(Nil)))
+          val liveFiles = spark.createDataset(st.files).toDF(PosFileCol)
+          val merged = live.map(d =>
+              spark.read.schema(PosDelSchema).parquet(s"$table/${d.file}"))
+            .reduce(_ unionByName _)
+            .join(liveFiles, Seq(PosFileCol), "left_semi")
+            .distinct().coalesce(1)
+          val dir =
+            s"w=${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+          merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$dir/_del")
+          val delFiles = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            val it = ctx.listStatus(new Path(s"$table/$dir/_del"))
+            while (it.hasNext) {
+              val s = it.next()
+              if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+                buf += s"$dir/_del/${s.getPath.getName}"
+            }
+            buf.sorted.toSeq
+          }
+          val side = spark.read.schema(PosDelSchema)
+            .parquet(delFiles.map(f => s"$table/$f"): _*)
+          val n = side.count()
+          // n == 0: every live vector's pairs name rewritten-away
+          // files — collectively dead; drop them, commit no sidecar
+          if (n == 0L) {
+            ctx.delete(new Path(s"$table/$dir"), true)
+            (Nil, None)
+          } else {
+            val named = namedFiles(spark, table, side)
+            val gate = live.map(_.version).max
+            (delFiles.map(f =>
+              DelMeta(f, gate, PosDelKeyCols, n,
+                named = named.getOrElse(Nil))), Some(dir))
+          }
         }
-      if (n == 0L) ctx.delete(new Path(s"$table/$dataDir"), true)
       // dropping del entries needs a FULL manifest (deltas are additive)
       val next = st.version + 1L
-      val keep = st.dels.filterNot(live.contains)
+      val keep = st.dels.filterNot(pos.contains)
       val content = manifestContent(schema, st.txns, st.stats, st.files,
         st.blooms, st.rows, st.partCols, op = "vec-coalesce",
         cdf = st.cdf, mor = st.mor, dels = keep ++ mergedDels,
@@ -3759,7 +3786,7 @@ object TxnTable {
       }
       // lost the race: a concurrent commit may have changed the vector
       // set — recompute everything from the fresh state
-      if (n > 0L) ctx.delete(new Path(s"$table/$dataDir"), true)
+      dataDir.foreach(d => ctx.delete(new Path(s"$table/$d"), true))
       attempt += 1
       backoff(attempt)
     }
@@ -5987,8 +6014,15 @@ object TxnTable {
       spark.sparkContext.hadoopConfiguration).makeQualified(new Path(dest))
     val (srcRoot, dstRoot) = (srcAbs.toString, dstAbs.toString)
     val par = math.max(1, math.min(copies.size, 64))
+    // the DRIVER's session Hadoop conf rides a broadcast into the copy
+    // tasks: a bare executor-side `new Configuration()` would drop
+    // every spark.hadoop.* key (object-store credentials, custom FS
+    // impls) and break the clone on any non-default filesystem
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     spark.sparkContext.parallelize(copies, par).foreachPartition { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = bcConf.value.value
       val sfs = new Path(srcRoot).getFileSystem(conf)
       val dfs = new Path(dstRoot).getFileSystem(conf)
       it.foreach { rel =>

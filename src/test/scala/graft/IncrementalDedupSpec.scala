@@ -58,9 +58,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
       DedupOps.d47Ingest(spark, corpus, sigs, b2, first = false,
         $"doc_id" > 6L)
       if (forceSpj)
-        // the SPJ path stages the batch's signatures as a bucketed table
-        assert(TxnTable.latestVersion(spark, sigs + "_batch").isDefined,
-          "forced SPJ path must stage the batch signatures")
+        // the SPJ path stages the batch's signatures as a bucketed
+        // scratch table and must DELETE it once the probe materializes
+        // — against a durable signature table it would otherwise leak
+        // a full bucketed copy of every big batch
+        assert(!new java.io.File(sigs + "_batch").exists(),
+          "forced SPJ path must clean up its staged batch table")
       val filesAfter = TxnTable.morState(spark, corpus,
         TxnTable.latestVersion(spark, corpus).get).files.toSet
       assert(filesBefore.subsetOf(filesAfter),
@@ -88,5 +91,52 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("bucketed-SPJ probe path: same dedup without any broadcast") {
     runBoth(forceSpj = true)
+  }
+
+  test("a THROWING probe restores session confs and removes its scratch") {
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_incguard").toFile.getAbsolutePath
+    val forced = Seq("graft.dedup.probeKeyLimit" -> "0",
+      "graft.dedup.sigBroadcastLimit" -> "0")
+    val prev = forced.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      forced.foreach { case (k, v) => spark.conf.set(k, v) }
+      val corpus = s"$zone/corpus"
+      val sigs = s"$zone/sigs"
+      DedupOps.d47Ingest(spark, corpus, sigs,
+        docsOf((1L to 6L).map(i => (i, "en", text(i)))),
+        first = true, $"doc_id" <= 6L)
+      val batch = (1L to 4L).map(i => (1, s"h$i")).toDF("b", "h")
+      val bhjBefore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      // injected failure: an `out` column that exists on neither side
+      // throws while the SPJ confs are flipped and the scratch staged
+      intercept[Exception] {
+        DedupOps.probePersisted(spark, sigs, batch,
+          joinCols = Seq("b", "h"), out = Seq("no_such_column"),
+          keyCol = "h", cat = "gtestspj")
+      }
+      assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        == bhjBefore, "autoBroadcastJoinThreshold must restore on throw")
+      assert(spark.conf.getOption("spark.sql.catalog.gtestspj").isEmpty,
+        "the probe's ad-hoc catalog registration must restore on throw")
+      assert(!new java.io.File(sigs + "_batch").exists(),
+        "the staged batch table must be removed on throw")
+      // the session is still healthy: a correct probe right after works
+      val (hits, _) = DedupOps.probePersisted(spark, sigs,
+        spark.read.format("graft").load(sigs).limit(2),
+        joinCols = Seq("b", "h"), out = Seq("doc_id"),
+        keyCol = "h", cat = "gtestspj")
+      assert(hits.count() == 2L)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
   }
 }

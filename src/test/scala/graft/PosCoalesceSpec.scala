@@ -105,6 +105,55 @@ class PosCoalesceSpec extends AnyFunSuite {
     }
   }
 
+  test("gate-dead vectors sweep out, even with fewer than 2 live ones") {
+    withZone { table =>
+      spark.conf.set("graft.txn.posCoalesceAt", "0")
+      try {
+        seed(table)
+        TxnTable.deleteWherePos(spark, table, df => df("k") === 1L)
+        // partial NON-checkpoint compaction rewrites every file the
+        // vector names (the delete materializes into the replacements);
+        // the delta manifest carries the entry forward — now gate-DEAD:
+        // it names only rewritten-away files and, since add versions
+        // only grow past its gate, can never apply again. Before the
+        // sweep it would ride every future manifest forever.
+        TxnTable.compactSmall(spark, table, smallBytes = Long.MaxValue,
+          targetFiles = 2, checkpoint = false)
+        val s = state(table)
+        val pos = posDels(table)
+        assert(pos.size == 1, pos)
+        assert(!pos.exists(d => s.files.exists(f =>
+            d.gates(f, s.addv.getOrElse(f, 0L)))),
+          "setup: the carried vector must be gate-dead after the rewrite")
+        val before = spark.read.format("graft").load(table)
+          .as[(Long, Long)].collect().toSet
+        assert(before.size == 99)
+        val preV = TxnTable.latestVersion(spark, table).get
+        // a pure sweep: no sidecar written, one full-manifest commit
+        val v = TxnTable.coalescePosVectors(spark, table)
+        assert(v == preV + 1)
+        assert(posDels(table).isEmpty, s"dead vector must drop: ${posDels(table)}")
+        val got = spark.read.format("graft").load(table)
+          .as[(Long, Long)].collect().toSet
+        assert(got == before, "reads identical across the sweep")
+        // and the sweep is idempotent
+        assert(TxnTable.coalescePosVectors(spark, table) == v)
+        // a dead entry alongside live ones drops in the same MERGE commit
+        TxnTable.deleteWherePos(spark, table, df => df("k") === 2L)
+        TxnTable.deleteWherePos(spark, table, df => df("k") === 3L)
+        TxnTable.compactSmall(spark, table, smallBytes = Long.MaxValue,
+          targetFiles = 2, checkpoint = false) // both vectors now dead
+        TxnTable.deleteWherePos(spark, table, df => df("k") === 4L)
+        TxnTable.deleteWherePos(spark, table, df => df("k") === 5L)
+        assert(posDels(table).size == 4) // 2 dead + 2 live
+        TxnTable.coalescePosVectors(spark, table)
+        val merged = posDels(table)
+        assert(merged.size == 1 && merged.head.rows == 2L, merged)
+        assert(spark.read.format("graft").load(table).count() == 95L)
+      } finally spark.conf.unset("graft.txn.posCoalesceAt")
+    }
+  }
+
   test("the change feed classifies a coalesce commit as a no-change op") {
     withZone { table =>
       spark.conf.set("graft.txn.posCoalesceAt", "0")
