@@ -672,12 +672,14 @@ object Text2Ops {
     * left-to-right non-overlapping. localCheckpoint per round keeps the
     * plan from nesting N folds deep.
     *
-    * NO SQL ORACLE by design: the iterative argmax is not expressible
-    * in one DuckDB query (the classic space-join respelling needs
-    * lookbehind, which RE2 lacks) — registered rows-only, with
-    * correctness carried by BpeTrainSpec: an in-JVM reference
-    * implementation property-checked over random collision-heavy
-    * corpora (the d48/SpanDedupSpec pattern), plus determinism. */
+    * ORACLE: the training loop has no recursive-CTE spelling (the
+    * per-round argmax aggregates over the working state, which
+    * recursive terms forbid), but the merge count is a FIXED constant
+    * — so the oracle UNROLLS it: one generated CTE block per rank
+    * (pair-count aggregate → 1-row argmax → greedy re-pair), see
+    * [[bpeOracleCtes]]. BpeTrainSpec's in-JVM reference property check
+    * over random collision-heavy corpora carries the
+    * arbitrary-merge-count case. */
   private[graft] def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -708,24 +710,7 @@ object Text2Ops {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         val m = l + rr
         out += ((r + 1, l, rr, m, c))
-        // left-to-right non-overlapping re-pair: a codegen'd fold —
-        // symbols are [a-z]+ only, so the literals need no escaping
-        words = words.select(expr(
-          s"""aggregate(syms,
-             |  struct(CAST(array() AS array<string>) AS out,
-             |         CAST(NULL AS string) AS carry),
-             |  (acc, c) -> CASE
-             |    WHEN acc.carry = '$l' AND c = '$rr'
-             |      THEN struct(array_append(acc.out, '$m') AS out,
-             |                  CAST(NULL AS string) AS carry)
-             |    WHEN acc.carry IS NULL
-             |      THEN struct(acc.out AS out, c AS carry)
-             |    ELSE struct(array_append(acc.out, acc.carry) AS out,
-             |                c AS carry) END,
-             |  acc -> CASE WHEN acc.carry IS NULL THEN acc.out
-             |         ELSE array_append(acc.out, acc.carry) END)""".stripMargin)
-          .as("syms"), $"cnt")
-          .localCheckpoint()
+        words = words.select(rePair(l, rr, m), $"cnt").localCheckpoint()
         r += 1
       }
     }
@@ -736,8 +721,166 @@ object Text2Ops {
       .orderBy($"rank")
   }
 
+  /** One merge's GREEDY left-to-right non-overlapping re-pair over a
+    * `syms` array column — a codegen'd fold (symbols are [a-z]+ only,
+    * so the literals need no escaping). Shared by the trainer's round
+    * step and [[bpeApply]]. */
+  private def rePair(l: String, r: String,
+                     m: String): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(syms,
+         |  struct(CAST(array() AS array<string>) AS out,
+         |         CAST(NULL AS string) AS carry),
+         |  (acc, c) -> CASE
+         |    WHEN acc.carry = '$l' AND c = '$r'
+         |      THEN struct(array_append(acc.out, '$m') AS out,
+         |                  CAST(NULL AS string) AS carry)
+         |    WHEN acc.carry IS NULL
+         |      THEN struct(acc.out AS out, c AS carry)
+         |    ELSE struct(array_append(acc.out, acc.carry) AS out,
+         |                c AS carry) END,
+         |  acc -> CASE WHEN acc.carry IS NULL THEN acc.out
+         |         ELSE array_append(acc.out, acc.carry) END)""".stripMargin)
+      .as("syms")
+
+  private def bpeRounds = 24
   private def t54(spark: SparkSession, dir: String): DataFrame =
-    bpeTrain(Tables.documents(spark, dir), merges = 24)
+    bpeTrain(Tables.documents(spark, dir), merges = bpeRounds)
+
+  /** APPLY a trained merge table to `docs`: per distinct vocabulary
+    * word, fold the merges in rank order (the same greedy left-to-right
+    * non-overlapping re-pair the trainer uses), then join the per-word
+    * subword count back onto the corpus — application work is O(vocab ×
+    * merges), never O(corpus × merges), and the final join broadcasts
+    * the vocabulary. Returns (doc_id, n_words, n_subwords); documents
+    * with no [a-z]+ word contribute no row (both engines explode). */
+  private[graft] def bpeApply(docs: DataFrame,
+                              merges: Seq[(String, String, String)])
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    var vocab = words.distinct()
+      .select($"w", split($"w", "").as("syms")).localCheckpoint()
+    merges.foreach { case (l, r, m) =>
+      vocab = vocab.select($"w", rePair(l, r, m)).localCheckpoint()
+    }
+    val nsub = vocab.select($"w", size($"syms").cast("bigint").as("nsub"))
+    docs.select($"doc_id", explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .join(nsub, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_words"),
+        sum($"nsub").cast("bigint").as("n_subwords"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------- t54b
+  /** Trainer output feeding an ORACLED consumer: re-tokenize the corpus
+    * with the merge table t54 just trained, per-doc word and subword
+    * counts. End-to-end checkable in DuckDB because the oracle derives
+    * the SAME merge table via the unrolled training CTEs and applies it
+    * to the same vocabulary — a wrong trained merge (rank, pair, or
+    * tie-break) shifts subword counts and hash-mismatches. */
+  private def t54b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(docs, merges = bpeRounds).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    bpeApply(docs, merges)
+  }
+
+  /** The UNROLLED training rounds as a DuckDB CTE chain, shared by the
+    * t54 and t54b oracles. Per rank k (from the round-(k-1) vocabulary
+    * `v(k-1)`):
+    *
+    *   - `u{k}`: every (word, position) of the current symbol arrays;
+    *   - `m{k}`: the argmax adjacent pair, weighted by word frequency
+    *     (ORDER BY c DESC, l, r LIMIT 1 — the trainer's tie-break);
+    *   - `s{k}`: the GREEDY non-overlapping match positions, via
+    *     gaps-and-islands parity: valid positions (syms[i]=l ∧
+    *     syms[i+1]=r) within a run of consecutive i take odd ranks —
+    *     exactly the left-to-right scan, because selecting p removes
+    *     p+1 from candidacy and a merged symbol (l||r ≠ l, ≠ r) can
+    *     never re-match the same pair mid-pass;
+    *   - `v{k}`: the re-paired vocabulary — selected positions emit the
+    *     merged symbol, positions following a selected one drop. The
+    *     UNION ALL leg carries v(k-1) verbatim when m{k} is EMPTY
+    *     (pair exhaustion on degenerate corpora), mirroring the
+    *     trainer's early stop.
+    *
+    * MATERIALIZED is load-bearing: every CTE here is referenced more
+    * than once, and DuckDB inlines plain CTEs per reference — 24
+    * rounds would nest exponentially (and re-open the parquet per
+    * inline). */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= """v0 AS MATERIALIZED (
+      |  SELECT w, string_split(w, '') AS syms, cnt FROM (
+      |    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |      FROM documents) uw GROUP BY w) vc)""".stripMargin
+    (1 to rounds).foreach { k =>
+      b ++= s""",
+        |u$k AS MATERIALIZED (
+        |  SELECT w, syms, cnt, unnest(range(1, len(syms) + 1)) AS i
+        |  FROM v${k - 1}),
+        |m$k AS MATERIALIZED (
+        |  SELECT l, r, l || r AS m, c FROM (
+        |    SELECT u.syms[u.i] AS l, u.syms[u.i + 1] AS r,
+        |      CAST(SUM(u.cnt) AS BIGINT) AS c
+        |    FROM u$k u WHERE u.i < len(u.syms) GROUP BY 1, 2) pc
+        |  ORDER BY c DESC, l, r LIMIT 1),
+        |s$k AS MATERIALIZED (
+        |  SELECT w, i FROM (
+        |    SELECT w, i,
+        |      ROW_NUMBER() OVER (PARTITION BY w, i - rn ORDER BY i) AS q
+        |    FROM (SELECT u.w, u.i,
+        |            ROW_NUMBER() OVER (PARTITION BY u.w ORDER BY u.i) AS rn
+        |          FROM u$k u, m$k m
+        |          WHERE u.i < len(u.syms) AND u.syms[u.i] = m.l
+        |            AND u.syms[u.i + 1] = m.r) t1) t2
+        |  WHERE q % 2 = 1),
+        |v$k AS MATERIALIZED (
+        |  SELECT u.w,
+        |    list(CASE WHEN s.i IS NOT NULL THEN m.m
+        |         ELSE u.syms[u.i] END ORDER BY u.i) AS syms,
+        |    u.cnt AS cnt
+        |  FROM u$k u CROSS JOIN m$k m
+        |  LEFT JOIN s$k s ON s.w = u.w AND s.i = u.i
+        |  LEFT JOIN s$k s2 ON s2.w = u.w AND s2.i = u.i - 1
+        |  WHERE s2.w IS NULL
+        |  GROUP BY u.w, u.cnt
+        |  UNION ALL
+        |  SELECT w, syms, cnt FROM v${k - 1}
+        |  WHERE NOT EXISTS (SELECT 1 FROM m$k))""".stripMargin
+    }
+    b.result()
+  }
+
+  // def, not val: defined after `all` in initialization order
+  private def t54Sql = {
+    val ranks = (1 to bpeRounds).map(k =>
+      s"""SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right",
+         |  m AS merged, c AS pair_count FROM m$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeOracleCtes(bpeRounds)}\n" +
+      s"SELECT * FROM (\n$ranks) am ORDER BY rank"
+  }
+
+  // def, not val: defined after `all` in initialization order
+  private def t54bSql =
+    s"""WITH ${bpeOracleCtes(bpeRounds)},
+       |fin AS (SELECT w, len(syms) AS nsub FROM v$bpeRounds),
+       |docw AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(f.nsub) AS BIGINT) AS n_subwords
+       |FROM docw d JOIN fin f USING (w)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
@@ -753,8 +896,9 @@ object Text2Ops {
     RQ("t51_domain_mix_weights", t51, Some(t51Sql)),
     RQ("t52_group_split", t52, Some(t52Sql)),
     RQ("t53_mixture_sample", t53, Some(t53Sql)),
-    // rows-only by design: the iterative argmax merge has no single-
-    // query DuckDB spelling — BpeTrainSpec's in-JVM reference property
-    // check is the correctness gate (see bpeTrain's doc)
-    RQ("t54_bpe_train", t54, None))
+    // oracled by UNROLLING the fixed-count training loop into one
+    // generated CTE block per rank (see bpeOracleCtes) — plus t54b,
+    // the trained-merges-feeding-an-oracled-consumer end-to-end check
+    RQ("t54_bpe_train", t54, Some(t54Sql)),
+    RQ("t54b_bpe_retokenize", t54b, Some(t54bSql)))
 }

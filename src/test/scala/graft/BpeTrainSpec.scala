@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** t54 BPE trainer correctness. The iterative argmax merge is not
-  * expressible as one DuckDB query (t54 is registered rows-only), so
-  * the gate is the d48 pattern: an in-JVM REFERENCE implementation of
-  * the exact rule — vocabulary from `[a-z]+` over lowercased text,
+/** t54 BPE trainer correctness. The registered query is ALSO oracled
+  * in DuckDB by unrolling the fixed-count loop (Text2Ops.bpeOracleCtes);
+  * this spec carries the arbitrary-merge-count case via the d48
+  * pattern: an in-JVM REFERENCE implementation of the exact rule — vocabulary from `[a-z]+` over lowercased text,
   * per-round adjacent-pair counts weighted by word frequency (every
   * position, overlaps included), argmax by (count DESC, left ASC,
   * right ASC), left-to-right non-overlapping re-pair — property-checked
@@ -109,5 +109,33 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(a == b)
     assert(a == refBpe(docs, 50))
     assert(a.size < 50, "must stop when no pair remains")
+  }
+
+  test("bpeApply: trained merges re-tokenize like the reference (t54b)") {
+    val rnd = new scala.util.Random(77)
+    (1 to 6).foreach { trial =>
+      val words = Seq.fill(20 + rnd.nextInt(30))(
+        (0 to rnd.nextInt(5)).map(_ => "abc" (rnd.nextInt(3))).mkString)
+      val docs = (1L to 6L).map(i => (i,
+        Seq.fill(1 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+          .mkString(" ")))
+      val n = 1 + rnd.nextInt(6)
+      val merges = refBpe(docs.map(_._2), n)
+        .map { case (_, l, r, m, _) => (l, r, m) }
+      // reference application: fold each word through the merge list
+      val want = docs.flatMap { case (id, t) =>
+        val ws = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+        if (ws.isEmpty) None
+        else Some((id, ws.size.toLong,
+          ws.map(w => merges.foldLeft(w.split("").toVector) {
+            case (syms, (l, r, m)) => refMergeWord(syms, l, r, m)
+          }.size.toLong).sum))
+      }.sortBy(_._1)
+      val got = graft.text.Text2Ops.bpeApply(
+        docs.toDF("doc_id", "text"), merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want,
+        s"trial $trial (merges=$n):\n got=$got\nwant=$want\ndocs=$docs")
+    }
   }
 }
