@@ -1544,38 +1544,64 @@ object DedupOps {
     cleanedBatch.write.format("graft")
       .option("statsCols", "doc_id").option("mergeOnRead", "true")
       .mode(if (first) "overwrite" else "append").save(corpus)
-    // retroactive leg: passages that crossed the threshold THIS ingest
+    // retroactive leg: passages that crossed the threshold THIS ingest.
+    // Everything stays a FRAME end to end — the affected doc ids, their
+    // re-derived passages, and the now-hot set semi/left-join instead
+    // of driver-collected isin/typedLit literals, so an ingest whose
+    // batch crosses 10^4 passages plans exactly like one that crosses
+    // 3 (no giant In-list through the optimizer, no literal array in
+    // every row's rebuild expression; IncrementalBoilerplateSpec pins
+    // this on an engineered many-crossings batch)
     if (!first) {
       val contrib = pass.select($"h", $"doc_id").distinct()
         .groupBy($"h").agg(count(lit(1)).as("bn"))
       val newlyHot = counts.join(contrib, Seq("h"))
         .filter($"n" >= 3 && $"n" - $"bn" < 3).select($"h")
       val batchIds = batch.select($"doc_id")
+      // bounded by construction: each crossing has at most 2 prior
+      // documents, so |affected| <= 2 × crossings-this-ingest — small
+      // enough to localCheckpoint (size-known => the joins broadcast)
       val affected = matches.join(broadcast(newlyHot), Seq("h"))
         .select($"doc_id").distinct()
         .join(batchIds, Seq("doc_id"), "left_anti")
-        .as[Long].collect().toSeq.sorted
-      if (affected.nonEmpty) {
-        // bounded by construction: each crossing has at most 2 prior
-        // documents, so |affected| <= 2 × crossings-this-ingest
-        val affKeys = spark.read.format("graft").load(corpus)
-          .filter($"doc_id".isin(affected: _*))
-          .select(explode(expr(d50Passages)).as("p"))
-          .select(md5($"p").as("h")).distinct().localCheckpoint()
+        .localCheckpoint()
+      if (affected.limit(1).count() > 0L) {
+        // re-derive the affected docs' passages from their stored
+        // ORIGINAL text (the corpus keeps `text` for exactly this);
+        // the semi-join's build side is tiny, so the corpus scan can
+        // prune by runtime filter on its doc_id stats
+        val affPass = spark.read.format("graft").load(corpus)
+          .join(affected, Seq("doc_id"), "left_semi")
+          .select($"doc_id",
+            posexplode(expr(d50Passages)).as(Seq("pos", "p")))
+          .select($"doc_id", $"pos", $"p", md5($"p").as("h"))
+          .localCheckpoint()
+        // checkpointed: the distinct's exchange must not land inside
+        // the probe plan (its zero-shuffle REQUIRE covers both sides)
+        val affKeys = affPass.select($"h").distinct().localCheckpoint()
         val (affOcc, _) = probePersisted(spark, occs, affKeys,
           joinCols = Seq("h"), out = Seq("h", "doc_id"),
           keyCol = "h", cat = "gd50spj", scanPayload = Seq("doc_id"))
-        val hotArr = affOcc.groupBy($"h")
+        val hotNow = affOcc.groupBy($"h")
           .agg(countDistinct($"doc_id").as("n"))
-          .filter($"n" >= 3).select($"h").as[String].collect().toSeq
-        val hotLit = typedLit(hotArr)
-        val kept = filter(expr(d50Passages),
-          p => !array_contains(hotLit, md5(p)))
-        graft.io.TxnTable.updateWherePos(spark, corpus,
-          df => df("doc_id").isin(affected: _*),
-          Map(
-            "cleaned" -> array_join(kept, " "),
-            "n_kept" -> size(kept).cast("bigint")))
+          .filter($"n" >= 3).select($"h".as("hh"))
+        // rebuild each affected doc from its own passages minus the
+        // hot set — same agg spelling as the batch-clean leg
+        val rebuilt = affPass
+          .join(hotNow, $"h" === $"hh", "left")
+          .groupBy($"doc_id")
+          .agg(
+            sum(when($"hh".isNull, 1L).otherwise(0L)).cast("bigint")
+              .as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when($"hh".isNull, struct($"pos", $"p")))),
+                s => s.getField("p")),
+              " ").as("cleaned"))
+          .localCheckpoint()
+        graft.io.TxnTable.updateFromPos(spark, corpus, rebuilt,
+          Seq("doc_id"))
         ()
       }
     }

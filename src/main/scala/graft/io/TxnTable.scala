@@ -3487,6 +3487,65 @@ object TxnTable {
         Some(updated), Some(changes)))
     })
 
+  /** POSITIONAL update FROM A SOURCE FRAME: rows whose `keyCols` tuple
+    * matches an `updates` row take that row's non-key columns (cast to
+    * the declared types, like SQL UPDATE); everything else is
+    * untouched. [[updateWherePos]]'s economics — one commit appends the
+    * replacements and positionally deletes the originals — with BOTH
+    * the selection and the assignments carried by a DataFrame, so a
+    * million-row retroactive fix plans exactly like a ten-row one: the
+    * selection is a JOIN the planner can broadcast and drive runtime
+    * file pruning from (stats-bearing key columns), never a
+    * driver-collected `isin` literal list, and the per-row values ride
+    * the frame instead of a giant literal in every SET expression.
+    *
+    * `updates` must be UNIQUE per key tuple — REQUIREd with one cheap
+    * aggregate, because a duplicate would fan the join out and append
+    * two replacement rows for one superseded coordinate: silent row
+    * duplication inside a single commit. Rows of `updates` matching
+    * nothing are ignored (they name keys this table doesn't have). */
+  def updateFromPos(spark: SparkSession, table: String,
+                    updates: DataFrame, keyCols: Seq[String]): Long =
+    upsertMoR(spark, table, "update", (_, v) => {
+      val st = stateOf(spark, table, v)
+      val snap = readIdentityOf(spark, table, st)
+      val fields = st.schema.get.fields.toIndexedSeq
+      keyCols.foreach(c => require(fields.exists(_.name == c),
+        s"key column '$c' is not a column of $table"))
+      val setCols = updates.columns.toSeq.filterNot(keyCols.contains)
+      require(setCols.nonEmpty,
+        "updates frame carries no assignment columns beyond the keys")
+      setCols.foreach(c => require(fields.exists(_.name == c),
+        s"SET column '$c' is not a column of $table"))
+      require(!fields.exists(_.name.startsWith("_gset_")),
+        s"$table has a data column shadowing the _gset_ staging prefix")
+      val dup = updates.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_gn")).filter(col("_gn") > 1L)
+        .limit(1).count()
+      require(dup == 0L,
+        s"updates frame has duplicate (${keyCols.mkString(", ")}) tuples")
+      val u = updates.select(
+        keyCols.map(col) ++
+          setCols.map(c => col(s"`$c`").as(s"_gset_$c")): _*)
+      // materialized ONCE — the joined selection feeds the appended
+      // rows, the coordinate sidecar, and the change feed (see
+      // updateWherePosWith's matched doc)
+      val matched = snap.join(u, keyCols, "inner").localCheckpoint()
+      val updated = matched.select(fields.map { f =>
+        if (setCols.contains(f.name))
+          col(s"`_gset_${f.name}`").cast(f.dataType).as(f.name)
+        else col(s"`${f.name}`")
+      }: _*)
+      val changes = matched
+        .select(fields.map(f => col(s"`${f.name}`")): _*)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(
+          updated.withColumn(ChangeTypeCol, lit("update_postimage")))
+      Some(MorWrite(PosDelKeyCols,
+        matched.select(col(PosFileCol), col(PosOrdCol)),
+        Some(updated), Some(changes)))
+    })
+
   /** The distinct data files a positional sidecar names, when not
     * more than `graft.txn.posNamedLimit` of them (default 1024) —
     * None past the limit, so a corpus-wide vector (in-place dedup

@@ -261,4 +261,11 @@ object GraftBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Drain the shared listener bus — QueryExecutionListener events are
+    * delivered asynchronously through it, so a test that registers one
+    * to observe executed plans must flush before asserting (the
+    * private[spark] twin of the test-utils wait). */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -101,6 +101,85 @@ class IncrementalBoilerplateSpec extends AnyFunSuite {
     }
   }
 
+  /** The largest literal fan-out any expression of an optimized plan
+    * carries: In-list length, InSet size, or array-literal element
+    * count (typedLit). The retroactive leg must keep its affected-doc
+    * selection and hot-set subtraction as FRAMES — a driver-collected
+    * spelling shows up here as a crossings-sized literal. */
+  private def maxLiteralFanout(
+      qe: org.apache.spark.sql.execution.QueryExecution): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    val sizes = qe.optimizedPlan.flatMap { n =>
+      n.expressions.flatMap(_.collect {
+        case i: In => i.list.size
+        case s: InSet => s.hset.size
+        case l: Literal
+            if l.dataType.isInstanceOf[ArrayType] && l.value != null =>
+          l.value.asInstanceOf[ArrayData].numElements()
+      })
+    }
+    if (sizes.isEmpty) 0 else sizes.max
+  }
+
+  test("a 1000-crossing ingest stays literal-free in every plan") {
+    withZone { zone =>
+      val n = 1000
+      // shared passage j appears in docs j (batch 1), n+j (batch 2),
+      // and 2n+j (batch 3): every one of the n passages crosses the
+      // >= 3 threshold IN THE SAME third ingest, so the retroactive
+      // leg must re-clean 2n prior documents at once
+      def doc(id: Long, j: Int): (Long, String) =
+        (id, s"c${j}a c${j}b c${j}c u${id}a u${id}b u${id}c")
+      val b1 = (1 to n).map(j => doc(j.toLong, j))
+      val b2 = (1 to n).map(j => doc((n + j).toLong, j))
+      val b3 = (1 to n).map(j => doc((2 * n + j).toLong, j))
+      val (corpus, occs) = (s"$zone/clean", s"$zone/occs")
+      graft.dedup.DedupOps.d50Ingest(spark, corpus, occs,
+        b1.toDF("doc_id", "text"), first = true)
+      graft.dedup.DedupOps.d50Ingest(spark, corpus, occs,
+        b2.toDF("doc_id", "text"), first = false)
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.QueryExecution]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = { plans.add(qe); () }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try graft.dedup.DedupOps.d50Ingest(spark, corpus, occs,
+        b3.toDF("doc_id", "text"), first = false)
+      finally {
+        // listener events deliver asynchronously — drain before reading
+        org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+        spark.listenerManager.unregister(listener)
+      }
+      val captured = plans.toArray(
+        Array.empty[org.apache.spark.sql.execution.QueryExecution])
+      assert(captured.nonEmpty, "the listener saw no executed queries")
+      val fan = captured.map(maxLiteralFanout).max
+      assert(fan < 600,
+        s"an ingest-3 plan carried a $fan-element literal list — the " +
+          "retroactive leg must stay frame-joined, not driver-collected")
+      // and the retroactive result still equals the global rule
+      val got = spark.read.format("graft").load(corpus)
+        .select($"doc_id", $"n_passages", $"n_kept", $"cleaned")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val want = reference(b1 ++ b2 ++ b3)
+      assert(got.size == want.size)
+      // spot-check the crossing semantics + full equality
+      assert(got(1L) == ((2L, 1L, "u1a u1b u1c")), got(1L))
+      assert(got((n + 1).toLong)._2 == 1L)
+      assert(got == want)
+    }
+  }
+
   test("property: matches the global rule on random corpora, random cuts") {
     val rnd = new scala.util.Random(99)
     val vocab = Vector("a", "b", "c")

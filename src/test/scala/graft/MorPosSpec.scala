@@ -336,6 +336,37 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  test("updateFromPos: per-row values ride the frame, no literals") {
+    withZone { table =>
+      import spark.implicits._
+      seed(table)
+      val before = state(table).files.toSet
+      // per-key assignments from a FRAME: k -> s"u<k>", g -> k % 3;
+      // key 999 matches nothing and must be ignored
+      val updates = Seq((3L, "u3", 0), (17L, "u17", 2), (999L, "zz", 1))
+        .toDF("k", "s", "g")
+      TxnTable.updateFromPos(spark, table, updates, Seq("k"))
+      val st = state(table)
+      assert(before.subsetOf(st.files.toSet), "original files carry")
+      assert(st.dels.exists(d =>
+        d.keyCols == Seq(TxnTable.PosDelKey) && d.rows == 2L))
+      val now = spark.read.format("graft").load(table)
+      assert(now.count() == 50L, "update must not change cardinality")
+      val got = now.filter($"k".isin(3L, 17L))
+        .select($"k", $"s", $"g").as[(Long, String, Long)].collect().toSet
+      assert(got == Set((3L, "u3", 0L), (17L, "u17", 2L)), got)
+      assert(now.filter($"s" === "zz").count() == 0L,
+        "an update row matching nothing is ignored")
+      // a duplicate key tuple is REFUSED, not silently fanned out
+      val dup = Seq((5L, "a", 0), (5L, "b", 0)).toDF("k", "s", "g")
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.updateFromPos(spark, table, dup, Seq("k"))
+      }
+      assert(e.getMessage.contains("duplicate"), e.getMessage)
+      assert(spark.read.format("graft").load(table).count() == 50L)
+    }
+  }
+
   test("updateWherePos can target SOME of byte-identical duplicates") {
     withZone { table =>
       import spark.implicits._
