@@ -338,10 +338,19 @@ object DedupOps {
       .agg(min($"dst").as("m"))
       .select($"src".as("id"), least($"src", $"m").as("label"))
       .localCheckpoint(eager = false)
+    // dev-only per-round timing (unset in driver/bench protocol runs)
+    val prof = sys.env.contains("GRAFT_D40_PROF")
+    var profT0 = System.nanoTime()
+    def lap(phase: String): Unit = if (prof) {
+      val t1 = System.nanoTime()
+      println(f"[d40prof] $phase%-12s ${(t1 - profT0) / 1e9}%.3f s")
+      profT0 = t1
+    }
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
     var prev = -1L
     var cur = labelSum(labels)
+    lap("init+round1")
     var rounds = 0
     // early hybrid switch: min-label needs ~diameter rounds, star
     // contraction ~log(component size). A graph still moving after 10
@@ -359,6 +368,7 @@ object DedupOps {
       prev = cur
       cur = labelSum(labels)
       rounds += 1
+      lap(s"round${rounds + 1}")
     }
     // (measured: batching two propagation steps per checkpoint halves the
     // action count but doubles the join work of the confirming rounds —
@@ -764,7 +774,8 @@ object DedupOps {
     RQ("d47_incremental_dedup", d47, Some(d47Sql), bench = true),
     RQ("d48_span_dedup", d48, Some(d48Sql), bench = true),
     RQ("d49_incremental_span_dedup", d49, Some(d49Sql), bench = true),
-    RQ("d50_incremental_boilerplate", d50, Some(d50Sql)))
+    RQ("d50_incremental_boilerplate", d50, Some(d50Sql)),
+    RQ("d51_incremental_keep_best", d51, Some(d51Sql), bench = true))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -1628,6 +1639,163 @@ object DedupOps {
       | COALESCE(string_agg(CASE WHEN hh IS NULL THEN passage END, ' ' ORDER BY pos), '') AS cleaned
       |FROM passages LEFT JOIN hot ON h = hh
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d51
+  /** INCREMENTAL keep-best dedup with cross-batch champion DISPLACEMENT
+    * — d41's canonical-pick policy (one representative per normalized
+    * fingerprint: longest raw text, then lowest id) in the d47/d49/d50
+    * ingest shape. The new wrinkle vs d47's keep-first: a LATER batch
+    * can carry a BETTER copy, which must displace the already-committed
+    * champion — a positional delete of the old row plus an ordinary
+    * append of the new one, zero file rewrites.
+    *
+    * Per ingest: (1) reduce the batch to its own per-fingerprint
+    * champions (a map-side-combinable MIN over (-n_chars, doc_id) — no
+    * window, so a mass-duplicated fingerprint never pins a reducer);
+    * (2) probe the corpus — itself the persisted `bucket(16, fp)`
+    * table — for committed champions sharing the batch's fingerprints
+    * ([[probePersisted]]: broadcast or storage-co-partitioned, ZERO
+    * shuffles of the corpus side, literal-key file pruning on small
+    * batches, REQUIREd by the registered query's tiny third ingest);
+    * (3) positional-delete the DISPLACED committed champions (their
+    * coordinates found by one identity read semi-joined to the small
+    * displaced-id frame — runtime-filterable on the corpus's doc_id
+    * stats, never an isin literal); (4) append the batch champions
+    * that won or arrived new.
+    *
+    * The champion per fingerprint is an argmax over all docs seen —
+    * associative and commutative — so unlike keep-FIRST (d47/d49,
+    * which need id-ordered batches) the final state equals the GLOBAL
+    * d41 rule under ANY batch split or arrival order: one DuckDB query
+    * over the whole corpus oracle-checks the entire displacing,
+    * multi-ingest pipeline. */
+  private def d51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d51_inc").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/champs_txn"
+      // the documents table has no natural fingerprint collisions at
+      // test SFs, so the workload derives LATE-ARRIVING VARIANTS (every
+      // 7th doc re-appears upper-cased with trailing whitespace — same
+      // normalized fingerprint, LONGER raw text, id past the original
+      // range): each variant lands in a later batch and must DISPLACE
+      // its batch-1 original. The oracle derives the identical corpus.
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val mx = base.agg(max($"doc_id")).head().getLong(0)
+      val docs = base.unionByName(
+        base.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + mx).as("doc_id"),
+            concat(upper($"text"), lit("  ")).as("text")))
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      // a TINY third increment — the daily shape; clamped like d47's
+      val cut2 = math.max(cut + 1L, maxId - 5L)
+      d51Ingest(spark, corpus, docs.filter($"doc_id" <= cut), first = true)
+      val before = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files.toSet
+      d51Ingest(spark, corpus,
+        docs.filter($"doc_id" > cut && $"doc_id" <= cut2), first = false)
+      val (scanned, total) = d51Ingest(spark, corpus,
+        docs.filter($"doc_id" > cut2), first = false)
+      require(scanned < total,
+        s"small-increment champion probe must prune corpus files: " +
+          s"read $scanned of $total")
+      val after = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get)
+      require(before.subsetOf(after.files.toSet),
+        "champion displacement must be positional deletes, never a " +
+          "committed-file rewrite")
+      require(after.dels.exists(_.keyCols == TxnTable.PosDelKeyCols),
+        "the derived variants must have displaced batch-1 champions " +
+          "through positional vectors — none landed")
+      val result = spark.read.format("graft").load(corpus)
+        .select($"doc_id", $"fp", $"n_chars")
+        .orderBy($"doc_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+
+  /** One d51 ingest (reusable by specs): reduce `batch` to its own
+    * champions, displace committed champions it beats, append winners.
+    * Returns the probe's (scanned, total) corpus file counts. */
+  private[graft] def d51Ingest(spark: SparkSession, corpus: String,
+      batch: DataFrame, first: Boolean): (Int, Int) = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    // in-batch champions: min over (-n_chars, doc_id) per fingerprint,
+    // then one join back for the text (the agg carries only the rank
+    // key, not the payload — a mass-dup fingerprint partial-aggregates)
+    val keyed = batch.select($"doc_id", $"text",
+      graft.text.TextFunctions.fingerprint($"text").as("fp"),
+      length($"text").cast("bigint").as("n_chars")).localCheckpoint()
+    val champs = keyed
+      .groupBy($"fp")
+      .agg(min(struct((-$"n_chars").as("nl"), $"doc_id")).as("b"))
+      .select($"fp", $"b.doc_id".as("doc_id"))
+      .join(keyed, Seq("fp", "doc_id"))
+      .localCheckpoint()
+    if (first) {
+      champs.write.format("graft")
+        .option("partitionBy", "bucket(16, fp)")
+        .option("statsCols", "fp,doc_id").option("bloomCols", "fp")
+        .option("optimizedWrite", "true").option("mergeOnRead", "true")
+        .mode("overwrite").save(corpus)
+      return (0, 0)
+    }
+    val keys = champs.select($"fp").distinct().localCheckpoint()
+    val (existing, pruneCounts) = probePersisted(spark, corpus, keys,
+      joinCols = Seq("fp"), out = Seq("fp", "doc_id", "n_chars"),
+      keyCol = "fp", cat = "gd51spj",
+      scanPayload = Seq("doc_id", "n_chars"))
+    // the general argmax comparison (not "later loses ties"): keeps the
+    // incremental state == global rule under ANY arrival order
+    val faced = champs.join(
+      existing.select($"fp", $"doc_id".as("_odoc"), $"n_chars".as("_on")),
+      Seq("fp"), "left")
+    val batchWins = $"_odoc".isNull || $"n_chars" > $"_on" ||
+      ($"n_chars" === $"_on" && $"doc_id" < $"_odoc")
+    val winners = faced.filter(batchWins)
+      .select($"fp", $"doc_id", $"text", $"n_chars").localCheckpoint()
+    val displaced = faced.filter($"_odoc".isNotNull && batchWins)
+      .select($"_odoc".as("doc_id")).localCheckpoint()
+    if (displaced.limit(1).count() > 0L) {
+      // coordinates of the displaced committed champions: identity read
+      // semi-joined to the SMALL displaced-id frame (broadcast +
+      // runtime-filterable on doc_id stats) — never an isin literal
+      val rows = TxnTable.readWithRowIdentity(spark, corpus)
+        .join(broadcast(displaced), Seq("doc_id"), "left_semi")
+      TxnTable.deletePositions(spark, corpus, rows)
+      ()
+    }
+    if (winners.limit(1).count() > 0L)
+      winners.write.format("graft").mode("append").save(corpus)
+    pruneCounts
+  }
+
+  // def, not val: defined after `all` in initialization order
+  private def d51Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) FROM documents) AS doc_id,
+      |    UPPER(text) || '  ' AS text
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |SELECT doc_id, fp, n_chars FROM (
+      |  SELECT doc_id, md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp,
+      |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))
+      |                       ORDER BY LENGTH(text) DESC, doc_id) AS rn
+      |  FROM corpus) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   private def d47(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
