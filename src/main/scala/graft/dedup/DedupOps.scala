@@ -1683,7 +1683,9 @@ object DedupOps {
       // range): each variant lands in a later batch and must DISPLACE
       // its batch-1 original. The oracle derives the identical corpus.
       val base = Tables.documents(spark, dir).select($"doc_id", $"text")
-      val mx = base.agg(max($"doc_id")).head().getLong(0)
+      // offset by max+1: ids can start at 0, and a colliding variant id
+      // would duplicate a doc_id — two rows tying on the final ORDER BY
+      val mx = base.agg(max($"doc_id")).head().getLong(0) + 1L
       val docs = base.unionByName(
         base.filter($"doc_id" % 7 === 0)
           .select(($"doc_id" + mx).as("doc_id"),
@@ -1786,7 +1788,7 @@ object DedupOps {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + (SELECT MAX(doc_id) FROM documents) AS doc_id,
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
       |    UPPER(text) || '  ' AS text
       |  FROM documents WHERE doc_id % 7 = 0)
       |SELECT doc_id, fp, n_chars FROM (

@@ -5029,6 +5029,71 @@ object FormatOps {
       |WHERE NOT (l_orderkey % 997 = 0)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- k159
+  /** SNAPSHOT TAGS end to end — the reproducibility contract a 100 TB
+    * training pipeline needs: tag the corpus snapshot a model trained
+    * on, keep ingesting/deleting/compacting/vacuuming, and the tagged
+    * bytes stay addressable BY NAME. The workload: load a lineitem
+    * subset, `SET TAG 'raw'`, append a second batch, positionally
+    * delete rows, OPTIMIZE (full rewrite + checkpoint manifest), then
+    * `VACUUM KEEP 0` — which reclaims all untagged history but must
+    * PIN the tagged chain. Output: the same aggregate computed through
+    * `tagAsOf` (must see exactly the first batch, deletes and rewrites
+    * notwithstanding) and through the latest snapshot. Oracle re-derives
+    * both states from the raw parquet. */
+  private def k159(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k159_tags")
+    try {
+      val table = s"$zone/lineitem_txn"
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity")
+      li.filter($"l_orderkey" % 3 === 0)
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      spark.sql(s"ALTER TABLE '$table' SET TAG 'raw'")
+      li.filter($"l_orderkey" % 3 === 1)
+        .write.format("graft").mode("append").save(table)
+      TxnTable.deleteWherePos(spark, table, df => df("l_orderkey") % 5 === 0)
+      spark.sql(s"OPTIMIZE '$table'")
+      spark.sql(s"VACUUM '$table' KEEP 0 VERSIONS")
+      def agg(df: DataFrame, state: String) =
+        df.agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"l_quantity".cast("decimal(38,6)")).cast("double")
+              .as("sum_qty"))
+          .select(lit(state).as("state"), $"n", $"sum_qty")
+      val tagged = spark.read.format("graft")
+        .option("tagAsOf", "raw").load(table)
+      val q = agg(spark.read.format("graft").load(table), "current")
+        .unionByName(agg(tagged, "tagged"))
+        .orderBy($"state")
+      val rows = q.collect()
+      val expect = li.filter($"l_orderkey" % 3 === 0).count()
+      require(rows.length == 2 && rows(1).getLong(1) == expect,
+        s"the tagged snapshot must still read its FULL first batch " +
+          s"($expect rows) after deletes + OPTIMIZE + VACUUM KEEP 0; " +
+          s"got ${rows.toSeq}")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k159Sql =
+    """SELECT * FROM (
+      |  SELECT 'current' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem
+      |  WHERE l_orderkey % 3 IN (0, 1) AND NOT l_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT 'tagged' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem WHERE l_orderkey % 3 = 0) s
+      |ORDER BY state""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -5112,5 +5177,6 @@ object FormatOps {
     RQ("k155_field_id_mapping", k155, Some(k155Sql)),
     RQ("k156_deep_clone", k156, Some(k156Sql)),
     RQ("k157_nested_defaults", k157, Some(k157Sql)),
-    RQ("k158_vector_scan_columnar", k158, Some(k158Sql), bench = true))
+    RQ("k158_vector_scan_columnar", k158, Some(k158Sql), bench = true),
+    RQ("k159_snapshot_tags", k159, Some(k159Sql)))
 }

@@ -97,16 +97,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     p
   }
 
-  /** Snapshot pinning: `versionAsOf` (a version number) or
-    * `timestampAsOf` (epoch millis, or "yyyy-MM-dd[ HH:mm:ss]" UTC) —
-    * mutually exclusive; default latest. */
+  /** Snapshot pinning: `versionAsOf` (a version number),
+    * `timestampAsOf` (epoch millis, or "yyyy-MM-dd[ HH:mm:ss]" UTC), or
+    * `tagAsOf` (a named tag, resolved through the LATEST snapshot's tag
+    * map — see TxnTable.setTag) — mutually exclusive; default latest. */
   private def pinnedVersion(spark: SparkSession, table: String,
                             options: util.Map[String, String]): Option[Long] = {
     val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
     val byTime = Option(options.get("timestampAsOf"))
-    require(byVersion.isEmpty || byTime.isEmpty,
-      "versionAsOf and timestampAsOf are mutually exclusive")
+    val byTag = Option(options.get("tagAsOf"))
+    require(Seq(byVersion, byTime, byTag).count(_.isDefined) <= 1,
+      "versionAsOf, timestampAsOf and tagAsOf are mutually exclusive")
     byVersion
+      .orElse(byTag.map { name =>
+        TxnTable.tags(spark, table).getOrElse(name,
+          throw new IllegalStateException(
+            s"$table has no tag '$name' — see SHOW TBLPROPERTIES " +
+              "(tags live under graft.tag.*)"))
+      })
       .orElse(byTime.map { raw =>
         TxnTable.versionAt(spark, table, TxnTable.parseUtcMillis(raw))
           .getOrElse(throw new IllegalStateException(

@@ -364,7 +364,14 @@ object TxnTable {
           if (ctx.util.exists(new Path(table, manifestName(mid)))) hi = mid
           else lo = mid + 1
         }
-        (lo to latest).toSeq
+        // TAGGED versions survive vacuum BELOW the contiguous floor
+        // (non-contiguous retention is exactly what tags buy), so the
+        // addressable set is the range UNION live tag targets that
+        // still exist — O(tags) extra probes, still no listing
+        val pinned = tags(spark, table).values.toSeq.distinct
+          .filter(v => v < lo &&
+            ctx.util.exists(new Path(table, manifestName(v))))
+        (pinned.sorted ++ (lo to latest)).toSeq
     }
 
   /** The recorded commit wall-clock of one manifest (its `#ts=` header),
@@ -5757,6 +5764,58 @@ object TxnTable {
     commitProps(spark, table, "replace-props")(_ => kv)
   }
 
+  // ------------------------------------------------------ snapshot tags
+  /** Named snapshot references (Iceberg-style TAGS): `graft.tag.<name>`
+    * properties mapping a human name to a pinned version. Three
+    * contracts make them more than sugar:
+    *
+    *   - READ: `option("tagAsOf", name)` resolves through the LATEST
+    *     snapshot's tag map, then reads exactly like `versionAsOf` —
+    *     "the release-2 eval set" stays addressable after any number
+    *     of later commits.
+    *   - VACUUM PINNING: a tagged version's manifest chain and every
+    *     data/delete/change file it references survive retention —
+    *     `VACUUM ... KEEP 0` reclaims everything EXCEPT tagged history
+    *     (the reproducibility guarantee: a tagged training snapshot is
+    *     immune to routine cleanup until the tag drops).
+    *   - CAS commits: SET/DROP TAG are metadata-only property commits,
+    *     so concurrent taggers and writers serialize like everything
+    *     else.
+    *
+    * Re-tagging an existing name MOVES it (one tag = one version).
+    * Like CHECK constraints, tags are POLICY, not data: RESTORE rolls
+    * table content back but keeps the current property set, so a tag
+    * survives a restore — and still resolves, because restore
+    * republishes state without deleting the tagged manifest. */
+  private[graft] val TagPropPrefix = "graft.tag."
+  private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  def setTag(spark: SparkSession, table: String, name: String,
+             version: Option[Long] = None): Long = {
+    require(TagNameRe.matches(name),
+      s"tag name '$name' must match ${TagNameRe.regex}")
+    val v = version.getOrElse(latestVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table")))
+    require(versions(spark, table).contains(v),
+      s"cannot tag $table@v$v — that version does not exist " +
+        "(never committed, or already vacuumed)")
+    setProperties(spark, table, Map(s"$TagPropPrefix$name" -> v.toString))
+  }
+
+  def deleteTag(spark: SparkSession, table: String, name: String): Long = {
+    require(tags(spark, table).contains(name),
+      s"no tag '$name' on $table")
+    unsetProperties(spark, table, Seq(s"$TagPropPrefix$name"))
+  }
+
+  /** The tag map of the latest (or pinned) snapshot: name → version. */
+  def tags(spark: SparkSession, table: String,
+           versionAsOf: Option[Long] = None): Map[String, Long] =
+    tableProperties(spark, table, versionAsOf).collect {
+      case (k, v) if k.startsWith(TagPropPrefix) =>
+        k.stripPrefix(TagPropPrefix) -> v.toLong
+    }
+
   private def commitProps(spark: SparkSession, table: String, op: String)(
       f: Map[String, String] => Map[String, String]): Long = {
     val ctx = fc(spark)
@@ -6492,14 +6551,42 @@ object TxnTable {
       }
     val cutoff = System.currentTimeMillis() - retainMs
     latestVersion(spark, table).foreach { latest =>
-      val all = versions(spark, table)
+      // ground truth from ONE directory listing (vacuum lists the dir
+      // for the data sweep anyway): tag pinning makes retention
+      // NON-CONTIGUOUS, so the binary-search range of [[versions]]
+      // would miss a pinned manifest below the floor — leaving its
+      // data unprotected on the next vacuum while still tagged, and
+      // the manifest unreapable forever once the tag drops
+      val all: Seq[Long] = {
+        val ManifestRe = """_v(\d+)\.manifest""".r
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val it = ctx.listStatus(new Path(table))
+        while (it.hasNext) {
+          it.next().getPath.getName match {
+            case ManifestRe(v) => buf += v.toLong
+            case _ => ()
+          }
+        }
+        buf.sorted.toSeq
+      }
       // retention extends DOWN from the oldest explicitly-kept version
       // to its full-manifest chain base: a retained delta manifest is
       // unreadable without the checkpoint it hangs off
-      var floor = all.filter(_ >= latest - keep).min
-      while (manifestLines(spark, table, floor)
-               .exists(_.startsWith(DeltaPrefix))) floor -= 1
-      val (dropped, retained) = all.partition(_ < floor)
+      def chainBase(v: Long): Long = {
+        var f = v
+        while (manifestLines(spark, table, f)
+                 .exists(_.startsWith(DeltaPrefix))) f -= 1
+        f
+      }
+      val floor = chainBase(all.filter(_ >= latest - keep).min)
+      // TAGGED versions pin their whole readable chain [base, v]
+      // regardless of retention — the reproducibility contract of
+      // [[setTag]]; dropping the tag releases the pin
+      val pinned: Set[Long] =
+        tags(spark, table).values.toSeq.filter(all.contains)
+          .flatMap((v: Long) => chainBase(v) to v).toSet
+      val (dropped, retained) =
+        all.partition(v => v < floor && !pinned.contains(v))
       // resolve references BEFORE deleting any manifest — chain reads
       // must never race the drop
       val referencedEarly = retained.flatMap { v =>

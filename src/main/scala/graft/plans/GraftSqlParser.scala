@@ -157,6 +157,13 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w.]+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val AlterDropDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w.]+)\s+DROP\s+DEFAULT\s*;?\s*""".r
+  // snapshot tags: ALTER TABLE t SET TAG 'name' [VERSION AS OF n] /
+  // DROP TAG 'name' — named pinned versions (readable via
+  // option("tagAsOf", name); vacuum retains tagged history)
+  private val AlterSetTagStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+TAG\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
+  private val AlterDropTagStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+TAG\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*;?\s*""".r
   private val AlterSetPartStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*?)\)\s*;?\s*""".r
   private val AlterUnpartStmt =
@@ -299,6 +306,11 @@ object GraftSqlParser {
           Seq(unquoteId(col), dflt.trim)))
       case AlterDropDefaultStmt(target, col) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "drop-default", Seq(unquoteId(col))))
+      case AlterSetTagStmt(target, name, version) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "set-tag",
+          Seq(unquoteAny(name)) ++ Option(version).toSeq))
+      case AlterDropTagStmt(target, name) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "drop-tag", Seq(unquoteAny(name))))
       case AlterSetPartStmt(target, entries) if graftTarget(target) =>
         // paren-aware split: bucket(8, k) holds a comma of its own
         Some(GraftAlterCommand(target, "set-partition-spec",
@@ -592,6 +604,11 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             TxnTable.setColumnDefault(spark, table, args(0), Some(args(1)))
           case "drop-default" =>
             TxnTable.setColumnDefault(spark, table, args(0), None)
+          case "set-tag" =>
+            TxnTable.setTag(spark, table, args.head,
+              args.drop(1).headOption.map(_.toLong))
+          case "drop-tag" =>
+            TxnTable.deleteTag(spark, table, args.head)
           case "set-props" =>
             TxnTable.setProperties(spark, table,
               args.grouped(2).map(p => p(0) -> p(1)).toMap)
