@@ -951,10 +951,11 @@ private[io] class GraftScanBuilder(
     if (FieldIds.hasIds(dataSchema)) FieldIds.enableRead(spark)
     new GraftScan(spark, table, version, dataSchema, required, pushed,
       chosen, options, meta.partCols, meta.pathpart,
-      // keyed split planning and vector subtraction don't compose (a
-      // keyed group's delegate can't thread per-file readers) — vectors
-      // are the rarer state, SPJ yields
-      if (chosen.exists(posGate.contains)) None else spjGroups(chosen),
+      // keyed split planning COMPOSES with vector subtraction (r16): a
+      // keyed group holding vector-named files plans a GraftVecBatch
+      // delegate, so live deletion vectors no longer cost the
+      // storage-partitioned join its zero-shuffle contract
+      spjGroups(chosen),
       meta.stats, meta.rows, TxnTable.ndvStats(spark, table, version),
       TxnTable.histStats(spark, table, version), meta.retired,
       posGate, vecCounts)
@@ -1306,15 +1307,46 @@ private[io] class GraftScan(
         // Runtime filters may have shrunk the file set since planning —
         // re-filter each group (a vanished key becomes an empty group;
         // Spark's push-part-values machinery aligns the missing side).
+        // Vector-NAMED files compose: a group holding any gets a
+        // GraftVecBatch delegate (its subtraction removes ROWS, never
+        // changes a file's partition tuple, so the reported clustering
+        // stays sound) — live deletion vectors no longer force both
+        // sides of a storage-partitioned join back into a shuffle.
         val live = currentFiles.toSet
+        lazy val rif = org.apache.spark.sql.GraftBridge.rowIndexField
+        lazy val vecData = StructType(physData.fields :+ rif)
+        lazy val vecRequired = StructType(physRequired.fields :+ rif)
+        lazy val root = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(new org.apache.hadoop.fs.Path(table)).toString
+        lazy val bcConf = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
         new GraftKeyedBatch(gs.flatMap { case (key, fs) =>
           val kept = fs.filter(live)
           if (kept.isEmpty) None
-          else Some(
-            (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key),
+          else {
+            def scanOf(files: Seq[String], data: StructType,
+                       req: StructType) =
               org.apache.spark.sql.GraftBridge.parquetScan(
-                spark, kept.map(f => s"$table/$f"), physData, physRequired,
-                parquetSafe, options).toBatch))
+                spark, files.map(f => s"$table/$f"), data, req,
+                parquetSafe, options).toBatch
+            val gated = kept.filter(posGate.contains)
+            val batch =
+              if (gated.isEmpty) scanOf(kept, physData, physRequired)
+              else {
+                val clean = kept.filterNot(posGate.contains)
+                new GraftVecBatch(
+                  if (clean.isEmpty) None
+                  else Some(scanOf(clean, physData, physRequired)),
+                  gated.map(f => (f, scanOf(Seq(f), vecData, vecRequired),
+                    posGate(f))),
+                  root, physRequired, bcConf)
+              }
+            Some(
+              (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key),
+                batch))
+          }
         })
       case _ =>
         val gated = currentFiles.filter(posGate.contains)

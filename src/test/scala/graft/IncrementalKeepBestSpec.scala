@@ -89,6 +89,36 @@ class IncrementalKeepBestSpec extends AnyFunSuite {
     }
   }
 
+  test("forced SPJ probe: displacement works over a VECTOR-GATED corpus") {
+    // the third ingest probes a corpus that already carries live
+    // positional vectors from ingest 2's displacement — the
+    // storage-co-partitioned probe spelling must hold its zero-shuffle
+    // contract through the vector-gated read path too
+    val forced = Seq("graft.dedup.probeKeyLimit" -> "0",
+      "graft.dedup.sigBroadcastLimit" -> "0")
+    val prev = forced.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      forced.foreach { case (k, v) => spark.conf.set(k, v) }
+      withZone { zone =>
+        val corpus = s"$zone/champs"
+        val b1 = Seq((1L, "alpha beta"), (2L, "x y"))
+        val b2 = Seq((3L, "Alpha   Beta"), (4L, "z"))   // displaces 1
+        val b3 = Seq((5L, "ALPHA    BETA q"), (6L, "x  y")) // 6 displaces 2
+        graft.dedup.DedupOps.d51Ingest(spark, corpus,
+          b1.toDF("doc_id", "text"), first = true)
+        graft.dedup.DedupOps.d51Ingest(spark, corpus,
+          b2.toDF("doc_id", "text"), first = false)
+        graft.dedup.DedupOps.d51Ingest(spark, corpus,
+          b3.toDF("doc_id", "text"), first = false)
+        val got = champions(corpus)
+        assert(got == reference(b1 ++ b2 ++ b3), got)
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("property: equals the global rule under random cuts AND order") {
     val rnd = new scala.util.Random(4242)
     (1 to 5).foreach { trial =>

@@ -82,6 +82,39 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("live positional vectors keep the keyed join shuffle-free AND exact") {
+    val zone = tmp()
+    val left = s"$zone/va"
+    val right = s"$zone/vb"
+    val ev = graft.io.Tables.events(spark, Spec.sf0001)
+      .select($"event_id", $"event_type", $"value")
+    ev.write.format("graft").option("mergeOnRead", "true")
+      .mode("overwrite").partitionBy("event_type").save(left)
+    ev.withColumn("value2", $"value" * 2).drop("value")
+      .write.format("graft").mode("overwrite").partitionBy("event_type").save(right)
+    // vector-gate SOME of the left side's files: delete a sliver of
+    // rows positionally (zero rewrite), leaving live vectors on the
+    // keyed table — the group's delegate must become a GraftVecBatch
+    // WITHOUT degrading the scan's KeyGroupedPartitioning report
+    graft.io.TxnTable.deleteWherePos(spark, left,
+      df => df("event_id") % 101 === 0)
+    val st = graft.io.TxnTable.morState(spark, left,
+      graft.io.TxnTable.latestVersion(spark, left).get)
+    assert(st.dels.nonEmpty, "setup: the left side must carry a vector")
+    withSpjConfs {
+      val l = spark.read.format("graft").load(left)
+      val r = spark.read.format("graft").load(right)
+      val joined = l.join(r, Seq("event_type", "event_id"))
+        .select($"event_type", $"event_id", ($"value" + $"value2").as("v3"))
+      val plan = finalPlan(joined)
+      assert(shuffles(plan) == 0,
+        s"vectors must not cost the SPJ its zero-shuffle plan:\n$plan")
+      val want = ev.filter($"event_id" % 101 =!= 0).count()
+      assert(joined.count() == want,
+        "the subtraction must apply inside the keyed scan")
+    }
+  }
+
   test("group-by on the partition key of the join output stays shuffle-free") {
     val zone = tmp()
     val left = s"$zone/l"
