@@ -119,7 +119,11 @@ object Bench {
       "1.68 s, below r14's 1.76. t54b is NEW (trained-BPE re-tokenize); " +
       "t54 gained a real DuckDB oracle (unrolled training rounds). " +
       "d50's retroactive leg is now frame-joined (updateFromPos) - " +
-      "same workload, key unchanged."
+      "same workload, key unchanged. d51 is a NEW bench key " +
+      "(incremental keep-best with champion displacement, THREE " +
+      "ingests like d47/d49). Storage-partitioned joins now compose " +
+      "with live deletion vectors (keyed groups plan GraftVecBatch " +
+      "delegates), so k136/k138 shapes hold under MoR vectors."
     println(s"""{"metric":"total","spread":$spread,"samples":$samplesJson,"notes":"$notes","value":${j(total)},"unit":"sec","noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf,"queries":$qs}""")
     spark.stop()
   }

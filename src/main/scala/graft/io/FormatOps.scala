@@ -5094,6 +5094,82 @@ object FormatOps {
       |  FROM lineitem WHERE l_orderkey % 3 = 0) s
       |ORDER BY state""".stripMargin
 
+  // --------------------------------------------------------------- k160
+  /** STORAGE-PARTITIONED JOIN under LIVE DELETION VECTORS — the bench
+    * receipt for the r16 composition: k136's shuffle-free fact-to-fact
+    * shape, except the left side carries a live positional vector
+    * (zero-rewrite in-place delete) when the join plans. Before the
+    * fix, ONE kilobyte vector forced the keyed report off and both
+    * fact tables back through Exchanges until OPTIMIZE; now the gated
+    * group's delegate is a GraftVecBatch (ColumnarBatch-level ordinal
+    * subtraction) inside the same keyed splits. The REQUIREs pin all
+    * three properties at once: a live vector exists, zero shuffles,
+    * real merge join. Oracle restates the join arithmetic minus the
+    * deleted keys from the raw events table. */
+  private def k160(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k160_spjvec")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = s"$zone/facts"
+      val right = s"$zone/enrich"
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      ev.write.format("graft").option("mergeOnRead", "true")
+        .mode("overwrite").partitionBy("event_type").save(left)
+      ev.select($"event_id", $"event_type", ($"value" * 2).as("value2"))
+        .write.format("graft").mode("overwrite")
+        .partitionBy("event_type").save(right)
+      TxnTable.deleteWherePos(spark, left,
+        df => df("event_id") % 101 === 0)
+      require(TxnTable.morState(spark, left,
+          TxnTable.latestVersion(spark, left).get)
+          .dels.nonEmpty,
+        "setup: the left side must join under a LIVE vector")
+      val l = spark.read.format("graft").load(left)
+      val r = spark.read.format("graft").load(right)
+      val agg = l.join(r, Seq("event_type", "event_id"))
+        .groupBy($"event_type")
+        .agg(count($"value").cast("bigint").as("n"),
+          graft.ops.Num.dsum($"value" + $"value2").as("sum_v3"))
+      agg.collect() // finalize the AQE plan before auditing it
+      val fin = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      require(spjShuffles(fin) == 0,
+        s"a live vector must not cost the SPJ its zero-shuffle plan:\n$fin")
+      require(fin.toString.contains("SortMergeJoin"),
+        s"expected a real merge join in the vector-gated SPJ plan:\n$fin")
+      val result = agg.orderBy($"event_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k160Sql =
+    """SELECT event_type,
+      |  CAST(COUNT(value) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value + 2 * value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v3
+      |FROM events WHERE NOT event_id % 101 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -5178,5 +5254,6 @@ object FormatOps {
     RQ("k156_deep_clone", k156, Some(k156Sql)),
     RQ("k157_nested_defaults", k157, Some(k157Sql)),
     RQ("k158_vector_scan_columnar", k158, Some(k158Sql), bench = true),
-    RQ("k159_snapshot_tags", k159, Some(k159Sql)))
+    RQ("k159_snapshot_tags", k159, Some(k159Sql)),
+    RQ("k160_spj_under_vectors", k160, Some(k160Sql), bench = true))
 }
