@@ -2770,6 +2770,29 @@ object TxnTable {
     * subset. Optimistic commit: the CAS is pinned to the snapshot the
     * merge was computed against; losing it recomputes against the new
     * snapshot (merge correctness, unlike append, depends on the base). */
+  /** Translate ABSOLUTE scan-emitted paths (`input_file_name()` /
+    * `_metadata.file_path`) back to snapshot-relative files by
+    * QUALIFIED URI PATH — never by basename: a partitioned write task
+    * emits the SAME `part-0000N-<uuid>` name into several `__gp_`
+    * partition dirs, so a basename map silently resolves to the wrong
+    * file and a rewrite/merge built on it loses or duplicates rows
+    * (found by the partitioned DmlFuzzSpec). Unknown paths throw —
+    * a scanned file absent from the snapshot means the caller mixed
+    * versions. */
+  private[graft] def relOfAbs(spark: SparkSession, table: String,
+                              rels: Seq[String]): String => String = {
+    val fs = new Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val byPath = rels.map { f =>
+      fs.makeQualified(new Path(s"$table/$f")).toUri.getPath -> f
+    }.toMap
+    u => {
+      val p = new Path(u).toUri.getPath
+      byPath.getOrElse(p, throw new IllegalStateException(
+        s"scanned file $u is not in the snapshot of $table"))
+    }
+  }
+
   def merge(updates0: DataFrame, table: String, keyCol: String): Long = {
     val spark = updates0.sparkSession
     val ctx = fc(spark)
@@ -2842,7 +2865,7 @@ object TxnTable {
       // (under live deletes the file name comes from the identity read's
       // exact path column — input_file_name() is task-scoped and not
       // reliable through the subtraction join)
-      val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+      val toRel = relOfAbs(spark, table, candidates)
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
         else {
@@ -2858,8 +2881,7 @@ object TxnTable {
           // small and falls back to shuffle when a bulk merge isn't
           scan.join(keys, Seq(keyCol))
             .select(col("__f")).distinct().collect()
-            .map(r => { val u = r.getString(0)
-              byBase(u.substring(u.lastIndexOf('/') + 1)) }).toSet
+            .map(r => toRel(r.getString(0))).toSet
         }
       // IDENTITY enrichment: matched keys inherit the target's value
       // (min over same-key rows — the merge replaces them all with one
@@ -3153,12 +3175,9 @@ object TxnTable {
           // a rewrite's replacement rows are MODIFIED data (SQL UPDATE /
           // MERGE): the constraint gate applies to them like any write
           enforceChecks(replacement.drop(ChangeTypeCol), table, st.checks)
-          val byBase = st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-          val removed = rw.removed.map { r =>
-            val base = r.substring(r.lastIndexOf('/') + 1)
-            byBase.getOrElse(base, throw new IllegalStateException(
-              s"rewrite names a file not in snapshot v${st.version}: $r"))
-          }.distinct.sorted
+          // qualified-path translation, never basename (see relOfAbs)
+          val toRel = relOfAbs(spark, table, st.files)
+          val removed = rw.removed.map(toRel).distinct.sorted
           val trackedCols = st.stats.values.flatten.map(_.col).toSet
             .intersect(replacement.columns.toSet).toSeq.sorted
           val trackedBlooms =
@@ -4331,22 +4350,18 @@ object TxnTable {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sch))
   }
 
-  /** Rows of snapshot `version` restricted to `files` (absolute URIs or
-    * table-relative — matched by basename), with live equality deletes
-    * applied — what a copy-on-write rewrite's phase 2 must read so it
-    * never resurrects merge-on-read-deleted rows into its replacement
-    * files. */
+  /** Rows of snapshot `version` restricted to `files` (ABSOLUTE scan
+    * paths — translated by qualified URI path via [[relOfAbs]], never
+    * by basename, which collides on partitioned layouts), with live
+    * equality deletes applied — what a copy-on-write rewrite's phase 2
+    * must read so it never resurrects merge-on-read-deleted rows into
+    * its replacement files. */
   private[graft] def readSnapshotFiles(spark: SparkSession, table: String,
                                        version: Long,
                                        files: Seq[String]): DataFrame = {
     val st = stateOf(spark, table, version)
-    val byBase =
-      st.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-    val rel = files.map { r =>
-      val base = r.substring(r.lastIndexOf('/') + 1)
-      byBase.getOrElse(base, throw new IllegalStateException(
-        s"file not in snapshot v$version of $table: $r"))
-    }.distinct.sorted
+    val toRel = relOfAbs(spark, table, st.files)
+    val rel = files.map(toRel).distinct.sorted
     if (st.dels.isEmpty)
       planFiles(spark, table, st.schema.getOrElse(throw new IllegalStateException(
         s"$table predates the schema log")), rel, st.pathpart, st.aliases, retired = st.retired, addv = st.addv,
@@ -6662,15 +6677,19 @@ object TxnTable {
               // `<file>.bloom.<col>` — they share the file's lifecycle).
               // RECURSIVE: partitioned commits nest value dirs inside
               // the w= dir, and sidecars sit next to their data files.
-              val bases = doomed.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+              // Matched by RELATIVE PATH, not basename: partitioned
+              // commits repeat part-0000N names across partition dirs,
+              // and a basename match would reap a LIVE sibling's bloom.
+              val doomedSet = doomed.toSet
               def sweep(dir: Path): Unit = {
                 val entries = ctx.listStatus(dir)
                 while (entries.hasNext) {
                   val e = entries.next()
                   if (e.isDirectory) sweep(e.getPath)
                   else {
-                    val i = e.getPath.getName.indexOf(".bloom.")
-                    if (i > 0 && bases.contains(e.getPath.getName.take(i)))
+                    val rel = relOf(e.getPath)
+                    val i = rel.indexOf(".bloom.")
+                    if (i > 0 && doomedSet.contains(rel.take(i)))
                       reap(e.getPath, false)
                   }
                 }

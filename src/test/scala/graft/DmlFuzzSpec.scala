@@ -62,11 +62,13 @@ class DmlFuzzSpec extends AnyFunSuite {
       case Optimize => state
     }
 
-  private def run(op: Op, table: String): Long = op match {
+  private def run(op: Op, table: String,
+      enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Long = op match {
     case Append(rows) =>
-      TxnTable.commitAppend(rows.toDF("k", "v"), table)
+      TxnTable.commitAppend(enrich(rows.toDF("k", "v")), table)
     case Merge(rows) =>
-      TxnTable.merge(rows.toDF("k", "v"), table, "k")
+      TxnTable.merge(enrich(rows.toDF("k", "v")), table, "k")
     case VecDelete(m, r) =>
       TxnTable.deleteWherePos(spark, table, df => df("k") % m === r)
     case EqDelete(m, r) =>
@@ -191,6 +193,119 @@ class DmlFuzzSpec extends AnyFunSuite {
           s"seed $seed: final state matches NO version-order replay " +
             s"(claims=${claims.toSeq.sortBy(_._1)}, " +
             s"rows=${gotMap.size}, latest=$latest)")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+    } finally spark.conf.unset("graft.txn.posCoalesceAt")
+  }
+
+  test("partitioned fuzz: the raced table reads exact through a keyed SPJ") {
+    // same serializability oracle, but the table is IDENTITY-PARTITIONED
+    // (g = k % 4) so the post-race read exercises the keyed-splits +
+    // deletion-vector composition: a storage-partitioned self-join over
+    // whatever mixture of live vectors / equality deletes / rewrites
+    // the race left behind must plan ZERO shuffles and agree row-for-row
+    // with the plain read (which itself must equal a serial replay).
+    val threads = 4
+    val opsPerThread = 4
+    val scenarios = 4
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(threads))
+    val enrich = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("g", pmod(col("k"), lit(4L)))
+    spark.conf.set("graft.txn.posCoalesceAt", "3")
+    try (1 to scenarios).foreach { seed =>
+      val root = java.nio.file.Files.createTempDirectory("graft_fuzzp").toFile
+      val table = s"${root.getAbsolutePath}/t"
+      try {
+        val init = (0L until 50L).map(k => (k, k))
+        enrich(init.toDF("k", "v"))
+          .write.format("graft").option("statsCols", "k")
+          .option("mergeOnRead", "true").option("partitionBy", "g")
+          .mode("overwrite").save(table)
+        val claimsQ =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Long, Op)]()
+        val futures = (0 until threads).map { tid =>
+          Future {
+            val rnd = new scala.util.Random(seed * 7000 + tid)
+            (0 until opsPerThread).foreach { i =>
+              val op = randomOp(rnd, tid, i)
+              claimsQ.add(run(op, table, enrich) -> op)
+              ()
+            }
+          }
+        }
+        Await.result(Future.sequence(futures), 10.minutes)
+        val claims = claimsQ.toArray(Array.empty[(Long, Op)])
+          .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).toSeq }
+        val latest = TxnTable.latestVersion(spark, table).get
+        val got = spark.read.format("graft").load(table)
+          .select($"k", $"v").as[(Long, Long)].collect().toSeq
+        assert(got.map(_._1).distinct.size == got.size,
+          s"seed $seed: duplicate keys in final state")
+        val gotMap = got.toMap
+        val ok = assignments(claims).exists { owners =>
+          var model: Map[Long, Long] = init.toMap
+          (2L to latest).foreach { v =>
+            owners.get(v).foreach(op => model = applyModel(model, op))
+          }
+          model == gotMap
+        }
+        assert(ok,
+          s"seed $seed: final state matches NO version-order replay " +
+            s"(claims=${claims.toSeq.sortBy(_._1)}, rows=${gotMap.size})")
+        // the keyed read path: SPJ self-join on (g, k), zero shuffles
+        val spjConfs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = spjConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        try {
+          spjConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val l = spark.read.format("graft").load(table)
+          val r = spark.read.format("graft").load(table)
+            .select($"g", $"k", $"v".as("v2"))
+          val j = l.join(r, Seq("g", "k")).select($"k", $"v", $"v2")
+          val rows = j.collect()
+          def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+            p.collect {
+              case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                shuffles(q.plan)
+              case rx: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+                shuffles(rx.child)
+            }.sum
+          val fin = j.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          // POSITIONAL vectors compose with the keyed report; live
+          // EQUALITY deletes legitimately read through the analyzer
+          // splice (a Union), which cannot carry the clustering — only
+          // require zero shuffles when the race left none of those
+          val stF = TxnTable.morState(spark, table,
+            TxnTable.latestVersion(spark, table).get)
+          val eqLive = stF.dels.exists(d =>
+            d.keyCols != Seq(TxnTable.PosDelKey) &&
+              stF.files.exists(f => d.gates(f, stF.addv.getOrElse(f, 0L))))
+          if (!eqLive) assert(shuffles(fin) == 0,
+            s"seed $seed: keyed self-join of the raced table must stay " +
+              s"shuffle-free (only positional vectors live):\n$fin")
+          assert(rows.length == gotMap.size &&
+              rows.forall(x => gotMap.get(x.getLong(0))
+                .contains(x.getLong(1)) && x.getLong(1) == x.getLong(2)),
+            s"seed $seed: SPJ read disagrees with the plain read")
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
