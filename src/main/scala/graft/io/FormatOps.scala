@@ -5170,6 +5170,70 @@ object FormatOps {
       |FROM events WHERE NOT event_id % 101 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- k161
+  /** CREATE TABLE LIKE end to end — the structure-only fork: declare a
+    * constrained, partitioned source; `CREATE TABLE dst LIKE src` (one
+    * manifest write at ANY source size — no files copied or
+    * referenced); load a DIFFERENT slice into the fork under the
+    * carried schema/constraints/partition spec; aggregate both. The
+    * REQUIREs pin the structural contracts (empty at v1, constraint
+    * enforced on the fork); the oracle restates both slices from the
+    * raw table. */
+  private def k161(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k161_like")
+    try {
+      val src = s"$zone/facts"
+      val dst = s"$zone/fork"
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      li.filter($"l_orderkey" % 3 === 0)
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .option("partitionBy", "l_returnflag")
+        .mode("overwrite").save(src)
+      TxnTable.addCheck(spark, src, "qty_pos", "l_quantity > 0")
+      spark.sql(s"CREATE TABLE '$dst' LIKE '$src'")
+      require(spark.read.format("graft").load(dst).count() == 0L,
+        "LIKE fork must start empty")
+      // a violating insert must refuse through the CARRIED constraint
+      val bad = try {
+        Seq((1L, -1.0, "X")).toDF("l_orderkey", "l_quantity", "l_returnflag")
+          .write.format("graft").mode("append").save(dst)
+        false
+      } catch { case scala.util.control.NonFatal(_) => true }
+      require(bad, "the carried CHECK constraint must refuse on the fork")
+      li.filter($"l_orderkey" % 3 === 1)
+        .write.format("graft").mode("append").save(dst)
+      def agg(table: String, state: String) =
+        spark.read.format("graft").load(table)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"l_quantity".cast("decimal(38,6)")).cast("double")
+              .as("qty"))
+          .select(lit(state).as("side"), $"l_returnflag", $"n", $"qty")
+      val q = agg(src, "src").unionByName(agg(dst, "fork"))
+        .orderBy($"side", $"l_returnflag")
+      spark.createDataFrame(
+        java.util.Arrays.asList(q.collect(): _*), q.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k161Sql =
+    """SELECT * FROM (
+      |  SELECT 'src' AS side, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |  FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'fork' AS side, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |  FROM lineitem WHERE l_orderkey % 3 = 1 GROUP BY 2) s
+      |ORDER BY side, l_returnflag""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -5255,5 +5319,6 @@ object FormatOps {
     RQ("k157_nested_defaults", k157, Some(k157Sql)),
     RQ("k158_vector_scan_columnar", k158, Some(k158Sql), bench = true),
     RQ("k159_snapshot_tags", k159, Some(k159Sql)),
-    RQ("k160_spj_under_vectors", k160, Some(k160Sql), bench = true))
+    RQ("k160_spj_under_vectors", k160, Some(k160Sql), bench = true),
+    RQ("k161_create_like", k161, Some(k161Sql)))
 }

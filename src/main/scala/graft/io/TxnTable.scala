@@ -5814,7 +5814,21 @@ object TxnTable {
     require(versions(spark, table).contains(v),
       s"cannot tag $table@v$v — that version does not exist " +
         "(never committed, or already vacuumed)")
-    setProperties(spark, table, Map(s"$TagPropPrefix$name" -> v.toString))
+    val committed =
+      setProperties(spark, table, Map(s"$TagPropPrefix$name" -> v.toString))
+    // TOCTOU vs a concurrent VACUUM: the pin only binds vacuums that
+    // READ this tag, so one already past its tag read can reap v's
+    // manifest between our existence check and the property commit —
+    // leaving a dangling name that silently fails the reproducibility
+    // promise. Re-validate AFTER publishing; roll the tag back and
+    // refuse rather than hand the caller a pin on vacuumed history.
+    if (!fc(spark).util.exists(new Path(table, manifestName(v)))) {
+      unsetProperties(spark, table, Seq(s"$TagPropPrefix$name"))
+      throw new IllegalStateException(
+        s"$table@v$v was vacuumed while the tag committed — tag a " +
+          "retained version (or re-run once no vacuum is in flight)")
+    }
+    committed
   }
 
   def deleteTag(spark: SparkSession, table: String, name: String): Long = {
@@ -6179,6 +6193,48 @@ object TxnTable {
       pathpart = st.pathpart, aliases = st.aliases)
     require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
       s"$dest was concurrently initialized — clone aborted")
+    writePointer(ctx, dest, 1L)
+    1L
+  }
+
+  // ------------------------------------------------------- CREATE LIKE
+  /** `CREATE TABLE dest LIKE source` — STRUCTURE-only fork: the new
+    * table starts EMPTY at v1 carrying the source's schema (identity /
+    * generated / default / field-id declarations verbatim), CHECK
+    * constraints, table properties, and declared partition spec — but
+    * no files, stats, history, or tags (a tag pins SOURCE history; here
+    * it would dangle). The IDENTITY high-water mark resets (a
+    * structural copy mints from `start` again), and nested-default
+    * vintage gates re-base onto the fresh history exactly like clones,
+    * so the read-time fill can never overwrite a new file's values.
+    * Pure metadata: one manifest write at any source size. */
+  def createLike(spark: SparkSession, source: String, dest: String): Long = {
+    val ctx = fc(spark)
+    val srcV = latestVersion(spark, source).getOrElse(
+      throw new IllegalStateException(s"no committed version in $source"))
+    val st = stateOf(spark, source, srcV)
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"$source@v$srcV predates the schema log — cannot CREATE LIKE"))
+    require(latestVersion(spark, dest).isEmpty,
+      s"$dest already has commits — CREATE TABLE LIKE makes a NEW table")
+    val (rebased, _) =
+      rebaseNdefsForClone(source, srcV, schema, Nil, Map.empty)
+    val fresh = identityColumn(rebased).map(_.col) match {
+      case Some(c) => org.apache.spark.sql.types.StructType(
+        rebased.fields.map(f =>
+          if (f.name.equalsIgnoreCase(c))
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).remove(IdHwmKey).build())
+          else f))
+      case None => rebased
+    }
+    val content = manifestContent(fresh, Map.empty, Map.empty, Nil,
+      partCols = st.partCols, op = "create-like", cdf = st.cdf,
+      mor = st.mor, checks = st.checks,
+      props = st.props.filterNot(_._1.startsWith(TagPropPrefix)))
+    require(tryCreateAtomic(ctx, new Path(dest, manifestName(1L)), content),
+      s"$dest was concurrently initialized — CREATE TABLE LIKE aborted")
     writePointer(ctx, dest, 1L)
     1L
   }

@@ -168,6 +168,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*?)\)\s*;?\s*""".r
   private val AlterUnpartStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+UNPARTITIONED\s*;?\s*""".r
+  // CREATE TABLE <dest> LIKE <source> — structure-only fork (schema,
+  // constraints, properties, partition spec; no files, fresh history)
+  private val CreateLikeStmt =
+    """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+LIKE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   // CREATE TABLE <dest> SHALLOW|DEEP CLONE <source> [VERSION AS OF n]
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+(SHALLOW|DEEP)\s+CLONE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
@@ -343,6 +347,9 @@ object GraftSqlParser {
         Some(GraftCloneCommand(target, source,
           deep = mode.equalsIgnoreCase("deep"),
           Option(version).map(_.toLong)))
+      case CreateLikeStmt(target, source) if graftTarget(source) =>
+        Some(GraftCloneCommand(target, source, deep = false, None,
+          like = true))
       case _ => None
     }
 
@@ -478,11 +485,14 @@ case class GraftReplaceWhereInsertCommand(target: String, pred: String,
   override def output: Seq[Attribute] = Nil
 }
 
-/** Table fork (CREATE TABLE … SHALLOW|DEEP CLONE …): shallow = one
-  * manifest referencing the source files; deep = materialized full
-  * copy, independent of the source's lifecycle. */
+/** Table fork (CREATE TABLE … SHALLOW|DEEP CLONE … / … LIKE …):
+  * shallow = one manifest referencing the source files; deep =
+  * materialized full copy, independent of the source's lifecycle;
+  * like = STRUCTURE only (schema/constraints/properties/partition
+  * spec, no files, fresh history). */
 case class GraftCloneCommand(target: String, source: String,
-                             deep: Boolean, version: Option[Long])
+                             deep: Boolean, version: Option[Long],
+                             like: Boolean = false)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -657,10 +667,11 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           .option("replaceWhere", pred).mode("overwrite").save(table)
         GraftSqlParser.syncCatalogSchema(spark, target)
       }) :: Nil
-    case GraftCloneCommand(target, source, deep, version) =>
-      val mode = if (deep) "DEEP" else "SHALLOW"
+    case GraftCloneCommand(target, source, deep, version, like) =>
+      val mode = if (like) "LIKE" else if (deep) "DEEP" else "SHALLOW"
       def clone(spark: SparkSession, src: String, dst: String): Long =
-        if (deep) TxnTable.cloneDeep(spark, src, dst, version)
+        if (like) TxnTable.createLike(spark, src, dst)
+        else if (deep) TxnTable.cloneDeep(spark, src, dst, version)
         else TxnTable.cloneShallow(spark, src, dst, version)
       GraftDmlExec(s"$mode CLONE $source", () => {
         val spark = SparkSession.active

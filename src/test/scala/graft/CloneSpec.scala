@@ -23,6 +23,42 @@ class CloneSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE LIKE: structure only — schema, checks, props, spec") {
+    withZone { zone =>
+      import spark.implicits._
+      val src = s"$zone/src"
+      Seq.range(0L, 20L).map(k => (k, k * 1.0, k % 3))
+        .toDF("id", "v", "g")
+        .write.format("graft").option("statsCols", "id")
+        .option("partitionBy", "g").mode("overwrite").save(src)
+      TxnTable.addCheck(spark, src, "v_pos", "v >= 0")
+      TxnTable.setProperties(spark, src, Map("team" -> "data"))
+      TxnTable.setTag(spark, src, "rel1")
+      val dst = s"$zone/empty_fork"
+      spark.sql(s"CREATE TABLE '$dst' LIKE '$src'")
+      // empty, same schema, constraints and props carried; the tag is
+      // SOURCE-history policy and must not dangle on the fresh table
+      assert(spark.read.format("graft").load(dst).count() == 0L)
+      assert(TxnTable.snapshotSchema(spark, dst, 1L).get.fieldNames.toSeq
+        == Seq("id", "v", "g"))
+      assert(TxnTable.tableProperties(spark, dst) == Map("team" -> "data"))
+      assert(TxnTable.tags(spark, dst).isEmpty)
+      intercept[Exception] {
+        Seq((1L, -5.0, 1L)).toDF("id", "v", "g")
+          .write.format("graft").mode("append").save(dst)
+      }
+      // writes land under the carried PARTITION SPEC, and the source
+      // is untouched
+      Seq((1L, 5.0, 1L), (2L, 6.0, 2L)).toDF("id", "v", "g")
+        .write.format("graft").mode("append").save(dst)
+      assert(spark.read.format("graft").load(dst).count() == 2L)
+      val parts = spark.sql(s"SHOW PARTITIONS '$dst'")
+        .collect().map(_.getString(0)).toSet
+      assert(parts.exists(_.contains("g=1")), parts)
+      assert(spark.read.format("graft").load(src).count() == 20L)
+    }
+  }
+
   test("clone reads the source snapshot without copying data") {
     withZone { zone =>
       import spark.implicits._
