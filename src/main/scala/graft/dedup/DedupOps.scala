@@ -634,8 +634,9 @@ object DedupOps {
       |passages AS (
       |  SELECT doc_id, i AS pos,
       |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS passage
-      |  FROM toks, range(0, 1000) r(i)
-      |  WHERE i * 10 < len(w)),
+      |  FROM (SELECT doc_id, w,
+      |          unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+      |        FROM toks) u),
       |ranked AS (
       |  SELECT doc_id, pos, passage,
       |    ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
@@ -693,8 +694,9 @@ object DedupOps {
       |passages AS (
       |  SELECT doc_id, i AS pos,
       |    array_to_string(w[(i*3+1):(i*3+3)], ' ') AS passage
-      |  FROM toks, range(0, 4000) r(i)
-      |  WHERE i * 3 < len(w)),
+      |  FROM (SELECT doc_id, w,
+      |          unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS i
+      |        FROM toks) u),
       |hot AS (
       |  SELECT passage AS hp FROM passages
       |  GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 3)
@@ -1770,15 +1772,18 @@ object DedupOps {
     val displaced = faced.filter($"_odoc".isNotNull && batchWins)
       .select($"_odoc".as("doc_id")).localCheckpoint()
     if (displaced.limit(1).count() > 0L) {
-      // coordinates of the displaced committed champions: identity read
+      // displacement + replacement in ONE MoR commit: a reader between
+      // a separate delete and append would see no champion at all for
+      // the displaced fingerprints, and a crash between them would drop
+      // them permanently. Coordinates come from the identity read
       // semi-joined to the SMALL displaced-id frame (broadcast +
-      // runtime-filterable on doc_id stats) — never an isin literal
-      val rows = TxnTable.readWithRowIdentity(spark, corpus)
-        .join(broadcast(displaced), Seq("doc_id"), "left_semi")
-      TxnTable.deletePositions(spark, corpus, rows)
+      // runtime-filterable on doc_id stats) — never an isin literal —
+      // and the selector re-derives them on every CAS retry.
+      TxnTable.replacePositions(spark, corpus,
+        snap => snap.join(broadcast(displaced), Seq("doc_id"), "left_semi"),
+        winners)
       ()
-    }
-    if (winners.limit(1).count() > 0L)
+    } else if (winners.limit(1).count() > 0L)
       winners.write.format("graft").mode("append").save(corpus)
     pruneCounts
   }

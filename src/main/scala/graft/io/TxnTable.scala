@@ -2783,11 +2783,24 @@ object TxnTable {
                               rels: Seq[String]): String => String = {
     val fs = new Path(table)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // The two sides sit ONE encoding level apart: manifest rels are
+    // the RAW on-disk names (listStatus output — `a b`, Hive-escaped
+    // `50%25`), while `input_file_name()` / `_metadata.file_path`
+    // URL-encode the path ONCE on top (`a%20b`, `50%2525`) and Hadoop
+    // Path never decodes. So decode exactly the scan side, exactly
+    // once — decoding both sides would over-decode a raw name that
+    // happens to look like a valid escape. A scan string the URI
+    // parser rejects (a caller handing us a raw path) falls back to
+    // itself, which matches the never-encoded manifest side.
+    def dec(p: String): String =
+      if (!p.contains('%')) p
+      else try new java.net.URI(p).getPath
+      catch { case _: java.net.URISyntaxException => p }
     val byPath = rels.map { f =>
       fs.makeQualified(new Path(s"$table/$f")).toUri.getPath -> f
     }.toMap
     u => {
-      val p = new Path(u).toUri.getPath
+      val p = dec(new Path(u).toUri.getPath)
       byPath.getOrElse(p, throw new IllegalStateException(
         s"scanned file $u is not in the snapshot of $table"))
     }
@@ -3570,6 +3583,46 @@ object TxnTable {
       Some(MorWrite(PosDelKeyCols,
         matched.select(col(PosFileCol), col(PosOrdCol)),
         Some(updated), Some(changes)))
+    })
+
+  /** ONE-COMMIT positional REPLACE: positionally delete the rows
+    * `selector` picks from the pinned identity read and append
+    * `appended` in the SAME merge-on-read commit. This is the
+    * displacement primitive incremental keep-best pipelines need:
+    * two separate commits (delete, then append) expose an
+    * intermediate snapshot with NO champion for the displaced keys,
+    * and a crash between them permanently drops those rows —
+    * atomicity here is a correctness property of the incremental
+    * state, not a convenience. Same version-gate soundness as
+    * [[updateFromPos]]: the vector subtracts only pre-existing files,
+    * the commit's own appends are exempt. `selector` re-runs against
+    * a fresh snapshot on every CAS retry, so coordinates never go
+    * stale across a lost race. `appended` may be unrelated to the
+    * deleted rows (new keys land in the same commit as the swap). */
+  def replacePositions(spark: SparkSession, table: String,
+                       selector: DataFrame => DataFrame,
+                       appended: DataFrame): Long =
+    upsertMoR(spark, table, "replace", (_, v) => {
+      val st = stateOf(spark, table, v)
+      val snap = readIdentityOf(spark, table, st)
+      val fields = st.schema.getOrElse(throw new IllegalStateException(
+        s"$table predates the schema log")).fields.toIndexedSeq
+      // pinned once: the selection feeds both the coordinate sidecar
+      // and the change feed (see updateWherePosWith's matched doc)
+      val matched = selector(snap).localCheckpoint()
+      require(matched.columns.contains(PosFileCol) &&
+        matched.columns.contains(PosOrdCol),
+        "selector must preserve the identity columns of its input")
+      val changes = matched
+        .select(fields.map(f => col(s"`${f.name}`")): _*)
+        .withColumn(ChangeTypeCol, lit("delete"))
+        .unionByName(appended
+          .select(fields.map(f =>
+            col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+          .withColumn(ChangeTypeCol, lit("insert")))
+      Some(MorWrite(PosDelKeyCols,
+        matched.select(col(PosFileCol), col(PosOrdCol)),
+        Some(appended), Some(changes)))
     })
 
   /** The distinct data files a positional sidecar names, when not
@@ -5805,15 +5858,39 @@ object TxnTable {
   private[graft] val TagPropPrefix = "graft.tag."
   private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*".r
 
+  /** A version is readable iff its manifest exists AND its delta chain
+    * walks down to a full base — the exact property a tag must pin.
+    * O(chain length) existence-bounded small reads, no listing. */
+  private def chainReadable(spark: SparkSession, table: String,
+                            v: Long): Boolean = {
+    val ctx = fc(spark)
+    if (!ctx.util.exists(new Path(table, manifestName(v)))) false
+    else
+      try {
+        var f = v
+        while (manifestLines(spark, table, f)
+                 .exists(_.startsWith(DeltaPrefix))) f -= 1
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   def setTag(spark: SparkSession, table: String, name: String,
              version: Option[Long] = None): Long = {
     require(TagNameRe.matches(name),
       s"tag name '$name' must match ${TagNameRe.regex}")
     val v = version.getOrElse(latestVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed version in $table")))
-    require(versions(spark, table).contains(v),
-      s"cannot tag $table@v$v — that version does not exist " +
-        "(never committed, or already vacuumed)")
+    // validate by DIRECT readability probe, not versions().contains:
+    // versions() reports the contiguous range plus direct tag targets
+    // only, so a version retained solely inside ANOTHER tag's pinned
+    // chain (base..v of a delta chain) has a perfectly readable
+    // manifest yet would be refused here — taggable must equal
+    // readable, and readable means the manifest exists and its delta
+    // chain walks down to a full base.
+    require(chainReadable(spark, table, v),
+      s"cannot tag $table@v$v — that version is not readable " +
+        "(never committed, already vacuumed, or its manifest chain " +
+        "is broken)")
     val committed =
       setProperties(spark, table, Map(s"$TagPropPrefix$name" -> v.toString))
     // TOCTOU vs a concurrent VACUUM: the pin only binds vacuums that
@@ -6656,11 +6733,11 @@ object TxnTable {
       val pinned: Set[Long] =
         tags(spark, table).values.toSeq.filter(all.contains)
           .flatMap((v: Long) => chainBase(v) to v).toSet
-      val (dropped, retained) =
+      val (dropped0, retained0) =
         all.partition(v => v < floor && !pinned.contains(v))
       // resolve references BEFORE deleting any manifest — chain reads
       // must never race the drop
-      val referencedEarly = retained.flatMap { v =>
+      def refsOf(vs: Seq[Long]): Set[String] = vs.flatMap { v =>
         val s = stateOf(spark, table, v)
         // equality-delete files are snapshot state exactly like data
         // files: reclaiming one would corrupt every retained read
@@ -6670,12 +6747,25 @@ object TxnTable {
         // files, and the superseded data files their lazy `#cdcdel=`
         // delete records still point at — reclaiming either would break
         // readChangeFeed over history vacuum promised to keep
-        retained.flatMap { v =>
+        vs.flatMap { v =>
           manifestLines(spark, table, v).collect {
             case l if l.startsWith(CdcPrefix) => l.stripPrefix(CdcPrefix)
             case l if l.startsWith(CdcDelPrefix) => l.stripPrefix(CdcDelPrefix)
           }
         }
+      val referencedEarly0 = refsOf(retained0)
+      // LAST-MOMENT tag re-read, immediately before the manifest reap:
+      // setTag's post-publish re-validation only closes ITS side of the
+      // race — a tag committed after our first tag read passes that
+      // existence check while we are still holding a drop list that
+      // includes its version. Re-reading here shrinks the window from
+      // vacuum-duration (reference resolution reads manifests through
+      // Spark) to the gap between this read and the reap loop.
+      val freshPinned: Set[Long] =
+        tags(spark, table).values.toSeq.filter(all.contains)
+          .flatMap((v: Long) => chainBase(v) to v).toSet
+      val (rescued, dropped) = dropped0.partition(freshPinned.contains)
+      val referencedEarly = referencedEarly0 ++ refsOf(rescued)
       dropped.foreach(v => reap(new Path(table, manifestName(v)), false))
       // reclamation is FILE-driven, not version-driven: append lineage
       // lets retained manifests reference files in ANY data dir (and an

@@ -56,8 +56,14 @@ class IncrementalKeepBestSpec extends AnyFunSuite {
         b1.toDF("doc_id", "text"), first = true)
       val before = TxnTable.morState(spark, corpus,
         TxnTable.latestVersion(spark, corpus).get).files.toSet
+      val vBefore = TxnTable.latestVersion(spark, corpus).get
       graft.dedup.DedupOps.d51Ingest(spark, corpus,
         b2.toDF("doc_id", "text"), first = false)
+      // displacement + replacement is ONE MoR commit: two commits would
+      // expose a snapshot with NO champion for the displaced
+      // fingerprint, and a crash between them would drop it permanently
+      assert(TxnTable.latestVersion(spark, corpus).get == vBefore + 1L,
+        "a displacing ingest must publish exactly one commit")
       graft.dedup.DedupOps.d51Ingest(spark, corpus,
         b3.toDF("doc_id", "text"), first = false)
       val after = TxnTable.morState(spark, corpus,

@@ -106,6 +106,41 @@ class PartitionedRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrites stay exact when partition values need URI escaping") {
+    withZone { table =>
+      // a SPACE stays literal in the on-disk dir name while
+      // input_file_name() URL-encodes it (`a b` vs `a%20b`), and a
+      // literal `%` Hive-escapes on disk (`50%25`) while the scan URI
+      // encodes once more — both sides must normalize through one
+      // decoder or every merge/rewrite throws 'scanned file not in
+      // snapshot' (the fail-closed regression relOfAbs guards)
+      val gOf = when(pmod($"k", lit(2L)) === 0L, lit("a b"))
+        .otherwise(lit("50%"))
+      (0L until 20L).map(k => (k, k)).toDF("k", "v")
+        .withColumn("g", gOf).coalesce(1)
+        .write.format("graft").option("statsCols", "k")
+        .option("mergeOnRead", "true").option("partitionBy", "g")
+        .mode("overwrite").save(table)
+      val up = Seq((3L, 300L), (4L, 400L), (21L, 2100L)).toDF("k", "v")
+        .withColumn("g", gOf)
+      TxnTable.merge(up, table, "k")
+      val got = spark.read.format("graft").load(table)
+        .select($"k", $"v").as[(Long, Long)].collect().toSeq
+      assert(got.size == 21 && got.map(_._1).distinct.size == 21,
+        s"row set corrupted: n=${got.size}")
+      val m = got.toMap
+      assert(m(3L) == 300L && m(4L) == 400L && m(21L) == 2100L)
+      // copy-on-write rewrite path (UPDATE translates scanned paths too)
+      spark.sql(s"CREATE TABLE prw_esc USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql("UPDATE prw_esc SET v = v + 1000 WHERE k IN (5, 6)")
+        val m2 = spark.read.format("graft").load(table)
+          .select($"k", $"v").as[(Long, Long)].collect().toMap
+        assert(m2(5L) == 1005L && m2(6L) == 1006L && m2(7L) == 7L)
+      } finally spark.sql("DROP TABLE IF EXISTS prw_esc")
+    }
+  }
+
   test("vacuum's bloom sweep never reaps a live sibling's sidecar") {
     withZone { table =>
       // blooms on k, partitioned write with colliding basenames, then a
