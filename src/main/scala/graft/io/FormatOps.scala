@@ -5234,6 +5234,160 @@ object FormatOps {
       |  FROM lineitem WHERE l_orderkey % 3 = 1 GROUP BY 2) s
       |ORDER BY side, l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- k162
+  /** TAGGED TIME TRAVEL FROM PURE SQL — `SELECT ... FROM t VERSION AS
+    * OF 'release-tag'`: the k159 reproducibility pin consumable
+    * without the DataFrame API (`plans/GraftTimeTravel.scala` and the
+    * catalog's `loadTable(ident, version)` both resolve a non-numeric
+    * version through the tag map). The adversarial part: after SET
+    * TAG, the table takes an append, a SQL DELETE, OPTIMIZE, and
+    * `VACUUM KEEP 0` — so the tagged version sits BELOW the contiguous
+    * retention floor (REQUIREd: its successor version is gone) and
+    * the SQL read must still see exactly the first batch. REQUIREd
+    * too: the SQL spelling agrees with `option("tagAsOf", ...)`.
+    * Oracle re-derives both states from raw lineitem. */
+  private def k162(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k162_tagsql")
+    try {
+      val table = s"$zone/lineitem_txn"
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity")
+      li.filter($"l_orderkey" % 3 === 0)
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      spark.sql(s"CREATE TABLE graft_k162_t USING graft OPTIONS (path '$table')")
+      try {
+        spark.sql(s"ALTER TABLE '$table' SET TAG 'release-1'")
+        li.filter($"l_orderkey" % 3 === 1)
+          .write.format("graft").mode("append").save(table)
+        spark.sql("DELETE FROM graft_k162_t WHERE l_orderkey % 5 = 0")
+        spark.sql(s"OPTIMIZE '$table'")
+        spark.sql(s"VACUUM '$table' KEEP 0 VERSIONS")
+        val tagV = TxnTable.tags(spark, table)("release-1")
+        val retained = TxnTable.versions(spark, table)
+        require(retained.contains(tagV) && !retained.contains(tagV + 1L),
+          s"the tagged version must survive BELOW the contiguous floor " +
+            s"(tag@v$tagV, retained=$retained)")
+        def agg(df: DataFrame, state: String) =
+          df.agg(count(lit(1)).cast("bigint").as("n"),
+              sum($"l_quantity".cast("decimal(38,6)")).cast("double")
+                .as("sum_qty"))
+            .select(lit(state).as("state"), $"n", $"sum_qty")
+        val taggedSql =
+          spark.sql("SELECT * FROM graft_k162_t VERSION AS OF 'release-1'")
+        val taggedOpt = spark.read.format("graft")
+          .option("tagAsOf", "release-1").load(table)
+        require(agg(taggedSql, "x").collect().toSeq ==
+          agg(taggedOpt, "x").collect().toSeq,
+          "SQL VERSION AS OF '<tag>' must agree with option(tagAsOf)")
+        val q = agg(spark.sql("SELECT * FROM graft_k162_t"), "current")
+          .unionByName(agg(taggedSql, "tagged"))
+          .orderBy($"state")
+        val rows = q.collect()
+        val expect = li.filter($"l_orderkey" % 3 === 0).count()
+        require(rows.length == 2 && rows(1).getLong(1) == expect,
+          s"SQL tagged read must see its FULL first batch ($expect rows) " +
+            s"after delete + OPTIMIZE + VACUUM; got ${rows.toSeq}")
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      } finally spark.sql("DROP TABLE graft_k162_t")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k162Sql =
+    """SELECT * FROM (
+      |  SELECT 'current' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem
+      |  WHERE l_orderkey % 3 IN (0, 1) AND NOT l_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT 'tagged' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem WHERE l_orderkey % 3 = 0) s
+      |ORDER BY state""".stripMargin
+
+  // --------------------------------------------------------------- k163
+  /** TIME-BASED HISTORY RETENTION — `VACUUM … RETAIN n HOURS` now
+    * retains below-floor MANIFESTS committed within the window (plus
+    * their chain bases), Delta's logRetentionDuration analogue: time
+    * travel over the last n hours is guaranteed no matter how
+    * aggressive the KEEP count, and tagging any version younger than
+    * the window can never race a vacuum. The workload: overwrite (v1)
+    * → append (v2) → positional delete (v3) → OVERWRITE (v4, a full
+    * manifest, so v1-v3 sit strictly below the keep-0 floor). `VACUUM
+    * RETAIN 1000 HOURS KEEP 0 VERSIONS` must keep v1-v3 readable
+    * (REQUIREd: a below-floor read works, and a retain-0 DRY RUN
+    * proves age is the ONLY thing pinning them); a final retain-0
+    * vacuum must reap them (REQUIREd). Output: the v1/v2/v3 stage
+    * aggregates read back BETWEEN the two vacuums, plus the final
+    * state — the oracle replays all four stages from raw customer. */
+  private def k163(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k163_hist")
+    try {
+      val table = s"$zone/cust_txn"
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(cust.filter($"c_custkey" % 2 === 0), table,
+        statsCols = Seq("c_custkey"))
+      TxnTable.commitAppend(cust.filter($"c_custkey" % 2 === 1), table,
+        statsCols = Seq("c_custkey"))
+      TxnTable.deleteWherePos(spark, table, df => df("c_custkey") % 3 === 1)
+      TxnTable.commitOverwrite(cust.filter($"c_custkey" <= 100), table,
+        statsCols = Seq("c_custkey"))
+      spark.sql(s"VACUUM '$table' RETAIN 1000 HOURS KEEP 0 VERSIONS")
+      // v1-v3 are BELOW the keep-0 floor (v4 overwrote) — only the
+      // retention window keeps them; a retain-0 dry run must list them
+      val reclaimable = TxnTable.vacuumDryRun(spark, table, keep = 0)
+      require((1L to 3L).forall(v =>
+          reclaimable.contains(f"_v$v%05d.manifest")),
+        s"v1-v3 must be reclaimable by AGE only; dry run: $reclaimable")
+      def agg(df: DataFrame, stage: String): DataFrame =
+        df.agg(count(lit(1)).cast("bigint").as("n"),
+            graft.ops.Num.dsum($"c_acctbal").as("sum_bal"))
+          .select(lit(stage).as("stage"), $"n", $"sum_bal")
+      def at(v: Long): DataFrame = spark.read.format("graft")
+        .option("versionAsOf", v.toString).load(table)
+      val result = agg(at(1L), "v1")
+        .unionAll(agg(at(2L), "v2"))
+        .unionAll(agg(at(3L), "v3"))
+        .unionAll(agg(spark.read.format("graft").load(table), "v4"))
+        .orderBy($"stage")
+      val rows = result.collect()
+      spark.sql(s"VACUUM '$table' KEEP 0 VERSIONS")
+      val kept = TxnTable.versions(spark, table)
+      require(!kept.exists(_ < 4L),
+        s"a retain-0 vacuum must reap the aged history, kept: $kept")
+      require(!fcExists(spark, s"$table/_v00001.manifest"),
+        "v1's manifest must be reaped once outside the window")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private def fcExists(spark: SparkSession, p: String): Boolean =
+    new java.io.File(p).exists()
+  private val k163Sql =
+    """WITH stages AS (
+      |  SELECT 'v1' AS stage, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT 'v2', c_acctbal FROM customer
+      |  UNION ALL SELECT 'v3', c_acctbal FROM customer
+      |    WHERE NOT (c_custkey % 3 = 1)
+      |  UNION ALL SELECT 'v4', c_acctbal FROM customer WHERE c_custkey <= 100)
+      |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM stages GROUP BY stage ORDER BY stage""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("k80_csv_roundtrip", k80, Some(k80Sql)),
     RQ("k81_json_roundtrip", k81, Some(k81Sql)),
@@ -5320,5 +5474,7 @@ object FormatOps {
     RQ("k158_vector_scan_columnar", k158, Some(k158Sql), bench = true),
     RQ("k159_snapshot_tags", k159, Some(k159Sql)),
     RQ("k160_spj_under_vectors", k160, Some(k160Sql), bench = true),
-    RQ("k161_create_like", k161, Some(k161Sql)))
+    RQ("k161_create_like", k161, Some(k161Sql)),
+    RQ("k162_sql_tag_travel", k162, Some(k162Sql)),
+    RQ("k163_history_retention", k163, Some(k163Sql)))
 }

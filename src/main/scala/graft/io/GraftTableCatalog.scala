@@ -110,14 +110,26 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL `SELECT ... FROM g.db.t VERSION AS OF n` — the catalog half of
     * time travel (the path-based provider spells it
-    * `option("versionAsOf", n)`). */
+    * `option("versionAsOf", n)`). A NON-numeric version is a snapshot
+    * TAG name resolved through the latest snapshot's tag map
+    * ([[TxnTable.setTag]]) — `VERSION AS OF 'release-2'` — so the
+    * reproducibility pin tags sell is consumable from pure SQL, not
+    * just `option("tagAsOf", ...)`. Tagged versions survive vacuum
+    * below the contiguous floor, so resolution skips the range check
+    * the numeric spelling keeps. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val spark = SparkSession.active
     val path = dirOf(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft versions are numeric, got '$version'"))
-    require(TxnTable.versions(spark, path).contains(v),
-      s"no committed version $v in $path")
+    val v = version.toLongOption match {
+      case Some(n) =>
+        require(TxnTable.versions(spark, path).contains(n),
+          s"no committed version $n in $path")
+        n
+      case None =>
+        TxnTable.tags(spark, path).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"'$version' is neither a numeric version nor a tag of $path"))
+    }
     val schema = TxnTable.snapshotSchema(spark, path, v).getOrElse(
       new StructType())
     new GraftTable(path, v, schema)

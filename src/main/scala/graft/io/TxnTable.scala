@@ -6655,7 +6655,12 @@ object TxnTable {
     * `retainMs`: never touch files/dirs modified within the last
     * `retainMs` ms — set it above the longest in-flight commit so vacuum
     * cannot reap a concurrent writer's not-yet-committed `w=` dir
-    * (Delta's retention-window rule; 0 only when no writer is live). */
+    * (Delta's retention-window rule; 0 only when no writer is live).
+    * The window also retains below-floor MANIFESTS committed within it
+    * (plus their chain bases): `RETAIN n HOURS` guarantees time travel
+    * over the last n hours of history regardless of the KEEP count —
+    * Delta's logRetentionDuration — and makes tagging any version
+    * younger than the window race-free against vacuum by construction. */
   def vacuum(spark: SparkSession, table: String, keep: Int = 0,
              retainMs: Long = 0L): Unit = {
     vacuumImpl(spark, table, keep, retainMs, dryRun = false)
@@ -6733,8 +6738,23 @@ object TxnTable {
       val pinned: Set[Long] =
         tags(spark, table).values.toSeq.filter(all.contains)
           .flatMap((v: Long) => chainBase(v) to v).toSet
+      // TIME-BASED HISTORY RETENTION (Delta's logRetentionDuration
+      // analogue): with a retention window, a below-floor manifest
+      // COMMITTED within the window survives — time travel over the
+      // last `retainMs` of history is guaranteed no matter how
+      // aggressive the KEEP count, and a tag set on any version
+      // younger than the window can never race a vacuum at all. Each
+      // age-retained manifest pins its chain base exactly like a tag
+      // pin (a young delta is unreadable without its checkpoint).
+      val agePinned: Set[Long] =
+        if (retainMs <= 0L) Set.empty
+        else all.filter(v => v < floor &&
+            ctx.getFileStatus(new Path(table, manifestName(v)))
+              .getModificationTime >= cutoff)
+          .flatMap((v: Long) => chainBase(v) to v).toSet
       val (dropped0, retained0) =
-        all.partition(v => v < floor && !pinned.contains(v))
+        all.partition(v =>
+          v < floor && !pinned.contains(v) && !agePinned.contains(v))
       // resolve references BEFORE deleting any manifest — chain reads
       // must never race the drop
       def refsOf(vs: Seq[Long]): Set[String] = vs.flatMap { v =>

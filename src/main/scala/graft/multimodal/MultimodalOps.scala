@@ -593,6 +593,316 @@ object MultimodalOps {
       |   AS sum_samples
       |FROM documents, idx GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m68
+  /** PERCEPTUAL-HASH IMAGE NEAR-DUP — the image modality's answer to
+    * d38's SimHash: dHash (difference hash) over a 9×8 grayscale
+    * resample, then Hamming-band LSH candidates, never all-pairs.
+    * Stages, all real codec plumbing:
+    *
+    *   1. encode one 16×16 PNG per document from md5-derived pixels
+    *      (channel = digest bytes of `p:id:x:y` — d38's md5-nibble
+    *      oracle idiom; a LINEAR closed form like m66's makes every
+    *      image's gradient structure correlate and band buckets blow
+    *      up ~30× — measured, not guessed), PLUS a NEAR-DUPLICATE
+    *      variant for every 5th doc: identical pixels except source
+    *      rows 12-15 take r+40 (mod 256 — only pixels that WRAP flip
+    *      gradient bits, a genuinely small perceptual change), so after
+    *      the strided resample only destination rows 6-7's bits can
+    *      move (hash bits 48-63 = band 4): bands 1-3 are provably equal
+    *      for every (base, variant) pair, pinning LSH recall at 100%
+    *      on the engineered pairs without any tuning
+    *   2. decode → 9×8 nearest-neighbor resample (m66's strided kernel
+    *      at non-integer stride: src_x = x·16/9, src_y = 2y) → gray =
+    *      r+g+b (integer, no division — bit-exactness for the oracle) →
+    *      64-bit dHash: bit y·8+x set iff gray(x+1,y) > gray(x,y)
+    *   3. bands: four 16-bit slices, exploded to (band_idx, value) keys
+    *   4. candidates: band-key EQUI-join (shuffle by band key; a
+    *      non-colliding image never meets another — the d37/d38 LSH
+    *      contract, pinned cartesian-free by PlanShapeSpec)
+    *   5. verify: Hamming distance over the native bit_count(xor),
+    *      near-dup at ≤ 16 (the band-4 bound for engineered variants)
+    *
+    * At 100 TB: hashing is an embarrassingly parallel mapPartitions
+    * (codec init per partition), the hash table is 16 bytes/image, and
+    * the candidate join shuffles hash rows by band key — work scales
+    * with collisions, not with pairs. The oracle recomputes the WHOLE
+    * chain from the closed-form pixels (the PNG round trip is lossless,
+    * the same m66 contract), so a wrong resample stride, gray formula,
+    * bit order, band slice, or Hamming count all hash-mismatch. */
+  private def m68(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Src = 16
+    val W = 9
+    val H = 8
+    val imgs: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .flatMap(id => (2 * id, id, false) ::
+        (if (id % 5 == 0) List((2 * id + 1, id, true)) else Nil))
+      .mapPartitions { it =>
+        // digest instance per PARTITION (the codec-init discipline);
+        // MessageDigest.digest() resets for the next pixel
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (imgId, id, pert) =>
+          val img = new java.awt.image.BufferedImage(
+            Src, Src, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < Src) {
+            var x = 0
+            while (x < Src) {
+              val d = md.digest(
+                s"p:$id:$x:$y".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val bump = if (pert && y >= 12) 40 else 0
+              val r = ((d(0) & 0xff) + bump) % 256
+              val g = d(1) & 0xff
+              val b = d(2) & 0xff
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (imgId, bos.toByteArray)
+        }
+      }
+    // decode → resample → dHash; localCheckpoint because the 16-byte
+    // hash rows feed three consumers (band explode + both pair joins) —
+    // recomputing would re-run the codec three times
+    val hashes = imgs.mapPartitions { it =>
+      it.map { case (imgId, bytes) =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val gray = Array.ofDim[Int](H, W)
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) {
+            val p = src.getRGB(x * Src / W, 2 * y)
+            gray(y)(x) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var h = 0L
+        y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W - 1) {
+            if (gray(y)(x + 1) > gray(y)(x)) h |= 1L << (63 - (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        (imgId, h)
+      }
+    }.toDF("item_id", "fp").localCheckpoint()
+    bandNearDups(hashes, "img_a", "img_b", maxHamming = 16)
+  }
+
+  /** Shared LSH tail of the perceptual-hash near-dup family (m68
+    * images, m69 audio): four 16-bit Hamming bands off a 64-bit
+    * fingerprint frame (`item_id`, `fp`) → band-key EQUI-join
+    * candidates (work scales with collisions, never with pairs) →
+    * native bit_count(xor) verify at ≤ `maxHamming`. */
+  private def bandNearDups(hashes: DataFrame, aCol: String, bCol: String,
+                           maxHamming: Int): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val bands = hashes.select($"item_id", posexplode(array(
+      (0 until 4).map(i =>
+        shiftright($"fp", 48 - 16 * i).bitwiseAND(lit(65535L))): _*))
+      .as(Seq("bi", "bv")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        $"a.bi" === $"b.bi" && $"a.bv" === $"b.bv" &&
+          $"a.item_id" < $"b.item_id")
+      .select($"a.item_id".as(aCol), $"b.item_id".as(bCol))
+      .distinct()
+    cands
+      .join(hashes.select($"item_id".as(aCol), $"fp".as("ha")), aCol)
+      .join(hashes.select($"item_id".as(bCol), $"fp".as("hb")), bCol)
+      .select(col(aCol), col(bCol),
+        expr("bit_count(ha ^ hb)").cast("bigint").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .orderBy(col(aCol), col(bCol))
+  }
+  private val m68Sql = {
+    // hex-nibble value of digest char i (1-based) — d38's idiom
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH imgs AS (
+      |  SELECT doc_id * 2 AS img_id, doc_id AS id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |grid AS (
+      |  SELECT x.g AS x, y.g AS y
+      |  FROM generate_series(0, 8) x(g), generate_series(0, 7) y(g)),
+      |px AS (
+      |  SELECT img_id, x, y, pert,
+      |    md5('p:' || id || ':' || (x*16//9) || ':' || (2*y)) AS m
+      |  FROM imgs, grid),
+      |gray AS (
+      |  SELECT img_id, x, y,
+      |    ((${nib(1)}*16 + ${nib(2)}
+      |        + CASE WHEN pert = 1 AND 2*y >= 12 THEN 40 ELSE 0 END) % 256
+      |     + ${nib(3)}*16 + ${nib(4)}
+      |     + ${nib(5)}*16 + ${nib(6)}) AS g
+      |  FROM px),
+      |bits AS (
+      |  SELECT a.img_id, a.y * 8 + a.x AS b,
+      |    CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM gray a JOIN gray n
+      |    ON n.img_id = a.img_id AND n.y = a.y AND n.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (
+      |  SELECT img_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+      |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS h
+      |  FROM bits GROUP BY img_id),
+      |bands AS (
+      |  SELECT img_id, r.range AS bi,
+      |    (h >> CAST(48 - 16 * r.range AS INT)) & 65535 AS bv
+      |  FROM hashes, range(4) r),
+      |cands AS (
+      |  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.img_id < b.img_id)
+      |SELECT c.img_a, c.img_b,
+      |  CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+      |FROM cands c
+      |JOIN hashes ha ON ha.img_id = c.img_a
+      |JOIN hashes hb ON hb.img_id = c.img_b
+      |WHERE bit_count(xor(ha.h, hb.h)) <= 16
+      |ORDER BY img_a, img_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- m69
+  /** AUDIO-FINGERPRINT NEAR-DUP — m68's twin for the audio modality
+    * (the chromaprint shape, reduced to an oracle-checkable kernel):
+    *
+    *   1. encode one 130-sample PCM16 WAV per document from
+    *      md5-derived samples, PLUS a near-duplicate variant for every
+    *      5th doc — identical except samples ≥ 98 take +512 (mod 2¹⁶),
+    *      so only frame energies 49-64 move and every flipped
+    *      fingerprint bit lands in band 4 (bits 48-63): bands 1-3 are
+    *      provably equal per (base, variant) pair, LSH recall 100% by
+    *      construction
+    *   2. decode → 65 frame energies (|s₂f| + |s₂f₊₁| — integer-exact
+    *      for the oracle; a production pipeline swaps in FFT band
+    *      energies, the plumbing is identical) → 64-bit gradient
+    *      fingerprint: bit b set iff E(b+1) > E(b)
+    *   3. the m68 band tail: 16-bit Hamming bands → band-key equi-join
+    *      candidates → bit_count(xor) verify at ≤ 16
+    *
+    * The oracle recomputes samples, energies, bits, bands, and Hamming
+    * from the md5 closed form (the WAV round trip is lossless — the
+    * m64/m67 contract), so with m68 every multimodal near-dup kernel
+    * is hash-gated end to end. */
+  private def m69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val N = 130
+    val clips: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .flatMap(id => (2 * id, id, false) ::
+        (if (id % 5 == 0) List((2 * id + 1, id, true)) else Nil))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (clipId, id, pert) =>
+          val raw = new Array[Byte](N * 2)
+          var i = 0
+          while (i < N) {
+            val d = md.digest(
+              s"a:$id:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+            if (pert && i >= 98) v = (v + 512) & 0xffff
+            val s = v.toShort // signed 16-bit wrap, same in the oracle
+            raw(2 * i) = (s & 0xff).toByte
+            raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt =
+            new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, N.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (clipId, bos.toByteArray)
+        }
+      }
+    val hashes = clips.mapPartitions { it =>
+      it.map { case (clipId, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val raw = ais.readAllBytes()
+        val frames = raw.length / 4 // two 16-bit samples per frame
+        def s(i: Int): Int =
+          ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+        val e = new Array[Long](frames)
+        var f = 0
+        while (f < frames) {
+          e(f) = math.abs(s(2 * f)).toLong + math.abs(s(2 * f + 1)).toLong
+          f += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < 64) {
+          if (e(b + 1) > e(b)) h |= 1L << (63 - b)
+          b += 1
+        }
+        (clipId, h)
+      }
+    }.toDF("item_id", "fp").localCheckpoint()
+    bandNearDups(hashes, "clip_a", "clip_b", maxHamming = 16)
+  }
+  private val m69Sql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH clips AS (
+      |  SELECT doc_id * 2 AS item_id, doc_id AS id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |idx AS (SELECT UNNEST(range(0, 130)) AS i),
+      |smp AS (
+      |  SELECT item_id, i,
+      |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |  FROM (
+      |    SELECT item_id, i,
+      |      ((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})
+      |        + CASE WHEN pert = 1 AND i >= 98 THEN 512 ELSE 0 END) % 65536 AS u
+      |    FROM (SELECT item_id, pert, i, md5('a:' || id || ':' || i) AS m
+      |          FROM clips, idx) t) u2),
+      |eng AS (
+      |  SELECT item_id, i // 2 AS f, SUM(ABS(s)) AS e
+      |  FROM smp GROUP BY item_id, i // 2),
+      |bits AS (
+      |  SELECT a.item_id, a.f AS b,
+      |    CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM eng a JOIN eng n
+      |    ON n.item_id = a.item_id AND n.f = a.f + 1
+      |  WHERE a.f < 64),
+      |hashes AS (
+      |  SELECT item_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+      |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS h
+      |  FROM bits GROUP BY item_id),
+      |bands AS (
+      |  SELECT item_id, r.range AS bi,
+      |    (h >> CAST(48 - 16 * r.range AS INT)) & 65535 AS bv
+      |  FROM hashes, range(4) r),
+      |cands AS (
+      |  SELECT DISTINCT a.item_id AS clip_a, b.item_id AS clip_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.item_id < b.item_id)
+      |SELECT c.clip_a, c.clip_b,
+      |  CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+      |FROM cands c
+      |JOIN hashes ha ON ha.item_id = c.clip_a
+      |JOIN hashes hb ON hb.item_id = c.clip_b
+      |WHERE bit_count(xor(ha.h, hb.h)) <= 16
+      |ORDER BY clip_a, clip_b""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
     RQ("m61_content_sniff", m61, Some(m61Sql)),
@@ -601,5 +911,7 @@ object MultimodalOps {
     RQ("m64_wav_roundtrip", m64, Some(m64Sql)),
     RQ("m65_gif_frames", m65, Some(m65Sql)),
     RQ("m66_image_resize", m66, Some(m66Sql)),
-    RQ("m67_audio_resample", m67, Some(m67Sql)))
+    RQ("m67_audio_resample", m67, Some(m67Sql)),
+    RQ("m68_phash_neardup", m68, Some(m68Sql)),
+    RQ("m69_audio_neardup", m69, Some(m69Sql)))
 }

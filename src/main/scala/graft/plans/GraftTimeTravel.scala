@@ -48,14 +48,20 @@ case class GraftTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
     GraftCatalog.pathOf(spark, u.multipartIdentifier)
 
   /** Reader option for the AS OF clause. `VERSION AS OF n` maps
-    * directly; `TIMESTAMP AS OF` accepts a string constant (passed to
-    * the reader's UTC date/datetime/millis parser) or any foldable
-    * expression castable to timestamp (evaluated to epoch millis).
-    * Non-constant timestamps: None — unsupported, loudly. */
+    * directly; a NON-numeric version is a snapshot TAG name —
+    * `VERSION AS OF 'release-2'` resolves through the latest
+    * snapshot's tag map exactly like `option("tagAsOf", ...)`, making
+    * the reproducibility pin consumable from pure SQL. `TIMESTAMP AS
+    * OF` accepts a string constant (passed to the reader's UTC
+    * date/datetime/millis parser) or any foldable expression castable
+    * to timestamp (evaluated to epoch millis). Non-constant
+    * timestamps: None — unsupported, loudly. */
   private def asOfOption(ts: Option[Expression],
                          ver: Option[String]): Option[(String, String)] =
     (ts, ver) match {
-      case (None, Some(v)) => Some("versionAsOf" -> v)
+      case (None, Some(v)) =>
+        Some((if (v.toLongOption.isDefined) "versionAsOf"
+              else "tagAsOf") -> v)
       case (Some(e), None) if e.foldable && e.dataType == StringType =>
         Option(e.eval()).map(s => "timestampAsOf" -> s.toString)
       case (Some(e), None) if e.foldable =>

@@ -391,7 +391,20 @@ object SimilarityOps {
       iters: Int, off: Int, len: Int): Array[Array[Double]] = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    var cents = centroids(spark, dir).map(_.slice(off, off + len))
+    trainedSubCentroidsOn(emb, centroids(spark, dir), iters, off, len)
+  }
+
+  /** [[trainedSubCentroids]] over a caller-supplied embeddings frame —
+    * lets e51's registered query feed a localCheckpointed corpus so
+    * both Lloyd iterations AND the final assignment share one parquet
+    * decode instead of three (bit-identical training: only the input
+    * materialization changes, never the values). */
+  private[graft] def trainedSubCentroidsOn(emb: DataFrame,
+      seed: Array[Array[Double]], iters: Int, off: Int,
+      len: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = seed.map(_.slice(off, off + len))
     for (_ <- 1 to iters) {
       val means = emb.select(
           element_at(Similarity.nearestSubCells("embedding", cents, 1, off), 1)
@@ -1048,7 +1061,8 @@ object SimilarityOps {
     RQ("e56_ivf_sampled_trainer", e56, Some(e56Sql)),
     RQ("e57_filtered_ann", e57, Some(e57Sql)),
     RQ("e58_adc_rerank", e58, Some(e58Sql)),
-    RQ("e59_incremental_ivf", e59, Some(e59Sql), bench = true))
+    RQ("e59_incremental_ivf", e59, Some(e59Sql), bench = true),
+    RQ("e60_ivf_retrain", e60, Some(e60Sql)))
 
   // ---------------------------------------------------------------- e59
   /** INCREMENTAL IVF INGEST — index maintenance as a pipeline, the ANN
@@ -1109,6 +1123,151 @@ object SimilarityOps {
       rm(new java.io.File(zone))
     }
   }
+  // ---------------------------------------------------------------- e60
+  /** IVF INDEX MAINTENANCE — the OPTIMIZE-analogue e59 deliberately
+    * lacks: e59 pins its coarse quantizer forever (documented,
+    * REQUIREd append-only), so under distribution drift new vectors
+    * pile into whichever stale cell is least-wrong — recall holds (the
+    * probe lands in the same bloated cell) but SERVING degrades: the
+    * drifted probes scan a drift-bloated inverted list. e60 runs the
+    * maintenance pass:
+    *
+    *   1. build the index over a DRIFTED corpus (every 3rd vector
+    *      re-appears scaled 0.0625 + offset 2.0 — a tight far-away
+    *      cluster, the "new domain" shape; both constants are dyadic
+    *      so the float arithmetic is bit-identical across engines)
+    *      against the STALE seed quantizer
+    *   2. measure the serving contract at nprobe=2 on drifted probes:
+    *      recall@5 vs brute force, candidates scanned, max cell size
+    *   3. RE-TRAIN on the current corpus (the same 2 Lloyd iterations
+    *      e51 pins), re-assign everything, and swap the index table
+    *      ATOMICALLY via CREATE OR REPLACE (k146's StagingTableCatalog
+    *      path — lineage continues, pinned readers keep their snapshot,
+    *      REQUIREd)
+    *   4. gates: recall must not drop, scanned candidates and max cell
+    *      MUST shrink — re-training has to beat the stale quantizer on
+    *      the drifted batch, machine-checked, or the swap was pointless
+    *
+    * At 100 TB: training reads the corpus twice (sampled in production
+    * — e56 proves that path), re-assignment is one scan + write, and
+    * the swap is one manifest CAS — readers never see a half-built
+    * index. The oracle replays drift + 2 Lloyd rounds + assignment
+    * from scratch in DuckDB (e51's CTE chain over the drifted corpus),
+    * so a wrong retrain, assignment, or swap all hash-mismatch. */
+  private def e60(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    import org.apache.spark.sql.expressions.Window
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_e60_opt").toFile.getAbsolutePath
+    try {
+      spark.conf.set("spark.sql.catalog.ge60", "graft.io.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.ge60.warehouse", zone)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ge60.db")
+      val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val mx = emb.agg(max($"vec_id")).head().getLong(0) + 1L
+      val corpus = emb.unionByName(
+        emb.filter($"vec_id" % 3 === 0).select(
+          ($"vec_id" + mx).as("vec_id"),
+          transform($"embedding",
+            x => x * lit(0.0625f) + lit(2.0f)).as("embedding")))
+        .localCheckpoint() // feeds 2 assignments + 2 training scans + gates
+      val seed = centroids(spark, dir)
+      def assigned(cents: Array[Array[Double]]): DataFrame = corpus.select(
+        $"vec_id", $"embedding",
+        element_at(Similarity.nearestSubCells("embedding", cents, 1, 0), 1)
+          .cast("bigint").as("cell"))
+      try {
+        assigned(seed).createOrReplaceTempView("ge60_stale")
+        spark.sql("CREATE OR REPLACE TABLE ge60.db.ivf USING graft AS " +
+          "SELECT * FROM ge60_stale")
+        val table = s"$zone/db/ivf"
+        val v1 = TxnTable.latestVersion(spark, table).get
+        val probes = corpus.filter($"vec_id".isin(mx, mx + 3L, mx + 6L))
+          .select($"vec_id".as("probe_id"), $"embedding".as("p"))
+          .localCheckpoint()
+        val w = Window.partitionBy($"probe_id")
+          .orderBy($"cos_sim".desc, $"vec_id")
+        def top5(c: DataFrame) = c.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5).select($"probe_id", $"vec_id")
+        // ground truth once, off the corpus (3-row broadcast)
+        val brute = top5(corpus.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"probe_id")
+          .select($"probe_id", $"vec_id",
+            cosine("embedding", "p").as("cos_sim"))).localCheckpoint()
+        // serving metrics from the PERSISTED index at nprobe=2
+        def metrics(cents: Array[Array[Double]]): (Long, Long, Long) = {
+          val idx = spark.table("ge60.db.ivf")
+          val probeCells = probes.select($"probe_id", $"p",
+            explode(Similarity.nearestSubCells("p", cents, 2, 0)).as("pc"))
+            .select($"probe_id", $"p", $"pc".cast("bigint").as("pcell"))
+          val cand = idx.join(broadcast(probeCells),
+            $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+          val nCand = cand.count()
+          val hits = top5(cand.select($"probe_id", $"vec_id",
+            cosine("embedding", "p").as("cos_sim"))).intersect(brute).count()
+          val maxCell = idx.groupBy($"cell").agg(count(lit(1)).as("n"))
+            .agg(max($"n")).head().getLong(0)
+          (hits, nCand, maxCell)
+        }
+        val (hitsStale, candStale, maxStale) = metrics(seed)
+        val cents2 = trainedSubCentroidsOn(corpus, seed, e51Iters, 0, Dim)
+        assigned(cents2).createOrReplaceTempView("ge60_new")
+        spark.sql("CREATE OR REPLACE TABLE ge60.db.ivf USING graft AS " +
+          "SELECT * FROM ge60_new")
+        require(TxnTable.latestVersion(spark, table).get > v1,
+          "the swap must extend the manifest lineage, not restart it")
+        require(spark.sql(
+            s"SELECT count(*) FROM ge60.db.ivf VERSION AS OF $v1")
+            .head().getLong(0) > 0L,
+          "the pre-swap index must stay readable for pinned readers")
+        val (hitsNew, candNew, maxNew) = metrics(cents2)
+        require(hitsNew >= hitsStale,
+          s"re-training must not lose recall: $hitsNew < $hitsStale")
+        require(candNew < candStale,
+          s"re-training must cut the drifted probes' scan cost: " +
+            s"$candNew !< $candStale")
+        require(maxNew < maxStale,
+          s"re-training must re-balance the drift-bloated cell: " +
+            s"$maxNew !< $maxStale")
+        val result = spark.table("ge60.db.ivf")
+          .select($"vec_id", $"cell")
+          .withColumn("cell_size",
+            count(lit(1)).over(Window.partitionBy($"cell")).cast("bigint"))
+          .orderBy($"vec_id")
+        spark.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+      } finally spark.sql("DROP TABLE IF EXISTS ge60.db.ivf")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: defined after `all` in initialization order
+  private def e60Sql =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(CAST(x AS DOUBLE) * 0.0625 + 2.0 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 3 = 0),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM corpus WHERE vec_id < 16),
+       |${(1 to e51Iters).map(lloydIterSql(_, "corpus")).mkString(",\n")},
+       |af AS (
+       |  SELECT e.vec_id, (
+       |    SELECT cent_id FROM c$e51Iters
+       |    ORDER BY ${l2Sql("e.embedding", s"c$e51Iters.c")} ASC, cent_id LIMIT 1) AS cell
+       |  FROM corpus e)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       | CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+       |FROM af ORDER BY vec_id""".stripMargin
+
   // def, not val: defined after `all` in initialization order
   private def e59Sql =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),

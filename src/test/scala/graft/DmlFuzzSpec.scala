@@ -10,7 +10,9 @@ import graft.io.TxnTable
 
 /** Randomized CONCURRENT-DML fuzz over one table: N threads each fire a
   * seeded random sequence of {append, MERGE, positional DELETE,
-  * positional UPDATE, OPTIMIZE} at the same table with no coordination.
+  * positional UPDATE, one-commit REPLACE (positional delete + append,
+  * the d51 displacement primitive), OPTIMIZE} at the same table with no
+  * coordination.
   * The serializability oracle: graft commits are linearized by the
   * manifest CAS, so the valid serial orders are exactly version order
   * with each op's logical effect applied at the version it committed —
@@ -49,6 +51,13 @@ class DmlFuzzSpec extends AnyFunSuite {
   private case class PosUpdate(mod: Long, r: Long, delta: Long) extends Op {
     val canNoOp = true
   }
+  // one-commit positional delete + append (the d51 displacement
+  // primitive): always publishes (its appends are never empty), so a
+  // version it claims is pinned to it
+  private case class Replace(mod: Long, r: Long,
+      rows: Seq[(Long, Long)]) extends Op {
+    val canNoOp = false
+  }
   private case object Optimize extends Op { val canNoOp = true }
 
   private def applyModel(state: Map[Long, Long], op: Op): Map[Long, Long] =
@@ -59,6 +68,8 @@ class DmlFuzzSpec extends AnyFunSuite {
       case EqDelete(m, r) => state.filterNot { case (k, _) => k % m == r }
       case PosUpdate(m, r, d) =>
         state.map { case (k, v) => k -> (if (k % m == r) v + d else v) }
+      case Replace(m, r, rows) =>
+        state.filterNot { case (k, _) => k % m == r } ++ rows
       case Optimize => state
     }
 
@@ -77,6 +88,10 @@ class DmlFuzzSpec extends AnyFunSuite {
     case PosUpdate(m, r, d) =>
       TxnTable.updateWherePos(spark, table,
         df => df("k") % m === r, Map("v" -> (col("v") + lit(d))))
+    case Replace(m, r, rows) =>
+      TxnTable.replacePositions(spark, table,
+        snap => snap.filter(col("k") % m === r),
+        enrich(rows.toDF("k", "v")))
     case Optimize =>
       TxnTable.compact(spark, table, targetFiles = 2)
   }
@@ -104,12 +119,18 @@ class DmlFuzzSpec extends AnyFunSuite {
         val ks = Seq.fill(3)(10L * rnd.nextInt(5) + 7L + rnd.nextInt(3))
           .distinct
         Merge(ks.map(k => (k, 7000L + rnd.nextInt(1000))))
-      case 5 => VecDelete(10L, 2L * rnd.nextInt(3))
+      case 5 => VecDelete(10L, 2L * rnd.nextInt(2))
       // equality-flavor MoR delete owns residue 6: keys no other op
       // kind ever (re)inserts, so its key-tuple effect is identical at
       // pin and commit
       case 6 => EqDelete(10L, 6L)
-      case 7 | 8 => PosUpdate(10L, 2L * rnd.nextInt(3) + 1L, 1L)
+      case 7 => PosUpdate(10L, 2L * rnd.nextInt(3) + 1L, 1L)
+      // one-commit replace owns residue 4 (ceded by VecDelete above);
+      // its appended keys live in the (tid, i) namespace like Append's
+      // — a (tid, i) runs exactly one op, so the bases never collide
+      case 8 =>
+        val base = 1000000L * (tid + 1) + 1000L * i + 7L
+        Replace(10L, 4L, (0L until 2L).map(j => (base + j, base + j)))
       case _ => Optimize
     }
 

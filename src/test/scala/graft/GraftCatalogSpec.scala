@@ -137,6 +137,20 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(spark.sql(
         s"SELECT count(*) FROM gcat.db.tt TIMESTAMP AS OF '$lastTs'")
         .head().getLong(0) == 2L)
+      // TAG time travel through the catalog's loadTable(ident, version):
+      // a non-numeric version resolves through the tag map
+      spark.sql("ALTER TABLE gcat.db.tt SET TAG 'first' VERSION AS OF 2")
+      assert(spark.sql(
+          "SELECT count(*) FROM gcat.db.tt VERSION AS OF 'first'")
+        .head().getLong(0) == 1L)
+      val miss = intercept[Exception] {
+        spark.sql("SELECT * FROM gcat.db.tt VERSION AS OF 'nope'").collect()
+      }
+      // either resolution path (hint-rule reader option / catalog
+      // loadTable) must refuse an unknown tag loudly, by name
+      assert(miss.getMessage.contains("no tag 'nope'") ||
+        miss.getMessage.contains("neither a numeric version nor a tag"),
+        miss.getMessage)
       // CTAS through the catalog (non-atomic create + write path)
       spark.sql(
         "CREATE TABLE gcat.db.tt2 USING graft AS SELECT k, s FROM gcat.db.tt")

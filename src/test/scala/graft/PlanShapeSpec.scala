@@ -83,6 +83,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t49's scalar total must broadcast; plan:\n$plan")
   }
 
+  test("m68 phash near-dup: candidates come from band keys, never a cross join") {
+    // the LSH contract: the image self-join must be an EQUI-join on
+    // (band_idx, band_value) — a cartesian/NLJ here is quadratic in
+    // images and the whole point of banding is to avoid it
+    val df = Registry.queries("m68_phash_neardup")(spark, Spec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"m68 must join on LSH band keys only, nothing pairwise; plan:\n$plan")
+  }
+
   test("d48 span dedup: keyed shuffles only, nothing pairwise") {
     // corpus-wide substring dedup must cost keyed exchanges (shingle
     // window, doc_id rebuild/join) — never a pairwise join: duplicate
