@@ -115,7 +115,9 @@ object Bench {
       "its current shape. COUPLING NOTE: d47/d49/d51 (the three " +
       "3-ingest incremental keys) share probePersisted - a change " +
       "there moves all three together, so attribute their co-movement " +
-      "to that file, not to three regressions. d51's displacement is " +
+      "to that file, not to three regressions (d52, NEW bench key - " +
+      "incremental connected-components cluster maintenance, 3 ingests " +
+      "- joins that coupled family). d51's displacement is " +
       "now ONE MoR commit (replacePositions: positional deletes + " +
       "winner appends atomically) - one commit FEWER per displacing " +
       "ingest than r16. k162 is a NEW non-bench query (SQL tag time " +

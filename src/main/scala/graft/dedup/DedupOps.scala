@@ -777,7 +777,8 @@ object DedupOps {
     RQ("d48_span_dedup", d48, Some(d48Sql), bench = true),
     RQ("d49_incremental_span_dedup", d49, Some(d49Sql), bench = true),
     RQ("d50_incremental_boilerplate", d50, Some(d50Sql)),
-    RQ("d51_incremental_keep_best", d51, Some(d51Sql), bench = true))
+    RQ("d51_incremental_keep_best", d51, Some(d51Sql), bench = true),
+    RQ("d52_incremental_clusters", d52, Some(d52Sql), bench = true))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -1890,4 +1891,211 @@ object DedupOps {
       |FROM documents
       |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- d52
+  /** INCREMENTAL CONNECTED COMPONENTS — d40's near-dup cluster map as
+    * a MAINTAINED artifact, the missing incremental family member:
+    * keep-first (d47), spans (d49), boilerplate (d50), and keep-best
+    * (d51) all maintain row-level state, but the CLUSTER map (which
+    * docs are the same document) was whole-corpus-only. Two persisted
+    * graft tables: `sigs` — exploded `<band>:<hash>` keys, bucketed —
+    * and `labels` — (doc_id, label) with label = the component's MIN
+    * doc id (d40's convention). Each ingest:
+    *
+    *   1. band-keys the batch (the same native one-pass `minhash_sig`)
+    *   2. probes `sigs` for collisions ([[probePersisted]]: broadcast
+    *      or storage-co-partitioned, batch-sized, literal-key file
+    *      pruning REQUIREd on the handful-of-docs fourth ingest)
+    *   3. contracts the merge graph: in-batch edges + cross edges with
+    *      the corpus endpoint REPLACED by its component label — so
+    *      [[starContraction]] runs on a graph sized by the BATCH and
+    *      the components it touches, never the corpus
+    *   4. RETROACTIVE MERGE: when a batch doc bridges two existing
+    *      components, every row of the losing component relabels via
+    *      ONE frame-keyed positional commit ([[TxnTable.updateFromPos]]
+    *      — kilobyte vectors, zero rewrites, no literals); new labels
+    *      append
+    *
+    * Label = component min is the invariant that makes step 3 sound:
+    * contracting a component to its label loses nothing because the
+    * label IS its min, and the merged min is the min over batch ids
+    * and touched labels. The registered workload derives exact-dup
+    * variants (batch 2 attaches to batch-1 docs) and CONCAT BRIDGES
+    * (batch 3 docs whose text is two distinct batch-1 components'
+    * texts concatenated — their band keys collide with both sides
+    * often enough that several merges fire, REQUIREd > 0), and the
+    * oracle recomputes d40's recursive-CTE components over the whole
+    * derived corpus: the incremental map must equal it exactly. */
+  private def d52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d52_inc").toFile.getAbsolutePath
+    try {
+      val labels = s"$zone/labels_txn"
+      val sigsT = s"$zone/sigs_txn"
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val o = base.agg(max($"doc_id")).head().getLong(0) + 1L
+      val dups = base.filter($"doc_id" % 40 === 0)
+        .select(($"doc_id" + o).as("doc_id"), $"text")
+      val bridges = base.as("a").filter($"doc_id" % 80 === 0)
+        .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 40L)
+        .select((col("a.doc_id") + 2L * o).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      // the DAILY-shaped fourth ingest: a handful of docs, so its
+      // literal key set reaches the signature scan and file pruning is
+      // machine-checkable (the bridge batch is deliberately NOT the
+      // pruning probe — its key count grows with the corpus)
+      val daily = base.filter($"doc_id" % 1200 === 0)
+        .select(($"doc_id" + 3L * o).as("doc_id"), $"text")
+      d52Ingest(spark, labels, sigsT, base, first = true)
+      val before = TxnTable.morState(spark, labels,
+        TxnTable.latestVersion(spark, labels).get).files.toSet
+      d52Ingest(spark, labels, sigsT, dups, first = false)
+      val (_, _, merged) =
+        d52Ingest(spark, labels, sigsT, bridges, first = false)
+      require(merged > 0L,
+        "the bridge ingest must retroactively merge existing components")
+      val (scanned, total, _) =
+        d52Ingest(spark, labels, sigsT, daily, first = false)
+      require(scanned < total,
+        s"small-increment band probe must prune signature files: " +
+          s"read $scanned of $total")
+      val after = TxnTable.morState(spark, labels,
+        TxnTable.latestVersion(spark, labels).get)
+      require(before.subsetOf(after.files.toSet),
+        "retroactive relabeling must be positional, never a rewrite")
+      require(after.dels.exists(_.keyCols == TxnTable.PosDelKeyCols),
+        "the merges must have landed as positional vectors")
+      val result = spark.read.format("graft").load(labels)
+        .select($"doc_id", $"label".cast("bigint").as("cluster_id"))
+        .orderBy($"doc_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+
+  /** One d52 ingest (reusable by specs). Returns the probe's (scanned,
+    * total) file counts and how many EXISTING component labels merged
+    * away (the retroactive leg's activity count). */
+  private[graft] def d52Ingest(spark: SparkSession, labels: String,
+      sigsT: String, batch: DataFrame, first: Boolean): (Int, Int, Long) = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    // exploded `<band>:<hash>` keys — folding the band index into the
+    // key string keeps the probe a SINGLE-column equi-join the bucketed
+    // layout, stats, and blooms all work on
+    val bex = sigOf(spark, batch).select($"doc_id".as("bdoc"),
+        posexplode(array((1 to 4).map(k => col(s"band$k")): _*))
+          .as(Seq("k", "b")))
+      .select($"bdoc",
+        concat(($"k" + 1).cast("string"), lit(":"), $"b").as("bk"))
+      .localCheckpoint()
+    val inPairs = bex.as("a")
+      .join(bex.as("b"),
+        $"a.bk" === $"b.bk" && $"a.bdoc" < $"b.bdoc")
+      .select($"a.bdoc".as("u"), $"b.bdoc".as("v")).distinct()
+    if (first) {
+      starContraction(inPairs)
+        .select($"id".as("doc_id"), $"label")
+        .write.format("graft").option("statsCols", "doc_id,label")
+        .option("mergeOnRead", "true").mode("overwrite").save(labels)
+      bex.select($"bk", $"bdoc".as("doc_id"))
+        .write.format("graft").option("partitionBy", "bucket(16, bk)")
+        .option("statsCols", "bk").option("bloomCols", "bk")
+        .option("optimizedWrite", "true").option("mergeOnRead", "true")
+        .mode("overwrite").save(sigsT)
+      return (0, 0, 0L)
+    }
+    val (hits, pruneCounts) = probePersisted(spark, sigsT, bex,
+      joinCols = Seq("bk"), out = Seq("bdoc", "doc_id"),
+      keyCol = "bk", cat = "gd52spj", scanPayload = Seq("doc_id"))
+    val cur = spark.read.format("graft").load(labels)
+    // cross edges with the corpus endpoint contracted to its label
+    // (an unlabeled corpus doc — isolated until now — enters as
+    // itself and gets its first label row below)
+    val cross = hits.select($"bdoc", $"doc_id").distinct()
+      .join(cur, Seq("doc_id"), "left")
+      .select($"bdoc".as("u"), coalesce($"label", $"doc_id").as("v"),
+        $"label".isNull.as("_fresh"), $"doc_id")
+      .localCheckpoint()
+    val graph = inPairs.unionByName(cross.select($"u", $"v"))
+    val lab2 = starContraction(graph)
+      .select($"id", $"label").localCheckpoint()
+    // existing components whose min changed: relabel EVERY row carrying
+    // the old label in one frame-keyed positional commit
+    val changed = lab2.filter($"label" =!= $"id")
+      .join(cur.select($"label".as("id")).distinct(), Seq("id"), "left_semi")
+      .select($"id".as("_old"), $"label".as("_new")).localCheckpoint()
+    val nChanged = changed.count()
+    if (nChanged > 0L) {
+      val toFix = cur.join(broadcast(changed), $"label" === $"_old")
+        .select($"doc_id", $"_new".as("label"))
+      TxnTable.updateFromPos(spark, labels, toFix, Seq("doc_id"))
+      ()
+    }
+    // first label rows: batch docs + freshly-connected corpus isolates
+    val newIds = bex.select($"bdoc".as("id")).distinct()
+      .unionByName(cross.filter($"_fresh").select($"doc_id".as("id")))
+      .distinct()
+    val newRows = lab2.join(newIds, Seq("id"), "left_semi")
+      .select($"id".as("doc_id"), $"label")
+    if (newRows.limit(1).count() > 0L)
+      newRows.write.format("graft").mode("append").save(labels)
+    bex.select($"bk", $"bdoc".as("doc_id"))
+      .write.format("graft").mode("append").save(sigsT)
+    (pruneCounts._1, pruneCounts._2, nChanged)
+  }
+
+  // def, not val: defined after `all` in initialization order
+  private def d52Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+       |  FROM documents WHERE doc_id % 40 = 0
+       |  UNION ALL
+       |  SELECT a.doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents),
+       |    a.text || ' ' || b.text
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 40
+       |  WHERE a.doc_id % 80 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM documents), text
+       |  FROM documents WHERE doc_id % 1200 = 0),
+       |sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM corpus),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3 OR a.band4 = b.band4
+       |  WHERE a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
 }
