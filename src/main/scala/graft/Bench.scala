@@ -115,9 +115,16 @@ object Bench {
       "its current shape. COUPLING NOTE: d47/d49/d51 (the three " +
       "3-ingest incremental keys) share probePersisted - a change " +
       "there moves all three together, so attribute their co-movement " +
-      "to that file, not to three regressions (d52, NEW bench key - " +
-      "incremental connected-components cluster maintenance, 3 ingests " +
-      "- joins that coupled family). d51's displacement is " +
+      "to that file, not to three regressions. d52 is a NEW bench key " +
+      "(incremental connected-components cluster maintenance, FOUR " +
+      "ingests incl. a retroactive-merge commit) and the new most " +
+      "expensive: GRAFT_D52_PROF phase receipt at sf0.1 cold = sig 2.3 " +
+      "+ first-corpus contraction 3.6 + 8 table commits ~7 + three " +
+      "batch contractions ~1.2 each + one MoR relabel 2.1 - " +
+      "commit-count-bound, not data-bound (builder warm min 14.7 s; " +
+      "its 100x plan: batches contract graphs sized by the batch, " +
+      "never the corpus, and commit latency amortizes over real batch " +
+      "sizes). d51's displacement is " +
       "now ONE MoR commit (replacePositions: positional deletes + " +
       "winner appends atomically) - one commit FEWER per displacing " +
       "ingest than r16. k162 is a NEW non-bench query (SQL tag time " +

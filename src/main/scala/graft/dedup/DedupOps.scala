@@ -1908,8 +1908,8 @@ object DedupOps {
     *      pruning REQUIREd on the handful-of-docs fourth ingest)
     *   3. contracts the merge graph: in-batch edges + cross edges with
     *      the corpus endpoint REPLACED by its component label — so
-    *      [[starContraction]] runs on a graph sized by the BATCH and
-    *      the components it touches, never the corpus
+    *      [[connectedComponents]] runs on a graph sized by the BATCH
+    *      and the components it touches, never the corpus
     *   4. RETROACTIVE MERGE: when a batch doc bridges two existing
     *      components, every row of the losing component relabels via
     *      ONE frame-keyed positional commit ([[TxnTable.updateFromPos]]
@@ -1988,6 +1988,14 @@ object DedupOps {
       sigsT: String, batch: DataFrame, first: Boolean): (Int, Int, Long) = {
     import spark.implicits._
     import graft.io.TxnTable
+    // dev-only phase timing (unset in driver/bench protocol runs)
+    val prof = sys.env.contains("GRAFT_D52_PROF")
+    var profT0 = System.nanoTime()
+    def lap(phase: String): Unit = if (prof) {
+      val t1 = System.nanoTime()
+      println(f"[d52prof] $phase%-12s ${(t1 - profT0) / 1e9}%.3f s")
+      profT0 = t1
+    }
     // exploded `<band>:<hash>` keys — folding the band index into the
     // key string keeps the probe a SINGLE-column equi-join the bucketed
     // layout, stats, and blooms all work on
@@ -1997,25 +2005,30 @@ object DedupOps {
       .select($"bdoc",
         concat(($"k" + 1).cast("string"), lit(":"), $"b").as("bk"))
       .localCheckpoint()
+    lap("sig")
     val inPairs = bex.as("a")
       .join(bex.as("b"),
         $"a.bk" === $"b.bk" && $"a.bdoc" < $"b.bdoc")
       .select($"a.bdoc".as("u"), $"b.bdoc".as("v")).distinct()
     if (first) {
-      starContraction(inPairs)
-        .select($"id".as("doc_id"), $"label")
+      val lab0 = connectedComponents(inPairs)
+      lap("contract0")
+      lab0.select($"id".as("doc_id"), $"label")
         .write.format("graft").option("statsCols", "doc_id,label")
         .option("mergeOnRead", "true").mode("overwrite").save(labels)
+      lap("labels0_w")
       bex.select($"bk", $"bdoc".as("doc_id"))
         .write.format("graft").option("partitionBy", "bucket(16, bk)")
         .option("statsCols", "bk").option("bloomCols", "bk")
         .option("optimizedWrite", "true").option("mergeOnRead", "true")
         .mode("overwrite").save(sigsT)
+      lap("sigs0_w")
       return (0, 0, 0L)
     }
     val (hits, pruneCounts) = probePersisted(spark, sigsT, bex,
       joinCols = Seq("bk"), out = Seq("bdoc", "doc_id"),
       keyCol = "bk", cat = "gd52spj", scanPayload = Seq("doc_id"))
+    lap("probe")
     val cur = spark.read.format("graft").load(labels)
     // cross edges with the corpus endpoint contracted to its label
     // (an unlabeled corpus doc — isolated until now — enters as
@@ -2026,8 +2039,9 @@ object DedupOps {
         $"label".isNull.as("_fresh"), $"doc_id")
       .localCheckpoint()
     val graph = inPairs.unionByName(cross.select($"u", $"v"))
-    val lab2 = starContraction(graph)
+    val lab2 = connectedComponents(graph)
       .select($"id", $"label").localCheckpoint()
+    lap("contract")
     // existing components whose min changed: relabel EVERY row carrying
     // the old label in one frame-keyed positional commit
     val changed = lab2.filter($"label" =!= $"id")
@@ -2040,6 +2054,7 @@ object DedupOps {
       TxnTable.updateFromPos(spark, labels, toFix, Seq("doc_id"))
       ()
     }
+    lap("relabel")
     // first label rows: batch docs + freshly-connected corpus isolates
     val newIds = bex.select($"bdoc".as("id")).distinct()
       .unionByName(cross.filter($"_fresh").select($"doc_id".as("id")))
@@ -2048,8 +2063,10 @@ object DedupOps {
       .select($"id".as("doc_id"), $"label")
     if (newRows.limit(1).count() > 0L)
       newRows.write.format("graft").mode("append").save(labels)
+    lap("labels_w")
     bex.select($"bk", $"bdoc".as("doc_id"))
       .write.format("graft").mode("append").save(sigsT)
+    lap("sigs_w")
     (pruneCounts._1, pruneCounts._2, nChanged)
   }
 
