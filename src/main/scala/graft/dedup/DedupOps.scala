@@ -1911,10 +1911,13 @@ object DedupOps {
     *      [[connectedComponents]] runs on a graph sized by the BATCH
     *      and the components it touches, never the corpus
     *   4. RETROACTIVE MERGE: when a batch doc bridges two existing
-    *      components, every row of the losing component relabels via
-    *      ONE frame-keyed positional commit ([[TxnTable.updateFromPos]]
-    *      — kilobyte vectors, zero rewrites, no literals); new labels
-    *      append
+    *      components, every row of the losing component relabels AND
+    *      the batch's new label rows land in ONE MoR commit
+    *      ([[TxnTable.replacePositions]] — kilobyte vectors, zero
+    *      rewrites, no literals; one commit because a merged
+    *      component's new min can BE a batch doc, so a reader between
+    *      separate relabel and append commits would see labels
+    *      pointing at an unlabeled doc)
     *
     * Label = component min is the invariant that makes step 3 sound:
     * contracting a component to its label loses nothing because the
@@ -2042,26 +2045,31 @@ object DedupOps {
     val lab2 = connectedComponents(graph)
       .select($"id", $"label").localCheckpoint()
     lap("contract")
-    // existing components whose min changed: relabel EVERY row carrying
-    // the old label in one frame-keyed positional commit
+    // existing components whose min changed (to relabel), and first
+    // label rows for batch docs + freshly-connected corpus isolates
     val changed = lab2.filter($"label" =!= $"id")
       .join(cur.select($"label".as("id")).distinct(), Seq("id"), "left_semi")
       .select($"id".as("_old"), $"label".as("_new")).localCheckpoint()
     val nChanged = changed.count()
-    if (nChanged > 0L) {
-      val toFix = cur.join(broadcast(changed), $"label" === $"_old")
-        .select($"doc_id", $"_new".as("label"))
-      TxnTable.updateFromPos(spark, labels, toFix, Seq("doc_id"))
-      ()
-    }
-    lap("relabel")
-    // first label rows: batch docs + freshly-connected corpus isolates
     val newIds = bex.select($"bdoc".as("id")).distinct()
       .unionByName(cross.filter($"_fresh").select($"doc_id".as("id")))
       .distinct()
     val newRows = lab2.join(newIds, Seq("id"), "left_semi")
       .select($"id".as("doc_id"), $"label")
-    if (newRows.limit(1).count() > 0L)
+    if (nChanged > 0L) {
+      // relabel + new rows in ONE MoR commit: a merged component's new
+      // min can BE a batch doc — two commits would expose a snapshot
+      // whose labels point at a doc with no label row yet (the d51
+      // displacement atomicity argument, applied to the cluster map),
+      // and a crash between them would strand it permanently
+      val toFix = cur.join(broadcast(changed), $"label" === $"_old")
+        .select($"doc_id", $"_new".as("label"))
+      TxnTable.replacePositions(spark, labels,
+        snap => snap.join(broadcast(changed),
+          snap("label") === changed("_old"), "left_semi"),
+        toFix.unionByName(newRows))
+      ()
+    } else if (newRows.limit(1).count() > 0L)
       newRows.write.format("graft").mode("append").save(labels)
     lap("labels_w")
     bex.select($"bk", $"bdoc".as("doc_id"))
