@@ -63,7 +63,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // a NULL oracle string (the classic cause: a `val xSql` declared
+    // AFTER the registry `all` it feeds — initialization order) must
+    // cost ONE red row, not the whole dump: dropping it here makes the
+    // driver record that query as oracle-less/mismatched while every
+    // other result still gets compared
+    val (nullSql, liveSql) = SparkEntry.oracleSql.partition(_._2 == null)
+    nullSql.keys.foreach(k => System.err.println(
+      s"[verify] $k has a NULL oracle (val-vs-def initialization " +
+        "order?) — dropped from oracle_sql.json"))
+    val json = liveSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1332,5 +1332,115 @@ object StreamingOps {
     RQ("s67_stream_partitioned_sink", s67, Some(s67Sql)),
     RQ("s68_stream_change_feed", s68, Some(s68Sql)),
     RQ("s69_cdc_incremental_matview", s69, Some(s69Sql)),
-    RQ("s70_transform_with_state", s70, Some(s70Sql)))
+    RQ("s70_transform_with_state", s70, Some(s70Sql)),
+    RQ("s71_stream_vs_retention", s71, Some(s71Sql)))
+
+  // ---------------------------------------------------------------- s71
+  /** LAGGING CONSUMER vs AGGRESSIVE VACUUM — the streaming receipt for
+    * time-based history retention (k163): an incremental consumer's
+    * checkpoint is a pin into the COMMIT LOG, and a `VACUUM KEEP 0`
+    * that reaps below-floor manifests strands any consumer that hasn't
+    * caught up. The retention window is the operational fix — "never
+    * vacuum below your consumer lag". Sequence (checkpointInterval
+    * pinned to 1 so every commit is a full manifest and KEEP 0's floor
+    * is genuinely the tip):
+    *
+    *   appends v1,v2 → consumers A and B both drain (checkpoints @ v2)
+    *   append v3 → `VACUUM RETAIN 1000 HOURS KEEP 0` (history is
+    *     younger than the window → ALL manifests stay) → A drains v3
+    *     exactly-once (REQUIREd)
+    *   append v4 → A drains it (fully caught up) → retain-0
+    *     `VACUUM KEEP 0` (reaps v1-v3) → the caught-up A no-op-drains
+    *     unharmed, while the LAGGING B fails LOUDLY naming the
+    *     vacuumed version (REQUIREd) — never a silent gap
+    *
+    * Oracle: the final sink equals raw events, exactly once. */
+  private def s71(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s71").toFile
+    val prevCp = spark.conf.getOption("graft.txn.checkpointInterval")
+    try {
+      spark.conf.set("graft.txn.checkpointInterval", "1")
+      val src = s"${root.getAbsolutePath}/src"
+      val dst = s"${root.getAbsolutePath}/dst"
+      val cpA = s"${root.getAbsolutePath}/cp_a"
+      val cpB = s"${root.getAbsolutePath}/cp_b"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      def pumpA(): Unit = {
+        val q = spark.readStream.format("graft").load(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", cpA)
+          .option("statsCols", "event_id")
+          .trigger(Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      def pumpB(): Unit = {
+        val q = spark.readStream.format("graft").load(src)
+          .writeStream
+          .option("checkpointLocation", cpB)
+          .foreachBatch {
+            (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 4 === 0), src)
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 4 === 1), src)
+      pumpA(); pumpB() // both checkpoints at v2
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 4 === 2), src)
+      // aggressive KEEP 0 under a retention window: every manifest is
+      // younger than the window, so the lagging consumers' history
+      // survives and A resumes exactly-once
+      spark.sql(s"VACUUM '$src' RETAIN 1000 HOURS KEEP 0 VERSIONS")
+      require(graft.io.TxnTable.versions(spark, src).contains(1L),
+        "the retention window must keep below-floor manifests")
+      pumpA() // drains v3
+      graft.io.TxnTable.commitAppend(ev.filter($"event_id" % 4 === 3), src)
+      pumpA() // drains v4 — A is fully caught up
+      // the same maintenance WITHOUT the window reaps v1-v3
+      graft.io.TxnTable.vacuum(spark, src, keep = 0)
+      val failedLoudly =
+        try { pumpB(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            (Option(e.getMessage).getOrElse("") +
+              Option(e.getCause).map(_.getMessage).getOrElse(""))
+              .contains("vacuumed")
+        }
+      require(failedLoudly,
+        "a consumer lagging past reaped history must fail loudly, " +
+          "naming the vacuumed version")
+      pumpA() // caught-up consumer: its next delta needs only v4
+      val got = graft.io.TxnTable.read(spark, dst)
+      require(got.count() == ev.count() &&
+          got.select($"event_id").distinct().count() == ev.count(),
+        "the surviving consumer must deliver every row exactly once")
+      val result = got.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        countDistinct($"event_id").cast("bigint").as("n_ids"),
+        dsum($"value").as("sum_value"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      prevCp match {
+        case Some(v) => spark.conf.set("graft.txn.checkpointInterval", v)
+        case None => spark.conf.unset("graft.txn.checkpointInterval")
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  // def, not val: defined after `all` in initialization order
+  private def s71Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events""".stripMargin
 }
