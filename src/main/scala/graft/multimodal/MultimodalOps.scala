@@ -630,6 +630,16 @@ object MultimodalOps {
     * the same m66 contract), so a wrong resample stride, gray formula,
     * bit order, band slice, or Hamming count all hash-mismatch. */
   private def m68(spark: SparkSession, dir: String): DataFrame = {
+    bandNearDups(imageFingerprints(spark, dir), "img_a", "img_b",
+      maxHamming = 16)
+  }
+
+  /** The m68 fingerprint pipeline as a reusable frame — (item_id, fp):
+    * synthesize the base + every-5th-doc near-dup-variant PNGs, decode,
+    * 9×8 strided-resample, dHash. Shared by m68 (one-shot near-dup
+    * pairs) and m70 (incremental image dedup). */
+  private[graft] def imageFingerprints(spark: SparkSession,
+                                       dir: String): DataFrame = {
     import spark.implicits._
     val Src = 16
     val W = 9
@@ -696,7 +706,7 @@ object MultimodalOps {
         (imgId, h)
       }
     }.toDF("item_id", "fp").localCheckpoint()
-    bandNearDups(hashes, "img_a", "img_b", maxHamming = 16)
+    hashes
   }
 
   /** Shared LSH tail of the perceptual-hash near-dup family (m68
@@ -903,6 +913,188 @@ object MultimodalOps {
       |ORDER BY clip_a, clip_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m70
+  /** INCREMENTAL IMAGE DEDUP — m68's perceptual near-dup as a
+    * MAINTAINED corpus, the multimodal member of the incremental
+    * family (d47 keep-first / d49 spans / d51 keep-best / d52
+    * clusters): the admitted-image table and its band-key fingerprint
+    * index PERSIST as graft tables, and each arriving image batch
+    *
+    *   1. appends, then probes the persisted `<band>:<slice>` keys
+    *      ([[graft.dedup.DedupOps.probePersisted]] — broadcast or
+    *      storage-co-partitioned, literal-key file pruning REQUIREd on
+    *      the tiny third ingest) carrying the matched images'
+    *      fingerprints back as payload
+    *   2. VERIFIES candidates with the native bit_count(xor) ≤ 16 —
+    *      band collision alone is a candidate, never a verdict (the
+    *      m68 LSH contract, kept under incrementality)
+    *   3. positionally deletes the losers (earlier-id pairwise rule,
+    *      batch-bounded coordinate lookup, zero rewrites REQUIREd) and
+    *      appends ALL batch fingerprints (the rule judges against
+    *      every prior image, deleted or not — d47's invariant)
+    *
+    * Batches arrive in img_id order, so incremental keep-first equals
+    * the GLOBAL pairwise rule: one DuckDB query over the whole derived
+    * image set (m68's closed-form hash chain + the earlier-id rule)
+    * oracle-checks the entire multi-ingest pipeline. Every engineered
+    * variant trails its base, so the survivor set must hold no variant
+    * ids at all (REQUIREd). */
+  private def m70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_m70_inc").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/imgs_txn"
+      val sigsT = s"$zone/isigs_txn"
+      val fps = imageFingerprints(spark, dir)
+        .select($"item_id".as("img_id"), $"fp")
+      val maxId = fps.agg(max($"img_id")).head().getLong(0)
+      val cut = maxId / 2L
+      // a TINY third increment — the daily shape (d47's clamp)
+      val cut2 = math.max(cut + 1L, maxId - 5L)
+      m70Ingest(spark, corpus, sigsT, fps.filter($"img_id" <= cut),
+        first = true, col("img_id") <= cut)
+      val before = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files.toSet
+      m70Ingest(spark, corpus, sigsT,
+        fps.filter($"img_id" > cut && $"img_id" <= cut2), first = false,
+        col("img_id") > cut && col("img_id") <= cut2)
+      val (scanned, total) = m70Ingest(spark, corpus, sigsT,
+        fps.filter($"img_id" > cut2), first = false, col("img_id") > cut2)
+      require(scanned < total,
+        s"small-increment fingerprint probe must prune index files: " +
+          s"read $scanned of $total")
+      val after = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get)
+      require(before.subsetOf(after.files.toSet),
+        "incremental image dedup must never rewrite an admitted file")
+      require(after.dels.exists(_.keyCols == TxnTable.PosDelKeyCols),
+        "the near-dup losers must go by positional vectors — none landed")
+      val result = spark.read.format("graft").load(corpus)
+        .select($"img_id", $"fp").orderBy($"img_id")
+      val rows = result.collect()
+      require(!rows.exists(_.getLong(0) % 2L == 1L),
+        "every engineered variant trails its base and must be deduped")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+
+  /** One m70 ingest (reusable by specs): admit `batch` (img_id, fp),
+    * verify-and-delete its near-dup losers against everything earlier,
+    * persist its fingerprint band keys. Returns the probe's (scanned,
+    * total) index file counts. */
+  private[graft] def m70Ingest(spark: SparkSession, corpus: String,
+      sigsT: String, batch: DataFrame, first: Boolean,
+      inBatchPred: org.apache.spark.sql.Column): (Int, Int) = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    batch.write.format("graft").option("mergeOnRead", "true")
+      .option("statsCols", "img_id")
+      .mode(if (first) "overwrite" else "append").save(corpus)
+    // string `<band>:<slice>` keys — one join column the bucketed
+    // layout, stats, and blooms all work on (the d52 spelling)
+    val sig = batch.select($"img_id", $"fp",
+        posexplode(array((0 until 4).map(i =>
+          shiftright($"fp", 48 - 16 * i).bitwiseAND(lit(65535L))): _*))
+          .as(Seq("b", "v")))
+      .select($"img_id", $"fp",
+        concat(($"b" + 1).cast("string"), lit(":"), $"v").as("bk"))
+      .localCheckpoint()
+    val (cross, pruneCounts) =
+      if (first) (spark.emptyDataset[Long].toDF("img_id"), (0, 0))
+      else {
+        val (cand, pc) = graft.dedup.DedupOps.probePersisted(spark, sigsT,
+          sig, joinCols = Seq("bk"), out = Seq("img_id", "fp", "pid", "pfp"),
+          keyCol = "bk", cat = "gm70spj", scanPayload = Seq("pid", "pfp"))
+        // band collision is a CANDIDATE; the verdict is the Hamming
+        // verify over exactly the candidate rows
+        (cand.filter($"pid" < $"img_id" &&
+            expr("bit_count(fp ^ pfp)") <= 16)
+          .select($"img_id"), pc)
+      }
+    val dupKeys = sig.groupBy($"bk").agg(count(lit(1)).as("_n"))
+      .filter($"_n" > 1).select($"bk")
+    val sigd = sig.join(dupKeys, Seq("bk"))
+    val inBatch = sigd.select($"bk", $"img_id".as("ia"), $"fp".as("fa"))
+      .join(sigd.select($"bk", $"img_id".as("ib"), $"fp".as("fb")),
+        Seq("bk"))
+      .filter($"ia" < $"ib" && expr("bit_count(fa ^ fb)") <= 16)
+      .select($"ib".as("img_id"))
+    val losers = cross.union(inBatch).distinct()
+    if (losers.limit(1).count() > 0L) {
+      val rows = TxnTable.readWithRowIdentity(spark, corpus)
+        .filter(inBatchPred)
+      TxnTable.deletePositions(spark, corpus,
+        rows.join(broadcast(losers), Seq("img_id"), "left_semi"))
+      ()
+    }
+    // ALL fingerprints persist — the pairwise rule judges against every
+    // prior image, deleted or not (d47's invariant)
+    val sw = sig.select($"bk", $"img_id".as("pid"), $"fp".as("pfp"))
+      .write.format("graft")
+      .option("statsCols", "bk,pid").option("bloomCols", "bk")
+      .option("optimizedWrite", "true")
+    (if (first) sw.option("partitionBy", "bucket(16, bk)").mode("overwrite")
+     else sw.mode("append")).save(sigsT)
+    pruneCounts
+  }
+
+  private val m70Sql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH imgs AS (
+      |  SELECT doc_id * 2 AS img_id, doc_id AS id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |grid AS (
+      |  SELECT x.g AS x, y.g AS y
+      |  FROM generate_series(0, 8) x(g), generate_series(0, 7) y(g)),
+      |px AS (
+      |  SELECT img_id, x, y, pert,
+      |    md5('p:' || id || ':' || (x*16//9) || ':' || (2*y)) AS m
+      |  FROM imgs, grid),
+      |gray AS (
+      |  SELECT img_id, x, y,
+      |    ((${nib(1)}*16 + ${nib(2)}
+      |        + CASE WHEN pert = 1 AND 2*y >= 12 THEN 40 ELSE 0 END) % 256
+      |     + ${nib(3)}*16 + ${nib(4)}
+      |     + ${nib(5)}*16 + ${nib(6)}) AS g
+      |  FROM px),
+      |bits AS (
+      |  SELECT a.img_id, a.y * 8 + a.x AS b,
+      |    CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM gray a JOIN gray n
+      |    ON n.img_id = a.img_id AND n.y = a.y AND n.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (
+      |  SELECT img_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+      |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS h
+      |  FROM bits GROUP BY img_id),
+      |bands AS (
+      |  SELECT img_id, r.range AS bi,
+      |    (h >> CAST(48 - 16 * r.range AS INT)) & 65535 AS bv
+      |  FROM hashes, range(4) r),
+      |dups AS (
+      |  SELECT DISTINCT b.img_id
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.img_id < b.img_id
+      |  JOIN hashes ha ON ha.img_id = a.img_id
+      |  JOIN hashes hb ON hb.img_id = b.img_id
+      |  WHERE bit_count(xor(ha.h, hb.h)) <= 16)
+      |SELECT img_id, h AS fp FROM hashes
+      |WHERE img_id NOT IN (SELECT img_id FROM dups)
+      |ORDER BY img_id""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("m60_binary_meta", m60, Some(m60Sql)),
     RQ("m61_content_sniff", m61, Some(m61Sql)),
@@ -913,5 +1105,6 @@ object MultimodalOps {
     RQ("m66_image_resize", m66, Some(m66Sql)),
     RQ("m67_audio_resample", m67, Some(m67Sql)),
     RQ("m68_phash_neardup", m68, Some(m68Sql)),
-    RQ("m69_audio_neardup", m69, Some(m69Sql)))
+    RQ("m69_audio_neardup", m69, Some(m69Sql)),
+    RQ("m70_incremental_image_dedup", m70, Some(m70Sql)))
 }
