@@ -121,7 +121,8 @@ object Bench {
       "expensive: GRAFT_D52_PROF phase receipt at sf0.1 cold = sig 2.3 " +
       "+ first-corpus contraction 3.6 + 8 table commits ~7 + three " +
       "batch contractions ~1.2 each + one MoR relabel 2.1 - " +
-      "commit-count-bound, not data-bound (builder warm min 14.7 s; " +
+      "commit-count-bound, not data-bound (builder warm min 14.5 s, " +
+      "common-set ratio vs r16 = 0.978x with it excluded; " +
       "its 100x plan: batches contract graphs sized by the batch, " +
       "never the corpus, and commit latency amortizes over real batch " +
       "sizes). d51's displacement is " +

@@ -1062,7 +1062,8 @@ object SimilarityOps {
     RQ("e57_filtered_ann", e57, Some(e57Sql)),
     RQ("e58_adc_rerank", e58, Some(e58Sql)),
     RQ("e59_incremental_ivf", e59, Some(e59Sql), bench = true),
-    RQ("e60_ivf_retrain", e60, Some(e60Sql)))
+    RQ("e60_ivf_retrain", e60, Some(e60Sql)),
+    RQ("e61_drift_detector", e61, Some(e61Sql)))
 
   // ---------------------------------------------------------------- e59
   /** INCREMENTAL IVF INGEST — index maintenance as a pipeline, the ANN
@@ -1246,6 +1247,85 @@ object SimilarityOps {
       rm(new java.io.File(zone))
     }
   }
+  // ---------------------------------------------------------------- e61
+  /** DRIFT DETECTOR — the "WHEN" for e60's maintenance pass, so index
+    * re-training is a measurement-triggered policy instead of a cron
+    * guess: a batch's mean L2 distance to its NEAREST cell of the
+    * current quantizer is the canonical quantization-error signal —
+    * a batch drawn from the served distribution scores like the corpus
+    * baseline, a drifted batch's nearest-cell distance balloons. One
+    * codegen-friendly projection per row (min over k per-centroid
+    * folds, centroids as plan constants), one decimal-sum aggregate
+    * per batch — scales with the batch, never the corpus. Flag fires
+    * at 2× the corpus baseline; REQUIREd: the e60-shaped drifted batch
+    * trips it, the same-distribution clean batch does not. The oracle
+    * recomputes distances, means, and flags bit-exactly (same fold
+    * order, same DECIMAL accumulation). */
+  private def e61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(spark, dir)
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val mx = emb.agg(max($"vec_id")).head().getLong(0) + 1L
+    val batches = emb.select(lit("corpus").as("batch"), $"vec_id", $"embedding")
+      .unionByName(emb.filter($"vec_id" % 3 === 1)
+        .select(lit("clean").as("batch"), $"vec_id", $"embedding"))
+      .unionByName(emb.filter($"vec_id" % 3 === 0)
+        .select(lit("drift").as("batch"), ($"vec_id" + mx).as("vec_id"),
+          transform($"embedding",
+            x => x * lit(0.0625f) + lit(2.0f)).as("embedding")))
+    // min over k per-centroid L2 folds — each fold left-to-right like
+    // the oracle's list_reduce, centroid literals ride the plan
+    def l2To(c: Array[Double]): org.apache.spark.sql.Column = expr(
+      s"""aggregate(
+         |  zip_with(embedding, array(${c.mkString(", ")}),
+         |    (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val stats = batches
+      .select($"batch", least(cents.map(l2To).toIndexedSeq: _*).as("dist"))
+      .groupBy($"batch")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        graft.ops.Num.davg($"dist").as("mean_dist"))
+    val base = stats.filter($"batch" === "corpus")
+      .select($"mean_dist".as("_base"))
+    val result = stats.crossJoin(broadcast(base))
+      .select($"batch", $"n", $"mean_dist",
+        ($"mean_dist" > lit(2.0) * $"_base").as("flagged"))
+      .orderBy($"batch")
+    val rows = result.collect()
+    val byBatch = rows.map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    require(byBatch("drift") && !byBatch("clean") && !byBatch("corpus"),
+      s"detector must fire on the drifted batch ONLY; got $byBatch")
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+  }
+  // def, not val: defined after `all` in initialization order
+  private def e61Sql =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM embeddings WHERE vec_id < 16),
+       |batches AS (
+       |  SELECT 'corpus' AS batch, vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT 'clean', vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1
+       |  UNION ALL
+       |  SELECT 'drift', vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+       |    list_transform(embedding,
+       |      x -> CAST(CAST(x AS DOUBLE) * 0.0625 + 2.0 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 3 = 0),
+       |d AS (
+       |  SELECT batch, (
+       |    SELECT MIN(${l2Sql("e.embedding", "c0.c")}) FROM c0) AS dist
+       |  FROM batches e),
+       |s AS (
+       |  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+       |      AS mean_dist
+       |  FROM d GROUP BY batch)
+       |SELECT batch, n, mean_dist,
+       |  mean_dist > 2 * (SELECT mean_dist FROM s WHERE batch = 'corpus')
+       |    AS flagged
+       |FROM s ORDER BY batch""".stripMargin
+
   // def, not val: defined after `all` in initialization order
   private def e60Sql =
     s"""WITH corpus AS (
