@@ -97,7 +97,16 @@ class TagFuzzSpec extends AnyFunSuite {
               while (pinned < 0L && tries < 8) {
                 tries += 1
                 try {
-                  TxnTable.setTag(spark, table, name)
+                  // half the tags pin an OLDER retained version (the
+                  // chainReadable + rescue-set surface); setTag may
+                  // refuse if a racing vacuum reaps it first — retry
+                  val v: Option[Long] =
+                    if (rnd.nextBoolean()) None
+                    else {
+                      val vs = TxnTable.versions(spark, table)
+                      Some(vs(rnd.nextInt(vs.size)))
+                    }
+                  TxnTable.setTag(spark, table, name, v)
                   pinned = taggedCount(table, name)
                 } catch { case scala.util.control.NonFatal(_) => () }
               }
