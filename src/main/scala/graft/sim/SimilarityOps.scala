@@ -1254,8 +1254,10 @@ object SimilarityOps {
     * current quantizer is the canonical quantization-error signal —
     * a batch drawn from the served distribution scores like the corpus
     * baseline, a drifted batch's nearest-cell distance balloons. One
-    * codegen-friendly projection per row (min over k per-centroid
-    * folds, centroids as plan constants), one decimal-sum aggregate
+    * pure projection per row (min over k per-centroid HOF folds,
+    * centroids as plan constants — interpreted lambdas, the
+    * bit-stability spelling; swap in a native expression only if a
+    * detector pass ever shows in a profile), one decimal-sum aggregate
     * per batch — scales with the batch, never the corpus. Flag fires
     * at 2× the corpus baseline; REQUIREd: the e60-shaped drifted batch
     * trips it, the same-distribution clean batch does not. The oracle
