@@ -778,7 +778,8 @@ object DedupOps {
     RQ("d49_incremental_span_dedup", d49, Some(d49Sql), bench = true),
     RQ("d50_incremental_boilerplate", d50, Some(d50Sql)),
     RQ("d51_incremental_keep_best", d51, Some(d51Sql), bench = true),
-    RQ("d52_incremental_clusters", d52, Some(d52Sql), bench = true))
+    RQ("d52_incremental_clusters", d52, Some(d52Sql), bench = true),
+    RQ("d53_incremental_decontam", d53, Some(d53Sql)))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -2123,4 +2124,156 @@ object DedupOps {
        |SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- d53
+  /** INCREMENTAL DECONTAMINATION — d44's eval-overlap purge
+    * (word-5-gram sharing, GPT-3 appendix C) as a MAINTAINED clean
+    * corpus under BOTH kinds of arrival: new training batches AND new
+    * eval suites.
+    *
+    *   - corpus batch arrives → derive its 5-grams, broadcast-semi-join
+    *     against the persisted eval-gram table (eval suites are
+    *     megabytes; the broadcast is free), append only clean docs.
+    *     Cost scales with the BATCH, never the corpus.
+    *   - eval suite arrives → append only its DELTA grams (anti-join
+    *     against the persisted set), then retroactively purge: one
+    *     corpus scan re-derives grams from stored text and positional-
+    *     deletes docs hitting a DELTA gram. The delta is the increment
+    *     insight — grams already indexed purged their hits at THEIR
+    *     arrival, so the rescan joins against only the new suite's new
+    *     grams; and the purge is a deletion vector (one sidecar,
+    *     zero data-file rewrites — `before ⊆ after` is REQUIREd).
+    *
+    * Order-independence (the oracle's premise): contamination is
+    * per-doc monotone in the eval-gram SET, so any batch/suite arrival
+    * interleaving converges to "train docs sharing no gram with the
+    * union of suites" — the one-shot rule DuckDB checks. D53Spec pins
+    * the multi-arrival equivalence on engineered overlaps. */
+  private def d53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d53_inc").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/clean_txn"
+      val evalT = s"$zone/evalg_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val train = docs.filter($"doc_id" % 17 =!= 3 && $"doc_id" % 17 =!= 10)
+      val maxId = train.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = math.max(cut + 1L, maxId - 5L)
+      // suite A + two corpus batches
+      d53EvalIngest(spark, evalT, None,
+        docs.filter($"doc_id" % 17 === 3), first = true)
+      d53Ingest(spark, corpus, evalT, train.filter($"doc_id" <= cut),
+        first = true)
+      d53Ingest(spark, corpus, evalT,
+        train.filter($"doc_id" > cut && $"doc_id" <= cut2), first = false)
+      val before = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).files.toSet
+      // suite B arrives late: delta-gram append + retroactive purge
+      val purged = d53EvalIngest(spark, evalT, Some(corpus),
+        docs.filter($"doc_id" % 17 === 10), first = false)
+      // daily batch, decontaminated against A ∪ B
+      d53Ingest(spark, corpus, evalT, train.filter($"doc_id" > cut2),
+        first = false)
+      val after = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get)
+      require(before.subsetOf(after.files.toSet),
+        "the retroactive purge must be positional, never a rewrite")
+      require(purged == 0L ||
+          after.dels.exists(_.keyCols == TxnTable.PosDelKeyCols),
+        "a non-empty purge must land as a positional vector")
+      val result = spark.read.format("graft").load(corpus)
+        .select($"doc_id", $"n_grams").orderBy($"doc_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+
+  /** One corpus-batch ingest (reusable by specs): decontaminate the
+    * batch against the eval-gram table AS OF NOW and append the
+    * survivors (with their distinct-gram counts). */
+  private[graft] def d53Ingest(spark: SparkSession, corpus: String,
+      evalT: String, batch: DataFrame, first: Boolean): Unit = {
+    import spark.implicits._
+    import graft.text.TextFunctions.{tokens, tokenNgrams}
+    val evalg = spark.read.format("graft").load(evalT).select($"gram")
+    val g = batch.withColumn("toks", tokens($"text"))
+      .select($"doc_id", explode(tokenNgrams("toks", 5)).as("gram"))
+    val contaminated = g.join(broadcast(evalg), Seq("gram"), "left_semi")
+      .select($"doc_id").distinct()
+    val clean = batch.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", $"text",
+        size(array_distinct(tokenNgrams("toks", 5))).cast("bigint")
+          .as("n_grams"))
+    clean.write.format("graft")
+      .option("statsCols", "doc_id").option("mergeOnRead", "true")
+      .mode(if (first) "overwrite" else "append").save(corpus)
+    ()
+  }
+
+  /** One eval-suite ingest (reusable by specs): append the suite's
+    * DELTA grams; when `corpus` is given (non-first), retroactively
+    * positional-delete corpus docs hitting a delta gram. Returns the
+    * number of docs purged. */
+  private[graft] def d53EvalIngest(spark: SparkSession, evalT: String,
+      corpus: Option[String], evalDocs: DataFrame,
+      first: Boolean): Long = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    import graft.text.TextFunctions.{tokens, tokenNgrams}
+    val grams = evalDocs.withColumn("toks", tokens($"text"))
+      .select(explode(tokenNgrams("toks", 5)).as("gram")).distinct()
+    if (first) {
+      grams.write.format("graft").mode("overwrite").save(evalT)
+      return 0L
+    }
+    val prior = spark.read.format("graft").load(evalT).select($"gram")
+    val delta = grams.join(prior, Seq("gram"), "left_anti").localCheckpoint()
+    delta.write.format("graft").mode("append").save(evalT)
+    corpus.fold(0L) { c =>
+      // frames end to end (the d50 de-literalization rule): the delta
+      // grams and the hit coordinates never collapse to driver literals
+      val snap = TxnTable.readWithRowIdentity(spark, c)
+        .withColumn("toks", tokens($"text"))
+      val hits = snap.select(
+          col(TxnTable.PosFileCol), col(TxnTable.PosOrdCol),
+          explode(tokenNgrams("toks", 5)).as("gram"))
+        .join(broadcast(delta), Seq("gram"), "left_semi")
+        .select(col(TxnTable.PosFileCol), col(TxnTable.PosOrdCol))
+        .distinct().localCheckpoint()
+      val n = hits.count()
+      if (n > 0L) TxnTable.deletePositions(spark, c, hits)
+      n
+    }
+  }
+
+  // def, not val: defined after `all` in initialization order
+  private def d53Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [array_to_string(string_split(text,' ')[i:i+4], ' ')
+      |     for i in range(1, len(string_split(text,' ')) - 3)] AS grams
+      |  FROM documents),
+      |evalg AS (
+      |  SELECT DISTINCT UNNEST(grams) AS gram FROM g
+      |  WHERE doc_id % 17 = 3 OR doc_id % 17 = 10),
+      |train AS (
+      |  SELECT doc_id, grams FROM g
+      |  WHERE doc_id % 17 <> 3 AND doc_id % 17 <> 10),
+      |traing AS (SELECT doc_id, UNNEST(grams) AS gram FROM train),
+      |hit AS (SELECT DISTINCT doc_id FROM traing JOIN evalg USING (gram))
+      |SELECT doc_id,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+      |FROM train
+      |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+      |ORDER BY doc_id""".stripMargin
 }

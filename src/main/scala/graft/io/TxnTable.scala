@@ -1456,7 +1456,31 @@ object TxnTable {
       (Map.empty[String, Seq[FileStat]], Map.empty[String, Long],
         Map.empty[String, Seq[BloomMeta]])
     } else {
-      val back = spark.read.parquet(s"$table/$dataDir")
+      // COMMIT FAST PATH: small non-partitioned commits with
+      // footer-exact stats columns (see footerStats' gate) read their
+      // stats from the freshly-written parquet footers on the driver
+      // instead of scheduling a Spark job — the job is most of the
+      // commit latency the incremental-maintenance operators pay once
+      // per ingest. Non-partitioned only: those file names are always
+      // Spark-generated (no partition-value dirs), so plain
+      // Path(table/relKey) addressing cannot mis-parse.
+      val fast =
+        if (partCols.nonEmpty || bloomCols.nonEmpty || newFiles.size > 64 ||
+            spark.conf.getOption("graft.stats.footerFastPath")
+              .contains("false"))
+          None
+        else footerStats(spark, table, newFiles, statsCols, df.schema)
+      if (fast.isDefined) {
+        val (st, rc) = fast.get
+        (st, rc, Map.empty[String, Seq[BloomMeta]])
+      } else {
+      // non-partitioned layouts carry no directory columns, so the
+      // in-file schema IS df's — passing it skips the footer
+      // schema-inference pass (one fewer job per commit)
+      val back =
+        if (partCols.isEmpty)
+          spark.read.schema(df.schema).parquet(s"$table/$dataDir")
+        else spark.read.parquet(s"$table/$dataDir")
       // one (col, dtype, kind) per stats column the data carries AND
       // the kind system supports — others get no stats, not errors.
       // Dotted entries (`meta.score`) resolve through struct chains:
@@ -1547,8 +1571,129 @@ object TxnTable {
       val counts = perFile.map(t => t._1 -> t._3).toMap
       (perFile.filter(_._2.nonEmpty).map(t => t._1 -> t._2).toMap,
         newFiles.map(f => f -> counts.getOrElse(f, 0L)).toMap, bl)
+      }
     }
     (dataDir, newFiles, stats, blooms, rowCounts)
+  }
+
+  /** Driver-side per-file stats straight from parquet footers — the
+    * small-commit fast path. The stats read-back is otherwise a full
+    * Spark job whose answers the just-written footers already hold;
+    * for the one-commit-per-ingest incremental operators that job IS
+    * most of the commit latency. Reading ≤64 footers on the driver
+    * costs a few ms each; larger commits keep the distributed pass (a
+    * bulk load's footer reads belong on executors, and its fixed job
+    * overhead amortizes over real data anyway).
+    *
+    * EXACTNESS GATE — the metadata-only MIN/MAX pushdown reads stats
+    * as exact values, so this path must never record a stat that
+    * differs from what the distributed pass would compute. Returns
+    * None (caller falls back to the job) unless every stats column is
+    * provably footer-exact:
+    *   - integral/boolean: chunk min/max are exact, and long→double
+    *     here equals the read-back's cast("double")
+    *   - DateType only under a UTC session zone (normExpr casts dates
+    *     through the session zone; footer day counts are zoneless)
+    *   - float/double NEVER (parquet-mr excludes NaN from stats while
+    *     Spark's min/max rank NaN above every value), string NEVER
+    *     (chunk stats may be truncated by the writer), timestamp
+    *     NEVER (INT96 carries no usable stats; INT64 zoning differs)
+    *   - any chunk with absent stats or unknown null counts bails the
+    *     whole commit (absent stats would be SAFE — pruning keeps the
+    *     file — but specs pin exact pruning counts, so parity, not
+    *     mere safety, is the bar). */
+  private def footerStats(spark: SparkSession, table: String,
+      newFiles: Seq[String], statsCols: Seq[String],
+      fileSchema: org.apache.spark.sql.types.StructType)
+      : Option[(Map[String, Seq[FileStat]], Map[String, Long])] = {
+    val tracked = statsCols.flatMap(c =>
+      typeAt(fileSchema, c).flatMap(dt =>
+        statKind(dt).map(k => (c, dt, k))))
+    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val eligible = tracked.forall {
+      case (_, ByteType | ShortType | IntegerType | LongType |
+               BooleanType, _) => true
+      case (_, DateType, _) => utc
+      case _ => false
+    }
+    if (!eligible) return None
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = Map.newBuilder[String, Seq[FileStat]]
+    val rows = Map.newBuilder[String, Long]
+    // local bail signal: any gap in any footer abandons the whole
+    // commit's fast path (ControlThrowable: skips NonFatal handlers)
+    object Inexact extends scala.util.control.ControlThrowable
+    try {
+      import scala.jdk.CollectionConverters._
+      newFiles.foreach { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(s"$table/$f"), conf))
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          rows += f -> nRows
+          if (nRows > 0L) {
+            val ss = tracked.flatMap { case (c, dt, kind) =>
+              val want = c.toLowerCase(java.util.Locale.ROOT)
+              var mn = Double.PositiveInfinity
+              var mx = Double.NegativeInfinity
+              var nulls = 0L
+              var any = false
+              blocks.foreach { b =>
+                val chunk = b.getColumns.asScala.find(
+                  _.getPath.toDotString
+                    .toLowerCase(java.util.Locale.ROOT) == want)
+                  .getOrElse(throw Inexact)
+                val st = chunk.getStatistics
+                if (st == null || st.isEmpty || st.getNumNulls < 0L)
+                  throw Inexact
+                nulls += st.getNumNulls
+                if (st.hasNonNullValue) {
+                  any = true
+                  val (lo, hi) =
+                    footerRange(st, dt).getOrElse(throw Inexact)
+                  if (lo < mn) mn = lo
+                  if (hi > mx) mx = hi
+                } else if (st.getNumNulls != b.getRowCount) throw Inexact
+              }
+              if (!any) {
+                // every row null: the same kind-"null" proof the
+                // distributed pass records (nulls == nRows > 0 here)
+                if (nulls > 0L) Some(FileStat(c, "null", "", "", nulls))
+                else None
+              } else Some(FileStat(c, kind, mn.toString, mx.toString, nulls))
+            }
+            if (ss.nonEmpty) stats += f -> ss
+          }
+        } finally rd.close()
+      }
+      Some((stats.result(), rows.result()))
+    } catch {
+      case Inexact => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Normalized [min, max] of one footer chunk under [[normExpr]]'s
+    * semantics, for the types [[footerStats]] admits. */
+  private def footerRange(
+      st: org.apache.parquet.column.statistics.Statistics[_],
+      dt: DataType): Option[(Double, Double)] = {
+    import org.apache.parquet.column.statistics._
+    (st, dt) match {
+      // date days → epoch seconds, matching cast(date→timestamp→
+      // double) under the UTC session zone the caller verified
+      case (s: IntStatistics, DateType) =>
+        Some((s.getMin * 86400.0, s.getMax * 86400.0))
+      case (s: IntStatistics, _) =>
+        Some((s.getMin.toDouble, s.getMax.toDouble))
+      case (s: LongStatistics, _) =>
+        Some((s.getMin.toDouble, s.getMax.toDouble))
+      case (s: BooleanStatistics, _) =>
+        Some(((if (s.getMin) 1.0 else 0.0), if (s.getMax) 1.0 else 0.0))
+      case _ => None
+    }
   }
 
   /** Write `changes` (table columns + [[ChangeTypeCol]]) as this commit's

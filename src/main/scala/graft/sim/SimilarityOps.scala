@@ -1042,6 +1042,73 @@ object SimilarityOps {
        |ORDER BY l2_dist ASC, sl.vec_id LIMIT 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e62
+  /** HYBRID RETRIEVAL via Reciprocal Rank Fusion — the standard RAG
+    * recipe: run a lexical leg (query-term match counts over the
+    * documents table, the cheap spelling of t55's BM25) and a vector
+    * leg (e40's brute-force cosine top-k against probe vec_id=0) and
+    * fuse by RRF: score(id) = Σ_legs 1/(60 + rank_leg). Fusion uses
+    * only RANKS, never the legs' incomparable raw scores — which is
+    * exactly why RRF is the default fusion everywhere.
+    *
+    * Scale shape: each leg ends in TakeOrderedAndProject top-20 (per-
+    * partition partials, no global sort); the fusion joins two ≤20-row
+    * frames. The document/embedding id spaces are joined 1:1 (the
+    * synthetic corpus aligns doc_id and vec_id); a doc missing from a
+    * leg contributes 0 from that leg (RRF over the union).
+    *
+    * Determinism: ranks are integers with doc-id tie-breaks; the fused
+    * score adds exactly two doubles in a fixed leg order — bit-stable
+    * with no decimal passes needed. */
+  private def e62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+    val vec = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id".as("id"), cosine("embedding", "p").as("cs"))
+      .orderBy($"cs".desc, $"id").limit(20)
+      .withColumn("rv",
+        row_number().over(Window.orderBy($"cs".desc, $"id")).cast("bigint"))
+      .select($"id", $"rv")
+    val terms = Seq("window", "merge", "stream").toDF("tok")
+    val lex = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .join(broadcast(terms), "tok")
+      .groupBy($"doc_id").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"doc_id").limit(20)
+      .withColumn("rl",
+        row_number().over(Window.orderBy($"cnt".desc, $"doc_id"))
+          .cast("bigint"))
+      .select($"doc_id".as("id"), $"rl")
+    lex.join(vec, Seq("id"), "full_outer")
+      .select($"id",
+        (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy($"rrf".desc, $"id").limit(10)
+  }
+  private val e62Sql =
+    s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |vecl AS (
+       |  SELECT vec_id AS id, ${cosineSql("embedding", "p")} AS cs
+       |  FROM embeddings, probe WHERE vec_id <> 0
+       |  ORDER BY cs DESC, id LIMIT 20),
+       |vecr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, id) AS BIGINT) AS rv FROM vecl),
+       |toks AS (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM documents),
+       |lexl AS (
+       |  SELECT doc_id AS id, COUNT(*) AS cnt FROM toks
+       |  WHERE tok IN ('window', 'merge', 'stream') GROUP BY 1
+       |  ORDER BY cnt DESC, id LIMIT 20),
+       |lexr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, id) AS BIGINT) AS rl FROM lexl),
+       |fused AS (
+       |  SELECT COALESCE(l.id, v.id) AS id,
+       |    COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(rv AS DOUBLE)), 0.0) AS rrf
+       |  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+       |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("e40_cosine_topk", e40, Some(e40Sql), bench = true),
     RQ("e41_knn_join", e41, Some(e41Sql)),
@@ -1063,7 +1130,8 @@ object SimilarityOps {
     RQ("e58_adc_rerank", e58, Some(e58Sql)),
     RQ("e59_incremental_ivf", e59, Some(e59Sql), bench = true),
     RQ("e60_ivf_retrain", e60, Some(e60Sql)),
-    RQ("e61_drift_detector", e61, Some(e61Sql)))
+    RQ("e61_drift_detector", e61, Some(e61Sql)),
+    RQ("e62_hybrid_rrf", e62, Some(e62Sql)))
 
   // ---------------------------------------------------------------- e59
   /** INCREMENTAL IVF INGEST — index maintenance as a pipeline, the ANN

@@ -882,6 +882,88 @@ object Text2Ops {
        |FROM docw d JOIN fin f USING (w)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t55
+  /** BM25 RANKED RETRIEVAL (Okapi, k1=1.2 b=0.75) for a fixed 3-term
+    * query — the lexical scorer behind every classic search stack and
+    * the lexical leg of hybrid retrieval (e62). Differs from t43's
+    * tf-idf in both saturation (tf's contribution is bounded by k1+1)
+    * and length normalization (long documents are penalized toward the
+    * corpus mean length).
+    *
+    * Scale shape: one explode → keyed agg for document lengths; the
+    * query terms broadcast into tf and df (both aggs see ONLY posting
+    * rows of the 3 terms, not the corpus vocabulary); a 2-row global
+    * aggregate broadcasts into the per-term idf; final ranking is
+    * TakeOrderedAndProject (per-partition partial top-k, no global
+    * sort, no corpus-wide window).
+    *
+    * Determinism: idf's ln and each per-term contribution pass through
+    * DECIMAL(38,6) before the per-document sum (t49's order-
+    * independence trick), so scores are bit-stable across engines and
+    * partitionings; ties rank by doc_id. */
+  private val bm25Terms = Seq("window", "merge", "stream")
+  private def t55(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val glob = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val terms = bm25Terms.toDF("tok")
+    val posting = toks.join(broadcast(terms), "tok")
+    val dfreq = posting.select($"tok", $"doc_id").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val tf = posting.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val idf = dfreq.crossJoin(broadcast(glob))
+      .select($"tok",
+        log(lit(1.0) +
+            (($"n".cast("double") - $"df".cast("double") + lit(0.5)) /
+              ($"df".cast("double") + lit(0.5))))
+          .cast(dec).cast("double").as("idf"),
+        ($"sumdl".cast("double") / $"n".cast("double")).as("avgdl"))
+    val perTerm = tf.join(dl, "doc_id").join(broadcast(idf), "tok")
+      .select($"doc_id",
+        ($"idf" * ($"tf".cast("double") * lit(2.2)) /
+          ($"tf".cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl"))))
+          .cast(dec).as("contrib"))
+    val top = perTerm.groupBy($"doc_id")
+      .agg(sum($"contrib").cast("double").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(20)
+    top.withColumn("rn",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+          .cast("bigint"))
+      .orderBy($"rn")
+  }
+  private val t55Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM documents),
+      |tok AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |corp AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+      |q AS (SELECT UNNEST(['window', 'merge', 'stream']) AS tok),
+      |posting AS (SELECT doc_id, tok FROM tok JOIN q USING (tok)),
+      |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM posting GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT tok,
+      |    CAST(CAST(LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(38,6)) AS DOUBLE) AS idf,
+      |    CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+      |  FROM dfreq, corp),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(idf * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok) GROUP BY doc_id),
+      |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, score,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+      |FROM top ORDER BY rn""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -900,5 +982,6 @@ object Text2Ops {
     // generated CTE block per rank (see bpeOracleCtes) — plus t54b,
     // the trained-merges-feeding-an-oracled-consumer end-to-end check
     RQ("t54_bpe_train", t54, Some(t54Sql)),
-    RQ("t54b_bpe_retokenize", t54b, Some(t54bSql)))
+    RQ("t54b_bpe_retokenize", t54b, Some(t54bSql)),
+    RQ("t55_bm25_rank", t55, Some(t55Sql)))
 }
