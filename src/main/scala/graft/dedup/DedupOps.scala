@@ -1859,7 +1859,7 @@ object DedupOps {
     }
   }
   // def, not val: defined after `all` in initialization order
-  private def d47Sql = {
+  private[graft] def d47Sql = {
     def mh(i: Int) =
       s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
     s"""WITH sh AS (

@@ -1311,6 +1311,89 @@ object StreamingOps {
       |FROM c JOIN t USING (user_id)
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- s72
+  /** STREAMING INCREMENTAL DEDUP — the two headline maintenance stories
+    * COMPOSED: a graft-source document stream drives d47's cross-batch
+    * MinHash dedup maintenance from foreachBatch. Each micro-batch is
+    * one d47 ingest (probe the persisted signature table, positional-
+    * delete losers, append survivors + signatures); the stream is the
+    * scheduler, the maintenance is the same engine path the batch
+    * operator runs — no second dedup implementation to keep correct.
+    *
+    * `maxVersionsPerTrigger=1` replays the source's commits as distinct
+    * micro-batches IN COMMIT ORDER, so arrival order equals id order
+    * (the derived batches are id-ranged) and the earlier-id pairwise
+    * rule composes exactly as in d47 — the oracle IS d47's. REQUIREd:
+    * the three source commits surface as three signature-table ingests,
+    * and no committed corpus file is ever rewritten (losers die by
+    * deletion vector). */
+  private def s72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val root = java.nio.file.Files.createTempDirectory("graft_s72").toFile
+    try {
+      val src = s"${root.getAbsolutePath}/docs_src"
+      val corpus = s"${root.getAbsolutePath}/corpus_txn"
+      val sigs = s"${root.getAbsolutePath}/sigs_txn"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val docs = graft.io.Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = math.max(cut + 1L, maxId - 5L)
+      // three id-ranged source commits — the d47 workload, arriving as
+      // a stream backlog instead of three driver calls
+      TxnTable.commitAppend(docs.filter($"doc_id" <= cut), src)
+      TxnTable.commitAppend(
+        docs.filter($"doc_id" > cut && $"doc_id" <= cut2), src)
+      TxnTable.commitAppend(docs.filter($"doc_id" > cut2), src)
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val first = TxnTable.latestVersion(spark, corpus).isEmpty
+            val b = batch.persist()
+            try {
+              val bounds = b.agg(min($"doc_id"), max($"doc_id")).head()
+              if (!bounds.isNullAt(0)) {
+                val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+                graft.dedup.DedupOps.d47Ingest(spark, corpus, sigs, b,
+                  first = first,
+                  col("doc_id") >= lo && col("doc_id") <= hi)
+                ()
+              }
+            } finally { b.unpersist(); () }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(TxnTable.latestVersion(spark, sigs).contains(3L),
+        "three source commits must land as three signature ingests, " +
+          s"got ${TxnTable.latestVersion(spark, sigs)}")
+      val mor = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get)
+      require(mor.dels.isEmpty ||
+          mor.dels.forall(_.keyCols == TxnTable.PosDelKeyCols),
+        "streamed dedup losers must die by positional vector")
+      val result = spark.read.format("graft").load(corpus)
+        .groupBy($"lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum($"doc_id").cast("bigint").as("id_sum"))
+        .orderBy($"lang")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -1333,7 +1416,10 @@ object StreamingOps {
     RQ("s68_stream_change_feed", s68, Some(s68Sql)),
     RQ("s69_cdc_incremental_matview", s69, Some(s69Sql)),
     RQ("s70_transform_with_state", s70, Some(s70Sql)),
-    RQ("s71_stream_vs_retention", s71, Some(s71Sql)))
+    RQ("s71_stream_vs_retention", s71, Some(s71Sql)),
+    // the oracle IS d47's: same derived workload, same final rule
+    RQ("s72_stream_incremental_dedup", s72,
+      Some(graft.dedup.DedupOps.d47Sql)))
 
   // ---------------------------------------------------------------- s71
   /** LAGGING CONSUMER vs AGGRESSIVE VACUUM — the streaming receipt for

@@ -983,5 +983,5 @@ object Text2Ops {
     // the trained-merges-feeding-an-oracled-consumer end-to-end check
     RQ("t54_bpe_train", t54, Some(t54Sql)),
     RQ("t54b_bpe_retokenize", t54b, Some(t54bSql)),
-    RQ("t55_bm25_rank", t55, Some(t55Sql)))
+    RQ("t55_bm25_rank", t55, Some(t55Sql), bench = true))
 }

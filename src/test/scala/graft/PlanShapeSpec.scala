@@ -148,6 +148,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t53's quota joins must broadcast; plan:\n$plan")
   }
 
+  test("t55 BM25 / e62 RRF: top-k is TakeOrdered, windows only above limits") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    Seq("t55_bm25_rank", "e62_hybrid_rrf").foreach { q =>
+      val df = Registry.queries(q)(spark, Spec.sf0001)
+      // ranking must be a per-partition partial top-k merge, never a
+      // corpus-wide Sort — the shape the 100 TB story depends on
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q's top-k must plan as TakeOrderedAndProject; plan:\n$plan")
+      // any window (the rank stamp) must sit ABOVE a limit: it runs on
+      // the ≤20-row result frame, never over the corpus
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w }
+      assert(windows.forall(_.child.collectFirst {
+          case l: logical.GlobalLimit => l }.nonEmpty),
+        s"$q has a window not fed by a limit — a corpus-wide rank")
+    }
+  }
+
   test("a57 funnel: conditional-min aggregate, no window over events") {
     import org.apache.spark.sql.catalyst.plans.logical
     val df = Registry.queries("a57_funnel_steps")(spark, Spec.sf0001)
