@@ -5234,6 +5234,84 @@ object FormatOps {
       |  FROM lineitem WHERE l_orderkey % 3 = 1 GROUP BY 2) s
       |ORDER BY side, l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- k164
+  /** WRITE-AUDIT-PUBLISH — the staging pattern production lakehouse
+    * ingest runs (Iceberg WAP / Delta's staging tables) as ONE
+    * machine-checked workload:
+    *   1. a GOOD batch stages (invisible to readers — REQUIREd), is
+    *      audited over [[TxnTable.readStaged]]'s would-be snapshot,
+    *      survives a `VACUUM KEEP 0` while pending (the stage's files
+    *      are pinned — REQUIREd), and publishes BY REFERENCE (no data
+    *      rewrite — REQUIREd; the publish is O(metadata) at any batch
+    *      size);
+    *   2. a second batch stages, the auditor then tightens the CHECK
+    *      set DURING the audit window, and the publish REFUSES (the
+    *      audit gate is enforced at publish, not trusted from stage
+    *      time — REQUIREd), so the batch aborts leaving no trace
+    *      (version unchanged — REQUIREd).
+    * The oracle restates the surviving content (base + published
+    * batch, no aborted rows) from raw lineitem. */
+  private def k164(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k164_wap")
+    try {
+      val t = s"$zone/facts"
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      li.filter($"l_orderkey" % 4 === 0)
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .mode("overwrite").save(t)
+      TxnTable.addCheck(spark, t, "qty_pos", "l_quantity > 0")
+      val n0 = spark.read.format("graft").load(t).count()
+      // ---- good batch: stage → audit → vacuum → publish
+      val good = li.filter($"l_orderkey" % 4 === 1)
+      val id1 = TxnTable.stageAppend(good, t, statsCols = Seq("l_orderkey"))
+      require(spark.read.format("graft").load(t).count() == n0,
+        "a staged batch must be invisible to readers")
+      require(TxnTable.readStaged(spark, t, id1).count() ==
+        n0 + good.count(), "the audit must see the would-be snapshot")
+      TxnTable.vacuum(spark, t, keep = 0)
+      val vPre = TxnTable.latestVersion(spark, t).get
+      val before = TxnTable.snapshotFiles(spark, t, vPre).toSet
+      val vPub = TxnTable.publishStage(spark, t, id1)
+      require(before.subsetOf(
+          TxnTable.snapshotFiles(spark, t, vPub).toSet),
+        "publish must carry files by reference, never rewrite")
+      // ---- second batch: the audit window tightens the constraints
+      val risky = li.filter($"l_orderkey" % 4 === 2)
+      val id2 = TxnTable.stageAppend(risky, t)
+      TxnTable.addCheck(spark, t, "small_qty", "l_quantity < 2",
+        validateExisting = false)
+      val refused = try { TxnTable.publishStage(spark, t, id2); false }
+      catch { case _: IllegalArgumentException => true }
+      require(refused,
+        "a constraint added during the audit window must gate the publish")
+      TxnTable.abortStage(spark, t, id2)
+      require(TxnTable.latestVersion(spark, t).contains(vPub + 1L),
+        "the refused batch must leave only the constraint commit behind")
+      require(TxnTable.stagedIds(spark, t).isEmpty,
+        "abort must drop the staged manifest")
+      val q = spark.read.format("graft").load(t)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"l_quantity".cast("decimal(38,6)")).cast("double").as("qty"))
+        .orderBy($"l_returnflag")
+      spark.createDataFrame(
+        java.util.Arrays.asList(q.collect(): _*), q.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k164Sql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_orderkey % 4 = 0 OR l_orderkey % 4 = 1
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- k162
   /** TAGGED TIME TRAVEL FROM PURE SQL — `SELECT ... FROM t VERSION AS
     * OF 'release-tag'`: the k159 reproducibility pin consumable
@@ -5476,5 +5554,6 @@ object FormatOps {
     RQ("k160_spj_under_vectors", k160, Some(k160Sql), bench = true),
     RQ("k161_create_like", k161, Some(k161Sql)),
     RQ("k162_sql_tag_travel", k162, Some(k162Sql)),
-    RQ("k163_history_retention", k163, Some(k163Sql)))
+    RQ("k163_history_retention", k163, Some(k163Sql)),
+    RQ("k164_wap_publish", k164, Some(k164Sql)))
 }

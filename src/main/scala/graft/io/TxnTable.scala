@@ -2710,6 +2710,239 @@ object TxnTable {
       statsCols = statsCols, bloomCols = bloomCols,
       partitionCols = partitionCols, cdf = cdf)
 
+  // --------------------------------------------- write-audit-publish
+  /** STAGED COMMITS — the Iceberg/Delta write-audit-publish pattern.
+    *
+    * [[stageAppend]] materializes a batch's data files, stats and
+    * blooms into the table directory plus a staged manifest OUTSIDE
+    * the version chain (`_staged/<id>.manifest`): readers cannot see
+    * it, vacuum PINS its files (an explicit stage awaiting audit is
+    * not a crashed writer's orphan — see vacuumImpl), and the commit
+    * protocol is untouched. Audit the would-be state with
+    * [[readStaged]]; [[publishStage]] then CAS-appends the staged
+    * files BY REFERENCE — no data rewrite, an O(metadata) commit
+    * however large the batch — re-validating the table's THEN-current
+    * CHECK constraints against the staged rows, so a constraint added
+    * during the audit window gates the publish (the audit is
+    * enforced, not trusted). The publish carries an idempotent txn
+    * marker (`graft.wap.<id>`): replays and retries return the
+    * already-published version instead of double-appending.
+    * [[abortStage]] deletes the staged manifest, then its data files.
+    *
+    * Fail-closed scope rules: staging requires an existing snapshot;
+    * IDENTITY tables refuse staging (value minting must serialize
+    * through the chain); publish refuses if the table SCHEMA or
+    * partition spec changed since stage (json-equality against the
+    * base schema recorded at stage time — the Iceberg cherry-pick
+    * conflict rule; covers field-id minting, alias renames, and
+    * read-time default vintages in one check — re-stage instead).
+    * CHECK/property/tag changes during the audit window are fine.
+    * Concurrent ordinary commits are fine (the CAS loop re-merges).
+    * Abort and publish of the SAME stage must not race (single-auditor
+    * assumption); both sides re-validate to shrink that window to ms,
+    * mirroring setTag/vacuum. */
+  private[graft] val StagedDir = "_staged"
+  private def stagedManifestPath(table: String, id: String) =
+    new Path(s"$table/$StagedDir/$id.manifest")
+  private def wapMarker(id: String) = s"graft.wap.$id"
+  private val WapBaseSchemaProp = "graft.wap.baseSchema"
+  private val WapBaseVersionProp = "graft.wap.baseVersion"
+
+  def stageAppend(df: DataFrame, table: String,
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): String = {
+    val spark = df.sparkSession
+    val st = latestState(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"stageAppend requires an existing snapshot in $table"))
+    val snapSchema = st.schema.getOrElse(throw new IllegalStateException(
+      s"$table predates the schema log"))
+    require(identityColumn(snapSchema).isEmpty,
+      s"$table declares an IDENTITY column — staged appends cannot " +
+        "mint serialized values; commit directly")
+    // the same fill/validate pipeline a direct append runs, against
+    // the stage-time snapshot (publish re-validates checks later)
+    org.apache.spark.sql.GraftBridge.mergeSchemas(snapSchema, df.schema)
+    val defDefs = defaultColumns(snapSchema)
+    val dfd = if (defDefs.isEmpty) df else applyDefaults(df, defDefs)
+    val ndefDefs = nestedDefaults(snapSchema)
+    val dfn =
+      if (ndefDefs.isEmpty) dfd else applyNestedDefaults(dfd, ndefDefs)
+    val genDefs = generatedColumns(snapSchema)
+    val dfg =
+      if (genDefs.isEmpty) dfn else applyGenerated(dfn, table, genDefs)
+    enforceChecks(dfg, table, st.checks)
+    val genStatCols = genDefs.keys.toSeq ++
+      genDefs.values.toSeq.flatMap(genSources(spark, _))
+        .filter(c => dfg.columns.exists(_.equalsIgnoreCase(c)))
+    val allStatsCols =
+      (statsCols ++ st.partCols.map(partSource) ++ genStatCols).distinct
+    val dfw =
+      if (!FieldIds.hasIds(snapSchema)) dfg
+      else FieldIds.stamp(dfg, FieldIds.assign(Some(snapSchema), dfg.schema,
+        FieldIds.floorOf(st.retired)))
+    val (_, newFiles, newStats, newBlooms, newRows) =
+      writeData(dfw, table, allStatsCols, bloomCols, st.partCols)
+    val stagedSchema =
+      org.apache.spark.sql.GraftBridge.mergeSchemas(snapSchema, dfw.schema)
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val content = manifestContent(stagedSchema, txns = Map.empty,
+      stats = newStats, files = newFiles, blooms = newBlooms,
+      rows = newRows, partCols = st.partCols, op = "staged",
+      props = Map(WapBaseSchemaProp -> snapSchema.json,
+        WapBaseVersionProp -> st.version.toString))
+    require(
+      tryCreateAtomic(fc(spark), stagedManifestPath(table, id), content),
+      s"staged manifest collision for $id")
+    id
+  }
+
+  /** Ids of stages currently awaiting audit/publish on `table`. */
+  def stagedIds(spark: SparkSession, table: String): Seq[String] = {
+    val ctx = fc(spark)
+    val dir = new Path(s"$table/$StagedDir")
+    if (!ctx.util.exists(dir)) return Nil
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = ctx.listStatus(dir)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (n.endsWith(".manifest")) buf += n.stripSuffix(".manifest")
+    }
+    buf.sorted.toSeq
+  }
+
+  private def stagedLines(spark: SparkSession, table: String,
+                          id: String): Seq[String] = {
+    val ctx = fc(spark)
+    val p = stagedManifestPath(table, id)
+    require(ctx.util.exists(p),
+      s"no staged commit $id on $table (published, aborted, or never " +
+        "staged)")
+    readSmall(ctx, p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The staged rows of stage `id`, read through the engine's
+    * file-subset planner (URL-safe under partition-value dirs). */
+  private def stagedFrame(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else planFiles(spark, table, schema, files, pathpart = false,
+      ndefFill = false)
+
+  /** The WOULD-BE snapshot if stage `id` published now — the audit's
+    * input: current rows ∪ staged rows. */
+  def readStaged(spark: SparkSession, table: String, id: String)
+      : DataFrame = {
+    val lines = stagedLines(spark, table, id)
+    val (headers, fileLines) = lines.partition(_.startsWith("#"))
+    val schema = parseSchema(headers).getOrElse(
+      throw new IllegalStateException(s"staged manifest $id lacks a schema"))
+    read(spark, table).unionByName(
+      stagedFrame(spark, table, schema, fileLines.map(parseFileLine(_)._1)),
+      allowMissingColumns = true)
+  }
+
+  def publishStage(spark: SparkSession, table: String, id: String): Long = {
+    val ctx = fc(spark)
+    // an already-published replay heals itself: return the version,
+    // drop the now-redundant staged manifest
+    latestState(spark, table).filter(_.txns.contains(wapMarker(id)))
+      .foreach { st =>
+        ctx.delete(stagedManifestPath(table, id), false)
+        return st.version
+      }
+    val lines = stagedLines(spark, table, id)
+    val (headers, fileLines) = lines.partition(_.startsWith("#"))
+    val parsedFiles = fileLines.map(parseFileLine)
+    val newFiles = parsedFiles.map(_._1)
+    val newRows = parsedFiles.collect { case (f, Some(n)) => f -> n }.toMap
+    val newStats = parseStats(headers)
+    val newBlooms = parseBlooms(headers)
+    val stagedSchema = parseSchema(headers).getOrElse(
+      throw new IllegalStateException(s"staged manifest $id lacks a schema"))
+    val stagedPartCols = parsePartCols(headers)
+    val props = parseProps(headers)
+    val baseSchemaJson = props.getOrElse(WapBaseSchemaProp, "")
+    var attempt = 0
+    var checkedAgainst: Option[Map[String, String]] = None
+    while (attempt < 64) {
+      val st = latestState(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"$table lost its snapshot while stage $id was pending"))
+      if (st.txns.contains(wapMarker(id))) { // raced our own replay
+        ctx.delete(stagedManifestPath(table, id), false)
+        return st.version
+      }
+      val curSchema = st.schema.getOrElse(throw new IllegalStateException(
+        s"$table predates the schema log"))
+      require(curSchema.json == baseSchemaJson,
+        s"$table's schema changed since stage $id was written — " +
+          "publish would mix minting/vintage rules; re-stage the batch")
+      require(st.partCols == stagedPartCols,
+        s"$table's partition spec changed since stage $id — re-stage")
+      // the AUDIT GATE: constraints as of NOW, scanned over the staged
+      // rows only (once per distinct check set — a CAS retry against
+      // an unchanged set need not rescan)
+      if (st.checks.nonEmpty && !checkedAgainst.contains(st.checks)) {
+        enforceChecks(stagedFrame(spark, table, stagedSchema, newFiles),
+          table, st.checks)
+        checkedAgainst = Some(st.checks)
+      }
+      val next = st.version + 1L
+      val schema = org.apache.spark.sql.GraftBridge.mergeSchemas(
+        curSchema, stagedSchema)
+      val addvAll = st.addv ++ newFiles.map(_ -> next).toMap
+      val files = st.files ++ newFiles
+      val liveDels = st.dels.filter(d =>
+        files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
+      val content = manifestContent(schema,
+        st.txns + (wapMarker(id) -> 1L),
+        st.stats ++ newStats, files, st.blooms ++ newBlooms,
+        st.rows ++ newRows, st.partCols, op = "wap-publish",
+        cdf = st.cdf, mor = st.mor, dels = liveDels, addv = addvAll,
+        checks = st.checks, props = st.props, retired = st.retired,
+        pathpart = st.pathpart, aliases = st.aliases)
+      // abort hardening: the staged manifest must still exist at the
+      // last moment — an abort deletes it FIRST, so this check shrinks
+      // the publish/abort race to the gap between probe and CAS
+      require(ctx.util.exists(stagedManifestPath(table, id)),
+        s"stage $id was aborted while publishing")
+      if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
+        writePointer(ctx, table, next)
+        ctx.delete(stagedManifestPath(table, id), false)
+        return next
+      }
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"publish of stage $id on $table lost the manifest race 64 times")
+  }
+
+  /** Discard stage `id`: drop its manifest (releasing the vacuum pin),
+    * then its data dirs. Refuses an already-published stage. */
+  def abortStage(spark: SparkSession, table: String, id: String): Unit = {
+    val ctx = fc(spark)
+    def published: Boolean =
+      latestState(spark, table).exists(_.txns.contains(wapMarker(id)))
+    require(!published, s"stage $id already published to $table")
+    val lines = stagedLines(spark, table, id)
+    val files = lines.filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+    ctx.delete(stagedManifestPath(table, id), false)
+    // publish re-checks manifest existence immediately before its CAS;
+    // if one still won that ms-window, the files are chain-referenced
+    // now — keep them and refuse, exactly like a late publish would
+    if (published)
+      throw new IllegalStateException(
+        s"stage $id published while aborting — its data is live; the " +
+          "staged manifest alone was removed")
+    files.map(f => f.substring(0, f.indexOf('/'))).distinct
+      .foreach(d => ctx.delete(new Path(s"$table/$d"), true))
+  }
+
   /** DATA-SKIPPING read: the latest snapshot's rows with `column` in
     * [lo, hi] — planned over ONLY the files whose manifest min/max for
     * that column overlaps the range (files without that column's stats
@@ -6930,7 +7163,28 @@ object TxnTable {
         tags(spark, table).values.toSeq.filter(all.contains)
           .flatMap((v: Long) => chainBase(v) to v).toSet
       val (rescued, dropped) = dropped0.partition(freshPinned.contains)
-      val referencedEarly = referencedEarly0 ++ refsOf(rescued)
+      // STAGED commits (write-audit-publish) pin their files: an
+      // unpublished stage is an explicit artifact awaiting audit, not
+      // a crashed writer's orphan. Publish/abort delete the staged
+      // manifest, releasing the pin — published files are then pinned
+      // by the chain itself.
+      val stagedRefs: Set[String] = {
+        val sd = new Path(s"$table/$StagedDir")
+        if (!ctx.util.exists(sd)) Set.empty
+        else {
+          val buf = Set.newBuilder[String]
+          val it = ctx.listStatus(sd)
+          while (it.hasNext) {
+            val e = it.next()
+            if (!e.isDirectory && e.getPath.getName.endsWith(".manifest"))
+              readSmall(ctx, e.getPath).split("\n").toSeq.map(_.trim)
+                .filter(l => l.nonEmpty && !l.startsWith("#"))
+                .foreach(l => buf += parseFileLine(l)._1)
+          }
+          buf.result()
+        }
+      }
+      val referencedEarly = referencedEarly0 ++ refsOf(rescued) ++ stagedRefs
       dropped.foreach(v => reap(new Path(table, manifestName(v)), false))
       // reclamation is FILE-driven, not version-driven: append lineage
       // lets retained manifests reference files in ANY data dir (and an

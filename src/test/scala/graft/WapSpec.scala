@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.{Tables, TxnTable}
+
+/** Write-audit-publish staged commits: invisibility until publish,
+  * by-reference publication (no data rewrite), the publish-time audit
+  * gate (constraints added DURING the audit window), idempotent
+  * replays, abort reclamation, vacuum pinning of unpublished stages,
+  * and the schema-conflict refusal. */
+class WapSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  private def withZone(f: String => Unit): Unit = {
+    val zone = java.nio.file.Files.createTempDirectory("graft_wap").toFile
+    try f(s"${zone.getAbsolutePath}/t")
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(new java.io.File(zone.getAbsolutePath))
+    }
+  }
+
+  private def base(table: String): Unit = {
+    val cust = Tables.customer(spark, Spec.sf0001)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    TxnTable.commitOverwrite(cust.filter($"c_custkey" <= 50), table,
+      statsCols = Seq("c_custkey"))
+    ()
+  }
+
+  test("staged rows are invisible until publish; publish is by reference") {
+    withZone { table =>
+      base(table)
+      val n0 = TxnTable.read(spark, table).count()
+      val batch = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 80)
+      val id = TxnTable.stageAppend(batch, table,
+        statsCols = Seq("c_custkey"))
+      // invisible: same row count, same version
+      assert(TxnTable.read(spark, table).count() == n0)
+      val v1 = TxnTable.latestVersion(spark, table).get
+      // the audit sees the union
+      val audit = TxnTable.readStaged(spark, table, id)
+      assert(audit.count() == n0 + batch.count())
+      assert(TxnTable.stagedIds(spark, table) == Seq(id))
+      // publish: files carry BY REFERENCE (no rewrite)
+      val before = TxnTable.snapshotFiles(spark, table, v1).toSet
+      val v2 = TxnTable.publishStage(spark, table, id)
+      val after = TxnTable.snapshotFiles(spark, table, v2).toSet
+      assert(before.subsetOf(after), "publish must never rewrite")
+      assert(TxnTable.read(spark, table).count() == n0 + batch.count())
+      // stats came along: a point read on the published range prunes
+      val stats = TxnTable.fileStats(spark, table, v2)
+      assert((after -- before).forall(f =>
+        stats.getOrElse(f, Nil).exists(_.col == "c_custkey")),
+        "published files must carry their staged stats")
+      // the staged manifest is gone; replay returns the same version
+      assert(TxnTable.stagedIds(spark, table).isEmpty)
+      assert(TxnTable.publishStage(spark, table, id) == v2 ||
+        // replay path: marker already present → current version
+        TxnTable.latestVersion(spark, table).contains(v2))
+    }
+  }
+
+  test("publish replay is idempotent even with the staged manifest intact") {
+    withZone { table =>
+      base(table)
+      val batch = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 60)
+      val id = TxnTable.stageAppend(batch, table)
+      val v = TxnTable.publishStage(spark, table, id)
+      val n = TxnTable.read(spark, table).count()
+      // a crashed publisher that died between CAS and manifest cleanup
+      // re-offers: marker wins, no double append
+      assert(TxnTable.publishStage(spark, table, id) == v)
+      assert(TxnTable.read(spark, table).count() == n)
+      assert(TxnTable.latestVersion(spark, table).contains(v))
+    }
+  }
+
+  test("a constraint added during the audit window gates the publish") {
+    withZone { table =>
+      base(table)
+      val bad = Seq((9001L, -5.0, "BAD")).toDF(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+      val id = TxnTable.stageAppend(bad, table)
+      // auditor adds a constraint AFTER the stage landed
+      TxnTable.addCheck(spark, table, "pos_bal", "c_acctbal >= 0",
+        validateExisting = false)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.publishStage(spark, table, id)
+      }
+      assert(e.getMessage.contains("pos_bal"))
+      // nothing leaked; abort reclaims the staged files
+      val vBefore = TxnTable.latestVersion(spark, table).get
+      TxnTable.abortStage(spark, table, id)
+      assert(TxnTable.stagedIds(spark, table).isEmpty)
+      assert(TxnTable.latestVersion(spark, table).contains(vBefore))
+      assert(TxnTable.read(spark, table)
+        .filter($"c_custkey" === 9001L).count() == 0L)
+    }
+  }
+
+  test("vacuum KEEP 0 pins an unpublished stage's files") {
+    withZone { table =>
+      base(table)
+      val batch = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 70)
+      val nb = batch.count()
+      val id = TxnTable.stageAppend(batch, table)
+      // churn history so vacuum has something real to reap
+      TxnTable.commitAppend(Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 100 && $"c_custkey" <= 110), table)
+      TxnTable.compact(spark, table)
+      TxnTable.vacuum(spark, table, keep = 0)
+      // the stage survived the most aggressive vacuum and still publishes
+      assert(TxnTable.readStaged(spark, table, id).count() ==
+        TxnTable.read(spark, table).count() + nb)
+      val v = TxnTable.publishStage(spark, table, id)
+      assert(TxnTable.readVersion(spark, table, v).count() ==
+        TxnTable.read(spark, table).count())
+      // once published, the pin is the chain's: a new vacuum keeps them
+      TxnTable.vacuum(spark, table, keep = 0)
+      assert(TxnTable.read(spark, table)
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 70).count() == nb)
+    }
+  }
+
+  test("schema evolution during the audit window refuses the publish") {
+    withZone { table =>
+      base(table)
+      val batch = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 55)
+      val id = TxnTable.stageAppend(batch, table)
+      // an evolving append lands during the audit
+      TxnTable.commitAppend(
+        Seq((8001L, 1.0, "SEG", "note")).toDF(
+          "c_custkey", "c_acctbal", "c_mktsegment", "c_note"), table)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.publishStage(spark, table, id)
+      }
+      assert(e.getMessage.contains("schema changed"))
+      TxnTable.abortStage(spark, table, id)
+    }
+  }
+
+  test("concurrent ordinary appends and a publish all survive the CAS") {
+    withZone { table =>
+      base(table)
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      val id = TxnTable.stageAppend(
+        cust.filter($"c_custkey" > 50 && $"c_custkey" <= 60), table)
+      // same-schema appends interleave with the publish
+      TxnTable.commitAppend(
+        cust.filter($"c_custkey" > 100 && $"c_custkey" <= 105), table)
+      val v = TxnTable.publishStage(spark, table, id)
+      TxnTable.commitAppend(
+        cust.filter($"c_custkey" > 105 && $"c_custkey" <= 110), table)
+      val want = cust.filter($"c_custkey" <= 60 ||
+        ($"c_custkey" > 100 && $"c_custkey" <= 110)).count()
+      assert(TxnTable.read(spark, table).count() == want)
+      assert(TxnTable.readVersion(spark, table, v).count() ==
+        cust.filter($"c_custkey" <= 60 ||
+          ($"c_custkey" > 100 && $"c_custkey" <= 105)).count())
+    }
+  }
+
+  test("identity tables refuse staging; missing stages fail loudly") {
+    withZone { table =>
+      val df = TxnTable.withIdentityColumn(
+        Tables.customer(spark, Spec.sf0001)
+          .select($"c_acctbal").limit(5), "rid")
+      TxnTable.commitOverwrite(df, table)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.stageAppend(
+          Tables.customer(spark, Spec.sf0001).select($"c_acctbal").limit(2),
+          table)
+      }
+      assert(e.getMessage.contains("IDENTITY"))
+      intercept[IllegalArgumentException] {
+        TxnTable.publishStage(spark, table, "nope")
+      }
+      ()
+    }
+  }
+}
