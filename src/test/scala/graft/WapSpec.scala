@@ -177,6 +177,55 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("the change feed surfaces a publish as plain appended rows") {
+    withZone { table =>
+      base(table)
+      val vPre = TxnTable.latestVersion(spark, table).get
+      val batch = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 65)
+      val id = TxnTable.stageAppend(batch, table)
+      // staging alone is NOT a change
+      val (none, _) = TxnTable.readChanges(spark, table, vPre)
+      assert(none.count() == 0L)
+      TxnTable.publishStage(spark, table, id)
+      val (changed, upTo) = TxnTable.readChanges(spark, table, vPre)
+      assert(upTo == TxnTable.latestVersion(spark, table).get)
+      assert(changed.select($"c_custkey").as[Long].collect().sorted.toSeq ==
+        batch.select($"c_custkey").as[Long].collect().sorted.toSeq,
+        "the published batch must be the exact change set")
+    }
+  }
+
+  test("staging works on partitioned tables with hostile partition values") {
+    withZone { table =>
+      val mk = (ids: Range, tag: String) =>
+        ids.map(i => (i.toLong, i * 1.5, s"$tag")).toDF(
+          "c_custkey", "c_acctbal", "c_mktsegment")
+      // partition values exercising URI-escaping: space, percent,
+      // fragment and query chars (non-ASCII is untestable here — the
+      // forked JVM's POSIX locale cannot host such paths at all)
+      val b0 = mk(1 to 20, "SEG A").unionByName(mk(21 to 40, "P%25X"))
+        .unionByName(mk(41 to 60, "A#B?C"))
+      TxnTable.commitOverwrite(b0, table, statsCols = Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+      val staged = mk(61 to 80, "SEG A").unionByName(mk(81 to 90, "P%2FQ"))
+      val id = TxnTable.stageAppend(staged, table,
+        statsCols = Seq("c_custkey"))
+      assert(TxnTable.readStaged(spark, table, id).count() == 90L)
+      val v = TxnTable.publishStage(spark, table, id)
+      val got = TxnTable.readVersion(spark, table, v)
+      assert(got.count() == 90L)
+      assert(got.filter($"c_mktsegment" === "P%2FQ").count() == 10L)
+      assert(got.filter($"c_mktsegment" === "SEG A").count() == 40L)
+      // partition stats (single-valued files) carried: segment
+      // predicates prune published files too
+      val stats = TxnTable.fileStats(spark, table, v)
+      assert(stats.values.flatten.exists(s =>
+        s.col == "c_mktsegment" && s.minV == "P%2FQ" && s.maxV == "P%2FQ"))
+    }
+  }
+
   test("identity tables refuse staging; missing stages fail loudly") {
     withZone { table =>
       val df = TxnTable.withIdentityColumn(
