@@ -964,6 +964,153 @@ object Text2Ops {
       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
       |FROM top ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- t56
+  /** INCREMENTAL BM25 INDEX MAINTENANCE — t55's scorer served from a
+    * PERSISTED inverted index maintained across batch arrivals, the
+    * lexical twin of the d47/e59 incremental family:
+    *
+    *   - postings table (term, doc_id, tf), bucket(16, term) with term
+    *     stats + blooms: each batch appends ITS postings (docs never
+    *     straddle batches, so per-(doc,term) tf is complete per batch
+    *     and appends compose) — batch-sized work, never a corpus
+    *     rebuild;
+    *   - doc-length table (doc_id, dl) appends alongside;
+    *   - serving probes the index with the query terms through
+    *     probePersisted (broadcast batch keys, literal-key file
+    *     pruning REQUIREd — a 3-term query reads only the buckets and
+    *     bloom-positive files that can hold those terms); df IS the
+    *     probed posting count per term, N/avgdl come from the
+    *     doc-length table; scoring is t55's decimal-stabilized
+    *     formula, ranking TakeOrdered;
+    *   - OPTIMIZE equivalence: after `compactSmall` (layout-preserving
+    *     bin-pack of the append-churned index), the SAME query
+    *     REQUIREs the identical top-20 from no-more files — index
+    *     maintenance compacts without a correctness or layout cost.
+    *
+    * The oracle is the one-shot rule over the whole corpus: batch
+    * boundaries cannot show through because tf/dl/df are per-doc and
+    * per-term SUMS of disjoint batch contributions. */
+  private val bm25IncTerms = Seq("join", "filter", "sort")
+  private def t56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_t56_inc").toFile.getAbsolutePath
+    try {
+      val postings = s"$zone/postings_txn"
+      val dlT = s"$zone/dl_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = math.max(cut + 1L, maxId - 5L)
+      def ingest(batch: DataFrame, first: Boolean): Unit = {
+        val toks = batch
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+          .filter(length($"term") > 0).localCheckpoint()
+        val pw = toks.groupBy($"term", $"doc_id")
+          .agg(count(lit(1)).as("tf"))
+          .write.format("graft")
+          .option("statsCols", "term").option("bloomCols", "term")
+          .option("optimizedWrite", "true")
+        (if (first) pw.option("partitionBy", "bucket(16, term)")
+            .mode("overwrite")
+         else pw.mode("append")).save(postings)
+        toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+          .write.format("graft").option("statsCols", "doc_id")
+          .mode(if (first) "overwrite" else "append").save(dlT)
+      }
+      ingest(docs.filter($"doc_id" <= cut), first = true)
+      ingest(docs.filter($"doc_id" > cut && $"doc_id" <= cut2),
+        first = false)
+      ingest(docs.filter($"doc_id" > cut2), first = false)
+      def serve(): (Seq[org.apache.spark.sql.Row], Int, Int) = {
+        import org.apache.spark.sql.expressions.Window
+        val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+        val (hits, (scanned, total)) = graft.dedup.DedupOps.probePersisted(
+          spark, postings, bm25IncTerms.toDF("term").localCheckpoint(),
+          joinCols = Seq("term"), out = Seq("term", "doc_id", "tf"),
+          keyCol = "term", cat = "gt56spj",
+          scanPayload = Seq("doc_id", "tf"))
+        val dl = spark.read.format("graft").load(dlT)
+        val glob = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+        val dfreq = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+        val idf = dfreq.crossJoin(broadcast(glob))
+          .select($"term",
+            log(lit(1.0) +
+                (($"n".cast("double") - $"df".cast("double") + lit(0.5)) /
+                  ($"df".cast("double") + lit(0.5))))
+              .cast(dec).cast("double").as("idf"),
+            ($"sumdl".cast("double") / $"n".cast("double")).as("avgdl"))
+        val top = hits.join(dl, "doc_id").join(broadcast(idf), "term")
+          .select($"doc_id",
+            ($"idf" * ($"tf".cast("double") * lit(2.2)) /
+              ($"tf".cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) *
+                  ($"dl".cast("double") / $"avgdl"))))
+              .cast(dec).as("contrib"))
+          .groupBy($"doc_id")
+          .agg(sum($"contrib").cast("double").as("score"))
+          .orderBy($"score".desc, $"doc_id").limit(20)
+        val out = top.withColumn("rn",
+            row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+              .cast("bigint"))
+          .orderBy($"rn").collect().toSeq
+        (out, scanned, total)
+      }
+      val (r1, s1, t1) = serve()
+      require(s1 < t1,
+        s"a 3-term probe must prune the bucketed index: read $s1 of $t1")
+      // OPTIMIZE the append-churned index; the query must not notice
+      TxnTable.compactSmall(spark, postings, smallBytes = 1L << 40)
+      val (r2, s2, t2) = serve()
+      require(r1 == r2,
+        "compaction changed the query result — the index is corrupt")
+      require(t2 <= t1,
+        s"compaction must not grow the index file count ($t1 -> $t2)")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(r2: _*), schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val t56Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM documents),
+      |tok AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |corp AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+      |q AS (SELECT UNNEST(['join', 'filter', 'sort']) AS tok),
+      |posting AS (SELECT doc_id, tok FROM tok JOIN q USING (tok)),
+      |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM posting GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT tok,
+      |    CAST(CAST(LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(38,6)) AS DOUBLE) AS idf,
+      |    CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+      |  FROM dfreq, corp),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(idf * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok) GROUP BY doc_id),
+      |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, score,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+      |FROM top ORDER BY rn""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -983,5 +1130,6 @@ object Text2Ops {
     // the trained-merges-feeding-an-oracled-consumer end-to-end check
     RQ("t54_bpe_train", t54, Some(t54Sql)),
     RQ("t54b_bpe_retokenize", t54b, Some(t54bSql)),
-    RQ("t55_bm25_rank", t55, Some(t55Sql), bench = true))
+    RQ("t55_bm25_rank", t55, Some(t55Sql), bench = true),
+    RQ("t56_incremental_bm25", t56, Some(t56Sql)))
 }

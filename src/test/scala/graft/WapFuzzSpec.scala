@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import graft.io.TxnTable
+
+/** Randomized CONCURRENT fuzz over the write-audit-publish surface:
+  * stager/publisher threads, ordinary appenders, an optimizer, and a
+  * vacuumer fire at one table with no coordination. Invariants:
+  *
+  *   1. EXACTLY-ONCE LEDGER — the final table equals init + every
+  *      ordinary append + every PUBLISHED stage exactly once, and no
+  *      aborted stage's rows, regardless of interleaving (publish is
+  *      a CAS competitor like any commit; its idempotent marker kills
+  *      double-appends).
+  *   2. AUDIT ISOLATION — between stage and publish, the stager's own
+  *      audit sees its full batch while the live table never does.
+  *   3. PIN UNDER CHURN — racing compact + vacuum never reap a
+  *      pending stage's files (publish after the churn still lands
+  *      the full batch).
+  *   4. CLEAN EXIT — after the run every stage is published or
+  *      aborted, no staged manifest survives, and a final VACUUM
+  *      leaves the ledger intact. */
+class WapFuzzSpec extends AnyFunSuite {
+  private lazy val spark = Spec.spark
+  import spark.implicits._
+
+  test("stage/publish/abort race appends, OPTIMIZE and VACUUM safely") {
+    (1 to 2).foreach { seed =>
+      val root = java.nio.file.Files.createTempDirectory("graft_wapfuzz").toFile
+      val table = s"${root.getAbsolutePath}/t"
+      try {
+        val init = (0L until 20L).map(k => (k, k))
+        init.toDF("k", "v").coalesce(2)
+          .write.format("graft").option("statsCols", "k")
+          .mode("overwrite").save(table)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val landed =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+        val appenders = (0 until 2).map { tid =>
+          Future {
+            val rnd = new scala.util.Random(seed * 100 + tid)
+            (0 until 4).foreach { i =>
+              val base = 1000000L * (tid + 1) + 1000L * i
+              val rows = (0L until 3L).map(j => (base + j, base + j))
+              TxnTable.commitAppend(rows.toDF("k", "v"), table)
+              rows.foreach(landed.add)
+              Thread.sleep(rnd.nextInt(20).toLong)
+            }
+          }
+        }
+        val stagers = (0 until 2).map { tid =>
+          Future {
+            val rnd = new scala.util.Random(seed * 100 + 10 + tid)
+            (0 until 3).foreach { i =>
+              val base = 10000000L * (tid + 1) + 1000L * i
+              val rows = (0L until 4L).map(j => (base + j, base + j))
+              val id = TxnTable.stageAppend(rows.toDF("k", "v"), table,
+                statsCols = Seq("k"))
+              // audit isolation: the stage's own audit sees the batch,
+              // the live table sees none of it
+              assert(TxnTable.readStaged(spark, table, id)
+                .filter($"k" >= base && $"k" < base + 4L).count() == 4L)
+              assert(TxnTable.read(spark, table)
+                .filter($"k" >= base && $"k" < base + 4L).count() == 0L)
+              Thread.sleep(rnd.nextInt(25).toLong)
+              if (rnd.nextBoolean()) {
+                TxnTable.publishStage(spark, table, id)
+                rows.foreach(landed.add)
+              } else
+                TxnTable.abortStage(spark, table, id)
+            }
+          }
+        }
+        val optimizer = Future {
+          val rnd = new scala.util.Random(seed * 100 + 7)
+          (0 until 3).foreach { _ =>
+            TxnTable.compact(spark, table, targetFiles = 2)
+            Thread.sleep(rnd.nextInt(30).toLong)
+          }
+        }
+        val vacuumer = Future {
+          val rnd = new scala.util.Random(seed * 100 + 8)
+          (0 until 4).foreach { _ =>
+            // retainMs > run length: young in-flight writer dirs are
+            // age-protected; pending stages are pinned by their staged
+            // manifests regardless (the surface under test)
+            TxnTable.vacuum(spark, table, keep = 0, retainMs = 120000L)
+            Thread.sleep(rnd.nextInt(25).toLong)
+          }
+        }
+        (appenders ++ stagers :+ optimizer :+ vacuumer)
+          .foreach(Await.result(_, 120.seconds))
+        pool.shutdown()
+        // clean exit: nothing staged survives the run
+        assert(TxnTable.stagedIds(spark, table).isEmpty,
+          s"seed $seed left staged manifests behind")
+        // the exactly-once ledger, before and after a final vacuum
+        def content(): Seq[(Long, Long)] =
+          spark.read.format("graft").load(table)
+            .as[(Long, Long)].collect().toSeq.sorted
+        val want =
+          (init ++ landed.toArray(Array.empty[(Long, Long)])).sorted
+        assert(content() == want,
+          s"seed $seed: ledger mismatch (${content().size} vs ${want.size})")
+        TxnTable.vacuum(spark, table, keep = 0)
+        assert(content() == want,
+          s"seed $seed: final vacuum changed the ledger")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+    }
+  }
+}
