@@ -5273,7 +5273,9 @@ object FormatOps {
       TxnTable.vacuum(spark, t, keep = 0)
       val vPre = TxnTable.latestVersion(spark, t).get
       val before = TxnTable.snapshotFiles(spark, t, vPre).toSet
-      val vPub = TxnTable.publishStage(spark, t, id1)
+      // the auditor publishes from PURE SQL (parity with SET TAG)
+      spark.sql(s"ALTER TABLE '$t' PUBLISH STAGE '$id1'").collect()
+      val vPub = TxnTable.latestVersion(spark, t).get
       require(before.subsetOf(
           TxnTable.snapshotFiles(spark, t, vPub).toSet),
         "publish must carry files by reference, never rewrite")
@@ -5286,7 +5288,7 @@ object FormatOps {
       catch { case _: IllegalArgumentException => true }
       require(refused,
         "a constraint added during the audit window must gate the publish")
-      TxnTable.abortStage(spark, t, id2)
+      spark.sql(s"ALTER TABLE '$t' ABORT STAGE '$id2'").collect()
       require(TxnTable.latestVersion(spark, t).contains(vPub + 1L),
         "the refused batch must leave only the constraint commit behind")
       require(TxnTable.stagedIds(spark, t).isEmpty,

@@ -164,6 +164,13 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+TAG\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
   private val AlterDropTagStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+DROP\s+TAG\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*;?\s*""".r
+  // write-audit-publish: ALTER TABLE t PUBLISH STAGE 'id' / ABORT
+  // STAGE 'id' — stages are created by the Scala API (they need a
+  // frame); auditors consume and resolve them from pure SQL
+  private val AlterPublishStageStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+PUBLISH\s+STAGE\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*;?\s*""".r
+  private val AlterAbortStageStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ABORT\s+STAGE\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*;?\s*""".r
   private val AlterSetPartStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*?)\)\s*;?\s*""".r
   private val AlterUnpartStmt =
@@ -315,6 +322,11 @@ object GraftSqlParser {
           Seq(unquoteAny(name)) ++ Option(version).toSeq))
       case AlterDropTagStmt(target, name) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "drop-tag", Seq(unquoteAny(name))))
+      case AlterPublishStageStmt(target, id) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "publish-stage",
+          Seq(unquoteAny(id))))
+      case AlterAbortStageStmt(target, id) if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "abort-stage", Seq(unquoteAny(id))))
       case AlterSetPartStmt(target, entries) if graftTarget(target) =>
         // paren-aware split: bucket(8, k) holds a comma of its own
         Some(GraftAlterCommand(target, "set-partition-spec",
@@ -619,6 +631,10 @@ object GraftMaintenanceStrategy extends SparkStrategy {
               args.drop(1).headOption.map(_.toLong))
           case "drop-tag" =>
             TxnTable.deleteTag(spark, table, args.head)
+          case "publish-stage" =>
+            TxnTable.publishStage(spark, table, args.head)
+          case "abort-stage" =>
+            TxnTable.abortStage(spark, table, args.head)
           case "set-props" =>
             TxnTable.setProperties(spark, table,
               args.grouped(2).map(p => p(0) -> p(1)).toMap)
