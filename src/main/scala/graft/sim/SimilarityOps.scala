@@ -1042,6 +1042,74 @@ object SimilarityOps {
        |ORDER BY l2_dist ASC, sl.vec_id LIMIT 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e63
+  /** ANN UNDER DELETIONS — e59's persisted IVF index composed with
+    * merge-on-read deletion vectors: the unlearning / right-to-be-
+    * forgotten removal path a production vector store needs. A vector
+    * slice (every 7th id — the "erase these users" batch) deletes
+    * POSITIONALLY: one kilobyte coordinate sidecar, zero data-file
+    * rewrites (REQUIREd — at 100 TB an index rebuild per erasure
+    * request is a non-starter). Serving then runs e48's probe plan
+    * UNCHANGED against the same table: the subtraction happens INSIDE
+    * the scan (the k158 columnar-vector machinery), so deleted vectors
+    * cannot surface as neighbors and no query-side filter has to
+    * remember what was erased. The oracle recomputes the index in
+    * DuckDB minus the erased slice. */
+  private def e63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_e63_del").toFile.getAbsolutePath
+    try {
+      val index = s"$zone/ivf_txn"
+      val cents = centroids(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max($"vec_id")).head().getLong(0) / 2L
+      def assign(batch: DataFrame): DataFrame = batch.select(
+        $"vec_id", $"embedding",
+        element_at(Similarity.nearestCells("embedding", cents, 1), 1)
+          .cast("bigint").as("cell"))
+      assign(emb.filter($"vec_id" <= cut))
+        .write.format("graft").option("statsCols", "vec_id,cell")
+        .option("mergeOnRead", "true")
+        .mode("overwrite").save(index)
+      assign(emb.filter($"vec_id" > cut))
+        .write.format("graft").mode("append").save(index)
+      val before = TxnTable.snapshotFiles(spark, index,
+        TxnTable.latestVersion(spark, index).get).toSet
+      // the erasure batch: every 7th vector, removed positionally
+      TxnTable.deleteWherePos(spark, index, s => s("vec_id") % 7 === 0)
+      val after = TxnTable.morState(spark, index,
+        TxnTable.latestVersion(spark, index).get)
+      require(before.subsetOf(after.files.toSet),
+        "erasure must be a deletion vector, never an index rewrite")
+      require(after.dels.exists(_.keyCols == TxnTable.PosDelKeyCols),
+        "the erasure must have landed as a positional vector")
+      val assigned = spark.read.format("graft").load(index)
+      val probeCells = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("p"),
+          explode(Similarity.nearestCells("embedding", cents, 2)).as("pc"))
+        .select($"p", $"pc".cast("bigint").as("pcell"))
+      val result = assigned
+        .join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= 0)
+        .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(5)
+      val rows = result.collect()
+      require(rows.forall(_.getLong(0) % 7L != 0L),
+        "an erased vector surfaced as a neighbor")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: e63Sql is defined after `all` (initialization order)
+
   // ---------------------------------------------------------------- e62
   /** HYBRID RETRIEVAL via Reciprocal Rank Fusion — the standard RAG
     * recipe: run a lexical leg (query-term match counts over the
@@ -1131,7 +1199,8 @@ object SimilarityOps {
     RQ("e59_incremental_ivf", e59, Some(e59Sql), bench = true),
     RQ("e60_ivf_retrain", e60, Some(e60Sql)),
     RQ("e61_drift_detector", e61, Some(e61Sql)),
-    RQ("e62_hybrid_rrf", e62, Some(e62Sql)))
+    RQ("e62_hybrid_rrf", e62, Some(e62Sql)),
+    RQ("e63_ann_under_deletes", e63, Some(e63Sql)))
 
   // ---------------------------------------------------------------- e59
   /** INCREMENTAL IVF INGEST — index maintenance as a pipeline, the ANN
@@ -1433,5 +1502,23 @@ object SimilarityOps {
        |SELECT vec_id, ${cosineSql("embedding", "p")} AS cos_sim
        |FROM assigned, probe
        |WHERE cell IN (SELECT cent_id FROM pcells) AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
+  // def, not val: defined after `all` in initialization order
+  private def e63Sql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2)
+       |SELECT vec_id, ${cosineSql("embedding", "p")} AS cos_sim
+       |FROM assigned, probe
+       |WHERE cell IN (SELECT cent_id FROM pcells) AND vec_id <> 0
+       |  AND vec_id % 7 <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 }
