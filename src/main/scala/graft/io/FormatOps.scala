@@ -5314,6 +5314,58 @@ object FormatOps {
       |FROM lineitem WHERE l_orderkey % 4 = 0 OR l_orderkey % 4 = 1
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- k165
+  /** ATOMIC MULTI-BATCH PROMOTION — k164's pattern at the day scale: a
+    * shift's audited micro-batches accumulate as stages and land as
+    * ONE snapshot via [[TxnTable.publishStages]]. REQUIREd: the two
+    * batches cost exactly one version (a reader can never observe a
+    * subset of the promoted set), the pre-publish snapshot holds only
+    * the base, and the files carry by reference. The oracle restates
+    * base + both batches from raw lineitem. */
+  private def k165(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k165_multi")
+    try {
+      val t = s"$zone/facts"
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      li.filter($"l_orderkey" % 4 === 0)
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .mode("overwrite").save(t)
+      val ida = TxnTable.stageAppend(li.filter($"l_orderkey" % 4 === 1),
+        t, statsCols = Seq("l_orderkey"))
+      val idb = TxnTable.stageAppend(li.filter($"l_orderkey" % 4 === 2),
+        t, statsCols = Seq("l_orderkey"))
+      val v0 = TxnTable.latestVersion(spark, t).get
+      val before = TxnTable.snapshotFiles(spark, t, v0).toSet
+      val v = TxnTable.publishStages(spark, t, Seq(ida, idb))
+      require(v == v0 + 1L,
+        "two promoted batches must cost exactly one version")
+      require(before.subsetOf(TxnTable.snapshotFiles(spark, t, v).toSet),
+        "atomic promotion must carry files by reference")
+      require(TxnTable.stagedIds(spark, t).isEmpty,
+        "published stages must drop their staged manifests")
+      val q = spark.read.format("graft").load(t)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"l_quantity".cast("decimal(38,6)")).cast("double").as("qty"))
+        .orderBy($"l_returnflag")
+      spark.createDataFrame(
+        java.util.Arrays.asList(q.collect(): _*), q.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k165Sql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_orderkey % 4 <> 3
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- k162
   /** TAGGED TIME TRAVEL FROM PURE SQL — `SELECT ... FROM t VERSION AS
     * OF 'release-tag'`: the k159 reproducibility pin consumable
@@ -5557,5 +5609,6 @@ object FormatOps {
     RQ("k161_create_like", k161, Some(k161Sql)),
     RQ("k162_sql_tag_travel", k162, Some(k162Sql)),
     RQ("k163_history_retention", k163, Some(k163Sql)),
-    RQ("k164_wap_publish", k164, Some(k164Sql)))
+    RQ("k164_wap_publish", k164, Some(k164Sql)),
+    RQ("k165_wap_atomic_multi", k165, Some(k165Sql)))
 }

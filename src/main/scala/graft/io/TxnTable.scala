@@ -2845,81 +2845,115 @@ object TxnTable {
       allowMissingColumns = true)
   }
 
-  def publishStage(spark: SparkSession, table: String, id: String): Long = {
+  def publishStage(spark: SparkSession, table: String, id: String): Long =
+    publishStages(spark, table, Seq(id))
+
+  /** Publish SEVERAL audited stages in ONE commit — all-or-nothing
+    * multi-batch promotion (a day's audited micro-batches land as one
+    * snapshot; a reader can never observe a subset). Each stage is
+    * validated independently (schema/partition conflicts, the
+    * publish-time CHECK gate over ITS rows); one CAS manifest carries
+    * every batch's files and every idempotence marker, so a replay of
+    * the same set returns the published version. Because markers
+    * commit together, a PARTIAL marker overlap can only mean the ids
+    * were mixed across different publish calls — refused. */
+  def publishStages(spark: SparkSession, table: String,
+                    ids: Seq[String]): Long = {
+    require(ids.nonEmpty && ids.distinct == ids,
+      s"publishStages needs a non-empty set of distinct stage ids")
     val ctx = fc(spark)
+    def replayed(st: State): Boolean = {
+      val present = ids.filter(id => st.txns.contains(wapMarker(id)))
+      require(present.isEmpty || present.size == ids.size,
+        s"stages ${present.mkString(",")} already published separately " +
+          s"from ${(ids.toSet -- present).mkString(",")} — an atomic " +
+          "replay must offer the same set")
+      present.size == ids.size
+    }
     // an already-published replay heals itself: return the version,
-    // drop the now-redundant staged manifest
-    latestState(spark, table).filter(_.txns.contains(wapMarker(id)))
-      .foreach { st =>
-        ctx.delete(stagedManifestPath(table, id), false)
-        return st.version
-      }
-    val lines = stagedLines(spark, table, id)
-    val (headers, fileLines) = lines.partition(_.startsWith("#"))
-    val parsedFiles = fileLines.map(parseFileLine)
-    val newFiles = parsedFiles.map(_._1)
-    val newRows = parsedFiles.collect { case (f, Some(n)) => f -> n }.toMap
-    val newStats = parseStats(headers)
-    val newBlooms = parseBlooms(headers)
-    val stagedSchema = parseSchema(headers).getOrElse(
-      throw new IllegalStateException(s"staged manifest $id lacks a schema"))
-    val stagedPartCols = parsePartCols(headers)
-    val props = parseProps(headers)
-    val baseSchemaJson = props.getOrElse(WapBaseSchemaProp, "")
+    // drop the now-redundant staged manifests
+    latestState(spark, table).filter(replayed).foreach { st =>
+      ids.foreach(id => ctx.delete(stagedManifestPath(table, id), false))
+      return st.version
+    }
+    final case class Staged(id: String, files: Seq[String],
+        rows: Map[String, Long], stats: Map[String, Seq[FileStat]],
+        blooms: Map[String, Seq[BloomMeta]],
+        schema: org.apache.spark.sql.types.StructType,
+        partCols: Seq[String], baseSchemaJson: String)
+    val staged = ids.map { id =>
+      val lines = stagedLines(spark, table, id)
+      val (headers, fileLines) = lines.partition(_.startsWith("#"))
+      val parsedFiles = fileLines.map(parseFileLine)
+      Staged(id, parsedFiles.map(_._1),
+        parsedFiles.collect { case (f, Some(n)) => f -> n }.toMap,
+        parseStats(headers), parseBlooms(headers),
+        parseSchema(headers).getOrElse(throw new IllegalStateException(
+          s"staged manifest $id lacks a schema")),
+        parsePartCols(headers),
+        parseProps(headers).getOrElse(WapBaseSchemaProp, ""))
+    }
     var attempt = 0
     var checkedAgainst: Option[Map[String, String]] = None
     while (attempt < 64) {
       val st = latestState(spark, table).getOrElse(
         throw new IllegalStateException(
-          s"$table lost its snapshot while stage $id was pending"))
-      if (st.txns.contains(wapMarker(id))) { // raced our own replay
-        ctx.delete(stagedManifestPath(table, id), false)
+          s"$table lost its snapshot while stages were pending"))
+      if (replayed(st)) { // raced our own replay
+        ids.foreach(id => ctx.delete(stagedManifestPath(table, id), false))
         return st.version
       }
       val curSchema = st.schema.getOrElse(throw new IllegalStateException(
         s"$table predates the schema log"))
-      require(curSchema.json == baseSchemaJson,
-        s"$table's schema changed since stage $id was written — " +
-          "publish would mix minting/vintage rules; re-stage the batch")
-      require(st.partCols == stagedPartCols,
-        s"$table's partition spec changed since stage $id — re-stage")
+      staged.foreach { sg =>
+        require(curSchema.json == sg.baseSchemaJson,
+          s"$table's schema changed since stage ${sg.id} was written — " +
+            "publish would mix minting/vintage rules; re-stage the batch")
+        require(st.partCols == sg.partCols,
+          s"$table's partition spec changed since stage ${sg.id} — re-stage")
+      }
       // the AUDIT GATE: constraints as of NOW, scanned over the staged
       // rows only (once per distinct check set — a CAS retry against
       // an unchanged set need not rescan)
       if (st.checks.nonEmpty && !checkedAgainst.contains(st.checks)) {
-        enforceChecks(stagedFrame(spark, table, stagedSchema, newFiles),
-          table, st.checks)
+        staged.foreach(sg =>
+          enforceChecks(stagedFrame(spark, table, sg.schema, sg.files),
+            table, st.checks))
         checkedAgainst = Some(st.checks)
       }
       val next = st.version + 1L
-      val schema = org.apache.spark.sql.GraftBridge.mergeSchemas(
-        curSchema, stagedSchema)
+      val schema = staged.foldLeft(curSchema)((acc, sg) =>
+        org.apache.spark.sql.GraftBridge.mergeSchemas(acc, sg.schema))
+      val newFiles = staged.flatMap(_.files)
       val addvAll = st.addv ++ newFiles.map(_ -> next).toMap
       val files = st.files ++ newFiles
       val liveDels = st.dels.filter(d =>
         files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
       val content = manifestContent(schema,
-        st.txns + (wapMarker(id) -> 1L),
-        st.stats ++ newStats, files, st.blooms ++ newBlooms,
-        st.rows ++ newRows, st.partCols, op = "wap-publish",
+        st.txns ++ ids.map(wapMarker(_) -> 1L),
+        st.stats ++ staged.flatMap(_.stats), files,
+        st.blooms ++ staged.flatMap(_.blooms),
+        st.rows ++ staged.flatMap(_.rows), st.partCols, op = "wap-publish",
         cdf = st.cdf, mor = st.mor, dels = liveDels, addv = addvAll,
         checks = st.checks, props = st.props, retired = st.retired,
         pathpart = st.pathpart, aliases = st.aliases)
-      // abort hardening: the staged manifest must still exist at the
+      // abort hardening: every staged manifest must still exist at the
       // last moment — an abort deletes it FIRST, so this check shrinks
       // the publish/abort race to the gap between probe and CAS
-      require(ctx.util.exists(stagedManifestPath(table, id)),
-        s"stage $id was aborted while publishing")
+      ids.foreach(id =>
+        require(ctx.util.exists(stagedManifestPath(table, id)),
+          s"stage $id was aborted while publishing"))
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
         writePointer(ctx, table, next)
-        ctx.delete(stagedManifestPath(table, id), false)
+        ids.foreach(id => ctx.delete(stagedManifestPath(table, id), false))
         return next
       }
       attempt += 1
       backoff(attempt)
     }
     throw new IllegalStateException(
-      s"publish of stage $id on $table lost the manifest race 64 times")
+      s"publish of stages ${ids.mkString(",")} on $table lost the " +
+        "manifest race 64 times")
   }
 
   /** Discard stage `id`: drop its manifest (releasing the vacuum pin),

@@ -226,6 +226,35 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("publishStages lands several audited batches in ONE atomic commit") {
+    withZone { table =>
+      base(table)
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      val ida = TxnTable.stageAppend(
+        cust.filter($"c_custkey" > 50 && $"c_custkey" <= 60), table)
+      val idb = TxnTable.stageAppend(
+        cust.filter($"c_custkey" > 60 && $"c_custkey" <= 70), table)
+      val v0 = TxnTable.latestVersion(spark, table).get
+      val v = TxnTable.publishStages(spark, table, Seq(ida, idb))
+      assert(v == v0 + 1L, "two batches must cost exactly one version")
+      assert(TxnTable.read(spark, table).count() ==
+        cust.filter($"c_custkey" <= 70).count())
+      // no intermediate snapshot holds only one batch
+      assert(TxnTable.readVersion(spark, table, v0).count() ==
+        cust.filter($"c_custkey" <= 50).count())
+      // full-set replay heals; mixed-set replay refuses
+      assert(TxnTable.publishStages(spark, table, Seq(ida, idb)) == v)
+      val idc = TxnTable.stageAppend(
+        cust.filter($"c_custkey" > 70 && $"c_custkey" <= 75), table)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.publishStages(spark, table, Seq(ida, idc))
+      }
+      assert(e.getMessage.contains("already published separately"))
+      TxnTable.abortStage(spark, table, idc)
+    }
+  }
+
   test("identity tables refuse staging; missing stages fail loudly") {
     withZone { table =>
       val df = TxnTable.withIdentityColumn(
