@@ -1096,6 +1096,7 @@ object MultimodalOps {
   }
 
   val all: Seq[RQ] = Seq(
+    RQ("m71_video_keyframes", m71, Some(m71Sql)),
     RQ("m60_binary_meta", m60, Some(m60Sql)),
     RQ("m61_content_sniff", m61, Some(m61Sql)),
     RQ("m62_wav_frame_sample", m62, Some(m62Sql)),
@@ -1107,4 +1108,117 @@ object MultimodalOps {
     RQ("m68_phash_neardup", m68, Some(m68Sql)),
     RQ("m69_audio_neardup", m69, Some(m69Sql)),
     RQ("m70_incremental_image_dedup", m70, Some(m70Sql)))
+
+  // ---------------------------------------------------------------- m71
+  /** VIDEO KEYFRAME EXTRACTION by scene-change detection — the standard
+    * video pre-processing step for multimodal training data (sample
+    * one representative frame per scene instead of every frame). The
+    * "clip" is a REAL multi-frame container (m65's animated GIF — the
+    * one genuine video-shaped codec in the JDK): each document encodes
+    * 4 + doc_id % 3 frames whose content is constant WITHIN a scene
+    * (two frames per scene) and shifts wholesale at scene boundaries.
+    * The engine decodes every frame, fingerprints its pixel bytes, and
+    * emits a keyframe wherever the fingerprint CHANGES from the
+    * previous frame (frame 0 always keys) — all inside one
+    * mapPartitions pass (a clip's frames never straddle workers, so
+    * consecutive-frame comparison needs no shuffle; at 100 TB the unit
+    * of parallelism is the clip, exactly like production keyframing).
+    * The oracle states the scene boundaries from the closed-form
+    * construction WITHOUT parsing GIF: a wrong decode, fingerprint, or
+    * change detector mismatches frame counts or keyframe positions. */
+  private def m71(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Side = 8
+    val encoded: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        val ramp = Array.tabulate(256)(_.toByte)
+        val palette =
+          new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        it.map { id =>
+          val nFrames = (4 + id % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val scene = f / 2 // two frames per scene, content constant
+            val img = new java.awt.image.BufferedImage(Side, Side,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < Side) {
+              var x = 0
+              while (x < Side) {
+                raster.setSample(x, y, 0,
+                  ((id * 7 + scene * 53 + x * 3 + y * 11) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          (id, bos.toByteArray)
+        }
+      }
+    encoded
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var prev: String = null
+          val keys = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            val sb = new java.lang.StringBuilder()
+            var y = 0
+            while (y < Side) {
+              var x = 0
+              while (x < Side) {
+                sb.append(img.getRaster.getSample(x, y, 0)).append(',')
+                x += 1
+              }
+              y += 1
+            }
+            md.reset()
+            val fp = md.digest(sb.toString.getBytes("US-ASCII"))
+              .map("%02x".format(_)).mkString
+            if (prev == null || fp != prev) keys += f
+            prev = fp
+            f += 1
+          }
+          reader.dispose(); iis.close()
+          keys.zipWithIndex.map { case (kf, s) =>
+            (id, s.toLong, kf.toLong, n.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "scene_no", "key_frame", "n_frames")
+      .orderBy($"doc_id", $"scene_no")
+  }
+  // def, not val: defined after `all` in initialization order
+  private def m71Sql =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents),
+      |scenes AS (
+      |  SELECT doc_id, nf,
+      |    UNNEST(range(0, CAST(CEIL(nf / 2.0) AS BIGINT))) AS scene_no
+      |  FROM d)
+      |SELECT doc_id, CAST(scene_no AS BIGINT) AS scene_no,
+      |  CAST(scene_no * 2 AS BIGINT) AS key_frame,
+      |  CAST(nf AS BIGINT) AS n_frames
+      |FROM scenes ORDER BY doc_id, scene_no""".stripMargin
 }

@@ -1394,6 +1394,77 @@ object StreamingOps {
     }
   }
 
+  // ---------------------------------------------------------------- s73
+  /** STREAMING INGESTION WITH AN AUDIT GATE — write-audit-publish
+    * composed with Structured Streaming: each micro-batch STAGES
+    * instead of committing (TxnTable.stageAppend from foreachBatch),
+    * so the destination stays byte-identical to readers while the
+    * stream drains; the auditor then promotes the whole shift in ONE
+    * atomic publishStages commit. The production shape for "ingest
+    * continuously, expose only audited data" — checkpointed resume
+    * keeps exactly-once on the staging side, the publish markers keep
+    * it on the promotion side. REQUIREd: nothing is visible before
+    * the publish, and the promotion costs exactly one version. */
+  private def s73(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val root = java.nio.file.Files.createTempDirectory("graft_s73").toFile
+    try {
+      val src = s"${root.getAbsolutePath}/events_src"
+      val dst = s"${root.getAbsolutePath}/audited"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val ev = graft.io.Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      TxnTable.commitAppend(ev.filter($"event_id" % 2 === 0), src)
+      TxnTable.commitAppend(ev.filter($"event_id" % 2 === 1), src)
+      // the audited table exists (schema committed) but starts empty
+      TxnTable.commitOverwrite(ev.filter(lit(false)), dst,
+        statsCols = Seq("event_id"))
+      val v0 = TxnTable.latestVersion(spark, dst).get
+      val staged =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            staged.add(TxnTable.stageAppend(batch, dst,
+              statsCols = Seq("event_id")))
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ids = staged.toArray(Array.empty[String]).toSeq
+      require(ids.size == 2,
+        s"two source commits must stage as two micro-batches, got $ids")
+      require(TxnTable.read(spark, dst).count() == 0L,
+        "staged micro-batches must be invisible until the audit passes")
+      val v = TxnTable.publishStages(spark, dst, ids)
+      require(v == v0 + 1L,
+        "the shift promotion must cost exactly one version")
+      val result = TxnTable.read(spark, dst)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  private val s73Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("s50_stream_window_agg", s50, Some(s50Sql), bench = true),
     RQ("s51_session_windows", s51, Some(s51Sql)),
@@ -1419,7 +1490,8 @@ object StreamingOps {
     RQ("s71_stream_vs_retention", s71, Some(s71Sql)),
     // the oracle IS d47's: same derived workload, same final rule
     RQ("s72_stream_incremental_dedup", s72,
-      Some(graft.dedup.DedupOps.d47Sql)))
+      Some(graft.dedup.DedupOps.d47Sql)),
+    RQ("s73_stream_stage_publish", s73, Some(s73Sql)))
 
   // ---------------------------------------------------------------- s71
   /** LAGGING CONSUMER vs AGGRESSIVE VACUUM — the streaming receipt for
