@@ -158,7 +158,9 @@ class DmlFuzzSpec extends AnyFunSuite {
   test("concurrent DML equals its version-order serial replay (seeded)") {
     val threads = 4
     val opsPerThread = 4
-    val scenarios = 8 // 8 × 4 × 4 = 128 racing ops
+    // dev knob: GRAFT_DMLFUZZ_EXTRA widens the sweep for bug hunts
+    val scenarios = 8 + sys.env.get("GRAFT_DMLFUZZ_EXTRA")
+      .map(_.toInt).getOrElse(0) // 8 × 4 × 4 = 128 racing ops default
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(
         java.util.concurrent.Executors.newFixedThreadPool(threads))
@@ -233,7 +235,8 @@ class DmlFuzzSpec extends AnyFunSuite {
     // with the plain read (which itself must equal a serial replay).
     val threads = 4
     val opsPerThread = 4
-    val scenarios = 4
+    val scenarios = 4 + sys.env.get("GRAFT_DMLFUZZ_EXTRA")
+      .map(_.toInt).getOrElse(0)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(
         java.util.concurrent.Executors.newFixedThreadPool(threads))

@@ -37,7 +37,9 @@ class TagFuzzSpec extends AnyFunSuite {
     spark.read.format("graft").option("tagAsOf", name).load(table).count()
 
   test("tags pin through racing append/OPTIMIZE/VACUUM; drops release") {
-    (1 to 3).foreach { seed =>
+    // dev knob: GRAFT_TAGFUZZ_EXTRA widens the sweep for bug hunts
+    val extra = sys.env.get("GRAFT_TAGFUZZ_EXTRA").map(_.toInt).getOrElse(0)
+    (1 to (3 + extra)).foreach { seed =>
       val root = java.nio.file.Files.createTempDirectory("graft_tagfuzz").toFile
       val table = s"${root.getAbsolutePath}/t"
       try {

@@ -30,7 +30,10 @@ class WapFuzzSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("stage/publish/abort race appends, OPTIMIZE and VACUUM safely") {
-    (1 to 2).foreach { seed =>
+    // dev knob: GRAFT_WAPFUZZ_EXTRA=8 widens the seed sweep for long
+    // bug-hunting sessions without slowing the default suite
+    val extra = sys.env.get("GRAFT_WAPFUZZ_EXTRA").map(_.toInt).getOrElse(0)
+    (1 to (2 + extra)).foreach { seed =>
       val root = java.nio.file.Files.createTempDirectory("graft_wapfuzz").toFile
       val table = s"${root.getAbsolutePath}/t"
       try {
