@@ -1610,10 +1610,18 @@ object TxnTable {
       typeAt(fileSchema, c).flatMap(dt =>
         statKind(dt).map(k => (c, dt, k))))
     val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    // LEGACY rebase writes Julian-calendar day counts for pre-1582
+    // dates: the footer int differs from what the read-back computes
+    // on the rebased-back value, so dates are only footer-exact under
+    // the proleptic modes (CORRECTED, or EXCEPTION which refuses
+    // ancient dates at write time)
+    val proleptic = spark.conf.getOption(
+      "spark.sql.parquet.datetimeRebaseModeInWrite")
+      .forall(_.toUpperCase(java.util.Locale.ROOT) != "LEGACY")
     val eligible = tracked.forall {
       case (_, ByteType | ShortType | IntegerType | LongType |
                BooleanType, _) => true
-      case (_, DateType, _) => utc
+      case (_, DateType, _) => utc && proleptic
       case _ => false
     }
     if (!eligible) return None
@@ -2750,8 +2758,20 @@ object TxnTable {
 
   def stageAppend(df: DataFrame, table: String,
                   statsCols: Seq[String] = Nil,
-                  bloomCols: Seq[String] = Nil): String = {
+                  bloomCols: Seq[String] = Nil,
+                  stageId: Option[String] = None): String = {
     val spark = df.sparkSession
+    // IDEMPOTENT STAGING: a caller-supplied id (e.g. a streaming
+    // micro-batch's batchId) makes retries re-offer the SAME stage —
+    // an existing staged manifest under that id wins and the retry
+    // writes nothing, so a foreachBatch restart can neither stage a
+    // batch twice nor leak a pinned orphan under a fresh random id
+    stageId.foreach { sid =>
+      require(TagNameRe.matches(sid),
+        s"stage id '$sid' must match ${TagNameRe.regex}")
+      if (fc(spark).util.exists(stagedManifestPath(table, sid)))
+        return sid
+    }
     val st = latestState(spark, table).getOrElse(
       throw new IllegalStateException(
         s"stageAppend requires an existing snapshot in $table"))
@@ -2781,19 +2801,23 @@ object TxnTable {
       if (!FieldIds.hasIds(snapSchema)) dfg
       else FieldIds.stamp(dfg, FieldIds.assign(Some(snapSchema), dfg.schema,
         FieldIds.floorOf(st.retired)))
-    val (_, newFiles, newStats, newBlooms, newRows) =
+    val (dataDir, newFiles, newStats, newBlooms, newRows) =
       writeData(dfw, table, allStatsCols, bloomCols, st.partCols)
     val stagedSchema =
       org.apache.spark.sql.GraftBridge.mergeSchemas(snapSchema, dfw.schema)
-    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val id = stageId.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16))
     val content = manifestContent(stagedSchema, txns = Map.empty,
       stats = newStats, files = newFiles, blooms = newBlooms,
       rows = newRows, partCols = st.partCols, op = "staged",
       props = Map(WapBaseSchemaProp -> snapSchema.json,
         WapBaseVersionProp -> st.version.toString))
-    require(
-      tryCreateAtomic(fc(spark), stagedManifestPath(table, id), content),
-      s"staged manifest collision for $id")
+    if (!tryCreateAtomic(fc(spark), stagedManifestPath(table, id), content)) {
+      // two replicas staged the same id concurrently: the winner's
+      // manifest stands, this attempt's data dir is an orphan — drop it
+      require(stageId.isDefined, s"staged manifest collision for $id")
+      fc(spark).delete(new Path(s"$table/$dataDir"), true)
+    }
     id
   }
 
@@ -2880,18 +2904,20 @@ object TxnTable {
         rows: Map[String, Long], stats: Map[String, Seq[FileStat]],
         blooms: Map[String, Seq[BloomMeta]],
         schema: org.apache.spark.sql.types.StructType,
-        partCols: Seq[String], baseSchemaJson: String)
+        partCols: Seq[String], baseSchemaJson: String, baseVersion: String)
     val staged = ids.map { id =>
       val lines = stagedLines(spark, table, id)
       val (headers, fileLines) = lines.partition(_.startsWith("#"))
       val parsedFiles = fileLines.map(parseFileLine)
+      val props = parseProps(headers)
       Staged(id, parsedFiles.map(_._1),
         parsedFiles.collect { case (f, Some(n)) => f -> n }.toMap,
         parseStats(headers), parseBlooms(headers),
         parseSchema(headers).getOrElse(throw new IllegalStateException(
           s"staged manifest $id lacks a schema")),
         parsePartCols(headers),
-        parseProps(headers).getOrElse(WapBaseSchemaProp, ""))
+        props.getOrElse(WapBaseSchemaProp, ""),
+        props.getOrElse(WapBaseVersionProp, "?"))
     }
     var attempt = 0
     var checkedAgainst: Option[Map[String, String]] = None
@@ -2907,10 +2933,28 @@ object TxnTable {
         s"$table predates the schema log"))
       staged.foreach { sg =>
         require(curSchema.json == sg.baseSchemaJson,
-          s"$table's schema changed since stage ${sg.id} was written — " +
-            "publish would mix minting/vintage rules; re-stage the batch")
+          s"$table's schema changed since stage ${sg.id} was written " +
+            s"(staged at v${sg.baseVersion}) — publish would mix " +
+            "minting/vintage rules; re-stage the batch")
         require(st.partCols == sg.partCols,
           s"$table's partition spec changed since stage ${sg.id} — re-stage")
+      }
+      // FIELD-ID tables: a schema-evolving stage minted its fresh
+      // column ids against the shared base floor, so TWO evolving
+      // stages can carry the SAME id for different columns — an atomic
+      // publish would commit a schema with duplicate field ids and
+      // id-based resolution would serve one column's bytes for the
+      // other. Refuse the atomic form; published separately, the
+      // second stage hits the schema-changed rule above and re-stages
+      // against the evolved base.
+      if (FieldIds.hasIds(curSchema)) {
+        val evolving =
+          staged.filter(sg => sg.schema.json != sg.baseSchemaJson)
+        require(evolving.size <= 1,
+          s"stages ${evolving.map(_.id).mkString(", ")} each evolve the " +
+            s"schema of field-id table $table — their fresh column ids " +
+            "were minted against the same base and may collide; publish " +
+            "evolving stages separately")
       }
       // the AUDIT GATE: constraints as of NOW, scanned over the staged
       // rows only (once per distinct check set — a CAS retry against
@@ -2956,25 +3000,27 @@ object TxnTable {
         "manifest race 64 times")
   }
 
-  /** Discard stage `id`: drop its manifest (releasing the vacuum pin),
-    * then its data dirs. Refuses an already-published stage. */
+  /** Discard stage `id`: drop its manifest, which releases the vacuum
+    * pin — the data dirs then reclaim through the next retention pass
+    * as ordinary unreferenced orphans (the crashed-writer semantics).
+    * Abort deliberately deletes NO data itself: a publish that races
+    * past its last manifest-existence probe in the same instant then
+    * commits a snapshot whose files still exist — the race degrades to
+    * publish-wins or abort-wins, never to a snapshot referencing
+    * deleted bytes. Refuses an already-published stage. */
   def abortStage(spark: SparkSession, table: String, id: String): Unit = {
     val ctx = fc(spark)
     def published: Boolean =
       latestState(spark, table).exists(_.txns.contains(wapMarker(id)))
     require(!published, s"stage $id already published to $table")
-    val lines = stagedLines(spark, table, id)
-    val files = lines.filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+    // existence check with the standard missing-stage error
+    stagedLines(spark, table, id)
     ctx.delete(stagedManifestPath(table, id), false)
-    // publish re-checks manifest existence immediately before its CAS;
-    // if one still won that ms-window, the files are chain-referenced
-    // now — keep them and refuse, exactly like a late publish would
     if (published)
       throw new IllegalStateException(
-        s"stage $id published while aborting — its data is live; the " +
-          "staged manifest alone was removed")
-    files.map(f => f.substring(0, f.indexOf('/'))).distinct
-      .foreach(d => ctx.delete(new Path(s"$table/$d"), true))
+        s"stage $id published while aborting — its rows are live; only " +
+          "the now-redundant staged manifest was removed")
+    ()
   }
 
   /** DATA-SKIPPING read: the latest snapshot's rows with `column` in
@@ -5316,7 +5362,10 @@ object TxnTable {
         (cur.filterNot(prev.toSet), prev.filterNot(cur.toSet))
       }
     op match {
-      case Some("append") => CommitChanges(v, "append", added, Nil, Nil)
+      // a WAP publish is a pure by-reference append of the staged
+      // files — it classifies exactly like one in the change feed
+      case Some(o @ ("append" | "wap-publish")) =>
+        CommitChanges(v, o, added, Nil, Nil)
       case Some("overwrite") =>
         // an overwrite IS delete-all + insert-all; both sides derive
         // lazily from the file diff (TRUNCATE is the added-empty case)
@@ -7202,22 +7251,14 @@ object TxnTable {
       // a crashed writer's orphan. Publish/abort delete the staged
       // manifest, releasing the pin — published files are then pinned
       // by the chain itself.
-      val stagedRefs: Set[String] = {
-        val sd = new Path(s"$table/$StagedDir")
-        if (!ctx.util.exists(sd)) Set.empty
-        else {
-          val buf = Set.newBuilder[String]
-          val it = ctx.listStatus(sd)
-          while (it.hasNext) {
-            val e = it.next()
-            if (!e.isDirectory && e.getPath.getName.endsWith(".manifest"))
-              readSmall(ctx, e.getPath).split("\n").toSeq.map(_.trim)
-                .filter(l => l.nonEmpty && !l.startsWith("#"))
-                .foreach(l => buf += parseFileLine(l)._1)
-          }
-          buf.result()
-        }
-      }
+      val stagedRefs: Set[String] =
+        stagedIds(spark, table).flatMap { id =>
+          // a stage published/aborted since the listing: its pin is
+          // gone, nothing to protect — tolerate the vanished manifest
+          try stagedLines(spark, table, id)
+            .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        }.toSet
       val referencedEarly = referencedEarly0 ++ refsOf(rescued) ++ stagedRefs
       dropped.foreach(v => reap(new Path(table, manifestName(v)), false))
       // reclamation is FILE-driven, not version-driven: append lineage

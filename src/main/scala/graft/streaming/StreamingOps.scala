@@ -1401,10 +1401,13 @@ object StreamingOps {
     * so the destination stays byte-identical to readers while the
     * stream drains; the auditor then promotes the whole shift in ONE
     * atomic publishStages commit. The production shape for "ingest
-    * continuously, expose only audited data" — checkpointed resume
-    * keeps exactly-once on the staging side, the publish markers keep
-    * it on the promotion side. REQUIREd: nothing is visible before
-    * the publish, and the promotion costs exactly one version. */
+    * continuously, expose only audited data". Exactly-once staging
+    * comes from the DETERMINISTIC stage id (the micro-batch's
+    * batchId): a foreachBatch retry or restart re-offers the same id
+    * and stageAppend returns the existing stage instead of writing a
+    * second one; the publish markers keep the promotion side
+    * exactly-once. REQUIREd: nothing is visible before the publish,
+    * and the promotion costs exactly one version. */
   private def s73(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.io.TxnTable
@@ -1429,9 +1432,10 @@ object StreamingOps {
         .option("checkpointLocation", checkpoint)
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
+           batchId: Long) =>
             staged.add(TxnTable.stageAppend(batch, dst,
-              statsCols = Seq("event_id")))
+              statsCols = Seq("event_id"),
+              stageId = Some(s"batch$batchId")))
             ()
         }
         .trigger(Trigger.AvailableNow())

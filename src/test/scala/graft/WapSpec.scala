@@ -255,6 +255,88 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("the typed change feed classifies a publish as plain inserts") {
+    withZone { table =>
+      base(table)
+      val vPre = TxnTable.latestVersion(spark, table).get
+      val batch = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 62)
+      val id = TxnTable.stageAppend(batch, table)
+      TxnTable.publishStage(spark, table, id)
+      // the op-classified feed (commitChanges), not just the file diff
+      val cf = TxnTable.changeFeed(spark, table, vPre)
+      assert(cf.filter($"_change_type" === "insert").count() ==
+        batch.count())
+      assert(cf.filter($"_change_type" =!= "insert").count() == 0L)
+    }
+  }
+
+  test("idempotent stage ids: a retried micro-batch re-offers one stage") {
+    withZone { table =>
+      base(table)
+      val n0 = TxnTable.read(spark, table).count()
+      val batch = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .filter($"c_custkey" > 50 && $"c_custkey" <= 58)
+      val id1 = TxnTable.stageAppend(batch, table, stageId = Some("b7"))
+      // the retry after a crash between stage and checkpoint
+      val id2 = TxnTable.stageAppend(batch, table, stageId = Some("b7"))
+      assert(id1 == "b7" && id2 == "b7")
+      assert(TxnTable.stagedIds(spark, table) == Seq("b7"))
+      TxnTable.publishStage(spark, table, "b7")
+      assert(TxnTable.read(spark, table).count() == n0 + batch.count(),
+        "the retried batch must land exactly once")
+    }
+  }
+
+  test("abort releases the pin; the orphaned data reclaims on vacuum") {
+    withZone { table =>
+      base(table)
+      val n0 = TxnTable.read(spark, table).count()
+      val id = TxnTable.stageAppend(
+        Tables.customer(spark, Spec.sf0001)
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+          .filter($"c_custkey" > 50 && $"c_custkey" <= 60), table)
+      TxnTable.abortStage(spark, table, id)
+      // abort deletes no data itself (the publish/abort race must
+      // never leave a snapshot referencing deleted bytes) — the next
+      // retention pass reclaims the unpinned orphan
+      TxnTable.vacuum(spark, table, keep = 0)
+      assert(TxnTable.vacuumDryRun(spark, table, keep = 0).isEmpty,
+        "the aborted stage's files must be reclaimable orphans")
+      assert(TxnTable.read(spark, table).count() == n0)
+    }
+  }
+
+  test("field-id tables refuse an atomic publish of two evolving stages") {
+    withZone { table =>
+      val cust = Tables.customer(spark, Spec.sf0001)
+        .select($"c_custkey", $"c_acctbal")
+      TxnTable.commitOverwrite(
+        TxnTable.withFieldIds(cust.filter($"c_custkey" <= 50)), table)
+      val a = TxnTable.stageAppend(
+        cust.filter($"c_custkey" > 50 && $"c_custkey" <= 55)
+          .withColumn("xa", lit(1L)), table)
+      val b = TxnTable.stageAppend(
+        cust.filter($"c_custkey" > 55 && $"c_custkey" <= 60)
+          .withColumn("yb", lit(2L)), table)
+      // both minted their new column's id from the same base floor —
+      // an atomic publish would commit duplicate field ids
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.publishStages(spark, table, Seq(a, b))
+      }
+      assert(e.getMessage.contains("minted against the same base"))
+      // published separately: the second hits the schema-changed rule
+      TxnTable.publishStage(spark, table, a)
+      val e2 = intercept[IllegalArgumentException] {
+        TxnTable.publishStage(spark, table, b)
+      }
+      assert(e2.getMessage.contains("schema changed"))
+      TxnTable.abortStage(spark, table, b)
+    }
+  }
+
   test("identity tables refuse staging; missing stages fail loudly") {
     withZone { table =>
       val df = TxnTable.withIdentityColumn(
