@@ -2735,7 +2735,8 @@ object TxnTable {
     * enforced, not trusted). The publish carries an idempotent txn
     * marker (`graft.wap.<id>`): replays and retries return the
     * already-published version instead of double-appending.
-    * [[abortStage]] deletes the staged manifest, then its data files.
+    * [[abortStage]] drops only the staged manifest (the pin); data
+    * reclaims as orphans on the next retention pass.
     *
     * Fail-closed scope rules: staging requires an existing snapshot;
     * IDENTITY tables refuse staging (value minting must serialize
