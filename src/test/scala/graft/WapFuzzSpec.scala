@@ -73,11 +73,21 @@ class WapFuzzSpec extends AnyFunSuite {
               assert(TxnTable.read(spark, table)
                 .filter($"k" >= base && $"k" < base + 4L).count() == 0L)
               Thread.sleep(rnd.nextInt(25).toLong)
-              if (rnd.nextBoolean()) {
-                TxnTable.publishStage(spark, table, id)
-                rows.foreach(landed.add)
-              } else
-                TxnTable.abortStage(spark, table, id)
+              rnd.nextInt(3) match {
+                case 0 => // single publish
+                  TxnTable.publishStage(spark, table, id)
+                  rows.foreach(landed.add)
+                case 1 => // atomic PAIR promotion under the same races
+                  val base2 = base + 100L
+                  val rows2 =
+                    (0L until 3L).map(j => (base2 + j, base2 + j))
+                  val id2 = TxnTable.stageAppend(rows2.toDF("k", "v"),
+                    table, statsCols = Seq("k"))
+                  TxnTable.publishStages(spark, table, Seq(id, id2))
+                  rows.foreach(landed.add); rows2.foreach(landed.add)
+                case _ =>
+                  TxnTable.abortStage(spark, table, id)
+              }
             }
           }
         }
