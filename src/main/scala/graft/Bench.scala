@@ -110,26 +110,27 @@ object Bench {
       "per-ingest commit latency the incremental keys pay " +
       "(FooterStatsSpec pins fast==slow stat-for-stat and proves " +
       "engagement by job count; GRAFT_D52_PROF receipt: the labels " +
-      "overwrite commit fell 0.5 -> 0.14 s). Quiet-host focused mins " +
-      "after the change: d47 7.05 (r16 7.30), d49 6.84 (7.02), d51 " +
-      "6.26 (6.89), d52 13.42 (r17-interim 14.5). CROSS-ROUND " +
-      "CAVEAT: this builder host carries variable ambient load this " +
-      "round - IDENTICAL-code control keys (t30, q01, k123) drifted " +
-      "+5-10% between full-set runs minutes apart and d47 spanned " +
-      "7.05-8.11 across focused runs, so read per-key deltas vs r16 " +
-      "against that floor, not as code regressions (the footer path " +
-      "never changes plans, only removes a driver-side job; the " +
-      "escape hatch graft.stats.footerFastPath=false restores r16 " +
-      "behavior bit-for-bit). d52 (FOUR ingests, commit-count-bound; " +
-      "batches contract graphs sized by the batch, never the corpus) " +
-      "and t55 (BM25 ranked retrieval: broadcast query terms, " +
-      "TakeOrdered top-k, decimal-stabilized ln) are the round's new " +
-      "bench keys. New non-bench surface: e62 hybrid RRF retrieval, " +
+      "overwrite commit fell 0.5 -> 0.14 s). Builder quiet-host " +
+      "full-set run (load 0.5): COMMON-SET 50.88 s vs r16 57.29 = " +
+      "0.888x - d47 6.35 (r16 7.30), d49 6.13 (7.02), d51 6.10 " +
+      "(6.89), k106 0.70 (1.06), e59 0.83 (1.21), every other common " +
+      "key flat-or-better except c61 +11% (0.40 vs 0.36, jitter-" +
+      "sized). CAVEAT: this host's ambient load varies - under load " +
+      "the same binaries measured 1.07x on identical-code control " +
+      "keys (t30/q01/k123), so read per-key deltas against the " +
+      "controls; the escape hatch graft.stats.footerFastPath=false " +
+      "restores r16 commit behavior bit-for-bit. d52 (FOUR ingests, " +
+      "commit-count-bound; batches contract graphs sized by the " +
+      "batch, never the corpus; quiet-host 12.30) and t55 (BM25 " +
+      "ranked retrieval: broadcast query terms, TakeOrdered top-k, " +
+      "decimal-stabilized ln; 0.75) are the round's new bench keys. " +
+      "New non-bench surface: e62 hybrid RRF, t56 incremental BM25 " +
+      "index (pruned term probes + in-query compaction equivalence), " +
       "d53 incremental decontamination (delta-gram retroactive purge " +
-      "by deletion vector), s72 streaming-driven d47 maintenance " +
-      "(foreachBatch, d47's own oracle), k164 write-audit-publish " +
-      "(staged commits outside the version chain, vacuum-pinned, " +
-      "published by reference with idempotent markers)."
+      "by deletion vector), e63 ANN under deletion vectors, s72/s73 " +
+      "streaming-driven dedup maintenance and stage-then-publish, " +
+      "k164/k165 write-audit-publish incl. atomic multi-batch " +
+      "promotion, m71 video keyframe extraction."
     println(s"""{"metric":"total","spread":$spread,"samples":$samplesJson,"notes":"$notes","value":${j(total)},"unit":"sec","noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf,"queries":$qs}""")
     spark.stop()
   }
