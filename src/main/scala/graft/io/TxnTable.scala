@@ -2772,6 +2772,15 @@ object TxnTable {
         s"stage id '$sid' must match ${TagNameRe.regex}")
       if (fc(spark).util.exists(stagedManifestPath(table, sid)))
         return sid
+      // an id that EVER published must refuse: its txn marker makes
+      // any later publish a replay no-op, so fresh data staged under
+      // it would be silently discarded — the restarted-from-scratch
+      // checkpoint case should fail loudly, not lose a batch
+      require(!latestState(spark, table)
+          .exists(_.txns.contains(wapMarker(sid))),
+        s"stage id '$sid' was already published to $table — a replay " +
+          "re-offers the same content by keeping its manifest; NEW " +
+          "data needs a new id")
     }
     val st = latestState(spark, table).getOrElse(
       throw new IllegalStateException(
@@ -3006,9 +3015,15 @@ object TxnTable {
     * as ordinary unreferenced orphans (the crashed-writer semantics).
     * Abort deliberately deletes NO data itself: a publish that races
     * past its last manifest-existence probe in the same instant then
-    * commits a snapshot whose files still exist — the race degrades to
-    * publish-wins or abort-wins, never to a snapshot referencing
-    * deleted bytes. Refuses an already-published stage. */
+    * commits a snapshot whose files still exist — the abort/publish
+    * race alone degrades to publish-wins or abort-wins, never to a
+    * snapshot referencing deleted bytes. The residual THREE-way
+    * window (publish passes its probe, then abort releases the pin
+    * AND a retention-0 vacuum reaps the dirs, all before publish's
+    * CAS) is governed by the same rule as every concurrent-writer
+    * vacuum: run retention with `retainMs` at least your job latency
+    * (the TagFuzz/Delta rule) and the age gate protects the gap.
+    * Refuses an already-published stage. */
   def abortStage(spark: SparkSession, table: String, id: String): Unit = {
     val ctx = fc(spark)
     def published: Boolean =
@@ -7254,11 +7269,18 @@ object TxnTable {
       // by the chain itself.
       val stagedRefs: Set[String] =
         stagedIds(spark, table).flatMap { id =>
-          // a stage published/aborted since the listing: its pin is
-          // gone, nothing to protect — tolerate the vanished manifest
           try stagedLines(spark, table, id)
             .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
-          catch { case scala.util.control.NonFatal(_) => Nil }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              // tolerate ONLY a stage resolved (published/aborted)
+              // since the listing — its pin is gone. Any other read
+              // failure fails the vacuum CLOSED: an unREADABLE pin is
+              // still a pin, and dropping it would let the sweep reap
+              // a live stage's files
+              if (ctx.util.exists(stagedManifestPath(table, id))) throw e
+              Nil
+          }
         }.toSet
       val referencedEarly = referencedEarly0 ++ refsOf(rescued) ++ stagedRefs
       dropped.foreach(v => reap(new Path(table, manifestName(v)), false))

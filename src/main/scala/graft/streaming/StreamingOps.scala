@@ -1402,11 +1402,12 @@ object StreamingOps {
     * stream drains; the auditor then promotes the whole shift in ONE
     * atomic publishStages commit. The production shape for "ingest
     * continuously, expose only audited data". Exactly-once staging
-    * comes from the DETERMINISTIC stage id (the micro-batch's
-    * batchId): a foreachBatch retry or restart re-offers the same id
-    * and stageAppend returns the existing stage instead of writing a
-    * second one; the publish markers keep the promotion side
-    * exactly-once. REQUIREd: nothing is visible before the publish,
+    * comes from the DETERMINISTIC stage id — (checkpoint-hash,
+    * batchId), Delta's txnAppId+version shape: stable across restarts
+    * of THIS query (a foreachBatch retry re-offers the same id and
+    * stageAppend returns the existing stage) yet distinct across
+    * queries sharing a destination; the publish markers keep the
+    * promotion side exactly-once. REQUIREd: nothing is visible before the publish,
     * and the promotion costs exactly one version. */
   private def s73(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1426,6 +1427,12 @@ object StreamingOps {
       val v0 = TxnTable.latestVersion(spark, dst).get
       val staged =
         new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // the per-query discriminator: stable across restarts of this
+      // checkpoint, unique to it — two streams feeding one audited
+      // table can never collide on batch ordinals
+      val qTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
       val q = spark.readStream.format("graft")
         .option("maxVersionsPerTrigger", "1").load(src)
         .writeStream
@@ -1435,7 +1442,7 @@ object StreamingOps {
            batchId: Long) =>
             staged.add(TxnTable.stageAppend(batch, dst,
               statsCols = Seq("event_id"),
-              stageId = Some(s"batch$batchId")))
+              stageId = Some(s"q$qTag-b$batchId")))
             ()
         }
         .trigger(Trigger.AvailableNow())

@@ -287,6 +287,13 @@ class WapSpec extends AnyFunSuite {
       TxnTable.publishStage(spark, table, "b7")
       assert(TxnTable.read(spark, table).count() == n0 + batch.count(),
         "the retried batch must land exactly once")
+      // an id that EVER published refuses fresh data: a later publish
+      // would replay-heal and silently discard it (the restarted-from-
+      // scratch checkpoint case must fail loudly, not lose a batch)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.stageAppend(batch, table, stageId = Some("b7"))
+      }
+      assert(e.getMessage.contains("already published"))
     }
   }
 
