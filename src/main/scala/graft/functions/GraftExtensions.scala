@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_partitions"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_partitions"),
       graft.plans.GraftTableFunctions.partitions _))
+    e.injectTableFunction((FunctionIdentifier("graft_stages"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_stages"),
+      graft.plans.GraftTableFunctions.stages _))
     e.injectTableFunction((FunctionIdentifier("graft_snapshot_diff"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_snapshot_diff"),
       graft.plans.GraftTableFunctions.snapshotDiff _))

@@ -2845,6 +2845,27 @@ object TxnTable {
     buf.sorted.toSeq
   }
 
+  /** One row per pending stage: (id, fileCount, rowCount, stage-time
+    * base version) — the auditor's listing (SHOW STAGES / the
+    * graft_stages table function). A stage resolved mid-listing is
+    * simply absent. */
+  def stagedSummaries(spark: SparkSession, table: String)
+      : Seq[(String, Long, Long, Option[Long])] =
+    stagedIds(spark, table).flatMap { id =>
+      try {
+        val lines = stagedLines(spark, table, id)
+        val (headers, fileLines) = lines.partition(_.startsWith("#"))
+        val parsed = fileLines.map(parseFileLine)
+        Some((id, parsed.size.toLong, parsed.flatMap(_._2).sum,
+          parseProps(headers).get(WapBaseVersionProp)
+            .flatMap(_.toLongOption)))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (fc(spark).util.exists(stagedManifestPath(table, id))) throw e
+          None // published/aborted since the listing
+      }
+    }
+
   private def stagedLines(spark: SparkSession, table: String,
                           id: String): Seq[String] = {
     val ctx = fc(spark)

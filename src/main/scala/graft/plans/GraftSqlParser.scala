@@ -126,6 +126,10 @@ object GraftSqlParser {
   // grammar owns the statement for v1 catalog tables)
   private val ShowPartitionsStmt =
     """(?is)\s*SHOW\s+PARTITIONS\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
+  // SHOW STAGES — the write-audit-publish auditor's pending-stage
+  // listing (graft-only statement; no Spark grammar to defer to)
+  private val ShowStagesStmt =
+    """(?is)\s*SHOW\s+STAGES\s+(?:ON\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   // ALTER TABLE family — intercepted ONLY when the target is a graft
   // table (quoted path, or identifier resolving to provider=graft);
   // every other ALTER TABLE falls through to Spark's own grammar.
@@ -275,6 +279,10 @@ object GraftSqlParser {
             resolveTarget(SparkSession.active, target)))))
       case DetailStmt(target) =>
         Some(GraftTableFunctions.detail(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            resolveTarget(SparkSession.active, target)))))
+      case ShowStagesStmt(target) if graftTarget(target) =>
+        Some(GraftTableFunctions.stages(Seq(
           org.apache.spark.sql.catalyst.expressions.Literal(
             resolveTarget(SparkSession.active, target)))))
       case ShowPartitionsStmt(target) if graftTarget(target) =>

@@ -303,6 +303,34 @@ object GraftTableFunctions {
     LocalRelation(out, data)
   }
 
+  /** `graft_stages(path)` — the write-audit-publish auditor's listing:
+    * pending stages with file/row counts and their stage-time base
+    * versions. Bounded by the pending-stage count, metadata-only →
+    * LocalRelation, exactly like graft_history. */
+  def stages(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_stages(path)")
+    val table = str(exprs.head, "path")
+    val spark = SparkSession.active
+    val out = Seq(
+      AttributeReference("stage_id", StringType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("n_rows", LongType, nullable = false)(),
+      AttributeReference("base_version", LongType, nullable = true)())
+    val data = TxnTable.stagedSummaries(spark, table)
+      .map { case (id, nf, nr, bv) =>
+        val r = new GenericInternalRow(4)
+        r.update(0, UTF8String.fromString(id))
+        r.setLong(1, nf)
+        r.setLong(2, nr)
+        bv match {
+          case Some(v) => r.setLong(3, v)
+          case None => r.setNullAt(3)
+        }
+        r: InternalRow
+      }
+    LocalRelation(out, data)
+  }
+
   /** `graft_changes(path, start[, end])` — the change-feed relation,
     * (start, end] half-open like the reader options; end defaults to
     * the latest version at plan time. */

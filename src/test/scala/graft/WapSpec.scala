@@ -50,6 +50,13 @@ class WapSpec extends AnyFunSuite {
       val audit = TxnTable.readStaged(spark, table, id)
       assert(audit.count() == n0 + batch.count())
       assert(TxnTable.stagedIds(spark, table) == Seq(id))
+      // the auditor's SQL listing: SHOW STAGES / graft_stages agree
+      val shown = spark.sql(s"SHOW STAGES ON '$table'").collect()
+      assert(shown.length == 1 && shown(0).getString(0) == id &&
+        shown(0).getLong(2) == batch.count() &&
+        shown(0).getLong(3) == v1)
+      assert(spark.sql(s"SELECT * FROM graft_stages('$table')")
+        .collect().map(_.getString(0)).toSeq == Seq(id))
       // publish: files carry BY REFERENCE (no rewrite)
       val before = TxnTable.snapshotFiles(spark, table, v1).toSet
       val v2 = TxnTable.publishStage(spark, table, id)
