@@ -1649,10 +1649,19 @@ object TxnTable {
               var nulls = 0L
               var any = false
               blocks.foreach { b =>
-                val chunk = b.getColumns.asScala.find(
-                  _.getPath.toDotString
-                    .toLowerCase(java.util.Locale.ROOT) == want)
-                  .getOrElse(throw Inexact)
+                // bind case-sensitively first; only an UNAMBIGUOUS
+                // case-insensitive fallback is allowed — two chunk
+                // paths folding to the same name (legal under
+                // spark.sql.caseSensitive=true) would record one
+                // column's min/max as the other's EXACT stats, so
+                // ambiguity bails to the distributed pass
+                val cols = b.getColumns.asScala
+                val chunk = cols.find(_.getPath.toDotString == c)
+                  .getOrElse {
+                    val ci = cols.filter(_.getPath.toDotString
+                      .toLowerCase(java.util.Locale.ROOT) == want)
+                    if (ci.size == 1) ci.head else throw Inexact
+                  }
                 val st = chunk.getStatistics
                 if (st == null || st.isEmpty || st.getNumNulls < 0L)
                   throw Inexact
@@ -2756,6 +2765,31 @@ object TxnTable {
   private def wapMarker(id: String) = s"graft.wap.$id"
   private val WapBaseSchemaProp = "graft.wap.baseSchema"
   private val WapBaseVersionProp = "graft.wap.baseVersion"
+  /** BATCH-SHAPED stage ids (`<prefix>-b<ordinal>` — the s73
+    * streaming spelling, one stage per micro-batch) collapse their
+    * publish markers into ONE per-prefix high-water entry
+    * (`graft.wapseq.<prefix>` → max published ordinal), the same
+    * appId→max-batch shape the txn sink uses: a continuous-ingest
+    * table's manifest carries one line per QUERY, not one per batch,
+    * preserving O(metadata) commits over the table's lifetime. The
+    * reuse refusal becomes `ordinal <= high-water` — exactly Delta's
+    * txnAppId+version monotonicity, so batch-shaped stages of one
+    * prefix must PUBLISH in non-decreasing ordinal order (publishing
+    * {5} after {7} is refused loudly, never silently replay-dropped).
+    * Ad-hoc (non-batch-shaped) ids keep per-id markers — bounded by
+    * human activity, not stream length. */
+  private val BatchStageRe = "^(.+)-b([0-9]+)$".r
+  private def batchShaped(id: String): Option[(String, Long)] = id match {
+    case BatchStageRe(prefix, n) =>
+      scala.util.Try(n.toLong).toOption.map(prefix -> _)
+    case _ => None
+  }
+  private def seqMarker(prefix: String) = s"graft.wapseq.$prefix"
+  /** Has stage `id` (or, for batch-shaped ids, this ordinal or a
+    * later one of its prefix) already published into `txns`? */
+  private def wapPublished(txns: Map[String, Long], id: String): Boolean =
+    txns.contains(wapMarker(id)) || batchShaped(id).exists {
+      case (p, n) => txns.get(seqMarker(p)).exists(_ >= n) }
 
   def stageAppend(df: DataFrame, table: String,
                   statsCols: Seq[String] = Nil,
@@ -2770,17 +2804,32 @@ object TxnTable {
     stageId.foreach { sid =>
       require(TagNameRe.matches(sid),
         s"stage id '$sid' must match ${TagNameRe.regex}")
+      // an id that EVER published must refuse — BEFORE the idempotent
+      // manifest-exists re-offer: a publisher that crashed between its
+      // CAS and the manifest cleanup leaves BOTH the marker and the
+      // staged manifest, and a checkpoint restarted from scratch
+      // reusing the id would otherwise get a silent early return that
+      // discards its new batch (the exact loss the refusal prevents).
+      // Its txn marker makes any later publish a replay no-op, so
+      // fresh data staged under it must fail loudly, not quietly.
+      val txns =
+        latestState(spark, table).map(_.txns).getOrElse(Map.empty)
+      if (wapPublished(txns, sid)) {
+        // when the publish was unambiguously of THIS id (per-id
+        // marker, not just a batch-prefix high-water mark), the
+        // leftover staged manifest is crash residue — reap it so the
+        // vacuum pin releases; the refusal below still fires
+        if (txns.contains(wapMarker(sid)) &&
+            fc(spark).util.exists(stagedManifestPath(table, sid)))
+          fc(spark).delete(stagedManifestPath(table, sid), false)
+        throw new IllegalArgumentException(
+          s"stage id '$sid' was already published to $table — a " +
+            "replay re-offers the same content by keeping its " +
+            "manifest; NEW data needs a new id (batch-shaped ids " +
+            "must carry a strictly increasing ordinal)")
+      }
       if (fc(spark).util.exists(stagedManifestPath(table, sid)))
         return sid
-      // an id that EVER published must refuse: its txn marker makes
-      // any later publish a replay no-op, so fresh data staged under
-      // it would be silently discarded — the restarted-from-scratch
-      // checkpoint case should fail loudly, not lose a batch
-      require(!latestState(spark, table)
-          .exists(_.txns.contains(wapMarker(sid))),
-        s"stage id '$sid' was already published to $table — a replay " +
-          "re-offers the same content by keeping its manifest; NEW " +
-          "data needs a new id")
     }
     val st = latestState(spark, table).getOrElse(
       throw new IllegalStateException(
@@ -2918,12 +2967,36 @@ object TxnTable {
       s"publishStages needs a non-empty set of distinct stage ids")
     val ctx = fc(spark)
     def replayed(st: State): Boolean = {
-      val present = ids.filter(id => st.txns.contains(wapMarker(id)))
+      val present = ids.filter(id => wapPublished(st.txns, id))
       require(present.isEmpty || present.size == ids.size,
         s"stages ${present.mkString(",")} already published separately " +
           s"from ${(ids.toSet -- present).mkString(",")} — an atomic " +
           "replay must offer the same set")
-      present.size == ids.size
+      if (present.size != ids.size) return false
+      // batch-shaped ids publish via a per-prefix HIGH-WATER marker,
+      // so "published" is ambiguous while a staged manifest still
+      // exists: a crashed publisher's true replay (files already in
+      // the snapshot) vs an out-of-order publish of a SKIPPED lower
+      // ordinal (new data a silent replay-return would discard).
+      // Verify by file membership and refuse the skipped-batch case
+      // loudly. Residual: a true replay arriving AFTER a compaction
+      // rewrote the published files also refuses (its data is live;
+      // nothing is lost) — the operator drops the stale manifest.
+      val live = st.files.toSet
+      ids.foreach { id =>
+        if (batchShaped(id).isDefined &&
+            !st.txns.contains(wapMarker(id)) &&
+            ctx.util.exists(stagedManifestPath(table, id))) {
+          val files = stagedLines(spark, table, id)
+            .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+          require(files.forall(live.contains),
+            s"stage $id sits below its prefix's published high-water " +
+              s"ordinal on $table but its files are not in the " +
+              "snapshot — batch-shaped stages must publish in " +
+              "non-decreasing ordinal order; re-stage under a fresh id")
+        }
+      }
+      true
     }
     // an already-published replay heals itself: return the version,
     // drop the now-redundant staged manifests
@@ -3004,8 +3077,15 @@ object TxnTable {
       val files = st.files ++ newFiles
       val liveDels = st.dels.filter(d =>
         files.exists(f => addvAll.getOrElse(f, 0L) < d.version))
+      // batch-shaped ids fold into their prefix's high-water entry;
+      // ad-hoc ids keep per-id markers (see batchShaped)
+      val (batched, plain) =
+        ids.partition(id => batchShaped(id).isDefined)
+      val seqUpdates = batched.flatMap(batchShaped).groupBy(_._1).map {
+        case (p, xs) => seqMarker(p) -> math.max(
+          st.txns.getOrElse(seqMarker(p), -1L), xs.map(_._2).max) }
       val content = manifestContent(schema,
-        st.txns ++ ids.map(wapMarker(_) -> 1L),
+        st.txns ++ plain.map(wapMarker(_) -> 1L) ++ seqUpdates,
         st.stats ++ staged.flatMap(_.stats), files,
         st.blooms ++ staged.flatMap(_.blooms),
         st.rows ++ staged.flatMap(_.rows), st.partCols, op = "wap-publish",
@@ -3047,13 +3127,27 @@ object TxnTable {
     * Refuses an already-published stage. */
   def abortStage(spark: SparkSession, table: String, id: String): Unit = {
     val ctx = fc(spark)
-    def published: Boolean =
+    // batch-shaped ids below their prefix's high-water marker are only
+    // AMBIGUOUSLY published (crash residue vs a skipped ordinal whose
+    // rows never landed) — aborting a skipped batch is the documented
+    // remedy, so the hard refusal binds to the per-id marker and the
+    // live check below settles the ambiguity by file membership
+    def publishedExact: Boolean =
       latestState(spark, table).exists(_.txns.contains(wapMarker(id)))
-    require(!published, s"stage $id already published to $table")
+    require(!publishedExact, s"stage $id already published to $table")
     // existence check with the standard missing-stage error
-    stagedLines(spark, table, id)
+    val lines = stagedLines(spark, table, id)
+    def liveResidue: Boolean = batchShaped(id).isDefined &&
+      latestState(spark, table).exists { st =>
+        wapPublished(st.txns, id) && {
+          val files =
+            lines.filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+          files.nonEmpty && files.forall(st.files.toSet.contains)
+        }
+      }
+    val residue = liveResidue
     ctx.delete(stagedManifestPath(table, id), false)
-    if (published)
+    if (publishedExact || residue)
       throw new IllegalStateException(
         s"stage $id published while aborting — its rows are live; only " +
           "the now-redundant staged manifest was removed")

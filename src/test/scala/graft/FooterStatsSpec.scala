@@ -38,20 +38,23 @@ class FooterStatsSpec extends AnyFunSuite {
   private def both(zone: String, df: DataFrame, statsCols: Seq[String])
       : (Seq[(Seq[TxnTable.FileStat], Long)],
          Seq[(Seq[TxnTable.FileStat], Long)], Int, Int) = {
-    var jobs = 0
+    // incremented from the listener-bus thread, reset/read from the
+    // test thread — atomic, or the jFast < jSlow proof can go flaky
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
     }
     def run(table: String, knob: String): (Seq[(Seq[TxnTable.FileStat], Long)], Int) = {
       spark.conf.set("graft.stats.footerFastPath", knob)
       try {
         spark.sparkContext.addSparkListener(listener)
-        jobs = 0
+        jobs.set(0)
         val v = TxnTable.commitOverwrite(df, table, statsCols = statsCols)
         org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
-        val n = jobs
+        val n = jobs.get()
         spark.sparkContext.removeSparkListener(listener)
         val stats = TxnTable.fileStats(spark, table, v)
         val rows = TxnTable.fileRows(spark, table, v)

@@ -351,6 +351,93 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  private def seg(lo: Int, hi: Int) =
+    Tables.customer(spark, Spec.sf0001)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      .filter($"c_custkey" > lo && $"c_custkey" <= hi)
+
+  private def latestManifestText(table: String): String = {
+    val dir = new java.io.File(table)
+    val m = dir.listFiles().filter(_.getName.endsWith(".manifest"))
+      .maxBy(_.getName)
+    new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+  }
+
+  test("batch-shaped stage ids collapse to ONE high-water marker per " +
+      "prefix — manifests stay O(metadata) under continuous ingest") {
+    withZone { table =>
+      base(table)
+      val n0 = TxnTable.read(spark, table).count()
+      val a = TxnTable.stageAppend(seg(50, 55), table,
+        stageId = Some("qx-b0"))
+      val b = TxnTable.stageAppend(seg(55, 60), table,
+        stageId = Some("qx-b1"))
+      TxnTable.publishStages(spark, table, Seq(a, b))
+      val c = TxnTable.stageAppend(seg(60, 65), table,
+        stageId = Some("qx-b2"))
+      TxnTable.publishStage(spark, table, c)
+      val txt = latestManifestText(table)
+      assert(txt.contains("graft.wapseq.qx"),
+        "the per-prefix high-water marker must be carried")
+      assert(!txt.contains("graft.wap.qx-b"),
+        "no per-batch marker lines — one line per QUERY, not per batch")
+      assert(TxnTable.read(spark, table).count() == n0 + 15)
+      // the reuse refusal survives the collapse: any ordinal at or
+      // below the high-water mark refuses fresh data loudly
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.stageAppend(seg(65, 70), table, stageId = Some("qx-b1"))
+      }
+      assert(e.getMessage.contains("already published"))
+      // a replay of a published set still heals to the same version
+      val v = TxnTable.latestVersion(spark, table).get
+      assert(TxnTable.publishStages(spark, table, Seq(a, b)) == v)
+    }
+  }
+
+  test("a crashed publisher's leftover staged manifest cannot eat a " +
+      "restarted checkpoint's fresh batch") {
+    withZone { table =>
+      base(table)
+      val id = TxnTable.stageAppend(seg(50, 55), table,
+        stageId = Some("crash1"))
+      val staged = new java.io.File(s"$table/_staged/$id.manifest")
+      val bytes = java.nio.file.Files.readAllBytes(staged.toPath)
+      TxnTable.publishStage(spark, table, id)
+      // simulate the crash window: marker committed, manifest cleanup
+      // never ran — both artifacts exist
+      java.nio.file.Files.write(staged.toPath, bytes)
+      // a from-scratch restart reusing the id must FAIL LOUDLY, not
+      // silently re-offer the stale stage and discard its new rows
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.stageAppend(seg(55, 60), table, stageId = Some(id))
+      }
+      assert(e.getMessage.contains("already published"))
+      assert(!staged.exists,
+        "the refusal reaps the now-redundant crash-residue manifest")
+    }
+  }
+
+  test("out-of-order publish of a SKIPPED lower ordinal refuses " +
+      "loudly instead of replay-dropping its rows") {
+    withZone { table =>
+      base(table)
+      val lo = TxnTable.stageAppend(seg(50, 55), table,
+        stageId = Some("ooo-b0"))
+      val hi = TxnTable.stageAppend(seg(55, 60), table,
+        stageId = Some("ooo-b1"))
+      TxnTable.publishStage(spark, table, hi)
+      // b0's rows never landed; a silent replay-return would lose them
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.publishStage(spark, table, lo)
+      }
+      assert(e.getMessage.contains("non-decreasing"))
+      // the documented remedy: abort the skipped stage (its rows are
+      // NOT live, so abort must not claim otherwise), re-stage fresh
+      TxnTable.abortStage(spark, table, lo)
+      assert(TxnTable.stagedIds(spark, table).isEmpty)
+    }
+  }
+
   test("identity tables refuse staging; missing stages fail loudly") {
     withZone { table =>
       val df = TxnTable.withIdentityColumn(
