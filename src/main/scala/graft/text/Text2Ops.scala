@@ -1111,6 +1111,144 @@ object Text2Ops {
       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
       |FROM top ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- t57
+  /** BM25 INDEX UNDER DELETIONS — t56's maintained inverted index
+    * composed with merge-on-read deletion vectors: the right-to-be-
+    * forgotten path for a LEXICAL index (e63's move applied to the
+    * postings store). A document slice (every 7th doc_id — the "erase
+    * these users" batch) deletes POSITIONALLY from BOTH index tables:
+    * the postings rows (term, doc_id, tf) and the doc-length rows
+    * (doc_id, dl) each land as a coordinate sidecar with ZERO data-
+    * file rewrites (REQUIREd — at 100 TB re-building an inverted
+    * index per erasure request is a non-starter). Serving then runs
+    * t56's probe plan UNCHANGED: the subtraction happens INSIDE the
+    * scans, so dead doc_ids cannot surface in the top-k, df counts
+    * only surviving postings, and N/avgdl aggregate only surviving
+    * doc lengths — no query-side filter has to remember what was
+    * erased. The oracle recomputes one-shot BM25 over the SURVIVING
+    * corpus in DuckDB. */
+  private def t57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    import org.apache.spark.sql.expressions.Window
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_t57_del").toFile.getAbsolutePath
+    try {
+      val postings = s"$zone/postings_txn"
+      val dlT = s"$zone/dl_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2L
+      def ingest(batch: DataFrame, first: Boolean): Unit = {
+        val toks = batch
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+          .filter(length($"term") > 0).localCheckpoint()
+        val pw = toks.groupBy($"term", $"doc_id")
+          .agg(count(lit(1)).as("tf"))
+          .write.format("graft")
+          .option("statsCols", "term").option("bloomCols", "term")
+          .option("optimizedWrite", "true")
+        (if (first) pw.option("partitionBy", "bucket(16, term)")
+            .option("mergeOnRead", "true").mode("overwrite")
+         else pw.mode("append")).save(postings)
+        val dw = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+          .write.format("graft").option("statsCols", "doc_id")
+        (if (first) dw.option("mergeOnRead", "true").mode("overwrite")
+         else dw.mode("append")).save(dlT)
+      }
+      ingest(docs.filter($"doc_id" <= cut), first = true)
+      ingest(docs.filter($"doc_id" > cut), first = false)
+      // the erasure batch, positional in BOTH tables: one coordinate
+      // sidecar each, zero postings/doc-length file rewrites
+      val beforeP = TxnTable.snapshotFiles(spark, postings,
+        TxnTable.latestVersion(spark, postings).get).toSet
+      TxnTable.deleteWherePos(spark, postings,
+        s => s("doc_id") % 7 === 0)
+      TxnTable.deleteWherePos(spark, dlT, s => s("doc_id") % 7 === 0)
+      val afterP = TxnTable.morState(spark, postings,
+        TxnTable.latestVersion(spark, postings).get)
+      require(beforeP.subsetOf(afterP.files.toSet),
+        "doc erasure must be a deletion vector, never an index rewrite")
+      require(afterP.dels.exists(_.keyCols == TxnTable.PosDelKeyCols),
+        "the erasure must have landed as a positional vector")
+      // t56's serving plan, byte-identical — the masks do the work
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val (hits, (scanned, total)) = graft.dedup.DedupOps.probePersisted(
+        spark, postings, bm25Terms.toDF("term").localCheckpoint(),
+        joinCols = Seq("term"), out = Seq("term", "doc_id", "tf"),
+        keyCol = "term", cat = "gt57spj",
+        scanPayload = Seq("doc_id", "tf"))
+      require(scanned < total,
+        s"a 3-term probe must prune the bucketed index: $scanned/$total")
+      val dl = spark.read.format("graft").load(dlT)
+      val glob = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+      val dfreq = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+      val idf = dfreq.crossJoin(broadcast(glob))
+        .select($"term",
+          log(lit(1.0) +
+              (($"n".cast("double") - $"df".cast("double") + lit(0.5)) /
+                ($"df".cast("double") + lit(0.5))))
+            .cast(dec).cast("double").as("idf"),
+          ($"sumdl".cast("double") / $"n".cast("double")).as("avgdl"))
+      val top = hits.join(dl, "doc_id").join(broadcast(idf), "term")
+        .select($"doc_id",
+          ($"idf" * ($"tf".cast("double") * lit(2.2)) /
+            ($"tf".cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                ($"dl".cast("double") / $"avgdl"))))
+            .cast(dec).as("contrib"))
+        .groupBy($"doc_id")
+        .agg(sum($"contrib").cast("double").as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(20)
+      val rows = top.withColumn("rn",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+            .cast("bigint"))
+        .orderBy($"rn").collect().toSeq
+      require(rows.forall(_.getLong(0) % 7L != 0L),
+        "an erased document surfaced in the served top-k")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val t57Sql =
+    """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |toks AS (
+      |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM corp),
+      |tok AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |ctot AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+      |q AS (SELECT UNNEST(['window', 'merge', 'stream']) AS tok),
+      |posting AS (SELECT doc_id, tok FROM tok JOIN q USING (tok)),
+      |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM posting GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT tok,
+      |    CAST(CAST(LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(38,6)) AS DOUBLE) AS idf,
+      |    CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+      |  FROM dfreq, ctot),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(idf * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok) GROUP BY doc_id),
+      |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, score,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+      |FROM top ORDER BY rn""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -1131,5 +1269,6 @@ object Text2Ops {
     RQ("t54_bpe_train", t54, Some(t54Sql)),
     RQ("t54b_bpe_retokenize", t54b, Some(t54bSql)),
     RQ("t55_bm25_rank", t55, Some(t55Sql), bench = true),
-    RQ("t56_incremental_bm25", t56, Some(t56Sql)))
+    RQ("t56_incremental_bm25", t56, Some(t56Sql)),
+    RQ("t57_bm25_under_deletions", t57, Some(t57Sql)))
 }
