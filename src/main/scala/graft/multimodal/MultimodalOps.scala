@@ -1107,7 +1107,8 @@ object MultimodalOps {
     RQ("m67_audio_resample", m67, Some(m67Sql)),
     RQ("m68_phash_neardup", m68, Some(m68Sql)),
     RQ("m69_audio_neardup", m69, Some(m69Sql)),
-    RQ("m70_incremental_image_dedup", m70, Some(m70Sql)))
+    RQ("m70_incremental_image_dedup", m70, Some(m70Sql)),
+    RQ("m72_video_neardup", m72, Some(m72Sql)))
 
   // ---------------------------------------------------------------- m71
   /** VIDEO KEYFRAME EXTRACTION by scene-change detection — the standard
@@ -1221,4 +1222,182 @@ object MultimodalOps {
       |  CAST(scene_no * 2 AS BIGINT) AS key_frame,
       |  CAST(nf AS BIGINT) AS n_frames
       |FROM scenes ORDER BY doc_id, scene_no""".stripMargin
+
+  // ---------------------------------------------------------------- m72
+  /** VIDEO NEAR-DUP ACROSS CLIPS — m71's per-clip keyframe
+    * fingerprints become the dedup key: two clips are near-duplicates
+    * when they share ≥ 2 keyframe fingerprints, scored by Jaccard over
+    * the fingerprint sets (d35's shape). Candidates come from a
+    * fingerprint EQUI-join — never clip×clip (the m68/d37 LSH
+    * contract, pinned by PlanShapeSpec): work scales with fingerprint
+    * collisions, not with clip pairs.
+    *
+    * Clip synthesis, all real codec plumbing: each doc becomes an
+    * animated GIF (4 + cid%3 frames, two frames per scene); a scene's
+    * 8×8 pixels are md5-derived from its SCENE KEY (cid·7 + scene·53
+    * mod 512), so distinct keys give unrelated frames while colliding
+    * keys give bit-identical ones — the closed form the oracle
+    * recomputes without decoding anything. Every 5th clip also ships
+    * an engineered near-dup variant: the base GIF is DECODED and
+    * RE-ENCODED trimmed by its first frame — a real re-encode of a
+    * real trim that drops no SCENE (the first scene's second frame
+    * survives), so the variant's keyframe-fingerprint set provably
+    * equals the base's and recall on engineered pairs is 100% with no
+    * tuning (m68's confine-the-change discipline). The 512-key space
+    * additionally yields genuine cross-clip collisions (clips whose
+    * cids differ by 53·7⁻¹ share all-but-shifted scenes), so the
+    * output mixes jaccard-1.0 engineered pairs with partial overlaps.
+    *
+    * At 100 TB: encode/decode/fingerprint are embarrassingly parallel
+    * mapPartitions with per-partition codec init; the fingerprint
+    * table is ~50 bytes/scene; the candidate join shuffles fingerprint
+    * rows by key. */
+  private def m72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Side = 8
+    val K = 512L
+    val encoded: Dataset[(Long, Array[Byte])] =
+      Tables.documents(spark, dir).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val ramp = Array.tabulate(256)(_.toByte)
+          val palette =
+            new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+          def frameOf(key: Long): java.awt.image.BufferedImage = {
+            val img = new java.awt.image.BufferedImage(Side, Side,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < Side) {
+              var x = 0
+              while (x < Side) {
+                val d = md.digest(s"v:$key:$x:$y"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                raster.setSample(x, y, 0, d(0) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          def encode(
+              frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("gif").next()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            frames.foreach(f => writer.writeToSequence(
+              new javax.imageio.IIOImage(f, null, null), null))
+            writer.endWriteSequence()
+            ios.close()
+            writer.dispose()
+            bos.toByteArray
+          }
+          it.flatMap { cid =>
+            val nf = (4 + cid % 3).toInt
+            val base =
+              encode((0 until nf).map(f => frameOf((cid * 7 + (f / 2) * 53) % K)))
+            if (cid % 5 != 0) List((2 * cid, base))
+            else {
+              // the engineered near-dup: decode the BASE bytes and
+              // re-encode trimmed by its first frame — every scene
+              // survives (scene 0 keeps its second frame), so the
+              // fingerprint sets are provably equal
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(base))
+              val reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              reader.setInput(iis)
+              val kept = (1 until reader.getNumImages(true))
+                .map(reader.read(_): java.awt.image.BufferedImage)
+              reader.dispose(); iis.close()
+              List((2 * cid, base), (2 * cid + 1, encode(kept)))
+            }
+          }
+        }
+    val fps = encoded
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (clipId, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val set = scala.collection.mutable.LinkedHashSet.empty[String]
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            val sb = new java.lang.StringBuilder()
+            var y = 0
+            while (y < Side) {
+              var x = 0
+              while (x < Side) {
+                sb.append(img.getRaster.getSample(x, y, 0)).append(',')
+                x += 1
+              }
+              y += 1
+            }
+            md.reset()
+            set += md.digest(sb.toString.getBytes("US-ASCII"))
+              .map("%02x".format(_)).mkString
+            f += 1
+          }
+          reader.dispose(); iis.close()
+          set.toSeq.map((clipId, _))
+        }
+      }
+      .toDF("clip_id", "fp").localCheckpoint()
+    val sizes = fps.groupBy($"clip_id").agg(count(lit(1)).as("n"))
+    val cands = fps.as("a")
+      .join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.clip_id" < $"b.clip_id")
+      .groupBy($"a.clip_id".as("clip_a"), $"b.clip_id".as("clip_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 2)
+    val res = cands
+      .join(sizes.select($"clip_id".as("clip_a"), $"n".as("na")), "clip_a")
+      .join(sizes.select($"clip_id".as("clip_b"), $"n".as("nb")), "clip_b")
+      .select($"clip_a", $"clip_b", $"shared".cast("bigint").as("shared"),
+        ($"shared".cast("double") /
+          ($"na" + $"nb" - $"shared").cast("double")).as("jaccard"))
+      .orderBy($"clip_a", $"clip_b")
+    val rows = res.collect()
+    // engineered recall is 100% by construction — REQUIRE it: every
+    // (base, trimmed-re-encode) pair surfaces, at jaccard exactly 1.0
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    Tables.documents(spark, dir).select($"doc_id").as[Long]
+      .filter(_ % 5 == 0).collect().foreach { cid =>
+        require(got.get((2 * cid, 2 * cid + 1)).contains(1.0),
+          s"engineered near-dup pair for clip $cid was missed")
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+  }
+  // def, not val: defined after `all` in initialization order
+  private def m72Sql =
+    """WITH d AS (SELECT doc_id AS cid, 4 + doc_id % 3 AS nf FROM documents),
+      |clips AS (
+      |  SELECT cid * 2 AS clip_id, cid, nf FROM d
+      |  UNION ALL
+      |  SELECT cid * 2 + 1, cid, nf FROM d WHERE cid % 5 = 0),
+      |fps AS (
+      |  SELECT clip_id, (cid * 7 + s.g * 53) % 512 AS fp
+      |  FROM clips, generate_series(0, 2) s(g)
+      |  WHERE s.g < CAST(CEIL(nf / 2.0) AS BIGINT)),
+      |sizes AS (SELECT clip_id, COUNT(*) AS n FROM fps GROUP BY 1),
+      |shr AS (
+      |  SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+      |    COUNT(*) AS shared
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.clip_id < b.clip_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT clip_a, clip_b, CAST(shared AS BIGINT) AS shared,
+      |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+      |    AS jaccard
+      |FROM shr JOIN sizes sa ON sa.clip_id = clip_a
+      |         JOIN sizes sb ON sb.clip_id = clip_b
+      |ORDER BY clip_a, clip_b""".stripMargin
 }

@@ -94,6 +94,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"m68 must join on LSH band keys only, nothing pairwise; plan:\n$plan")
   }
 
+  test("m72 video near-dup: candidates come from fingerprint keys, " +
+      "never clip×clip") {
+    // the keyframe-fingerprint contract: the clip self-join must be an
+    // EQUI-join on fp — a cartesian/NLJ is quadratic in clips and the
+    // whole point of fingerprint keys is to avoid it
+    val df = Registry.queries("m72_video_neardup")(spark, Spec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"m72 must join on fingerprint keys only, nothing pairwise; " +
+        s"plan:\n$plan")
+  }
+
   test("d48 span dedup: keyed shuffles only, nothing pairwise") {
     // corpus-wide substring dedup must cost keyed exchanges (shingle
     // window, doc_id rebuild/join) — never a pairwise join: duplicate
