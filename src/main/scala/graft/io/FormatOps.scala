@@ -5366,6 +5366,89 @@ object FormatOps {
       |FROM lineitem WHERE l_orderkey % 4 <> 3
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- k166
+  /** WAP STAGING WITHOUT CODE CHANGE — Iceberg's `wap.id` ergonomics:
+    * an ORDINARY graft write stages instead of committing when it
+    * carries `.option("stageId", id)`, and pure SQL stages through
+    * `INSERT INTO t STAGE 'id' SELECT …` — so an existing pipeline
+    * (or a SQL-only ingest job) opts into write-audit-publish by
+    * adding one option/clause, no API migration. Machine-checked:
+    *   1. a STOCK `df.write.format("graft").mode("append")` with the
+    *      option lands as a stage — readers see NOTHING (REQUIREd),
+    *      the stage lists in `graft_stages()`;
+    *   2. a RETRY of the same write (same stageId — the foreachBatch
+    *      restart) re-offers the existing stage, not a duplicate
+    *      (REQUIREd: still one staged manifest, and the published
+    *      content carries the batch once);
+    *   3. a second batch stages from PURE SQL via INSERT … STAGE,
+    *      equally invisible (REQUIREd);
+    *   4. both promote atomically ([[TxnTable.publishStages]] — one
+    *      version, files by reference, REQUIREd).
+    * The oracle restates base + both staged batches from raw
+    * lineitem. */
+  private def k166(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k166_wopt")
+    try {
+      val t = s"$zone/facts"
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      li.filter($"l_orderkey" % 4 === 0)
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .mode("overwrite").save(t)
+      val n0 = spark.read.format("graft").load(t).count()
+      // 1+2: the stock writer stages, and its retry is idempotent
+      val batchA = li.filter($"l_orderkey" % 4 === 1)
+      def writeA(): Unit = batchA.write.format("graft")
+        .option("stageId", "shift-a").option("statsCols", "l_orderkey")
+        .mode("append").save(t)
+      writeA()
+      writeA() // the crashed-then-restarted writer's retry
+      require(spark.read.format("graft").load(t).count() == n0,
+        "a stageId write must be invisible until publish")
+      require(TxnTable.stagedIds(spark, t) == Seq("shift-a"),
+        "the retried write must re-offer ONE stage, not stage twice")
+      require(spark.sql(s"SELECT * FROM graft_stages('$t')").count() == 1L,
+        "the auditor's SQL listing must see the pending stage")
+      // 3: pure-SQL staged ingest
+      li.filter($"l_orderkey" % 4 === 2)
+        .createOrReplaceTempView("graft_k166_src")
+      spark.sql(s"INSERT INTO '$t' STAGE 'shift-b' " +
+        "SELECT * FROM graft_k166_src").collect()
+      require(spark.read.format("graft").load(t).count() == n0,
+        "INSERT ... STAGE must be invisible until publish")
+      require(TxnTable.stagedIds(spark, t).sorted ==
+        Seq("shift-a", "shift-b"), "both spellings must be pending")
+      // 4: atomic promotion
+      val v0 = TxnTable.latestVersion(spark, t).get
+      val before = TxnTable.snapshotFiles(spark, t, v0).toSet
+      val v = TxnTable.publishStages(spark, t, Seq("shift-a", "shift-b"))
+      require(v == v0 + 1L,
+        "two promoted batches must cost exactly one version")
+      require(before.subsetOf(TxnTable.snapshotFiles(spark, t, v).toSet),
+        "promotion must carry files by reference")
+      val q = spark.read.format("graft").load(t)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"l_quantity".cast("decimal(38,6)")).cast("double").as("qty"))
+        .orderBy($"l_returnflag")
+      spark.createDataFrame(
+        java.util.Arrays.asList(q.collect(): _*), q.schema)
+    } finally {
+      spark.catalog.dropTempView("graft_k166_src")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k166Sql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_orderkey % 4 <> 3
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- k162
   /** TAGGED TIME TRAVEL FROM PURE SQL — `SELECT ... FROM t VERSION AS
     * OF 'release-tag'`: the k159 reproducibility pin consumable
@@ -5610,5 +5693,6 @@ object FormatOps {
     RQ("k162_sql_tag_travel", k162, Some(k162Sql)),
     RQ("k163_history_retention", k163, Some(k163Sql)),
     RQ("k164_wap_publish", k164, Some(k164Sql)),
-    RQ("k165_wap_atomic_multi", k165, Some(k165Sql)))
+    RQ("k165_wap_atomic_multi", k165, Some(k165Sql)),
+    RQ("k166_wap_writer_option", k166, Some(k166Sql)))
 }

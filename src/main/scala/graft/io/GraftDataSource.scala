@@ -486,6 +486,25 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
         // before writing so each value lands one file per commit
         val optimizedWrite = Option(info.options.get("optimizedWrite"))
           .exists(_.toBoolean)
+        // `.option("stageId", id)`: WRITE-AUDIT-PUBLISH staging as
+        // writer ergonomics (Iceberg's wap.id) — the append lands as a
+        // staged manifest, invisible to readers until ALTER TABLE ...
+        // PUBLISH STAGE, so an existing pipeline stages without code
+        // change. Staging is append-shaped by construction; the
+        // overwrite/replaceWhere/txn spellings refuse loudly rather
+        // than committing what the caller meant to hold back.
+        Option(info.options.get("stageId")).foreach { sid =>
+          require(!overwrite,
+            "stageId stages an APPEND — mode(\"overwrite\") cannot stage")
+          require(txn.isEmpty,
+            "stageId already carries idempotence (a retried save " +
+              "re-offers the existing stage) — drop txnAppId/txnVersion")
+          require(Option(info.options.get("replaceWhere")).isEmpty,
+            "stageId composes with plain appends, not replaceWhere")
+          TxnTable.stageAppend(coerced1, table, statsCols, bloomCols,
+            Some(sid))
+          return
+        }
         // `.option("replaceWhere", "c = v" | "c BETWEEN a AND b")` with
         // mode("overwrite"): Delta's scoped overwrite — replace exactly
         // the predicate's rows atomically (TxnTable.replaceRange). Only

@@ -116,6 +116,12 @@ object GraftSqlParser {
   // the slice refuse write-side)
   private val InsertReplaceWhereStmt =
     """(?is)\s*INSERT\s+INTO\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+?)\s*;?\s*""".r
+  // INSERT INTO <target> STAGE 'id' SELECT … — write-audit-publish
+  // staged ingest from pure SQL: the SELECT's rows land as a staged
+  // manifest (invisible until ALTER TABLE … PUBLISH STAGE), riding
+  // the writer's stageId option
+  private val InsertStageStmt =
+    """(?is)\s*INSERT\s+INTO\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+STAGE\s+('[^']+'|"[^"]+"|[\w.\-]+)\s+(SELECT\s.+?)\s*;?\s*""".r
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|"[^"]+"|\d+)\s*;?\s*""".r
   private val HistoryStmt =
@@ -363,6 +369,8 @@ object GraftSqlParser {
       case InsertReplaceWhereStmt(target, pred, select)
           if graftTarget(target) =>
         Some(GraftReplaceWhereInsertCommand(target, pred.trim, select.trim))
+      case InsertStageStmt(target, id, select) if graftTarget(target) =>
+        Some(GraftStageInsertCommand(target, unquoteAny(id), select.trim))
       case CloneStmt(target, mode, source, version) if graftTarget(source) =>
         Some(GraftCloneCommand(target, source,
           deep = mode.equalsIgnoreCase("deep"),
@@ -501,6 +509,14 @@ case class GraftCopyIntoCommand(target: String, source: String,
 /** Scoped-overwrite ingest (INSERT INTO … REPLACE WHERE … SELECT …). */
 case class GraftReplaceWhereInsertCommand(target: String, pred: String,
                                           select: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Staged ingest (INSERT INTO … STAGE 'id' SELECT …): the rows land
+  * as a write-audit-publish stage, invisible until published. */
+case class GraftStageInsertCommand(target: String, id: String,
+                                   select: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -690,6 +706,14 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         spark.sql(select).write.format("graft")
           .option("replaceWhere", pred).mode("overwrite").save(table)
         GraftSqlParser.syncCatalogSchema(spark, target)
+      }) :: Nil
+    case GraftStageInsertCommand(target, id, select) =>
+      GraftDmlExec(s"INSERT INTO $target STAGE $id", () => {
+        val spark = SparkSession.active
+        val table = GraftSqlParser.resolveTarget(spark, target)
+        spark.sql(select).write.format("graft")
+          .option("stageId", id).mode("append").save(table)
+        ()
       }) :: Nil
     case GraftCloneCommand(target, source, deep, version, like) =>
       val mode = if (like) "LIKE" else if (deep) "DEEP" else "SHALLOW"

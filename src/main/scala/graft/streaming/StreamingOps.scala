@@ -1397,7 +1397,8 @@ object StreamingOps {
   // ---------------------------------------------------------------- s73
   /** STREAMING INGESTION WITH AN AUDIT GATE — write-audit-publish
     * composed with Structured Streaming: each micro-batch STAGES
-    * instead of committing (TxnTable.stageAppend from foreachBatch),
+    * instead of committing (a stock graft write carrying the
+    * `stageId` writer option — k166's ergonomics),
     * so the destination stays byte-identical to readers while the
     * stream drains; the auditor then promotes the whole shift in ONE
     * atomic publishStages commit. The production shape for "ingest
@@ -1440,9 +1441,14 @@ object StreamingOps {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            batchId: Long) =>
-            staged.add(TxnTable.stageAppend(batch, dst,
-              statsCols = Seq("event_id"),
-              stageId = Some(s"q$qTag-b$batchId")))
+            // the k166 writer-option spelling: a STOCK graft write
+            // stages when it carries stageId — no TxnTable API in the
+            // stream's code path
+            batch.write.format("graft")
+              .option("statsCols", "event_id")
+              .option("stageId", s"q$qTag-b$batchId")
+              .mode("append").save(dst)
+            staged.add(s"q$qTag-b$batchId")
             ()
         }
         .trigger(Trigger.AvailableNow())

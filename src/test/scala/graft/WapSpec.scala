@@ -438,6 +438,42 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("a STOCK df.write with option(stageId) stages invisibly and " +
+      "publishes by reference; misuse spellings refuse") {
+    withZone { table =>
+      base(table)
+      val n0 = TxnTable.read(spark, table).count()
+      val batch = seg(50, 60)
+      batch.write.format("graft").option("stageId", "opt1")
+        .mode("append").save(table)
+      assert(TxnTable.read(spark, table).count() == n0,
+        "the option write must be invisible until publish")
+      assert(TxnTable.stagedIds(spark, table) == Seq("opt1"))
+      // SQL INSERT ... STAGE rides the same path
+      seg(60, 65).createOrReplaceTempView("wapspec_src")
+      try {
+        spark.sql(s"INSERT INTO '$table' STAGE 'opt2' " +
+          "SELECT * FROM wapspec_src").collect()
+      } finally spark.catalog.dropTempView("wapspec_src")
+      assert(TxnTable.read(spark, table).count() == n0)
+      assert(TxnTable.stagedIds(spark, table).sorted == Seq("opt1", "opt2"))
+      TxnTable.publishStages(spark, table, Seq("opt1", "opt2"))
+      assert(TxnTable.read(spark, table).count() == n0 + 15)
+      // staging an overwrite, or doubling up with txn idempotence,
+      // must refuse loudly — both would silently change semantics
+      intercept[IllegalArgumentException] {
+        seg(65, 70).write.format("graft").option("stageId", "bad")
+          .mode("overwrite").save(table)
+      }
+      intercept[IllegalArgumentException] {
+        seg(65, 70).write.format("graft").option("stageId", "bad")
+          .option("txnAppId", "a").option("txnVersion", "1")
+          .mode("append").save(table)
+      }
+      ()
+    }
+  }
+
   test("identity tables refuse staging; missing stages fail loudly") {
     withZone { table =>
       val df = TxnTable.withIdentityColumn(
