@@ -2055,8 +2055,11 @@ object DedupOps {
     val newIds = bex.select($"bdoc".as("id")).distinct()
       .unionByName(cross.filter($"_fresh").select($"doc_id".as("id")))
       .distinct()
+    // checkpointed: the emptiness decision AND the write both read the
+    // materialized rows — one pipeline execution, not a probe job plus
+    // a recompute inside the commit
     val newRows = lab2.join(newIds, Seq("id"), "left_semi")
-      .select($"id".as("doc_id"), $"label")
+      .select($"id".as("doc_id"), $"label").localCheckpoint()
     if (nChanged > 0L) {
       // relabel + new rows in ONE MoR commit: a merged component's new
       // min can BE a batch doc — two commits would expose a snapshot
@@ -2070,13 +2073,55 @@ object DedupOps {
           snap("label") === changed("_old"), "left_semi"),
         toFix.unionByName(newRows))
       ()
-    } else if (newRows.limit(1).count() > 0L)
+    } else if (!newRows.isEmpty)
       newRows.write.format("graft").mode("append").save(labels)
     lap("labels_w")
     bex.select($"bk", $"bdoc".as("doc_id"))
       .write.format("graft").mode("append").save(sigsT)
     lap("sigs_w")
     (pruneCounts._1, pruneCounts._2, nChanged)
+  }
+
+  /** DELETION LEG of the maintained cluster map — relabel-on-delete:
+    * erase `docIds` from the d52 tables while preserving the
+    * label-is-the-component-min invariant, in ONE MoR commit on
+    * `labels`. Because label == min, a component needs relabeling
+    * exactly when its LABEL id is among the deleted docs; the commit
+    * retires (positionally — kilobyte vectors, zero rewrites) every
+    * deleted row plus every row of a min-died component, and re-lands
+    * the min-died components' survivors under their new min. A fully
+    * erased component simply vanishes. The band-signature rows of the
+    * deleted docs erase positionally too — otherwise a later ingest's
+    * probe would hit a dead doc and resurrect it as a label row.
+    *
+    * Contract note (spec-pinned): connectivity is MONOTONE — two docs
+    * merged through a now-deleted bridge doc stay merged (the standard
+    * union-find-under-deletions compromise; exact decremental
+    * connectivity would need per-component edge recomputation, a
+    * corpus-sized job the incremental family exists to avoid). The
+    * erasure-request id set is driver-side by design: it is the
+    * right-to-be-forgotten batch, not a data-sized frame. */
+  private[graft] def d52Delete(spark: SparkSession, labels: String,
+      sigsT: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    require(docIds.nonEmpty, "d52Delete needs a non-empty erasure batch")
+    val del = docIds.toDF("_d").localCheckpoint()
+    val cur = spark.read.format("graft").load(labels)
+    // min-died components: their label id is itself a deleted doc
+    val surv = cur
+      .join(broadcast(del), cur("label") === $"_d", "left_semi")
+      .join(broadcast(del), cur("doc_id") === $"_d", "left_anti")
+    val newMin = surv.groupBy($"label").agg(min($"doc_id").as("_new"))
+    val replacement = surv.join(newMin, "label")
+      .select($"doc_id", $"_new".as("label"))
+    TxnTable.replacePositions(spark, labels,
+      snap => snap.join(broadcast(del),
+        snap("doc_id") === $"_d" || snap("label") === $"_d", "left_semi"),
+      replacement)
+    TxnTable.deleteWherePos(spark, sigsT,
+      s => s("doc_id").isin(docIds: _*))
+    ()
   }
 
   // def, not val: defined after `all` in initialization order

@@ -34,6 +34,55 @@ class IncrementalClustersSpec extends AnyFunSuite {
       .select($"doc_id", $"label").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("relabel-on-delete: erasure keeps the min-label invariant in " +
+      "one positional commit and composes with later ingests") {
+    import org.apache.spark.sql.functions.col
+    withZone { zone =>
+      val labels = s"$zone/labels"
+      val sigs = s"$zone/sigs"
+      val tA = "aaa bbb ccc ddd eee fff"
+      val tB = "ggg hhh iii jjj kkk lll"
+      val tC = "mmm nnn ooo ppp qqq rrr"
+      val docs = Seq((10L, tA), (11L, tA), (12L, tA),
+        (20L, tB), (21L, tB), (30L, tC), (31L, tC))
+      graft.dedup.DedupOps.d52Ingest(spark, labels, sigs,
+        docs.toDF("doc_id", "text"), first = true)
+      assert(labelsOf(labels) == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+      val io = graft.io.TxnTable
+      val v0 = io.latestVersion(spark, labels).get
+      val before = io.morState(spark, labels, v0).files.toSet
+      // one erasure batch: a component's MIN (10), a non-min (21),
+      // and a whole component (30, 31)
+      graft.dedup.DedupOps.d52Delete(spark, labels, sigs,
+        Seq(10L, 21L, 30L, 31L))
+      // min-died component relabels to its surviving min; the non-min
+      // deletion leaves its component's label alone; the fully-erased
+      // component vanishes; nothing deleted survives
+      assert(labelsOf(labels) ==
+        Map(11L -> 11L, 12L -> 11L, 20L -> 20L))
+      // ONE commit, positional — zero data-file rewrites
+      val v1 = io.latestVersion(spark, labels).get
+      assert(v1 == v0 + 1L, "the erasure must cost exactly one version")
+      val after = io.morState(spark, labels, v1)
+      assert(before.subsetOf(after.files.toSet),
+        "relabel-on-delete must be positional, never a rewrite")
+      assert(after.dels.exists(_.keyCols == io.PosDelKeyCols))
+      // composition: a later ingest joins survivors under the NEW
+      // label, and a doc matching ONLY erased content is not
+      // resurrected (its band signatures are gone too)
+      graft.dedup.DedupOps.d52Ingest(spark, labels, sigs,
+        Seq((40L, tA), (50L, tC)).toDF("doc_id", "text"), first = false)
+      assert(labelsOf(labels) ==
+        Map(11L -> 11L, 12L -> 11L, 20L -> 20L, 40L -> 11L),
+        "40 must join the relabeled component; 50 must not resurrect " +
+          "the erased one")
+      // the sig table serves no dead doc ids
+      assert(spark.read.format("graft").load(sigs)
+        .filter(col("doc_id").isin(10L, 21L, 30L, 31L)).count() == 0L)
+    }
+  }
+
   test("random splits and arrival orders equal the one-shot global map") {
     val rnd = new scala.util.Random(1717)
     (1 to 3).foreach { trial =>
