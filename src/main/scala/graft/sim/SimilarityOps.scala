@@ -1157,6 +1157,151 @@ object SimilarityOps {
           .as("rrf"))
       .orderBy($"rrf".desc, $"id").limit(10)
   }
+  // ---------------------------------------------------------------- e64
+  /** HYBRID RETRIEVAL FROM THE MAINTAINED INDEXES — e62's RRF fusion
+    * re-spelled so BOTH legs serve from PERSISTED incremental indexes
+    * after a batch arrival on each, instead of one-shot scans: the
+    * composition receipt that the lexical (t56) and vector (e59)
+    * maintenance paths actually serve together.
+    *
+    *   - lexical leg: the t56 postings table (term, doc_id, tf),
+    *     bucket(16, term) + blooms, built in TWO ingests; the 3-term
+    *     query probes it through [[graft.dedup.DedupOps
+    *     .probePersisted]] (literal-key file pruning REQUIREd) and
+    *     ranks by Σtf — exactly e62's occurrence count;
+    *   - vector leg: the e59 IVF table (vec_id, embedding, cell),
+    *     identity-partitioned BY CELL and built in two ingests; the
+    *     probe's nprobe=2 shortlist probes ONLY those two cells'
+    *     files (literal-key pruning REQUIREd) and ranks by cosine;
+    *   - fusion: RRF score(id) = Σ_legs 1/(60 + rank) over the two
+    *     ≤20-row leg frames, e62's exact arithmetic.
+    *
+    * The oracle recomputes the lexical leg over the corpus and the
+    * vector leg through the IVF assignment + 2-cell shortlist (e63's
+    * CTE shape) — so a leg silently degrading to brute force, a wrong
+    * cell assignment, or a fusion-order change all hash-mismatch. */
+  private def e64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_e64_hyb").toFile.getAbsolutePath
+    try {
+      val postings = s"$zone/postings_txn"
+      val ivf = s"$zone/ivf_txn"
+      // ---- lexical index, two ingests (t56's build)
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val dcut = docs.agg(max($"doc_id")).head().getLong(0) / 2L
+      def ingestLex(batch: DataFrame, first: Boolean): Unit = {
+        val pw = batch
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+          .filter(length($"term") > 0)
+          .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+          .write.format("graft")
+          .option("statsCols", "term").option("bloomCols", "term")
+          .option("optimizedWrite", "true")
+        (if (first) pw.option("partitionBy", "bucket(16, term)")
+            .mode("overwrite")
+         else pw.mode("append")).save(postings)
+      }
+      ingestLex(docs.filter($"doc_id" <= dcut), first = true)
+      ingestLex(docs.filter($"doc_id" > dcut), first = false)
+      // ---- vector index, two ingests (e59's build, cell-partitioned)
+      val cents = centroids(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val vcut = emb.agg(max($"vec_id")).head().getLong(0) / 2L
+      def ingestVec(batch: DataFrame, first: Boolean): Unit = {
+        val vw = batch.select($"vec_id", $"embedding",
+            element_at(Similarity.nearestCells("embedding", cents, 1), 1)
+              .cast("bigint").cast("string").as("cell"))
+          .write.format("graft").option("statsCols", "vec_id")
+        (if (first) vw.option("partitionBy", "cell").mode("overwrite")
+         else vw.mode("append")).save(ivf)
+      }
+      ingestVec(emb.filter($"vec_id" <= vcut), first = true)
+      ingestVec(emb.filter($"vec_id" > vcut), first = false)
+      // ---- lexical probe: pruned term buckets, rank by Σtf
+      val terms = Seq("window", "merge", "stream").toDF("term")
+      val (lexHits, (ls, lt)) = graft.dedup.DedupOps.probePersisted(
+        spark, postings, terms.localCheckpoint(),
+        joinCols = Seq("term"), out = Seq("doc_id", "tf"),
+        keyCol = "term", cat = "ge64lex", scanPayload = Seq("doc_id", "tf"))
+      require(ls < lt,
+        s"the 3-term probe must prune the postings index: $ls/$lt")
+      val lex = lexHits.groupBy($"doc_id").agg(sum($"tf").as("cnt"))
+        .orderBy($"cnt".desc, $"doc_id").limit(20)
+        .withColumn("rl",
+          row_number().over(Window.orderBy($"cnt".desc, $"doc_id"))
+            .cast("bigint"))
+        .select($"doc_id".as("id"), $"rl")
+      // ---- vector probe: nprobe=2 cell shortlist, pruned cell files
+      val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+      val pcells = probe
+        .select(explode(Similarity.nearestCells("p", cents, 2)).as("pc"))
+        .select($"pc".cast("bigint").cast("string").as("cell"))
+      val (vecHits, (vs, vt)) = graft.dedup.DedupOps.probePersisted(
+        spark, ivf, pcells.localCheckpoint(),
+        joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
+        keyCol = "cell", cat = "ge64vec",
+        scanPayload = Seq("vec_id", "embedding"))
+      require(vs < vt,
+        s"the 2-cell probe must prune the IVF index: $vs/$vt")
+      val vec = vecHits.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id".as("id"), cosine("embedding", "p").as("cs"))
+        .orderBy($"cs".desc, $"id").limit(20)
+        .withColumn("rv",
+          row_number().over(Window.orderBy($"cs".desc, $"id"))
+            .cast("bigint"))
+        .select($"id", $"rv")
+      // ---- e62's RRF fusion, unchanged
+      val fused = lex.join(vec, Seq("id"), "full_outer")
+        .select($"id",
+          (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")),
+              lit(0.0))).as("rrf"))
+        .orderBy($"rrf".desc, $"id").limit(10)
+      spark.createDataFrame(
+        java.util.Arrays.asList(fused.collect(): _*), fused.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: cosineSql-based, defined after `all` (init order)
+  private def e64Sql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${Similarity.cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${Similarity.cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2),
+       |vecl AS (
+       |  SELECT a.vec_id AS id, ${Similarity.cosineSql("a.embedding", "probe.p")} AS cs
+       |  FROM assigned a, probe
+       |  WHERE a.cell IN (SELECT cent_id FROM pcells) AND a.vec_id <> 0
+       |  ORDER BY cs DESC, id LIMIT 20),
+       |vecr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, id) AS BIGINT) AS rv FROM vecl),
+       |toks AS (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM documents),
+       |lexl AS (
+       |  SELECT doc_id AS id, COUNT(*) AS cnt FROM toks
+       |  WHERE tok IN ('window', 'merge', 'stream') GROUP BY 1
+       |  ORDER BY cnt DESC, id LIMIT 20),
+       |lexr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, id) AS BIGINT) AS rl FROM lexl),
+       |fused AS (
+       |  SELECT COALESCE(l.id, v.id) AS id,
+       |    COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(rv AS DOUBLE)), 0.0) AS rrf
+       |  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+       |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+
   private val e62Sql =
     s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
        |vecl AS (
@@ -1200,7 +1345,8 @@ object SimilarityOps {
     RQ("e60_ivf_retrain", e60, Some(e60Sql)),
     RQ("e61_drift_detector", e61, Some(e61Sql)),
     RQ("e62_hybrid_rrf", e62, Some(e62Sql)),
-    RQ("e63_ann_under_deletes", e63, Some(e63Sql)))
+    RQ("e63_ann_under_deletes", e63, Some(e63Sql)),
+    RQ("e64_hybrid_maintained", e64, Some(e64Sql)))
 
   // ---------------------------------------------------------------- e59
   /** INCREMENTAL IVF INGEST — index maintenance as a pipeline, the ANN
