@@ -64,8 +64,13 @@ class WapFuzzSpec extends AnyFunSuite {
             (0 until 3).foreach { i =>
               val base = 10000000L * (tid + 1) + 1000L * i
               val rows = (0L until 4L).map(j => (base + j, base + j))
+              // stager 0 exercises BATCH-SHAPED ids (the per-prefix
+              // high-water marker path; ordinals strictly increase,
+              // pairs take 2i/2i+1); stager 1 keeps random ids
+              val sid = if (tid == 0) Some(s"fz${seed}q$tid-b${2 * i}")
+                        else None
               val id = TxnTable.stageAppend(rows.toDF("k", "v"), table,
-                statsCols = Seq("k"))
+                statsCols = Seq("k"), stageId = sid)
               // audit isolation: the stage's own audit sees the batch,
               // the live table sees none of it
               assert(TxnTable.readStaged(spark, table, id)
@@ -82,7 +87,8 @@ class WapFuzzSpec extends AnyFunSuite {
                   val rows2 =
                     (0L until 3L).map(j => (base2 + j, base2 + j))
                   val id2 = TxnTable.stageAppend(rows2.toDF("k", "v"),
-                    table, statsCols = Seq("k"))
+                    table, statsCols = Seq("k"),
+                    stageId = sid.map(_ => s"fz${seed}q$tid-b${2 * i + 1}"))
                   TxnTable.publishStages(spark, table, Seq(id, id2))
                   rows.foreach(landed.add); rows2.foreach(landed.add)
                 case _ =>
@@ -108,7 +114,29 @@ class WapFuzzSpec extends AnyFunSuite {
             Thread.sleep(rnd.nextInt(25).toLong)
           }
         }
-        (appenders ++ stagers :+ optimizer :+ vacuumer)
+        // the WAP/tag/retention TRIPLE POINT: a tagger pins versions
+        // (some of them staged-then-published snapshots) and drops
+        // earlier pins, racing the stagers, publishers, OPTIMIZE and
+        // VACUUM — every surviving tag must still read its pinned
+        // snapshot bit-for-bit after the final KEEP-0 vacuum
+        val tags =
+          new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+        val tagger = Future {
+          val rnd = new scala.util.Random(seed * 100 + 9)
+          (0 until 5).foreach { i =>
+            val name = s"fz${seed}tag$i"
+            val v = TxnTable.latestVersion(spark, table).get
+            TxnTable.setTag(spark, table, name, Some(v))
+            val n = spark.read.format("graft")
+              .option("versionAsOf", v.toString).load(table).count()
+            tags.add((name, n))
+            if (i >= 2 && rnd.nextBoolean())
+              Option(tags.poll()).foreach { case (old, _) =>
+                TxnTable.deleteTag(spark, table, old) }
+            Thread.sleep(rnd.nextInt(25).toLong)
+          }
+        }
+        (appenders ++ stagers :+ optimizer :+ vacuumer :+ tagger)
           .foreach(Await.result(_, 120.seconds))
         pool.shutdown()
         // clean exit: nothing staged survives the run
@@ -125,6 +153,15 @@ class WapFuzzSpec extends AnyFunSuite {
         TxnTable.vacuum(spark, table, keep = 0)
         assert(content() == want,
           s"seed $seed: final vacuum changed the ledger")
+        // surviving tags read their pinned snapshot even below the
+        // KEEP-0 retention floor (the k162/k163 pin, under fuzz churn)
+        tags.toArray(Array.empty[(String, Long)]).foreach {
+          case (name, n) =>
+            val got = spark.read.format("graft")
+              .option("tagAsOf", name).load(table).count()
+            assert(got == n,
+              s"seed $seed: tag $name read $got rows, pinned $n")
+        }
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
