@@ -779,6 +779,7 @@ object DedupOps {
     RQ("d50_incremental_boilerplate", d50, Some(d50Sql)),
     RQ("d51_incremental_keep_best", d51, Some(d51Sql), bench = true),
     RQ("d52_incremental_clusters", d52, Some(d52Sql), bench = true),
+    RQ("d54_clusters_under_deletions", d54, Some(d54Sql)),
     RQ("d53_incremental_decontam", d53, Some(d53Sql)))
 
   // ---------------------------------------------------------------- d46
@@ -2168,6 +2169,163 @@ object DedupOps {
        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
        |SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d54
+  /** CLUSTER MAP UNDER DELETIONS — the d52 maintained component map
+    * composed with [[d52Delete]]'s relabel-on-delete, ORACLED: the
+    * spec pins the contract on engineered corpora, this query pins it
+    * against DuckDB on the real documents table. Workload:
+    *
+    *   1. build the map over base + exact-dup attachments (d52's
+    *      first two ingests, no concat bridges);
+    *   2. erase a mixed batch — component MINS (doc_id % 80 = 0),
+    *      mostly-unclustered docs (% 90 = 0), and some dup partners
+    *      (base % 200 = 0 → the +o attachment) — one positional
+    *      commit, zero rewrites (REQUIREd);
+    *   3. a third ingest attaches new exact dups to SURVIVORS
+    *      (% 160 = 0) and to texts whose only carrier may have been
+    *      deleted (% 90 = 0): the former must join the RELABELED
+    *      components, the latter must not resurrect erased docs
+    *      (their signature rows are gone).
+    *
+    * The oracle replays the exact incremental semantics in SQL:
+    * components over the initial corpus (the full minhash chain),
+    * relabel-on-delete (survivors of min-died components take the new
+    * min; connectivity stays MONOTONE — membership edges carry, the
+    * union-find-under-deletions compromise), then components over the
+    * third-ingest graph: membership edges ∪ in-batch collisions ∪
+    * batch-vs-surviving-signature collisions with the corpus endpoint
+    * contracted to its post-delete label. */
+  private def d54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d54_del").toFile.getAbsolutePath
+    try {
+      val labels = s"$zone/labels_txn"
+      val sigsT = s"$zone/sigs_txn"
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val o = base.agg(max($"doc_id")).head().getLong(0) + 1L
+      val dups = base.filter($"doc_id" % 40 === 0)
+        .select(($"doc_id" + o).as("doc_id"), $"text")
+      d52Ingest(spark, labels, sigsT, base, first = true)
+      d52Ingest(spark, labels, sigsT, dups, first = false)
+      val delIds = (base.filter($"doc_id" % 80 === 0 ||
+            $"doc_id" % 90 === 0)
+          .select($"doc_id").as[Long].collect() ++
+        base.filter($"doc_id" % 200 === 0)
+          .select(($"doc_id" + o).as("d")).as[Long].collect()).toSeq.distinct
+      val v0 = TxnTable.latestVersion(spark, labels).get
+      val before = TxnTable.morState(spark, labels, v0).files.toSet
+      d52Delete(spark, labels, sigsT, delIds)
+      val v1 = TxnTable.latestVersion(spark, labels).get
+      require(v1 == v0 + 1L,
+        "the erasure must cost exactly one version on the label map")
+      require(before.subsetOf(
+          TxnTable.morState(spark, labels, v1).files.toSet),
+        "relabel-on-delete must be positional, never a rewrite")
+      val batch3 = base.filter($"doc_id" % 160 === 0 ||
+          $"doc_id" % 90 === 0)
+        .select(($"doc_id" + 2L * o).as("doc_id"), $"text")
+      d52Ingest(spark, labels, sigsT, batch3, first = false)
+      val res = spark.read.format("graft").load(labels)
+        .select($"doc_id", $"label".cast("bigint").as("cluster_id"))
+        .orderBy($"doc_id")
+      val rows = res.collect()
+      require(rows.forall(r => !delIds.contains(r.getLong(0))),
+        "an erased doc surfaced in the maintained cluster map")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: defined after `all` in initialization order
+  private def d54Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    def sigOver(src: String, out: String) =
+      s"""sh_$out AS (
+         |  SELECT doc_id,
+         |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+         |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+         |  FROM $src),
+         |$out AS (
+         |  SELECT doc_id,
+         |   md5(${mh(1)} || ${mh(2)}) AS band1,
+         |   md5(${mh(3)} || ${mh(4)}) AS band2,
+         |   md5(${mh(5)} || ${mh(6)}) AS band3,
+         |   md5(${mh(7)} || ${mh(8)}) AS band4
+         |  FROM sh_$out)""".stripMargin
+    s"""WITH RECURSIVE o AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT o FROM o), text
+       |  FROM documents WHERE doc_id % 40 = 0),
+       |del AS (
+       |  SELECT doc_id AS d FROM documents
+       |  WHERE doc_id % 80 = 0 OR doc_id % 90 = 0
+       |  UNION
+       |  SELECT doc_id + (SELECT o FROM o) FROM documents
+       |  WHERE doc_id % 200 = 0),
+       |batch3 AS (
+       |  SELECT doc_id + 2 * (SELECT o FROM o) AS doc_id, text
+       |  FROM documents WHERE doc_id % 160 = 0 OR doc_id % 90 = 0),
+       |${sigOver("corpus", "sig")},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3 OR a.band4 = b.band4
+       |  WHERE a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+       |lab0 AS (
+       |  SELECT node AS doc_id, MIN(root) AS label FROM reach GROUP BY node),
+       |surv AS (
+       |  SELECT doc_id, label FROM lab0 WHERE doc_id NOT IN (SELECT d FROM del)),
+       |lab1 AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.label IN (SELECT d FROM del)
+       |      THEN (SELECT MIN(s2.doc_id) FROM surv s2 WHERE s2.label = s.label)
+       |      ELSE s.label END AS label
+       |  FROM surv s),
+       |${sigOver("batch3", "sig3")},
+       |sigs_live AS (
+       |  SELECT * FROM sig WHERE doc_id NOT IN (SELECT d FROM del)),
+       |cross3 AS (
+       |  SELECT DISTINCT b.doc_id AS src, COALESCE(l.label, s.doc_id) AS dst
+       |  FROM sig3 b JOIN sigs_live s
+       |    ON b.band1 = s.band1 OR b.band2 = s.band2 OR b.band3 = s.band3 OR b.band4 = s.band4
+       |  LEFT JOIN lab1 l ON l.doc_id = s.doc_id),
+       |in3 AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sig3 a JOIN sig3 b
+       |    ON a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3 OR a.band4 = b.band4
+       |  WHERE a.doc_id < b.doc_id),
+       |g0 AS (
+       |  SELECT doc_id AS src, label AS dst FROM lab1
+       |  UNION SELECT src, dst FROM cross3
+       |  UNION SELECT src, dst FROM in3),
+       |g AS (
+       |  SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
+       |reach2(node, root) AS (
+       |  SELECT src, src FROM g
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach2 r JOIN g e ON e.src = r.node)
+       |SELECT CAST(node AS BIGINT) AS doc_id,
+       |  CAST(MIN(root) AS BIGINT) AS cluster_id
+       |FROM reach2 GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- d53

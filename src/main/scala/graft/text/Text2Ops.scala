@@ -991,6 +991,57 @@ object Text2Ops {
     * boundaries cannot show through because tf/dl/df are per-doc and
     * per-term SUMS of disjoint batch contributions. */
   private val bm25IncTerms = Seq("join", "filter", "sort")
+
+  /** Serve t55's decimal-stabilized BM25 top-20 from PERSISTED
+    * postings + doc-length tables: [[graft.dedup.DedupOps
+    * .probePersisted]] over the query terms (literal-key file-pruning
+    * counts returned for the caller's REQUIREs), df from the probed
+    * postings, N/avgdl from the doc-length table — all of which read
+    * through MoR masks, so deletions and staged-but-unpublished
+    * batches never show. Shared by t56/t57/t58. */
+  private def bm25Probe(spark: SparkSession, postings: String,
+      dlT: String, terms: Seq[String], cat: String)
+      : (Seq[org.apache.spark.sql.Row], Int, Int) = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val (hits, (scanned, total)) = graft.dedup.DedupOps.probePersisted(
+      spark, postings, terms.toDF("term").localCheckpoint(),
+      joinCols = Seq("term"), out = Seq("term", "doc_id", "tf"),
+      keyCol = "term", cat = cat, scanPayload = Seq("doc_id", "tf"))
+    val dl = spark.read.format("graft").load(dlT)
+    val glob = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dfreq = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(glob))
+      .select($"term",
+        log(lit(1.0) +
+            (($"n".cast("double") - $"df".cast("double") + lit(0.5)) /
+              ($"df".cast("double") + lit(0.5))))
+          .cast(dec).cast("double").as("idf"),
+        ($"sumdl".cast("double") / $"n".cast("double")).as("avgdl"))
+    val top = hits.join(dl, "doc_id").join(broadcast(idf), "term")
+      .select($"doc_id",
+        ($"idf" * ($"tf".cast("double") * lit(2.2)) /
+          ($"tf".cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl"))))
+          .cast(dec).as("contrib"))
+      .groupBy($"doc_id")
+      .agg(sum($"contrib").cast("double").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(20)
+    val out = top.withColumn("rn",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+          .cast("bigint"))
+      .orderBy($"rn").collect().toSeq
+    (out, scanned, total)
+  }
+  private val bm25Schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("rn",
+      org.apache.spark.sql.types.LongType)))
+
   private def t56(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.io.TxnTable
@@ -1023,40 +1074,8 @@ object Text2Ops {
       ingest(docs.filter($"doc_id" > cut && $"doc_id" <= cut2),
         first = false)
       ingest(docs.filter($"doc_id" > cut2), first = false)
-      def serve(): (Seq[org.apache.spark.sql.Row], Int, Int) = {
-        import org.apache.spark.sql.expressions.Window
-        val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-        val (hits, (scanned, total)) = graft.dedup.DedupOps.probePersisted(
-          spark, postings, bm25IncTerms.toDF("term").localCheckpoint(),
-          joinCols = Seq("term"), out = Seq("term", "doc_id", "tf"),
-          keyCol = "term", cat = "gt56spj",
-          scanPayload = Seq("doc_id", "tf"))
-        val dl = spark.read.format("graft").load(dlT)
-        val glob = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
-        val dfreq = hits.groupBy($"term").agg(count(lit(1)).as("df"))
-        val idf = dfreq.crossJoin(broadcast(glob))
-          .select($"term",
-            log(lit(1.0) +
-                (($"n".cast("double") - $"df".cast("double") + lit(0.5)) /
-                  ($"df".cast("double") + lit(0.5))))
-              .cast(dec).cast("double").as("idf"),
-            ($"sumdl".cast("double") / $"n".cast("double")).as("avgdl"))
-        val top = hits.join(dl, "doc_id").join(broadcast(idf), "term")
-          .select($"doc_id",
-            ($"idf" * ($"tf".cast("double") * lit(2.2)) /
-              ($"tf".cast("double") + lit(1.2) *
-                (lit(0.25) + lit(0.75) *
-                  ($"dl".cast("double") / $"avgdl"))))
-              .cast(dec).as("contrib"))
-          .groupBy($"doc_id")
-          .agg(sum($"contrib").cast("double").as("score"))
-          .orderBy($"score".desc, $"doc_id").limit(20)
-        val out = top.withColumn("rn",
-            row_number().over(Window.orderBy($"score".desc, $"doc_id"))
-              .cast("bigint"))
-          .orderBy($"rn").collect().toSeq
-        (out, scanned, total)
-      }
+      def serve(): (Seq[org.apache.spark.sql.Row], Int, Int) =
+        bm25Probe(spark, postings, dlT, bm25IncTerms, cat = "gt56spj")
       val (r1, s1, t1) = serve()
       require(s1 < t1,
         s"a 3-term probe must prune the bucketed index: read $s1 of $t1")
@@ -1067,15 +1086,8 @@ object Text2Ops {
         "compaction changed the query result — the index is corrupt")
       require(t2 <= t1,
         s"compaction must not grow the index file count ($t1 -> $t2)")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("rn",
-          org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(
-        java.util.Arrays.asList(r2: _*), schema)
+        java.util.Arrays.asList(r2: _*), bm25Schema)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -1171,48 +1183,13 @@ object Text2Ops {
       require(afterP.dels.exists(_.keyCols == TxnTable.PosDelKeyCols),
         "the erasure must have landed as a positional vector")
       // t56's serving plan, byte-identical — the masks do the work
-      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-      val (hits, (scanned, total)) = graft.dedup.DedupOps.probePersisted(
-        spark, postings, bm25Terms.toDF("term").localCheckpoint(),
-        joinCols = Seq("term"), out = Seq("term", "doc_id", "tf"),
-        keyCol = "term", cat = "gt57spj",
-        scanPayload = Seq("doc_id", "tf"))
+      val (rows, scanned, total) =
+        bm25Probe(spark, postings, dlT, bm25Terms, cat = "gt57spj")
       require(scanned < total,
         s"a 3-term probe must prune the bucketed index: $scanned/$total")
-      val dl = spark.read.format("graft").load(dlT)
-      val glob = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
-      val dfreq = hits.groupBy($"term").agg(count(lit(1)).as("df"))
-      val idf = dfreq.crossJoin(broadcast(glob))
-        .select($"term",
-          log(lit(1.0) +
-              (($"n".cast("double") - $"df".cast("double") + lit(0.5)) /
-                ($"df".cast("double") + lit(0.5))))
-            .cast(dec).cast("double").as("idf"),
-          ($"sumdl".cast("double") / $"n".cast("double")).as("avgdl"))
-      val top = hits.join(dl, "doc_id").join(broadcast(idf), "term")
-        .select($"doc_id",
-          ($"idf" * ($"tf".cast("double") * lit(2.2)) /
-            ($"tf".cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                ($"dl".cast("double") / $"avgdl"))))
-            .cast(dec).as("contrib"))
-        .groupBy($"doc_id")
-        .agg(sum($"contrib").cast("double").as("score"))
-        .orderBy($"score".desc, $"doc_id").limit(20)
-      val rows = top.withColumn("rn",
-          row_number().over(Window.orderBy($"score".desc, $"doc_id"))
-            .cast("bigint"))
-        .orderBy($"rn").collect().toSeq
       require(rows.forall(_.getLong(0) % 7L != 0L),
         "an erased document surfaced in the served top-k")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("rn",
-          org.apache.spark.sql.types.LongType)))
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), bm25Schema)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -1249,6 +1226,133 @@ object Text2Ops {
       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
       |FROM top ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- t58
+  /** BM25 INDEX × WRITE-AUDIT-PUBLISH — the maintained lexical index
+    * (t56) composed with staged ingest (k164/k166): a holdback batch's
+    * postings and doc-length rows are STAGED on their index tables,
+    * and the SAME serving plan is run in both phases:
+    *
+    *   - phase 'staged': the staged batch is invisible — the served
+    *     top-20 equals BM25 over the corpus WITHOUT the holdback
+    *     (df/N/avgdl included; a leaked posting or doc-length row
+    *     would shift scores and hash-mismatch);
+    *   - phase 'published': one atomic promotion per table, and the
+    *     identical query now equals full-corpus BM25.
+    *
+    * This is the index-maintenance audit story: a suspect crawl batch
+    * can be indexed, audited against the WOULD-BE index state, and
+    * only then exposed to every search — or aborted leaving the index
+    * byte-identical. The oracle restates both phases closed-form. */
+  private val bm25WapTerms = Seq("group", "window", "join")
+  private def t58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_t58_wap").toFile.getAbsolutePath
+    try {
+      val postings = s"$zone/postings_txn"
+      val dlT = s"$zone/dl_txn"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val hold = maxId - maxId / 10L // the suspect crawl batch
+      def postingsOf(batch: DataFrame): (DataFrame, DataFrame) = {
+        val toks = batch
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+          .filter(length($"term") > 0).localCheckpoint()
+        (toks.groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf")),
+          toks.groupBy($"doc_id").agg(count(lit(1)).as("dl")))
+      }
+      def ingest(batch: DataFrame, first: Boolean): Unit = {
+        val (pf, df) = postingsOf(batch)
+        val pw = pf.write.format("graft")
+          .option("statsCols", "term").option("bloomCols", "term")
+          .option("optimizedWrite", "true")
+        (if (first) pw.option("partitionBy", "bucket(16, term)")
+            .mode("overwrite")
+         else pw.mode("append")).save(postings)
+        df.write.format("graft").option("statsCols", "doc_id")
+          .mode(if (first) "overwrite" else "append").save(dlT)
+      }
+      ingest(docs.filter($"doc_id" <= cut), first = true)
+      ingest(docs.filter($"doc_id" > cut && $"doc_id" <= hold),
+        first = false)
+      // the holdback stages on BOTH index tables (k166's ergonomics)
+      val (hp, hd) = postingsOf(docs.filter($"doc_id" > hold))
+      hp.write.format("graft").option("stageId", "crawl-b0")
+        .option("statsCols", "term").option("bloomCols", "term")
+        .mode("append").save(postings)
+      hd.write.format("graft").option("stageId", "crawl-b0")
+        .option("statsCols", "doc_id").mode("append").save(dlT)
+      def serve(phase: String): Seq[org.apache.spark.sql.Row] = {
+        val (rows, scanned, total) = bm25Probe(spark, postings, dlT,
+          bm25WapTerms, cat = s"gt58$phase")
+        require(scanned < total,
+          s"the $phase probe must prune the bucketed index: " +
+            s"$scanned/$total")
+        rows
+      }
+      val staged = serve("stg")
+      require(staged.forall(_.getLong(0) <= hold),
+        "a staged holdback doc surfaced in the served top-k")
+      val vP = TxnTable.latestVersion(spark, postings).get
+      TxnTable.publishStage(spark, postings, "crawl-b0")
+      TxnTable.publishStage(spark, dlT, "crawl-b0")
+      require(TxnTable.latestVersion(spark, postings).contains(vP + 1L),
+        "the postings promotion must cost exactly one version")
+      val published = serve("pub")
+      val out = staged.map(r => ("staged", r.getLong(0), r.getDouble(1),
+          r.getLong(2))) ++
+        published.map(r => ("published", r.getLong(0), r.getDouble(1),
+          r.getLong(2)))
+      out.toDF("phase", "doc_id", "score", "rn")
+        .orderBy($"phase", $"rn")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val t58Sql = {
+    def phase(name: String, pred: String) =
+      s"""SELECT '$name' AS phase, doc_id, score, rn FROM (
+         |WITH corp AS (SELECT doc_id, text FROM documents WHERE $pred),
+         |toks AS (
+         |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM corp),
+         |tok AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |ctot AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+         |q AS (SELECT UNNEST(['group', 'window', 'join']) AS tok),
+         |posting AS (SELECT doc_id, tok FROM tok JOIN q USING (tok)),
+         |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM posting GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT tok,
+         |    CAST(CAST(LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(38,6)) AS DOUBLE) AS idf,
+         |    CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |  FROM dfreq, ctot),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(idf * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok) GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT doc_id, score,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+         |FROM top)""".stripMargin
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |ph AS (
+       |${phase("staged",
+          "doc_id <= (SELECT m - m // 10 FROM mx)")}
+       |UNION ALL
+       |${phase("published", "TRUE")})
+       |SELECT phase, doc_id, score, rn FROM ph ORDER BY phase, rn""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("t41_chunk_overlap", t41, Some(t41Sql)),
     RQ("t42_pii_redact", t42, Some(t42Sql)),
@@ -1270,5 +1374,6 @@ object Text2Ops {
     RQ("t54b_bpe_retokenize", t54b, Some(t54bSql)),
     RQ("t55_bm25_rank", t55, Some(t55Sql), bench = true),
     RQ("t56_incremental_bm25", t56, Some(t56Sql)),
-    RQ("t57_bm25_under_deletions", t57, Some(t57Sql)))
+    RQ("t57_bm25_under_deletions", t57, Some(t57Sql)),
+    RQ("t58_bm25_wap_staged", t58, Some(t58Sql)))
 }
