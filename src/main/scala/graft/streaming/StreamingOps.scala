@@ -1508,7 +1508,8 @@ object StreamingOps {
     // the oracle IS d47's: same derived workload, same final rule
     RQ("s72_stream_incremental_dedup", s72,
       Some(graft.dedup.DedupOps.d47Sql)),
-    RQ("s73_stream_stage_publish", s73, Some(s73Sql)))
+    RQ("s73_stream_stage_publish", s73, Some(s73Sql)),
+    RQ("s74_stream_index_maintenance", s74, Some(s74Sql)))
 
   // ---------------------------------------------------------------- s71
   /** LAGGING CONSUMER vs AGGRESSIVE VACUUM — the streaming receipt for
@@ -1618,4 +1619,116 @@ object StreamingOps {
       | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
       | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- s74
+  /** STREAMING INDEX MAINTENANCE — t56's incremental BM25 index
+    * maintained from a STREAM: a three-commit document backlog drains
+    * as three micro-batches, each appending ITS postings and doc
+    * lengths to the persisted index tables. Exactly-once indexing
+    * comes from the writer's txnAppId idempotence keyed by (checkpoint
+    * hash, batch id) — a foreachBatch retry cannot double-index a
+    * batch, the same contract the txn sink gives ordinary appends.
+    * After the drain the maintained index serves t55's scorer through
+    * the pruned-probe plan (literal-key file pruning REQUIREd) and
+    * must equal one-shot BM25 over the whole corpus — batch
+    * boundaries cannot show because per-(doc,term) tf and per-doc dl
+    * are complete per batch (docs never straddle batches). The
+    * production shape for "index the firehose, serve the index". */
+  private def s74(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val root = java.nio.file.Files.createTempDirectory("graft_s74").toFile
+    try {
+      val src = s"${root.getAbsolutePath}/docs_src"
+      val postings = s"${root.getAbsolutePath}/postings_txn"
+      val dlT = s"${root.getAbsolutePath}/dl_txn"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val docs = graft.io.Tables.documents(spark, dir)
+        .select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = math.max(cut + 1L, maxId - 5L)
+      TxnTable.commitAppend(docs.filter($"doc_id" <= cut), src)
+      TxnTable.commitAppend(
+        docs.filter($"doc_id" > cut && $"doc_id" <= cut2), src)
+      TxnTable.commitAppend(docs.filter($"doc_id" > cut2), src)
+      val qTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val first = TxnTable.latestVersion(spark, postings).isEmpty
+            val toks = batch
+              .select($"doc_id",
+                explode(split(lower($"text"), " ")).as("term"))
+              .filter(length($"term") > 0).localCheckpoint()
+            val pw = toks.groupBy($"term", $"doc_id")
+              .agg(count(lit(1)).as("tf"))
+              .write.format("graft")
+              .option("statsCols", "term").option("bloomCols", "term")
+              .option("txnAppId", s"s74p$qTag")
+              .option("txnVersion", batchId.toString)
+            (if (first) pw.option("partitionBy", "bucket(16, term)")
+                .mode("overwrite")
+             else pw.mode("append")).save(postings)
+            toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+              .write.format("graft").option("statsCols", "doc_id")
+              .option("txnAppId", s"s74d$qTag")
+              .option("txnVersion", batchId.toString)
+              .mode(if (first) "overwrite" else "append").save(dlT)
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(TxnTable.latestVersion(spark, postings).contains(3L),
+        "three source commits must land as three index ingests, got " +
+          s"${TxnTable.latestVersion(spark, postings)}")
+      val (rows, scanned, total) = graft.text.Text2Ops.bm25Probe(
+        spark, postings, dlT, Seq("merge", "sort", "stream"),
+        cat = "gs74spj")
+      require(scanned < total,
+        s"the 3-term probe must prune the streamed index: $scanned/$total")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        graft.text.Text2Ops.bm25Schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  // def, not val: defined after `all` in initialization order
+  private def s74Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM documents),
+      |tok AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |ctot AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+      |q AS (SELECT UNNEST(['merge', 'sort', 'stream']) AS tok),
+      |posting AS (SELECT doc_id, tok FROM tok JOIN q USING (tok)),
+      |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM posting GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT tok,
+      |    CAST(CAST(LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(38,6)) AS DOUBLE) AS idf,
+      |    CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+      |  FROM dfreq, ctot),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(idf * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok) GROUP BY doc_id),
+      |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, score,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+      |FROM top ORDER BY rn""".stripMargin
 }

@@ -998,8 +998,8 @@ object Text2Ops {
     * counts returned for the caller's REQUIREs), df from the probed
     * postings, N/avgdl from the doc-length table — all of which read
     * through MoR masks, so deletions and staged-but-unpublished
-    * batches never show. Shared by t56/t57/t58. */
-  private def bm25Probe(spark: SparkSession, postings: String,
+    * batches never show. Shared by t56/t57/t58 and s74. */
+  private[graft] def bm25Probe(spark: SparkSession, postings: String,
       dlT: String, terms: Seq[String], cat: String)
       : (Seq[org.apache.spark.sql.Row], Int, Int) = {
     import spark.implicits._
@@ -1034,7 +1034,7 @@ object Text2Ops {
       .orderBy($"rn").collect().toSeq
     (out, scanned, total)
   }
-  private val bm25Schema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val bm25Schema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("score",
