@@ -118,6 +118,29 @@ class FooterStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("columns differing only in case bind case-sensitively on the " +
+      "fast path — V's footer stats can never serve as v's") {
+    import spark.implicits._
+    withZone { zone =>
+      spark.conf.set("spark.sql.caseSensitive", "true")
+      try {
+        // V FIRST in schema order: a lowercase-folded find() would bind
+        // V's chunk for the tracked column v and record disjoint-range
+        // stats (100..110) as v's EXACT min/max — the fast/slow compare
+        // catches exactly that
+        val df = spark.range(0, 100, 1, 2).select(
+          $"id",
+          ($"id" % 11 + 100).cast("int").as("V"),
+          ($"id" % 7).cast("int").as("v"))
+        val (fast, slow, _, _) = both(zone, df, Seq("v"))
+        assert(fast == slow, s"\nfast=$fast\nslow=$slow")
+        assert(fast.flatMap(_._1).filter(_.col == "v")
+            .forall(s => s.maxV.toDouble < 7.0),
+          s"v's stats must come from v's chunk, not V's: $fast")
+      } finally spark.conf.unset("spark.sql.caseSensitive")
+    }
+  }
+
   test("nested dotted stats columns ride the footer path with parity") {
     import spark.implicits._
     withZone { zone =>
