@@ -117,6 +117,13 @@ object Bench {
       "(never clip x clip), d52 grew a relabel-on-delete leg (one " +
       "positional commit) and dropped its separate no-merge emptiness " +
       "probe job (newRows checkpointed once, decision + write read it). " +
+      "Builder r18 receipt vs r17 driver numbers: common set (38 keys) " +
+      "70.57 -> 73.67 s (1.044x) under a LOADED host - the " +
+      "identical-code controls moved MORE (t30 1.16x, q01 1.09x, e51 " +
+      "1.20x its known jitter) while k123/e59/k158 got faster, so the " +
+      "movement is ambient, not the round's changes; the incremental " +
+      "family moved +3-7% together per the standing coupling note " +
+      "(d52 13.84 -> 14.84 with the probe fold in). " +
       "r17 context: COMMIT FAST PATH - small non-partitioned " +
       "commits whose stats columns are footer-exact (integral/bool, " +
       "date under UTC) read per-file min/max/nulls/rows from the " +

@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_stages"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_stages"),
       graft.plans.GraftTableFunctions.stages _))
+    e.injectTableFunction((FunctionIdentifier("graft_tags"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_tags"),
+      graft.plans.GraftTableFunctions.tagsList _))
     e.injectTableFunction((FunctionIdentifier("graft_snapshot_diff"),
       new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_snapshot_diff"),
       graft.plans.GraftTableFunctions.snapshotDiff _))

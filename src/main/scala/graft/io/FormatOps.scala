@@ -5449,6 +5449,65 @@ object FormatOps {
       |FROM lineitem WHERE l_orderkey % 4 <> 3
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- k167
+  /** SHOW TAGS / graft_tags() — the release auditor's tag listing,
+    * SQL-parity with SHOW STAGES (k164): tags were settable and
+    * readable from SQL (k162) but only listable via SHOW
+    * TBLPROPERTIES' raw `graft.tag.*` rows. The workload pins the
+    * listing against LIVE reads: three commits, two surviving tags
+    * (one pinned explicitly below the head, one at the head), a set-
+    * then-dropped tag that must NOT list, and per-tag `tagAsOf` row
+    * counts — the oracle restates names, pinned versions, and counts
+    * from raw lineitem. */
+  private def k167(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = tmpZone("graft_k167_tags")
+    try {
+      val t = s"$zone/facts"
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity")
+      li.filter($"l_orderkey" % 3 === 0)
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .mode("overwrite").save(t)
+      li.filter($"l_orderkey" % 3 === 1)
+        .write.format("graft").mode("append").save(t)
+      li.filter($"l_orderkey" % 3 === 2)
+        .write.format("graft").mode("append").save(t)
+      spark.sql(s"ALTER TABLE '$t' SET TAG 'raw' VERSION AS OF 1")
+      spark.sql(s"ALTER TABLE '$t' SET TAG 'full' VERSION AS OF 3")
+      spark.sql(s"ALTER TABLE '$t' SET TAG 'tmp'")
+      spark.sql(s"ALTER TABLE '$t' DROP TAG 'tmp'")
+      val shown = spark.sql(s"SHOW TAGS ON '$t'")
+        .as[(String, Long)].collect().toSeq.sorted
+      val fn = spark.sql(s"SELECT * FROM graft_tags('$t')")
+        .as[(String, Long)].collect().toSeq.sorted
+      require(shown == fn,
+        "SHOW TAGS and graft_tags() must list the same rows")
+      require(!shown.exists(_._1 == "tmp"),
+        "a dropped tag must not list")
+      val rows = shown.map { case (name, v) =>
+        (name, v, spark.read.format("graft").option("tagAsOf", name)
+          .load(t).count())
+      }
+      rows.toDF("tag_name", "version", "n_rows")
+        .orderBy($"tag_name")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val k167Sql =
+    """SELECT 'full' AS tag_name, CAST(3 AS BIGINT) AS version,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows
+      |UNION ALL
+      |SELECT 'raw', CAST(1 AS BIGINT),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |   WHERE l_orderkey % 3 = 0)
+      |ORDER BY tag_name""".stripMargin
+
   // --------------------------------------------------------------- k162
   /** TAGGED TIME TRAVEL FROM PURE SQL — `SELECT ... FROM t VERSION AS
     * OF 'release-tag'`: the k159 reproducibility pin consumable
@@ -5694,5 +5753,6 @@ object FormatOps {
     RQ("k163_history_retention", k163, Some(k163Sql)),
     RQ("k164_wap_publish", k164, Some(k164Sql)),
     RQ("k165_wap_atomic_multi", k165, Some(k165Sql)),
-    RQ("k166_wap_writer_option", k166, Some(k166Sql)))
+    RQ("k166_wap_writer_option", k166, Some(k166Sql)),
+    RQ("k167_show_tags", k167, Some(k167Sql)))
 }

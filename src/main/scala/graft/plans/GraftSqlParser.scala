@@ -136,6 +136,10 @@ object GraftSqlParser {
   // listing (graft-only statement; no Spark grammar to defer to)
   private val ShowStagesStmt =
     """(?is)\s*SHOW\s+STAGES\s+(?:ON\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
+  // SHOW TAGS — the release auditor's tag listing (parity with SHOW
+  // STAGES; rows shared with the graft_tags TVF)
+  private val ShowTagsStmt =
+    """(?is)\s*SHOW\s+TAGS\s+(?:ON\s+)?('[^']+'|"[^"]+"|[\w.`/\-]+)\s*;?\s*""".r
   // ALTER TABLE family — intercepted ONLY when the target is a graft
   // table (quoted path, or identifier resolving to provider=graft);
   // every other ALTER TABLE falls through to Spark's own grammar.
@@ -289,6 +293,10 @@ object GraftSqlParser {
             resolveTarget(SparkSession.active, target)))))
       case ShowStagesStmt(target) if graftTarget(target) =>
         Some(GraftTableFunctions.stages(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            resolveTarget(SparkSession.active, target)))))
+      case ShowTagsStmt(target) if graftTarget(target) =>
+        Some(GraftTableFunctions.tagsList(Seq(
           org.apache.spark.sql.catalyst.expressions.Literal(
             resolveTarget(SparkSession.active, target)))))
       case ShowPartitionsStmt(target) if graftTarget(target) =>

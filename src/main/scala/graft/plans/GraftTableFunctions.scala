@@ -331,6 +331,27 @@ object GraftTableFunctions {
     LocalRelation(out, data)
   }
 
+  /** `graft_tags(path)` — the tag map as rows (tag_name, version),
+    * name-ordered: the release auditor's listing, parity with
+    * graft_stages. Bounded by the tag count, metadata-only →
+    * LocalRelation. */
+  def tagsList(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_tags(path)")
+    val table = str(exprs.head, "path")
+    val spark = SparkSession.active
+    val out = Seq(
+      AttributeReference("tag_name", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    val data = TxnTable.tags(spark, table).toSeq.sortBy(_._1)
+      .map { case (name, v) =>
+        val r = new GenericInternalRow(2)
+        r.update(0, UTF8String.fromString(name))
+        r.setLong(1, v)
+        r: InternalRow
+      }
+    LocalRelation(out, data)
+  }
+
   /** `graft_changes(path, start[, end])` — the change-feed relation,
     * (start, end] half-open like the reader options; end defaults to
     * the latest version at plan time. */
