@@ -1302,6 +1302,119 @@ object SimilarityOps {
        |  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
        |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- e65
+  /** IVF INDEX × WRITE-AUDIT-PUBLISH — t58's audit-gate story for the
+    * VECTOR index, completing the lifecycle matrix (both maintained
+    * indexes now have deletion legs, staging legs, and streaming
+    * legs): a suspect embedding batch is ASSIGNED and STAGED on the
+    * cell-partitioned IVF table via the stageId writer option, and the
+    * same nprobe=2 pruned-probe serving plan runs in both phases —
+    * 'staged' must equal ANN over the corpus WITHOUT the holdback (a
+    * leaked vector would enter the shortlist and hash-mismatch),
+    * 'published' must equal full-corpus ANN after ONE atomic
+    * promotion. The production story: embed the crawl, audit the
+    * index state it WOULD create, only then serve it — or abort
+    * leaving the index byte-identical. */
+  private def e65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    import org.apache.spark.sql.expressions.Window
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_e65_wap").toFile.getAbsolutePath
+    try {
+      val ivf = s"$zone/ivf_txn"
+      val cents = centroids(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val hold = maxId - maxId / 10L // the suspect embedding batch
+      def assign(batch: DataFrame): DataFrame = batch.select(
+        $"vec_id", $"embedding",
+        element_at(Similarity.nearestCells("embedding", cents, 1), 1)
+          .cast("bigint").cast("string").as("cell"))
+      assign(emb.filter($"vec_id" <= cut))
+        .write.format("graft").option("statsCols", "vec_id")
+        .option("partitionBy", "cell").mode("overwrite").save(ivf)
+      assign(emb.filter($"vec_id" > cut && $"vec_id" <= hold))
+        .write.format("graft").mode("append").save(ivf)
+      assign(emb.filter($"vec_id" > hold))
+        .write.format("graft").option("stageId", "vecs-b0")
+        .mode("append").save(ivf)
+      val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+      val pcells = probe
+        .select(explode(Similarity.nearestCells("p", cents, 2)).as("pc"))
+        .select($"pc".cast("bigint").cast("string").as("cell"))
+      def serve(phase: String): Seq[org.apache.spark.sql.Row] = {
+        val (hits, (scanned, total)) =
+          graft.dedup.DedupOps.probePersisted(
+            spark, ivf, pcells.localCheckpoint(),
+            joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
+            keyCol = "cell", cat = s"ge65$phase",
+            scanPayload = Seq("vec_id", "embedding"))
+        require(scanned < total,
+          s"the $phase 2-cell probe must prune the IVF index: " +
+            s"$scanned/$total")
+        hits.filter($"vec_id" =!= 0).crossJoin(broadcast(probe))
+          .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"vec_id").limit(5)
+          .withColumn("rn", row_number()
+            .over(Window.orderBy($"cos_sim".desc, $"vec_id"))
+            .cast("bigint"))
+          .orderBy($"rn").collect().toSeq
+      }
+      val staged = serve("stg")
+      require(staged.forall(_.getLong(0) <= hold),
+        "a staged holdback vector surfaced in the served shortlist")
+      val v0 = TxnTable.latestVersion(spark, ivf).get
+      TxnTable.publishStage(spark, ivf, "vecs-b0")
+      require(TxnTable.latestVersion(spark, ivf).contains(v0 + 1L),
+        "the promotion must cost exactly one version")
+      val published = serve("pub")
+      val out = staged.map(r => ("staged", r.getLong(0), r.getDouble(1),
+          r.getLong(2))) ++
+        published.map(r => ("published", r.getLong(0), r.getDouble(1),
+          r.getLong(2)))
+      out.toDF("phase", "vec_id", "cos_sim", "rn")
+        .orderBy($"phase", $"rn")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: cosineSql-based, defined after `all` (init order)
+  private def e65Sql = {
+    def phase(name: String, pred: String) =
+      s"""SELECT '$name' AS phase, vec_id, cos_sim, rn FROM (
+         |WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE $pred),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, (
+         |    SELECT cent_id FROM cents
+         |    ORDER BY ${Similarity.cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+         |  FROM corp e),
+         |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+         |pcells AS (
+         |  SELECT cent_id FROM cents, probe
+         |  ORDER BY ${Similarity.cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2),
+         |topl AS (
+         |  SELECT a.vec_id, ${Similarity.cosineSql("a.embedding", "probe.p")} AS cos_sim
+         |  FROM assigned a, probe
+         |  WHERE a.cell IN (SELECT cent_id FROM pcells) AND a.vec_id <> 0
+         |  ORDER BY cos_sim DESC, a.vec_id LIMIT 5)
+         |SELECT vec_id, cos_sim,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+         |FROM topl)""".stripMargin
+    s"""WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+       |ph AS (
+       |${phase("staged", "vec_id <= (SELECT m - m // 10 FROM mx)")}
+       |UNION ALL
+       |${phase("published", "TRUE")})
+       |SELECT phase, vec_id, cos_sim, rn FROM ph ORDER BY phase, rn""".stripMargin
+  }
+
   private val e62Sql =
     s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
        |vecl AS (
@@ -1346,7 +1459,8 @@ object SimilarityOps {
     RQ("e61_drift_detector", e61, Some(e61Sql)),
     RQ("e62_hybrid_rrf", e62, Some(e62Sql)),
     RQ("e63_ann_under_deletes", e63, Some(e63Sql)),
-    RQ("e64_hybrid_maintained", e64, Some(e64Sql)))
+    RQ("e64_hybrid_maintained", e64, Some(e64Sql)),
+    RQ("e65_ivf_wap_staged", e65, Some(e65Sql)))
 
   // ---------------------------------------------------------------- e59
   /** INCREMENTAL IVF INGEST — index maintenance as a pipeline, the ANN

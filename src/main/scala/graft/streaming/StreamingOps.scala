@@ -1509,7 +1509,8 @@ object StreamingOps {
     RQ("s72_stream_incremental_dedup", s72,
       Some(graft.dedup.DedupOps.d47Sql)),
     RQ("s73_stream_stage_publish", s73, Some(s73Sql)),
-    RQ("s74_stream_index_maintenance", s74, Some(s74Sql)))
+    RQ("s74_stream_index_maintenance", s74, Some(s74Sql)),
+    RQ("s75_stream_ivf_maintenance", s75, Some(s75Sql)))
 
   // ---------------------------------------------------------------- s71
   /** LAGGING CONSUMER vs AGGRESSIVE VACUUM — the streaming receipt for
@@ -1731,4 +1732,114 @@ object StreamingOps {
       |SELECT doc_id, score,
       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
       |FROM top ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- s75
+  /** STREAMING IVF MAINTENANCE — s74's firehose story for the VECTOR
+    * index: an embedding backlog drains as micro-batches, each
+    * assigned to its coarse cell and appended to the cell-partitioned
+    * IVF table with exactly-once semantics (writer txnAppId keyed by
+    * checkpoint hash + batch id — a foreachBatch retry cannot
+    * double-index a batch). After the drain, the nprobe=2 pruned probe
+    * (literal-key file pruning REQUIREd) must equal the one-shot IVF
+    * shortlist over the whole corpus — batch boundaries cannot show
+    * because cell assignment is per-vector against the PINNED seed
+    * quantizer (e59's contract). */
+  private def s75(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft_s75").toFile
+    try {
+      val src = s"${root.getAbsolutePath}/vecs_src"
+      val ivf = s"${root.getAbsolutePath}/ivf_txn"
+      val checkpoint = s"${root.getAbsolutePath}/checkpoint"
+      val cents = graft.sim.SimilarityOps.centroids(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding")
+      val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val cut2 = math.max(cut + 1L, maxId - 5L)
+      TxnTable.commitAppend(emb.filter($"vec_id" <= cut), src)
+      TxnTable.commitAppend(
+        emb.filter($"vec_id" > cut && $"vec_id" <= cut2), src)
+      TxnTable.commitAppend(emb.filter($"vec_id" > cut2), src)
+      val qTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val first = TxnTable.latestVersion(spark, ivf).isEmpty
+            val vw = batch.select($"vec_id", $"embedding",
+                element_at(
+                  graft.sim.Similarity.nearestCells("embedding", cents, 1),
+                  1).cast("bigint").cast("string").as("cell"))
+              .write.format("graft").option("statsCols", "vec_id")
+              .option("txnAppId", s"s75$qTag")
+              .option("txnVersion", batchId.toString)
+            (if (first) vw.option("partitionBy", "cell")
+                .mode("overwrite")
+             else vw.mode("append")).save(ivf)
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(TxnTable.latestVersion(spark, ivf).contains(3L),
+        "three source commits must land as three index ingests, got " +
+          s"${TxnTable.latestVersion(spark, ivf)}")
+      val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+      val pcells = probe.select(explode(
+          graft.sim.Similarity.nearestCells("p", cents, 2)).as("pc"))
+        .select($"pc".cast("bigint").cast("string").as("cell"))
+      val (hits, (scanned, total)) = graft.dedup.DedupOps.probePersisted(
+        spark, ivf, pcells.localCheckpoint(),
+        joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
+        keyCol = "cell", cat = "gs75spj",
+        scanPayload = Seq("vec_id", "embedding"))
+      require(scanned < total,
+        s"the 2-cell probe must prune the streamed index: $scanned/$total")
+      val result = hits.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id", graft.sim.Similarity.cosine("embedding", "p")
+          .as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id").limit(5)
+        .withColumn("rn", row_number()
+          .over(Window.orderBy($"cos_sim".desc, $"vec_id"))
+          .cast("bigint"))
+        .orderBy($"rn")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+  // def, not val: cosineSql-based, defined after `all` (init order)
+  private def s75Sql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${graft.sim.Similarity.cosineSql("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${graft.sim.Similarity.cosineSql("probe.p", "cents.c")} DESC, cent_id LIMIT 2),
+       |topl AS (
+       |  SELECT a.vec_id, ${graft.sim.Similarity.cosineSql("a.embedding", "probe.p")} AS cos_sim
+       |  FROM assigned a, probe
+       |  WHERE a.cell IN (SELECT cent_id FROM pcells) AND a.vec_id <> 0
+       |  ORDER BY cos_sim DESC, a.vec_id LIMIT 5)
+       |SELECT vec_id, cos_sim,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+       |FROM topl ORDER BY rn""".stripMargin
 }
