@@ -163,7 +163,220 @@ object PipelineOps {
     (passAll +: perRule).mkString("\nUNION ALL\n") + "\nORDER BY rule"
   }
 
+  // ---------------------------------------------------------------- p92
+  /** THE MAINTAINED-CORPUS LIFECYCLE, END TO END — the round's
+    * lifecycle legs (incremental dedup, index maintenance, deletion
+    * vectors, pruned-probe serving, hybrid fusion) chained the way a
+    * real RAG/training corpus runs them, and oracled as ONE closed
+    * form:
+    *
+    *   1. INGEST: two id-ranged batches (every 25th doc carries its
+    *      predecessor's text — injected exact dups) flow through
+    *      d47's incremental keep-first dedup: losers die by
+    *      positional vector at their arrival;
+    *   2. INDEX: the t56-shape postings table and the e59-shape
+    *      cell-partitioned IVF table build over the DEDUPED corpus
+    *      (the masked read is the input — a loser's postings never
+    *      exist);
+    *   3. FORGET: a right-to-be-forgotten batch (surviving ids
+    *      % 70 = 0) erases from the corpus AND BOTH indexes as
+    *      positional vectors (zero data-file rewrites REQUIREd);
+    *   4. SERVE: hybrid RRF from the two maintained indexes (e64's
+    *      probes, both literal-key-pruned, REQUIREd) — dead ids
+    *      cannot surface (REQUIREd).
+    *
+    * The oracle replays the whole composition in DuckDB: the minhash
+    * keep-first rule over the shifted corpus, minus the erasure, then
+    * both retrieval legs and the fusion. A leaked loser posting, an
+    * unmasked erased vector, or a fusion-order change all
+    * hash-mismatch. The point of registering the composite: the
+    * lifecycle legs proven one-by-one (d47, t56/t57, e59/e63, e64)
+    * also compose — one pipeline, five maintained artifacts, no
+    * rebuilds anywhere. */
+  private def p92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_p92_life").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/corpus_txn"
+      val sigs = s"$zone/sigs_txn"
+      val postings = s"$zone/postings_txn"
+      val ivf = s"$zone/ivf_txn"
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val maxId = base.agg(max($"doc_id")).head().getLong(0)
+      val cut = maxId / 2L
+      val shifted = base.as("a")
+        .join(base.as("b"), col("b.doc_id") === col("a.doc_id") - 1,
+          "left")
+        .select(col("a.doc_id").as("doc_id"),
+          when(col("a.doc_id") % 25 === 0 && col("a.doc_id") > 0,
+            coalesce(col("b.text"), col("a.text")))
+            .otherwise(col("a.text")).as("text"))
+        .localCheckpoint()
+      graft.dedup.DedupOps.d47Ingest(spark, corpus, sigs,
+        shifted.filter($"doc_id" <= cut), first = true,
+        col("doc_id") >= 0L && col("doc_id") <= cut)
+      graft.dedup.DedupOps.d47Ingest(spark, corpus, sigs,
+        shifted.filter($"doc_id" > cut), first = false,
+        col("doc_id") > cut && col("doc_id") <= maxId)
+      val surv = spark.read.format("graft").load(corpus)
+      val toks = surv
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter(length($"term") > 0).localCheckpoint()
+      toks.groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+        .write.format("graft")
+        .option("partitionBy", "bucket(16, term)")
+        .option("statsCols", "term").option("bloomCols", "term")
+        .option("optimizedWrite", "true").option("mergeOnRead", "true")
+        .mode("overwrite").save(postings)
+      val cents = graft.sim.SimilarityOps.centroids(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      emb.join(surv.select($"doc_id".as("vec_id")), Seq("vec_id"),
+          "left_semi")
+        .select($"vec_id", $"embedding",
+          element_at(
+            graft.sim.Similarity.nearestCells("embedding", cents, 1), 1)
+            .cast("bigint").cast("string").as("cell"))
+        .write.format("graft").option("statsCols", "vec_id")
+        .option("partitionBy", "cell").option("mergeOnRead", "true")
+        .mode("overwrite").save(ivf)
+      val eraseIds = surv.filter($"doc_id" % 70 === 0)
+        .select($"doc_id").as[Long].collect().toSeq
+      require(eraseIds.nonEmpty, "the erasure batch must be non-empty")
+      val beforeP = TxnTable.snapshotFiles(spark, postings,
+        TxnTable.latestVersion(spark, postings).get).toSet
+      val beforeV = TxnTable.snapshotFiles(spark, ivf,
+        TxnTable.latestVersion(spark, ivf).get).toSet
+      TxnTable.deleteWherePos(spark, corpus,
+        s => s("doc_id").isin(eraseIds: _*))
+      TxnTable.deleteWherePos(spark, postings,
+        s => s("doc_id").isin(eraseIds: _*))
+      TxnTable.deleteWherePos(spark, ivf,
+        s => s("vec_id").isin(eraseIds: _*))
+      require(beforeP.subsetOf(TxnTable.morState(spark, postings,
+          TxnTable.latestVersion(spark, postings).get).files.toSet) &&
+        beforeV.subsetOf(TxnTable.morState(spark, ivf,
+          TxnTable.latestVersion(spark, ivf).get).files.toSet),
+        "erasure must be deletion vectors on both indexes, not rewrites")
+      val (lexHits, (ls, lt)) = graft.dedup.DedupOps.probePersisted(
+        spark, postings,
+        Seq("window", "merge", "stream").toDF("term").localCheckpoint(),
+        joinCols = Seq("term"), out = Seq("doc_id", "tf"),
+        keyCol = "term", cat = "gp92lex", scanPayload = Seq("doc_id", "tf"))
+      require(ls < lt,
+        s"the 3-term probe must prune the postings index: $ls/$lt")
+      val lex = lexHits.groupBy($"doc_id").agg(sum($"tf").as("cnt"))
+        .orderBy($"cnt".desc, $"doc_id").limit(20)
+        .withColumn("rl",
+          row_number().over(Window.orderBy($"cnt".desc, $"doc_id"))
+            .cast("bigint"))
+        .select($"doc_id".as("id"), $"rl")
+      val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+      val pcells = probe.select(explode(
+          graft.sim.Similarity.nearestCells("p", cents, 2)).as("pc"))
+        .select($"pc".cast("bigint").cast("string").as("cell"))
+      val (vecHits, (vs, vt)) = graft.dedup.DedupOps.probePersisted(
+        spark, ivf, pcells.localCheckpoint(),
+        joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
+        keyCol = "cell", cat = "gp92vec",
+        scanPayload = Seq("vec_id", "embedding"))
+      require(vs < vt,
+        s"the 2-cell probe must prune the IVF index: $vs/$vt")
+      val vec = vecHits.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id".as("id"),
+          graft.sim.Similarity.cosine("embedding", "p").as("cs"))
+        .orderBy($"cs".desc, $"id").limit(20)
+        .withColumn("rv",
+          row_number().over(Window.orderBy($"cs".desc, $"id"))
+            .cast("bigint"))
+        .select($"id", $"rv")
+      val fused = lex.join(vec, Seq("id"), "full_outer")
+        .select($"id",
+          (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")),
+              lit(0.0))).as("rrf"))
+        .orderBy($"rrf".desc, $"id").limit(10)
+      val rows = fused.collect()
+      require(rows.forall(_.getLong(0) % 70L != 0L),
+        "an erased doc surfaced in the served fusion")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fused.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  // def, not val: cosineSql-based, defined after `all` (init order)
+  private def p92Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    val cos = graft.sim.Similarity.cosineSql _
+    s"""WITH shifted AS (
+       |  SELECT a.doc_id,
+       |    CASE WHEN a.doc_id % 25 = 0 AND a.doc_id > 0
+       |      THEN COALESCE(b.text, a.text) ELSE a.text END AS text
+       |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
+       |sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM shifted),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh),
+       |dups AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM sig a JOIN sig b ON a.doc_id > b.doc_id AND
+       |    (a.band1 = b.band1 OR a.band2 = b.band2 OR
+       |     a.band3 = b.band3 OR a.band4 = b.band4)),
+       |kept AS (
+       |  SELECT doc_id, text FROM shifted
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+       |    AND doc_id % 70 <> 0),
+       |toks AS (
+       |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok
+       |  FROM kept),
+       |lexl AS (
+       |  SELECT doc_id AS id, COUNT(*) AS cnt FROM toks
+       |  WHERE tok IN ('window', 'merge', 'stream') GROUP BY 1
+       |  ORDER BY cnt DESC, id LIMIT 20),
+       |lexr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, id) AS BIGINT) AS rl FROM lexl),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cos("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${cos("probe.p", "cents.c")} DESC, cent_id LIMIT 2),
+       |vecl AS (
+       |  SELECT a.vec_id AS id, ${cos("a.embedding", "probe.p")} AS cs
+       |  FROM assigned a, probe
+       |  WHERE a.cell IN (SELECT cent_id FROM pcells) AND a.vec_id <> 0
+       |  ORDER BY cs DESC, id LIMIT 20),
+       |vecr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, id) AS BIGINT) AS rv FROM vecl),
+       |fused AS (
+       |  SELECT COALESCE(l.id, v.id) AS id,
+       |    COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(rv AS DOUBLE)), 0.0) AS rrf
+       |  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+       |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("p90_training_pipeline", p90, Some(p90Sql), bench = true),
-    RQ("p91_dq_expectations", p91, Some(p91Sql)))
+    RQ("p91_dq_expectations", p91, Some(p91Sql)),
+    RQ("p92_corpus_lifecycle", p92, Some(p92Sql)))
 }
