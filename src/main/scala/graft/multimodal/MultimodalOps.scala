@@ -1095,6 +1095,138 @@ object MultimodalOps {
       |ORDER BY img_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m73
+  /** IMAGE TAKEDOWN — the multimodal right-to-be-forgotten leg (the
+    * t57/e63 move applied to m70's image-dedup index), with the twist
+    * the text/vector legs don't have: RE-ADMISSION. A takedown erases
+    * an admitted image AND its fingerprint band keys (both positional
+    * — zero rewrites REQUIREd), so the dedup index forgets the image
+    * ever existed; a LATER near-duplicate of the taken-down image is
+    * then legitimately ADMITTED (nothing in the index witnesses
+    * against it — the DMCA/consent-revocation semantics: removal must
+    * not keep suppressing lawful copies). Workload: the bases ingest
+    * (batch 1, keep-first), admitted bases with img_id % 14 = 0 are
+    * taken down, then the engineered variants ingest (batch 2): a
+    * variant whose base was taken down re-admits (REQUIREd), every
+    * other variant still dies to its surviving base. The oracle
+    * replays the whole thing closed-form: the m68 fingerprint chain,
+    * batch-1 pairwise keep-first, the takedown set, then batch-2
+    * admission judged against batch-2 peers plus the SURVIVING
+    * batch-1 signatures only. */
+  private def m73(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_m73_take").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/imgs_txn"
+      val sigsT = s"$zone/isigs_txn"
+      val fps = imageFingerprints(spark, dir)
+        .select($"item_id".as("img_id"), $"fp")
+      // batch 1 = the bases (even ids), batch 2 = the variants (odd)
+      m70Ingest(spark, corpus, sigsT, fps.filter($"img_id" % 2 === 0),
+        first = true, col("img_id") % 2 === 0)
+      val takedown = spark.read.format("graft").load(corpus)
+        .filter($"img_id" % 14 === 0)
+        .select($"img_id").as[Long].collect().toSeq
+      require(takedown.nonEmpty, "the takedown batch must be non-empty")
+      val beforeC = TxnTable.snapshotFiles(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).toSet
+      val beforeS = TxnTable.snapshotFiles(spark, sigsT,
+        TxnTable.latestVersion(spark, sigsT).get).toSet
+      TxnTable.deleteWherePos(spark, corpus,
+        s => s("img_id").isin(takedown: _*))
+      TxnTable.deleteWherePos(spark, sigsT,
+        s => s("pid").isin(takedown: _*))
+      require(beforeC.subsetOf(TxnTable.morState(spark, corpus,
+          TxnTable.latestVersion(spark, corpus).get).files.toSet) &&
+        beforeS.subsetOf(TxnTable.morState(spark, sigsT,
+          TxnTable.latestVersion(spark, sigsT).get).files.toSet),
+        "a takedown must be deletion vectors on both tables, not rewrites")
+      m70Ingest(spark, corpus, sigsT, fps.filter($"img_id" % 2 === 1),
+        first = false, col("img_id") % 2 === 1)
+      val result = spark.read.format("graft").load(corpus)
+        .select($"img_id", $"fp").orderBy($"img_id")
+      val rows = result.collect()
+      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+        "a taken-down image surfaced in the corpus")
+      require(rows.exists(_.getLong(0) % 2L == 1L),
+        "an orphaned variant (base taken down) must be RE-ADMITTED — " +
+          "the index must not keep suppressing lawful copies")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone))
+    }
+  }
+  private val m73Sql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH imgs AS (
+      |  SELECT doc_id * 2 AS img_id, doc_id AS id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |grid AS (
+      |  SELECT x.g AS x, y.g AS y
+      |  FROM generate_series(0, 8) x(g), generate_series(0, 7) y(g)),
+      |px AS (
+      |  SELECT img_id, x, y, pert,
+      |    md5('p:' || id || ':' || (x*16//9) || ':' || (2*y)) AS m
+      |  FROM imgs, grid),
+      |gray AS (
+      |  SELECT img_id, x, y,
+      |    ((${nib(1)}*16 + ${nib(2)}
+      |        + CASE WHEN pert = 1 AND 2*y >= 12 THEN 40 ELSE 0 END) % 256
+      |     + ${nib(3)}*16 + ${nib(4)}
+      |     + ${nib(5)}*16 + ${nib(6)}) AS g
+      |  FROM px),
+      |bits AS (
+      |  SELECT a.img_id, a.y * 8 + a.x AS b,
+      |    CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM gray a JOIN gray n
+      |    ON n.img_id = a.img_id AND n.y = a.y AND n.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (
+      |  SELECT img_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+      |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS h
+      |  FROM bits GROUP BY img_id),
+      |bands AS (
+      |  SELECT img_id, r.range AS bi,
+      |    (h >> CAST(48 - 16 * r.range AS INT)) & 65535 AS bv
+      |  FROM hashes, range(4) r),
+      |pairs AS (
+      |  SELECT DISTINCT a.img_id AS i, b.img_id AS j
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.img_id > b.img_id
+      |  JOIN hashes ha ON ha.img_id = a.img_id
+      |  JOIN hashes hb ON hb.img_id = b.img_id
+      |  WHERE bit_count(xor(ha.h, hb.h)) <= 16),
+      |dups1 AS (
+      |  SELECT DISTINCT i FROM pairs WHERE i % 2 = 0 AND j % 2 = 0),
+      |adm1 AS (
+      |  SELECT img_id FROM hashes WHERE img_id % 2 = 0
+      |    AND img_id NOT IN (SELECT i FROM dups1)),
+      |takedown AS (SELECT img_id FROM adm1 WHERE img_id % 14 = 0),
+      |dups2 AS (
+      |  SELECT DISTINCT i FROM pairs
+      |  WHERE i % 2 = 1 AND (j % 2 = 1 OR
+      |    j NOT IN (SELECT img_id FROM takedown))),
+      |fin AS (
+      |  SELECT img_id FROM adm1
+      |  WHERE img_id NOT IN (SELECT img_id FROM takedown)
+      |  UNION ALL
+      |  SELECT img_id FROM hashes WHERE img_id % 2 = 1
+      |    AND img_id NOT IN (SELECT i FROM dups2))
+      |SELECT f.img_id, h.h AS fp FROM fin f
+      |JOIN hashes h ON h.img_id = f.img_id
+      |ORDER BY f.img_id""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("m71_video_keyframes", m71, Some(m71Sql)),
     RQ("m60_binary_meta", m60, Some(m60Sql)),
@@ -1108,7 +1240,8 @@ object MultimodalOps {
     RQ("m68_phash_neardup", m68, Some(m68Sql)),
     RQ("m69_audio_neardup", m69, Some(m69Sql)),
     RQ("m70_incremental_image_dedup", m70, Some(m70Sql)),
-    RQ("m72_video_neardup", m72, Some(m72Sql)))
+    RQ("m72_video_neardup", m72, Some(m72Sql)),
+    RQ("m73_image_takedown", m73, Some(m73Sql)))
 
   // ---------------------------------------------------------------- m71
   /** VIDEO KEYFRAME EXTRACTION by scene-change detection — the standard
