@@ -499,10 +499,17 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
           require(txn.isEmpty,
             "stageId already carries idempotence (a retried save " +
               "re-offers the existing stage) — drop txnAppId/txnVersion")
-          require(Option(info.options.get("replaceWhere")).isEmpty,
-            "stageId composes with plain appends, not replaceWhere")
+          require(Option(info.options.get("replaceWhere")).isEmpty &&
+            Option(info.options.get("dynamicPartitionOverwrite")).isEmpty,
+            "stageId composes with plain appends, not scoped overwrites")
+          // sticky table flags cannot be toggled by a STAGED append
+          // (publish carries the stage by reference into whatever the
+          // table's flags then are) — refuse rather than silently drop
+          require(cdf.isEmpty && mor.isEmpty,
+            "mergeOnRead/enableChangeFeed are table flags a staged " +
+              "append cannot set — ALTER the table, then stage")
           TxnTable.stageAppend(coerced1, table, statsCols, bloomCols,
-            Some(sid))
+            Some(sid), optimizedWrite = optimizedWrite)
           return
         }
         // `.option("replaceWhere", "c = v" | "c BETWEEN a AND b")` with

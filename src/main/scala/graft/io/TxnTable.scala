@@ -2775,9 +2775,23 @@ object TxnTable {
     * reuse refusal becomes `ordinal <= high-water` — exactly Delta's
     * txnAppId+version monotonicity, so batch-shaped stages of one
     * prefix must PUBLISH in non-decreasing ordinal order (publishing
-    * {5} after {7} is refused loudly, never silently replay-dropped).
+    * {5} after {7} with its staged manifest still present is refused
+    * loudly by file-membership check, never silently replay-dropped).
     * Ad-hoc (non-batch-shaped) ids keep per-id markers — bounded by
-    * human activity, not stream length. */
+    * human activity, not stream length.
+    *
+    * Two contract edges, both inherited from the Delta shape and
+    * deliberate: (1) the `-b<digits>` suffix is RESERVED — any id
+    * matching it is parsed as batch-shaped, so independent pipelines
+    * must not share a prefix with hand-minted `-bN` names (one writer
+    * mints each prefix's ordinals, monotonically); (2) once an
+    * ordinal sits at or below the high-water mark AND no staged
+    * manifest remains, a publish of it is DEFINED as an
+    * already-applied replay and heals to the current version — a
+    * never-staged (or staged-then-aborted) lower ordinal is
+    * indistinguishable from a published-and-cleaned one at that
+    * point, the same way a stale Delta txnVersion is silently
+    * skipped. NEW data always takes a NEW (higher) ordinal. */
   private val BatchStageRe = "^(.+)-b([0-9]+)$".r
   private def batchShaped(id: String): Option[(String, Long)] = id match {
     case BatchStageRe(prefix, n) =>
@@ -2794,7 +2808,8 @@ object TxnTable {
   def stageAppend(df: DataFrame, table: String,
                   statsCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil,
-                  stageId: Option[String] = None): String = {
+                  stageId: Option[String] = None,
+                  optimizedWrite: Boolean = false): String = {
     val spark = df.sparkSession
     // IDEMPOTENT STAGING: a caller-supplied id (e.g. a streaming
     // micro-batch's batchId) makes retries re-offer the SAME stage —
@@ -2861,7 +2876,8 @@ object TxnTable {
       else FieldIds.stamp(dfg, FieldIds.assign(Some(snapSchema), dfg.schema,
         FieldIds.floorOf(st.retired)))
     val (dataDir, newFiles, newStats, newBlooms, newRows) =
-      writeData(dfw, table, allStatsCols, bloomCols, st.partCols)
+      writeData(dfw, table, allStatsCols, bloomCols, st.partCols,
+        optimized = optimizedWrite)
     val stagedSchema =
       org.apache.spark.sql.GraftBridge.mergeSchemas(snapSchema, dfw.schema)
     val id = stageId.getOrElse(

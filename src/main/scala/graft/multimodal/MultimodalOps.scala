@@ -1387,6 +1387,26 @@ object MultimodalOps {
     * rows by key. */
   private def m72(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val res = m72Frame(spark, dir)
+    val rows = res.collect()
+    // engineered recall is 100% by construction — REQUIRE it: every
+    // (base, trimmed-re-encode) pair surfaces, at jaccard exactly 1.0
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    Tables.documents(spark, dir).select($"doc_id").as[Long]
+      .filter(_ % 5 == 0).collect().foreach { cid =>
+        require(got.get((2 * cid, 2 * cid + 1)).contains(1.0),
+          s"engineered near-dup pair for clip $cid was missed")
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+  }
+
+  /** m72's LAZY result frame — separated from the collecting wrapper
+    * so PlanShapeSpec pins the REAL candidate-join plan (a collected
+    * LocalRelation would make the no-cartesian assertion vacuous). */
+  private[graft] def m72Frame(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
     val Side = 8
     val K = 512L
     val encoded: Dataset[(Long, Array[Byte])] =
@@ -1491,24 +1511,13 @@ object MultimodalOps {
       .groupBy($"a.clip_id".as("clip_a"), $"b.clip_id".as("clip_b"))
       .agg(count(lit(1)).as("shared"))
       .filter($"shared" >= 2)
-    val res = cands
+    cands
       .join(sizes.select($"clip_id".as("clip_a"), $"n".as("na")), "clip_a")
       .join(sizes.select($"clip_id".as("clip_b"), $"n".as("nb")), "clip_b")
       .select($"clip_a", $"clip_b", $"shared".cast("bigint").as("shared"),
         ($"shared".cast("double") /
           ($"na" + $"nb" - $"shared").cast("double")).as("jaccard"))
       .orderBy($"clip_a", $"clip_b")
-    val rows = res.collect()
-    // engineered recall is 100% by construction — REQUIRE it: every
-    // (base, trimmed-re-encode) pair surfaces, at jaccard exactly 1.0
-    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
-      .toMap
-    Tables.documents(spark, dir).select($"doc_id").as[Long]
-      .filter(_ % 5 == 0).collect().foreach { cid =>
-        require(got.get((2 * cid, 2 * cid + 1)).contains(1.0),
-          s"engineered near-dup pair for clip $cid was missed")
-      }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
   // def, not val: defined after `all` in initialization order
   private def m72Sql =

@@ -1235,24 +1235,11 @@ object SimilarityOps {
         .select($"doc_id".as("id"), $"rl")
       // ---- vector probe: nprobe=2 cell shortlist, pruned cell files
       val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
-      val pcells = probe
-        .select(explode(Similarity.nearestCells("p", cents, 2)).as("pc"))
-        .select($"pc".cast("bigint").cast("string").as("cell"))
-      val (vecHits, (vs, vt)) = graft.dedup.DedupOps.probePersisted(
-        spark, ivf, pcells.localCheckpoint(),
-        joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
-        keyCol = "cell", cat = "ge64vec",
-        scanPayload = Seq("vec_id", "embedding"))
+      val (vecRanked, (vs, vt)) =
+        ivfProbe(spark, ivf, cents, probe, k = 20, cat = "ge64vec")
       require(vs < vt,
         s"the 2-cell probe must prune the IVF index: $vs/$vt")
-      val vec = vecHits.filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(probe))
-        .select($"vec_id".as("id"), cosine("embedding", "p").as("cs"))
-        .orderBy($"cs".desc, $"id").limit(20)
-        .withColumn("rv",
-          row_number().over(Window.orderBy($"cs".desc, $"id"))
-            .cast("bigint"))
-        .select($"id", $"rv")
+      val vec = vecRanked.select($"vec_id".as("id"), $"rn".as("rv"))
       // ---- e62's RRF fusion, unchanged
       val fused = lex.join(vec, Seq("id"), "full_outer")
         .select($"id",
@@ -1302,6 +1289,37 @@ object SimilarityOps {
        |  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
        |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
 
+  /** Serve the nprobe=2 shortlist from a PERSISTED cell-partitioned
+    * IVF index: derive the probe's two nearest cells, probe the index
+    * through [[graft.dedup.DedupOps.probePersisted]] (literal-key
+    * file-pruning counts returned for the caller's REQUIREs), and
+    * rank the candidates by cosine with vec-id tie-breaks — the
+    * returned frame is LAZY (vec_id, cos_sim, rn). `probe` carries
+    * one row with the query embedding as column `p`. Shared by
+    * e64/e65/s75/p92 — the vector twin of Text2Ops.bm25Probe. */
+  private[graft] def ivfProbe(spark: SparkSession, ivf: String,
+      cents: Array[Array[Double]], probe: DataFrame, k: Int,
+      cat: String): (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pcells = probe
+      .select(explode(Similarity.nearestCells("p", cents, 2)).as("pc"))
+      .select($"pc".cast("bigint").cast("string").as("cell"))
+    val (hits, counts) = graft.dedup.DedupOps.probePersisted(
+      spark, ivf, pcells.localCheckpoint(),
+      joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
+      keyCol = "cell", cat = cat,
+      scanPayload = Seq("vec_id", "embedding"))
+    val ranked = hits.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id").limit(k)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy($"cos_sim".desc, $"vec_id")).cast("bigint"))
+      .orderBy($"rn")
+    (ranked, counts)
+  }
+
   // ---------------------------------------------------------------- e65
   /** IVF INDEX × WRITE-AUDIT-PUBLISH — t58's audit-gate story for the
     * VECTOR index, completing the lifecycle matrix (both maintained
@@ -1341,26 +1359,13 @@ object SimilarityOps {
         .write.format("graft").option("stageId", "vecs-b0")
         .mode("append").save(ivf)
       val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
-      val pcells = probe
-        .select(explode(Similarity.nearestCells("p", cents, 2)).as("pc"))
-        .select($"pc".cast("bigint").cast("string").as("cell"))
       def serve(phase: String): Seq[org.apache.spark.sql.Row] = {
-        val (hits, (scanned, total)) =
-          graft.dedup.DedupOps.probePersisted(
-            spark, ivf, pcells.localCheckpoint(),
-            joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
-            keyCol = "cell", cat = s"ge65$phase",
-            scanPayload = Seq("vec_id", "embedding"))
+        val (ranked, (scanned, total)) =
+          ivfProbe(spark, ivf, cents, probe, k = 5, cat = s"ge65$phase")
         require(scanned < total,
           s"the $phase 2-cell probe must prune the IVF index: " +
             s"$scanned/$total")
-        hits.filter($"vec_id" =!= 0).crossJoin(broadcast(probe))
-          .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
-          .orderBy($"cos_sim".desc, $"vec_id").limit(5)
-          .withColumn("rn", row_number()
-            .over(Window.orderBy($"cos_sim".desc, $"vec_id"))
-            .cast("bigint"))
-          .orderBy($"rn").collect().toSeq
+        ranked.collect().toSeq
       }
       val staged = serve("stg")
       require(staged.forall(_.getLong(0) <= hold),

@@ -1663,25 +1663,31 @@ object StreamingOps {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            batchId: Long) =>
-            val first = TxnTable.latestVersion(spark, postings).isEmpty
+            // `first` is derived PER TABLE, not once per batch: a crash
+            // between the postings write and the dl write would
+            // otherwise leave every restart appending to a
+            // nonexistent dl table — each leg must make its own
+            // create-vs-append decision for the retry to heal
             val toks = batch
               .select($"doc_id",
                 explode(split(lower($"text"), " ")).as("term"))
               .filter(length($"term") > 0).localCheckpoint()
+            val firstP = TxnTable.latestVersion(spark, postings).isEmpty
             val pw = toks.groupBy($"term", $"doc_id")
               .agg(count(lit(1)).as("tf"))
               .write.format("graft")
               .option("statsCols", "term").option("bloomCols", "term")
               .option("txnAppId", s"s74p$qTag")
               .option("txnVersion", batchId.toString)
-            (if (first) pw.option("partitionBy", "bucket(16, term)")
+            (if (firstP) pw.option("partitionBy", "bucket(16, term)")
                 .mode("overwrite")
              else pw.mode("append")).save(postings)
+            val firstD = TxnTable.latestVersion(spark, dlT).isEmpty
             toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
               .write.format("graft").option("statsCols", "doc_id")
               .option("txnAppId", s"s74d$qTag")
               .option("txnVersion", batchId.toString)
-              .mode(if (first) "overwrite" else "append").save(dlT)
+              .mode(if (firstD) "overwrite" else "append").save(dlT)
             ()
         }
         .trigger(Trigger.AvailableNow())
@@ -1793,25 +1799,10 @@ object StreamingOps {
         "three source commits must land as three index ingests, got " +
           s"${TxnTable.latestVersion(spark, ivf)}")
       val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
-      val pcells = probe.select(explode(
-          graft.sim.Similarity.nearestCells("p", cents, 2)).as("pc"))
-        .select($"pc".cast("bigint").cast("string").as("cell"))
-      val (hits, (scanned, total)) = graft.dedup.DedupOps.probePersisted(
-        spark, ivf, pcells.localCheckpoint(),
-        joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
-        keyCol = "cell", cat = "gs75spj",
-        scanPayload = Seq("vec_id", "embedding"))
+      val (result, (scanned, total)) = graft.sim.SimilarityOps.ivfProbe(
+        spark, ivf, cents, probe, k = 5, cat = "gs75spj")
       require(scanned < total,
         s"the 2-cell probe must prune the streamed index: $scanned/$total")
-      val result = hits.filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(probe))
-        .select($"vec_id", graft.sim.Similarity.cosine("embedding", "p")
-          .as("cos_sim"))
-        .orderBy($"cos_sim".desc, $"vec_id").limit(5)
-        .withColumn("rn", row_number()
-          .over(Window.orderBy($"cos_sim".desc, $"vec_id"))
-          .cast("bigint"))
-        .orderBy($"rn")
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {

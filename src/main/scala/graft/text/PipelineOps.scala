@@ -192,7 +192,16 @@ object PipelineOps {
     * hash-mismatch. The point of registering the composite: the
     * lifecycle legs proven one-by-one (d47, t56/t57, e59/e63, e64)
     * also compose — one pipeline, five maintained artifacts, no
-    * rebuilds anywhere. */
+    * rebuilds anywhere.
+    *
+    * Cross-table contract: transactions are PER-TABLE (the
+    * Delta/Iceberg model), so the step-3 erasure is three independent
+    * positional commits and a crash mid-takedown can leave an index
+    * not yet erased. The remedy is the standard at-least-once janitor
+    * rule: each leg is IDEMPOTENT (re-running the positional delete
+    * over the masked read matches nothing), so the takedown driver
+    * simply re-runs its whole batch until every table confirms —
+    * never partial-order-sensitive, never a rebuild. */
   private def p92(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.io.TxnTable
@@ -273,25 +282,11 @@ object PipelineOps {
             .cast("bigint"))
         .select($"doc_id".as("id"), $"rl")
       val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
-      val pcells = probe.select(explode(
-          graft.sim.Similarity.nearestCells("p", cents, 2)).as("pc"))
-        .select($"pc".cast("bigint").cast("string").as("cell"))
-      val (vecHits, (vs, vt)) = graft.dedup.DedupOps.probePersisted(
-        spark, ivf, pcells.localCheckpoint(),
-        joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
-        keyCol = "cell", cat = "gp92vec",
-        scanPayload = Seq("vec_id", "embedding"))
+      val (vecRanked, (vs, vt)) = graft.sim.SimilarityOps.ivfProbe(
+        spark, ivf, cents, probe, k = 20, cat = "gp92vec")
       require(vs < vt,
         s"the 2-cell probe must prune the IVF index: $vs/$vt")
-      val vec = vecHits.filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(probe))
-        .select($"vec_id".as("id"),
-          graft.sim.Similarity.cosine("embedding", "p").as("cs"))
-        .orderBy($"cs".desc, $"id").limit(20)
-        .withColumn("rv",
-          row_number().over(Window.orderBy($"cs".desc, $"id"))
-            .cast("bigint"))
-        .select($"id", $"rv")
+      val vec = vecRanked.select($"vec_id".as("id"), $"rn".as("rv"))
       val fused = lex.join(vec, Seq("id"), "full_outer")
         .select($"id",
           (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")),

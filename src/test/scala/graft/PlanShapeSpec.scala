@@ -98,8 +98,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "never clip×clip") {
     // the keyframe-fingerprint contract: the clip self-join must be an
     // EQUI-join on fp — a cartesian/NLJ is quadratic in clips and the
-    // whole point of fingerprint keys is to avoid it
-    val df = Registry.queries("m72_video_neardup")(spark, Spec.sf0001)
+    // whole point of fingerprint keys is to avoid it. Pin the LAZY
+    // frame (the registered query collects internally for its recall
+    // REQUIREs, whose plan is just a LocalTableScan)
+    val df = graft.multimodal.MultimodalOps.m72Frame(spark, Spec.sf0001)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
