@@ -839,11 +839,7 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // ---------------------------------------------------------------- d47
@@ -1311,11 +1307,7 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
 
@@ -1492,11 +1484,7 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
 
@@ -1723,11 +1711,7 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
 
@@ -1852,11 +1836,7 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // def, not val: defined after `all` in initialization order
@@ -1978,11 +1958,7 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
 
@@ -2233,16 +2209,13 @@ object DedupOps {
         .select($"doc_id", $"label".cast("bigint").as("cluster_id"))
         .orderBy($"doc_id")
       val rows = res.collect()
-      require(rows.forall(r => !delIds.contains(r.getLong(0))),
+      val delSet = delIds.toSet
+      require(rows.forall(r => !delSet.contains(r.getLong(0))),
         "an erased doc surfaced in the maintained cluster map")
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), res.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // def, not val: defined after `all` in initialization order
@@ -2392,11 +2365,7 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
 

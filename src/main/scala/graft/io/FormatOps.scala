@@ -31,11 +31,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.List.of(df.head()), df.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
 
   // ---------------------------------------------------------------- k80
@@ -135,11 +131,7 @@ object FormatOps {
           StructField("min_doc", LongType),
           StructField("max_doc", LongType))))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private def k82Part(i: Int): String =
@@ -179,11 +171,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k83Sql =
@@ -220,11 +208,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k84Sql =
@@ -285,11 +269,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k85Sql =
@@ -338,11 +318,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k86Sql =
@@ -377,11 +353,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k87Sql =
@@ -424,11 +396,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k88Sql =
@@ -467,11 +435,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k89Sql =
@@ -515,11 +479,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k90Sql =
@@ -567,11 +527,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k91Sql =
@@ -614,11 +570,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k92Sql =
@@ -684,11 +636,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k93Sql =
@@ -742,11 +690,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k94Sql =
@@ -794,11 +738,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k95Sql =
@@ -850,11 +790,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k96Sql =
@@ -906,11 +842,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k97Sql =
@@ -961,11 +893,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k98Sql =
@@ -1012,11 +940,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k99Sql =
@@ -1070,11 +994,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k100Sql =
@@ -1134,11 +1054,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(agg.collect(): _*), agg.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k101Sql =
@@ -1194,11 +1110,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(agg.collect(): _*), agg.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k102Sql =
@@ -1247,11 +1159,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k103Sql =
@@ -1314,11 +1222,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k104Sql =
@@ -1355,11 +1259,7 @@ object FormatOps {
       // (a LocalRelation) — safe to delete the zone right after
       TxnTable.profile(spark, table).orderBy($"col")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k105Sql =
@@ -1422,11 +1322,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k106Sql =
@@ -1475,11 +1371,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k107Sql =
@@ -1558,11 +1450,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k108Sql =
@@ -1620,11 +1508,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(agg.collect(): _*), agg.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k109Sql =
@@ -1671,11 +1555,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k110Sql =
@@ -1733,11 +1613,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private def intercept3(body: => Any): Boolean =
@@ -1801,11 +1677,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k112_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k112Sql =
@@ -1872,11 +1744,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k113Sql =
@@ -1955,11 +1823,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k114Sql =
@@ -2017,11 +1881,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k115Sql =
@@ -2085,11 +1945,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k116_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k116Sql =
@@ -2141,11 +1997,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k117_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k117Sql =
@@ -2193,11 +2045,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k118_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k118Sql =
@@ -2253,11 +2101,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k119_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k119Sql =
@@ -2348,11 +2192,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k120_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k120Sql =
@@ -2439,11 +2279,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k121_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k121Sql =
@@ -2508,11 +2344,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k122_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k122Sql =
@@ -2563,11 +2395,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k123_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k123Sql =
@@ -2639,11 +2467,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k124_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k124Sql =
@@ -2724,11 +2548,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k125Sql =
@@ -2805,11 +2625,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k126_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k126Sql =
@@ -2887,11 +2703,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k127_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k127Sql =
@@ -2961,11 +2773,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k128Sql =
@@ -3029,11 +2837,7 @@ object FormatOps {
         spark.catalog.dropTempView("graft_k129_src"); ()
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k129Sql =
@@ -3102,11 +2906,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k130Sql =
@@ -3177,11 +2977,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k131Sql =
@@ -3267,11 +3063,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k132Sql =
@@ -3337,11 +3129,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(summary.collect(): _*), summary.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k133Sql =
@@ -3422,11 +3210,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k134Sql =
@@ -3513,11 +3297,7 @@ object FormatOps {
         spark.catalog.dropTempView("k135_src")
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k135Sql =
@@ -3599,11 +3379,7 @@ object FormatOps {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k136Sql =
@@ -3676,11 +3452,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k137Sql =
@@ -3758,11 +3530,7 @@ object FormatOps {
       }
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k138Sql =
@@ -3846,11 +3614,7 @@ object FormatOps {
       }
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k139Sql =
@@ -3901,11 +3665,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k140Sql =
@@ -3942,11 +3702,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k141Sql =
@@ -3998,11 +3754,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k142Sql =
@@ -4048,11 +3800,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k143Sql =
@@ -4105,11 +3853,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k144_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k144Sql =
@@ -4168,11 +3912,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k145_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k145Sql =
@@ -4231,11 +3971,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE IF EXISTS gk146.db.dim")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k146Sql =
@@ -4278,11 +4014,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k147_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k147Sql =
@@ -4330,11 +4062,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k148_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k148Sql =
@@ -4387,11 +4115,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k149_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k149Sql =
@@ -4451,11 +4175,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k150Sql =
@@ -4506,11 +4226,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k151_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k151Sql =
@@ -4560,11 +4276,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k152Sql =
@@ -4605,11 +4317,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k153Sql =
@@ -4703,11 +4411,7 @@ object FormatOps {
         spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k154Sql =
@@ -4800,11 +4504,7 @@ object FormatOps {
         spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k155Sql =
@@ -4862,11 +4562,7 @@ object FormatOps {
       require(scanned < total,
         s"cloned skipping stats must prune: $scanned of $total")
       // deep-vs-shallow: DELETE the source — the clone must not notice
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(source))
+      graft.io.Tables.deleteTree(new java.io.File(source))
       spark.sql(s"CREATE TABLE graft_k156_t USING graft OPTIONS (path '$clone')")
       try {
         spark.sql(
@@ -4881,11 +4577,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k156_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k156Sql =
@@ -4949,11 +4641,7 @@ object FormatOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE graft_k157_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k157Sql =
@@ -5013,11 +4701,7 @@ object FormatOps {
         s"vector subtraction must stay inside the scan; plan:\n$plan")
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k158Sql =
@@ -5075,11 +4759,7 @@ object FormatOps {
           s"got ${rows.toSeq}")
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k159Sql =
@@ -5156,11 +4836,7 @@ object FormatOps {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k160Sql =
@@ -5216,11 +4892,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(q.collect(): _*), q.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k161Sql =
@@ -5301,11 +4973,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(q.collect(): _*), q.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k164Sql =
@@ -5353,11 +5021,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(q.collect(): _*), q.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k165Sql =
@@ -5436,11 +5100,7 @@ object FormatOps {
         java.util.Arrays.asList(q.collect(): _*), q.schema)
     } finally {
       spark.catalog.dropTempView("graft_k166_src")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k166Sql =
@@ -5492,11 +5152,7 @@ object FormatOps {
       rows.toDF("tag_name", "version", "n_rows")
         .orderBy($"tag_name")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k167Sql =
@@ -5566,11 +5222,7 @@ object FormatOps {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
       } finally spark.sql("DROP TABLE graft_k162_t")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val k162Sql =
@@ -5642,11 +5294,7 @@ object FormatOps {
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private def fcExists(spark: SparkSession, p: String): Boolean =

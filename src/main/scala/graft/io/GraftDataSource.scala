@@ -508,6 +508,17 @@ private[io] class GraftWriteBuilder(table: String, info: LogicalWriteInfo,
           require(cdf.isEmpty && mor.isEmpty,
             "mergeOnRead/enableChangeFeed are table flags a staged " +
               "append cannot set — ALTER the table, then stage")
+          // a staged append always lands in the table's RECORDED
+          // layout; a caller-supplied partitioning that differs would
+          // be silently dropped — refuse instead (catalog tables pass
+          // their own recorded transforms through here, which match)
+          require(partitionCols.isEmpty ||
+            partitionCols.map(_.replace(" ", "")) ==
+              TxnTable.partitionColumns(spark, table)
+                .map(_.replace(" ", "")),
+            "a staged append keeps the table's recorded partitioning " +
+              s"— drop partitionBy [${partitionCols.mkString(", ")}] " +
+              "or repartition with an ordinary commit first")
           TxnTable.stageAppend(coerced1, table, statsCols, bloomCols,
             Some(sid), optimizedWrite = optimizedWrite)
           return

@@ -387,11 +387,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory && f.listFiles() != null) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(dirOf(ident)))
+    Tables.deleteTree(new java.io.File(dirOf(ident)))
     true
   }
 
@@ -444,11 +440,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && dir.listFiles() != null && dir.listFiles().nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory && f.listFiles() != null) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(dir)
+    Tables.deleteTree(dir)
     true
   }
 }

@@ -14,6 +14,14 @@ import org.apache.spark.sql.types.StructType
   */
 object Tables {
 
+  /** Recursive local-FS delete for scratch zones — null-safe against a
+    * race-deleted directory (listFiles() returns null, not empty). One
+    * shared helper instead of a per-query copy. */
+  private[graft] def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete(); ()
+  }
+
   /** Star-schema + extension tables the driver generates (TESTDATA.md). */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -107,11 +115,7 @@ object Tables {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(stage)
+      graft.io.Tables.deleteTree(stage)
     }
   }
 

@@ -979,11 +979,7 @@ object MultimodalOps {
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
 
@@ -1148,7 +1144,8 @@ object MultimodalOps {
       val result = spark.read.format("graft").load(corpus)
         .select($"img_id", $"fp").orderBy($"img_id")
       val rows = result.collect()
-      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+      val downSet = takedown.toSet
+      require(rows.forall(r => !downSet.contains(r.getLong(0))),
         "a taken-down image surfaced in the corpus")
       require(rows.exists(_.getLong(0) % 2L == 1L),
         "an orphaned variant (base taken down) must be RE-ADMITTED — " +
@@ -1156,11 +1153,7 @@ object MultimodalOps {
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val m73Sql = {

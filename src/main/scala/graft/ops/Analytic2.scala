@@ -293,11 +293,7 @@ object Analytic2 {
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
       Seq(o, c).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val a50Sql =

@@ -1101,11 +1101,7 @@ object SimilarityOps {
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // def, not val: e63Sql is defined after `all` (initialization order)
@@ -1150,12 +1146,7 @@ object SimilarityOps {
         row_number().over(Window.orderBy($"cnt".desc, $"doc_id"))
           .cast("bigint"))
       .select($"doc_id".as("id"), $"rl")
-    lex.join(vec, Seq("id"), "full_outer")
-      .select($"id",
-        (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")), lit(0.0)))
-          .as("rrf"))
-      .orderBy($"rrf".desc, $"id").limit(10)
+    rrfFuse(lex, vec)
   }
   // ---------------------------------------------------------------- e64
   /** HYBRID RETRIEVAL FROM THE MAINTAINED INDEXES — e62's RRF fusion
@@ -1220,19 +1211,10 @@ object SimilarityOps {
       ingestVec(emb.filter($"vec_id" <= vcut), first = true)
       ingestVec(emb.filter($"vec_id" > vcut), first = false)
       // ---- lexical probe: pruned term buckets, rank by Σtf
-      val terms = Seq("window", "merge", "stream").toDF("term")
-      val (lexHits, (ls, lt)) = graft.dedup.DedupOps.probePersisted(
-        spark, postings, terms.localCheckpoint(),
-        joinCols = Seq("term"), out = Seq("doc_id", "tf"),
-        keyCol = "term", cat = "ge64lex", scanPayload = Seq("doc_id", "tf"))
+      val (lex, (ls, lt)) = graft.text.Text2Ops.lexCountRank(
+        spark, postings, Seq("window", "merge", "stream"), cat = "ge64lex")
       require(ls < lt,
         s"the 3-term probe must prune the postings index: $ls/$lt")
-      val lex = lexHits.groupBy($"doc_id").agg(sum($"tf").as("cnt"))
-        .orderBy($"cnt".desc, $"doc_id").limit(20)
-        .withColumn("rl",
-          row_number().over(Window.orderBy($"cnt".desc, $"doc_id"))
-            .cast("bigint"))
-        .select($"doc_id".as("id"), $"rl")
       // ---- vector probe: nprobe=2 cell shortlist, pruned cell files
       val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
       val (vecRanked, (vs, vt)) =
@@ -1241,21 +1223,11 @@ object SimilarityOps {
         s"the 2-cell probe must prune the IVF index: $vs/$vt")
       val vec = vecRanked.select($"vec_id".as("id"), $"rn".as("rv"))
       // ---- e62's RRF fusion, unchanged
-      val fused = lex.join(vec, Seq("id"), "full_outer")
-        .select($"id",
-          (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")),
-              lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")),
-              lit(0.0))).as("rrf"))
-        .orderBy($"rrf".desc, $"id").limit(10)
+      val fused = rrfFuse(lex, vec)
       spark.createDataFrame(
         java.util.Arrays.asList(fused.collect(): _*), fused.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // def, not val: cosineSql-based, defined after `all` (init order)
@@ -1320,6 +1292,23 @@ object SimilarityOps {
     (ranked, counts)
   }
 
+  /** Reciprocal Rank Fusion of a lexical (id, rl) leg and a vector
+    * (id, rv) leg: score(id) = Σ 1/(60 + rank) with a leg absent from
+    * a doc contributing 0, top-10 with id tie-breaks. ONE definition
+    * of the fusion arithmetic for e62/e64/p92 — rank-only, so the
+    * legs' incomparable raw scores never mix. */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val spark = lex.sparkSession
+    import spark.implicits._
+    lex.join(vec, Seq("id"), "full_outer")
+      .select($"id",
+        (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")),
+            lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"id").limit(10)
+  }
+
   // ---------------------------------------------------------------- e65
   /** IVF INDEX × WRITE-AUDIT-PUBLISH — t58's audit-gate story for the
     * VECTOR index, completing the lifecycle matrix (both maintained
@@ -1382,11 +1371,7 @@ object SimilarityOps {
       out.toDF("phase", "vec_id", "cos_sim", "rn")
         .orderBy($"phase", $"rn")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // def, not val: cosineSql-based, defined after `all` (init order)
@@ -1519,11 +1504,7 @@ object SimilarityOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // ---------------------------------------------------------------- e60
@@ -1642,11 +1623,7 @@ object SimilarityOps {
           java.util.Arrays.asList(result.collect(): _*), result.schema)
       } finally spark.sql("DROP TABLE IF EXISTS ge60.db.ivf")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // ---------------------------------------------------------------- e61

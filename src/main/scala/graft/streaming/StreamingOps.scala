@@ -310,11 +310,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val s57Sql =
@@ -408,11 +404,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s60Sql =
@@ -491,11 +483,7 @@ object StreamingOps {
       }
       rows.toDF("drain", "n", "sum_value").orderBy($"drain")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s58Sql =
@@ -597,11 +585,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s62Sql =
@@ -668,11 +652,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s63Sql =
@@ -745,11 +725,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s64Sql =
@@ -815,11 +791,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s65Sql =
@@ -915,11 +887,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s66Sql =
@@ -988,11 +956,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s67Sql =
@@ -1078,11 +1042,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s68Sql =
@@ -1202,11 +1162,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s69Sql =
@@ -1386,11 +1342,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
 
@@ -1470,11 +1422,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   private val s73Sql =
@@ -1607,11 +1555,7 @@ object StreamingOps {
         case Some(v) => spark.conf.set("graft.txn.checkpointInterval", v)
         case None => spark.conf.unset("graft.txn.checkpointInterval")
       }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   // def, not val: defined after `all` in initialization order
@@ -1704,11 +1648,7 @@ object StreamingOps {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*),
         graft.text.Text2Ops.bm25Schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   // def, not val: defined after `all` in initialization order
@@ -1806,11 +1746,7 @@ object StreamingOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      graft.io.Tables.deleteTree(root)
     }
   }
   // def, not val: cosineSql-based, defined after `all` (init order)

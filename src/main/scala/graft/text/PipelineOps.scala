@@ -268,43 +268,25 @@ object PipelineOps {
         beforeV.subsetOf(TxnTable.morState(spark, ivf,
           TxnTable.latestVersion(spark, ivf).get).files.toSet),
         "erasure must be deletion vectors on both indexes, not rewrites")
-      val (lexHits, (ls, lt)) = graft.dedup.DedupOps.probePersisted(
-        spark, postings,
-        Seq("window", "merge", "stream").toDF("term").localCheckpoint(),
-        joinCols = Seq("term"), out = Seq("doc_id", "tf"),
-        keyCol = "term", cat = "gp92lex", scanPayload = Seq("doc_id", "tf"))
+      val (lex, (ls, lt)) = graft.text.Text2Ops.lexCountRank(
+        spark, postings, Seq("window", "merge", "stream"),
+        cat = "gp92lex")
       require(ls < lt,
         s"the 3-term probe must prune the postings index: $ls/$lt")
-      val lex = lexHits.groupBy($"doc_id").agg(sum($"tf").as("cnt"))
-        .orderBy($"cnt".desc, $"doc_id").limit(20)
-        .withColumn("rl",
-          row_number().over(Window.orderBy($"cnt".desc, $"doc_id"))
-            .cast("bigint"))
-        .select($"doc_id".as("id"), $"rl")
       val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
       val (vecRanked, (vs, vt)) = graft.sim.SimilarityOps.ivfProbe(
         spark, ivf, cents, probe, k = 20, cat = "gp92vec")
       require(vs < vt,
         s"the 2-cell probe must prune the IVF index: $vs/$vt")
       val vec = vecRanked.select($"vec_id".as("id"), $"rn".as("rv"))
-      val fused = lex.join(vec, Seq("id"), "full_outer")
-        .select($"id",
-          (coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")),
-              lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")),
-              lit(0.0))).as("rrf"))
-        .orderBy($"rrf".desc, $"id").limit(10)
+      val fused = graft.sim.SimilarityOps.rrfFuse(lex, vec)
       val rows = fused.collect()
       require(rows.forall(_.getLong(0) % 70L != 0L),
         "an erased doc surfaced in the served fusion")
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), fused.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   // def, not val: cosineSql-based, defined after `all` (init order)

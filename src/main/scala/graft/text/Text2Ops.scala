@@ -1034,6 +1034,28 @@ object Text2Ops {
       .orderBy($"rn").collect().toSeq
     (out, scanned, total)
   }
+  /** e62's cheap lexical retrieval leg served from a PERSISTED
+    * postings table: probe the query terms (literal-key pruning counts
+    * returned for the caller's REQUIREs) and rank by Σtf — e62's
+    * occurrence count — with doc-id tie-breaks. Returns a LAZY
+    * (id, rl) frame ready for RRF fusion. Shared by e64/p92. */
+  private[graft] def lexCountRank(spark: SparkSession, postings: String,
+      terms: Seq[String], cat: String): (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (hits, counts) = graft.dedup.DedupOps.probePersisted(
+      spark, postings, terms.toDF("term").localCheckpoint(),
+      joinCols = Seq("term"), out = Seq("doc_id", "tf"),
+      keyCol = "term", cat = cat, scanPayload = Seq("doc_id", "tf"))
+    val ranked = hits.groupBy($"doc_id").agg(sum($"tf").as("cnt"))
+      .orderBy($"cnt".desc, $"doc_id").limit(20)
+      .withColumn("rl",
+        row_number().over(Window.orderBy($"cnt".desc, $"doc_id"))
+          .cast("bigint"))
+      .select($"doc_id".as("id"), $"rl")
+    (ranked, counts)
+  }
+
   private[graft] val bm25Schema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -1089,11 +1111,7 @@ object Text2Ops {
       spark.createDataFrame(
         java.util.Arrays.asList(r2: _*), bm25Schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val t56Sql =
@@ -1191,11 +1209,7 @@ object Text2Ops {
         "an erased document surfaced in the served top-k")
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), bm25Schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val t57Sql =
@@ -1308,11 +1322,7 @@ object Text2Ops {
       out.toDF("phase", "doc_id", "score", "rn")
         .orderBy($"phase", $"rn")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone))
+      graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }
   private val t58Sql = {

@@ -159,11 +159,7 @@ object WalletOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(zone)
+      graft.io.Tables.deleteTree(zone)
     }
   }
 
