@@ -470,6 +470,20 @@ class WapSpec extends AnyFunSuite {
           .option("txnAppId", "a").option("txnVersion", "1")
           .mode("append").save(table)
       }
+      // sticky table flags and a divergent partitioning refuse too —
+      // a staged append can neither toggle mergeOnRead/CDF nor land in
+      // a layout the table doesn't record
+      intercept[IllegalArgumentException] {
+        seg(65, 70).write.format("graft").option("stageId", "bad")
+          .option("mergeOnRead", "true").mode("append").save(table)
+      }
+      intercept[IllegalArgumentException] {
+        seg(65, 70).write.format("graft").option("stageId", "bad")
+          .option("partitionBy", "c_mktsegment")
+          .mode("append").save(table)
+      }
+      assert(TxnTable.stagedIds(spark, table).isEmpty,
+        "refused staged writes must leave nothing staged")
       ()
     }
   }
