@@ -2096,8 +2096,11 @@ object DedupOps {
       snap => snap.join(broadcast(del),
         snap("doc_id") === $"_d" || snap("label") === $"_d", "left_semi"),
       replacement)
-    TxnTable.deleteWherePos(spark, sigsT,
-      s => s("doc_id").isin(docIds: _*))
+    // the signature leg erases through the same frame as the relabel
+    // leg (the d50 no-literal rule): semi-join → positional delete,
+    // never an isin literal list sized to the erasure batch
+    TxnTable.deleteFromPos(spark, sigsT,
+      del.select($"_d".as("doc_id")), Seq("doc_id"))
     ()
   }
 

@@ -2765,6 +2765,7 @@ object TxnTable {
   private def wapMarker(id: String) = s"graft.wap.$id"
   private val WapBaseSchemaProp = "graft.wap.baseSchema"
   private val WapBaseVersionProp = "graft.wap.baseVersion"
+  private val WapStagedAtProp = "graft.wap.stagedAtMs"
   /** BATCH-SHAPED stage ids (`<prefix>-b<ordinal>` — the s73
     * streaming spelling, one stage per micro-batch) collapse their
     * publish markers into ONE per-prefix high-water entry
@@ -2830,13 +2831,25 @@ object TxnTable {
       val txns =
         latestState(spark, table).map(_.txns).getOrElse(Map.empty)
       if (wapPublished(txns, sid)) {
-        // when the publish was unambiguously of THIS id (per-id
-        // marker, not just a batch-prefix high-water mark), the
-        // leftover staged manifest is crash residue — reap it so the
-        // vacuum pin releases; the refusal below still fires
-        if (txns.contains(wapMarker(sid)) &&
-            fc(spark).util.exists(stagedManifestPath(table, sid)))
-          fc(spark).delete(stagedManifestPath(table, sid), false)
+        // a crashed publisher leaves BOTH the marker and the staged
+        // manifest — reap the residue so the vacuum pin releases; the
+        // refusal below still fires. A per-id marker is unambiguous;
+        // a batch-shaped id at/below its prefix's high-water mark is
+        // residue only when every staged file is live in the snapshot
+        // (the same membership test publishStages' heal and
+        // abortStage's liveResidue use) — a SKIPPED ordinal's
+        // never-published files stay pinned for abortStage, the
+        // documented remedy
+        if (fc(spark).util.exists(stagedManifestPath(table, sid))) {
+          val residue = txns.contains(wapMarker(sid)) || {
+            val files = stagedLines(spark, table, sid)
+              .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+            files.nonEmpty && latestState(spark, table)
+              .exists(st => files.forall(st.files.toSet.contains))
+          }
+          if (residue)
+            fc(spark).delete(stagedManifestPath(table, sid), false)
+        }
         throw new IllegalArgumentException(
           s"stage id '$sid' was already published to $table — a " +
             "replay re-offers the same content by keeping its " +
@@ -2886,7 +2899,8 @@ object TxnTable {
       stats = newStats, files = newFiles, blooms = newBlooms,
       rows = newRows, partCols = st.partCols, op = "staged",
       props = Map(WapBaseSchemaProp -> snapSchema.json,
-        WapBaseVersionProp -> st.version.toString))
+        WapBaseVersionProp -> st.version.toString,
+        WapStagedAtProp -> System.currentTimeMillis().toString))
     if (!tryCreateAtomic(fc(spark), stagedManifestPath(table, id), content)) {
       // two replicas staged the same id concurrently: the winner's
       // manifest stands, this attempt's data dir is an orphan — drop it
@@ -2911,19 +2925,30 @@ object TxnTable {
   }
 
   /** One row per pending stage: (id, fileCount, rowCount, stage-time
-    * base version) — the auditor's listing (SHOW STAGES / the
-    * graft_stages table function). A stage resolved mid-listing is
-    * simply absent. */
+    * base version, staged-at millis) — the auditor's listing (SHOW
+    * STAGES / the graft_stages table function). The staged-at instant
+    * makes abandoned stages FINDABLE by policy: a stage awaiting audit
+    * is vacuum-pinned by design, so a crashed auditor's stage holds
+    * its files until someone notices — age turns "notice" into a
+    * query. Stamped as a manifest prop at stage time; stages written
+    * before the prop existed fall back to the manifest's filesystem
+    * modification time (the PUT instant on an object store). A stage
+    * resolved mid-listing is simply absent. */
   def stagedSummaries(spark: SparkSession, table: String)
-      : Seq[(String, Long, Long, Option[Long])] =
+      : Seq[(String, Long, Long, Option[Long], Option[Long])] =
     stagedIds(spark, table).flatMap { id =>
       try {
         val lines = stagedLines(spark, table, id)
         val (headers, fileLines) = lines.partition(_.startsWith("#"))
         val parsed = fileLines.map(parseFileLine)
+        val props = parseProps(headers)
+        val stagedAt = props.get(WapStagedAtProp).flatMap(_.toLongOption)
+          .orElse(scala.util.Try(fc(spark)
+            .getFileStatus(stagedManifestPath(table, id))
+            .getModificationTime).toOption)
         Some((id, parsed.size.toLong, parsed.flatMap(_._2).sum,
-          parseProps(headers).get(WapBaseVersionProp)
-            .flatMap(_.toLongOption)))
+          props.get(WapBaseVersionProp).flatMap(_.toLongOption),
+          stagedAt))
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (fc(spark).util.exists(stagedManifestPath(table, id))) throw e
@@ -3161,9 +3186,15 @@ object TxnTable {
           files.nonEmpty && files.forall(st.files.toSet.contains)
         }
       }
-    val residue = liveResidue
+    // BOTH checks re-evaluate AFTER the delete: a batch-shaped
+    // publish writes only the seqMarker, so a publishStages landing
+    // between a pre-delete residue snapshot and ctx.delete would be
+    // invisible to a captured value — liveResidue reads only the
+    // captured `lines` plus the (re-fetched) snapshot, so post-delete
+    // evaluation is safe and closes the window symmetrically with the
+    // per-id publishedExact guard
     ctx.delete(stagedManifestPath(table, id), false)
-    if (publishedExact || residue)
+    if (publishedExact || liveResidue)
       throw new IllegalStateException(
         s"stage $id published while aborting — its rows are live; only " +
           "the now-redundant staged manifest was removed")
@@ -4078,6 +4109,31 @@ object TxnTable {
     deletePosCore(spark, table,
       snap => snap.join(pos, Seq(PosFileCol, PosOrdCol), "left_semi"),
       positionsOnly = Some(pos), requirePresent = requirePresent)
+  }
+
+  /** POSITIONAL delete FROM A SOURCE FRAME: rows whose `keyCols` tuple
+    * matches a `keys` row erase; everything else is untouched.
+    * [[deleteWherePos]]'s economics — one deletion-vector commit, no
+    * data rewrite — with the selection carried by a DataFrame, so a
+    * million-id takedown batch plans exactly like a ten-id one: the
+    * selection is a semi-JOIN the planner can broadcast, never a
+    * driver-collected `isin` literal list that melts the optimizer
+    * (the d50 no-literal rule, listener-pinned in
+    * IncrementalBoilerplateSpec and MorPosSpec). `keys` rows matching
+    * nothing are ignored — the idempotent-janitor shape: re-running a
+    * takedown batch over an already-erased table matches nothing and
+    * commits an empty vector. */
+  def deleteFromPos(spark: SparkSession, table: String,
+                    keys: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteFromPos needs at least one key column")
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"key column '$c' is not a column of the keys frame"))
+    val k = keys.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+    deletePosCore(spark, table, { snap =>
+      keyCols.foreach(c => require(snap.columns.contains(c),
+        s"key column '$c' is not a column of $table"))
+      snap.join(k, keyCols, "left_semi")
+    })
   }
 
   /** POSITIONAL (deletion-vector) UPDATE: one commit appends the

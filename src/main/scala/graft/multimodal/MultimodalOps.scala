@@ -808,7 +808,15 @@ object MultimodalOps {
     * from the md5 closed form (the WAV round trip is lossless — the
     * m64/m67 contract), so with m68 every multimodal near-dup kernel
     * is hash-gated end to end. */
-  private def m69(spark: SparkSession, dir: String): DataFrame = {
+  private def m69(spark: SparkSession, dir: String): DataFrame =
+    bandNearDups(audioFingerprints(spark, dir), "clip_a", "clip_b",
+      maxHamming = 16)
+
+  /** m69's chromaprint-shape 64-bit audio fingerprints (item_id, fp) —
+    * the WAV encode → decode → frame-energy → gradient-bit chain,
+    * shared by m69 (one-shot near-dup) and m74 (maintained index). */
+  private[graft] def audioFingerprints(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val N = 130
     val clips: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
@@ -863,7 +871,7 @@ object MultimodalOps {
         (clipId, h)
       }
     }.toDF("item_id", "fp").localCheckpoint()
-    bandNearDups(hashes, "clip_a", "clip_b", maxHamming = 16)
+    hashes
   }
   private val m69Sql = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
@@ -1122,18 +1130,21 @@ object MultimodalOps {
       // batch 1 = the bases (even ids), batch 2 = the variants (odd)
       m70Ingest(spark, corpus, sigsT, fps.filter($"img_id" % 2 === 0),
         first = true, col("img_id") % 2 === 0)
-      val takedown = spark.read.format("graft").load(corpus)
+      // the takedown batch stays a FRAME end-to-end (the d50 rule) —
+      // each leg is a semi-join → positional delete, never a
+      // driver-collected isin literal list
+      val takedownDf = spark.read.format("graft").load(corpus)
         .filter($"img_id" % 14 === 0)
-        .select($"img_id").as[Long].collect().toSeq
+        .select($"img_id").localCheckpoint()
+      val takedown = takedownDf.as[Long].collect().toSeq
       require(takedown.nonEmpty, "the takedown batch must be non-empty")
       val beforeC = TxnTable.snapshotFiles(spark, corpus,
         TxnTable.latestVersion(spark, corpus).get).toSet
       val beforeS = TxnTable.snapshotFiles(spark, sigsT,
         TxnTable.latestVersion(spark, sigsT).get).toSet
-      TxnTable.deleteWherePos(spark, corpus,
-        s => s("img_id").isin(takedown: _*))
-      TxnTable.deleteWherePos(spark, sigsT,
-        s => s("pid").isin(takedown: _*))
+      TxnTable.deleteFromPos(spark, corpus, takedownDf, Seq("img_id"))
+      TxnTable.deleteFromPos(spark, sigsT,
+        takedownDf.select($"img_id".as("pid")), Seq("pid"))
       require(beforeC.subsetOf(TxnTable.morState(spark, corpus,
           TxnTable.latestVersion(spark, corpus).get).files.toSet) &&
         beforeS.subsetOf(TxnTable.morState(spark, sigsT,
@@ -1220,6 +1231,337 @@ object MultimodalOps {
       |ORDER BY f.img_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m74
+  /** MAINTAINED AUDIO-FINGERPRINT INDEX — the audio column of the
+    * lifecycle matrix, completing what text (t56-t58/s74), vectors
+    * (e59/e63/e65/s75), and images (m70/m73) already have: m69's
+    * chromaprint-shape fingerprints in the m70 ingest shape (persisted
+    * band-key index, probePersisted with literal-key file pruning
+    * REQUIREd on the tiny second ingest, positional loser deletes,
+    * zero admitted-file rewrites) PLUS the m73 takedown/re-admission
+    * leg. The ingest machinery is MODALITY-AGNOSTIC by design — the
+    * fingerprints are 64-bit hashes judged by 16-bit Hamming bands
+    * whatever produced them, so m70Ingest runs unchanged over audio
+    * clips. Workload: base clips (even ids) in two ordered batches
+    * (the second tiny — the daily shape), takedown of admitted clips
+    * with id % 14 = 0 (frame-driven positional erasure of clip AND
+    * band keys — the d50 rule), then every engineered variant (odd
+    * ids): a variant whose base was taken down RE-ADMITS (REQUIREd —
+    * nothing in the index witnesses against it), every other variant
+    * dies to its surviving base. The oracle replays samples →
+    * energies → bits → bands → pairwise keep-first → takedown →
+    * batch-2 admission entirely from the md5 closed form. */
+  private def m74(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_m74_aud").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/clips_txn"
+      val sigsT = s"$zone/asigs_txn"
+      val fps = audioFingerprints(spark, dir)
+        .select($"item_id".as("img_id"), $"fp")
+      val maxId = fps.agg(max($"img_id")).head().getLong(0)
+      // a TINY second base batch — the daily shape (m70's clamp), and
+      // few enough band keys that the bucketed probe provably prunes
+      val cut = maxId - 5L
+      val evens = fps.filter($"img_id" % 2 === 0)
+      m70Ingest(spark, corpus, sigsT, evens.filter($"img_id" <= cut),
+        first = true, col("img_id") % 2 === 0 && col("img_id") <= cut)
+      val (s2, t2) = m70Ingest(spark, corpus, sigsT,
+        evens.filter($"img_id" > cut), first = false,
+        col("img_id") % 2 === 0 && col("img_id") > cut)
+      require(s2 < t2,
+        s"the tiny-increment fingerprint probe must prune index " +
+          s"files: read $s2 of $t2")
+      // takedown of admitted clips, frame-driven on BOTH tables
+      val takedownDf = spark.read.format("graft").load(corpus)
+        .filter($"img_id" % 14 === 0)
+        .select($"img_id").localCheckpoint()
+      val takedown = takedownDf.as[Long].collect().toSet
+      require(takedown.nonEmpty, "the takedown batch must be non-empty")
+      val beforeC = TxnTable.snapshotFiles(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).toSet
+      val beforeS = TxnTable.snapshotFiles(spark, sigsT,
+        TxnTable.latestVersion(spark, sigsT).get).toSet
+      TxnTable.deleteFromPos(spark, corpus, takedownDf, Seq("img_id"))
+      TxnTable.deleteFromPos(spark, sigsT,
+        takedownDf.select($"img_id".as("pid")), Seq("pid"))
+      require(beforeC.subsetOf(TxnTable.morState(spark, corpus,
+          TxnTable.latestVersion(spark, corpus).get).files.toSet) &&
+        beforeS.subsetOf(TxnTable.morState(spark, sigsT,
+          TxnTable.latestVersion(spark, sigsT).get).files.toSet),
+        "a takedown must be deletion vectors on both tables, not rewrites")
+      // the engineered variants — orphaned ones must RE-ADMIT
+      m70Ingest(spark, corpus, sigsT, fps.filter($"img_id" % 2 === 1),
+        first = false, col("img_id") % 2 === 1)
+      val result = spark.read.format("graft").load(corpus)
+        .select($"img_id".as("clip_id"), $"fp").orderBy($"clip_id")
+      val rows = result.collect()
+      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+        "a taken-down clip surfaced in the corpus")
+      require(rows.exists(r =>
+        r.getLong(0) % 2L == 1L && takedown.contains(r.getLong(0) - 1L)),
+        "an orphaned variant (base taken down) must be RE-ADMITTED — " +
+          "the index must not keep suppressing lawful copies")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      graft.io.Tables.deleteTree(new java.io.File(zone))
+    }
+  }
+  private val m74Sql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH clips AS (
+      |  SELECT doc_id * 2 AS item_id, doc_id AS id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |idx AS (SELECT UNNEST(range(0, 130)) AS i),
+      |smp AS (
+      |  SELECT item_id, i,
+      |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |  FROM (
+      |    SELECT item_id, i,
+      |      ((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})
+      |        + CASE WHEN pert = 1 AND i >= 98 THEN 512 ELSE 0 END) % 65536 AS u
+      |    FROM (SELECT item_id, pert, i, md5('a:' || id || ':' || i) AS m
+      |          FROM clips, idx) t) u2),
+      |eng AS (
+      |  SELECT item_id, i // 2 AS f, SUM(ABS(s)) AS e
+      |  FROM smp GROUP BY item_id, i // 2),
+      |bits AS (
+      |  SELECT a.item_id, a.f AS b,
+      |    CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM eng a JOIN eng n
+      |    ON n.item_id = a.item_id AND n.f = a.f + 1
+      |  WHERE a.f < 64),
+      |hashes AS (
+      |  SELECT item_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+      |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS h
+      |  FROM bits GROUP BY item_id),
+      |bands AS (
+      |  SELECT item_id, r.range AS bi,
+      |    (h >> CAST(48 - 16 * r.range AS INT)) & 65535 AS bv
+      |  FROM hashes, range(4) r),
+      |pairs AS (
+      |  SELECT DISTINCT a.item_id AS i, b.item_id AS j
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.item_id > b.item_id
+      |  JOIN hashes ha ON ha.item_id = a.item_id
+      |  JOIN hashes hb ON hb.item_id = b.item_id
+      |  WHERE bit_count(xor(ha.h, hb.h)) <= 16),
+      |dups1 AS (
+      |  SELECT DISTINCT i FROM pairs WHERE i % 2 = 0 AND j % 2 = 0),
+      |adm1 AS (
+      |  SELECT item_id FROM hashes WHERE item_id % 2 = 0
+      |    AND item_id NOT IN (SELECT i FROM dups1)),
+      |takedown AS (SELECT item_id FROM adm1 WHERE item_id % 14 = 0),
+      |dups2 AS (
+      |  SELECT DISTINCT i FROM pairs
+      |  WHERE i % 2 = 1 AND (j % 2 = 1 OR
+      |    j NOT IN (SELECT item_id FROM takedown))),
+      |fin AS (
+      |  SELECT item_id FROM adm1
+      |  WHERE item_id NOT IN (SELECT item_id FROM takedown)
+      |  UNION ALL
+      |  SELECT item_id FROM hashes WHERE item_id % 2 = 1
+      |    AND item_id NOT IN (SELECT i FROM dups2))
+      |SELECT f.item_id AS clip_id, h.h AS fp FROM fin f
+      |JOIN hashes h ON h.item_id = f.item_id
+      |ORDER BY clip_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- m75
+  /** MAINTAINED VIDEO-FINGERPRINT INDEX — the video column of the
+    * lifecycle matrix, closing the grid (text/vectors/images/audio
+    * all have maintained legs; m72's keyframe near-dup was the last
+    * one-shot). The admitted-clip table (clip_id, n) and the keyframe
+    * fingerprint index (fp, pid, pn) persist as graft tables; each
+    * arriving clip batch
+    *
+    *   1. appends its clips, then probes the persisted fp keys
+    *      (probePersisted — literal-key file pruning REQUIREd on the
+    *      tiny second base batch: ≤ a dozen md5 keys cannot touch all
+    *      16 buckets of a full index)
+    *   2. judges candidates by m72's rule — ≥ 2 shared keyframes AND
+    *      Jaccard ≥ 1/2 over the fingerprint SETS, compared in exact
+    *      integer arithmetic (2·shared ≥ na+pn−shared), with the
+    *      persisted per-clip set size riding each index row so no
+    *      second table is consulted
+    *   3. positionally deletes the losers (earlier-id keep-first,
+    *      zero rewrites REQUIREd) and persists ALL batch fingerprints
+    *      (d47's judge-against-everything invariant)
+    *
+    * plus the m73 takedown/re-admission leg: admitted clips with
+    * id % 14 = 0 erase positionally from BOTH tables (frame-driven —
+    * the d50 rule), and a later trim-re-encode variant of a
+    * taken-down clip RE-ADMITS (REQUIREd: clip 1's only possible
+    * witness is clip 0, whose signatures the takedown erased). The
+    * oracle replays scene keys → fingerprint sets → pairwise
+    * keep-first → takedown → variant admission entirely closed-form —
+    * no decoding, because distinct scene keys give distinct frame
+    * hashes (the m72 contract). */
+  private def m75(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_m75_vid").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/vclips_txn"
+      val sigsT = s"$zone/vsigs_txn"
+      val fps = videoFingerprints(spark, dir)
+      val maxId = fps.agg(max($"clip_id")).head().getLong(0)
+      val cut = maxId - 5L
+      val evens = fps.filter($"clip_id" % 2 === 0)
+      m75Ingest(spark, corpus, sigsT, evens.filter($"clip_id" <= cut),
+        first = true, col("clip_id") % 2 === 0 && col("clip_id") <= cut)
+      val (s2, t2) = m75Ingest(spark, corpus, sigsT,
+        evens.filter($"clip_id" > cut), first = false,
+        col("clip_id") % 2 === 0 && col("clip_id") > cut)
+      require(s2 < t2,
+        s"the tiny-increment keyframe probe must prune index files: " +
+          s"read $s2 of $t2")
+      val takedownDf = spark.read.format("graft").load(corpus)
+        .filter($"clip_id" % 14 === 0)
+        .select($"clip_id").localCheckpoint()
+      val takedown = takedownDf.as[Long].collect().toSet
+      require(takedown.nonEmpty, "the takedown batch must be non-empty")
+      val beforeC = TxnTable.snapshotFiles(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get).toSet
+      val beforeS = TxnTable.snapshotFiles(spark, sigsT,
+        TxnTable.latestVersion(spark, sigsT).get).toSet
+      TxnTable.deleteFromPos(spark, corpus, takedownDf, Seq("clip_id"))
+      TxnTable.deleteFromPos(spark, sigsT,
+        takedownDf.select($"clip_id".as("pid")), Seq("pid"))
+      require(beforeC.subsetOf(TxnTable.morState(spark, corpus,
+          TxnTable.latestVersion(spark, corpus).get).files.toSet) &&
+        beforeS.subsetOf(TxnTable.morState(spark, sigsT,
+          TxnTable.latestVersion(spark, sigsT).get).files.toSet),
+        "a takedown must be deletion vectors on both tables, not rewrites")
+      m75Ingest(spark, corpus, sigsT, fps.filter($"clip_id" % 2 === 1),
+        first = false, col("clip_id") % 2 === 1)
+      val result = spark.read.format("graft").load(corpus)
+        .select($"clip_id", $"n").orderBy($"clip_id")
+      val rows = result.collect()
+      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+        "a taken-down clip surfaced in the corpus")
+      require(rows.exists(r =>
+        r.getLong(0) % 2L == 1L && takedown.contains(r.getLong(0) - 1L)),
+        "an orphaned variant (base taken down) must be RE-ADMITTED — " +
+          "the index must not keep suppressing lawful copies")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      graft.io.Tables.deleteTree(new java.io.File(zone))
+    }
+  }
+
+  /** One m75 ingest: admit `batch` (clip_id, fp — one row per
+    * distinct keyframe), judge it against everything earlier by the
+    * shared-≥-2 + Jaccard-≥-1/2 rule, positionally delete the losers,
+    * persist all batch fingerprints with the clip's set size as
+    * payload. Returns the probe's (scanned, total) index file
+    * counts. */
+  private[graft] def m75Ingest(spark: SparkSession, corpus: String,
+      sigsT: String, batch: DataFrame, first: Boolean,
+      inBatchPred: org.apache.spark.sql.Column): (Int, Int) = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val sized = batch.groupBy($"clip_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    sized.write.format("graft").option("mergeOnRead", "true")
+      .option("statsCols", "clip_id")
+      .mode(if (first) "overwrite" else "append").save(corpus)
+    val sig = batch.join(sized, "clip_id").localCheckpoint()
+    val (cross, pruneCounts) =
+      if (first) (spark.emptyDataset[Long].toDF("clip_id"), (0, 0))
+      else {
+        val (cand, pc) = graft.dedup.DedupOps.probePersisted(spark,
+          sigsT, sig, joinCols = Seq("fp"),
+          out = Seq("clip_id", "n", "pid", "pn"),
+          keyCol = "fp", cat = "gm75spj", scanPayload = Seq("pid", "pn"))
+        (cand.filter($"pid" < $"clip_id")
+          .groupBy($"clip_id", $"n", $"pid", $"pn")
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 2 &&
+            $"shared" * 2 >= ($"n" + $"pn" - $"shared"))
+          .select($"clip_id"), pc)
+      }
+    // in-batch pairs: only fps that repeat within the batch can form
+    // a candidate (the m70 dupKeys prefilter — collision-bounded work)
+    val dupKeys = sig.groupBy($"fp").agg(count(lit(1)).as("_n"))
+      .filter($"_n" > 1).select($"fp")
+    val sigd = sig.join(dupKeys, Seq("fp"))
+    val inBatch = sigd
+      .select($"fp", $"clip_id".as("ia"), $"n".as("na"))
+      .join(sigd.select($"fp", $"clip_id".as("ib"), $"n".as("nb")),
+        Seq("fp"))
+      .filter($"ia" < $"ib")
+      .groupBy($"ib", $"ia", $"na", $"nb")
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 2 &&
+        $"shared" * 2 >= ($"na" + $"nb" - $"shared"))
+      .select($"ib".as("clip_id"))
+    val losers = cross.union(inBatch).distinct()
+    if (losers.limit(1).count() > 0L) {
+      val rows = TxnTable.readWithRowIdentity(spark, corpus)
+        .filter(inBatchPred)
+      TxnTable.deletePositions(spark, corpus,
+        rows.join(broadcast(losers), Seq("clip_id"), "left_semi"))
+      ()
+    }
+    val sw = sig.select($"fp", $"clip_id".as("pid"), $"n".as("pn"))
+      .write.format("graft")
+      .option("statsCols", "fp,pid").option("bloomCols", "fp")
+      .option("optimizedWrite", "true")
+    (if (first) sw.option("partitionBy", "bucket(16, fp)")
+        .mode("overwrite")
+     else sw.mode("append")).save(sigsT)
+    pruneCounts
+  }
+
+  private val m75Sql =
+    """WITH d AS (SELECT doc_id AS cid, 4 + doc_id % 3 AS nf FROM documents),
+      |clips AS (
+      |  SELECT cid * 2 AS clip_id, cid, nf FROM d
+      |  UNION ALL
+      |  SELECT cid * 2 + 1, cid, nf FROM d WHERE cid % 5 = 0),
+      |fps AS (
+      |  SELECT clip_id, (cid * 7 + s.g * 53) % 512 AS fp
+      |  FROM clips, generate_series(0, 2) s(g)
+      |  WHERE s.g < CAST(CEIL(nf / 2.0) AS BIGINT)),
+      |sizes AS (SELECT clip_id, COUNT(*) AS n FROM fps GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.clip_id AS i, b.clip_id AS j, COUNT(*) AS shared
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.clip_id > b.clip_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |near AS (
+      |  SELECT i, j FROM pairs
+      |  JOIN sizes sa ON sa.clip_id = i
+      |  JOIN sizes sb ON sb.clip_id = j
+      |  WHERE 2 * shared >= sa.n + sb.n - shared),
+      |dups1 AS (
+      |  SELECT DISTINCT i FROM near WHERE i % 2 = 0 AND j % 2 = 0),
+      |adm1 AS (
+      |  SELECT clip_id FROM sizes WHERE clip_id % 2 = 0
+      |    AND clip_id NOT IN (SELECT i FROM dups1)),
+      |takedown AS (SELECT clip_id FROM adm1 WHERE clip_id % 14 = 0),
+      |dups2 AS (
+      |  SELECT DISTINCT i FROM near
+      |  WHERE i % 2 = 1 AND (j % 2 = 1 OR
+      |    j NOT IN (SELECT clip_id FROM takedown))),
+      |fin AS (
+      |  SELECT clip_id FROM adm1
+      |  WHERE clip_id NOT IN (SELECT clip_id FROM takedown)
+      |  UNION ALL
+      |  SELECT clip_id FROM sizes WHERE clip_id % 2 = 1
+      |    AND clip_id NOT IN (SELECT i FROM dups2))
+      |SELECT f.clip_id, CAST(s.n AS BIGINT) AS n FROM fin f
+      |JOIN sizes s ON s.clip_id = f.clip_id
+      |ORDER BY f.clip_id""".stripMargin
+
   val all: Seq[RQ] = Seq(
     RQ("m71_video_keyframes", m71, Some(m71Sql)),
     RQ("m60_binary_meta", m60, Some(m60Sql)),
@@ -1234,6 +1576,8 @@ object MultimodalOps {
     RQ("m69_audio_neardup", m69, Some(m69Sql)),
     RQ("m70_incremental_image_dedup", m70, Some(m70Sql)),
     RQ("m72_video_neardup", m72, Some(m72Sql)),
+    RQ("m74_audio_index_lifecycle", m74, Some(m74Sql)),
+    RQ("m75_video_index_lifecycle", m75, Some(m75Sql)),
     RQ("m73_image_takedown", m73, Some(m73Sql)))
 
   // ---------------------------------------------------------------- m71
@@ -1400,6 +1744,31 @@ object MultimodalOps {
   private[graft] def m72Frame(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
+    val fps = videoFingerprints(spark, dir)
+    val sizes = fps.groupBy($"clip_id").agg(count(lit(1)).as("n"))
+    val cands = fps.as("a")
+      .join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.clip_id" < $"b.clip_id")
+      .groupBy($"a.clip_id".as("clip_a"), $"b.clip_id".as("clip_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 2)
+    cands
+      .join(sizes.select($"clip_id".as("clip_a"), $"n".as("na")), "clip_a")
+      .join(sizes.select($"clip_id".as("clip_b"), $"n".as("nb")), "clip_b")
+      .select($"clip_a", $"clip_b", $"shared".cast("bigint").as("shared"),
+        ($"shared".cast("double") /
+          ($"na" + $"nb" - $"shared").cast("double")).as("jaccard"))
+      .orderBy($"clip_a", $"clip_b")
+  }
+
+  /** m72's per-clip keyframe-fingerprint rows (clip_id, fp) — the GIF
+    * encode → decode → frame-hash chain with the engineered
+    * trim-re-encode variants, shared by m72 (one-shot near-dup) and
+    * m75 (maintained index). One md5 fingerprint row per distinct
+    * frame of each clip. */
+  private[graft] def videoFingerprints(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
     val Side = 8
     val K = 512L
     val encoded: Dataset[(Long, Array[Byte])] =
@@ -1497,20 +1866,7 @@ object MultimodalOps {
         }
       }
       .toDF("clip_id", "fp").localCheckpoint()
-    val sizes = fps.groupBy($"clip_id").agg(count(lit(1)).as("n"))
-    val cands = fps.as("a")
-      .join(fps.as("b"),
-        $"a.fp" === $"b.fp" && $"a.clip_id" < $"b.clip_id")
-      .groupBy($"a.clip_id".as("clip_a"), $"b.clip_id".as("clip_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter($"shared" >= 2)
-    cands
-      .join(sizes.select($"clip_id".as("clip_a"), $"n".as("na")), "clip_a")
-      .join(sizes.select($"clip_id".as("clip_b"), $"n".as("nb")), "clip_b")
-      .select($"clip_a", $"clip_b", $"shared".cast("bigint").as("shared"),
-        ($"shared".cast("double") /
-          ($"na" + $"nb" - $"shared").cast("double")).as("jaccard"))
-      .orderBy($"clip_a", $"clip_b")
+    fps
   }
   // def, not val: defined after `all` in initialization order
   private def m72Sql =

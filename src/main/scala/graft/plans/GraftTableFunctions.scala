@@ -304,8 +304,10 @@ object GraftTableFunctions {
   }
 
   /** `graft_stages(path)` — the write-audit-publish auditor's listing:
-    * pending stages with file/row counts and their stage-time base
-    * versions. Bounded by the pending-stage count, metadata-only →
+    * pending stages with file/row counts, their stage-time base
+    * versions, and the staged-at instant (so abandoned vacuum-pinned
+    * stages are findable by an age policy, not by a human noticing).
+    * Bounded by the pending-stage count, metadata-only →
     * LocalRelation, exactly like graft_history. */
   def stages(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 1, "usage: graft_stages(path)")
@@ -315,16 +317,21 @@ object GraftTableFunctions {
       AttributeReference("stage_id", StringType, nullable = false)(),
       AttributeReference("n_files", LongType, nullable = false)(),
       AttributeReference("n_rows", LongType, nullable = false)(),
-      AttributeReference("base_version", LongType, nullable = true)())
+      AttributeReference("base_version", LongType, nullable = true)(),
+      AttributeReference("staged_at", TimestampType, nullable = true)())
     val data = TxnTable.stagedSummaries(spark, table)
-      .map { case (id, nf, nr, bv) =>
-        val r = new GenericInternalRow(4)
+      .map { case (id, nf, nr, bv, at) =>
+        val r = new GenericInternalRow(5)
         r.update(0, UTF8String.fromString(id))
         r.setLong(1, nf)
         r.setLong(2, nr)
         bv match {
           case Some(v) => r.setLong(3, v)
           case None => r.setNullAt(3)
+        }
+        at match {
+          case Some(ms) => r.setLong(4, ms * 1000L) // micros
+          case None => r.setNullAt(4)
         }
         r: InternalRow
       }

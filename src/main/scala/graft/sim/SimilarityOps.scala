@@ -1267,11 +1267,15 @@ object SimilarityOps {
     * file-pruning counts returned for the caller's REQUIREs), and
     * rank the candidates by cosine with vec-id tie-breaks — the
     * returned frame is LAZY (vec_id, cos_sim, rn). `probe` carries
-    * one row with the query embedding as column `p`. Shared by
-    * e64/e65/s75/p92 — the vector twin of Text2Ops.bm25Probe. */
+    * one row with the query embedding as column `p`. `excludeId`
+    * drops the query's own row from the shortlist when the probe
+    * vector lives in the index (the e64/e65/s75/p92 convention: the
+    * query is vec 0) — pass None for an external embedding. Shared
+    * by e64/e65/s75/p92 — the vector twin of Text2Ops.bm25Probe. */
   private[graft] def ivfProbe(spark: SparkSession, ivf: String,
       cents: Array[Array[Double]], probe: DataFrame, k: Int,
-      cat: String): (DataFrame, (Int, Int)) = {
+      cat: String, excludeId: Option[Long] = Some(0L))
+      : (DataFrame, (Int, Int)) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val pcells = probe
@@ -1282,7 +1286,8 @@ object SimilarityOps {
       joinCols = Seq("cell"), out = Seq("vec_id", "embedding"),
       keyCol = "cell", cat = cat,
       scanPayload = Seq("vec_id", "embedding"))
-    val ranked = hits.filter($"vec_id" =!= 0)
+    val kept = excludeId.fold(hits)(x => hits.filter($"vec_id" =!= x))
+    val ranked = kept
       .crossJoin(broadcast(probe))
       .select($"vec_id", cosine("embedding", "p").as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id").limit(k)

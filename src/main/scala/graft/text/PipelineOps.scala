@@ -250,19 +250,21 @@ object PipelineOps {
         .write.format("graft").option("statsCols", "vec_id")
         .option("partitionBy", "cell").option("mergeOnRead", "true")
         .mode("overwrite").save(ivf)
-      val eraseIds = surv.filter($"doc_id" % 70 === 0)
-        .select($"doc_id").as[Long].collect().toSeq
-      require(eraseIds.nonEmpty, "the erasure batch must be non-empty")
+      // the right-to-be-forgotten batch as a FRAME, never a collected
+      // isin literal list (the d50 rule): each leg is a semi-join →
+      // positional delete, so a million-id takedown plans like this one
+      val erase = surv.filter($"doc_id" % 70 === 0)
+        .select($"doc_id").localCheckpoint()
+      require(erase.limit(1).count() > 0,
+        "the erasure batch must be non-empty")
       val beforeP = TxnTable.snapshotFiles(spark, postings,
         TxnTable.latestVersion(spark, postings).get).toSet
       val beforeV = TxnTable.snapshotFiles(spark, ivf,
         TxnTable.latestVersion(spark, ivf).get).toSet
-      TxnTable.deleteWherePos(spark, corpus,
-        s => s("doc_id").isin(eraseIds: _*))
-      TxnTable.deleteWherePos(spark, postings,
-        s => s("doc_id").isin(eraseIds: _*))
-      TxnTable.deleteWherePos(spark, ivf,
-        s => s("vec_id").isin(eraseIds: _*))
+      TxnTable.deleteFromPos(spark, corpus, erase, Seq("doc_id"))
+      TxnTable.deleteFromPos(spark, postings, erase, Seq("doc_id"))
+      TxnTable.deleteFromPos(spark, ivf,
+        erase.select($"doc_id".as("vec_id")), Seq("vec_id"))
       require(beforeP.subsetOf(TxnTable.morState(spark, postings,
           TxnTable.latestVersion(spark, postings).get).files.toSet) &&
         beforeV.subsetOf(TxnTable.morState(spark, ivf,
@@ -352,8 +354,182 @@ object PipelineOps {
        |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p93
+  /** CDF-DRIVEN INDEX MAINTENANCE — indexes SUBSCRIBE to the corpus
+    * instead of every writer enumerating indexes. p92's takedown
+    * spells the production problem: its driver must know every index
+    * that exists (three explicit erasure legs). Here the corpus
+    * carries a change data feed, the takedown touches ONLY the
+    * corpus (one positional delete), and an AvailableNow drain of
+    * `readChangeFeed` erases the delete-typed rows from BOTH
+    * maintained indexes — a new index subscribes to the feed instead
+    * of every writer learning its name. REQUIREd: the drain's
+    * erasures are deletion vectors (zero index rewrites), the live
+    * index contents EQUAL the explicit-delete state (= the index
+    * recomputed over the surviving corpus — postings are per
+    * (term,doc) and cells per vec, so set equality is exact), and
+    * both serving probes stay pruned. The oracle replays retrieval
+    * over the surviving corpus through the IVF shortlist, so a
+    * leaked posting, an unmasked vector, or a silently brute-forced
+    * vector leg all hash-mismatch.
+    *
+    * Shape at 100 TB: the feed delivers exactly the changed rows
+    * (O(batch), never a corpus diff), each index erasure is a
+    * broadcast semi-join → one coordinate sidecar, and the drain is
+    * an idempotent foreachBatch (deleteFromPos re-matching nothing on
+    * replay), so a crashed subscriber resumes from its checkpoint
+    * without double-erasing. */
+  private def p93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    import org.apache.spark.sql.streaming.Trigger
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_p93_cdf").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/corpus_txn"
+      val postings = s"$zone/postings_txn"
+      val ivf = s"$zone/ivf_txn"
+      val cp = s"$zone/cp"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      // the corpus carries the change feed — the ONE table writers see
+      TxnTable.commitOverwrite(docs, corpus, statsCols = Seq("doc_id"),
+        cdf = Some(true), mor = Some(true))
+      val v1 = TxnTable.latestVersion(spark, corpus).get
+      def postingsOf(c: DataFrame): DataFrame = c
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter(length($"term") > 0)
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      postingsOf(spark.read.format("graft").load(corpus))
+        .write.format("graft")
+        .option("partitionBy", "bucket(16, term)")
+        .option("statsCols", "term").option("bloomCols", "term")
+        .option("optimizedWrite", "true").option("mergeOnRead", "true")
+        .mode("overwrite").save(postings)
+      val cents = graft.sim.SimilarityOps.centroids(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      def assignedOf(c: DataFrame): DataFrame = emb
+        .join(c.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+        .select($"vec_id", $"embedding",
+          element_at(
+            graft.sim.Similarity.nearestCells("embedding", cents, 1), 1)
+            .cast("bigint").cast("string").as("cell"))
+      assignedOf(spark.read.format("graft").load(corpus))
+        .write.format("graft").option("statsCols", "vec_id")
+        .option("partitionBy", "cell").option("mergeOnRead", "true")
+        .mode("overwrite").save(ivf)
+      val beforeP = TxnTable.snapshotFiles(spark, postings,
+        TxnTable.latestVersion(spark, postings).get).toSet
+      val beforeV = TxnTable.snapshotFiles(spark, ivf,
+        TxnTable.latestVersion(spark, ivf).get).toSet
+      // the takedown touches ONLY the corpus — no index named anywhere
+      val erase = spark.read.format("graft").load(corpus)
+        .filter($"doc_id" % 9 === 0).select($"doc_id").localCheckpoint()
+      TxnTable.deleteFromPos(spark, corpus, erase, Seq("doc_id"))
+      // the SUBSCRIPTION: drain the corpus feed from past the index
+      // build (startingVersion is EXCLUSIVE — the (since, until]
+      // window); delete-typed rows erase positionally from both indexes
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v1.toString)
+        .load(corpus)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val dels = batch.filter(col("_change_type") === "delete")
+              .select(col("doc_id")).localCheckpoint()
+            if (!dels.isEmpty) {
+              TxnTable.deleteFromPos(spark, postings, dels, Seq("doc_id"))
+              TxnTable.deleteFromPos(spark, ivf,
+                dels.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+            }
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(beforeP.subsetOf(TxnTable.morState(spark, postings,
+          TxnTable.latestVersion(spark, postings).get).files.toSet) &&
+        beforeV.subsetOf(TxnTable.morState(spark, ivf,
+          TxnTable.latestVersion(spark, ivf).get).files.toSet),
+        "CDF-driven erasure must be deletion vectors on both indexes")
+      // subscription equality: live index contents == the index over
+      // the SURVIVING corpus (t57/e63's explicit-delete state)
+      val surv = spark.read.format("graft").load(corpus)
+      val liveP = spark.read.format("graft").load(postings)
+        .select($"term", $"doc_id", $"tf")
+      require(liveP.except(postingsOf(surv)).isEmpty &&
+        postingsOf(surv).except(liveP).isEmpty,
+        "the subscribed postings index diverged from the explicit-" +
+          "delete state")
+      val liveV = spark.read.format("graft").load(ivf)
+        .select($"vec_id", $"cell")
+      val wantV = assignedOf(surv).select($"vec_id", $"cell")
+      require(liveV.except(wantV).isEmpty && wantV.except(liveV).isEmpty,
+        "the subscribed IVF index diverged from the explicit-delete state")
+      // serve: both probes through the maintained indexes, pruned
+      val (lex, (ls, lt)) = graft.text.Text2Ops.lexCountRank(
+        spark, postings, Seq("window", "merge", "stream"),
+        cat = "gp93lex")
+      require(ls < lt,
+        s"the 3-term probe must prune the postings index: $ls/$lt")
+      val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+      val (vecRanked, (vs, vt)) = graft.sim.SimilarityOps.ivfProbe(
+        spark, ivf, cents, probe, k = 20, cat = "gp93vec")
+      require(vs < vt,
+        s"the 2-cell probe must prune the IVF index: $vs/$vt")
+      val vec = vecRanked.select($"vec_id".as("id"), $"rn".as("rv"))
+      val fused = graft.sim.SimilarityOps.rrfFuse(lex, vec)
+      val rows = fused.collect()
+      require(rows.forall(_.getLong(0) % 9L != 0L),
+        "an erased doc surfaced in the served fusion")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fused.schema)
+    } finally {
+      graft.io.Tables.deleteTree(new java.io.File(zone))
+    }
+  }
+  // def, not val: cosineSql-based, defined after `all` (init order)
+  private def p93Sql = {
+    val cos = graft.sim.Similarity.cosineSql _
+    s"""WITH surv AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0),
+       |toks AS (
+       |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok
+       |  FROM surv),
+       |lexl AS (
+       |  SELECT doc_id AS id, COUNT(*) AS cnt FROM toks
+       |  WHERE tok IN ('window', 'merge', 'stream') GROUP BY 1
+       |  ORDER BY cnt DESC, id LIMIT 20),
+       |lexr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, id) AS BIGINT) AS rl FROM lexl),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, (
+       |    SELECT cent_id FROM cents
+       |    ORDER BY ${cos("e.embedding", "cents.c")} DESC, cent_id LIMIT 1) AS cell
+       |  FROM embeddings e JOIN surv k ON e.vec_id = k.doc_id),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cent_id FROM cents, probe
+       |  ORDER BY ${cos("probe.p", "cents.c")} DESC, cent_id LIMIT 2),
+       |vecl AS (
+       |  SELECT a.vec_id AS id, ${cos("a.embedding", "probe.p")} AS cs
+       |  FROM assigned a, probe
+       |  WHERE a.cell IN (SELECT cent_id FROM pcells) AND a.vec_id <> 0
+       |  ORDER BY cs DESC, id LIMIT 20),
+       |vecr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, id) AS BIGINT) AS rv FROM vecl),
+       |fused AS (
+       |  SELECT COALESCE(l.id, v.id) AS id,
+       |    COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(rv AS DOUBLE)), 0.0) AS rrf
+       |  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+       |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("p90_training_pipeline", p90, Some(p90Sql), bench = true),
     RQ("p91_dq_expectations", p91, Some(p91Sql)),
-    RQ("p92_corpus_lifecycle", p92, Some(p92Sql)))
+    RQ("p92_corpus_lifecycle", p92, Some(p92Sql)),
+    RQ("p93_cdf_index_subscribe", p93, Some(p93Sql)))
 }

@@ -367,6 +367,73 @@ class MorPosSpec extends AnyFunSuite {
     }
   }
 
+  /** Largest literal fan-out in an optimized plan (In list / InSet /
+    * array literal) — the IncrementalBoilerplateSpec d50 gauge,
+    * extended here to the takedown-shaped erasure legs. */
+  private def maxLiteralFanout(
+      qe: org.apache.spark.sql.execution.QueryExecution): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    val sizes = qe.optimizedPlan.flatMap { n =>
+      n.expressions.flatMap(_.collect {
+        case i: In => i.list.size
+        case s: InSet => s.hset.size
+        case l: Literal
+            if l.dataType.isInstanceOf[ArrayType] && l.value != null =>
+          l.value.asInstanceOf[ArrayData].numElements()
+      })
+    }
+    if (sizes.isEmpty) 0 else sizes.max
+  }
+
+  test("deleteFromPos: a 1000-id takedown batch stays literal-free") {
+    withZone { table =>
+      import spark.implicits._
+      val df = spark.range(0L, 4000L).select(
+        $"id".as("k"), concat(lit("s"), $"id" % 10).as("s"),
+        ($"id" % 5).as("g")).repartitionByRange(4, $"k")
+      df.write.format("graft").option("statsCols", "k,g")
+        .option("mergeOnRead", "true").mode("overwrite").save(table)
+      val before = state(table).files.toSet
+      // the erasure batch as a FRAME — ids 0,4,8,… plus some misses
+      val keys = spark.range(0L, 1100L).select(($"id" * 4L).as("k"))
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.QueryExecution]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = { plans.add(qe); () }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try TxnTable.deleteFromPos(spark, table, keys, Seq("k"))
+      finally {
+        org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+        spark.listenerManager.unregister(listener)
+      }
+      val captured = plans.toArray(
+        Array.empty[org.apache.spark.sql.execution.QueryExecution])
+      assert(captured.nonEmpty, "the listener saw no executed queries")
+      val fan = captured.map(maxLiteralFanout).max
+      assert(fan < 600,
+        s"a takedown plan carried a $fan-element literal list — the " +
+          "erasure selection must stay frame-joined, not isin-collected")
+      val st = state(table)
+      assert(before.subsetOf(st.files.toSet),
+        "a takedown is deletion vectors, not a rewrite")
+      val now = spark.read.format("graft").load(table)
+      assert(now.count() == 3000L)
+      assert(now.filter($"k" % 4 === 0).count() == 0L)
+      // idempotent-janitor shape: the SAME batch re-runs and matches
+      // nothing — no error, no cardinality change
+      TxnTable.deleteFromPos(spark, table, keys, Seq("k"))
+      assert(spark.read.format("graft").load(table).count() == 3000L)
+    }
+  }
+
   test("updateWherePos can target SOME of byte-identical duplicates") {
     withZone { table =>
       import spark.implicits._

@@ -41,8 +41,10 @@ class WapSpec extends AnyFunSuite {
       val batch = Tables.customer(spark, Spec.sf0001)
         .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
         .filter($"c_custkey" > 50 && $"c_custkey" <= 80)
+      val t0 = System.currentTimeMillis()
       val id = TxnTable.stageAppend(batch, table,
         statsCols = Seq("c_custkey"))
+      val t1 = System.currentTimeMillis()
       // invisible: same row count, same version
       assert(TxnTable.read(spark, table).count() == n0)
       val v1 = TxnTable.latestVersion(spark, table).get
@@ -57,6 +59,16 @@ class WapSpec extends AnyFunSuite {
         shown(0).getLong(3) == v1)
       assert(spark.sql(s"SELECT * FROM graft_stages('$table')")
         .collect().map(_.getString(0)).toSeq == Seq(id))
+      // stage AGE: both spellings carry staged_at inside the stage
+      // call's wall-clock window — abandoned vacuum-pinned stages are
+      // findable by policy, not by a human noticing
+      val shownAt = shown(0).getTimestamp(4)
+      assert(shownAt != null &&
+        shownAt.getTime >= t0 && shownAt.getTime <= t1,
+        s"staged_at $shownAt outside the stage window [$t0, $t1]")
+      assert(spark.sql(s"SELECT staged_at FROM graft_stages('$table')")
+        .head().getTimestamp(0) == shownAt,
+        "SHOW STAGES and graft_stages disagree on staged_at")
       // publish: files carry BY REFERENCE (no rewrite)
       val before = TxnTable.snapshotFiles(spark, table, v1).toSet
       val v2 = TxnTable.publishStage(spark, table, id)
@@ -414,6 +426,68 @@ class WapSpec extends AnyFunSuite {
       assert(e.getMessage.contains("already published"))
       assert(!staged.exists,
         "the refusal reaps the now-redundant crash-residue manifest")
+    }
+  }
+
+  test("a crashed BATCH-shaped publisher's residue reaps on refusal; " +
+      "a skipped ordinal's stage stays pinned for abort") {
+    withZone { table =>
+      base(table)
+      // crash residue: b0 published (seq high-water only — no per-id
+      // marker), manifest cleanup never ran
+      val b0 = TxnTable.stageAppend(seg(50, 55), table,
+        stageId = Some("crashb-b0"))
+      val m0 = new java.io.File(s"$table/_staged/$b0.manifest")
+      val bytes = java.nio.file.Files.readAllBytes(m0.toPath)
+      TxnTable.publishStage(spark, table, b0)
+      java.nio.file.Files.write(m0.toPath, bytes)
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.stageAppend(seg(55, 60), table, stageId = Some(b0))
+      }
+      assert(e.getMessage.contains("already published"))
+      assert(!m0.exists, "batch-shaped residue (all staged files live " +
+        "in the snapshot) must reap on the refusal path — otherwise a " +
+        "restarted-from-scratch pipeline pins vacuum forever")
+      // the OTHER direction: b1 staged but SKIPPED (b2 published past
+      // it) — its files are NOT live, so the refusal must keep the
+      // manifest pinned; abortStage is the documented remedy
+      val b1 = TxnTable.stageAppend(seg(60, 65), table,
+        stageId = Some("crashb-b1"))
+      val b2 = TxnTable.stageAppend(seg(65, 70), table,
+        stageId = Some("crashb-b2"))
+      TxnTable.publishStage(spark, table, b2)
+      val m1 = new java.io.File(s"$table/_staged/$b1.manifest")
+      intercept[IllegalArgumentException] {
+        TxnTable.stageAppend(seg(70, 75), table, stageId = Some(b1))
+      }
+      assert(m1.exists, "a skipped ordinal's never-published files are " +
+        "not residue — the stage must stay for abortStage, not reap")
+      TxnTable.abortStage(spark, table, b1)
+      assert(!m1.exists)
+    }
+  }
+
+  test("abortStage on batch-shaped crash residue reports the live rows " +
+      "instead of claiming a clean abort") {
+    withZone { table =>
+      base(table)
+      val id = TxnTable.stageAppend(seg(50, 55), table,
+        stageId = Some("abres-b0"))
+      val m = new java.io.File(s"$table/_staged/$id.manifest")
+      val bytes = java.nio.file.Files.readAllBytes(m.toPath)
+      TxnTable.publishStage(spark, table, id)
+      val n = TxnTable.read(spark, table).count()
+      java.nio.file.Files.write(m.toPath, bytes)
+      // the rows ARE live (seq marker, files in the snapshot): abort
+      // must remove the redundant manifest but throw, not report a
+      // successful abort of live data — and the residue check happens
+      // AFTER the delete, so a publish racing into the gap is seen
+      val e = intercept[IllegalStateException] {
+        TxnTable.abortStage(spark, table, id)
+      }
+      assert(e.getMessage.contains("rows are live"), e.getMessage)
+      assert(!m.exists)
+      assert(TxnTable.read(spark, table).count() == n)
     }
   }
 
