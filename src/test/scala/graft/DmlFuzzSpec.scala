@@ -45,6 +45,13 @@ class DmlFuzzSpec extends AnyFunSuite {
   private case class VecDelete(mod: Long, r: Long) extends Op {
     val canNoOp = true
   }
+  // frame-keyed positional delete (deleteFromPos — the takedown
+  // spelling): same pinned-snapshot semantics and residue class as
+  // VecDelete; the keys frame enumerates the init pool's residue
+  // members (all < 50), so its effect equals the predicate's
+  private case class FrameDelete(mod: Long, r: Long) extends Op {
+    val canNoOp = true
+  }
   private case class EqDelete(mod: Long, r: Long) extends Op {
     val canNoOp = true
   }
@@ -65,6 +72,8 @@ class DmlFuzzSpec extends AnyFunSuite {
       case Append(rows) => state ++ rows
       case Merge(rows) => state ++ rows
       case VecDelete(m, r) => state.filterNot { case (k, _) => k % m == r }
+      case FrameDelete(m, r) =>
+        state.filterNot { case (k, _) => k % m == r }
       case EqDelete(m, r) => state.filterNot { case (k, _) => k % m == r }
       case PosUpdate(m, r, d) =>
         state.map { case (k, v) => k -> (if (k % m == r) v + d else v) }
@@ -82,6 +91,10 @@ class DmlFuzzSpec extends AnyFunSuite {
       TxnTable.merge(enrich(rows.toDF("k", "v")), table, "k")
     case VecDelete(m, r) =>
       TxnTable.deleteWherePos(spark, table, df => df("k") % m === r)
+    case FrameDelete(m, r) =>
+      TxnTable.deleteFromPos(spark, table,
+        spark.range(0L, 5L).select((col("id") * m + r).as("k")),
+        Seq("k"))
     case EqDelete(m, r) =>
       TxnTable.deleteWhereMoR(spark, table, Seq("k"),
         df => df("k") % m === r)
@@ -119,7 +132,9 @@ class DmlFuzzSpec extends AnyFunSuite {
         val ks = Seq.fill(3)(10L * rnd.nextInt(5) + 7L + rnd.nextInt(3))
           .distinct
         Merge(ks.map(k => (k, 7000L + rnd.nextInt(1000))))
-      case 5 => VecDelete(10L, 2L * rnd.nextInt(2))
+      case 5 =>
+        val r = 2L * rnd.nextInt(2)
+        if (rnd.nextBoolean()) VecDelete(10L, r) else FrameDelete(10L, r)
       // equality-flavor MoR delete owns residue 6: keys no other op
       // kind ever (re)inserts, so its key-tuple effect is identical at
       // pin and commit
