@@ -2828,8 +2828,8 @@ object TxnTable {
       // discards its new batch (the exact loss the refusal prevents).
       // Its txn marker makes any later publish a replay no-op, so
       // fresh data staged under it must fail loudly, not quietly.
-      val txns =
-        latestState(spark, table).map(_.txns).getOrElse(Map.empty)
+      val refuseSt = latestState(spark, table)
+      val txns = refuseSt.map(_.txns).getOrElse(Map.empty)
       if (wapPublished(txns, sid)) {
         // a crashed publisher leaves BOTH the marker and the staged
         // manifest — reap the residue so the vacuum pin releases; the
@@ -2841,11 +2841,15 @@ object TxnTable {
         // never-published files stay pinned for abortStage, the
         // documented remedy
         if (fc(spark).util.exists(stagedManifestPath(table, sid))) {
+          // the SAME snapshot judges the marker and the membership —
+          // splitting the decision across two reads is an invariant a
+          // future edit could silently break (and a redundant
+          // object-store round trip on the error path)
           val residue = txns.contains(wapMarker(sid)) || {
             val files = stagedLines(spark, table, sid)
               .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
-            files.nonEmpty && latestState(spark, table)
-              .exists(st => files.forall(st.files.toSet.contains))
+            files.nonEmpty &&
+              refuseSt.exists(st => files.forall(st.files.toSet.contains))
           }
           if (residue)
             fc(spark).delete(stagedManifestPath(table, sid), false)

@@ -1725,22 +1725,25 @@ object MultimodalOps {
   private def m72(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val res = m72Frame(spark, dir)
+    val rows = res.collect()
     // engineered recall is 100% by construction — REQUIRE it: every
     // (base, trimmed-re-encode) pair surfaces, at jaccard exactly 1.0
-    // (x/x — bit-exact). Spelled as a distributed anti-join, not a
-    // driver loop: at crawl scale the engineered-pair list is
-    // corpus-sized, never a collect
+    // (x/x — bit-exact). Spelled as an anti-join whose EXPECTED side
+    // stays distributed (at crawl scale the engineered-pair list is
+    // corpus-sized, never a driver loop); the result side is the
+    // already-collected query output, so the join pipeline runs once
+    val got = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), res.schema)
     val expected = Tables.documents(spark, dir)
       .filter($"doc_id" % 5 === 0)
       .select(($"doc_id" * 2).as("clip_a"),
         ($"doc_id" * 2 + 1).as("clip_b"))
     val missed = expected.join(
-      res.filter($"jaccard" === 1.0).select($"clip_a", $"clip_b"),
+      got.filter($"jaccard" === 1.0).select($"clip_a", $"clip_b"),
       Seq("clip_a", "clip_b"), "left_anti")
     require(missed.isEmpty,
       "an engineered near-dup pair was missed or scored below 1.0")
-    val rows = res.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    got
   }
 
   /** m72's LAZY result frame — separated from the collecting wrapper

@@ -424,6 +424,8 @@ object PipelineOps {
       // the takedown touches ONLY the corpus — no index named anywhere
       val erase = spark.read.format("graft").load(corpus)
         .filter($"doc_id" % 9 === 0).select($"doc_id").localCheckpoint()
+      require(erase.limit(1).count() > 0,
+        "the erasure batch must be non-empty")
       TxnTable.deleteFromPos(spark, corpus, erase, Seq("doc_id"))
       // the SUBSCRIPTION: drain the corpus feed from past the index
       // build (startingVersion is EXCLUSIVE — the (since, until]
