@@ -995,23 +995,33 @@ object MultimodalOps {
     * verify-and-delete its near-dup losers against everything earlier,
     * persist its fingerprint band keys. Returns the probe's (scanned,
     * total) index file counts. */
-  private[graft] def m70Ingest(spark: SparkSession, corpus: String,
-      sigsT: String, batch: DataFrame, first: Boolean,
-      inBatchPred: org.apache.spark.sql.Column): (Int, Int) = {
+  /** The 16-bit Hamming band keys of 64-bit fingerprints as string
+    * `<band>:<slice>` rows (img_id, fp, bk) — one join column the
+    * bucketed layout, stats, and blooms all work on (the d52
+    * spelling). Shared by the ingest and by m76's subscription-
+    * equality oracle-side recomputation. */
+  private[graft] def bandKeys(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
     import spark.implicits._
-    import graft.io.TxnTable
-    batch.write.format("graft").option("mergeOnRead", "true")
-      .option("statsCols", "img_id")
-      .mode(if (first) "overwrite" else "append").save(corpus)
-    // string `<band>:<slice>` keys — one join column the bucketed
-    // layout, stats, and blooms all work on (the d52 spelling)
-    val sig = batch.select($"img_id", $"fp",
+    batch.select($"img_id", $"fp",
         posexplode(array((0 until 4).map(i =>
           shiftright($"fp", 48 - 16 * i).bitwiseAND(lit(65535L))): _*))
           .as(Seq("b", "v")))
       .select($"img_id", $"fp",
         concat(($"b" + 1).cast("string"), lit(":"), $"v").as("bk"))
-      .localCheckpoint()
+  }
+
+  private[graft] def m70Ingest(spark: SparkSession, corpus: String,
+      sigsT: String, batch: DataFrame, first: Boolean,
+      inBatchPred: org.apache.spark.sql.Column,
+      cdfFirst: Boolean = false): (Int, Int) = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val cw = batch.write.format("graft").option("mergeOnRead", "true")
+      .option("statsCols", "img_id")
+    (if (first && cdfFirst) cw.option("enableChangeFeed", "true") else cw)
+      .mode(if (first) "overwrite" else "append").save(corpus)
+    val sig = bandKeys(batch).localCheckpoint()
     val (cross, pruneCounts) =
       if (first) (spark.emptyDataset[Long].toDF("img_id"), (0, 0))
       else {
@@ -1562,6 +1572,96 @@ object MultimodalOps {
       |JOIN sizes s ON s.clip_id = f.clip_id
       |ORDER BY f.clip_id""".stripMargin
 
+  // ---------------------------------------------------------------- m76
+  /** CDF-SUBSCRIBED IMAGE-INDEX TAKEDOWN — p93's subscription topology
+    * applied to the media side: the takedown touches ONLY the image
+    * corpus (one frame-keyed positional delete; no index named
+    * anywhere in the takedown path), and the fingerprint index erases
+    * itself by draining the corpus change feed. m73's semantics —
+    * takedown + re-admission — with the coupling inverted.
+    *
+    * The discrimination contract (the reason this drains a WINDOW,
+    * not a tail): the corpus feed carries BOTH takedown deletes and
+    * dedup-loser deletes, and the d47 invariant says loser signatures
+    * must PERSIST (a died image keeps witnessing against later
+    * copies) while takedown signatures must ERASE (re-admission).
+    * Row-level change types cannot tell them apart, so the subscriber
+    * consumes the feed in takedown windows — the takedown driver
+    * publishes its (since, until] commit window (equivalently: a
+    * production deployment routes takedowns through a tombstone
+    * stream the indexes subscribe to; dedup deletes never enter it).
+    * REQUIREd: the drained erasure is a deletion vector (zero index
+    * rewrites), the live index EQUALS the explicit-delete state
+    * (band keys of every batch-1 fingerprint minus the taken-down
+    * ids — set equality), and an orphaned variant RE-ADMITS. The
+    * final state is byte-identical to m73's, so m73's closed-form
+    * oracle hash-gates the whole subscription machinery. */
+  private def m76(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_m76_cdf").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/imgs_txn"
+      val sigsT = s"$zone/isigs_txn"
+      val fps = imageFingerprints(spark, dir)
+        .select($"item_id".as("img_id"), $"fp")
+      val evens = fps.filter($"img_id" % 2 === 0).localCheckpoint()
+      m70Ingest(spark, corpus, sigsT, evens,
+        first = true, col("img_id") % 2 === 0, cdfFirst = true)
+      val vPre = TxnTable.latestVersion(spark, corpus).get
+      // the takedown: ONE positional delete on the corpus alone
+      val takedownDf = spark.read.format("graft").load(corpus)
+        .filter($"img_id" % 14 === 0)
+        .select($"img_id").localCheckpoint()
+      val takedown = takedownDf.as[Long].collect().toSet
+      require(takedown.nonEmpty, "the takedown batch must be non-empty")
+      TxnTable.deleteFromPos(spark, corpus, takedownDf, Seq("img_id"))
+      val vPost = TxnTable.latestVersion(spark, corpus).get
+      // the SUBSCRIPTION: drain the takedown window's delete-typed
+      // rows and erase them from the index — frame-keyed end to end
+      val dels = TxnTable.changeFeed(spark, corpus, vPre, vPost)
+        .filter(col(TxnTable.ChangeTypeCol) === "delete")
+        .select($"img_id".as("pid")).localCheckpoint()
+      val beforeS = TxnTable.snapshotFiles(spark, sigsT,
+        TxnTable.latestVersion(spark, sigsT).get).toSet
+      TxnTable.deleteFromPos(spark, sigsT, dels, Seq("pid"))
+      require(beforeS.subsetOf(TxnTable.morState(spark, sigsT,
+          TxnTable.latestVersion(spark, sigsT).get).files.toSet),
+        "the subscribed erasure must be a deletion vector, not a rewrite")
+      // subscription equality: live index == explicit-delete state
+      // (every batch-1 fingerprint's band keys, minus taken-down ids —
+      // died images' signatures persist, the d47 invariant)
+      // re-select after the join: USING-join output leads with the
+      // join key, and except compares by POSITION
+      val expected = bandKeys(evens)
+        .select($"bk", $"img_id".as("pid"), $"fp".as("pfp"))
+        .join(takedownDf.select($"img_id".as("pid")), Seq("pid"),
+          "left_anti")
+        .select($"bk", $"pid", $"pfp")
+      val live = spark.read.format("graft").load(sigsT)
+        .select($"bk", $"pid", $"pfp")
+      require(live.except(expected).isEmpty &&
+        expected.except(live).isEmpty,
+        "the subscribed index diverged from the explicit-delete state")
+      // a later near-dup of a taken-down image must RE-ADMIT
+      m70Ingest(spark, corpus, sigsT, fps.filter($"img_id" % 2 === 1),
+        first = false, col("img_id") % 2 === 1)
+      val result = spark.read.format("graft").load(corpus)
+        .select($"img_id", $"fp").orderBy($"img_id")
+      val rows = result.collect()
+      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+        "a taken-down image surfaced in the corpus")
+      require(rows.exists(r =>
+        r.getLong(0) % 2L == 1L && takedown.contains(r.getLong(0) - 1L)),
+        "an orphaned variant (base taken down) must be RE-ADMITTED")
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      graft.io.Tables.deleteTree(new java.io.File(zone))
+    }
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("m71_video_keyframes", m71, Some(m71Sql)),
     RQ("m60_binary_meta", m60, Some(m60Sql)),
@@ -1578,6 +1678,7 @@ object MultimodalOps {
     RQ("m72_video_neardup", m72, Some(m72Sql)),
     RQ("m74_audio_index_lifecycle", m74, Some(m74Sql)),
     RQ("m75_video_index_lifecycle", m75, Some(m75Sql)),
+    RQ("m76_image_cdf_takedown", m76, Some(m73Sql)),
     RQ("m73_image_takedown", m73, Some(m73Sql)))
 
   // ---------------------------------------------------------------- m71
