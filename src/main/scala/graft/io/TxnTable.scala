@@ -2833,27 +2833,8 @@ object TxnTable {
       if (wapPublished(txns, sid)) {
         // a crashed publisher leaves BOTH the marker and the staged
         // manifest — reap the residue so the vacuum pin releases; the
-        // refusal below still fires. A per-id marker is unambiguous;
-        // a batch-shaped id at/below its prefix's high-water mark is
-        // residue only when every staged file is live in the snapshot
-        // (the same membership test publishStages' heal and
-        // abortStage's liveResidue use) — a SKIPPED ordinal's
-        // never-published files stay pinned for abortStage, the
-        // documented remedy
-        if (fc(spark).util.exists(stagedManifestPath(table, sid))) {
-          // the SAME snapshot judges the marker and the membership —
-          // splitting the decision across two reads is an invariant a
-          // future edit could silently break (and a redundant
-          // object-store round trip on the error path)
-          val residue = txns.contains(wapMarker(sid)) || {
-            val files = stagedLines(spark, table, sid)
-              .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
-            files.nonEmpty &&
-              refuseSt.exists(st => files.forall(st.files.toSet.contains))
-          }
-          if (residue)
-            fc(spark).delete(stagedManifestPath(table, sid), false)
-        }
+        // refusal below still fires
+        reapPublishedResidue(spark, table, sid, refuseSt)
         throw new IllegalArgumentException(
           s"stage id '$sid' was already published to $table — a " +
             "replay re-offers the same content by keeping its " +
@@ -3203,6 +3184,69 @@ object TxnTable {
         s"stage $id published while aborting — its rows are live; only " +
           "the now-redundant staged manifest was removed")
     ()
+  }
+
+  /** If stage `id`'s manifest lingers although its publish is on the
+    * books in `stOpt` (crash residue between a publisher's CAS and its
+    * manifest cleanup), delete the manifest and return true. A per-id
+    * marker is unambiguous; a batch-shaped id at/below its prefix's
+    * high-water mark is residue only when every staged file is live in
+    * the snapshot (the membership test publishStages' heal and
+    * abortStage's liveResidue use) — a SKIPPED ordinal's
+    * never-published files stay pinned for abortStage, the documented
+    * remedy. ONE snapshot judges both the marker and the membership. */
+  private def reapPublishedResidue(spark: SparkSession, table: String,
+                                   id: String,
+                                   stOpt: Option[State]): Boolean = {
+    val txns = stOpt.map(_.txns).getOrElse(Map.empty)
+    if (!wapPublished(txns, id) ||
+        !fc(spark).util.exists(stagedManifestPath(table, id))) false
+    else {
+      val residue = txns.contains(wapMarker(id)) || {
+        val files = stagedLines(spark, table, id)
+          .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+        files.nonEmpty &&
+          stOpt.exists(st => files.forall(st.files.toSet.contains))
+      }
+      if (residue) fc(spark).delete(stagedManifestPath(table, id), false)
+      residue
+    }
+  }
+
+  /** RETENTION for abandoned audits: abort every pending stage staged
+    * earlier than `olderThanMs` ago, returning the aborted ids. A
+    * stage awaiting audit is vacuum-pinned by design, so a crashed
+    * auditor's stage holds its files until a policy reaps it — this is
+    * that policy, with the SAME opt-in shape as vacuum retention: the
+    * caller states how stale is abandoned, and the threshold must
+    * exceed the longest legitimate audit (the retainMs ≥ job-latency
+    * rule applied to audits). Conservative everywhere: a stage whose
+    * age cannot be determined is skipped, and a stage that turns out
+    * published (or resolves) mid-sweep is skipped rather than failing
+    * the sweep — abortStage has already reaped its redundant manifest
+    * in the published case. */
+  def abortStagesOlderThan(spark: SparkSession, table: String,
+                           olderThanMs: Long): Seq[String] = {
+    require(olderThanMs >= 0L, "olderThanMs must be non-negative")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    stagedSummaries(spark, table).collect {
+      case (id, _, _, _, Some(at)) if at < cutoff => id
+    }.filter { id =>
+      try { abortStage(spark, table, id); true }
+      catch {
+        // published while sweeping: rows are live, manifest reaped
+        case _: IllegalStateException => false
+        // already published (abortStage's up-front refusal) or
+        // resolved between listing and abort: a lingering manifest of
+        // a PUBLISHED id is crash residue — reap it so the sweep
+        // actually releases the pin (stageAppend's refusal-path rule,
+        // applied by policy); a pending stage is never touched here
+        case _: IllegalArgumentException =>
+          reapPublishedResidue(spark, table, id,
+            latestState(spark, table))
+          false
+      }
+    }
   }
 
   /** DATA-SKIPPING read: the latest snapshot's rows with `column` in

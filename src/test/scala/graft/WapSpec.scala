@@ -429,6 +429,37 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("abortStagesOlderThan reaps only stale stages; published " +
+      "residue is skipped but its manifest still clears") {
+    withZone { table =>
+      base(table)
+      val a = TxnTable.stageAppend(seg(50, 55), table,
+        stageId = Some("stale-a"))
+      val b = TxnTable.stageAppend(seg(55, 60), table,
+        stageId = Some("stale-b"))
+      // a generous threshold reaps nothing — both stages are young
+      assert(TxnTable.abortStagesOlderThan(spark, table,
+        60L * 60L * 1000L).isEmpty)
+      assert(TxnTable.stagedIds(spark, table).sorted == Seq(a, b).sorted)
+      // crash residue: c published but its manifest cleanup never ran
+      val c = TxnTable.stageAppend(seg(60, 65), table,
+        stageId = Some("stale-c"))
+      val mc = new java.io.File(s"$table/_staged/$c.manifest")
+      val bytes = java.nio.file.Files.readAllBytes(mc.toPath)
+      TxnTable.publishStage(spark, table, c)
+      java.nio.file.Files.write(mc.toPath, bytes)
+      val n = TxnTable.read(spark, table).count()
+      Thread.sleep(15) // every stage is now strictly older than "now"
+      val reaped = TxnTable.abortStagesOlderThan(spark, table, 0L)
+      // the published residue is NOT reported aborted (its rows are
+      // live) but its redundant manifest clears with the sweep
+      assert(reaped.sorted == Seq(a, b).sorted, reaped)
+      assert(TxnTable.stagedIds(spark, table).isEmpty)
+      assert(TxnTable.read(spark, table).count() == n,
+        "the sweep must not touch published rows")
+    }
+  }
+
   test("a crashed BATCH-shaped publisher's residue reaps on refusal; " +
       "a skipped ordinal's stage stays pinned for abort") {
     withZone { table =>
