@@ -3197,11 +3197,10 @@ object TxnTable {
     * remedy. ONE snapshot judges both the marker and the membership. */
   private def reapPublishedResidue(spark: SparkSession, table: String,
                                    id: String,
-                                   stOpt: Option[State]): Boolean = {
+                                   stOpt: Option[State]): Unit = {
     val txns = stOpt.map(_.txns).getOrElse(Map.empty)
-    if (!wapPublished(txns, id) ||
-        !fc(spark).util.exists(stagedManifestPath(table, id))) false
-    else {
+    if (wapPublished(txns, id) &&
+        fc(spark).util.exists(stagedManifestPath(table, id))) {
       val residue = txns.contains(wapMarker(id)) || {
         val files = stagedLines(spark, table, id)
           .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
@@ -3209,7 +3208,6 @@ object TxnTable {
           stOpt.exists(st => files.forall(st.files.toSet.contains))
       }
       if (residue) fc(spark).delete(stagedManifestPath(table, id), false)
-      residue
     }
   }
 
@@ -3229,22 +3227,35 @@ object TxnTable {
                            olderThanMs: Long): Seq[String] = {
     require(olderThanMs >= 0L, "olderThanMs must be non-negative")
     val cutoff = System.currentTimeMillis() - olderThanMs
+    val txns = latestState(spark, table).map(_.txns).getOrElse(Map.empty)
     stagedSummaries(spark, table).collect {
       case (id, _, _, _, Some(at)) if at < cutoff => id
     }.filter { id =>
-      try { abortStage(spark, table, id); true }
-      catch {
-        // published while sweeping: rows are live, manifest reaped
-        case _: IllegalStateException => false
-        // already published (abortStage's up-front refusal) or
-        // resolved between listing and abort: a lingering manifest of
-        // a PUBLISHED id is crash residue — reap it so the sweep
-        // actually releases the pin (stageAppend's refusal-path rule,
-        // applied by policy); a pending stage is never touched here
-        case _: IllegalArgumentException =>
-          reapPublishedResidue(spark, table, id,
-            latestState(spark, table))
-          false
+      // a batch-shaped id at/below its prefix's high-water mark is
+      // AMBIGUOUS — published with crash residue vs a skipped ordinal
+      // (abortStage settles it by file membership, but a compaction
+      // between the crash and the sweep breaks that heuristic and
+      // would misreport live rows as aborted). Policy must not
+      // auto-decide the documented human remedy: reap unambiguous
+      // residue, leave the stage listed for an operator.
+      if (batchShaped(id).isDefined && wapPublished(txns, id)) {
+        reapPublishedResidue(spark, table, id, latestState(spark, table))
+        false
+      } else {
+        // outcome is verified by POSTCONDITION, not exception type: a
+        // swallowed throw is legitimate only if the manifest is gone
+        // (published residue reaped, or resolved mid-sweep) — any
+        // refusal that leaves the stage pending is a real failure the
+        // policy cannot classify and must surface
+        try { abortStage(spark, table, id); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            reapPublishedResidue(spark, table, id,
+              latestState(spark, table))
+            if (fc(spark).util.exists(stagedManifestPath(table, id)))
+              throw e
+            false
+        }
       }
     }
   }

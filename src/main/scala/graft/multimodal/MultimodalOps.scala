@@ -991,10 +991,6 @@ object MultimodalOps {
     }
   }
 
-  /** One m70 ingest (reusable by specs): admit `batch` (img_id, fp),
-    * verify-and-delete its near-dup losers against everything earlier,
-    * persist its fingerprint band keys. Returns the probe's (scanned,
-    * total) index file counts. */
   /** The 16-bit Hamming band keys of 64-bit fingerprints as string
     * `<band>:<slice>` rows (img_id, fp, bk) — one join column the
     * bucketed layout, stats, and blooms all work on (the d52
@@ -1011,6 +1007,12 @@ object MultimodalOps {
         concat(($"b" + 1).cast("string"), lit(":"), $"v").as("bk"))
   }
 
+  /** One m70 ingest (reusable by specs): admit `batch` (img_id, fp),
+    * verify-and-delete its near-dup losers against everything earlier,
+    * persist its fingerprint band keys (d47's judge-against-everything
+    * invariant). `cdfFirst` turns the corpus change feed on at create
+    * time (m76's subscription source). Returns the probe's (scanned,
+    * total) index file counts. */
   private[graft] def m70Ingest(spark: SparkSession, corpus: String,
       sigsT: String, batch: DataFrame, first: Boolean,
       inBatchPred: org.apache.spark.sql.Column,

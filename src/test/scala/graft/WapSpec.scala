@@ -457,6 +457,28 @@ class WapSpec extends AnyFunSuite {
       assert(TxnTable.stagedIds(spark, table).isEmpty)
       assert(TxnTable.read(spark, table).count() == n,
         "the sweep must not touch published rows")
+      // batch-shaped AMBIGUITY: policy never auto-decides it — a
+      // published ordinal's crash residue reaps without being REPORTED
+      // aborted (a compaction could have broken the membership
+      // heuristic and live rows must never read as discarded), and a
+      // SKIPPED ordinal stays listed for the operator's abortStage
+      val b0 = TxnTable.stageAppend(seg(65, 70), table,
+        stageId = Some("amb-b0"))
+      val b1 = TxnTable.stageAppend(seg(70, 75), table,
+        stageId = Some("amb-b1"))
+      val mb1 = new java.io.File(s"$table/_staged/$b1.manifest")
+      val bytes1 = java.nio.file.Files.readAllBytes(mb1.toPath)
+      TxnTable.publishStage(spark, table, b1) // b0 is now SKIPPED
+      java.nio.file.Files.write(mb1.toPath, bytes1) // b1 crash residue
+      Thread.sleep(15)
+      val reaped2 = TxnTable.abortStagesOlderThan(spark, table, 0L)
+      assert(reaped2.isEmpty, reaped2)
+      assert(!mb1.exists,
+        "published batch residue reaps without an aborted report")
+      assert(TxnTable.stagedIds(spark, table) == Seq(b0),
+        "the skipped ordinal must stay listed for the operator")
+      TxnTable.abortStage(spark, table, b0) // the documented remedy
+      assert(TxnTable.stagedIds(spark, table).isEmpty)
     }
   }
 
