@@ -1474,8 +1474,14 @@ object MultimodalOps {
     * distinct keyframe), judge it against everything earlier by the
     * shared-≥-2 + Jaccard-≥-1/2 rule, positionally delete the losers,
     * persist all batch fingerprints with the clip's set size as
-    * payload. Returns the probe's (scanned, total) index file
-    * counts. */
+    * payload. Returns the probe's (scanned, total) index file counts.
+    * DELIBERATELY mirrors m70Ingest's skeleton rather than
+    * parameterizing over it: the judges differ structurally (per-pair
+    * Hamming verify over band-key candidates vs per-pair set-Jaccard
+    * aggregation over direct fingerprint hits, with the set size
+    * riding the index rows), so a shared body would be a lambda per
+    * line — the parallel shape is kept readable instead, and the d47
+    * invariants each skeleton enforces are REQUIREd by its query. */
   private[graft] def m75Ingest(spark: SparkSession, corpus: String,
       sigsT: String, batch: DataFrame, first: Boolean,
       inBatchPred: org.apache.spark.sql.Column): (Int, Int) = {
