@@ -119,8 +119,8 @@ object Bench {
       "back at r17 levels (d52 16.00->13.94, d49 8.66->6.89, d47 " +
       "8.90->7.98) with controls flat (k123 0.99x, e51 1.01x) -> " +
       "ambient confirmed, no commit-latency regression. Soak: " +
-      "DMLFUZZ+40/WAPFUZZ+60/TAGFUZZ+60 extra seeds, all green. " +
-      "No new bench keys."
+      "DMLFUZZ+40/WAPFUZZ+60/TAGFUZZ+60, then WAPFUZZ+30 with the " +
+      "retention-sweeper arm; all green. No new bench keys."
     println(s"""{"metric":"total","spread":$spread,"samples":$samplesJson,"notes":"$notes","value":${j(total)},"unit":"sec","noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf,"queries":$qs}""")
     spark.stop()
   }

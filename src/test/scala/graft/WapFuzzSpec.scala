@@ -41,7 +41,7 @@ class WapFuzzSpec extends AnyFunSuite {
         init.toDF("k", "v").coalesce(2)
           .write.format("graft").option("statsCols", "k")
           .mode("overwrite").save(table)
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         val landed =
@@ -78,7 +78,8 @@ class WapFuzzSpec extends AnyFunSuite {
               assert(TxnTable.read(spark, table)
                 .filter($"k" >= base && $"k" < base + 4L).count() == 0L)
               Thread.sleep(rnd.nextInt(25).toLong)
-              rnd.nextInt(3) match {
+              var second: Option[String] = None
+              try rnd.nextInt(3) match {
                 case 0 => // single publish
                   TxnTable.publishStage(spark, table, id)
                   rows.foreach(landed.add)
@@ -89,12 +90,44 @@ class WapFuzzSpec extends AnyFunSuite {
                   val id2 = TxnTable.stageAppend(rows2.toDF("k", "v"),
                     table, statsCols = Seq("k"),
                     stageId = sid.map(_ => s"fz${seed}q$tid-b${2 * i + 1}"))
+                  second = Some(id2)
                   TxnTable.publishStages(spark, table, Seq(id, id2))
                   rows.foreach(landed.add); rows2.foreach(landed.add)
                 case _ =>
                   TxnTable.abortStage(spark, table, id)
+              } catch {
+                // a MISCONFIGURED retention sweep (threshold below the
+                // audit latency — the documented retainMs-≥-latency
+                // rule violated) may eat an in-flight stage: the
+                // resolve throws, and the ledger must show NONE of its
+                // rows — exactly-once degrades to exactly-zero, never
+                // to a partial batch. Best-effort abort releases the
+                // pair's surviving member
+                case _: IllegalStateException | _: IllegalArgumentException =>
+                  (Seq(id) ++ second).foreach { s =>
+                    try TxnTable.abortStage(spark, table, s)
+                    catch {
+                      case scala.util.control.NonFatal(_) => ()
+                    }
+                  }
               }
             }
+          }
+        }
+        // an ABANDONED audit: staged once, never resolved — the
+        // retention sweep (raced below) must be what reaps it
+        val abandoned = TxnTable.stageAppend(
+          Seq((77777777L, 77777777L)).toDF("k", "v"), table,
+          stageId = Some(s"fz${seed}abandoned"))
+        val sweeper = Future {
+          val rnd = new scala.util.Random(seed * 100 + 11)
+          (0 until 4).foreach { _ =>
+            Thread.sleep(60L + rnd.nextInt(40).toLong)
+            // threshold far below the stagers' audit latency envelope:
+            // most passes reap nothing, a stalled run exercises the
+            // eaten-audit path the stagers tolerate above
+            TxnTable.abortStagesOlderThan(spark, table, 200L)
+            ()
           }
         }
         val optimizer = Future {
@@ -136,9 +169,24 @@ class WapFuzzSpec extends AnyFunSuite {
             Thread.sleep(rnd.nextInt(25).toLong)
           }
         }
-        (appenders ++ stagers :+ optimizer :+ vacuumer :+ tagger)
+        (appenders ++ stagers :+ optimizer :+ vacuumer :+ tagger
+            :+ sweeper)
           .foreach(Await.result(_, 120.seconds))
         pool.shutdown()
+        // the abandoned audit ages past the threshold for certain now;
+        // some sweep — mid-run or this deterministic final one — must
+        // have reaped it (and its row must never reach the ledger)
+        Thread.sleep(210L)
+        TxnTable.abortStagesOlderThan(spark, table, 200L)
+        assert(!TxnTable.stagedIds(spark, table).contains(abandoned),
+          s"seed $seed: the abandoned stage survived the sweep")
+        // ambiguous batch-shaped leftovers (a skipped ordinal whose
+        // pair publish was eaten by the sweep) are policy-exempt by
+        // design — they take the documented operator remedy
+        TxnTable.stagedIds(spark, table).foreach { sid =>
+          try TxnTable.abortStage(spark, table, sid)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         // clean exit: nothing staged survives the run
         assert(TxnTable.stagedIds(spark, table).isEmpty,
           s"seed $seed left staged manifests behind")
