@@ -185,6 +185,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+PUBLISH\s+STAGE\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*;?\s*""".r
   private val AlterAbortStageStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ABORT\s+STAGE\s+('[^']+'|"[^"]+"|[\w.\-]+)\s*;?\s*""".r
+  // the stage-retention policy's SQL spelling (VACUUM's RETAIN shape
+  // applied to audits): ALTER TABLE t ABORT STAGES OLDER THAN n HOURS
+  private val AlterAbortStaleStagesStmt =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+ABORT\s+STAGES\s+OLDER\s+THAN\s+(\d+)\s+(HOURS?|MINUTES?|SECONDS?)\s*;?\s*""".r
   private val AlterSetPartStmt =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|"[^"]+"|[\w.`/\-]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*?)\)\s*;?\s*""".r
   private val AlterUnpartStmt =
@@ -347,6 +351,10 @@ object GraftSqlParser {
       case AlterPublishStageStmt(target, id) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "publish-stage",
           Seq(unquoteAny(id))))
+      case AlterAbortStaleStagesStmt(target, n, unit)
+          if graftTarget(target) =>
+        Some(GraftAlterCommand(target, "abort-stale-stages",
+          Seq(n, unit.toUpperCase)))
       case AlterAbortStageStmt(target, id) if graftTarget(target) =>
         Some(GraftAlterCommand(target, "abort-stage", Seq(unquoteAny(id))))
       case AlterSetPartStmt(target, entries) if graftTarget(target) =>
@@ -667,6 +675,14 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             TxnTable.publishStage(spark, table, args.head)
           case "abort-stage" =>
             TxnTable.abortStage(spark, table, args.head)
+          case "abort-stale-stages" =>
+            val unitMs =
+              if (args(1).startsWith("HOUR")) 3600000L
+              else if (args(1).startsWith("MINUTE")) 60000L
+              else 1000L
+            TxnTable.abortStagesOlderThan(spark, table,
+              args(0).toLong * unitMs)
+            ()
           case "set-props" =>
             TxnTable.setProperties(spark, table,
               args.grouped(2).map(p => p(0) -> p(1)).toMap)

@@ -479,6 +479,17 @@ class WapSpec extends AnyFunSuite {
         "the skipped ordinal must stay listed for the operator")
       TxnTable.abortStage(spark, table, b0) // the documented remedy
       assert(TxnTable.stagedIds(spark, table).isEmpty)
+      // SQL parity: the policy's ALTER TABLE spelling (VACUUM's
+      // RETAIN shape applied to audits)
+      val d = TxnTable.stageAppend(seg(75, 78), table,
+        stageId = Some("stale-d"))
+      assert(TxnTable.stagedIds(spark, table) == Seq(d))
+      Thread.sleep(15)
+      spark.sql(
+        s"ALTER TABLE '$table' ABORT STAGES OLDER THAN 0 SECONDS")
+        .collect()
+      assert(TxnTable.stagedIds(spark, table).isEmpty,
+        "the SQL sweep spelling must reap the stale stage")
     }
   }
 
