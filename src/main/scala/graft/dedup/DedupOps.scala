@@ -900,7 +900,25 @@ object DedupOps {
     * k138 machinery — zero Exchanges on either side at any batch size).
     * The zero-ShuffleExchange contract is REQUIREd on the executed
     * plan. Returns (checkpointed `out` columns, (scanned files, total
-    * files)) — the caller asserts pruning where its batch is small. */
+    * files)) — the caller asserts pruning where its batch is small.
+    *
+    * CONCURRENCY CONTRACT: probe-then-commit is NOT atomic — two
+    * concurrent ingests each probe the pre-race snapshot, so neither
+    * sees the other's signatures and both sides of a cross-batch dup
+    * pair would admit. The manifest CAS cannot catch this (the racing
+    * files are disjoint; the conflict is semantic). The supported
+    * recovery is RE-PROBE ON CAS LOSS, implemented in [[d47Ingest]]:
+    * pin the probed version, land the signature append via
+    * `TxnTable.commitAppend` (which returns the landed version), and
+    * re-judge the batch against exactly the foreign appends in
+    * (probed, landed) — the final state then equals the serial replay
+    * in landed order (machine-checked by IngestFuzzSpec). One caveat:
+    * the recovery covers broadcast-sized batches; the big-batch SPJ
+    * branch flips SESSION confs and writes a fixed-name scratch table,
+    * so SPJ-sized ingests keep a single-writer-per-index requirement.
+    * Ingests that have not adopted the re-probe (d49/d50/d51/d52,
+    * m70/m74/m75, t56, e59 — same probe-then-commit shape) assume a
+    * single writer per index table. */
   // private[graft] (not private): the conf-restore failure-injection
   // spec drives the SPJ branch into a thrown AnalysisException directly
   private[graft] def probePersisted(spark: SparkSession, persisted: String,
@@ -1058,6 +1076,14 @@ object DedupOps {
     // the persisted signatures (all strictly earlier ids) — the shared
     // probePersisted contract: broadcast or SPJ, zero shuffles of the
     // persisted side, literal-key scan pruning for small batches
+    // CONCURRENT-INGEST RECOVERY, part 1: pin the signature version
+    // this probe judges against BEFORE probing. The probe may read a
+    // NEWER snapshot (a foreign append landing in between) — that only
+    // widens the re-probe window below into overlap, and the recovery
+    // is idempotent there (re-discovered losers are already deleted).
+    val vProbe: Long =
+      if (first) -1L
+      else graft.io.TxnTable.latestVersion(spark, sigs).get
     val (cross, pruneCounts) =
       if (first) (spark.emptyDataset[Long].toDF("doc_id"), (0, 0))
       else {
@@ -1102,14 +1128,52 @@ object DedupOps {
     // bucket(16, h) (sticky across appends) + per-file (b,h) stats
     // and h blooms give later increments a PRUNABLE probe target,
     // and optimizedWrite keeps it one file per bucket per ingest
-    val sw = sig.write.format("graft")
-      .option("statsCols", "b,h").option("bloomCols", "h")
-      .option("optimizedWrite", "true")
-    (if (first) sw.option("partitionBy", "bucket(16, h)").mode("overwrite")
-     else sw.mode("append")).save(sigs)
-    lap("sig_append")
+    if (first)
+      sig.write.format("graft")
+        .option("statsCols", "b,h").option("bloomCols", "h")
+        .option("optimizedWrite", "true")
+        .option("partitionBy", "bucket(16, h)").mode("overwrite").save(sigs)
+    else {
+      // commitAppend (same code path as the writer; sticky bucket(16,h)
+      // carries from the snapshot) RETURNS the landed version — this
+      // ingest's place in the serialization order the manifest CAS
+      // established across concurrent writers
+      val vLanded = TxnTable.commitAppend(sig, sigs,
+        statsCols = Seq("b", "h"), bloomCols = Seq("h"),
+        optimizedWrite = true)
+      lap("sig_append")
+      // CONCURRENT-INGEST RECOVERY, part 2 (re-probe on CAS loss):
+      // foreign signature appends in (vProbe, vLanded) landed after
+      // this ingest's probe read but BEFORE its own signatures — in
+      // the serial order the CAS defines, those batches came first,
+      // so this batch's docs sharing a band key with them are losers
+      // the stale probe missed. Re-judge ONLY against that window
+      // (batch-bounded: a few foreign ingests' signatures, broadcast)
+      // and positionally delete the late losers. One pass suffices:
+      // any writer landing after vLanded sees THESE signatures in ITS
+      // window, so cross-batch pairs always resolve on exactly one
+      // side — the later-landed one — and the final state equals the
+      // serial replay in landed order (IngestFuzzSpec REQUIREs this).
+      if (vLanded > vProbe + 1) {
+        reprobeWindows.incrementAndGet()
+        val foreign = TxnTable
+          .readChangesBetween(spark, sigs, vProbe, vLanded - 1)
+        val late = sig
+          .join(broadcast(foreign.select($"b", $"h").distinct()),
+            Seq("b", "h"), "left_semi")
+          .select($"doc_id").distinct().localCheckpoint()
+        if (late.limit(1).count() > 0)
+          TxnTable.deleteFromPos(spark, corpus, late, Seq("doc_id"))
+        lap("reprobe")
+      }
+    }
     pruneCounts
   }
+
+  /** Diagnostic (test vacuity guard): how many d47 ingests found a
+    * non-empty foreign window and ran the re-probe recovery. */
+  private[graft] val reprobeWindows =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---------------------------------------------------------------- d48
   /** EXACT DUPLICATE-SPAN removal with SLIDING k-gram windows — the

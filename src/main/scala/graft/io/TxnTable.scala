@@ -3201,12 +3201,25 @@ object TxnTable {
     val txns = stOpt.map(_.txns).getOrElse(Map.empty)
     if (wapPublished(txns, id) &&
         fc(spark).util.exists(stagedManifestPath(table, id))) {
-      val residue = txns.contains(wapMarker(id)) || {
-        val files = stagedLines(spark, table, id)
-          .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
-        files.nonEmpty &&
-          stOpt.exists(st => files.forall(st.files.toSet.contains))
-      }
+      // the exists() above is a snapshot: a concurrent resolver (a
+      // publish replay heal, another abortStage, a racing sweep) may
+      // delete the manifest before the read below — that is the stage
+      // RESOLVING, not a failure; rethrow only if the manifest is
+      // still on disk (same existence-gated rethrow stagedSummaries
+      // uses)
+      val residue = txns.contains(wapMarker(id)) ||
+        (scala.util.Try {
+          val files = stagedLines(spark, table, id)
+            .filterNot(_.startsWith("#")).map(parseFileLine(_)._1)
+          files.nonEmpty &&
+            stOpt.exists(st => files.forall(st.files.toSet.contains))
+        } match {
+          case scala.util.Success(r) => r
+          case scala.util.Failure(e) =>
+            if (fc(spark).util.exists(stagedManifestPath(table, id)))
+              throw e
+            false // resolved between the exists() and the read
+        })
       if (residue) fc(spark).delete(stagedManifestPath(table, id), false)
     }
   }
@@ -3227,7 +3240,13 @@ object TxnTable {
                            olderThanMs: Long): Seq[String] = {
     require(olderThanMs >= 0L, "olderThanMs must be non-negative")
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val txns = latestState(spark, table).map(_.txns).getOrElse(Map.empty)
+    // ONE snapshot judges the whole sweep: publish markers and file
+    // membership for every stage come from the same state, so the
+    // sweep is O(1) manifest reads rather than O(stages). Only the
+    // rare failure branch refreshes — a mid-sweep resolution must be
+    // judged against the CURRENT books before deciding to rethrow.
+    val st0 = latestState(spark, table)
+    val txns = st0.map(_.txns).getOrElse(Map.empty)
     stagedSummaries(spark, table).collect {
       case (id, _, _, _, Some(at)) if at < cutoff => id
     }.filter { id =>
@@ -3239,7 +3258,7 @@ object TxnTable {
       // auto-decide the documented human remedy: reap unambiguous
       // residue, leave the stage listed for an operator.
       if (batchShaped(id).isDefined && wapPublished(txns, id)) {
-        reapPublishedResidue(spark, table, id, latestState(spark, table))
+        reapPublishedResidue(spark, table, id, st0)
         false
       } else {
         // outcome is verified by POSTCONDITION, not exception type: a
@@ -5456,6 +5475,34 @@ object TxnTable {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), latest)
     val lst = stateOf(spark, table, latest)
     (planFiles(spark, table, schema, newFiles, lst.pathpart, lst.aliases, retired = lst.retired, addv = lst.addv), latest)
+  }
+
+  /** [[readChanges]] bounded at BOTH ends: the rows of the files added
+    * in `(sinceVersion, untilVersion]` of append-only history, planned
+    * against `untilVersion`'s state. This is the CONCURRENT-INGEST
+    * re-probe window: a writer whose signature append landed at
+    * version v re-judges its own batch against exactly the FOREIGN
+    * appends in (probedVersion, v) — commits its probe could not have
+    * seen but that precede it in the serialization order the manifest
+    * CAS established (see DedupOps.d47Ingest). Throws like
+    * [[readChanges]] if the window removed files: a non-append commit
+    * in a re-probe window means the protocol's append-only assumption
+    * broke and silent misreading would corrupt the recovery. */
+  def readChangesBetween(spark: SparkSession, table: String,
+                         sinceVersion: Long, untilVersion: Long): DataFrame = {
+    require(sinceVersion >= 0 && sinceVersion <= untilVersion,
+      s"window [$sinceVersion, $untilVersion] is not a valid version range")
+    val schema = snapshotSchema(spark, table, untilVersion).getOrElse(
+      throw new IllegalStateException(
+        s"$table's manifest at $untilVersion predates the schema log"))
+    def empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    if (sinceVersion == untilVersion) return empty
+    val fs = changedFiles(spark, table, sinceVersion, untilVersion)
+    if (fs.isEmpty) return empty
+    val st = stateOf(spark, table, untilVersion)
+    planFiles(spark, table, schema, fs, st.pathpart, st.aliases,
+      retired = st.retired, addv = st.addv)
   }
 
   /** Files added between two snapshots of append-only history — the

@@ -1309,13 +1309,18 @@ object MultimodalOps {
         first = false, col("img_id") % 2 === 1)
       val result = spark.read.format("graft").load(corpus)
         .select($"img_id".as("clip_id"), $"fp").orderBy($"clip_id")
-      val rows = result.collect()
-      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+      // membership REQUIREs as DISTRIBUTED semi-join counts, before
+      // the collect — the collect below only materializes the small
+      // returned frame (it must outlive the deleted temp zone)
+      val tdK = takedownDf.select($"img_id".as("clip_id"))
+      require(result.join(tdK, Seq("clip_id"), "left_semi").count() == 0,
         "a taken-down clip surfaced in the corpus")
-      require(rows.exists(r =>
-        r.getLong(0) % 2L == 1L && takedown.contains(r.getLong(0) - 1L)),
+      require(result.filter($"clip_id" % 2 === 1)
+          .join(tdK.select(($"clip_id" + 1).as("clip_id")),
+            Seq("clip_id"), "left_semi").count() > 0,
         "an orphaned variant (base taken down) must be RE-ADMITTED — " +
           "the index must not keep suppressing lawful copies")
+      val rows = result.collect()
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
@@ -1456,13 +1461,16 @@ object MultimodalOps {
         first = false, col("clip_id") % 2 === 1)
       val result = spark.read.format("graft").load(corpus)
         .select($"clip_id", $"n").orderBy($"clip_id")
-      val rows = result.collect()
-      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+      // distributed membership REQUIREs before the collect (see m74)
+      val tdK = takedownDf.select($"clip_id")
+      require(result.join(tdK, Seq("clip_id"), "left_semi").count() == 0,
         "a taken-down clip surfaced in the corpus")
-      require(rows.exists(r =>
-        r.getLong(0) % 2L == 1L && takedown.contains(r.getLong(0) - 1L)),
+      require(result.filter($"clip_id" % 2 === 1)
+          .join(tdK.select(($"clip_id" + 1).as("clip_id")),
+            Seq("clip_id"), "left_semi").count() > 0,
         "an orphaned variant (base taken down) must be RE-ADMITTED — " +
           "the index must not keep suppressing lawful copies")
+      val rows = result.collect()
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
@@ -1649,7 +1657,11 @@ object MultimodalOps {
         .select($"bk", $"pid", $"pfp")
       val live = spark.read.format("graft").load(sigsT)
         .select($"bk", $"pid", $"pfp")
-      require(live.except(expected).isEmpty &&
+      // except has SET semantics — the count gate makes the equality
+      // multiset-exact (a double-applied append would pass except but
+      // fail the count)
+      require(live.count() == expected.count() &&
+        live.except(expected).isEmpty &&
         expected.except(live).isEmpty,
         "the subscribed index diverged from the explicit-delete state")
       // a later near-dup of a taken-down image must RE-ADMIT
@@ -1657,12 +1669,15 @@ object MultimodalOps {
         first = false, col("img_id") % 2 === 1)
       val result = spark.read.format("graft").load(corpus)
         .select($"img_id", $"fp").orderBy($"img_id")
-      val rows = result.collect()
-      require(rows.forall(r => !takedown.contains(r.getLong(0))),
+      // distributed membership REQUIREs before the collect (see m74)
+      val tdK = takedownDf.select($"img_id")
+      require(result.join(tdK, Seq("img_id"), "left_semi").count() == 0,
         "a taken-down image surfaced in the corpus")
-      require(rows.exists(r =>
-        r.getLong(0) % 2L == 1L && takedown.contains(r.getLong(0) - 1L)),
+      require(result.filter($"img_id" % 2 === 1)
+          .join(tdK.select(($"img_id" + 1).as("img_id")),
+            Seq("img_id"), "left_semi").count() > 0,
         "an orphaned variant (base taken down) must be RE-ADMITTED")
+      val rows = result.collect()
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
     } finally {

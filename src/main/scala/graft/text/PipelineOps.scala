@@ -461,14 +461,18 @@ object PipelineOps {
       val surv = spark.read.format("graft").load(corpus)
       val liveP = spark.read.format("graft").load(postings)
         .select($"term", $"doc_id", $"tf")
-      require(liveP.except(postingsOf(surv)).isEmpty &&
-        postingsOf(surv).except(liveP).isEmpty,
+      // count gates make the except equalities multiset-exact (except
+      // has set semantics; a double-applied append would slip through)
+      val wantP = postingsOf(surv)
+      require(liveP.count() == wantP.count() &&
+        liveP.except(wantP).isEmpty && wantP.except(liveP).isEmpty,
         "the subscribed postings index diverged from the explicit-" +
           "delete state")
       val liveV = spark.read.format("graft").load(ivf)
         .select($"vec_id", $"cell")
       val wantV = assignedOf(surv).select($"vec_id", $"cell")
-      require(liveV.except(wantV).isEmpty && wantV.except(liveV).isEmpty,
+      require(liveV.count() == wantV.count() &&
+        liveV.except(wantV).isEmpty && wantV.except(liveV).isEmpty,
         "the subscribed IVF index diverged from the explicit-delete state")
       // serve: both probes through the maintained indexes, pruned
       val (lex, (ls, lt)) = graft.text.Text2Ops.lexCountRank(

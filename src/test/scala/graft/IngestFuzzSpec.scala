@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import graft.io.TxnTable
+
+/** Randomized CONCURRENT-INGEST fuzz over the d47 incremental-dedup
+  * protocol: N threads each run one full d47Ingest (corpus append →
+  * signature probe → loser delete → signature append → re-probe) at
+  * the same corpus/signature pair with no coordination beyond a start
+  * barrier. This is the one concurrency hazard the DML fuzz family
+  * cannot cover: the probe-then-commit window is SEMANTIC — the racing
+  * writers' files are disjoint, so the manifest CAS happily
+  * interleaves the commits, yet each probe judged a snapshot missing
+  * the other batch's signatures, and without recovery both sides of a
+  * cross-batch dup pair admit.
+  *
+  * The serializability oracle, in the DmlFuzz discipline: the
+  * signature table's manifest CAS linearizes the ingests — the version
+  * at which each batch's signature append landed IS its place in the
+  * serial order. The checker recovers that order from the signature
+  * history (each append version's file delta carries exactly one
+  * batch's doc ids), replays the SAME batches serially in that order
+  * through the SAME d47Ingest on twin tables, and REQUIREs the raced
+  * corpus and signature states equal the twins' — "final state equals
+  * SOME serial order of the batches", with the CAS pinning which one.
+  *
+  * Dup engineering: every doc draws its text from a small seeded pool
+  * of content classes (identical text ⇒ identical minhash bands), so
+  * cross-batch dup pairs exist by construction and the stale-probe
+  * hazard is live in every scenario. A vacuity guard REQUIREs the
+  * re-probe recovery actually fired (DedupOps.reprobeWindows advanced)
+  * — the race was observed, not merely survived.
+  *
+  * Contract under test: probePersisted's "re-probe on CAS loss"
+  * (dedup/DedupOps.scala) — d47Ingest pins the version its probe
+  * judged, lands its signature append via commitAppend (which returns
+  * the landed version), and re-judges its batch against exactly the
+  * foreign appends in (probed, landed), positionally deleting the
+  * late losers. */
+class IngestFuzzSpec extends AnyFunSuite {
+  private lazy val spark = Spec.spark
+  import spark.implicits._
+
+  // content classes: distinct word streams so different classes never
+  // share a minhash band, long enough (>= 10 tokens) for 3-gram
+  // shingles; identical within a class by construction
+  private def classText(c: Int): String =
+    (0 until 16).map(w => s"class$c word${(c * 31 + w * 7) % 97} tok$w")
+      .mkString(" ")
+
+  private def batchDf(batch: Int, docs: Seq[(Long, Int)]) = {
+    val rows = docs.map { case (id, cls) =>
+      (batch * 1000L + id, classText(cls))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def batchPred(batch: Int) = {
+    val lo = batch * 1000L
+    col("doc_id") >= lo && col("doc_id") < lo + 1000L
+  }
+
+  private def snap(table: String, cols: Seq[String]): Seq[Seq[String]] =
+    spark.read.format("graft").load(table)
+      .select(cols.map(col): _*)
+      .collect().map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+      .toSeq.sortBy(_.mkString("|"))
+
+  test("racing d47 ingests equal the serial replay in signature-" +
+      "landed order (seeded)") {
+    val racers = 3
+    val docsPerBatch = 12
+    val classes = 8 // < racers × docsPerBatch ⇒ dups guaranteed
+    // dev knob: GRAFT_INGESTFUZZ_EXTRA widens the sweep for bug hunts
+    val scenarios = 4 + sys.env.get("GRAFT_INGESTFUZZ_EXTRA")
+      .map(_.toInt).getOrElse(0)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(racers))
+    val windowsBefore = graft.dedup.DedupOps.reprobeWindows.get()
+    (1 to scenarios).foreach { seed =>
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_ingestfuzz").toFile
+      try {
+        val rnd = new scala.util.Random(seed)
+        // batch 0 seeds the tables serially (first = true); batches
+        // 1..racers race. Class assignment is seeded-random, so every
+        // scenario carries a different cross-batch dup topology.
+        val batches = (0 to racers).map { b =>
+          b -> (0 until docsPerBatch)
+            .map(i => (i.toLong, rnd.nextInt(classes)))
+        }.toMap
+        val corpus = s"${root.getAbsolutePath}/corpus"
+        val sigs = s"${root.getAbsolutePath}/sigs"
+        graft.dedup.DedupOps.d47Ingest(spark, corpus, sigs,
+          batchDf(0, batches(0)), first = true, batchPred(0))
+        val vSeed = TxnTable.latestVersion(spark, sigs).get
+        // start barrier: all racers probe the SAME pre-race snapshot,
+        // maximizing the stale-probe overlap the spec exists to pin
+        val gate = new java.util.concurrent.CountDownLatch(racers)
+        val futures = (1 to racers).map { b =>
+          Future {
+            // each racer gets its own session (per-session SQL conf),
+            // the shape of independent ingest jobs sharing one cluster
+            val s = spark.newSession()
+            gate.countDown(); gate.await()
+            graft.dedup.DedupOps.d47Ingest(s, corpus, sigs,
+              batchDf(b, batches(b)), first = false, batchPred(b))
+          }
+        }
+        Await.result(Future.sequence(futures), 10.minutes)
+        // recover the serialization order the signature CAS
+        // established: each post-seed version's file delta carries
+        // exactly one batch's signatures
+        val vLast = TxnTable.latestVersion(spark, sigs).get
+        val landedOrder = (vSeed + 1 to vLast).map { v =>
+          val ids = TxnTable.readChangesBetween(spark, sigs, v - 1, v)
+            .select($"doc_id").distinct().as[Long].collect()
+          assert(ids.nonEmpty, s"seed $seed: empty sig commit at $v")
+          val bs = ids.map(id => (id / 1000L).toInt).distinct
+          assert(bs.length == 1,
+            s"seed $seed: sig version $v mixes batches ${bs.toSeq}")
+          bs.head
+        }
+        assert(landedOrder.sorted == (1 to racers),
+          s"seed $seed: landed order $landedOrder is not a " +
+            "permutation of the racers")
+        // serial replay of the SAME batches in landed order on twins
+        val corpus2 = s"${root.getAbsolutePath}/corpus2"
+        val sigs2 = s"${root.getAbsolutePath}/sigs2"
+        graft.dedup.DedupOps.d47Ingest(spark, corpus2, sigs2,
+          batchDf(0, batches(0)), first = true, batchPred(0))
+        landedOrder.foreach { b =>
+          graft.dedup.DedupOps.d47Ingest(spark, corpus2, sigs2,
+            batchDf(b, batches(b)), first = false, batchPred(b))
+        }
+        val gotC = snap(corpus, Seq("doc_id", "text"))
+        val wantC = snap(corpus2, Seq("doc_id", "text"))
+        assert(gotC == wantC,
+          s"seed $seed (landed $landedOrder): raced corpus != serial " +
+            s"replay — got ${gotC.size} rows " +
+            s"[${gotC.map(_.head).mkString(",")}], want ${wantC.size} " +
+            s"[${wantC.map(_.head).mkString(",")}]")
+        val gotS = snap(sigs, Seq("doc_id", "b", "h"))
+        val wantS = snap(sigs2, Seq("doc_id", "b", "h"))
+        assert(gotS == wantS,
+          s"seed $seed: raced signature state != serial replay " +
+            s"(${gotS.size} vs ${wantS.size} rows)")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+    }
+    // vacuity guard: the recovery path must have RUN — a fuzz whose
+    // racers never overlapped would pass the equality trivially
+    assert(graft.dedup.DedupOps.reprobeWindows.get() > windowsBefore,
+      "no racer ever observed a foreign window — the race never " +
+        "happened and the spec checked nothing")
+  }
+}

@@ -78,7 +78,10 @@ class TakedownJanitorSpec extends AnyFunSuite {
       .select(cols.map(col): _*)
     val r = spark.read.format("graft").load(b)
       .select(cols.map(col): _*)
-    l.except(r).isEmpty && r.except(l).isEmpty
+    // count gate: except has set semantics, the count makes the
+    // equality multiset-exact (a double-applied append must fail)
+    l.count() == r.count() &&
+      l.except(r).isEmpty && r.except(l).isEmpty
   }
 
   test("a crash between the corpus delete and the index deletes " +
