@@ -4214,6 +4214,32 @@ object TxnTable {
     })
   }
 
+  /** [[deleteFromPos]] EXACTLY-ONCE per (appId, batchId) — the
+    * tombstone-drain primitive. The txn marker commits ATOMICALLY with
+    * the deletion vector (the streaming-sink idempotence pattern
+    * applied to erasure), so a crash-replayed batch is recognized by
+    * the MARKER, not by re-matching: without it, a replay arriving
+    * after matching rows were lawfully RE-ADMITTED would re-match and
+    * erase them. For the same reason a batch that matches nothing
+    * still commits a marker-only version — the batch is on the books
+    * either way. A subscribed index drains a takedown feed in
+    * foreachBatch with its own appId per leg (PipelineOps p94); each
+    * leg is individually replay-safe, so a crash between legs heals on
+    * restart without double-applying the completed ones. */
+  def deleteFromPosIdempotent(spark: SparkSession, table: String,
+                              keys: DataFrame, keyCols: Seq[String],
+                              appId: String, batchId: Long): Long = {
+    require(keyCols.nonEmpty, "deleteFromPos needs at least one key column")
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"key column '$c' is not a column of the keys frame"))
+    val k = keys.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+    deletePosCore(spark, table, { snap =>
+      keyCols.foreach(c => require(snap.columns.contains(c),
+        s"key column '$c' is not a column of $table"))
+      snap.join(k, keyCols, "left_semi")
+    }, txn = Some((appId, batchId)))
+  }
+
   /** POSITIONAL (deletion-vector) UPDATE: one commit appends the
     * updated rows and records a positional delete of the originals by
     * exact (file, row ordinal) coordinates — [[upsertMoR]]'s economics
@@ -4382,13 +4408,24 @@ object TxnTable {
   private def deletePosCore(spark: SparkSession, table: String,
                             compute: DataFrame => DataFrame,
                             positionsOnly: Option[DataFrame] = None,
-                            requirePresent: Boolean = true)
+                            requirePresent: Boolean = true,
+                            txn: Option[(String, Long)] = None)
       : Long = {
     val ctx = fc(spark)
+    // exactly-once per (appId, batchId): the marker commits ATOMICALLY
+    // with the deletion vector, and a replayed batch is recognized by
+    // the marker — NOT by re-matching, which would wrongly erase rows
+    // admitted after the original application
+    def appliedIn(s: State): Boolean = txn.exists { case (a, b) =>
+      s.txns.get(a).exists(_ >= b) }
+    def txnsOf(s: State): Map[String, Long] =
+      s.txns ++ txn.map { case (a, b) =>
+        a -> math.max(b, s.txns.getOrElse(a, Long.MinValue)) }
     var attempt = 0
     while (attempt < 16) {
       val st = latestState(spark, table).getOrElse(
         throw new IllegalStateException(s"no committed version in $table"))
+      if (appliedIn(st)) return st.version
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"$table predates the schema log"))
       // CDF off + caller-supplied coordinates: pure-metadata commit, no
@@ -4451,9 +4488,47 @@ object TxnTable {
       val side = spark.read.schema(PosDelSchema)
         .parquet(delFiles.map(f => s"$table/$f"): _*)
       val n = side.count()
-      if (n == 0L) { // nothing matched: provable no-op
+      if (n == 0L) { // nothing matched
         ctx.delete(new Path(s"$table/$dataDir"), true)
-        return st.version
+        if (txn.isEmpty) return st.version // provable no-op
+        // EXACTLY-ONCE consumers record the batch even when it matched
+        // nothing: without the marker, a crash-replay arriving AFTER a
+        // later admission of matching rows would re-match and wrongly
+        // erase them — the marker-only commit closes that window
+        var base = st
+        var tries = 0
+        while (tries < 32) {
+          if (appliedIn(base)) return base.version
+          val next = base.version + 1L
+          val sch = base.schema.getOrElse(schema)
+          val content =
+            if (next % checkpointInterval(spark) == 0)
+              manifestContent(sch, txnsOf(base), base.stats, base.files,
+                base.blooms, base.rows, base.partCols, op = "txn-marker",
+                cdf = base.cdf, mor = base.mor, dels = base.dels,
+                addv = base.addv, checks = base.checks, props = base.props,
+                retired = base.retired, pathpart = base.pathpart,
+                aliases = base.aliases)
+            else deltaContent(sch, txnsOf(base),
+              Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
+              base = base.version, partCols = base.partCols,
+              op = "txn-marker", cdf = base.cdf, mor = base.mor,
+              checks = base.checks, props = base.props,
+              retired = base.retired, pathpart = base.pathpart,
+              aliases = base.aliases)
+          if (tryCreateAtomic(ctx, new Path(table, manifestName(next)),
+              content)) {
+            writePointer(ctx, table, next)
+            return next
+          }
+          tries += 1
+          backoff(tries)
+          base = latestState(spark, table).getOrElse(
+            throw new IllegalStateException(
+              s"$table lost its manifests mid-commit"))
+        }
+        throw new IllegalStateException(
+          s"marker-only commit on $table lost the snapshot race 32 times")
       }
       // the files the vector names, read back from the kilobyte-scale
       // sidecar: (a) the strict staleness gate for metadata-only
@@ -4499,13 +4574,13 @@ object TxnTable {
         val next = base.version + 1L
         val content =
           if (next % checkpointInterval(spark) == 0)
-            manifestContent(schema, base.txns, base.stats, base.files,
+            manifestContent(schema, txnsOf(base), base.stats, base.files,
               base.blooms, base.rows, base.partCols, op = "delete",
               cdf = base.cdf, cdcAdd = cdcAdd,
               mor = true, dels = base.dels ++ dels, addv = base.addv,
               checks = base.checks, props = base.props, retired = base.retired,
               pathpart = base.pathpart, aliases = base.aliases)
-          else deltaContent(schema, base.txns,
+          else deltaContent(schema, txnsOf(base),
             Map.empty[String, Seq[FileStat]], removed = Nil, added = Nil,
             base = base.version, partCols = base.partCols, op = "delete",
             cdf = base.cdf, cdcAdd = cdcAdd, mor = true, newDels = dels,
@@ -4520,6 +4595,13 @@ object TxnTable {
         backoff(tries)
         val fresh = latestState(spark, table).getOrElse(
           throw new IllegalStateException(s"$table lost its manifests mid-commit"))
+        // a concurrent replica applied the SAME (appId, batchId): its
+        // commit carries this batch's effect — applying ours on top
+        // would double-delete; drop the attempt and report success
+        if (appliedIn(fresh)) {
+          ctx.delete(new Path(s"$table/$dataDir"), true)
+          return fresh.version
+        }
         // interleaved appends: exempt via the gate; interleaved deletes
         // of either flavor: both sets apply. Removed files or a schema
         // change invalidate the recorded coordinates — recompute.

@@ -1605,7 +1605,14 @@ object MultimodalOps {
     * consumes the feed in takedown windows — the takedown driver
     * publishes its (since, until] commit window (equivalently: a
     * production deployment routes takedowns through a tombstone
-    * stream the indexes subscribe to; dedup deletes never enter it).
+    * stream the indexes subscribe to; dedup deletes never enter it —
+    * that stream EXISTS as of p94 (`text/PipelineOps.scala`): a typed
+    * takedown-feed table drained exactly-once per leg via
+    * `TxnTable.deleteFromPosIdempotent`. This query keeps the
+    * window-drain spelling deliberately: it pins that a bare corpus
+    * CDF subscription is still SOUND when a deployment scopes it to
+    * takedown windows, and its final state hash-gates the machinery
+    * against m73's closed-form oracle).
     * REQUIREd: the drained erasure is a deletion vector (zero index
     * rewrites), the live index EQUALS the explicit-delete state
     * (band keys of every batch-1 fingerprint minus the taken-down

@@ -533,9 +533,435 @@ object PipelineOps {
        |SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p94
+  /** THE TOMBSTONE TAKEDOWN STREAM — the production topology m76's
+    * discrimination contract names, made real. m76 drained the corpus
+    * change feed in takedown WINDOWS because row-level change types
+    * cannot tell a takedown delete from a dedup-loser delete (whose
+    * signatures must PERSIST — the d47 invariant). Here takedowns get
+    * their own typed, append-only feed table (kind, item_id): writers
+    * append tombstones there and ONLY there; dedup-loser deletes never
+    * enter it, so every subscriber consumes the full tail with no
+    * window bookkeeping — one topology for text, vectors, AND media,
+    * retiring the p93(window-free but corpus-CDF)/m76(windowed) split.
+    *
+    * ONE tombstone append; NINE tables erase themselves — the five
+    * maintained index families (postings, IVF, image/audio/video
+    * fingerprint indexes) plus their four corpora — each as a leg of a
+    * checkpointed AvailableNow foreachBatch drain using
+    * `deleteFromPosIdempotent` with a per-leg appId: the txn marker
+    * commits ATOMICALLY with each deletion vector, so a crash between
+    * legs heals on restart without double-applying completed legs, and
+    * a replayed batch arriving after a lawful RE-ADMISSION is marker-
+    * skipped instead of re-matched (REQUIREd below by restoring a
+    * tombstoned doc and replaying its drained batch — TombstoneSpec
+    * pins the primitive in isolation).
+    *
+    * REQUIREd: every leg is a deletion vector (zero rewrites on all
+    * nine tables), each index family's live contents EQUAL its
+    * explicit-delete state (count-gated bidirectional except), media
+    * variants orphaned by the takedown RE-ADMIT, and the replay leaves
+    * the restored doc standing. The oracle replays all five families'
+    * final states closed-form (the m73/m74/m75 chains plus the
+    * text/vector survivor sets, X = the restored doc).
+    *
+    * Shape at 100 TB: the feed delivers exactly the tombstones
+    * (O(batch)); each leg is one broadcast semi-join → a kilobyte
+    * coordinate sidecar + marker; a new index family subscribes by
+    * adding a leg with its own appId, touching no writer. */
+  private def p94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    import graft.multimodal.MultimodalOps
+    import org.apache.spark.sql.streaming.Trigger
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_p94_tomb").toFile.getAbsolutePath
+    try {
+      val tcorpus = s"$zone/tcorpus_txn"
+      val postings = s"$zone/postings_txn"
+      val ivf = s"$zone/ivf_txn"
+      val icorpus = s"$zone/imgs_txn"
+      val isigs = s"$zone/isigs_txn"
+      val acorpus = s"$zone/clips_txn"
+      val asigs = s"$zone/asigs_txn"
+      val vcorpus = s"$zone/vclips_txn"
+      val vsigs = s"$zone/vsigs_txn"
+      val feed = s"$zone/takedowns_txn"
+      val cp = s"$zone/cp"
+      // ---- builds: the five maintained families (no CDF anywhere —
+      // the feed, not the corpus log, carries takedowns)
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      TxnTable.commitOverwrite(docs, tcorpus, statsCols = Seq("doc_id"),
+        mor = Some(true))
+      def postingsOf(c: DataFrame): DataFrame = c
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter(length($"term") > 0)
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      postingsOf(spark.read.format("graft").load(tcorpus))
+        .write.format("graft")
+        .option("partitionBy", "bucket(16, term)")
+        .option("statsCols", "term").option("bloomCols", "term")
+        .option("optimizedWrite", "true").option("mergeOnRead", "true")
+        .mode("overwrite").save(postings)
+      val cents = graft.sim.SimilarityOps.centroids(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      def assignedOf(c: DataFrame): DataFrame = emb
+        .join(c.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+        .select($"vec_id", $"embedding",
+          element_at(
+            graft.sim.Similarity.nearestCells("embedding", cents, 1), 1)
+            .cast("bigint").cast("string").as("cell"))
+      assignedOf(spark.read.format("graft").load(tcorpus))
+        .write.format("graft").option("statsCols", "vec_id")
+        .option("partitionBy", "cell").option("mergeOnRead", "true")
+        .mode("overwrite").save(ivf)
+      val ifps = MultimodalOps.imageFingerprints(spark, dir)
+        .select($"item_id".as("img_id"), $"fp")
+      MultimodalOps.m70Ingest(spark, icorpus, isigs,
+        ifps.filter($"img_id" % 2 === 0), first = true,
+        col("img_id") % 2 === 0)
+      val afps = MultimodalOps.audioFingerprints(spark, dir)
+        .select($"item_id".as("img_id"), $"fp")
+      MultimodalOps.m70Ingest(spark, acorpus, asigs,
+        afps.filter($"img_id" % 2 === 0), first = true,
+        col("img_id") % 2 === 0)
+      val vfps = MultimodalOps.videoFingerprints(spark, dir)
+      MultimodalOps.m75Ingest(spark, vcorpus, vsigs,
+        vfps.filter($"clip_id" % 2 === 0), first = true,
+        col("clip_id") % 2 === 0)
+      // ---- THE takedown: one append to the typed tombstone feed.
+      // No index (and no corpus) is named anywhere in the takedown
+      // path — the feed IS the takedown interface.
+      def tomb(kind: String, t: String, keyCol: String, m: Int) =
+        spark.read.format("graft").load(t)
+          .filter(col(keyCol) % m === 0)
+          .select(lit(kind).as("kind"), col(keyCol).as("item_id"))
+      val tombstones = tomb("text", tcorpus, "doc_id", 9)
+        .unionByName(tomb("image", icorpus, "img_id", 14))
+        .unionByName(tomb("audio", acorpus, "img_id", 14))
+        .unionByName(tomb("video", vcorpus, "clip_id", 14))
+        .localCheckpoint()
+      Seq("text", "image", "audio", "video").foreach(k =>
+        require(tombstones.filter($"kind" === k).limit(1).count() > 0,
+          s"the $k tombstone batch must be non-empty"))
+      TxnTable.commitAppend(tombstones, feed, statsCols = Seq("item_id"))
+      // ---- the SUBSCRIPTION: nine legs, each exactly-once by marker
+      val legs = Seq(
+        ("text", tcorpus, "doc_id"), ("text", postings, "doc_id"),
+        ("text", ivf, "vec_id"),
+        ("image", icorpus, "img_id"), ("image", isigs, "pid"),
+        ("audio", acorpus, "img_id"), ("audio", asigs, "pid"),
+        ("video", vcorpus, "clip_id"), ("video", vsigs, "pid"))
+      val before = legs.map { case (_, t, _) =>
+        t -> TxnTable.snapshotFiles(spark, t,
+          TxnTable.latestVersion(spark, t).get).toSet
+      }
+      val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = spark.readStream.format("graft").load(feed)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val b = batch.localCheckpoint()
+            legs.foreach { case (kind, t, keyCol) =>
+              TxnTable.deleteFromPosIdempotent(spark, t,
+                b.filter(col("kind") === kind)
+                  .select(col("item_id").as(keyCol)),
+                Seq(keyCol), appId = s"p94drain:$kind:$keyCol@$t",
+                batchId = batchId)
+              ()
+            }
+            lastBatch.set(math.max(lastBatch.get(), batchId))
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(lastBatch.get() >= 0L, "the drain must deliver a batch")
+      // ---- zero rewrites, all nine tables
+      before.foreach { case (t, fs) =>
+        require(fs.subsetOf(TxnTable.morState(spark, t,
+            TxnTable.latestVersion(spark, t).get).files.toSet),
+          s"the $t drain leg must be a deletion vector, not a rewrite")
+      }
+      // ---- family equality vs the explicit-delete state (count gate
+      // makes each except multiset-exact)
+      def sameState(live: DataFrame, want: DataFrame, what: String): Unit =
+        require(live.count() == want.count() &&
+          live.except(want).isEmpty && want.except(live).isEmpty,
+          s"the subscribed $what diverged from the explicit-delete state")
+      val surv = spark.read.format("graft").load(tcorpus)
+      sameState(spark.read.format("graft").load(postings)
+          .select($"term", $"doc_id", $"tf"),
+        postingsOf(surv), "postings index")
+      sameState(spark.read.format("graft").load(ivf)
+          .select($"vec_id", $"cell"),
+        assignedOf(surv).select($"vec_id", $"cell"), "IVF index")
+      def minus(want: DataFrame, t: String, kind: String) =
+        want.join(tombstones.filter($"kind" === kind)
+            .select($"item_id".as("pid")), Seq("pid"), "left_anti")
+      sameState(spark.read.format("graft").load(isigs)
+          .select($"pid", $"bk", $"pfp"),
+        minus(MultimodalOps.bandKeys(ifps.filter($"img_id" % 2 === 0))
+          .select($"img_id".as("pid"), $"bk", $"fp".as("pfp")),
+          isigs, "image"), "image fingerprint index")
+      sameState(spark.read.format("graft").load(asigs)
+          .select($"pid", $"bk", $"pfp"),
+        minus(MultimodalOps.bandKeys(afps.filter($"img_id" % 2 === 0))
+          .select($"img_id".as("pid"), $"bk", $"fp".as("pfp")),
+          asigs, "audio"), "audio fingerprint index")
+      val vEvens = vfps.filter($"clip_id" % 2 === 0)
+      val vSized = vEvens.groupBy($"clip_id").agg(count(lit(1)).as("pn"))
+      sameState(spark.read.format("graft").load(vsigs)
+          .select($"pid", $"fp", $"pn"),
+        minus(vEvens.join(vSized, "clip_id")
+          .select($"clip_id".as("pid"), $"fp", $"pn"),
+          vsigs, "video"), "video fingerprint index")
+      // ---- re-admission: variants orphaned by the takedown re-admit
+      MultimodalOps.m70Ingest(spark, icorpus, isigs,
+        ifps.filter($"img_id" % 2 === 1), first = false,
+        col("img_id") % 2 === 1)
+      MultimodalOps.m70Ingest(spark, acorpus, asigs,
+        afps.filter($"img_id" % 2 === 1), first = false,
+        col("img_id") % 2 === 1)
+      MultimodalOps.m75Ingest(spark, vcorpus, vsigs,
+        vfps.filter($"clip_id" % 2 === 1), first = false,
+        col("clip_id") % 2 === 1)
+      def checkReadmit(t: String, keyCol: String, kind: String): Unit = {
+        val c = spark.read.format("graft").load(t).select(col(keyCol))
+        val tk = tombstones.filter($"kind" === kind)
+          .select($"item_id".as(keyCol))
+        require(c.join(tk, Seq(keyCol), "left_semi").count() == 0,
+          s"a tombstoned $kind item survived in $t")
+        require(c.filter(col(keyCol) % 2 === 1)
+            .join(tk.select((col(keyCol) + 1).as(keyCol)),
+              Seq(keyCol), "left_semi").count() > 0,
+          s"an orphaned $kind variant must RE-ADMIT")
+      }
+      checkReadmit(icorpus, "img_id", "image")
+      checkReadmit(acorpus, "img_id", "audio")
+      checkReadmit(vcorpus, "clip_id", "video")
+      // ---- exactly-once under replay: restore ONE tombstoned doc
+      // (rights re-granted), then crash-replay the drained batch at
+      // the text-corpus leg — the marker must skip it wholesale; a
+      // re-match would erase the lawful restore
+      val x = tombstones.filter($"kind" === "text")
+        .agg(min($"item_id")).head().getLong(0)
+      TxnTable.commitAppend(docs.filter($"doc_id" === x), tcorpus)
+      val vBeforeReplay = TxnTable.latestVersion(spark, tcorpus).get
+      TxnTable.deleteFromPosIdempotent(spark, tcorpus,
+        tombstones.filter($"kind" === "text")
+          .select($"item_id".as("doc_id")),
+        Seq("doc_id"), appId = s"p94drain:text:doc_id@$tcorpus",
+        batchId = lastBatch.get())
+      require(TxnTable.latestVersion(spark, tcorpus).get == vBeforeReplay,
+        "a replayed drain batch must be a marker no-op, not a commit")
+      require(spark.read.format("graft").load(tcorpus)
+          .filter($"doc_id" === x).count() == 1,
+        "the replayed drain erased the restored doc — the marker " +
+          "failed to decide")
+      // ---- result: the five families' final corpora/contents
+      def fam(name: String, df: DataFrame) =
+        df.select(lit(name).as("family"),
+          df.columns.headOption.map(c => col(c)).get
+            .cast("long").as("item_id"))
+      val res = fam("text", spark.read.format("graft").load(tcorpus)
+          .select($"doc_id"))
+        .unionByName(fam("vec", spark.read.format("graft").load(ivf)
+          .select($"vec_id")))
+        .unionByName(fam("image", spark.read.format("graft").load(icorpus)
+          .select($"img_id")))
+        .unionByName(fam("audio", spark.read.format("graft").load(acorpus)
+          .select($"img_id")))
+        .unionByName(fam("video", spark.read.format("graft").load(vcorpus)
+          .select($"clip_id")))
+        .orderBy($"family", $"item_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      graft.io.Tables.deleteTree(new java.io.File(zone))
+    }
+  }
+
   val all: Seq[RQ] = Seq(
     RQ("p90_training_pipeline", p90, Some(p90Sql), bench = true),
     RQ("p91_dq_expectations", p91, Some(p91Sql)),
     RQ("p92_corpus_lifecycle", p92, Some(p92Sql)),
-    RQ("p93_cdf_index_subscribe", p93, Some(p93Sql)))
+    RQ("p93_cdf_index_subscribe", p93, Some(p93Sql)),
+    RQ("p94_tombstone_stream", p94, Some(p94Sql)))
+
+  /** p94's oracle: all five families' final states closed-form — the
+    * text survivor set plus the restored doc X (= the smallest
+    * tombstoned id), the vector survivor set (X not re-indexed: the
+    * restore touches the corpus; its index maintenance belongs to the
+    * restore's own ingest), and the m73/m74/m75 chains (keep-first →
+    * takedown of admitted %14 → variant admission against surviving
+    * signatures) for image/audio/video. def, not val: defined after
+    * `all` (init order). */
+  private def p94Sql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH i_imgs AS (
+      |  SELECT doc_id * 2 AS img_id, doc_id AS id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |i_grid AS (
+      |  SELECT x.g AS x, y.g AS y
+      |  FROM generate_series(0, 8) x(g), generate_series(0, 7) y(g)),
+      |i_px AS (
+      |  SELECT img_id, x, y, pert,
+      |    md5('p:' || id || ':' || (x*16//9) || ':' || (2*y)) AS m
+      |  FROM i_imgs, i_grid),
+      |i_gray AS (
+      |  SELECT img_id, x, y,
+      |    ((${nib(1)}*16 + ${nib(2)}
+      |        + CASE WHEN pert = 1 AND 2*y >= 12 THEN 40 ELSE 0 END) % 256
+      |     + ${nib(3)}*16 + ${nib(4)}
+      |     + ${nib(5)}*16 + ${nib(6)}) AS g
+      |  FROM i_px),
+      |i_bits AS (
+      |  SELECT a.img_id, a.y * 8 + a.x AS b,
+      |    CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM i_gray a JOIN i_gray n
+      |    ON n.img_id = a.img_id AND n.y = a.y AND n.x = a.x + 1
+      |  WHERE a.x < 8),
+      |i_hashes AS (
+      |  SELECT img_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+      |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS h
+      |  FROM i_bits GROUP BY img_id),
+      |i_bands AS (
+      |  SELECT img_id, r.range AS bi,
+      |    (h >> CAST(48 - 16 * r.range AS INT)) & 65535 AS bv
+      |  FROM i_hashes, range(4) r),
+      |i_pairs AS (
+      |  SELECT DISTINCT a.img_id AS i, b.img_id AS j
+      |  FROM i_bands a JOIN i_bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.img_id > b.img_id
+      |  JOIN i_hashes ha ON ha.img_id = a.img_id
+      |  JOIN i_hashes hb ON hb.img_id = b.img_id
+      |  WHERE bit_count(xor(ha.h, hb.h)) <= 16),
+      |i_dups1 AS (
+      |  SELECT DISTINCT i FROM i_pairs WHERE i % 2 = 0 AND j % 2 = 0),
+      |i_adm1 AS (
+      |  SELECT img_id FROM i_hashes WHERE img_id % 2 = 0
+      |    AND img_id NOT IN (SELECT i FROM i_dups1)),
+      |i_takedown AS (SELECT img_id FROM i_adm1 WHERE img_id % 14 = 0),
+      |i_dups2 AS (
+      |  SELECT DISTINCT i FROM i_pairs
+      |  WHERE i % 2 = 1 AND (j % 2 = 1 OR
+      |    j NOT IN (SELECT img_id FROM i_takedown))),
+      |i_fin AS (
+      |  SELECT img_id FROM i_adm1
+      |  WHERE img_id NOT IN (SELECT img_id FROM i_takedown)
+      |  UNION ALL
+      |  SELECT img_id FROM i_hashes WHERE img_id % 2 = 1
+      |    AND img_id NOT IN (SELECT i FROM i_dups2)),
+      |a_clips AS (
+      |  SELECT doc_id * 2 AS item_id, doc_id AS id, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |a_idx AS (SELECT UNNEST(range(0, 130)) AS i),
+      |a_smp AS (
+      |  SELECT item_id, i,
+      |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |  FROM (
+      |    SELECT item_id, i,
+      |      ((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})
+      |        + CASE WHEN pert = 1 AND i >= 98 THEN 512 ELSE 0 END) % 65536 AS u
+      |    FROM (SELECT item_id, pert, i, md5('a:' || id || ':' || i) AS m
+      |          FROM a_clips, a_idx) t) u2),
+      |a_eng AS (
+      |  SELECT item_id, i // 2 AS f, SUM(ABS(s)) AS e
+      |  FROM a_smp GROUP BY item_id, i // 2),
+      |a_bits AS (
+      |  SELECT a.item_id, a.f AS b,
+      |    CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM a_eng a JOIN a_eng n
+      |    ON n.item_id = a.item_id AND n.f = a.f + 1
+      |  WHERE a.f < 64),
+      |a_hashes AS (
+      |  SELECT item_id, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 0 THEN (-9223372036854775808)::HUGEINT
+      |           ELSE 1::HUGEINT << CAST(63 - b AS INT) END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS h
+      |  FROM a_bits GROUP BY item_id),
+      |a_bands AS (
+      |  SELECT item_id, r.range AS bi,
+      |    (h >> CAST(48 - 16 * r.range AS INT)) & 65535 AS bv
+      |  FROM a_hashes, range(4) r),
+      |a_pairs AS (
+      |  SELECT DISTINCT a.item_id AS i, b.item_id AS j
+      |  FROM a_bands a JOIN a_bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.item_id > b.item_id
+      |  JOIN a_hashes ha ON ha.item_id = a.item_id
+      |  JOIN a_hashes hb ON hb.item_id = b.item_id
+      |  WHERE bit_count(xor(ha.h, hb.h)) <= 16),
+      |a_dups1 AS (
+      |  SELECT DISTINCT i FROM a_pairs WHERE i % 2 = 0 AND j % 2 = 0),
+      |a_adm1 AS (
+      |  SELECT item_id FROM a_hashes WHERE item_id % 2 = 0
+      |    AND item_id NOT IN (SELECT i FROM a_dups1)),
+      |a_takedown AS (SELECT item_id FROM a_adm1 WHERE item_id % 14 = 0),
+      |a_dups2 AS (
+      |  SELECT DISTINCT i FROM a_pairs
+      |  WHERE i % 2 = 1 AND (j % 2 = 1 OR
+      |    j NOT IN (SELECT item_id FROM a_takedown))),
+      |a_fin AS (
+      |  SELECT item_id FROM a_adm1
+      |  WHERE item_id NOT IN (SELECT item_id FROM a_takedown)
+      |  UNION ALL
+      |  SELECT item_id FROM a_hashes WHERE item_id % 2 = 1
+      |    AND item_id NOT IN (SELECT i FROM a_dups2)),
+      |v_d AS (SELECT doc_id AS cid, 4 + doc_id % 3 AS nf FROM documents),
+      |v_clips AS (
+      |  SELECT cid * 2 AS clip_id, cid, nf FROM v_d
+      |  UNION ALL
+      |  SELECT cid * 2 + 1, cid, nf FROM v_d WHERE cid % 5 = 0),
+      |v_fps AS (
+      |  SELECT clip_id, (cid * 7 + s.g * 53) % 512 AS fp
+      |  FROM v_clips, generate_series(0, 2) s(g)
+      |  WHERE s.g < CAST(CEIL(nf / 2.0) AS BIGINT)),
+      |v_sizes AS (SELECT clip_id, COUNT(*) AS n FROM v_fps GROUP BY 1),
+      |v_pairs AS (
+      |  SELECT a.clip_id AS i, b.clip_id AS j, COUNT(*) AS shared
+      |  FROM v_fps a JOIN v_fps b ON a.fp = b.fp AND a.clip_id > b.clip_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |v_near AS (
+      |  SELECT i, j FROM v_pairs
+      |  JOIN v_sizes sa ON sa.clip_id = i
+      |  JOIN v_sizes sb ON sb.clip_id = j
+      |  WHERE 2 * shared >= sa.n + sb.n - shared),
+      |v_dups1 AS (
+      |  SELECT DISTINCT i FROM v_near WHERE i % 2 = 0 AND j % 2 = 0),
+      |v_adm1 AS (
+      |  SELECT clip_id FROM v_sizes WHERE clip_id % 2 = 0
+      |    AND clip_id NOT IN (SELECT i FROM v_dups1)),
+      |v_takedown AS (SELECT clip_id FROM v_adm1 WHERE clip_id % 14 = 0),
+      |v_dups2 AS (
+      |  SELECT DISTINCT i FROM v_near
+      |  WHERE i % 2 = 1 AND (j % 2 = 1 OR
+      |    j NOT IN (SELECT clip_id FROM v_takedown))),
+      |v_fin AS (
+      |  SELECT clip_id FROM v_adm1
+      |  WHERE clip_id NOT IN (SELECT clip_id FROM v_takedown)
+      |  UNION ALL
+      |  SELECT clip_id FROM v_sizes WHERE clip_id % 2 = 1
+      |    AND clip_id NOT IN (SELECT i FROM v_dups2))
+      |SELECT 'text' AS family, CAST(doc_id AS BIGINT) AS item_id
+      |FROM documents
+      |WHERE doc_id % 9 <> 0
+      |  OR doc_id = (SELECT MIN(doc_id) FROM documents WHERE doc_id % 9 = 0)
+      |UNION ALL
+      |SELECT 'vec', CAST(vec_id AS BIGINT) FROM embeddings
+      |WHERE vec_id IN (SELECT doc_id FROM documents) AND vec_id % 9 <> 0
+      |UNION ALL
+      |SELECT 'image', CAST(img_id AS BIGINT) FROM i_fin
+      |UNION ALL
+      |SELECT 'audio', CAST(item_id AS BIGINT) FROM a_fin
+      |UNION ALL
+      |SELECT 'video', CAST(clip_id AS BIGINT) FROM v_fin
+      |ORDER BY family, item_id""".stripMargin
+  }
 }
