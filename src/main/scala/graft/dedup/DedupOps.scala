@@ -780,7 +780,8 @@ object DedupOps {
     RQ("d51_incremental_keep_best", d51, Some(d51Sql), bench = true),
     RQ("d52_incremental_clusters", d52, Some(d52Sql), bench = true),
     RQ("d54_clusters_under_deletions", d54, Some(d54Sql)),
-    RQ("d53_incremental_decontam", d53, Some(d53Sql)))
+    RQ("d53_incremental_decontam", d53, Some(d53Sql)),
+    RQ("d55_churn_maintenance", d55, Some(d55Sql)))
 
   // ---------------------------------------------------------------- d46
   /** IN-PLACE dedup via POSITIONAL deletion vectors: the rewrite-free
@@ -2515,4 +2516,157 @@ object DedupOps {
       |FROM train
       |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d55
+  /** LONG-HORIZON CHURN + ONE MAINTENANCE PASS — does the maintained
+    * index survive a quarter of operation? Every incremental family
+    * member proves its per-ingest contract in isolation; this query
+    * runs the d47 protocol through TEN ingest + takedown cycles and
+    * REQUIREs the file-economy claims hold over TIME, then that one
+    * maintenance pass restores the layout without touching a row:
+    *
+    *   - churn accumulates positional vectors on the corpus (one
+    *     takedown per cycle, plus the ingests' own loser deletes) —
+    *     REQUIREd: more vectors were committed than the auto-coalesce
+    *     threshold yet the LIVE sidecar count stays ≤ it, so
+    *     `maybeCoalescePosVectors` (pinned by PosCoalesceSpec)
+    *     provably ENGAGED mid-churn, and a reader never pays more
+    *     than `posCoalesceAt` sidecar GETs;
+    *   - the tiny-increment probe still PRUNES after ten appends per
+    *     bucket (the t56 REQUIRE, aged ten cycles);
+    *   - maintenance = REORG PURGE (k144's blast-radius contract:
+    *     rewrite ONLY vector-gated files) + layout-preserving
+    *     compactSmall on both tables — REQUIREd: the probe's total
+    *     file count DROPS, its scanned count does not grow, zero live
+    *     vectors remain, and corpus AND signature contents are
+    *     multiset-identical to the pre-maintenance snapshots.
+    *
+    * The oracle replays the semantics closed-form: d47's minhash
+    * keep-first over the whole corpus (contiguous ascending cycles ⇒
+    * the global earlier-id rule) minus the per-cycle takedowns
+    * (doc_id % 17 — corpus-only deletes in the dedup-loser class, so
+    * signatures persist and later cycles keep their witnesses). */
+  private def d55(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.TxnTable
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_d55_churn").toFile.getAbsolutePath
+    try {
+      val corpus = s"$zone/corpus_txn"
+      val sigs = s"$zone/sigs_txn"
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cycles = 10
+      val step = maxId / cycles + 1L
+      var tdVectors = 0
+      (0 until cycles).foreach { c =>
+        val lo = c * step
+        val hi = math.min((c + 1) * step, maxId + 1L)
+        d47Ingest(spark, corpus, sigs,
+          docs.filter($"doc_id" >= lo && $"doc_id" < hi),
+          first = c == 0, col("doc_id") >= lo && col("doc_id") < hi)
+        val td = spark.read.format("graft").load(corpus)
+          .filter($"doc_id" >= lo && $"doc_id" < hi &&
+            $"doc_id" % 17 === 0)
+          .select($"doc_id").localCheckpoint()
+        if (td.limit(1).count() > 0) {
+          TxnTable.deleteFromPos(spark, corpus, td, Seq("doc_id"))
+          tdVectors += 1
+        }
+      }
+      // auto-coalesce engagement, non-vacuous: more vectors committed
+      // than the threshold, yet the live count is bounded by it
+      val at = spark.conf.get("graft.txn.posCoalesceAt", "8").toInt
+      val stC = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get)
+      val live = stC.dels.count(d =>
+        d.keyCols == TxnTable.PosDelKeyCols &&
+          stC.files.exists(f => d.gates(f, stC.addv.getOrElse(f, 0L))))
+      require(tdVectors > at,
+        s"churn must commit more vectors than the threshold to prove " +
+          s"engagement: $tdVectors takedowns vs posCoalesceAt=$at")
+      require(live <= at,
+        s"ten cycles of churn must keep live positional sidecars " +
+          s"bounded by posCoalesceAt: $live > $at")
+      // the tiny-increment probe must still prune, ten cycles deep
+      val probeDocs = docs.filter($"doc_id" > maxId - 4).localCheckpoint()
+      def probeCounts(): (Int, Int) = {
+        val psig = sigOf(spark, probeDocs).select($"doc_id",
+          posexplode(array($"band1", $"band2", $"band3", $"band4"))
+            .as(Seq("b", "h"))).localCheckpoint()
+        probePersisted(spark, sigs, psig, joinCols = Seq("b", "h"),
+          out = Seq("doc_id"), keyCol = "h", cat = "gd55spj")._2
+      }
+      val (s1, t1) = probeCounts()
+      require(s1 < t1,
+        s"the probe must prune a ten-cycle-churned index: $s1/$t1")
+      val corpusBefore =
+        spark.read.format("graft").load(corpus).localCheckpoint()
+      val sigsBefore =
+        spark.read.format("graft").load(sigs).localCheckpoint()
+      // ONE maintenance pass: purge the vectors (rewrites ONLY gated
+      // files — k144's blast-radius contract), then layout-preserving
+      // compaction of ten cycles of small files on both tables
+      TxnTable.reorgPurge(spark, corpus)
+      TxnTable.compactSmall(spark, corpus, smallBytes = 1L << 40)
+      TxnTable.compactSmall(spark, sigs, smallBytes = 1L << 40)
+      val (s2, t2) = probeCounts()
+      require(t2 < t1,
+        s"maintenance must restore the index file count: $t1 -> $t2")
+      require(s2 <= s1,
+        s"maintenance must not hurt probe pruning: scanned $s1 -> $s2")
+      val stA = TxnTable.morState(spark, corpus,
+        TxnTable.latestVersion(spark, corpus).get)
+      require(!stA.dels.exists(d =>
+          d.keyCols == TxnTable.PosDelKeyCols &&
+            stA.files.exists(f => d.gates(f, stA.addv.getOrElse(f, 0L)))),
+        "REORG PURGE must leave zero live positional vectors")
+      def same(l: DataFrame, r: DataFrame, what: String): Unit =
+        require(l.count() == r.count() &&
+          l.except(r).isEmpty && r.except(l).isEmpty,
+          s"maintenance changed the $what contents")
+      same(spark.read.format("graft").load(corpus), corpusBefore,
+        "corpus")
+      same(spark.read.format("graft").load(sigs), sigsBefore,
+        "signature index")
+      val result = spark.read.format("graft").load(corpus)
+        .groupBy($"lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum($"doc_id").cast("bigint").as("id_sum"))
+        .orderBy($"lang")
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally {
+      graft.io.Tables.deleteTree(new java.io.File(zone))
+    }
+  }
+  // def, not val: defined after `all` (init order)
+  private def d55Sql = {
+    def mh(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')"
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+       |     for i in range(1, len(string_split(text,' ')) - 1)] AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |   md5(${mh(1)} || ${mh(2)}) AS band1,
+       |   md5(${mh(3)} || ${mh(4)}) AS band2,
+       |   md5(${mh(5)} || ${mh(6)}) AS band3,
+       |   md5(${mh(7)} || ${mh(8)}) AS band4
+       |  FROM sh),
+       |dups AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM sig a JOIN sig b ON a.doc_id > b.doc_id AND
+       |    (a.band1 = b.band1 OR a.band2 = b.band2 OR
+       |     a.band3 = b.band3 OR a.band4 = b.band4))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+       |  AND doc_id % 17 <> 0
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

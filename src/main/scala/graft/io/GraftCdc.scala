@@ -94,6 +94,54 @@ object GraftCdc {
         scan.planInputPartitions().foreach(p =>
           parts += CdcPartition(p, fid, fill, v))
       }
+    // SCHEMA-BOUNDARY CONTRACT (pinned by CdcEvolutionSpec): the feed
+    // serves rows in the SUBSCRIBER's schema (`base`, captured when its
+    // handle was created). Additive evolution is safe in both
+    // directions — a running subscriber simply doesn't see a column
+    // added after its handle (files carry it, the projection ignores
+    // it), and a restarted subscriber sees pre-evolution rows with the
+    // added column null-filled (ordinary log-driven evolution). What
+    // is NOT safe is NON-additive evolution of a subscribed column:
+    // after a DROP/RENAME/retype, files store the data under another
+    // name (or not at all) and a raw scan would surface NULLs where
+    // values exist — corruption dressed as adaptation. The window
+    // REFUSES loudly at that boundary instead; the remedy is a
+    // subscriber restart against the current schema.
+    val (aliases, retired) = TxnTable.renameVintages(spark, table, until)
+    TxnTable.snapshotSchema(spark, table, until).foreach { sv =>
+      base.fields.foreach { f =>
+        require(sv.fields.exists(g =>
+            g.name.equalsIgnoreCase(f.name) && g.dataType == f.dataType),
+          s"$table evolved column '${f.name}' away from this " +
+            s"subscriber's schema by v$until (dropped, renamed, or " +
+            "retyped) — the change feed cannot adapt mid-stream; " +
+            "restart the subscriber so it plans against the current " +
+            "schema")
+        // a fresh subscriber's schema matches, but name-mode
+        // zero-rewrite RENAME/DROP leaves pre-evolution FILES storing
+        // the column under another name (or a dead column's bytes
+        // under the SAME name) — this raw file scan cannot coalesce
+        // vintages the way planFiles does, so serving them would be
+        // corruption, not adaptation
+        require(!aliases.keys.exists(_.equalsIgnoreCase(f.name)),
+          s"$table column '${f.name}' was renamed zero-rewrite and " +
+            "pre-rename files still store it under " +
+            s"${aliases.filter(_._1.equalsIgnoreCase(f.name)).values.flatten.mkString(", ")} — " +
+            "the change-feed scan reads files raw; use " +
+            "TxnTable.changeFeed (planner path) or OPTIMIZE to " +
+            "materialize the rename, then restart the subscriber")
+        require(!retired.exists(_.takeWhile(_ != '#')
+            .equalsIgnoreCase(f.name)),
+          s"$table column '${f.name}' was dropped and re-added; " +
+            "pre-drop files hold the DEAD column's bytes under the " +
+            "same name and a raw feed scan would serve them — use " +
+            "TxnTable.changeFeed or OPTIMIZE, then restart")
+      }
+    }
+    // FIELD-ID tables rename without aliases: ids, not names, pair a
+    // requested column with its bytes — mirror planFiles and turn id
+    // resolution on so pre-rename vintages read correctly
+    if (FieldIds.hasIds(base)) FieldIds.enableRead(spark)
     ((since + 1L) to until).foreach { v =>
       val cc = TxnTable.commitChanges(spark, table, v)
       // lazy positional replay needs a (prior snapshot ⋈ coordinates)

@@ -3983,6 +3983,17 @@ object TxnTable {
     MorState(st.dels, st.addv, st.files, st.aliases)
   }
 
+  /** Snapshot `version`'s zero-rewrite RENAME/DROP vintage markers —
+    * the alias map (new name → old physical names) and the retired
+    * `name#id` list. A raw (non-planFiles) file scan cannot honor
+    * either; GraftCdc's schema-boundary gate reads them to refuse
+    * windows it would silently misread. */
+  private[graft] def renameVintages(spark: SparkSession, table: String,
+      version: Long): (Map[String, Seq[String]], Seq[String]) = {
+    val st = stateOf(spark, table, version)
+    (st.aliases, st.retired)
+  }
+
   /** MERGE-ON-READ DELETE — the deletion-vector answer for point/
     * selective deletes at 100 TB: instead of rewriting every touched
     * data file (copy-on-write), commit ONE small parquet file holding
