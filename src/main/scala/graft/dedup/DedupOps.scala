@@ -1402,6 +1402,11 @@ object DedupOps {
       .select($"doc_id", ($"off" + 1).as("pos"), $"h")
       .localCheckpoint()
     lap("gram_checkpoint")
+    // CONCURRENT-INGEST RECOVERY, part 1 (the d47 move): pin the
+    // version the probe judges against; over-reading is idempotent
+    val vProbe: Long =
+      if (first) -1L
+      else graft.io.TxnTable.latestVersion(spark, grams).get
     val (cross, pruneCounts) =
       if (first)
         (spark.emptyDataset[(Long, Int)].toDF("doc_id", "pos"), (0, 0))
@@ -1422,19 +1427,21 @@ object DedupOps {
     val inBatch = g.join(dupFirsts, Seq("h"))
       .filter(struct($"doc_id", $"pos") =!= $"first")
       .select($"doc_id", $"pos")
-    val covered = cross.union(inBatch).distinct()
+    def coveredOf(occ: DataFrame): DataFrame = occ.distinct()
       .select($"doc_id", sequence($"pos", $"pos" + lit(k - 1)).as("span"))
       .groupBy($"doc_id")
       .agg(array_distinct(flatten(collect_list($"span"))).as("cov"))
-    val cleaned = docs.join(covered, Seq("doc_id"), "left")
-      .select(
-        $"doc_id",
-        size($"w").cast("bigint").as("n_words"),
-        coalesce(size($"cov"), lit(0)).cast("bigint").as("n_removed"),
-        array_join(
-          filter($"w", (_, i) => not(array_contains(
-            coalesce($"cov", typedLit(Seq.empty[Int])), i + 1))),
-          " ").as("cleaned"))
+    def cleanedOf(base: DataFrame, cov: DataFrame): DataFrame =
+      base.join(cov, Seq("doc_id"), "left")
+        .select(
+          $"doc_id",
+          size($"w").cast("bigint").as("n_words"),
+          coalesce(size($"cov"), lit(0)).cast("bigint").as("n_removed"),
+          array_join(
+            filter($"w", (_, i) => not(array_contains(
+              coalesce($"cov", typedLit(Seq.empty[Int])), i + 1))),
+            " ").as("cleaned"))
+    val cleaned = cleanedOf(docs, coveredOf(cross.union(inBatch)))
     cleaned.write.format("graft").option("statsCols", "doc_id")
       .mode(if (first) "overwrite" else "append").save(corpus)
     lap("cleaned_write")
@@ -1442,12 +1449,52 @@ object DedupOps {
     // the corpus as WRITTEN, not as cleaned); layout is the point:
     // bucket(16, h) + per-file h stats and blooms make later ingests'
     // probes prunable, optimizedWrite keeps it one file per bucket
-    val gw = g.write.format("graft")
-      .option("statsCols", "h").option("bloomCols", "h")
-      .option("optimizedWrite", "true")
-    (if (first) gw.option("partitionBy", "bucket(16, h)").mode("overwrite")
-     else gw.mode("append")).save(grams)
-    lap("gram_append")
+    if (first)
+      g.write.format("graft")
+        .option("statsCols", "h").option("bloomCols", "h")
+        .option("optimizedWrite", "true")
+        .option("partitionBy", "bucket(16, h)").mode("overwrite").save(grams)
+    else {
+      val vLanded = graft.io.TxnTable.commitAppend(g, grams,
+        statsCols = Seq("h"), bloomCols = Seq("h"), optimizedWrite = true)
+      lap("gram_append")
+      // CONCURRENT-INGEST RECOVERY, part 2 — the d47 re-probe, with
+      // the d49 twist: a stale probe doesn't just admit a row, it
+      // writes WRONG CLEANED TEXT (the foreign batch's shingles came
+      // first in the landed order, so this batch's occurrences of
+      // them are duplicate spans the cleaning missed). Re-judge the
+      // batch against exactly the foreign window and REPLACE the
+      // affected docs' corpus rows in one commit (replacePositions —
+      // positional delete + append, no rewrite of unaffected files).
+      // One pass suffices for the same reason as d47: later landers
+      // see THESE shingles in their own window.
+      if (vLanded > vProbe + 1) {
+        reprobeWindows.incrementAndGet()
+        val foreign = graft.io.TxnTable
+          .readChangesBetween(spark, grams, vProbe, vLanded - 1)
+        val lateOcc = g
+          .join(broadcast(foreign.select($"h").distinct()),
+            Seq("h"), "left_semi")
+          .select($"doc_id", $"pos").localCheckpoint()
+        if (lateOcc.limit(1).count() > 0) {
+          val affected = lateOcc.select($"doc_id").distinct()
+          // the affected docs' FULL verdict: original cross ∪ in-batch
+          // ∪ the late foreign hits (union is idempotent where the
+          // probe over-read a post-pin commit)
+          val covAll = coveredOf(
+            cross.union(inBatch).union(lateOcc)
+              .join(broadcast(affected), Seq("doc_id"), "left_semi"))
+          val relCleaned = cleanedOf(
+            docs.join(broadcast(affected), Seq("doc_id"), "left_semi"),
+            covAll)
+          graft.io.TxnTable.replacePositions(spark, corpus,
+            snap => snap.join(broadcast(affected), Seq("doc_id"),
+              "left_semi"),
+            relCleaned)
+          lap("reprobe_replace")
+        }
+      }
+    }
     pruneCounts
   }
 

@@ -165,4 +165,106 @@ class IngestFuzzSpec extends AnyFunSuite {
       "no racer ever observed a foreign window — the race never " +
         "happened and the spec checked nothing")
   }
+
+  // span-dedup flavor: the stale probe doesn't just admit a row, it
+  // writes WRONG CLEANED TEXT — the recovery must REPLACE the
+  // affected corpus rows (replacePositions), not merely delete
+  private def spanBatchDf(batch: Int, docs: Seq[(Long, Option[Int])]) = {
+    val rows = docs.map { case (i, cls) =>
+      val id = batch * 1000L + i
+      val words = (0 until 20).map(w => s"w${id}x$w")
+      val text = cls match {
+        case Some(c) =>
+          (words.take(5) ++ (0 until 10).map(j => s"run${c}tok$j") ++
+            words.drop(15)).mkString(" ")
+        case None => words.mkString(" ")
+      }
+      (id, text)
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("racing d49 span-dedup ingests equal the serial replay — " +
+      "cleaned text included (seeded)") {
+    val racers = 3
+    val docsPerBatch = 10
+    val runs = 6 // shared-span classes; < racers × docs ⇒ overlap
+    val scenarios = 3 + sys.env.get("GRAFT_INGESTFUZZ_EXTRA")
+      .map(_.toInt).getOrElse(0)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(racers))
+    val windowsBefore = graft.dedup.DedupOps.reprobeWindows.get()
+    (1 to scenarios).foreach { seed =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ingestfuzz49").toFile
+      try {
+        val rnd = new scala.util.Random(7000 + seed)
+        // ~2/3 of docs carry a shared 10-word run (3 overlapping
+        // 8-gram shingles) drawn from a small pool — cross-batch span
+        // dups by construction
+        val batches = (0 to racers).map { b =>
+          b -> (0 until docsPerBatch).map(i => (i.toLong,
+            if (rnd.nextInt(3) < 2) Some(rnd.nextInt(runs)) else None))
+        }.toMap
+        val corpus = s"${root.getAbsolutePath}/clean"
+        val grams = s"${root.getAbsolutePath}/grams"
+        graft.dedup.DedupOps.d49Ingest(spark, corpus, grams,
+          spanBatchDf(0, batches(0)), first = true)
+        val vSeed = TxnTable.latestVersion(spark, grams).get
+        val gate = new java.util.concurrent.CountDownLatch(racers)
+        val futures = (1 to racers).map { b =>
+          Future {
+            val s = spark.newSession()
+            gate.countDown(); gate.await()
+            graft.dedup.DedupOps.d49Ingest(s, corpus, grams,
+              spanBatchDf(b, batches(b)), first = false)
+          }
+        }
+        Await.result(Future.sequence(futures), 10.minutes)
+        val vLast = TxnTable.latestVersion(spark, grams).get
+        val landedOrder = (vSeed + 1 to vLast).map { v =>
+          val ids = TxnTable.readChangesBetween(spark, grams, v - 1, v)
+            .select($"doc_id").distinct().as[Long].collect()
+          assert(ids.nonEmpty, s"seed $seed: empty gram commit at $v")
+          val bs = ids.map(id => (id / 1000L).toInt).distinct
+          assert(bs.length == 1,
+            s"seed $seed: gram version $v mixes batches ${bs.toSeq}")
+          bs.head
+        }
+        assert(landedOrder.sorted == (1 to racers),
+          s"seed $seed: landed order $landedOrder is not a " +
+            "permutation of the racers")
+        val corpus2 = s"${root.getAbsolutePath}/clean2"
+        val grams2 = s"${root.getAbsolutePath}/grams2"
+        graft.dedup.DedupOps.d49Ingest(spark, corpus2, grams2,
+          spanBatchDf(0, batches(0)), first = true)
+        landedOrder.foreach { b =>
+          graft.dedup.DedupOps.d49Ingest(spark, corpus2, grams2,
+            spanBatchDf(b, batches(b)), first = false)
+        }
+        val cols = Seq("doc_id", "n_words", "n_removed", "cleaned")
+        val gotC = snap(corpus, cols)
+        val wantC = snap(corpus2, cols)
+        assert(gotC == wantC,
+          s"seed $seed (landed $landedOrder): raced cleaned corpus != " +
+            s"serial replay (${gotC.size} vs ${wantC.size} rows; " +
+            s"first diff: ${gotC.zip(wantC).find(p => p._1 != p._2)})")
+        val gotG = snap(grams, Seq("doc_id", "pos", "h"))
+        val wantG = snap(grams2, Seq("doc_id", "pos", "h"))
+        assert(gotG == wantG,
+          s"seed $seed: raced gram state != serial replay " +
+            s"(${gotG.size} vs ${wantG.size} rows)")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+    }
+    assert(graft.dedup.DedupOps.reprobeWindows.get() > windowsBefore,
+      "no d49 racer ever observed a foreign window — the race never " +
+        "happened and the spec checked nothing")
+  }
 }
