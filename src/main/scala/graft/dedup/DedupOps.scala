@@ -1163,8 +1163,16 @@ object DedupOps {
           .join(broadcast(foreign.select($"b", $"h").distinct()),
             Seq("b", "h"), "left_semi")
           .select($"doc_id").distinct().localCheckpoint()
-        if (late.limit(1).count() > 0)
-          TxnTable.deleteFromPos(spark, corpus, late, Seq("doc_id"))
+        if (late.limit(1).count() > 0) {
+          // same pruned spelling as the main loser leg: the late
+          // losers are batch-local by construction, so the identity
+          // read confines itself to the batch's own files instead of
+          // rescanning the corpus
+          val rows = TxnTable.readWithRowIdentity(spark, corpus)
+            .filter(inBatchPred)
+          TxnTable.deletePositions(spark, corpus,
+            rows.join(broadcast(late), Seq("doc_id"), "left_semi"))
+        }
         lap("reprobe")
       }
     }
@@ -1487,9 +1495,15 @@ object DedupOps {
           val relCleaned = cleanedOf(
             docs.join(broadcast(affected), Seq("doc_id"), "left_semi"),
             covAll)
+          // prune the replace's identity read to the batch's own
+          // doc_id range (its files, via stats) before the semi-join —
+          // the affected docs are batch-local by construction
+          val bnd = docs.agg(min($"doc_id"), max($"doc_id")).head()
+          val (blo, bhi) = (bnd.getLong(0), bnd.getLong(1))
           graft.io.TxnTable.replacePositions(spark, corpus,
-            snap => snap.join(broadcast(affected), Seq("doc_id"),
-              "left_semi"),
+            snap => snap
+              .filter(col("doc_id") >= blo && col("doc_id") <= bhi)
+              .join(broadcast(affected), Seq("doc_id"), "left_semi"),
             relCleaned)
           lap("reprobe_replace")
         }
@@ -2598,6 +2612,12 @@ object DedupOps {
     import graft.io.TxnTable
     val zone = java.nio.file.Files
       .createTempDirectory("graft_d55_churn").toFile.getAbsolutePath
+    // pin the auto-coalesce threshold BELOW the cycle count so the
+    // engagement proof is conf-independent (a deployment running
+    // posCoalesceAt >= the cycle count would otherwise fail the
+    // tdVectors guard by construction); restored in the finally
+    val prevAt = spark.conf.getOption("graft.txn.posCoalesceAt")
+    spark.conf.set("graft.txn.posCoalesceAt", "8")
     try {
       val corpus = s"$zone/corpus_txn"
       val sigs = s"$zone/sigs_txn"
@@ -2685,6 +2705,10 @@ object DedupOps {
       spark.createDataFrame(
         java.util.Arrays.asList(result.collect(): _*), result.schema)
     } finally {
+      prevAt match {
+        case Some(v) => spark.conf.set("graft.txn.posCoalesceAt", v)
+        case None => spark.conf.unset("graft.txn.posCoalesceAt")
+      }
       graft.io.Tables.deleteTree(new java.io.File(zone))
     }
   }

@@ -107,35 +107,47 @@ object GraftCdc {
     // values exist — corruption dressed as adaptation. The window
     // REFUSES loudly at that boundary instead; the remedy is a
     // subscriber restart against the current schema.
-    val (aliases, retired) = TxnTable.renameVintages(spark, table, until)
-    TxnTable.snapshotSchema(spark, table, until).foreach { sv =>
+    val (svOpt, aliases, retired) =
+      TxnTable.evolutionMarkers(spark, table, until)
+    svOpt.foreach { sv =>
       base.fields.foreach { f =>
-        require(sv.fields.exists(g =>
-            g.name.equalsIgnoreCase(f.name) && g.dataType == f.dataType),
-          s"$table evolved column '${f.name}' away from this " +
-            s"subscriber's schema by v$until (dropped, renamed, or " +
-            "retyped) — the change feed cannot adapt mid-stream; " +
-            "restart the subscriber so it plans against the current " +
-            "schema")
-        // a fresh subscriber's schema matches, but name-mode
-        // zero-rewrite RENAME/DROP leaves pre-evolution FILES storing
-        // the column under another name (or a dead column's bytes
-        // under the SAME name) — this raw file scan cannot coalesce
-        // vintages the way planFiles does, so serving them would be
-        // corruption, not adaptation
-        require(!aliases.keys.exists(_.equalsIgnoreCase(f.name)),
-          s"$table column '${f.name}' was renamed zero-rewrite and " +
-            "pre-rename files still store it under " +
-            s"${aliases.filter(_._1.equalsIgnoreCase(f.name)).values.flatten.mkString(", ")} — " +
+        // name-mode zero-rewrite RENAME leaves pre-evolution FILES
+        // storing the column under its old name — this raw file scan
+        // cannot coalesce vintages the way planFiles does, so serving
+        // them would be corruption, not adaptation. Both directions
+        // refuse: a stale subscriber still holds the OLD name (an
+        // alias VALUE), a fresh one requests the NEW name (an alias
+        // KEY) over old-name files.
+        require(!aliases.exists { case (nw, olds) =>
+            nw.equalsIgnoreCase(f.name) ||
+              olds.exists(_.equalsIgnoreCase(f.name)) },
+          s"$table column '${f.name}' is a zero-rewrite RENAME vintage " +
+            "(pre-rename files store the data under another name) — " +
             "the change-feed scan reads files raw; use " +
             "TxnTable.changeFeed (planner path) or OPTIMIZE to " +
             "materialize the rename, then restart the subscriber")
+        // a DROPPED column's pre-drop files still hold the dead bytes
+        // under the same name — serving them would resurrect them
         require(!retired.exists(_.takeWhile(_ != '#')
             .equalsIgnoreCase(f.name)),
-          s"$table column '${f.name}' was dropped and re-added; " +
-            "pre-drop files hold the DEAD column's bytes under the " +
-            "same name and a raw feed scan would serve them — use " +
-            "TxnTable.changeFeed or OPTIMIZE, then restart")
+          s"$table column '${f.name}' was dropped (or renamed in " +
+            "field-id mode); pre-evolution files hold the DEAD " +
+            "column's bytes under that name and a raw feed scan would " +
+            "serve them — use TxnTable.changeFeed or OPTIMIZE, then " +
+            "restart")
+        // RETYPE of a live column cannot null-fill or project away
+        sv.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { g =>
+          require(g.dataType == f.dataType,
+            s"$table retyped column '${f.name}' " +
+              s"(${f.dataType.simpleString} -> ${g.dataType.simpleString}) " +
+              s"by v$until — the change feed cannot adapt mid-stream; " +
+              "restart the subscriber against the current schema")
+        }
+        // a subscriber column ABSENT from the window-end schema with
+        // no rename/drop vintage marker is simply NOT YET ADDED in
+        // this window — the scan null-fills it, the documented
+        // additive semantics (a restarted subscriber reading history
+        // that predates its ADD COLUMN must not be refused)
       }
     }
     // FIELD-ID tables rename without aliases: ids, not names, pair a

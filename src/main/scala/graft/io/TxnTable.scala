@@ -3983,15 +3983,17 @@ object TxnTable {
     MorState(st.dels, st.addv, st.files, st.aliases)
   }
 
-  /** Snapshot `version`'s zero-rewrite RENAME/DROP vintage markers —
-    * the alias map (new name → old physical names) and the retired
-    * `name#id` list. A raw (non-planFiles) file scan cannot honor
-    * either; GraftCdc's schema-boundary gate reads them to refuse
-    * windows it would silently misread. */
-  private[graft] def renameVintages(spark: SparkSession, table: String,
-      version: Long): (Map[String, Seq[String]], Seq[String]) = {
+  /** Snapshot `version`'s schema plus its zero-rewrite RENAME/DROP
+    * vintage markers — the alias map (new name → old physical names)
+    * and the retired `name#id` list — from ONE state resolution. A raw
+    * (non-planFiles) file scan cannot honor either marker; GraftCdc's
+    * schema-boundary gate reads all three per feed window to refuse
+    * exactly the windows it would silently misread. */
+  private[graft] def evolutionMarkers(spark: SparkSession, table: String,
+      version: Long): (Option[org.apache.spark.sql.types.StructType],
+                       Map[String, Seq[String]], Seq[String]) = {
     val st = stateOf(spark, table, version)
-    (st.aliases, st.retired)
+    (st.schema, st.aliases, st.retired)
   }
 
   /** MERGE-ON-READ DELETE — the deletion-vector answer for point/
@@ -4213,17 +4215,8 @@ object TxnTable {
     * takedown batch over an already-erased table matches nothing and
     * commits an empty vector. */
   def deleteFromPos(spark: SparkSession, table: String,
-                    keys: DataFrame, keyCols: Seq[String]): Long = {
-    require(keyCols.nonEmpty, "deleteFromPos needs at least one key column")
-    keyCols.foreach(c => require(keys.columns.contains(c),
-      s"key column '$c' is not a column of the keys frame"))
-    val k = keys.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
-    deletePosCore(spark, table, { snap =>
-      keyCols.foreach(c => require(snap.columns.contains(c),
-        s"key column '$c' is not a column of $table"))
-      snap.join(k, keyCols, "left_semi")
-    })
-  }
+                    keys: DataFrame, keyCols: Seq[String]): Long =
+    deleteFromPosCore(spark, table, keys, keyCols, txn = None)
 
   /** [[deleteFromPos]] EXACTLY-ONCE per (appId, batchId) — the
     * tombstone-drain primitive. The txn marker commits ATOMICALLY with
@@ -4239,7 +4232,13 @@ object TxnTable {
     * restart without double-applying the completed ones. */
   def deleteFromPosIdempotent(spark: SparkSession, table: String,
                               keys: DataFrame, keyCols: Seq[String],
-                              appId: String, batchId: Long): Long = {
+                              appId: String, batchId: Long): Long =
+    deleteFromPosCore(spark, table, keys, keyCols,
+      txn = Some((appId, batchId)))
+
+  private def deleteFromPosCore(spark: SparkSession, table: String,
+                                keys: DataFrame, keyCols: Seq[String],
+                                txn: Option[(String, Long)]): Long = {
     require(keyCols.nonEmpty, "deleteFromPos needs at least one key column")
     keyCols.foreach(c => require(keys.columns.contains(c),
       s"key column '$c' is not a column of the keys frame"))
@@ -4248,7 +4247,7 @@ object TxnTable {
       keyCols.foreach(c => require(snap.columns.contains(c),
         s"key column '$c' is not a column of $table"))
       snap.join(k, keyCols, "left_semi")
-    }, txn = Some((appId, batchId)))
+    }, txn = txn)
   }
 
   /** POSITIONAL (deletion-vector) UPDATE: one commit appends the

@@ -86,6 +86,11 @@ class CdcEvolutionSpec extends AnyFunSuite {
         TxnTable.commitAppend(
           Seq((10L, 20L, 100L), (11L, 22L, 110L)).toDF("k", "v", "w"), t)
         await("the post-evolution batch")(keys.contains(10L))
+        // drain AND commit outstanding offsets before stopping —
+        // stop() right after the foreachBatch callback can land before
+        // the offset commit, and the restart below would legitimately
+        // redeliver (at-least-once), failing the no-redelivery assert
+        q.processAllAvailable()
       } finally q.stop()
       val batches = seen.toArray(Array.empty[(Seq[String], Seq[Long])])
       assert(batches.forall(!_._1.contains("w")),
@@ -148,6 +153,19 @@ class CdcEvolutionSpec extends AnyFunSuite {
         "pre-evolution rows must surface the added column as NULL")
       assert(feed(10L).contains(99L),
         "post-evolution rows must carry the added column's value")
+      // regression: a WINDOW that ends BEFORE the ADD COLUMN commit
+      // (bounded read, or a throttled stream's early microbatch) is
+      // the additive-safe case too — the gate must null-fill, never
+      // misread "not yet added at until" as "dropped/renamed"
+      val early = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("endingVersion", "1").load(t)
+        .select($"k", $"w").collect()
+        .map(r => (r.getLong(0), r.isNullAt(1)))
+      assert(early.nonEmpty && early.forall(_._2),
+        "a pre-evolution window must serve the subscriber's added " +
+          "column as NULL, not refuse")
     }
   }
 
@@ -166,7 +184,7 @@ class CdcEvolutionSpec extends AnyFunSuite {
           .option("startingVersion", "0").load(t)
           .collect()
       }
-      assert(e.getMessage.contains("renamed"),
+      assert(e.getMessage.contains("RENAME vintage"),
         s"expected the rename-vintage refusal, got: ${e.getMessage}")
     }
   }

@@ -79,11 +79,11 @@ class IngestFuzzSpec extends AnyFunSuite {
     // dev knob: GRAFT_INGESTFUZZ_EXTRA widens the sweep for bug hunts
     val scenarios = 4 + sys.env.get("GRAFT_INGESTFUZZ_EXTRA")
       .map(_.toInt).getOrElse(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(racers)
     implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(
-        java.util.concurrent.Executors.newFixedThreadPool(racers))
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
     val windowsBefore = graft.dedup.DedupOps.reprobeWindows.get()
-    (1 to scenarios).foreach { seed =>
+    try (1 to scenarios).foreach { seed =>
       val root =
         java.nio.file.Files.createTempDirectory("graft_ingestfuzz").toFile
       try {
@@ -158,7 +158,7 @@ class IngestFuzzSpec extends AnyFunSuite {
         }
         rm(root)
       }
-    }
+    } finally pool.shutdown()
     // vacuity guard: the recovery path must have RUN — a fuzz whose
     // racers never overlapped would pass the equality trivially
     assert(graft.dedup.DedupOps.reprobeWindows.get() > windowsBefore,
@@ -191,11 +191,11 @@ class IngestFuzzSpec extends AnyFunSuite {
     val runs = 6 // shared-span classes; < racers × docs ⇒ overlap
     val scenarios = 3 + sys.env.get("GRAFT_INGESTFUZZ_EXTRA")
       .map(_.toInt).getOrElse(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(racers)
     implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(
-        java.util.concurrent.Executors.newFixedThreadPool(racers))
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
     val windowsBefore = graft.dedup.DedupOps.reprobeWindows.get()
-    (1 to scenarios).foreach { seed =>
+    try (1 to scenarios).foreach { seed =>
       val root = java.nio.file.Files
         .createTempDirectory("graft_ingestfuzz49").toFile
       try {
@@ -262,7 +262,7 @@ class IngestFuzzSpec extends AnyFunSuite {
         }
         rm(root)
       }
-    }
+    } finally pool.shutdown()
     assert(graft.dedup.DedupOps.reprobeWindows.get() > windowsBefore,
       "no d49 racer ever observed a foreign window — the race never " +
         "happened and the spec checked nothing")
