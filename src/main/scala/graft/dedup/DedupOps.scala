@@ -913,13 +913,20 @@ object DedupOps {
     * `TxnTable.commitAppend` (which returns the landed version), and
     * re-judge the batch against exactly the foreign appends in
     * (probed, landed) — the final state then equals the serial replay
-    * in landed order (machine-checked by IngestFuzzSpec). One caveat:
-    * the recovery covers broadcast-sized batches; the big-batch SPJ
-    * branch flips SESSION confs and writes a fixed-name scratch table,
-    * so SPJ-sized ingests keep a single-writer-per-index requirement.
-    * Ingests that have not adopted the re-probe (d49/d50/d51/d52,
-    * m70/m74/m75, t56, e59 — same probe-then-commit shape) assume a
-    * single writer per index table. */
+    * in landed order (machine-checked by IngestFuzzSpec). Adopted by
+    * d47 (delete late losers), d49 (REPLACE the affected docs' cleaned
+    * rows — a stale span probe writes wrong text, not just a wrong
+    * admit), and m70/m75 (the earlier-ID keep rule applied to the
+    * window, so a foreign higher-id near-dup that landed first
+    * legitimately survives, as it would arriving first serially).
+    * Caveats: the recovery covers broadcast-sized batches (the
+    * big-batch SPJ branch flips SESSION confs and writes a fixed-name
+    * scratch table, so SPJ-sized ingests keep a single-writer-per-
+    * index requirement), and the window assumes concurrent INGESTS —
+    * a takedown racing an ingest is a different hazard and stays
+    * single-writer. Ingests that have not adopted the re-probe
+    * (d50/d51/d52/d53, t56, e59 — displacement, cluster-map, and
+    * multi-table state shapes) assume a single writer per index. */
   // private[graft] (not private): the conf-restore failure-injection
   // spec drives the SPJ branch into a thrown AnalysisException directly
   private[graft] def probePersisted(spark: SparkSession, persisted: String,

@@ -1024,6 +1024,13 @@ object MultimodalOps {
     (if (first && cdfFirst) cw.option("enableChangeFeed", "true") else cw)
       .mode(if (first) "overwrite" else "append").save(corpus)
     val sig = bandKeys(batch).localCheckpoint()
+    // concurrent-ingest re-probe, part 1 (the d47 move; see
+    // probePersisted's concurrency contract): pin the probed version.
+    // NOTE the window assumes concurrent INGESTS (pure sig appends);
+    // a takedown racing an ingest is a different hazard and keeps the
+    // single-writer requirement.
+    val vProbe: Long =
+      if (first) -1L else TxnTable.latestVersion(spark, sigsT).get
     val (cross, pruneCounts) =
       if (first) (spark.emptyDataset[Long].toDF("img_id"), (0, 0))
       else {
@@ -1054,12 +1061,42 @@ object MultimodalOps {
     }
     // ALL fingerprints persist — the pairwise rule judges against every
     // prior image, deleted or not (d47's invariant)
-    val sw = sig.select($"bk", $"img_id".as("pid"), $"fp".as("pfp"))
-      .write.format("graft")
-      .option("statsCols", "bk,pid").option("bloomCols", "bk")
-      .option("optimizedWrite", "true")
-    (if (first) sw.option("partitionBy", "bucket(16, bk)").mode("overwrite")
-     else sw.mode("append")).save(sigsT)
+    val psig = sig.select($"bk", $"img_id".as("pid"), $"fp".as("pfp"))
+    if (first)
+      psig.write.format("graft")
+        .option("statsCols", "bk,pid").option("bloomCols", "bk")
+        .option("optimizedWrite", "true")
+        .option("partitionBy", "bucket(16, bk)").mode("overwrite")
+        .save(sigsT)
+    else {
+      val vLanded = TxnTable.commitAppend(psig, sigsT,
+        statsCols = Seq("bk", "pid"), bloomCols = Seq("bk"),
+        optimizedWrite = true)
+      // re-probe, part 2: re-judge the batch against exactly the
+      // foreign appends in (probed, landed). m70's keep rule is
+      // EARLIER-ID (not earlier-arrival), so the recovery applies the
+      // same pid < img_id + Hamming verify as the main cross leg —
+      // which also makes it symmetric with the serial replay: a
+      // foreign higher-id near-dup that landed first legitimately
+      // survives, exactly as it would have arriving first serially.
+      if (vLanded > vProbe + 1) {
+        graft.dedup.DedupOps.reprobeWindows.incrementAndGet()
+        val foreign = TxnTable
+          .readChangesBetween(spark, sigsT, vProbe, vLanded - 1)
+        val late = sig
+          .join(broadcast(foreign.select($"bk", $"pid", $"pfp")),
+            Seq("bk"))
+          .filter($"pid" < $"img_id" && expr("bit_count(fp ^ pfp)") <= 16)
+          .select($"img_id").distinct().localCheckpoint()
+        if (late.limit(1).count() > 0) {
+          val rows = TxnTable.readWithRowIdentity(spark, corpus)
+            .filter(inBatchPred)
+          TxnTable.deletePositions(spark, corpus,
+            rows.join(broadcast(late), Seq("img_id"), "left_semi"))
+          ()
+        }
+      }
+    }
     pruneCounts
   }
 
@@ -1501,6 +1538,10 @@ object MultimodalOps {
       .option("statsCols", "clip_id")
       .mode(if (first) "overwrite" else "append").save(corpus)
     val sig = batch.join(sized, "clip_id").localCheckpoint()
+    // concurrent-ingest re-probe, part 1 (see m70Ingest / the
+    // probePersisted concurrency contract)
+    val vProbe: Long =
+      if (first) -1L else TxnTable.latestVersion(spark, sigsT).get
     val (cross, pruneCounts) =
       if (first) (spark.emptyDataset[Long].toDF("clip_id"), (0, 0))
       else {
@@ -1538,13 +1579,43 @@ object MultimodalOps {
         rows.join(broadcast(losers), Seq("clip_id"), "left_semi"))
       ()
     }
-    val sw = sig.select($"fp", $"clip_id".as("pid"), $"n".as("pn"))
-      .write.format("graft")
-      .option("statsCols", "fp,pid").option("bloomCols", "fp")
-      .option("optimizedWrite", "true")
-    (if (first) sw.option("partitionBy", "bucket(16, fp)")
-        .mode("overwrite")
-     else sw.mode("append")).save(sigsT)
+    val psig = sig.select($"fp", $"clip_id".as("pid"), $"n".as("pn"))
+    if (first)
+      psig.write.format("graft")
+        .option("statsCols", "fp,pid").option("bloomCols", "fp")
+        .option("optimizedWrite", "true")
+        .option("partitionBy", "bucket(16, fp)").mode("overwrite")
+        .save(sigsT)
+    else {
+      val vLanded = TxnTable.commitAppend(psig, sigsT,
+        statsCols = Seq("fp", "pid"), bloomCols = Seq("fp"),
+        optimizedWrite = true)
+      // re-probe, part 2: the m75 judge (shared ≥ 2 + integer-exact
+      // Jaccard ≥ 1/2, earlier-id keep) applied to exactly the
+      // foreign window — the set sizes ride the foreign rows (pn), so
+      // no second table is consulted here either
+      if (vLanded > vProbe + 1) {
+        graft.dedup.DedupOps.reprobeWindows.incrementAndGet()
+        val foreign = TxnTable
+          .readChangesBetween(spark, sigsT, vProbe, vLanded - 1)
+        val late = sig
+          .join(broadcast(foreign.select($"fp", $"pid", $"pn")),
+            Seq("fp"))
+          .filter($"pid" < $"clip_id")
+          .groupBy($"clip_id", $"n", $"pid", $"pn")
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 2 &&
+            $"shared" * 2 >= ($"n" + $"pn" - $"shared"))
+          .select($"clip_id").distinct().localCheckpoint()
+        if (late.limit(1).count() > 0) {
+          val rows = TxnTable.readWithRowIdentity(spark, corpus)
+            .filter(inBatchPred)
+          TxnTable.deletePositions(spark, corpus,
+            rows.join(broadcast(late), Seq("clip_id"), "left_semi"))
+          ()
+        }
+      }
+    }
     pruneCounts
   }
 

@@ -267,4 +267,100 @@ class IngestFuzzSpec extends AnyFunSuite {
       "no d49 racer ever observed a foreign window — the race never " +
         "happened and the spec checked nothing")
   }
+
+  // media flavor (m70): the keep rule is EARLIER-ID, not
+  // earlier-arrival — ids interleave ACROSS the racing batches, so a
+  // foreign batch that landed first can hold both smaller ids (this
+  // batch's docs must late-lose to them) and larger ids (which
+  // legitimately survive, exactly as they would arriving first
+  // serially); the serial replay in landed order pins both directions
+  test("racing m70 media ingests with interleaved ids equal the " +
+      "serial replay (seeded)") {
+    val racers = 3
+    val stride = racers + 1 // batch b owns ids ≡ b (mod stride)
+    val docsPerBatch = 10
+    val classes = 6
+    val scenarios = 3 + sys.env.get("GRAFT_INGESTFUZZ_EXTRA")
+      .map(_.toInt).getOrElse(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(racers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val windowsBefore = graft.dedup.DedupOps.reprobeWindows.get()
+    def fpOf(cls: Int): Long = // distinct beyond any 16-bit Hamming band
+      0x9E3779B97F4A7C15L * (cls + 1) ^ (cls.toLong << 37)
+    def mediaBatch(b: Int, docs: Seq[(Int, Int)]) =
+      docs.map { case (i, cls) => (i.toLong * stride + b, fpOf(cls)) }
+        .toDF("img_id", "fp")
+    try (1 to scenarios).foreach { seed =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ingestfuzz70").toFile
+      try {
+        val rnd = new scala.util.Random(9000 + seed)
+        val batches = (0 to racers).map { b =>
+          b -> (0 until docsPerBatch).map(i => (i, rnd.nextInt(classes)))
+        }.toMap
+        val corpus = s"${root.getAbsolutePath}/imgs"
+        val sigs = s"${root.getAbsolutePath}/isigs"
+        graft.multimodal.MultimodalOps.m70Ingest(spark, corpus, sigs,
+          mediaBatch(0, batches(0)), first = true,
+          pmod(col("img_id"), lit(stride)) === 0)
+        val vSeed = TxnTable.latestVersion(spark, sigs).get
+        val gate = new java.util.concurrent.CountDownLatch(racers)
+        val futures = (1 to racers).map { b =>
+          Future {
+            val s = spark.newSession()
+            gate.countDown(); gate.await()
+            graft.multimodal.MultimodalOps.m70Ingest(s, corpus, sigs,
+              mediaBatch(b, batches(b)), first = false,
+              pmod(col("img_id"), lit(stride)) === b)
+          }
+        }
+        Await.result(Future.sequence(futures), 10.minutes)
+        val vLast = TxnTable.latestVersion(spark, sigs).get
+        val landedOrder = (vSeed + 1 to vLast).map { v =>
+          val ids = TxnTable.readChangesBetween(spark, sigs, v - 1, v)
+            .select($"pid").distinct().as[Long].collect()
+          assert(ids.nonEmpty, s"seed $seed: empty sig commit at $v")
+          val bs = ids.map(id => (id % stride).toInt).distinct
+          assert(bs.length == 1,
+            s"seed $seed: sig version $v mixes batches ${bs.toSeq}")
+          bs.head
+        }
+        assert(landedOrder.sorted == (1 to racers),
+          s"seed $seed: landed order $landedOrder is not a " +
+            "permutation of the racers")
+        val corpus2 = s"${root.getAbsolutePath}/imgs2"
+        val sigs2 = s"${root.getAbsolutePath}/isigs2"
+        graft.multimodal.MultimodalOps.m70Ingest(spark, corpus2, sigs2,
+          mediaBatch(0, batches(0)), first = true,
+          pmod(col("img_id"), lit(stride)) === 0)
+        landedOrder.foreach { b =>
+          graft.multimodal.MultimodalOps.m70Ingest(spark, corpus2, sigs2,
+            mediaBatch(b, batches(b)), first = false,
+            pmod(col("img_id"), lit(stride)) === b)
+        }
+        val gotC = snap(corpus, Seq("img_id", "fp"))
+        val wantC = snap(corpus2, Seq("img_id", "fp"))
+        assert(gotC == wantC,
+          s"seed $seed (landed $landedOrder): raced media corpus != " +
+            s"serial replay — got ${gotC.size} " +
+            s"[${gotC.map(_.head).mkString(",")}], want ${wantC.size} " +
+            s"[${wantC.map(_.head).mkString(",")}]")
+        val gotS = snap(sigs, Seq("bk", "pid", "pfp"))
+        val wantS = snap(sigs2, Seq("bk", "pid", "pfp"))
+        assert(gotS == wantS,
+          s"seed $seed: raced media sig state != serial replay " +
+            s"(${gotS.size} vs ${wantS.size} rows)")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+    } finally pool.shutdown()
+    assert(graft.dedup.DedupOps.reprobeWindows.get() > windowsBefore,
+      "no m70 racer ever observed a foreign window — the race never " +
+        "happened and the spec checked nothing")
+  }
 }
