@@ -2543,6 +2543,17 @@ object TxnTable {
         a -> math.max(b, priorTxns.getOrElse(a, Long.MinValue)) } ++ extraTxns
       val files =
         if (append) state.map(_.files).getOrElse(Nil) ++ newFiles else newFiles
+      // STICKY spec, re-read on EVERY attempt: a partition-spec
+      // evolution landing between this commit's base snapshot and its
+      // CAS win must carry forward — recording the pre-race spec would
+      // silently REVERT the evolution (the lost-update PartEvolSpec's
+      // race test hunts). This commit's own files keep their at-write
+      // layout; mixed vintages are the evolution machinery's normal
+      // state, so the manifest line is pure metadata here.
+      val partColsNow =
+        if (partitionCols.nonEmpty) partitionCols
+        else if (append) state.map(_.partCols).getOrElse(Nil)
+        else partCols
       val stats: Map[String, Seq[FileStat]] =
         (if (append) state.map(_.stats).getOrElse(Map.empty[String, Seq[FileStat]])
          else Map.empty[String, Seq[FileStat]]) ++ newStats
@@ -2623,13 +2634,14 @@ object TxnTable {
         else Map.empty[String, Seq[String]]
       val content =
         if (writeFull)
-          manifestContent(schema, txns, stats, files, blooms, rows, partCols,
+          manifestContent(schema, txns, stats, files, blooms, rows,
+            partColsNow,
             op = op, cdf = cdfOn, mor = morOn, dels = liveDels, addv = addvAll,
             checks = chks, props = prps, retired = ret, pathpart = ppOn,
             aliases = aliasOn)
         else deltaContent(schema, txns, newStats, removed = Nil,
           added = newFiles, base = state.get.version, newBlooms = newBlooms,
-          newRows = newRows, partCols = partCols, op = op, cdf = cdfOn,
+          newRows = newRows, partCols = partColsNow, op = op, cdf = cdfOn,
           mor = morOn, checks = chks, props = prps, retired = ret, pathpart = ppOn,
           aliases = aliasOn)
       if (tryCreateAtomic(ctx, new Path(table, manifestName(next)), content)) {
