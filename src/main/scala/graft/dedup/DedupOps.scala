@@ -1155,41 +1155,57 @@ object DedupOps {
       // this ingest's probe read but BEFORE its own signatures — in
       // the serial order the CAS defines, those batches came first,
       // so this batch's docs sharing a band key with them are losers
-      // the stale probe missed. Re-judge ONLY against that window
-      // (batch-bounded: a few foreign ingests' signatures, broadcast)
-      // and positionally delete the late losers. One pass suffices:
-      // any writer landing after vLanded sees THESE signatures in ITS
-      // window, so cross-batch pairs always resolve on exactly one
-      // side — the later-landed one — and the final state equals the
-      // serial replay in landed order (IngestFuzzSpec REQUIREs this).
-      if (vLanded > vProbe + 1) {
-        reprobeWindows.incrementAndGet()
-        val foreign = TxnTable
-          .readChangesBetween(spark, sigs, vProbe, vLanded - 1)
-        val late = sig
-          .join(broadcast(foreign.select($"b", $"h").distinct()),
+      // the stale probe missed. Re-judge ONLY against that window and
+      // positionally delete the late losers (the same pruned identity
+      // read as the main loser leg — batch-local by construction).
+      // One pass suffices: any writer landing after vLanded sees
+      // THESE signatures in ITS window, so cross-batch pairs always
+      // resolve on exactly one side — the later-landed one — and the
+      // final state equals the serial replay in landed order
+      // (IngestFuzzSpec REQUIREs this).
+      reprobeWindow(spark, sigs, vProbe, vLanded) { foreign =>
+        sig.join(broadcast(foreign.select($"b", $"h").distinct()),
             Seq("b", "h"), "left_semi")
-          .select($"doc_id").distinct().localCheckpoint()
-        if (late.limit(1).count() > 0) {
-          // same pruned spelling as the main loser leg: the late
-          // losers are batch-local by construction, so the identity
-          // read confines itself to the batch's own files instead of
-          // rescanning the corpus
-          val rows = TxnTable.readWithRowIdentity(spark, corpus)
-            .filter(inBatchPred)
-          TxnTable.deletePositions(spark, corpus,
-            rows.join(broadcast(late), Seq("doc_id"), "left_semi"))
-        }
-        lap("reprobe")
+          .select($"doc_id").distinct()
+      } { late =>
+        val rows = TxnTable.readWithRowIdentity(spark, corpus)
+          .filter(inBatchPred)
+        TxnTable.deletePositions(spark, corpus,
+          rows.join(broadcast(late), Seq("doc_id"), "left_semi"))
+        ()
       }
+      lap("reprobe")
     }
     pruneCounts
   }
 
-  /** Diagnostic (test vacuity guard): how many d47 ingests found a
+  /** Diagnostic (test vacuity guard): how many ingests found a
     * non-empty foreign window and ran the re-probe recovery. */
   private[graft] val reprobeWindows =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Concurrent-ingest re-probe recovery — the WINDOW PLUMBING every
+    * adopter shares (d47/d49/m70/m75; see probePersisted's concurrency
+    * contract). A non-empty foreign window (vProbe, vLanded) holds
+    * exactly the signature appends this ingest's probe could not have
+    * seen but that precede it in the CAS serialization order: `judge`
+    * maps those foreign rows to this batch's late verdict (loser ids,
+    * or span-affected docs), and `act` applies it — invoked only when
+    * the verdict is non-empty. The guard arithmetic, the bounded
+    * window read, the vacuity counter, and the empty-check live HERE
+    * so the four protocols cannot silently drift; only the judge and
+    * the application differ per protocol and stay inline at their
+    * call sites. */
+  private[graft] def reprobeWindow(spark: SparkSession, sigsT: String,
+      vProbe: Long, vLanded: Long)(
+      judge: DataFrame => DataFrame)(act: DataFrame => Unit): Unit =
+    if (vLanded > vProbe + 1) {
+      reprobeWindows.incrementAndGet()
+      val foreign = graft.io.TxnTable
+        .readChangesBetween(spark, sigsT, vProbe, vLanded - 1)
+      val late = judge(foreign).localCheckpoint()
+      if (late.limit(1).count() > 0) act(late)
+    }
 
   // ---------------------------------------------------------------- d48
   /** EXACT DUPLICATE-SPAN removal with SLIDING k-gram windows — the
@@ -1483,37 +1499,32 @@ object DedupOps {
       // positional delete + append, no rewrite of unaffected files).
       // One pass suffices for the same reason as d47: later landers
       // see THESE shingles in their own window.
-      if (vLanded > vProbe + 1) {
-        reprobeWindows.incrementAndGet()
-        val foreign = graft.io.TxnTable
-          .readChangesBetween(spark, grams, vProbe, vLanded - 1)
-        val lateOcc = g
-          .join(broadcast(foreign.select($"h").distinct()),
+      reprobeWindow(spark, grams, vProbe, vLanded) { foreign =>
+        g.join(broadcast(foreign.select($"h").distinct()),
             Seq("h"), "left_semi")
-          .select($"doc_id", $"pos").localCheckpoint()
-        if (lateOcc.limit(1).count() > 0) {
-          val affected = lateOcc.select($"doc_id").distinct()
-          // the affected docs' FULL verdict: original cross ∪ in-batch
-          // ∪ the late foreign hits (union is idempotent where the
-          // probe over-read a post-pin commit)
-          val covAll = coveredOf(
-            cross.union(inBatch).union(lateOcc)
-              .join(broadcast(affected), Seq("doc_id"), "left_semi"))
-          val relCleaned = cleanedOf(
-            docs.join(broadcast(affected), Seq("doc_id"), "left_semi"),
-            covAll)
-          // prune the replace's identity read to the batch's own
-          // doc_id range (its files, via stats) before the semi-join —
-          // the affected docs are batch-local by construction
-          val bnd = docs.agg(min($"doc_id"), max($"doc_id")).head()
-          val (blo, bhi) = (bnd.getLong(0), bnd.getLong(1))
-          graft.io.TxnTable.replacePositions(spark, corpus,
-            snap => snap
-              .filter(col("doc_id") >= blo && col("doc_id") <= bhi)
-              .join(broadcast(affected), Seq("doc_id"), "left_semi"),
-            relCleaned)
-          lap("reprobe_replace")
-        }
+          .select($"doc_id", $"pos")
+      } { lateOcc =>
+        val affected = lateOcc.select($"doc_id").distinct()
+        // the affected docs' FULL verdict: original cross ∪ in-batch
+        // ∪ the late foreign hits (union is idempotent where the
+        // probe over-read a post-pin commit)
+        val covAll = coveredOf(
+          cross.union(inBatch).union(lateOcc)
+            .join(broadcast(affected), Seq("doc_id"), "left_semi"))
+        val relCleaned = cleanedOf(
+          docs.join(broadcast(affected), Seq("doc_id"), "left_semi"),
+          covAll)
+        // prune the replace's identity read to the batch's own
+        // doc_id range (its files, via stats) before the semi-join —
+        // the affected docs are batch-local by construction
+        val bnd = docs.agg(min($"doc_id"), max($"doc_id")).head()
+        val (blo, bhi) = (bnd.getLong(0), bnd.getLong(1))
+        graft.io.TxnTable.replacePositions(spark, corpus,
+          snap => snap
+            .filter(col("doc_id") >= blo && col("doc_id") <= bhi)
+            .join(broadcast(affected), Seq("doc_id"), "left_semi"),
+          relCleaned)
+        lap("reprobe_replace")
       }
     }
     pruneCounts

@@ -109,6 +109,15 @@ object GraftCdc {
     // subscriber restart against the current schema.
     val (svOpt, aliases, retired) =
       TxnTable.evolutionMarkers(spark, table, until)
+    // the CURRENT schema disambiguates "not yet added in this window"
+    // (the column exists now — the handle that captured `base` saw it;
+    // pre-addition files null-fill, the documented additive case) from
+    // "dropped/renamed since the handle, WITHOUT a vintage marker" (an
+    // OVERWRITE records its frame's schema verbatim and clears alias
+    // markers) — the latter would null-fill where data exists under
+    // another name, so it refuses
+    val nowSchema = TxnTable.latestVersion(spark, table)
+      .flatMap(v => TxnTable.snapshotSchema(spark, table, v))
     svOpt.foreach { sv =>
       base.fields.foreach { f =>
         // name-mode zero-rewrite RENAME leaves pre-evolution FILES
@@ -143,6 +152,19 @@ object GraftCdc {
               s"by v$until — the change feed cannot adapt mid-stream; " +
               "restart the subscriber against the current schema")
         }
+        // no vintage marker, but the column is gone from the CURRENT
+        // schema: an OVERWRITE records its frame's schema verbatim and
+        // clears alias markers, so a drop/rename via overwrite is
+        // otherwise indistinguishable from "not yet added" — and only
+        // the latter may null-fill (the column exists NOW, so the
+        // handle that captured `base` legitimately saw it)
+        require(nowSchema.forall(_.fields.exists(
+            _.name.equalsIgnoreCase(f.name))),
+          s"$table no longer has column '${f.name}' (dropped or " +
+            "renamed since this subscriber's handle — an overwrite " +
+            "records no rename vintage, so the feed cannot tell the " +
+            "data's new name); restart the subscriber against the " +
+            "current schema")
         // a subscriber column ABSENT from the window-end schema with
         // no rename/drop vintage marker is simply NOT YET ADDED in
         // this window — the scan null-fills it, the documented

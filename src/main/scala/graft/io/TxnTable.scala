@@ -2547,13 +2547,14 @@ object TxnTable {
       // evolution landing between this commit's base snapshot and its
       // CAS win must carry forward — recording the pre-race spec would
       // silently REVERT the evolution (the lost-update PartEvolSpec's
-      // race test hunts). This commit's own files keep their at-write
-      // layout; mixed vintages are the evolution machinery's normal
-      // state, so the manifest line is pure metadata here.
+      // race test hunts). Appends AND implicit-spec overwrites both
+      // conform to the CURRENT sticky spec; only an explicit spec
+      // overrides. This commit's own files keep their at-write layout;
+      // mixed vintages are the evolution machinery's normal state, so
+      // the manifest line is pure metadata here.
       val partColsNow =
         if (partitionCols.nonEmpty) partitionCols
-        else if (append) state.map(_.partCols).getOrElse(Nil)
-        else partCols
+        else state.map(_.partCols).getOrElse(Nil)
       val stats: Map[String, Seq[FileStat]] =
         (if (append) state.map(_.stats).getOrElse(Map.empty[String, Seq[FileStat]])
          else Map.empty[String, Seq[FileStat]]) ++ newStats

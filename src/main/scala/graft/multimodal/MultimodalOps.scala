@@ -1079,22 +1079,18 @@ object MultimodalOps {
       // which also makes it symmetric with the serial replay: a
       // foreign higher-id near-dup that landed first legitimately
       // survives, exactly as it would have arriving first serially.
-      if (vLanded > vProbe + 1) {
-        graft.dedup.DedupOps.reprobeWindows.incrementAndGet()
-        val foreign = TxnTable
-          .readChangesBetween(spark, sigsT, vProbe, vLanded - 1)
-        val late = sig
-          .join(broadcast(foreign.select($"bk", $"pid", $"pfp")),
+      graft.dedup.DedupOps.reprobeWindow(spark, sigsT, vProbe,
+        vLanded) { foreign =>
+        sig.join(broadcast(foreign.select($"bk", $"pid", $"pfp")),
             Seq("bk"))
           .filter($"pid" < $"img_id" && expr("bit_count(fp ^ pfp)") <= 16)
-          .select($"img_id").distinct().localCheckpoint()
-        if (late.limit(1).count() > 0) {
-          val rows = TxnTable.readWithRowIdentity(spark, corpus)
-            .filter(inBatchPred)
-          TxnTable.deletePositions(spark, corpus,
-            rows.join(broadcast(late), Seq("img_id"), "left_semi"))
-          ()
-        }
+          .select($"img_id").distinct()
+      } { late =>
+        val rows = TxnTable.readWithRowIdentity(spark, corpus)
+          .filter(inBatchPred)
+        TxnTable.deletePositions(spark, corpus,
+          rows.join(broadcast(late), Seq("img_id"), "left_semi"))
+        ()
       }
     }
     pruneCounts
@@ -1594,26 +1590,22 @@ object MultimodalOps {
       // Jaccard ≥ 1/2, earlier-id keep) applied to exactly the
       // foreign window — the set sizes ride the foreign rows (pn), so
       // no second table is consulted here either
-      if (vLanded > vProbe + 1) {
-        graft.dedup.DedupOps.reprobeWindows.incrementAndGet()
-        val foreign = TxnTable
-          .readChangesBetween(spark, sigsT, vProbe, vLanded - 1)
-        val late = sig
-          .join(broadcast(foreign.select($"fp", $"pid", $"pn")),
+      graft.dedup.DedupOps.reprobeWindow(spark, sigsT, vProbe,
+        vLanded) { foreign =>
+        sig.join(broadcast(foreign.select($"fp", $"pid", $"pn")),
             Seq("fp"))
           .filter($"pid" < $"clip_id")
           .groupBy($"clip_id", $"n", $"pid", $"pn")
           .agg(count(lit(1)).as("shared"))
           .filter($"shared" >= 2 &&
             $"shared" * 2 >= ($"n" + $"pn" - $"shared"))
-          .select($"clip_id").distinct().localCheckpoint()
-        if (late.limit(1).count() > 0) {
-          val rows = TxnTable.readWithRowIdentity(spark, corpus)
-            .filter(inBatchPred)
-          TxnTable.deletePositions(spark, corpus,
-            rows.join(broadcast(late), Seq("clip_id"), "left_semi"))
-          ()
-        }
+          .select($"clip_id").distinct()
+      } { late =>
+        val rows = TxnTable.readWithRowIdentity(spark, corpus)
+          .filter(inBatchPred)
+        TxnTable.deletePositions(spark, corpus,
+          rows.join(broadcast(late), Seq("clip_id"), "left_semi"))
+        ()
       }
     }
     pruneCounts

@@ -363,4 +363,99 @@ class IngestFuzzSpec extends AnyFunSuite {
       "no m70 racer ever observed a foreign window — the race never " +
         "happened and the spec checked nothing")
   }
+
+  // video flavor (m75): the set-Jaccard judge (shared ≥ 2 +
+  // integer-exact 2·shared ≥ n+pn−shared) re-applied over the foreign
+  // window, with the per-clip set size riding the foreign rows — the
+  // one adopter whose judge aggregates instead of filtering
+  test("racing m75 video ingests with interleaved ids equal the " +
+      "serial replay (seeded)") {
+    val racers = 3
+    val stride = racers + 1
+    val clipsPerBatch = 8
+    val classes = 5
+    val scenarios = 3 + sys.env.get("GRAFT_INGESTFUZZ_EXTRA")
+      .map(_.toInt).getOrElse(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(racers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val windowsBefore = graft.dedup.DedupOps.reprobeWindows.get()
+    // same class ⇒ identical 3-keyframe set (shared 3, Jaccard 1);
+    // different classes share nothing
+    def videoBatch(b: Int, clips: Seq[(Int, Int)]) =
+      clips.flatMap { case (i, cls) =>
+        (0 until 3).map(j => (i.toLong * stride + b, cls * 1000L + j))
+      }.toDF("clip_id", "fp")
+    try (1 to scenarios).foreach { seed =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ingestfuzz75").toFile
+      try {
+        val rnd = new scala.util.Random(11000 + seed)
+        val batches = (0 to racers).map { b =>
+          b -> (0 until clipsPerBatch).map(i => (i, rnd.nextInt(classes)))
+        }.toMap
+        val corpus = s"${root.getAbsolutePath}/vclips"
+        val sigs = s"${root.getAbsolutePath}/vsigs"
+        graft.multimodal.MultimodalOps.m75Ingest(spark, corpus, sigs,
+          videoBatch(0, batches(0)), first = true,
+          pmod(col("clip_id"), lit(stride)) === 0)
+        val vSeed = TxnTable.latestVersion(spark, sigs).get
+        val gate = new java.util.concurrent.CountDownLatch(racers)
+        val futures = (1 to racers).map { b =>
+          Future {
+            val s = spark.newSession()
+            gate.countDown(); gate.await()
+            graft.multimodal.MultimodalOps.m75Ingest(s, corpus, sigs,
+              videoBatch(b, batches(b)), first = false,
+              pmod(col("clip_id"), lit(stride)) === b)
+          }
+        }
+        Await.result(Future.sequence(futures), 10.minutes)
+        val vLast = TxnTable.latestVersion(spark, sigs).get
+        val landedOrder = (vSeed + 1 to vLast).map { v =>
+          val ids = TxnTable.readChangesBetween(spark, sigs, v - 1, v)
+            .select($"pid").distinct().as[Long].collect()
+          assert(ids.nonEmpty, s"seed $seed: empty sig commit at $v")
+          val bs = ids.map(id => (id % stride).toInt).distinct
+          assert(bs.length == 1,
+            s"seed $seed: sig version $v mixes batches ${bs.toSeq}")
+          bs.head
+        }
+        assert(landedOrder.sorted == (1 to racers),
+          s"seed $seed: landed order $landedOrder is not a " +
+            "permutation of the racers")
+        val corpus2 = s"${root.getAbsolutePath}/vclips2"
+        val sigs2 = s"${root.getAbsolutePath}/vsigs2"
+        graft.multimodal.MultimodalOps.m75Ingest(spark, corpus2, sigs2,
+          videoBatch(0, batches(0)), first = true,
+          pmod(col("clip_id"), lit(stride)) === 0)
+        landedOrder.foreach { b =>
+          graft.multimodal.MultimodalOps.m75Ingest(spark, corpus2, sigs2,
+            videoBatch(b, batches(b)), first = false,
+            pmod(col("clip_id"), lit(stride)) === b)
+        }
+        val gotC = snap(corpus, Seq("clip_id", "n"))
+        val wantC = snap(corpus2, Seq("clip_id", "n"))
+        assert(gotC == wantC,
+          s"seed $seed (landed $landedOrder): raced video corpus != " +
+            s"serial replay — got ${gotC.size} " +
+            s"[${gotC.map(_.head).mkString(",")}], want ${wantC.size} " +
+            s"[${wantC.map(_.head).mkString(",")}]")
+        val gotS = snap(sigs, Seq("fp", "pid", "pn"))
+        val wantS = snap(sigs2, Seq("fp", "pid", "pn"))
+        assert(gotS == wantS,
+          s"seed $seed: raced video sig state != serial replay " +
+            s"(${gotS.size} vs ${wantS.size} rows)")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+    } finally pool.shutdown()
+    assert(graft.dedup.DedupOps.reprobeWindows.get() > windowsBefore,
+      "no m75 racer ever observed a foreign window — the race never " +
+        "happened and the spec checked nothing")
+  }
 }
